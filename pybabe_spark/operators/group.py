@@ -1,0 +1,118 @@
+"""Grouped aggregation: reducer → agg mapping + applyInPandas escape hatch.
+
+Reference: pybabe/group.py — sort-based group-by on one key with a
+``Reducer`` (function ``(key, rows) → row(s)`` or begin/row/end object).
+Spark-first: expressible reducers become ``groupBy().agg(...)`` (hash
+aggregation with map-side partials — no sort, one shuffle); arbitrary
+Python reducers become ``applyInPandas`` (Arrow-batched grouped map).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.sources.io import INGEST_ID
+
+#: Named aggregations accepted by the string shorthand.
+_AGGS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "mean": F.avg,
+    "first": F.first,
+    "last": F.last,
+    "count_distinct": F.count_distinct,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "median": F.median,
+}
+
+
+def _build_aggs(aggregations: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
+    """{out_name: ('sum', 'col') | Column} → aliased agg Columns."""
+    cols = []
+    for out_name, spec in aggregations.items():
+        if isinstance(spec, Column):
+            cols.append(spec.alias(out_name))
+        else:
+            fn_name, col = spec
+            try:
+                fn = _AGGS[fn_name]
+            except KeyError:
+                raise ValueError(f"unknown aggregation {fn_name!r}") from None
+            cols.append(fn(col).alias(out_name))
+    return cols
+
+
+def group(
+    df: DataFrame,
+    key: str | Sequence[str],
+    aggregations: Mapping[str, tuple[str, str] | Column] | None = None,
+    reducer: Callable | None = None,
+    reducer_schema: str | None = None,
+) -> DataFrame:
+    """Group-by on key(s) (pybabe/group.py:35-87).
+
+    Two paths:
+
+    - ``aggregations``: declarative — ``group(df, 'k', {'total': ('sum','v')})``
+      compiles to hash aggregation with partial (map-side) combine; this is
+      the reference's common case (sum per key, tests/test_group.py:8-15).
+    - ``reducer`` + ``reducer_schema``: arbitrary Python
+      ``(pandas.DataFrame) → pandas.DataFrame`` per group via
+      ``applyInPandas`` — the escape hatch for reducers SQL can't express.
+      Groups arrive sorted by ingest id when the column is present,
+      matching the reference's sorted-stream boundary model
+      (pybabe/group.py:49-50).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if (aggregations is None) == (reducer is None):
+        raise ValueError("pass exactly one of aggregations / reducer")
+    if aggregations is not None:
+        return df.groupBy(*keys).agg(*_build_aggs(aggregations))
+    if reducer_schema is None:
+        raise ValueError("reducer requires reducer_schema (DDL string)")
+
+    sort_col = INGEST_ID if INGEST_ID in df.columns else None
+
+    def _apply(pdf):
+        if sort_col is not None:
+            pdf = pdf.sort_values(sort_col).drop(columns=[sort_col])
+        return reducer(pdf)
+
+    return df.groupBy(*keys).applyInPandas(_apply, schema=reducer_schema)
+
+
+def group_all(
+    df: DataFrame,
+    aggregations: Mapping[str, tuple[str, str] | Column] | None = None,
+    reducer: Callable | None = None,
+    reducer_schema: str | None = None,
+) -> DataFrame:
+    """Single global group (pybabe/group.py:89-113) → df.agg(...).
+
+    The declarative path is a full map-side partial aggregation — the
+    shuffle moves one row per partition. The reducer path groups by a
+    constant; at 100 TB that funnels all rows to one task, so it is guarded
+    for parity use only (the reference had the same single-consumer shape).
+    """
+    if (aggregations is None) == (reducer is None):
+        raise ValueError("pass exactly one of aggregations / reducer")
+    if aggregations is not None:
+        return df.agg(*_build_aggs(aggregations))
+    if reducer_schema is None:
+        raise ValueError("reducer requires reducer_schema (DDL string)")
+    tagged = df.withColumn("__g", F.lit(1))
+
+    def _apply(pdf):
+        pdf = pdf.drop(columns=["__g"])
+        return reducer(pdf)
+
+    return tagged.groupBy("__g").applyInPandas(_apply, schema=reducer_schema)

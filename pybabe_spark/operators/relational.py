@@ -1,0 +1,227 @@
+"""Projection / filtering / row transforms / sort / dedup / set ops.
+
+Each function cites the reference operator it re-expresses (SURVEY §2.2,
+§2.5, §2.7). All are thin declarative compositions — Catalyst keeps
+predicate pushdown, column pruning, and TakeOrderedAndProject available.
+
+Order-sensitive operators (skip/head/dedup keep-first/insert_rows) use the
+engine ingest-order convention (:data:`pybabe_spark.sources.io.INGEST_ID`);
+callers that need exact reference parity attach it at read time via
+``pull(..., ingest_id=True)``. Without the column, the cheaper
+order-agnostic Spark-native path is used — correct for set semantics,
+unordered like any distributed engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pybabe_spark.sources.io import INGEST_ID
+
+
+def filter_columns(
+    df: DataFrame,
+    keep_fields: Sequence[str] | None = None,
+    remove_fields: Sequence[str] | None = None,
+) -> DataFrame:
+    """Projection: keep or drop named columns (pybabe/transform.py:244-259)."""
+    if (keep_fields is None) == (remove_fields is None):
+        raise ValueError("pass exactly one of keep_fields / remove_fields")
+    if keep_fields is not None:
+        keep = list(keep_fields)
+        if INGEST_ID in df.columns and INGEST_ID not in keep:
+            keep.append(INGEST_ID)
+        return df.select(*keep)
+    return df.drop(*remove_fields)
+
+
+def rename(df: DataFrame, **mapping: str) -> DataFrame:
+    """Rename columns old=new (pybabe/transform.py:318-331)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def filter_rows(df: DataFrame, condition: Column | str) -> DataFrame:
+    """Predicate filter (pybabe/transform.py:294-302).
+
+    The reference takes an arbitrary row→bool Python function; here the
+    fast path is a Column expression / SQL string so the predicate stays
+    JVM-side and pushes down to the scan. For a genuinely opaque Python
+    predicate use ``pybabe_spark.operators.udf_ops.map_filter``.
+    """
+    return df.filter(condition)
+
+
+def filter_values(df: DataFrame, **equals) -> DataFrame:
+    """Conjunctive equality predicate (pybabe/transform.py:262-275)."""
+    out = df
+    for col, val in equals.items():
+        out = out.filter(F.col(col) == F.lit(val))
+    return out
+
+
+def filter_out_null_values(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Drop rows with NULL in any given field (pybabe/transform.py:278-291)."""
+    return df.na.drop(subset=list(fields))
+
+
+def filter_by_regexp(df: DataFrame, field: str, regexp: str) -> DataFrame:
+    """Keep rows where re.match(regexp, field) (pybabe/transform.py:305-315).
+
+    ``re.match`` anchors at the start only → rlike with a leading anchor.
+    """
+    pattern = regexp if regexp.startswith("^") else "^" + regexp
+    return df.filter(F.col(field).rlike(pattern))
+
+
+def skip(df: DataFrame, n: int, order_by: str | None = None) -> DataFrame:
+    """Drop the first n rows (pybabe/transform.py:158-171).
+
+    Ordered by ``order_by`` (default: the ingest-id column). Implemented
+    as a rank filter rather than a global sort so only the boundary is
+    materialized; Catalyst turns the single-partition window into one pass.
+    """
+    key = order_by or INGEST_ID
+    if key not in df.columns:
+        raise ValueError(f"skip() needs an order column; attach {INGEST_ID} at read")
+    w = Window.orderBy(F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > n)
+        .drop("__rn")
+    )
+
+
+def head(df: DataFrame, n: int) -> DataFrame:
+    """First n rows (pybabe/transform.py:174-205) → df.limit.
+
+    Spark's limit short-circuits the scan exactly like the reference's
+    generator break (pybabe/base.py:244-253). For per-partition-value
+    heads (all_streams=True) use :func:`head_per_group`.
+    """
+    return df.limit(n)
+
+
+def head_per_group(
+    df: DataFrame, n: int, partition_cols: Sequence[str], order_by: str | None = None
+) -> DataFrame:
+    """head(all_streams=True): first n rows per substream
+    (pybabe/transform.py:174-205 + partition model SURVEY §1.2)."""
+    key = order_by or INGEST_ID
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def sort(df: DataFrame, field: str | Sequence[str], reverse: bool = False) -> DataFrame:
+    """Sort on field(s) (pybabe/sort.py:9-22 and sort_diskbased 25-60).
+
+    One operator covers both reference spellings: Spark's sort is always
+    external (UnsafeExternalSorter spills), so no disk-based variant is
+    needed. Range-partitioned → total order across partitions.
+    """
+    fields = [field] if isinstance(field, str) else list(field)
+    cols = [F.col(f).desc() if reverse else F.col(f).asc() for f in fields]
+    return df.orderBy(*cols)
+
+
+def max_n(df: DataFrame, column: str, n: int, extremum: str = "max") -> DataFrame:
+    """Top-k by column (pybabe/minmax.py:19-45).
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition heaps +
+    a driver merge of k rows — the distributed analogue of the reference's
+    heapq, no full sort or shuffle of the data.
+    """
+    col = F.col(column).desc() if extremum == "max" else F.col(column).asc()
+    return df.orderBy(col).limit(n)
+
+
+def min_n(df: DataFrame, column: str, n: int) -> DataFrame:
+    """Bottom-k (pybabe/minmax.py:34-45)."""
+    return max_n(df, column, n, extremum="min")
+
+
+def dedup(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Drop duplicate rows on all columns or a subset (pybabe/dedup.py:5-35).
+
+    keep_first=True reproduces the reference's keep-first-occurrence
+    semantics exactly via a min-ingest-id window; the default uses
+    ``dropDuplicates`` (any representative row), which is cheaper at scale
+    because AQE can pre-aggregate map-side.
+    """
+    value_cols = [c for c in df.columns if c != INGEST_ID]
+    subset = list(fields) if fields else value_cols
+    if not keep_first:
+        return df.dropDuplicates(subset)
+    if INGEST_ID not in df.columns:
+        raise ValueError(f"dedup(keep_first=True) needs {INGEST_ID}; pull(ingest_id=True)")
+    w = Window.partitionBy(*subset).orderBy(F.col(INGEST_ID))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def replace_cell(df: DataFrame, oldvalue, newvalue) -> DataFrame:
+    """Replace an exact cell value across all columns (pybabe/transform.py:222-241)."""
+    return df.replace(oldvalue, newvalue)
+
+
+def replace_in_string(df: DataFrame, match: str, replacement: str, field: str) -> DataFrame:
+    """Substring replace in one field (pybabe/transform.py:98-109).
+
+    Literal (non-regex) replacement like the reference's str.replace.
+    """
+    return df.withColumn(field, F.replace(F.col(field), F.lit(match), F.lit(replacement)))
+
+
+def split_rows(df: DataFrame, field: str, separator: str) -> DataFrame:
+    """Split a string field on separator → one row per part
+    (pybabe/transform.py:208-219): explode(split(...))."""
+    return df.withColumn(field, F.explode(F.split(F.col(field), separator, -1)))
+
+
+def union_streams(*dfs: DataFrame) -> DataFrame:
+    """Concatenate streams (pybabe/base.py:365-368, partition.py:8-27).
+
+    unionByName so column order differences don't silently mis-zip.
+    """
+    if not dfs:
+        raise ValueError("union_streams needs at least one DataFrame")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=False)
+    return out
+
+
+def insert_rows(df: DataFrame, new_rows: list, before: bool = True) -> DataFrame:
+    """Prepend/append literal rows (pybabe/transform.py:455-470).
+
+    Set-wise this is a union with literals; positional placement is only
+    observable under an ingest-id ordering, so when the column is present
+    the literals get ids below/above the existing range.
+    """
+    spark = df.sparkSession
+    value_cols = [c for c in df.columns if c != INGEST_ID]
+    lit_df = spark.createDataFrame(new_rows, df.select(*value_cols).schema)
+    if INGEST_ID in df.columns:
+        if before:
+            lit_df = lit_df.withColumn(
+                INGEST_ID, F.monotonically_increasing_id() - F.lit(1 << 62)
+            )
+        else:
+            lit_df = lit_df.withColumn(
+                INGEST_ID, F.monotonically_increasing_id() + F.lit(1 << 62)
+            )
+        return df.unionByName(lit_df) if not before else lit_df.unionByName(df)
+    return lit_df.unionByName(df) if before else df.unionByName(lit_df)

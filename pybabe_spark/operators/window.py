@@ -1,0 +1,96 @@
+"""Trailing row-frame window map.
+
+Reference: pybabe/transform.py:345-397 (``windowMap``) — for each row,
+``function(last window_size rows)``; the frame grows 1..N then slides.
+The only windowing construct in the reference: row-based, trailing,
+unpartitioned, ordered by arrival.
+
+Spark-first: ``Window.orderBy(order).rowsBetween(-(n-1), currentRow)``.
+Built-in aggregates stay JVM-side; arbitrary functions go through
+``collect_list`` over the frame + a pandas UDF. Ranking/lead/lag/range
+frames are capability supersets exposed via plain pyspark.sql.Window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pybabe_spark.sources.io import INGEST_ID
+
+_BUILTINS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev,
+}
+
+
+def window_map(
+    df: DataFrame,
+    window_size: int,
+    agg: str | Column,
+    source_col: str | None = None,
+    out_col: str = "window_value",
+    order_by: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Trailing window aggregate (pybabe/transform.py:345-397).
+
+    ``agg`` is a builtin name ('sum', 'avg', ...) applied to ``source_col``
+    over the trailing ``window_size``-row frame, or any Column aggregate
+    expression. The reference is unpartitioned (single stream) — a global
+    row-ordered window; ``partition_by`` extends it to per-key frames,
+    which is also the scale path (an unpartitioned row window is a
+    single-task total order, kept only for reference parity on small data).
+    """
+    key = order_by or INGEST_ID
+    if key not in df.columns:
+        raise ValueError(f"window_map needs an order column; attach {INGEST_ID} at read")
+    w = Window.orderBy(F.col(key))
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(F.col(key))
+    w = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    if isinstance(agg, str):
+        if source_col is None:
+            raise ValueError("builtin agg needs source_col")
+        expr = _BUILTINS[agg](source_col)
+    else:
+        expr = agg
+    return df.withColumn(out_col, expr.over(w))
+
+
+def window_map_udf(
+    df: DataFrame,
+    window_size: int,
+    fn,
+    source_col: str,
+    out_col: str = "window_value",
+    return_type: str = "double",
+    order_by: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Arbitrary-function windowMap: collect_list over the frame + pandas UDF.
+
+    ``fn`` receives a Python list of the frame's values (1..window_size
+    elements, trailing). Slow path by design — prefer :func:`window_map`.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    key = order_by or INGEST_ID
+    w = Window.orderBy(F.col(key))
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(F.col(key))
+    w = w.rowsBetween(-(window_size - 1), Window.currentRow)
+
+    @pandas_udf(return_type)
+    def _apply(frames: pd.Series) -> pd.Series:
+        return frames.map(lambda vals: fn(list(vals)))
+
+    return df.withColumn(out_col, _apply(F.collect_list(source_col).over(w)))

@@ -1,0 +1,138 @@
+"""Fluent facade mirroring PyBabe's chain API.
+
+Reference lifecycle (SURVEY §3): ``Babe().pull(...).op(...).push(...)`` —
+the chain of BabeBase objects is the IR (pybabe/base.py:255-269). Here the
+IR is the DataFrame's Catalyst logical plan: each method returns a new
+``Babe`` wrapping a transformed DataFrame; terminals (`push`, `to_list`)
+trigger actions. No custom machinery — the facade is sugar over
+:mod:`pybabe_spark.operators`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pybabe_spark import operators as ops
+from pybabe_spark.sources import io as _io
+
+
+class Babe:
+    """Immutable fluent wrapper around a DataFrame.
+
+    >>> Babe.pull(spark, "data.csv").filter_values(kind="a").push("out.parquet")
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- sources ------------------------------------------------------------
+    @classmethod
+    def pull(cls, spark: SparkSession, filename: str | None = None, **kwargs) -> "Babe":
+        return cls(_io.pull(spark, filename, **kwargs))
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "Babe":
+        return cls(df)
+
+    def _wrap(self, df: DataFrame) -> "Babe":
+        return Babe(df)
+
+    # -- projection / filtering ---------------------------------------------
+    def filter_columns(self, keep_fields=None, remove_fields=None) -> "Babe":
+        return self._wrap(ops.filter_columns(self.df, keep_fields, remove_fields))
+
+    def rename(self, **mapping) -> "Babe":
+        return self._wrap(ops.rename(self.df, **mapping))
+
+    def filter(self, condition) -> "Babe":
+        return self._wrap(ops.filter_rows(self.df, condition))
+
+    def filter_values(self, **equals) -> "Babe":
+        return self._wrap(ops.filter_values(self.df, **equals))
+
+    def filter_out_null_values(self, fields) -> "Babe":
+        return self._wrap(ops.filter_out_null_values(self.df, fields))
+
+    def filter_by_regexp(self, field, regexp) -> "Babe":
+        return self._wrap(ops.filter_by_regexp(self.df, field, regexp))
+
+    def skip(self, n, order_by=None) -> "Babe":
+        return self._wrap(ops.skip(self.df, n, order_by))
+
+    def head(self, n) -> "Babe":
+        return self._wrap(ops.head(self.df, n))
+
+    def replace(self, oldvalue, newvalue) -> "Babe":
+        return self._wrap(ops.replace_cell(self.df, oldvalue, newvalue))
+
+    def replace_in_string(self, match, replacement, field) -> "Babe":
+        return self._wrap(ops.replace_in_string(self.df, match, replacement, field))
+
+    def split(self, field, separator) -> "Babe":
+        return self._wrap(ops.split_rows(self.df, field, separator))
+
+    # -- sort / topk / dedup -------------------------------------------------
+    def sort(self, field, reverse=False) -> "Babe":
+        return self._wrap(ops.sort(self.df, field, reverse))
+
+    def maxN(self, column, n) -> "Babe":
+        return self._wrap(ops.max_n(self.df, column, n))
+
+    def minN(self, column, n) -> "Babe":
+        return self._wrap(ops.min_n(self.df, column, n))
+
+    def dedup(self, fields=None, keep_first=False) -> "Babe":
+        return self._wrap(ops.dedup(self.df, fields, keep_first))
+
+    # -- join / group / reshape ----------------------------------------------
+    def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
+        build = other.df if isinstance(other, Babe) else other
+        return self._wrap(ops.join(self.df, build, key, join_key, **kwargs))
+
+    def groupBy(self, key, aggregations=None, **kwargs) -> "Babe":
+        return self._wrap(ops.group(self.df, key, aggregations, **kwargs))
+
+    def group_all(self, aggregations=None, **kwargs) -> "Babe":
+        return self._wrap(ops.group_all(self.df, aggregations, **kwargs))
+
+    def pivot(self, pivot_col, group: Sequence[str], **kwargs) -> "Babe":
+        return self._wrap(ops.pivot(self.df, pivot_col, group, **kwargs))
+
+    def unpivot(self, common_fields, name_field="name", value_field="value") -> "Babe":
+        return self._wrap(ops.unpivot(self.df, common_fields, name_field, value_field))
+
+    def transpose(self, **kwargs) -> "Babe":
+        return self._wrap(ops.transpose(self.df, **kwargs))
+
+    def windowMap(self, window_size, agg, source_col=None, **kwargs) -> "Babe":
+        return self._wrap(ops.window_map(self.df, window_size, agg, source_col, **kwargs))
+
+    # -- set ops ---------------------------------------------------------------
+    def union(self, *others: "Babe | DataFrame") -> "Babe":
+        dfs = [o.df if isinstance(o, Babe) else o for o in others]
+        return self._wrap(ops.union_streams(self.df, *dfs))
+
+    def insert_rows(self, new_rows, before=True) -> "Babe":
+        return self._wrap(ops.insert_rows(self.df, new_rows, before))
+
+    # -- caching (tee / memoize analogue) ---------------------------------------
+    def tee(self) -> "Babe":
+        """pybabe/base.py:196-202 — cache + reuse the same DataFrame."""
+        return self._wrap(self.df.cache())
+
+    # -- terminals ---------------------------------------------------------------
+    def push(self, filename, **kwargs) -> None:
+        _io.push(self.df, filename, **kwargs)
+
+    def to_list(self) -> list:
+        """pybabe/base.py:459-460 — materialize rows."""
+        df = _io.drop_ingest_id(self.df)
+        return [tuple(r) for r in df.collect()]
+
+    def to_string(self, **kwargs) -> str:
+        return _io.to_string(_io.drop_ingest_id(self.df), **kwargs)
+
+    def count(self) -> int:
+        return self.df.count()

@@ -1,0 +1,429 @@
+"""Driver-contract query registry: Spark query + DuckDB oracle per operator.
+
+Each entry exercises one operator from SURVEY §2 on the shared testdata
+(TESTDATA.md). Conventions that make the hash-compare deterministic:
+
+- **Double aggregation via exact decimal**: ``SUM(double)`` is
+  order-dependent in IEEE arithmetic, and Spark/DuckDB sum in different
+  orders. Every aggregated double is cast per-value to ``DECIMAL`` (exact,
+  associative), summed exactly, then cast back to double — bit-identical
+  on both engines. A raw double is never exactly on a decimal rounding
+  boundary, so the per-value cast itself is also engine-independent.
+- **Pass-through doubles** are left untouched (same parquet bits).
+- **Ties** in any top-k are broken by a unique key column.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators import (
+    dedup,
+    filter_by_regexp,
+    filter_columns,
+    filter_out_null_values,
+    filter_rows,
+    filter_values,
+    group,
+    group_all,
+    join,
+    max_n,
+    pivot,
+    replace_in_string,
+    skip,
+    split_rows,
+    union_streams,
+    unpivot,
+    window_map,
+)
+from pybabe_spark.sources.io import read_table
+
+#: name -> (query_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _dec(col, scale: int = 6):
+    """Exact-decimal lift of a double column (see module docstring)."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _sumd(col, alias: str, scale: int = 6):
+    """SUM(double) with deterministic decimal accumulation → double."""
+    return F.sum(_dec(col, scale)).cast("double").alias(alias)
+
+
+# SQL-side equivalents of the decimal conventions
+def _sql_sumd(col: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan → filter → 3 joins → agg → (ordered) result
+# pull/join/group/sort composition, mirrors examples/wordcount.py shape.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    # fact-to-fact join shuffles on the key; dims are broadcast
+    enriched = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = (_dec("l_extendedprice", 2) * (F.lit(1) - _dec("l_discount", 2)))
+    return (
+        enriched.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2, §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_discount > 0.05
+    """,
+)
+def q_filter_project(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    out = filter_rows(li, (F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05))
+    return filter_columns(out, keep_fields=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "filter_values",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
+)
+def q_filter_values(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    out = filter_values(orders, o_orderstatus="F", o_orderpriority="1-URGENT")
+    return filter_columns(out, keep_fields=["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@register(
+    "filter_out_nulls",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL",
+)
+def q_filter_out_nulls(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    out = filter_out_null_values(cust, ["c_name", "c_acctbal"])
+    return filter_columns(out, keep_fields=["c_custkey", "c_name", "c_acctbal"])
+
+
+@register(
+    "filter_by_regexp",
+    "SELECT p_partkey, p_name, p_type FROM part WHERE regexp_matches(p_type, '^(STANDARD|SMALL).*')",
+)
+def q_filter_by_regexp(spark, sf_dir):
+    part = read_table(spark, sf_dir, "part")
+    out = filter_by_regexp(part, "p_type", "(STANDARD|SMALL).*")
+    return filter_columns(out, keep_fields=["p_partkey", "p_name", "p_type"])
+
+
+@register(
+    "rename_project",
+    "SELECT s_suppkey AS supplier_id, s_name AS supplier_name, s_acctbal AS balance FROM supplier",
+)
+def q_rename(spark, sf_dir):
+    sup = read_table(spark, sf_dir, "supplier")
+    return sup.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_acctbal").alias("balance"),
+    )
+
+
+@register(
+    "dedup_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem",
+)
+def q_dedup(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return dedup(li.select("l_returnflag", "l_linestatus", "l_linenumber"))
+
+
+@register(
+    "skip_rows",
+    """
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+      FROM events
+    ) t WHERE rn > 100
+    """,
+)
+def q_skip(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return skip(ev, 100, order_by="event_id")
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # max_n with deterministic tie-break: TakeOrderedAndProject, no full sort
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+@register(
+    "union_streams",
+    "SELECT r_regionkey, r_name FROM region UNION ALL SELECT r_regionkey, r_name FROM region",
+)
+def q_union(spark, sf_dir):
+    region = read_table(spark, sf_dir, "region")
+    return union_streams(region, region)
+
+
+@register(
+    "split_explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS text
+    FROM documents
+    """,
+)
+def q_split(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_rows(docs, "text", " ")
+
+
+@register(
+    "replace_in_string",
+    "SELECT c_custkey, REPLACE(c_mktsegment, 'MACH', 'mach') AS c_mktsegment FROM customer",
+)
+def q_replace_in_string(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return replace_in_string(cust, "MACH", "mach", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Join (SURVEY §2.3) — PyBabe 4-mode join
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner_lookup",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey < 10
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    out = join(
+        cust.select("c_custkey", "c_name", "c_nationkey"),
+        nation.select("n_nationkey", "n_name"),
+        key="c_nationkey",
+        join_key="n_nationkey",
+        on_error="SKIP",
+    )
+    return out.select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "join_left_lookup",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_join_left(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    out = join(
+        cust.select("c_custkey", "c_name", "c_nationkey"),
+        nation.select("n_nationkey", "n_name"),
+        key="c_nationkey",
+        join_key="n_nationkey",
+        on_error="NONE",
+    )
+    return out.select("c_custkey", "c_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Group / aggregate (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_sumd('l_quantity', 'sum_qty', 2)},
+           {_sql_sumd('l_extendedprice', 'sum_base_price', 2)},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_group_pricing(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice", 2) * (F.lit(1) - _dec("l_discount", 2))
+    return group(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": _sumd("l_quantity", "sum_qty", 2),
+            "sum_base_price": _sumd("l_extendedprice", "sum_base_price", 2),
+            "sum_disc_price": F.sum(disc_price).cast("double"),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "group_all_stats",
+    """
+    SELECT COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def q_group_all(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    return group_all(
+        orders,
+        {
+            "order_count": F.count(F.lit(1)),
+            "total_sales": _sumd("o_totalprice", "total_sales", 2),
+            "min_price": F.min("o_totalprice").cast("double"),
+            "max_price": F.max("o_totalprice").cast("double"),
+            "n_customers": F.count_distinct(F.col("o_custkey")),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshape (SURVEY §2.4: pivot/unpivot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS DOUBLE) AS "o_totalprice-F",
+           CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS DOUBLE) AS "o_totalprice-O",
+           CAST(MAX(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS DOUBLE) AS "o_totalprice-P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    return pivot(orders, "o_orderstatus", ["o_orderpriority"],
+                 values=["F", "O", "P"], agg="max")
+
+
+@register(
+    "unpivot_melt",
+    """
+    SELECT c_custkey, 'c_name' AS name, c_name AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_mktsegment' AS name, c_mktsegment AS value FROM customer
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return unpivot(cust, ["c_custkey"], "name", "value")
+
+
+# ---------------------------------------------------------------------------
+# Window (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rolling_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS window_value
+    FROM events
+    """,
+)
+def q_window_rolling(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = window_map(
+        ev, 3,
+        F.sum(_dec("value", 6)),
+        out_col="window_value",
+        order_by="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("window_value").cast("double").alias("window_value")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,383 @@
+"""Universal pull/push: format+compression dispatch over DataFrameReader/Writer.
+
+Reference semantics: ``pull`` (pybabe/base.py:361-450, format guess
+base.py:345-358) resolves filename extension → (compression, format) and
+dispatches to a format plugin; ``push`` (pybabe/base.py:463-567) mirrors it
+for writes, with ``$var`` filename templates expanding to per-partition
+files (base.py:509-527) — Spark's ``partitionBy`` directory layout.
+
+Spark-first design: native readers handle csv/tsv/txt/json/parquet/orc/avro
+and transparent ``.gz``; driver-side shims (clearly marked, small-data only)
+cover xlsx/xls/html/sql-dump/zip, which have no distributed reader. All
+distributed paths go through DataFrameReader so Catalyst sees the scan
+(predicate pushdown + column pruning stay available).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+import re
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Column name used for the engine-wide ingest-order convention.
+#: PyBabe streams have deterministic file order (SURVEY §1.4); Spark does
+#: not, so order-sensitive operators (dedup keep-first, join build-side
+#: first-row, pivot value order, windowMap, skip/head) key off this column.
+INGEST_ID = "__ingest_id"
+
+# extension → (format, is_compression) — mirrors pybabe/base.py:345-358's
+# two-level guess (compress extension first, then format extension).
+_COMPRESS_EXTS = {"gz", "gzip", "bz2", "zst", "zip"}
+_FORMAT_EXTS = {
+    "csv": "csv",
+    "tsv": "tsv",
+    "txt": "txt",
+    "json": "json",
+    "jsonl": "json",
+    "ndjson": "json",
+    "parquet": "parquet",
+    "pq": "parquet",
+    "orc": "orc",
+    "avro": "avro",
+    "xlsx": "xlsx",
+    "xls": "xls",
+    "html": "html",
+    "htm": "html",
+    "sql": "sql",
+}
+
+
+def guess_format(filename: str) -> tuple[str | None, str | None]:
+    """Return (format, compress_format) from the filename extensions.
+
+    Mirrors pybabe/base.py:345-358: ``data.csv.gz`` → ('csv', 'gz').
+    """
+    parts = filename.split(".")
+    compress = None
+    if len(parts) > 1 and parts[-1].lower() in _COMPRESS_EXTS:
+        compress = parts[-1].lower()
+        parts = parts[:-1]
+    fmt = _FORMAT_EXTS.get(parts[-1].lower()) if len(parts) > 1 else None
+    return fmt, compress
+
+
+def with_ingest_id(df: DataFrame) -> DataFrame:
+    """Attach the ingest-order column if absent.
+
+    ``monotonically_increasing_id`` is monotone within a partition and
+    partition-major across them, which matches "file order" for a
+    deterministic scan; it never shuffles and never collects.
+    """
+    if INGEST_ID in df.columns:
+        return df
+    return df.withColumn(INGEST_ID, F.monotonically_increasing_id())
+
+
+def drop_ingest_id(df: DataFrame) -> DataFrame:
+    if INGEST_ID in df.columns:
+        return df.drop(INGEST_ID)
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md contract).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read it as long (runtime conf, works under any
+    session) and convert to a micros timestamp — truncation matches
+    DuckDB's ns→us cast.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# pull
+# ---------------------------------------------------------------------------
+
+def pull(
+    spark: SparkSession,
+    filename: str | None = None,
+    *,
+    string: str | None = None,
+    format: str | None = None,
+    encoding: str | None = None,
+    fields: list[str] | None = None,
+    separator: str | None = None,
+    null_value: str | None = None,
+    ignore_bad_lines: bool = False,
+    header: bool = True,
+    infer_schema: bool = True,
+    ingest_id: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Universal source (pybabe/base.py:361-450).
+
+    - ``filename`` may be a local path, a glob, or any Hadoop-FS URI
+      (``s3a://bucket/key*.csv.gz`` covers the reference's s3 protocol
+      plugin + glob matching, pybabe/protocol_s3.py:34-50, natively).
+    - ``string`` is the inline-literal source (pybabe/base.py:390-392).
+    - ``ignore_bad_lines`` maps the reference's csv error policy
+      (pybabe/format_csv.py:34,42-46) onto DROPMALFORMED/PERMISSIVE.
+    - ``.gz`` is read transparently by Spark; ``.zip`` falls back to a
+      driver-side shim (single-member archives only, like
+      pybabe/compress_zip.py:7-23).
+    """
+    if string is not None:
+        return _pull_string(spark, string, format or "csv", separator=separator,
+                            header=header, infer_schema=infer_schema)
+    if filename is None:
+        raise ValueError("pull() needs filename= or string=")
+
+    fmt_guess, compress = guess_format(filename)
+    fmt = format or fmt_guess or "csv"
+
+    if compress == "zip":
+        return _pull_zip(spark, filename, fmt, separator=separator, header=header,
+                         infer_schema=infer_schema)
+    if fmt in ("xlsx", "xls"):
+        return _pull_excel(spark, filename)
+    if fmt == "sql":
+        return _pull_sql_dump(spark, filename)
+
+    reader = spark.read
+    sep = separator or ("\t" if fmt == "tsv" else ",")
+    if fmt in ("csv", "tsv"):
+        reader = (
+            reader.format("csv")
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("inferSchema", str(infer_schema).lower())
+            .option("mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE")
+        )
+        if encoding:
+            reader = reader.option("encoding", encoding)
+        if null_value is not None:
+            reader = reader.option("nullValue", null_value)
+    elif fmt == "txt":
+        # one column `text` per line (pybabe/format_txt.py:6-30)
+        df = spark.read.text(filename).withColumnRenamed("value", "text")
+        return with_ingest_id(df) if ingest_id else df
+    else:
+        reader = reader.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(filename)
+    if fields:
+        df = df.toDF(*fields)
+    return with_ingest_id(df) if ingest_id else df
+
+
+def _pull_string(spark, text, fmt, *, separator=None, header=True, infer_schema=True):
+    """Inline string source (pybabe/base.py:390-392): parallelize the lines."""
+    sep = separator or ("\t" if fmt == "tsv" else ",")
+    lines = [l for l in text.splitlines() if l.strip()]
+    if fmt == "txt":
+        return spark.createDataFrame([(l,) for l in lines], "text string")
+    lines_df = spark.createDataFrame([(l,) for l in lines], "value string")
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("inferSchema", str(infer_schema).lower())
+    )
+    return reader.csv(lines_df.rdd.map(lambda r: r.value))
+
+
+def _pull_zip(spark, filename, fmt, *, separator=None, header=True, infer_schema=True):
+    """Driver-side zip shim (single member, like pybabe/compress_zip.py:7-23).
+
+    Zip is not a splittable/distributed codec; this path is explicitly for
+    small side files, matching the reference's own single-member constraint.
+    """
+    with zipfile.ZipFile(filename) as z:
+        names = z.namelist()
+        if not names:
+            raise ValueError(f"empty zip archive: {filename}")
+        data = z.read(names[0]).decode("utf-8")
+    return _pull_string(spark, data, fmt, separator=separator, header=header,
+                        infer_schema=infer_schema)
+
+
+def _pull_excel(spark, filename):
+    """Driver-side excel shim (pybabe/format_xlsx.py:16-49).
+
+    Excel files are inherently small single-machine artifacts; parse with
+    pandas on the driver then parallelize.
+    """
+    try:
+        import pandas as pd
+        pdf = pd.read_excel(filename)
+    except ImportError as e:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "excel pull requires pandas+openpyxl on the driver"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+_SQL_INSERT_RE = re.compile(
+    r"INSERT\s+INTO\s+`?(?P<table>\w+)`?(?:\s*\([^)]*\))?\s+VALUES\s*(?P<values>.+?);\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_sql_tuples(values: str) -> list[list]:
+    """Parse `(a,b),(c,d)` tuple lists with quote/escape handling.
+
+    Reference: pybabe/format_sql.py:6-82 (state-machine tuple parser).
+    """
+    rows, cur, field = [], [], []
+    i, n = 0, len(values)
+    in_str = False
+    while i < n:
+        c = values[i]
+        if in_str:
+            if c == "\\" and i + 1 < n:
+                field.append(values[i + 1])
+                i += 2
+                continue
+            if c == "'":
+                if i + 1 < n and values[i + 1] == "'":
+                    field.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            else:
+                field.append(c)
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            cur, field = [], []
+        elif c in ",)":
+            tok = "".join(field).strip()
+            if tok or c == ",":
+                cur.append(None if tok.upper() == "NULL" and not tok.startswith("'") else tok)
+            field = []
+            if c == ")":
+                rows.append(cur)
+        i += 1
+    return rows
+
+
+def _pull_sql_dump(spark, filename):
+    """Parse a mysqldump-style `INSERT INTO ... VALUES ...;` file.
+
+    Driver reads + regex-extracts statements, executors get the parsed rows.
+    For large dumps, prefer spark.read.text + the same parser in mapInPandas;
+    dumps in the reference's scope (pybabe/format_sql.py) are small files.
+    """
+    with open(filename, encoding="utf-8", errors="replace") as f:
+        content = f.read()
+    all_rows = []
+    for m in _SQL_INSERT_RE.finditer(content):
+        all_rows.extend(_parse_sql_tuples(m.group("values")))
+    if not all_rows:
+        raise ValueError(f"no INSERT statements found in {filename}")
+    width = max(len(r) for r in all_rows)
+    cols = [f"c{i}" for i in range(width)]
+    norm = [r + [None] * (width - len(r)) for r in all_rows]
+    return spark.createDataFrame(norm, cols)
+
+
+# ---------------------------------------------------------------------------
+# push
+# ---------------------------------------------------------------------------
+
+def push(
+    df: DataFrame,
+    filename: str,
+    *,
+    format: str | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    ignore_if_exists: bool = False,
+    compression: str | None = None,
+    header: bool = True,
+    separator: str | None = None,
+    encoding: str | None = None,
+    single_file: bool = False,
+    **options: str,
+) -> None:
+    """Universal sink (pybabe/base.py:463-567).
+
+    - ``partition_by`` replaces the reference's ``$var`` filename templates
+      (base.py:509-527): one directory per partition value.
+    - ``ignore_if_exists`` → mode('ignore') (base.py:501-507).
+    - compression guessed from extension (``.csv.gz`` → gzip) or passed.
+    - ``single_file=True`` coalesces to 1 output task — only for small
+      exports (the reference always wrote a single local file).
+    """
+    fmt_guess, compress = guess_format(filename)
+    fmt = format or fmt_guess or "parquet"
+    if compression is None and compress in ("gz", "gzip"):
+        compression = "gzip"
+    if ignore_if_exists:
+        mode = "ignore"
+
+    if fmt in ("xlsx", "xls", "html"):
+        _push_driver_side(df, filename, fmt)
+        return
+
+    out = df
+    if INGEST_ID in out.columns:
+        out = out.drop(INGEST_ID)
+    if single_file:
+        out = out.coalesce(1)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt in ("csv", "tsv"):
+        writer = (
+            writer.format("csv")
+            .option("header", str(header).lower())
+            .option("sep", separator or ("\t" if fmt == "tsv" else ","))
+        )
+        if encoding:
+            writer = writer.option("encoding", encoding)
+    elif fmt == "txt":
+        writer = writer.format("text")
+    else:
+        writer = writer.format(fmt)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(filename)
+
+
+def _push_driver_side(df: DataFrame, filename: str, fmt: str, row_limit: int = 1_000_000):
+    """Driver-side sinks for formats with no distributed writer.
+
+    html rendering mirrors pybabe/format_html.py:18-47; excel mirrors
+    pybabe/format_xlsx.py:16-31. Guarded by a row limit because these
+    are driver-local by nature (SURVEY §7.3).
+    """
+    n = df.limit(row_limit + 1).count()
+    if n > row_limit:
+        raise ValueError(f"{fmt} push is driver-side; refusing > {row_limit} rows")
+    pdf = df.toPandas()
+    if fmt == "html":
+        pdf.to_html(filename, index=False)
+    else:
+        pdf.to_excel(filename, index=False)
+
+
+def to_string(df: DataFrame, *, format: str = "csv", row_limit: int = 100_000) -> str:
+    """Render to a CSV string (pybabe/base.py:330-333) — test oracle helper."""
+    pdf = df.limit(row_limit).toPandas()
+    buf = _io.StringIO()
+    pdf.to_csv(buf, index=False)
+    return buf.getvalue()
