@@ -1,0 +1,128 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All hot paths are built-in column expressions (JVM-side, whole-stage
+codegen); no Python UDFs. Every function has a DuckDB-expressible mirror
+(see pybabe_spark/queries_text.py) so the driver's oracle gate covers them.
+
+These extend the reference surface (PyBabe has no text analytics) per the
+project north star; the closest reference analogue is the scalar-enrichment
+family (pybabe/geoip.py, pybabe/user_agent.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small public stopword lexicons per language (common-word heuristic).
+LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "zh": ["的", "一", "是", "不", "了", "人", "我", "在", "有", "他"],
+}
+
+#: Tokenizer pattern shared with the oracle SQL (ASCII classes only so the
+#: regex dialects agree): words OR single non-word non-space symbols.
+TOKEN_PATTERN = "([A-Za-z0-9]+|[^A-Za-z0-9 ])"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace word split."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ", -1)
+
+
+def token_count(text: str) -> Column:
+    """BPE-ish token count: word runs + individual symbols.
+
+    regexp_count stays in codegen; the same pattern runs in DuckDB via
+    len(regexp_extract_all(...)).
+    """
+    return F.regexp_count(F.col(text), F.lit(TOKEN_PATTERN))
+
+
+def word_count(text: str) -> Column:
+    return F.size(words(text))
+
+
+def lang_scores(text: str) -> dict[str, Column]:
+    """Per-language distinct-stopword hit counts."""
+    w = words(text)
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(t) for t in terms])))
+        for lang, terms in LEXICONS.items()
+    }
+
+
+def lang_id(text: str) -> Column:
+    """Heuristic language ID: argmax of stopword hits.
+
+    Deterministic tie-break: first language in alphabetical order reaching
+    the max score; zero hits → 'unknown'. Mirrors exactly onto a SQL CASE
+    chain over GREATEST(...).
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    # build the CASE chain back-to-front so earlier langs win ties
+    expr = F.when(best == F.lit(0), F.lit("unknown"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(out)
+
+
+def quality_score(text: str) -> Column:
+    """Composite quality heuristic in [0, 1].
+
+    - stopword ratio (en lexicon) — fluency proxy (weight .3)
+    - capped length score: min(words/100, 1) (weight .4)
+    - mean word length in the readable 3-8 band → .3 else .1
+
+    Pure double arithmetic over exact integer inputs with a fixed
+    expression tree — bit-identical across engines.
+    """
+    w = words(text)
+    n_words = F.size(w)
+    en = LEXICONS["en"]
+    stop_hits = F.size(F.array_intersect(w, F.array(*[F.lit(t) for t in en])))
+    stop_ratio = stop_hits.cast("double") / n_words.cast("double")
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    # chars excluding the separators, averaged per word
+    avg_wlen = (F.length(F.col(text)) - (n_words - F.lit(1))).cast("double") / n_words.cast("double")
+    wlen_score = F.when((avg_wlen >= 3.0) & (avg_wlen <= 8.0), F.lit(0.3)).otherwise(F.lit(0.1))
+    return stop_ratio * F.lit(0.3) + len_score * F.lit(0.4) + wlen_score
+
+
+def shingles(text: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    0-based array indexing inside the SQL lambda; docs shorter than n
+    shingle to the whole text. Built-ins only — no UDF.
+    """
+    if n == 1:
+        return F.array_distinct(words(text))
+    join_expr = ", ' ', ".join([f"__w[i + {k}]" for k in range(n)])
+    return F.expr(
+        f"array_distinct(CASE WHEN size(split({text}, ' ', -1)) >= {n} THEN "
+        f"transform(sequence(0, size(split({text}, ' ', -1)) - {n}), "
+        f"i -> concat({join_expr})) "
+        f"ELSE array({text}) END)".replace("__w", f"split({text}, ' ', -1)")
+    )
+
+
+def fingerprint(text: str, n: int = 3) -> Column:
+    """Document fingerprint: min md5 over word n-gram shingles.
+
+    A 1-permutation MinHash — stable under word-order-preserving edits at
+    the ends of the doc, cheap (one pass, no shuffle), and expressible in
+    any SQL engine (min over md5 hex strings is a valid MinHash order).
+    """
+    return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
+
+
+def exact_key(text: str) -> Column:
+    """Exact-dedup key: md5 of case/whitespace-normalized text."""
+    norm = F.lower(F.regexp_replace(F.col(text), " +", " "))
+    return F.md5(F.trim(norm))

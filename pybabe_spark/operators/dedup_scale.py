@@ -1,0 +1,174 @@
+"""Large-scale deduplication for training-data pipelines.
+
+Families (all designed for 100 TB: one-pass signatures, shuffle only on
+signature/bucket keys, no driver-side state, no Python in the hot path):
+
+- **exact**: hash-groupBy on a normalized content key.
+- **MinHash + LSH**: shingle → k MinHashes → banded bucket keys →
+  bucket self-join for candidate pairs (the standard banding scheme:
+  P[collide] = 1-(1-j^r)^b for Jaccard j, r rows/band, b bands).
+- **SimHash**: per-token hash bit voting → compact integer signature;
+  near-dups differ in few bits.
+- **n-gram Jaccard**: exact verification — shingle-set self-join; use the
+  LSH candidates as a prefilter at scale.
+
+MinHash order is the lexicographic order of md5 hex strings (any total
+order works for MinHash), which every SQL engine reproduces — this keeps
+the DuckDB oracle exact. The reference has only in-memory whole-row dedup
+(pybabe/dedup.py:5-35); this module is the beyond-reference scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.functions.text import exact_key, shingles
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized content hash: one representative
+    (min id) per content group + the group size.
+
+    Single hash-aggregate shuffle on the md5 key; at 100 TB the map-side
+    partial aggregation collapses most groups before the shuffle.
+    """
+    return (
+        df.select(F.col(id_col), exact_key(text_col).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{k-1}.
+
+    h_j(s) = md5(j || '|' || s); the signature is the per-j minimum over
+    the document's distinct shingles. One explode + one grouped
+    aggregation (k min() aggs — all JVM-side, map-side combinable).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("__shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b that share at least
+    one band bucket. Scale shape: the self-join shuffles on (band,
+    bucket-key) — cardinality ≈ corpus size × bands, never the quadratic
+    pair space; AQE's skew handling splits hot buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature: per-bit weighted vote over token hashes.
+
+    bit_k(token) comes from the k-th bit of the md5 hex digest (nibble
+    k//4, bit k%4); tokens vote +1/-1 per occurrence; the signature sets
+    bit k iff the vote sum is positive. Pure codegen expressions —
+    ``aggregate`` over the token array, no shuffle at all (narrow map).
+    """
+    tokens = f"split({text_col}, ' ', -1)"
+    bit_terms = []
+    for k in range(bits):
+        nib = k // 4 + 1  # 1-based position in the md5 hex string
+        mask = 1 << (k % 4)
+        vote = (
+            f"aggregate({tokens}, 0L, (acc, t) -> acc + "
+            f"CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {nib}, 1)) - 1) "
+            f"& {mask}) > 0 THEN 1 ELSE -1 END)"
+        )
+        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
+    return df.select(
+        F.col(id_col), F.expr(" + ".join(bit_terms)).cast("bigint").alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs: (id_a, id_b, jaccard ≥ threshold).
+
+    Shingle-set self-join: |A∩B| from a join on shingle, |A∪B| from the
+    per-doc set sizes. The join shuffles on shingle — at 100 TB run it on
+    LSH candidates only (``minhash_lsh_pairs`` first, then verify); the
+    full self-join form here is the exact oracle-checkable definition.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out.select("id_a", "id_b", "jaccard")

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`ann_brute_force` — exact cosine top-k: broadcast the (small)
+  query set, stream the corpus once, per-query top-k via window rank.
+  The baseline and the verification oracle.
+- :func:`ann_lsh` — sign-random-projection LSH: deterministic
+  md5-derived hyperplanes bucket the corpus; candidates = same bucket;
+  exact re-rank inside buckets. The scale path: bucket build is a narrow
+  map + one shuffle on bucket id, and each query probes one bucket
+  instead of the full corpus.
+
+Dot products run as ``zip_with``/``aggregate`` codegen expressions over
+double-cast elements — no Python, no UDF. Similarities are surfaced as
+DECIMAL(18,6) so cross-engine float summation-order noise (≈1e-15)
+cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a, b) = dot / sqrt(|a|² · |b|²) as a double column."""
+    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim DECIMAL(18,6)).
+
+    Plan shape: broadcast-nested-loop of the broadcast query set against
+    a single corpus scan (cost |corpus| × |queries| dot products, all
+    codegen), then per-query top-k. Self-matches are excluded. Ties break
+    on neighbor id, so results are fully deterministic.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    sims = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    the first md5 nibble of 'p_d', centered. Reproducible anywhere."""
+    return (
+        f"(CAST(instr('0123456789abcdef', substr(md5('{plane}_{dim}'), 1, 1)) AS DOUBLE)"
+        f" - 8.5)"
+    )
+
+
+def lsh_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^planes-1) for a vector."""
+    bits = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_component(p, d)}"
+            for d in range(dims)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k probing only the query's LSH bucket.
+
+    Recall < 1 by design (candidates limited to one bucket); increase
+    recall with fewer planes (bigger buckets) or multi-probe. Scale
+    shape: corpus bucketed once (narrow map), then an equi-join on
+    bucket id replaces the cross join — shuffle is corpus-sized, and a
+    100 TB corpus can be *stored* pre-bucketed (partitionBy bucket) to
+    skip even that.
+    """
+    bucket = lsh_bucket_expr(vec_col, dims, planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        bucket.alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            bucket.alias("__bucket"),
+        )
+    )
+    sims = (
+        c.join(q, "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim ≥ threshold).
+
+    Exact all-pairs form (the oracle-checkable definition). At scale,
+    bucket with :func:`lsh_bucket_expr` first and compare within buckets —
+    same contract, corpus-linear shuffle.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

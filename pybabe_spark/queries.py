@@ -422,8 +422,15 @@ def q_window_rolling(spark, sf_dir):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    _load_extensions()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def _load_extensions() -> None:
+    """Pull in the extension query modules (registered via @register)."""
+    import pybabe_spark.queries_ml  # noqa: F401

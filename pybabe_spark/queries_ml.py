@@ -1,0 +1,315 @@
+"""Training-data-pipeline queries: text analysis, dedup family, similarity.
+
+Registered into the same driver-contract registry as the relational
+queries. Design notes for oracle-hash determinism:
+
+- All text hashing is md5 (hex strings) — identical in Spark and DuckDB;
+  MinHash uses lexicographic order over md5 hex, valid in any engine.
+- Cosine similarities are cast to DECIMAL(18,6); cross-engine float
+  summation-order noise (~1e-15) cannot flip a 1e-6 rounding.
+- Exact quadratic ops (all-pairs jaccard / neardup) are verified on fixed
+  id-bounded subsets so the oracle cost stays flat across scale factors;
+  the *operators* themselves carry the LSH scale path, which is exercised
+  at full scale by the shingle-LSH and ANN-LSH queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.functions import text as T
+from pybabe_spark.operators.dedup_scale import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from pybabe_spark.operators.similarity import (
+    ann_brute_force,
+    ann_lsh,
+    embedding_neardup_pairs,
+)
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LEX_SQL = {
+    lang: "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    for lang, terms in T.LEXICONS.items()
+}
+
+_SCORE_SQL = {
+    lang: f"len(list_intersect(string_split(text, ' '), {lex}))"
+    for lang, lex in _LEX_SQL.items()
+}
+
+_LANG_CASE = (
+    "CASE WHEN GREATEST("
+    + ", ".join(_SCORE_SQL[l] for l in sorted(_SCORE_SQL))
+    + ") = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN {_SCORE_SQL[l]} = GREATEST("
+        + ", ".join(_SCORE_SQL[x] for x in sorted(_SCORE_SQL))
+        + f") THEN '{l}'"
+        for l in sorted(_SCORE_SQL)
+    )
+    + " ELSE 'unknown' END"
+)
+
+_QUALITY_SQL = (
+    "CAST("
+    f"(CAST({_SCORE_SQL['en']} AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 "
+    "+ LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4 "
+    "+ (CASE WHEN (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) "
+    "              / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 8.0 "
+    "        THEN 0.3 ELSE 0.1 END)"
+    " AS DECIMAL(18,6))"
+)
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{T.TOKEN_PATTERN}', 1)) AS n_tokens,
+           {_LANG_CASE} AS lang_pred,
+           CAST({_QUALITY_SQL} AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.word_count("text").alias("n_words"),
+        T.token_count("text").alias("n_tokens"),
+        T.lang_id("text").alias("lang_pred"),
+        T.quality_score("text").cast("decimal(18,6)").cast("double").alias("quality"),
+    )
+
+
+_FP_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
+    i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             || ' ' || string_split(text, ' ')[i+2])))
+ELSE md5(text) END
+"""
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           {_FP_SQL} AS fp,
+           md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS content_key
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text", 3).alias("fp"),
+        T.exact_key("text").alias("content_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS content_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "doc_id", "text")
+
+
+def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents {subset}
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_sql(16, 4, "WHERE doc_id < 300"))
+def q_minhash_lsh(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=1)
+
+
+def _minhash_shingle3_sql(num_hashes: int, bands: int) -> str:
+    """3-gram-shingle variant over the FULL corpus (the scale path)."""
+    rows = num_hashes // bands
+    mins = ", ".join(f"min(md5('{j}|' || s)) AS mh{j}" for j in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_FP_SHINGLES})) AS s FROM documents
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    """
+
+
+_FP_SHINGLES = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_transform(range(1, len(string_split(text, ' ')) - 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2])
+ELSE [text] END
+"""
+
+
+@register("minhash_lsh_shingle3", _minhash_shingle3_sql(16, 4))
+def q_minhash_lsh_shingle3(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3)
+
+
+_SIMHASH_SQL_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
+    f"t -> CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {k // 4 + 1}, 1)) - 1) "
+    f"& {1 << (k % 4)}) > 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << k} ELSE 0 END)"
+    for k in range(16)
+)
+
+
+@register(
+    "simhash_docs",
+    f"SELECT doc_id, CAST({_SIMHASH_SQL_BITS} AS BIGINT) AS simhash FROM documents",
+)
+def q_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "jaccard_pairs_words",
+    """
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST((sa.n + sb.n - c) AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE CAST(c AS DOUBLE) / CAST((sa.n + sb.n - c) AS DOUBLE) >= 0.8
+    """,
+)
+def q_jaccard_words(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.8, shingle_n=1)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / sqrt({na} * {nb}))"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             CAST({_cos_sql('qv', 'cv')} AS DECIMAL(18,6)) AS sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    ) t WHERE rk <= 10
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_brute_force(emb, queries, k=10)
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(CAST({_cos_sql('a.embedding', 'b.embedding')} AS DECIMAL(18,6)) AS DOUBLE) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST({_cos_sql('a.embedding', 'b.embedding')} AS DECIMAL(18,6)) >= 0.45
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+# LSH ANN: genuinely approximate — register without an oracle (the driver
+# records a rows-only check); the exact top-k above is the oracle-checked
+# baseline for the same surface.
+@register("ann_lsh_topk", None)
+def q_ann_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh(emb, queries, k=10, dims=64, planes=4)

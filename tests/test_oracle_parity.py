@@ -4,9 +4,10 @@ with DuckDB as the oracle instead of inline strings)."""
 
 import pytest
 
-from pybabe_spark.queries import REGISTRY
+from pybabe_spark.queries import REGISTRY, all_queries
 from tests.compare import assert_frames_match
 
+all_queries()  # load extension query modules into REGISTRY
 ORACLE_CASES = [(n, fn, sql) for n, (fn, sql) in REGISTRY.items() if sql]
 
 
