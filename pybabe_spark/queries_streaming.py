@@ -1,0 +1,76 @@
+"""Event-time windowing queries (batch form of the streaming operators —
+Spark's unified batch/stream semantics make the batch plan the oracle-
+checkable definition; tests/test_streaming.py runs the same operators as
+real streams and asserts stream == batch).
+
+Window starts are surfaced as strings: DuckDB's time_bucket and Spark's
+F.window agree on epoch-aligned boundaries, and string rendering avoids
+timestamp-unit differences between the engines' pandas conversions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+from pybabe_spark.streaming.ops import sliding_counts, tumbling_counts
+
+_TS = "CAST(ts AS TIMESTAMP)"  # DuckDB: ns → µs
+
+
+@register(
+    "stream_tumbling_hour",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, {_TS}), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = tumbling_counts(ev, "ts", "1 hour", value_col="value")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "value_sum",
+    )
+
+
+@register(
+    "stream_sliding_hour",
+    f"""
+    WITH b AS (
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, {_TS}), '%Y-%m-%d %H:%M:%S')
+               AS window_start
+      FROM events
+      UNION ALL
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, {_TS} - INTERVAL 30 MINUTE)
+                      + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events FROM b GROUP BY 1
+    """,
+)
+def q_sliding(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = sliding_counts(ev, "ts", "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup_users",
+    "SELECT user_id, COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id",
+)
+def q_stream_dedup(spark, sf_dir):
+    from pybabe_spark.streaming.ops import dedup_within_watermark
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    distinct = dedup_within_watermark(ev, ["user_id", "event_type"], "ts")
+    return distinct.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
