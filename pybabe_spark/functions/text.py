@@ -95,6 +95,27 @@ def quality_score(text: str) -> Column:
     return stop_ratio * F.lit(0.3) + len_score * F.lit(0.4) + wlen_score
 
 
+def shingle_array(words_col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a PRE-SPLIT words array column.
+
+    Splitting once into a projected column and shingling from it avoids
+    re-evaluating ``split(text)`` inside the lambda per element (HOF
+    bodies are interpreted; common subexpressions are not hoisted out of
+    them). Docs shorter than n shingle to the rejoined text.
+    """
+    if n == 1:
+        return F.array_distinct(words_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words_col, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(
+        F.when(
+            F.size(words_col) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(words_col) - n), gram),
+        ).otherwise(F.array(F.concat_ws(" ", words_col)))
+    )
+
+
 def shingles(text: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 

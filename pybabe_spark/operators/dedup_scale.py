@@ -23,7 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pybabe_spark.functions.text import exact_key, shingles
+from pybabe_spark.functions.text import exact_key, shingle_array, shingles
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows: split once into a column, then explode."""
+    ws = df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__w"))
+    return ws.select(
+        F.col(id_col), F.explode(shingle_array(F.col("__w"), n)).alias("__shingle")
+    )
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,6 +51,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (a_j odd, b_j spread)."""
+    return [(2 * j + 1, j * 12345 + 7) for j in range(num_hashes)]
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -52,16 +68,20 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature columns mh0..mh{k-1}.
 
-    h_j(s) = md5(j || '|' || s); the signature is the per-j minimum over
-    the document's distinct shingles. One explode + one grouped
-    aggregation (k min() aggs — all JVM-side, map-side combinable).
+    One md5 per shingle → 60-bit integer base, then k affine hashes
+    h_j(s) = (a_j·base + b_j) mod (2³¹−1) — the classic universal-hash
+    family, so the expensive digest runs once, not k times. One explode +
+    one grouped aggregation (k min() aggs, map-side combinable). Exact
+    integer arithmetic: any SQL engine reproduces it bit-for-bit.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__shingle")
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    base = F.expr(
+        f"cast(conv(substr(md5(__shingle), 1, 15), 16, 10) as bigint) % {MINHASH_PRIME}"
     )
+    sh = sh.withColumn("__base", base)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("__shingle")))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -87,7 +107,11 @@ def minhash_lsh_pairs(
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(
-                "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )).alias("bucket"),
         )
         for b in range(bands)
@@ -150,8 +174,8 @@ def jaccard_pairs(
     LSH candidates only (``minhash_lsh_pairs`` first, then verify); the
     full self-join form here is the exact oracle-checkable definition.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_n)).alias("s")
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("doc"), F.col("__shingle").alias("s")
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

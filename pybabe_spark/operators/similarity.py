@@ -39,6 +39,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
 
 
+def _with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Pre-normalize a vector column to unit length, ONCE per row.
+
+    Pairwise cosine then reduces to a single dot product per pair —
+    Spark's higher-order functions are interpreted per element, so
+    cutting three array passes per pair to one is a ~3× saving on the
+    quadratic stage (corpus-linear work moves to the cheap side).
+    """
+    norm = F.sqrt(_norm2(F.col(vec_col)))
+    return df.withColumn("__norm", norm).withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")),
+    ).drop("__norm")
+
+
 def ann_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,18 +69,22 @@ def ann_brute_force(
     on neighbor id, so results are fully deterministic.
     """
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        )
+        _with_normalized(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "__qv", "__qvec",
+        ).select("query_id", "__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = _with_normalized(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv", "__cvec",
+    ).select("neighbor_id", "__cvec")
     sims = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+            _dot(F.col("__qvec"), F.col("__cvec"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),
@@ -121,17 +140,23 @@ def ann_lsh(
     skip even that.
     """
     bucket = lsh_bucket_expr(vec_col, dims, planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        bucket.alias("__bucket"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
+    c = _with_normalized(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
             bucket.alias("__bucket"),
-        )
+        ),
+        "__cv", "__cvec",
+    ).select("neighbor_id", "__cvec", "__bucket")
+    q = F.broadcast(
+        _with_normalized(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                bucket.alias("__bucket"),
+            ),
+            "__qv", "__qvec",
+        ).select("query_id", "__qvec", "__bucket")
     )
     sims = (
         c.join(q, "__bucket")
@@ -139,7 +164,7 @@ def ann_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+            _dot(F.col("__qvec"), F.col("__cvec"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),
@@ -167,14 +192,18 @@ def embedding_neardup_pairs(
     bucket with :func:`lsh_bucket_expr` first and compare within buckets —
     same contract, corpus-linear shuffle.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    normed = _with_normalized(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        "__v", "__vn",
+    ).select("__id", "__vn")
+    a = normed.select(F.col("__id").alias("id_a"), F.col("__vn").alias("__va"))
+    b = normed.select(F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("__va"), F.col("__vb"))
+            _dot(F.col("__va"), F.col("__vb"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),

@@ -139,13 +139,16 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
+    from pybabe_spark.operators.dedup_scale import MINHASH_PRIME, minhash_coeffs
+
     rows = num_hashes // bands
     mins = ", ".join(
-        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(num_hashes)
+        f"min(({a} * base + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
@@ -154,7 +157,12 @@ def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
       FROM documents {subset}
     ),
-    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    based AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS base
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id),
     buckets AS ({band_selects})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a
@@ -171,11 +179,16 @@ def q_minhash_lsh(spark, sf_dir):
 
 def _minhash_shingle3_sql(num_hashes: int, bands: int) -> str:
     """3-gram-shingle variant over the FULL corpus (the scale path)."""
+    from pybabe_spark.operators.dedup_scale import MINHASH_PRIME, minhash_coeffs
+
     rows = num_hashes // bands
-    mins = ", ".join(f"min(md5('{j}|' || s)) AS mh{j}" for j in range(num_hashes))
+    mins = ", ".join(
+        f"min(({a} * base + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
@@ -183,7 +196,12 @@ def _minhash_shingle3_sql(num_hashes: int, bands: int) -> str:
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct({_FP_SHINGLES})) AS s FROM documents
     ),
-    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    based AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS base
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id),
     buckets AS ({band_selects})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a
@@ -254,27 +272,27 @@ def q_jaccard_words(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_DOT = (
-    "list_sum(list_transform(range(1, 65), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+#: unit-normalize: matches operators.similarity._with_normalized
+_NORMED = (
+    "list_transform({v}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
 )
 
-
-def _cos_sql(a: str, b: str) -> str:
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
-    return f"({dot} / sqrt({na} * {nb}))"
+_DOT_N = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
 
 @register(
     "ann_cosine_topk",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id,
+                      {_NORMED.format(v='embedding')} AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id,
+                 {_NORMED.format(v='embedding')} AS cv
+          FROM embeddings),
     sims AS (
       SELECT query_id, neighbor_id,
-             CAST({_cos_sql('qv', 'cv')} AS DECIMAL(18,6)) AS sim
+             CAST({_DOT_N.format(a='qv', b='cv')} AS DECIMAL(18,6)) AS sim
       FROM c, q WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
@@ -293,11 +311,13 @@ def q_ann_topk(spark, sf_dir):
 @register(
     "embedding_neardup",
     f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(CAST({_cos_sql('a.embedding', 'b.embedding')} AS DECIMAL(18,6)) AS DOUBLE) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE CAST({_cos_sql('a.embedding', 'b.embedding')} AS DECIMAL(18,6)) >= 0.45
+    WITH e AS (SELECT vec_id, {_NORMED.format(v='embedding')} AS vn
+               FROM embeddings WHERE vec_id < 500)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(CAST({_DOT_N.format(a='a.vn', b='b.vn')} AS DECIMAL(18,6)) AS DOUBLE) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) t WHERE sim >= 0.45
     """,
 )
 def q_embedding_neardup(spark, sf_dir):

@@ -1,0 +1,57 @@
+"""Plan-quality gates: the physical plans the engine should produce at
+scale — broadcasts where intended, filter pushdown and column pruning
+reaching the parquet scan, codegen on the hot path. Failing these means
+a silent perf regression even if results stay correct."""
+
+from pybabe_spark.queries import REGISTRY, all_queries
+
+all_queries()
+
+
+def _plan(spark, name, sf_dir):
+    df = REGISTRY[name][0](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "flagship_revenue_by_nation", sf_dir)
+    # customer and nation are broadcast; no sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_flagship_pushes_shipdate_filter(spark, sf_dir):
+    plan = _plan(spark, "flagship_revenue_by_nation", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_filter_project_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "filter_project", sf_dir)
+    # ReadSchema must carry only the 4 projected columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+    assert read_schema.count(":") <= 5, read_schema
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "join_inner_lookup", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_group_uses_hash_aggregate_with_partial(spark, sf_dir):
+    plan = _plan(spark, "group_pricing_summary", sf_dir)
+    # map-side partial aggregation before a single exchange
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "ann_cosine_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
