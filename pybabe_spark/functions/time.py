@@ -34,8 +34,9 @@ def lenient_timestamp(col: Column | str) -> Column:
     norm = F.regexp_replace(F.trim(c), "[/\\-,]", " ")
     norm = F.regexp_replace(norm, " +", " ")
     attempts = [F.try_to_timestamp(norm, F.lit(fmt)) for fmt in _DATETIME_FORMATS]
-    # plain cast catches ISO 'yyyy-MM-ddTHH:mm:ss' style before normalization
-    attempts.append(F.col(col).cast("timestamp") if isinstance(col, str) else c.cast("timestamp"))
+    # try_cast catches ISO 'yyyy-MM-ddTHH:mm:ss' style before normalization
+    # (plain cast would throw under ANSI mode on unparseable input)
+    attempts.append(c.try_cast("timestamp"))
     return F.coalesce(*attempts)
 
 

@@ -1,0 +1,150 @@
+"""Engine infrastructure: result memoization, log tap, mail sink,
+primary-key detection.
+
+Reference: memoize (pybabe/base.py:177-253, pickle-file cache keyed by
+hash of args), log (pybabe/log.py:16-39), mail (pybabe/mail.py:16-90),
+primary_key_detect (pybabe/types.py:52-87).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import sys
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger("pybabe_spark")
+
+
+# ---------------------------------------------------------------------------
+# memoize: cross-session parquet result cache
+# ---------------------------------------------------------------------------
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Stable hash of the analyzed logical plan (schema + operators +
+    literals). The Spark analogue of hash(doc + pickle(args))
+    (pybabe/base.py:186-192)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.sha256(plan.encode()).hexdigest()[:24]
+
+
+def memoize(
+    df: DataFrame,
+    cache_dir: str = "/tmp/pybabe_spark_cache",
+    refresh: bool = False,
+) -> DataFrame:
+    """Write-through parquet cache keyed by the logical-plan fingerprint.
+
+    First call computes and writes; later calls (any session) read the
+    parquet back — the scan replaces the whole upstream plan. Unlike
+    ``df.persist()`` this survives the session, like the reference's
+    pickle files. Cache location should be shared storage on a cluster.
+    """
+    key = _plan_fingerprint(df)
+    path = os.path.join(cache_dir, key)
+    marker = os.path.join(path, "_SUCCESS")
+    if refresh or not os.path.exists(marker):
+        df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def tee(df: DataFrame) -> DataFrame:
+    """Fan-out (pybabe/base.py:196-202): cache once, reuse N times."""
+    return df.cache()
+
+
+# ---------------------------------------------------------------------------
+# log: pass-through tap
+# ---------------------------------------------------------------------------
+
+def log_stream(
+    df: DataFrame,
+    name: str = "pybabe_log",
+    logfile: str | None = None,
+    sample_rows: int = 10,
+) -> DataFrame:
+    """Pass-through tap (pybabe/log.py:16-39).
+
+    Attaches an ``observe`` row counter (zero-cost, reported with the
+    action) and, if ``logfile`` is given, eagerly writes a small sample
+    CSV there (the reference streamed every row to stderr/file; at scale
+    a full side-write belongs in an explicit ``push``).
+    """
+    obs = Observation(name)
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out._pybabe_log_observation = obs  # type: ignore[attr-defined]
+    if logfile:
+        pdf = df.limit(sample_rows).toPandas()
+        pdf.to_csv(logfile, index=False)
+        log.info("log_stream %s: wrote %d sample rows to %s", name, len(pdf), logfile)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mail: terminal sink
+# ---------------------------------------------------------------------------
+
+def mail(
+    df: DataFrame,
+    subject: str,
+    recipients: list[str],
+    sender: str = "pybabe_spark@localhost",
+    in_body: bool = True,
+    in_body_row_limit: int = 20,
+    attach_csv: bool = True,
+    smtp_host: str = "localhost",
+    smtp_port: int = 25,
+    transport=None,
+) -> None:
+    """Mail a (small) result: HTML body + CSV attachment
+    (pybabe/mail.py:16-90). Driver-side by nature; guarded by the body
+    row limit. ``transport`` injects a callable(msg) for testing; the
+    default sends via smtplib.
+    """
+    import smtplib
+    from email.mime.base import MIMEBase
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    pdf = df.limit(max(in_body_row_limit, 1000)).toPandas()
+    msg = MIMEMultipart()
+    msg["Subject"] = subject
+    msg["From"] = sender
+    msg["To"] = ", ".join(recipients)
+    if in_body:
+        msg.attach(MIMEText(pdf.head(in_body_row_limit).to_html(index=False), "html"))
+    if attach_csv:
+        part = MIMEBase("text", "csv")
+        part.set_payload(pdf.to_csv(index=False))
+        part.add_header("Content-Disposition", "attachment", filename="result.csv")
+        msg.attach(part)
+    if transport is not None:
+        transport(msg)
+        return
+    with smtplib.SMTP(smtp_host, smtp_port) as s:  # pragma: no cover - needs SMTP
+        s.sendmail(sender, recipients, msg.as_string())
+
+
+# ---------------------------------------------------------------------------
+# primary key detection
+# ---------------------------------------------------------------------------
+
+def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None:
+    """Find a column whose values are unique (pybabe/types.py:52-87).
+
+    One aggregation computing count + approx/exact distinct per column —
+    no per-column scans, no collect beyond a single row. Returns the
+    first unique column in schema order (the reference's behavior), or
+    None.
+    """
+    cols = df.columns[:max_cols] if max_cols else df.columns
+    total = F.count(F.lit(1)).alias("__total")
+    aggs = [total] + [F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in cols]
+    row = df.agg(*aggs).collect()[0].asDict()
+    for c in cols:
+        if row[f"__d_{c}"] == row["__total"]:
+            return c
+    return None

@@ -81,6 +81,13 @@ def join(
         dim = dim.withColumnRenamed(c, f"{c}_joined")
     build = F.broadcast(dim) if broadcast_build else dim
 
+    if on_error == ON_ERROR_WARN:
+        # observe probe cardinality pre-join; dropped = probe_rows − output
+        # rows, readable from the Observation after any action — a metric,
+        # not an extra job (reference logs each dropped row, join.py:38-40).
+        obs = Observation("join_misses")
+        probe = probe.observe(obs, F.count(F.lit(1)).alias("probe_rows"))
+
     cond = probe[key] == build[jk]
     how = "left" if on_error == ON_ERROR_NONE else "inner"
     joined = probe.join(build, cond, how)
@@ -88,14 +95,6 @@ def join(
     joined = joined.drop(build[jk])
 
     if on_error == ON_ERROR_WARN:
-        obs = Observation("join_misses")
-        observed = probe.observe(
-            obs,
-            F.count(F.lit(1)).alias("probe_rows"),
-        )
-        joined = observed.join(build, observed[key] == build[jk], "inner").drop(build[jk])
-        # count of dropped rows = probe_rows - joined rows; exposed lazily via
-        # the Observation once an action runs. Cheap: no extra job.
         joined._pybabe_join_observation = obs  # type: ignore[attr-defined]
     elif on_error == ON_ERROR_FAIL:
         # fail if any probe key has no match: left_anti probe is non-empty

@@ -242,6 +242,8 @@ def _parse_sql_tuples(values: str) -> list[list]:
     rows, cur, field = [], [], []
     i, n = 0, len(values)
     in_str = False
+    was_quoted = False
+    in_tuple = False
     while i < n:
         c = values[i]
         if in_str:
@@ -259,15 +261,21 @@ def _parse_sql_tuples(values: str) -> list[list]:
                 field.append(c)
         elif c == "'":
             in_str = True
+            was_quoted = True
         elif c == "(":
             cur, field = [], []
-        elif c in ",)":
+            was_quoted = False
+            in_tuple = True
+        elif c in ",)" and in_tuple:
             tok = "".join(field).strip()
-            if tok or c == ",":
-                cur.append(None if tok.upper() == "NULL" and not tok.startswith("'") else tok)
+            cur.append(None if tok.upper() == "NULL" and not was_quoted else tok)
             field = []
+            was_quoted = False
             if c == ")":
                 rows.append(cur)
+                in_tuple = False
+        elif in_tuple and not c.isspace():
+            field.append(c)
         i += 1
     return rows
 

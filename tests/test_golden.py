@@ -1,0 +1,148 @@
+"""Golden-output operator tests in the reference's own style (SURVEY §5:
+tiny inline CSV → pipeline → expected output), driven through the Babe
+facade so the fluent surface is covered end-to-end."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.plans.facade import Babe
+
+CSV = "a,b,c\n1,2,x\n4,5,y\n7,8,x\n1,2,x"
+
+
+@pytest.fixture()
+def b(spark):
+    return Babe.pull(spark, string=CSV)
+
+
+def test_wordcount_shape(spark):
+    # mirrors examples/wordcount.py:7-11: pull → flatMap → group → top-k
+    text = "the quick fox\nthe lazy dog\nthe end"
+    out = (
+        Babe.pull(spark, string=text, format="txt")
+        .split("text", " ")
+        .groupBy("text", {"n": ("count", "text")})
+        .maxN("n", 1)
+        .to_list()
+    )
+    assert out == [("the", 3)]
+
+
+def test_filter_values_and_columns(b):
+    out = b.filter_values(c="x").filter_columns(keep_fields=["a", "b"]).to_list()
+    assert sorted(out) == [(1, 2), (1, 2), (7, 8)]
+
+
+def test_group_sum(b):
+    # tests/test_group.py:6-10 analogue
+    out = b.groupBy("c", {"total": ("sum", "a")}).to_list()
+    assert sorted(out) == [("x", 9), ("y", 4)]
+
+
+def test_join_left_and_inner(spark):
+    # tests/test_join.py:13-21 analogue
+    probe = Babe.pull(spark, string="k,v\n1,a\n2,b\n3,c")
+    dim = Babe.pull(spark, string="k2,name\n1,one\n2,two")
+    inner = probe.join(dim, key="k", join_key="k2", on_error="SKIP").to_list()
+    assert sorted(inner) == [(1, "a", "one"), (2, "b", "two")]
+    left = probe.join(dim, key="k", join_key="k2", on_error="NONE").to_list()
+    assert sorted(left, key=str) == [(1, "a", "one"), (2, "b", "two"), (3, "c", None)]
+
+
+def test_join_fail_raises(spark):
+    probe = Babe.pull(spark, string="k,v\n1,a\n3,c")
+    dim = Babe.pull(spark, string="k2,name\n1,one")
+    with pytest.raises(KeyError):
+        probe.join(dim, key="k", join_key="k2", on_error="FAIL")
+
+
+def test_join_build_side_dedup_never_duplicates(spark):
+    # build side keeps ONE row per key (pybabe/join.py:14-16)
+    probe = Babe.pull(spark, string="k,v\n1,a")
+    dim = Babe.pull(spark, string="k2,name\n1,first\n1,second")
+    out = probe.join(dim, key="k", join_key="k2", on_error="SKIP").to_list()
+    assert len(out) == 1
+
+
+def test_dedup_variants(b):
+    # tests/test_transform.py:138-163 analogue
+    assert len(b.dedup().to_list()) == 3
+    assert len(b.dedup(fields=["c"]).to_list()) == 2
+
+
+def test_pivot_golden(spark):
+    # pivot_tests.py:9-23 analogue: f-v column naming
+    csv = "grp,piv,val\ng1,p1,10\ng1,p2,20\ng2,p1,30"
+    out = Babe.pull(spark, string=csv).pivot("piv", ["grp"], values=["p1", "p2"], agg="max")
+    assert out.df.columns == ["grp", "val-p1", "val-p2"]
+    rows = dict((r[0], (r[1], r[2])) for r in out.to_list())
+    assert rows == {"g1": (10, 20), "g2": (30, None)}
+
+
+def test_unpivot_golden(spark):
+    csv = "id,x,y\n1,10,20"
+    out = Babe.pull(spark, string=csv).unpivot(["id"], "name", "value").to_list()
+    assert sorted(out) == [(1, "x", 10), (1, "y", 20)]
+
+
+def test_rolling_window_sum(spark):
+    # tests/test_transform.py:130-136 analogue: 3-row trailing sum
+    csv = "i,v\n1,1\n2,2\n3,3\n4,4\n5,5"
+    out = (
+        Babe.pull(spark, string=csv)
+        .windowMap(3, "sum", "v", order_by="i")
+        .df.select("i", "window_value")
+        .collect()
+    )
+    assert {r["i"]: r["window_value"] for r in out} == {1: 1, 2: 3, 3: 6, 4: 9, 5: 12}
+
+
+def test_sort_10k(spark):
+    # tests/test_sort.py:6-22 analogue (Spark sort is always external)
+    df = spark.range(10001).select(
+        (F.col("id") * 2654435761 % 10007).alias("k")
+    )
+    vals = [r["k"] for r in Babe.from_df(df).sort("k").df.collect()]
+    assert vals == sorted(vals) and len(vals) == 10001
+
+
+def test_skip_and_head(spark):
+    csv = "i,v\n" + "\n".join(f"{i},{i * 10}" for i in range(1, 11))
+    b = Babe.pull(spark, string=csv)
+    assert len(b.head(3).to_list()) == 3
+    kept = b.skip(4, order_by="i").to_list()
+    assert sorted(r[0] for r in kept) == [5, 6, 7, 8, 9, 10]
+
+
+def test_push_roundtrip_partitioned(spark, tmp_path):
+    # partitioned push ≈ filename templates (pybabe/base.py:509-527)
+    csv = "part_key,v\na,1\na,2\nb,3"
+    out_dir = os.path.join(str(tmp_path), "out.parquet")
+    Babe.pull(spark, string=csv).push(out_dir, partition_by=["part_key"])
+    assert sorted(os.listdir(out_dir) + [""])[-2:] == ["part_key=a", "part_key=b"]
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3
+
+
+def test_replace_and_split(spark):
+    out = (
+        Babe.pull(spark, string="id,tags\n1,a;b;c")
+        .split("tags", ";")
+        .to_list()
+    )
+    assert sorted(out) == [(1, "a"), (1, "b"), (1, "c")]
+
+
+def test_insert_rows_before(spark):
+    out = Babe.pull(spark, string="a,b\n1,x").insert_rows([(9, "z")], before=True).to_list()
+    assert sorted(out) == [(1, "x"), (9, "z")]
+
+
+def test_transpose_golden(spark):
+    out = Babe.pull(spark, string="k,v1,v2\nr1,10,20\nr2,30,40").transpose()
+    rows = out.to_list()
+    assert out.df.columns == ["field", "r1", "r2"]
+    assert sorted(rows) == [("v1", "10", "30"), ("v2", "20", "40")]

@@ -1,0 +1,121 @@
+"""Infra operators: memoize cache, log tap, mail transport, primary-key
+detect, typedetect, parse_time policies, pull format dispatch."""
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.functions.time import parse_time, typedetect
+from pybabe_spark.operators.infra import (
+    log_stream,
+    mail,
+    memoize,
+    primary_key_detect,
+)
+from pybabe_spark.sources.io import guess_format, pull
+
+
+def test_guess_format():
+    assert guess_format("x.csv") == ("csv", None)
+    assert guess_format("x.csv.gz") == ("csv", "gz")
+    assert guess_format("x.tsv") == ("tsv", None)
+    assert guess_format("data.jsonl") == ("json", None)
+    assert guess_format("noext") == (None, None)
+
+
+def test_memoize_roundtrip(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cache = str(tmp_path / "cache")
+    first = memoize(df, cache_dir=cache)
+    assert first.count() == 100
+    # cached parquet exists and is re-read (plan replaced by scan)
+    assert len(os.listdir(cache)) == 1
+    again = memoize(df, cache_dir=cache)
+    assert "Scan parquet" in again._jdf.queryExecution().executedPlan().toString()
+    assert again.count() == 100
+
+
+def test_log_stream_counts(spark, tmp_path):
+    df = spark.range(50)
+    logfile = str(tmp_path / "tap.csv")
+    tapped = log_stream(df, logfile=logfile)
+    assert tapped.count() == 50
+    obs = tapped._pybabe_log_observation
+    assert obs.get["rows"] == 50
+    assert os.path.exists(logfile)
+
+
+def test_mail_transport(spark):
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    sent = []
+    mail(df, "test subject", ["dev@example.com"], transport=sent.append)
+    assert len(sent) == 1
+    msg = sent[0]
+    assert msg["Subject"] == "test subject"
+    parts = msg.get_payload()
+    assert len(parts) == 2  # html body + csv attachment
+
+
+def test_primary_key_detect(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    assert primary_key_detect(df) == "c_custkey"
+    no_pk = df.select("c_mktsegment")
+    assert primary_key_detect(no_pk) is None
+
+
+def test_typedetect_mixed(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "2020-01-02", "abc"), ("2", "2,25", "2021-03-04", "def")],
+        "i string, f string, d string, s string",
+    )
+    out = typedetect(df)
+    dt = dict(out.dtypes)
+    assert dt["i"] == "bigint"
+    assert dt["d"] == "date"
+    assert dt["s"] == "string"
+
+
+def test_parse_time_policies(spark):
+    df = spark.createDataFrame(
+        [("2020/01/02",), ("garbage",), (None,)], "t string"
+    )
+    kept = parse_time(df, "t", output_field="ts", on_error="NONE")
+    assert kept.filter(F.col("ts").isNotNull()).count() == 1
+    skipped = parse_time(df, "t", output_field="ts", on_error="SKIP")
+    assert skipped.count() == 1
+    with pytest.raises(ValueError):
+        parse_time(df, "t", output_field="ts", on_error="FAIL")
+
+
+def test_parse_time_timezone(spark):
+    df = spark.createDataFrame([("2020-06-01 12:00:00",)], "t string")
+    out = parse_time(
+        df, "t", input_timezone="UTC", output_timezone="America/New_York",
+        output_field="ts", output_hour="h",
+    )
+    assert out.collect()[0]["h"] == 8  # EDT = UTC-4
+
+
+def test_pull_zip_and_txt(spark, tmp_path):
+    zpath = str(tmp_path / "data.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("inner.csv", "a,b\n1,2\n3,4")
+    df = pull(spark, zpath, format="csv")
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 2), (3, 4)]
+
+    tpath = str(tmp_path / "lines.txt")
+    with open(tpath, "w") as f:
+        f.write("hello\nworld\n")
+    tdf = pull(spark, tpath)
+    assert tdf.columns == ["text"] and tdf.count() == 2
+
+
+def test_pull_sql_dump(spark, tmp_path):
+    spath = str(tmp_path / "dump.sql")
+    with open(spath, "w") as f:
+        f.write("INSERT INTO `t` VALUES (1,'a'),(2,'b''s'),(3,NULL);\n")
+    df = pull(spark, spath)
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    assert ("1", "a") in rows and ("2", "b's") in rows
