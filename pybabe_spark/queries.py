@@ -433,6 +433,7 @@ def all_oracles() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Pull in the extension query modules (registered via @register)."""
+    import pybabe_spark.queries_analytics  # noqa: F401
     import pybabe_spark.queries_enrich  # noqa: F401
     import pybabe_spark.queries_ml  # noqa: F401
     import pybabe_spark.queries_streaming  # noqa: F401

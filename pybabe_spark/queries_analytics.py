@@ -1,0 +1,194 @@
+"""Analytical workload queries: multi-join aggregations in TPC-H style
+plus the set-operation surface. These are the bench's "real pipeline"
+shapes — several joins, selective filters, grouped decimal aggregation,
+top-k — exercising the composition of the engine's operators rather than
+one operator in isolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+@register(
+    "q3_unshipped_revenue",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_unshipped_revenue(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_supplier_volume(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    dims = (
+        sup.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "distinct_suppliers_per_nation",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           CAST(MAX(s.s_acctbal) AS DOUBLE) AS max_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.max("s_acctbal").cast("double").alias("max_balance"),
+        )
+    )
+
+
+@register(
+    "filter_in_between",
+    """
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#3') AND p_size BETWEEN 10 AND 30
+    """,
+)
+def q_filter_in_between(spark, sf_dir):
+    part = read_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#3") & F.col("p_size").between(10, 30)
+    ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+
+@register(
+    "bottomk_min_n",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 15
+    """,
+)
+def q_bottomk(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return cust.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()).limit(15)
+
+
+@register(
+    "group_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_group_by_year(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "setop_except",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_setop_except(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers)
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_setop_intersect(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return a.intersect(b)
