@@ -1,0 +1,57 @@
+"""Skew-aware join: explicit key salting for hot keys.
+
+AQE's skew-join split (on by default in the engine session) handles most
+skew at runtime; explicit salting remains the tool when one build-side
+key dominates so heavily that even split partitions overwhelm a task, or
+when AQE is unavailable (streaming joins). Beyond-reference scale
+machinery — PyBabe's single process never met a shuffle.
+
+Scheme: probe rows get a random-ish salt in [0, salt) derived from a
+cheap deterministic hash of a tiebreak column (keeps runs reproducible);
+the build side is exploded ×salt so every (key, salt) bucket finds its
+match. Build-side inflation is the price — use for broadcast-too-big,
+skewed-shuffle joins only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe's hot keys spread across ``salt`` buckets.
+
+    ``salt_source``: a probe column whose hash picks the bucket
+    (defaults to the key itself combined with a per-row spread via
+    ``spark_partition_id``-free arithmetic on a monotonic id — fully
+    deterministic for a deterministic scan).
+    """
+    if salt_source is None:
+        salted_probe = probe.withColumn(
+            "__salt", (F.abs(F.hash(F.col(probe_key), F.monotonically_increasing_id())) % salt)
+        )
+    else:
+        salted_probe = probe.withColumn(
+            "__salt", (F.abs(F.hash(F.col(salt_source))) % salt)
+        )
+    exploded_build = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_probe.join(
+        exploded_build,
+        (salted_probe[probe_key] == exploded_build[build_key])
+        & (salted_probe["__salt"] == exploded_build["__salt"]),
+        how,
+    )
+    return out.drop(salted_probe["__salt"]).drop(exploded_build["__salt"]).drop(
+        exploded_build[build_key]
+    )

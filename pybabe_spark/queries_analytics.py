@@ -165,6 +165,24 @@ def q_group_by_year(spark, sf_dir):
 
 
 @register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "props")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+@register(
     "setop_except",
     """
     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

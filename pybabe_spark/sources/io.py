@@ -383,6 +383,34 @@ def _push_driver_side(df: DataFrame, filename: str, fmt: str, row_limit: int = 1
         pdf.to_excel(filename, index=False)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: pre-shuffle once so later joins/aggregations
+    on the bucket keys are shuffle-free (co-located). The scale tool for
+    a fact table joined repeatedly on the same key — at 100 TB the saved
+    exchange dominates everything else.
+
+    Bucketing requires ``saveAsTable`` (metastore-tracked); ``path``
+    makes it an external table.
+    """
+    out = df
+    if INGEST_ID in out.columns:
+        out = out.drop(INGEST_ID)
+    writer = out.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def to_string(df: DataFrame, *, format: str = "csv", row_limit: int = 100_000) -> str:
     """Render to a CSV string (pybabe/base.py:330-333) — test oracle helper."""
     pdf = df.limit(row_limit).toPandas()

@@ -1,0 +1,86 @@
+"""Scale machinery: salted join correctness, bucketed-write shuffle
+elimination, ingest-order semantics of order-sensitive operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.dedup_scale import jaccard_pairs, minhash_lsh_pairs
+from pybabe_spark.operators.relational import dedup
+from pybabe_spark.operators.reshape import pivot
+from pybabe_spark.operators.skew import salted_join
+from pybabe_spark.sources.io import with_ingest_id, write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    probe = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    build = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "bk bigint, name string"
+    )
+    plain = probe.join(build, probe.k == build.bk).drop("bk")
+    salted = salted_join(probe, build, "k", "bk", salt=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    write_bucketed(df, "bt_left", ["k"], num_buckets=8, path=str(tmp_path / "l"))
+    write_bucketed(df, "bt_right", ["k"], num_buckets=8, path=str(tmp_path / "r"))
+    left, right = spark.table("bt_left"), spark.table("bt_right")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(right.withColumnRenamed("v", "v2"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join directly over bucketed scans,
+        # no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_pivot_last_row_semantics_with_ingest_order(spark):
+    df = with_ingest_id(
+        spark.createDataFrame(
+            [("g", "p", 1), ("g", "p", 2), ("g", "p", 3)], "grp string, piv string, v int"
+        ).coalesce(1)
+    )
+    out = pivot(df, "piv", ["grp"])  # agg='last' under ingest order
+    assert out.collect()[0]["v-p"] == 3
+
+
+def test_dedup_keep_first_with_ingest_order(spark):
+    df = with_ingest_id(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+        ).coalesce(1)
+    )
+    kept = dedup(df, ["k"], keep_first=True).select("k", "v")
+    assert sorted(map(tuple, kept.collect())) == [("a", 1), ("b", 3)]
+
+
+def test_minhash_candidates_cover_identical_word_sets(spark):
+    # identical word sets MUST collide in every band (signature equality)
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),   # same set, different order
+        (3, "epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {tuple(r) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert out == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|
