@@ -103,3 +103,120 @@ def join(
             row = misses.collect()[0]
             raise KeyError(f"join: probe key {row[key]!r} not found in build side")
     return joined
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) the left row's ``left_ts``, per ``on`` key. Left outer:
+    unmatched left rows keep NULL right columns.
+
+    Capability extension over the reference (PyBabe has only the equi
+    lookup join, pybabe/join.py:5-50); time-series enrichment needs this.
+
+    Scale-first plan: NOT a windowed inequality join (which is O(n·m)
+    per key under sort-merge). Both sides are tagged and **unioned**,
+    then a single ``last(..., ignorenulls)`` running window over
+    ``(key, ts)`` carries the right payload forward onto left rows —
+    one shuffle on the key, one sort, linear scan; identical shape at
+    100 TB. The right payload travels as ONE struct so all its columns
+    are taken from the SAME matched row even when payload values are
+    NULL.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: bad direction {direction!r}")
+
+    payload_cols = [c for c in right.columns if c not in (on,)]
+    collide = [c for c in payload_cols if c in left.columns and c != right_ts]
+    if collide:
+        raise ValueError(
+            f"asof_join: right columns {collide} collide with left; rename first"
+        )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).cast("timestamp").alias("__asof_ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        F.lit(0).alias("__is_left"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).cast("timestamp").alias("__asof_ts"),
+        F.lit(1).alias("__is_left"),
+    )
+    both = l.unionByName(r, allowMissingColumns=True)
+
+    # Ordering: right rows must be visible to left rows at the same
+    # timestamp iff allow_exact_matches — the tag column is the tiebreak.
+    tie = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    if direction == "backward":
+        w = Window.partitionBy(on).orderBy(F.col("__asof_ts").asc(), tie)
+    else:
+        w = Window.partitionBy(on).orderBy(F.col("__asof_ts").desc(), tie)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    matched = both.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__is_left") == 1)
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("__m")[c])
+    return out.drop("__m", "__payload", "__asof_ts", "__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    key: str | None = None,
+    bucket: str = "1 hour",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval containment join: left rows whose ``point`` falls in
+    ``[start, end)`` of a right-side interval (capability extension; the
+    reference has no non-equi join).
+
+    Plan strategy by shape:
+
+    - ``key`` given → plain equi-join on the key plus the range filter:
+      Catalyst runs a hash/sort-merge join on the key and evaluates the
+      range predicate as a post-join filter — no quadratic blowup as long
+      as keys are selective.
+    - no ``key`` → a raw inequality join would be a nested-loop cross
+      product. Instead both sides are **bucketized** on time (intervals
+      explode into every ``bucket`` they overlap via ``sequence``), the
+      join becomes an equi-join on the bucket id, and the exact
+      containment predicate filters within buckets. Shuffle is
+      data-linear; at 100 TB pick ``bucket`` ≈ median interval length.
+    """
+    contain = (F.col(point) >= F.col(start)) & (F.col(point) < F.col(end))
+    if key is not None:
+        r = F.broadcast(right) if broadcast_right else right
+        return left.join(r, on=[key], how="inner").filter(contain)
+
+    qty, unit = bucket.split()
+    step_us = int(qty) * {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit] * 1_000_000
+    lb = left.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point)) / step_us).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start)) / step_us).cast("long"),
+                F.floor((F.unix_micros(F.col(end)) - 1) / step_us).cast("long"),
+            )
+        ),
+    )
+    rb = F.broadcast(rb) if broadcast_right else rb
+    return lb.join(rb, "__bucket").filter(contain).drop("__bucket")

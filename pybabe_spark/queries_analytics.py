@@ -183,6 +183,70 @@ def q_json_extract(spark, sf_dir):
 
 
 @register(
+    "asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.purchase_ts, r.purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+    """,
+)
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of enrichment: each click gets the user's most recent prior
+    purchase (pandas merge_asof semantics, distributed)."""
+    from pybabe_spark.operators import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="purchase_ts"
+    )
+
+
+@register(
+    "range_join_error_window",
+    """
+    SELECT r.error_id, COUNT(l.event_id) AS n_clicks
+    FROM (SELECT event_id AS error_id, user_id, ts AS w_start,
+                 ts + INTERVAL 10 MINUTE AS w_end
+          FROM events WHERE event_type = 'error') r
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') l
+      ON l.user_id = r.user_id AND l.ts >= r.w_start AND l.ts < r.w_end
+    GROUP BY r.error_id
+    """,
+)
+def q_range_join_error_window(spark, sf_dir):
+    """Interval containment: clicks landing in the 10 minutes after each
+    error event of the same user, counted per error window."""
+    from pybabe_spark.operators import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = range_join(
+        clicks, errors, point="ts", start="w_start", end="w_end", key="user_id"
+    )
+    return joined.groupBy("error_id").agg(F.count("event_id").alias("n_clicks"))
+
+
+@register(
     "setop_except",
     """
     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

@@ -65,6 +65,36 @@ def q_sliding(spark, sf_dir):
 
 
 @register(
+    "sessionize_users",
+    f"""
+    WITH e AS (SELECT user_id, {_TS} AS ts, value FROM events),
+    marked AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    grp AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM grp GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    from pybabe_spark.streaming.ops import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize(ev, gap="30 minutes")
+
+
+@register(
     "stream_dedup_users",
     "SELECT user_id, COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id",
 )

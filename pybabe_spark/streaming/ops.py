@@ -95,6 +95,132 @@ def stream_events(spark, events_dir: str, schema=None) -> DataFrame:
     return df
 
 
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, value_sum double"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, vsum double"
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into one
+    session row (start, end, count, value sum).
+
+    - **Streaming**: custom stateful operator via
+      ``applyInPandasWithState`` — per-key state holds the open session;
+      a processing-time timeout flushes it. The watermark bounds state.
+    - **Batch**: the native ``session_window`` aggregation — same
+      contract, lets tests assert stream == batch.
+    """
+    gap_secs = _duration_seconds(gap)
+
+    if not df.isStreaming:
+        agg = (
+            df.groupBy(
+                F.col(user_col),
+                F.session_window(F.col(ts_col), gap).alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                # exact-decimal accumulation (engine convention) → double
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            )
+        )
+        return agg.select(
+            F.col(user_col).alias("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        us = 1_000_000
+
+        if state.hasTimedOut:
+            (start, end, n, vsum) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end + gap_secs * us, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_us = rows[ts_col].astype("int64") // 1000  # ns → µs
+        vals = rows[value_col].astype("float64")
+
+        if state.exists:
+            start, end, n, vsum = state.get
+        else:
+            start = end = None
+            n, vsum = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if start is None:
+                start = end = int(t)
+                n, vsum = 1, float(v)
+            elif t - end < gap_secs * us:
+                end = int(t)
+                n += 1
+                vsum += float(v)
+            else:
+                closed.append((start, end, n, vsum))
+                start = end = int(t)
+                n, vsum = 1, float(v)
+        state.update((start, end, n, vsum))
+        state.setTimeoutDuration(int(gap_secs * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [
+                        pd.Timestamp(e + gap_secs * us, unit="us")
+                        for _, e, *_ in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "value_sum": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _duration_seconds(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table with availableNow (test/dev
     harness; production sinks are kafka/delta/parquet writeStream)."""

@@ -84,3 +84,79 @@ def test_jaccard_exact_values(spark):
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
     assert out == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_asof_join_backward_and_forward(spark):
+    from pybabe_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"),
+         (1, "2024-01-01 12:00:00", "l2"),
+         (2, "2024-01-01 11:00:00", "l3")],
+        "k bigint, ts string, lid string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0),
+         (1, "2024-01-01 11:00:00", 20.0),
+         (2, "2024-01-01 11:30:00", 30.0)],
+        "k bigint, rts string, rv double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    back = {r["lid"]: r["rv"]
+            for r in asof_join(left, right, on="k", left_ts="ts",
+                               right_ts="rts").collect()}
+    assert back == {"l1": 10.0, "l2": 20.0, "l3": None}
+
+    fwd = {r["lid"]: r["rv"]
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="rts", direction="forward").collect()}
+    assert fwd == {"l1": 20.0, "l2": None, "l3": 30.0}
+
+
+def test_asof_join_exact_match_toggle(spark):
+    from pybabe_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1")], "k bigint, ts string, lid string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], "k bigint, rts string, rv double"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    with_exact = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert with_exact.collect()[0]["rv"] == 5.0
+    without = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                        allow_exact_matches=False)
+    assert without.collect()[0]["rv"] is None
+
+
+def test_range_join_bucketized_matches_naive(spark, sf_dir):
+    """No-key path (bucket equi-join) must equal the naive inequality join."""
+    from pybabe_spark.operators import range_join
+    from pybabe_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("w_end"),
+        )
+        .limit(50)
+    )
+    got = {
+        (r["event_id"], r["iid"])
+        for r in range_join(points, intervals, point="ts",
+                            start="w_start", end="w_end",
+                            bucket="5 minutes").collect()
+    }
+    naive = {
+        (r["event_id"], r["iid"])
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0

@@ -43,6 +43,39 @@ def test_stream_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == expected and len(got) > 0
 
 
+def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    from pybabe_spark.streaming.ops import sessionize
+
+    batch = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["value_sum"], 6))
+        for r in sessionize(batch, gap="30 minutes").collect()
+    }
+
+    stream = stream_events(spark, events_stream_dir).select("user_id", "ts", "value")
+    sess = sessionize(stream, gap="30 minutes")
+    q = run_to_memory(sess, "sessions_test", output_mode="append")
+    q.awaitTermination(180)
+    # append mode emits closed sessions; open sessions stay in state when
+    # the availableNow trigger finishes, so the stream output must be a
+    # subset — with a single input file everything before the last event
+    # per user closes only via timeout, so assert subset + non-trivial.
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["value_sum"], 6))
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    assert got <= expected
+    # every user's non-final sessions must have been emitted
+    import collections
+
+    per_user_expected = collections.Counter(u for (u, *_rest) in expected)
+    per_user_got = collections.Counter(u for (u, *_rest) in got)
+    for u, n in per_user_expected.items():
+        assert per_user_got.get(u, 0) >= n - 1
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     from pybabe_spark.streaming.ops import dedup_within_watermark
 
