@@ -333,3 +333,15 @@ def q_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_lsh(emb, queries, k=10, dims=64, planes=4)
+
+
+# IVF ANN: approximate by construction (nprobe/nlist candidate pruning) —
+# rows-only check like ann_lsh_topk; recall vs the exact baseline is pinned
+# in tests/test_scale_ops.py::test_ann_ivf_recall.
+@register("ann_ivf_topk", None)
+def q_ann_ivf(spark, sf_dir):
+    from pybabe_spark.operators.similarity import ann_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_ivf(emb, queries, k=10, nlist=16, nprobe=4)

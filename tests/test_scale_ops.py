@@ -160,3 +160,19 @@ def test_range_join_bucketized_matches_naive(spark, sf_dir):
         ).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-10."""
+    from pybabe_spark.operators.similarity import ann_brute_force, ann_ivf
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_brute_force(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf(emb, queries, k=10, nlist=16, nprobe=4).collect()}
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
