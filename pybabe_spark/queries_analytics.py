@@ -274,3 +274,84 @@ def q_setop_intersect(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
     b = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
     return a.intersect(b)
+
+
+@register(
+    "rollup_year_priority",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
+    """,
+)
+def q_rollup_year_priority(spark, sf_dir):
+    """Hierarchical totals (year, priority) → (year) → grand total.
+    Capability superset: the reference has no grouping sets (SURVEY
+    §2.4); Spark's rollup is a single shuffle with partial aggregation."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "rank_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def q_rank_orders_per_customer(spark, sf_dir):
+    """Ranking window functions (capability superset over the reference's
+    single trailing windowMap, SURVEY §2.6)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "lead_lag_user_events",
+    """
+    SELECT event_id, user_id,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_lead_lag_user_events(spark, sf_dir):
+    """lead/lag over event time per user (capability superset, SURVEY §2.6)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
