@@ -55,3 +55,35 @@ def test_group_uses_hash_aggregate_with_partial(spark, sf_dir):
 def test_ann_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "ann_cosine_topk", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_window(spark, sf_dir):
+    plan = _plan(spark, "asof_last_purchase", sf_dir)
+    # union + running-last window: exactly one hash exchange on the key,
+    # no join operator at all (the O(n·m) inequality-join shape is the
+    # regression this guards against)
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_keyed_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "range_join_error_window", sf_dir)
+    # equi-join on the key with the range predicate inside the join,
+    # never BroadcastNestedLoop (the cartesian shape)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rollup_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, "rollup_year_priority", sf_dir)
+    assert "Expand" in plan and "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ann_ivf_topk_pushes_group_limit(spark, sf_dir):
+    plan = _plan(spark, "ann_ivf_topk", sf_dir)
+    # per-query top-k must run as WindowGroupLimit (partial before the
+    # exchange), and the query side must broadcast
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
