@@ -436,4 +436,5 @@ def _load_extensions() -> None:
     import pybabe_spark.queries_analytics  # noqa: F401
     import pybabe_spark.queries_enrich  # noqa: F401
     import pybabe_spark.queries_ml  # noqa: F401
+    import pybabe_spark.queries_multimodal  # noqa: F401
     import pybabe_spark.queries_streaming  # noqa: F401

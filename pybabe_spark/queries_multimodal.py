@@ -1,0 +1,61 @@
+"""Multimodal-pipeline queries: the binary-column plumbing as first-class
+driver-contract entries.
+
+The decode kernel is the deterministic fake (operators/multimodal.py):
+blob = UTF-8 bytes of ``text``, features = sha256(blob) bytes scaled to
+[0, 1]. That makes the feature stage **oracle-checkable** — DuckDB
+computes the identical sha256 hex and the per-byte scaling is exact IEEE
+division — so the whole mapInPandas path (Arrow batches, schema, typed
+metadata struct) is verified end-to-end, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_features,
+    sample_frames,
+)
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+
+_N_FEATURES = 8
+
+#: hex pair (chars 2i+1, 2i+2 of sha256 hex) → byte value / 255.0
+_HEXV = "(instr('0123456789abcdef', substr(sha256(text), {pos}, 1)) - 1)"
+
+
+def _feature_sql(i: int) -> str:
+    hi = _HEXV.format(pos=2 * i + 1)
+    lo = _HEXV.format(pos=2 * i + 2)
+    return f"CAST(16 * {hi} + {lo} AS DOUBLE) / 255.0 AS f{i}"
+
+
+@register(
+    "multimodal_decode_features",
+    "SELECT doc_id, "
+    + ", ".join(_feature_sql(i) for i in range(_N_FEATURES))
+    + " FROM documents WHERE doc_id < 2000",
+)
+def q_multimodal_decode(spark, sf_dir):
+    """documents → fake media blobs → Arrow-batched decode_features."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    media = attach_fake_media(docs, "text")
+    feats = decode_features(media, "doc_id", n_features=_N_FEATURES)
+    return feats.select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(_N_FEATURES)],
+    )
+
+
+# Frame sampling is 1→N over blob chunks whose boundaries depend on the
+# crc32-derived n_frames metadata — no SQL equivalent; rows-only check.
+@register("multimodal_frame_sample", None)
+def q_multimodal_frames(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = attach_fake_media(docs, "text")
+    return sample_frames(media, every_n=3, id_col="doc_id").select(
+        "doc_id", "frame_index", F.length("frame").alias("frame_bytes")
+    )
