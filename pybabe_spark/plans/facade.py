@@ -109,6 +109,23 @@ class Babe:
     def windowMap(self, window_size, agg, source_col=None, **kwargs) -> "Babe":
         return self._wrap(ops.window_map(self.df, window_size, agg, source_col, **kwargs))
 
+    def asof_join(
+        self, other: "Babe | DataFrame", on, left_ts="ts", right_ts="ts", **kwargs
+    ) -> "Babe":
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(ops.asof_join(self.df, right, on, left_ts, right_ts, **kwargs))
+
+    def range_join(
+        self, other: "Babe | DataFrame", point, start, end, key=None, **kwargs
+    ) -> "Babe":
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(ops.range_join(self.df, right, point, start, end, key, **kwargs))
+
+    def sessionize(self, **kwargs) -> "Babe":
+        from pybabe_spark.streaming.ops import sessionize
+
+        return self._wrap(sessionize(self.df, **kwargs))
+
     # -- set ops ---------------------------------------------------------------
     def union(self, *others: "Babe | DataFrame") -> "Babe":
         dfs = [o.df if isinstance(o, Babe) else o for o in others]

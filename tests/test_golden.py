@@ -146,3 +146,25 @@ def test_transpose_golden(spark):
     rows = out.to_list()
     assert out.df.columns == ["field", "r1", "r2"]
     assert sorted(rows) == [("v1", "10", "30"), ("v2", "20", "40")]
+
+
+def test_facade_asof_and_sessionize(spark, sf_dir):
+    from pybabe_spark.plans.facade import Babe
+    from pybabe_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue")
+    )
+    enriched = Babe.from_df(clicks).asof_join(
+        Babe.from_df(purchases), on="user_id", left_ts="ts", right_ts="pts"
+    )
+    assert enriched.count() == clicks.count()
+    assert set(enriched.df.columns) == {"event_id", "user_id", "ts", "pts", "pvalue"}
+
+    sessions = Babe.from_df(ev.select("user_id", "ts", "value")).sessionize(
+        gap="30 minutes"
+    )
+    assert sessions.count() > 0
+    assert "session_start" in sessions.df.columns
