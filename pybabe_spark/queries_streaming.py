@@ -104,3 +104,34 @@ def q_stream_dedup(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     distinct = dedup_within_watermark(ev, ["user_id", "event_type"], "ts")
     return distinct.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "interval_join_click_purchase",
+    f"""
+    WITH c AS (SELECT event_id, user_id, {_TS} AS ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, {_TS} AS ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Batch form of the stream-stream interval join (purchases within 10
+    minutes after a click by the same user); the real two-stream run is
+    asserted equal in tests/test_streaming.py."""
+    from pybabe_spark.streaming.ops import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    return interval_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="pts"
+    ).select("click_id", "purchase_id")

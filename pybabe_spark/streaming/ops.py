@@ -95,6 +95,34 @@ def stream_events(spark, events_dir: str, schema=None) -> DataFrame:
     return df
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: pairs where
+    ``right_ts ∈ [left_ts + lower, left_ts + upper)`` and keys match.
+
+    Streaming: BOTH sides carry watermarks and the time bound is part of
+    the join condition — that is what lets Spark expire join state (the
+    unbounded-state pitfall of naive stream joins). Batch: identical
+    condition, plain join, which is how tests/oracles check it.
+    """
+    l = with_event_time(left, left_ts, watermark)
+    r = with_event_time(right, right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, value_sum double"

@@ -90,3 +90,41 @@ def test_stream_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0]["n"]
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.streaming.ops import interval_join
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("pts"),
+        )
+        return clicks, purchases
+
+    def pairs(join_df):
+        return {(r["click_id"], r["purchase_id"]) for r in join_df.collect()}
+
+    bc, bp = sides(read_table(spark, sf_dir, "events"))
+    expected = pairs(
+        interval_join(bc, bp, key="user_id", left_ts="ts", right_ts="pts")
+        .select("click_id", "purchase_id")
+    )
+
+    sc, sp = sides(stream_events(spark, events_stream_dir))
+    joined = interval_join(
+        sc, sp, key="user_id", left_ts="ts", right_ts="pts"
+    ).select("click_id", "purchase_id")
+    q = run_to_memory(joined, "ssj_test", output_mode="append")
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == expected and len(got) > 0
