@@ -104,6 +104,28 @@ def ann_brute_force(
     )
 
 
+def _cosine_pandas(a, b):
+    """Vectorized cosine for the *approximate* paths (LSH/IVF): one numpy
+    einsum per Arrow batch instead of an interpreted array fold per row
+    (~5× on the scoring stage). The oracle-checked exact queries keep the
+    codegen fold so their decimal values are bit-identical to the SQL
+    oracle's sequential summation.
+
+    Wrapped lazily — ``pandas_udf`` resolves its return type against the
+    active session, which may not exist at import time.
+    """
+
+    @pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        X = np.asarray(x.tolist(), dtype="float64")
+        Y = np.asarray(y.tolist(), dtype="float64")
+        num = np.einsum("ij,ij->i", X, Y)
+        den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def _plane_component(plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
     the first md5 nibble of 'p_d', centered. Reproducible anywhere."""
@@ -144,23 +166,17 @@ def ann_lsh(
     skip even that.
     """
     bucket = lsh_bucket_expr(vec_col, dims, planes)
-    c = _with_normalized(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            bucket.alias("__bucket"),
-        ),
-        "__cv", "__cvec",
-    ).select("neighbor_id", "__cvec", "__bucket")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        bucket.alias("__bucket"),
+    )
     q = F.broadcast(
-        _with_normalized(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("__qv"),
-                bucket.alias("__bucket"),
-            ),
-            "__qv", "__qvec",
-        ).select("query_id", "__qvec", "__bucket")
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            bucket.alias("__bucket"),
+        )
     )
     sims = (
         c.join(q, "__bucket")
@@ -168,7 +184,7 @@ def ann_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            _dot(F.col("__qvec"), F.col("__cvec"))
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),
@@ -256,23 +272,17 @@ def ann_ivf(
         order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
-    c = _with_normalized(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            cell_of(F.col(vec_col)).alias("__cell"),
-        ),
-        "__cv", "__cvec",
-    ).select("neighbor_id", "__cvec", "__cell")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        cell_of(F.col(vec_col)).alias("__cell"),
+    )
     q = F.broadcast(
-        _with_normalized(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("__qv"),
-                F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
-            ),
-            "__qv", "__qvec",
-        ).select("query_id", "__qvec", "__cell")
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        )
     )
     sims = (
         c.join(q, "__cell")
@@ -280,7 +290,7 @@ def ann_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            _dot(F.col("__qvec"), F.col("__cvec"))
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),
