@@ -176,3 +176,57 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Model-based check: distributed as-of == pandas merge_asof on a
+    deterministic pseudo-random dataset (keys with empty right sides,
+    ties at identical timestamps, unmatched lefts)."""
+    import hashlib
+
+    import pandas as pd
+
+    def h(i):  # deterministic pseudo-random int
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    left_pd = pd.DataFrame(
+        {
+            "k": [h(i) % 7 for i in range(200)],
+            "ts": pd.to_datetime([1_700_000_000 + (h(i) % 100_000) for i in range(200)], unit="s"),
+            "lid": list(range(200)),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": [h(i + 1000) % 5 for i in range(80)],  # keys 5,6 unmatched
+            "rts": pd.to_datetime([1_700_000_000 + (h(i + 1000) % 100_000) for i in range(80)], unit="s"),
+            "rv": [float(h(i + 2000) % 1000) for i in range(80)],
+        }
+    )
+    # merge_asof with duplicate right timestamps per (k, ts) picks the last
+    # row in sort order; drop dups to keep the model unambiguous
+    right_pd = right_pd.drop_duplicates(subset=["k", "rts"])
+
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["rv"]
+
+    from pybabe_spark.operators import asof_join
+
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on="k", left_ts="ts", right_ts="rts",
+        ).collect()
+    }
+    for lid, rv in expected.items():
+        g = got[lid]
+        assert (pd.isna(rv) and g is None) or g == rv, (lid, rv, g)
