@@ -355,3 +355,28 @@ def q_lead_lag_user_events(spark, sf_dir):
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
     )
+
+
+@register(
+    "salted_join_priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_join_priority_revenue(spark, sf_dir):
+    """Skew-salted fact-fact join must produce byte-identical aggregates
+    to the plain equi-join (operators/skew.py; salting spreads hot probe
+    keys across salt buckets, build side explodes xsalt)."""
+    from pybabe_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
