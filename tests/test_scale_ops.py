@@ -230,3 +230,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for lid, rv in expected.items():
         g = got[lid]
         assert (pd.isna(rv) and g is None) or g == rv, (lid, rv, g)
+
+
+def test_window_map_matches_pandas_rolling(spark):
+    """Model-based: trailing row-frame window == pandas rolling(min_periods=1)."""
+    import hashlib
+
+    import pandas as pd
+
+    vals = [
+        float(int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 500)
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame({"__ingest_id": range(300), "v": vals})
+    expected = pdf["v"].rolling(5, min_periods=1).sum().tolist()
+
+    from pybabe_spark.operators import window_map
+
+    df = spark.createDataFrame(pdf)
+    got = [
+        r["window_value"]
+        for r in window_map(df, 5, "sum", "v").orderBy("__ingest_id").collect()
+    ]
+    assert got == expected
