@@ -380,3 +380,24 @@ def q_salted_join_priority_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "percentile_price_by_priority",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS med,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_price(spark, sf_dir):
+    """Exact interpolated percentiles (capability superset; verified
+    bit-identical across engines — same linear-interpolation formula on
+    the same sorted doubles). At 100 TB prefer approx_percentile; the
+    exact form is the oracle-checkable definition."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
