@@ -259,3 +259,48 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Production file sink: append-mode parquet with checkpointed
+    exactly-once progress; ``partition_by`` lays out the 100 TB
+    directory structure (the streaming analogue of push's filename
+    templates / partitionBy)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    fn,
+    checkpoint: str,
+    output_mode: str = "update",
+    available_now: bool = True,
+):
+    """foreachBatch sink: ``fn(batch_df, batch_id)`` runs per micro-batch
+    with the full batch DataFrame API — the escape hatch for sinks with
+    no native streaming writer (JDBC upserts, MERGE targets). Checkpoint
+    + batch_id give at-least-once with idempotent-by-batch-id dedup."""
+    w = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

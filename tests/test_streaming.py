@@ -128,3 +128,39 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
         for r in spark.sql("SELECT * FROM ssj_test").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_parquet_and_foreach_batch_sinks(spark, sf_dir, events_stream_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.streaming.ops import (
+        run_foreach_batch,
+        run_to_parquet,
+        tumbling_counts,
+    )
+
+    stream = stream_events(spark, events_stream_dir)
+    agg = tumbling_counts(stream, "ts", "1 hour", value_col="value")
+
+    out = str(tmp_path / "sessions_parquet")
+    q = run_to_parquet(agg, out, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    batch = read_table(spark, sf_dir, "events")
+    expected = tumbling_counts(batch, "ts", "1 hour", value_col="value").count()
+    # append mode emits only windows finalized by the watermark; the last
+    # ~2h of windows (watermark bound) stay open when the availableNow
+    # trigger finishes => within watermark/window + 1 of the batch count
+    got = spark.read.parquet(out).count()
+    assert expected - 3 <= got <= expected and got > 0
+
+    seen = []
+    q2 = run_foreach_batch(
+        stream.filter(F.col("event_type") == "purchase").select("event_id"),
+        lambda bdf, bid: seen.append((bid, bdf.count())),
+        str(tmp_path / "ckpt2"),
+        output_mode="append",
+    )
+    q2.awaitTermination(120)
+    assert sum(n for _, n in seen) == batch.filter(
+        F.col("event_type") == "purchase"
+    ).count()
