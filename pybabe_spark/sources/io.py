@@ -327,6 +327,12 @@ def push(
     - compression guessed from extension (``.csv.gz`` → gzip) or passed.
     - ``single_file=True`` coalesces to 1 output task — only for small
       exports (the reference always wrote a single local file).
+    - ``mode='overwrite_partitions'``: replace ONLY the partitions present
+      in ``df``, keep the rest — the reference's per-partition DELETE +
+      reload semantic (pybabe/sql.py:253-342 ``delete_partition``), here
+      via Spark's dynamic partition overwrite (no full-table rewrite; at
+      100 TB this is the difference between touching one day and
+      rewriting the lake).
     """
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "parquet"
@@ -334,6 +340,12 @@ def push(
         compression = "gzip"
     if ignore_if_exists:
         mode = "ignore"
+
+    dynamic_overwrite = mode == "overwrite_partitions"
+    if dynamic_overwrite:
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        mode = "overwrite"
 
     if fmt in ("xlsx", "xls", "html"):
         _push_driver_side(df, filename, fmt)
@@ -345,6 +357,8 @@ def push(
     if single_file:
         out = out.coalesce(1)
     writer = out.write.mode(mode)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt in ("csv", "tsv"):

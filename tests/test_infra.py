@@ -119,3 +119,27 @@ def test_pull_sql_dump(spark, tmp_path):
     df = pull(spark, spath)
     rows = sorted((tuple(r) for r in df.collect()), key=str)
     assert ("1", "a") in rows and ("2", "b's") in rows
+
+
+def test_push_overwrite_partitions_keeps_others(spark, tmp_path):
+    """mode='overwrite_partitions' replaces only the partitions present in
+    the incoming frame (the reference's delete_partition + reload,
+    pybabe/sql.py:253-342)."""
+    from pybabe_spark.sources.io import push
+
+    out = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "part string, v int"
+    )
+    push(base, out, partition_by=["part"])
+
+    patch = spark.createDataFrame([("b", 99)], "part string, v int")
+    push(patch, out, partition_by=["part"], mode="overwrite_partitions")
+
+    got = sorted(map(tuple, spark.read.parquet(out).select("part", "v").collect()))
+    assert got == [("a", 1), ("a", 2), ("b", 99), ("c", 4)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        push(patch, out, mode="overwrite_partitions")
