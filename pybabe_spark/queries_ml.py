@@ -345,3 +345,51 @@ def q_ann_ivf(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+@register(
+    "training_prep_pipeline",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id, source,
+             {_LANG_CASE} AS lang_pred,
+             CAST({_QUALITY_SQL} AS DOUBLE) AS quality,
+             md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS ck
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM enriched WHERE lang_pred = 'en' AND quality >= 0.5
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+      FROM filtered
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+    FROM kept WHERE rn = 1 GROUP BY source
+    """,
+)
+def q_training_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep: language filter → quality filter →
+    exact dedup (keep lowest doc_id per content key) → per-source stats.
+    The composition query: every stage is one of the engine's text ops,
+    and the whole pipeline stays in one shuffle-per-stage Spark plan."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        T.lang_id("text").alias("lang_pred"),
+        T.quality_score("text").alias("quality"),
+        T.exact_key("text").alias("ck"),
+    )
+    filtered = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("ck").orderBy("doc_id")
+    kept = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("quality_sum"),
+    )
