@@ -109,6 +109,29 @@ class Babe:
     def windowMap(self, window_size, agg, source_col=None, **kwargs) -> "Babe":
         return self._wrap(ops.window_map(self.df, window_size, agg, source_col, **kwargs))
 
+    # -- UDF surface (mapTo / bulkMapTo / flatMap / iterate) -----------------
+    def mapTo(self, fn, insert_fields=None, fields=None) -> "Babe":
+        from pybabe_spark.operators.udf_ops import map_to
+
+        return self._wrap(map_to(self.df, fn, insert_fields, fields))
+
+    iterate = mapTo  # pybabe/iterate.py:5-30 — same semantics, dict bag
+
+    def bulkMapTo(self, fn, insert_fields=None, fields=None) -> "Babe":
+        from pybabe_spark.operators.udf_ops import bulk_map_to
+
+        return self._wrap(bulk_map_to(self.df, fn, insert_fields, fields))
+
+    def flatMap(self, fn, insert_fields=None, fields=None) -> "Babe":
+        from pybabe_spark.operators.udf_ops import flat_map
+
+        return self._wrap(flat_map(self.df, fn, insert_fields, fields))
+
+    def map_filter(self, fn) -> "Babe":
+        from pybabe_spark.operators.udf_ops import map_filter
+
+        return self._wrap(map_filter(self.df, fn))
+
     def asof_join(
         self, other: "Babe | DataFrame", on, left_ts="ts", right_ts="ts", **kwargs
     ) -> "Babe":

@@ -168,3 +168,24 @@ def test_facade_asof_and_sessionize(spark, sf_dir):
     )
     assert sessions.count() > 0
     assert "session_start" in sessions.df.columns
+
+
+def test_facade_udf_surface(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], "k int, s string")
+    b = Babe.from_df(df)
+
+    doubled = b.mapTo(
+        lambda r: {**r, "k2": r["k"] * 2}, insert_fields="k2 int"
+    )
+    assert sorted((r["k"], r["k2"]) for r in doubled.df.collect()) == [(1, 2), (2, 4)]
+
+    exploded = b.flatMap(
+        lambda r: [{"k": r["k"], "w": w} for w in r["s"].split()],
+        fields="k int, w string",
+    )
+    assert sorted(map(tuple, exploded.df.collect())) == [(1, "a"), (1, "b"), (2, "c")]
+
+    kept = b.map_filter(lambda r: r["k"] == 2)
+    assert [r["k"] for r in kept.df.collect()] == [2]
