@@ -106,7 +106,10 @@ def typedetect(
     targets = [c for c in (fields or string_cols) if c in string_cols]
     if not targets:
         return df
-    sample = df.select(*targets).limit(sample_rows)
+    # limit() funnels the sample into ONE task; repartition after it so
+    # the try_cast detection scan parallelizes (the reshuffle of
+    # sample_rows rows is far cheaper than a serial regex/cast pass)
+    sample = df.select(*targets).limit(sample_rows).repartition(32)
     aggs = []
     for c in targets:
         for t in _DETECT_ORDER:
