@@ -453,3 +453,64 @@ def q_anti_join_customers(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "cube_year_segment",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           c_mktsegment,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (CAST(year(o_orderdate) AS INT), c_mktsegment)
+    """,
+)
+def q_cube_year_segment(spark, sf_dir):
+    """CUBE over (year, segment): all four grouping sets in one pass
+    (capability superset; completes the grouping-sets family with
+    rollup_year_priority)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .cube(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "rolling_value_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_sum
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_rolling_value_per_user(spark, sf_dir):
+    """Per-key trailing window — the scale path of windowMap: partitioned
+    frames parallelize across keys instead of the reference's single
+    global stream (SURVEY §2.6)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_sum"),
+    )
