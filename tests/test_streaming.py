@@ -164,3 +164,70 @@ def test_parquet_and_foreach_batch_sinks(spark, sf_dir, events_stream_dir, tmp_p
     assert sum(n for _, n in seen) == batch.filter(
         F.col("event_type") == "purchase"
     ).count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark; a row in batch 2
+    older than the watermark is DROPPED from the append-mode aggregate
+    (the bounded-state/late-data contract batch mode can't show)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.streaming.ops import run_to_memory, tumbling_counts
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id bigint, ts string, value double")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+        df.write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        _shutil.copy(src, str(d / name))
+
+    # Three micro-batches: Spark only GUARANTEES dropping a late row once
+    # the watermark has crossed its window AND the window state is
+    # evicted — a late row arriving while state is live may still merge.
+    write_file("a.parquet", [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 1.0),
+        (1, "2024-01-01 10:20:00", 1.0),
+        (1, "2024-01-01 13:00:00", 1.0),   # advances watermark to 12:00
+    ])
+    _time.sleep(1.1)  # distinct mod-times => deterministic file order
+    write_file("b.parquet", [
+        (1, "2024-01-01 14:00:00", 1.0),   # 10:00 window evicted this batch
+    ])
+    _time.sleep(1.1)
+    write_file("c.parquet", [
+        (1, "2024-01-01 10:30:00", 1.0),   # LATE: window closed + evicted
+        (1, "2024-01-01 15:00:00", 1.0),
+    ])
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    agg = tumbling_counts(stream, "ts", "1 hour", watermark="1 hour")
+    q = run_to_memory(agg, "late_test", output_mode="append")
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    ten = [r for r in rows if str(r["window_start"]) == "2024-01-01 10:00:00"]
+    # finalized once with the 3 on-time rows; the late 10:30 row was
+    # dropped (no merge, no re-opened duplicate window row)
+    assert [r["n_events"] for r in ten] == [3], rows
+
+    batch = spark.read.parquet(str(d))
+    batch_counts = {
+        str(r["window_start"]): r["n_events"]
+        for r in tumbling_counts(batch, "ts", "1 hour").collect()
+    }
+    assert batch_counts["2024-01-01 10:00:00"] == 4  # batch sees the late row
