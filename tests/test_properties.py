@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): random inputs against pandas models
+for the order-sensitive operators. The reference has no property testing
+(SURVEY §5); these pin the semantics the golden tests can't sweep —
+duplicates, empty groups, negative values, odd strings.
+
+Examples are kept few (Spark jobs are ~1 s each); determinism comes from
+hypothesis's own example database being disabled and derandomized runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators import dedup, max_n, sort
+from pybabe_spark.sources.io import with_ingest_id
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.sampled_from(["a", "b", "c"])
+vals = st.integers(min_value=-1000, max_value=1000)
+rows = st.lists(st.tuples(keys, vals), min_size=1, max_size=40)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_dedup_keep_first_matches_pandas(spark, data):
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    expected = sorted(
+        map(tuple, pdf.drop_duplicates(subset=["k"], keep="first")[["k", "v"]].values)
+    )
+    df = with_ingest_id(
+        spark.createDataFrame(pdf.astype({"v": "int64"})).coalesce(1)
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in dedup(df, ["k"], keep_first=True).collect()
+    )
+    assert got == expected
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_sort_matches_python_sorted(spark, data):
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    df = spark.createDataFrame(pdf.astype({"v": "int64"}))
+    got = [r["v"] for r in sort(df, "v").collect()]
+    assert got == sorted(v for _, v in data)
+
+
+@given(data=rows, n=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_max_n_is_top_n_multiset(spark, data, n):
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    df = spark.createDataFrame(pdf.astype({"v": "int64"}))
+    got = sorted(r["v"] for r in max_n(df, "v", n).collect())
+    expected = sorted(sorted((v for _, v in data), reverse=True)[:n])
+    assert got == expected
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_group_sum_matches_pandas(spark, data):
+    from pybabe_spark.operators import group
+
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    expected = pdf.groupby("k")["v"].sum().to_dict()
+    df = spark.createDataFrame(pdf.astype({"v": "int64"}))
+    got = {
+        r["k"]: r["total"]
+        for r in group(df, "k", {"total": ("sum", "v")}).collect()
+    }
+    assert got == expected
