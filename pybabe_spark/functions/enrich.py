@@ -169,3 +169,25 @@ def geoip_country_code(
         "left",
     )
     return out.drop("__ip_int", "ip_start", "ip_end")
+
+
+def utf8_cleanup(col) -> Column:
+    """Repair UTF-8-read-as-latin1 mojibake ("CafÃ©" → "Café").
+
+    Reference behavior: pybabe/charset.py:23-35 (UTF8RecoderWithCleanup,
+    backed by the encoding_cleaner map table). Spark-first form: the exact
+    inverse transform — re-encode the text as latin-1 bytes and decode
+    them as UTF-8 — entirely JVM-side. Guarded twice: applied only to
+    strings showing mojibake lead characters (Â/Ã/â...), and kept only
+    when the repair round-trips without U+FFFD replacement characters
+    (i.e. the bytes really were double-encoded UTF-8).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    as_latin1 = F.encode(c, "ISO-8859-1")
+    looks_double_encoded = c.rlike("[ÂÃâ]")
+    # decode() throws on malformed bytes — gate it behind is_valid_utf8 so
+    # the branch only evaluates when the bytes really are UTF-8
+    return F.when(
+        looks_double_encoded & F.is_valid_utf8(as_latin1),
+        F.decode(as_latin1, "UTF-8"),
+    ).otherwise(c)

@@ -123,6 +123,7 @@ def pull(
     header: bool = True,
     infer_schema: bool = True,
     ingest_id: bool = False,
+    utf8_cleanup: bool = False,
     **options: str,
 ) -> DataFrame:
     """Universal source (pybabe/base.py:361-450).
@@ -171,6 +172,10 @@ def pull(
     elif fmt == "txt":
         # one column `text` per line (pybabe/format_txt.py:6-30)
         df = spark.read.text(filename).withColumnRenamed("value", "text")
+        if utf8_cleanup:
+            from pybabe_spark.functions.enrich import utf8_cleanup as _fix
+
+            df = df.withColumn("text", _fix("text"))
         return with_ingest_id(df) if ingest_id else df
     else:
         reader = reader.format(fmt)
@@ -179,6 +184,12 @@ def pull(
     df = reader.load(filename)
     if fields:
         df = df.toDF(*fields)
+    if utf8_cleanup:
+        from pybabe_spark.functions.enrich import utf8_cleanup as _fix
+
+        for c, t in df.dtypes:
+            if t == "string":
+                df = df.withColumn(c, _fix(c))
     return with_ingest_id(df) if ingest_id else df
 
 

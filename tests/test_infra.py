@@ -143,3 +143,27 @@ def test_push_overwrite_partitions_keeps_others(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         push(patch, out, mode="overwrite_partitions")
+
+
+def test_utf8_cleanup_repairs_mojibake(spark):
+    from pybabe_spark.functions.enrich import utf8_cleanup
+
+    rows = [
+        ("CafÃ©",),          # "Café" read as latin-1
+        ("naÃ¯ve",),         # "naïve"
+        ("plain ascii",),              # untouched
+        ("résumé",),         # already-correct accents: untouched
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r["fixed"] for r in df.select(utf8_cleanup("s").alias("fixed")).collect()]
+    assert got == ["Café", "naïve", "plain ascii", "résumé"]
+
+
+def test_pull_utf8_cleanup(spark, tmp_path):
+    p = tmp_path / "moji.csv"
+    p.write_text("name,place\nJosÃ©,CafÃ©\nplain,ascii\n", encoding="utf-8")
+    from pybabe_spark.sources.io import pull
+
+    df = pull(spark, str(p), utf8_cleanup=True)
+    got = sorted(map(tuple, df.collect()))
+    assert got == [("José", "Café"), ("plain", "ascii")]
