@@ -124,6 +124,7 @@ def pull(
     infer_schema: bool = True,
     ingest_id: bool = False,
     utf8_cleanup: bool = False,
+    schema: str | None = None,
     **options: str,
 ) -> DataFrame:
     """Universal source (pybabe/base.py:361-450).
@@ -156,6 +157,8 @@ def pull(
         return _pull_sql_dump(spark, filename)
 
     reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     sep = separator or ("\t" if fmt == "tsv" else ",")
     if fmt in ("csv", "tsv"):
         reader = (

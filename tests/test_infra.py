@@ -167,3 +167,19 @@ def test_pull_utf8_cleanup(spark, tmp_path):
     df = pull(spark, str(p), utf8_cleanup=True)
     got = sorted(map(tuple, df.collect()))
     assert got == [("José", "Café"), ("plain", "ascii")]
+
+
+def test_pull_ignore_bad_lines(spark, tmp_path):
+    """csv error policy (pybabe/format_csv.py:34,42-46): DROPMALFORMED
+    skips rows that don't parse into the schema."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,xxx,extra,cols\n3,4\n")
+    from pybabe_spark.sources.io import pull
+
+    ok = pull(spark, str(p), ignore_bad_lines=True,
+              schema="a INT, b INT", infer_schema=False)
+    assert sorted(map(tuple, ok.collect())) == [(1, 2), (3, 4)]
+
+    # PERMISSIVE (default) keeps the malformed row as nulls instead
+    keep = pull(spark, str(p), schema="a INT, b INT", infer_schema=False)
+    assert keep.count() == 3
