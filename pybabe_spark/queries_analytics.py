@@ -514,3 +514,17 @@ def q_rolling_value_per_user(spark, sf_dir):
         .cast("double")
         .alias("rolling_sum"),
     )
+
+
+# Approximate aggregates are the 100 TB path (single pass, fixed-size
+# sketches, no exact-distinct shuffle). Values are engine-specific by
+# construction — rows-only check; the error bound vs the exact answers is
+# pinned in tests/test_scale_ops.py::test_approx_aggregates_error_bounds.
+@register("approx_stats_scale", None)
+def q_approx_stats_scale(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

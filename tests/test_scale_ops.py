@@ -253,3 +253,29 @@ def test_window_map_matches_pandas_rolling(spark):
         for r in window_map(df, 5, "sum", "v").orderBy("__ingest_id").collect()
     ]
     assert got == expected
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """The sketch-based scale path must stay within its advertised error
+    of the exact answers (HLL++ rsd=2%; percentile_approx accuracy=10k)."""
+    from pybabe_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["d"], r["m"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.count_distinct("l_orderkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["approx_orders"], r["approx_median"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        ).collect()
+    }
+    for k, (d, m) in exact.items():
+        ad, am = approx[k]
+        assert abs(ad - d) / d < 0.05, (k, ad, d)
+        assert abs(am - m) / m < 0.05, (k, am, m)
