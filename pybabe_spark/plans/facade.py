@@ -24,8 +24,9 @@ class Babe:
     >>> Babe.pull(spark, "data.csv").filter_values(kind="a").push("out.parquet")
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, partition_fields: tuple[str, ...] = ()):
         self.df = df
+        self._partition_fields = partition_fields
 
     # -- sources ------------------------------------------------------------
     @classmethod
@@ -37,7 +38,18 @@ class Babe:
         return cls(df)
 
     def _wrap(self, df: DataFrame) -> "Babe":
-        return Babe(df)
+        return Babe(df, self._partition_fields)
+
+    def partition(self, field: str, *more: str) -> "Babe":
+        """pybabe/partition.py:30-56 — tag the stream with partition
+        fields; a later ``push`` lays data out one directory per value
+        (the reference's per-substream output files)."""
+        return Babe(self.df, (field, *more))
+
+    def merge_substreams(self) -> "Babe":
+        """pybabe/partition.py:8-27 — drop the partition tagging (the
+        DataFrame itself was never physically split)."""
+        return Babe(self.df, ())
 
     # -- projection / filtering ---------------------------------------------
     def filter_columns(self, keep_fields=None, remove_fields=None) -> "Babe":
@@ -164,6 +176,8 @@ class Babe:
 
     # -- terminals ---------------------------------------------------------------
     def push(self, filename, **kwargs) -> None:
+        if self._partition_fields and "partition_by" not in kwargs:
+            kwargs["partition_by"] = list(self._partition_fields)
         _io.push(self.df, filename, **kwargs)
 
     def to_list(self) -> list:

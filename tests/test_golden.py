@@ -189,3 +189,26 @@ def test_facade_udf_surface(spark):
 
     kept = b.map_filter(lambda r: r["k"] == 2)
     assert [r["k"] for r in kept.df.collect()] == [2]
+
+
+def test_facade_partition_push(spark, tmp_path):
+    """Reference partition semantics (tests/test_partition.py in the
+    reference): partition(field) + push => one output directory per
+    value, each holding exactly that value's rows."""
+    import os
+
+    from pybabe_spark.plans.facade import Babe
+
+    s = "date,name,value\n2012-04-04,John,1\n2012-04-04,Luke,2\n2012-04-05,John,1\n"
+    out = str(tmp_path / "parts")
+    (
+        Babe.pull(spark, string=s, format="csv")
+        .partition("date")
+        .push(out, format="parquet")
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("date="))
+    assert dirs == ["date=2012-04-04", "date=2012-04-05"]
+    part1 = spark.read.parquet(os.path.join(out, "date=2012-04-04"))
+    assert sorted((r["name"], r["value"]) for r in part1.collect()) == [
+        ("John", 1), ("Luke", 2)
+    ]
