@@ -29,9 +29,22 @@ class Babe:
         self._partition_fields = partition_fields
 
     # -- sources ------------------------------------------------------------
-    @classmethod
-    def pull(cls, spark: SparkSession, filename: str | None = None, **kwargs) -> "Babe":
-        return cls(_io.pull(spark, filename, **kwargs))
+    class _HybridPull:
+        """``Babe.pull(...)`` starts a chain; ``babe.pull(...)`` appends a
+        second source as a further substream — the reference's chained
+        pull concatenation (pybabe/base.py:365-368, tests/test_base.py
+        TestMultiPull)."""
+
+        def __get__(self, obj, objtype=None):
+            def _pull(spark: SparkSession, filename=None, **kwargs) -> "Babe":
+                df = _io.pull(spark, filename, **kwargs)
+                if obj is None:
+                    return objtype(df)
+                return obj._wrap(obj.df.unionByName(df, allowMissingColumns=False))
+
+            return _pull
+
+    pull = _HybridPull()
 
     @classmethod
     def from_df(cls, df: DataFrame) -> "Babe":

@@ -65,6 +65,27 @@ def guess_format(filename: str) -> tuple[str | None, str | None]:
     return fmt, compress
 
 
+def keynormalize(key: str) -> str:
+    """Normalize a column name to a valid python identifier
+    (pybabe/base.py:74-82): join word groups with '_', strip a leading
+    '_', prefix 'd_' when starting with a digit.
+
+    >>> keynormalize('Payant/Gratuit')
+    'Payant_Gratuit'
+    """
+    s = "_".join(re.findall(r"\w+", key))
+    if s.startswith("_"):
+        s = s[1:]
+    if s and s[0].isdigit():
+        s = "d_" + s
+    return s
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Apply :func:`keynormalize` to every column name."""
+    return df.toDF(*[keynormalize(c) for c in df.columns])
+
+
 def with_ingest_id(df: DataFrame) -> DataFrame:
     """Attach the ingest-order column if absent.
 
@@ -124,6 +145,7 @@ def pull(
     infer_schema: bool = True,
     ingest_id: bool = False,
     utf8_cleanup: bool = False,
+    normalize_fields: bool = False,
     schema: str | None = None,
     **options: str,
 ) -> DataFrame:
@@ -193,6 +215,8 @@ def pull(
         for c, t in df.dtypes:
             if t == "string":
                 df = df.withColumn(c, _fix(c))
+    if normalize_fields:
+        df = normalize_columns(df)
     return with_ingest_id(df) if ingest_id else df
 
 

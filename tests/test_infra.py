@@ -183,3 +183,23 @@ def test_pull_ignore_bad_lines(spark, tmp_path):
     # PERMISSIVE (default) keeps the malformed row as nulls instead
     keep = pull(spark, str(p), schema="a INT, b INT", infer_schema=False)
     assert keep.count() == 3
+
+
+def test_keynormalize_and_chained_pull(spark, tmp_path):
+    from pybabe_spark.plans.facade import Babe
+    from pybabe_spark.sources.io import keynormalize, pull
+
+    # pybabe/base.py:74-82 semantics
+    assert keynormalize("Payant/Gratuit") == "Payant_Gratuit"
+    assert keynormalize("2col") == "d_2col"
+    assert keynormalize("_lead") == "lead"
+
+    p = tmp_path / "odd.csv"
+    p.write_text("Payant/Gratuit,2col\nx,1\n")
+    df = pull(spark, str(p), normalize_fields=True)
+    assert df.columns == ["Payant_Gratuit", "d_2col"]
+
+    # chained pull concatenates sources (pybabe/base.py:365-368)
+    s = "a,b\n1,2\n3,4\n"
+    b = Babe.pull(spark, string=s, format="csv").pull(spark, string=s, format="csv")
+    assert b.count() == 4
