@@ -196,3 +196,42 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    use_lsh_candidates: bool = False,
+) -> DataFrame:
+    """Near-duplicate REMOVAL: drop every doc that is ≥ threshold similar
+    to a lower-id doc; the survivor set is the dedup'd corpus.
+
+    Greedy single-pass by id order (the standard corpus-dedup policy, not
+    full connected components — a chain a~b~c where a≁c keeps a and c,
+    drops b). ``use_lsh_candidates=True`` verifies only MinHash-LSH
+    candidate pairs — the 100 TB path; the exact all-pairs form is the
+    oracle-checkable definition.
+    """
+    if use_lsh_candidates:
+        cand = minhash_lsh_pairs(df, id_col, text_col, shingle_n=shingle_n)
+        texts = df.select(F.col(id_col), F.col(text_col))
+        a = texts.toDF("id_a", "__ta")
+        b = texts.toDF("id_b", "__tb")
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+        # exact-verify candidates (cheap: candidate count << n²)
+        from pybabe_spark.functions.text import shingle_array, words
+
+        sa = F.array_distinct(shingle_array(words("__ta"), shingle_n))
+        sb = F.array_distinct(shingle_array(words("__tb"), shingle_n))
+        inter = F.size(F.array_intersect(sa, sb)).cast("double")
+        union = F.size(F.array_union(sa, sb)).cast("double")
+        pairs = pairs.filter(inter / union >= threshold).select("id_a", "id_b")
+    else:
+        pairs = jaccard_pairs(df, id_col, text_col, threshold, shingle_n).select(
+            "id_a", "id_b"
+        )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -393,3 +393,38 @@ def q_training_prep_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("quality_sum"),
     )
+
+
+@register(
+    "near_dedup_keep_docs",
+    """
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT id_b AS doc_id FROM common
+      JOIN sizes sa ON id_a = sa.doc
+      JOIN sizes sb ON id_b = sb.doc
+      WHERE CAST(c AS DOUBLE) / CAST((sa.n + sb.n - c) AS DOUBLE) >= 0.8
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id < 300 AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def q_near_dedup_keep(spark, sf_dir):
+    """Near-dup removal: greedy keep-lowest-id over the >=0.8 Jaccard pair
+    graph; survivors are the dedup'd corpus (operators/dedup_scale.py
+    ::near_dedup_keep — the canonical training-corpus dedup step)."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_keep
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return near_dedup_keep(docs, "doc_id", "text", threshold=0.8).select(
+        "doc_id", "lang"
+    )

@@ -279,3 +279,27 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         ad, am = approx[k]
         assert abs(ad - d) / d < 0.05, (k, ad, d)
         assert abs(am - m) / m < 0.05, (k, am, m)
+
+
+def test_near_dedup_lsh_path_matches_exact(spark, sf_dir):
+    """The LSH-candidate scale path must keep the same survivor set as the
+    exact all-pairs form whenever the candidate set covers the true pairs
+    (identical word sets always collide in every band)."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_keep
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    exact = {r["doc_id"] for r in
+             near_dedup_keep(docs, "doc_id", "text", threshold=0.8).collect()}
+    lsh = {r["doc_id"] for r in
+           near_dedup_keep(docs, "doc_id", "text", threshold=0.8,
+                           use_lsh_candidates=True).collect()}
+    n_docs = docs.count()
+    assert len(exact) > 0
+    # LSH may MISS pairs (recall < 1) => it can only keep a superset
+    assert exact <= lsh
+    # and it must still catch most duplicates (band-collision recall)
+    assert len(lsh) < n_docs, "LSH candidates dropped nothing"
+    dropped_exact = n_docs - len(exact)
+    dropped_lsh = n_docs - len(lsh)
+    assert dropped_lsh >= 0.6 * dropped_exact, (dropped_lsh, dropped_exact)
