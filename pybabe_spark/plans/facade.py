@@ -111,6 +111,13 @@ class Babe:
     def dedup(self, fields=None, keep_first=False) -> "Babe":
         return self._wrap(ops.dedup(self.df, fields, keep_first))
 
+    def near_dedup(self, id_col, text_col, threshold=0.8, **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import near_dedup_keep
+
+        return self._wrap(
+            near_dedup_keep(self.df, id_col, text_col, threshold, **kwargs)
+        )
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other

@@ -203,3 +203,17 @@ def test_keynormalize_and_chained_pull(spark, tmp_path):
     s = "a,b\n1,2\n3,4\n"
     b = Babe.pull(spark, string=s, format="csv").pull(spark, string=s, format="csv")
     assert b.count() == 4
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from pybabe_spark.sources.io import pull, push
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, x double"
+    )
+    out = str(tmp_path / "data.jsonl")
+    push(df, out, format="json")
+    back = pull(spark, out, format="json")
+    assert sorted(map(tuple, back.select("id", "name", "x").collect())) == [
+        (1, "a", 1.5), (2, "b", 2.5)
+    ]
