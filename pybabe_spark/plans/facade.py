@@ -190,9 +190,12 @@ class Babe:
         return self._wrap(ops.insert_rows(self.df, new_rows, before))
 
     # -- caching (tee / memoize analogue) ---------------------------------------
-    def tee(self) -> "Babe":
-        """pybabe/base.py:196-202 — cache + reuse the same DataFrame."""
-        return self._wrap(self.df.cache())
+    def tee(self, n: int = 2) -> list["Babe"]:
+        """pybabe/base.py:196-202 — fan one stream out to n consumers.
+        Spark form: cache once, hand out n wrappers over the same
+        DataFrame (``[b, c] = a.tee(2)``, tests/test_transform.py:184)."""
+        cached = self.df.cache()
+        return [self._wrap(cached) for _ in range(n)]
 
     # -- terminals ---------------------------------------------------------------
     def push(self, filename, **kwargs) -> None:

@@ -212,3 +212,11 @@ def test_facade_partition_push(spark, tmp_path):
     assert sorted((r["name"], r["value"]) for r in part1.collect()) == [
         ("John", 1), ("Luke", 2)
     ]
+
+
+def test_facade_tee(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    a = Babe.pull(spark, string="a,b\n1,2\n", format="csv")
+    b, c = a.tee(2)
+    assert len(b.to_list()) == 1 and len(c.to_list()) == 1
