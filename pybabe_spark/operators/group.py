@@ -116,3 +116,29 @@ def group_all(
         return reducer(pdf)
 
     return tagged.groupBy("__g").applyInPandas(_apply, schema=reducer_schema)
+
+
+def protocol_reducer(obj, keys: str | Sequence[str]):
+    """Adapt a reference-style Reducer object — ``begin_group(key)`` /
+    ``row(row)`` / ``end_group(t)`` (pybabe/group.py:5-32) — into the
+    pandas grouped-map callable :func:`group` expects.
+
+    The object is pickled to each task and reused across that task's
+    groups sequentially, exactly like the reference's single reducer
+    instance over a sorted stream; ``begin_group`` resets its state.
+    ``end_group(tuple)`` must return an iterable of output values.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def _reduce(pdf):
+        import pandas as pd
+
+        first = pdf.iloc[0]
+        key_vals = tuple(first[k] for k in key_list)
+        obj.begin_group(key_vals[0] if len(key_vals) == 1 else key_vals)
+        for rec in pdf.itertuples(index=False):
+            obj.row(rec)
+        out = obj.end_group(tuple)
+        return pd.DataFrame([tuple(out)])
+
+    return _reduce

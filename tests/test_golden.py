@@ -220,3 +220,32 @@ def test_facade_tee(spark):
     a = Babe.pull(spark, string="a,b\n1,2\n", format="csv")
     b, c = a.tee(2)
     assert len(b.to_list()) == 1 and len(c.to_list()) == 1
+
+
+def test_group_protocol_reducer(spark):
+    """Reference Reducer object protocol (pybabe/group.py:5-32) through
+    applyInPandas."""
+    from pybabe_spark.operators.group import group, protocol_reducer
+
+    class SumReducer:
+        def begin_group(self, key):
+            self.key, self.total = key, 0
+
+        def row(self, row):
+            self.total += row.v
+
+        def end_group(self, t):
+            return (self.key, self.total)
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+    )
+    got = {
+        r["k"]: r["total"]
+        for r in group(
+            df, "k",
+            reducer=protocol_reducer(SumReducer(), "k"),
+            reducer_schema="k string, total long",
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 5}
