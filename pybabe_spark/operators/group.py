@@ -142,3 +142,21 @@ def protocol_reducer(obj, keys: str | Sequence[str]):
         return pd.DataFrame([tuple(out)])
 
     return _reduce
+
+
+def function_reducer(fn, keys: str | Sequence[str]):
+    """Adapt the reference's function-form reducer ``(key, rows) → row``
+    (pybabe/group.py:27-32 build_reducer; examples/wordcount.py:9) into
+    the pandas grouped-map callable."""
+
+    class _FnReducer:
+        def begin_group(self, key):
+            self.key, self.buf = key, []
+
+        def row(self, row):
+            self.buf.append(row)
+
+        def end_group(self, t):
+            return fn(self.key, self.buf)
+
+    return protocol_reducer(_FnReducer(), keys)

@@ -249,3 +249,28 @@ def test_group_protocol_reducer(spark):
         ).collect()
     }
     assert got == {"a": 3, "b": 5}
+
+
+def test_wordcount_example_parity(spark):
+    """The reference's flagship example (examples/wordcount.py:7-11):
+    pull → flatMap → groupBy(function reducer) → maxN, same chain."""
+    import re
+
+    from pybabe_spark.operators.group import function_reducer
+    from pybabe_spark.plans.facade import Babe
+
+    text = "the quick fox jumps over the lazy dog the fox\n"
+    a = Babe.pull(spark, string=text, format="txt")
+    a = a.flatMap(
+        lambda row: [{"word": w, "count": 1} for w in re.findall(r"\w+", row["text"])],
+        fields="word string, count long",
+    )
+    b = a.groupBy(
+        "word",
+        reducer=function_reducer(
+            lambda word, rows: (word, sum(r.count for r in rows)), "word"
+        ),
+        reducer_schema="word string, count long",
+    )
+    top = b.maxN("count", 2).to_list()
+    assert ("the", 3) in top and ("fox", 2) in top
