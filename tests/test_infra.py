@@ -217,3 +217,43 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select("id", "name", "x").collect())) == [
         (1, "a", 1.5), (2, "b", 2.5)
     ]
+
+
+def test_log_ingest_pipeline(spark, tmp_path):
+    """The reference's biggest connector, pull_kontagent
+    (pybabe/kontagent.py:18-295), is an hourly-log ingest: fetch text
+    logs, parse lines, emit partitioned rows. Spark-first equivalent:
+    text glob -> JVM-side split/parse -> partitioned parquet write."""
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.sources.io import pull, push
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "h0.txt").write_text(
+        "2024-01-01T00:05:00\tapa\tu1\t3\n2024-01-01T00:45:00\tevt\tu2\t7\n"
+    )
+    (logs / "h1.txt").write_text("2024-01-01T01:10:00\tapa\tu3\t5\n")
+
+    raw = pull(spark, str(logs / "*.txt"), format="txt")
+    parts = F.split("text", "\t")
+    parsed = raw.select(
+        F.to_timestamp(parts[0]).alias("ts"),
+        parts[1].alias("event"),
+        parts[2].alias("user"),
+        parts[3].cast("int").alias("n"),
+    ).withColumn("date", F.to_date("ts")).withColumn("hour", F.hour("ts"))
+
+    out = str(tmp_path / "ingested")
+    push(parsed, out, partition_by=["date", "hour"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    import os
+
+    hours = sorted(
+        d for d in os.listdir(os.path.join(out, "date=2024-01-01"))
+        if d.startswith("hour=")
+    )
+    assert hours == ["hour=0", "hour=1"]
+    assert back.filter(F.col("hour") == 0).agg(F.sum("n")).collect()[0][0] == 10
