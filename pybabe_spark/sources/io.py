@@ -469,3 +469,30 @@ def to_string(df: DataFrame, *, format: str = "csv", row_limit: int = 100_000) -
     buf = _io.StringIO()
     pdf.to_csv(buf, index=False)
     return buf.getvalue()
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for data skipping.
+
+    ``repartitionByRange`` gives each output file a disjoint key range and
+    ``sortWithinPartitions`` orders rows inside it, so parquet row-group
+    min/max statistics let selective scans skip whole files — at 100 TB
+    a date- or id-range query touches one file in ``num_files`` instead
+    of all of them. (Single-dimension analogue of Z-ordering.)
+    """
+    out = df
+    if INGEST_ID in out.columns:
+        out = out.drop(INGEST_ID)
+    cols = [F.col(c) for c in sort_cols]
+    (
+        out.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -303,3 +303,24 @@ def test_near_dedup_lsh_path_matches_exact(spark, sf_dir):
     dropped_exact = n_docs - len(exact)
     dropped_lsh = n_docs - len(lsh)
     assert dropped_lsh >= 0.6 * dropped_exact, (dropped_lsh, dropped_exact)
+
+
+def test_write_range_sorted_produces_disjoint_files(spark, sf_dir, tmp_path):
+    """Each output file must own a disjoint key range (that is what lets
+    parquet min/max stats skip files for selective predicates)."""
+    from pybabe_spark.sources.io import read_table, write_range_sorted
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_custkey"], num_files=4)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint, ordered ranges
