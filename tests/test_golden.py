@@ -274,3 +274,21 @@ def test_wordcount_example_parity(spark):
     )
     top = b.maxN("count", 2).to_list()
     assert ("the", 3) in top and ("fox", 2) in top
+
+
+def test_join_warn_observation_counts_drops(spark):
+    """WARN mode: inner join + a dropped-probe-rows metric readable from
+    the attached Observation after an action (pybabe/join.py:38-40 logged
+    each dropped row; here it is one observe() counter, not a second job)."""
+    from pybabe_spark.operators.join import join
+
+    probe = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k bigint, pv string"
+    )
+    dim = spark.createDataFrame([(1, "one")], "k bigint, name string")
+    out = join(probe, dim, "k", on_error="WARN")
+    rows = out.collect()
+    assert len(rows) == 1  # inner: keys 2,3 dropped
+    obs = out._pybabe_join_observation
+    probe_rows = obs.get["probe_rows"]
+    assert probe_rows - len(rows) == 2  # the dropped count
