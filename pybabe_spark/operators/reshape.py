@@ -88,7 +88,9 @@ def pivot(
             f"{v}_{f}": f"{f}-{v}" for v in values for f in other
         }
     wide = wide.withColumnsRenamed(renames)
-    ordered_cols = list(group) + [f"{f}-{v}" for f in other for v in values]
+    # value-major column order, matching the reference golden exactly
+    # (pivot_tests.py:16-19: a,b,d-0,e-0,d-1,e-1 — all fields per value)
+    ordered_cols = list(group) + [f"{f}-{v}" for v in values for f in other]
     return wide.select(*[c for c in ordered_cols if c in wide.columns])
 
 

@@ -292,3 +292,17 @@ def test_join_warn_observation_counts_drops(spark):
     obs = out._pybabe_join_observation
     probe_rows = obs.get["probe_rows"]
     assert probe_rows - len(rows) == 2  # the dropped count
+
+
+def test_pivot_reference_golden_exact(spark):
+    """The reference's own pivot golden (pivot_tests.py:8-22), byte-exact:
+    first-seen value order, value-major column grouping, last-row cells,
+    missing cells null."""
+    s = "a,b,c,d,e\nA,B,0,2,3\nC,D,1,4,5\nA,B,1,4,5\nC,E,1,4,5\nC,E,0,7,8\n"
+    out = Babe.pull(spark, string=s, ingest_id=True).pivot("c", ["a", "b"])
+    assert out.df.columns == ["a", "b", "d-0", "e-0", "d-1", "e-1"]
+    assert sorted(out.to_list()) == [
+        ("A", "B", 2, 3, 4, 5),
+        ("C", "D", None, None, 4, 5),
+        ("C", "E", 7, 8, 4, 5),
+    ]
