@@ -306,3 +306,17 @@ def test_pivot_reference_golden_exact(spark):
         ("C", "D", None, None, 4, 5),
         ("C", "E", 7, 8, 4, 5),
     ]
+
+
+def test_unpivot_reference_golden_exact(spark):
+    """The reference's unpivot golden (pivot_tests.py:24-35), exact rows
+    and order."""
+    s = "name,firstname,Jan,Feb\nDou,Flo,3,5\nDoe,John,7,8\n"
+    out = Babe.pull(spark, string=s).unpivot(["name", "firstname"], "date", "value")
+    assert out.df.columns == ["name", "firstname", "date", "value"]
+    assert out.to_list() == [
+        ("Dou", "Flo", "Jan", 3),
+        ("Dou", "Flo", "Feb", 5),
+        ("Doe", "John", "Jan", 7),
+        ("Doe", "John", "Feb", 8),
+    ]
