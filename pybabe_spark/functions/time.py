@@ -78,7 +78,10 @@ def parse_time(
     if output_date:
         out = out.withColumn(output_date, F.to_date(F.col(out_field)))
     if output_time:
-        out = out.withColumn(output_time, F.date_format(F.col(out_field), "HH:mm:ss"))
+        # the reference writes the full converted datetime into
+        # output_time (timeparse.py:76-78), not a time-of-day string
+        if output_time != out_field:
+            out = out.withColumn(output_time, F.col(out_field))
     if output_hour:
         out = out.withColumn(output_hour, F.hour(F.col(out_field)))
     return out

@@ -257,3 +257,22 @@ def test_log_ingest_pipeline(spark, tmp_path):
     )
     assert hours == ["hour=0", "hour=1"]
     assert back.filter(F.col("hour") == 0).agg(F.sum("n")).collect()[0][0] == 10
+
+
+def test_parse_time_reference_golden_exact(spark):
+    """The reference's timezone golden (tests/test_transform.py:174-180):
+    CET 2012-04-03 00:33 -> GMT 2012-04-02 22:33:00, date + hour derived."""
+    import datetime
+
+    from pybabe_spark.functions.time import parse_time
+
+    df = spark.createDataFrame([("1", "2012-04-03 00:33")], "foo string, time string")
+    out = parse_time(
+        df, "time", input_timezone="CET", output_timezone="GMT",
+        output_time="time", output_date="date", output_hour="hour",
+    )
+    assert out.columns == ["foo", "time", "date", "hour"]
+    r = out.collect()[0]
+    assert r["time"] == datetime.datetime(2012, 4, 2, 22, 33)
+    assert r["date"] == datetime.date(2012, 4, 2)
+    assert r["hour"] == 22
