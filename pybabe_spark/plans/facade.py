@@ -204,12 +204,13 @@ class Babe:
         _io.push(self.df, filename, **kwargs)
 
     def to_list(self) -> list:
-        """pybabe/base.py:459-460 — materialize rows."""
-        df = _io.drop_ingest_id(self.df)
+        """pybabe/base.py:459-460 — materialize rows, in ingest order
+        when the ingest id is present (the reference's stream order)."""
+        df = _io.in_ingest_order(self.df)
         return [tuple(r) for r in df.collect()]
 
     def to_string(self, **kwargs) -> str:
-        return _io.to_string(_io.drop_ingest_id(self.df), **kwargs)
+        return _io.to_string(_io.in_ingest_order(self.df), **kwargs)
 
     def count(self) -> int:
         return self.df.count()

@@ -104,6 +104,15 @@ def drop_ingest_id(df: DataFrame) -> DataFrame:
     return df
 
 
+def in_ingest_order(df: DataFrame) -> DataFrame:
+    """Sort by the ingest id (when present) and drop it — terminal
+    helpers use this so output order matches input order, the reference's
+    stream contract (SURVEY §1.4)."""
+    if INGEST_ID in df.columns:
+        return df.orderBy(F.col(INGEST_ID)).drop(INGEST_ID)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md contract).
 
@@ -162,8 +171,11 @@ def pull(
       pybabe/compress_zip.py:7-23).
     """
     if string is not None:
-        return _pull_string(spark, string, format or "csv", separator=separator,
-                            header=header, infer_schema=infer_schema)
+        df = _pull_string(spark, string, format or "csv", separator=separator,
+                          header=header, infer_schema=infer_schema)
+        # inline strings are tiny: one partition keeps line order, so the
+        # ingest id reproduces the reference's stream order exactly
+        return with_ingest_id(df.coalesce(1)) if ingest_id else df
     if filename is None:
         raise ValueError("pull() needs filename= or string=")
 

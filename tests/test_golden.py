@@ -320,3 +320,21 @@ def test_unpivot_reference_golden_exact(spark):
         ("Doe", "John", "Jan", 7),
         ("Doe", "John", "Feb", 8),
     ]
+
+
+def test_join_reference_golden_string_exact(spark):
+    """The reference's join golden as an exact to_string compare
+    (tests/test_join.py in the reference): probe order preserved via the
+    ingest id, join key column dropped, build fields appended."""
+    s1 = "city,country\nParis,FR\nLondon,UK\nLyon,FR\n"
+    s2 = "country_code,country_name\nFR,France\nUK,United Kingdom\n"
+    a = Babe.pull(spark, string=s1, ingest_id=True)
+    b = Babe.pull(spark, string=s2)
+    joined = a.join(b, key="country", join_key="country_code", on_error="SKIP")
+    expected = (
+        "city,country,country_name\n"
+        "Paris,FR,France\n"
+        "London,UK,United Kingdom\n"
+        "Lyon,FR,France\n"
+    )
+    assert joined.to_string() == expected
