@@ -144,7 +144,12 @@ def max_n(df: DataFrame, column: str, n: int, extremum: str = "max") -> DataFram
     heapq, no full sort or shuffle of the data.
     """
     col = F.col(column).desc() if extremum == "max" else F.col(column).asc()
-    return df.orderBy(col).limit(n)
+    order = [col]
+    if INGEST_ID in df.columns:
+        # deterministic tie order: first-seen wins, like the reference's
+        # insertion-ordered heap (pybabe/minmax.py:28-31)
+        order.append(F.col(INGEST_ID).asc())
+    return df.orderBy(*order).limit(n)
 
 
 def min_n(df: DataFrame, column: str, n: int) -> DataFrame:
