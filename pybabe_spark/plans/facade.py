@@ -189,6 +189,39 @@ class Babe:
     def insert_rows(self, new_rows, before=True) -> "Babe":
         return self._wrap(ops.insert_rows(self.df, new_rows, before))
 
+    # -- typing & enrichment -------------------------------------------------
+    def typedetect(self, fields=None, **kwargs) -> "Babe":
+        from pybabe_spark.functions.time import typedetect
+
+        return self._wrap(typedetect(self.df, fields, **kwargs))
+
+    def parse_time(self, field, **kwargs) -> "Babe":
+        from pybabe_spark.functions.time import parse_time
+
+        return self._wrap(parse_time(self.df, field, **kwargs))
+
+    def geoip(self, field="ip", **kwargs) -> "Babe":
+        from pybabe_spark.functions.enrich import geoip
+
+        return self._wrap(geoip(self.df, field, **kwargs))
+
+    def geoip_country_code(self, field="ip", **kwargs) -> "Babe":
+        from pybabe_spark.functions.enrich import geoip_country_code
+
+        return self._wrap(geoip_country_code(self.df, field, **kwargs))
+
+    def user_agent(self, field, **kwargs) -> "Babe":
+        from pybabe_spark.functions.enrich import user_agent
+
+        return self._wrap(user_agent(self.df, field, **kwargs))
+
+    def primary_key_detect(self, **kwargs):
+        """Returns the detected key column name (metadata, not a new
+        stream — pybabe/types.py:52-87 sets header.primary_key)."""
+        from pybabe_spark.operators.infra import primary_key_detect
+
+        return primary_key_detect(self.df, **kwargs)
+
     # -- caching (tee / memoize analogue) ---------------------------------------
     def tee(self, n: int = 2) -> list["Babe"]:
         """pybabe/base.py:196-202 — fan one stream out to n consumers.

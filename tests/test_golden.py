@@ -338,3 +338,19 @@ def test_join_reference_golden_string_exact(spark):
         "Lyon,FR,France\n"
     )
     assert joined.to_string() == expected
+
+
+def test_facade_enrichment_chain(spark):
+    """The reference's typedetect -> parse_time -> enrichment chain shape
+    through the facade."""
+    s = "a,b,when\n1,2.5,2012-04-03 00:33\n"
+    b = Babe.pull(spark, string=s, infer_schema=False).typedetect()
+    types = dict(b.df.dtypes)
+    assert types["a"] == "bigint" and types["b"] == "double"
+
+    t = b.parse_time("when", output_field="ts", output_hour="h")
+    assert dict(t.df.dtypes)["ts"] == "timestamp"
+    assert t.df.collect()[0]["h"] == 0
+
+    key = b.primary_key_detect()
+    assert key == "a"
