@@ -52,13 +52,36 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+
+    # Full per-query detail goes to a repo file; the stdout line must stay
+    # under the driver's 2000-char capture buffer (r1's 2900-char line
+    # came back "parsed": null), so the line carries the slowest queries
+    # and rolls the rest into "_other".
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    budget = 1800
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    line_queries: dict[str, float] = {}
+    for name, t in ranked:
+        trial = dict(line_queries)
+        trial[name] = t
+        trial["_other"] = 0.0
+        probe = dict(detail, queries=trial)
+        if len(json.dumps(probe, separators=(",", ":"))) > budget:
+            break
+        line_queries[name] = t
+    rest = [t for n, t in timings.items() if n not in line_queries]
+    if rest:
+        line_queries["_other"] = round(sum(rest), 4)
+    print(json.dumps(dict(detail, queries=line_queries), separators=(",", ":")))
     spark.stop()
 
 

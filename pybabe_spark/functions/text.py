@@ -147,3 +147,100 @@ def exact_key(text: str) -> Column:
     """Exact-dedup key: md5 of case/whitespace-normalized text."""
     norm = F.lower(F.regexp_replace(F.col(text), " +", " "))
     return F.md5(F.trim(norm))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality-rule filters (Gopher & C4 style)
+# ---------------------------------------------------------------------------
+
+def dup_line_fraction(text: str, line_sep: str = "\n") -> Column:
+    """Fraction of lines that are duplicates of an earlier line — the
+    boilerplate detector from the Gopher quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.2). 1 − distinct/total over the line split; pure
+    array built-ins, codegen-side, no UDF."""
+    lines = F.split(F.col(text), line_sep, -1)
+    n = F.size(lines)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n.cast("double")
+    )
+
+
+def top_ngram_fraction(text: str, n: int = 2) -> Column:
+    """Fraction of the document's words covered by its single most
+    frequent word n-gram (Gopher repetition rule). aggregate() over the
+    shingle counts — all higher-order built-ins, no shuffle, no UDF."""
+    w = words(text)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k + F.lit(1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return (top_count * F.lit(n)).cast("double") / F.size(w).cast("double")
+
+
+def symbol_word_ratio(text: str) -> Column:
+    """Non-alphanumeric symbol count per word (C4/Gopher junk detector)."""
+    symbols = F.regexp_count(F.col(text), F.lit("[^A-Za-z0-9 ]"))
+    return symbols.cast("double") / F.size(words(text)).cast("double")
+
+
+def gopher_quality_flags(text: str) -> Column:
+    """Struct of the standard repetition-rule verdicts: a doc passes when
+    dup-line fraction ≤ 0.30, top-bigram coverage ≤ 0.18, symbol/word
+    ratio ≤ 0.10, and 3 ≤ mean word length ≤ 10 (thresholds from the
+    Gopher paper's filtering appendix)."""
+    w = words(text)
+    n_words = F.size(w)
+    mean_wlen = (
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words.cast("double")
+    )
+    return F.struct(
+        (dup_line_fraction(text) <= 0.30).alias("lines_ok"),
+        (top_ngram_fraction(text, 2) <= 0.18).alias("bigram_ok"),
+        (symbol_word_ratio(text) <= 0.10).alias("symbols_ok"),
+        ((mean_wlen >= 3.0) & (mean_wlen <= 10.0)).alias("wlen_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+#: Conservative ASCII patterns shared verbatim with the oracle SQL — the
+#: goal is a deterministic, engine-agnostic scrub, not maximal recall.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "PHONE": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def pii_scrub(text: str) -> Column:
+    """Replace emails / IPv4s / intl-format phone numbers with
+    ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` placeholder tags. Chained
+    regexp_replace — JVM regex, whole-stage codegen, no UDF. Order
+    matters: emails first (their host part would otherwise be left
+    looking like a bare domain), then IPs, then phones."""
+    out = F.col(text)
+    for tag in ("EMAIL", "IP", "PHONE"):
+        out = F.regexp_replace(out, PII_PATTERNS[tag], f"<{tag}>")
+    return out
+
+
+def pii_count(text: str) -> Column:
+    """Total PII hits (emails + IPs + phones) in the document."""
+    return sum(
+        F.regexp_count(F.col(text), F.lit(p)) for p in PII_PATTERNS.values()
+    )

@@ -89,7 +89,12 @@ def parse_time(
 
 #: Detection ladder: first type whose try_cast succeeds on every non-null
 #: sampled value wins (pybabe/types.py:21-48 regex ladder, relationally).
-_DETECT_ORDER = ["bigint", "double", "date", "timestamp"]
+#: timestamp is tried BEFORE date — Spark's string→date cast accepts full
+#: datetimes by truncating the time part, so date-first would silently
+#: drop time-of-day from ISO datetimes. The reference likewise tries
+#: parse_datetime before parse_date (pybabe/types.py:38-44). A column
+#: whose timestamp interpretation is all-midnight is demoted to date.
+_DETECT_ORDER = ["bigint", "double", "timestamp", "date"]
 
 
 def typedetect(
@@ -126,6 +131,19 @@ def typedetect(
                 ).alias(f"{c}||{t}"),
             )
         aggs.append(F.count(F.col(c)).alias(f"{c}||nonnull"))
+        # any value with a real time-of-day component? (timestamp vs date)
+        aggs.append(
+            F.count(
+                F.when(
+                    F.expr(
+                        f"try_cast(trim(`{c}`) as timestamp) is not null and "
+                        f"try_cast(trim(`{c}`) as timestamp) != "
+                        f"date_trunc('DAY', try_cast(trim(`{c}`) as timestamp))"
+                    ),
+                    1,
+                )
+            ).alias(f"{c}||hastime"),
+        )
     stats = sample.agg(*aggs).collect()[0].asDict()
 
     casts = {}
@@ -134,6 +152,15 @@ def typedetect(
             continue  # all-null column: leave as string
         for t in _DETECT_ORDER:
             if stats[f"{c}||{t}"] == 0:
+                # all-midnight timestamp column whose values also all cast
+                # to date is really a date column (reference ladder: bare
+                # dates fail parse_datetime and land on parse_date)
+                if (
+                    t == "timestamp"
+                    and stats[f"{c}||hastime"] == 0
+                    and stats[f"{c}||date"] == 0
+                ):
+                    t = "date"
                 casts[c] = t
                 break
     out = df

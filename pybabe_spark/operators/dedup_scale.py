@@ -205,16 +205,30 @@ def near_dedup_keep(
     threshold: float = 0.8,
     shingle_n: int = 1,
     use_lsh_candidates: bool = False,
+    policy: str = "lower_id",
 ) -> DataFrame:
-    """Near-duplicate REMOVAL: drop every doc that is ≥ threshold similar
-    to a lower-id doc; the survivor set is the dedup'd corpus.
+    """Near-duplicate REMOVAL; the survivor set is the dedup'd corpus.
 
-    Greedy single-pass by id order (the standard corpus-dedup policy, not
-    full connected components — a chain a~b~c where a≁c keeps a and c,
-    drops b). ``use_lsh_candidates=True`` verifies only MinHash-LSH
-    candidate pairs — the 100 TB path; the exact all-pairs form is the
+    Two policies over the ≥ threshold similarity-pair graph:
+
+    - ``policy='lower_id'`` (default): drop every doc that has ANY
+      lower-id similar neighbor, surviving or not. One shuffle-join, no
+      iteration — for a chain a~b~c with a≁c it drops both b and c.
+      Transitively aggressive, but fully single-pass at 100 TB.
+    - ``policy='greedy'``: classic greedy-by-id survivor propagation — a
+      doc is dropped only if similar to a lower-id doc that itself
+      SURVIVED (the chain a~b~c keeps a and c, drops b). Computed as an
+      iterative fixpoint over the pair graph; converges in at most
+      longest-dependency-chain rounds (LSH-scale clusters are tiny, so a
+      handful in practice). Each round is one anti-join; lineage is cut
+      with localCheckpoint to keep plans bounded.
+
+    ``use_lsh_candidates=True`` verifies only MinHash-LSH candidate
+    pairs — the 100 TB path; the exact all-pairs form is the
     oracle-checkable definition.
     """
+    if policy not in ("lower_id", "greedy"):
+        raise ValueError(f"near_dedup_keep: bad policy {policy!r}")
     if use_lsh_candidates:
         cand = minhash_lsh_pairs(df, id_col, text_col, shingle_n=shingle_n)
         texts = df.select(F.col(id_col), F.col(text_col))
@@ -233,5 +247,42 @@ def near_dedup_keep(
         pairs = jaccard_pairs(df, id_col, text_col, threshold, shingle_n).select(
             "id_a", "id_b"
         )
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(drops, id_col, "left_anti")
+    if policy == "lower_id":
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(drops, id_col, "left_anti")
+
+    # Greedy survivor propagation as a monotone confirm-fixpoint over the
+    # (small) pair graph: a doc is CONFIRMED dropped when some lower-id
+    # SURVIVOR is similar to it, and CONFIRMED surviving when every
+    # lower-id similar neighbor is confirmed dropped. Each round decides
+    # at least the minimum undecided id (all ids below it are already
+    # decided), so rounds ≤ dependency-chain depth — tiny for LSH-scale
+    # clusters. Only ids + candidate pairs iterate, never the corpus;
+    # localCheckpoint cuts lineage so plans stay bounded.
+    pairs = pairs.localCheckpoint()
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    incoming = pairs.select(F.col("id_b").alias("__id")).distinct()
+    surv = ids.join(incoming, "__id", "left_anti").localCheckpoint()
+    undecided = ids.join(surv, "__id", "left_anti").localCheckpoint()
+    edges = pairs
+    while undecided.count() > 0:
+        hit = (
+            edges.join(surv.withColumnRenamed("__id", "id_a"), "id_a", "left_semi")
+            .select(F.col("id_b").alias("__id"))
+            .distinct()
+        )
+        new_drop = undecided.join(hit, "__id", "left_semi").localCheckpoint()
+        undecided = undecided.join(new_drop, "__id", "left_anti").localCheckpoint()
+        # edges out of dropped docs can never drop anyone — retire them
+        edges = edges.join(
+            new_drop.withColumnRenamed("__id", "id_a"), "id_a", "left_anti"
+        ).localCheckpoint()
+        # undecided docs with no remaining lower-id edge: all their lower
+        # neighbors are dropped → they survive
+        remaining_in = edges.select(F.col("id_b").alias("__id")).distinct()
+        new_surv = undecided.join(remaining_in, "__id", "left_anti")
+        surv = surv.unionByName(new_surv).localCheckpoint()
+        undecided = undecided.join(new_surv, "__id", "left_anti").localCheckpoint()
+    return df.join(
+        surv.withColumnRenamed("__id", id_col), id_col, "left_semi"
+    )

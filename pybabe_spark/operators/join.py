@@ -140,6 +140,19 @@ def asof_join(
         raise ValueError(
             f"asof_join: right columns {collide} collide with left; rename first"
         )
+    # The matched right timestamp is part of the payload; if its name
+    # collides with a left column (the documented defaults left_ts ==
+    # right_ts == 'ts'), alias it rather than clobber the left column —
+    # pandas.merge_asof likewise keeps the left key/timestamp intact.
+    out_name = {
+        c: (f"{right_ts}_right" if c == right_ts and c in left.columns else c)
+        for c in payload_cols
+    }
+    recollide = [n for n in out_name.values() if n in left.columns]
+    if recollide:
+        raise ValueError(
+            f"asof_join: right columns {recollide} collide with left; rename first"
+        )
     r = right.select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__asof_ts"),
@@ -165,7 +178,7 @@ def asof_join(
     matched = both.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
     out = matched.filter(F.col("__is_left") == 1)
     for c in payload_cols:
-        out = out.withColumn(c, F.col("__m")[c])
+        out = out.withColumn(out_name[c], F.col("__m")[c])
     return out.drop("__m", "__payload", "__asof_ts", "__is_left")
 
 

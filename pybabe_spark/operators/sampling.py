@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / source-mixing for training-data
+pipelines.
+
+Beyond-reference scale machinery (PyBabe has no sampling surface; its
+closest primitive is ``head``, pybabe/transform.py:316-331). Every
+operator here is DETERMINISTIC — a pure arithmetic hash of a key column
+decides membership, so runs are reproducible across clusters, retries,
+and engines (the DuckDB oracle computes the identical arithmetic), and
+no shuffle or ordering assumption is involved: each row decides its own
+fate map-side, which is the only sampling design that survives 100 TB
+(`df.sample` re-draws per task attempt; ``limit`` funnels to one task).
+
+The hash is a multiplicative congruential mix over a pre-folded key:
+
+    bucket(id) = ((id mod 1000003) * 2654435761 + 123456789) mod 1000000
+
+pre-folding by the prime 1000003 keeps the multiply far from int64
+overflow for arbitrarily large ids (ANSI mode would fail the job on
+overflow); 2654435761 is Knuth's 2^32 golden-ratio multiplier.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+#: bucket space: membership thresholds are expressed in millionths
+BUCKETS = 1_000_000
+_FOLD = 1_000_003
+_MULT = 2_654_435_761
+_ADD = 123_456_789
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """The row's deterministic bucket in [0, 1_000_000)."""
+    k = F.col(key) if isinstance(key, str) else key
+    folded = F.pmod(k.cast("bigint"), F.lit(_FOLD))
+    return F.pmod(folded * F.lit(_MULT) + F.lit(_ADD), F.lit(BUCKETS))
+
+
+def hash_bucket_sql(key: str) -> str:
+    """The identical arithmetic as ANSI SQL (the DuckDB oracle form)."""
+    return (
+        f"((({key} % {_FOLD}) * {_MULT} + {_ADD}) % {BUCKETS})"
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by ``key``.
+
+    Map-side filter — no shuffle, no RNG state, stable under retries;
+    the selected set is a property of the data, not of the run.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"hash_sample: fraction {fraction} outside [0, 1]")
+    return df.filter(hash_bucket(key) < F.lit(int(round(fraction * BUCKETS))))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) partition by key hash: disjoint,
+    exhaustive, reproducible — the split every eval pipeline needs to
+    be able to recompute from the raw table alone."""
+    cut = int(round(test_fraction * BUCKETS))
+    test = df.filter(hash_bucket(key) < F.lit(cut))
+    train = df.filter(hash_bucket(key) >= F.lit(cut))
+    return train, test
+
+
+def stratified_sample(
+    df: DataFrame, strata: str, key: str, fractions: Mapping[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum value → keep fraction
+    (strata absent from ``fractions`` are dropped, like ``sampleBy``).
+
+    One map-side CASE over the bucket — no shuffle, exact determinism,
+    unlike ``DataFrame.sampleBy`` whose Bernoulli draws differ per run.
+    """
+    expr = None
+    bucket = hash_bucket(key)
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"stratified_sample: fraction {frac} outside [0, 1]")
+        cond = (F.col(strata) == F.lit(value)) & (
+            bucket < F.lit(int(round(frac * BUCKETS)))
+        )
+        expr = cond if expr is None else (expr | cond)
+    if expr is None:
+        raise ValueError("stratified_sample: no fractions given")
+    return df.filter(expr)
+
+
+def mix_sources(
+    sources: Sequence[tuple[DataFrame, float]], key: str
+) -> DataFrame:
+    """Weighted blend of corpora: each (df, keep_fraction) is hash-sampled
+    then unioned by name — the standard training-mix step (e.g. 100% of
+    curated text, 10% of web crawl). Deterministic end to end; the union
+    is a no-shuffle narrow op."""
+    if not sources:
+        raise ValueError("mix_sources: no sources")
+    parts = [hash_sample(df, key, frac) for df, frac in sources]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

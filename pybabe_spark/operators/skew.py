@@ -35,13 +35,17 @@ def salted_join(
     ``spark_partition_id``-free arithmetic on a monotonic id — fully
     deterministic for a deterministic scan).
     """
+    # pmod, not abs(hash)%salt: hash() can return Integer.MIN_VALUE, whose
+    # abs overflows (ANSI: job failure; non-ANSI: negative salt → silently
+    # dropped row). pmod is total and always lands in [0, salt).
     if salt_source is None:
         salted_probe = probe.withColumn(
-            "__salt", (F.abs(F.hash(F.col(probe_key), F.monotonically_increasing_id())) % salt)
+            "__salt",
+            F.pmod(F.hash(F.col(probe_key), F.monotonically_increasing_id()), F.lit(salt)),
         )
     else:
         salted_probe = probe.withColumn(
-            "__salt", (F.abs(F.hash(F.col(salt_source))) % salt)
+            "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(salt))
         )
     exploded_build = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

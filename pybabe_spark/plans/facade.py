@@ -118,6 +118,28 @@ class Babe:
             near_dedup_keep(self.df, id_col, text_col, threshold, **kwargs)
         )
 
+    # -- sampling / splitting / scrubbing ------------------------------------
+    def sample(self, key, fraction) -> "Babe":
+        from pybabe_spark.operators.sampling import hash_sample
+
+        return self._wrap(hash_sample(self.df, key, fraction))
+
+    def stratified_sample(self, strata, key, fractions) -> "Babe":
+        from pybabe_spark.operators.sampling import stratified_sample
+
+        return self._wrap(stratified_sample(self.df, strata, key, fractions))
+
+    def train_test_split(self, key, test_fraction=0.1) -> tuple["Babe", "Babe"]:
+        from pybabe_spark.operators.sampling import train_test_split
+
+        train, test = train_test_split(self.df, key, test_fraction)
+        return self._wrap(train), self._wrap(test)
+
+    def pii_scrub(self, field) -> "Babe":
+        from pybabe_spark.functions.text import pii_scrub
+
+        return self._wrap(self.df.withColumn(field, pii_scrub(field)))
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other

@@ -437,4 +437,5 @@ def _load_extensions() -> None:
     import pybabe_spark.queries_enrich  # noqa: F401
     import pybabe_spark.queries_ml  # noqa: F401
     import pybabe_spark.queries_multimodal  # noqa: F401
+    import pybabe_spark.queries_pipeline  # noqa: F401
     import pybabe_spark.queries_streaming  # noqa: F401

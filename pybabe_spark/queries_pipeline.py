@@ -1,0 +1,227 @@
+"""Training-pipeline queries round 2: quality-rule filters, PII scrub,
+deterministic sampling / splitting / mixing.
+
+Oracle-determinism notes (same conventions as queries.py / queries_ml.py):
+
+- Quality fractions are double arithmetic over exact integer inputs with
+  a FIXED expression tree (one division, one multiply) — bit-identical
+  across engines; no reassociation is possible.
+- The sampling family shares one integer hash (operators/sampling.py
+  ::hash_bucket) whose SQL mirror is hash_bucket_sql() — pure int64
+  arithmetic, so Spark and DuckDB select the exact same rows.
+- PII scrub runs on a column BUILT inside the query from doc_id (the
+  corpus itself is synthetic word soup with no PII), so the regex paths
+  are actually exercised and both engines see identical input strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.functions import text as T
+from pybabe_spark.operators.sampling import (
+    hash_bucket,
+    hash_bucket_sql,
+    hash_sample,
+    mix_sources,
+    stratified_sample,
+)
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality rules
+# ---------------------------------------------------------------------------
+
+_W = "string_split(text, ' ')"
+_BIGRAMS = (
+    f"CASE WHEN len({_W}) >= 2 THEN "
+    f"list_transform(range(1, len({_W})), i -> {_W}[i] || ' ' || {_W}[i+1]) "
+    f"ELSE [text] END"
+)
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                 / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_frac,
+             CAST(list_max(list_transform(list_distinct({_BIGRAMS}),
+                    x -> len(list_filter({_BIGRAMS}, y -> y = x)))) * 2 AS DOUBLE)
+                 / CAST(len({_W}) AS DOUBLE) AS top_bigram_frac,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                 / CAST(len({_W}) AS DOUBLE) AS symbol_word_ratio,
+             CAST(list_sum(list_transform({_W}, x -> length(x))) AS DOUBLE)
+                 / CAST(len({_W}) AS DOUBLE) AS mean_word_len
+      FROM documents WHERE doc_id < 2000
+    )
+    SELECT doc_id, dup_line_frac, top_bigram_frac, symbol_word_ratio,
+           (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.18
+            AND symbol_word_ratio <= 0.10
+            AND mean_word_len BETWEEN 3.0 AND 10.0) AS passes
+    FROM g
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """Repetition-rule document filter (functions/text.py
+    ::gopher_quality_flags; thresholds from Gopher arXiv:2112.11446
+    §A.2). One narrow projection pass — no shuffle, no UDF; at 100 TB
+    this is a map-only stage that fuses into the scan."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    flags = T.gopher_quality_flags("text")
+    return docs.select(
+        "doc_id",
+        T.dup_line_fraction("text").alias("dup_line_frac"),
+        T.top_ngram_fraction("text", 2).alias("top_bigram_frac"),
+        T.symbol_word_ratio("text").alias("symbol_word_ratio"),
+        (
+            flags["lines_ok"] & flags["bigram_ok"]
+            & flags["symbols_ok"] & flags["wlen_ok"]
+        ).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+_MK_CONTACT = (
+    "concat('reach user', CAST(doc_id AS VARCHAR), ' at u', "
+    "CAST(doc_id AS VARCHAR), '@mail.example.com or +33 1 4', "
+    "CAST(doc_id % 10 AS VARCHAR), ' 55 66 77 host 10.0.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7 ok')"
+)
+
+@register(
+    "pii_scrub_docs",
+    f"""
+    WITH c AS (
+      SELECT doc_id, {_MK_CONTACT} AS contact
+      FROM documents WHERE doc_id < 5000
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '{T.PII_PATTERNS["EMAIL"]}', '<EMAIL>', 'g'),
+             '{T.PII_PATTERNS["IP"]}', '<IP>', 'g'),
+             '{T.PII_PATTERNS["PHONE"]}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(contact, '{T.PII_PATTERNS["EMAIL"]}'))
+              + len(regexp_extract_all(contact, '{T.PII_PATTERNS["IP"]}'))
+              + len(regexp_extract_all(contact, '{T.PII_PATTERNS["PHONE"]}'))
+             AS BIGINT) AS n_pii
+    FROM c
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub + count (functions/text.py::pii_scrub): chained
+    JVM-regex replaces in whole-stage codegen; the contact string is
+    synthesized from doc_id so both engines scrub identical input."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    c = docs.select("doc_id", F.expr(_MK_CONTACT.replace("VARCHAR", "STRING")).alias("contact"))
+    return c.select(
+        "doc_id",
+        T.pii_scrub("contact").alias("scrubbed"),
+        T.pii_count("contact").cast("bigint").alias("n_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split / mix
+# ---------------------------------------------------------------------------
+
+@register(
+    "hash_sample_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE {hash_bucket_sql('o_orderkey')} < 100000
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """10% deterministic sample by key hash (operators/sampling.py
+    ::hash_sample). Map-side filter, no RNG, no shuffle — at 100 TB it's
+    a scan predicate; df.sample can't promise the same rows across task
+    retries, this can."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return hash_sample(orders, "o_orderkey", 0.1)
+
+
+@register(
+    "stratified_sample_segment",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND {hash_bucket_sql('c_custkey')} < 500000)
+       OR (c_mktsegment = 'MACHINERY' AND {hash_bucket_sql('c_custkey')} < 200000)
+       OR (c_mktsegment = 'AUTOMOBILE' AND {hash_bucket_sql('c_custkey')} < 50000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic rates (operators/sampling.py
+    ::stratified_sample): one CASE-over-bucket filter; strata without a
+    rate drop out — the class-rebalancing step of a training mix."""
+    cust = read_table(spark, sf_dir, "customer")
+    out = stratified_sample(
+        cust, "c_mktsegment", "c_custkey",
+        {"BUILDING": 0.5, "MACHINERY": 0.2, "AUTOMOBILE": 0.05},
+    )
+    return out.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "train_test_split_counts",
+    f"""
+    SELECT CASE WHEN {hash_bucket_sql('doc_id')} < 100000
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 90/10 corpus split (operators/sampling.py
+    ::train_test_split): disjoint + exhaustive by construction; the
+    split is a property of the data, recomputable anywhere."""
+    from pybabe_spark.operators.sampling import train_test_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", 0.1)
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@register(
+    "mix_sources_docs",
+    f"""
+    WITH mixed AS (
+      SELECT * FROM documents
+      WHERE source = 'src0' AND {hash_bucket_sql('doc_id')} < 1000000
+      UNION ALL
+      SELECT * FROM documents
+      WHERE source <> 'src0' AND {hash_bucket_sql('doc_id')} < 250000
+    )
+    SELECT source, COUNT(*) AS n FROM mixed GROUP BY source
+    """,
+)
+def q_mix_sources(spark, sf_dir):
+    """Weighted corpus blend (operators/sampling.py::mix_sources): 100%
+    of the curated source + 25% of the rest, unioned narrow — the
+    data-mixing step ahead of tokenization."""
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = mix_sources(
+        [
+            (docs.filter(F.col("source") == "src0"), 1.0),
+            (docs.filter(F.col("source") != "src0"), 0.25),
+        ],
+        "doc_id",
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

@@ -77,6 +77,24 @@ def test_typedetect_mixed(spark):
     assert dt["s"] == "string"
 
 
+def test_typedetect_datetime_keeps_time_of_day(spark):
+    """ISO datetimes must detect as timestamp, not date (Spark's
+    string->date cast truncates '2020-01-02 10:30:00' silently; the
+    reference tries parse_datetime before parse_date,
+    pybabe/types.py:38-44). All-midnight/bare-date columns stay date."""
+    df = spark.createDataFrame(
+        [("2020-01-02 10:30:00", "2020-01-02", "2020-01-02 00:00:00"),
+         ("2021-03-04 00:00:00", "2021-03-04", "2021-03-04 00:00:00")],
+        "dt string, d string, mid string",
+    )
+    out = typedetect(df)
+    dt = dict(out.dtypes)
+    assert dt["dt"] == "timestamp"
+    assert dt["d"] == "date"
+    assert dt["mid"] == "date"  # all-midnight: really a date column
+    assert str(out.collect()[0]["dt"]) == "2020-01-02 10:30:00"
+
+
 def test_parse_time_policies(spark):
     df = spark.createDataFrame(
         [("2020/01/02",), ("garbage",), (None,)], "t string"

@@ -324,3 +324,144 @@ def test_write_range_sorted_produces_disjoint_files(spark, sf_dir, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges  # disjoint, ordered ranges
+
+
+def test_asof_join_same_named_ts_keeps_left(spark):
+    """Defaults left_ts == right_ts == 'ts' must NOT clobber the left
+    timestamp (pandas.merge_asof keeps the left key); the matched right
+    timestamp comes back aliased ts_right, NULL when unmatched."""
+    from pybabe_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"),
+         (2, "2024-01-01 11:00:00", "l2")],
+        "k bigint, ts string, lid string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0)],
+        "k bigint, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r["lid"]: r for r in asof_join(left, right, on="k").collect()}
+    assert str(out["l1"]["ts"]) == "2024-01-01 10:00:00"  # left ts intact
+    assert str(out["l1"]["ts_right"]) == "2024-01-01 09:30:00"
+    assert out["l1"]["rv"] == 10.0
+    assert str(out["l2"]["ts"]) == "2024-01-01 11:00:00"  # unmatched: intact
+    assert out["l2"]["ts_right"] is None and out["l2"]["rv"] is None
+
+
+def test_asof_join_payload_collision_raises(spark):
+    from pybabe_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 1.0, 2.0)], "k bigint, ts double, v double")
+    right = spark.createDataFrame([(1, 1.0, 3.0)], "k bigint, rts double, v double")
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+
+def test_salted_join_salt_always_in_range(spark):
+    """pmod salting must keep every bucket in [0, salt) even for hash
+    values at Integer.MIN_VALUE (abs+% would overflow under ANSI or go
+    negative and silently drop the row)."""
+    probe = spark.range(0, 20000).withColumnRenamed("id", "k")
+    build = spark.range(0, 20000).withColumnRenamed("id", "bk")
+    out = salted_join(probe, build, "k", "bk", salt=8)
+    # bijective key space: every probe row must find its build match
+    assert out.count() == 20000
+
+
+def test_near_dedup_greedy_chain_survivors(spark):
+    """Chain a~b~c with a !~ c: greedy policy keeps a and c (b dropped
+    because a survives; c kept because its only lower neighbor b was
+    dropped). Default lower_id policy drops both b and c."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_keep
+
+    rows = [
+        (1, "a b c d e"),      # ~ doc2 (4/6 < 0.8? {a..e} vs {b..f}: 4/6=0.67)
+    ]
+    # build an explicit chain with >= 0.8 jaccard between neighbors only:
+    # doc1 = w1..w10; doc2 = w2..w11 (9/11 = 0.818); doc3 = w3..w12
+    # (doc2~doc3: 9/11; doc1~doc3: 8/12 = 0.67 < 0.8)
+    w = [f"w{i}" for i in range(1, 13)]
+    rows = [
+        (1, " ".join(w[0:10])),
+        (2, " ".join(w[1:11])),
+        (3, " ".join(w[2:12])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    greedy = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep(df, "doc_id", "text", threshold=0.8,
+                                 policy="greedy").collect()
+    )
+    assert greedy == [1, 3]
+
+    lower_id = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep(df, "doc_id", "text", threshold=0.8).collect()
+    )
+    assert lower_id == [1]
+
+
+def test_near_dedup_greedy_matches_python_reference(spark, sf_dir):
+    """Greedy fixpoint must equal the sequential greedy algorithm run in
+    plain Python over the same exact-jaccard pair graph."""
+    from pybabe_spark.operators.dedup_scale import jaccard_pairs, near_dedup_keep
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    neigh = {}
+    for r in pairs:
+        neigh.setdefault(r["id_b"], set()).add(r["id_a"])
+    surv_ref = set()
+    for did in sorted(r["doc_id"] for r in docs.select("doc_id").collect()):
+        if not (neigh.get(did, set()) & surv_ref):
+            surv_ref.add(did)
+    got = {
+        r["doc_id"]
+        for r in near_dedup_keep(docs, "doc_id", "text", threshold=0.7,
+                                 policy="greedy").collect()
+    }
+    assert got == surv_ref
+
+
+def test_train_test_split_disjoint_exhaustive(spark, sf_dir):
+    from pybabe_spark.operators.sampling import train_test_split
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", 0.1)
+    n, ntr, nte = docs.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.join(test, "doc_id", "left_semi").count() == 0
+    # rate lands near the target (hash uniformity)
+    assert 0.05 < nte / n < 0.15
+
+
+def test_hash_sample_is_deterministic_and_stable(spark, sf_dir):
+    """Same rows every run AND under re-partitioning — the property
+    df.sample does not have (its Bernoulli draw is per-task-attempt)."""
+    from pybabe_spark.operators.sampling import hash_sample
+    from pybabe_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = {r["o_orderkey"] for r in
+         hash_sample(orders, "o_orderkey", 0.1).select("o_orderkey").collect()}
+    b = {r["o_orderkey"] for r in
+         hash_sample(orders.repartition(7), "o_orderkey", 0.1)
+         .select("o_orderkey").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    """The sample must stay a scan-side filter: no Exchange in the plan."""
+    from pybabe_spark.operators.sampling import hash_sample
+    from pybabe_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    plan = hash_sample(orders, "o_orderkey", 0.1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
