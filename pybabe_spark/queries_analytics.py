@@ -375,7 +375,7 @@ def q_salted_join_priority_revenue(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
