@@ -225,3 +225,78 @@ def q_mix_sources(spark, sf_dir):
         "doc_id",
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Keyed merges
+# ---------------------------------------------------------------------------
+
+@register(
+    "upsert_customer_balances",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    base AS (
+      SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def q_upsert(spark, sf_dir):
+    """SCD1 row-level merge (operators/merge.py::upsert): updates win on
+    key collision, base passes through, new keys append — one anti-join
+    + narrow union; update side broadcasts when small."""
+    from pybabe_spark.operators.merge import upsert
+
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    merged = upsert(base, updates, "c_custkey")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal"),
+    )
+
+
+@register(
+    "dedup_against_seen",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS ck
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id,
+             md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS ck
+      FROM documents
+    )
+    SELECT b.doc_id FROM batch b WHERE b.ck NOT IN (SELECT ck FROM seen)
+    """,
+)
+def q_dedup_against(spark, sf_dir):
+    """Incremental corpus dedup (operators/merge.py::dedup_against): the
+    new batch drops rows whose content key exists in the historical seen
+    set — the daily-ingest counterpart of full-corpus dedup. (The corpus
+    has no exact duplicates, so the seen set is every 5th doc's key,
+    guaranteeing the anti-join really drops 20% of the batch.)"""
+    from pybabe_spark.operators.merge import dedup_against
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 5 == 0).select(
+        T.exact_key("text").alias("ck")
+    )
+    batch = docs.select("doc_id", T.exact_key("text").alias("ck"))
+    return dedup_against(batch, seen, "ck").select("doc_id")

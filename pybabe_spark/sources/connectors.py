@@ -1,0 +1,126 @@
+"""External-service connectors: MongoDB, REST/JSON APIs.
+
+Parity surface for the reference's service connectors (pybabe/mongo.py,
+pybabe/twitter.py, pybabe/protocol_buzzdata.py). Spark-first design:
+
+- **Mongo** maps onto the official `mongodb` Spark connector
+  (DataSource V2: predicate/projection pushdown, partitioned reads via
+  ``partitioner`` options — distributed, unlike the reference's
+  driver-side cursor loop). The connector jar isn't bundled in this
+  environment, so construction is wired and argument-checked here and
+  the load/save call raises a clear error if the format is absent.
+- **REST APIs** (the twitter/buzzdata pattern — fetch JSON, flatten to
+  rows) become :func:`pull_http_json`: driver-side fetch of ONE bounded
+  payload → ``spark.createDataFrame`` → Spark-side flatten. API
+  pagination at scale should instead land files on object storage and go
+  through ``pull`` (the reference's own kontagent flow, which this
+  engine covers with the log-ingest pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _mongo_reader(spark: SparkSession, uri: str, db: str, collection: str,
+                  pipeline: list[dict] | None = None, **options: str):
+    reader = (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", db)
+        .option("collection", collection)
+    )
+    if pipeline is not None:
+        reader = reader.option("aggregation.pipeline", json.dumps(pipeline))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def pull_mongo(
+    spark: SparkSession,
+    uri: str,
+    db: str,
+    collection: str,
+    spec: dict | None = None,
+    **options: str,
+) -> DataFrame:
+    """Distributed Mongo read (reference: pybabe/mongo.py:30-50, a
+    single-cursor loop). ``spec`` (the reference's find() filter) becomes
+    a ``$match`` aggregation stage so it executes server-side and the
+    connector can split partitions beneath it."""
+    pipeline = [{"$match": spec}] if spec else None
+    try:
+        return _mongo_reader(spark, uri, db, collection, pipeline, **options).load()
+    except Exception as e:  # connector jar not on classpath, or bad URI
+        raise RuntimeError(
+            "pull_mongo needs the mongo-spark-connector on the Spark "
+            "classpath (--packages org.mongodb.spark:mongo-spark-connector)"
+        ) from e
+
+
+def push_mongo(
+    df: DataFrame,
+    uri: str,
+    db: str,
+    collection: str,
+    drop_collection: bool = False,
+    id_col: str | None = None,
+    **options: str,
+) -> None:
+    """Distributed Mongo write (reference: pybabe/mongo.py:5-27).
+    ``drop_collection`` maps to overwrite mode; ``id_col`` renames a
+    column to ``_id`` (the reference synthesizes _id per row)."""
+    out = df.withColumnRenamed(id_col, "_id") if id_col else df
+    writer = (
+        out.write.format("mongodb")
+        .mode("overwrite" if drop_collection else "append")
+        .option("connection.uri", uri)
+        .option("database", db)
+        .option("collection", collection)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as e:
+        raise RuntimeError(
+            "push_mongo needs the mongo-spark-connector on the Spark "
+            "classpath (--packages org.mongodb.spark:mongo-spark-connector)"
+        ) from e
+
+
+def pull_http_json(
+    spark: SparkSession,
+    url: str,
+    record_path: str | None = None,
+    timeout: float = 30.0,
+    max_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """One bounded JSON payload → DataFrame (the twitter/buzzdata fetch
+    pattern, pybabe/twitter.py:34-77 / protocol_buzzdata.py:17-39).
+
+    The fetch is driver-side by nature (one API call, like the
+    reference); ``record_path`` drills to the list of records (e.g.
+    ``"results"``). Size-capped so a misbehaving endpoint can't OOM the
+    driver — large ingestion belongs on object storage + ``pull``.
+    """
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (caller's URL)
+        payload = resp.read(max_bytes + 1)
+    if len(payload) > max_bytes:
+        raise ValueError(f"pull_http_json: payload exceeds {max_bytes} bytes")
+    data: Any = json.loads(payload)
+    if record_path is not None:
+        for part in record_path.split("."):
+            data = data[part]
+    if isinstance(data, dict):
+        data = [data]
+    if not isinstance(data, list) or not data:
+        raise ValueError("pull_http_json: no records found at record_path")
+    rows = [json.dumps(r) for r in data]
+    return spark.read.json(spark.sparkContext.parallelize(rows))

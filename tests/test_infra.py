@@ -294,3 +294,57 @@ def test_parse_time_reference_golden_exact(spark):
     assert r["time"] == datetime.datetime(2012, 4, 2, 22, 33)
     assert r["date"] == datetime.date(2012, 4, 2)
     assert r["hour"] == 22
+
+
+def test_pull_mongo_raises_clear_error_without_connector(spark):
+    """Wiring must fail with an actionable message when the connector jar
+    is absent (it is in this environment)."""
+    from pybabe_spark.sources.connectors import pull_mongo
+
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        pull_mongo(spark, "mongodb://localhost", "db", "coll", spec={"a": 1})
+
+
+def test_pull_http_json_local_payload(spark, tmp_path):
+    """file:// exercises the whole fetch→flatten path without network."""
+    from pybabe_spark.sources.connectors import pull_http_json
+
+    p = tmp_path / "api.json"
+    p.write_text('{"results": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}')
+    df = pull_http_json(spark, p.as_uri(), record_path="results")
+    rows = sorted((r["id"], r["name"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_upsert_and_dedup_against(spark):
+    from pybabe_spark.operators.merge import dedup_against, upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k bigint, v string"
+    )
+    merged = {r["k"]: r["v"] for r in upsert(base, updates, "k").collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        upsert(base, updates.withColumnRenamed("v", "w"), "k")
+
+    seen = spark.createDataFrame([(2,), (3,)], "k bigint")
+    left = sorted(r["k"] for r in dedup_against(base, seen, "k").collect())
+    assert left == [1]
+
+
+def test_cli_converts_csv_to_parquet(spark, tmp_path):
+    """python -m pybabe_spark --input x.csv --output y.parquet (reference
+    CLI parity, pybabe/__main__.py:6-14). Runs in-process against the
+    already-active session (get_spark reuses it)."""
+    from pybabe_spark.__main__ import main
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    out = str(tmp_path / "out.parquet")
+    main(["--input", str(src), "--output", out])
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [(1, "x"), (2, "y")]

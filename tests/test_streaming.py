@@ -231,3 +231,64 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for r in tumbling_counts(batch, "ts", "1 hour").collect()
     }
     assert batch_counts["2024-01-01 10:00:00"] == 4  # batch sees the late row
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """Continuous SCD1: each micro-batch upserts into a keyed parquet
+    target via foreachBatch + operators/merge.upsert — the streaming
+    ingestion pattern for maintaining a current-state table (last write
+    per key wins across batches; within a batch, highest ts wins)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.merge import upsert
+    from pybabe_spark.streaming.ops import run_foreach_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"], "ts": [1, 1]}).to_parquet(
+        src / "b1.parquet"
+    )
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"], "ts": [2, 2]}).to_parquet(
+        src / "b2.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema("k bigint, v string, ts bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(F.col("ts").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            base = batch_df.sparkSession.read.parquet(target)
+        except Exception:
+            latest.write.mode("overwrite").parquet(target)
+            return
+        # write-new-then-swap: the merged plan still READS the current
+        # target, so overwriting it in place would delete its own input;
+        # an atomic directory swap is also what production needs.
+        tmp_out = target + ".new"
+        upsert(base, latest, "k").write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(target)
+        os.rename(tmp_out, target)
+
+    q = run_foreach_batch(stream, apply_batch, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    # b2 overwrote k=2; k=1 survived; k=3 appended. File order between
+    # the two batches is lexicographic (b1 then b2) with ts tiebreak
+    # inside a batch if they coalesce into one.
+    assert got == {1: "a", 2: "B", 3: "c"}
