@@ -300,3 +300,25 @@ def q_dedup_against(spark, sf_dir):
     )
     batch = docs.select("doc_id", T.exact_key("text").alias("ck"))
     return dedup_against(batch, seen, "ck").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+@register(
+    "heavy_hitters_custkey",
+    """
+    SELECT o_custkey, COUNT(*) AS n
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 18
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Exact frequent-value aggregation (operators/sketch.py
+    ::exact_heavy_hitters) — the oracle-checkable definition; the
+    fixed-memory sketch path (heavy_hitters, KPS one-pass) is pinned
+    against it in tests/test_scale_ops.py."""
+    from pybabe_spark.operators.sketch import exact_heavy_hitters
+
+    orders = read_table(spark, sf_dir, "orders")
+    return exact_heavy_hitters(orders, "o_custkey", 18)

@@ -508,3 +508,64 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> "tuple[DataFrame, str]":
+    """Append a Z-order (Morton) key interleaving ``bits``-bit quantile
+    buckets of each column; returns (df_with_key, key_col_name).
+
+    Bucket boundaries come from one bounded ``approxQuantile`` pass per
+    column (driver holds 2^bits numbers per column — constant), then the
+    bucket index and bit interleave are pure codegen arithmetic. Used by
+    :func:`write_zorder`.
+    """
+    n_buckets = 1 << bits
+    out = df
+    bucket_cols = []
+    for c in cols:
+        qs = df.approxQuantile(c, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+        b = F.lit(0)
+        for q in qs:
+            b = b + F.when(F.col(c).cast("double") > F.lit(q), 1).otherwise(0)
+        name = f"__zb_{c}"
+        out = out.withColumn(name, b.cast("int"))
+        bucket_cols.append(name)
+    z = F.lit(0)
+    for i in range(bits):
+        for j, bc in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(bc), i).bitwiseAND(F.lit(1)),
+                i * len(bucket_cols) + j,
+            )
+    out = out.withColumn("__zval", z.cast("long")).drop(*bucket_cols)
+    return out, "__zval"
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: multi-column data skipping.
+
+    Range-sorting on one column leaves every other column spanning its
+    full range in each file; interleaving quantile-bucket bits (Morton
+    order) keeps EVERY clustered column's per-file min/max narrow, so
+    selective predicates on any of them skip files (the Delta/Iceberg
+    OPTIMIZE ZORDER idea, built from repartitionByRange + sort). At
+    100 TB: one quantile pass + one range shuffle, both data-linear.
+    """
+    out = df
+    if INGEST_ID in out.columns:
+        out = out.drop(INGEST_ID)
+    out, zcol = zorder_value(out, cols, bits)
+    (
+        out.repartitionByRange(num_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode(mode)
+        .parquet(path)
+    )

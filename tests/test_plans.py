@@ -87,3 +87,41 @@ def test_ann_ivf_topk_pushes_group_limit(spark, sf_dir):
     # exchange), and the query side must broadcast
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """Quality-rule scoring must stay a scan-fused projection: no
+    exchange, no Python worker in the plan."""
+    plan = _plan(spark, "gopher_quality_rules", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pii_scrub_map_only(spark, sf_dir):
+    plan = _plan(spark, "pii_scrub_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_upsert_broadcasts_small_update_keys(spark, sf_dir):
+    """The anti-join against the updated-key set must broadcast (update
+    batches are small next to the base at scale)."""
+    plan = _plan(spark, "upsert_customer_balances", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_mix_sources_no_shuffle(spark, sf_dir):
+    """Weighted mixing is filters + union — shuffle-free until an
+    aggregation asks for one; check the operator in isolation."""
+    from pybabe_spark.operators.sampling import mix_sources
+    from pybabe_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = mix_sources(
+        [(docs.filter(F.col("source") == "src0"), 1.0),
+         (docs.filter(F.col("source") != "src0"), 0.25)],
+        "doc_id",
+    )
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -465,3 +465,55 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
     plan = hash_sample(orders, "o_orderkey", 0.1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_heavy_hitters_sketch_superset_of_exact(spark, sf_dir):
+    """freqItems may return false positives but must contain every true
+    heavy hitter (one-pass KPS guarantee)."""
+    from pybabe_spark.operators.sketch import exact_heavy_hitters, heavy_hitters
+    from pybabe_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    n = orders.count()
+    support = 0.001
+    sketch = {r["o_custkey"] for r in
+              heavy_hitters(orders, "o_custkey", support).collect()}
+    exact = {r["o_custkey"] for r in
+             exact_heavy_hitters(orders, "o_custkey",
+                                 int(support * n) + 1).collect()}
+    assert exact <= sketch, (len(exact), len(sketch))
+
+
+def test_write_zorder_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered layout must keep BOTH clustered columns' per-file spans
+    narrow (a 1-D sort leaves the second column spanning ~everything in
+    every file — that's the property Z-order exists to fix)."""
+    from pybabe_spark.sources.io import read_table, write_range_sorted, write_zorder
+
+    orders = read_table(spark, sf_dir, "orders")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder(orders, zpath, ["o_custkey", "o_totalprice"], num_files=8)
+    write_range_sorted(orders, spath, ["o_custkey"], num_files=8)
+
+    def mean_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in per_file) / len(per_file)
+
+    full_span = (
+        orders.agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("s"))
+        .collect()[0]["s"]
+    )
+    # 1-D sort: totalprice spans ~the full range per file; z-order: much less
+    assert mean_span(spath, "o_totalprice") > 0.8 * full_span
+    assert mean_span(zpath, "o_totalprice") < 0.6 * full_span
+    # and custkey stays reasonably clustered too
+    full_ck = (
+        orders.agg((F.max("o_custkey") - F.min("o_custkey")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert mean_span(zpath, "o_custkey") < 0.6 * full_ck
