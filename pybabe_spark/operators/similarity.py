@@ -58,6 +58,17 @@ def _with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     ).drop("__norm")
 
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least cluster-parallelism partitions on the STREAMED side
+    of a broadcast join (which inherits its partitioning): an id-bounded
+    or single-file input collapses to 1 partition and serializes the
+    pair-scoring stage. Already-well-partitioned inputs (the 100 TB
+    corpus) pass through untouched — no gratuitous shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def ann_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,6 +93,7 @@ def ann_brute_force(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv", "__cvec",
     ).select("neighbor_id", "__cvec")
+    c = _spread(c)
     sims = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -166,7 +178,7 @@ def ann_lsh(
     skip even that.
     """
     bucket = lsh_bucket_expr(vec_col, dims, planes)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         bucket.alias("__bucket"),
@@ -272,7 +284,7 @@ def ann_ivf(
         order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         cell_of(F.col(vec_col)).alias("__cell"),
@@ -324,6 +336,8 @@ def embedding_neardup_pairs(
     ).select("__id", "__vn")
     a = normed.select(F.col("__id").alias("id_a"), F.col("__vn").alias("__va"))
     b = normed.select(F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"))
+    # the nested-loop pair join inherits the streamed side's partitioning
+    a = _spread(a)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
