@@ -159,6 +159,45 @@ def lsh_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
     return F.expr(" + ".join(bits)).cast("int")
 
 
+def _py_plane(plane: int, dim: int) -> float:
+    """Python mirror of :func:`_plane_component` (same md5-nibble
+    hyperplanes): instr() is 1-based, so nibble+1-8.5 = nibble-7.5."""
+    import hashlib
+
+    nibble = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0], 16)
+    return nibble + 1 - 8.5
+
+
+def _probe_buckets(dims: int, planes: int, nprobe: int):
+    """Query-side multi-probe bucket list: the home bucket plus the
+    buckets reached by flipping the lowest-|margin| hyperplane bits —
+    the standard multi-probe LSH recall fix (Lv et al., VLDB'07): a
+    near-boundary projection is the likeliest bit to disagree with a
+    true neighbor's."""
+    import numpy as np
+
+    P = np.array(
+        [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
+        dtype="float64",
+    )
+
+    @pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        proj = X @ P.T                       # (n, planes)
+        home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
+        order = np.argsort(np.abs(proj), axis=1)  # least-confident first
+        out = []
+        for i in range(len(X)):
+            buckets = [int(home[i])]
+            for j in range(min(nprobe - 1, planes)):
+                buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
+            out.append(buckets)
+        return pd.Series(out)
+
+    return probe
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -167,15 +206,17 @@ def ann_lsh(
     vec_col: str = "embedding",
     dims: int = 64,
     planes: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k probing only the query's LSH bucket.
+    """Approximate cosine top-k probing the query's LSH bucket(s).
 
-    Recall < 1 by design (candidates limited to one bucket); increase
-    recall with fewer planes (bigger buckets) or multi-probe. Scale
-    shape: corpus bucketed once (narrow map), then an equi-join on
-    bucket id replaces the cross join — shuffle is corpus-sized, and a
-    100 TB corpus can be *stored* pre-bucketed (partitionBy bucket) to
-    skip even that.
+    ``nprobe`` > 1 turns on multi-probe: each query also checks the
+    buckets reached by flipping its lowest-margin hyperplane bits,
+    buying recall without growing buckets (candidates scale ×nprobe,
+    never corpus-sized). Scale shape: corpus bucketed once (narrow map),
+    then an equi-join on bucket id replaces the cross join — shuffle is
+    corpus-sized, and a 100 TB corpus can be *stored* pre-bucketed
+    (partitionBy bucket) to skip even that.
     """
     bucket = lsh_bucket_expr(vec_col, dims, planes)
     c = _spread(corpus).select(
@@ -183,13 +224,20 @@ def ann_lsh(
         F.col(vec_col).alias("__cvec"),
         bucket.alias("__bucket"),
     )
-    q = F.broadcast(
-        queries.select(
+    if nprobe <= 1:
+        q_sel = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             bucket.alias("__bucket"),
         )
-    )
+    else:
+        probe = _probe_buckets(dims, planes, nprobe)
+        q_sel = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe(F.col(vec_col))).alias("__bucket"),
+        )
+    q = F.broadcast(q_sel)
     sims = (
         c.join(q, "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -140,6 +140,23 @@ class Babe:
 
         return self._wrap(self.df.withColumn(field, pii_scrub(field)))
 
+    def upsert(self, updates: "Babe | DataFrame", keys) -> "Babe":
+        from pybabe_spark.operators.merge import upsert
+
+        u = updates.df if isinstance(updates, Babe) else updates
+        return self._wrap(upsert(self.df, u, keys))
+
+    def dedup_against(self, seen: "Babe | DataFrame", keys) -> "Babe":
+        from pybabe_spark.operators.merge import dedup_against
+
+        s = seen.df if isinstance(seen, Babe) else seen
+        return self._wrap(dedup_against(self.df, s, keys))
+
+    def heavy_hitters(self, column, support=0.01) -> "Babe":
+        from pybabe_spark.operators.sketch import heavy_hitters
+
+        return self._wrap(heavy_hitters(self.df, column, support))
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other

@@ -332,7 +332,7 @@ def q_embedding_neardup(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann_lsh(emb, queries, k=10, dims=64, planes=4)
+    return ann_lsh(emb, queries, k=10, dims=64, planes=4, nprobe=2)
 
 
 # IVF ANN: approximate by construction (nprobe/nlist candidate pruning) —

@@ -354,3 +354,22 @@ def test_facade_enrichment_chain(spark):
 
     key = b.primary_key_detect()
     assert key == "a"
+
+
+def test_facade_merge_and_sampling_surface(spark):
+    base = Babe.from_df(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+                              "k bigint, v string")
+    )
+    updates = spark.createDataFrame([(2, "B")], "k bigint, v string")
+    got = {r["k"]: r["v"] for r in base.upsert(updates, "k").df.collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    seen = spark.createDataFrame([(1,), (3,)], "k bigint")
+    left = sorted(r["k"] for r in base.dedup_against(seen, "k").df.collect())
+    assert left == [2, 4]
+
+    sampled = base.sample("k", 1.0)
+    assert sampled.count() == 4
+    train, test = base.train_test_split("k", 0.5)
+    assert train.count() + test.count() == 4

@@ -78,3 +78,45 @@ def test_group_sum_matches_pandas(spark, data):
         for r in group(df, "k", {"total": ("sum", "v")}).collect()
     }
     assert got == expected
+
+
+ids = st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+               max_size=30, unique=True)
+
+
+@given(data=ids, frac=st.sampled_from([0.0, 0.1, 0.5, 1.0]))
+@settings(**SETTINGS)
+def test_hash_sample_matches_python_model(spark, data, frac):
+    """The Spark bucket arithmetic must equal the pure-Python model for
+    any int64 key — the cross-engine reproducibility contract."""
+    from pybabe_spark.operators.sampling import BUCKETS, hash_sample
+
+    def py_bucket(k):
+        return ((k % 1_000_003) * 2_654_435_761 + 123_456_789) % BUCKETS
+
+    expect = {k for k in data if py_bucket(k) < int(round(frac * BUCKETS))}
+    df = spark.createDataFrame([(k,) for k in data], "k bigint")
+    got = {r["k"] for r in hash_sample(df, "k", frac).collect()}
+    assert got == expect
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 9), vals), min_size=1,
+                     max_size=30))
+@settings(**SETTINGS)
+def test_upsert_idempotent_and_complete(spark, data):
+    """upsert(upsert(b, u), u) == upsert(b, u); result keys = base ∪
+    update keys; update rows always win."""
+    from pybabe_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(k, v) for k, v in data], "k bigint, v bigint")
+    updates = spark.createDataFrame(
+        [(k, v + 10_000) for k, v in data[: len(data) // 2 + 1]],
+        "k bigint, v bigint",
+    ).dropDuplicates(["k"])
+    once = upsert(base.dropDuplicates(["k"]), updates, "k")
+    twice = upsert(once, updates, "k")
+    o = {r["k"]: r["v"] for r in once.collect()}
+    t = {r["k"]: r["v"] for r in twice.collect()}
+    assert o == t
+    for r in updates.collect():
+        assert o[r["k"]] == r["v"]
