@@ -144,6 +144,7 @@ def pull(
     filename: str | None = None,
     *,
     string: str | None = None,
+    command: list[str] | None = None,
     format: str | None = None,
     encoding: str | None = None,
     fields: list[str] | None = None,
@@ -170,6 +171,24 @@ def pull(
       driver-side shim (single-member archives only, like
       pybabe/compress_zip.py:7-23).
     """
+    if command is not None:
+        # command-stdout source (pybabe/base.py:361-450's command= mode):
+        # driver-side by nature, like the reference's subprocess pipe;
+        # output is size-bounded so a runaway command can't OOM the driver
+        import subprocess
+
+        out = subprocess.run(
+            command, capture_output=True, timeout=300, check=True
+        ).stdout.decode(encoding or "utf-8")
+        if len(out) > 256 * 1024 * 1024:
+            raise ValueError("pull(command=...): stdout exceeds 256 MB; "
+                             "write to a file and pull that instead")
+        hdr = header if fields is None else False
+        df = _pull_string(spark, out, format or "csv", separator=separator,
+                          header=hdr, infer_schema=infer_schema)
+        if fields:
+            df = df.toDF(*fields)
+        return with_ingest_id(df.coalesce(1)) if ingest_id else df
     if string is not None:
         df = _pull_string(spark, string, format or "csv", separator=separator,
                           header=header, infer_schema=infer_schema)
@@ -177,7 +196,7 @@ def pull(
         # ingest id reproduces the reference's stream order exactly
         return with_ingest_id(df.coalesce(1)) if ingest_id else df
     if filename is None:
-        raise ValueError("pull() needs filename= or string=")
+        raise ValueError("pull() needs filename=, string=, or command=")
 
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "csv"
@@ -204,6 +223,15 @@ def pull(
         )
         if encoding:
             reader = reader.option("encoding", encoding)
+            # Spark's line-splitting CSV fast path assumes newline bytes
+            # are unambiguous, which only holds for UTF-8-compatible
+            # charsets; multi-byte encodings (UTF-16/32) must decode the
+            # file as a whole. Costs splittability — per-file parallelism
+            # only — which matches the reference's per-file decode.
+            if encoding.upper().replace("-", "").replace("_", "") not in (
+                "UTF8", "ASCII", "LATIN1", "ISO88591",
+            ):
+                reader = reader.option("multiLine", "true")
         if null_value is not None:
             reader = reader.option("nullValue", null_value)
     elif fmt == "txt":

@@ -348,3 +348,35 @@ def test_cli_converts_csv_to_parquet(spark, tmp_path):
     main(["--input", str(src), "--output", out])
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == [(1, "x"), (2, "y")]
+
+
+def test_pull_command_stdout(spark):
+    """pull(command=[...]) parses the command's stdout (reference
+    pybabe/base.py command= mode; tests/test_base.py::test_pull_process)."""
+    df = pull(
+        spark,
+        command=["printf", "a,b\n1,2\n3,4\n"],
+        format="csv",
+    )
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+
+    named = pull(
+        spark,
+        command=["printf", "x\ny\n"],
+        fields=["name"],
+        infer_schema=False,
+    )
+    assert [r["name"] for r in named.collect()] == ["x", "y"]
+
+
+def test_push_pull_utf16_roundtrip(spark, tmp_path):
+    """encoding= on both sides (reference tests/test_charset.py
+    ::test_writeutf16)."""
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([("café", 1), ("naïve", 2)], "s string, n int")
+    out = str(tmp_path / "u16")
+    push(df, out, format="csv", encoding="UTF-16")
+    back = pull(spark, out + "/*.csv", format="csv", encoding="UTF-16",
+                schema="s string, n int", infer_schema=False)
+    assert sorted(map(tuple, back.collect())) == [("café", 1), ("naïve", 2)]
