@@ -398,3 +398,121 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= F.lit(threshold))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_size: int = 2048,
+    iters: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an on-disk IVF index: rows stored
+    ``partitionBy(cell)`` with the k-means centroids in a sidecar
+    (``<path>/_centroids``, written through the same filesystem).
+
+    The stored layout is what makes IVF pay at 100 TB: a probe reads
+    ``nprobe``/``nlist`` of the *files*, pruned at the scan by the
+    partition filter (asserted in tests/test_plans.py) — the index build
+    is one bounded centroid fit + one partitioned write, both reusable
+    across every subsequent query batch.
+    """
+    C = _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
+        )
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    (
+        spark.createDataFrame(rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode(mode)
+        .json(path.rstrip("/") + "/_centroids")
+    )
+
+
+def ann_ivf_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` layout.
+
+    Probe cells are computed from the (small-by-contract) query set on
+    the driver, so the cell list is a LITERAL ``isin`` predicate —
+    Catalyst prunes non-probed partitions at the file listing, before a
+    byte of vector data is read. Scoring/rank then matches
+    :func:`ann_ivf`.
+    """
+    cent = spark.read.json(path.rstrip("/") + "/_centroids")
+    crows = sorted(
+        ((r["cell"], r["centroid"]) for r in cent.collect()), key=lambda t: t[0]
+    )
+    C = np.asarray([c for _, c in crows], dtype="float64")
+
+    qrows = queries.select(id_col, vec_col).collect()
+    Q = np.asarray([r[vec_col] for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probe_pairs = [
+        (int(r[id_col]), int(c))
+        for r, cells in zip(qrows, order)
+        for c in cells
+    ]
+    probe_cells = sorted({c for _, c in probe_pairs})
+
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("cell").alias("__cell"),
+    )
+    q = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            probe_pairs, f"query_id long, __cell int"
+        ).join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            ),
+            "query_id",
+        )
+    )
+    sims = (
+        c.join(q, "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -543,3 +543,31 @@ def test_ann_lsh_multiprobe_recall_improves(spark, sf_dir):
     # structure), so absolute recall is bounded by bucket coverage;
     # 3-probe covers 3/16 buckets — require it to beat that random floor
     assert r3 > 3 / 16, (r1, r3)
+
+
+def test_ivf_stored_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path):
+    """The stored-IVF probe must (a) prune non-probed cell partitions at
+    the scan (PartitionFilters) and (b) return the same neighbors as the
+    inline ann_ivf with identical parameters."""
+    from pybabe_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_stored,
+        build_ivf_index,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=16)
+
+    stored = ann_ivf_stored(spark, path, queries, k=10, nprobe=4)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+
+    inline = ann_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in stored.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in inline.collect()}
+    assert got == want
