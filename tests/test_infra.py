@@ -396,3 +396,33 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(out + "/*.parquet"))
     assert after == n == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC push_sql -> pull_sql roundtrip (incl. the partitioned
+    range read) against the Derby embedded driver Spark already bundles
+    for its metastore — no network, same-JVM database."""
+    from pybabe_spark.sources.sql import pull_sql, push_sql
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    push_sql(df, url, "t1", mode="overwrite", **opts)
+
+    back = pull_sql(spark, url, table="t1", **opts)
+    assert back.count() == 100
+    assert {r["k"]: r["v"] for r in back.collect()}[7] == 14
+
+    ranged = pull_sql(
+        spark, url, table="t1", partition_column="k",
+        num_partitions=4, lower_bound=0, upper_bound=100, **opts,
+    )
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 100
+
+    # Spark's JDBC writer quotes identifiers, so Derby stores them
+    # case-sensitively — raw queries must quote them too
+    q = pull_sql(spark, url, query='SELECT "k" FROM t1 WHERE "k" < 10', **opts)
+    assert q.count() == 10
