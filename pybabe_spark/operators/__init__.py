@@ -18,12 +18,30 @@ from pybabe_spark.operators.relational import (
     union_streams,
 )
 from pybabe_spark.operators.join import asof_join, join, range_join
+from pybabe_spark.operators.merge import dedup_against, upsert
+from pybabe_spark.operators.sampling import (
+    hash_sample,
+    mix_sources,
+    stratified_sample,
+    train_test_split,
+)
+from pybabe_spark.operators.sketch import exact_heavy_hitters, heavy_hitters
+from pybabe_spark.operators.skew import salted_join
 from pybabe_spark.operators.group import group, group_all
 from pybabe_spark.operators.reshape import pivot, transpose, unpivot
 from pybabe_spark.operators.window import window_map
 
 __all__ = [
     "asof_join",
+    "dedup_against",
+    "exact_heavy_hitters",
+    "hash_sample",
+    "heavy_hitters",
+    "mix_sources",
+    "salted_join",
+    "stratified_sample",
+    "train_test_split",
+    "upsert",
     "dedup",
     "filter_by_regexp",
     "filter_columns",

@@ -125,3 +125,10 @@ def test_mix_sources_no_shuffle(spark, sf_dir):
     )
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dedup_against_broadcasts_seen_keys(spark, sf_dir):
+    """The seen-key anti-join must broadcast (the key projection is
+    always small next to the batch at scale)."""
+    plan = _plan(spark, "dedup_against_seen", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
