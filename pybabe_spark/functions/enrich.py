@@ -191,3 +191,41 @@ def utf8_cleanup(col) -> Column:
         looks_double_encoded & F.is_valid_utf8(as_latin1),
         F.decode(as_latin1, "UTF-8"),
     ).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# URL parsing (log-processing enrichment)
+# ---------------------------------------------------------------------------
+
+#: Regexes shared verbatim with the SQL oracle (both engines run the
+#: same extraction, so parity is by construction — Spark's parse_url
+#: would need a DuckDB twin that doesn't exist).
+URL_PATTERNS: dict[str, str] = {
+    "protocol": r"^([a-zA-Z][a-zA-Z0-9+.-]*)://",
+    "host": r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)",
+    "path": r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)",
+    "query": r"\?([^#]*)",
+}
+
+
+def url_parse(col: Column | str) -> Column:
+    """Struct(protocol, host, path, query) extracted from a URL string.
+
+    Pure regexp_extract chain (codegen, reference analogue: the
+    kontagent log parser's request-line split, pybabe/kontagent.py).
+    Missing components come back as empty strings, matching
+    regexp_extract's no-match contract in both Spark and DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.regexp_extract(c, URL_PATTERNS["protocol"], 1).alias("protocol"),
+        F.regexp_extract(c, URL_PATTERNS["host"], 1).alias("host"),
+        F.regexp_extract(c, URL_PATTERNS["path"], 1).alias("path"),
+        F.regexp_extract(c, URL_PATTERNS["query"], 1).alias("query"),
+    )
+
+
+def url_param(col: Column | str, name: str) -> Column:
+    """Value of one query parameter (empty string when absent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, rf"[?&]{name}=([^&#]*)", 1)

@@ -322,3 +322,46 @@ def q_heavy_hitters(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return exact_heavy_hitters(orders, "o_custkey", 18)
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+# ---------------------------------------------------------------------------
+
+_MK_URL = (
+    "concat('https://site', CAST(user_id % 5 AS VARCHAR), "
+    "'.example.com/page/', event_type, '?uid=', CAST(user_id AS VARCHAR), "
+    "'&v=', CAST(event_id % 7 AS VARCHAR))"
+)
+
+@register(
+    "url_parse_events",
+    f"""
+    WITH u AS (SELECT event_id, {_MK_URL} AS url FROM events)
+    SELECT event_id,
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS protocol,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1) AS host,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid
+    FROM u
+    """,
+)
+def q_url_parse(spark, sf_dir):
+    """URL decomposition + query-param extraction
+    (functions/enrich.py::url_parse/url_param — the log-line enrichment
+    family next to user_agent/geoip; regexes shared verbatim with the
+    oracle so parity is by construction). Map-only codegen stage."""
+    from pybabe_spark.functions.enrich import url_param, url_parse
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_id", F.expr(_MK_URL.replace("VARCHAR", "STRING")).alias("url")
+    )
+    p = url_parse("url")
+    return u.select(
+        "event_id",
+        p["protocol"].alias("protocol"),
+        p["host"].alias("host"),
+        p["path"].alias("path"),
+        url_param("url", "uid").alias("uid"),
+    )
