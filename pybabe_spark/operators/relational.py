@@ -238,3 +238,33 @@ def insert_rows(df: DataFrame, new_rows: list, before: bool = True) -> DataFrame
             )
         return df.unionByName(lit_df) if not before else lit_df.unionByName(df)
     return lit_df.unionByName(df) if before else df.unionByName(lit_df)
+
+
+def throttle(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rate-limit events per key: keep a row only when it arrives more
+    than ``min_gap_seconds`` after the key's PREVIOUS row (the first row
+    per key always survives). The standard bot/double-fire scrubbing
+    step in event pipelines.
+
+    Lag-based semantics (each row compares against its immediate
+    predecessor, kept or not) — one window over (key, ts); a sequential
+    "compare against last KEPT" debounce would be an ordered fold, not
+    expressible as one window and rarely what log dedup wants.
+    ``tiebreak`` orders equal timestamps deterministically.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = int(min_gap_seconds) * 1_000_000
+    keep = prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > F.lit(gap_us))
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")

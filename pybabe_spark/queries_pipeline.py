@@ -365,3 +365,32 @@ def q_url_parse(spark, sf_dir):
         p["path"].alias("path"),
         url_param("url", "uid").alias("uid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event throttling
+# ---------------------------------------------------------------------------
+
+@register(
+    "throttle_user_events",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id
+    FROM g WHERE gap_us IS NULL OR gap_us > 600 * 1000000
+    """,
+)
+def q_throttle(spark, sf_dir):
+    """Per-user event rate limiting (operators/relational.py::throttle):
+    drop events within 10 minutes of the user's previous event — one
+    window, one shuffle on the key."""
+    from pybabe_spark.operators.relational import throttle
+
+    ev = read_table(spark, sf_dir, "events")
+    return throttle(ev, "user_id", "ts", 600, tiebreak="event_id").select(
+        "event_id", "user_id"
+    )

@@ -373,3 +373,22 @@ def test_facade_merge_and_sampling_surface(spark):
     assert sampled.count() == 4
     train, test = base.train_test_split("k", 0.5)
     assert train.count() + test.count() == 4
+
+
+def test_throttle_semantics(spark):
+    """First event per key survives; an event within the gap of its
+    predecessor drops even if that predecessor itself dropped."""
+    from pybabe_spark.operators.relational import throttle
+
+    rows = [
+        (1, "u", "2024-01-01 10:00:00"),
+        (2, "u", "2024-01-01 10:04:00"),   # 4 min after #1 -> drop
+        (3, "u", "2024-01-01 10:07:00"),   # 3 min after #2 -> drop (lag semantics)
+        (4, "u", "2024-01-01 10:20:00"),   # 13 min after #3 -> keep
+        (5, "v", "2024-01-01 10:00:30"),   # first for v -> keep
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, u string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = sorted(r["event_id"]
+                  for r in throttle(df, "u", "ts", 300, tiebreak="event_id").collect())
+    assert kept == [1, 4, 5]
