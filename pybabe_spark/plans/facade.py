@@ -157,6 +157,18 @@ class Babe:
 
         return self._wrap(heavy_hitters(self.df, column, support))
 
+    def throttle(self, key, ts_col, min_gap_seconds, tiebreak=None) -> "Babe":
+        from pybabe_spark.operators.relational import throttle
+
+        return self._wrap(
+            throttle(self.df, key, ts_col, min_gap_seconds, tiebreak)
+        )
+
+    def url_parse(self, field, out_field="url_parts") -> "Babe":
+        from pybabe_spark.functions.enrich import url_parse
+
+        return self._wrap(self.df.withColumn(out_field, url_parse(field)))
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other
