@@ -34,17 +34,71 @@ _MULT = 2_654_435_761
 _ADD = 123_456_789
 
 
-def hash_bucket(key: Column | str) -> Column:
-    """The row's deterministic bucket in [0, 1_000_000)."""
+#: null integral keys fold from this sentinel so they land in a real
+#: bucket (disjoint + exhaustive even with NULL keys); null/empty string
+#: keys hash the empty string.
+_NULL_INT_SENTINEL = -1
+
+
+def hash_bucket(key: Column | str, kind: str = "int") -> Column:
+    """The row's deterministic bucket in [0, 1_000_000).
+
+    ``kind='int'``: multiplicative mix over the bigint key (NULL →
+    sentinel, negatives fine via pmod). ``kind='string'``: 60-bit
+    integer from the md5 hex prefix of the raw string (NULL → ''), then
+    the same mix — both forms are reproduced exactly by
+    :func:`hash_bucket_sql` so the DuckDB oracle selects identical rows.
+    """
     k = F.col(key) if isinstance(key, str) else key
-    folded = F.pmod(k.cast("bigint"), F.lit(_FOLD))
+    if kind == "int":
+        base = F.coalesce(k.cast("bigint"), F.lit(_NULL_INT_SENTINEL))
+    elif kind == "string":
+        base = F.conv(
+            F.substring(F.md5(F.coalesce(k, F.lit(""))), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        raise ValueError(f"hash_bucket: unknown kind {kind!r}")
+    folded = F.pmod(base, F.lit(_FOLD))
     return F.pmod(folded * F.lit(_MULT) + F.lit(_ADD), F.lit(BUCKETS))
 
 
-def hash_bucket_sql(key: str) -> str:
-    """The identical arithmetic as ANSI SQL (the DuckDB oracle form)."""
-    return (
-        f"((({key} % {_FOLD}) * {_MULT} + {_ADD}) % {BUCKETS})"
+def hash_bucket_sql(key: str, kind: str = "int") -> str:
+    """The identical arithmetic as ANSI SQL (the DuckDB oracle form).
+
+    Uses explicit positive-modulus ``((x % m + m) % m)`` arithmetic:
+    DuckDB's ``%`` takes the dividend's sign, Spark's ``pmod`` is always
+    non-negative — without the wrap, negative keys diverge across
+    engines.
+    """
+    if kind == "int":
+        base = f"COALESCE({key}, {_NULL_INT_SENTINEL})"
+    elif kind == "string":
+        base = (
+            f"CAST(('0x' || substr(md5(COALESCE({key}, ''))"
+            f", 1, 15)) AS BIGINT)"
+        )
+    else:
+        raise ValueError(f"hash_bucket_sql: unknown kind {kind!r}")
+    folded = f"((({base}) % {_FOLD} + {_FOLD}) % {_FOLD})"
+    return f"((({folded}) * {_MULT} + {_ADD}) % {BUCKETS})"
+
+
+_INTEGRAL = {"byte", "short", "int", "integer", "bigint", "long"}
+
+
+def _key_bucket(df: DataFrame, key: str) -> Column:
+    """Schema-dispatched bucket for ``df[key]``: integral columns take
+    the arithmetic path, strings the md5 path; anything else (float,
+    date, ...) raises rather than silently bucketing NULL-casts — the
+    failure mode the advisory flagged (string keys hashing to 0 rows)."""
+    dtype = df.schema[key].dataType.simpleString()
+    if dtype in _INTEGRAL:
+        return hash_bucket(key, "int")
+    if dtype == "string":
+        return hash_bucket(key, "string")
+    raise TypeError(
+        f"sampling key {key!r} has type {dtype}; use an integral or "
+        f"string key (float/date keys have no cross-engine stable hash)"
     )
 
 
@@ -56,7 +110,7 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"hash_sample: fraction {fraction} outside [0, 1]")
-    return df.filter(hash_bucket(key) < F.lit(int(round(fraction * BUCKETS))))
+    return df.filter(_key_bucket(df, key) < F.lit(int(round(fraction * BUCKETS))))
 
 
 def train_test_split(
@@ -66,8 +120,9 @@ def train_test_split(
     exhaustive, reproducible — the split every eval pipeline needs to
     be able to recompute from the raw table alone."""
     cut = int(round(test_fraction * BUCKETS))
-    test = df.filter(hash_bucket(key) < F.lit(cut))
-    train = df.filter(hash_bucket(key) >= F.lit(cut))
+    bucket = _key_bucket(df, key)
+    test = df.filter(bucket < F.lit(cut))
+    train = df.filter(bucket >= F.lit(cut))
     return train, test
 
 
@@ -81,7 +136,7 @@ def stratified_sample(
     unlike ``DataFrame.sampleBy`` whose Bernoulli draws differ per run.
     """
     expr = None
-    bucket = hash_bucket(key)
+    bucket = _key_bucket(df, key)
     for value, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"stratified_sample: fraction {frac} outside [0, 1]")

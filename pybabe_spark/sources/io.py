@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 #: first-row, pivot value order, windowMap, skip/head) key off this column.
 INGEST_ID = "__ingest_id"
 
+#: pull(command=...) kills the child and raises once stdout crosses this
+#: (patchable in tests; the read loop enforces it incrementally).
+COMMAND_STDOUT_CAP = 256 * 1024 * 1024
+
 # extension → (format, is_compression) — mirrors pybabe/base.py:345-358's
 # two-level guess (compress extension first, then format extension).
 _COMPRESS_EXTS = {"gz", "gzip", "bz2", "zst", "zip"}
@@ -174,15 +178,31 @@ def pull(
     if command is not None:
         # command-stdout source (pybabe/base.py:361-450's command= mode):
         # driver-side by nature, like the reference's subprocess pipe;
-        # output is size-bounded so a runaway command can't OOM the driver
+        # stdout is read in chunks and the child is killed the moment the
+        # 256 MB cap is crossed, so a runaway command cannot OOM the driver
         import subprocess
 
-        out = subprocess.run(
-            command, capture_output=True, timeout=300, check=True
-        ).stdout.decode(encoding or "utf-8")
-        if len(out) > 256 * 1024 * 1024:
-            raise ValueError("pull(command=...): stdout exceeds 256 MB; "
-                             "write to a file and pull that instead")
+        cap = COMMAND_STDOUT_CAP
+        proc = subprocess.Popen(command, stdout=subprocess.PIPE)
+        chunks: list[bytes] = []
+        read = 0
+        try:
+            assert proc.stdout is not None
+            while chunk := proc.stdout.read(1024 * 1024):
+                read += len(chunk)
+                if read > cap:
+                    proc.kill()
+                    raise ValueError(
+                        "pull(command=...): stdout exceeds 256 MB; "
+                        "write to a file and pull that instead")
+                chunks.append(chunk)
+            rc = proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        if rc != 0:
+            raise subprocess.CalledProcessError(rc, command)
+        out = b"".join(chunks).decode(encoding or "utf-8")
         hdr = header if fields is None else False
         df = _pull_string(spark, out, format or "csv", separator=separator,
                           header=hdr, infer_schema=infer_schema)
@@ -613,8 +633,12 @@ def compact_files(
     whose per-file open/footer cost eventually dominates scans). Output
     count is computed from the CURRENT on-disk byte size — one listing,
     no data pass; the rewrite itself is one job (plus an optional sort
-    to restore range-skipping). Written via a swap directory so a
-    concurrent reader never sees a half-written layout.
+    to restore range-skipping). Swap order is rename-aside → rename-in
+    → delete-old: the canonical path is only ever missing between two
+    metadata renames (no data delete in the window), and a crash leaves
+    either the old layout at ``path`` or the old layout at
+    ``path.compact.old`` + new at ``path`` — data is never stranded
+    under only a tmp name.
     """
     from pyspark.sql.functions import col
 
@@ -626,13 +650,19 @@ def compact_files(
     n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.tmp")
+    old_path = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.old")
     if sort_cols:
         out = df.repartitionByRange(n_files, *[col(c) for c in sort_cols])
         out = out.sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_files)
-    out.write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoop_path, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
+    out.write.mode("overwrite").parquet(tmp_path.toString())
+    fs.delete(old_path, True)  # clear any debris from a prior crash
+    if not fs.rename(hadoop_path, old_path):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(tmp_path, hadoop_path):
+        fs.rename(old_path, hadoop_path)  # roll back; old data intact
+        raise IOError(f"compact_files: could not swap in compacted {path}")
+    fs.delete(old_path, True)
     return n_files

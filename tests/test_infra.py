@@ -369,6 +369,19 @@ def test_pull_command_stdout(spark):
     assert [r["name"] for r in named.collect()] == ["x", "y"]
 
 
+def test_pull_command_stdout_cap_kills_runaway(spark, monkeypatch):
+    """The stdout cap is enforced WHILE reading (child killed mid-stream),
+    not after buffering everything — the advisory's OOM scenario."""
+    import pybabe_spark.sources.io as io_mod
+
+    monkeypatch.setattr(io_mod, "COMMAND_STDOUT_CAP", 64 * 1024)
+    with pytest.raises(ValueError, match="stdout exceeds"):
+        pull(spark, command=["yes", "a,b"], format="csv")
+    # failing exit codes still surface
+    with pytest.raises(Exception, match="returned non-zero|CalledProcess"):
+        pull(spark, command=["false"], format="csv")
+
+
 def test_push_pull_utf16_roundtrip(spark, tmp_path):
     """encoding= on both sides (reference tests/test_charset.py
     ::test_writeutf16)."""
@@ -396,6 +409,9 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(out + "/*.parquet"))
     assert after == n == 1
     assert spark.read.parquet(out).count() == 10_000
+    # swap debris cleaned up: neither the tmp nor the moved-aside old
+    # layout survives a successful compaction
+    assert not glob.glob(out + ".compact.*")
 
 
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):

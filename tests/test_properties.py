@@ -80,24 +80,75 @@ def test_group_sum_matches_pandas(spark, data):
     assert got == expected
 
 
-ids = st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
-               max_size=30, unique=True)
+ids = st.lists(st.integers(min_value=-(10**12), max_value=10**12),
+               min_size=1, max_size=30, unique=True)
+
+
+def py_bucket(k):
+    from pybabe_spark.operators.sampling import BUCKETS
+    base = -1 if k is None else k
+    return ((base % 1_000_003) * 2_654_435_761 + 123_456_789) % BUCKETS
 
 
 @given(data=ids, frac=st.sampled_from([0.0, 0.1, 0.5, 1.0]))
 @settings(**SETTINGS)
 def test_hash_sample_matches_python_model(spark, data, frac):
     """The Spark bucket arithmetic must equal the pure-Python model for
-    any int64 key — the cross-engine reproducibility contract."""
+    any int64 key — negative ids included (Python % is already a
+    positive modulus, matching Spark pmod)."""
     from pybabe_spark.operators.sampling import BUCKETS, hash_sample
-
-    def py_bucket(k):
-        return ((k % 1_000_003) * 2_654_435_761 + 123_456_789) % BUCKETS
 
     expect = {k for k in data if py_bucket(k) < int(round(frac * BUCKETS))}
     df = spark.createDataFrame([(k,) for k in data], "k bigint")
     got = {r["k"] for r in hash_sample(df, "k", frac).collect()}
     assert got == expect
+
+
+@given(data=ids, frac=st.sampled_from([0.1, 0.5]))
+@settings(**SETTINGS)
+def test_hash_bucket_sql_matches_spark_negative_ids(spark, data, frac):
+    """DuckDB oracle arithmetic == Spark arithmetic for negative ids and
+    NULL keys (the advisory's sign-of-dividend divergence)."""
+    import duckdb
+    import pandas as pd
+    from pybabe_spark.operators.sampling import (
+        BUCKETS, hash_bucket, hash_bucket_sql)
+
+    rows = [(k,) for k in data] + [(None,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    got = {r["k"]: r["b"]
+           for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": pd.array([r[0] for r in rows],
+                                                  dtype="Int64")}))
+    oracle = {r[0]: r[1] for r in con.execute(
+        f"SELECT k, {hash_bucket_sql('k')} AS b FROM t").fetchall()}
+    assert got == oracle
+    assert got[None] == py_bucket(None)
+
+
+def test_hash_sample_string_key_and_type_guard(spark):
+    """String keys take the md5 path (Spark == DuckDB, non-empty
+    selection); float keys raise instead of silently dropping rows."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    from pybabe_spark.operators.sampling import (
+        hash_bucket_sql, hash_sample)
+
+    words = [f"doc-{i}" for i in range(200)] + [None]
+    df = spark.createDataFrame([(w,) for w in words], "k string")
+    got = sorted(r["k"] or "" for r in hash_sample(df, "k", 0.3).collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": words}))
+    oracle = sorted(r[0] or "" for r in con.execute(
+        f"SELECT k FROM t WHERE {hash_bucket_sql('k', 'string')} < 300000"
+    ).fetchall())
+    assert got == oracle and 0 < len(got) < len(words)
+
+    fdf = spark.createDataFrame([(1.5,)], "k double")
+    with pytest.raises(TypeError, match="no cross-engine stable hash"):
+        hash_sample(fdf, "k", 0.5)
 
 
 @given(data=st.lists(st.tuples(st.integers(0, 9), vals), min_size=1,
