@@ -135,16 +135,37 @@ def mail(
 def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None:
     """Find a column whose values are unique (pybabe/types.py:52-87).
 
-    One aggregation computing count + approx/exact distinct per column —
-    no per-column scans, no collect beyond a single row. Returns the
-    first unique column in schema order (the reference's behavior), or
-    None.
+    Two passes, both single aggregations:
+
+    1. **Approx prefilter** — one pass computing count + HLL++
+       ``approx_count_distinct`` (rsd 2%) per column. Fixed sketch
+       memory per column; at 100 TB this is the only full-data pass,
+       and it eliminates every column whose cardinality is clearly
+       below the row count (HLL cannot over-count past its error band,
+       so a ≥94% ratio keeps all true keys).
+    2. **Exact confirm** — one ``count_distinct`` pass over only the
+       surviving candidates (usually 0-2 columns), each an exact
+       shuffle on that column alone.
+
+    Returns the first unique column in schema order (the reference's
+    behavior), or None.
     """
     cols = df.columns[:max_cols] if max_cols else df.columns
     total = F.count(F.lit(1)).alias("__total")
-    aggs = [total] + [F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in cols]
-    row = df.agg(*aggs).collect()[0].asDict()
+    approx = [total] + [
+        F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"__a_{c}") for c in cols
+    ]
+    row = df.agg(*approx).collect()[0].asDict()
+    n = row["__total"]
+    if n == 0:
+        return cols[0] if cols else None
+    # 3x the 2% rsd: anything under this cannot be all-distinct
+    candidates = [c for c in cols if row[f"__a_{c}"] >= 0.94 * n]
+    if not candidates:
+        return None
+    exact = [F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in candidates]
+    erow = df.agg(*exact).collect()[0].asDict()
     for c in cols:
-        if row[f"__d_{c}"] == row["__total"]:
+        if c in candidates and erow[f"__d_{c}"] == n:
             return c
     return None

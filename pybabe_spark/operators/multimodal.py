@@ -6,11 +6,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 raw bytes never leave the executor and flow batch-by-batch, bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The decode kernels themselves are STUBBED in this environment (no
-PIL/ffmpeg in the container): ``codec='fake'`` runs a deterministic fake
-decode so the Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested; any other codec raises
-``NotImplementedError`` at the point a real library would be called.
+Decode kernels are resolved per codec: ``codec='fake'`` runs a
+deterministic fake decode (always available — the oracle-checkable
+path); image codecs (png/jpeg/...) run through PIL *if it is
+importable* — the kernel is resolved on the DRIVER at plan time and
+shipped in the UDF closure, so environments without PIL degrade to a
+clear ``NotImplementedError`` instead of a worker ImportError; video
+frame-sampling beyond the fake kernel would need av/ffmpeg and raises
+the same way. Spark-side plumbing — schema, batching, partitioning, UDF
+signatures — is identical for every kernel.
 """
 
 from __future__ import annotations
@@ -47,14 +51,54 @@ def attach_fake_media(
     return df.withColumn(blob_col, blob).withColumn(meta_col, meta)
 
 
-def _require_fake(codec_series: pd.Series) -> None:
-    real = codec_series[~codec_series.isin(["fake"])]
-    if len(real):
-        raise NotImplementedError(
-            f"real media decode ({real.iloc[0]!r}) needs an image/av library "
-            "not present in this environment; plumbing supports it via the "
-            "same mapInPandas path"
-        )
+#: codecs the PIL-backed image kernel accepts
+_IMAGE_CODECS = {"png", "jpeg", "jpg", "bmp", "gif", "webp"}
+
+
+def _image_decoder():
+    """Build the real image kernel if PIL is importable, else ``None``.
+
+    Called on the driver when the plan is built; the returned functions
+    are shipped to executors inside the mapInPandas closure (pickled by
+    value, so a test-injected kernel travels too). ``decode`` →
+    (grayscale ndarray in [0,1], width, height); ``resize`` →
+    re-encoded bytes at the target size.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(blob: bytes):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(blob))).convert("L")
+        arr = np.asarray(img, dtype="float64") / 255.0
+        return arr, img.size[0], img.size[1]
+
+    def resize(blob: bytes, tw: int, th: int, codec: str) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(blob)))
+        buf = io.BytesIO()
+        fmt = {"jpg": "jpeg"}.get(codec, codec).upper()
+        img.resize((tw, th)).save(buf, format=fmt)
+        return buf.getvalue()
+
+    return {"decode": decode, "resize": resize}
+
+
+def _unsupported(codec: str, need: str) -> NotImplementedError:
+    return NotImplementedError(
+        f"media codec {codec!r} needs {need}, which is not importable in "
+        "this environment; the 'fake' codec exercises the identical "
+        "mapInPandas plumbing"
+    )
 
 
 def decode_features(
@@ -69,21 +113,46 @@ def decode_features(
     Output schema: (id, width, height, features array<double>). The fake
     kernel derives features from the blob's sha256 — deterministic,
     content-sensitive, and shaped exactly like a real embedding stage.
+    Image codecs decode through PIL when available: features are
+    ``n_features`` band means of the grayscale pixels, and width/height
+    come from the DECODED image (authoritative over metadata).
     """
     schema = f"`{id_col}` bigint, width int, height int, features array<double>"
+    kernel = _image_decoder()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            _require_fake(pdf[meta_col].map(lambda m: m["codec"]))
-            feats = []
-            for blob in pdf[blob_col]:
-                digest = hashlib.sha256(bytes(blob)).digest()
-                feats.append([digest[i] / 255.0 for i in range(n_features)])
+            ids, widths, heights, feats = [], [], [], []
+            for rid, blob, meta in zip(pdf[id_col], pdf[blob_col], pdf[meta_col]):
+                codec = meta["codec"]
+                if codec == "fake":
+                    digest = hashlib.sha256(bytes(blob)).digest()
+                    feats.append([digest[i] / 255.0 for i in range(n_features)])
+                    widths.append(int(meta["width"]))
+                    heights.append(int(meta["height"]))
+                elif codec in _IMAGE_CODECS and kernel is not None:
+                    arr, w, h = kernel["decode"](blob)
+                    flat = np.ravel(arr)
+                    if flat.size < n_features:
+                        flat = np.pad(flat, (0, n_features - flat.size))
+                    feats.append(
+                        [float(b.mean()) for b in np.array_split(flat, n_features)]
+                    )
+                    widths.append(int(w))
+                    heights.append(int(h))
+                else:
+                    raise _unsupported(
+                        codec,
+                        "PIL" if codec in _IMAGE_CODECS else "an image/av library",
+                    )
+                ids.append(int(rid))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
-                    "width": pdf[meta_col].map(lambda m: m["width"]).astype("int32"),
-                    "height": pdf[meta_col].map(lambda m: m["height"]).astype("int32"),
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
                     "features": feats,
                 }
             )
@@ -101,20 +170,33 @@ def resize_media(
     """Resize stage: new blob + updated metadata.
 
     Fake kernel truncates/pads bytes proportionally to the pixel-count
-    ratio (a real kernel calls PIL/libvips here); metadata update is the
-    real contract downstream stages rely on.
+    ratio; image codecs re-encode through PIL when available; metadata
+    update is the real contract downstream stages rely on.
     """
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    kernel = _image_decoder()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            _require_fake(pdf[meta_col].map(lambda m: m["codec"]))
             out = pdf.copy()
             new_blobs, new_meta = [], []
             for blob, meta in zip(pdf[blob_col], pdf[meta_col]):
-                ratio = (target_width * target_height) / max(meta["width"] * meta["height"], 1)
-                size = max(int(len(blob) * min(ratio, 1.0)), 1)
-                new_blobs.append(bytes(blob)[:size])
+                codec = meta["codec"]
+                if codec == "fake":
+                    ratio = (target_width * target_height) / max(
+                        meta["width"] * meta["height"], 1
+                    )
+                    size = max(int(len(blob) * min(ratio, 1.0)), 1)
+                    new_blobs.append(bytes(blob)[:size])
+                elif codec in _IMAGE_CODECS and kernel is not None:
+                    new_blobs.append(
+                        kernel["resize"](blob, target_width, target_height, codec)
+                    )
+                else:
+                    raise _unsupported(
+                        codec,
+                        "PIL" if codec in _IMAGE_CODECS else "an image/av library",
+                    )
                 new_meta.append(
                     {
                         "width": target_width,
@@ -147,7 +229,11 @@ def sample_frames(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            _require_fake(pdf[meta_col].map(lambda m: m["codec"]))
+            real = pdf[meta_col].map(lambda m: m["codec"])
+            real = real[~real.isin(["fake"])]
+            if len(real):
+                # stills have no frames to sample; video needs av/ffmpeg
+                raise _unsupported(real.iloc[0], "av/ffmpeg")
             ids, idxs, frames = [], [], []
             for rid, blob, meta in zip(pdf[id_col], pdf[blob_col], pdf[meta_col]):
                 n = max(int(meta["n_frames"]), 1)

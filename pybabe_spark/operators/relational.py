@@ -79,19 +79,30 @@ def filter_by_regexp(df: DataFrame, field: str, regexp: str) -> DataFrame:
 def skip(df: DataFrame, n: int, order_by: str | None = None) -> DataFrame:
     """Drop the first n rows (pybabe/transform.py:158-171).
 
-    Ordered by ``order_by`` (default: the ingest-id column). Implemented
-    as a rank filter rather than a global sort so only the boundary is
-    materialized; Catalyst turns the single-partition window into one pass.
+    Ordered by ``order_by`` (default: the ingest-id column), which must
+    be UNIQUE — the reference's skip is positional over a deterministic
+    stream, and a unique order key is what gives that position meaning
+    on a distributed table.
+
+    Scale shape: the n-th smallest key is found with a TakeOrdered job
+    over the key column only (per-partition heaps of n keys, driver
+    merge — no global sort, no data shuffle), then the result is a
+    map-side ``key > boundary`` filter that parquet scans push down.
+    The previous form (row_number over an unpartitioned window) funneled
+    every row through one task; this touches only n keys + one scan.
     """
     key = order_by or INGEST_ID
     if key not in df.columns:
         raise ValueError(f"skip() needs an order column; attach {INGEST_ID} at read")
-    w = Window.orderBy(F.col(key))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > n)
-        .drop("__rn")
+    if n <= 0:
+        return df
+    boundary = (
+        df.select(key).orderBy(F.col(key).asc()).limit(n)
+        .agg(F.max(key).alias("b")).collect()[0]["b"]
     )
+    if boundary is None:
+        return df
+    return df.filter(F.col(key) > F.lit(boundary))
 
 
 def head(df: DataFrame, n: int) -> DataFrame:

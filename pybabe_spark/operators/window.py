@@ -30,6 +30,31 @@ _BUILTINS = {
     "stddev": F.stddev,
 }
 
+#: plan-estimated input size above which an unpartitioned window warns
+GLOBAL_WINDOW_WARN_BYTES = 256 << 20
+
+
+def _warn_if_global_window(df: DataFrame, op: str) -> None:
+    """An unpartitioned ordered window funnels EVERY row through one
+    task — faithful to the reference's single-stream semantics, but a
+    scale-killer. Warn (cheaply, from plan statistics — no job) when the
+    input looks big enough for that to matter, pointing at the
+    ``partition_by`` form."""
+    import warnings
+
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return
+    if size > GLOBAL_WINDOW_WARN_BYTES:
+        warnings.warn(
+            f"{op}: unpartitioned window over ~{size >> 20} MB funnels all"
+            " rows through a single task; pass partition_by= for per-key"
+            " frames (the scale path)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
 
 def window_map(
     df: DataFrame,
@@ -52,9 +77,11 @@ def window_map(
     key = order_by or INGEST_ID
     if key not in df.columns:
         raise ValueError(f"window_map needs an order column; attach {INGEST_ID} at read")
-    w = Window.orderBy(F.col(key))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(F.col(key))
+    else:
+        _warn_if_global_window(df, "window_map")
+        w = Window.orderBy(F.col(key))
     w = w.rowsBetween(-(window_size - 1), Window.currentRow)
     if isinstance(agg, str):
         if source_col is None:
@@ -83,9 +110,11 @@ def window_map_udf(
     from pyspark.sql.functions import pandas_udf
 
     key = order_by or INGEST_ID
-    w = Window.orderBy(F.col(key))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(F.col(key))
+    else:
+        _warn_if_global_window(df, "window_map_udf")
+        w = Window.orderBy(F.col(key))
     w = w.rowsBetween(-(window_size - 1), Window.currentRow)
 
     def _apply(frames):

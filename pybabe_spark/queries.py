@@ -421,6 +421,32 @@ def q_window_rolling(spark, sf_dir):
     )
 
 
+@register(
+    "primary_key_detect_orders",
+    """
+    SELECT CASE
+      WHEN COUNT(DISTINCT o_orderkey) = COUNT(*) THEN 'o_orderkey'
+      WHEN COUNT(DISTINCT o_custkey) = COUNT(*) THEN 'o_custkey'
+      WHEN COUNT(DISTINCT o_orderstatus) = COUNT(*) THEN 'o_orderstatus'
+      WHEN COUNT(DISTINCT o_totalprice) = COUNT(*) THEN 'o_totalprice'
+      WHEN COUNT(DISTINCT o_orderdate) = COUNT(*) THEN 'o_orderdate'
+      WHEN COUNT(DISTINCT o_orderpriority) = COUNT(*) THEN 'o_orderpriority'
+      ELSE NULL END AS pk
+    FROM orders
+    """,
+)
+def q_primary_key_detect(spark, sf_dir):
+    """Schema-order first-unique-column detection
+    (operators/infra.py::primary_key_detect; reference
+    pybabe/types.py:52-87). Approx-HLL prefilter pass + exact confirm
+    pass — the oracle re-derives the same answer with exact SQL."""
+    from pybabe_spark.operators.infra import primary_key_detect
+
+    orders = read_table(spark, sf_dir, "orders")
+    pk = primary_key_detect(orders)
+    return spark.createDataFrame([(pk,)], "pk string")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {name: fn for name, (fn, _) in REGISTRY.items()}

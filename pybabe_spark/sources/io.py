@@ -33,6 +33,46 @@ INGEST_ID = "__ingest_id"
 #: (patchable in tests; the read loop enforces it incrementally).
 COMMAND_STDOUT_CAP = 256 * 1024 * 1024
 
+#: URL schemes pull() fetches driver-side before format dispatch.
+_FETCH_SCHEMES = ("http://", "https://", "ftp://")
+
+
+def _default_url_opener(url: str):
+    from urllib.request import urlopen
+
+    return urlopen(url, timeout=120)
+
+
+#: injectable transport for URL pulls (swap in tests / restricted envs),
+#: mirroring mail()'s injectable-transport pattern.
+URL_OPENER = _default_url_opener
+
+
+def _fetch_url_to_temp(url: str, cap: int | None = None) -> str:
+    """Stream a remote single-file source to a local temp file, chunked
+    and size-capped (same incremental cap as pull(command=...)); the
+    remote basename is kept as the suffix so guess_format still sees the
+    real extension."""
+    import tempfile
+
+    cap = COMMAND_STDOUT_CAP if cap is None else cap
+    base = os.path.basename(url.split("?", 1)[0]) or "download"
+    fd, tmp = tempfile.mkstemp(suffix="_" + base)
+    read = 0
+    try:
+        with os.fdopen(fd, "wb") as out, URL_OPENER(url) as resp:
+            while chunk := resp.read(1 << 20):
+                read += len(chunk)
+                if read > cap:
+                    raise ValueError(
+                        f"pull({url!r}): response exceeds {cap} bytes; "
+                        "stage it on a distributed store instead")
+                out.write(chunk)
+    except Exception:
+        os.unlink(tmp)
+        raise
+    return tmp
+
 # extension → (format, is_compression) — mirrors pybabe/base.py:345-358's
 # two-level guess (compress extension first, then format extension).
 _COMPRESS_EXTS = {"gz", "gzip", "bz2", "zst", "zip"}
@@ -217,6 +257,16 @@ def pull(
         return with_ingest_id(df.coalesce(1)) if ingest_id else df
     if filename is None:
         raise ValueError("pull() needs filename=, string=, or command=")
+
+    if filename.startswith(_FETCH_SCHEMES):
+        # http(s)/ftp single-file sources (pybabe/protocol_http.py:7-33,
+        # pybabe/protocol_ftp.py:6-34): driver-side streamed fetch to a
+        # temp file — same shape as the reference's urllib pull — then
+        # the local path flows through the normal format/compress
+        # dispatch (so .csv.gz / .zip URLs work). Distributed stores
+        # (s3a://, hdfs://) are NOT fetched: Spark reads those natively
+        # executor-side; this path is for the odd single-file endpoint.
+        filename = _fetch_url_to_temp(filename)
 
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "csv"

@@ -369,6 +369,59 @@ def test_pull_command_stdout(spark):
     assert [r["name"] for r in named.collect()] == ["x", "y"]
 
 
+def test_pull_http_and_ftp_file_urls(spark, tmp_path, monkeypatch):
+    """pull('http(s)://.../file.csv') and pull('ftp://.../file.csv')
+    fetch driver-side then run the normal format dispatch (reference
+    pybabe/protocol_http.py:7-33, protocol_ftp.py:6-34). Transport is
+    injectable, so the test serves local bytes."""
+    import pybabe_spark.sources.io as io_mod
+
+    src = tmp_path / "remote.csv"
+    src.write_text("a,b\n1,2\n3,4\n")
+    opened = []
+
+    def fake_opener(url):
+        opened.append(url)
+        return open(src, "rb")
+
+    monkeypatch.setattr(io_mod, "URL_OPENER", fake_opener)
+    for url in ("http://host.test/remote.csv",
+                "https://host.test/remote.csv",
+                "ftp://user:pw@host.test/remote.csv"):
+        df = pull(spark, url)
+        assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+    assert opened == ["http://host.test/remote.csv",
+                      "https://host.test/remote.csv",
+                      "ftp://user:pw@host.test/remote.csv"]
+
+    # extension survives the temp hop: a .tsv URL parses as tsv
+    tsv = tmp_path / "remote.tsv"
+    tsv.write_text("x\ty\n5\t6\n")
+    monkeypatch.setattr(io_mod, "URL_OPENER", lambda u: open(tsv, "rb"))
+    assert pull(spark, "http://host.test/remote.tsv").collect()[0][:] == (5, 6)
+
+    # size cap enforced mid-stream
+    monkeypatch.setattr(io_mod, "COMMAND_STDOUT_CAP", 4)
+    with pytest.raises(ValueError, match="exceeds 4 bytes"):
+        pull(spark, "http://host.test/remote.csv")
+
+
+def test_fetch_url_default_opener_file_scheme(tmp_path):
+    """The default urllib opener works (exercised via file:// so no
+    network); pull() itself never routes file:// here — Spark reads
+    local paths natively."""
+    from pybabe_spark.sources.io import _fetch_url_to_temp
+
+    src = tmp_path / "data.csv"
+    src.write_text("hello")
+    out = _fetch_url_to_temp("file://" + str(src))
+    try:
+        assert open(out).read() == "hello"
+        assert out.endswith("_data.csv")
+    finally:
+        os.unlink(out)
+
+
 def test_pull_command_stdout_cap_kills_runaway(spark, monkeypatch):
     """The stdout cap is enforced WHILE reading (child killed mid-stream),
     not after buffering everything — the advisory's OOM scenario."""

@@ -48,17 +48,83 @@ def test_sample_frames_explodes(media_df):
     assert pdf.groupby("doc_id").size().min() >= 1
 
 
-def test_real_codec_raises(spark, media_df):
+def _as_codec(df, codec):
     from pyspark.sql import functions as F
 
-    fake_real = media_df.withColumn(
+    return df.withColumn(
         "media_meta",
         F.struct(
             F.col("media_meta.width").alias("width"),
             F.col("media_meta.height").alias("height"),
             F.col("media_meta.n_frames").alias("n_frames"),
-            F.lit("jpeg").alias("codec"),
+            F.lit(codec).alias("codec"),
         ),
     )
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        decode_features(fake_real, "doc_id").collect()
+
+
+def test_real_codec_raises_without_pil(spark, media_df, monkeypatch):
+    """With no image library resolvable at plan time, an image codec is a
+    clear NotImplementedError, not a worker ImportError."""
+    import pybabe_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_image_decoder", lambda: None)
+    with pytest.raises(Exception, match="NotImplementedError|needs PIL"):
+        decode_features(_as_codec(media_df, "jpeg"), "doc_id").collect()
+    with pytest.raises(Exception, match="NotImplementedError|needs PIL"):
+        resize_media(_as_codec(media_df, "jpeg"), 8, 8).collect()
+    # frame sampling from stills/video is av territory regardless of PIL
+    with pytest.raises(Exception, match="NotImplementedError|av/ffmpeg"):
+        sample_frames(_as_codec(media_df, "mp4"), 2, id_col="doc_id").collect()
+
+
+def test_injected_image_kernel_flows_through_closure(spark, media_df, monkeypatch):
+    """The kernel resolved on the driver ships inside the mapInPandas
+    closure: an injected decoder runs on executors with no PIL anywhere."""
+    import numpy as np
+
+    import pybabe_spark.operators.multimodal as mm
+
+    def fake_kernel():
+        def decode(blob):
+            b = bytes(blob)
+            arr = np.full((4, 4), (b[0] if b else 0) / 255.0)
+            return arr, 4, 4
+
+        def resize(blob, tw, th, codec):
+            return bytes(blob)[: tw * th]
+
+        return {"decode": decode, "resize": resize}
+
+    monkeypatch.setattr(mm, "_image_decoder", fake_kernel)
+    out = decode_features(_as_codec(media_df, "png"), "doc_id", n_features=4)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
+    resized = resize_media(_as_codec(media_df, "png"), 3, 2).select("media").collect()
+    assert all(len(bytes(r["media"])) <= 6 for r in resized)
+
+
+def test_pil_real_roundtrip(spark):
+    """Real PNG decode/resize through PIL — runs only where PIL exists."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from pyspark.sql import functions as F
+
+    img = PIL_Image.new("L", (10, 6), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, media binary")
+    df = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(10).alias("width"), F.lit(6).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("png").alias("codec"),
+        ),
+    )
+    feats = decode_features(df, "doc_id", n_features=4).collect()[0]
+    assert (feats["width"], feats["height"]) == (10, 6)
+    assert all(abs(f - 128 / 255) < 1e-9 for f in feats["features"])
+    resized = resize_media(df, 5, 3).collect()[0]
+    back = PIL_Image.open(io.BytesIO(bytes(resized["media"])))
+    assert back.size == (5, 3)

@@ -127,6 +127,15 @@ def test_mix_sources_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_skip_has_no_global_window(spark, sf_dir):
+    """skip() must be boundary-value + pushed filter, not a row_number
+    over an unpartitioned window (the single-task funnel at 100 TB)."""
+    plan = _plan(spark, "skip_rows", sf_dir)
+    assert "Window" not in plan, plan
+    assert "PushedFilters: [" in plan, plan
+    assert "event_id" in plan.split("PushedFilters")[1][:200], plan
+
+
 def test_dedup_against_broadcasts_seen_keys(spark, sf_dir):
     """The seen-key anti-join must broadcast (the key projection is
     always small next to the batch at scale)."""

@@ -255,6 +255,33 @@ def test_window_map_matches_pandas_rolling(spark):
     assert got == expected
 
 
+def test_window_map_warns_on_big_unpartitioned_input(spark):
+    """The global-order default is reference-faithful but single-task;
+    above the size threshold it must say so (and stay silent for the
+    partitioned form)."""
+    import warnings
+
+    import pybabe_spark.operators.window as wmod
+    from pybabe_spark.operators.window import window_map
+
+    df = spark.range(100).withColumnRenamed("id", "__ingest_id").withColumn(
+        "v", F.lit(1.0)
+    )
+    old = wmod.GLOBAL_WINDOW_WARN_BYTES
+    try:
+        wmod.GLOBAL_WINDOW_WARN_BYTES = 1
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            window_map(df, 3, "sum", "v")
+            assert any("unpartitioned window" in str(w.message) for w in rec)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            window_map(df, 3, "sum", "v", partition_by=["v"])
+            assert not rec
+    finally:
+        wmod.GLOBAL_WINDOW_WARN_BYTES = old
+
+
 def test_approx_aggregates_error_bounds(spark, sf_dir):
     """The sketch-based scale path must stay within its advertised error
     of the exact answers (HLL++ rsd=2%; percentile_approx accuracy=10k)."""
