@@ -149,6 +149,32 @@ def exact_key(text: str) -> Column:
     return F.md5(F.trim(norm))
 
 
+def word_entropy(text: str) -> Column:
+    """Shannon entropy (bits) of the document's word distribution — a
+    cheap perplexity proxy: near-zero for degenerate repetition, high
+    for diverse text. Used as a quality signal next to
+    :func:`quality_score`.
+
+    Pure higher-order-function codegen — per-row O(words × distinct),
+    narrow map, no shuffle, no UDF; DECIMAL(18,6)-rounded so the DuckDB
+    oracle's different summation order cannot flip a comparison.
+    """
+    ws = f"split({text}, ' ', -1)"
+    counts = (
+        f"transform(array_distinct({ws}), d -> "
+        f"size(filter({ws}, w -> w = d)))"
+    )
+    n = f"cast(size({ws}) as double)"
+    return (
+        F.expr(
+            f"-aggregate({counts}, 0D, (acc, c) -> "
+            f"acc + (c / {n}) * log2(c / {n}))"
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition / quality-rule filters (Gopher & C4 style)
 # ---------------------------------------------------------------------------

@@ -138,11 +138,12 @@ def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None
     Two passes, both single aggregations:
 
     1. **Approx prefilter** — one pass computing count + HLL++
-       ``approx_count_distinct`` (rsd 2%) per column. Fixed sketch
-       memory per column; at 100 TB this is the only full-data pass,
-       and it eliminates every column whose cardinality is clearly
-       below the row count (HLL cannot over-count past its error band,
-       so a ≥94% ratio keeps all true keys).
+       ``approx_count_distinct`` (rsd 10% — coarse is the point:
+       register arrays scale ∝ 1/rsd² per column per partial, and the
+       prefilter only needs to separate "clearly not unique" from
+       "maybe unique"). Fixed sketch memory per column; at 100 TB this
+       is the only full-data pass, and the generous 0.7·n threshold
+       (3σ) keeps every true key.
     2. **Exact confirm** — one ``count_distinct`` pass over only the
        surviving candidates (usually 0-2 columns), each an exact
        shuffle on that column alone.
@@ -153,14 +154,14 @@ def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None
     cols = df.columns[:max_cols] if max_cols else df.columns
     total = F.count(F.lit(1)).alias("__total")
     approx = [total] + [
-        F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"__a_{c}") for c in cols
+        F.approx_count_distinct(F.col(c), rsd=0.1).alias(f"__a_{c}") for c in cols
     ]
     row = df.agg(*approx).collect()[0].asDict()
     n = row["__total"]
     if n == 0:
         return cols[0] if cols else None
-    # 3x the 2% rsd: anything under this cannot be all-distinct
-    candidates = [c for c in cols if row[f"__a_{c}"] >= 0.94 * n]
+    # 3x the 10% rsd: anything under this cannot be all-distinct
+    candidates = [c for c in cols if row[f"__a_{c}"] >= 0.7 * n]
     if not candidates:
         return None
     exact = [F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in candidates]

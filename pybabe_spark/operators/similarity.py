@@ -185,36 +185,6 @@ def _py_plane(plane: int, dim: int) -> float:
     return nibble + 1 - 8.5
 
 
-def _probe_buckets(dims: int, planes: int, nprobe: int):
-    """Query-side multi-probe bucket list: the home bucket plus the
-    buckets reached by flipping the lowest-|margin| hyperplane bits —
-    the standard multi-probe LSH recall fix (Lv et al., VLDB'07): a
-    near-boundary projection is the likeliest bit to disagree with a
-    true neighbor's."""
-    import numpy as np
-
-    P = np.array(
-        [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
-        dtype="float64",
-    )
-
-    @pandas_udf("array<int>")
-    def probe(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")
-        proj = X @ P.T                       # (n, planes)
-        home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
-        order = np.argsort(np.abs(proj), axis=1)  # least-confident first
-        out = []
-        for i in range(len(X)):
-            buckets = [int(home[i])]
-            for j in range(min(nprobe - 1, planes)):
-                buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
-            out.append(buckets)
-        return pd.Series(out)
-
-    return probe
-
-
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,10 +197,12 @@ def ann_lsh(
 ) -> DataFrame:
     """Approximate cosine top-k probing the query's LSH bucket(s).
 
-    ``nprobe`` > 1 turns on multi-probe: each query also checks the
-    buckets reached by flipping its lowest-margin hyperplane bits,
-    buying recall without growing buckets (candidates scale ×nprobe,
-    never corpus-sized). Scale shape: corpus bucketed once (narrow map),
+    ``nprobe`` > 1 turns on multi-probe (Lv et al., VLDB'07): each query
+    also checks the buckets reached by flipping its lowest-|margin|
+    hyperplane bits — a near-boundary projection is the likeliest bit to
+    disagree with a true neighbor's — buying recall without growing
+    buckets (candidates scale ×nprobe, never corpus-sized). Scale
+    shape: corpus bucketed once (narrow map),
     then an equi-join on bucket id replaces the cross join — shuffle is
     corpus-sized, and a 100 TB corpus can be *stored* pre-bucketed
     (partitionBy bucket) to skip even that.
@@ -248,11 +220,29 @@ def ann_lsh(
             bucket.alias("__bucket"),
         )
     else:
-        probe = _probe_buckets(dims, planes, nprobe)
-        q_sel = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(probe(F.col(vec_col))).alias("__bucket"),
+        # query batch is small by contract: compute multi-probe buckets
+        # driver-side (same numpy math, no Python stage in the plan) and
+        # ship (query, bucket) pairs as a broadcast literal
+        P = np.array(
+            [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
+            dtype="float64",
+        )
+        qrows = queries.select(id_col, vec_col).collect()
+        X = np.asarray([r[vec_col] for r in qrows], dtype="float64")
+        proj = X @ P.T
+        home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
+        order = np.argsort(np.abs(proj), axis=1)
+        pairs = []
+        for i, r in enumerate(qrows):
+            buckets = [int(home[i])]
+            for j in range(min(nprobe - 1, planes)):
+                buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
+            pairs.extend(
+                (int(r[id_col]), [float(x) for x in r[vec_col]], b)
+                for b in buckets
+            )
+        q_sel = corpus.sparkSession.createDataFrame(
+            pairs, "query_id long, __qvec array<double>, __bucket int"
         )
     q = F.broadcast(q_sel)
     sims = (

@@ -465,3 +465,4 @@ def _load_extensions() -> None:
     import pybabe_spark.queries_multimodal  # noqa: F401
     import pybabe_spark.queries_pipeline  # noqa: F401
     import pybabe_spark.queries_streaming  # noqa: F401
+    import pybabe_spark.queries_text  # noqa: F401

@@ -516,6 +516,43 @@ def q_rolling_value_per_user(spark, sf_dir):
     )
 
 
+@register(
+    "ranking_windows_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE)
+             AS pct_rank,
+           CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE)
+             AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_ranking_windows(spark, sf_dir):
+    """Ranking-window surface in one query: ntile / percent_rank /
+    cume_dist / first_value per priority partition (SURVEY §2.6
+    capability superset). One shuffle on the partition key; the unique
+    (price, key) order makes every rank deterministic. Both engines
+    compute the same IEEE doubles; DECIMAL(18,6) absorbs nothing here
+    but keeps the cross-engine convention uniform."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).cast("decimal(18,6)").cast("double")
+        .alias("pct_rank"),
+        F.cume_dist().over(w).cast("decimal(18,6)").cast("double").alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
 # Approximate aggregates are the 100 TB path (single pass, fixed-size
 # sketches, no exact-distinct shuffle). Raw sketch values are
 # engine-specific by construction, so the query REDUCES them to facts an

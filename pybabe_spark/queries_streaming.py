@@ -95,6 +95,25 @@ def q_sessionize(spark, sf_dir):
 
 
 @register(
+    "stream_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q_running_totals(spark, sf_dir):
+    """Batch form of the stateful per-key running counter
+    (streaming/ops.py::running_totals, applyInPandasWithState with
+    O(keys) state); the real-stream final emission is asserted equal in
+    tests/test_streaming.py::test_running_totals_stream_matches_batch."""
+    from pybabe_spark.streaming.ops import running_totals
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return running_totals(ev)
+
+
+@register(
     "stream_dedup_users",
     "SELECT user_id, COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id",
 )

@@ -1,0 +1,114 @@
+"""Training-data hygiene queries: benchmark decontamination, duplicated
+n-gram coverage, and word-entropy quality — each with an exact DuckDB
+oracle over the same parquet tables.
+
+Oracle-determinism notes (same conventions as queries_ml.py):
+
+- Shingle extraction mirrors functions/text.py::shingle_array exactly:
+  distinct word n-grams, docs shorter than n shingle to the whole text;
+  the SQL uses 1-based list indexing, Spark 0-based sequences — both
+  produce len-n+1 grams.
+- Ratios are small-integer divisions surfaced as DECIMAL(18,6)-rounded
+  doubles (denominators ≤ doc length, so every value is either exactly
+  representable or has an infinite expansion — no rounding-mode edge).
+- Entropy sums IEEE doubles in engine-specific distinct order; the
+  DECIMAL(18,6) rounding absorbs the ±1e-15 summation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybabe_spark.queries import register
+from pybabe_spark.sources.io import read_table
+
+
+def _shingle_sql(n: int, where: str = "") -> str:
+    """DuckDB mirror of the Spark shingle extraction (distinct n-grams,
+    short-doc fallback to the whole text)."""
+    ws = "string_split(text, ' ')"
+    gram = " || ' ' || ".join(f"{ws}[i + {k}]" for k in range(n))
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len({ws}) >= {n} THEN
+          list_transform(range(1, len({ws}) - {n} + 2), i -> {gram})
+        ELSE [text] END)) AS s
+      FROM documents {where}
+    """
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH sh AS ({_shingle_sql(3)}),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    bad AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench)
+    )
+    SELECT doc_id, source, text FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py::decontaminate):
+    every 50th doc plays the eval set; training docs sharing any word
+    3-gram with it are dropped. Scale shape: distinct benchmark shingles
+    broadcast, one exploded semi-join, no corpus self-join."""
+    from pybabe_spark.operators.decontam import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=3).select("doc_id", "source", "text")
+
+
+@register(
+    "ngram_coverage_docs",
+    f"""
+    WITH sh AS ({_shingle_sql(5)}),
+    cnt AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(CAST(CAST(SUM(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS dup_coverage
+    FROM sh JOIN cnt USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_coverage(spark, sf_dir):
+    """Duplicated-5-gram coverage per doc
+    (operators/decontam.py::duplicated_ngram_coverage) — the
+    RefinedWeb-style dup-n-gram signal: two map-side-combinable
+    hash-aggregate shuffles, linear in corpus size."""
+    from pybabe_spark.operators.decontam import duplicated_ngram_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_ngram_coverage(docs, n=5)
+
+
+@register(
+    "word_entropy_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n,
+             list_transform(list_distinct(ws),
+                            d -> len(list_filter(ws, x -> x = d))) AS counts
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(CAST(-list_sum(list_transform(counts,
+                c -> (c / n) * log2(c / n))) AS DECIMAL(18,6)) AS DOUBLE)
+             AS entropy
+    FROM c
+    """,
+)
+def q_word_entropy(spark, sf_dir):
+    """Word-distribution Shannon entropy (functions/text.py::word_entropy)
+    as a perplexity-proxy quality signal — pure codegen, narrow map,
+    zero shuffle."""
+    from pybabe_spark.functions.text import word_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", word_entropy("text").alias("entropy"))

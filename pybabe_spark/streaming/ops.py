@@ -242,6 +242,76 @@ def sessionize(
     )
 
 
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
+_RUNNING_STATE_SCHEMA = "n long, vsum double"
+
+
+def running_totals(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key lifetime running totals (count + value sum).
+
+    - **Streaming**: custom stateful operator via
+      ``applyInPandasWithState`` — per-key state carries (n, sum)
+      forever; every micro-batch that touches a key emits that key's
+      updated totals (update-style output). The canonical "running
+      counter" shape: state is O(keys), not O(events).
+    - **Batch**: a plain groupBy aggregate — identical to the FINAL
+      streaming emission per key, which is what tests assert.
+
+    Sums accumulate through the engine's decimal convention so batch,
+    stream, and the SQL oracle agree bit-for-bit.
+    """
+    if not df.isStreaming:
+        return (
+            df.groupBy(F.col(user_col).alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+        from decimal import Decimal
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+
+        n, vsum = state.get if state.exists else (0, 0.0)
+        # decimal-exact accumulation mirrors the batch decimal(18,6) sum
+        acc = Decimal(repr(vsum))
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf[value_col].astype("float64"):
+                acc += Decimal(repr(float(v))).quantize(Decimal("0.000001"))
+        vsum = float(acc)
+        state.update((n, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [vsum]}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _duration_seconds(s: str) -> int:
     qty, unit = s.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

@@ -435,6 +435,18 @@ def test_pull_command_stdout_cap_kills_runaway(spark, monkeypatch):
         pull(spark, command=["false"], format="csv")
 
 
+def test_push_pull_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source through the generic format dispatch (Spark-native
+    columnar alternative to parquet — no extra package needed)."""
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "n int, s string")
+    out = str(tmp_path / "data.orc")
+    push(df, out)
+    back = pull(spark, out)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+
 def test_push_pull_utf16_roundtrip(spark, tmp_path):
     """encoding= on both sides (reference tests/test_charset.py
     ::test_writeutf16)."""

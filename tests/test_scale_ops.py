@@ -598,3 +598,77 @@ def test_ivf_stored_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path
     got = {(r["query_id"], r["neighbor_id"]) for r in stored.collect()}
     want = {(r["query_id"], r["neighbor_id"]) for r in inline.collect()}
     assert got == want
+
+
+def test_decontaminate_drop_and_flag_agree(spark, sf_dir):
+    """flag-mode marks exactly the docs drop-mode removes; a benchmark
+    doc's own n-grams always contaminate an identical training doc."""
+    from pybabe_spark.operators.decontam import decontaminate
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+
+    kept = decontaminate(corpus, bench, n=3)
+    flagged = decontaminate(corpus, bench, n=3, mode="flag")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    clean_ids = {
+        r["doc_id"]
+        for r in flagged.filter(~F.col("contaminated")).select("doc_id").collect()
+    }
+    assert kept_ids == clean_ids
+    assert flagged.count() == corpus.count()
+
+    # planting a benchmark doc into the corpus must contaminate it
+    leak = corpus.limit(0).unionByName(bench.limit(1))
+    assert decontaminate(leak, bench, n=3).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast — eval sets are tiny
+    next to a 100 TB corpus; a shuffle join here would be a regression."""
+    from pybabe_spark.operators.decontam import decontaminate
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = (
+        decontaminate(corpus, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_coverage_dedup_thresholds(spark, sf_dir):
+    """threshold=0 drops every doc with any duplicated shingle;
+    threshold>1 keeps everything; outputs are always a subset."""
+    from pybabe_spark.operators.decontam import (
+        coverage_dedup,
+        duplicated_ngram_coverage,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.count()
+    assert coverage_dedup(docs, threshold=1.01, n=5).count() == total
+    cov = duplicated_ngram_coverage(docs, n=5)
+    n_clean = cov.filter(F.col("dup_coverage") == 0.0).count()
+    assert coverage_dedup(docs, threshold=1e-9, n=5).count() == n_clean
+
+
+def test_word_entropy_model(spark):
+    """Entropy matches the closed-form for known word distributions."""
+    import math
+
+    from pybabe_spark.functions.text import word_entropy
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("a b a b",), ("a b c d",)], "text string"
+    )
+    got = [r["e"] for r in df.select(word_entropy("text").alias("e")).collect()]
+    assert got[0] == 0.0
+    assert abs(got[1] - 1.0) < 1e-6
+    assert abs(got[2] - 2.0) < 1e-6
+    assert got == sorted(got)

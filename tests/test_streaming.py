@@ -76,6 +76,30 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream_dir):
         assert per_user_got.get(u, 0) >= n - 1
 
 
+def test_running_totals_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    """The stateful running counter's final per-key emission equals the
+    batch groupBy totals (update-mode memory sink keeps the latest row
+    per key after an availableNow run over one batch)."""
+    from pybabe_spark.streaming.ops import running_totals
+
+    batch = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    expected = {
+        (r["user_id"], r["n_events"]): round(r["value_sum"], 6)
+        for r in running_totals(batch).collect()
+    }
+
+    stream = stream_events(spark, events_stream_dir).select("user_id", "ts", "value")
+    rt = running_totals(stream)
+    q = run_to_memory(rt, "running_test", output_mode="update")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"]): round(r["value_sum"], 6)
+        for r in spark.sql("SELECT * FROM running_test").collect()
+    }
+    # single micro-batch → one emission per key, already the final totals
+    assert got == expected and len(got) > 0
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     from pybabe_spark.streaming.ops import dedup_within_watermark
 
