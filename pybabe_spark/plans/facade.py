@@ -169,6 +169,27 @@ class Babe:
 
         return self._wrap(self.df.withColumn(out_field, url_parse(field)))
 
+    def decontaminate(self, benchmark: "Babe | DataFrame", **kwargs) -> "Babe":
+        from pybabe_spark.operators.decontam import decontaminate
+
+        b = benchmark.df if isinstance(benchmark, Babe) else benchmark
+        return self._wrap(decontaminate(self.df, b, **kwargs))
+
+    def coverage_dedup(self, threshold=0.8, **kwargs) -> "Babe":
+        from pybabe_spark.operators.decontam import coverage_dedup
+
+        return self._wrap(coverage_dedup(self.df, threshold, **kwargs))
+
+    def word_entropy(self, field, out_field="entropy") -> "Babe":
+        from pybabe_spark.functions.text import word_entropy
+
+        return self._wrap(self.df.withColumn(out_field, word_entropy(field)))
+
+    def running_totals(self, **kwargs) -> "Babe":
+        from pybabe_spark.streaming.ops import running_totals
+
+        return self._wrap(running_totals(self.df, **kwargs))
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other

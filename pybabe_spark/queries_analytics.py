@@ -517,6 +517,64 @@ def q_rolling_value_per_user(spark, sf_dir):
 
 
 @register(
+    "string_agg_suppliers",
+    """
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg): sorted collect_list →
+    concat_ws — the deterministic form of the notoriously
+    order-dependent aggregate (SURVEY §2.4 capability superset). The
+    explicit sort inside the aggregate is what makes it reproducible on
+    any engine and any partitioning."""
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name")))
+            .alias("suppliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((EXTRACT(year FROM o_orderdate)),
+                            (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under rollup/cube, both
+    already covered): one aggregation producing the per-year and
+    per-priority marginals in a single pass — Spark expands to a single
+    shuffle, not two jobs."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    ).groupingSets(
+        [["yr"], ["o_orderpriority"]], "yr", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("double").alias("total"),
+    )
+
+
+@register(
     "ranking_windows_orders",
     """
     SELECT o_orderkey, o_orderpriority,

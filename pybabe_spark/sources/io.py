@@ -48,6 +48,18 @@ def _default_url_opener(url: str):
 URL_OPENER = _default_url_opener
 
 
+def _raise_if_missing_avro(exc: Exception, fmt: str):
+    """spark-avro is an external module (Spark's packaging choice since
+    2.4); turn its lookup failure into an actionable error."""
+    if fmt == "avro" and "data source" in str(exc).lower():
+        raise RuntimeError(
+            "avro needs the spark-avro package "
+            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<ver>); "
+            "not bundled in this environment"
+        ) from exc
+    raise exc
+
+
 def _fetch_url_to_temp(url: str, cap: int | None = None) -> str:
     """Stream a remote single-file source to a local temp file, chunked
     and size-capped (same incremental cap as pull(command=...)); the
@@ -316,7 +328,10 @@ def pull(
         reader = reader.format(fmt)
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.load(filename)
+    try:
+        df = reader.load(filename)
+    except Exception as exc:
+        _raise_if_missing_avro(exc, fmt)
     if fields:
         df = df.toDF(*fields)
     if utf8_cleanup:
@@ -525,7 +540,10 @@ def push(
         writer = writer.option("compression", compression)
     for k, v in options.items():
         writer = writer.option(k, v)
-    writer.save(filename)
+    try:
+        writer.save(filename)
+    except Exception as exc:
+        _raise_if_missing_avro(exc, fmt)
 
 
 def _push_driver_side(df: DataFrame, filename: str, fmt: str, row_limit: int = 1_000_000):

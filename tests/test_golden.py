@@ -392,3 +392,27 @@ def test_throttle_semantics(spark):
     kept = sorted(r["event_id"]
                   for r in throttle(df, "u", "ts", 300, tiebreak="event_id").collect())
     assert kept == [1, 4, 5]
+
+
+def test_facade_text_hygiene_chain(spark):
+    """Round-3 facade surface: decontaminate / coverage_dedup /
+    word_entropy chain like every other Babe op."""
+    from pybabe_spark.plans.facade import Babe
+
+    docs = Babe.from_df(spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    ))
+    bench = Babe.from_df(spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id bigint, text string"
+    ))
+    clean = docs.decontaminate(bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.df.collect()) == [2]
+
+    kept = docs.coverage_dedup(threshold=0.5, n=3)
+    assert sorted(r["doc_id"] for r in kept.df.collect()) == [2]
+
+    ent = docs.word_entropy("text")
+    assert all(abs(r["entropy"] - 2.0) < 1e-6 for r in ent.df.collect())

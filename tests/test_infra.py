@@ -507,3 +507,21 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     # case-sensitively — raw queries must quote them too
     q = pull_sql(spark, url, query='SELECT "k" FROM t1 WHERE "k" < 10', **opts)
     assert q.count() == 10
+
+
+def test_avro_clear_error_without_package(spark, tmp_path):
+    """avro needs the external spark-avro module; absence must be a
+    clear actionable error on both pull and push (with the package
+    present these would be real reads/writes through the same branch)."""
+    from pybabe_spark.sources.io import push
+
+    p = tmp_path / "x.avro"
+    p.write_bytes(b"Obj\x01")
+    df = spark.createDataFrame([(1,)], "n int")
+    try:
+        pull(spark, str(p))
+        pytest.skip("spark-avro present; gate not exercised")
+    except RuntimeError as exc:
+        assert "spark-avro package" in str(exc)
+    with pytest.raises(RuntimeError, match="spark-avro package"):
+        push(df, str(tmp_path / "out.avro"))
