@@ -225,6 +225,44 @@ def q_minhash_lsh_shingle3(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3)
 
 
+@register(
+    "dup_clusters_docs",
+    f"""
+    WITH RECURSIVE
+    edges AS ({_minhash_shingle3_sql(16, 4)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b AS u, id_a AS v FROM edges),
+    reach(src, node) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u
+    ),
+    comp AS (SELECT src AS id, MIN(node) AS component FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size
+              FROM assigned GROUP BY component)
+    SELECT id, component, cluster_size FROM assigned JOIN sizes USING (component)
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: LSH candidate pairs (3-gram
+    MinHash) closed under connectivity via min-label propagation
+    (operators/graph.py::connected_components — iterative, one
+    join+agg shuffle per round over the node set only, lineage cut per
+    round). The oracle re-derives the same components with a recursive
+    CTE — the fixpoint is checked exactly, not rows-only."""
+    from pybabe_spark.operators.graph import dup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    return dup_clusters(docs, pairs)
+
+
 _SIMHASH_SQL_BITS = " + ".join(
     f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
     f"t -> CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {k // 4 + 1}, 1)) - 1) "

@@ -87,6 +87,24 @@ def q_ngram_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(docs, n=5)
 
 
+def _tfidf_sql():
+    from pybabe_spark.operators.tfidf import tfidf_sql
+
+    return tfidf_sql(3)
+
+
+@register("tfidf_top_terms_docs", _tfidf_sql())
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/tfidf.py): two
+    map-side-combinable aggregations + a small idf join + per-doc
+    top-k window; ranked on rounded scores with a term tiebreak so the
+    oracle's libm cannot reorder ties."""
+    from pybabe_spark.operators.tfidf import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
 @register(
     "word_entropy_docs",
     """

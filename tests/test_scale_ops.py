@@ -672,3 +672,67 @@ def test_word_entropy_model(spark):
     assert abs(got[1] - 1.0) < 1e-6
     assert abs(got[2] - 2.0) < 1e-6
     assert got == sorted(got)
+
+
+def test_connected_components_known_graph(spark):
+    """Chains, triangles, and isolated pairs resolve to min-id labels;
+    a 5-hop chain still converges (diameter-bound iteration)."""
+    from pybabe_spark.operators.graph import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1-6
+         (10, 11), (11, 12), (10, 12),             # triangle
+         (20, 21)],                                # pair
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 12, 20, 21, 99]],
+        "doc_id bigint",
+    )
+    clusters = {r["id"]: (r["component"], r["cluster_size"])
+                for r in dup_clusters(docs, edges).collect()}
+    assert clusters[99] == (99, 1)          # singleton keeps its own id
+    assert clusters[4] == (1, 6)
+    assert clusters[12] == (10, 3)
+
+
+def test_connected_components_raises_without_fixpoint(spark):
+    import pytest
+
+    from pybabe_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iters=1)
+
+
+def test_tfidf_model(spark):
+    """Hand-checked TF-IDF: corpus-wide terms score low, unique terms
+    high; ties break on term name."""
+    import math
+
+    from pybabe_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common")],
+        "doc_id bigint, text string",
+    )
+    out = {(r["id"], r["term"]): (r["tf"], r["score"])
+           for r in tfidf_top_terms(docs, k=2).collect()}
+
+    idf_common = math.log(4 / 4) + 1            # df=3 -> 1.0
+    idf_rare = math.log(4 / 2) + 1              # df=1
+    assert out[(1, "rare1")][0] == 1
+    assert abs(out[(1, "rare1")][1] - round(idf_rare, 6)) < 1e-6
+    assert abs(out[(1, "common")][1] - round(2 * idf_common, 6)) < 1e-6
+    # doc 1's top term is the double 'common' (2.0 > 1.69 rare)
+    top1 = max(((k, v) for k, v in out.items() if k[0] == 1),
+               key=lambda kv: kv[1][1])
+    assert top1[0] == (1, "common")
