@@ -129,8 +129,53 @@ def mail(
 
 
 # ---------------------------------------------------------------------------
-# primary key detection
+# column profiling / primary key detection
 # ---------------------------------------------------------------------------
+
+_NUMERIC_TYPES = {
+    "byte", "short", "int", "integer", "bigint", "long",
+    "float", "double", "decimal",
+}
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column summary statistics in ONE aggregation pass:
+    (column, n_nonnull, n_distinct, min_num, max_num) — min/max surface
+    only for numeric columns (NULL otherwise) so the output schema is
+    uniform and engine-portable.
+
+    The single multi-distinct aggregation expands rows ×columns before
+    the combine (Spark's expand rewrite) — exact, and right for a
+    profiling pass you run once per table; a continuous monitor at
+    100 TB would swap ``count_distinct`` for ``approx_count_distinct``
+    (same shape as :func:`primary_key_detect`'s prefilter). The melt to
+    long format happens on the driver over the single result row.
+    """
+    cols = columns or df.columns
+    types = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        is_num = types[c].split("(")[0] in _NUMERIC_TYPES
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(
+            (F.min(F.col(c)).cast("double") if is_num else F.min(F.lit(None).cast("double")))
+            .alias(f"__mn_{c}")
+        )
+        aggs.append(
+            (F.max(F.col(c)).cast("double") if is_num else F.max(F.lit(None).cast("double")))
+            .alias(f"__mx_{c}")
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = [
+        (c, row[f"__nn_{c}"], row[f"__nd_{c}"], row[f"__mn_{c}"], row[f"__mx_{c}"])
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_nonnull bigint, n_distinct bigint, "
+        "min_num double, max_num double",
+    )
 
 def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None:
     """Find a column whose values are unique (pybabe/types.py:52-87).

@@ -113,11 +113,16 @@ def asof_join(
     right_ts: str = "ts",
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     nearest ``right_ts`` at-or-before (``backward``) / at-or-after
     (``forward``) the left row's ``left_ts``, per ``on`` key. Left outer:
-    unmatched left rows keep NULL right columns.
+    unmatched left rows keep NULL right columns. ``tolerance`` (an
+    interval string like ``'5 minutes'``, matching pandas
+    ``merge_asof(tolerance=...)``) voids matches farther than that from
+    the left timestamp — a map-side post-filter on the matched payload,
+    no change to the join shape.
 
     Capability extension over the reference (PyBabe has only the equi
     lookup join, pybabe/join.py:5-50); time-series enrichment needs this.
@@ -176,6 +181,15 @@ def asof_join(
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = both.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        mts = F.col("__m")[right_ts].cast("timestamp")
+        within = (
+            mts >= F.col("__asof_ts") - tol
+            if direction == "backward"
+            else mts <= F.col("__asof_ts") + tol
+        )
+        matched = matched.withColumn("__m", F.when(within, F.col("__m")))
     out = matched.filter(F.col("__is_left") == 1)
     for c in payload_cols:
         out = out.withColumn(out_name[c], F.col("__m")[c])

@@ -287,6 +287,11 @@ class Babe:
 
         return self._wrap(user_agent(self.df, field, **kwargs))
 
+    def profile(self, columns=None) -> "Babe":
+        from pybabe_spark.operators.infra import profile
+
+        return self._wrap(profile(self.df, columns))
+
     def primary_key_detect(self, **kwargs):
         """Returns the detected key column name (metadata, not a new
         stream — pybabe/types.py:52-87 sets header.primary_key)."""

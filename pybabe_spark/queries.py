@@ -421,6 +421,34 @@ def q_window_rolling(spark, sf_dir):
     )
 
 
+_PROFILE_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority",
+]
+
+
+@register(
+    "profile_orders",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", COUNT({c}) AS n_nonnull,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            {f'CAST(MIN({c}) AS DOUBLE)' if c in _PROFILE_NUMERIC else 'CAST(NULL AS DOUBLE)'} AS min_num,
+            {f'CAST(MAX({c}) AS DOUBLE)' if c in _PROFILE_NUMERIC else 'CAST(NULL AS DOUBLE)'} AS max_num
+            FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile(spark, sf_dir):
+    """One-pass per-column profiling (operators/infra.py::profile):
+    non-null / exact-distinct / numeric min-max for every column in a
+    single multi-distinct aggregation."""
+    from pybabe_spark.operators.infra import profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile(orders, _PROFILE_COLS)
+
+
 @register(
     "primary_key_detect_orders",
     """

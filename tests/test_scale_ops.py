@@ -736,3 +736,36 @@ def test_tfidf_model(spark):
     top1 = max(((k, v) for k, v in out.items() if k[0] == 1),
                key=lambda kv: kv[1][1])
     assert top1[0] == (1, "common")
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance= voids stale matches exactly like pandas merge_asof."""
+    import pandas as pd
+
+    from pybabe_spark.operators import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1], 
+        "ts": pd.to_datetime(
+            ["2024-01-01 10:00", "2024-01-01 12:00", "2024-01-01 13:00"]),
+        "lid": ["a", "b", "c"],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1],
+        "rts": pd.to_datetime(["2024-01-01 09:55", "2024-01-01 11:30"]),
+        "rv": [1.0, 2.0],
+    })
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        tolerance=pd.Timedelta("10 minutes"),
+    ).set_index("lid")["rv"].to_dict()
+
+    got = {r["lid"]: r["rv"] for r in asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="ts", right_ts="rts", tolerance="10 minutes",
+    ).collect()}
+    import math
+    norm = lambda d: {k: (None if v is None or (isinstance(v, float) and math.isnan(v)) else v)
+                      for k, v in d.items()}
+    assert norm(got) == norm(want)  # a: 1.0 (5m), b: None (30m), c: None
