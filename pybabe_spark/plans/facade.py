@@ -287,6 +287,11 @@ class Babe:
 
         return self._wrap(user_agent(self.df, field, **kwargs))
 
+    def quantize_embeddings(self, **kwargs) -> "Babe":
+        from pybabe_spark.operators.similarity import quantize_embeddings
+
+        return self._wrap(quantize_embeddings(self.df, **kwargs))
+
     def profile(self, columns=None) -> "Babe":
         from pybabe_spark.operators.infra import profile
 

@@ -226,6 +226,46 @@ def q_minhash_lsh_shingle3(spark, sf_dir):
 
 
 @register(
+    "quantize_embeddings_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 0.0 END AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(CAST(scale AS DECIMAL(18,9)) AS DOUBLE) AS scale,
+           array_to_string(
+             CASE WHEN scale > 0 THEN
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END,
+             ',') AS codes
+    FROM q
+    """,
+)
+def q_quantize(spark, sf_dir):
+    """Int8 embedding quantization (similarity.py::quantize_embeddings):
+    4x storage for a 100 TB vector store, codes emitted as a canonical
+    comma string so the cross-engine hash compares arrays portably."""
+    from pybabe_spark.operators.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.col("scale").cast("decimal(18,9)").cast("double").alias("scale"),
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+        .alias("codes"),
+    )
+
+
+@register(
     "dup_clusters_docs",
     f"""
     WITH RECURSIVE

@@ -171,3 +171,34 @@ def test_upsert_idempotent_and_complete(spark, data):
     assert o == t
     for r in updates.collect():
         assert o[r["k"]] == r["v"]
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == classic union-find on any
+    random small graph (self-loops excluded by construction)."""
+    from pybabe_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df, max_iters=40).collect()}
+    assert got == want

@@ -769,3 +769,49 @@ def test_asof_join_tolerance_matches_pandas(spark):
     norm = lambda d: {k: (None if v is None or (isinstance(v, float) and math.isnan(v)) else v)
                       for k, v in d.items()}
     assert norm(got) == norm(want)  # a: 1.0 (5m), b: None (30m), c: None
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized vectors stay within scale/2 per component and keep
+    cosine ≈ 1 vs the originals; zero vectors survive."""
+    from pybabe_spark.operators.similarity import (
+        cosine_similarity,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(200)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 4)], "vec_id bigint, embedding array<float>"
+    )
+    emb = emb.unionByName(zero)
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q).withColumnRenamed("embedding", "deq")
+    joined = emb.join(back, "vec_id").join(q.select("vec_id", "scale"), "vec_id")
+
+    stats = joined.select(
+        F.max(
+            F.when(
+                F.col("scale") > 0,
+                F.array_max(
+                    F.zip_with(
+                        "embedding", "deq",
+                        lambda a, b: F.abs(a.cast("double") - b) / F.col("scale"),
+                    )
+                ),
+            )
+        ).alias("max_err_scaled"),
+        F.min(
+            F.when(
+                F.col("vec_id") != 999_999,
+                cosine_similarity(F.col("embedding"), F.col("deq")),
+            )
+        ).alias("min_cos"),
+    ).collect()[0]
+    assert stats["max_err_scaled"] <= 0.5 + 1e-9
+    assert stats["min_cos"] > 0.9995
+    z = back.filter(F.col("vec_id") == 999_999).collect()[0]["deq"]
+    assert z == [0.0, 0.0, 0.0, 0.0]
