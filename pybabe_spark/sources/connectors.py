@@ -99,6 +99,7 @@ def pull_http_json(
     record_path: str | None = None,
     timeout: float = 30.0,
     max_bytes: int = 64 * 1024 * 1024,
+    headers: dict[str, str] | None = None,
 ) -> DataFrame:
     """One bounded JSON payload → DataFrame (the twitter/buzzdata fetch
     pattern, pybabe/twitter.py:34-77 / protocol_buzzdata.py:17-39).
@@ -108,9 +109,18 @@ def pull_http_json(
     ``"results"``). Size-capped so a misbehaving endpoint can't OOM the
     driver — large ingestion belongs on object storage + ``pull``.
     """
-    from urllib.request import urlopen
+    from urllib.request import Request, urlopen
 
-    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (caller's URL)
+    if headers:
+        req = Request(url, headers=headers)
+        resp = urlopen(req, timeout=timeout)  # noqa: S310 (caller's URL)
+    else:
+        # the shared injectable opener (pybabe_spark.sources.io.URL_OPENER)
+        # so tests / restricted envs can swap the transport once
+        from pybabe_spark.sources import io as _io
+
+        resp = _io.URL_OPENER(url)
+    with resp:
         payload = resp.read(max_bytes + 1)
     if len(payload) > max_bytes:
         raise ValueError(f"pull_http_json: payload exceeds {max_bytes} bytes")
@@ -124,3 +134,25 @@ def pull_http_json(
         raise ValueError("pull_http_json: no records found at record_path")
     rows = [json.dumps(r) for r in data]
     return spark.read.json(spark.sparkContext.parallelize(rows))
+
+
+def pull_twitter(
+    spark: SparkSession,
+    query: str,
+    bearer_token: str | None = None,
+    base_url: str = "https://api.x.com/2/tweets/search/recent",
+    max_results: int = 100,
+) -> DataFrame:
+    """Tweet search → DataFrame (reference pybabe/twitter.py:34-77,
+    which hit the v1.1 unauthenticated search API; the modern v2
+    endpoint needs a bearer token). One bounded driver-side fetch,
+    records drilled from the v2 ``data`` envelope, flattened by Spark's
+    JSON reader — identical shape to the reference's
+    fetch→parse→stream-of-rows pipeline."""
+    from urllib.parse import quote
+
+    url = f"{base_url}?query={quote(query)}&max_results={max_results}"
+    headers = (
+        {"Authorization": f"Bearer {bearer_token}"} if bearer_token else None
+    )
+    return pull_http_json(spark, url, record_path="data", headers=headers)

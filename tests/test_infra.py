@@ -525,3 +525,30 @@ def test_avro_clear_error_without_package(spark, tmp_path):
         assert "spark-avro package" in str(exc)
     with pytest.raises(RuntimeError, match="spark-avro package"):
         push(df, str(tmp_path / "out.avro"))
+
+
+def test_pull_twitter_via_injected_transport(spark, tmp_path, monkeypatch):
+    """pull_twitter builds the v2 search URL and flattens the 'data'
+    envelope; transport injected so no network is touched."""
+    import pybabe_spark.sources.io as io_mod
+    from pybabe_spark.sources.connectors import pull_twitter
+
+    payload = tmp_path / "tweets.json"
+    payload.write_text(
+        '{"data": [{"id": "1", "text": "hello"}, {"id": "2", "text": "spark"}],'
+        ' "meta": {"result_count": 2}}'
+    )
+    seen = []
+
+    def opener(url):
+        seen.append(url)
+        return open(payload, "rb")
+
+    monkeypatch.setattr(io_mod, "URL_OPENER", opener)
+    df = pull_twitter(spark, "spark lang:en", max_results=50)
+    rows = sorted((r["id"], r["text"]) for r in df.collect())
+    assert rows == [("1", "hello"), ("2", "spark")]
+    assert seen == [
+        "https://api.x.com/2/tweets/search/recent"
+        "?query=spark%20lang%3Aen&max_results=50"
+    ]
