@@ -141,3 +141,21 @@ def test_dedup_against_broadcasts_seen_keys(spark, sf_dir):
     always small next to the batch at scale)."""
     plan = _plan(spark, "dedup_against_seen", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_quantize_embeddings_is_narrow_map(spark, sf_dir):
+    """Int8 quantization must stay a shuffle-free, Python-free map."""
+    plan = _plan(spark, "quantize_embeddings_int8", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_word_entropy_is_narrow_map(spark, sf_dir):
+    plan = _plan(spark, "word_entropy_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_decontaminate_query_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "decontaminate_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
