@@ -51,7 +51,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         neighbor_labels = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "label")
@@ -61,6 +61,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        if rnd == 0:
+            # round 1 always changes labels when any edge exists — skip
+            # the convergence-count job and go straight to round 2
+            labels = new_labels
+            continue
         changed = (
             new_labels.withColumnRenamed("label", "new")
             .join(labels, "id")

@@ -153,6 +153,12 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """
     cols = columns or df.columns
     types = dict(df.dtypes)
+    # the multi-distinct rewrite expands rows ×columns before the partial
+    # aggregation; a single-file input would run that single-threaded, so
+    # spread the scan to the cluster first (no-op on well-partitioned input)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(8, par):
+        df = df.repartition(min(8, par))
     aggs = []
     for c in cols:
         is_num = types[c].split("(")[0] in _NUMERIC_TYPES
