@@ -30,8 +30,30 @@ from pybabe_spark.operators.skew import salted_join
 from pybabe_spark.operators.group import group, group_all
 from pybabe_spark.operators.reshape import pivot, transpose, unpivot
 from pybabe_spark.operators.window import window_map
+from pybabe_spark.operators.decontam import (
+    coverage_dedup,
+    decontaminate,
+    duplicated_ngram_coverage,
+)
+from pybabe_spark.operators.graph import connected_components, dup_clusters
+from pybabe_spark.operators.tfidf import tfidf_top_terms
+from pybabe_spark.operators.infra import primary_key_detect, profile
+from pybabe_spark.operators.similarity import (
+    dequantize_embeddings,
+    quantize_embeddings,
+)
 
 __all__ = [
+    "connected_components",
+    "coverage_dedup",
+    "decontaminate",
+    "dequantize_embeddings",
+    "dup_clusters",
+    "duplicated_ngram_coverage",
+    "primary_key_detect",
+    "profile",
+    "quantize_embeddings",
+    "tfidf_top_terms",
     "asof_join",
     "dedup_against",
     "exact_heavy_hitters",
