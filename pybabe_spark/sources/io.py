@@ -172,17 +172,22 @@ def in_ingest_order(df: DataFrame) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md contract).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as long (runtime conf, works under any
-    session) and convert to a micros timestamp — truncation matches
-    DuckDB's ns→us cast.
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (Spark's vectorized
+    reader rejects it — read as long and convert, truncation matches
+    DuckDB's ns→us cast) and as TIMESTAMP(MICROS) without a UTC flag
+    (inferred TIMESTAMP_NTZ, which ``unix_micros``/windows reject — cast
+    to the session type; exact because the session timezone is UTC).
+    Either way downstream operators see one canonical TIMESTAMP type.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -80,9 +80,11 @@ def stream_events(spark, events_dir: str, schema=None) -> DataFrame:
     """File-source stream over an events directory (one parquet per
     micro-batch discovery; the unbounded analogue of read_table).
 
-    The events table stores ts as TIMESTAMP(NANOS), which Spark reads as
-    long under the nanosAsLong conf — the stream reads the raw schema and
-    converts to a micros timestamp, mirroring sources.io.read_table.
+    The events table has stored ts as TIMESTAMP(NANOS) (read as long
+    under the nanosAsLong conf, converted to micros) and as un-flagged
+    TIMESTAMP(MICROS) (inferred TIMESTAMP_NTZ, which watermarks reject —
+    cast to the session type, exact under the UTC session timezone).
+    Mirrors sources.io.read_table so stream and batch plans agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
@@ -90,8 +92,11 @@ def stream_events(spark, events_dir: str, schema=None) -> DataFrame:
     df = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
