@@ -130,3 +130,43 @@ def q_word_entropy(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", word_entropy("text").alias("entropy"))
+
+
+@register(
+    "segment_dedup_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(ws)/20.0) AS INT)),
+               i -> struct_pack(pos := i,
+                 seg := array_to_string(list_slice(ws, i*20+1, i*20+20), ' ')))) AS s
+      FROM w
+    ),
+    f AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM segs),
+    cnt AS (SELECT seg, COUNT(*) AS n FROM f GROUP BY seg),
+    kept AS (SELECT doc_id, pos, seg FROM f JOIN cnt USING (seg) WHERE n < 2),
+    drops AS (SELECT doc_id, COUNT(*) AS nd
+              FROM f JOIN cnt USING (seg) WHERE n >= 2 GROUP BY doc_id),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+                  COUNT(*) AS nk
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(re.text, '') AS text,
+           CAST(COALESCE(re.nk, 0) + COALESCE(drops.nd, 0) AS BIGINT)
+             AS n_segments,
+           CAST(COALESCE(drops.nd, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    LEFT JOIN re USING (doc_id) LEFT JOIN drops USING (doc_id)
+    """,
+)
+def q_segment_dedup(spark, sf_dir):
+    """Segment-level (paragraph) dedup
+    (operators/dedup_scale.py::segment_dedup): drop 20-word segments
+    duplicated corpus-wide, reassemble docs in order — the CCNet-style
+    boilerplate scrub. One segment-count groupBy + one linear join;
+    no self-join."""
+    from pybabe_spark.operators.dedup_scale import segment_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_words=20, min_dup=2)
