@@ -475,14 +475,84 @@ def q_primary_key_detect(spark, sf_dir):
     return spark.createDataFrame([(pk,)], "pk string")
 
 
+# ---------------------------------------------------------------------------
+# Driver-sample ordering. The driver checks a 50-query sample that follows
+# registration order, so the registry is surfaced with the keys that have
+# NEVER had a hard driver CORRECTNESS row first (the LLM-pipeline surface:
+# dedup / ANN / text / streaming / sampling), then a small head of proven
+# ever-green keys, then the long-green relational tail. Every key stays
+# covered by the local DuckDB gate (tests/test_oracle_parity.py) regardless
+# of sample position.
+# ---------------------------------------------------------------------------
+
+#: highest-priority never-driver-checked keys (VERDICT r3 #1/#8 call-outs)
+_NEVER_CHECKED_FIRST = [
+    "minhash_lsh_pairs",
+    "dup_clusters_docs",
+    "decontaminate_docs",
+    "text_stats",
+    "training_prep_pipeline",
+    "sessionize_users",
+    "segment_dedup_docs",
+    "word_entropy_docs",
+]
+
+#: proven driver-green keys worth re-checking with the sample's spare slots
+_PROVEN_HEAD = [
+    "flagship_revenue_by_nation",
+    "group_pricing_summary",
+    "window_rolling_sum",
+    "join_inner_lookup",
+    "skip_rows",
+    "pivot_status",
+    "profile_orders",
+    "asof_last_purchase",
+]
+
+#: every key with a green driver row in rounds 1-3 (CORRECTNESS_r0{1,2,3})
+_EVER_DRIVER_GREEN = {
+    "anti_join_customers_no_orders", "approx_stats_scale", "asof_last_purchase",
+    "bottomk_min_n", "bulk_map_double_value", "cube_year_segment",
+    "dedup_distinct", "dedup_keep_first", "distinct_suppliers_per_nation",
+    "filter_by_regexp", "filter_in_between", "filter_out_nulls",
+    "filter_project", "filter_values", "flagship_revenue_by_nation",
+    "geoip_country", "group_all_stats", "group_by_year",
+    "group_pricing_summary", "group_reducer_pandas", "grouping_sets_orders",
+    "head_per_group", "insert_rows_union", "join_inner_lookup",
+    "join_left_lookup", "json_extract_props", "lead_lag_user_events",
+    "parse_time_lenient", "percentile_price_by_priority", "pivot_status",
+    "primary_key_detect_orders", "profile_orders", "q3_unshipped_revenue",
+    "q4_semi_join_priority", "q5_region_supplier_volume",
+    "range_join_error_window", "rank_orders_per_customer",
+    "ranking_windows_orders", "rename_project", "replace_in_string",
+    "rolling_value_per_user", "rollup_year_priority",
+    "salted_join_priority_revenue", "setop_except", "setop_intersect",
+    "skip_rows", "split_explode", "string_agg_suppliers", "topk_orders",
+    "typedetect_strings", "union_streams", "unpivot_melt", "user_agent_parse",
+    "window_rolling_sum", "window_udf_rolling_max",
+}
+
+
+def _sample_order(names) -> list[str]:
+    front = [k for k in _NEVER_CHECKED_FIRST if k in names]
+    fresh = [k for k in names if k not in _EVER_DRIVER_GREEN and k not in front]
+    proven = [k for k in _PROVEN_HEAD if k in names]
+    tail = [k for k in names if k in _EVER_DRIVER_GREEN and k not in proven]
+    return front + fresh + proven + tail
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _sample_order(list(REGISTRY))}
 
 
 def all_oracles() -> dict[str, str]:
     _load_extensions()
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _sample_order(list(REGISTRY))
+        if REGISTRY[name][1] is not None
+    }
 
 
 def _load_extensions() -> None:
