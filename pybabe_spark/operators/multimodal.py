@@ -42,10 +42,14 @@ def attach_fake_media(
     """
     blob = F.encode(F.col(source_col), "UTF-8")
     h = F.crc32(blob)
+    # n_frames comes from the first 16 sha256 bits (not crc32) so ANY SQL
+    # engine can recompute it — that makes frame sampling exactly
+    # oracle-checkable (queries_multimodal.py::multimodal_frame_sample)
+    sha16 = F.conv(F.substring(F.sha2(blob, 256), 1, 4), 16, 10).cast("int")
     meta = F.struct(
         (h % 640 + 64).cast("int").alias("width"),
         (h % 480 + 48).cast("int").alias("height"),
-        (h % 24 + 1).cast("int").alias("n_frames"),
+        (sha16 % 24 + 1).cast("int").alias("n_frames"),
         F.lit("fake").alias("codec"),
     )
     return df.withColumn(blob_col, blob).withColumn(meta_col, meta)

@@ -50,9 +50,31 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
-# Frame sampling is 1→N over blob chunks whose boundaries depend on the
-# crc32-derived n_frames metadata — no SQL equivalent; rows-only check.
-@register("multimodal_frame_sample", None)
+# Frame sampling is 1→N over blob chunks. n_frames derives from the first
+# 16 sha256 bits of the blob (attach_fake_media), so the whole explosion is
+# exactly recomputable in SQL: chunk = max(len // n_frames, 1), indices
+# 0, every_n, ... < n_frames, and each frame's byte length is the Python
+# slice length max(0, min((fi+1)*chunk, len) - fi*chunk).
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             (('0x' || substr(sha256(text), 1, 4))::INT % 24) + 1 AS n
+      FROM documents WHERE doc_id < 500
+    ),
+    c AS (SELECT doc_id, len, n, GREATEST(len // n, 1) AS chunk FROM d),
+    e AS (SELECT doc_id, len, chunk,
+                 unnest(range(0, n, 3)) AS fi
+          FROM c)
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_index,
+           CAST(GREATEST(LEAST((fi + 1) * chunk, len) - fi * chunk, 0) AS INT)
+               AS frame_bytes
+    FROM e
+    """,
+)
 def q_multimodal_frames(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = attach_fake_media(docs, "text")
