@@ -75,16 +75,30 @@ def _spread(
     is for all-pairs self-join callers whose downstream work grows with
     rows², not bytes — they always get full parallelism. Already-
     well-partitioned inputs (the 100 TB corpus) pass through untouched —
-    no gratuitous shuffle."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    have = df.rdd.getNumPartitions()
-    if have >= par:
+    no gratuitous shuffle. All plan probes go through
+    :mod:`pybabe_spark.plans.introspect` so the path also works under
+    Spark Connect sessions (where the private surfaces are absent):
+    unknown partitioning degrades to a modest bounded repartition."""
+    from pybabe_spark.plans.introspect import (
+        default_parallelism,
+        num_partitions,
+        plan_size_bytes,
+    )
+
+    par = default_parallelism(df.sparkSession)
+    have = num_partitions(df)
+    if have is not None and have >= par:
         return df
     if quadratic:
         return df.repartition(par)
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    want = max(2, min(par, size // target_bytes + 1))
-    return df.repartition(want) if have < want else df
+    size = plan_size_bytes(df)
+    if size is None:
+        want = max(2, min(par, 8))
+    else:
+        want = max(2, min(par, size // target_bytes + 1))
+    if have is not None and have >= want:
+        return df
+    return df.repartition(want)
 
 
 def ann_brute_force(
@@ -130,14 +144,7 @@ def ann_brute_force(
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_by_query(sims, k)
 
 
 def _cosine_pandas(a, b):
@@ -171,7 +178,13 @@ def _plane_component(plane: int, dim: int) -> str:
 
 
 def lsh_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^planes-1) for a vector."""
+    """Sign-random-projection bucket id (0 .. 2^planes-1) for a vector —
+    the pure-SQL DEFINITION (what any engine, incl. the DuckDB oracle,
+    can replay verbatim). The hot paths use :func:`_bucket_pandas`, the
+    Arrow-batched einsum of the same projections: a dims×planes flat SQL
+    tree costs ~1s of Catalyst analysis per query and falls out of
+    codegen into interpreted eval (measured ~10× slower corpus-side).
+    """
     bits = []
     for p in range(planes):
         terms = " + ".join(
@@ -182,6 +195,60 @@ def lsh_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
     return F.expr(" + ".join(bits)).cast("int")
 
 
+def _lsh_planes(dims: int, planes: int) -> "np.ndarray":
+    """The md5-derived hyperplane matrix (planes × dims)."""
+    return np.array(
+        [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
+        dtype="float64",
+    )
+
+
+def _bucket_pandas(dims: int, planes: int):
+    """Arrow-batched bucket id: one ``X @ P.T`` einsum + sign-bit pack
+    per batch. Numerically this evaluates the same projections as
+    :func:`lsh_bucket_expr`; a sign flip would need |projection| at the
+    double rounding scale (~1e-13 against typical magnitudes of 10s) —
+    measure-zero, and the LSH recall contract is approximate anyway.
+    Wrapped lazily (pandas_udf resolves its type against the session).
+    """
+    P = _lsh_planes(dims, planes)
+    weights = 1 << np.arange(planes)
+
+    @pandas_udf("int")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        return pd.Series(((X @ P.T > 0) @ weights).astype("int32"))
+
+    return _bucket
+
+
+def _probe_pandas(dims: int, planes: int, nprobe: int):
+    """Arrow-batched multi-probe bucket list per query vector:
+    ``[home, home ^ (1<<p1), ...]`` with p1, p2, ... the planes ranked by
+    |projection| ascending (Lv et al., VLDB'07 — the near-boundary bits
+    are the likeliest to disagree with a true neighbor's). Same numpy
+    math as :func:`_lsh_probe_pairs`, but in-plan: no collect job."""
+    P = _lsh_planes(dims, planes)
+    weights = 1 << np.arange(planes)
+    flips = min(nprobe - 1, planes)
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        proj = X @ P.T
+        home = ((proj > 0) @ weights).astype("int64")
+        order = np.argsort(np.abs(proj), axis=1)
+        out = []
+        for i in range(len(X)):
+            buckets = [int(home[i])]
+            for j in range(flips):
+                buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
+            out.append(buckets)
+        return pd.Series(out)
+
+    return _probe
+
+
 def _py_plane(plane: int, dim: int) -> float:
     """Python mirror of :func:`_plane_component` (same md5-nibble
     hyperplanes): instr() is 1-based, so nibble+1-8.5 = nibble-7.5."""
@@ -189,6 +256,55 @@ def _py_plane(plane: int, dim: int) -> float:
 
     nibble = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0], 16)
     return nibble + 1 - 8.5
+
+
+def _lsh_probe_pairs(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    planes: int,
+    nprobe: int,
+) -> list[tuple[int, list[float], int]]:
+    """(query_id, vector, probe_bucket) tuples, computed driver-side.
+
+    The query batch is small by contract; multi-probe (Lv et al.,
+    VLDB'07) adds the buckets reached by flipping the lowest-|margin|
+    hyperplane bits — a near-boundary projection is the likeliest bit
+    to disagree with a true neighbor's. Same numpy math as the
+    in-plan :func:`lsh_bucket_expr`, so home buckets agree exactly.
+    """
+    P = np.array(
+        [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
+        dtype="float64",
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    X = np.asarray([r[vec_col] for r in qrows], dtype="float64")
+    proj = X @ P.T
+    home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
+    order = np.argsort(np.abs(proj), axis=1)
+    pairs = []
+    for i, r in enumerate(qrows):
+        buckets = [int(home[i])]
+        for j in range(min(nprobe - 1, planes)):
+            buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
+        pairs.extend(
+            (int(r[id_col]), [float(x) for x in r[vec_col]], b) for b in buckets
+        )
+    return pairs
+
+
+def _topk_by_query(sims: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with the deterministic (sim DESC, neighbor ASC)
+    tie-break shared by every ANN variant."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def ann_lsh(
@@ -213,42 +329,27 @@ def ann_lsh(
     corpus-sized, and a 100 TB corpus can be *stored* pre-bucketed
     (partitionBy bucket) to skip even that.
     """
-    bucket = lsh_bucket_expr(vec_col, dims, planes)
+    bucket = _bucket_pandas(dims, planes)
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        bucket.alias("__bucket"),
+        bucket(F.col(vec_col)).alias("__bucket"),
     )
     if nprobe <= 1:
         q_sel = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            bucket.alias("__bucket"),
+            bucket(F.col(vec_col)).alias("__bucket"),
         )
     else:
-        # query batch is small by contract: compute multi-probe buckets
-        # driver-side (same numpy math, no Python stage in the plan) and
-        # ship (query, bucket) pairs as a broadcast literal
-        P = np.array(
-            [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
-            dtype="float64",
-        )
-        qrows = queries.select(id_col, vec_col).collect()
-        X = np.asarray([r[vec_col] for r in qrows], dtype="float64")
-        proj = X @ P.T
-        home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
-        order = np.argsort(np.abs(proj), axis=1)
-        pairs = []
-        for i, r in enumerate(qrows):
-            buckets = [int(home[i])]
-            for j in range(min(nprobe - 1, planes)):
-                buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
-            pairs.extend(
-                (int(r[id_col]), [float(x) for x in r[vec_col]], b)
-                for b in buckets
-            )
-        q_sel = corpus.sparkSession.createDataFrame(
-            pairs, "query_id long, __qvec array<double>, __bucket int"
+        # multi-probe IN-PLAN: per query, explode [home, home^flip...]
+        # — one Arrow batch over the small query side, no collect job,
+        # no driver round-trip
+        probe = _probe_pandas(dims, planes, nprobe)
+        q_sel = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe(F.col(vec_col))).alias("__bucket"),
         )
     q = F.broadcast(q_sel)
     sims = (
@@ -263,14 +364,84 @@ def ann_lsh(
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
+    return _topk_by_query(sims, k)
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus pre-bucketed: rows stored ``partitionBy(bucket)``
+    under the sign-random-projection hash — the layout
+    :func:`ann_lsh`'s docstring promises for 100 TB. The bucket hash is
+    derived purely from md5 constants, so no sidecar state is needed
+    (unlike IVF's centroids): any session can re-derive probe buckets.
+    A probe then reads only matching partitions, pruned at the file
+    listing (asserted in tests/test_plans.py).
+    """
+    bucket = _bucket_pandas(dims, planes)
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+        )
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
     )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+
+
+def ann_lsh_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_lsh_index` layout.
+
+    Probe buckets are computed driver-side from the (small-by-contract)
+    query batch, so the bucket list is a LITERAL ``isin`` predicate —
+    Catalyst prunes non-probed partitions at the file listing, before a
+    byte of vector data is read. Candidates and ranking are identical to
+    the in-memory :func:`ann_lsh` with the same ``nprobe``.
+    """
+    pairs = _lsh_probe_pairs(queries, id_col, vec_col, dims, planes, nprobe)
+    probe_buckets = sorted({b for _, _, b in pairs})
+
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("bucket").alias("__bucket"),
     )
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(qid, vec, b) for qid, vec, b in pairs],
+            "query_id long, __qvec array<double>, __bucket int",
+        )
+    )
+    sims = (
+        c.join(q, "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    return _topk_by_query(sims, k)
 
 
 def _ivf_centroids(
@@ -381,14 +552,7 @@ def ann_ivf(
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_by_query(sims, k)
 
 
 def embedding_neardup_pairs(
@@ -584,11 +748,4 @@ def ann_ivf_stored(
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_by_query(sims, k)

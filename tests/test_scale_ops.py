@@ -600,6 +600,35 @@ def test_ivf_stored_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path
     assert got == want
 
 
+def test_lsh_stored_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path):
+    """The stored-LSH probe must (a) prune non-probed bucket partitions
+    at the scan (PartitionFilters) and (b) return exactly the inline
+    ann_lsh result with identical parameters — the hash is stateless
+    (md5 constants), so candidates are identical by construction."""
+    from pybabe_spark.operators.similarity import (
+        ann_lsh,
+        ann_lsh_stored,
+        build_lsh_index,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path, dims=64, planes=4)
+
+    stored = ann_lsh_stored(spark, path, queries, k=10, dims=64, planes=4, nprobe=2)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+
+    inline = ann_lsh(emb, queries, k=10, dims=64, planes=4, nprobe=2)
+    got = [(r["query_id"], r["neighbor_id"], r["sim"]) for r in stored.collect()]
+    want = [(r["query_id"], r["neighbor_id"], r["sim"]) for r in inline.collect()]
+    assert sorted(got) == sorted(want)
+
+
 def test_decontaminate_drop_and_flag_agree(spark, sf_dir):
     """flag-mode marks exactly the docs drop-mode removes; a benchmark
     doc's own n-grams always contaminate an identical training doc."""
