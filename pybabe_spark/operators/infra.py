@@ -26,8 +26,12 @@ log = logging.getLogger("pybabe_spark")
 def _plan_fingerprint(df: DataFrame) -> str:
     """Stable hash of the analyzed logical plan (schema + operators +
     literals). The Spark analogue of hash(doc + pickle(args))
-    (pybabe/base.py:186-192)."""
-    plan = df._jdf.queryExecution().analyzed().toString()
+    (pybabe/base.py:186-192). Falls back to ``semanticHash`` + schema
+    under sessions without the classic JVM plan surface (Spark Connect)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = f"{df.semanticHash()}|{df.schema.json()}"
     return hashlib.sha256(plan.encode()).hexdigest()[:24]
 
 
@@ -138,32 +142,47 @@ _NUMERIC_TYPES = {
 }
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
     """Per-column summary statistics in ONE aggregation pass:
     (column, n_nonnull, n_distinct, min_num, max_num) — min/max surface
     only for numeric columns (NULL otherwise) so the output schema is
     uniform and engine-portable.
 
-    The single multi-distinct aggregation expands rows ×columns before
-    the combine (Spark's expand rewrite) — exact, and right for a
-    profiling pass you run once per table; a continuous monitor at
-    100 TB would swap ``count_distinct`` for ``approx_count_distinct``
-    (same shape as :func:`primary_key_detect`'s prefilter). The melt to
-    long format happens on the driver over the single result row.
+    The DEFAULT distinct counter is HLL++ ``approx_count_distinct``
+    (rsd 5%, ~2% observed): fixed sketch memory per column, one linear
+    pass, no per-column exact-distinct expansion — the shape a 100 TB
+    profiling pass needs (tighter rsd grows registers ∝ 1/rsd² and at
+    1% is SLOWER than exact on test data — measured, see SCALE.md).
+    ``exact=True`` opts into exact ``count_distinct`` (Spark's expand
+    rewrite: rows ×columns before the combine) for oracle-checkable
+    one-shot profiling. The melt to long format happens on the driver
+    over the single result row.
     """
+    from pybabe_spark.plans.introspect import default_parallelism, num_partitions
+
     cols = columns or df.columns
     types = dict(df.dtypes)
     # the multi-distinct rewrite expands rows ×columns before the partial
     # aggregation; a single-file input would run that single-threaded, so
     # spread the scan to the cluster first (no-op on well-partitioned input)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(8, par):
+    par = default_parallelism(df.sparkSession)
+    have = num_partitions(df)
+    if have is not None and have < min(8, par):
         df = df.repartition(min(8, par))
+    distinct = (
+        F.count_distinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=0.05))
+    )
     aggs = []
     for c in cols:
         is_num = types[c].split("(")[0] in _NUMERIC_TYPES
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
         aggs.append(
             (F.min(F.col(c)).cast("double") if is_num else F.min(F.lit(None).cast("double")))
             .alias(f"__mn_{c}")

@@ -39,12 +39,16 @@ def _warn_if_global_window(df: DataFrame, op: str) -> None:
     task — faithful to the reference's single-stream semantics, but a
     scale-killer. Warn (cheaply, from plan statistics — no job) when the
     input looks big enough for that to matter, pointing at the
-    ``partition_by`` form."""
+    ``partition_by`` form. Inputs with UNKNOWN statistics stay silent —
+    Catalyst reports Long.MaxValue for statless plans (e.g. a local
+    relation in tests), and a warning that fires on every tiny input
+    would be ignored when it matters."""
     import warnings
 
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
+    from pybabe_spark.plans.introspect import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    if size is None:
         return
     if size > GLOBAL_WINDOW_WARN_BYTES:
         warnings.warn(

@@ -292,10 +292,10 @@ class Babe:
 
         return self._wrap(quantize_embeddings(self.df, **kwargs))
 
-    def profile(self, columns=None) -> "Babe":
+    def profile(self, columns=None, exact=False) -> "Babe":
         from pybabe_spark.operators.infra import profile
 
-        return self._wrap(profile(self.df, columns))
+        return self._wrap(profile(self.df, columns, exact=exact))
 
     def primary_key_detect(self, **kwargs):
         """Returns the detected key column name (metadata, not a new

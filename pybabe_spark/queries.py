@@ -441,12 +441,52 @@ _PROFILE_COLS = [
 )
 def q_profile(spark, sf_dir):
     """One-pass per-column profiling (operators/infra.py::profile):
-    non-null / exact-distinct / numeric min-max for every column in a
-    single multi-distinct aggregation."""
+    non-null / distinct / numeric min-max for every column in a single
+    aggregation. ``exact=True`` opts out of the approx-HLL default so
+    the result is oracle-checkable against exact SQL; the benched scale
+    path is the approx default (see bench's ``profile_orders_approx``)."""
     from pybabe_spark.operators.infra import profile
 
     orders = read_table(spark, sf_dir, "orders")
-    return profile(orders, _PROFILE_COLS)
+    return profile(orders, _PROFILE_COLS, exact=True)
+
+
+@register(
+    "profile_orders_approx",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", COUNT({c}) AS n_nonnull,
+            TRUE AS nd_plausible,
+            {f'CAST(MIN({c}) AS DOUBLE)' if c in _PROFILE_NUMERIC else 'CAST(NULL AS DOUBLE)'} AS min_num,
+            {f'CAST(MAX({c}) AS DOUBLE)' if c in _PROFILE_NUMERIC else 'CAST(NULL AS DOUBLE)'} AS max_num
+            FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_approx(spark, sf_dir):
+    """The DEFAULT (scale-path) profile: HLL approx-distinct, fixed
+    sketch memory, no exact-distinct expand — this is the entry whose
+    bench time represents what a 100 TB profiling pass costs. The
+    sketch value itself is approximate by construction, so the output
+    reduces it to a plausibility fact (1 <= approx_nd <= n_nonnull; the
+    tight 3-sigma band certification of the same HLL mechanism is
+    driver-checked in ``approx_stats_scale``); n_nonnull/min/max remain
+    exact-checkable."""
+    from pybabe_spark.operators.infra import profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    p = profile(orders, _PROFILE_COLS)
+    return p.select(
+        "column",
+        "n_nonnull",
+        (
+            (F.col("n_distinct") >= F.least(F.lit(1), F.col("n_nonnull")))
+            # HLL may OVERestimate a near-unique column; 1.2x = 4x the
+            # rsd-0.05 sigma, so the bound holds for any testdata
+            & (F.col("n_distinct") <= F.ceil(F.lit(1.2) * F.col("n_nonnull")))
+        ).alias("nd_plausible"),
+        "min_num",
+        "max_num",
+    )
 
 
 @register(

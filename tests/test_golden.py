@@ -100,6 +100,24 @@ def test_rolling_window_sum(spark):
     assert {r["i"]: r["window_value"] for r in out} == {1: 1, 2: 3, 3: 6, 4: 9, 5: 12}
 
 
+def test_global_window_warning_thresholds(spark):
+    """The scale warning fires only on inputs Catalyst ESTIMATES as big:
+    silent on statless/tiny plans (Long.MaxValue sentinel), loud on a
+    known multi-hundred-MB input."""
+    import warnings
+
+    from pybabe_spark.operators.window import _warn_if_global_window
+
+    tiny = spark.createDataFrame([(1, 1.0)], "i int, v double")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        _warn_if_global_window(tiny, "window_map")
+
+    big = spark.range(100_000_000)  # LongRange stats: 8 bytes/row = ~800 MB
+    with pytest.warns(RuntimeWarning, match="unpartitioned window"):
+        _warn_if_global_window(big, "window_map")
+
+
 def test_sort_10k(spark):
     # tests/test_sort.py:6-22 analogue (Spark sort is always external)
     df = spark.range(10001).select(
