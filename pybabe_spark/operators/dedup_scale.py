@@ -329,31 +329,35 @@ def segment_dedup(
         ).alias("__pos", "__seg"),
     )
     counts = segs.groupBy("__seg").agg(F.count(F.lit(1)).alias("__n"))
-    kept = segs.join(counts, "__seg").filter(F.col("__n") < min_dup)
-    dropped = segs.join(counts, "__seg").filter(F.col("__n") >= min_dup)
-    reassembled = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
-                    lambda s: s["__seg"],
-                ),
-                " ",
-            ).alias(text_col),
-            F.count(F.lit(1)).alias("__kept"),
-        )
+    # ONE join back (kept/dropped both derive from the __dup flag, so the
+    # explode lineage and the count aggregation are computed once), then
+    # ONE groupBy(id) producing the reassembled text and both counters —
+    # collect_list skips the NULLs the WHEN leaves for duplicated segments
+    flagged = segs.join(counts, "__seg").withColumn(
+        "__dup", F.col("__n") >= min_dup
     )
-    drops = dropped.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dropped"))
+    stats = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__dup"), F.struct("__pos", "__seg"))
+                    )
+                ),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("__total"),
+        F.sum(F.col("__dup").cast("long")).alias("__dropped"),
+    )
     return (
         df.select(id_col)
-        .join(reassembled, id_col, "left")
-        .join(drops, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            (F.coalesce(F.col("__kept"), F.lit(0))
-             + F.coalesce(F.col("__dropped"), F.lit(0))).alias("n_segments"),
+            F.coalesce(F.col("__total"), F.lit(0)).alias("n_segments"),
             F.coalesce(F.col("__dropped"), F.lit(0)).alias("n_dropped"),
         )
     )
