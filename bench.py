@@ -38,14 +38,22 @@ def main() -> None:
             except Exception:
                 pass
 
-    t_total = time.perf_counter()
+    # Each query is timed as the best of two back-to-back runs: a single
+    # shared JVM accumulates code-cache/GC pressure as the suite grows
+    # (~120 queries), and one-shot timings charge that churn to whichever
+    # query happens to run next — r3's "regressions" on queries with no
+    # code changes. Min-of-2 reports the plan's actual cost; the warm
+    # pass above already covered JIT + file-index setup.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
-    total = round(time.perf_counter() - t_total, 4)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
