@@ -36,6 +36,7 @@ from pybabe_spark.operators.decontam import (
     duplicated_ngram_coverage,
 )
 from pybabe_spark.operators.graph import connected_components, dup_clusters
+from pybabe_spark.operators.packing import chunk_documents, pack_tokens
 from pybabe_spark.operators.tfidf import tfidf_top_terms
 from pybabe_spark.operators.infra import primary_key_detect, profile
 from pybabe_spark.operators.similarity import (
@@ -44,12 +45,14 @@ from pybabe_spark.operators.similarity import (
 )
 
 __all__ = [
+    "chunk_documents",
     "connected_components",
     "coverage_dedup",
     "decontaminate",
     "dequantize_embeddings",
     "dup_clusters",
     "duplicated_ngram_coverage",
+    "pack_tokens",
     "primary_key_detect",
     "profile",
     "quantize_embeddings",

@@ -17,13 +17,18 @@ Scale shape: state is one (node, label) row per node; each round is
 one join + one hash aggregation (two shuffles) over the node set, NOT
 the corpus; rounds ≈ cluster diameter (near-dup clusters are a few
 hops). Lineage is cut per round with an eager ``localCheckpoint`` so
-the plan doesn't grow with iterations; convergence is detected with a
-count of changed labels (a cheap job over the label set).
+the plan doesn't grow with iterations. Each round runs EXACTLY ONE
+job: round 1 is fused into label initialization (initial labels are
+identities, so the first propagation is just min(id, min(neighbor))
+in the init aggregation), and convergence detection rides the
+checkpoint job as an ``observe()`` metric — labels only ever
+decrease, so an unchanged label-sum (exact DECIMAL(38,0), no
+overflow at any node count) is exactly "no label changed".
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -44,37 +49,33 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # init ⊗ round 1 in one aggregation: label = min(id, min(neighbors))
+    obs0 = Observation()
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .observe(obs0, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = obs0.get["s"]
 
-    for rnd in range(max_iters):
+    for _ in range(max_iters - 1):
         neighbor_labels = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "label")
+        obs = Observation()
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        if rnd == 0:
-            # round 1 always changes labels when any edge exists — skip
-            # the convergence-count job and go straight to round 2
-            labels = new_labels
-            continue
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("label"))
-            .count()
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .localCheckpoint(eager=True)  # the round's ONLY job
         )
         labels = new_labels
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum or cur_sum is None:
             return labels.withColumnRenamed("label", "component")
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iters} rounds; "
         "raise max_iters for graphs with very long chains"

@@ -297,6 +297,16 @@ class Babe:
 
         return self._wrap(profile(self.df, columns, exact=exact))
 
+    def pack_tokens(self, budget, **kwargs) -> "Babe":
+        from pybabe_spark.operators.packing import pack_tokens
+
+        return self._wrap(pack_tokens(self.df, budget, **kwargs))
+
+    def chunk_documents(self, chunk_words, **kwargs) -> "Babe":
+        from pybabe_spark.operators.packing import chunk_documents
+
+        return self._wrap(chunk_documents(self.df, chunk_words, **kwargs))
+
     def primary_key_detect(self, **kwargs):
         """Returns the detected key column name (metadata, not a new
         stream — pybabe/types.py:52-87 sets header.primary_key)."""

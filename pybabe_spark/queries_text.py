@@ -170,3 +170,84 @@ def q_segment_dedup(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return segment_dedup(docs, "doc_id", "text", seg_words=20, min_dup=2)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing / chunking (operators/packing.py) — fixed-context prep
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET, _PACK_BUCKETS = 256, 8
+_TOKENS_SQL = "len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1))"
+
+
+def _pack_oracle() -> str:
+    from pybabe_spark.operators.sampling import hash_bucket_sql
+
+    bucket = f"(({hash_bucket_sql('doc_id', 'int')}) % {_PACK_BUCKETS})"
+    return f"""
+    WITH RECURSIVE x AS (
+      SELECT doc_id, bucket, t,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, {bucket} AS bucket,
+                   CAST({_TOKENS_SQL} AS BIGINT) AS t
+            FROM documents)
+    ),
+    r AS (
+      SELECT bucket, rn, doc_id, t, t AS acc, CAST(0 AS BIGINT) AS pack
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.bucket, x.rn, x.doc_id, x.t,
+             CASE WHEN r.acc + x.t > {_PACK_BUDGET} THEN x.t
+                  ELSE r.acc + x.t END,
+             CASE WHEN r.acc + x.t > {_PACK_BUDGET} THEN r.pack + 1
+                  ELSE r.pack END
+      FROM r JOIN x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, pack AS pack_id FROM r
+    """
+
+
+@register("pack_tokens_docs", _pack_oracle())
+def q_pack_tokens(spark, sf_dir):
+    """Next-fit greedy sequence packing (operators/packing.py::
+    pack_tokens): whole documents into <=256-token training packs,
+    deterministic hash buckets, Arrow-batched applyInPandas state.
+    The oracle replays the same next-fit recurrence as a recursive
+    CTE — an exact per-document check of a genuinely sequential op."""
+    from pybabe_spark.functions.text import token_count
+    from pybabe_spark.operators.packing import pack_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_tokens(
+        docs, budget=_PACK_BUDGET, tokens_col="n_tokens", n_buckets=_PACK_BUCKETS
+    )
+
+
+@register(
+    "chunk_documents_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (
+      SELECT doc_id, ws,
+             unnest(range(0, GREATEST(len(ws) - 10 - 1, 0) + 1, 30)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start / 30 AS INT) AS chunk_index,
+           array_to_string(list_slice(ws, start + 1, start + 40), ' ')
+             AS chunk_text,
+           len(string_split(array_to_string(list_slice(ws, start + 1, start + 40), ' '), ' '))
+             AS n_words
+    FROM s
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping word-window chunking (operators/packing.py::
+    chunk_documents, 40-word chunks / 10-word overlap): pure
+    sequence+explode codegen, linear, shuffle-free."""
+    from pybabe_spark.operators.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=40, overlap=10)

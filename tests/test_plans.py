@@ -159,3 +159,56 @@ def test_word_entropy_is_narrow_map(spark, sf_dir):
 def test_decontaminate_query_broadcasts(spark, sf_dir):
     plan = _plan(spark, "decontaminate_docs", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_introspect_degrades_without_classic_surfaces(spark):
+    """Every plan probe must answer None/fallback — never raise — when
+    the classic JVM surfaces (df._jdf, df.rdd, sparkContext) are absent,
+    which is the Spark Connect session shape."""
+    from pybabe_spark.plans.introspect import (
+        default_parallelism,
+        num_partitions,
+        plan_size_bytes,
+    )
+
+    class _NoClassic:
+        """Quacks like a Connect DataFrame/session: everything raises."""
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    stub = _NoClassic()
+    assert plan_size_bytes(stub) is None
+    assert num_partitions(stub) is None
+    assert default_parallelism(stub) == 8
+
+    # statless-but-present plans answer None too (Long.MaxValue sentinel)
+    tiny = spark.createDataFrame([(1,)], "i int")
+    assert plan_size_bytes(tiny) in (None,) or plan_size_bytes(tiny) < (1 << 60)
+
+
+def test_spread_survives_unknown_introspection(spark, monkeypatch):
+    """ANN paths must produce identical results when partition/size
+    introspection is unavailable (Connect) — _spread degrades to a
+    bounded repartition, never an error."""
+    import pybabe_spark.plans.introspect as intro
+    from pybabe_spark.operators.similarity import ann_brute_force
+
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_brute_force(emb, queries, k=5).collect()
+    )
+    monkeypatch.setattr(intro, "num_partitions", lambda df: None)
+    monkeypatch.setattr(intro, "plan_size_bytes", lambda df: None)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_brute_force(emb, queries, k=5).collect()
+    )
+    assert got == want

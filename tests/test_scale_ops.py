@@ -844,3 +844,52 @@ def test_quantize_roundtrip_error_bound(spark, sf_dir):
     assert stats["min_cos"] > 0.9995
     z = back.filter(F.col("vec_id") == 999_999).collect()[0]["deq"]
     assert z == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_pack_tokens_respects_budget_and_oversized(spark):
+    """Every multi-doc pack stays within budget; an oversized doc packs
+    alone; packs are contiguous id ranges within a bucket."""
+    from pybabe_spark.operators.packing import pack_tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([100, 100, 100, 700, 50, 50, 400, 10])],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_tokens(docs, budget=512, n_buckets=1).collect()
+    tokens = {i: t for i, t in enumerate([100, 100, 100, 700, 50, 50, 400, 10])}
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r["doc_id"])
+    for (_, _), ids in by_pack.items():
+        total = sum(tokens[i] for i in ids)
+        assert total <= 512 or len(ids) == 1, (ids, total)
+        assert sorted(ids) == list(range(min(ids), max(ids) + 1))
+    # every doc packed exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(8))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks cover every word; consecutive chunks share exactly
+    `overlap` words; short docs yield one chunk."""
+    from pybabe_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_index"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_words=10, overlap=3).collect()
+    )
+    d1 = [t for d, _, t in rows if d == 1]
+    # stride 7: starts 0,7,14,21 -> 4 chunks
+    assert len(d1) == 4
+    words = [c.split(" ") for c in d1]
+    assert words[0] == [f"w{i}" for i in range(10)]
+    for a, b in zip(words, words[1:]):
+        assert a[-3:] == b[:3]  # the 3-word overlap
+    assert [w for c in words for w in c[3:] ] [0:0] == []  # sanity no-op
+    covered = set(words[0]) | {w for c in words[1:] for w in c}
+    assert covered == {f"w{i}" for i in range(25)}
+    assert [t for d, _, t in rows if d == 2] == ["a b"]
+    assert [t for d, _, t in rows if d == 3] == [""]
