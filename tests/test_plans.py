@@ -212,3 +212,18 @@ def test_spread_survives_unknown_introspection(spark, monkeypatch):
         for r in ann_brute_force(emb, queries, k=5).collect()
     )
     assert got == want
+
+
+def test_chunk_documents_is_narrow_map(spark, sf_dir):
+    """Chunking must stay a shuffle-free, Python-free explode."""
+    plan = _plan(spark, "chunk_documents_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pack_tokens_single_bucket_shuffle(spark, sf_dir):
+    """Packing's only shuffle is the hash on bucket feeding the
+    stateful pandas group stage."""
+    plan = _plan(spark, "pack_tokens_docs", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
