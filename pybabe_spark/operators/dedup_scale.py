@@ -70,9 +70,18 @@ def minhash_signature(
 
     One md5 per shingle → 60-bit integer base, then k affine hashes
     h_j(s) = (a_j·base + b_j) mod (2³¹−1) — the classic universal-hash
-    family, so the expensive digest runs once, not k times. One explode +
-    one grouped aggregation (k min() aggs, map-side combinable). Exact
+    family, so the expensive digest runs once, not k times. Exact
     integer arithmetic: any SQL engine reproduces it bit-for-bit.
+
+    Shape: one explode + one grouped aggregation (k min() aggs). The
+    shuffle is NOT shingle-sized: exploded shingle rows stay co-located
+    with their document, so the map-side partial aggregation collapses
+    to ~one row per document per partition before the exchange. A
+    zero-shuffle alternative (base-hash array + k ``array_min`` HOFs
+    per row) was measured in r4 and REJECTED: interpreted-HOF md5 runs
+    ~8× slower than the codegen digest on exploded rows (1.2 s → 8.8 s
+    at sf0.1), and CPU, not the post-combine exchange, dominates this
+    op at every scale.
     """
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
     base = F.expr(

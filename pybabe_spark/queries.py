@@ -409,6 +409,13 @@ def q_unpivot(spark, sf_dir):
     """,
 )
 def q_window_rolling(spark, sf_dir):
+    """REFERENCE-PARITY query: the unpartitioned trailing window is the
+    reference's single-stream semantics (one total order ⇒ one task) —
+    kept for parity on small data, and deliberately a plan you would
+    NOT run at 100 TB. The scale-representative twin is
+    ``rolling_value_per_user`` (same frame, partitioned per key), which
+    is the form ``window_map``'s guard warns you toward on large input.
+    """
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     out = window_map(
         ev, 3,
