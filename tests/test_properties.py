@@ -202,3 +202,57 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["id"]: r["component"]
            for r in connected_components(df, max_iters=40).collect()}
     assert got == want
+
+
+token_rows = st.lists(
+    st.integers(min_value=1, max_value=900), min_size=1, max_size=30
+)
+
+
+@given(tokens=token_rows, budget=st.sampled_from([64, 256, 777]))
+@settings(**SETTINGS)
+def test_pack_tokens_matches_sequential_model(spark, tokens, budget):
+    """Distributed next-fit == the obvious sequential model, for any
+    token mix and budget (oversized docs included)."""
+    from pybabe_spark.operators.packing import pack_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_tokens(df, budget=budget, n_buckets=1).collect()
+    }
+    acc, pack, want = 0, -1, {}
+    for i, t in enumerate(tokens):
+        if pack < 0 or acc + t > budget:
+            pack, acc = pack + 1, t
+        else:
+            acc += t
+        want[i] = pack
+    assert got == want
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk=st.sampled_from([5, 10, 17]),
+    overlap=st.sampled_from([0, 2, 4]),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_python_model(spark, n_words, chunk, overlap):
+    from pybabe_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(n_words)]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_index"]: r["chunk_text"]
+        for r in chunk_documents(df, chunk_words=chunk, overlap=overlap).collect()
+    }
+    stride = chunk - overlap
+    base = text.split(" ")  # '' -> [''] like Spark's split
+    want = {
+        i: " ".join(base[s:s + chunk])
+        for i, s in enumerate(range(0, max(len(base) - overlap, 1), stride))
+    }
+    assert got == want
