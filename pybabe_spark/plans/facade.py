@@ -314,6 +314,48 @@ class Babe:
 
         return primary_key_detect(self.df, **kwargs)
 
+    def text_stats(self, field="text") -> "Babe":
+        """Append n_words / n_tokens / lang_pred / quality columns."""
+        from pybabe_spark.functions import text as T
+
+        return self._wrap(
+            self.df.withColumns(
+                {
+                    "n_words": T.word_count(field),
+                    "n_tokens": T.token_count(field),
+                    "lang_pred": T.lang_id(field),
+                    "quality": T.quality_score(field),
+                }
+            )
+        )
+
+    def minhash_lsh_pairs(self, id_col, text_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import minhash_lsh_pairs
+
+        return self._wrap(minhash_lsh_pairs(self.df, id_col, text_col, **kwargs))
+
+    def segment_dedup(self, id_col, text_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import segment_dedup
+
+        return self._wrap(segment_dedup(self.df, id_col, text_col, **kwargs))
+
+    def dup_clusters(self, pairs: "Babe | DataFrame", **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import dup_clusters
+
+        other = pairs.df if isinstance(pairs, Babe) else pairs
+        return self._wrap(dup_clusters(self.df, other, **kwargs))
+
+    def ann_topk(self, queries: "Babe | DataFrame", k=10,
+                 method="brute", **kwargs) -> "Babe":
+        """Cosine top-k neighbors of ``queries`` against this corpus:
+        method='brute' (exact), 'lsh' (bucketed), or 'ivf' (k-means
+        cells)."""
+        from pybabe_spark.operators import similarity as S
+
+        fn = {"brute": S.ann_brute_force, "lsh": S.ann_lsh, "ivf": S.ann_ivf}[method]
+        other = queries.df if isinstance(queries, Babe) else queries
+        return self._wrap(fn(self.df, other, k=k, **kwargs))
+
     # -- caching (tee / memoize analogue) ---------------------------------------
     def tee(self, n: int = 2) -> list["Babe"]:
         """pybabe/base.py:196-202 — fan one stream out to n consumers.

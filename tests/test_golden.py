@@ -434,3 +434,26 @@ def test_facade_text_hygiene_chain(spark):
 
     ent = docs.word_entropy("text")
     assert all(abs(r["entropy"] - 2.0) < 1e-6 for r in ent.df.collect())
+
+
+def test_facade_llm_pipeline_surface(spark, sf_dir):
+    """The fluent API covers the LLM-pipeline family end-to-end:
+    text stats → minhash pairs → clusters, ANN top-k, packing."""
+    from pybabe_spark.sources.io import read_table
+
+    docs = Babe.from_df(read_table(spark, sf_dir, "documents"))
+    stats = docs.text_stats().df
+    assert {"n_words", "n_tokens", "lang_pred", "quality"} <= set(stats.columns)
+
+    pairs = docs.minhash_lsh_pairs("doc_id", "text")
+    clusters = docs.dup_clusters(pairs).df
+    assert set(clusters.columns) == {"id", "component", "cluster_size"}
+    assert clusters.count() == docs.count()
+
+    emb = Babe.from_df(read_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < 2)
+    topk = emb.ann_topk(qs, k=3, method="brute").df
+    assert topk.groupBy("query_id").count().collect()[0]["count"] == 3
+
+    packed = docs.text_stats().pack_tokens(256, tokens_col="n_tokens").df
+    assert set(packed.columns) == {"doc_id", "bucket", "pack_id"}
