@@ -132,8 +132,19 @@ def pull_http_json(
         data = [data]
     if not isinstance(data, list) or not data:
         raise ValueError("pull_http_json: no records found at record_path")
-    rows = [json.dumps(r) for r in data]
-    return spark.read.json(spark.sparkContext.parallelize(rows))
+    # bounded payload → temp JSONL → ordinary path-based reader: one code
+    # path with full schema inference, and no RDD/sparkContext surface
+    # (works under Spark Connect sessions too)
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".jsonl", delete=False, encoding="utf-8"
+    )
+    with tmp:
+        for r in data:
+            tmp.write(json.dumps(r))
+            tmp.write("\n")
+    return spark.read.json(tmp.name)
 
 
 def pull_twitter(

@@ -703,7 +703,9 @@ def compact_files(
 
     The small-files maintenance op every long-running ingestion needs
     (streaming sinks and per-batch appends accumulate KB-scale files
-    whose per-file open/footer cost eventually dominates scans). Output
+    whose per-file open/footer cost eventually dominates scans).
+    Requires a classic (JVM-attached) session for the Hadoop FS rename
+    dance — it is a storage-maintenance tool, not a query operator. Output
     count is computed from the CURRENT on-disk byte size — one listing,
     no data pass; the rewrite itself is one job (plus an optional sort
     to restore range-skipping). Swap order is rename-aside → rename-in
