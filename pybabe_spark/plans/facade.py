@@ -356,6 +356,19 @@ class Babe:
         other = queries.df if isinstance(queries, Babe) else queries
         return self._wrap(fn(self.df, other, k=k, **kwargs))
 
+    def lint(self) -> list:
+        """Scale-smell findings for the current plan (plans/lint.py)."""
+        from pybabe_spark.plans.lint import plan_lint
+
+        return plan_lint(self.df)
+
+    def assert_scales(self, allow: set = frozenset()) -> "Babe":
+        """Raise unless the plan lints clean (guard for pipeline code)."""
+        from pybabe_spark.plans.lint import assert_scales
+
+        assert_scales(self.df, allow)
+        return self
+
     # -- caching (tee / memoize analogue) ---------------------------------------
     def tee(self, n: int = 2) -> list["Babe"]:
         """pybabe/base.py:196-202 — fan one stream out to n consumers.

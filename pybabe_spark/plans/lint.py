@@ -1,0 +1,95 @@
+"""Plan linting: detect 100 TB scale-killers in a DataFrame's plan.
+
+SCALE.md documents the discipline (broadcast the small side, partition
+every window, keep Python out of the hot path); this module ENFORCES it
+programmatically — run ``plan_lint(df)`` in a test or before launching a
+big job and fail on findings. The checks walk the OPTIMIZED logical plan
+as JSON (``toJSON`` — stable node classes, no string-format parsing of
+the pretty printer):
+
+- **cartesian-product** — a ``Cross`` join or a join with no condition:
+  |left|×|right| rows; at any real scale this is the job that never
+  finishes. (The quarantined all-pairs oracle definitions in this repo
+  trip this check deliberately — that is the point: the caller must
+  opt in.)
+- **global-window** — a window function with an empty ``partitionSpec``:
+  every row funnels through ONE task regardless of cluster size.
+- **row-python-udf** — a ``BatchEvalPython`` stage (row-at-a-time
+  Python UDF, one serialize/deserialize per row). Arrow-batched pandas
+  UDFs (``ArrowEvalPython``/``MapInPandas``/``FlatMapGroupsInPandas``)
+  are the sanctioned Python path and do NOT trip it.
+
+Each finding is (code, detail). Lint is advisory inspection — it never
+raises on its own, and on sessions without the classic plan surface
+(Spark Connect) it returns [] rather than failing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+#: findings: (code, human detail)
+Finding = tuple[str, str]
+
+
+def _plan_nodes(df: DataFrame) -> list[dict]:
+    try:
+        return json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    except Exception:
+        return []
+
+
+def plan_lint(df: DataFrame) -> list[Finding]:
+    """Scale-smell findings for ``df``'s optimized logical plan."""
+    findings: list[Finding] = []
+    for node in _plan_nodes(df):
+        cls = node.get("class", "")
+        kind = cls.rsplit(".", 1)[-1]
+        if kind == "Join":
+            jt = str(node.get("joinType", ""))
+            cross = "Cross" in jt
+            # a join is hash-joinable only if its condition contains an
+            # equality; inequality-only conditions (id_a < id_b) run as
+            # a nested loop — a filtered cartesian, same asymptotics
+            cond = json.dumps(node.get("condition", []))
+            no_equi = '"EqualTo"' not in cond and ".EqualTo" not in cond and \
+                '"EqualNullSafe"' not in cond and ".EqualNullSafe" not in cond
+            if cross or no_equi:
+                findings.append(
+                    (
+                        "cartesian-product",
+                        "join with no equi-condition multiplies both sides; "
+                        "broadcast a bucketed/candidate form instead",
+                    )
+                )
+        elif kind == "Window" and not node.get("partitionSpec"):
+            findings.append(
+                (
+                    "global-window",
+                    "window with empty partitionSpec funnels every row "
+                    "through one task; add partition_by",
+                )
+            )
+        elif kind == "BatchEvalPython":
+            findings.append(
+                (
+                    "row-python-udf",
+                    "row-at-a-time Python UDF in the plan; use a pandas_udf "
+                    "(Arrow-batched) or built-in functions",
+                )
+            )
+    return findings
+
+
+def assert_scales(df: DataFrame, allow: set[str] = frozenset()) -> DataFrame:
+    """Raise if ``plan_lint`` finds anything not in ``allow``; otherwise
+    return ``df`` unchanged (chainable guard for pipeline code)."""
+    bad = [f for f in plan_lint(df) if f[0] not in allow]
+    if bad:
+        raise ValueError(
+            "plan does not scale: "
+            + "; ".join(f"[{code}] {detail}" for code, detail in bad)
+        )
+    return df

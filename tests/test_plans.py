@@ -227,3 +227,70 @@ def test_pack_tokens_single_bucket_shuffle(spark, sf_dir):
     plan = _plan(spark, "pack_tokens_docs", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_plan_lint_detects_scale_smells(spark):
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from pybabe_spark.plans.lint import assert_scales, plan_lint
+
+    clean = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count()
+    assert plan_lint(clean) == []
+    assert assert_scales(clean) is clean
+
+    global_w = spark.range(10).select(
+        F.sum("id").over(Window.orderBy("id")).alias("s")
+    )
+    assert "global-window" in {c for c, _ in plan_lint(global_w)}
+    partitioned = spark.range(10).select(
+        F.sum("id").over(Window.partitionBy(F.col("id") % 2).orderBy("id")).alias("s")
+    )
+    assert "global-window" not in {c for c, _ in plan_lint(partitioned)}
+
+    cross = spark.range(5).crossJoin(spark.range(5).withColumnRenamed("id", "i2"))
+    assert "cartesian-product" in {c for c, _ in plan_lint(cross)}
+    equi = spark.range(5).join(
+        spark.range(5).withColumnRenamed("id", "i2"),
+        F.col("id") == F.col("i2"),
+    )
+    assert "cartesian-product" not in {c for c, _ in plan_lint(equi)}
+
+    rowudf = spark.range(5).select(udf(lambda x: x + 1, "bigint")(F.col("id")))
+    assert "row-python-udf" in {c for c, _ in plan_lint(rowudf)}
+
+    with pytest.raises(ValueError, match="does not scale"):
+        assert_scales(cross)
+    assert assert_scales(cross, allow={"cartesian-product"}) is cross
+
+
+def test_plan_lint_passes_headline_queries(spark, sf_dir):
+    """The flagship and the scale-path ANN/dedup queries must lint
+    clean; the known reference-parity global window and the quarantined
+    all-pairs oracle definitions are the only expected findings across
+    the whole registry."""
+    from pybabe_spark.plans.lint import plan_lint
+    from pybabe_spark.queries import REGISTRY, all_queries
+
+    all_queries()  # load extensions
+    expected_dirty = {
+        # reference-parity single-stream semantics, documented
+        "window_rolling_sum": {"global-window"},
+        "skip_rows": set(),  # boundary plan: no window — must stay clean
+        # all-pairs oracle definitions, quarantined by design
+        "ann_cosine_topk": {"cartesian-product"},
+        "embedding_neardup": {"cartesian-product"},
+    }
+    for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
+                "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
+                "segment_dedup_docs", "pack_tokens_docs", "chunk_documents_docs",
+                "rolling_value_per_user", "skip_rows"]:
+        fn, _ = REGISTRY[key]
+        codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
+        assert codes == set(), (key, codes)
+    for key, want in expected_dirty.items():
+        fn, _ = REGISTRY[key]
+        codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
+        assert codes == want, (key, codes)
