@@ -7,11 +7,15 @@ big job and fail on findings. The checks walk the OPTIMIZED logical plan
 as JSON (``toJSON`` — stable node classes, no string-format parsing of
 the pretty printer):
 
-- **cartesian-product** — a ``Cross`` join or a join with no condition:
-  |left|×|right| rows; at any real scale this is the job that never
-  finishes. (The quarantined all-pairs oracle definitions in this repo
-  trip this check deliberately — that is the point: the caller must
-  opt in.)
+- **cartesian-product** — a join with no usable equality that the
+  planner executes as a physical ``CartesianProduct`` (neither side
+  broadcastable): |left|×|right| rows shuffled; at any real scale this
+  is the job that never finishes.
+- **broadcast-nested-loop** — the same no-equality join shape, but one
+  side is broadcast (hint or under the threshold): quadratic COMPUTE
+  against a bounded build side. Legitimate for small-dim range lookups
+  (geoip) and the quarantined all-pairs oracle definitions — advisory,
+  so callers opt in per plan via ``allow``.
 - **global-window** — a window function with an empty ``partitionSpec``:
   every row funnels through ONE task regardless of cluster size.
 - **row-python-udf** — a ``BatchEvalPython`` stage (row-at-a-time
@@ -42,12 +46,14 @@ def _plan_nodes(df: DataFrame) -> list[dict]:
 
 
 def plan_lint(df: DataFrame) -> list[Finding]:
-    """Scale-smell findings for ``df``'s optimized logical plan."""
+    """Scale-smell findings for ``df``'s plan (logical shape checks +
+    the physical join strategy for no-equality joins)."""
     findings: list[Finding] = []
+    joins_checked = False
     for node in _plan_nodes(df):
         cls = node.get("class", "")
         kind = cls.rsplit(".", 1)[-1]
-        if kind == "Join":
+        if kind == "Join" and not joins_checked:
             jt = str(node.get("joinType", ""))
             cross = "Cross" in jt
             # a join is hash-joinable only if its condition contains an
@@ -57,13 +63,32 @@ def plan_lint(df: DataFrame) -> list[Finding]:
             no_equi = '"EqualTo"' not in cond and ".EqualTo" not in cond and \
                 '"EqualNullSafe"' not in cond and ".EqualNullSafe" not in cond
             if cross or no_equi:
-                findings.append(
-                    (
-                        "cartesian-product",
-                        "join with no equi-condition multiplies both sides; "
-                        "broadcast a bucketed/candidate form instead",
+                # severity comes from the PHYSICAL strategy: a broadcast
+                # build side bounds the blowup (author hinted / small),
+                # a CartesianProduct does not
+                joins_checked = True  # physical string covers all joins
+                try:
+                    phys = df._jdf.queryExecution().executedPlan().toString()
+                except Exception:
+                    phys = "CartesianProduct"  # assume worst when unknown
+                if "CartesianProduct" in phys:
+                    findings.append(
+                        (
+                            "cartesian-product",
+                            "no-equality join with neither side broadcast "
+                            "multiplies both sides; broadcast a bucketed/"
+                            "candidate form instead",
+                        )
                     )
-                )
+                elif "BroadcastNestedLoopJoin" in phys:
+                    findings.append(
+                        (
+                            "broadcast-nested-loop",
+                            "no-equality join against a broadcast side: "
+                            "bounded memory but quadratic compute — fine "
+                            "only if the broadcast side stays small",
+                        )
+                    )
         elif kind == "Window" and not node.get("partitionSpec"):
             findings.append(
                 (

@@ -250,20 +250,33 @@ def test_plan_lint_detects_scale_smells(spark):
     )
     assert "global-window" not in {c for c, _ in plan_lint(partitioned)}
 
-    cross = spark.range(5).crossJoin(spark.range(5).withColumnRenamed("id", "i2"))
-    assert "cartesian-product" in {c for c, _ in plan_lint(cross)}
+    # severity follows the physical strategy: broadcast-able side ->
+    # advisory; neither side broadcast -> the real cartesian disaster
+    small_cross = spark.range(5).crossJoin(
+        spark.range(5).withColumnRenamed("id", "i2")
+    )
+    assert {c for c, _ in plan_lint(small_cross)} == {"broadcast-nested-loop"}
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big_cross = spark.range(5).crossJoin(
+            spark.range(5).withColumnRenamed("id", "i2")
+        )
+        assert {c for c, _ in plan_lint(big_cross)} == {"cartesian-product"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     equi = spark.range(5).join(
         spark.range(5).withColumnRenamed("id", "i2"),
         F.col("id") == F.col("i2"),
     )
-    assert "cartesian-product" not in {c for c, _ in plan_lint(equi)}
+    assert plan_lint(equi) == []
 
     rowudf = spark.range(5).select(udf(lambda x: x + 1, "bigint")(F.col("id")))
     assert "row-python-udf" in {c for c, _ in plan_lint(rowudf)}
 
     with pytest.raises(ValueError, match="does not scale"):
-        assert_scales(cross)
-    assert assert_scales(cross, allow={"cartesian-product"}) is cross
+        assert_scales(small_cross)
+    assert assert_scales(small_cross, allow={"broadcast-nested-loop"}) is small_cross
 
 
 def test_plan_lint_passes_headline_queries(spark, sf_dir):
@@ -278,10 +291,15 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
     expected_dirty = {
         # reference-parity single-stream semantics, documented
         "window_rolling_sum": {"global-window"},
+        "window_udf_rolling_max": {"global-window"},
         "skip_rows": set(),  # boundary plan: no window — must stay clean
-        # all-pairs oracle definitions, quarantined by design
-        "ann_cosine_topk": {"cartesian-product"},
-        "embedding_neardup": {"cartesian-product"},
+        # all-pairs oracle definitions + the in-query exact recall
+        # baseline: broadcast side bounded by contract -> advisory code
+        "ann_cosine_topk": {"broadcast-nested-loop"},
+        "embedding_neardup": {"broadcast-nested-loop"},
+        "ann_ivf_topk": {"broadcast-nested-loop"},
+        # broadcast ip-range dim lookup: the intended plan
+        "geoip_country": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
