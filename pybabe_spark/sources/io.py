@@ -218,6 +218,7 @@ def pull(
     utf8_cleanup: bool = False,
     normalize_fields: bool = False,
     schema: str | None = None,
+    multiline: bool = False,
     **options: str,
 ) -> DataFrame:
     """Universal source (pybabe/base.py:361-450).
@@ -307,7 +308,15 @@ def pull(
             .option("sep", sep)
             .option("inferSchema", str(infer_schema).lower())
             .option("mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE")
+            # python-csv parity: a quoted cell's surrounding spaces are data
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
         )
+        if multiline:
+            # quoted embedded newlines (python csv reads them natively);
+            # costs file splittability, so opt-in — at 100 TB keep data
+            # with embedded newlines in parquet/json, not csv
+            reader = reader.option("multiLine", "true")
         if encoding:
             reader = reader.option("encoding", encoding)
             # Spark's line-splitting CSV fast path assumes newline bytes
@@ -534,6 +543,9 @@ def push(
             writer.format("csv")
             .option("header", str(header).lower())
             .option("sep", separator or ("\t" if fmt == "tsv" else ","))
+            # python-csv parity: never trim cell whitespace on write
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
         )
         if encoding:
             writer = writer.option("encoding", encoding)
