@@ -556,7 +556,9 @@ _PROVEN_HEAD = [
     "asof_last_purchase",
 ]
 
-#: every key with a green driver row in rounds 1-3 (CORRECTNESS_r0{1,2,3})
+#: every key with a green driver row in rounds 1-3 (CORRECTNESS_r0{1,2,3}).
+#: NEXT ROUND: fold CORRECTNESS_r04's green keys into this set so the
+#: sample rotates to whatever is still unchecked.
 _EVER_DRIVER_GREEN = {
     "anti_join_customers_no_orders", "approx_stats_scale", "asof_last_purchase",
     "bottomk_min_n", "bulk_map_double_value", "cube_year_segment",
