@@ -35,7 +35,7 @@ from pybabe_spark.operators.decontam import (
     decontaminate,
     duplicated_ngram_coverage,
 )
-from pybabe_spark.operators.graph import connected_components, dup_clusters
+from pybabe_spark.operators.graph import best_of_clusters, connected_components, dup_clusters
 from pybabe_spark.operators.packing import chunk_documents, pack_tokens
 from pybabe_spark.operators.tfidf import tfidf_top_terms
 from pybabe_spark.operators.infra import primary_key_detect, profile
@@ -45,6 +45,7 @@ from pybabe_spark.operators.similarity import (
 )
 
 __all__ = [
+    "best_of_clusters",
     "chunk_documents",
     "connected_components",
     "coverage_dedup",

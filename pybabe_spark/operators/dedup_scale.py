@@ -215,10 +215,11 @@ def near_dedup_keep(
     shingle_n: int = 1,
     use_lsh_candidates: bool = False,
     policy: str = "lower_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate REMOVAL; the survivor set is the dedup'd corpus.
 
-    Two policies over the ≥ threshold similarity-pair graph:
+    Three policies over the ≥ threshold similarity-pair graph:
 
     - ``policy='lower_id'`` (default): drop every doc that has ANY
       lower-id similar neighbor, surviving or not. One shuffle-join, no
@@ -231,13 +232,21 @@ def near_dedup_keep(
       longest-dependency-chain rounds (LSH-scale clusters are tiny, so a
       handful in practice). Each round is one anti-join; lineage is cut
       with localCheckpoint to keep plans bounded.
+    - ``policy='best'``: ONE survivor per transitive dup CLUSTER — the
+      row maximizing ``score_col`` (ties → min id). The quality-aware
+      representative selection real pipelines want (keep the cleanest
+      copy, not the lowest id). Clusters come from
+      :func:`graph.connected_components` over the pair graph (node-set
+      iteration only); selection is one per-cluster window.
 
     ``use_lsh_candidates=True`` verifies only MinHash-LSH candidate
     pairs — the 100 TB path; the exact all-pairs form is the
     oracle-checkable definition.
     """
-    if policy not in ("lower_id", "greedy"):
+    if policy not in ("lower_id", "greedy", "best"):
         raise ValueError(f"near_dedup_keep: bad policy {policy!r}")
+    if policy == "best" and score_col is None:
+        raise ValueError("near_dedup_keep: policy='best' needs score_col")
     if use_lsh_candidates:
         cand = minhash_lsh_pairs(df, id_col, text_col, shingle_n=shingle_n)
         texts = df.select(F.col(id_col), F.col(text_col))
@@ -259,6 +268,11 @@ def near_dedup_keep(
     if policy == "lower_id":
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(drops, id_col, "left_anti")
+
+    if policy == "best":
+        from pybabe_spark.operators.graph import best_of_clusters
+
+        return best_of_clusters(df, pairs, id_col=id_col, score_col=score_col)
 
     # Greedy survivor propagation as a monotone confirm-fixpoint over the
     # (small) pair graph: a doc is CONFIRMED dropped when some lower-id

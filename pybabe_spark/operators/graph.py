@@ -82,6 +82,36 @@ def connected_components(
     )
 
 
+def best_of_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """One survivor per transitive dup cluster: the row maximizing
+    ``score_col`` (ties → min id); rows with no similar neighbor pass
+    through. The quality-aware representative policy real pipelines
+    want (keep the cleanest copy, not the lowest id). Shape: CC over
+    the node set + one per-cluster window — both ≪ corpus.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src, dst).withColumnRenamed("id", id_col)
+    scored = df.join(cc, id_col, "left").withColumn(
+        "__comp", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__comp", "component")
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -303,6 +303,59 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(docs, pairs)
 
 
+@register(
+    "near_dedup_best_docs",
+    f"""
+    WITH RECURSIVE
+    edges AS ({_minhash_shingle3_sql(16, 4)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b AS u, id_a AS v FROM edges),
+    reach(src, node) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u
+    ),
+    comp AS (SELECT src AS id, MIN(node) AS component FROM reach GROUP BY src),
+    scored AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS comp,
+             CAST({_QUALITY_SQL} AS DECIMAL(18,6)) AS q
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY q DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(q AS DOUBLE) AS quality FROM ranked WHERE rn = 1
+    """,
+)
+def q_near_dedup_best(spark, sf_dir):
+    """Quality-aware survivor selection
+    (operators/dedup_scale.py::near_dedup_keep policy='best'): one
+    representative per transitive dup cluster — the highest
+    quality_score copy, ties to the lower id. The real-pipeline
+    representative policy (keep the cleanest copy, not the lowest id);
+    the oracle replays clusters with a recursive CTE and ranks on the
+    identical DECIMAL(18,6) quality."""
+    from pybabe_spark.functions.text import quality_score
+    from pybabe_spark.operators.graph import best_of_clusters
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        quality_score("text").cast("decimal(18,6)").alias("__q"),
+    )
+    # cluster on the same 3-gram MinHash candidates as dup_clusters_docs
+    pairs = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3,
+    )
+    kept = best_of_clusters(docs, pairs, id_col="doc_id", score_col="__q")
+    return kept.select(
+        "doc_id", F.col("__q").cast("double").alias("quality")
+    )
+
+
 _SIMHASH_SQL_BITS = " + ".join(
     f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
     f"t -> CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {k // 4 + 1}, 1)) - 1) "

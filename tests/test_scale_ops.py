@@ -893,3 +893,23 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert covered == {f"w{i}" for i in range(25)}
     assert [t for d, _, t in rows if d == 2] == ["a b"]
     assert [t for d, _, t in rows if d == 3] == [""]
+
+
+def test_near_dedup_best_picks_highest_score_per_cluster(spark):
+    """policy='best': one survivor per transitive cluster = the max
+    score (ties -> min id); untouched docs pass through."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_keep
+
+    rows = [
+        (1, "a b c d", 0.2),
+        (2, "a b c d", 0.9),   # same text as 1 -> same cluster, higher q
+        (3, "a b c d", 0.9),   # tie with 2 -> loses on id
+        (4, "x y z w", 0.1),   # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    kept = near_dedup_keep(
+        df, "doc_id", "text", threshold=0.9, policy="best", score_col="q"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    with pytest.raises(ValueError, match="score_col"):
+        near_dedup_keep(df, "doc_id", "text", policy="best")
