@@ -40,12 +40,26 @@ from pybabe_spark.operators.packing import chunk_documents, pack_tokens
 from pybabe_spark.operators.tfidf import tfidf_top_terms
 from pybabe_spark.operators.infra import primary_key_detect, profile
 from pybabe_spark.operators.similarity import (
+    ann_brute_force,
+    ann_ivf,
+    ann_ivf_stored,
+    ann_lsh,
+    ann_lsh_stored,
+    build_ivf_index,
+    build_lsh_index,
     dequantize_embeddings,
     quantize_embeddings,
 )
 
 __all__ = [
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_ivf_stored",
+    "ann_lsh",
+    "ann_lsh_stored",
     "best_of_clusters",
+    "build_ivf_index",
+    "build_lsh_index",
     "chunk_documents",
     "connected_components",
     "coverage_dedup",

@@ -345,6 +345,12 @@ class Babe:
         other = pairs.df if isinstance(pairs, Babe) else pairs
         return self._wrap(dup_clusters(self.df, other, **kwargs))
 
+    def best_of_clusters(self, pairs: "Babe | DataFrame", **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import best_of_clusters
+
+        other = pairs.df if isinstance(pairs, Babe) else pairs
+        return self._wrap(best_of_clusters(self.df, other, **kwargs))
+
     def ann_topk(self, queries: "Babe | DataFrame", k=10,
                  method="brute", **kwargs) -> "Babe":
         """Cosine top-k neighbors of ``queries`` against this corpus:
