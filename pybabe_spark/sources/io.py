@@ -229,6 +229,9 @@ def pull(
     - ``string`` is the inline-literal source (pybabe/base.py:390-392).
     - ``ignore_bad_lines`` maps the reference's csv error policy
       (pybabe/format_csv.py:34,42-46) onto DROPMALFORMED/PERMISSIVE.
+    - ``multiline=True`` reads quoted embedded newlines like python's
+      csv module (the reference's reader); costs file splittability, so
+      it is opt-in — prefer parquet/json for such data at scale.
     - ``.gz`` is read transparently by Spark; ``.zip`` falls back to a
       driver-side shim (single-member archives only, like
       pybabe/compress_zip.py:7-23).
