@@ -524,70 +524,132 @@ def q_primary_key_detect(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample that follows
-# registration order, so the registry is surfaced with the keys that have
-# NEVER had a hard driver CORRECTNESS row first (the LLM-pipeline surface:
-# dedup / ANN / text / streaming / sampling), then a small head of proven
-# ever-green keys, then the long-green relational tail. Every key stays
-# covered by the local DuckDB gate (tests/test_oracle_parity.py) regardless
-# of sample position.
+# registration order, so the registry is surfaced stalest-evidence-first:
+# keys that have NEVER had a hard driver CORRECTNESS row lead, then keys
+# ordered by the round of their most recent green driver row (oldest first).
+# This rotates the driver's 50-slot sample to whatever evidence is oldest
+# each round. Every key stays covered by the local DuckDB gate
+# (tests/test_oracle_parity.py) regardless of sample position.
 # ---------------------------------------------------------------------------
 
-#: highest-priority never-driver-checked keys (VERDICT r3 #1/#8 call-outs)
-_NEVER_CHECKED_FIRST = [
-    "minhash_lsh_pairs",
-    "dup_clusters_docs",
-    "decontaminate_docs",
-    "text_stats",
-    "training_prep_pipeline",
-    "sessionize_users",
-    "segment_dedup_docs",
-    "word_entropy_docs",
-]
-
-#: proven driver-green keys worth re-checking with the sample's spare slots
-_PROVEN_HEAD = [
-    "flagship_revenue_by_nation",
-    "group_pricing_summary",
-    "window_rolling_sum",
-    "join_inner_lookup",
-    "skip_rows",
-    "pivot_status",
-    "profile_orders",
-    "asof_last_purchase",
-]
-
-#: every key with a green driver row in rounds 1-3 (CORRECTNESS_r0{1,2,3}).
-#: NEXT ROUND: fold CORRECTNESS_r04's green keys into this set so the
-#: sample rotates to whatever is still unchecked.
-_EVER_DRIVER_GREEN = {
-    "anti_join_customers_no_orders", "approx_stats_scale", "asof_last_purchase",
-    "bottomk_min_n", "bulk_map_double_value", "cube_year_segment",
-    "dedup_distinct", "dedup_keep_first", "distinct_suppliers_per_nation",
-    "filter_by_regexp", "filter_in_between", "filter_out_nulls",
-    "filter_project", "filter_values", "flagship_revenue_by_nation",
-    "geoip_country", "group_all_stats", "group_by_year",
-    "group_pricing_summary", "group_reducer_pandas", "grouping_sets_orders",
-    "head_per_group", "insert_rows_union", "join_inner_lookup",
-    "join_left_lookup", "json_extract_props", "lead_lag_user_events",
-    "parse_time_lenient", "percentile_price_by_priority", "pivot_status",
-    "primary_key_detect_orders", "profile_orders", "q3_unshipped_revenue",
-    "q4_semi_join_priority", "q5_region_supplier_volume",
-    "range_join_error_window", "rank_orders_per_customer",
-    "ranking_windows_orders", "rename_project", "replace_in_string",
-    "rolling_value_per_user", "rollup_year_priority",
-    "salted_join_priority_revenue", "setop_except", "setop_intersect",
-    "skip_rows", "split_explode", "string_agg_suppliers", "topk_orders",
-    "typedetect_strings", "union_streams", "unpivot_melt", "user_agent_parse",
-    "window_rolling_sum", "window_udf_rolling_max",
+#: key -> round of the key's most recent green row in CORRECTNESS_r0{N}.json.
+#: Regenerated each round from the recorded CORRECTNESS files (r1-r4 folded
+#: in as of round 5). Keys absent from this map have never been
+#: driver-checked and sort first.
+_LAST_DRIVER_GREEN = {
+    "dedup_keep_first": 2,
+    "group_reducer_pandas": 2,
+    "head_per_group": 2,
+    "insert_rows_union": 2,
+    "window_udf_rolling_max": 2,
+    "anti_join_customers_no_orders": 3,
+    "approx_stats_scale": 3,
+    "asof_last_purchase": 3,
+    "bottomk_min_n": 3,
+    "bulk_map_double_value": 3,
+    "cube_year_segment": 3,
+    "dedup_distinct": 3,
+    "distinct_suppliers_per_nation": 3,
+    "filter_by_regexp": 3,
+    "filter_in_between": 3,
+    "filter_out_nulls": 3,
+    "filter_project": 3,
+    "filter_values": 3,
+    "geoip_country": 3,
+    "group_all_stats": 3,
+    "group_by_year": 3,
+    "grouping_sets_orders": 3,
+    "join_inner_lookup": 3,
+    "join_left_lookup": 3,
+    "json_extract_props": 3,
+    "lead_lag_user_events": 3,
+    "parse_time_lenient": 3,
+    "percentile_price_by_priority": 3,
+    "pivot_status": 3,
+    "primary_key_detect_orders": 3,
+    "profile_orders": 3,
+    "q3_unshipped_revenue": 3,
+    "q4_semi_join_priority": 3,
+    "q5_region_supplier_volume": 3,
+    "range_join_error_window": 3,
+    "rank_orders_per_customer": 3,
+    "ranking_windows_orders": 3,
+    "rename_project": 3,
+    "replace_in_string": 3,
+    "rolling_value_per_user": 3,
+    "rollup_year_priority": 3,
+    "salted_join_priority_revenue": 3,
+    "setop_except": 3,
+    "setop_intersect": 3,
+    "skip_rows": 3,
+    "split_explode": 3,
+    "string_agg_suppliers": 3,
+    "topk_orders": 3,
+    "typedetect_strings": 3,
+    "union_streams": 3,
+    "unpivot_melt": 3,
+    "user_agent_parse": 3,
+    "ann_cosine_topk": 4,
+    "ann_ivf_topk": 4,
+    "ann_lsh_stored_topk": 4,
+    "ann_lsh_topk": 4,
+    "chunk_documents_docs": 4,
+    "decontaminate_docs": 4,
+    "dedup_against_seen": 4,
+    "dedup_exact_docs": 4,
+    "doc_fingerprint": 4,
+    "dup_clusters_docs": 4,
+    "embedding_neardup": 4,
+    "flagship_revenue_by_nation": 4,
+    "gopher_quality_rules": 4,
+    "group_pricing_summary": 4,
+    "hash_sample_orders": 4,
+    "heavy_hitters_custkey": 4,
+    "interval_join_click_purchase": 4,
+    "jaccard_pairs_words": 4,
+    "minhash_lsh_pairs": 4,
+    "minhash_lsh_shingle3": 4,
+    "mix_sources_docs": 4,
+    "multimodal_decode_features": 4,
+    "multimodal_frame_sample": 4,
+    "near_dedup_best_docs": 4,
+    "near_dedup_keep_docs": 4,
+    "ngram_coverage_docs": 4,
+    "pack_tokens_docs": 4,
+    "pii_scrub_docs": 4,
+    "profile_orders_approx": 4,
+    "quantize_embeddings_int8": 4,
+    "replace_cell_all_columns": 4,
+    "segment_dedup_docs": 4,
+    "sessionize_users": 4,
+    "simhash_docs": 4,
+    "sort_by_balance": 4,
+    "stratified_sample_segment": 4,
+    "stream_dedup_users": 4,
+    "stream_running_totals": 4,
+    "stream_sliding_hour": 4,
+    "stream_tumbling_hour": 4,
+    "text_stats": 4,
+    "tfidf_top_terms_docs": 4,
+    "throttle_user_events": 4,
+    "train_test_split_counts": 4,
+    "training_prep_pipeline": 4,
+    "transpose_region": 4,
+    "upsert_customer_balances": 4,
+    "url_parse_events": 4,
+    "window_rolling_sum": 4,
+    "word_entropy_docs": 4,
 }
 
 
 def _sample_order(names) -> list[str]:
-    front = [k for k in _NEVER_CHECKED_FIRST if k in names]
-    fresh = [k for k in names if k not in _EVER_DRIVER_GREEN and k not in front]
-    proven = [k for k in _PROVEN_HEAD if k in names]
-    tail = [k for k in names if k in _EVER_DRIVER_GREEN and k not in proven]
-    return front + fresh + proven + tail
+    """Stalest-evidence-first: never-driver-checked keys lead (registration
+    order preserved among ties), then ascending last-green round."""
+    names = list(names)
+    reg_pos = {k: i for i, k in enumerate(names)}
+    return sorted(
+        names, key=lambda k: (_LAST_DRIVER_GREEN.get(k, 0), reg_pos[k])
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
