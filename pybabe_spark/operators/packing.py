@@ -57,7 +57,10 @@ def pack_tokens(
         .cast("int")
         .alias("bucket"),
     )
-    schema = f"`{id_col}` bigint, bucket int, pack_id bigint"
+    # id field keeps the input's type (string/UUID ids are common in real
+    # corpora — the schema must not assume bigint)
+    id_ddl = work.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_ddl}, bucket int, pack_id bigint"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -74,7 +77,7 @@ def pack_tokens(
             packs.append(pack)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype("int64"),
+                id_col: pdf[id_col],
                 "bucket": pdf["bucket"].astype("int32"),
                 "pack_id": pd.Series(packs, dtype="int64", index=pdf.index),
             }

@@ -168,6 +168,17 @@ def _cosine_pandas(a, b):
     return _cos(a, b)
 
 
+#: Sign-test dead-band for LSH projections. Different engines sum the
+#: projection in different orders (Catalyst codegen fold, numpy einsum,
+#: DuckDB fold) — float noise is ~1e-14 absolute at these magnitudes, so
+#: an EXACTLY-zero dot product (plausible: the planes are half-integers)
+#: or one within noise of zero could flip a sign bit between engines.
+#: Every sign test is ``proj > _SIGN_EPS``: near-zero projections land in
+#: the 0 bit on all paths. 1e-9 is 1e5× the noise floor and 1e-3× any
+#: realistic nonzero projection.
+_SIGN_EPS = 1e-9
+
+
 def _plane_component(plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
     the first md5 nibble of 'p_d', centered. Reproducible anywhere."""
@@ -191,7 +202,9 @@ def lsh_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
             f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_component(p, d)}"
             for d in range(dims)
         )
-        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+        bits.append(
+            f"(CASE WHEN ({terms}) > {_SIGN_EPS!r} THEN {1 << p} ELSE 0 END)"
+        )
     return F.expr(" + ".join(bits)).cast("int")
 
 
@@ -205,10 +218,9 @@ def _lsh_planes(dims: int, planes: int) -> "np.ndarray":
 
 def _bucket_pandas(dims: int, planes: int):
     """Arrow-batched bucket id: one ``X @ P.T`` einsum + sign-bit pack
-    per batch. Numerically this evaluates the same projections as
-    :func:`lsh_bucket_expr`; a sign flip would need |projection| at the
-    double rounding scale (~1e-13 against typical magnitudes of 10s) —
-    measure-zero, and the LSH recall contract is approximate anyway.
+    per batch. Evaluates the same projections as :func:`lsh_bucket_expr`
+    (einsum sums in a different order, but the shared ``_SIGN_EPS``
+    dead-band makes the sign test engine-independent).
     Wrapped lazily (pandas_udf resolves its type against the session).
     """
     P = _lsh_planes(dims, planes)
@@ -217,7 +229,7 @@ def _bucket_pandas(dims: int, planes: int):
     @pandas_udf("int")
     def _bucket(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype="float64")
-        return pd.Series(((X @ P.T > 0) @ weights).astype("int32"))
+        return pd.Series(((X @ P.T > _SIGN_EPS) @ weights).astype("int32"))
 
     return _bucket
 
@@ -236,7 +248,7 @@ def _probe_pandas(dims: int, planes: int, nprobe: int):
     def _probe(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype="float64")
         proj = X @ P.T
-        home = ((proj > 0) @ weights).astype("int64")
+        home = ((proj > _SIGN_EPS) @ weights).astype("int64")
         order = np.argsort(np.abs(proj), axis=1)
         out = []
         for i in range(len(X)):
@@ -256,6 +268,30 @@ def _py_plane(plane: int, dim: int) -> float:
 
     nibble = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0], 16)
     return nibble + 1 - 8.5
+
+
+#: ANN query batches are collected driver-side ("small by contract").
+#: Guarded like reshape.transpose: a large batch must raise actionably,
+#: not silently OOM the driver.
+_MAX_QUERY_ROWS = 10_000
+
+
+def _collect_query_rows(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    limit: int | None = None,
+) -> list:
+    limit = _MAX_QUERY_ROWS if limit is None else limit
+    n = queries.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"ANN query side is driver-collected by contract; refusing "
+            f"> {limit} query rows. Split the query batch (e.g. loop over "
+            f"sampling.hash_bucket slices) or run corpus-vs-corpus ops "
+            f"(embedding_neardup_pairs) instead."
+        )
+    return queries.select(id_col, vec_col).collect()
 
 
 def _lsh_probe_pairs(
@@ -278,10 +314,10 @@ def _lsh_probe_pairs(
         [[_py_plane(p, d) for d in range(dims)] for p in range(planes)],
         dtype="float64",
     )
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_query_rows(queries, id_col, vec_col)
     X = np.asarray([r[vec_col] for r in qrows], dtype="float64")
     proj = X @ P.T
-    home = (proj > 0).astype("int64") @ (1 << np.arange(planes))
+    home = (proj > _SIGN_EPS).astype("int64") @ (1 << np.arange(planes))
     order = np.argsort(np.abs(proj), axis=1)
     pairs = []
     for i, r in enumerate(qrows):
@@ -521,7 +557,7 @@ def ann_ivf(
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_query_rows(queries, id_col, vec_col)
     Q = np.asarray([r[vec_col] for r in qrows], dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
@@ -709,7 +745,7 @@ def ann_ivf_stored(
     )
     C = np.asarray([c for _, c in crows], dtype="float64")
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = _collect_query_rows(queries, id_col, vec_col)
     Q = np.asarray([r[vec_col] for r in qrows], dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]

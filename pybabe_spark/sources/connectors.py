@@ -132,19 +132,22 @@ def pull_http_json(
         data = [data]
     if not isinstance(data, list) or not data:
         raise ValueError("pull_http_json: no records found at record_path")
-    # bounded payload → temp JSONL → ordinary path-based reader: one code
-    # path with full schema inference, and no RDD/sparkContext surface
-    # (works under Spark Connect sessions too)
-    import tempfile
+    # In-plan parse of the bounded payload: one row holding the JSON array,
+    # schema_of_json infers the merged element schema (same Jackson
+    # inference as spark.read.json), from_json + explode flatten it.
+    # No temp files, no RDD surface, no driver-local-filesystem assumption
+    # — the data travels with the plan, so this works identically on a
+    # multi-node classic cluster and under Spark Connect.
+    from pyspark.sql import functions as F
 
-    tmp = tempfile.NamedTemporaryFile(
-        "w", suffix=".jsonl", delete=False, encoding="utf-8"
-    )
-    with tmp:
-        for r in data:
-            tmp.write(json.dumps(r))
-            tmp.write("\n")
-    return spark.read.json(tmp.name)
+    if not all(isinstance(r, dict) for r in data):
+        data = [r if isinstance(r, dict) else {"value": r} for r in data]
+    arr = json.dumps(data)
+    one = spark.createDataFrame([(arr,)], "j string")
+    schema = one.select(F.schema_of_json(F.lit(arr)).alias("s")).head()["s"]
+    return one.select(
+        F.explode(F.from_json("j", schema)).alias("r")
+    ).select("r.*")
 
 
 def pull_twitter(
