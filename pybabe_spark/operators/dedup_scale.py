@@ -216,6 +216,7 @@ def near_dedup_keep(
     use_lsh_candidates: bool = False,
     policy: str = "lower_id",
     score_col: str | None = None,
+    max_rounds: int = 100,
 ) -> DataFrame:
     """Near-duplicate REMOVAL; the survivor set is the dedup'd corpus.
 
@@ -280,32 +281,79 @@ def near_dedup_keep(
     # lower-id similar neighbor is confirmed dropped. Each round decides
     # at least the minimum undecided id (all ids below it are already
     # decided), so rounds ≤ dependency-chain depth — tiny for LSH-scale
-    # clusters. Only ids + candidate pairs iterate, never the corpus;
-    # localCheckpoint cuts lineage so plans stay bounded.
-    pairs = pairs.localCheckpoint()
-    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    # clusters. Only ids + candidate pairs iterate, never the corpus.
+    # One (id, state) DataFrame carries the whole fixpoint; each round is
+    # EXACTLY ONE job — the eager localCheckpoint — with convergence
+    # detection riding it as an observe() metric (undecided count), the
+    # same idiom as graph.connected_components.
+    from pyspark.sql import Observation
+
+    S_UNDEC, S_SURV, S_DROP = 0, 1, 2
+    pairs = pairs.localCheckpoint(eager=True)
     incoming = pairs.select(F.col("id_b").alias("__id")).distinct()
-    surv = ids.join(incoming, "__id", "left_anti").localCheckpoint()
-    undecided = ids.join(surv, "__id", "left_anti").localCheckpoint()
-    edges = pairs
-    while undecided.count() > 0:
-        hit = (
-            edges.join(surv.withColumnRenamed("__id", "id_a"), "id_a", "left_semi")
-            .select(F.col("id_b").alias("__id"))
-            .distinct()
+    obs0 = Observation()
+    state = (
+        df.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .join(incoming.withColumn("__in", F.lit(1)), "__id", "left")
+        .select(
+            "__id",
+            F.when(F.col("__in").isNull(), F.lit(S_SURV))
+            .otherwise(F.lit(S_UNDEC))
+            .alias("__st"),
         )
-        new_drop = undecided.join(hit, "__id", "left_semi").localCheckpoint()
-        undecided = undecided.join(new_drop, "__id", "left_anti").localCheckpoint()
-        # edges out of dropped docs can never drop anyone — retire them
-        edges = edges.join(
-            new_drop.withColumnRenamed("__id", "id_a"), "id_a", "left_anti"
-        ).localCheckpoint()
-        # undecided docs with no remaining lower-id edge: all their lower
-        # neighbors are dropped → they survive
-        remaining_in = edges.select(F.col("id_b").alias("__id")).distinct()
-        new_surv = undecided.join(remaining_in, "__id", "left_anti")
-        surv = surv.unionByName(new_surv).localCheckpoint()
-        undecided = undecided.join(new_surv, "__id", "left_anti").localCheckpoint()
+        .observe(
+            obs0, F.sum((F.col("__st") == S_UNDEC).cast("long")).alias("u")
+        )
+        .localCheckpoint(eager=True)
+    )
+    undecided = obs0.get["u"]
+    for _ in range(max_rounds):
+        if not undecided:
+            break
+        # per undecided doc: does ANY lower-id neighbor survive (→ drop)?
+        # are ALL lower-id neighbors dropped (→ survive)? else stay open.
+        inc = (
+            pairs.join(
+                state.select(
+                    F.col("__id").alias("id_a"), F.col("__st").alias("__sa")
+                ),
+                "id_a",
+            )
+            .groupBy(F.col("id_b").alias("__id"))
+            .agg(
+                F.max((F.col("__sa") == S_SURV).cast("int")).alias("__any_surv"),
+                F.max((F.col("__sa") == S_UNDEC).cast("int")).alias("__any_open"),
+            )
+        )
+        obs = Observation()
+        state = (
+            state.join(inc, "__id", "left")
+            .select(
+                "__id",
+                F.when(F.col("__st") != S_UNDEC, F.col("__st"))
+                .when(F.col("__any_surv") == 1, F.lit(S_DROP))
+                .when(
+                    F.coalesce(F.col("__any_open"), F.lit(0)) == 0,
+                    F.lit(S_SURV),
+                )
+                .otherwise(F.lit(S_UNDEC))
+                .alias("__st"),
+            )
+            .observe(
+                obs, F.sum((F.col("__st") == S_UNDEC).cast("long")).alias("u")
+            )
+            .localCheckpoint(eager=True)  # the round's ONLY job
+        )
+        undecided = obs.get["u"]
+    else:
+        raise RuntimeError(
+            f"near_dedup_keep(greedy): no fixpoint after {max_rounds} "
+            "rounds; raise max_rounds for pathologically deep similarity "
+            "chains (or use policy='best', whose CC rounds are bounded by "
+            "cluster diameter)"
+        )
+    surv = state.filter(F.col("__st") == S_SURV).select("__id")
     return df.join(
         surv.withColumnRenamed("__id", id_col), id_col, "left_semi"
     )

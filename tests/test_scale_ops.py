@@ -455,6 +455,62 @@ def test_near_dedup_greedy_matches_python_reference(spark, sf_dir):
     assert got == surv_ref
 
 
+def test_near_dedup_greedy_no_count_actions(spark, monkeypatch):
+    """The greedy fixpoint's convergence detection must ride the round's
+    one checkpoint job as an observe() metric — a separate count() action
+    per round is the anti-pattern VERDICT r4 #5 retired. Assert no
+    DataFrame.count() fires inside the operator."""
+    from pyspark.sql import DataFrame
+
+    from pybabe_spark.operators.dedup_scale import near_dedup_keep
+
+    w = [f"w{i}" for i in range(1, 13)]
+    df = spark.createDataFrame(
+        [(1, " ".join(w[0:10])), (2, " ".join(w[1:11])), (3, " ".join(w[2:12]))],
+        "doc_id bigint, text string",
+    )
+
+    def _no_count(self):
+        raise AssertionError("greedy near-dedup must not run count() actions")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep(
+            df, "doc_id", "text", threshold=0.8, policy="greedy"
+        ).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_ann_query_collect_guard(spark, sf_dir):
+    """A large ANN query batch must raise actionably instead of silently
+    collecting to the driver (VERDICT r4 #3; the transpose guard idiom)."""
+    from pybabe_spark.operators import similarity as sim
+    from pybabe_spark.operators.similarity import _lsh_probe_pairs, ann_ivf
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # tiny guard limit so the test doesn't need a real 100k-row batch;
+    # ann_ivf and _lsh_probe_pairs (the helper behind ann_lsh_stored /
+    # ann_ivf_stored) are the driver-collecting paths
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sim, "_MAX_QUERY_ROWS", 3)
+        with pytest.raises(ValueError, match="refusing > 3 query rows"):
+            _lsh_probe_pairs(
+                emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+                dims=64, planes=4, nprobe=2,
+            )
+        with pytest.raises(ValueError, match="refusing > 3 query rows"):
+            ann_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=4)
+    # within the bound still works
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sim, "_MAX_QUERY_ROWS", 10)
+        assert ann_ivf(
+            emb, emb.filter(F.col("vec_id") < 2), k=3, nlist=4
+        ).count() > 0
+
+
 def test_train_test_split_disjoint_exhaustive(spark, sf_dir):
     from pybabe_spark.operators.sampling import train_test_split
     from pybabe_spark.sources.io import read_table
