@@ -18,6 +18,7 @@ from __future__ import annotations
 import io as _io
 import os
 import re
+import tempfile
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -363,18 +364,29 @@ def pull(
 
 
 def _pull_string(spark, text, fmt, *, separator=None, header=True, infer_schema=True):
-    """Inline string source (pybabe/base.py:390-392): parallelize the lines."""
+    """Inline string source (pybabe/base.py:390-392).
+
+    Spools the text to a driver-local temp file and runs the ordinary
+    path-based CSV reader: one dispatch path, full schema inference, and
+    no ``.rdd`` surface (Connect-safe). Inline strings are driver-born
+    by definition, so a driver-local path is the right scope — unlike
+    fetched payloads (see connectors.pull_http_json, which parses
+    in-plan because its data must reach a real cluster)."""
     sep = separator or ("\t" if fmt == "tsv" else ",")
     lines = [l for l in text.splitlines() if l.strip()]
     if fmt == "txt":
         return spark.createDataFrame([(l,) for l in lines], "text string")
-    lines_df = spark.createDataFrame([(l,) for l in lines], "value string")
-    reader = (
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".csv", delete=False, encoding="utf-8"
+    )
+    with tmp:
+        tmp.write("\n".join(lines))
+    return (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
         .option("inferSchema", str(infer_schema).lower())
+        .csv(tmp.name)
     )
-    return reader.csv(lines_df.rdd.map(lambda r: r.value))
 
 
 def _pull_zip(spark, filename, fmt, *, separator=None, header=True, infer_schema=True):
