@@ -2,6 +2,15 @@
 
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+``python bench.py --stress [factors]`` instead measures how the
+dedup/CC/ANN family SCALES: the documents/embeddings corpus is
+synthetically inflated (replica ids offset, replica words suffixed so
+each replica's pair graph is isomorphic to — but disjoint from — the
+original's), the operators run at each inflation factor, and the fitted
+log-log scaling exponent per family is written to ``STRESS.json``.
+Exponent ≈ 1.0 = linear in corpus size; the evidence behind SCALE.md's
+100 TB design claims.
 """
 
 from __future__ import annotations
@@ -93,5 +102,173 @@ def main() -> None:
     spark.stop()
 
 
+def _inflate(spark, base_dir: str, factor: int, out_dir: str) -> str:
+    """Write a ``factor``-times documents+embeddings corpus under
+    ``out_dir``. Replica i's doc ids are offset by i*(max_id+1) and every
+    word gets an ``_i`` suffix — so replicas are mutually DISSIMILAR and
+    the inflated near-dup pair graph is exactly ``factor`` disjoint
+    copies of the original's (same shape, bigger n — what a scaling
+    measurement needs). Embeddings keep their vectors (bucket/cell sizes
+    grow uniformly ×factor)."""
+    from pyspark.sql import functions as F
+
+    if factor == 1:
+        return base_dir
+    sf_dir = os.path.join(out_dir, f"x{factor}")
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).head()[0] + 1
+    parts = [docs]
+    for i in range(1, factor):
+        suffix = F.lit(f"_{i}")
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_id))
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "), lambda w: F.concat(w, suffix)
+                    ),
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    max_vid = emb.agg(F.max("vec_id")).head()[0] + 1
+    eparts = [emb]
+    for i in range(1, factor):
+        eparts.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vid)))
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def stress(factors: list[int]) -> None:
+    import tempfile
+
+    import numpy as np
+
+    from pybabe_spark.session import get_spark
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("pybabe_spark-stress")
+    spark.sparkContext.setLogLevel("WARN")
+    work = tempfile.mkdtemp(prefix="pybabe_stress_")
+
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.functions.text import quality_score
+    from pybabe_spark.operators.dedup_scale import (
+        minhash_lsh_pairs,
+        near_dedup_keep,
+    )
+    from pybabe_spark.operators.graph import dup_clusters
+    from pybabe_spark.operators.similarity import ann_lsh_stored, build_lsh_index
+
+    def _families(sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        scored = docs.select(
+            "doc_id", "text", quality_score("text").alias("score")
+        )
+        idx = os.path.join(work, "lsh_idx", os.path.basename(sf_dir) or "base")
+        queries = emb.filter(F.col("vec_id") < 5)
+
+        def _ann_build():
+            build_lsh_index(emb, idx, dims=64, planes=4)
+
+        def _ann_probe():
+            ann_lsh_stored(
+                spark, idx, queries, k=10, dims=64, planes=4, nprobe=2
+            ).count()
+
+        return {
+            "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+            ).count(),
+            "dup_clusters": lambda: dup_clusters(
+                docs,
+                minhash_lsh_pairs(
+                    docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+                ),
+            ).count(),
+            "near_dedup_best": lambda: near_dedup_keep(
+                scored,
+                "doc_id",
+                "text",
+                threshold=0.5,
+                shingle_n=3,
+                use_lsh_candidates=True,
+                policy="best",
+                score_col="score",
+            ).count(),
+            "ann_lsh_build": _ann_build,
+            "ann_lsh_stored_probe": _ann_probe,
+        }
+
+    # Warm pass: run every family once untimed so JIT/codegen/file-index
+    # setup isn't charged to the first factor (it made tiny-scale
+    # exponents negative). Timed runs are then best-of-2 per factor.
+    for name, fn in _families(base_dir).items():
+        fn()
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    sizes: dict[int, dict[str, int]] = {}
+    timings: dict[str, dict[int, float]] = {}
+    for factor in factors:
+        sf_dir = _inflate(spark, base_dir, factor, work)
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        n_vecs = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).count()
+        sizes[factor] = {"n_docs": n_docs, "n_vecs": n_vecs}
+        for name, fn in _families(sf_dir).items():
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings.setdefault(name, {})[factor] = round(best, 3)
+            print(f"  x{factor} {name}: {best:.3f}s", file=sys.stderr)
+
+    exponents = {}
+    for name, by_factor in timings.items():
+        xs = np.log([f for f in by_factor])
+        ys = np.log([max(t, 1e-3) for t in by_factor.values()])
+        exponents[name] = round(float(np.polyfit(xs, ys, 1)[0]), 3)
+
+    out = {
+        "metric": "stress_scaling",
+        "base_sf_dir": base_dir,
+        "factors": factors,
+        "sizes": sizes,
+        "timings_sec": {
+            n: {str(f): t for f, t in d.items()} for n, d in timings.items()
+        },
+        "scaling_exponent": exponents,
+    }
+    with open(os.path.join(_REPO, "STRESS.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--stress":
+        factors = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [1, 3, 10]
+        )
+        stress(factors)
+    else:
+        main()
