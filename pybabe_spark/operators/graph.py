@@ -13,6 +13,20 @@ minimum id of its component (the canonical small-graph-on-big-cluster
 algorithm, cf. Kiveris et al. "Connected Components in MapReduce",
 SOCC'14 — the simple variant, since dup clusters are shallow).
 
+Min-label propagation moves the minimum ONE hop per round, so its
+round count is the component diameter — perfect for dup clusters (a
+few hops), pathological for long chains. Rather than failing on deep
+graphs, exhaustion of ``max_iters`` switches to Kiveris et al.'s
+two-phase **large-star / small-star alternation**, whose round count
+is O(log² n) regardless of diameter: each large-star points every
+strictly-larger neighbor of a node at the minimum of its closed
+neighborhood, each small-star does the same for the not-larger
+neighbors, and the alternation contracts any graph to a forest of
+stars centered on each component's minimum. The fallback is seeded
+with the labels already earned by the simple rounds (``(id, label)``
+is a valid same-component edge), so no propagation work is thrown
+away.
+
 Scale shape: state is one (node, label) row per node; each round is
 one join + one hash aggregation (two shuffles) over the node set, NOT
 the corpus; rounds ≈ cluster diameter (near-dup clusters are a few
@@ -32,17 +46,95 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect each strictly
+    larger neighbor to min(N(u) ∪ {u}). Output oriented first > second."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over edges oriented first > second: for
+    every node u, connect each neighbor (all smaller, plus u itself)
+    to min(N(u)). Orientation first > second is preserved."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    children = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return (
+        children.unionByName(centers)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _two_phase_star_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Alternate large-star/small-star to the star-forest fixpoint and
+    return it as (u = child, v = component-min root) edges.
+
+    Convergence detection is two-tier: a per-round checksum
+    (count + endpoint sum, observed on the round's checkpoint job —
+    no extra action) gates a cheap exact set-equality confirm, so the
+    sound check only runs when the checksum says the fixpoint is
+    plausibly reached.
+    """
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        obs = Observation()
+        e2 = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
+        sig = (m["n"], m["s"])
+        if sig == prev_sig and e2.exceptAll(e).isEmpty():
+            return e2
+        prev_sig = sig
+        e = e2
+    raise RuntimeError(
+        f"two-phase connected components: no star-forest fixpoint after "
+        f"{max_rounds} rounds — pathological input; raise max_rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    deep_fallback: bool = True,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is the
     minimum node id in the connected component.
 
-    Raises if the graph hasn't converged after ``max_iters`` rounds
-    (pathologically deep chains) rather than returning a wrong answer.
+    Runs diameter-bound min-label propagation (one join + one agg per
+    round — cheapest for the shallow clusters near-dedup emits). If
+    ``max_iters`` rounds don't reach fixpoint (pathologically deep
+    chains), switches to the O(log² n)-round large-star/small-star
+    alternation instead of failing; pass ``deep_fallback=False`` to
+    get the old raise-on-exhaustion behavior.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -76,9 +168,29 @@ def connected_components(
         if cur_sum == prev_sum or cur_sum is None:
             return labels.withColumnRenamed("label", "component")
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components: no fixpoint after {max_iters} rounds; "
-        "raise max_iters for graphs with very long chains"
+    if not deep_fallback:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds; "
+            "raise max_iters for graphs with very long chains"
+        )
+    # Deep-chain fallback: seed with the original edges plus the labels
+    # already earned ((id, label) is a same-component edge), then run the
+    # logarithmic-round two-phase alternation to the star forest.
+    label_edges = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("u"), F.col("label").alias("v")
+    )
+    seed = sym.select("u", "v").unionByName(label_edges)
+    forest = _two_phase_star_forest(seed)
+    forest_labels = forest.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).unionByName(
+        forest.select(F.col("v").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+    )
+    # Nodes whose only edges were self-loops never enter the forest —
+    # restore them as their own component.
+    return labels.select("id").join(forest_labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )
 
 

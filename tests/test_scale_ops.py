@@ -795,7 +795,32 @@ def test_connected_components_raises_without_fixpoint(spark):
         [(i, i + 1) for i in range(1, 8)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(chain, max_iters=1)
+        connected_components(chain, max_iters=1, deep_fallback=False)
+
+
+def test_connected_components_deep_chain_fallback(spark):
+    """A 1000-node chain (diameter 999) would need ~999 min-label
+    rounds; the large-star/small-star fallback converges in O(log² n)
+    rounds where the simple variant raises. Also checks the fallback
+    keeps a second component and a self-loop-only node intact."""
+    import pytest
+
+    from pybabe_spark.operators.graph import connected_components
+
+    rows = [(i, i + 1) for i in range(1000)]          # chain 0..1000
+    rows += [(5000, 5001), (5001, 5002)]              # small second comp
+    rows += [(7000, 7000)]                            # self-loop only
+    chain = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iters=3, deep_fallback=False)
+
+    got = {r["id"]: r["component"]
+           for r in connected_components(chain, max_iters=3).collect()}
+    assert len(got) == 1001 + 3 + 1
+    assert all(got[i] == 0 for i in range(1001))
+    assert got[5000] == got[5001] == got[5002] == 5000
+    assert got[7000] == 7000
 
 
 def test_tfidf_model(spark):
