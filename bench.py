@@ -166,6 +166,7 @@ def stress(factors: list[int]) -> None:
     from pybabe_spark.functions.text import quality_score
     from pybabe_spark.operators.dedup_scale import (
         minhash_lsh_pairs,
+        near_dedup_against,
         near_dedup_keep,
     )
     from pybabe_spark.operators.graph import dup_clusters
@@ -207,6 +208,15 @@ def stress(factors: list[int]) -> None:
                 use_lsh_candidates=True,
                 policy="best",
                 score_col="score",
+            ).count(),
+            "near_dedup_against": lambda: near_dedup_against(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                docs.filter(F.col("doc_id") % 5 == 0),
+                "doc_id",
+                "text",
+                threshold=0.5,
+                shingle_n=3,
+                use_lsh_candidates=True,
             ).count(),
             "ann_lsh_build": _ann_build,
             "ann_lsh_stored_probe": _ann_probe,

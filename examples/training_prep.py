@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """End-to-end training-data prep on the testdata corpus: quality/language
-filter -> exact dedup -> near-dup clusters -> token packing, with the
-plan linted before anything runs. Every stage is a registry operator;
-this script is the composed 100 TB shape in miniature.
+filter -> cross-corpus near-dedup against the "already trained on" half
+-> near-dup clusters + representative selection -> token packing ->
+seeded global shuffle, with the plan linted before anything runs. Every
+stage is a registry operator; this script is the composed 100 TB shape
+in miniature (no driver-side collect decides membership anywhere).
 """
 
 import os
@@ -21,24 +23,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 
+    # 0. the incremental-crawl split: every 5th doc stands in for the
+    #    corpus we already trained on; the rest is the incoming batch
+    seen = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+
     # 1. annotate + filter (narrow codegen maps)
     kept = (
-        docs.text_stats()
+        batch.text_stats()
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
         .assert_scales()
     )
 
-    # 2. near-dup clusters from MinHash-LSH candidates
-    pairs = kept.minhash_lsh_pairs("doc_id", "text")
-    clustered = kept.dup_clusters(pairs)
-    survivors = kept.filter(
-        F.col("doc_id").isin(
-            [r["component"] for r in
-             clustered.df.select("component").distinct().collect()]
-        )
+    # 2. drop batch docs near-duplicating the seen corpus (banded
+    #    new×seen bucket join — never |new|×|seen|)
+    fresh = kept.near_dedup_against(
+        seen.df, "doc_id", "text", use_lsh_candidates=True
     )
 
-    # 3. pack surviving docs into 2048-token training sequences
+    # 3. near-dup clusters inside the batch; keep the min-id
+    #    representative of each cluster via a semi-join (NOT a driver
+    #    collect — membership stays on the cluster)
+    pairs = fresh.minhash_lsh_pairs("doc_id", "text")
+    clustered = fresh.dup_clusters(pairs)
+    reps = clustered.filter(F.col("id") == F.col("component")).df.select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = Babe.from_df(fresh.df.join(reps, "doc_id", "left_semi"))
+
+    # 4. pack surviving docs into 2048-token training sequences
     packed = survivors.pack_tokens(2048, tokens_col="n_tokens")
     stats = (
         packed.df.groupBy("bucket")
@@ -46,9 +59,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
              F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket")
     )
-    print(f"kept {survivors.count()} docs -> packs per bucket:")
+
+    # 5. epoch order: deterministic seeded global shuffle (range sort,
+    #    reproducible on any cluster)
+    epoch = survivors.global_shuffle("doc_id", seed=42)
+
+    print(f"seen {seen.count()} | batch {batch.count()} -> "
+          f"fresh {fresh.count()} -> survivors {survivors.count()}")
+    print("packs per bucket:")
     for r in stats.collect():
         print(f"  bucket {r['bucket']}: {r['n_packs']} packs / {r['n_docs']} docs")
+    head = [r["doc_id"] for r in epoch.df.limit(5).collect()]
+    print(f"epoch order head: {head}")
 
 
 if __name__ == "__main__":

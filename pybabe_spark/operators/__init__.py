@@ -20,6 +20,7 @@ from pybabe_spark.operators.relational import (
 from pybabe_spark.operators.join import asof_join, join, range_join
 from pybabe_spark.operators.merge import dedup_against, upsert
 from pybabe_spark.operators.sampling import (
+    global_shuffle,
     hash_sample,
     mix_sources,
     stratified_sample,
@@ -75,6 +76,7 @@ __all__ = [
     "asof_join",
     "dedup_against",
     "exact_heavy_hitters",
+    "global_shuffle",
     "hash_sample",
     "heavy_hitters",
     "mix_sources",

@@ -359,6 +359,108 @@ def near_dedup_keep(
     )
 
 
+def near_dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_id_col: str | None = None,
+    seen_text_col: str | None = None,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    use_lsh_candidates: bool = False,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus near-dedup: drop every row of ``df`` whose n-gram
+    Jaccard with ANY document of ``seen`` is ≥ ``threshold`` — the
+    incremental-crawl step (dedup a new batch against the corpus already
+    trained on) that :func:`merge.dedup_against`'s exact-key form can't
+    express. ``seen`` is never modified or re-deduped.
+
+    Exact form (the oracle-checkable definition): shingle both corpora,
+    join new×seen on the shingle, per-pair intersection counts + set
+    sizes → Jaccard. ``use_lsh_candidates=True`` is the 100 TB path:
+    MinHash signatures on BOTH sides with the same coefficient family,
+    banded bucket keys, and a new×seen equi-join on (band, bucket) —
+    candidate cardinality ≈ corpus × bands, never |new|×|seen| — then
+    exact verification of candidates only. Either way the decision ends
+    in one left-anti join; no iteration, no driver state.
+    """
+    seen_id = seen_id_col or id_col
+    seen_text = seen_text_col or text_col
+    if use_lsh_candidates:
+        rows_per_band = num_hashes // bands
+
+        def bucketize(sig: DataFrame, ident: str, out_id: str) -> DataFrame:
+            band_structs = F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+            return sig.select(
+                F.col(ident).alias(out_id), F.explode(band_structs).alias("bb")
+            ).select(out_id, F.col("bb.band").alias("band"),
+                     F.col("bb.bucket").alias("bucket"))
+
+        new_b = bucketize(
+            minhash_signature(df, id_col, text_col, num_hashes, shingle_n),
+            id_col, "__nid",
+        )
+        seen_b = bucketize(
+            minhash_signature(seen, seen_id, seen_text, num_hashes, shingle_n),
+            seen_id, "__sid",
+        )
+        cand = new_b.join(seen_b, ["band", "bucket"]).select(
+            "__nid", "__sid"
+        ).distinct()
+        texts_n = df.select(F.col(id_col).alias("__nid"),
+                            F.col(text_col).alias("__tn"))
+        texts_s = seen.select(F.col(seen_id).alias("__sid"),
+                              F.col(seen_text).alias("__ts"))
+        pairs = cand.join(texts_n, "__nid").join(texts_s, "__sid")
+        from pybabe_spark.functions.text import words
+
+        sa = F.array_distinct(shingle_array(words("__tn"), shingle_n))
+        sb = F.array_distinct(shingle_array(words("__ts"), shingle_n))
+        inter = F.size(F.array_intersect(sa, sb)).cast("double")
+        union = F.size(F.array_union(sa, sb)).cast("double")
+        drops = pairs.filter(inter / union >= threshold).select(
+            F.col("__nid").alias(id_col)
+        ).distinct()
+    else:
+        shn = _shingle_rows(df, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("__nid"), F.col("__shingle").alias("s")
+        )
+        shs = _shingle_rows(seen, seen_id, seen_text, shingle_n).select(
+            F.col(seen_id).alias("__sid"), F.col("__shingle").alias("s")
+        )
+        szn = shn.groupBy("__nid").agg(F.count(F.lit(1)).alias("__na"))
+        szs = shs.groupBy("__sid").agg(F.count(F.lit(1)).alias("__nb"))
+        common = shn.join(shs, "s").groupBy("__nid", "__sid").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        drops = (
+            common.join(szn, "__nid").join(szs, "__sid")
+            .filter(
+                F.col("__c").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double")
+                >= F.lit(threshold)
+            )
+            .select(F.col("__nid").alias(id_col))
+            .distinct()
+        )
+    return df.join(drops, id_col, "left_anti")
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str,

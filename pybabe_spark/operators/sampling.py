@@ -149,6 +149,47 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def shuffle_key(key: Column | str, seed: int = 0) -> Column:
+    """The row's deterministic shuffle position key: md5 over
+    ``"{seed}:{key}"`` (NULL key hashes the empty string). A different
+    seed is a different, equally uniform permutation; the mapping is a
+    property of the data + seed, identical across engines
+    (:func:`shuffle_key_sql` is the DuckDB mirror)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(
+        F.concat(F.lit(f"{seed}:"), F.coalesce(k.cast("string"), F.lit("")))
+    )
+
+
+def shuffle_key_sql(key: str, seed: int = 0) -> str:
+    """The identical md5 position key as ANSI SQL (DuckDB oracle form)."""
+    return f"md5('{seed}:' || COALESCE(CAST({key} AS VARCHAR), ''))"
+
+
+def global_shuffle(
+    df: DataFrame, key: str, seed: int = 0, shards: int | None = None
+) -> DataFrame:
+    """Deterministic seeded reorder of the whole dataset — the global
+    shuffle every training run needs before epoch streaming, made
+    reproducible: row order is ``ORDER BY md5(seed:key), key`` so any
+    engine, any cluster size, any retry produces the same permutation.
+
+    ``shards=None`` returns a totally ordered frame (Spark range-samples
+    the sort key and runs a range-partitioned external merge sort — the
+    100 TB-safe total order, no single-task funnel). ``shards=N``
+    instead range-partitions into exactly N sorted shards (what a
+    sharded training-data write wants: globally range-ordered,
+    per-shard sorted, no total-order barrier).
+    """
+    h = shuffle_key(key, seed)
+    k = F.col(key)
+    if shards is None:
+        return df.orderBy(h, k)
+    if shards < 1:
+        raise ValueError(f"global_shuffle: shards {shards} < 1")
+    return df.repartitionByRange(shards, h, k).sortWithinPartitions(h, k)
+
+
 def mix_sources(
     sources: Sequence[tuple[DataFrame, float]], key: str
 ) -> DataFrame:

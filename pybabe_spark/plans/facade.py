@@ -118,6 +118,16 @@ class Babe:
             near_dedup_keep(self.df, id_col, text_col, threshold, **kwargs)
         )
 
+    def near_dedup_against(
+        self, seen: "Babe | DataFrame", id_col, text_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import near_dedup_against
+
+        s = seen.df if isinstance(seen, Babe) else seen
+        return self._wrap(
+            near_dedup_against(self.df, s, id_col, text_col, **kwargs)
+        )
+
     # -- sampling / splitting / scrubbing ------------------------------------
     def sample(self, key, fraction) -> "Babe":
         from pybabe_spark.operators.sampling import hash_sample
@@ -134,6 +144,11 @@ class Babe:
 
         train, test = train_test_split(self.df, key, test_fraction)
         return self._wrap(train), self._wrap(test)
+
+    def global_shuffle(self, key, seed=0, shards=None) -> "Babe":
+        from pybabe_spark.operators.sampling import global_shuffle
+
+        return self._wrap(global_shuffle(self.df, key, seed, shards))
 
     def pii_scrub(self, field) -> "Babe":
         from pybabe_spark.functions.text import pii_scrub

@@ -720,3 +720,51 @@ def q_near_dedup_keep(spark, sf_dir):
     return near_dedup_keep(docs, "doc_id", "text", threshold=0.8).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "near_dedup_against_docs",
+    """
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    shn AS (
+      SELECT doc_id AS nid, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM newd
+    ),
+    shs AS (
+      SELECT doc_id AS sid, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM seen
+    ),
+    szn AS (SELECT nid, COUNT(*) AS na FROM shn GROUP BY nid),
+    szs AS (SELECT sid, COUNT(*) AS nb FROM shs GROUP BY sid),
+    common AS (
+      SELECT shn.nid, shs.sid, COUNT(*) AS c
+      FROM shn JOIN shs ON shn.s = shs.s
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT common.nid FROM common
+      JOIN szn ON common.nid = szn.nid
+      JOIN szs ON common.sid = szs.sid
+      WHERE CAST(c AS DOUBLE) / CAST((na + nb - c) AS DOUBLE) >= 0.8
+    )
+    SELECT doc_id FROM newd
+    WHERE doc_id NOT IN (SELECT nid FROM drops)
+    """,
+)
+def q_near_dedup_against(spark, sf_dir):
+    """Cross-corpus near-dedup (operators/dedup_scale.py
+    ::near_dedup_against): the incremental-crawl step — drop new-batch
+    docs whose word-set Jaccard with ANY already-seen doc is >= 0.8;
+    the seen corpus is untouched. Exact shingle-join form here (the
+    oracle-checkable definition); use_lsh_candidates=True is the
+    banded new×seen bucket-join 100 TB path, equivalence-tested in
+    tests/test_scale_ops.py."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_against
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    seen = docs.filter(F.col("doc_id") % 5 == 0)
+    return near_dedup_against(new, seen, "doc_id", "text", threshold=0.8).select(
+        "doc_id"
+    )

@@ -172,6 +172,30 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "global_shuffle_docs",
+    """
+    SELECT doc_id, md5('42:' || COALESCE(CAST(doc_id AS VARCHAR), ''))
+           AS shuffle_key
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle (operators/sampling.py
+    ::global_shuffle): ORDER BY md5(seed:key) — Spark executes it as a
+    range-partitioned external merge sort (no single-task funnel), and
+    the permutation is a pure function of (data, seed), so every epoch,
+    retry, and engine replays the identical order. The oracle verifies
+    the full position-key mapping; the ordering/sharding mechanics are
+    plan-asserted in tests/test_scale_ops.py."""
+    from pybabe_spark.operators.sampling import global_shuffle, shuffle_key
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, "doc_id", seed=42).select(
+        "doc_id", shuffle_key("doc_id", 42).alias("shuffle_key")
+    )
+
+
+@register(
     "train_test_split_counts",
     f"""
     SELECT CASE WHEN {hash_bucket_sql('doc_id')} < 100000

@@ -332,6 +332,54 @@ def test_near_dedup_lsh_path_matches_exact(spark, sf_dir):
     assert dropped_lsh >= 0.6 * dropped_exact, (dropped_lsh, dropped_exact)
 
 
+def test_near_dedup_against_semantics(spark):
+    """New docs similar to a seen doc drop; dissimilar ones survive; the
+    seen side is never part of the output, and self-similarity inside the
+    new batch is NOT deduped (that's near_dedup_keep's job)."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_against
+
+    seen = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),         # exact dup of seen
+            (2, "alpha beta gamma epsilon"),       # 3/5 jaccard < 0.8
+            (3, "totally different words here"),
+            (4, "totally different words here"),   # intra-new dup: kept
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"] for r in
+           near_dedup_against(new, seen, "doc_id", "text",
+                              threshold=0.8).collect()}
+    assert got == {2, 3, 4}
+
+
+def test_near_dedup_against_lsh_path_matches_exact(spark, sf_dir):
+    """The banded new×seen bucket-join scale path keeps a superset of the
+    exact form's survivors (LSH can only miss pairs) and still catches
+    most cross-corpus duplicates."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_against
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    seen = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = {r["doc_id"] for r in
+             near_dedup_against(new, seen, "doc_id", "text",
+                                threshold=0.8).collect()}
+    lsh = {r["doc_id"] for r in
+           near_dedup_against(new, seen, "doc_id", "text", threshold=0.8,
+                              use_lsh_candidates=True).collect()}
+    n_new = new.count()
+    assert exact <= lsh
+    dropped_exact = n_new - len(exact)
+    dropped_lsh = n_new - len(lsh)
+    assert dropped_exact > 0, "testdata produced no cross-corpus dups"
+    assert dropped_lsh >= 0.6 * dropped_exact, (dropped_lsh, dropped_exact)
+
+
 def test_write_range_sorted_produces_disjoint_files(spark, sf_dir, tmp_path):
     """Each output file must own a disjoint key range (that is what lets
     parquet min/max stats skip files for selective predicates)."""
@@ -548,6 +596,60 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
     plan = hash_sample(orders, "o_orderkey", 0.1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_global_shuffle_order_and_determinism(spark, sf_dir):
+    """The collected order IS the md5(seed:key) order, identical across
+    runs; a different seed is a different permutation of the same rows."""
+    from pybabe_spark.operators.sampling import global_shuffle
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    run1 = [r["doc_id"] for r in global_shuffle(docs, "doc_id", 42).collect()]
+    run2 = [r["doc_id"] for r in
+            global_shuffle(docs.repartition(7), "doc_id", 42).collect()]
+    assert run1 == run2 and len(run1) > 0
+
+    import hashlib
+    expect = sorted(
+        run1, key=lambda d: hashlib.md5(f"42:{d}".encode()).hexdigest()
+    )
+    assert run1 == expect
+
+    other = [r["doc_id"] for r in global_shuffle(docs, "doc_id", 7).collect()]
+    assert other != run1 and sorted(other) == sorted(run1)
+
+
+def test_global_shuffle_plan_and_shards(spark, sf_dir):
+    """Total order must be a range-partitioned sort (scale path), never a
+    single-partition funnel; the sharded form yields exactly N sorted,
+    range-disjoint shards covering every row."""
+    import hashlib
+
+    from pybabe_spark.operators.sampling import global_shuffle
+    from pybabe_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        global_shuffle(docs, "doc_id", 42)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan and "SinglePartition" not in plan
+
+    sharded = global_shuffle(docs, "doc_id", 42, shards=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    parts = sharded.rdd.glom().collect()
+    keys = [
+        [hashlib.md5(f"42:{r['doc_id']}".encode()).hexdigest() for r in p]
+        for p in parts
+    ]
+    for p in keys:
+        assert p == sorted(p)                     # per-shard sorted
+    bounds = [(p[0], p[-1]) for p in keys if p]
+    bounds.sort()
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo                           # range-disjoint shards
+    assert sum(len(p) for p in keys) == docs.count()
 
 
 def test_heavy_hitters_sketch_superset_of_exact(spark, sf_dir):
