@@ -532,11 +532,12 @@ def q_primary_key_detect(spark, sf_dir):
 # (tests/test_oracle_parity.py) regardless of sample position.
 # ---------------------------------------------------------------------------
 
-#: key -> round of the key's most recent green row in CORRECTNESS_r0{N}.json.
-#: Regenerated each round from the recorded CORRECTNESS files (r1-r4 folded
-#: in as of round 5). Keys absent from this map have never been
-#: driver-checked and sort first.
-_LAST_DRIVER_GREEN = {
+#: Fallback for installs without the round files: key -> round of the
+#: key's most recent green row in CORRECTNESS_r0{N}.json as of round 5.
+#: The live map is derived from the committed CORRECTNESS files at import
+#: (see _load_last_driver_green), so the rotation updates itself each
+#: round with no hand-maintained bookkeeping.
+_LAST_DRIVER_GREEN_FALLBACK = {
     "dedup_keep_first": 2,
     "group_reducer_pandas": 2,
     "head_per_group": 2,
@@ -640,6 +641,46 @@ _LAST_DRIVER_GREEN = {
     "window_rolling_sum": 4,
     "word_entropy_docs": 4,
 }
+
+
+def _load_last_driver_green() -> dict[str, int]:
+    """Round of each key's most recent green driver row, scanned from the
+    committed ``CORRECTNESS_r*.json`` files next to the package so the
+    stalest-first rotation refreshes itself every round. A row is green
+    when rows matched with no error and neither schema nor value hash
+    mismatched (keys with a rows-only check have no hash field). Falls
+    back to the static round-5 snapshot when no round files are present
+    (e.g. the package installed without the repo root)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    out: dict[str, int] = {}
+    for path in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("err") is None
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                out[key] = max(out.get(key, 0), rnd)
+    return out or dict(_LAST_DRIVER_GREEN_FALLBACK)
+
+
+_LAST_DRIVER_GREEN = _load_last_driver_green()
 
 
 def _sample_order(names) -> list[str]:
