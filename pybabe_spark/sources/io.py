@@ -61,6 +61,29 @@ def _raise_if_missing_avro(exc: Exception, fmt: str):
     raise exc
 
 
+#: driver-local spool files that back lazily-scanned DataFrames — they
+#: must outlive the pull() call (Spark reads the path at action time),
+#: so they are reclaimed in one atexit pass instead of eagerly.
+_TEMP_SPOOLS: list[str] = []
+
+
+def _register_temp_spool(path: str) -> str:
+    if not _TEMP_SPOOLS:
+        import atexit
+
+        atexit.register(_cleanup_temp_spools)
+    _TEMP_SPOOLS.append(path)
+    return path
+
+
+def _cleanup_temp_spools() -> None:
+    while _TEMP_SPOOLS:
+        try:
+            os.unlink(_TEMP_SPOOLS.pop())
+        except OSError:
+            pass
+
+
 def _fetch_url_to_temp(url: str, cap: int | None = None) -> str:
     """Stream a remote single-file source to a local temp file, chunked
     and size-capped (same incremental cap as pull(command=...)); the
@@ -84,7 +107,7 @@ def _fetch_url_to_temp(url: str, cap: int | None = None) -> str:
     except Exception:
         os.unlink(tmp)
         raise
-    return tmp
+    return _register_temp_spool(tmp)
 
 # extension → (format, is_compression) — mirrors pybabe/base.py:345-358's
 # two-level guess (compress extension first, then format extension).
@@ -381,6 +404,7 @@ def _pull_string(spark, text, fmt, *, separator=None, header=True, infer_schema=
     )
     with tmp:
         tmp.write("\n".join(lines))
+    _register_temp_spool(tmp.name)
     return (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
