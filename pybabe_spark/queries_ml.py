@@ -725,8 +725,10 @@ def q_near_dedup_keep(spark, sf_dir):
 @register(
     "near_dedup_against_docs",
     """
-    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-    seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    WITH newd AS (SELECT doc_id, text FROM documents
+               WHERE doc_id < 1000 AND doc_id % 5 <> 0),
+    seen AS (SELECT doc_id, text FROM documents
+             WHERE doc_id < 1000 AND doc_id % 5 = 0),
     shn AS (
       SELECT doc_id AS nid, unnest(list_distinct(string_split(text, ' '))) AS s
       FROM newd
@@ -762,7 +764,7 @@ def q_near_dedup_against(spark, sf_dir):
     tests/test_scale_ops.py."""
     from pybabe_spark.operators.dedup_scale import near_dedup_against
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     new = docs.filter(F.col("doc_id") % 5 != 0)
     seen = docs.filter(F.col("doc_id") % 5 == 0)
     return near_dedup_against(new, seen, "doc_id", "text", threshold=0.8).select(
