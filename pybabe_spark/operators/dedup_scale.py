@@ -11,6 +11,9 @@ signature/bucket keys, no driver-side state, no Python in the hot path):
   near-dups differ in few bits.
 - **n-gram Jaccard**: exact verification — shingle-set self-join; use the
   LSH candidates as a prefilter at scale.
+- **cross-corpus**: ``near_dedup_against`` dedups an incoming batch
+  against an already-seen corpus (banded new×seen bucket join), the
+  incremental-crawl counterpart of the in-corpus operators above.
 
 MinHash order is the lexicographic order of md5 hex strings (any total
 order works for MinHash), which every SQL engine reproduces — this keeps
@@ -110,6 +113,11 @@ def minhash_lsh_pairs(
     bucket-key) — cardinality ≈ corpus size × bands, never the quadratic
     pair space; AQE's skew handling splits hot buckets.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"minhash_lsh_pairs: num_hashes {num_hashes} not divisible by "
+            f"bands {bands} (trailing hashes would be silently unused)"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = F.array(*[
@@ -390,6 +398,11 @@ def near_dedup_against(
     seen_id = seen_id_col or id_col
     seen_text = seen_text_col or text_col
     if use_lsh_candidates:
+        if num_hashes % bands:
+            raise ValueError(
+                f"near_dedup_against: num_hashes {num_hashes} not divisible "
+                f"by bands {bands} (trailing hashes would be silently unused)"
+            )
         rows_per_band = num_hashes // bands
 
         def bucketize(sig: DataFrame, ident: str, out_id: str) -> DataFrame:
