@@ -354,7 +354,7 @@ def near_dedup_keep(
             .localCheckpoint(eager=True)  # the round's ONLY job
         )
         undecided = obs.get["u"]
-    else:
+    if undecided:
         raise RuntimeError(
             f"near_dedup_keep(greedy): no fixpoint after {max_rounds} "
             "rounds; raise max_rounds for pathologically deep similarity "

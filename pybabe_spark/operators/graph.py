@@ -103,7 +103,10 @@ def _two_phase_star_forest(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
+                F.sum(
+                    F.col("u").cast("decimal(38,0)")
+                    + F.col("v").cast("decimal(38,0)")
+                ).alias("s"),
             )
             .localCheckpoint(eager=True)
         )

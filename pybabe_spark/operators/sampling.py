@@ -173,6 +173,9 @@ def global_shuffle(
     shuffle every training run needs before epoch streaming, made
     reproducible: row order is ``ORDER BY md5(seed:key), key`` so any
     engine, any cluster size, any retry produces the same permutation.
+    Full determinism requires ``key`` to be unique per row (a doc id);
+    rows sharing a key value sort together but order arbitrarily among
+    themselves.
 
     ``shards=None`` returns a totally ordered frame (Spark range-samples
     the sort key and runs a range-partitioned external merge sort — the

@@ -283,15 +283,17 @@ def _collect_query_rows(
     limit: int | None = None,
 ) -> list:
     limit = _MAX_QUERY_ROWS if limit is None else limit
-    n = queries.limit(limit + 1).count()
-    if n > limit:
+    # one job: collect limit+1 rows and check the overflow sentinel,
+    # instead of a separate count() scan before the collect
+    rows = queries.select(id_col, vec_col).limit(limit + 1).collect()
+    if len(rows) > limit:
         raise ValueError(
             f"ANN query side is driver-collected by contract; refusing "
             f"> {limit} query rows. Split the query batch (e.g. loop over "
             f"sampling.hash_bucket slices) or run corpus-vs-corpus ops "
             f"(embedding_neardup_pairs) instead."
         )
-    return queries.select(id_col, vec_col).collect()
+    return rows
 
 
 def _lsh_probe_pairs(

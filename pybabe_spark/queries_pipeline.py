@@ -24,6 +24,7 @@ from pybabe_spark.operators.sampling import (
     hash_bucket_sql,
     hash_sample,
     mix_sources,
+    shuffle_key_sql,
     stratified_sample,
 )
 from pybabe_spark.queries import register
@@ -173,9 +174,8 @@ def q_stratified_sample(spark, sf_dir):
 
 @register(
     "global_shuffle_docs",
-    """
-    SELECT doc_id, md5('42:' || COALESCE(CAST(doc_id AS VARCHAR), ''))
-           AS shuffle_key
+    f"""
+    SELECT doc_id, {shuffle_key_sql('doc_id', 42)} AS shuffle_key
     FROM documents
     """,
 )

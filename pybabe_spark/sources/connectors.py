@@ -133,21 +133,85 @@ def pull_http_json(
     if not isinstance(data, list) or not data:
         raise ValueError("pull_http_json: no records found at record_path")
     # In-plan parse of the bounded payload: one row holding the JSON array,
-    # schema_of_json infers the merged element schema (same Jackson
-    # inference as spark.read.json), from_json + explode flatten it.
-    # No temp files, no RDD surface, no driver-local-filesystem assumption
-    # — the data travels with the plan, so this works identically on a
-    # multi-node classic cluster and under Spark Connect.
+    # from_json + explode flatten it with a schema merged DRIVER-SIDE from
+    # the already-parsed records (no schema_of_json literal that would
+    # embed a second copy of the payload in a plan, and no extra job to
+    # evaluate it). No temp files, no RDD surface, no
+    # driver-local-filesystem assumption — the data travels with the plan
+    # once, so this works identically on a multi-node classic cluster and
+    # under Spark Connect.
     from pyspark.sql import functions as F
 
     if not all(isinstance(r, dict) for r in data):
         data = [r if isinstance(r, dict) else {"value": r} for r in data]
-    arr = json.dumps(data)
-    one = spark.createDataFrame([(arr,)], "j string")
-    schema = one.select(F.schema_of_json(F.lit(arr)).alias("s")).head()["s"]
+    elem = None
+    for rec in data:
+        elem = _merge_json_type(elem, _infer_json_type(rec))
+    one = spark.createDataFrame([(json.dumps(data),)], "j string")
     return one.select(
-        F.explode(F.from_json("j", schema)).alias("r")
+        F.explode(F.from_json("j", f"array<{_render_ddl(elem)}>")).alias("r")
     ).select("r.*")
+
+
+def _infer_json_type(v: Any):
+    """Type tree of one parsed-JSON value: dict = struct, ("array", t),
+    or a DDL scalar name; None means 'unknown yet' (null)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        t = None
+        for x in v:
+            t = _merge_json_type(t, _infer_json_type(x))
+        return ("array", t)
+    if isinstance(v, dict):
+        return {k: _infer_json_type(x) for k, x in v.items()}
+    return "string"
+
+
+def _merge_json_type(a, b):
+    """Merge two type trees across records (spark.read.json semantics in
+    miniature: int+float widen to double, conflicts fall back to string,
+    struct fields union, absent/null fields stay nullable)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a == b:
+        return a
+    if isinstance(a, dict) and isinstance(b, dict):
+        merged = dict(a)
+        for k, v in b.items():
+            merged[k] = _merge_json_type(merged.get(k), v)
+        return merged
+    if (
+        isinstance(a, tuple) and isinstance(b, tuple)
+        and a[0] == "array" and b[0] == "array"
+    ):
+        return ("array", _merge_json_type(a[1], b[1]))
+    if {a, b} == {"bigint", "double"}:
+        return "double"
+    return "string"
+
+
+def _render_ddl(t) -> str:
+    if t is None:
+        return "string"
+    if isinstance(t, dict):
+        fields = ", ".join(
+            f"`{k}`: {_render_ddl(v)}" for k, v in t.items()
+        )
+        return f"struct<{fields}>"
+    if isinstance(t, tuple):
+        return f"array<{_render_ddl(t[1])}>"
+    return t
 
 
 def pull_twitter(

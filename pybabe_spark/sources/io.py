@@ -18,7 +18,6 @@ from __future__ import annotations
 import io as _io
 import os
 import re
-import tempfile
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -386,31 +385,81 @@ def pull(
     return with_ingest_id(df) if ingest_id else df
 
 
+_CSV_INT_RE = re.compile(r"[+-]?\d+\Z")
+
+
+def _csv_cell_type(cell: str) -> str:
+    """One cell's inferred type, mirroring Spark's CSV lattice (int →
+    double → boolean → string); no trimming, so whitespace-padded
+    numbers stay strings just like the JVM parsers."""
+    if _CSV_INT_RE.match(cell):
+        return "bigint"
+    try:
+        float(cell)
+        return "double"
+    except ValueError:
+        pass
+    if cell in ("true", "false", "True", "False"):
+        return "boolean"
+    return "string"
+
+
+def _csv_merge_type(a: str | None, b: str) -> str:
+    if a is None or a == b:
+        return b
+    if {a, b} == {"bigint", "double"}:
+        return "double"
+    return "string"
+
+
+_CSV_CASTS = {
+    "bigint": int,
+    "double": float,
+    "boolean": lambda c: c.lower() == "true",
+    "string": lambda c: c,
+}
+
+
 def _pull_string(spark, text, fmt, *, separator=None, header=True, infer_schema=True):
     """Inline string source (pybabe/base.py:390-392).
 
-    Spools the text to a driver-local temp file and runs the ordinary
-    path-based CSV reader: one dispatch path, full schema inference, and
-    no ``.rdd`` surface (Connect-safe). Inline strings are driver-born
-    by definition, so a driver-local path is the right scope — unlike
-    fetched payloads (see connectors.pull_http_json, which parses
-    in-plan because its data must reach a real cluster)."""
+    Parsed driver-side (the string is driver-born and small by
+    definition) and shipped WITH the plan via ``createDataFrame`` — no
+    temp-file spool (whose driver-local path executors or a remote
+    Connect server could not resolve) and no ``.rdd`` surface. Type
+    inference mirrors Spark's CSV lattice: per-cell int/double/boolean/
+    string, merged per column (int widens to double, conflicts fall back
+    to string), empty cells read as null."""
     sep = separator or ("\t" if fmt == "tsv" else ",")
     lines = [l for l in text.splitlines() if l.strip()]
     if fmt == "txt":
         return spark.createDataFrame([(l,) for l in lines], "text string")
-    tmp = tempfile.NamedTemporaryFile(
-        "w", suffix=".csv", delete=False, encoding="utf-8"
-    )
-    with tmp:
-        tmp.write("\n".join(lines))
-    _register_temp_spool(tmp.name)
-    return (
-        spark.read.option("header", str(header).lower())
-        .option("sep", sep)
-        .option("inferSchema", str(infer_schema).lower())
-        .csv(tmp.name)
-    )
+    import csv as _csv
+
+    rows = list(_csv.reader(lines, delimiter=sep))
+    if not rows:
+        return spark.createDataFrame([], "value string")
+    if header:
+        names, data_rows = rows[0], rows[1:]
+    else:
+        names, data_rows = [f"_c{i}" for i in range(len(rows[0]))], rows
+    width = len(names)
+    norm = [(r + [""] * (width - len(r)))[:width] for r in data_rows]
+    types: list[str] = []
+    for i in range(width):
+        t: str | None = None
+        if infer_schema:
+            for r in norm:
+                if r[i] != "":
+                    t = _csv_merge_type(t, _csv_cell_type(r[i]))
+        types.append(t or "string")
+    casts = [_CSV_CASTS[t] for t in types]
+    typed = [
+        tuple(None if c == "" else cast(c) for c, cast in zip(r, casts))
+        for r in norm
+    ]
+    ddl = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+    return spark.createDataFrame(typed, ddl)
 
 
 def _pull_zip(spark, filename, fmt, *, separator=None, header=True, infer_schema=True):

@@ -122,10 +122,16 @@ def _infer_ddl(records: list[dict]) -> str:
     """Schema from the union of record keys, first-seen order, simple
     scalar mapping — the double's analog of connector schema inference."""
     fields: dict[str, str] = {}
+    null_only: set[str] = set()  # "string" placeholder from nulls only
     for rec in records:
         for k, v in rec.items():
-            if k not in fields or fields[k] == "string" and v is not None:
+            if v is None:
+                if k not in fields:
+                    fields[k] = "string"
+                    null_only.add(k)
+            elif k not in fields or k in null_only:
                 fields[k] = _PY_DDL.get(type(v), "string")
+                null_only.discard(k)
     if not fields:
         fields = {"_id": "bigint"}
     return ", ".join(f"`{k}` {t}" for k, t in fields.items())

@@ -479,6 +479,15 @@ def test_near_dedup_greedy_chain_survivors(spark):
     )
     assert lower_id == [1]
 
+    # boundary: this chain converges on exactly the 2nd round — reaching
+    # the fixpoint ON the max_rounds-th round must not raise
+    boundary = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep(df, "doc_id", "text", threshold=0.8,
+                                 policy="greedy", max_rounds=2).collect()
+    )
+    assert boundary == [1, 3]
+
 
 def test_near_dedup_greedy_matches_python_reference(spark, sf_dir):
     """Greedy fixpoint must equal the sequential greedy algorithm run in
