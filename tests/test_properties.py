@@ -284,3 +284,69 @@ def test_csv_push_pull_roundtrip(spark, data, tmp_path_factory):
     # the comparison folds both to "" — everything else must be exact
     want = sorted((k, s) for k, s in data)
     assert got == want
+
+
+words5 = st.lists(
+    st.sampled_from([f"w{i}" for i in range(8)]), min_size=1, max_size=6
+)
+
+
+@given(
+    new_docs=st.lists(words5, min_size=1, max_size=8),
+    seen_docs=st.lists(words5, min_size=1, max_size=8),
+    threshold=st.sampled_from([0.4, 0.6, 0.8]),
+)
+@settings(**SETTINGS)
+def test_near_dedup_against_matches_python_model(
+    spark, new_docs, seen_docs, threshold
+):
+    """Survivors = new docs whose word-set Jaccard with EVERY seen doc is
+    below the threshold (plain-Python set model)."""
+    from pybabe_spark.operators.dedup_scale import near_dedup_against
+
+    new = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(new_docs)],
+        "doc_id bigint, text string",
+    )
+    seen = spark.createDataFrame(
+        [(1000 + i, " ".join(ws)) for i, ws in enumerate(seen_docs)],
+        "doc_id bigint, text string",
+    )
+    want = {
+        i
+        for i, ws in enumerate(new_docs)
+        if all(
+            len(set(ws) & set(sw)) / len(set(ws) | set(sw)) < threshold
+            for sw in seen_docs
+        )
+    }
+    got = {
+        r["doc_id"]
+        for r in near_dedup_against(
+            new, seen, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1, max_size=15, unique=True,
+    ),
+    seed=st.sampled_from([0, 7, 42]),
+)
+@settings(**SETTINGS)
+def test_global_shuffle_matches_python_model(spark, ids, seed):
+    """Output order = ids sorted by md5(f'{seed}:{id}') — the pure-Python
+    replay of the permutation contract."""
+    import hashlib
+
+    from pybabe_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = [r["doc_id"] for r in global_shuffle(df, "doc_id", seed).collect()]
+    want = sorted(
+        ids, key=lambda d: hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+    )
+    assert got == want
