@@ -167,3 +167,23 @@ def typedetect(
     for c, t in casts.items():
         out = out.withColumn(c, F.trim(F.col(c)).cast(t))
     return out
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def parse_duration_seconds(s: str) -> int:
+    """'<n> <unit>' interval string -> seconds (the one shared parser for
+    range_join buckets / streaming gaps, so the unit tables can't drift)."""
+    try:
+        qty, unit = s.split()
+        return int(qty) * _DURATION_UNITS[unit]
+    except (ValueError, KeyError) as exc:
+        raise ValueError(
+            f"bad duration {s!r}; expected '<n> <unit>' with unit one of "
+            f"{sorted(set(_DURATION_UNITS))}"
+        ) from exc

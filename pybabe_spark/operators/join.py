@@ -98,10 +98,12 @@ def join(
         joined._pybabe_join_observation = obs  # type: ignore[attr-defined]
     elif on_error == ON_ERROR_FAIL:
         # fail if any probe key has no match: left_anti probe is non-empty
-        misses = probe.join(build, probe[key] == build[jk], "left_anti").limit(1)
-        if misses.count() > 0:
-            row = misses.collect()[0]
-            raise KeyError(f"join: probe key {row[key]!r} not found in build side")
+        rows = probe.join(build, probe[key] == build[jk], "left_anti") \
+            .limit(1).collect()
+        if rows:
+            raise KeyError(
+                f"join: probe key {rows[0][key]!r} not found in build side"
+            )
     return joined
 
 
@@ -163,7 +165,10 @@ def asof_join(
         F.col(right_ts).cast("timestamp").alias("__asof_ts"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
         F.lit(0).alias("__is_left"),
-    )
+    ).filter(F.col("__asof_ts").isNotNull())
+    # NULL-timestamp right rows can never be "nearest at-or-before/after"
+    # (they'd sort nulls-first under asc and leak their payload onto every
+    # earlier left row); pandas merge_asof likewise drops NaT right rows.
     l = left.select(
         "*",
         F.col(left_ts).cast("timestamp").alias("__asof_ts"),
@@ -181,6 +186,12 @@ def asof_join(
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = both.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    # a NULL left timestamp matches nothing (pandas NaT semantics); under
+    # the forward window's desc order such rows sort last and would
+    # otherwise pick up the final payload
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__asof_ts").isNotNull(), F.col("__m"))
+    )
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
         mts = F.col("__m")[right_ts].cast("timestamp")
@@ -228,11 +239,9 @@ def range_join(
         r = F.broadcast(right) if broadcast_right else right
         return left.join(r, on=[key], how="inner").filter(contain)
 
-    qty, unit = bucket.split()
-    step_us = int(qty) * {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }[unit] * 1_000_000
+    from pybabe_spark.functions.time import parse_duration_seconds
+
+    step_us = parse_duration_seconds(bucket) * 1_000_000
     lb = left.withColumn(
         "__bucket", F.floor(F.unix_micros(F.col(point)) / step_us).cast("long")
     )

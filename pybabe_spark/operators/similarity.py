@@ -327,19 +327,28 @@ def _lsh_probe_pairs(
         for j in range(min(nprobe - 1, planes)):
             buckets.append(int(home[i]) ^ (1 << int(order[i, j])))
         pairs.extend(
-            (int(r[id_col]), [float(x) for x in r[vec_col]], b) for b in buckets
+            (r[id_col], [float(x) for x in r[vec_col]], b) for b in buckets
         )
     return pairs
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """The id column's DDL type, so probe-pair schemas carry the caller's
+    id type (string/uuid ids are common) instead of hardcoding bigint."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 def _topk_by_query(sims: DataFrame, k: int) -> DataFrame:
     """Per-query top-k with the deterministic (sim DESC, neighbor ASC)
-    tie-break shared by every ANN variant."""
+    tie-break shared by every ANN variant. Unscorable pairs (NULL/NaN
+    sim — e.g. a zero-norm vector's 0/0 cosine) are excluded rather
+    than ranked into the result."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("__rk", F.row_number().over(w))
+        sims.filter(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
+        .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
@@ -464,7 +473,8 @@ def ann_lsh_stored(
     q = F.broadcast(
         spark.createDataFrame(
             [(qid, vec, b) for qid, vec, b in pairs],
-            "query_id long, __qvec array<double>, __bucket int",
+            f"query_id {_id_type(queries, id_col)}, "
+            "__qvec array<double>, __bucket int",
         )
     )
     sims = (
@@ -564,7 +574,7 @@ def ann_ivf(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
     pairs = [
-        (int(r[id_col]), [float(x) for x in r[vec_col]], int(cell))
+        (r[id_col], [float(x) for x in r[vec_col]], int(cell))
         for r, cells in zip(qrows, order)
         for cell in cells
     ]
@@ -575,7 +585,9 @@ def ann_ivf(
     )
     q = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            pairs, "query_id long, __qvec array<double>, __cell int"
+            pairs,
+            f"query_id {_id_type(queries, id_col)}, "
+            "__qvec array<double>, __cell int",
         )
     )
     sims = (
@@ -752,7 +764,7 @@ def ann_ivf_stored(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
     probe_pairs = [
-        (int(r[id_col]), int(c))
+        (r[id_col], int(c))
         for r, cells in zip(qrows, order)
         for c in cells
     ]
@@ -766,7 +778,7 @@ def ann_ivf_stored(
     )
     q = F.broadcast(
         queries.sparkSession.createDataFrame(
-            probe_pairs, f"query_id long, __cell int"
+            probe_pairs, f"query_id {_id_type(queries, id_col)}, __cell int"
         ).join(
             queries.select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")

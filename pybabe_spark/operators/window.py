@@ -109,7 +109,10 @@ def window_map_udf(
     """Arbitrary-function windowMap: collect_list over the frame + pandas UDF.
 
     ``fn`` receives a Python list of the frame's values (1..window_size
-    elements, trailing). Slow path by design — prefer :func:`window_map`.
+    elements, trailing), INCLUDING ``None`` for NULL cells — the frame is
+    collected as single-field structs because a bare ``collect_list``
+    silently skips NULLs, which would shorten and mis-align positional
+    frames. Slow path by design — prefer :func:`window_map`.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -122,7 +125,8 @@ def window_map_udf(
     w = w.rowsBetween(-(window_size - 1), Window.currentRow)
 
     def _apply(frames):
-        return frames.map(lambda vals: fn(list(vals)))
+        return frames.map(lambda vals: fn([v["v"] for v in vals]))
 
     apply_udf = pandas_udf(_apply, return_type)
-    return df.withColumn(out_col, apply_udf(F.collect_list(source_col).over(w)))
+    frame = F.collect_list(F.struct(F.col(source_col).alias("v"))).over(w)
+    return df.withColumn(out_col, apply_udf(frame))

@@ -118,6 +118,11 @@ def interval_join(
     unbounded-state pitfall of naive stream joins). Batch: identical
     condition, plain join, which is how tests/oracles check it.
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            "interval_join: left_ts and right_ts share a name — alias one "
+            "side first so the joined timestamps stay unambiguous"
+        )
     l = with_event_time(left, left_ts, watermark)
     r = with_event_time(right, right_ts, watermark)
     cond = (
@@ -125,14 +130,42 @@ def interval_join(
         & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    # keep ONE key column (the left one) so by-name references on the
+    # result aren't ambiguous
+    return l.join(r, cond, "inner").drop(r[key])
 
 
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, value_sum double"
 )
-_SESSION_STATE_SCHEMA = "start long, end long, n long, vsum double"
+#: vsum is held as exact integer micro-units (value × 10⁶ after the
+#: engine's decimal(18,6) cast) so state round-trips don't accumulate
+#: float error across micro-batches
+_SESSION_STATE_SCHEMA = "start long, end long, n long, vsum long"
+
+
+def _micros6(v) -> int:
+    """One value through the engine's decimal(18,6) convention, as exact
+    integer micro-units: Decimal(repr(v)) matches Spark's
+    BigDecimal.valueOf(double) shortest-representation parse, HALF_UP
+    matches Spark's decimal cast rounding (Python's quantize default is
+    banker's rounding, which diverges at half-way points)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(v)))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
+
+
+def _from_micros6(m: int) -> float:
+    """Exact micro-unit sum → double, rounding once (same as the batch
+    path's single decimal→double cast after the exact sum)."""
+    from decimal import Decimal
+
+    return float(Decimal(m).scaleb(-6))
 
 
 def sessionize(
@@ -190,7 +223,7 @@ def sessionize(
                     "session_start": [pd.Timestamp(start, unit="us")],
                     "session_end": [pd.Timestamp(end + gap_secs * us, unit="us")],
                     "n_events": [n],
-                    "value_sum": [vsum],
+                    "value_sum": [_from_micros6(vsum)],
                 }
             )
             return
@@ -203,21 +236,31 @@ def sessionize(
             start, end, n, vsum = state.get
         else:
             start = end = None
-            n, vsum = 0, 0.0
+            n, vsum = 0, 0
 
+        gap_us = gap_secs * us
         closed = []
         for t, v in zip(ts_us, vals):
+            t, mv = int(t), _micros6(v)
             if start is None:
-                start = end = int(t)
-                n, vsum = 1, float(v)
-            elif t - end < gap_secs * us:
-                end = int(t)
+                start, end, n, vsum = t, t, 1, mv
+            elif t >= start - gap_us and t - end < gap_us:
+                # within the open session's reach — merge, WIDENING in
+                # both directions so a late (but in-watermark) event
+                # extends the session backward instead of corrupting it
+                start, end = min(start, t), max(end, t)
                 n += 1
-                vsum += float(v)
-            else:
+                vsum += mv
+            elif t - end >= gap_us:
                 closed.append((start, end, n, vsum))
-                start = end = int(t)
-                n, vsum = 1, float(v)
+                start, end, n, vsum = t, t, 1, mv
+            else:
+                # t < start - gap_us: a late event gap-disjoint BEFORE the
+                # open session — it can't merge with anything still open,
+                # so it closes immediately as its own session (documented
+                # single-open-session approximation; batch session_window
+                # would merge it with other equally-late neighbors)
+                closed.append((t, t, 1, mv))
         state.update((start, end, n, vsum))
         state.setTimeoutDuration(int(gap_secs * 1000))
         if closed:
@@ -230,7 +273,7 @@ def sessionize(
                         for _, e, *_ in closed
                     ],
                     "n_events": [c[2] for c in closed],
-                    "value_sum": [c[3] for c in closed],
+                    "value_sum": [_from_micros6(c[3]) for c in closed],
                 }
             )
 
@@ -248,7 +291,8 @@ def sessionize(
 
 
 RUNNING_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
-_RUNNING_STATE_SCHEMA = "n long, vsum double"
+#: exact integer micro-units, like _SESSION_STATE_SCHEMA
+_RUNNING_STATE_SCHEMA = "n long, vsum long"
 
 
 def running_totals(
@@ -286,22 +330,25 @@ def running_totals(
 
     def _update(key, pdfs, state):
         import pandas as pd
-        from decimal import Decimal
 
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             return
 
-        n, vsum = state.get if state.exists else (0, 0.0)
-        # decimal-exact accumulation mirrors the batch decimal(18,6) sum
-        acc = Decimal(repr(vsum))
+        n, vsum = state.get if state.exists else (0, 0)
+        # exact micro-unit accumulation mirrors the batch decimal(18,6)
+        # sum bit-for-bit, including Spark's HALF_UP cast rounding, and
+        # round-trips through state without float error
         for pdf in pdfs:
             n += len(pdf)
             for v in pdf[value_col].astype("float64"):
-                acc += Decimal(repr(float(v))).quantize(Decimal("0.000001"))
-        vsum = float(acc)
+                vsum += _micros6(v)
         state.update((n, vsum))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "value_sum": [vsum]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [_from_micros6(vsum)],
+            }
         )
 
     return (
@@ -318,10 +365,9 @@ def running_totals(
 
 
 def _duration_seconds(s: str) -> int:
-    qty, unit = s.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
-    return int(qty) * mult
+    from pybabe_spark.functions.time import parse_duration_seconds
+
+    return parse_duration_seconds(s)
 
 
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):

@@ -113,6 +113,32 @@ def test_asof_join_backward_and_forward(spark):
     assert fwd == {"l1": 20.0, "l2": None, "l3": 30.0}
 
 
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """pandas NaT semantics: a NULL right timestamp never matches (it
+    would otherwise sort nulls-first and leak its payload onto earlier
+    left rows), and a NULL left timestamp gets NULL columns."""
+    from pybabe_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"), (1, None, "lnull")],
+        "k bigint, ts string, lid string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-01 09:00:00", 10.0)],
+        "k bigint, rts string, rv double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    back = {r["lid"]: r["rv"]
+            for r in asof_join(left, right, on="k", left_ts="ts",
+                               right_ts="rts").collect()}
+    assert back == {"l1": 10.0, "lnull": None}
+
+    fwd = {r["lid"]: r["rv"]
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="rts", direction="forward").collect()}
+    assert fwd == {"l1": None, "lnull": None}
+
+
 def test_asof_join_exact_match_toggle(spark):
     from pybabe_spark.operators import asof_join
 
@@ -253,6 +279,25 @@ def test_window_map_matches_pandas_rolling(spark):
         for r in window_map(df, 5, "sum", "v").orderBy("__ingest_id").collect()
     ]
     assert got == expected
+
+
+def test_window_map_udf_frames_keep_nulls(spark):
+    """NULL cells must reach fn as None in their frame POSITION (a bare
+    collect_list would silently skip them, shortening the frame)."""
+    from pybabe_spark.operators.window import window_map_udf
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "__ingest_id bigint, v double"
+    )
+    got = [
+        r["window_value"]
+        for r in window_map_udf(
+            df, 3, lambda vals: float(len(vals) * 10 + sum(1 for x in vals if x is None)),
+            "v",
+        ).orderBy("__ingest_id").collect()
+    ]
+    # frame lengths 1,2,3 with 0,1,1 nulls respectively
+    assert got == [10.0, 21.0, 31.0]
 
 
 def test_window_map_warns_on_big_unpartitioned_input(spark):
@@ -538,6 +583,41 @@ def test_near_dedup_greedy_no_count_actions(spark, monkeypatch):
         ).collect()
     )
     assert got == [1, 3]
+
+
+def test_ann_string_ids_and_zero_vectors(spark, tmp_path):
+    """String ids flow through every ANN variant (probe-pair schemas are
+    derived from the caller's id type, not hardcoded bigint), and a
+    zero-norm vector's unscorable 0/0 cosine is excluded from top-k
+    instead of ranking as NULL."""
+    from pybabe_spark.operators.similarity import (
+        ann_brute_force,
+        ann_lsh_stored,
+        build_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("doc-1", [1.0, 0.0]),
+            ("doc-2", [0.9, 0.1]),
+            ("doc-z", [0.0, 0.0]),   # zero vector: cosine undefined
+            ("doc-3", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == "doc-1")
+
+    got = ann_brute_force(corpus, queries, k=3).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert "doc-z" not in ids and ids[0] == "doc-2"
+
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(corpus, idx, dims=2, planes=2)
+    stored = ann_lsh_stored(
+        spark, idx, queries, k=2, dims=2, planes=2, nprobe=2
+    ).collect()
+    assert all(isinstance(r["query_id"], str) for r in stored)
+    assert all(r["neighbor_id"] != "doc-z" for r in stored)
 
 
 def test_ann_query_collect_guard(spark, sf_dir):
