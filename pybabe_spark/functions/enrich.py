@@ -113,15 +113,24 @@ def load_ip_ranges(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_IPV4_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+_IPV4_RE = f"^{_IPV4_OCTET}(\\.{_IPV4_OCTET}){{3}}$"
+
+
 def ip_to_int(col: Column | str) -> Column:
-    """Dotted-quad IPv4 string → 32-bit integer (codegen arithmetic)."""
+    """Dotted-quad IPv4 string → 32-bit integer (codegen arithmetic);
+    malformed IPs → NULL. The arithmetic is gated behind a full-format
+    rlike — under Spark 4's default ANSI mode an unguarded cast of a
+    non-numeric octet (or an index into a short split) would ABORT the
+    job on the first bad log line instead of nulling it."""
     c = F.col(col) if isinstance(col, str) else col
     p = F.split(c, "\\.")
-    return (
+    return F.when(
+        c.rlike(_IPV4_RE),
         p[0].cast("bigint") * F.lit(16777216)
         + p[1].cast("bigint") * F.lit(65536)
         + p[2].cast("bigint") * F.lit(256)
-        + p[3].cast("bigint")
+        + p[3].cast("bigint"),
     )
 
 
@@ -171,6 +180,23 @@ def geoip_country_code(
     return out.drop("__ip_int", "ip_start", "ip_end")
 
 
+def _cp1252_fold_tables() -> tuple[str, str]:
+    """(from, to) for translate(): each cp1252-specific graphic char →
+    the C1 code point of the byte it decoded from."""
+    src, dst = [], []
+    for b in range(0x80, 0xA0):
+        try:
+            ch = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        src.append(ch)
+        dst.append(chr(b))
+    return "".join(src), "".join(dst)
+
+
+_CP1252_FROM, _CP1252_TO = _cp1252_fold_tables()
+
+
 def utf8_cleanup(col) -> Column:
     """Repair UTF-8-read-as-latin1 mojibake ("CafÃ©" → "Café").
 
@@ -183,12 +209,21 @@ def utf8_cleanup(col) -> Column:
     (i.e. the bytes really were double-encoded UTF-8).
     """
     c = F.col(col) if isinstance(col, str) else col
-    as_latin1 = F.encode(c, "ISO-8859-1")
     looks_double_encoded = c.rlike("[ÂÃâ]")
+    # Text mangled through cp1252 (the common case: "donâ€™t") contains
+    # the cp1252-specific graphics (€ ™ ’ …) whose code points are NOT
+    # ≤ 0xFF; fold them back to their byte-equivalent C1 code points
+    # with translate() so ONE latin-1 re-encode covers latin-1 and
+    # cp1252 mojibake alike (Spark 4 whitelists encode charsets — no
+    # windows-1252 — and THROWS on unmappable chars, so the encode is
+    # additionally gated on every char being ≤ 0xFF after the fold).
+    normalized = F.translate(c, _CP1252_FROM, _CP1252_TO)
+    encode_safe = normalized.rlike("^[\\x00-\\xff]*$")
+    as_latin1 = F.encode(normalized, "ISO-8859-1")
     # decode() throws on malformed bytes — gate it behind is_valid_utf8 so
     # the branch only evaluates when the bytes really are UTF-8
     return F.when(
-        looks_double_encoded & F.is_valid_utf8(as_latin1),
+        looks_double_encoded & encode_safe & F.is_valid_utf8(as_latin1),
         F.decode(as_latin1, "UTF-8"),
     ).otherwise(c)
 

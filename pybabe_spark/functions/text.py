@@ -194,8 +194,11 @@ def dup_line_fraction(text: str, line_sep: str = "\n") -> Column:
 
 def top_ngram_fraction(text: str, n: int = 2) -> Column:
     """Fraction of the document's words covered by its single most
-    frequent word n-gram (Gopher repetition rule). aggregate() over the
-    shingle counts — all higher-order built-ins, no shuffle, no UDF."""
+    frequent word n-gram (Gopher repetition rule), clamped to [0, 1] —
+    the occurrence-count approximation (count × n / words) overshoots 1
+    for very short or self-overlapping docs ("single" → 2/1). aggregate()
+    over the shingle counts — all higher-order built-ins, no shuffle,
+    no UDF."""
     w = words(text)
     grams = F.when(
         F.size(w) >= n,
@@ -212,7 +215,10 @@ def top_ngram_fraction(text: str, n: int = 2) -> Column:
             lambda g: F.size(F.filter(grams, lambda x: x == g)),
         )
     )
-    return (top_count * F.lit(n)).cast("double") / F.size(w).cast("double")
+    return F.least(
+        F.lit(1.0),
+        (top_count * F.lit(n)).cast("double") / F.size(w).cast("double"),
+    )
 
 
 def symbol_word_ratio(text: str) -> Column:
@@ -225,7 +231,11 @@ def gopher_quality_flags(text: str) -> Column:
     """Struct of the standard repetition-rule verdicts: a doc passes when
     dup-line fraction ≤ 0.30, top-bigram coverage ≤ 0.18, symbol/word
     ratio ≤ 0.10, and 3 ≤ mean word length ≤ 10 (thresholds from the
-    Gopher paper's filtering appendix)."""
+    Gopher paper's filtering appendix). The bigram rule is waived below
+    Gopher's 50-word document floor — a repetition-free short doc's top
+    bigram trivially covers >18% of it (any doc under ~12 words would
+    be unconditionally flagged), and the paper judges such docs by the
+    length rule, not repetition."""
     w = words(text)
     n_words = F.size(w)
     mean_wlen = (
@@ -234,7 +244,9 @@ def gopher_quality_flags(text: str) -> Column:
     )
     return F.struct(
         (dup_line_fraction(text) <= 0.30).alias("lines_ok"),
-        (top_ngram_fraction(text, 2) <= 0.18).alias("bigram_ok"),
+        ((n_words < 50) | (top_ngram_fraction(text, 2) <= 0.18)).alias(
+            "bigram_ok"
+        ),
         (symbol_word_ratio(text) <= 0.10).alias("symbols_ok"),
         ((mean_wlen >= 3.0) & (mean_wlen <= 10.0)).alias("wlen_ok"),
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pybabe_spark.functions.text import exact_key, shingle_array, shingles
+from pybabe_spark.functions.text import exact_key, shingle_array, words
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -98,6 +98,53 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame,
+    ident: str,
+    out_id: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Explode a MinHash signature frame into (out_id, band, bucket)
+    rows — the ONE banding-key construction shared by in-corpus pairing
+    and cross-corpus matching, so the band-key format can't drift."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select(
+        F.col(ident).alias(out_id), F.explode(band_structs).alias("bb")
+    ).select(
+        out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _jaccard_verified(
+    pairs: DataFrame,
+    left_text: str,
+    right_text: str,
+    threshold: float,
+    shingle_n: int,
+) -> DataFrame:
+    """Exact-verify candidate pairs: keep pairs whose shingle-set
+    Jaccard is >= threshold (shingle_array is already distinct)."""
+    sa = shingle_array(words(left_text), shingle_n)
+    sb = shingle_array(words(right_text), shingle_n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return pairs.filter(inter / union >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -118,24 +165,8 @@ def minhash_lsh_pairs(
             f"minhash_lsh_pairs: num_hashes {num_hashes} not divisible by "
             f"bands {bands} (trailing hashes would be silently unused)"
         )
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sig, id_col, id_col, num_hashes, bands)
     left = buckets.alias("a")
     right = buckets.alias("b")
     return (
@@ -263,13 +294,9 @@ def near_dedup_keep(
         b = texts.toDF("id_b", "__tb")
         pairs = cand.join(a, "id_a").join(b, "id_b")
         # exact-verify candidates (cheap: candidate count << n²)
-        from pybabe_spark.functions.text import shingle_array, words
-
-        sa = F.array_distinct(shingle_array(words("__ta"), shingle_n))
-        sb = F.array_distinct(shingle_array(words("__tb"), shingle_n))
-        inter = F.size(F.array_intersect(sa, sb)).cast("double")
-        union = F.size(F.array_union(sa, sb)).cast("double")
-        pairs = pairs.filter(inter / union >= threshold).select("id_a", "id_b")
+        pairs = _jaccard_verified(
+            pairs, "__ta", "__tb", threshold, shingle_n
+        ).select("id_a", "id_b")
     else:
         pairs = jaccard_pairs(df, id_col, text_col, threshold, shingle_n).select(
             "id_a", "id_b"
@@ -403,34 +430,13 @@ def near_dedup_against(
                 f"near_dedup_against: num_hashes {num_hashes} not divisible "
                 f"by bands {bands} (trailing hashes would be silently unused)"
             )
-        rows_per_band = num_hashes // bands
-
-        def bucketize(sig: DataFrame, ident: str, out_id: str) -> DataFrame:
-            band_structs = F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-            return sig.select(
-                F.col(ident).alias(out_id), F.explode(band_structs).alias("bb")
-            ).select(out_id, F.col("bb.band").alias("band"),
-                     F.col("bb.bucket").alias("bucket"))
-
-        new_b = bucketize(
+        new_b = _band_buckets(
             minhash_signature(df, id_col, text_col, num_hashes, shingle_n),
-            id_col, "__nid",
+            id_col, "__nid", num_hashes, bands,
         )
-        seen_b = bucketize(
+        seen_b = _band_buckets(
             minhash_signature(seen, seen_id, seen_text, num_hashes, shingle_n),
-            seen_id, "__sid",
+            seen_id, "__sid", num_hashes, bands,
         )
         cand = new_b.join(seen_b, ["band", "bucket"]).select(
             "__nid", "__sid"
@@ -440,15 +446,9 @@ def near_dedup_against(
         texts_s = seen.select(F.col(seen_id).alias("__sid"),
                               F.col(seen_text).alias("__ts"))
         pairs = cand.join(texts_n, "__nid").join(texts_s, "__sid")
-        from pybabe_spark.functions.text import words
-
-        sa = F.array_distinct(shingle_array(words("__tn"), shingle_n))
-        sb = F.array_distinct(shingle_array(words("__ts"), shingle_n))
-        inter = F.size(F.array_intersect(sa, sb)).cast("double")
-        union = F.size(F.array_union(sa, sb)).cast("double")
-        drops = pairs.filter(inter / union >= threshold).select(
-            F.col("__nid").alias(id_col)
-        ).distinct()
+        drops = _jaccard_verified(
+            pairs, "__tn", "__ts", threshold, shingle_n
+        ).select(F.col("__nid").alias(id_col)).distinct()
     else:
         shn = _shingle_rows(df, id_col, text_col, shingle_n).select(
             F.col(id_col).alias("__nid"), F.col("__shingle").alias("s")

@@ -138,7 +138,42 @@ def connected_components(
     chains), switches to the O(log² n)-round large-star/small-star
     alternation instead of failing; pass ``deep_fallback=False`` to
     get the old raise-on-exhaustion behavior.
+
+    Non-numeric node ids (string/md5/URL) are supported by mapping
+    nodes to dense surrogate bigints first — the exact decimal-sum
+    convergence metric needs numeric labels (casting a string label to
+    DECIMAL would abort under ANSI) — running the numeric algorithm,
+    and mapping back with the component represented by its MINIMUM
+    original id (lexicographic for strings). Costs two data-linear
+    joins + one group on the node set, nothing on the corpus.
     """
+    id_type = edges.schema[src].dataType.simpleString()
+    if id_type not in ("byte", "short", "int", "bigint", "long", "integer"):
+        sym0 = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ).distinct()
+        nodes = (
+            sym0.select(F.col("u").alias("__orig"))
+            .distinct()
+            .withColumn("__nid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)  # pin the surrogate assignment
+        )
+        nu = nodes.select(F.col("__orig").alias("u"), F.col("__nid").alias("__nu"))
+        nv = nodes.select(F.col("__orig").alias("v"), F.col("__nid").alias("__nv"))
+        e_num = sym0.join(nu, "u").join(nv, "v").select(
+            F.col("__nu").alias(src), F.col("__nv").alias(dst)
+        )
+        num = connected_components(e_num, src, dst, max_iters, deep_fallback)
+        back = num.join(
+            nodes.select(F.col("__nid").alias("id"), "__orig"), "id"
+        )
+        reps = back.groupBy("component").agg(F.min("__orig").alias("__rep"))
+        return back.join(reps, "component").select(
+            F.col("__orig").alias("id"), F.col("__rep").alias("component")
+        )
+
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -110,10 +110,14 @@ def group_all(
     if reducer_schema is None:
         raise ValueError("reducer requires reducer_schema (DDL string)")
     tagged = df.withColumn("__g", F.lit(1))
+    sort_col = INGEST_ID if INGEST_ID in df.columns else None
 
     def _apply(pdf):
-        pdf = pdf.drop(columns=["__g"])
-        return reducer(pdf)
+        # same sorted-stream contract as group(): order by ingest id and
+        # drop it so the reducer sees exactly the data columns
+        if sort_col is not None:
+            pdf = pdf.sort_values(sort_col).drop(columns=[sort_col])
+        return reducer(pdf.drop(columns=["__g"]))
 
     return tagged.groupBy("__g").applyInPandas(_apply, schema=reducer_schema)
 

@@ -49,10 +49,22 @@ def memoize(
     """
     key = _plan_fingerprint(df)
     path = os.path.join(cache_dir, key)
-    marker = os.path.join(path, "_SUCCESS")
-    if refresh or not os.path.exists(marker):
+    if refresh or not _cache_complete(df.sparkSession, path):
         df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _cache_complete(spark, path: str) -> bool:
+    """Does ``path`` hold a completed parquet write? Checked through
+    Spark's own file resolution so shared stores (s3a://, hdfs://) hit
+    the cache too — a driver-local os.path.exists would report False
+    there forever, silently recomputing on every call. The probe lists
+    the _SUCCESS marker at planning time; no job runs."""
+    try:
+        spark.read.format("text").load(os.path.join(path, "_SUCCESS"))
+        return True
+    except Exception:
+        return False
 
 
 def tee(df: DataFrame) -> DataFrame:
@@ -99,21 +111,30 @@ def mail(
     in_body: bool = True,
     in_body_row_limit: int = 20,
     attach_csv: bool = True,
+    attach_row_limit: int = 10_000,
     smtp_host: str = "localhost",
     smtp_port: int = 25,
     transport=None,
 ) -> None:
     """Mail a (small) result: HTML body + CSV attachment
-    (pybabe/mail.py:16-90). Driver-side by nature; guarded by the body
-    row limit. ``transport`` injects a callable(msg) for testing; the
-    default sends via smtplib.
+    (pybabe/mail.py:16-90). Driver-side by nature; refuses result sets
+    beyond ``attach_row_limit`` (same house guard as transpose/push's
+    driver-side paths) rather than silently truncating the attachment.
+    ``transport`` injects a callable(msg) for testing; the default sends
+    via smtplib.
     """
     import smtplib
     from email.mime.base import MIMEBase
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
-    pdf = df.limit(max(in_body_row_limit, 1000)).toPandas()
+    cap = max(in_body_row_limit, attach_row_limit)
+    pdf = df.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise ValueError(
+            f"mail: result exceeds {cap} rows; push() it to storage and "
+            "mail a link, or raise attach_row_limit explicitly"
+        )
     msg = MIMEMultipart()
     msg["Subject"] = subject
     msg["From"] = sender

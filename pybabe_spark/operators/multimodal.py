@@ -121,7 +121,8 @@ def decode_features(
     ``n_features`` band means of the grayscale pixels, and width/height
     come from the DECODED image (authoritative over metadata).
     """
-    schema = f"`{id_col}` bigint, width int, height int, features array<double>"
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_ddl}, width int, height int, features array<double>"
     kernel = _image_decoder()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,10 +152,10 @@ def decode_features(
                         codec,
                         "PIL" if codec in _IMAGE_CODECS else "an image/av library",
                     )
-                ids.append(int(rid))
+                ids.append(rid)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids),
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
                     "features": feats,
@@ -229,7 +230,8 @@ def sample_frames(
     The fake kernel slices the blob into n_frames chunks and keeps every
     ``every_n``-th; a real kernel seeks keyframes via av/ffmpeg.
     """
-    schema = f"`{id_col}` bigint, frame_index int, frame binary"
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_ddl}, frame_index int, frame binary"
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,7 +246,7 @@ def sample_frames(
                 blob = bytes(blob)
                 chunk = max(len(blob) // n, 1)
                 for fi in range(0, n, every_n):
-                    ids.append(int(rid))
+                    ids.append(rid)
                     idxs.append(fi)
                     frames.append(blob[fi * chunk:(fi + 1) * chunk])
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})

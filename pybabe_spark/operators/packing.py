@@ -52,7 +52,9 @@ def pack_tokens(
     """
     work = df.select(
         F.col(id_col),
-        F.col(tokens_col).cast("bigint").alias("__t"),
+        # NULL token counts pack as 0 (Arrow would deliver a nullable
+        # bigint as float64+NaN and crash int() inside the executor)
+        F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0)).alias("__t"),
         F.pmod(_key_bucket(df, id_col), F.lit(n_buckets))
         .cast("int")
         .alias("bucket"),
@@ -106,7 +108,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_words:
         raise ValueError("chunk_documents: need 0 <= overlap < chunk_words")
     stride = chunk_words - overlap
-    w = F.split(F.col(text_col), " ", -1)
+    # NULL text chunks as the empty document (one empty chunk) rather
+    # than vanishing into concat_ws(null) half-way through the plan
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
     n = F.size("__w")
     starts = F.sequence(
         F.lit(0),
@@ -127,5 +131,9 @@ def chunk_documents(
         ).alias("chunk_index", "chunk_text"),
     )
     return chunks.withColumn(
-        "n_words", F.size(F.split(F.col("chunk_text"), " ", -1))
+        "n_words",
+        # split('', ' ') is [''] (size 1) — an empty chunk has 0 words
+        F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.col("chunk_text"), " ", -1))
+        ),
     )

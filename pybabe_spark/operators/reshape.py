@@ -80,12 +80,21 @@ def pivot(
     # Spark names multi-agg pivot columns "{value}_{field}"; rename to the
     # reference's "{field}-{value}" (pybabe/pivot.py:44-47), preserving
     # field-major then value order.
+    def _spark_name(v) -> str:
+        # Spark names the pivoted column from the JVM value's toString:
+        # NULL → "null", booleans lowercase — NOT Python's str()
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
     if len(other) == 1:
         # single agg → spark names columns just "{value}"
-        renames = {str(v): f"{other[0]}-{v}" for v in values}
+        renames = {_spark_name(v): f"{other[0]}-{v}" for v in values}
     else:
         renames = {
-            f"{v}_{f}": f"{f}-{v}" for v in values for f in other
+            f"{_spark_name(v)}_{f}": f"{f}-{v}" for v in values for f in other
         }
     wide = wide.withColumnsRenamed(renames)
     # value-major column order, matching the reference golden exactly

@@ -47,49 +47,42 @@ def _plan_nodes(df: DataFrame) -> list[dict]:
 
 def plan_lint(df: DataFrame) -> list[Finding]:
     """Scale-smell findings for ``df``'s plan (logical shape checks +
-    the physical join strategy for no-equality joins)."""
+    the physical join strategy).
+
+    Join findings come straight from the PHYSICAL strategy Catalyst
+    chose — one finding per CartesianProduct / BroadcastNestedLoopJoin
+    node — not from scanning the logical condition for an EqualTo: a
+    condition like ``(x == y) OR (x < y)`` or ``a.x == 5`` contains an
+    equality yet still plans as a nested loop, which a syntactic check
+    would wave through.
+    """
     findings: list[Finding] = []
-    joins_checked = False
+    try:
+        phys = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        phys = ""  # no classic plan surface (Connect) — logical checks only
+    for _ in range(phys.count("CartesianProduct")):
+        findings.append(
+            (
+                "cartesian-product",
+                "join planned as CartesianProduct (no usable equality, "
+                "neither side broadcast) multiplies both sides; broadcast "
+                "a bucketed/candidate form instead",
+            )
+        )
+    for _ in range(phys.count("BroadcastNestedLoopJoin")):
+        findings.append(
+            (
+                "broadcast-nested-loop",
+                "join planned as BroadcastNestedLoopJoin: bounded memory "
+                "but quadratic compute — fine only if the broadcast side "
+                "stays small",
+            )
+        )
     for node in _plan_nodes(df):
         cls = node.get("class", "")
         kind = cls.rsplit(".", 1)[-1]
-        if kind == "Join" and not joins_checked:
-            jt = str(node.get("joinType", ""))
-            cross = "Cross" in jt
-            # a join is hash-joinable only if its condition contains an
-            # equality; inequality-only conditions (id_a < id_b) run as
-            # a nested loop — a filtered cartesian, same asymptotics
-            cond = json.dumps(node.get("condition", []))
-            no_equi = '"EqualTo"' not in cond and ".EqualTo" not in cond and \
-                '"EqualNullSafe"' not in cond and ".EqualNullSafe" not in cond
-            if cross or no_equi:
-                # severity comes from the PHYSICAL strategy: a broadcast
-                # build side bounds the blowup (author hinted / small),
-                # a CartesianProduct does not
-                joins_checked = True  # physical string covers all joins
-                try:
-                    phys = df._jdf.queryExecution().executedPlan().toString()
-                except Exception:
-                    phys = "CartesianProduct"  # assume worst when unknown
-                if "CartesianProduct" in phys:
-                    findings.append(
-                        (
-                            "cartesian-product",
-                            "no-equality join with neither side broadcast "
-                            "multiplies both sides; broadcast a bucketed/"
-                            "candidate form instead",
-                        )
-                    )
-                elif "BroadcastNestedLoopJoin" in phys:
-                    findings.append(
-                        (
-                            "broadcast-nested-loop",
-                            "no-equality join against a broadcast side: "
-                            "bounded memory but quadratic compute — fine "
-                            "only if the broadcast side stays small",
-                        )
-                    )
-        elif kind == "Window" and not node.get("partitionSpec"):
+        if kind == "Window" and not node.get("partitionSpec"):
             findings.append(
                 (
                     "global-window",

@@ -49,17 +49,20 @@ _BIGRAMS = (
       SELECT doc_id,
              1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
                  / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS dup_line_frac,
-             CAST(list_max(list_transform(list_distinct({_BIGRAMS}),
-                    x -> len(list_filter({_BIGRAMS}, y -> y = x)))) * 2 AS DOUBLE)
-                 / CAST(len({_W}) AS DOUBLE) AS top_bigram_frac,
+             LEAST(1.0,
+               CAST(list_max(list_transform(list_distinct({_BIGRAMS}),
+                      x -> len(list_filter({_BIGRAMS}, y -> y = x)))) * 2 AS DOUBLE)
+                   / CAST(len({_W}) AS DOUBLE)) AS top_bigram_frac,
              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                  / CAST(len({_W}) AS DOUBLE) AS symbol_word_ratio,
              CAST(list_sum(list_transform({_W}, x -> length(x))) AS DOUBLE)
-                 / CAST(len({_W}) AS DOUBLE) AS mean_word_len
+                 / CAST(len({_W}) AS DOUBLE) AS mean_word_len,
+             len({_W}) AS n_words
       FROM documents WHERE doc_id < 2000
     )
     SELECT doc_id, dup_line_frac, top_bigram_frac, symbol_word_ratio,
-           (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.18
+           (dup_line_frac <= 0.30
+            AND (n_words < 50 OR top_bigram_frac <= 0.18)
             AND symbol_word_ratio <= 0.10
             AND mean_word_len BETWEEN 3.0 AND 10.0) AS passes
     FROM g

@@ -259,6 +259,25 @@ def pull(
       driver-side shim (single-member archives only, like
       pybabe/compress_zip.py:7-23).
     """
+    def _finish_local(df: DataFrame) -> DataFrame:
+        """Uniform post-processing for the driver-local source branches
+        (string/command/zip/excel/sql-dump), so fields=/utf8_cleanup=/
+        normalize_fields=/ingest_id= behave identically to the file
+        path instead of being silently ignored per branch. One
+        partition: driver-local data is small by construction and a
+        single partition keeps stream order for the ingest id."""
+        if fields:
+            df = df.toDF(*fields)
+        if utf8_cleanup:
+            from pybabe_spark.functions.enrich import utf8_cleanup as _fix
+
+            for c, t in df.dtypes:
+                if t == "string":
+                    df = df.withColumn(c, _fix(c))
+        if normalize_fields:
+            df = normalize_columns(df)
+        return with_ingest_id(df.coalesce(1)) if ingest_id else df
+
     if command is not None:
         # command-stdout source (pybabe/base.py:361-450's command= mode):
         # driver-side by nature, like the reference's subprocess pipe;
@@ -290,15 +309,11 @@ def pull(
         hdr = header if fields is None else False
         df = _pull_string(spark, out, format or "csv", separator=separator,
                           header=hdr, infer_schema=infer_schema)
-        if fields:
-            df = df.toDF(*fields)
-        return with_ingest_id(df.coalesce(1)) if ingest_id else df
+        return _finish_local(df)
     if string is not None:
         df = _pull_string(spark, string, format or "csv", separator=separator,
                           header=header, infer_schema=infer_schema)
-        # inline strings are tiny: one partition keeps line order, so the
-        # ingest id reproduces the reference's stream order exactly
-        return with_ingest_id(df.coalesce(1)) if ingest_id else df
+        return _finish_local(df)
     if filename is None:
         raise ValueError("pull() needs filename=, string=, or command=")
 
@@ -316,12 +331,14 @@ def pull(
     fmt = format or fmt_guess or "csv"
 
     if compress == "zip":
-        return _pull_zip(spark, filename, fmt, separator=separator, header=header,
-                         infer_schema=infer_schema)
+        return _finish_local(
+            _pull_zip(spark, filename, fmt, separator=separator, header=header,
+                      infer_schema=infer_schema, encoding=encoding)
+        )
     if fmt in ("xlsx", "xls"):
-        return _pull_excel(spark, filename)
+        return _finish_local(_pull_excel(spark, filename))
     if fmt == "sql":
-        return _pull_sql_dump(spark, filename)
+        return _finish_local(_pull_sql_dump(spark, filename))
 
     reader = spark.read
     if schema is not None:
@@ -358,11 +375,20 @@ def pull(
             reader = reader.option("nullValue", null_value)
     elif fmt == "txt":
         # one column `text` per line (pybabe/format_txt.py:6-30)
-        df = spark.read.text(filename).withColumnRenamed("value", "text")
+        df = (
+            spark.read.format("text").options(**options).load(filename)
+            .withColumnRenamed("value", "text")
+        )
+        if fields:
+            df = df.toDF(*fields)
         if utf8_cleanup:
             from pybabe_spark.functions.enrich import utf8_cleanup as _fix
 
-            df = df.withColumn("text", _fix("text"))
+            for c, t in df.dtypes:
+                if t == "string":
+                    df = df.withColumn(c, _fix(c))
+        if normalize_fields:
+            df = normalize_columns(df)
         return with_ingest_id(df) if ingest_id else df
     else:
         reader = reader.format(fmt)
@@ -386,19 +412,25 @@ def pull(
 
 
 _CSV_INT_RE = re.compile(r"[+-]?\d+\Z")
+#: Java Double.parseDouble grammar (what Spark's CSV inference uses):
+#: plain/scientific decimals plus the exact tokens NaN / Infinity; NOT
+#: Python float()'s extras (underscores, 'inf', arbitrary case)
+_CSV_DOUBLE_RE = re.compile(
+    r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\Z|[+-]?(NaN|Infinity)\Z"
+)
 
 
 def _csv_cell_type(cell: str) -> str:
     """One cell's inferred type, mirroring Spark's CSV lattice (int →
-    double → boolean → string); no trimming, so whitespace-padded
-    numbers stay strings just like the JVM parsers."""
+    double → boolean → string). Integer parsing is strict (no padding,
+    like Long.parseLong); double parsing follows Double.parseDouble's
+    grammar — which ignores surrounding whitespace — NOT Python's
+    float() (whose underscore/'inf' extras would corrupt values the JVM
+    keeps as strings)."""
     if _CSV_INT_RE.match(cell):
         return "bigint"
-    try:
-        float(cell)
+    if _CSV_DOUBLE_RE.match(cell.strip()):
         return "double"
-    except ValueError:
-        pass
     if cell in ("true", "false", "True", "False"):
         return "boolean"
     return "string"
@@ -462,7 +494,8 @@ def _pull_string(spark, text, fmt, *, separator=None, header=True, infer_schema=
     return spark.createDataFrame(typed, ddl)
 
 
-def _pull_zip(spark, filename, fmt, *, separator=None, header=True, infer_schema=True):
+def _pull_zip(spark, filename, fmt, *, separator=None, header=True,
+              infer_schema=True, encoding=None):
     """Driver-side zip shim (single member, like pybabe/compress_zip.py:7-23).
 
     Zip is not a splittable/distributed codec; this path is explicitly for
@@ -472,7 +505,7 @@ def _pull_zip(spark, filename, fmt, *, separator=None, header=True, infer_schema
         names = z.namelist()
         if not names:
             raise ValueError(f"empty zip archive: {filename}")
-        data = z.read(names[0]).decode("utf-8")
+        data = z.read(names[0]).decode(encoding or "utf-8")
     return _pull_string(spark, data, fmt, separator=separator, header=header,
                         infer_schema=infer_schema)
 
@@ -493,19 +526,26 @@ def _pull_excel(spark, filename):
     return spark.createDataFrame(pdf)
 
 
+#: statement HEADER only — the tuple state machine consumes the values
+#: from the header's end to the first top-level ';', so multi-statement
+#: dumps parse statement-by-statement and a later statement's column
+#: list can't be mistaken for a data tuple (the old whole-statement
+#: regex anchored ';\\s*$' at end-of-string under DOTALL, spanning every
+#: statement in a real multi-INSERT dump)
 _SQL_INSERT_RE = re.compile(
-    r"INSERT\s+INTO\s+`?(?P<table>\w+)`?(?:\s*\([^)]*\))?\s+VALUES\s*(?P<values>.+?);\s*$",
-    re.IGNORECASE | re.DOTALL,
+    r"INSERT\s+INTO\s+`?(?P<table>\w+)`?(?:\s*\([^)]*\))?\s+VALUES\s*",
+    re.IGNORECASE,
 )
 
 
-def _parse_sql_tuples(values: str) -> list[list]:
-    """Parse `(a,b),(c,d)` tuple lists with quote/escape handling.
+def _parse_sql_tuples(values: str, start: int = 0) -> list[list]:
+    """Parse `(a,b),(c,d)` tuple lists with quote/escape handling,
+    stopping at the first top-level ``;`` (statement terminator).
 
     Reference: pybabe/format_sql.py:6-82 (state-machine tuple parser).
     """
     rows, cur, field = [], [], []
-    i, n = 0, len(values)
+    i, n = start, len(values)
     in_str = False
     was_quoted = False
     in_tuple = False
@@ -539,6 +579,8 @@ def _parse_sql_tuples(values: str) -> list[list]:
             if c == ")":
                 rows.append(cur)
                 in_tuple = False
+        elif c == ";" and not in_tuple:
+            break
         elif in_tuple and not c.isspace():
             field.append(c)
         i += 1
@@ -556,7 +598,7 @@ def _pull_sql_dump(spark, filename):
         content = f.read()
     all_rows = []
     for m in _SQL_INSERT_RE.finditer(content):
-        all_rows.extend(_parse_sql_tuples(m.group("values")))
+        all_rows.extend(_parse_sql_tuples(content, start=m.end()))
     if not all_rows:
         raise ValueError(f"no INSERT statements found in {filename}")
     width = max(len(r) for r in all_rows)
@@ -616,9 +658,7 @@ def push(
         _push_driver_side(df, filename, fmt)
         return
 
-    out = df
-    if INGEST_ID in out.columns:
-        out = out.drop(INGEST_ID)
+    out = drop_ingest_id(df)
     if single_file:
         out = out.coalesce(1)
     writer = out.write.mode(mode)
@@ -685,9 +725,7 @@ def write_bucketed(
     Bucketing requires ``saveAsTable`` (metastore-tracked); ``path``
     makes it an external table.
     """
-    out = df
-    if INGEST_ID in out.columns:
-        out = out.drop(INGEST_ID)
+    out = drop_ingest_id(df)
     writer = out.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -719,9 +757,7 @@ def write_range_sorted(
     a date- or id-range query touches one file in ``num_files`` instead
     of all of them. (Single-dimension analogue of Z-ordering.)
     """
-    out = df
-    if INGEST_ID in out.columns:
-        out = out.drop(INGEST_ID)
+    out = drop_ingest_id(df)
     cols = [F.col(c) for c in sort_cols]
     (
         out.repartitionByRange(num_files, *cols)
@@ -779,9 +815,7 @@ def write_zorder(
     OPTIMIZE ZORDER idea, built from repartitionByRange + sort). At
     100 TB: one quantile pass + one range shuffle, both data-linear.
     """
-    out = df
-    if INGEST_ID in out.columns:
-        out = out.drop(INGEST_ID)
+    out = drop_ingest_id(df)
     out, zcol = zorder_value(out, cols, bits)
     (
         out.repartitionByRange(num_files, F.col(zcol))

@@ -82,6 +82,28 @@ def test_pivot_golden(spark):
     assert rows == {"g1": (10, 20), "g2": (30, None)}
 
 
+def test_pivot_null_and_bool_values_keep_their_columns(spark):
+    """Spark names pivoted columns from the JVM toString ("null",
+    "true"), not Python's str(); the rename map must match or those
+    pivot values silently vanish from the output."""
+    from pybabe_spark.operators.reshape import pivot
+
+    df = spark.createDataFrame(
+        [("g1", "a", 1), ("g1", None, 2), ("g2", "a", 3)],
+        "grp string, p string, v bigint",
+    )
+    out = pivot(df, "p", ["grp"])
+    assert "v-None" in out.columns
+    got = {r["grp"]: r["v-None"] for r in out.collect()}
+    assert got == {"g1": 2, "g2": None}
+
+    bdf = spark.createDataFrame(
+        [("g1", True, 1), ("g1", False, 2)], "grp string, p boolean, v bigint"
+    )
+    bout = pivot(bdf, "p", ["grp"])
+    assert set(bout.columns) == {"grp", "v-True", "v-False"}
+
+
 def test_unpivot_golden(spark):
     csv = "id,x,y\n1,10,20"
     out = Babe.pull(spark, string=csv).unpivot(["id"], "name", "value").to_list()

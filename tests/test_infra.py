@@ -139,6 +139,55 @@ def test_pull_sql_dump(spark, tmp_path):
     assert ("1", "a") in rows and ("2", "b's") in rows
 
 
+def test_pull_local_sources_honor_common_options(spark, tmp_path):
+    """fields=/ingest_id= must behave identically across the driver-local
+    source branches (string/zip/sql) instead of being silently dropped."""
+    from pybabe_spark.sources.io import INGEST_ID
+
+    s = pull(spark, string="k,v\n1,a", fields=["x", "y"], ingest_id=True)
+    assert s.columns == ["x", "y", INGEST_ID]
+
+    import zipfile as _zf
+
+    zpath = str(tmp_path / "t.csv.zip")
+    with _zf.ZipFile(zpath, "w") as z:
+        z.writestr("t.csv", "k,v\n1,a\n2,b")
+    zdf = pull(spark, zpath, fields=["x", "y"], ingest_id=True)
+    assert zdf.columns == ["x", "y", INGEST_ID] and zdf.count() == 2
+
+    spath = str(tmp_path / "d.sql")
+    with open(spath, "w") as f:
+        f.write("INSERT INTO t VALUES (1,'a');\n")
+    sdf = pull(spark, spath, fields=["x", "y"], ingest_id=True)
+    assert sdf.columns == ["x", "y", INGEST_ID]
+
+
+def test_inline_csv_inference_matches_jvm_strictness(spark):
+    """Python float()'s extras (underscores, 'inf') must NOT leak into
+    type inference: such cells stay strings like the JVM parser keeps
+    them; plain ints/doubles still infer."""
+    df = pull(spark, string="a,b,c\n1_000,inf,2.5\n5,x,1e3")
+    types = dict(df.dtypes)
+    assert types == {"a": "string", "b": "string", "c": "double"}
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("1_000", "inf", 2.5), ("5", "x", 1000.0)]
+
+
+def test_pull_sql_dump_multi_statement(spark, tmp_path):
+    """A real mysqldump has many statements: each must parse to exactly
+    its own tuples — a later statement's column list is NOT data, and a
+    quoted ';' must not terminate a statement early."""
+    spath = str(tmp_path / "multi.sql")
+    with open(spath, "w") as f:
+        f.write(
+            "INSERT INTO a VALUES (1,'x;y');\n"
+            "INSERT INTO b (id, name) VALUES (2,'two'),(3,'three');\n"
+        )
+    df = pull(spark, spath)
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    assert rows == [("1", "x;y"), ("2", "two"), ("3", "three")]
+
+
 def test_push_overwrite_partitions_keeps_others(spark, tmp_path):
     """mode='overwrite_partitions' replaces only the partitions present in
     the incoming frame (the reference's delete_partition + reload,

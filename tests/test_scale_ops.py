@@ -977,6 +977,29 @@ def test_connected_components_known_graph(spark):
     assert clusters[12] == (10, 3)
 
 
+def test_connected_components_string_ids(spark):
+    """md5/URL-style string node ids: nodes map through surrogate bigints
+    (the decimal-sum convergence metric needs numeric labels — a string
+    cast would abort under ANSI) and the component representative is the
+    lexicographic minimum original id."""
+    from pybabe_spark.operators.graph import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame([(ch,) for ch in "abcdexyz"],
+                                 "doc_id string")
+    cl = {r["id"]: (r["component"], r["cluster_size"])
+          for r in dup_clusters(docs, edges).collect()}
+    assert cl["z"] == ("z", 1) and cl["d"] == ("a", 5)
+
+
 def test_connected_components_raises_without_fixpoint(spark):
     import pytest
 
