@@ -62,18 +62,41 @@ def parse_time(
     on_error (pybabe/base.py:132-135): FAIL raises on unparseable rows,
     SKIP drops them, NONE/WARN keep NULLs (WARN counts them via observe).
     """
+    if on_error not in ("FAIL", "SKIP", "NONE", "WARN"):
+        raise ValueError(
+            f"parse_time: unknown on_error {on_error!r} "
+            "(use FAIL / SKIP / NONE / WARN)"
+        )
     ts = lenient_timestamp(field)
     if input_timezone:
         ts = F.to_utc_timestamp(ts, input_timezone)
     if output_timezone:
         ts = F.from_utc_timestamp(ts, output_timezone)
     out_field = output_field or field
-    out = df.withColumn(out_field, ts)
     if on_error == "FAIL":
-        bad = out.filter(F.col(out_field).isNull() & F.col(field).isNotNull()).limit(1)
-        if bad.count() > 0:
+        # check against the ORIGINAL column — after withColumn overwrote
+        # it (the default out_field == field), a check on `out` would
+        # compare the parsed column to itself and never fire
+        bad = df.filter(
+            F.col(field).isNotNull() & ts.isNull()
+        ).limit(1).collect()
+        if bad:
             raise ValueError(f"parse_time: unparseable value in {field!r}")
-    elif on_error == "SKIP":
+    # the error flag must evaluate against the ORIGINAL column, before
+    # withColumn overwrites it in the default out_field == field case
+    err = (ts.isNull() & F.col(field).isNotNull()).cast("long")
+    if on_error == "WARN":
+        from pyspark.sql import Observation
+
+        out = df.withColumn("__parse_err", err).withColumn(out_field, ts)
+        obs = Observation("parse_time_errors")
+        out = out.observe(
+            obs, F.sum("__parse_err").alias("unparseable")
+        ).drop("__parse_err")
+        out._pybabe_parse_observation = obs  # type: ignore[attr-defined]
+    else:
+        out = df.withColumn(out_field, ts)
+    if on_error == "SKIP":
         out = out.filter(F.col(out_field).isNotNull())
     if output_date:
         out = out.withColumn(output_date, F.to_date(F.col(out_field)))

@@ -70,9 +70,12 @@ def filter_out_null_values(df: DataFrame, fields: Sequence[str]) -> DataFrame:
 def filter_by_regexp(df: DataFrame, field: str, regexp: str) -> DataFrame:
     """Keep rows where re.match(regexp, field) (pybabe/transform.py:305-315).
 
-    ``re.match`` anchors at the start only → rlike with a leading anchor.
+    ``re.match`` anchors at the start only → rlike with a leading anchor
+    over a NON-CAPTURING group: a bare '^' + 'cat|dog' would anchor only
+    the first alternative ('^cat|dog' matches 'hotdog' mid-string,
+    re.match does not).
     """
-    pattern = regexp if regexp.startswith("^") else "^" + regexp
+    pattern = regexp if regexp.startswith("^") else f"^(?:{regexp})"
     return df.filter(F.col(field).rlike(pattern))
 
 

@@ -24,8 +24,11 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     the 100 TB shape for "which keys are hot" (e.g. to pick salting
     targets) without a full-cardinality shuffle.
     """
-    if not 0.0 < support <= 1.0:
-        raise ValueError(f"heavy_hitters: support {support} outside (0, 1]")
+    if not 1e-4 <= support <= 1.0:
+        raise ValueError(
+            f"heavy_hitters: support {support} outside [1e-4, 1] "
+            "(Spark's freqItems sketch floor)"
+        )
     items_row = df.stat.freqItems([col], support).collect()[0]
     items = items_row[f"{col}_freqItems"]
     spark = df.sparkSession

@@ -35,6 +35,17 @@ def salted_join(
     ``spark_partition_id``-free arithmetic on a monotonic id — fully
     deterministic for a deterministic scan).
     """
+    # Only probe-preserving join types are sound: the build side is
+    # exploded ×salt BEFORE the join, so right/full-outer would surface
+    # each unmatched build replica as its own null-probe row (salt
+    # copies of every build row). Swap the sides for those semantics.
+    if how not in ("inner", "left", "left_outer", "cross",
+                   "semi", "left_semi", "anti", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate build rows "
+            "(the build side is exploded x salt); swap probe/build and "
+            "use a left join instead"
+        )
     # pmod, not abs(hash)%salt: hash() can return Integer.MIN_VALUE, whose
     # abs overflows (ANSI: job failure; non-ANSI: negative salt → silently
     # dropped row). pmod is total and always lands in [0, salt).

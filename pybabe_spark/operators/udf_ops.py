@@ -92,16 +92,13 @@ def flat_map(
     schema = _out_schema(df, insert_fields, fields)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = None
         for pdf in batches:
             out = []
             for rec in pdf.to_dict("records"):
                 out.extend(fn(rec))
             if out:
                 yield pd.DataFrame(out)
-            elif cols is None:
-                # keep schema for empty batches
-                yield pd.DataFrame({})
+            # empty batches yield nothing; Spark fills the declared schema
 
     return df.mapInPandas(_run, schema=schema)
 

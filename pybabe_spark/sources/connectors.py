@@ -40,6 +40,20 @@ def _mongo_reader(spark: SparkSession, uri: str, db: str, collection: str,
     return reader
 
 
+def _raise_if_missing_mongo(exc: Exception, op: str) -> None:
+    """Rewrap ONLY the missing-data-source failure as the actionable
+    classpath hint; auth/network/URI errors from an installed connector
+    re-raise unchanged (cf. io._raise_if_missing_avro) — mislabeling a
+    wrong password as a packaging problem sends the operator debugging
+    the wrong thing."""
+    msg = str(exc).lower()
+    if "data source" in msg and ("mongo" in msg or "failed to find" in msg):
+        raise RuntimeError(
+            f"{op} needs the mongo-spark-connector on the Spark classpath "
+            "(--packages org.mongodb.spark:mongo-spark-connector)"
+        ) from exc
+
+
 def pull_mongo(
     spark: SparkSession,
     uri: str,
@@ -55,11 +69,9 @@ def pull_mongo(
     pipeline = [{"$match": spec}] if spec else None
     try:
         return _mongo_reader(spark, uri, db, collection, pipeline, **options).load()
-    except Exception as e:  # connector jar not on classpath, or bad URI
-        raise RuntimeError(
-            "pull_mongo needs the mongo-spark-connector on the Spark "
-            "classpath (--packages org.mongodb.spark:mongo-spark-connector)"
-        ) from e
+    except Exception as e:
+        _raise_if_missing_mongo(e, "pull_mongo")
+        raise
 
 
 def push_mongo(
@@ -87,10 +99,8 @@ def push_mongo(
     try:
         writer.save()
     except Exception as e:
-        raise RuntimeError(
-            "push_mongo needs the mongo-spark-connector on the Spark "
-            "classpath (--packages org.mongodb.spark:mongo-spark-connector)"
-        ) from e
+        _raise_if_missing_mongo(e, "push_mongo")
+        raise
 
 
 def pull_http_json(
@@ -109,16 +119,16 @@ def pull_http_json(
     ``"results"``). Size-capped so a misbehaving endpoint can't OOM the
     driver — large ingestion belongs on object storage + ``pull``.
     """
-    from urllib.request import Request, urlopen
+    # the shared injectable opener (pybabe_spark.sources.io.URL_OPENER) so
+    # tests / restricted envs can swap the transport once — INCLUDING the
+    # authenticated path, which previously bypassed it (and the plain
+    # path previously dropped the caller's timeout for the default 120 s)
+    from pybabe_spark.sources import io as _io
 
-    if headers:
-        req = Request(url, headers=headers)
-        resp = urlopen(req, timeout=timeout)  # noqa: S310 (caller's URL)
-    else:
-        # the shared injectable opener (pybabe_spark.sources.io.URL_OPENER)
-        # so tests / restricted envs can swap the transport once
-        from pybabe_spark.sources import io as _io
-
+    try:
+        resp = _io.URL_OPENER(url, timeout=timeout, headers=headers)
+    except TypeError:
+        # injected opener with the minimal single-arg contract
         resp = _io.URL_OPENER(url)
     with resp:
         payload = resp.read(max_bytes + 1)
@@ -196,6 +206,10 @@ def _merge_json_type(a, b):
         and a[0] == "array" and b[0] == "array"
     ):
         return ("array", _merge_json_type(a[1], b[1]))
+    if isinstance(a, (dict, tuple)) or isinstance(b, (dict, tuple)):
+        # container vs scalar (or struct vs array): unhashable — fall
+        # back to string BEFORE the set test below would TypeError
+        return "string"
     if {a, b} == {"bigint", "double"}:
         return "double"
     return "string"

@@ -37,10 +37,12 @@ COMMAND_STDOUT_CAP = 256 * 1024 * 1024
 _FETCH_SCHEMES = ("http://", "https://", "ftp://")
 
 
-def _default_url_opener(url: str):
-    from urllib.request import urlopen
+def _default_url_opener(url: str, timeout: float = 120, headers=None):
+    from urllib.request import Request, urlopen
 
-    return urlopen(url, timeout=120)
+    if headers:
+        return urlopen(Request(url, headers=headers), timeout=timeout)
+    return urlopen(url, timeout=timeout)
 
 
 #: injectable transport for URL pulls (swap in tests / restricted envs),

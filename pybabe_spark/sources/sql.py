@@ -36,7 +36,15 @@ def pull_sql(
     if (table is None) == (query is None):
         raise ValueError("pass exactly one of table / query")
     reader = spark.read.format("jdbc").option("url", url)
-    reader = reader.option("dbtable", table) if table else reader.option("query", query)
+    if table:
+        reader = reader.option("dbtable", table)
+    elif partition_column:
+        # Spark's JDBC source forbids query= together with
+        # partitionColumn; wrap the query as a derived table so the
+        # partitioned parallel read the docstring promises actually runs
+        reader = reader.option("dbtable", f"({query}) __pybabe_q")
+    else:
+        reader = reader.option("query", query)
     if user:
         reader = reader.option("user", user)
     if password:

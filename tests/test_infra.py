@@ -105,6 +105,15 @@ def test_parse_time_policies(spark):
     assert skipped.count() == 1
     with pytest.raises(ValueError):
         parse_time(df, "t", output_field="ts", on_error="FAIL")
+    # FAIL must fire in the DEFAULT in-place case too (the check runs
+    # against the original column, not the already-overwritten one)
+    with pytest.raises(ValueError):
+        parse_time(df, "t", on_error="FAIL")
+    warned = parse_time(df, "t", output_field="ts", on_error="WARN")
+    warned.count()
+    assert warned._pybabe_parse_observation.get == {"unparseable": 1}
+    with pytest.raises(ValueError, match="unknown on_error"):
+        parse_time(df, "t", on_error="skip")
 
 
 def test_parse_time_timezone(spark):

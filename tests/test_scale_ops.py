@@ -22,6 +22,25 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(probe, build, "k", "bk", salt=4)
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
+    # build side is exploded x salt, so build-preserving join types would
+    # emit each unmatched replica as its own row — refused with guidance
+    import pytest
+    with pytest.raises(ValueError, match="swap probe/build"):
+        salted_join(probe, build, "k", "bk", salt=4, how="right")
+
+
+def test_filter_by_regexp_anchors_whole_alternation(spark):
+    """re.match semantics: '^cat|dog' would leak the unanchored 'dog'
+    branch onto mid-string matches; the non-capturing group binds the
+    anchor to the WHOLE pattern."""
+    from pybabe_spark.operators.relational import filter_by_regexp
+
+    df = spark.createDataFrame(
+        [("cat",), ("dogma",), ("hotdog",)], "v string"
+    )
+    got = sorted(r["v"] for r in filter_by_regexp(df, "v", "cat|dog").collect())
+    assert got == ["cat", "dogma"]
+
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     df = spark.range(10_000).select(
