@@ -156,10 +156,16 @@ def stress(factors: list[int]) -> None:
 
     from pybabe_spark.session import get_spark
 
+    import atexit
+    import shutil
+
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pybabe_spark-stress")
     spark.sparkContext.setLogLevel("WARN")
+    # the workdir holds sum-of-factors corpus copies (~14x at [1,3,10]) —
+    # reclaim at exit rather than orphaning gigabytes per run
     work = tempfile.mkdtemp(prefix="pybabe_stress_")
+    atexit.register(shutil.rmtree, work, True)
 
     from pyspark.sql import functions as F
 

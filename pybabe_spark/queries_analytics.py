@@ -14,7 +14,11 @@ from pybabe_spark.sources.io import read_table
 
 
 def _dec(col, scale=2):
-    return F.col(col).cast(f"decimal(18,{scale})")
+    """The engine-wide exact-decimal lift (queries._dec), at the money
+    default scale=2 this module's TPC-H-style aggregates use."""
+    from pybabe_spark.queries import _dec as _dec_base
+
+    return _dec_base(col, scale)
 
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"

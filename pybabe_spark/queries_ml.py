@@ -138,7 +138,12 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, "doc_id", "text")
 
 
-def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
+def _minhash_band_sql(shingle_sql: str, subset: str,
+                      num_hashes: int, bands: int) -> str:
+    """ONE generator for every MinHash-LSH oracle (unigram and 3-gram
+    forms differ only in the shingle expression + subset clause), so the
+    coefficient family / band layout / base-hash slice can't drift
+    between twins."""
     from pybabe_spark.operators.dedup_scale import MINHASH_PRIME, minhash_coeffs
 
     rows = num_hashes // bands
@@ -154,7 +159,7 @@ def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+      SELECT doc_id, unnest(list_distinct({shingle_sql})) AS s
       FROM documents {subset}
     ),
     based AS (
@@ -171,6 +176,12 @@ def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
     """
 
 
+def _minhash_sql(num_hashes: int, bands: int, subset: str) -> str:
+    return _minhash_band_sql(
+        "string_split(text, ' ')", subset, num_hashes, bands
+    )
+
+
 @register("minhash_lsh_pairs", _minhash_sql(16, 4, "WHERE doc_id < 300"))
 def q_minhash_lsh(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -179,35 +190,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 def _minhash_shingle3_sql(num_hashes: int, bands: int) -> str:
     """3-gram-shingle variant over the FULL corpus (the scale path)."""
-    from pybabe_spark.operators.dedup_scale import MINHASH_PRIME, minhash_coeffs
-
-    rows = num_hashes // bands
-    mins = ", ".join(
-        f"min(({a} * base + {b}) % {MINHASH_PRIME}) AS mh{j}"
-        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
-        + ") AS bucket FROM sig"
-        for b in range(bands)
-    )
-    return f"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct({_FP_SHINGLES})) AS s FROM documents
-    ),
-    based AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS base
-      FROM sh
-    ),
-    sig AS (SELECT doc_id, {mins} FROM based GROUP BY doc_id),
-    buckets AS ({band_selects})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a
-    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                  AND a.doc_id < b.doc_id
-    """
+    return _minhash_band_sql(_FP_SHINGLES, "", num_hashes, bands)
 
 
 _FP_SHINGLES = """
@@ -567,9 +550,14 @@ def q_ann_lsh_stored(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     path = _LSH_INDEX_CACHE.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="pybabe_lsh_"), "index"
-        )
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="pybabe_lsh_")
+        # the index is a full partitioned corpus copy — reclaim it at
+        # process exit instead of orphaning one tree per run
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "index")
         build_lsh_index(emb, path, dims=_LSH_DIMS, planes=_LSH_PLANES)
         _LSH_INDEX_CACHE[sf_dir] = path
     queries = emb.filter(F.col("vec_id") < 5)
@@ -623,19 +611,28 @@ def q_ann_ivf(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
     )
-    return (
+    # invariants are anchored on the QUERY set (left join), so a query
+    # with ZERO IVF candidates still emits a row — with n_ok=False — and
+    # a broken index fails the boolean check instead of silently
+    # shrinking the row count (which would read as a row-count mismatch,
+    # not the documented 1..k bound failing)
+    stats = (
         ivf.join(exact, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
-            (
-                (F.count(F.lit(1)) >= F.lit(1))
-                & (F.count(F.lit(1)) <= F.lit(10))
-            ).alias("n_ok"),
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                >= F.lit(_IVF_RECALL_FLOOR) * F.count(F.lit(1))
-            ).alias("recall_ok"),
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
         )
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    hits = F.coalesce(F.col("__hits"), F.lit(0))
+    return qids.join(stats, "query_id", "left").select(
+        "query_id",
+        ((n >= F.lit(1)) & (n <= F.lit(10))).alias("n_ok"),
+        ((n >= F.lit(1)) & (hits >= F.lit(_IVF_RECALL_FLOOR) * n)).alias(
+            "recall_ok"
+        ),
     )
 
 

@@ -228,19 +228,26 @@ def q_pack_tokens(spark, sf_dir):
 @register(
     "chunk_documents_docs",
     """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+      FROM documents
+    ),
     s AS (
       SELECT doc_id, ws,
              unnest(range(0, GREATEST(len(ws) - 10 - 1, 0) + 1, 30)) AS start
       FROM w
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(start / 30 AS INT) AS chunk_index,
+             array_to_string(list_slice(ws, start + 1, start + 40), ' ')
+               AS chunk_text
+      FROM s
     )
-    SELECT doc_id,
-           CAST(start / 30 AS INT) AS chunk_index,
-           array_to_string(list_slice(ws, start + 1, start + 40), ' ')
-             AS chunk_text,
-           len(string_split(array_to_string(list_slice(ws, start + 1, start + 40), ' '), ' '))
-             AS n_words
-    FROM s
+    SELECT doc_id, chunk_index, chunk_text,
+           CASE WHEN chunk_text = '' THEN 0
+                ELSE len(string_split(chunk_text, ' ')) END AS n_words
+    FROM c
     """,
 )
 def q_chunk_documents(spark, sf_dir):
