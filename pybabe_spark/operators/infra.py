@@ -59,12 +59,22 @@ def _cache_complete(spark, path: str) -> bool:
     Spark's own file resolution so shared stores (s3a://, hdfs://) hit
     the cache too — a driver-local os.path.exists would report False
     there forever, silently recomputing on every call. The probe lists
-    the _SUCCESS marker at planning time; no job runs."""
+    the _SUCCESS marker at planning time; no job runs.
+
+    Only the marker-absent analysis error means 'cache miss'; any other
+    failure (credentials, network, permissions) propagates — treating a
+    transient probe error as a miss would silently recompute and
+    overwrite a valid cache, the exact cost memoize exists to avoid."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.format("text").load(os.path.join(path, "_SUCCESS"))
         return True
-    except Exception:
-        return False
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return False
+        raise
 
 
 def tee(df: DataFrame) -> DataFrame:
@@ -128,9 +138,12 @@ def mail(
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
-    cap = max(in_body_row_limit, attach_row_limit)
+    # the attachment is the full result, so only it needs the
+    # size-refusal guard; a body-only summary mail of a big table is
+    # legitimate and collects just the body rows
+    cap = attach_row_limit if attach_csv else in_body_row_limit
     pdf = df.limit(cap + 1).toPandas()
-    if len(pdf) > cap:
+    if attach_csv and len(pdf) > cap:
         raise ValueError(
             f"mail: result exceeds {cap} rows; push() it to storage and "
             "mail a link, or raise attach_row_limit explicitly"

@@ -24,8 +24,10 @@ the pretty printer):
   are the sanctioned Python path and do NOT trip it.
 
 Each finding is (code, detail). Lint is advisory inspection — it never
-raises on its own, and on sessions without the classic plan surface
-(Spark Connect) it returns [] rather than failing.
+raises on its own. On sessions without the classic plan surface (Spark
+Connect) the join-strategy and row-UDF checks still run against the
+server-rendered ``explain`` string; only the global-window check (which
+needs the optimized-plan JSON) degrades to no-finding there.
 """
 
 from __future__ import annotations
@@ -45,6 +47,36 @@ def _plan_nodes(df: DataFrame) -> list[dict]:
         return []
 
 
+def _physical_plan_string(df: DataFrame) -> str:
+    """The executed-plan string; on sessions without the classic JVM
+    handle (Spark Connect) fall back to capturing ``df.explain`` output,
+    which the Connect server renders remotely — so the join-strategy
+    checks still SEE the plan instead of silently passing everything."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return _explain_physical(df)
+
+
+def _explain_physical(df: DataFrame) -> str:
+    """Physical-plan section of the captured ``df.explain`` output — the
+    plan surface that works on both classic and Connect sessions."""
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="extended")
+    except Exception:
+        return ""
+    text = buf.getvalue()
+    # only the physical section: logical nodes ('Join Cross, ...') must
+    # not be miscounted as physical CartesianProduct strategies
+    marker = "== Physical Plan =="
+    return text[text.index(marker):] if marker in text else text
+
+
 def plan_lint(df: DataFrame) -> list[Finding]:
     """Scale-smell findings for ``df``'s plan (logical shape checks +
     the physical join strategy).
@@ -57,10 +89,7 @@ def plan_lint(df: DataFrame) -> list[Finding]:
     would wave through.
     """
     findings: list[Finding] = []
-    try:
-        phys = df._jdf.queryExecution().executedPlan().toString()
-    except Exception:
-        phys = ""  # no classic plan surface (Connect) — logical checks only
+    phys = _physical_plan_string(df)
     for _ in range(phys.count("CartesianProduct")):
         findings.append(
             (
@@ -79,7 +108,21 @@ def plan_lint(df: DataFrame) -> list[Finding]:
                 "stays small",
             )
         )
-    for node in _plan_nodes(df):
+    nodes = _plan_nodes(df)
+    if not nodes:
+        # Connect fallback: the optimized-plan JSON needs the classic
+        # handle, but BatchEvalPython stages are visible in the explain
+        # string; global-window detection stays JSON-only (the rendered
+        # window spec is not reliably parseable for an empty partition).
+        for _ in range(phys.count("BatchEvalPython")):
+            findings.append(
+                (
+                    "row-python-udf",
+                    "row-at-a-time Python UDF in the plan; use a pandas_udf "
+                    "(Arrow-batched) or built-in functions",
+                )
+            )
+    for node in nodes:
         cls = node.get("class", "")
         kind = cls.rsplit(".", 1)[-1]
         if kind == "Window" and not node.get("partitionSpec"):

@@ -666,6 +666,8 @@ def _load_last_driver_green() -> dict[str, int]:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # malformed round file must not break package import
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue

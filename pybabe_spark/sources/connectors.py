@@ -125,11 +125,29 @@ def pull_http_json(
     # path previously dropped the caller's timeout for the default 120 s)
     from pybabe_spark.sources import io as _io
 
+    # Adapt to a minimal injected opener by SIGNATURE, not by catching
+    # TypeError — an exception-based fallback would re-fetch the URL on a
+    # TypeError raised *inside* a full-signature opener, and worse, would
+    # silently retry without the caller's auth headers. If headers were
+    # given they are load-bearing: refuse rather than send a naked request.
+    import inspect
+
+    opener = _io.URL_OPENER
+    kwargs: dict[str, Any] = {"timeout": timeout, "headers": headers}
     try:
-        resp = _io.URL_OPENER(url, timeout=timeout, headers=headers)
-    except TypeError:
-        # injected opener with the minimal single-arg contract
-        resp = _io.URL_OPENER(url)
+        params = inspect.signature(opener).parameters
+        var_kw = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+        accepted = {k: v for k, v in kwargs.items() if var_kw or k in params}
+    except (TypeError, ValueError):  # non-introspectable callable
+        accepted = kwargs
+    if headers and "headers" not in accepted:
+        raise ValueError(
+            "pull_http_json: headers= was given but the injected URL_OPENER "
+            "does not accept a headers argument; widen its signature"
+        )
+    resp = opener(url, **accepted)
     with resp:
         payload = resp.read(max_bytes + 1)
     if len(payload) > max_bytes:

@@ -261,6 +261,13 @@ def pull(
       driver-side shim (single-member archives only, like
       pybabe/compress_zip.py:7-23).
     """
+    # fields= means the data is HEADERLESS and these are the column names
+    # (pybabe/format_csv.py:32-36: the first row is only consumed as a
+    # header when fields is absent) — uniform across every source branch,
+    # so the same data never yields different row counts per branch
+    if fields is not None:
+        header = False
+
     def _finish_local(df: DataFrame) -> DataFrame:
         """Uniform post-processing for the driver-local source branches
         (string/command/zip/excel/sql-dump), so fields=/utf8_cleanup=/
@@ -308,9 +315,8 @@ def pull(
         if rc != 0:
             raise subprocess.CalledProcessError(rc, command)
         out = b"".join(chunks).decode(encoding or "utf-8")
-        hdr = header if fields is None else False
         df = _pull_string(spark, out, format or "csv", separator=separator,
-                          header=hdr, infer_schema=infer_schema)
+                          header=header, infer_schema=infer_schema)
         return _finish_local(df)
     if string is not None:
         df = _pull_string(spark, string, format or "csv", separator=separator,
@@ -430,7 +436,11 @@ def _csv_cell_type(cell: str) -> str:
     float() (whose underscore/'inf' extras would corrupt values the JVM
     keeps as strings)."""
     if _CSV_INT_RE.match(cell):
-        return "bigint"
+        # Long.parseLong range only; wider integers widen to double (Spark
+        # itself would widen to decimal/double rather than fail the read)
+        if -(2**63) <= int(cell) <= 2**63 - 1:
+            return "bigint"
+        return "double"
     if _CSV_DOUBLE_RE.match(cell.strip()):
         return "double"
     if cell in ("true", "false", "True", "False"):
@@ -540,9 +550,13 @@ _SQL_INSERT_RE = re.compile(
 )
 
 
-def _parse_sql_tuples(values: str, start: int = 0) -> list[list]:
+def _parse_sql_tuples(values: str, start: int = 0) -> tuple[list[list], int]:
     """Parse `(a,b),(c,d)` tuple lists with quote/escape handling,
     stopping at the first top-level ``;`` (statement terminator).
+    Returns ``(rows, end)`` where ``end`` is the index just past the
+    consumed statement, so the caller resumes scanning AFTER the data
+    region — a quoted value containing ``INSERT INTO ... VALUES`` text
+    must never be re-matched as a statement header.
 
     Reference: pybabe/format_sql.py:6-82 (state-machine tuple parser).
     """
@@ -582,11 +596,12 @@ def _parse_sql_tuples(values: str, start: int = 0) -> list[list]:
                 rows.append(cur)
                 in_tuple = False
         elif c == ";" and not in_tuple:
+            i += 1
             break
         elif in_tuple and not c.isspace():
             field.append(c)
         i += 1
-    return rows
+    return rows, i
 
 
 def _pull_sql_dump(spark, filename):
@@ -599,8 +614,11 @@ def _pull_sql_dump(spark, filename):
     with open(filename, encoding="utf-8", errors="replace") as f:
         content = f.read()
     all_rows = []
-    for m in _SQL_INSERT_RE.finditer(content):
-        all_rows.extend(_parse_sql_tuples(content, start=m.end()))
+    pos = 0
+    while (m := _SQL_INSERT_RE.search(content, pos)) is not None:
+        rows, end = _parse_sql_tuples(content, start=m.end())
+        all_rows.extend(rows)
+        pos = max(end, m.end())
     if not all_rows:
         raise ValueError(f"no INSERT statements found in {filename}")
     width = max(len(r) for r in all_rows)

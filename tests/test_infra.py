@@ -150,17 +150,20 @@ def test_pull_sql_dump(spark, tmp_path):
 
 def test_pull_local_sources_honor_common_options(spark, tmp_path):
     """fields=/ingest_id= must behave identically across the driver-local
-    source branches (string/zip/sql) instead of being silently dropped."""
+    source branches (string/zip/sql) instead of being silently dropped.
+    fields= implies HEADERLESS data (pybabe/format_csv.py:32-36) — no
+    branch may swallow the first data row as a phantom header."""
     from pybabe_spark.sources.io import INGEST_ID
 
-    s = pull(spark, string="k,v\n1,a", fields=["x", "y"], ingest_id=True)
+    s = pull(spark, string="1,a\n2,b", fields=["x", "y"], ingest_id=True)
     assert s.columns == ["x", "y", INGEST_ID]
+    assert sorted((r["x"], r["y"]) for r in s.collect()) == [(1, "a"), (2, "b")]
 
     import zipfile as _zf
 
     zpath = str(tmp_path / "t.csv.zip")
     with _zf.ZipFile(zpath, "w") as z:
-        z.writestr("t.csv", "k,v\n1,a\n2,b")
+        z.writestr("t.csv", "1,a\n2,b")
     zdf = pull(spark, zpath, fields=["x", "y"], ingest_id=True)
     assert zdf.columns == ["x", "y", INGEST_ID] and zdf.count() == 2
 
@@ -610,3 +613,87 @@ def test_pull_twitter_via_injected_transport(spark, tmp_path, monkeypatch):
         "https://api.x.com/2/tweets/search/recent"
         "?query=spark%20lang%3Aen&max_results=50"
     ]
+
+
+def test_mail_body_only_large_frame(spark):
+    """attach_csv=False sends a body-only summary of a big frame instead
+    of tripping the attachment guard — only the attachment is the full
+    result; the body is a bounded head() by construction."""
+    df = spark.range(500).select(F.col("id"))
+    sent = []
+    mail(df, "s", ["dev@example.com"], attach_csv=False,
+         in_body_row_limit=5, attach_row_limit=100, transport=sent.append)
+    assert len(sent) == 1
+    assert len(sent[0].get_payload()) == 1  # html body only, no attachment
+
+
+def test_pull_sql_dump_insert_text_inside_quoted_value(spark, tmp_path):
+    """INSERT-like text inside a quoted value must not fabricate rows:
+    the statement scanner resumes past the parsed data region, never
+    inside it."""
+    spath = str(tmp_path / "tricky.sql")
+    with open(spath, "w") as f:
+        f.write(
+            "INSERT INTO logs VALUES "
+            "(1, 'user ran: INSERT INTO t VALUES (9,8);');\n"
+            "INSERT INTO logs VALUES (2, 'ok');\n"
+        )
+    df = pull(spark, spath)
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    assert rows == [
+        ("1", "user ran: INSERT INTO t VALUES (9,8);"),
+        ("2", "ok"),
+    ]
+
+
+def test_inline_csv_int64_overflow_widens_to_double(spark):
+    """An integer cell beyond long range widens to double (Spark itself
+    widens rather than failing the read) instead of crashing
+    createDataFrame with VALUE_OUT_OF_BOUNDS."""
+    df = pull(spark, string="a\n12345678901234567890123\n5")
+    assert dict(df.dtypes) == {"a": "double"}
+    vals = sorted(r["a"] for r in df.collect())
+    assert vals[0] == 5.0 and vals[1] > 1e22
+
+
+def test_pull_http_json_minimal_opener_contract(spark, tmp_path, monkeypatch):
+    """A minimal single-arg injected URL_OPENER is adapted to by
+    SIGNATURE: no second fetch, and auth headers are never silently
+    dropped — that combination refuses before touching the network."""
+    import pybabe_spark.sources.io as io_mod
+    from pybabe_spark.sources.connectors import pull_http_json
+    from urllib.request import urlopen
+
+    p = tmp_path / "api.json"
+    p.write_text('[{"id": 1}]')
+    calls = []
+
+    def one_arg_opener(url):
+        calls.append(url)
+        return urlopen(url)
+
+    monkeypatch.setattr(io_mod, "URL_OPENER", one_arg_opener)
+    with pytest.raises(ValueError, match="URL_OPENER"):
+        pull_http_json(spark, p.as_uri(), headers={"Authorization": "x"})
+    assert calls == []  # refused BEFORE any unauthenticated request
+
+    df = pull_http_json(spark, p.as_uri())
+    assert [r["id"] for r in df.collect()] == [1]
+    assert len(calls) == 1  # exactly one fetch, no TypeError-retry
+
+
+def test_memoize_probe_error_propagates(spark, tmp_path, monkeypatch):
+    """Only the marker-absent analysis error means 'cache miss'; a
+    transient probe failure (credentials/network) propagates instead of
+    silently recomputing and overwriting a valid cache."""
+    from pyspark.errors import AnalysisException
+
+    from pybabe_spark.operators.infra import _cache_complete
+    import pyspark.sql.readwriter as rw
+
+    def boom(self, path=None, **kw):
+        raise AnalysisException("[ACCESS_DENIED] simulated credential failure")
+
+    monkeypatch.setattr(rw.DataFrameReader, "load", boom)
+    with pytest.raises(AnalysisException):
+        _cache_complete(spark, str(tmp_path / "cache"))

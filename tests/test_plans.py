@@ -312,3 +312,17 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == want, (key, codes)
+
+
+def test_explain_fallback_sees_join_strategy(spark):
+    """The Connect-path plan source (captured explain string) must
+    surface the same physical join strategies as the classic JVM handle,
+    so lint's join checks don't silently pass everything there."""
+    from pybabe_spark.plans.lint import _explain_physical
+
+    cross = spark.range(10).crossJoin(
+        spark.range(10).withColumnRenamed("id", "id2")
+    )
+    txt = _explain_physical(cross)
+    assert "== Physical Plan ==" in txt
+    assert "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
