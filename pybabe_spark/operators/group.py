@@ -14,6 +14,7 @@ from collections.abc import Callable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pybabe_spark.operators._util import gen_col
 from pybabe_spark.sources.io import INGEST_ID
 
 #: Named aggregations accepted by the string shorthand.
@@ -109,7 +110,8 @@ def group_all(
         return df.agg(*_build_aggs(aggregations))
     if reducer_schema is None:
         raise ValueError("reducer requires reducer_schema (DDL string)")
-    tagged = df.withColumn("__g", F.lit(1))
+    gcol = gen_col(df.columns, "__g")
+    tagged = df.withColumn(gcol, F.lit(1))
     sort_col = INGEST_ID if INGEST_ID in df.columns else None
 
     def _apply(pdf):
@@ -117,9 +119,9 @@ def group_all(
         # drop it so the reducer sees exactly the data columns
         if sort_col is not None:
             pdf = pdf.sort_values(sort_col).drop(columns=[sort_col])
-        return reducer(pdf.drop(columns=["__g"]))
+        return reducer(pdf.drop(columns=[gcol]))
 
-    return tagged.groupBy("__g").applyInPandas(_apply, schema=reducer_schema)
+    return tagged.groupBy(gcol).applyInPandas(_apply, schema=reducer_schema)
 
 
 def protocol_reducer(obj, keys: str | Sequence[str]):

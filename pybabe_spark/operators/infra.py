@@ -27,9 +27,24 @@ def _plan_fingerprint(df: DataFrame) -> str:
     """Stable hash of the analyzed logical plan (schema + operators +
     literals). The Spark analogue of hash(doc + pickle(args))
     (pybabe/base.py:186-192). Falls back to ``semanticHash`` + schema
-    under sessions without the classic JVM plan surface (Spark Connect)."""
+    under sessions without the classic JVM plan surface (Spark Connect).
+
+    Expression ids (``name#123``) come from a session-global counter, so
+    the raw plan string differs every time the same pipeline is rebuilt
+    — the cache would never hit. They are renumbered by order of first
+    appearance: identical pipelines fingerprint identically across
+    sessions, while plans that genuinely differ only by expr identity
+    (e.g. the two sides of a self-join) keep distinct numbering."""
+    import re
+
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
+        seen: dict[str, int] = {}
+
+        def _renumber(m: "re.Match[str]") -> str:
+            return f"#{seen.setdefault(m.group(0), len(seen))}"
+
+        plan = re.sub(r"#\d+", _renumber, plan)
     except Exception:
         plan = f"{df.semanticHash()}|{df.schema.json()}"
     return hashlib.sha256(plan.encode()).hexdigest()[:24]
@@ -153,10 +168,18 @@ def mail(
     msg["From"] = sender
     msg["To"] = ", ".join(recipients)
     if in_body:
-        msg.attach(MIMEText(pdf.head(in_body_row_limit).to_html(index=False), "html"))
+        # explicit utf-8: the default us-ascii charset makes as_string()
+        # (and thus smtplib) crash on any non-ASCII cell value
+        msg.attach(
+            MIMEText(pdf.head(in_body_row_limit).to_html(index=False),
+                     "html", "utf-8")
+        )
     if attach_csv:
-        part = MIMEBase("text", "csv")
-        part.set_payload(pdf.to_csv(index=False))
+        from email import encoders
+
+        part = MIMEBase("text", "csv", charset="utf-8")
+        part.set_payload(pdf.to_csv(index=False).encode("utf-8"))
+        encoders.encode_base64(part)
         part.add_header("Content-Disposition", "attachment", filename="result.csv")
         msg.attach(part)
     if transport is not None:

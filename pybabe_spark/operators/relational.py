@@ -19,7 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pybabe_spark.sources.io import INGEST_ID
+from pybabe_spark.operators._util import gen_col
+from pybabe_spark.sources.io import INGEST_ID, with_ingest_id
 
 
 def filter_columns(
@@ -55,10 +56,14 @@ def filter_rows(df: DataFrame, condition: Column | str) -> DataFrame:
 
 
 def filter_values(df: DataFrame, **equals) -> DataFrame:
-    """Conjunctive equality predicate (pybabe/transform.py:262-275)."""
+    """Conjunctive equality predicate (pybabe/transform.py:262-275).
+
+    Null-safe: ``filter_values(df, k=None)`` matches rows whose cell IS
+    NULL, like the reference's Python ``==`` — SQL ``= NULL`` would
+    silently match nothing."""
     out = df
     for col, val in equals.items():
-        out = out.filter(F.col(col) == F.lit(val))
+        out = out.filter(F.col(col).eqNullSafe(F.lit(val)))
     return out
 
 
@@ -99,13 +104,31 @@ def skip(df: DataFrame, n: int, order_by: str | None = None) -> DataFrame:
         raise ValueError(f"skip() needs an order column; attach {INGEST_ID} at read")
     if n <= 0:
         return df
-    boundary = (
-        df.select(key).orderBy(F.col(key).asc()).limit(n)
-        .agg(F.max(key).alias("b")).collect()[0]["b"]
+    stats = (
+        df.select(key).orderBy(F.col(key).asc_nulls_first()).limit(n)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(key).isNull().cast("long")).alias("nulls"),
+            F.max(key).alias("b"),
+        )
+        .collect()[0]
     )
-    if boundary is None:
-        return df
-    return df.filter(F.col(key) > F.lit(boundary))
+    if stats["cnt"] < n:  # fewer than n rows total: whole stream skipped
+        return df.filter(F.lit(False))
+    if stats["nulls"]:
+        # NULL keys sort first, so every NULL-key row is in the skipped
+        # prefix — unless there are MORE than n of them, where 'which n'
+        # is undefined (the order key is supposed to be unique).
+        if stats["nulls"] == n and df.filter(F.col(key).isNull()).count() > n:
+            raise ValueError(
+                f"skip(): more than {n} NULL values in order column "
+                f"{key!r}; a deterministic prefix needs a unique key"
+            )
+        cond = F.col(key).isNotNull()
+        if stats["b"] is not None:
+            cond = cond & (F.col(key) > F.lit(stats["b"]))
+        return df.filter(cond)
+    return df.filter(F.col(key) > F.lit(stats["b"]))
 
 
 def head(df: DataFrame, n: int) -> DataFrame:
@@ -131,10 +154,11 @@ def head_per_group(
     results (compose a tie-break column list if needed)."""
     keys = [order_by] if isinstance(order_by, str) else list(order_by or [INGEST_ID])
     w = Window.partitionBy(*partition_cols).orderBy(*[F.col(k) for k in keys])
+    rn = gen_col(df.columns, "__rn")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n)
+        .drop(rn)
     )
 
 
@@ -192,10 +216,11 @@ def dedup(
     if key not in df.columns:
         raise ValueError(f"dedup(keep_first=True) needs {INGEST_ID}; pull(ingest_id=True)")
     w = Window.partitionBy(*subset).orderBy(F.col(key))
+    rn = gen_col(df.columns, "__rn")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -222,13 +247,24 @@ def union_streams(*dfs: DataFrame) -> DataFrame:
     """Concatenate streams (pybabe/base.py:365-368, partition.py:8-27).
 
     unionByName so column order differences don't silently mis-zip.
+
+    When every input carries the ingest id, the ids are RE-DERIVED over
+    the union: each source's ids start at 0, so keeping them would
+    interleave the streams under an ingest-ordered read-back instead of
+    concatenating them. Union appends partitions left-to-right and
+    ``monotonically_increasing_id`` is partition-major, so the re-derived
+    ids give exact concatenation order with zero extra jobs (id VALUES
+    change; only their order is contractual).
     """
     if not dfs:
         raise ValueError("union_streams needs at least one DataFrame")
-    out = dfs[0]
+    tagged = len(dfs) > 1 and all(INGEST_ID in d.columns for d in dfs)
+    out = dfs[0].drop(INGEST_ID) if tagged else dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=False)
-    return out
+        out = out.unionByName(
+            d.drop(INGEST_ID) if tagged else d, allowMissingColumns=False
+        )
+    return with_ingest_id(out) if tagged else out
 
 
 def insert_rows(df: DataFrame, new_rows: list, before: bool = True) -> DataFrame:
@@ -272,8 +308,6 @@ def throttle(
     expressible as one window and rarely what log dedup wants.
     ``tiebreak`` orders equal timestamps deterministically.
     """
-    from pyspark.sql import Window
-
     order = [F.col(ts_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
@@ -281,4 +315,5 @@ def throttle(
     prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     gap_us = int(min_gap_seconds) * 1_000_000
     keep = prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > F.lit(gap_us))
-    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+    kc = gen_col(df.columns, "__keep")
+    return df.withColumn(kc, keep).filter(F.col(kc)).drop(kc)

@@ -40,6 +40,12 @@ def pivot(
     other = [
         c for c in df.columns if c not in group and c != pivot_col and c != INGEST_ID
     ]
+    if not other:
+        raise ValueError(
+            "pivot: no value fields — every column is either a group or "
+            "the pivot column; for an occurrence matrix add a literal "
+            "count column first (withColumn('n', lit(1)))"
+        )
     if values is None:
         if INGEST_ID in df.columns:
             ordered = (
@@ -121,15 +127,24 @@ def transpose(df: DataFrame, row_limit: int = 10_000) -> DataFrame:
     Inherently driver-local (the reference buffers the whole stream);
     guarded by row_limit. Column names come from the first column's values
     — the reference used primary key or line number (transform.py:441-443).
+
+    Cells are stringified SPARK-side (``cast('string')``) before the
+    collect: NULLs stay NULL (not the text 'None'/'nan'), and integers
+    never pick up pandas' NaN-induced float repr ('1.0' for 1).
     """
     n = df.limit(row_limit + 1).count()
     if n > row_limit:
         raise ValueError(f"transpose is driver-side; refusing > {row_limit} rows")
-    pdf = df.toPandas()
+    sel = [
+        F.col(c).cast("string").alias(c) for c in df.columns if c != INGEST_ID
+    ]
+    if INGEST_ID in df.columns:
+        sel.append(F.col(INGEST_ID))
+    pdf = df.select(*sel).toPandas()
     if INGEST_ID in pdf.columns:
         pdf = pdf.sort_values(INGEST_ID).drop(columns=[INGEST_ID])
     key_col = pdf.columns[0]
     out = pdf.set_index(key_col).T.reset_index(names="field")
     out.columns = ["field"] + [str(c) for c in out.columns[1:]]
-    out = out.astype(str)
+    out = out.astype(object).where(out.notna(), None)
     return df.sparkSession.createDataFrame(out)

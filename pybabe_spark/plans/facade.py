@@ -40,7 +40,10 @@ class Babe:
                 df = _io.pull(spark, filename, **kwargs)
                 if obj is None:
                     return objtype(df)
-                return obj._wrap(obj.df.unionByName(df, allowMissingColumns=False))
+                # union_streams, not raw unionByName: ingest-tagged
+                # sources must CONCATENATE (ids re-derived over the
+                # union), not interleave their overlapping id ranges
+                return obj._wrap(ops.union_streams(obj.df, df))
 
             return _pull
 

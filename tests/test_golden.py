@@ -479,3 +479,98 @@ def test_facade_llm_pipeline_surface(spark, sf_dir):
 
     packed = docs.text_stats().pack_tokens(256, tokens_col="n_tokens").df
     assert set(packed.columns) == {"doc_id", "bucket", "pack_id"}
+
+
+def test_chained_pull_concatenates_not_interleaves(spark):
+    """Reference TestMultiPull semantics: a second pull appends AFTER the
+    first stream. Both sources' ingest ids start at 0, so the union must
+    re-derive them — otherwise an ingest-ordered read-back interleaves."""
+    out = (
+        Babe.pull(spark, string="a\n1\n2", ingest_id=True)
+        .pull(spark, string="a\n3\n4", ingest_id=True)
+        .to_list()
+    )
+    assert [r[0] for r in out] == [1, 2, 3, 4]
+
+
+def test_filter_values_matches_null_cells(spark):
+    """filter_values(col=None) keeps NULL-cell rows like the reference's
+    Python equality; SQL '= NULL' would return nothing."""
+    from pybabe_spark.operators.relational import filter_values
+
+    df = spark.createDataFrame([(None, "a"), (1, "b")], "k bigint, v string")
+    got = filter_values(df, k=None).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(None, "a")]
+    assert [r["v"] for r in filter_values(df, k=1).collect()] == ["b"]
+
+
+def test_skip_with_null_order_keys(spark):
+    """NULL order keys sort first and are part of the skipped prefix; the
+    old max-boundary logic turned them into a silent no-op."""
+    from pybabe_spark.operators.relational import skip
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (5, "c"), (10, "d")], "k bigint, v string"
+    )
+    got = sorted(r["v"] for r in skip(df, 2, order_by="k").collect())
+    assert got == ["c", "d"]
+    # more NULLs than n: no deterministic prefix exists
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL"):
+        skip(df, 1, order_by="k").collect()
+    # n beyond the row count skips everything
+    assert skip(df, 9, order_by="k").count() == 0
+
+
+def test_pivot_without_value_fields_raises_clearly(spark):
+    from pybabe_spark.operators.reshape import pivot as _pivot
+
+    df = spark.createDataFrame([("g1", "p1")], "g string, p string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no value fields"):
+        _pivot(df, "p", ["g"])
+
+
+def test_transpose_preserves_nulls_and_int_repr(spark):
+    """NULL cells stay NULL (not the text 'None'/'nan'), and ints never
+    pick up pandas' NaN-induced float repr."""
+    from pybabe_spark.operators.reshape import transpose
+
+    df = spark.createDataFrame(
+        [("r1", 1, None), ("r2", None, "x")], "key string, n bigint, s string"
+    )
+    rows = {r["field"]: (r["r1"], r["r2"]) for r in transpose(df).collect()}
+    assert rows["n"] == ("1", None)
+    assert rows["s"] == (None, "x")
+
+
+def test_working_column_names_never_clobber_user_columns(spark):
+    """User data legitimately containing '__rn'/'__g'/'__keep' columns
+    must survive head_per_group/dedup/throttle/group_all unchanged."""
+    from pybabe_spark.operators.group import group_all
+    from pybabe_spark.operators.relational import dedup, head_per_group, throttle
+
+    df = spark.createDataFrame(
+        [("a", 1, "keepme"), ("a", 2, "keepme2"), ("b", 3, "other")],
+        "g string, o bigint, __rn string",
+    )
+    got = head_per_group(df, 1, ["g"], order_by="o")
+    assert {r["__rn"] for r in got.collect()} == {"keepme", "other"}
+    assert "__rn" in dedup(df, ["g"], keep_first=True, order_col="o").columns
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", "v1"), ("u", "2024-01-01 00:00:01", "v2")],
+        "k string, ts string, __keep string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = throttle(ev, "k", "ts", 10)
+    assert [r["__keep"] for r in out.collect()] == ["v1"]
+
+    gdf = spark.createDataFrame([(1, "x")], "v bigint, __g string")
+    res = group_all(
+        gdf,
+        reducer=lambda pdf: pdf[["v", "__g"]].head(1),
+        reducer_schema="v bigint, __g string",
+    ).collect()
+    assert [(r["v"], r["__g"]) for r in res] == [(1, "x")]

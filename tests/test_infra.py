@@ -697,3 +697,55 @@ def test_memoize_probe_error_propagates(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(rw.DataFrameReader, "load", boom)
     with pytest.raises(AnalysisException):
         _cache_complete(spark, str(tmp_path / "cache"))
+
+
+def test_upsert_last_wins_and_null_keys(spark):
+    """Duplicate update keys resolve last-wins by order; NULL keys match
+    null-safely so a NULL-key update REPLACES the NULL-key base row."""
+    from pybabe_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, "old"), (None, "old-null")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new1", 10), (1, "new2", 20), (None, "new-null", 30)],
+        "k bigint, v string, ord bigint",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in upsert(
+            base.withColumn("ord", F.lit(0)), updates, "k", order_by="ord"
+        ).collect()
+    }
+    assert got == {1: "new2", None: "new-null"}
+
+    # duplicates with no order to break the tie are rejected, not silent
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(base, updates.drop("ord").limit(2), "k")
+
+
+def test_memoize_fingerprint_stable_across_rebuilds(spark):
+    """The same pipeline built twice must fingerprint identically (expr
+    ids are session-global counters), or the cache never hits; plans
+    differing only in a literal must differ."""
+    from pybabe_spark.operators.infra import _plan_fingerprint
+
+    def build(limit):
+        return (
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+            .filter(F.col("k") > limit)
+            .select("v")
+        )
+
+    assert _plan_fingerprint(build(0)) == _plan_fingerprint(build(0))
+    assert _plan_fingerprint(build(0)) != _plan_fingerprint(build(1))
+
+
+def test_mail_handles_non_ascii(spark):
+    """Body and attachment must survive as_string() (what smtplib sends)
+    with non-ASCII cell values."""
+    df = spark.createDataFrame([("café",), ("naïve",)], "s string")
+    sent = []
+    mail(df, "sübject", ["dev@example.com"], transport=sent.append)
+    text = sent[0].as_string()  # raises UnicodeEncodeError if broken
+    assert "base64" in text
