@@ -50,6 +50,7 @@ from pybabe_spark.operators.similarity import (
     build_lsh_index,
     dequantize_embeddings,
     quantize_embeddings,
+    semantic_dedup,
 )
 
 __all__ = [
@@ -72,6 +73,7 @@ __all__ = [
     "primary_key_detect",
     "profile",
     "quantize_embeddings",
+    "semantic_dedup",
     "tfidf_top_terms",
     "asof_join",
     "dedup_against",

@@ -799,3 +799,128 @@ def ann_ivf_stored(
         )
     )
     return _topk_by_query(sims, k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, find semantic near-duplicate pairs WITHIN each
+    cluster, and drop the pair member closer to its cluster centroid —
+    the paper keeps the low-centroid-similarity (more extreme, more
+    informative) example.
+
+    Deterministic oracle-able form: the centroids are the embeddings of
+    the ``k_clusters`` lowest ids (seeded Voronoi assignment, no Lloyd
+    iterations), so any engine can replay cluster assignment exactly.
+    Zero-norm vectors are unscorable: they take no part in clustering or
+    pairing and come back kept with NULL cell/centroid_sim.
+
+    Returns (id, cell, centroid_sim, kept) for every input row.
+
+    100 TB shape: the k centroid vectors broadcast (one linear pass
+    assigns cells — no shuffle); the quadratic pair scan is confined to
+    one cluster at a time (shuffle on cell, the same bounded-bucket
+    discipline as banded LSH / IVF cells — SemDeDup's own design point:
+    clustering exists precisely to avoid the corpus-wide pair space);
+    the drop rule is one aggregation over the pair list. Cluster count
+    scales with the corpus (the paper uses 50k clusters for 100M+ docs)
+    to bound per-cluster membership.
+
+    Beyond-reference (the reference dedups whole rows only,
+    pybabe/dedup.py:5-35); complements :func:`embedding_neardup_pairs`
+    (threshold pairs, no keep rule) and the MinHash family (lexical, not
+    semantic, similarity).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__n2", _norm2(F.col("__v")))
+    scorable = _with_normalized(
+        base.filter(F.col("__n2") > 0).drop("__n2"), "__v", "__vn"
+    ).select("__id", "__vn")
+
+    # centroids: embeddings of the k lowest ids, indexed 0..k-1 in id
+    # order — collected driver-side like the IVF centroid set (k rows by
+    # construction, a TakeOrdered over the id column; the centroid table
+    # must fit one executor's memory to broadcast anyway).
+    seed_rows = scorable.orderBy("__id").limit(k_clusters).collect()
+    seeds = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(i, list(r["__vn"])) for i, r in enumerate(seed_rows)],
+            "__cell int, __cv array<double>",
+        )
+    )
+
+    # Voronoi assignment: argmax centroid similarity; ties break to the
+    # lowest cell index so every engine picks the same cell.
+    sims = scorable.join(seeds).select(
+        "__id",
+        "__vn",
+        "__cell",
+        _dot(F.col("__vn"), F.col("__cv"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("__csim"),
+    )
+    assigned = (
+        sims.groupBy("__id")
+        .agg(
+            F.max_by(
+                F.struct("__cell", "__vn", "__csim"),
+                F.struct(F.col("__csim"), -F.col("__cell")),
+            ).alias("__best")
+        )
+        .select("__id", "__best.__cell", "__best.__vn", "__best.__csim")
+    )
+
+    # within-cell near-duplicate pairs; per pair, the member CLOSER to
+    # the centroid is dropped (ties: the higher id).
+    a = assigned.select(
+        F.col("__cell"),
+        F.col("__id").alias("__ida"),
+        F.col("__vn").alias("__va"),
+        F.col("__csim").alias("__csa"),
+    )
+    b = assigned.select(
+        F.col("__cell"),
+        F.col("__id").alias("__idb"),
+        F.col("__vn").alias("__vb"),
+        F.col("__csim").alias("__csb"),
+    )
+    # pair scoring keeps the codegen fold over pre-normalized vectors:
+    # measured equal to the Arrow-einsum variant here (1.62 vs 1.67 s at
+    # sf0.1) because Arrow transfer of the quadratic pair set cancels
+    # the einsum's fold savings — the module-top policy for pair sets
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__va"), F.col("__vb"))
+            .cast("decimal(18,6)")
+            .cast("double"),
+        )
+        .filter(F.col("__sim") >= F.lit(threshold))
+    )
+    drops = pairs.select(
+        F.when(F.col("__csa") > F.col("__csb"), F.col("__ida"))
+        .otherwise(F.col("__idb"))
+        .alias("__id")
+    ).distinct()
+
+    out = (
+        base.select("__id", "__n2")
+        .join(assigned.select("__id", "__cell", "__csim"), "__id", "left")
+        .join(drops.withColumn("__drop", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("__csim").alias("centroid_sim"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+    return out

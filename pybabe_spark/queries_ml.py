@@ -767,3 +767,64 @@ def q_near_dedup_against(spark, sf_dir):
     return near_dedup_against(new, seen, "doc_id", "text", threshold=0.8).select(
         "doc_id"
     )
+
+
+@register(
+    "semdedup_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS n2,
+             {_NORMED.format(v='embedding')} AS vn
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, vn FROM e WHERE n2 > 0),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             vn AS cv
+      FROM s ORDER BY vec_id LIMIT 8
+    ),
+    sims AS (
+      SELECT s.vec_id, s.vn, seeds.cell,
+             CAST(CAST({_DOT_N.format(a='s.vn', b='seeds.cv')}
+                  AS DECIMAL(18,6)) AS DOUBLE) AS csim
+      FROM s, seeds
+    ),
+    assigned AS (
+      SELECT vec_id, vn, cell, csim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rk
+        FROM sims
+      ) t WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.csim AS csa, b.csim AS csb,
+             CAST(CAST({_DOT_N.format(a='a.vn', b='b.vn')}
+                  AS DECIMAL(18,6)) AS DOUBLE) AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN csa > csb THEN ida ELSE idb END AS vec_id
+      FROM pairs WHERE sim >= 0.4
+    )
+    SELECT e.vec_id,
+           a.cell AS cell,
+           a.csim AS centroid_sim,
+           (d.vec_id IS NULL) AS kept
+    FROM e
+    LEFT JOIN assigned a ON e.vec_id = a.vec_id
+    LEFT JOIN drops d ON e.vec_id = d.vec_id
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py::semantic_dedup): seeded Voronoi
+    clusters over the embedding space, within-cluster semantic near-dup
+    pairs, drop the member closer to its centroid. Full value oracle —
+    the seeded (no-Lloyd) centroid rule makes assignment replayable; the
+    trained-k-means quality path shares every stage but the seeding."""
+    from pybabe_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k_clusters=8, threshold=0.4)

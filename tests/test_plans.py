@@ -300,6 +300,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         "ann_ivf_topk": {"broadcast-nested-loop"},
         # broadcast ip-range dim lookup: the intended plan
         "geoip_country": {"broadcast-nested-loop"},
+        # SemDeDup Voronoi assignment: k centroid rows broadcast against
+        # the corpus — the intended linear-pass plan; the quadratic pair
+        # stage is a cell equi-join, NOT all-pairs
+        "semdedup_embeddings": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

@@ -1227,3 +1227,51 @@ def test_near_dedup_best_picks_highest_score_per_cluster(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
     with pytest.raises(ValueError, match="score_col"):
         near_dedup_keep(df, "doc_id", "text", policy="best")
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keep rule on a hand-built space: within a cluster, the
+    pair member CLOSER to the centroid is dropped (the paper keeps the
+    more extreme example); cross-cluster near-dups are untouched; a
+    zero-norm vector is unscorable and comes back kept with NULL cell."""
+    from pybabe_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed/centroid of cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed/centroid of cell 1
+        (2, [0.9, 0.1, 0.0, 0.0]),   # cell 0, close to centroid
+        (3, [0.8, 0.2, 0.0, 0.0]),   # cell 0, near-dup of 2, farther out
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm: unscorable
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(df, k_clusters=2, threshold=0.95).collect()
+    }
+    # 0 IS the cell-0 centroid: closest possible, so it loses its pair
+    # with 2 (and 2 in turn loses to 3? no: 2 is closer to the centroid
+    # than 3, so 2 drops) — the survivor of the 0-2-3 chain is 3.
+    assert out[0] == (0, False)
+    assert out[2][0] == 0 and out[2][1] is False
+    assert out[3] == (0, True)
+    assert out[1] == (1, True)  # alone in its cell
+    assert out[4] == (None, True)  # zero-norm: kept, no cell
+
+
+def test_semantic_dedup_threshold_monotone(spark, sf_dir):
+    """Lowering the threshold can only drop MORE vectors, and kept ids
+    at a high threshold are a superset of kept ids at a lower one."""
+    import os
+
+    from pybabe_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    kept_hi = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, 8, 0.6).filter("kept").collect()
+    }
+    kept_lo = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, 8, 0.3).filter("kept").collect()
+    }
+    assert kept_lo <= kept_hi
