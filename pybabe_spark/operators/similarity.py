@@ -924,3 +924,188 @@ def semantic_dedup(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011: "Product quantization
+# for nearest neighbor search", IEEE TPAMI 33(1))
+# ---------------------------------------------------------------------------
+
+def build_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: subspace ``j``'s ``ks`` centroids are the
+    j-th subvectors of the ``ks`` lowest-id vectors — the deterministic,
+    any-engine-replayable seeding used across this module (cf. the
+    semantic_dedup centroids); production k-means refinement shares
+    every downstream stage. Returns ``codebooks[j][c][i]`` as plain
+    floats (shape m × ks × dims/m)."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(ks)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("build_pq_codebooks: empty input")
+    dims = len(rows[0]["__v"])
+    if dims % m != 0:
+        raise ValueError(f"build_pq_codebooks: dims {dims} not divisible by m={m}")
+    sub = dims // m
+    return [
+        [[float(r["__v"][j * sub + i]) for i in range(sub)] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_sub_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Squared L2 distances of every subvector to every centroid:
+    (n, m, ks) from X (n, dims) and C (m, ks, sub).
+
+    The accumulation is an EXPLICIT left-to-right loop over the sub
+    dimensions — elementwise IEEE adds in index order — so the result is
+    bit-identical to a flat ``(x1-c1)*(x1-c1) + (x2-c2)*(x2-c2) + ...``
+    chain evaluated by any engine (the oracle SQL is exactly that
+    chain). No pairwise/SIMD reduction whose order would drift."""
+    m, ks, sub = C.shape
+    cols = [j * sub for j in range(m)]
+    D = None
+    for i in range(sub):
+        diff = X[:, [c + i for c in cols], None] - C[None, :, :, i]
+        term = diff * diff
+        D = term if D is None else D + term
+    return D
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-encode each vector to ``m`` small codes: per subspace, the
+    index of the nearest codebook centroid (squared L2; ties to the
+    lowest index — numpy argmin's first-minimum). Returns
+    (id, codes array<int>).
+
+    64-dim float32 → 8 bytes of codes is a 32× compression; at scale
+    the codes table is what ships to the ADC scan.
+
+    Plan shape: one Arrow-batched linear pass (broadcast-free: the
+    m × ks codebook travels inside the UDF closure), zero shuffle. A
+    pure-codegen expression form was measured first and rejected: the
+    m × ks × sub distance tree (~3k nodes) costs ~13 s of analysis/
+    codegen per run at ANY data size, while the einsum-style batch path
+    runs the same 2000 rows in ~0.2 s. Distances are bit-identical to
+    the oracle's flat SQL chains (see _pq_sub_dists), so argmin needs
+    no rounding at all — exact ties resolve to the lower index on every
+    engine.
+    """
+    if codebooks is None:
+        codebooks = build_pq_codebooks(df, m, ks, id_col, vec_col)
+    C = np.asarray(codebooks, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        codes = _pq_sub_dists(X, C).argmin(axis=2)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: each query precomputes its
+    m × ks table of subspace distances to every centroid; a DB vector's
+    approximate distance is the sum of m table lookups by its codes.
+
+    Returns (query_id, neighbor_id, adist double), k rows per query,
+    ascending distance (ties to the lower neighbor id).
+
+    Plan shape: the query tables (queries × m × ks entries, tiny by the
+    small-query contract) are computed driver-side with the same
+    bit-exact left-to-right arithmetic as the oracle's SQL chains, then
+    DECIMAL(18,6)-quantized (python ``decimal`` ROUND_HALF_UP — the
+    identical rounding of Spark's and DuckDB's double→decimal casts)
+    and broadcast; the corpus side is the CODES table only — one narrow
+    scan, a zip_with/aggregate lookup-sum per row, per-query top-k via
+    window rank. No shuffle of the corpus beyond the top-k exchange;
+    decimal table entries make the lookup SUMS order-independent and
+    exact across engines.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if codes is None:
+        codes = pq_encode(corpus, m, ks, id_col, vec_col)
+    codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
+    C = np.asarray(codebooks, dtype="float64")
+
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
+    T = _pq_sub_dists(Q, C)  # (nq, m, ks), bit-identical to SQL chains
+    six = Decimal("0.000001")
+    q_tables = [
+        (
+            r[id_col],
+            [
+                [
+                    Decimal(float(T[qi, j, c])).quantize(six, ROUND_HALF_UP)
+                    for c in range(T.shape[2])
+                ]
+                for j in range(T.shape[1])
+            ],
+        )
+        for qi, r in enumerate(qrows)
+    ]
+    q = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            q_tables,
+            f"query_id {_id_type(queries, id_col)}, "
+            "__tbl array<array<decimal(18,6)>>",
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__tbl"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0).cast("decimal(28,6)"),
+        # decimal addition widens its static type; fold state must keep
+        # the zero's type, so narrow each step back (8 bounded terms
+        # cannot overflow 22 integer digits)
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    sims = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adist.cast("double").alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

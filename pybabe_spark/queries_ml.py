@@ -828,3 +828,120 @@ def q_semdedup(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, k_clusters=8, threshold=0.4)
+
+
+# Product quantization: seeded codebooks (the ks lowest-id vectors'
+# subvectors) make encode and ADC search fully replayable in SQL — the
+# same determinism route as the md5 LSH planes. Distances are flat
+# left-associative `+` chains (the _lsh_proj_sql idiom), bit-identical
+# to the operator's explicit left-to-right numpy accumulation — so the
+# per-subspace argmin needs NO rounding: exact ties (duplicate seed
+# vectors) resolve to the lower centroid index on every engine. Only
+# the ADC lookup tables are DECIMAL(18,6)-quantized, which makes the
+# m-term lookup sums order-independent and exact.
+_PQ_M, _PQ_KS, _PQ_SUB = 8, 16, 8
+
+_PQ_SEEDS = f"""
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+             embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KS})
+    )"""
+
+
+def _pq_chain_sql(v: str, j: int) -> str:
+    """Flat (x-c)*(x-c) + ... chain for subspace j (1-based list idx);
+    left-associative parse == left-to-right IEEE adds."""
+    terms = []
+    for i in range(1, _PQ_SUB + 1):
+        idx = j * _PQ_SUB + i
+        a = f"CAST({v}[{idx}] AS DOUBLE)"
+        b = f"CAST(s.cv[{idx}] AS DOUBLE)"
+        terms.append(f"({a} - {b}) * ({a} - {b})")
+    return " + ".join(terms)
+
+
+def _pq_sub_union(src: str, out_id: str, where: str = "") -> str:
+    """Per-subspace distance rows, one UNION ALL branch per j so every
+    chain carries literal indices."""
+    return "\n      UNION ALL\n".join(
+        f"      SELECT {src}.vec_id AS {out_id}, {j} AS j, s.cidx,\n"
+        f"             ({_pq_chain_sql(f'{src}.embedding', j)}) AS d\n"
+        f"      FROM embeddings {src}, seeds s {where}"
+        for j in range(_PQ_M)
+    )
+
+
+_PQ_CODES = f"""
+    sub AS (
+{_pq_sub_union('e', 'vec_id')}
+    ),
+    codes AS (
+      SELECT vec_id, j, cidx FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, cidx ASC) AS rk
+        FROM sub
+      ) t WHERE rk = 1
+    )"""
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH {_PQ_SEEDS},
+    {_PQ_CODES}
+    SELECT vec_id,
+           array_to_string(list(cidx ORDER BY j), '-') AS codes_str
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark, sf_dir):
+    """PQ encode (operators/similarity.py::pq_encode): 64-dim float32 →
+    8 nearest-centroid codes (seeded codebooks, zero-shuffle codegen
+    projection). Codes surface as a '-'-joined string so the value hash
+    is array-representation-agnostic across engines."""
+    from pybabe_spark.operators.similarity import pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, m=_PQ_M, ks=_PQ_KS)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias("codes_str"),
+    )
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH {_PQ_SEEDS},
+    {_PQ_CODES},
+    qraw AS (
+{_pq_sub_union('q', 'query_id', 'WHERE q.vec_id < 5')}
+    ),
+    qtab AS (
+      SELECT query_id, j, cidx, CAST(d AS DECIMAL(18,6)) AS d FROM qraw
+    ),
+    ad AS (
+      SELECT qtab.query_id, codes.vec_id AS neighbor_id,
+             CAST(SUM(qtab.d) AS DOUBLE) AS adist
+      FROM codes JOIN qtab ON codes.j = qtab.j AND codes.cidx = qtab.cidx
+      WHERE codes.vec_id <> qtab.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adist FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk
+      FROM ad
+    ) t WHERE rk <= 10
+    """,
+)
+def q_ann_pq(spark, sf_dir):
+    """PQ ADC top-k (operators/similarity.py::ann_pq): per-query m × ks
+    distance tables built in-plan and broadcast; corpus side is the
+    CODES table only — a zip_with lookup-sum per row, window top-k.
+    Full value oracle via the seeded codebooks."""
+    from pybabe_spark.operators.similarity import ann_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_pq(emb, queries, k=10, m=_PQ_M, ks=_PQ_KS)

@@ -304,6 +304,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # the corpus — the intended linear-pass plan; the quadratic pair
         # stage is a cell equi-join, NOT all-pairs
         "semdedup_embeddings": {"broadcast-nested-loop"},
+        # PQ ADC: per-query decimal lookup tables (bounded by the
+        # query-batch contract) broadcast against the codes scan
+        "ann_pq_topk": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

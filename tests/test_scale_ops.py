@@ -1275,3 +1275,60 @@ def test_semantic_dedup_threshold_monotone(spark, sf_dir):
         for r in semantic_dedup(emb, 8, 0.3).filter("kept").collect()
     }
     assert kept_lo <= kept_hi
+
+
+def test_pq_encode_shape_and_ties(spark):
+    """codes: m entries, each < ks; exact distance ties (duplicate seed
+    vectors) resolve to the LOWER centroid index on every engine."""
+    from pybabe_spark.operators.similarity import build_pq_codebooks, pq_encode
+
+    # ids 0 and 1 are identical -> centroids 0 and 1 identical in every
+    # subspace; every row's argmin must prefer index 0 over 1
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [5.0, 6.0, 7.0, 8.0]),
+        (3, [1.1, 2.1, 3.1, 4.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(df, m=2, ks=3, id_col="vec_id").collect()
+    }
+    assert all(len(c) == 2 and all(x < 3 for x in c) for c in out.values())
+    assert out[0] == [0, 0] and out[1] == [0, 0]  # tie -> lower index
+    assert out[2] == [2, 2] and out[3] == [0, 0]
+
+    cbs = build_pq_codebooks(df, m=2, ks=3)
+    assert len(cbs) == 2 and len(cbs[0]) == 3 and len(cbs[0][0]) == 2
+    with pytest.raises(ValueError, match="not divisible"):
+        build_pq_codebooks(df, m=3, ks=2)
+
+
+def test_ann_pq_recall_floor(spark, sf_dir):
+    """ADC with seeded ks=16 codebooks must beat random ranking by a
+    wide margin (measured ~0.32 mean recall@10 vs exact L2; random would
+    be 10/499 = 0.02). Floor at 0.1 to stay data-regeneration-safe."""
+    import os
+
+    import numpy as np
+
+    from pybabe_spark.operators.similarity import ann_pq
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype="float64")
+    ids = np.asarray([r["vec_id"] for r in rows])
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ann_pq(emb, queries, k=10)
+    pq_top: dict = {}
+    for r in got.collect():
+        pq_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recs = []
+    for q in sorted(pq_top):
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        exact = [int(i) for i in ids[np.argsort(d, kind="stable")] if i != q][:10]
+        k_eff = min(10, len(exact))
+        recs.append(len(pq_top[q] & set(exact)) / k_eff)
+    assert sum(recs) / len(recs) >= 0.1, recs
