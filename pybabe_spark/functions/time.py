@@ -20,6 +20,7 @@ _DATETIME_FORMATS = [
     "yyyy MM dd HH:mm:ss",
     "yyyy MM dd HH:mm",
     "dd MM yyyy HH:mm:ss",
+    "dd MM yyyy HH:mm",
     "yyyy MM dd",
     "dd MM yyyy",
     "yyyyMMdd",
@@ -61,6 +62,11 @@ def parse_time(
 
     on_error (pybabe/base.py:132-135): FAIL raises on unparseable rows,
     SKIP drops them, NONE/WARN keep NULLs (WARN counts them via observe).
+    A genuinely NULL input is NOT an error under any policy (SQL NULL
+    semantics, applied uniformly) — a deliberate deviation from the
+    reference, whose None-handling was an incidental AttributeError that
+    made every policy treat missing values as parse failures
+    (timeparse.py:70-97).
     """
     if on_error not in ("FAIL", "SKIP", "NONE", "WARN"):
         raise ValueError(
@@ -84,20 +90,30 @@ def parse_time(
             raise ValueError(f"parse_time: unparseable value in {field!r}")
     # the error flag must evaluate against the ORIGINAL column, before
     # withColumn overwrites it in the default out_field == field case
-    err = (ts.isNull() & F.col(field).isNotNull()).cast("long")
+    err = ts.isNull() & F.col(field).isNotNull()
+    obs = None
     if on_error == "WARN":
         from pyspark.sql import Observation
 
-        out = df.withColumn("__parse_err", err).withColumn(out_field, ts)
+        out = df.withColumn("__parse_err", err.cast("long")).withColumn(
+            out_field, ts
+        )
         obs = Observation("parse_time_errors")
         out = out.observe(
             obs, F.sum("__parse_err").alias("unparseable")
         ).drop("__parse_err")
-        out._pybabe_parse_observation = obs  # type: ignore[attr-defined]
+    elif on_error == "SKIP":
+        # drop only rows that FAILED to parse — a genuinely NULL input is
+        # not an error (same definition as FAIL/WARN above); the keep flag
+        # is computed before withColumn overwrites the original column
+        out = (
+            df.withColumn("__parse_keep", ~err)
+            .withColumn(out_field, ts)
+            .filter(F.col("__parse_keep"))
+            .drop("__parse_keep")
+        )
     else:
         out = df.withColumn(out_field, ts)
-    if on_error == "SKIP":
-        out = out.filter(F.col(out_field).isNotNull())
     if output_date:
         out = out.withColumn(output_date, F.to_date(F.col(out_field)))
     if output_time:
@@ -107,6 +123,10 @@ def parse_time(
             out = out.withColumn(output_time, F.col(out_field))
     if output_hour:
         out = out.withColumn(output_hour, F.hour(F.col(out_field)))
+    if obs is not None:
+        # attach LAST: every withColumn above returns a fresh DataFrame
+        # that would silently shed the Python-side attribute
+        out._pybabe_parse_observation = obs  # type: ignore[attr-defined]
     return out
 
 
@@ -188,7 +208,11 @@ def typedetect(
                 break
     out = df
     for c, t in casts.items():
-        out = out.withColumn(c, F.trim(F.col(c)).cast(t))
+        # try_cast, not cast: detection only validated a bounded sample,
+        # so an unsampled unparseable value must become NULL (matching
+        # the detection semantics) instead of failing the whole job
+        # under ANSI mode
+        out = out.withColumn(c, F.expr(f"try_cast(trim(`{c}`) as {t})"))
     return out
 
 

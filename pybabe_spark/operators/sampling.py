@@ -83,7 +83,10 @@ def hash_bucket_sql(key: str, kind: str = "int") -> str:
     return f"((({folded}) * {_MULT} + {_ADD}) % {BUCKETS})"
 
 
-_INTEGRAL = {"byte", "short", "int", "integer", "bigint", "long"}
+#: the names DataType.simpleString() actually produces for integral
+#: types (tinyint/smallint/int/bigint — NOT the internal byte/short/
+#: long/integer spellings)
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _key_bucket(df: DataFrame, key: str) -> Column:

@@ -23,7 +23,12 @@ from collections.abc import Callable, Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from pybabe_spark.sources.io import INGEST_ID
+
+def _base_schema(df: DataFrame) -> str:
+    """The frame's own schema as a DDL string — the one rendering site."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
 
 
 def _out_schema(df: DataFrame, insert_fields: str | None, fields: str | None) -> str:
@@ -31,8 +36,7 @@ def _out_schema(df: DataFrame, insert_fields: str | None, fields: str | None) ->
         raise ValueError("pass exactly one of insert_fields / fields (DDL strings)")
     if fields is not None:
         return fields
-    base = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    return f"{base}, {insert_fields}"
+    return f"{_base_schema(df)}, {insert_fields}"
 
 
 def bulk_map_to(
@@ -112,5 +116,4 @@ def map_filter(df: DataFrame, fn: Callable[[dict], bool]) -> DataFrame:
         mask = [bool(fn(rec)) for rec in pdf.to_dict("records")]
         return pdf[pd.Series(mask, index=pdf.index)]
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    return bulk_map_to(df, _batch, fields=schema)
+    return bulk_map_to(df, _batch, fields=_base_schema(df))

@@ -78,22 +78,34 @@ def window_map(
     which is also the scale path (an unpartitioned row window is a
     single-task total order, kept only for reference parity on small data).
     """
-    key = order_by or INGEST_ID
-    if key not in df.columns:
-        raise ValueError(f"window_map needs an order column; attach {INGEST_ID} at read")
-    if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(F.col(key))
-    else:
-        _warn_if_global_window(df, "window_map")
-        w = Window.orderBy(F.col(key))
-    w = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    w = _trailing_frame(df, "window_map", window_size, order_by, partition_by)
     if isinstance(agg, str):
         if source_col is None:
             raise ValueError("builtin agg needs source_col")
+        if agg not in _BUILTINS:
+            raise ValueError(
+                f"window_map: unknown builtin agg {agg!r}; use one of "
+                f"{sorted(_BUILTINS)} or pass a Column expression"
+            )
         expr = _BUILTINS[agg](source_col)
     else:
         expr = agg
     return df.withColumn(out_col, expr.over(w))
+
+
+def _trailing_frame(df, op, window_size, order_by, partition_by):
+    """The shared trailing row frame: one construction site so the
+    missing-order-column guard and the global-window warning cannot
+    drift between the builtin and UDF forms."""
+    key = order_by or INGEST_ID
+    if key not in df.columns:
+        raise ValueError(f"{op} needs an order column; attach {INGEST_ID} at read")
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(F.col(key))
+    else:
+        _warn_if_global_window(df, op)
+        w = Window.orderBy(F.col(key))
+    return w.rowsBetween(-(window_size - 1), Window.currentRow)
 
 
 def window_map_udf(
@@ -116,13 +128,7 @@ def window_map_udf(
     """
     from pyspark.sql.functions import pandas_udf
 
-    key = order_by or INGEST_ID
-    if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(F.col(key))
-    else:
-        _warn_if_global_window(df, "window_map_udf")
-        w = Window.orderBy(F.col(key))
-    w = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    w = _trailing_frame(df, "window_map_udf", window_size, order_by, partition_by)
 
     def _apply(frames):
         return frames.map(lambda vals: fn([v["v"] for v in vals]))

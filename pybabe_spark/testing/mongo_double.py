@@ -48,7 +48,12 @@ class _FileStore(MutableMapping):
     that keeps the double dependency-free."""
 
     def __init__(self, path: str | None = None):
-        self.path = path or os.path.join(
+        # PYBABE_MONGO_DOUBLE_PATH isolates parallel test runs
+        # (pytest-xdist, concurrent CI jobs) that would otherwise share
+        # the per-uid default and see each other's stale collections
+        self.path = path or os.environ.get(
+            "PYBABE_MONGO_DOUBLE_PATH"
+        ) or os.path.join(
             tempfile.gettempdir(),
             f"pybabe_mongo_double_{os.getuid()}.json",
         )
@@ -62,8 +67,24 @@ class _FileStore(MutableMapping):
         return {tuple(k.split("\x00", 1)): v for k, v in raw.items()}
 
     def _save(self, data: dict) -> None:
-        with open(self.path, "w", encoding="utf-8") as f:
-            json.dump({"\x00".join(k): v for k, v in data.items()}, f)
+        # write-temp + atomic rename: Spark's Python worker processes
+        # read this file concurrently with the test process's writes — a
+        # reader must never observe a truncated in-place write (which
+        # _load would silently turn into an empty store, and a later
+        # save would then persist, dropping collections)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.path) or ".", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump({"\x00".join(k): v for k, v in data.items()}, f)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def __getitem__(self, key):
         return self._load()[key]

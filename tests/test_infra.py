@@ -101,8 +101,12 @@ def test_parse_time_policies(spark):
     )
     kept = parse_time(df, "t", output_field="ts", on_error="NONE")
     assert kept.filter(F.col("ts").isNotNull()).count() == 1
+    # SKIP drops only parse FAILURES; the NULL input survives (NULL is
+    # not an error — consistent with FAIL/WARN above, deviating from the
+    # reference whose None-handling was an incidental AttributeError)
     skipped = parse_time(df, "t", output_field="ts", on_error="SKIP")
-    assert skipped.count() == 1
+    assert skipped.count() == 2
+    assert skipped.filter(F.col("t").isNull()).count() == 1
     with pytest.raises(ValueError):
         parse_time(df, "t", output_field="ts", on_error="FAIL")
     # FAIL must fire in the DEFAULT in-place case too (the check runs
@@ -749,3 +753,67 @@ def test_mail_handles_non_ascii(spark):
     mail(df, "sübject", ["dev@example.com"], transport=sent.append)
     text = sent[0].as_string()  # raises UnicodeEncodeError if broken
     assert "base64" in text
+
+
+def test_typedetect_unsampled_bad_value_nulls_not_crashes(spark):
+    """Detection validates only a bounded sample; an unsampled
+    unparseable value must become NULL (try_cast semantics) instead of
+    failing the whole job under ANSI mode."""
+    from pybabe_spark.functions.time import typedetect
+
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("N/A",)], "x string"
+    ).coalesce(1)
+    out = typedetect(df, sample_rows=2)
+    assert dict(out.dtypes)["x"] == "bigint"
+    vals = [r["x"] for r in out.collect()]
+    assert sorted(v for v in vals if v is not None) == [1, 2]
+    assert vals.count(None) == 1
+
+
+def test_parse_time_warn_keeps_observation_with_derived_columns(spark):
+    """The documented _pybabe_parse_observation contract must survive
+    output_date/output_hour (each withColumn returns a fresh frame)."""
+    from pybabe_spark.functions.time import parse_time
+
+    df = spark.createDataFrame([("2024/01/02",), ("garbage!?",)], "t string")
+    out = parse_time(df, "t", on_error="WARN", output_date="d", output_hour="h")
+    assert out.count() == 2
+    assert out._pybabe_parse_observation.get["unparseable"] == 1
+
+
+def test_parse_time_skip_keeps_null_inputs(spark):
+    """SKIP drops only rows that FAILED to parse; a genuinely NULL input
+    is not an error (same definition as FAIL/WARN)."""
+    from pybabe_spark.functions.time import parse_time
+
+    df = spark.createDataFrame(
+        [("2024/01/02",), ("garbage!?",), (None,)], "t string"
+    )
+    out = parse_time(df, "t", on_error="SKIP")
+    vals = [r["t"] for r in out.collect()]
+    assert len(vals) == 2 and vals.count(None) == 1
+
+
+def test_lenient_timestamp_day_first_minutes(spark):
+    """European day-first dates with HH:mm (no seconds) parse like their
+    yyyy-first and with-seconds siblings."""
+    from pybabe_spark.functions.time import lenient_timestamp
+
+    df = spark.createDataFrame(
+        [("02/01/2024 03:04",), ("2024/01/02 03:04",)], "t string"
+    )
+    got = [str(r["p"]) for r in df.select(lenient_timestamp("t").alias("p")).collect()]
+    assert got == ["2024-01-02 03:04:00", "2024-01-02 03:04:00"]
+
+
+def test_sampling_accepts_small_integral_keys(spark):
+    """simpleString() spells integral types tinyint/smallint/int/bigint;
+    a smallint key must take the arithmetic hash path, not be rejected."""
+    from pybabe_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k int").select(
+        F.col("k").cast("smallint").alias("k")
+    )
+    n = hash_sample(df, "k", 0.5).count()
+    assert 20 <= n <= 80  # deterministic, roughly half

@@ -1332,3 +1332,17 @@ def test_ann_pq_recall_floor(spark, sf_dir):
         k_eff = min(10, len(exact))
         recs.append(len(pq_top[q] & set(exact)) / k_eff)
     assert sum(recs) / len(recs) >= 0.1, recs
+
+
+def test_window_map_guards_are_shared(spark):
+    """Both window forms raise the actionable missing-order-column error
+    and window_map rejects unknown builtin names with the supported set."""
+    from pybabe_spark.operators.window import window_map, window_map_udf
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="order column"):
+        window_map(df, 3, "sum", "v")
+    with pytest.raises(ValueError, match="order column"):
+        window_map_udf(df, 3, lambda xs: max(xs), "v")
+    with pytest.raises(ValueError, match="unknown builtin agg"):
+        window_map(with_ingest_id(df), 3, "median", "v")
