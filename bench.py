@@ -176,9 +176,15 @@ def stress(factors: list[int]) -> None:
         near_dedup_keep,
     )
     from pybabe_spark.operators.graph import dup_clusters
-    from pybabe_spark.operators.similarity import ann_lsh_stored, build_lsh_index
+    from pybabe_spark.operators.similarity import (
+        ann_lsh_stored,
+        ann_pq,
+        build_lsh_index,
+        pq_encode,
+        semantic_dedup,
+    )
 
-    def _families(sf_dir):
+    def _families(sf_dir, factor=1):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         scored = docs.select(
@@ -226,6 +232,14 @@ def stress(factors: list[int]) -> None:
             ).count(),
             "ann_lsh_build": _ann_build,
             "ann_lsh_stored_probe": _ann_probe,
+            # cluster count scales with the corpus (the SemDeDup design
+            # point: fixed expected cell membership bounds the in-cell
+            # quadratic) — k ∝ factor keeps per-cell size flat
+            "semantic_dedup": lambda: semantic_dedup(
+                emb, k_clusters=8 * factor, threshold=0.4
+            ).filter("NOT kept").count(),
+            "pq_encode": lambda: pq_encode(emb).count(),
+            "ann_pq": lambda: ann_pq(emb, queries, k=10).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -246,7 +260,7 @@ def stress(factors: list[int]) -> None:
             os.path.join(sf_dir, "embeddings.parquet")
         ).count()
         sizes[factor] = {"n_docs": n_docs, "n_vecs": n_vecs}
-        for name, fn in _families(sf_dir).items():
+        for name, fn in _families(sf_dir, factor).items():
             best = None
             for _ in range(runs):
                 t0 = time.perf_counter()

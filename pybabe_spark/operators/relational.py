@@ -174,25 +174,36 @@ def sort(df: DataFrame, field: str | Sequence[str], reverse: bool = False) -> Da
     return df.orderBy(*cols)
 
 
-def max_n(df: DataFrame, column: str, n: int, extremum: str = "max") -> DataFrame:
+def max_n(
+    df: DataFrame,
+    column: str,
+    n: int,
+    extremum: str = "max",
+    tie_break: str | None = None,
+) -> DataFrame:
     """Top-k by column (pybabe/minmax.py:19-45).
 
     orderBy+limit compiles to TakeOrderedAndProject: per-partition heaps +
     a driver merge of k rows — the distributed analogue of the reference's
     heapq, no full sort or shuffle of the data.
+
+    ``tie_break`` (ascending) pins the order of equal values; it defaults
+    to the ingest-id column when present — first-seen wins, like the
+    reference's insertion-ordered heap (pybabe/minmax.py:28-31).
     """
     col = F.col(column).desc() if extremum == "max" else F.col(column).asc()
     order = [col]
-    if INGEST_ID in df.columns:
-        # deterministic tie order: first-seen wins, like the reference's
-        # insertion-ordered heap (pybabe/minmax.py:28-31)
-        order.append(F.col(INGEST_ID).asc())
+    tb = tie_break or (INGEST_ID if INGEST_ID in df.columns else None)
+    if tb is not None:
+        order.append(F.col(tb).asc())
     return df.orderBy(*order).limit(n)
 
 
-def min_n(df: DataFrame, column: str, n: int) -> DataFrame:
+def min_n(
+    df: DataFrame, column: str, n: int, tie_break: str | None = None
+) -> DataFrame:
     """Bottom-k (pybabe/minmax.py:34-45)."""
-    return max_n(df, column, n, extremum="min")
+    return max_n(df, column, n, extremum="min", tie_break=tie_break)
 
 
 def dedup(

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pybabe_spark.operators import (
@@ -214,7 +214,7 @@ def q_skip(spark, sf_dir):
 def q_topk(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # max_n with deterministic tie-break: TakeOrderedAndProject, no full sort
-    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10)
+    return max_n(orders, "o_totalprice", 10, tie_break="o_orderkey")
 
 
 @register(

@@ -13,12 +13,13 @@ from pybabe_spark.queries import register
 from pybabe_spark.sources.io import read_table
 
 
-def _dec(col, scale=2):
-    """The engine-wide exact-decimal lift (queries._dec), at the money
-    default scale=2 this module's TPC-H-style aggregates use."""
-    from pybabe_spark.queries import _dec as _dec_base
+from functools import partial
 
-    return _dec_base(col, scale)
+from pybabe_spark.queries import _dec as _dec_base
+
+#: the engine-wide exact-decimal lift at the money scale (2) this
+#: module's TPC-H-style aggregates use — NOT _dec_base's default 6
+_dec = partial(_dec_base, scale=2)
 
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -145,8 +146,10 @@ def q_filter_in_between(spark, sf_dir):
     """,
 )
 def q_bottomk(spark, sf_dir):
+    from pybabe_spark.operators.relational import min_n
+
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    return cust.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()).limit(15)
+    return min_n(cust, "c_acctbal", 15, tie_break="c_custkey")
 
 
 @register(

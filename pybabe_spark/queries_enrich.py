@@ -11,7 +11,6 @@ the op itself is what the oracle checks.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pybabe_spark.functions.enrich import (

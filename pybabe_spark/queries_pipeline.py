@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from pybabe_spark.functions import text as T
 from pybabe_spark.operators.sampling import (
-    hash_bucket,
     hash_bucket_sql,
     hash_sample,
     mix_sources,
