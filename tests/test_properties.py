@@ -350,3 +350,51 @@ def test_global_shuffle_matches_python_model(spark, ids, seed):
         ids, key=lambda d: hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
     )
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_pq_encode_matches_python_model(spark, vecs):
+    """codes == the brute-force Python PQ model: per subspace, first
+    index of the minimum left-to-right-summed squared distance against
+    the seeded (lowest-id) codebooks."""
+    from pybabe_spark.operators.similarity import pq_encode
+
+    m, ks = 2, min(3, len(vecs))
+    sub = 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, m=m, ks=ks).collect()
+    }
+
+    import struct as _struct
+
+    def f32(x):  # the float32 value Spark stores
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    seeds = [vecs[i] for i in range(ks)]
+    for i, v in enumerate(vecs):
+        want = []
+        for j in range(m):
+            dists = []
+            for c in range(ks):
+                d = 0.0
+                for t in range(sub):
+                    diff = f32(v[j * sub + t]) - f32(seeds[c][j * sub + t])
+                    d = d + diff * diff
+                dists.append(d)
+            want.append(min(range(ks), key=lambda c: (dists[c], c)))
+        assert got[i] == want, (i, got[i], want)
