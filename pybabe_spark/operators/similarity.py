@@ -807,6 +807,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
+    sample_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, find semantic near-duplicate pairs WITHIN each
@@ -814,11 +816,15 @@ def semantic_dedup(
     the paper keeps the low-centroid-similarity (more extreme, more
     informative) example.
 
-    Deterministic oracle-able form: the centroids are the embeddings of
-    the ``k_clusters`` lowest ids (seeded Voronoi assignment, no Lloyd
-    iterations), so any engine can replay cluster assignment exactly.
-    Zero-norm vectors are unscorable: they take no part in clustering or
-    pairing and come back kept with NULL cell/centroid_sim.
+    Deterministic oracle-able form (``train_iters=0``, the default): the
+    centroids are the embeddings of the ``k_clusters`` lowest ids
+    (seeded Voronoi assignment, no Lloyd iterations), so any engine can
+    replay cluster assignment exactly. ``train_iters>0`` is the QUALITY
+    path: deterministic spherical k-means on a bounded lowest-id sample
+    (the IVF training routine, ``_ivf_centroids`` — still RNG-free and
+    reproducible, just not expressible in one SQL query). Zero-norm
+    vectors are unscorable: they take no part in clustering or pairing
+    and come back kept with NULL cell/centroid_sim.
 
     Returns (id, cell, centroid_sim, kept) for every input row.
 
@@ -846,11 +852,20 @@ def semantic_dedup(
     # centroids: embeddings of the k lowest ids, indexed 0..k-1 in id
     # order — collected driver-side like the IVF centroid set (k rows by
     # construction, a TakeOrdered over the id column; the centroid table
-    # must fit one executor's memory to broadcast anyway).
-    seed_rows = scorable.orderBy("__id").limit(k_clusters).collect()
+    # must fit one executor's memory to broadcast anyway). With
+    # train_iters the seeds are refined by deterministic spherical
+    # k-means on a bounded sample instead.
+    if train_iters > 0:
+        C = _ivf_centroids(
+            df, id_col, vec_col, k_clusters, sample_size, train_iters
+        )
+        seed_vecs = [[float(x) for x in row] for row in C]
+    else:
+        seed_rows = scorable.orderBy("__id").limit(k_clusters).collect()
+        seed_vecs = [list(r["__vn"]) for r in seed_rows]
     seeds = F.broadcast(
         df.sparkSession.createDataFrame(
-            [(i, list(r["__vn"])) for i, r in enumerate(seed_rows)],
+            [(i, v) for i, v in enumerate(seed_vecs)],
             "__cell int, __cv array<double>",
         )
     )
@@ -962,6 +977,52 @@ def build_pq_codebooks(
     ]
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Quality-path PQ codebooks: per-subspace squared-L2 k-means on a
+    bounded lowest-id sample (TakeOrdered — no full sort), init = the
+    first ``ks`` sample subvectors. Deterministic and RNG-free like
+    :func:`_ivf_centroids`; pass the result to :func:`pq_encode` /
+    :func:`ann_pq` via ``codebooks=``. The seeded (``iters=0``-
+    equivalent) form in :func:`build_pq_codebooks` stays the
+    SQL-replayable oracle definition."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < ks:
+        raise ValueError(
+            f"train_pq_codebooks: sample has {len(rows)} rows < ks={ks}"
+        )
+    X = np.asarray([list(r["__v"]) for r in rows], dtype="float64")
+    dims = X.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"train_pq_codebooks: dims {dims} not divisible by m={m}")
+    sub = dims // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        C = Xj[:ks].copy()
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ks):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
 def _pq_sub_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     """Squared L2 distances of every subvector to every centroid:
     (n, m, ks) from X (n, dims) and C (m, ks, sub).
@@ -1029,6 +1090,7 @@ def ann_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: each query precomputes its
     m × ks table of subspace distances to every centroid; a DB vector's
@@ -1050,9 +1112,10 @@ def ann_pq(
     """
     from decimal import ROUND_HALF_UP, Decimal
 
+    if codebooks is None:
+        codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
     if codes is None:
-        codes = pq_encode(corpus, m, ks, id_col, vec_col)
-    codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
+        codes = pq_encode(corpus, m, ks, id_col, vec_col, codebooks=codebooks)
     C = np.asarray(codebooks, dtype="float64")
 
     qrows = _collect_query_rows(queries, id_col, vec_col)

@@ -1346,3 +1346,51 @@ def test_window_map_guards_are_shared(spark):
         window_map_udf(df, 3, lambda xs: max(xs), "v")
     with pytest.raises(ValueError, match="unknown builtin agg"):
         window_map(with_ingest_id(df), 3, "median", "v")
+
+
+def test_pq_trained_codebooks_improve_recall(spark, sf_dir):
+    """The quality path (per-subspace Lloyd k-means, deterministic)
+    stays far above random ranking, like the seeded oracle form. At
+    sf0.01 trained beats seeded (0.42 vs 0.32 mean recall@10); at the
+    ~100-vector sf0.001 corpus k-means overfits and the ordering can
+    invert, so the gate is an absolute floor (random = k/n ≈ 0.02–0.1),
+    not a comparison. semantic_dedup's train_iters path must keep the
+    full-output contract."""
+    import os
+
+    import numpy as np
+
+    from pybabe_spark.operators.similarity import (
+        ann_pq,
+        semantic_dedup,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype="float64")
+    ids = np.asarray([r["vec_id"] for r in rows])
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def recall(got_df):
+        top: dict = {}
+        for r in got_df.collect():
+            top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = []
+        for q in sorted(top):
+            qv = X[ids == q][0]
+            d = ((X - qv) ** 2).sum(axis=1)
+            exact = [int(i) for i in ids[np.argsort(d, kind="stable")] if i != q][:10]
+            k_eff = min(10, len(exact))
+            recs.append(len(top[q] & set(exact)) / k_eff)
+        return sum(recs) / len(recs)
+
+    seeded = recall(ann_pq(emb, queries, k=10))
+    trained = recall(
+        ann_pq(emb, queries, k=10, codebooks=train_pq_codebooks(emb, iters=8))
+    )
+    assert seeded >= 0.1 and trained >= 0.1, (seeded, trained)
+
+    # trained semantic_dedup: same one-row-per-input contract, runs clean
+    out = semantic_dedup(emb, k_clusters=8, threshold=0.4, train_iters=5)
+    assert out.count() == emb.count()
