@@ -547,3 +547,113 @@ def segment_dedup(
             F.coalesce(F.col("__dropped"), F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored MinHash signature index: incremental cross-corpus dedup without
+# re-reading the seen corpus
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's MinHash signatures + banded bucket keys so
+    later batches dedup against it WITHOUT touching the corpus text
+    again — the incremental-crawl companion to the stored ANN indexes
+    (:func:`similarity.build_lsh_index` / ``build_ivf_index``).
+
+    Layout under ``path``:
+
+    - ``signatures/`` — (id, mh0..mh{k-1}); the expensive shingle+md5
+      pass over the seen corpus runs ONCE, at build time.
+    - ``buckets/`` — (id, band, bucket) ``partitionBy(band)``.
+    - ``params/`` — one row pinning (num_hashes, bands, shingle_n,
+      id_col) so a probe can never silently mix coefficient families
+      (written via Spark, so the layout works on any filesystem).
+
+    At 100 TB the index is ~1/1000 of the corpus (k ints + bands keys
+    per document) and is the only thing a new batch's probe reads.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"build_minhash_index: num_hashes {num_hashes} not divisible "
+            f"by bands {bands}"
+        )
+    import posixpath
+
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sig.write.mode(mode).parquet(posixpath.join(path, "signatures"))
+    spark = df.sparkSession
+    bb = _band_buckets(
+        spark.read.parquet(posixpath.join(path, "signatures")),
+        id_col, id_col, num_hashes, bands,
+    )
+    bb.write.mode(mode).partitionBy("band").parquet(
+        posixpath.join(path, "buckets")
+    )
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_n, id_col)],
+        "num_hashes int, bands int, shingle_n int, id_col string",
+    ).coalesce(1).write.mode(mode).parquet(posixpath.join(path, "params"))
+
+
+def near_dedup_against_stored(
+    new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop rows of ``new`` whose ESTIMATED Jaccard with any indexed
+    document is >= ``threshold``, using only the stored MinHash index —
+    the corpus-free form of :func:`near_dedup_against`.
+
+    The estimate is the classic MinHash one: the fraction of equal
+    signature components (unbiased; std ≈ sqrt(t(1-t)/k), ~0.1 at
+    k=16 — raise ``num_hashes`` at build time for a tighter gate).
+    Candidates come from the banded bucket equi-join, so the pair space
+    is ≈ batch × bands, never |new| × |seen|.
+
+    Plan shape: one signature pass over the NEW batch only, an
+    equi-join against ``buckets/``, a signature equi-join against
+    ``signatures/`` for the estimate, one anti-join. The seen corpus
+    text is never read.
+    """
+    import posixpath
+
+    spark = new.sparkSession
+    p = spark.read.parquet(posixpath.join(path, "params")).collect()[0]
+    nh, bands, sn = p["num_hashes"], p["bands"], p["shingle_n"]
+    sig_new = minhash_signature(new, id_col, text_col, nh, sn)
+    new_b = _band_buckets(sig_new, id_col, "__nid", nh, bands)
+    seen_b = spark.read.parquet(posixpath.join(path, "buckets")).select(
+        F.col(p["id_col"]).alias("__sid"), "band", "bucket"
+    )
+    cand = new_b.join(seen_b, ["band", "bucket"]).select("__nid", "__sid").distinct()
+    sig_seen = spark.read.parquet(posixpath.join(path, "signatures"))
+    n_side = sig_new.select(
+        F.col(id_col).alias("__nid"),
+        *[F.col(f"mh{j}").alias(f"__n{j}") for j in range(nh)],
+    )
+    s_side = sig_seen.select(
+        F.col(p["id_col"]).alias("__sid"),
+        *[F.col(f"mh{j}").alias(f"__s{j}") for j in range(nh)],
+    )
+    eq = sum(
+        (F.col(f"__n{j}") == F.col(f"__s{j}")).cast("int") for j in range(nh)
+    )
+    drops = (
+        cand.join(n_side, "__nid")
+        .join(s_side, "__sid")
+        .filter(eq / F.lit(nh) >= F.lit(threshold))
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(drops, id_col, "left_anti")

@@ -945,3 +945,98 @@ def q_ann_pq(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_pq(emb, queries, k=10, m=_PQ_M, ks=_PQ_KS)
+
+
+def _minhash_stored_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Oracle for the stored-MinHash incremental dedup: replay both
+    sides' signatures, banded candidate join, and the equal-component
+    Jaccard ESTIMATE (the stored-index contract — no text re-read)."""
+    from pybabe_spark.operators.dedup_scale import MINHASH_PRIME, minhash_coeffs
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * base + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+
+    def bandsel(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5("
+            + " || '|' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + f") AS bucket FROM {src}"
+            for b in range(bands)
+        )
+
+    eq = " + ".join(
+        f"(CASE WHEN n.mh{j} = s.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH shn AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents WHERE doc_id < 1000 AND doc_id % 5 <> 0
+    ),
+    shs AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents WHERE doc_id < 1000 AND doc_id % 5 = 0
+    ),
+    bn0 AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS base
+            FROM shn),
+    bs0 AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS base
+            FROM shs),
+    sign AS (SELECT doc_id, {mins} FROM bn0 GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {mins} FROM bs0 GROUP BY doc_id),
+    bucketn AS ({bandsel('sign')}),
+    buckets AS ({bandsel('sigs')}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+      FROM bucketn n JOIN buckets s ON n.band = s.band AND n.bucket = s.bucket
+    ),
+    drops AS (
+      SELECT DISTINCT c.nid FROM cand c
+      JOIN sign n ON c.nid = n.doc_id
+      JOIN sigs s ON c.sid = s.doc_id
+      WHERE CAST(({eq}) AS DOUBLE) / {num_hashes} >= {threshold}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id < 1000 AND doc_id % 5 <> 0
+      AND doc_id NOT IN (SELECT nid FROM drops)
+    """
+
+
+_MINHASH_INDEX_CACHE: dict = {}
+
+
+@register("near_dedup_stored_docs", _minhash_stored_sql(16, 4, 0.5))
+def q_near_dedup_stored(spark, sf_dir):
+    """Incremental dedup against a STORED MinHash index
+    (operators/dedup_scale.py::build_minhash_index /
+    near_dedup_against_stored): the seen corpus's signatures are built
+    once and persisted; the new batch never reads seen text — the
+    decision rides the equal-component Jaccard estimate."""
+    import os
+
+    from pybabe_spark.operators.dedup_scale import (
+        build_minhash_index,
+        near_dedup_against_stored,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    seen = docs.filter(F.col("doc_id") % 5 == 0)
+    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pybabe_mh_idx_")
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "index")
+        build_minhash_index(seen, path, num_hashes=16, bands=4, shingle_n=1)
+        _MINHASH_INDEX_CACHE[sf_dir] = path
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return near_dedup_against_stored(new, path, threshold=0.5).select("doc_id")

@@ -1394,3 +1394,33 @@ def test_pq_trained_codebooks_improve_recall(spark, sf_dir):
     # trained semantic_dedup: same one-row-per-input contract, runs clean
     out = semantic_dedup(emb, k_clusters=8, threshold=0.4, train_iters=5)
     assert out.count() == emb.count()
+
+
+def test_minhash_stored_index_roundtrip(spark, tmp_path):
+    """build_minhash_index + near_dedup_against_stored: an exact
+    duplicate of an indexed doc is dropped (estimate 1.0), a disjoint
+    doc survives, and the probe honors the params pinned at build time
+    (shingle_n=2 here) rather than its own defaults."""
+    from pybabe_spark.operators.dedup_scale import (
+        build_minhash_index,
+        near_dedup_against_stored,
+    )
+
+    seen = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "completely different reference material here")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "mh_idx")
+    build_minhash_index(seen, path, num_hashes=16, bands=4, shingle_n=2)
+
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+         (11, "zebra xylophone quantum variables nothing shared")],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_against_stored(new, path, threshold=0.9).collect()
+    )
+    assert kept == [11]
