@@ -35,11 +35,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         .assert_scales()
     )
 
-    # 2. drop batch docs near-duplicating the seen corpus (banded
-    #    new×seen bucket join — never |new|×|seen|)
-    fresh = kept.near_dedup_against(
-        seen.df, "doc_id", "text", use_lsh_candidates=True
-    )
+    # 2. drop batch docs near-duplicating the seen corpus — via the
+    #    STORED MinHash index: the seen corpus's signature pass runs once
+    #    at build time and later batches probe the index without ever
+    #    re-reading seen text (the real incremental-crawl shape)
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="prep_mh_idx_") + "/index"
+    from pybabe_spark.operators.dedup_scale import build_minhash_index
+
+    build_minhash_index(seen.df, idx)
+    fresh = kept.near_dedup_against_stored(idx, "doc_id", "text", threshold=0.8)
 
     # 3. near-dup clusters inside the batch; keep the min-id
     #    representative of each cluster via a semi-join (NOT a driver
@@ -64,8 +70,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     #    reproducible on any cluster)
     epoch = survivors.global_shuffle("doc_id", seed=42)
 
+    # 6. the embedding side: SemDeDup semantic near-dup removal
+    #    (cluster-bucketed — never all-pairs), then PQ-compress the
+    #    survivors' vectors 32x for the retrieval index
+    emb = Babe.from_df(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    sem = emb.semantic_dedup(k_clusters=8, threshold=0.4).filter("kept")
+    sem_vecs = Babe.from_df(
+        emb.df.join(sem.df.select("vec_id"), "vec_id", "left_semi")
+    )
+    codes = sem_vecs.pq_encode()
+
     print(f"seen {seen.count()} | batch {batch.count()} -> "
           f"fresh {fresh.count()} -> survivors {survivors.count()}")
+    print(f"embeddings {emb.count()} -> semantic survivors {sem.count()} "
+          f"-> pq codes {codes.count()}")
     print("packs per bucket:")
     for r in stats.collect():
         print(f"  bucket {r['bucket']}: {r['n_packs']} packs / {r['n_docs']} docs")

@@ -131,6 +131,26 @@ class Babe:
             near_dedup_against(self.df, s, id_col, text_col, **kwargs)
         )
 
+    def near_dedup_against_stored(self, path, id_col="doc_id",
+                                  text_col="text", threshold=0.8) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import near_dedup_against_stored
+
+        return self._wrap(
+            near_dedup_against_stored(self.df, path, id_col, text_col, threshold)
+        )
+
+    def semantic_dedup(self, k_clusters=8, threshold=0.9, **kwargs) -> "Babe":
+        from pybabe_spark.operators.similarity import semantic_dedup
+
+        return self._wrap(
+            semantic_dedup(self.df, k_clusters, threshold, **kwargs)
+        )
+
+    def pq_encode(self, m=8, ks=16, **kwargs) -> "Babe":
+        from pybabe_spark.operators.similarity import pq_encode
+
+        return self._wrap(pq_encode(self.df, m, ks, **kwargs))
+
     # -- sampling / splitting / scrubbing ------------------------------------
     def sample(self, key, fraction) -> "Babe":
         from pybabe_spark.operators.sampling import hash_sample
