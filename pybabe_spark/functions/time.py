@@ -95,22 +95,24 @@ def parse_time(
     if on_error == "WARN":
         from pyspark.sql import Observation
 
-        out = df.withColumn("__parse_err", err.cast("long")).withColumn(
-            out_field, ts
-        )
+        from pybabe_spark.operators._util import gen_col
+
+        ec = gen_col(df.columns, "__parse_err")
+        out = df.withColumn(ec, err.cast("long")).withColumn(out_field, ts)
         obs = Observation("parse_time_errors")
-        out = out.observe(
-            obs, F.sum("__parse_err").alias("unparseable")
-        ).drop("__parse_err")
+        out = out.observe(obs, F.sum(ec).alias("unparseable")).drop(ec)
     elif on_error == "SKIP":
         # drop only rows that FAILED to parse — a genuinely NULL input is
         # not an error (same definition as FAIL/WARN above); the keep flag
         # is computed before withColumn overwrites the original column
+        from pybabe_spark.operators._util import gen_col
+
+        kc = gen_col(df.columns, "__parse_keep")
         out = (
-            df.withColumn("__parse_keep", ~err)
+            df.withColumn(kc, ~err)
             .withColumn(out_field, ts)
-            .filter(F.col("__parse_keep"))
-            .drop("__parse_keep")
+            .filter(F.col(kc))
+            .drop(kc)
         )
     else:
         out = df.withColumn(out_field, ts)

@@ -598,10 +598,14 @@ def build_minhash_index(
     bb.write.mode(mode).partitionBy("band").parquet(
         posixpath.join(path, "buckets")
     )
+    # params are pinned with overwrite REGARDLESS of mode: an appended
+    # second params row would make the probe pick one arbitrarily and
+    # silently mix coefficient families — the exact failure the params
+    # table exists to prevent
     spark.createDataFrame(
         [(num_hashes, bands, shingle_n, id_col)],
         "num_hashes int, bands int, shingle_n int, id_col string",
-    ).coalesce(1).write.mode(mode).parquet(posixpath.join(path, "params"))
+    ).coalesce(1).write.mode("overwrite").parquet(posixpath.join(path, "params"))
 
 
 def near_dedup_against_stored(
@@ -629,7 +633,14 @@ def near_dedup_against_stored(
     import posixpath
 
     spark = new.sparkSession
-    p = spark.read.parquet(posixpath.join(path, "params")).collect()[0]
+    prows = spark.read.parquet(posixpath.join(path, "params")).collect()
+    if len(prows) != 1:
+        raise ValueError(
+            f"near_dedup_against_stored: index at {path!r} has "
+            f"{len(prows)} params rows (expected exactly 1) — rebuild it "
+            "with build_minhash_index"
+        )
+    p = prows[0]
     nh, bands, sn = p["num_hashes"], p["bands"], p["shingle_n"]
     sig_new = minhash_signature(new, id_col, text_col, nh, sn)
     new_b = _band_buckets(sig_new, id_col, "__nid", nh, bands)

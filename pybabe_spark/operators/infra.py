@@ -29,23 +29,34 @@ def _plan_fingerprint(df: DataFrame) -> str:
     (pybabe/base.py:186-192). Falls back to ``semanticHash`` + schema
     under sessions without the classic JVM plan surface (Spark Connect).
 
-    Expression ids (``name#123``) come from a session-global counter, so
-    the raw plan string differs every time the same pipeline is rebuilt
-    — the cache would never hit. They are renumbered by order of first
-    appearance: identical pipelines fingerprint identically across
-    sessions, while plans that genuinely differ only by expr identity
-    (e.g. the two sides of a self-join) keep distinct numbering."""
+    Expression ids come from a session-global counter, so the raw plan
+    differs every time the same pipeline is rebuilt — the cache would
+    never hit. The JSON rendering of the plan is used (NOT the pretty
+    string, where a ``#123``-shaped fragment inside a string literal is
+    indistinguishable from an expr id — renumbering the string form made
+    plans differing only in such literals share a cache entry): literals
+    live in ``value`` fields there, while expr identity sits in
+    dedicated ``id``/``jvmId`` fields that are renumbered by first
+    appearance / blanked. Identical pipelines fingerprint identically
+    across sessions; plans differing in any literal, column, or operator
+    fingerprint apart. (``semanticHash`` cannot serve here: it is not
+    stable across rebuilds of the same logical plan.)"""
     import re
 
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().analyzed().toJSON()
+        plan = re.sub(r'"jvmId":"[0-9a-fA-F-]+"', '"jvmId":"_"', plan)
         seen: dict[str, int] = {}
 
         def _renumber(m: "re.Match[str]") -> str:
-            return f"#{seen.setdefault(m.group(0), len(seen))}"
+            return f'"id":{seen.setdefault(m.group(1), len(seen))}'
 
-        plan = re.sub(r"#\d+", _renumber, plan)
-    except Exception:
+        plan = re.sub(r'"id":(\d+)', _renumber, plan)
+        plan = f"{plan}|{df.schema.json()}"
+    except Exception:  # no classic plan surface (Spark Connect)
+        # semanticHash is not rebuild-stable, so this degrades to cache
+        # MISSES across sessions — never to wrong hits (a schema-only
+        # key would alias every same-shaped plan)
         plan = f"{df.semanticHash()}|{df.schema.json()}"
     return hashlib.sha256(plan.encode()).hexdigest()[:24]
 

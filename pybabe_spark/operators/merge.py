@@ -62,9 +62,13 @@ def upsert(
             .drop(rn)
         )
     else:
+        cnt = gen_col(updates.columns, "__n")
         dup = (
-            updates.groupBy(*keys).count().filter(F.col("count") > 1)
-            .limit(1).count()
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .filter(F.col(cnt) > 1)
+            .limit(1)
+            .count()
         )
         if dup:
             raise ValueError(

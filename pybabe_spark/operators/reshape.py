@@ -147,4 +147,12 @@ def transpose(df: DataFrame, row_limit: int = 10_000) -> DataFrame:
     out = pdf.set_index(key_col).T.reset_index(names="field")
     out.columns = ["field"] + [str(c) for c in out.columns[1:]]
     out = out.astype(object).where(out.notna(), None)
-    return df.sparkSession.createDataFrame(out)
+    # explicit all-string schema: inference would fail (Arrow off) or
+    # produce an unusable void column (Arrow on) for an input row whose
+    # cells are all NULL
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(str(c), StringType(), True) for c in out.columns]
+    )
+    return df.sparkSession.createDataFrame(out, schema=schema)

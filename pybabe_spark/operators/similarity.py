@@ -515,6 +515,14 @@ def _ivf_centroids(
         .collect()
     )
     X = np.asarray([r[vec_col] for r in sample], dtype="float64")
+    # a zero-norm vector in the sample would turn its row — and any
+    # centroid seeded from it — into NaNs, silently collapsing cells
+    X = X[np.linalg.norm(X, axis=1) > 0]
+    if len(X) < nlist:
+        raise ValueError(
+            f"k-means training sample has {len(X)} usable (non-zero) "
+            f"vectors < nlist={nlist}; raise sample_size or lower nlist"
+        )
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:nlist].copy()
     for _ in range(iters):

@@ -574,3 +574,18 @@ def test_working_column_names_never_clobber_user_columns(spark):
         reducer_schema="v bigint, __g string",
     ).collect()
     assert [(r["v"], r["__g"]) for r in res] == [(1, "x")]
+
+
+def test_transpose_all_null_row(spark):
+    """A row whose non-key cells are all NULL transposes to a fully-NULL
+    string column (explicit schema — no inference failure with Arrow
+    off, no void column with Arrow on)."""
+    from pybabe_spark.operators.reshape import transpose
+
+    df = spark.createDataFrame(
+        [("r1", None), ("r2", "5")], "key string, n string"
+    )
+    out = transpose(df)
+    assert dict(out.dtypes) == {"field": "string", "r1": "string", "r2": "string"}
+    row = out.collect()[0]
+    assert (row["r1"], row["r2"]) == (None, "5")

@@ -817,3 +817,44 @@ def test_sampling_accepts_small_integral_keys(spark):
     )
     n = hash_sample(df, "k", 0.5).count()
     assert 20 <= n <= 80  # deterministic, roughly half
+
+
+def test_memoize_fingerprint_distinguishes_hash_shaped_literals(spark):
+    """Renumbering '#\\d+' tokens must not merge plans that differ only
+    in a '#123'-shaped string LITERAL — a collision here would silently
+    serve the wrong cached data."""
+    from pybabe_spark.operators.infra import _plan_fingerprint
+
+    def build(color):
+        return spark.createDataFrame(
+            [("#111111", 1), ("#222222", 2)], "color string, v bigint"
+        ).filter(F.col("color") == color)
+
+    assert _plan_fingerprint(build("#111111")) != _plan_fingerprint(build("#222222"))
+    assert _plan_fingerprint(build("#111111")) == _plan_fingerprint(build("#111111"))
+
+
+def test_parse_time_working_columns_never_clobber(spark):
+    """WARN/SKIP working columns are generated collision-free: user
+    columns named __parse_err/__parse_keep survive."""
+    from pybabe_spark.functions.time import parse_time
+
+    df = spark.createDataFrame(
+        [("2024/01/02", "keep1"), ("garbage!?", "keep2")],
+        "t string, __parse_keep string",
+    ).withColumn("__parse_err", F.lit("user-data"))
+    out = parse_time(df, "t", on_error="SKIP")
+    assert [r["__parse_keep"] for r in out.collect()] == ["keep1"]
+    warned = parse_time(df, "t", on_error="WARN")
+    assert {r["__parse_err"] for r in warned.collect()} == {"user-data"}
+
+
+def test_upsert_key_named_count(spark):
+    """The duplicate-key check must work when a key column is literally
+    named 'count' (the bare .count() agg would be ambiguous)."""
+    from pybabe_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(1, "a")], "count bigint, v string")
+    updates = spark.createDataFrame([(1, "b")], "count bigint, v string")
+    got = [(r["count"], r["v"]) for r in upsert(base, updates, "count").collect()]
+    assert got == [(1, "b")]

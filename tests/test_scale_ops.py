@@ -1424,3 +1424,46 @@ def test_minhash_stored_index_roundtrip(spark, tmp_path):
         for r in near_dedup_against_stored(new, path, threshold=0.9).collect()
     )
     assert kept == [11]
+
+
+def test_ivf_centroids_skip_zero_norm(spark):
+    """A zero-norm vector in the training sample must not poison the
+    centroids with NaNs (it is unscorable and excluded); too few usable
+    vectors raise actionably."""
+    import numpy as np
+
+    from pybabe_spark.operators.similarity import _ivf_centroids, semantic_dedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero-norm, lowest id
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    C = _ivf_centroids(df, "vec_id", "embedding", nlist=2, sample_size=10, iters=2)
+    assert not np.isnan(C).any()
+    with pytest.raises(ValueError, match="usable"):
+        _ivf_centroids(df, "vec_id", "embedding", nlist=4, sample_size=10, iters=1)
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k_clusters=2, threshold=0.95, train_iters=2).collect()}
+    assert out[0]["cell"] is None and out[0]["kept"] is True
+    assert all(out[i]["cell"] is not None for i in (1, 2, 3))
+
+
+def test_minhash_index_params_survive_append(spark, tmp_path):
+    """mode='append' must not accumulate params rows — the probe would
+    pick one arbitrarily and silently mix coefficient families."""
+    from pybabe_spark.operators.dedup_scale import (
+        build_minhash_index,
+        near_dedup_against_stored,
+    )
+
+    docs = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id bigint, text string")
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path)
+    more = spark.createDataFrame([(1, "delta epsilon zeta")], "doc_id bigint, text string")
+    build_minhash_index(more, path, mode="append")
+    new = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id bigint, text string")
+    assert near_dedup_against_stored(new, path, threshold=0.9).count() == 0
