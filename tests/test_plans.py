@@ -311,7 +311,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
                 "segment_dedup_docs", "pack_tokens_docs", "chunk_documents_docs",
-                "rolling_value_per_user", "skip_rows"]:
+                "rolling_value_per_user", "skip_rows",
+                # Arrow-batched encode and the banded stored-index probe
+                # are pure equi-join/linear plans — must stay clean
+                "pq_codes_embeddings", "near_dedup_stored_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
