@@ -858,3 +858,39 @@ def test_upsert_key_named_count(spark):
     updates = spark.createDataFrame([(1, "b")], "count bigint, v string")
     got = [(r["count"], r["v"]) for r in upsert(base, updates, "count").collect()]
     assert got == [(1, "b")]
+
+
+def test_memoize_fingerprint_stable_across_processes(spark, tmp_path):
+    """The cross-session cache contract: a brand-new JVM/driver process
+    (fresh expr-id counter, fresh jvmId UUIDs) computes the SAME
+    fingerprint for the same pipeline."""
+    import subprocess
+    import sys
+
+    from pybabe_spark.operators.infra import _plan_fingerprint
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(50).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    here = _plan_fingerprint(
+        spark.read.parquet(src).filter(F.col("v") > 10).select("id")
+    )
+    # the contract is same-CONFIG sessions (differing session confs can
+    # legitimately analyze to different plans — a safe cache miss), so
+    # the fresh process builds its session the same way conftest does
+    code = f"""
+import sys
+sys.path.insert(0, {str(__import__('pathlib').Path(__file__).resolve().parent.parent)!r})
+from pyspark.sql import functions as F
+from pybabe_spark.session import get_spark
+spark = get_spark("fp-probe", shuffle_partitions=8)
+from pybabe_spark.operators.infra import _plan_fingerprint
+print("FP:" + _plan_fingerprint(
+    spark.read.parquet({src!r}).filter(F.col("v") > 10).select("id")
+))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    there = [l for l in proc.stdout.splitlines() if l.startswith("FP:")][0][3:]
+    assert there == here
