@@ -1,0 +1,222 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Given a huge raw corpus and a small high-quality target corpus, score
+every raw document by how target-like its hashed n-gram distribution is
+and resample with Gumbel-top-k — the standard recipe for carving a
+pretraining mix out of a web-scale crawl. Beyond-reference (the
+reference has no corpus-selection surface; nearest primitive is
+pybabe/filter_.py row filtering).
+
+Pipeline, all hash-agg + equi-join (linear, no collect, no Python):
+
+1. :func:`hashed_ngram_features` — one row per word-bigram occurrence,
+   bucketed into ``buckets`` hashed features with the registry's
+   cross-engine md5 bucket (operators/sampling.py::hash_bucket);
+   :func:`doc_feature_profile` aggregates it to the compact
+   (id, bucket, occurrences) form every downstream stage consumes, so
+   the md5 hash is evaluated once per occurrence and the profile's
+   exchange is physically shared (ReuseExchange) between the bucket
+   models and the scoring join.
+2. :func:`dsir_log_weights` — per-bucket add-alpha unigram models of
+   the target and raw feature distributions (totals derived from the
+   count tables, never a second corpus pass), then per-doc
+   log w(x) = Σ_f [ln p_target(f) − ln p_raw(f)] over the doc's
+   feature occurrences. The per-bucket terms are DECIMAL(18,6) per the
+   registry convention and enter the sum as exact
+   occurrences × term products, so the sum is order-independent.
+3. :func:`dsir_resample` — deterministic Gumbel-top-k: uniform noise
+   from the seeded md5 of the doc id (identical in any engine, any
+   retry), g = log_weight − ln(−ln(u)), take the k largest.
+
+Scale shapes: the feature space is a FIXED ``buckets``-sized table
+(default 10k rows), so both per-bucket models broadcast; scoring is one
+broadcast join over the exploded raw corpus plus one per-doc hash
+aggregation. The target corpus is small by construction. Resampling is
+a TakeOrderedAndProject top-k, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.lm import bigram_rows
+from pybabe_spark.operators.sampling import hash_bucket, hash_bucket_sql
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """(id, bucket) per word-bigram occurrence; bucket ∈ [0, buckets)."""
+    bg = bigram_rows(df, id_col, text_col)
+    feat = F.concat_ws(" ", F.col("w1"), F.col("w2"))
+    return bg.select(
+        F.col(id_col),
+        F.pmod(hash_bucket(feat, "string"), F.lit(buckets)).alias("bucket"),
+    )
+
+
+def feature_sql(buckets: int) -> str:
+    """DuckDB mirror of the feature bucket for a (w1, w2) pair — the
+    identical md5 arithmetic, so oracle and engine bucket identically."""
+    key = "(w1 || ' ' || w2)"
+    return f"({hash_bucket_sql(key, 'string')}) % {buckets}"
+
+
+def doc_feature_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Compact per-doc feature profile: (id, bucket, nf occurrences).
+
+    The md5 bucket hash — the expensive expression — is evaluated
+    exactly once per bigram occurrence here; every downstream consumer
+    (bucket models, scoring) works on this aggregated form, and
+    consumers sharing the profile share one physical exchange
+    (ReuseExchange) instead of re-exploding the corpus.
+    """
+    return (
+        hashed_ngram_features(df, id_col, text_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("nf"))
+    )
+
+
+def _bucket_model(profile: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket occurrence counts + 1-row total, both DERIVED from the
+    profile: the total is the sum over the ≤buckets count rows, never a
+    second pass over the corpus."""
+    counts = profile.groupBy("bucket").agg(F.sum("nf").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    return counts, total
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-raw-document DSIR importance log-weight.
+
+    Output: (id, n_feats, log_weight); docs with no bigram features get
+    ``n_feats = 0`` and NULL weight (no evidence — the caller decides).
+
+    p(f) = (c_f + alpha) / (N + alpha * buckets) under each corpus; the
+    weight sums ln p_target − ln p_raw over the doc's occurrences. Both
+    per-bucket models are ≤ ``buckets`` rows and broadcast to the
+    scoring join.
+    """
+    raw_prof = doc_feature_profile(raw, id_col, text_col, buckets)
+    tgt_prof = doc_feature_profile(target, id_col, text_col, buckets)
+    cr, nr = _bucket_model(raw_prof)
+    ct, nt = _bucket_model(tgt_prof)
+    from pybabe_spark.operators._util import attach_scalars
+
+    totals = attach_scalars(
+        nr.withColumnRenamed("n", "nr"), nt.withColumnRenamed("n", "nt")
+    )
+    ratio = attach_scalars(
+        cr.join(ct.withColumnRenamed("c", "ct"), "bucket", "left"), totals
+    ).select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                / (F.col("nt") + F.lit(alpha) * F.lit(buckets))
+            )
+            - F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("nr") + F.lit(alpha) * F.lit(buckets))
+            )
+        )
+        .cast("decimal(18,6)")
+        .alias("__lr"),
+    )
+    # nf × lr is an exact decimal multiply — identical to summing the
+    # per-occurrence DECIMAL(18,6) term nf times, which is what the
+    # DuckDB oracle replays
+    scored = raw_prof.join(F.broadcast(ratio), "bucket")
+    agg = scored.groupBy(id_col).agg(
+        F.sum("nf").alias("n_feats"),
+        F.sum(F.col("nf") * F.col("__lr")).cast("decimal(28,6)").alias("__sum"),
+    )
+    return (
+        raw.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.col("__sum").cast("double").alias("log_weight"),
+        )
+    )
+
+
+def gumbel_key(
+    weight_col: str, id_col: str, seed: int = 0
+) -> F.Column:
+    """DECIMAL(18,6)-rounded Gumbel perturbation g = w − ln(−ln(u)) with
+    u ∈ (0, 1) derived from the seeded md5 of the id — the same
+    deterministic-noise idiom as sampling.py::shuffle_key, reproduced
+    exactly by :func:`gumbel_key_sql`."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    return (
+        (F.col(weight_col) - F.log(-F.log(u)))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+
+
+def gumbel_key_sql(weight_col: str, id_col: str, seed: int = 0) -> str:
+    """The identical Gumbel key as ANSI SQL (DuckDB oracle form)."""
+    h = (
+        f"CAST(('0x' || substr(md5('{seed}:' || "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')), 1, 15)) AS BIGINT)"
+    )
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {float(2**60)!r})"
+    return (
+        f"CAST(CAST(({weight_col} - ln(-ln({u}))) AS DECIMAL(18,6)) "
+        f"AS DOUBLE)"
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    seed: int = 0,
+) -> DataFrame:
+    """Gumbel-top-k sample-without-replacement ∝ exp(weight): keep the k
+    rows with the largest perturbed keys (ties broken by id, NULL
+    weights excluded — they carry no evidence). Physical plan is
+    TakeOrderedAndProject — no global sort at any scale."""
+    g = gumbel_key(weight_col, id_col, seed)
+    return (
+        weights.filter(F.col(weight_col).isNotNull())
+        .withColumn("gumbel", g)
+        .orderBy(F.col("gumbel").desc(), F.col(id_col))
+        .limit(k)
+    )

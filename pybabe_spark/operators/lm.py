@@ -1,0 +1,191 @@
+"""Distributed n-gram language model: train on a corpus, score documents
+by perplexity, filter the low-quality tail.
+
+The CCNet recipe (Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", 2020) scores every document
+with a language model and drops the high-perplexity tail; at 100 TB the
+LM itself must be trained distributed. This module implements the whole
+loop corpus-side with nothing but hash aggregations and equi-joins
+(beyond-reference; the reference's closest primitive is the scalar
+enrichment family, pybabe/geoip.py / pybabe/user_agent.py — per-row
+lookup against a trained side table):
+
+- :func:`train_bigram_lm` — add-alpha (Laplace) bigram LM as three
+  DataFrames: bigram counts, context (unigram) counts, vocabulary size.
+  Two hash aggregations over exploded n-grams, both map-side combinable,
+  linear in corpus size.
+- :func:`perplexity` — per-document mean log-probability and perplexity
+  under a trained LM. One shuffle join on (w1, w2) against the bigram
+  table, one on w1 against the (vocabulary-sized, much smaller) context
+  table, then a per-doc hash aggregation.
+- :func:`perplexity_filter` — keep documents at or below a perplexity
+  ceiling (the CCNet "head+middle" cut).
+
+Scale shapes: nothing here is quadratic and nothing collects. Training
+is two groupBy counts over exploded tokens. Scoring joins the exploded
+corpus against the LM on its natural keys — hash-partitioned on both
+sides, AQE-broadcastable when the LM is pruned (``min_count``) small
+enough. Cross-engine determinism follows the registry convention: each
+per-bigram log-probability is cast to DECIMAL(18,6) before the exact
+decimal sum, so Spark's and the oracle's summation orders cannot
+diverge (see pybabe_spark/queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import attach_scalars
+
+
+class BigramLM(NamedTuple):
+    """A trained add-alpha bigram model.
+
+    ``bigrams``: (w1, w2, c12) observed-bigram counts;
+    ``contexts``: (w1, c1) unigram counts — the denominator contexts;
+    ``vocab``: single row (v) — vocabulary size for the smoothing mass.
+    """
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    vocab: DataFrame
+
+
+def _word_array(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ", -1)
+
+
+def bigram_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per bigram OCCURRENCE: (id, w1, w2).
+
+    Pure codegen: ``zip_with`` over two shifted array slices — no
+    Python, no index arithmetic that trips Spark's descending
+    ``sequence`` on one-word documents (slice length is clamped to 0).
+    """
+    ws = _word_array(text_col)
+    n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+
+
+def unigram_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per token occurrence: (w1)."""
+    return df.select(F.explode(_word_array(text_col)).alias("w1"))
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> BigramLM:
+    """Count-based bigram LM over the corpus.
+
+    ``min_count`` prunes bigram rows below the threshold — the 100 TB
+    knob that shrinks the model toward broadcastable; pruned bigrams
+    simply fall back to the smoothing floor at scoring time (they score
+    as unseen), so pruning trades a little probability mass for a much
+    smaller join build side. Contexts and vocabulary are never pruned —
+    the smoothing denominator must stay exact.
+    """
+    uni = unigram_rows(df, text_col)
+    contexts = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    bigrams = (
+        bigram_rows(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    if min_count > 1:
+        bigrams = bigrams.filter(F.col("c12") >= min_count)
+    vocab = contexts.agg(F.count("*").alias("v"))
+    return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab)
+
+
+def perplexity(
+    df: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document add-alpha bigram log-likelihood and perplexity.
+
+    Output: (id, n_bigrams, sum_logp, avg_logp, ppl). Documents with
+    fewer than two tokens have ``n_bigrams = 0`` and NULL scores.
+
+    P(w2 | w1) = (c12 + alpha) / (c1 + alpha * V); unseen bigrams and
+    unseen contexts coalesce their counts to 0, so cross-corpus scoring
+    (an LM trained elsewhere) is well-defined. ``sum_logp`` is the exact
+    decimal sum of per-bigram DECIMAL(18,6) log-probabilities —
+    bit-identical across engines regardless of summation order;
+    ``avg_logp`` is its raw IEEE division by the bigram count (exact
+    inputs → correctly-rounded identical quotient); only ``ppl`` (a
+    transcendental) is DECIMAL(18,6)-rounded.
+    """
+    bg = bigram_rows(df, id_col, text_col)
+    scored = attach_scalars(
+        bg.join(lm.bigrams, ["w1", "w2"], "left").join(
+            lm.contexts, "w1", "left"
+        ),
+        lm.vocab,
+    ).select(
+        F.col(id_col),
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+        )
+        .cast("decimal(18,6)")
+        .alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__lp").cast("decimal(28,6)").alias("__sum"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("__sum").cast("double").alias("sum_logp"),
+            # raw IEEE division of two bit-identical values — correctly
+            # rounded, so engines agree exactly; re-rounding to decimal
+            # would instead land exact-halfway quotients (6-decimal sum
+            # over a small integer) on engine-specific rounding modes
+            (F.col("__sum").cast("double") / F.col("n_bigrams")).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    return out.withColumn(
+        "ppl",
+        F.exp(-(F.col("avg_logp"))).cast("decimal(18,6)").cast("double"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: BigramLM,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Keep documents whose perplexity under ``lm`` is ≤ ``max_ppl``
+    (too-short docs with no bigrams are dropped — no evidence either
+    way, and CCNet's cut drops them too)."""
+    scores = perplexity(df, lm, id_col, text_col, alpha)
+    keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
+    return df.join(keep, id_col, "semi")

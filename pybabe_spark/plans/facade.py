@@ -218,6 +218,32 @@ class Babe:
 
         return self._wrap(coverage_dedup(self.df, threshold, **kwargs))
 
+    def perplexity_filter(
+        self, max_ppl, lm=None, id_col="doc_id", text_col="text", **kwargs
+    ) -> "Babe":
+        """CCNet-style LM quality cut: score against ``lm`` (default: a
+        bigram LM trained on this corpus itself) and keep docs at or
+        below ``max_ppl``."""
+        from pybabe_spark.operators.lm import perplexity_filter, train_bigram_lm
+
+        model = lm or train_bigram_lm(self.df, text_col, id_col)
+        return self._wrap(
+            perplexity_filter(self.df, model, max_ppl, id_col, text_col, **kwargs)
+        )
+
+    def dsir_select(
+        self, target: "Babe | DataFrame", k, id_col="doc_id",
+        text_col="text", seed=0, **kwargs
+    ) -> "Babe":
+        """DSIR: importance-weight this corpus against ``target`` and
+        Gumbel-top-k resample the k most target-like documents."""
+        from pybabe_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+        t = target.df if isinstance(target, Babe) else target
+        w = dsir_log_weights(self.df, t, id_col, text_col, **kwargs)
+        picked = dsir_resample(w, k, id_col, seed=seed).select(id_col)
+        return self._wrap(self.df.join(picked, id_col, "semi"))
+
     def word_entropy(self, field, out_field="entropy") -> "Babe":
         from pybabe_spark.functions.text import word_entropy
 

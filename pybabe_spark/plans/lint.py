@@ -77,6 +77,38 @@ def _explain_physical(df: DataFrame) -> str:
     return text[text.index(marker):] if marker in text else text
 
 
+def _single_row_side_joins(df: DataFrame) -> int:
+    """Number of logical Join nodes with a PROVABLY ≤1-row side
+    (``maxRows`` from Catalyst — e.g. a grouping-key-free aggregate, a
+    ``LIMIT 1``). Such a join is linear in the other side no matter the
+    physical strategy, so a BroadcastNestedLoopJoin it plans to — the
+    attach-a-global-scalar idiom (operators/_util.py::attach_scalars) —
+    is not a scale smell. Conservatively 0 on sessions without the
+    classic JVM plan handle (Spark Connect): lint degrades toward
+    flagging MORE, never less."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return 0
+    count = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        try:
+            if node.getClass().getSimpleName() == "Join":
+                for side in (node.left(), node.right()):
+                    mr = side.maxRows()
+                    if mr.isDefined() and mr.get() <= 1:
+                        count += 1
+                        break
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            continue
+    return count
+
+
 def plan_lint(df: DataFrame) -> list[Finding]:
     """Scale-smell findings for ``df``'s plan (logical shape checks +
     the physical join strategy).
@@ -99,7 +131,8 @@ def plan_lint(df: DataFrame) -> list[Finding]:
                 "a bucketed/candidate form instead",
             )
         )
-    for _ in range(phys.count("BroadcastNestedLoopJoin")):
+    bnlj = phys.count("BroadcastNestedLoopJoin") - _single_row_side_joins(df)
+    for _ in range(max(bnlj, 0)):
         findings.append(
             (
                 "broadcast-nested-loop",

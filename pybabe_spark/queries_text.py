@@ -258,3 +258,129 @@ def q_chunk_documents(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_words=40, overlap=10)
+
+
+@register(
+    "lm_perplexity_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bgx AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM w
+    ),
+    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+    uni AS (SELECT unnest(ws) AS w1 FROM w),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    lp AS (
+      SELECT bg.doc_id,
+             CAST(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))
+                  AS DECIMAL(18,6)) AS lp
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(lp) AS DECIMAL(28,6)) AS s
+      FROM lp GROUP BY doc_id
+    ),
+    out AS (
+      SELECT d.doc_id,
+             COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+             CAST(s AS DOUBLE) AS sum_logp,
+             CAST(s AS DOUBLE) / agg.n_bigrams AS avg_logp
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    )
+    SELECT doc_id, n_bigrams, sum_logp, avg_logp,
+           CAST(CAST(exp(-avg_logp) AS DECIMAL(18,6)) AS DOUBLE) AS ppl
+    FROM out
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style self-trained bigram-LM perplexity per document
+    (operators/lm.py): two count aggregations train the model, two
+    equi-joins score the exploded corpus against it, one hash
+    aggregation per doc — linear, no collect, decimal-exact log-prob
+    sums per the registry convention."""
+    from pybabe_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    return perplexity(docs, lm)
+
+
+def _dsir_weights_sql(buckets: int = 10_000, target_pred: str = "lang = 'en'") -> str:
+    """DuckDB replay of operators/dsir.py::dsir_log_weights — identical
+    md5 feature bucketing, add-1 bucket models, decimal-exact sums."""
+    from pybabe_spark.operators.dsir import feature_sql
+
+    return f"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    bgx AS (
+      SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM w
+    ),
+    bg AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+    f AS (SELECT doc_id, lang, {feature_sql(buckets)} AS bucket FROM bg),
+    cr AS (SELECT bucket, COUNT(*) AS c FROM f GROUP BY bucket),
+    nr AS (SELECT COUNT(*) AS n FROM f),
+    ft AS (SELECT bucket FROM f WHERE {target_pred}),
+    ct AS (SELECT bucket, COUNT(*) AS ct FROM ft GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS n FROM ft),
+    ratio AS (
+      SELECT cr.bucket,
+             CAST(ln((COALESCE(ct.ct, 0) + 1.0) / (nt.n + 1.0 * {buckets}))
+                - ln((cr.c + 1.0) / (nr.n + 1.0 * {buckets}))
+                AS DECIMAL(18,6)) AS lr
+      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nr CROSS JOIN nt
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(lr) AS DECIMAL(28,6)) AS s
+      FROM f JOIN ratio USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(agg.n_feats, 0) AS n_feats,
+           CAST(s AS DOUBLE) AS log_weight
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register("dsir_weights_docs", _dsir_weights_sql())
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (operators/dsir.py): raw = the whole
+    documents corpus, target = its English slice; fixed 10k-bucket
+    hashed-bigram models broadcast to one scoring join + per-doc agg."""
+    from pybabe_spark.operators.dsir import dsir_log_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _dsir_sample_sql() -> str:
+    from pybabe_spark.operators.dsir import gumbel_key_sql
+
+    return f"""
+    WITH wts AS ({_dsir_weights_sql()}),
+    g AS (
+      SELECT doc_id, n_feats, log_weight,
+             {gumbel_key_sql('log_weight', 'doc_id')} AS gumbel
+      FROM wts WHERE log_weight IS NOT NULL
+    )
+    SELECT doc_id, n_feats, log_weight, gumbel
+    FROM g ORDER BY gumbel DESC, doc_id LIMIT 50
+    """
+
+
+@register("dsir_sample_docs", _dsir_sample_sql())
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k DSIR resample (operators/dsir.py::dsir_resample):
+    deterministic seeded-md5 Gumbel noise, TakeOrderedAndProject top-50
+    — sample-without-replacement ∝ exp(log_weight), no global sort."""
+    from pybabe_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_resample(w, k=50)

@@ -1,0 +1,252 @@
+"""n-gram LM perplexity (operators/lm.py) and DSIR importance
+resampling (operators/dsir.py): model-based checks against pure-Python
+references, edge cases, and plan-shape assertions."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_resample,
+    hashed_ngram_features,
+)
+from pybabe_spark.operators.lm import (
+    bigram_rows,
+    perplexity,
+    perplexity_filter,
+    train_bigram_lm,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "the cat sat"),
+    (4, "one"),
+    (5, "completely different words entirely here"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def _py_bigrams(text):
+    ws = text.split(" ")
+    return list(zip(ws, ws[1:]))
+
+
+def test_bigram_rows_matches_python(spark, docs):
+    got = sorted(
+        (r["doc_id"], r["w1"], r["w2"]) for r in bigram_rows(docs).collect()
+    )
+    want = sorted(
+        (i, a, b) for i, t in DOCS for a, b in _py_bigrams(t)
+    )
+    assert got == want
+
+
+def test_bigram_rows_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "a b")], "doc_id bigint, text string"
+    )
+    got = [(r["doc_id"], r["w1"], r["w2"]) for r in bigram_rows(df).collect()]
+    # '' splits to [''] (one token) -> no bigrams, same as the 1-word doc
+    assert got == [(3, "a", "b")]
+
+
+def _py_perplexity(corpus, alpha=1.0):
+    """Reference add-alpha bigram model over the same corpus."""
+    from collections import Counter
+
+    uni = Counter(w for _, t in corpus for w in t.split(" "))
+    bi = Counter(p for _, t in corpus for p in _py_bigrams(t))
+    v = len(uni)
+    out = {}
+    for i, t in corpus:
+        bgs = _py_bigrams(t)
+        if not bgs:
+            out[i] = (0, None)
+            continue
+        s = sum(
+            # mirror the DECIMAL(18,6) per-term rounding (round-half-up
+            # like Spark's decimal cast; quantities here are not near
+            # boundaries so floor(x*1e6+0.5) is fine)
+            math.floor(
+                math.log((bi[p] + alpha) / (uni[p[0]] + alpha * v)) * 1e6 + 0.5
+            )
+            / 1e6
+            for p in bgs
+        )
+        out[i] = (len(bgs), round(s, 6))
+    return out
+
+
+def test_perplexity_matches_python_model(spark, docs):
+    lm = train_bigram_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp"], r["avg_logp"], r["ppl"])
+        for r in perplexity(docs, lm).collect()
+    }
+    want = _py_perplexity(DOCS)
+    assert set(got) == set(want)
+    for i, (n, s) in want.items():
+        gn, gs, ga, gp = got[i]
+        assert gn == n
+        if n == 0:
+            assert gs is None and ga is None and gp is None
+        else:
+            assert gs == pytest.approx(s, abs=1e-9)
+            assert ga == pytest.approx(s / n, abs=1e-9)
+            assert gp == pytest.approx(math.exp(-s / n), abs=1e-5)
+
+
+def test_perplexity_cross_corpus_unseen_ngrams(spark, docs):
+    """Scoring a corpus against an LM trained elsewhere: unseen bigrams
+    and contexts fall back to the smoothing floor instead of erroring."""
+    other = spark.createDataFrame(
+        [(9, "qx wz vb nm")], "doc_id bigint, text string"
+    )
+    lm = train_bigram_lm(docs)
+    row = perplexity(other, lm).collect()[0]
+    v = lm.vocab.collect()[0]["v"]
+    # every bigram unseen, every context unseen: p = alpha/(alpha*V) = 1/V
+    assert row["avg_logp"] == pytest.approx(math.log(1.0 / v), abs=1e-5)
+
+
+def test_perplexity_min_count_prunes_toward_floor(spark, docs):
+    """Pruned bigrams score as unseen — perplexity can only rise."""
+    full = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity(docs, train_bigram_lm(docs)).collect()
+    }
+    pruned = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity(docs, train_bigram_lm(docs, min_count=2)).collect()
+    }
+    assert all(
+        pruned[i] >= full[i] - 1e-9 for i in full if full[i] is not None
+    )
+    assert any(
+        pruned[i] > full[i] for i in full if full[i] is not None
+    )
+
+
+def test_perplexity_filter_keeps_low_tail_drops_short(spark, docs):
+    lm = train_bigram_lm(docs)
+    scores = {
+        r["doc_id"]: r["ppl"] for r in perplexity(docs, lm).collect()
+    }
+    cut = sorted(p for p in scores.values() if p is not None)[2]
+    kept = sorted(
+        r["doc_id"] for r in perplexity_filter(docs, lm, cut).collect()
+    )
+    want = sorted(
+        i for i, p in scores.items() if p is not None and p <= cut
+    )
+    assert kept == want
+    assert 4 not in kept  # the 1-word doc has no evidence and is dropped
+
+
+def _py_bucket(feat, buckets):
+    """Mirror of sampling.hash_bucket(kind='string') then % buckets."""
+    h = int(hashlib.md5(feat.encode()).hexdigest()[:15], 16)
+    folded = h % 1_000_003
+    return (folded * 2_654_435_761 + 123_456_789) % 1_000_000 % buckets
+
+
+def test_hashed_features_match_python(spark, docs):
+    got = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in hashed_ngram_features(docs, buckets=97).collect()
+    )
+    want = sorted(
+        (i, _py_bucket(f"{a} {b}", 97))
+        for i, t in DOCS
+        for a, b in _py_bigrams(t)
+    )
+    assert got == want
+
+
+def test_dsir_weights_match_python_model(spark, docs):
+    buckets, alpha = 97, 1.0
+    target_ids = {1, 3}
+    target = docs.filter(F.col("doc_id").isin(*target_ids))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_log_weights(docs, target, buckets=buckets).collect()
+    }
+
+    from collections import Counter
+
+    raw_f = [
+        (i, _py_bucket(f"{a} {b}", buckets))
+        for i, t in DOCS
+        for a, b in _py_bigrams(t)
+    ]
+    tgt_f = [b for i, b in raw_f if i in target_ids]
+    cr, ct = Counter(b for _, b in raw_f), Counter(tgt_f)
+    nr, nt = len(raw_f), len(tgt_f)
+    for i, _ in DOCS:
+        feats = [b for j, b in raw_f if j == i]
+        gn, gw = got[i]
+        assert gn == len(feats)
+        if not feats:
+            assert gw is None
+            continue
+        s = sum(
+            math.floor(
+                (
+                    math.log((ct[b] + alpha) / (nt + alpha * buckets))
+                    - math.log((cr[b] + alpha) / (nr + alpha * buckets))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+            for b in feats
+        )
+        assert gw == pytest.approx(s, abs=1e-9)
+    # target-like docs must outrank the unrelated one (per feature)
+    assert got[1][1] / got[1][0] > got[5][1] / got[5][0]
+
+
+def test_dsir_resample_deterministic_and_seeded(spark, docs):
+    target = docs.filter(F.col("doc_id").isin(1, 3))
+    w = dsir_log_weights(docs, target, buckets=97)
+    pick = lambda seed: [
+        r["doc_id"] for r in dsir_resample(w, 2, seed=seed).collect()
+    ]
+    a, b = pick(0), pick(0)
+    assert a == b and len(a) == 2
+    assert 4 not in a  # NULL-weight doc excluded
+    seeds = {tuple(pick(s)) for s in range(6)}
+    assert len(seeds) > 1  # the noise actually depends on the seed
+
+
+def test_dsir_resample_plan_is_topk_not_global_sort(spark, docs):
+    target = docs.filter(F.col("doc_id").isin(1, 3))
+    w = dsir_log_weights(docs, target, buckets=97)
+    plan = dsir_resample(w, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lint_proves_single_row_scalar_join_safe(spark):
+    """attach_scalars plans a BroadcastNestedLoopJoin, but the build side
+    is a grouping-key-free aggregate (maxRows=1) — lint must not flag
+    it, while a genuine multi-row cross join stays flagged."""
+    from pybabe_spark.operators._util import attach_scalars
+    from pybabe_spark.plans.lint import plan_lint
+
+    big = spark.range(100)
+    ok = attach_scalars(big, big.agg(F.count("*").alias("n")))
+    assert "BroadcastNestedLoopJoin" in (
+        ok._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_lint(ok) == []
+
+    bad = big.crossJoin(F.broadcast(spark.range(5).select(F.col("id").alias("j"))))
+    assert [c for c, _ in plan_lint(bad)] == ["broadcast-nested-loop"]
