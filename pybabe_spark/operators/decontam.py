@@ -126,3 +126,102 @@ def coverage_dedup(
     cov = duplicated_ngram_coverage(docs, n, id_col, text_col)
     keep = cov.filter(F.col("dup_coverage") < F.lit(threshold)).select(id_col)
     return docs.join(keep, id_col, "semi")
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, shingle) — one row per word n-gram START (0-based),
+    NON-distinct: position-aware sibling of ``_shingle_rows`` for span
+    surgery. Docs shorter than n contribute no rows."""
+    ws = df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__w"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("__w"), i + k + 1) for k in range(n)]
+    )
+    grams = F.when(
+        F.size("__w") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("__w") - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return ws.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__shingle")
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    n: int = 15,
+    min_dup: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; the
+    RefinedWeb exact-substring pass): delete every word covered by some
+    word n-gram that occurs ≥ ``min_dup`` times corpus-wide, keep the
+    rest of the document in order. The classic suffix-array formulation
+    is a single-machine algorithm; this is the equivalent at n-gram
+    resolution (any duplicated substring of length ≥ n is a run of
+    duplicated n-grams, so the covered-word sets coincide).
+
+    Returns (id, text, n_words, n_removed); fully-duplicated documents
+    come back with empty text, the row is kept.
+
+    100 TB shape: positional n-gram explode (linear) → one
+    map-side-combinable count groupBy on the gram string → one semi
+    join marking duplicated STARTS → per-doc coverage via ONE running-
+    max window PARTITIONED BY doc (gaps-and-islands; never a global
+    window) → one groupBy(id) reassembly. No self-join, no Python.
+    """
+    from pyspark.sql import Window
+
+    grams = positional_shingle_rows(docs, id_col, text_col, n)
+    dup = (
+        grams.groupBy("__shingle")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_dup)
+        .select("__shingle")
+    )
+    starts = grams.join(dup, "__shingle", "semi").select(
+        F.col(id_col).alias("__sid"), F.col("__pos").alias("__start")
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("__wpos", "__word"),
+    )
+    marked = words.join(
+        starts,
+        (F.col(id_col) == F.col("__sid"))
+        & (F.col("__wpos") == F.col("__start")),
+        "left",
+    ).select(id_col, "__wpos", "__word", "__start")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__wpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    covered = marked.withColumn(
+        "__cover_end",
+        F.max(
+            F.when(F.col("__start").isNotNull(), F.col("__wpos") + n - 1).otherwise(
+                F.lit(-1)
+            )
+        ).over(w),
+    )
+    # __cover_end >= wpos  <=>  some duplicated n-gram starting at or
+    # before this word still covers it
+    covered = covered.withColumn("__keep", F.col("__cover_end") < F.col("__wpos"))
+    return covered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__wpos", "__word"))
+                    )
+                ),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
+    )

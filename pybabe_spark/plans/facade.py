@@ -218,6 +218,13 @@ class Babe:
 
         return self._wrap(coverage_dedup(self.df, threshold, **kwargs))
 
+    def strip_duplicated_spans(self, n=15, **kwargs) -> "Babe":
+        """Exact duplicated-substring removal (Lee et al. / RefinedWeb):
+        delete every word covered by a corpus-duplicated n-gram."""
+        from pybabe_spark.operators.decontam import strip_duplicated_spans
+
+        return self._wrap(strip_duplicated_spans(self.df, n, **kwargs))
+
     def perplexity_filter(
         self, max_ppl, lm=None, id_col="doc_id", text_col="text", **kwargs
     ) -> "Babe":

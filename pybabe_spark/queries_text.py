@@ -384,3 +384,55 @@ def q_dsir_sample(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
     return dsir_resample(w, k=50)
+
+
+_STRIP_N = 6
+
+
+@register(
+    "strip_dup_spans_docs",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    gx AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - {_STRIP_N} + 2),
+               i -> struct_pack(pos := i - 1,
+                 g := array_to_string(list_slice(ws, i, i + {_STRIP_N} - 1), ' ')))) AS s
+      FROM w WHERE len(ws) >= {_STRIP_N}
+    ),
+    gr AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM gx),
+    cnt AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY g),
+    starts AS (SELECT doc_id, pos FROM gr JOIN cnt USING (g) WHERE c >= 2),
+    wx AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+               i -> struct_pack(wpos := i - 1, wd := ws[i]))) AS u
+      FROM w
+    ),
+    words AS (SELECT doc_id, u.wpos AS wpos, u.wd AS wd FROM wx),
+    cov AS (
+      SELECT words.doc_id, wpos, wd,
+             MAX(CASE WHEN starts.pos IS NOT NULL
+                      THEN wpos + {_STRIP_N} - 1 ELSE -1 END)
+               OVER (PARTITION BY words.doc_id ORDER BY wpos
+                     ROWS UNBOUNDED PRECEDING) AS ce
+      FROM words LEFT JOIN starts
+        ON words.doc_id = starts.doc_id AND words.wpos = starts.pos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(wd, ' ' ORDER BY wpos)
+                      FILTER (WHERE ce < wpos), '') AS text,
+           COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN ce >= wpos THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_strip_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring removal at {n}-gram resolution
+    (operators/decontam.py::strip_duplicated_spans, the Lee-et-al /
+    RefinedWeb exact-substring pass): delete every word covered by a
+    corpus-duplicated 6-gram, reassemble in order. Linear explodes,
+    one gram-count groupBy, one semi join, one PER-DOC running-max
+    window — no self-join, no global window."""
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, n=_STRIP_N)

@@ -250,3 +250,62 @@ def test_lint_proves_single_row_scalar_join_safe(spark):
 
     bad = big.crossJoin(F.broadcast(spark.range(5).select(F.col("id").alias("j"))))
     assert [c for c, _ in plan_lint(bad)] == ["broadcast-nested-loop"]
+
+
+# ---------------------------------------------------------------------------
+# strip_duplicated_spans (operators/decontam.py) — exact-substring removal
+# ---------------------------------------------------------------------------
+
+def _py_strip(corpus, n, min_dup=2):
+    from collections import Counter
+
+    grams = Counter(
+        tuple(t.split(" ")[i : i + n])
+        for _, t in corpus
+        for i in range(len(t.split(" ")) - n + 1)
+    )
+    out = {}
+    for doc_id, t in corpus:
+        ws = t.split(" ")
+        covered = set()
+        for i in range(len(ws) - n + 1):
+            if grams[tuple(ws[i : i + n])] >= min_dup:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[doc_id] = (" ".join(kept), len(ws), len(covered))
+    return out
+
+
+def test_strip_duplicated_spans_matches_python(spark):
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+
+    corpus = [
+        (1, "a b c d e unique tail one"),
+        (2, "prefix two a b c d e suffix"),          # shares the 5-span
+        (3, "x y z completely different words"),
+        (4, "a b c d e"),                            # the whole doc is the span
+        (5, "tiny"),                                 # shorter than n
+        (6, "a b c d e a b c d e"),                  # internal repeat too
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_removed"])
+        for r in strip_duplicated_spans(df, n=5).collect()
+    }
+    assert got == _py_strip(corpus, 5)
+    # the shared 5-gram is gone everywhere, full-span doc is emptied
+    assert got[4][0] == ""
+    assert got[3] == ("x y z completely different words", 6, 0)
+    assert got[5] == ("tiny", 1, 0)
+
+
+def test_strip_duplicated_spans_window_is_per_doc(spark):
+    """The coverage window must be partitioned by doc — plan_lint's
+    global-window check would catch a statless regression."""
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
+    )
+    assert plan_lint(strip_duplicated_spans(df, n=5)) == []
