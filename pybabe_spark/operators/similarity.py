@@ -571,12 +571,7 @@ def ann_ivf(
         else _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
     )
 
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
-
+    cell_of = _cell_of_udf(C)
     qrows = _collect_query_rows(queries, id_col, vec_col)
     Q = np.asarray([r[vec_col] for r in qrows], dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1165,6 +1160,135 @@ def ann_pq(
     sims = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
         .join(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adist.cast("double").alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def _cell_of_udf(C: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment for IVF variants (the
+    nlist × dim centroid matrix ships in the UDF closure)."""
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+
+    return cell_of
+
+
+def ann_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    centroids=None,
+    codebooks: list[list[list[float]]] | None = None,
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF-PQ (the IVFADC composition, Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the IVF coarse
+    quantizer prunes the corpus to each query's ``nprobe`` cells, and
+    distance INSIDE the probed cells is the PQ asymmetric-distance
+    lookup-sum over the row's codes — the shape a billion-vector ANN
+    service runs (Faiss IndexIVFPQ). Codes here quantize the raw
+    vectors, not residuals (IVFFlat-style PQ): one shared codebook
+    serves every cell, which keeps the codes table reusable by plain
+    :func:`ann_pq` and the encode pass cell-independent.
+
+    Returns (query_id, neighbor_id, adist double), ≤k rows per query,
+    ascending approximate distance (ties to the lower neighbor id).
+
+    Scale shape: ONE narrow Arrow-batched corpus pass emits
+    (id, cell, codes) — at 100 TB this is the stored index form
+    (``partitionBy(cell)``, 8-byte codes per vector instead of the
+    vector). Probe cells and ADC tables are computed driver-side from
+    the small-by-contract query batch and broadcast; the probe join is
+    an equi-join on cell id touching ~nprobe/nlist of the codes table;
+    per-query top-k is a window rank. Decimal table entries keep the
+    lookup sums order-independent and engine-exact.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    C = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
+    )
+    if codebooks is None:
+        codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
+    CB = np.asarray(codebooks, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        codes = _pq_sub_dists(X, CB).argmin(axis=2)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _cell_of_udf(C)(F.col(vec_col)).alias("__cell"),
+        _enc(F.col(vec_col)).alias("codes"),
+    )
+
+    qrows = _collect_query_rows(queries, id_col, vec_col)
+    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    T = _pq_sub_dists(Q, CB)
+    six = Decimal("0.000001")
+    tables = [
+        [
+            [
+                Decimal(float(T[qi, j, cc])).quantize(six, ROUND_HALF_UP)
+                for cc in range(T.shape[2])
+            ]
+            for j in range(T.shape[1])
+        ]
+        for qi in range(len(qrows))
+    ]
+    pairs = [
+        (r[id_col], int(cell), tables[qi])
+        for qi, (r, cells) in enumerate(zip(qrows, order))
+        for cell in cells
+    ]
+    q = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            pairs,
+            f"query_id {_id_type(queries, id_col)}, __cell int, "
+            "__tbl array<array<decimal(18,6)>>",
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__tbl"),
+            lambda cd, t: F.element_at(t, cd + F.lit(1)),
+        ),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    sims = (
+        c.join(q, "__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -1040,3 +1040,80 @@ def q_near_dedup_stored(spark, sf_dir):
         _MINHASH_INDEX_CACHE[sf_dir] = path
     new = docs.filter(F.col("doc_id") % 5 != 0)
     return near_dedup_against_stored(new, path, threshold=0.5).select("doc_id")
+
+
+# IVF-PQ composes the non-SQL-replayable k-means coarse quantizer with the
+# fully-oracled ADC scorer, so its driver check is the boolean-invariant
+# pattern of ann_ivf_topk — anchored on ann_pq (identical codebooks →
+# identical decimal ADC distances), which isolates exactly the IVF pruning
+# loss: per query 1..k rows, every hit's adist BIT-EQUAL to the full-PQ
+# ranking's, and recall vs full-PQ top-k over a pinned floor. Measured
+# per-query recall with nprobe=4/nlist=16 is 0.5-0.9 at every test SF;
+# the 0.3 floor leaves margin for testdata regeneration.
+_IVFPQ_RECALL_FLOOR = 0.3
+
+
+@register(
+    "ann_ivfpq_topk",
+    """
+    SELECT vec_id AS query_id,
+           TRUE AS n_ok,
+           TRUE AS adist_ok,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def q_ann_ivfpq(spark, sf_dir):
+    from pybabe_spark.operators.similarity import (
+        _ivf_centroids,
+        ann_ivfpq,
+        ann_pq,
+        build_pq_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    C = _IVF_CENTROID_CACHE.get(sf_dir)
+    if C is None:
+        C = _IVF_CENTROID_CACHE[sf_dir] = _ivf_centroids(
+            emb, "vec_id", "embedding", 16, 2048, 5
+        )
+    cb = build_pq_codebooks(emb, _PQ_M, _PQ_KS)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivfpq = ann_ivfpq(
+        emb, queries, k=10, nlist=16, nprobe=4,
+        m=_PQ_M, ks=_PQ_KS, centroids=C, codebooks=cb,
+    )
+    pq = (
+        ann_pq(emb, queries, k=10, m=_PQ_M, ks=_PQ_KS, codebooks=cb)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist").alias("__pq_adist"),
+        )
+        .withColumn("__hit", F.lit(1))
+    )
+    stats = (
+        ivfpq.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
+            F.min(
+                F.when(F.col("__hit").isNotNull(),
+                       (F.col("adist") == F.col("__pq_adist")).cast("int"))
+            ).alias("__dist_eq"),
+        )
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    hits = F.coalesce(F.col("__hits"), F.lit(0))
+    return qids.join(stats, "query_id", "left").select(
+        "query_id",
+        ((n >= F.lit(1)) & (n <= F.lit(10))).alias("n_ok"),
+        # vacuously true only when there are no hits at all — and then
+        # recall_ok fails, so a broken pipeline cannot slip through
+        (F.coalesce(F.col("__dist_eq"), F.lit(1)) == 1).alias("adist_ok"),
+        ((n >= F.lit(1)) & (hits >= F.lit(_IVFPQ_RECALL_FLOOR) * n)).alias(
+            "recall_ok"
+        ),
+    )

@@ -307,6 +307,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # PQ ADC: per-query decimal lookup tables (bounded by the
         # query-batch contract) broadcast against the codes scan
         "ann_pq_topk": {"broadcast-nested-loop"},
+        # IVF-PQ itself joins on cell id (clean); the finding is the
+        # in-query ann_pq recall anchor (same contract as ann_pq_topk)
+        "ann_ivfpq_topk": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
@@ -314,7 +317,12 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "rolling_value_per_user", "skip_rows",
                 # Arrow-batched encode and the banded stored-index probe
                 # are pure equi-join/linear plans — must stay clean
-                "pq_codes_embeddings", "near_dedup_stored_docs"]:
+                "pq_codes_embeddings", "near_dedup_stored_docs",
+                # LM scoring joins + 1-row scalar attaches (maxRows-
+                # proven), DSIR broadcast models, span-removal window —
+                # all must stay clean
+                "lm_perplexity_docs", "dsir_weights_docs",
+                "dsir_sample_docs", "strip_dup_spans_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -1467,3 +1467,45 @@ def test_minhash_index_params_survive_append(spark, tmp_path):
     build_minhash_index(more, path, mode="append")
     new = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id bigint, text string")
     assert near_dedup_against_stored(new, path, threshold=0.9).count() == 0
+
+
+def test_ann_ivfpq_consistent_with_pq_and_cell_pruned(spark, sf_dir):
+    """IVF-PQ must (a) score every returned pair with the EXACT same
+    decimal ADC distance as full ann_pq under the same codebooks, (b)
+    keep per-query counts in 1..k, (c) recall a solid fraction of the
+    full-PQ top-k (the only loss is cell pruning), and (d) plan the
+    corpus side as an equi-join on cell id, not all-pairs."""
+    import os
+
+    from pybabe_spark.operators.similarity import (
+        _ivf_centroids,
+        ann_ivfpq,
+        ann_pq,
+        build_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = build_pq_codebooks(emb, 8, 16)
+    C = _ivf_centroids(emb, "vec_id", "embedding", 16, 2048, 5)
+    ivfpq = ann_ivfpq(
+        emb, queries, k=10, nlist=16, nprobe=4, centroids=C, codebooks=cb
+    )
+    a = {(r["query_id"], r["neighbor_id"]): r["adist"] for r in ivfpq.collect()}
+    b = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in ann_pq(emb, queries, k=10, codebooks=cb).collect()
+    }
+    per_q: dict = {}
+    for (q, _n), _ in a.items():
+        per_q[q] = per_q.get(q, 0) + 1
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(1 <= n <= 10 for n in per_q.values())
+    overlap = set(a) & set(b)
+    assert len(overlap) >= 0.3 * len(a)          # cell-pruning recall
+    assert all(a[p] == b[p] for p in overlap)    # bit-equal decimal ADC
+    # pruned join: candidate generation is the __cell equi-join; the
+    # only nested-loop is... none — IVF-PQ itself must lint clean
+    from pybabe_spark.plans.lint import plan_lint
+
+    assert plan_lint(ivfpq) == []
