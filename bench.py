@@ -3,6 +3,14 @@
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
+The timed action is ``count()`` on each query's result, uniformly.
+Note the honest caveat: Catalyst prunes subtrees that cannot change the
+result cardinality (e.g. the scoring side of a left join against a
+per-key aggregate), so for a few left-join-shaped queries
+(``lm_perplexity_docs``, ``dsir_weights_docs``) the count measures less
+than a full materialization would; their fully-evaluated cousins
+(``dsir_sample_docs``, the driver's value-hash run) carry the real cost.
+
 ``python bench.py --stress [factors]`` instead measures how the
 dedup/CC/ANN family SCALES: the documents/embeddings corpus is
 synthetically inflated (replica ids offset, replica words suffixed so

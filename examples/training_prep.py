@@ -28,12 +28,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     seen = docs.filter(F.col("doc_id") % 5 == 0)
     batch = docs.filter(F.col("doc_id") % 5 != 0)
 
-    # 1. annotate + filter (narrow codegen maps)
+    # 1. exact duplicated-substring scrub (Lee-et-al pass): delete
+    #    spans covered by corpus-duplicated 6-grams, keep docs that
+    #    still have text — BEFORE stats, so quality scores see the
+    #    cleaned form
+    batch = (
+        batch.strip_duplicated_spans(n=6)
+        .filter(F.col("text") != "")
+        .filter_columns(keep_fields=["doc_id", "text"])
+        .assert_scales()
+    )
+
+    # 1b. annotate + filter (narrow codegen maps)
     kept = (
         batch.text_stats()
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
         .assert_scales()
     )
+
+    # 1c. CCNet-style LM quality cut with the train-offline /
+    #     score-online split: the bigram LM is trained on the SEEN
+    #     corpus, stored, and the incoming batch scores against the
+    #     stored model without re-reading seen text
+    import tempfile
+
+    from pybabe_spark.operators.lm import load_lm, save_lm, train_bigram_lm
+
+    lm_path = tempfile.mkdtemp(prefix="prep_lm_") + "/lm"
+    save_lm(train_bigram_lm(seen.df), lm_path)
+    kept = kept.perplexity_filter(
+        max_ppl=10_000.0, lm=load_lm(spark, lm_path)
+    ).assert_scales()
 
     # 2. drop batch docs near-duplicating the seen corpus — via the
     #    STORED MinHash index: the seen corpus's signature pass runs once
@@ -56,6 +81,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         F.col("id").alias("doc_id")
     )
     survivors = Babe.from_df(fresh.df.join(reps, "doc_id", "left_semi"))
+
+    # 3b. DSIR budget cut: of the deduped survivors, keep the (at most)
+    #     1000 whose hashed-n-gram profile is most like the seen corpus
+    #     — deterministic Gumbel-top-k, never a global sort
+    survivors = survivors.dsir_select(seen.df, k=1000)
 
     # 4. pack surviving docs into 2048-token training sequences
     packed = survivors.pack_tokens(2048, tokens_col="n_tokens")

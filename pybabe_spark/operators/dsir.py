@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pybabe_spark.operators._util import attach_scalars
 from pybabe_spark.operators.lm import bigram_rows
 from pybabe_spark.operators.sampling import hash_bucket, hash_bucket_sql
 
@@ -119,8 +120,6 @@ def dsir_log_weights(
     tgt_prof = doc_feature_profile(target, id_col, text_col, buckets)
     cr, nr = _bucket_model(raw_prof)
     ct, nt = _bucket_model(tgt_prof)
-    from pybabe_spark.operators._util import attach_scalars
-
     totals = attach_scalars(
         nr.withColumnRenamed("n", "nr"), nt.withColumnRenamed("n", "nt")
     )

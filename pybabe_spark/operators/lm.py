@@ -189,3 +189,28 @@ def perplexity_filter(
     scores = perplexity(df, lm, id_col, text_col, alpha)
     keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "semi")
+
+
+def save_lm(lm: BigramLM, path: str, mode: str = "overwrite") -> None:
+    """Persist a trained LM as three parquet tables under ``path``
+    (``bigrams/``, ``contexts/``, ``vocab/``) — the train-offline /
+    score-online split every production quality filter runs (cf. the
+    stored ANN indexes, similarity.build_lsh_index): the expensive
+    corpus aggregation happens once; later batches score against the
+    stored model without re-reading the training corpus."""
+    lm.bigrams.write.mode(mode).parquet(f"{path}/bigrams")
+    lm.contexts.write.mode(mode).parquet(f"{path}/contexts")
+    lm.vocab.write.mode(mode).parquet(f"{path}/vocab")
+
+
+def load_lm(spark, path: str) -> BigramLM:
+    """Load a :func:`save_lm` model; scoring plans are identical to the
+    freshly-trained form (same schemas, same joins)."""
+    return BigramLM(
+        bigrams=spark.read.parquet(f"{path}/bigrams"),
+        contexts=spark.read.parquet(f"{path}/contexts"),
+        # limit(1) restores the single-row guarantee a file scan cannot
+        # carry (save_lm wrote exactly one row), so plan_lint can again
+        # PROVE the scalar-attach nested loop safe via maxRows
+        vocab=spark.read.parquet(f"{path}/vocab").limit(1),
+    )

@@ -309,3 +309,14 @@ def test_strip_duplicated_spans_window_is_per_doc(spark):
         [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id bigint, text string"
     )
     assert plan_lint(strip_duplicated_spans(df, n=5)) == []
+
+
+def test_lm_save_load_roundtrip_scores_identically(spark, docs, tmp_path):
+    from pybabe_spark.operators.lm import load_lm, save_lm
+
+    lm = train_bigram_lm(docs)
+    save_lm(lm, str(tmp_path / "lm"))
+    loaded = load_lm(spark, str(tmp_path / "lm"))
+    fresh = {tuple(r) for r in perplexity(docs, lm).collect()}
+    stored = {tuple(r) for r in perplexity(docs, loaded).collect()}
+    assert fresh == stored
