@@ -183,7 +183,10 @@ def stress(factors: list[int]) -> None:
         near_dedup_against,
         near_dedup_keep,
     )
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+    from pybabe_spark.operators.dsir import dsir_log_weights, dsir_resample
     from pybabe_spark.operators.graph import dup_clusters
+    from pybabe_spark.operators.lm import perplexity, train_bigram_lm
     from pybabe_spark.operators.similarity import (
         ann_lsh_stored,
         ann_pq,
@@ -248,6 +251,20 @@ def stress(factors: list[int]) -> None:
             ).filter("NOT kept").count(),
             "pq_encode": lambda: pq_encode(emb).count(),
             "ann_pq": lambda: ann_pq(emb, queries, k=10).count(),
+            # count() would prune the left-join scoring subtrees of the
+            # LM/DSIR outputs (bench.py module docstring) — force full
+            # evaluation through the non-null filter so the measured
+            # time is the whole train+score pipeline
+            "lm_perplexity": lambda: perplexity(docs, train_bigram_lm(docs))
+            .filter(F.col("ppl").isNotNull())
+            .count(),
+            "dsir_select": lambda: dsir_resample(
+                dsir_log_weights(docs, docs.filter(F.col("lang") == "en")),
+                50,
+            ).count(),
+            "strip_dup_spans": lambda: strip_duplicated_spans(docs, n=6)
+            .filter(F.col("n_removed") > 0)
+            .count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index

@@ -214,3 +214,27 @@ def load_lm(spark, path: str) -> BigramLM:
         # PROVE the scalar-attach nested loop safe via maxRows
         vocab=spark.read.parquet(f"{path}/vocab").limit(1),
     )
+
+
+def merge_lm(a: BigramLM, b: BigramLM) -> BigramLM:
+    """Combine two trained LMs by summing counts — EXACTLY the model
+    :func:`train_bigram_lm` would produce on the concatenated corpora
+    (counts are additive), so incremental pipelines can fold each new
+    batch's cheap local model into the stored global one instead of
+    re-scanning history. Two union+sum aggregations, model-sized not
+    corpus-sized."""
+    bigrams = (
+        a.bigrams.unionByName(b.bigrams)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+    )
+    contexts = (
+        a.contexts.unionByName(b.contexts)
+        .groupBy("w1")
+        .agg(F.sum("c1").alias("c1"))
+    )
+    return BigramLM(
+        bigrams=bigrams,
+        contexts=contexts,
+        vocab=contexts.agg(F.count("*").alias("v")),
+    )

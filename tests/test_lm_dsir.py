@@ -320,3 +320,22 @@ def test_lm_save_load_roundtrip_scores_identically(spark, docs, tmp_path):
     fresh = {tuple(r) for r in perplexity(docs, lm).collect()}
     stored = {tuple(r) for r in perplexity(docs, loaded).collect()}
     assert fresh == stored
+
+
+def test_merge_lm_equals_training_on_union(spark, docs):
+    """Counts are additive: merging per-half models must reproduce the
+    whole-corpus model exactly, scoring included (the incremental-batch
+    contract; min_count pruning intentionally breaks additivity and is
+    a train-time-only knob)."""
+    from pybabe_spark.operators.lm import merge_lm
+
+    half_a = docs.filter(F.col("doc_id") <= 2)
+    half_b = docs.filter(F.col("doc_id") > 2)
+    merged = merge_lm(train_bigram_lm(half_a), train_bigram_lm(half_b))
+    whole = train_bigram_lm(docs)
+    assert {tuple(r) for r in merged.bigrams.collect()} == {
+        tuple(r) for r in whole.bigrams.collect()
+    }
+    assert {tuple(r) for r in perplexity(docs, merged).collect()} == {
+        tuple(r) for r in perplexity(docs, whole).collect()
+    }

@@ -398,3 +398,80 @@ def test_pq_encode_matches_python_model(spark, vecs):
                 dists.append(d)
             want.append(min(range(ks), key=lambda c: (dists[c], c)))
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity & duplicated-span removal vs pure-Python models
+# ---------------------------------------------------------------------------
+
+words_st = st.sampled_from(["a", "b", "c", "d", "ee", "ff"])
+docs_st = st.lists(
+    st.lists(words_st, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_st)
+@settings(**SETTINGS)
+def test_perplexity_property_matches_python(spark, texts):
+    import math
+    from collections import Counter
+
+    from pybabe_spark.operators.lm import perplexity, train_bigram_lm
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp"])
+        for r in perplexity(df, train_bigram_lm(df)).collect()
+    }
+
+    def bigrams(t):
+        ws = t.split(" ")
+        return list(zip(ws, ws[1:]))
+
+    uni = Counter(w for _, t in corpus for w in t.split(" "))
+    bi = Counter(p for _, t in corpus for p in bigrams(t))
+    v = len(uni)
+    for i, t in corpus:
+        bgs = bigrams(t)
+        gn, gs = got[i]
+        assert gn == len(bgs)
+        if not bgs:
+            assert gs is None
+            continue
+        s = sum(
+            math.floor(math.log((bi[p] + 1) / (uni[p[0]] + v)) * 1e6 + 0.5) / 1e6
+            for p in bgs
+        )
+        assert gs == pytest.approx(s, abs=1e-9)
+
+
+@given(texts=docs_st, n=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_strip_duplicated_spans_property(spark, texts, n):
+    from collections import Counter
+
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_removed"])
+        for r in strip_duplicated_spans(df, n=n).collect()
+    }
+
+    grams = Counter(
+        tuple(t.split(" ")[i : i + n])
+        for _, t in corpus
+        for i in range(len(t.split(" ")) - n + 1)
+    )
+    for i, t in corpus:
+        ws = t.split(" ")
+        covered = set()
+        for j in range(len(ws) - n + 1):
+            if grams[tuple(ws[j : j + n])] >= 2:
+                covered.update(range(j, j + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        assert got[i] == (" ".join(kept), len(ws), len(covered))
