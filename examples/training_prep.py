@@ -9,6 +9,7 @@ in miniature (no driver-side collect decides membership anywhere).
 
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -50,8 +51,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     #     score-online split: the bigram LM is trained on the SEEN
     #     corpus, stored, and the incoming batch scores against the
     #     stored model without re-reading seen text
-    import tempfile
-
     from pybabe_spark.operators.lm import load_lm, save_lm, train_bigram_lm
 
     lm_path = tempfile.mkdtemp(prefix="prep_lm_") + "/lm"
@@ -64,8 +63,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     #    STORED MinHash index: the seen corpus's signature pass runs once
     #    at build time and later batches probe the index without ever
     #    re-reading seen text (the real incremental-crawl shape)
-    import tempfile
-
     idx = tempfile.mkdtemp(prefix="prep_mh_idx_") + "/index"
     from pybabe_spark.operators.dedup_scale import build_minhash_index
 

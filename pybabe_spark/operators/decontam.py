@@ -134,7 +134,10 @@ def positional_shingle_rows(
     """(id, pos, shingle) — one row per word n-gram START (0-based),
     NON-distinct: position-aware sibling of ``_shingle_rows`` for span
     surgery. Docs shorter than n contribute no rows."""
-    ws = df.select(F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__w"))
+    ws = df.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1).alias("__w"),
+    )
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("__w"), i + k + 1) for k in range(n)]
     )
@@ -184,9 +187,14 @@ def strip_duplicated_spans(
     starts = grams.join(dup, "__shingle", "semi").select(
         F.col(id_col).alias("__sid"), F.col("__pos").alias("__start")
     )
+    # NULL text behaves like '' (one empty word, no grams) — posexplode
+    # of a NULL array would emit zero rows and silently DROP the doc,
+    # breaking the every-row-kept contract
     words = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("__wpos", "__word"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+        ).alias("__wpos", "__word"),
     )
     marked = words.join(
         starts,

@@ -92,9 +92,14 @@ def doc_feature_profile(
 def _bucket_model(profile: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Per-bucket occurrence counts + 1-row total, both DERIVED from the
     profile: the total is the sum over the ≤buckets count rows, never a
-    second pass over the corpus."""
+    second pass over the corpus. The total coalesces to 0 on an EMPTY
+    corpus — sum-over-nothing is NULL, which would otherwise NULL every
+    downstream log-ratio and silently wipe the resample; with n = 0 the
+    add-alpha model degrades to the uniform distribution instead (an
+    empty target carries no information, so every doc weighs the
+    same)."""
     counts = profile.groupBy("bucket").agg(F.sum("nf").alias("c"))
-    total = counts.agg(F.sum("c").alias("n"))
+    total = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
     return counts, total
 
 

@@ -1074,14 +1074,77 @@ def pq_encode(
     if codebooks is None:
         codebooks = build_pq_codebooks(df, m, ks, id_col, vec_col)
     C = np.asarray(codebooks, dtype="float64")
+    return df.select(
+        F.col(id_col), _pq_encode_udf(C)(F.col(vec_col)).alias("codes")
+    )
+
+
+def _pq_encode_udf(CB: "np.ndarray"):
+    """Arrow-batched PQ encoder (argmin over :func:`_pq_sub_dists`,
+    ties to the lower index) — shared by :func:`pq_encode` and
+    :func:`ann_ivfpq` so the code semantics cannot drift apart."""
 
     @pandas_udf("array<int>")
     def _enc(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype="float64")
-        codes = _pq_sub_dists(X, C).argmin(axis=2)
+        codes = _pq_sub_dists(X, CB).argmin(axis=2)
         return pd.Series([list(map(int, row)) for row in codes])
 
-    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+    return _enc
+
+
+def _adc_query_tables(qrows, CB: "np.ndarray", id_col: str, vec_col: str):
+    """Per-query ADC lookup tables as DECIMAL(18,6) values, aligned
+    with ``qrows``: the same bit-exact left-to-right arithmetic as the
+    oracle's SQL chains (:func:`_pq_sub_dists`), quantized with python
+    ``decimal`` ROUND_HALF_UP — the identical rounding of Spark's and
+    DuckDB's double→decimal casts. Shared by :func:`ann_pq` and
+    :func:`ann_ivfpq` so their distances stay bit-equal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
+    T = _pq_sub_dists(Q, CB)
+    six = Decimal("0.000001")
+    return [
+        [
+            [
+                Decimal(float(T[qi, j, c])).quantize(six, ROUND_HALF_UP)
+                for c in range(T.shape[2])
+            ]
+            for j in range(T.shape[1])
+        ]
+        for qi in range(len(qrows))
+    ]
+
+
+def _adc_sum_expr() -> Column:
+    """Approximate distance of a codes row against the query's ``__tbl``
+    column: m decimal lookups summed in an exact decimal fold."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__tbl"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0).cast("decimal(28,6)"),
+        # decimal addition widens its static type; fold state must keep
+        # the zero's type, so narrow each step back (m bounded terms
+        # cannot overflow 22 integer digits)
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+
+
+def _topk_by_adist(sims: DataFrame, k: int) -> DataFrame:
+    """k rows per query, ascending approximate distance, ties to the
+    lower neighbor id."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def ann_pq(
@@ -1113,8 +1176,6 @@ def ann_pq(
     decimal table entries make the lookup SUMS order-independent and
     exact across engines.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     if codebooks is None:
         codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
     if codes is None:
@@ -1122,40 +1183,13 @@ def ann_pq(
     C = np.asarray(codebooks, dtype="float64")
 
     qrows = _collect_query_rows(queries, id_col, vec_col)
-    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
-    T = _pq_sub_dists(Q, C)  # (nq, m, ks), bit-identical to SQL chains
-    six = Decimal("0.000001")
-    q_tables = [
-        (
-            r[id_col],
-            [
-                [
-                    Decimal(float(T[qi, j, c])).quantize(six, ROUND_HALF_UP)
-                    for c in range(T.shape[2])
-                ]
-                for j in range(T.shape[1])
-            ],
-        )
-        for qi, r in enumerate(qrows)
-    ]
+    tables = _adc_query_tables(qrows, C, id_col, vec_col)
     q = F.broadcast(
         queries.sparkSession.createDataFrame(
-            q_tables,
+            [(r[id_col], tbl) for r, tbl in zip(qrows, tables)],
             f"query_id {_id_type(queries, id_col)}, "
             "__tbl array<array<decimal(18,6)>>",
         )
-    )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__tbl"),
-            lambda c, t: F.element_at(t, c + F.lit(1)),
-        ),
-        F.lit(0).cast("decimal(28,6)"),
-        # decimal addition widens its static type; fold state must keep
-        # the zero's type, so narrow each step back (8 bounded terms
-        # cannot overflow 22 integer digits)
-        lambda acc, v: (acc + v).cast("decimal(28,6)"),
     )
     sims = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
@@ -1164,17 +1198,10 @@ def ann_pq(
         .select(
             "query_id",
             "neighbor_id",
-            adist.cast("double").alias("adist"),
+            _adc_sum_expr().cast("double").alias("adist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_by_adist(sims, k)
 
 
 def _cell_of_udf(C: "np.ndarray"):
@@ -1227,8 +1254,6 @@ def ann_ivfpq(
     per-query top-k is a window rank. Decimal table entries keep the
     lookup sums order-independent and engine-exact.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     C = (
         centroids
         if centroids is not None
@@ -1238,69 +1263,45 @@ def ann_ivfpq(
         codebooks = build_pq_codebooks(corpus, m, ks, id_col, vec_col)
     CB = np.asarray(codebooks, dtype="float64")
 
-    @pandas_udf("array<int>")
-    def _enc(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")
-        codes = _pq_sub_dists(X, CB).argmin(axis=2)
-        return pd.Series([list(map(int, row)) for row in codes])
-
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _cell_of_udf(C)(F.col(vec_col)).alias("__cell"),
-        _enc(F.col(vec_col)).alias("codes"),
+        _pq_encode_udf(CB)(F.col(vec_col)).alias("codes"),
     )
 
     qrows = _collect_query_rows(queries, id_col, vec_col)
     Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
-    T = _pq_sub_dists(Q, CB)
-    six = Decimal("0.000001")
-    tables = [
-        [
-            [
-                Decimal(float(T[qi, j, cc])).quantize(six, ROUND_HALF_UP)
-                for cc in range(T.shape[2])
-            ]
-            for j in range(T.shape[1])
-        ]
-        for qi in range(len(qrows))
-    ]
-    pairs = [
-        (r[id_col], int(cell), tables[qi])
-        for qi, (r, cells) in enumerate(zip(qrows, order))
-        for cell in cells
-    ]
-    q = F.broadcast(
+    tables = _adc_query_tables(qrows, CB, id_col, vec_col)
+    # two broadcast relations instead of one: the (query, cell) probe
+    # pairs are tiny, and each query's m × ks decimal table ships ONCE —
+    # folding the table into the pair rows would replicate it ×nprobe
+    id_t = _id_type(queries, id_col)
+    q_cells = F.broadcast(
         queries.sparkSession.createDataFrame(
-            pairs,
-            f"query_id {_id_type(queries, id_col)}, __cell int, "
-            "__tbl array<array<decimal(18,6)>>",
+            [
+                (r[id_col], int(cell))
+                for r, cells in zip(qrows, order)
+                for cell in cells
+            ],
+            f"query_id {id_t}, __cell int",
         )
     )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__tbl"),
-            lambda cd, t: F.element_at(t, cd + F.lit(1)),
-        ),
-        F.lit(0).cast("decimal(28,6)"),
-        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    q_tbl = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(r[id_col], tbl) for r, tbl in zip(qrows, tables)],
+            f"query_id {id_t}, __tbl array<array<decimal(18,6)>>",
+        )
     )
     sims = (
-        c.join(q, "__cell")
+        c.join(q_cells, "__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(q_tbl, "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            adist.cast("double").alias("adist"),
+            _adc_sum_expr().cast("double").alias("adist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_by_adist(sims, k)

@@ -78,14 +78,19 @@ def _explain_physical(df: DataFrame) -> str:
 
 
 def _single_row_side_joins(df: DataFrame) -> int:
-    """Number of logical Join nodes with a PROVABLY ≤1-row side
+    """Number of logical Join nodes that will plan as a nested loop
+    (no join condition — a cross join) AND have a PROVABLY ≤1-row side
     (``maxRows`` from Catalyst — e.g. a grouping-key-free aggregate, a
-    ``LIMIT 1``). Such a join is linear in the other side no matter the
-    physical strategy, so a BroadcastNestedLoopJoin it plans to — the
-    attach-a-global-scalar idiom (operators/_util.py::attach_scalars) —
-    is not a scale smell. Conservatively 0 on sessions without the
-    classic JVM plan handle (Spark Connect): lint degrades toward
-    flagging MORE, never less."""
+    ``LIMIT 1``). Such a join is linear in the other side, so the
+    BroadcastNestedLoopJoin it plans to — the attach-a-global-scalar
+    idiom (operators/_util.py::attach_scalars) — is not a scale smell.
+
+    Both predicates are required: a 1-row-side join WITH a condition
+    plans as a hash join and never produces the BNLJ node being
+    discounted, so counting it would let one benign equi-join mask a
+    genuine quadratic nested loop elsewhere in the same plan. Errors
+    (and sessions without the classic JVM plan handle — Spark Connect)
+    count 0: lint degrades toward flagging MORE, never less."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception:
@@ -95,7 +100,10 @@ def _single_row_side_joins(df: DataFrame) -> int:
     while stack:
         node = stack.pop()
         try:
-            if node.getClass().getSimpleName() == "Join":
+            if (
+                node.getClass().getSimpleName() == "Join"
+                and not node.condition().isDefined()
+            ):
                 for side in (node.left(), node.right()):
                     mr = side.maxRows()
                     if mr.isDefined() and mr.get() <= 1:

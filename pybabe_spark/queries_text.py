@@ -392,7 +392,8 @@ _STRIP_N = 6
 @register(
     "strip_dup_spans_docs",
     f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+               FROM documents),
     gx AS (
       SELECT doc_id, unnest(list_transform(range(1, len(ws) - {_STRIP_N} + 2),
                i -> struct_pack(pos := i - 1,

@@ -339,3 +339,55 @@ def test_merge_lm_equals_training_on_union(spark, docs):
     assert {tuple(r) for r in perplexity(docs, merged).collect()} == {
         tuple(r) for r in perplexity(docs, whole).collect()
     }
+
+
+def test_strip_duplicated_spans_keeps_null_text_rows(spark):
+    """NULL text behaves like '' — the row must survive (review finding:
+    posexplode of a NULL split array emits zero rows and dropped it)."""
+    from pybabe_spark.operators.decontam import strip_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_removed"])
+        for r in strip_duplicated_spans(df, n=2).collect()
+    }
+    assert got[2] == ("", 1, 0)
+    assert got[1] == ("a b c", 3, 0)
+
+
+def test_dsir_empty_target_degrades_to_uniform_not_null(spark, docs):
+    """An empty target corpus carries no information: weights must stay
+    FINITE (uniform target model), not NULL — a NULL would silently wipe
+    dsir_resample/dsir_select output (review finding)."""
+    import math
+
+    empty = docs.filter(F.col("doc_id") < 0)
+    w = dsir_log_weights(docs, empty, buckets=97)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    # per-feature term: ln(1/97) - ln(p_raw(f)); finite for every doc
+    assert all(
+        rows[i]["log_weight"] is not None
+        for i in rows
+        if rows[i]["n_feats"] > 0
+    )
+    assert rows[4]["log_weight"] is None  # featureless doc stays NULL
+    picked = dsir_resample(w, 3).collect()
+    assert len(picked) == 3
+    assert all(math.isfinite(r["gumbel"]) for r in picked)
+
+
+def test_lint_one_row_equi_join_does_not_mask_real_bnlj(spark):
+    """Review finding: a benign 1-row-side EQUI join (plans as a hash
+    join, produces no BNLJ node) must not be subtracted from the BNLJ
+    count and mask a genuine quadratic nested loop in the same plan."""
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.plans.lint import plan_lint
+
+    big = spark.range(100)
+    one = spark.range(1).select(F.col("id"), F.lit(7).alias("x"))
+    five = spark.range(5).select(F.col("id").alias("j"))
+    mixed = big.join(one, "id").crossJoin(F.broadcast(five))
+    assert [c for c, _ in plan_lint(mixed)] == ["broadcast-nested-loop"]
