@@ -1,0 +1,221 @@
+"""Distributed logistic-regression quality classifier over hashed
+n-gram features — the fastText-style quality filter the LLaMA /
+RedPajama / CCNet pipelines run over every crawl document, trained and
+applied corpus-side (beyond-reference; nearest reference primitive is
+row filtering, pybabe/filter_.py).
+
+The model is a plain logistic regression on the same hashed-bigram
+bag-of-features DSIR uses (operators/dsir.py::doc_feature_profile):
+small enough to broadcast (``buckets`` weights), trained by full-batch
+gradient descent where each iteration is two equi-joins and two hash
+aggregations — no parameter server, no Python in the loop:
+
+  score_i  = Σ_b w_t[b] · nf_ib            (profile ⋈ broadcast weights)
+  p_i      = σ(score_i)                     (rounded DECIMAL(18,6))
+  grad_b   = Σ_i (p_i − y_i) · nf_ib        (residuals ⋈ profile)
+  w_t+1[b] = w_t[b] − lr · grad_b / N
+
+Cross-engine exactness (beyond the registry's decimal convention,
+pybabe_spark/queries.py): the training loop runs in exact INTEGER
+micro-units — weights, residuals, and gradients as value×1e6 bigints,
+the update step an explicit half-away-from-zero integer division — so
+every iteration is bit-identical on any engine by construction. The
+single inexact step per iteration, the σ̃ link, uses only IEEE
+correctly-rounded ops (see :func:`_sigmoid` for why not ``exp``). The
+DuckDB oracle replays whole training runs value-for-value by unrolling
+the iterations as CTEs (queries_text.py::quality_classifier_docs).
+
+Scale shapes: the weight table is ≤ ``buckets`` rows and broadcasts;
+each iteration shuffles the (already aggregated) doc-feature profile
+twice — by doc for scores, by bucket for gradients — both map-side
+combinable and linear in corpus size. Each iteration's weights are
+``localCheckpoint``-ed (the graph.connected_components idiom), so
+iteration t+1 starts from materialized weights instead of replaying
+the whole lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import attach_scalars
+from pybabe_spark.operators.dsir import doc_feature_profile
+
+_DEC = "decimal(18,6)"
+
+
+def _sigmoid(s):
+    """Rational logistic surrogate σ̃(s) = 0.5 + 0.5·s/(1+|s|) — the
+    'fast sigmoid' link. Chosen over exp-based σ deliberately: every op
+    here (abs/add/mul/div) is IEEE correctly-rounded, so both engines —
+    and every JIT tier of the same JVM — produce bit-identical doubles,
+    whereas ``exp`` is only 1-ulp-accurate and its HotSpot intrinsic
+    may differ from the interpreted path, which was observed flipping a
+    DECIMAL(18,6) rounding mid-training. σ̃ is monotone with the same
+    fixed point σ̃(0)=0.5, so gradient directions, rankings, and
+    threshold filters keep their semantics."""
+    return F.lit(0.5) + F.lit(0.5) * s / (F.lit(1.0) + F.abs(s))
+
+
+def _doc_scores(profile: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_feats, score): exact decimal Σ w·nf per doc over the
+    doc's feature occurrences (docs with no features emit no row)."""
+    return (
+        profile.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("nf").alias("n_feats"),
+            F.sum(F.col("nf") * F.col("w"))
+            .cast("decimal(28,6)")
+            .alias("score"),
+        )
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    iters: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Full-batch GD logistic regression; returns the weight table
+    (bucket, w DECIMAL(18,6)) over every bucket observed in training.
+
+    ``label_col`` must be 0/1 (or boolean). Deterministic end to end:
+    zero init, fixed iteration count, decimal-quantized intermediates —
+    two engines replaying the same data produce bit-equal weights.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(lr).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    profile = doc_feature_profile(docs, id_col, text_col, buckets)
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("int").cast("double").alias("__y")
+    )
+    n_docs = labels.agg(F.count("*").alias("__n"))
+
+    # The loop runs ENTIRELY in exact integer micro-units (1e-6): wm is
+    # the weight ×1e6 as bigint, residuals/gradients likewise. The one
+    # inexact step per iteration is σ̃ (IEEE-deterministic, see
+    # _sigmoid); its DECIMAL(18,6) rounding re-enters the integer grid.
+    # The update division uses explicit half-away-from-zero INTEGER
+    # division — lr·g/n on doubles instead puts values on a 2e-9
+    # rational grid that hits decimal half-points for ~1/n of buckets,
+    # where Spark's shortest-string double→decimal rounding and the
+    # oracle's binary rounding disagree (observed, not theoretical).
+    wm = (
+        profile.select("bucket")
+        .distinct()
+        .withColumn("wm", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        s_micro = (
+            profile.join(F.broadcast(wm), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("nf") * F.col("wm")).alias("__sm"))
+        )
+        resid = (
+            labels.join(s_micro, id_col, "left")
+            .select(
+                F.col(id_col),
+                # featureless docs (NULL score) sit at σ̃(0)=0.5 but
+                # have no feature occurrences, so they add nothing to
+                # any gradient bucket — they are dropped by the inner
+                # join back to the profile below
+                (
+                    (
+                        _sigmoid(
+                            F.coalesce(F.col("__sm"), F.lit(0)).cast("double")
+                            / F.lit(1_000_000.0)
+                        ).cast(_DEC)
+                        - F.col("__y").cast(_DEC)
+                    ).cast(_DEC)
+                    * F.lit(1_000_000)
+                )
+                .cast("bigint")
+                .alias("__rm"),
+            )
+        )
+        grad = (
+            profile.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("nf") * F.col("__rm")).alias("__gm"))
+        )
+        wm = (
+            attach_scalars(wm.join(grad, "bucket", "left"), n_docs)
+            .select(
+                "bucket",
+                "wm",
+                (F.coalesce(F.col("__gm"), F.lit(0)) * F.lit(num)).alias("__p"),
+                (F.col("__n") * F.lit(den)).alias("__q"),
+            )
+            .select(
+                "bucket",
+                (
+                    F.col("wm")
+                    - F.when(
+                        F.col("__p") >= 0,
+                        F.expr("(2 * __p + __q) div (2 * __q)"),
+                    ).otherwise(-F.expr("(2 * (-__p) + __q) div (2 * __q)"))
+                ).alias("wm"),
+            )
+            .localCheckpoint(eager=True)  # the round's one materialization
+        )
+    return wm.select(
+        "bucket",
+        (F.col("wm").cast("double") / F.lit(1_000_000.0))
+        .cast(_DEC)
+        .alias("w"),
+    )
+
+
+def score_quality(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, score, prob) under a trained weight table; docs
+    with no bigram features get n_feats = 0 and NULL score/prob (no
+    evidence — the caller decides, same contract as lm.perplexity).
+    ``score`` is the exact decimal Σ w·nf as a double; ``prob`` is the
+    DECIMAL(18,6)-rounded sigmoid."""
+    profile = doc_feature_profile(docs, id_col, text_col, buckets)
+    scores = _doc_scores(profile, weights, id_col)
+    return (
+        docs.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.col("score").cast("double").alias("score"),
+            _sigmoid(F.col("score").cast("double"))
+            .cast(_DEC)
+            .cast("double")
+            .alias("prob"),
+        )
+    )
+
+
+def quality_classifier_filter(
+    docs: DataFrame,
+    weights: DataFrame,
+    min_prob: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Keep documents the classifier scores at or above ``min_prob``
+    (featureless docs carry no evidence and are dropped, like
+    lm.perplexity_filter)."""
+    scored = score_quality(docs, weights, id_col, text_col, buckets)
+    keep = scored.filter(F.col("prob") >= min_prob).select(id_col)
+    return docs.join(keep, id_col, "semi")

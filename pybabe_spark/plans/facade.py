@@ -238,6 +238,27 @@ class Babe:
             perplexity_filter(self.df, model, max_ppl, id_col, text_col, **kwargs)
         )
 
+    def quality_filter(
+        self, labeled: "Babe | DataFrame", label_col, min_prob=0.5,
+        id_col="doc_id", text_col="text", **kwargs
+    ) -> "Babe":
+        """fastText-style quality cut: train a logistic classifier on
+        the ``labeled`` corpus's hashed-bigram features, keep docs this
+        corpus scores at or above ``min_prob``."""
+        from pybabe_spark.operators.classifier import (
+            quality_classifier_filter,
+            train_quality_classifier,
+        )
+
+        t = labeled.df if isinstance(labeled, Babe) else labeled
+        w = train_quality_classifier(t, label_col, id_col, text_col, **kwargs)
+        buckets = kwargs.get("buckets", 4096)
+        return self._wrap(
+            quality_classifier_filter(
+                self.df, w, min_prob, id_col, text_col, buckets
+            )
+        )
+
     def dsir_select(
         self, target: "Babe | DataFrame", k, id_col="doc_id",
         text_col="text", seed=0, **kwargs

@@ -437,3 +437,109 @@ def q_strip_dup_spans(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return strip_duplicated_spans(docs, n=_STRIP_N)
+
+
+def _quality_classifier_sql(buckets: int = 4096, lr: float = 1.0) -> str:
+    """DuckDB replay of operators/classifier.py::train_quality_classifier
+    (iters=2, zero init, y = lang='en') + score_quality — the two GD
+    iterations UNROLLED as CTEs in the same exact integer micro-unit
+    arithmetic (weights/residuals/gradients ×1e6 as BIGINT, half-away-
+    from-zero integer division for the update), so the whole training
+    run is value-identical across engines."""
+    from fractions import Fraction
+
+    from pybabe_spark.operators.dsir import feature_sql
+
+    frac = Fraction(lr).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    def upd(prev_wm: str, g: str) -> str:
+        """half-away-from-zero integer delta, subtracted from prev."""
+        return f"""
+      SELECT bk.bucket,
+             {prev_wm} - (CASE WHEN pq.p >= 0
+                  THEN (2 * pq.p + pq.q) // (2 * pq.q)
+                  ELSE -((2 * (-pq.p) + pq.q) // (2 * pq.q)) END) AS wm
+      FROM bk
+      JOIN (SELECT bk2.bucket,
+                   COALESCE({g}.gm, 0) * {num} AS p,
+                   nd.n * {den} AS q
+            FROM bk AS bk2 LEFT JOIN {g} USING (bucket) CROSS JOIN nd
+           ) AS pq USING (bucket)
+        """
+
+    sig = lambda sm: (  # noqa: E731 — σ̃ on micro-score sm
+        f"(0.5 + 0.5 * (CAST({sm} AS DOUBLE) / 1000000.0)"
+        f" / (1.0 + abs(CAST({sm} AS DOUBLE) / 1000000.0)))"
+    )
+    return f"""
+    WITH w0 AS (SELECT doc_id, lang, string_split(COALESCE(text, ''), ' ') AS ws
+                FROM documents),
+    bgx AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM w0
+    ),
+    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+    f0 AS (SELECT doc_id, {feature_sql(buckets)} AS bucket FROM bg),
+    f AS (SELECT doc_id, bucket, COUNT(*) AS nf FROM f0 GROUP BY 1, 2),
+    y AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    bk AS (SELECT DISTINCT bucket FROM f),
+    r1 AS (
+      SELECT doc_id,
+             CAST((CAST(0.5 AS DECIMAL(18,6)) - CAST(y AS DECIMAL(18,6)))
+                  * 1000000 AS BIGINT) AS rm
+      FROM y
+    ),
+    g1 AS (SELECT bucket, SUM(nf * rm) AS gm
+           FROM f JOIN r1 USING (doc_id) GROUP BY bucket),
+    w1 AS ({upd("0", "g1")}),
+    s2 AS (SELECT f.doc_id, SUM(f.nf * w1.wm) AS sm
+           FROM f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+    r2 AS (
+      SELECT y.doc_id,
+             CAST((CAST({sig("COALESCE(s2.sm, 0)")} AS DECIMAL(18,6))
+                   - CAST(y AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rm
+      FROM y LEFT JOIN s2 USING (doc_id)
+    ),
+    g2 AS (SELECT bucket, SUM(nf * rm) AS gm
+           FROM f JOIN r2 USING (doc_id) GROUP BY bucket),
+    w2m AS ({upd("w1.wm", "g2").replace("FROM bk", "FROM bk JOIN w1 USING (bucket)", 1)}),
+    w2 AS (SELECT bucket,
+                  CAST(CAST(wm AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS w
+           FROM w2m),
+    sc AS (SELECT f.doc_id, CAST(SUM(f.nf) AS BIGINT) AS n_feats,
+                  CAST(SUM(f.nf * w2.w) AS DECIMAL(28,6)) AS s
+           FROM f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sc.n_feats, 0) AS n_feats,
+           CAST(sc.s AS DOUBLE) AS score,
+           CAST(CAST(0.5 + 0.5 * CAST(sc.s AS DOUBLE)
+                          / (1.0 + abs(CAST(sc.s AS DOUBLE)))
+                AS DECIMAL(18,6)) AS DOUBLE) AS prob
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+
+
+@register("quality_classifier_docs", _quality_classifier_sql())
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style quality classifier (operators/classifier.py):
+    2-iteration full-batch logistic regression over hashed-bigram
+    features, trained corpus-side (labels: lang='en'), then every doc
+    scored under the trained weights. Each GD iteration is two
+    equi-joins + two map-side-combinable aggregations with broadcast
+    weights; the oracle replays the whole training run value-for-value
+    as unrolled CTEs."""
+    from pybabe_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__lbl", (F.col("lang") == "en").cast("int")
+    )
+    w = train_quality_classifier(docs, "__lbl", iters=2, lr=1.0)
+    return score_quality(docs, w)

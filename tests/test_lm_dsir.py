@@ -391,3 +391,102 @@ def test_lint_one_row_equi_join_does_not_mask_real_bnlj(spark):
     five = spark.range(5).select(F.col("id").alias("j"))
     mixed = big.join(one, "id").crossJoin(F.broadcast(five))
     assert [c for c, _ in plan_lint(mixed)] == ["broadcast-nested-loop"]
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+def _py_train_classifier(corpus, labels, buckets, iters, lr_num, lr_den):
+    """Exact integer micro-unit replay of train_quality_classifier."""
+    from collections import Counter, defaultdict
+
+    prof = defaultdict(Counter)
+    for i, t in corpus:
+        for a, b in _py_bigrams(t):
+            prof[i][_py_bucket(f"{a} {b}", buckets)] += 1
+    n = len(corpus)
+    all_buckets = {b for c in prof.values() for b in c}
+    wm = {b: 0 for b in all_buckets}
+
+    def halfup(p, q):
+        if p >= 0:
+            return (2 * p + q) // (2 * q)
+        return -((2 * (-p) + q) // (2 * q))
+
+    for _ in range(iters):
+        rm = {}
+        for i, _t in corpus:
+            sm = sum(nf * wm[b] for b, nf in prof[i].items())
+            sd = sm / 1e6
+            sig = 0.5 + 0.5 * sd / (1.0 + abs(sd))
+            sig_dec = __import__("math").floor(sig * 1e6 + 0.5)
+            rm[i] = sig_dec - labels[i] * 1_000_000
+        gm = Counter()
+        for i, _t in corpus:
+            for b, nf in prof[i].items():
+                gm[b] += nf * rm[i]
+        for b in wm:
+            wm[b] -= halfup(gm[b] * lr_num, n * lr_den)
+    return {b: w / 1e6 for b, w in wm.items()}
+
+
+def test_quality_classifier_matches_python_model(spark, docs):
+    from pybabe_spark.operators.classifier import train_quality_classifier
+
+    labeled = docs.withColumn(
+        "__lbl", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    got = {
+        r["bucket"]: float(r["w"])
+        for r in train_quality_classifier(
+            labeled, "__lbl", buckets=97, iters=2, lr=1.0
+        ).collect()
+    }
+    want = _py_train_classifier(
+        DOCS, {i: int(i % 2 == 0) for i, _ in DOCS}, 97, 2, 1, 1
+    )
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_quality_classifier_scores_and_filter(spark, docs):
+    from pybabe_spark.operators.classifier import (
+        quality_classifier_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    labeled = docs.withColumn("__lbl", (F.col("doc_id") <= 2).cast("int"))
+    w = train_quality_classifier(labeled, "__lbl", buckets=97, iters=2, lr=1.0)
+    scored = {r["doc_id"]: r for r in score_quality(docs, w, buckets=97).collect()}
+    assert scored[4]["n_feats"] == 0 and scored[4]["prob"] is None
+    # training docs labeled 1 must outscore the unrelated doc 5
+    assert scored[1]["prob"] > scored[5]["prob"]
+    kept = sorted(
+        r["doc_id"]
+        for r in quality_classifier_filter(
+            docs, w, min_prob=0.5, buckets=97
+        ).collect()
+    )
+    want = sorted(
+        i for i, r in scored.items()
+        if r["prob"] is not None and r["prob"] >= 0.5
+    )
+    assert kept == want and 4 not in kept
+
+
+def test_quality_classifier_training_is_deterministic(spark, docs):
+    from pybabe_spark.operators.classifier import train_quality_classifier
+    from pybabe_spark.plans.lint import plan_lint
+
+    labeled = docs.withColumn("__lbl", (F.col("doc_id") % 2 == 0).cast("int"))
+    a = {
+        tuple(r)
+        for r in train_quality_classifier(labeled, "__lbl", buckets=97).collect()
+    }
+    b = {
+        tuple(r)
+        for r in train_quality_classifier(labeled, "__lbl", buckets=97).collect()
+    }
+    assert a == b
+    assert plan_lint(train_quality_classifier(labeled, "__lbl", buckets=97)) == []

@@ -322,7 +322,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # proven), DSIR broadcast models, span-removal window —
                 # all must stay clean
                 "lm_perplexity_docs", "dsir_weights_docs",
-                "dsir_sample_docs", "strip_dup_spans_docs"]:
+                "dsir_sample_docs", "strip_dup_spans_docs",
+                # iterative GD: broadcast weights + two linear aggs per
+                # round — must stay clean
+                "quality_classifier_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
