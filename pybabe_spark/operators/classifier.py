@@ -81,20 +81,29 @@ def train_quality_classifier(
     buckets: int = 4096,
     iters: int = 2,
     lr: float = 0.5,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Full-batch GD logistic regression; returns the weight table
     (bucket, w DECIMAL(18,6)) over every bucket observed in training.
 
     ``label_col`` must be 0/1 (or boolean). Deterministic end to end:
-    zero init, fixed iteration count, decimal-quantized intermediates —
+    zero init, fixed iteration count, exact integer intermediates —
     two engines replaying the same data produce bit-equal weights.
+    ``profile`` lets a caller share one materialized feature profile
+    between training and scoring.
     """
     from fractions import Fraction
 
     frac = Fraction(lr).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
-    profile = doc_feature_profile(docs, id_col, text_col, buckets)
+    # the profile feeds every iteration twice (scores + gradients);
+    # checkpointing it once stops each round from re-exploding and
+    # re-hashing the corpus (at cluster scale: persist the profile)
+    if profile is None:
+        profile = doc_feature_profile(
+            docs, id_col, text_col, buckets
+        ).localCheckpoint(eager=True)
     labels = docs.select(
         F.col(id_col), F.col(label_col).cast("int").cast("double").alias("__y")
     )
@@ -182,13 +191,16 @@ def score_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, score, prob) under a trained weight table; docs
     with no bigram features get n_feats = 0 and NULL score/prob (no
     evidence — the caller decides, same contract as lm.perplexity).
     ``score`` is the exact decimal Σ w·nf as a double; ``prob`` is the
-    DECIMAL(18,6)-rounded sigmoid."""
-    profile = doc_feature_profile(docs, id_col, text_col, buckets)
+    DECIMAL(18,6)-rounded sigmoid. Pass the training ``profile`` to
+    score the training corpus without re-exploding it."""
+    if profile is None:
+        profile = doc_feature_profile(docs, id_col, text_col, buckets)
     scores = _doc_scores(profile, weights, id_col)
     return (
         docs.select(id_col)

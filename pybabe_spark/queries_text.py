@@ -538,8 +538,11 @@ def q_quality_classifier(spark, sf_dir):
         train_quality_classifier,
     )
 
+    from pybabe_spark.operators.dsir import doc_feature_profile
+
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "__lbl", (F.col("lang") == "en").cast("int")
     )
-    w = train_quality_classifier(docs, "__lbl", iters=2, lr=1.0)
-    return score_quality(docs, w)
+    prof = doc_feature_profile(docs, buckets=4096).localCheckpoint(eager=True)
+    w = train_quality_classifier(docs, "__lbl", iters=2, lr=1.0, profile=prof)
+    return score_quality(docs, w, profile=prof)
