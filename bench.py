@@ -55,14 +55,24 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Each query is timed as the best of two back-to-back runs: a single
+    # Each query is timed as the best of N back-to-back runs: a single
     # shared JVM accumulates code-cache/GC pressure as the suite grows
     # (~120 queries), and one-shot timings charge that churn to whichever
     # query happens to run next — r3's "regressions" on queries with no
-    # code changes. Min-of-2 reports the plan's actual cost; the warm
+    # code changes. Min-of-N (default 3) reports the plan's actual cost; the warm
     # pass above already covered JIT + file-index setup.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    for name, fn in qs.items():
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for qi, (name, fn) in enumerate(qs.items()):
+        if qi % 20 == 0:
+            # shed accumulated session state between query groups: RDD
+            # blocks pinned by iterative ops' localCheckpoints and
+            # finished-stage shuffle files otherwise pile up across the
+            # ~120-query run and tax whoever runs later
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -273,7 +283,7 @@ def stress(factors: list[int]) -> None:
     for name, fn in _families(base_dir).items():
         fn()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sizes: dict[int, dict[str, int]] = {}
     timings: dict[str, dict[int, float]] = {}
     for factor in factors:
