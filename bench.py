@@ -193,7 +193,31 @@ def stress(factors: list[int]) -> None:
         near_dedup_against,
         near_dedup_keep,
     )
+    from pybabe_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
     from pybabe_spark.operators.decontam import strip_duplicated_spans
+    from pybabe_spark.operators.dsir import doc_feature_profile
+
+    def _clf_run(docs):
+        # one materialized profile shared by train + score — the
+        # operator's own train/score-online shape; without it the
+        # timing double-charges the md5 feature explode
+        labeled = docs.withColumn(
+            "__lbl", (F.col("lang") == "en").cast("int")
+        )
+        prof = doc_feature_profile(labeled, buckets=4096).localCheckpoint(
+            eager=True
+        )
+        w = train_quality_classifier(
+            labeled, "__lbl", iters=2, lr=1.0, profile=prof
+        )
+        return (
+            score_quality(labeled, w, profile=prof)
+            .filter(F.col("prob").isNotNull())
+            .count()
+        )
     from pybabe_spark.operators.dsir import dsir_log_weights, dsir_resample
     from pybabe_spark.operators.graph import dup_clusters
     from pybabe_spark.operators.lm import perplexity, train_bigram_lm
@@ -275,6 +299,7 @@ def stress(factors: list[int]) -> None:
             "strip_dup_spans": lambda: strip_duplicated_spans(docs, n=6)
             .filter(F.col("n_removed") > 0)
             .count(),
+            "quality_classifier": lambda: _clf_run(docs),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -296,6 +321,15 @@ def stress(factors: list[int]) -> None:
         ).count()
         sizes[factor] = {"n_docs": n_docs, "n_vecs": n_vecs}
         for name, fn in _families(sf_dir, factor).items():
+            # same session-state shedding as main(): checkpoint blocks
+            # pinned by the iterative families (CC, greedy dedup, the
+            # classifier) must not accumulate across factors and tax
+            # later timings — that would skew the fitted exponents
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             best = None
             for _ in range(runs):
                 t0 = time.perf_counter()

@@ -60,13 +60,19 @@ def _sigmoid(s):
 
 def _doc_scores(profile: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
     """(id, n_feats, score): exact decimal Σ w·nf per doc over the
-    doc's feature occurrences (docs with no features emit no row)."""
+    doc's feature occurrences (docs with no features emit no row).
+
+    LEFT join against the weight table: a feature bucket the training
+    corpus never saw carries weight 0 — the standard logistic treatment
+    of out-of-vocabulary features. An inner join would instead conflate
+    partially/fully-OOV docs with featureless ones (undercounted
+    n_feats, NULL prob, silently dropped by the filter)."""
     return (
-        profile.join(F.broadcast(weights), "bucket")
+        profile.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum("nf").alias("n_feats"),
-            F.sum(F.col("nf") * F.col("w"))
+            F.sum(F.col("nf") * F.coalesce(F.col("w"), F.lit(0).cast(_DEC)))
             .cast("decimal(28,6)")
             .alias("score"),
         )
@@ -104,9 +110,12 @@ def train_quality_classifier(
         profile = doc_feature_profile(
             docs, id_col, text_col, buckets
         ).localCheckpoint(eager=True)
+    # NULL labels carry no supervision: excluded from BOTH the gradient
+    # and N (keeping them in N while their NULL residual silently
+    # dropped out of sums would skew every update)
     labels = docs.select(
         F.col(id_col), F.col(label_col).cast("int").cast("double").alias("__y")
-    )
+    ).filter(F.col("__y").isNotNull())
     n_docs = labels.agg(F.count("*").alias("__n"))
 
     # The loop runs ENTIRELY in exact integer micro-units (1e-6): wm is
@@ -224,10 +233,13 @@ def quality_classifier_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Keep documents the classifier scores at or above ``min_prob``
     (featureless docs carry no evidence and are dropped, like
-    lm.perplexity_filter)."""
-    scored = score_quality(docs, weights, id_col, text_col, buckets)
+    lm.perplexity_filter; OOV features score as weight 0, so a doc the
+    training corpus never saw still gets its honest ~0.5). Pass a
+    materialized ``profile`` to avoid re-exploding the corpus."""
+    scored = score_quality(docs, weights, id_col, text_col, buckets, profile)
     keep = scored.filter(F.col("prob") >= min_prob).select(id_col)
     return docs.join(keep, id_col, "semi")

@@ -310,21 +310,30 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity(docs, lm)
 
 
+def _bigram_bucket_ctes(buckets: int) -> str:
+    """Shared CTE chain producing ``f(doc_id, lang, bucket)`` — one row
+    per word-bigram occurrence, md5-bucketed — the DuckDB mirror of
+    operators/dsir.py::hashed_ngram_features. Used by the DSIR and
+    classifier oracles so the feature definition cannot drift between
+    them (NULL text yields no bigrams on both engines)."""
+    from pybabe_spark.operators.dsir import feature_sql
+
+    return f"""__w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    __bgx AS (
+      SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM __w
+    ),
+    __bg AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM __bgx),
+    f AS (SELECT doc_id, lang, {feature_sql(buckets)} AS bucket FROM __bg)"""
+
+
 def _dsir_weights_sql(buckets: int = 10_000, target_pred: str = "lang = 'en'") -> str:
     """DuckDB replay of operators/dsir.py::dsir_log_weights — identical
     md5 feature bucketing, add-1 bucket models, decimal-exact sums."""
-    from pybabe_spark.operators.dsir import feature_sql
-
     return f"""
-    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-               FROM documents),
-    bgx AS (
-      SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
-               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
-      FROM w
-    ),
-    bg AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bgx),
-    f AS (SELECT doc_id, lang, {feature_sql(buckets)} AS bucket FROM bg),
+    WITH {_bigram_bucket_ctes(buckets)},
     cr AS (SELECT bucket, COUNT(*) AS c FROM f GROUP BY bucket),
     nr AS (SELECT COUNT(*) AS n FROM f),
     ft AS (SELECT bucket FROM f WHERE {target_pred}),
@@ -448,19 +457,17 @@ def _quality_classifier_sql(buckets: int = 4096, lr: float = 1.0) -> str:
     run is value-identical across engines."""
     from fractions import Fraction
 
-    from pybabe_spark.operators.dsir import feature_sql
-
     frac = Fraction(lr).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
-    def upd(prev_wm: str, g: str) -> str:
+    def upd(prev_wm: str, g: str, extra_join: str = "") -> str:
         """half-away-from-zero integer delta, subtracted from prev."""
         return f"""
       SELECT bk.bucket,
              {prev_wm} - (CASE WHEN pq.p >= 0
                   THEN (2 * pq.p + pq.q) // (2 * pq.q)
                   ELSE -((2 * (-pq.p) + pq.q) // (2 * pq.q)) END) AS wm
-      FROM bk
+      FROM bk {extra_join}
       JOIN (SELECT bk2.bucket,
                    COALESCE({g}.gm, 0) * {num} AS p,
                    nd.n * {den} AS q
@@ -473,21 +480,13 @@ def _quality_classifier_sql(buckets: int = 4096, lr: float = 1.0) -> str:
         f" / (1.0 + abs(CAST({sm} AS DOUBLE) / 1000000.0)))"
     )
     return f"""
-    WITH w0 AS (SELECT doc_id, lang, string_split(COALESCE(text, ''), ' ') AS ws
-                FROM documents),
-    bgx AS (
-      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
-      FROM w0
-    ),
-    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
-    f0 AS (SELECT doc_id, {feature_sql(buckets)} AS bucket FROM bg),
-    f AS (SELECT doc_id, bucket, COUNT(*) AS nf FROM f0 GROUP BY 1, 2),
+    WITH {_bigram_bucket_ctes(buckets)},
+    fp AS (SELECT doc_id, bucket, COUNT(*) AS nf FROM f GROUP BY 1, 2),
     y AS (SELECT doc_id,
                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
           FROM documents),
     nd AS (SELECT COUNT(*) AS n FROM documents),
-    bk AS (SELECT DISTINCT bucket FROM f),
+    bk AS (SELECT DISTINCT bucket FROM fp),
     r1 AS (
       SELECT doc_id,
              CAST((CAST(0.5 AS DECIMAL(18,6)) - CAST(y AS DECIMAL(18,6)))
@@ -495,10 +494,10 @@ def _quality_classifier_sql(buckets: int = 4096, lr: float = 1.0) -> str:
       FROM y
     ),
     g1 AS (SELECT bucket, SUM(nf * rm) AS gm
-           FROM f JOIN r1 USING (doc_id) GROUP BY bucket),
+           FROM fp JOIN r1 USING (doc_id) GROUP BY bucket),
     w1 AS ({upd("0", "g1")}),
-    s2 AS (SELECT f.doc_id, SUM(f.nf * w1.wm) AS sm
-           FROM f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+    s2 AS (SELECT fp.doc_id, SUM(fp.nf * w1.wm) AS sm
+           FROM fp JOIN w1 USING (bucket) GROUP BY fp.doc_id),
     r2 AS (
       SELECT y.doc_id,
              CAST((CAST({sig("COALESCE(s2.sm, 0)")} AS DECIMAL(18,6))
@@ -506,14 +505,14 @@ def _quality_classifier_sql(buckets: int = 4096, lr: float = 1.0) -> str:
       FROM y LEFT JOIN s2 USING (doc_id)
     ),
     g2 AS (SELECT bucket, SUM(nf * rm) AS gm
-           FROM f JOIN r2 USING (doc_id) GROUP BY bucket),
-    w2m AS ({upd("w1.wm", "g2").replace("FROM bk", "FROM bk JOIN w1 USING (bucket)", 1)}),
+           FROM fp JOIN r2 USING (doc_id) GROUP BY bucket),
+    w2m AS ({upd("w1.wm", "g2", extra_join="JOIN w1 USING (bucket)")}),
     w2 AS (SELECT bucket,
                   CAST(CAST(wm AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS w
            FROM w2m),
-    sc AS (SELECT f.doc_id, CAST(SUM(f.nf) AS BIGINT) AS n_feats,
-                  CAST(SUM(f.nf * w2.w) AS DECIMAL(28,6)) AS s
-           FROM f JOIN w2 USING (bucket) GROUP BY f.doc_id)
+    sc AS (SELECT fp.doc_id, CAST(SUM(fp.nf) AS BIGINT) AS n_feats,
+                  CAST(SUM(fp.nf * w2.w) AS DECIMAL(28,6)) AS s
+           FROM fp JOIN w2 USING (bucket) GROUP BY fp.doc_id)
     SELECT d.doc_id,
            COALESCE(sc.n_feats, 0) AS n_feats,
            CAST(sc.s AS DOUBLE) AS score,
@@ -540,8 +539,10 @@ def q_quality_classifier(spark, sf_dir):
 
     from pybabe_spark.operators.dsir import doc_feature_profile
 
+    # when/otherwise (not a bare comparison cast): a NULL lang must
+    # label 0 exactly like the oracle's CASE ... ELSE 0
     docs = read_table(spark, sf_dir, "documents").withColumn(
-        "__lbl", (F.col("lang") == "en").cast("int")
+        "__lbl", F.when(F.col("lang") == "en", 1).otherwise(0)
     )
     prof = doc_feature_profile(docs, buckets=4096).localCheckpoint(eager=True)
     w = train_quality_classifier(docs, "__lbl", iters=2, lr=1.0, profile=prof)

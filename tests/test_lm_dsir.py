@@ -490,3 +490,65 @@ def test_quality_classifier_training_is_deterministic(spark, docs):
     }
     assert a == b
     assert plan_lint(train_quality_classifier(labeled, "__lbl", buckets=97)) == []
+
+
+def test_quality_classifier_oov_docs_score_neutral_not_dropped(spark, docs):
+    """Review finding: scoring joined the profile to the weight table
+    INNER, so docs whose features all hash to training-unseen buckets
+    were conflated with featureless docs (NULL prob, dropped at any
+    min_prob). OOV features must carry weight 0 — the doc scores a
+    neutral ~0.5 and n_feats counts ALL its features."""
+    from pybabe_spark.operators.classifier import (
+        quality_classifier_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    labeled = docs.withColumn("__lbl", (F.col("doc_id") % 2 == 0).cast("int"))
+    w = train_quality_classifier(labeled, "__lbl", buckets=997, iters=2, lr=1.0)
+    other = spark.createDataFrame(
+        [(9, "zq xv qj wk pf"), (10, "the cat zq xv")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in score_quality(other, w, buckets=997).collect()}
+    assert got[9]["n_feats"] == 4 and got[9]["prob"] == 0.5  # fully OOV
+    assert got[10]["n_feats"] == 3  # all features counted, not just seen
+    kept = {r["doc_id"] for r in
+            quality_classifier_filter(other, w, min_prob=0.0, buckets=997).collect()}
+    assert kept == {9, 10}
+
+
+def test_quality_classifier_null_labels_excluded_from_n(spark, docs):
+    """NULL labels must drop out of BOTH gradients and N — keeping them
+    in N while their residuals silently vanished from sums would skew
+    every update. Training on labels-with-nulls must equal training on
+    the non-null subset's labels with the same corpus profile."""
+    from pybabe_spark.operators.classifier import train_quality_classifier
+
+    with_nulls = docs.withColumn(
+        "__lbl",
+        F.when(F.col("doc_id") <= 3, (F.col("doc_id") % 2 == 0).cast("int")),
+    )
+    # same supervision, docs 4-5 explicitly labeled... nothing: compare
+    # against a corpus whose unlabeled docs are REMOVED from labels but
+    # whose features still shape the profile — which is exactly what
+    # the NULL-filter inside training does
+    a = {
+        tuple(r)
+        for r in train_quality_classifier(
+            with_nulls, "__lbl", buckets=97, iters=2, lr=1.0
+        ).collect()
+    }
+    from pybabe_spark.operators.dsir import doc_feature_profile
+
+    prof = doc_feature_profile(docs, buckets=97)
+    only_labeled = docs.filter(F.col("doc_id") <= 3).withColumn(
+        "__lbl", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    b = {
+        tuple(r)
+        for r in train_quality_classifier(
+            only_labeled, "__lbl", buckets=97, iters=2, lr=1.0, profile=prof
+        ).collect()
+    }
+    assert a == b
