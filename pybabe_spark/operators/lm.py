@@ -238,3 +238,122 @@ def merge_lm(a: BigramLM, b: BigramLM) -> BigramLM:
         contexts=contexts,
         vocab=contexts.agg(F.count("*").alias("v")),
     )
+
+
+class NgramLM(NamedTuple):
+    """Order-n generalization of :class:`BigramLM` with string context
+    keys: ``grams`` (ctx, w, c) n-gram counts; ``contexts`` (ctx, cc)
+    PREFIX counts — derived by summing the gram table over ctx, the
+    textbook MLE denominator, sharing the gram table's exchange instead
+    of re-scanning the corpus; ``vocab`` single row (v)."""
+
+    grams: DataFrame
+    contexts: DataFrame
+    vocab: DataFrame
+
+
+def ngram_occurrences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, ctx, w) per n-gram occurrence: ctx is the space-joined
+    (n-1)-word history, w the predicted word. Docs shorter than n
+    contribute no rows. Pure codegen (transform over an index
+    sequence), no Python."""
+    if n < 2:
+        raise ValueError(f"ngram_occurrences: order n {n} < 2")
+    ws = _word_array(text_col)
+    gram = lambda i: F.struct(  # noqa: E731
+        F.concat_ws(
+            " ", *[F.element_at(ws, i + k + 1) for k in range(n - 1)]
+        ).alias("ctx"),
+        F.element_at(ws, i + F.lit(n)).alias("w"),
+    )
+    occs = F.when(
+        F.size(ws) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(ws) - n), gram),
+    ).otherwise(F.array().cast("array<struct<ctx:string,w:string>>"))
+    return df.select(F.col(id_col), F.explode(occs).alias("__g")).select(
+        id_col, F.col("__g.ctx").alias("ctx"), F.col("__g.w").alias("w")
+    )
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> NgramLM:
+    """Add-alpha order-n LM (CCNet trains order-5): one n-gram count
+    aggregation over the exploded corpus; context (prefix) counts are
+    DERIVED from it (one more model-sized aggregation, no second corpus
+    pass — and computed before ``min_count`` pruning so the smoothing
+    denominator stays exact); vocabulary is the distinct-unigram count.
+    """
+    grams = (
+        ngram_occurrences(df, id_col, text_col, n)
+        .groupBy("ctx", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    contexts = grams.groupBy("ctx").agg(F.sum("c").alias("cc"))
+    if min_count > 1:
+        grams = grams.filter(F.col("c") >= min_count)
+    vocab = unigram_rows(df, text_col).agg(
+        F.count_distinct("w1").alias("v")
+    )
+    return NgramLM(grams=grams, contexts=contexts, vocab=vocab)
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    lm: NgramLM,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document order-n perplexity, same output contract and
+    decimal-exact arithmetic as :func:`perplexity`: (id, n_ngrams,
+    sum_logp, avg_logp, ppl); docs shorter than n score NULL.
+
+    P(w | ctx) = (c + alpha) / (cc + alpha·V); unseen grams/contexts
+    coalesce to 0 so cross-corpus scoring is defined.
+    """
+    occ = ngram_occurrences(df, id_col, text_col, n)
+    scored = attach_scalars(
+        occ.join(lm.grams, ["ctx", "w"], "left").join(
+            lm.contexts, "ctx", "left"
+        ),
+        lm.vocab,
+    ).select(
+        F.col(id_col),
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+        )
+        .cast("decimal(18,6)")
+        .alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum("__lp").cast("decimal(28,6)").alias("__sum"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+            F.col("__sum").cast("double").alias("sum_logp"),
+            # raw IEEE division (see perplexity: decimal re-rounding
+            # would land exact-halfway quotients on engine rounding
+            # modes)
+            (F.col("__sum").cast("double") / F.col("n_ngrams")).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    return out.withColumn(
+        "ppl",
+        F.exp(-(F.col("avg_logp"))).cast("decimal(18,6)").cast("double"),
+    )

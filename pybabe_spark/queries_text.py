@@ -547,3 +547,54 @@ def q_quality_classifier(spark, sf_dir):
     prof = doc_feature_profile(docs, buckets=4096).localCheckpoint(eager=True)
     w = train_quality_classifier(docs, "__lbl", iters=2, lr=1.0, profile=prof)
     return score_quality(docs, w, profile=prof)
+
+
+@register(
+    "lm_trigram_perplexity_docs",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    gx AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+               i -> struct_pack(
+                 ctx := array_to_string(list_slice(ws, i, i + 1), ' '),
+                 w := ws[i + 2]))) AS g
+      FROM w WHERE len(ws) >= 3
+    ),
+    g AS (SELECT doc_id, g.ctx AS ctx, g.w AS w FROM gx),
+    c3 AS (SELECT ctx, w, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    cc AS (SELECT ctx, SUM(c) AS cc FROM c3 GROUP BY ctx),
+    v AS (SELECT COUNT(DISTINCT w1) AS v
+          FROM (SELECT unnest(ws) AS w1 FROM w)),
+    lp AS (
+      SELECT g.doc_id,
+             CAST(ln((c3.c + 1.0) / (cc.cc + 1.0 * v.v))
+                  AS DECIMAL(18,6)) AS lp
+      FROM g JOIN c3 USING (ctx, w) JOIN cc USING (ctx) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+             CAST(SUM(lp) AS DECIMAL(28,6)) AS s
+      FROM lp GROUP BY doc_id
+    ),
+    out AS (
+      SELECT d.doc_id,
+             COALESCE(agg.n_ngrams, 0) AS n_ngrams,
+             CAST(s AS DOUBLE) AS sum_logp,
+             CAST(s AS DOUBLE) / agg.n_ngrams AS avg_logp
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    )
+    SELECT doc_id, n_ngrams, sum_logp, avg_logp,
+           CAST(CAST(exp(-avg_logp) AS DECIMAL(18,6)) AS DOUBLE) AS ppl
+    FROM out
+    """,
+)
+def q_lm_trigram_perplexity(spark, sf_dir):
+    """Order-3 LM perplexity (operators/lm.py::train_ngram_lm /
+    ngram_perplexity — the CCNet shape generalized to n): one n-gram
+    count aggregation, context PREFIX counts derived from it (no second
+    corpus pass), scoring joins on the string context key. Same
+    decimal-exact log-prob sums as the bigram form."""
+    from pybabe_spark.operators.lm import ngram_perplexity, train_ngram_lm
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_perplexity(docs, train_ngram_lm(docs, n=3), n=3)

@@ -552,3 +552,62 @@ def test_quality_classifier_null_labels_excluded_from_n(spark, docs):
         ).collect()
     }
     assert a == b
+
+
+def test_ngram_lm_matches_python_model(spark, docs):
+    """Order-3 LM vs an exact Python replay (prefix-count contexts,
+    distinct-unigram vocab, decimal-rounded log terms)."""
+    import math
+    from collections import Counter
+
+    from pybabe_spark.operators.lm import ngram_perplexity, train_ngram_lm
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["sum_logp"])
+        for r in ngram_perplexity(docs, train_ngram_lm(docs, n=3), n=3).collect()
+    }
+
+    def tri(t):
+        ws = t.split(" ")
+        return [((f"{a} {b}"), c) for a, b, c in zip(ws, ws[1:], ws[2:])]
+
+    grams = Counter(g for _, t in DOCS for g in tri(t))
+    ctxs = Counter()
+    for (ctx, _w), c in grams.items():
+        ctxs[ctx] += c
+    v = len({w for _, t in DOCS for w in t.split(" ")})
+    for i, t in DOCS:
+        occ = tri(t)
+        gn, gs = got[i]
+        assert gn == len(occ)
+        if not occ:
+            assert gs is None
+            continue
+        s = sum(
+            math.floor(
+                math.log((grams[g] + 1) / (ctxs[g[0]] + v)) * 1e6 + 0.5
+            )
+            / 1e6
+            for g in occ
+        )
+        assert gs == pytest.approx(s, abs=1e-9)
+
+
+def test_ngram_lm_guards_and_short_docs(spark):
+    from pybabe_spark.operators.lm import (
+        ngram_occurrences,
+        ngram_perplexity,
+        train_ngram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="order n"):
+        ngram_occurrences(df, n=1)
+    rows = {
+        r["doc_id"]: (r["n_ngrams"], r["ppl"])
+        for r in ngram_perplexity(df, train_ngram_lm(df, n=3), n=3).collect()
+    }
+    assert rows[1] == (0, None)  # shorter than n: no evidence
+    assert rows[2][0] == 2 and rows[2][1] is not None

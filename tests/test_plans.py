@@ -325,7 +325,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "dsir_sample_docs", "strip_dup_spans_docs",
                 # iterative GD: broadcast weights + two linear aggs per
                 # round — must stay clean
-                "quality_classifier_docs"]:
+                "quality_classifier_docs",
+                "lm_trigram_perplexity_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
