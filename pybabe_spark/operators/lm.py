@@ -177,42 +177,73 @@ def perplexity(
 
 def perplexity_filter(
     df: DataFrame,
-    lm: BigramLM,
+    lm: "BigramLM | NgramLM",
     max_ppl: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
 ) -> DataFrame:
     """Keep documents whose perplexity under ``lm`` is ≤ ``max_ppl``
-    (too-short docs with no bigrams are dropped — no evidence either
-    way, and CCNet's cut drops them too)."""
-    scores = perplexity(df, lm, id_col, text_col, alpha)
+    (too-short docs with no n-grams are dropped — no evidence either
+    way, and CCNet's cut drops them too). Dispatches on the model type:
+    a :class:`BigramLM` scores via :func:`perplexity`, an
+    :class:`NgramLM` via :func:`ngram_perplexity` at its own order."""
+    if isinstance(lm, NgramLM):
+        scores = ngram_perplexity(df, lm, None, id_col, text_col, alpha)
+    else:
+        scores = perplexity(df, lm, id_col, text_col, alpha)
     keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "semi")
 
 
-def save_lm(lm: BigramLM, path: str, mode: str = "overwrite") -> None:
-    """Persist a trained LM as three parquet tables under ``path``
-    (``bigrams/``, ``contexts/``, ``vocab/``) — the train-offline /
-    score-online split every production quality filter runs (cf. the
-    stored ANN indexes, similarity.build_lsh_index): the expensive
-    corpus aggregation happens once; later batches score against the
-    stored model without re-reading the training corpus."""
-    lm.bigrams.write.mode(mode).parquet(f"{path}/bigrams")
+def save_lm(lm: "BigramLM | NgramLM", path: str, mode: str = "overwrite") -> None:
+    """Persist a trained LM (either form) as parquet tables under
+    ``path`` plus a 1-row ``meta/`` table recording kind and order —
+    the train-offline / score-online split every production quality
+    filter runs (cf. the stored ANN indexes,
+    similarity.build_lsh_index): the expensive corpus aggregation
+    happens once; later batches score against the stored model without
+    re-reading the training corpus."""
+    if isinstance(lm, NgramLM):
+        spark = lm.grams.sparkSession
+        lm.grams.write.mode(mode).parquet(f"{path}/grams")
+        meta = [("ngram", lm.n)]
+    else:
+        spark = lm.bigrams.sparkSession
+        lm.bigrams.write.mode(mode).parquet(f"{path}/bigrams")
+        meta = [("bigram", 2)]
     lm.contexts.write.mode(mode).parquet(f"{path}/contexts")
     lm.vocab.write.mode(mode).parquet(f"{path}/vocab")
+    spark.createDataFrame(meta, "kind string, n int").write.mode(
+        mode
+    ).parquet(f"{path}/meta")
 
 
-def load_lm(spark, path: str) -> BigramLM:
-    """Load a :func:`save_lm` model; scoring plans are identical to the
+def load_lm(spark, path: str) -> "BigramLM | NgramLM":
+    """Load a :func:`save_lm` model (kind restored from ``meta/``;
+    pre-meta saves load as bigram); scoring plans are identical to the
     freshly-trained form (same schemas, same joins)."""
+    try:
+        meta = spark.read.parquet(f"{path}/meta").head()
+        kind, n = meta["kind"], meta["n"]
+    except Exception:
+        kind, n = "bigram", 2
+    contexts = spark.read.parquet(f"{path}/contexts")
+    # limit(1) restores the single-row guarantee a file scan cannot
+    # carry (save_lm wrote exactly one row), so plan_lint can again
+    # PROVE the scalar-attach nested loop safe via maxRows
+    vocab = spark.read.parquet(f"{path}/vocab").limit(1)
+    if kind == "ngram":
+        return NgramLM(
+            grams=spark.read.parquet(f"{path}/grams"),
+            contexts=contexts,
+            vocab=vocab,
+            n=int(n),
+        )
     return BigramLM(
         bigrams=spark.read.parquet(f"{path}/bigrams"),
-        contexts=spark.read.parquet(f"{path}/contexts"),
-        # limit(1) restores the single-row guarantee a file scan cannot
-        # carry (save_lm wrote exactly one row), so plan_lint can again
-        # PROVE the scalar-attach nested loop safe via maxRows
-        vocab=spark.read.parquet(f"{path}/vocab").limit(1),
+        contexts=contexts,
+        vocab=vocab,
     )
 
 
@@ -245,11 +276,13 @@ class NgramLM(NamedTuple):
     keys: ``grams`` (ctx, w, c) n-gram counts; ``contexts`` (ctx, cc)
     PREFIX counts — derived by summing the gram table over ctx, the
     textbook MLE denominator, sharing the gram table's exchange instead
-    of re-scanning the corpus; ``vocab`` single row (v)."""
+    of re-scanning the corpus; ``vocab`` single row (v); ``n`` the
+    order, carried so scorers need not be told twice."""
 
     grams: DataFrame
     contexts: DataFrame
     vocab: DataFrame
+    n: int
 
 
 def ngram_occurrences(
@@ -301,13 +334,13 @@ def train_ngram_lm(
     vocab = unigram_rows(df, text_col).agg(
         F.count_distinct("w1").alias("v")
     )
-    return NgramLM(grams=grams, contexts=contexts, vocab=vocab)
+    return NgramLM(grams=grams, contexts=contexts, vocab=vocab, n=n)
 
 
 def ngram_perplexity(
     df: DataFrame,
     lm: NgramLM,
-    n: int = 3,
+    n: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
@@ -319,6 +352,7 @@ def ngram_perplexity(
     P(w | ctx) = (c + alpha) / (cc + alpha·V); unseen grams/contexts
     coalesce to 0 so cross-corpus scoring is defined.
     """
+    n = lm.n if n is None else n
     occ = ngram_occurrences(df, id_col, text_col, n)
     scored = attach_scalars(
         occ.join(lm.grams, ["ctx", "w"], "left").join(

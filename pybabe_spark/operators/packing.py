@@ -137,3 +137,48 @@ def chunk_documents(
             F.size(F.split(F.col("chunk_text"), " ", -1))
         ),
     )
+
+
+def clip_documents(
+    df: DataFrame,
+    max_words: int,
+    mode: str = "head",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget truncation ahead of packing/training: keep at most
+    ``max_words`` words per document — ``head`` the first, ``tail`` the
+    last, ``middle`` the first ⌈max/2⌉ plus the last ⌊max/2⌋ (the
+    head+tail clip long-context pipelines use so both the opening and
+    the conclusion survive). Returns (id, text, n_words, clipped) with
+    the ORIGINAL word count; NULL text behaves like ''.
+
+    Pure codegen array slicing — narrow map, zero shuffle, no Python.
+    """
+    if max_words < 1:
+        raise ValueError(f"clip_documents: max_words {max_words} < 1")
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    n = F.size(ws)
+    if mode == "head":
+        clip = F.slice(ws, 1, max_words)
+    elif mode == "tail":
+        clip = F.slice(ws, n - F.lit(max_words) + 1, max_words)
+    elif mode == "middle":
+        h = (max_words + 1) // 2
+        t = max_words - h
+        clip = F.concat(
+            F.slice(ws, 1, h),
+            F.slice(ws, n - F.lit(t) + 1, t) if t else F.array().cast(
+                "array<string>"
+            ),
+        )
+    else:
+        raise ValueError(f"clip_documents: unknown mode {mode!r}")
+    return df.select(
+        F.col(id_col),
+        F.when(n <= max_words, F.coalesce(F.col(text_col), F.lit("")))
+        .otherwise(F.array_join(clip, " "))
+        .alias(text_col),
+        n.alias("n_words"),
+        (n > max_words).alias("clipped"),
+    )

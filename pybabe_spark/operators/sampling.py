@@ -210,3 +210,65 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def curriculum_band(
+    score: Column | str, boundaries: Sequence[float]
+) -> Column:
+    """The score's band index: the number of (ascending, fixed)
+    boundaries at or below it — data-INDEPENDENT thresholds, so banding
+    is a narrow map with no global quantile pass (an ntile over an
+    unpartitioned window would be the single-task funnel plan_lint
+    rejects). Mirrored exactly by :func:`curriculum_band_sql`."""
+    s = F.col(score) if isinstance(score, str) else score
+    bounds = sorted(boundaries)
+    band = F.lit(0)
+    for b in bounds:
+        band = band + (s >= F.lit(b)).cast("int")
+    return band
+
+
+def curriculum_band_sql(score: str, boundaries: Sequence[float]) -> str:
+    """The identical band arithmetic as ANSI SQL (DuckDB oracle form)."""
+    terms = " + ".join(
+        f"(CASE WHEN {score} >= {b} THEN 1 ELSE 0 END)"
+        for b in sorted(boundaries)
+    )
+    return f"({terms})"
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    boundaries: Sequence[float],
+    key: str,
+    seed: int = 0,
+    easiest_first: bool = True,
+    shards: int | None = None,
+) -> DataFrame:
+    """Curriculum epoch ordering: band documents by fixed score
+    thresholds, order bands easiest-first (highest band = highest
+    score first by default) and SHUFFLE deterministically inside each
+    band — the curriculum-learning schedule (Bengio et al. 2009)
+    epoch writers need, fully reproducible: order is a pure function of
+    (data, boundaries, seed).
+
+    Same 100 TB mechanics as :func:`global_shuffle`: a range-partitioned
+    external merge sort on (band, md5(seed:key), key) — no single-task
+    funnel; ``shards=N`` yields N globally-range-ordered sorted shards
+    instead of a total order.
+    """
+    h = shuffle_key(key, seed)
+    k = F.col(key)
+    bcol = F.col("__band")
+    border = bcol.desc() if easiest_first else bcol.asc()
+    work = df.withColumn("__band", curriculum_band(score_col, boundaries))
+    if shards is None:
+        return work.orderBy(border, h, k).drop("__band")
+    if shards < 1:
+        raise ValueError(f"curriculum_order: shards {shards} < 1")
+    return (
+        work.repartitionByRange(shards, border, h, k)
+        .sortWithinPartitions(border, h, k)
+        .drop("__band")
+    )

@@ -168,6 +168,23 @@ class Babe:
         train, test = train_test_split(self.df, key, test_fraction)
         return self._wrap(train), self._wrap(test)
 
+    def clip(self, max_words, mode="head", **kwargs) -> "Babe":
+        """Token-budget truncation (head/tail/middle) before packing."""
+        from pybabe_spark.operators.packing import clip_documents
+
+        return self._wrap(clip_documents(self.df, max_words, mode, **kwargs))
+
+    def curriculum_order(
+        self, score_col, boundaries, key, seed=0, **kwargs
+    ) -> "Babe":
+        """Banded curriculum epoch order: fixed score bands, seeded
+        shuffle inside each band, range-partitioned sort."""
+        from pybabe_spark.operators.sampling import curriculum_order
+
+        return self._wrap(
+            curriculum_order(self.df, score_col, boundaries, key, seed, **kwargs)
+        )
+
     def global_shuffle(self, key, seed=0, shards=None) -> "Babe":
         from pybabe_spark.operators.sampling import global_shuffle
 

@@ -420,3 +420,48 @@ def q_throttle(spark, sf_dir):
     return throttle(ev, "user_id", "ts", 600, tiebreak="event_id").select(
         "event_id", "user_id"
     )
+
+
+def _curriculum_sql() -> str:
+    """Band + in-band shuffle-key mapping for the curriculum order —
+    the oracle verifies the full (band, position-key) assignment; the
+    range-sort mechanics are plan-asserted in tests (the
+    global_shuffle_docs pattern, which the driver compare's
+    order-insensitive hashing requires)."""
+    from pybabe_spark.operators.sampling import curriculum_band_sql
+    from pybabe_spark.queries_ml import _QUALITY_SQL
+
+    band = curriculum_band_sql(
+        f"CAST({_QUALITY_SQL} AS DOUBLE)", [0.3, 0.5, 0.7]
+    )
+    return f"""
+    SELECT doc_id, {band} AS band,
+           {shuffle_key_sql('doc_id', 7)} AS shuffle_key
+    FROM documents
+    """
+
+
+@register("curriculum_order_docs", _curriculum_sql())
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum epoch ordering (operators/sampling.py::
+    curriculum_order): fixed quality-score bands (no global quantile
+    pass), deterministic md5 shuffle inside each band, range-partitioned
+    sort — reproducible on any cluster. The oracle checks the exact
+    (band, key) mapping for every doc; ordering mechanics are
+    plan-asserted."""
+    from pybabe_spark.functions.text import quality_score
+    from pybabe_spark.operators.sampling import (
+        curriculum_band,
+        curriculum_order,
+        shuffle_key,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__q", quality_score("text")
+    )
+    ordered = curriculum_order(docs, "__q", [0.3, 0.5, 0.7], "doc_id", seed=7)
+    return ordered.select(
+        "doc_id",
+        curriculum_band("__q", [0.3, 0.5, 0.7]).alias("band"),
+        shuffle_key("doc_id", 7).alias("shuffle_key"),
+    )

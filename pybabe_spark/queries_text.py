@@ -598,3 +598,32 @@ def q_lm_trigram_perplexity(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return ngram_perplexity(docs, train_ngram_lm(docs, n=3), n=3)
+
+
+@register(
+    "clip_docs_middle",
+    """
+    WITH w AS (SELECT doc_id, text,
+                      string_split(COALESCE(text, ''), ' ') AS ws
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(ws) <= 40 THEN COALESCE(text, '')
+                ELSE array_to_string(
+                       list_concat(list_slice(ws, 1, 20),
+                                   list_slice(ws, len(ws) - 19, len(ws))),
+                       ' ')
+           END AS text,
+           len(ws) AS n_words,
+           len(ws) > 40 AS clipped
+    FROM w
+    """,
+)
+def q_clip_docs(spark, sf_dir):
+    """Head+tail token-budget clip (operators/packing.py::
+    clip_documents, mode='middle', 40 words): keep the first 20 and
+    last 20 words of over-budget docs — pure codegen array slicing,
+    narrow map, zero shuffle."""
+    from pybabe_spark.operators.packing import clip_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return clip_documents(docs, max_words=40, mode="middle")

@@ -326,7 +326,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # iterative GD: broadcast weights + two linear aggs per
                 # round — must stay clean
                 "quality_classifier_docs",
-                "lm_trigram_perplexity_docs"]:
+                "lm_trigram_perplexity_docs",
+                "clip_docs_middle", "curriculum_order_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
