@@ -113,6 +113,37 @@ def train_bigram_lm(
     return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab)
 
 
+def _ppl_output(
+    df: DataFrame, scored: DataFrame, id_col: str, count_alias: str
+) -> DataFrame:
+    """Shared scorer tail for both LM orders: decimal-exact log-prob
+    sum per doc, left join back so every doc keeps a row, raw IEEE
+    average (re-rounding to decimal would land exact-halfway quotients
+    — a 6-decimal sum over a small integer — on engine-specific
+    rounding modes), and one DECIMAL(18,6) rounding on the
+    transcendental ppl."""
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias(count_alias),
+        F.sum("__lp").cast("decimal(28,6)").alias("__sum"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
+            F.col("__sum").cast("double").alias("sum_logp"),
+            (F.col("__sum").cast("double") / F.col(count_alias)).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    return out.withColumn(
+        "ppl",
+        F.exp(-(F.col("avg_logp"))).cast("decimal(18,6)").cast("double"),
+    )
+
+
 def perplexity(
     df: DataFrame,
     lm: BigramLM,
@@ -149,30 +180,7 @@ def perplexity(
         .cast("decimal(18,6)")
         .alias("__lp"),
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("__lp").cast("decimal(28,6)").alias("__sum"),
-    )
-    out = (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.col("__sum").cast("double").alias("sum_logp"),
-            # raw IEEE division of two bit-identical values — correctly
-            # rounded, so engines agree exactly; re-rounding to decimal
-            # would instead land exact-halfway quotients (6-decimal sum
-            # over a small integer) on engine-specific rounding modes
-            (F.col("__sum").cast("double") / F.col("n_bigrams")).alias(
-                "avg_logp"
-            ),
-        )
-    )
-    return out.withColumn(
-        "ppl",
-        F.exp(-(F.col("avg_logp"))).cast("decimal(18,6)").cast("double"),
-    )
+    return _ppl_output(df, scored, id_col, "n_bigrams")
 
 
 def perplexity_filter(
@@ -223,10 +231,15 @@ def load_lm(spark, path: str) -> "BigramLM | NgramLM":
     """Load a :func:`save_lm` model (kind restored from ``meta/``;
     pre-meta saves load as bigram); scoring plans are identical to the
     freshly-trained form (same schemas, same joins)."""
+    from pyspark.errors import AnalysisException
+
     try:
         meta = spark.read.parquet(f"{path}/meta").head()
         kind, n = meta["kind"], meta["n"]
-    except Exception:
+    except AnalysisException:
+        # only the path-missing case (a pre-meta bigram save) falls
+        # back; any other error must surface — a blanket fallback could
+        # silently misload an n-gram model as a stale bigram layout
         kind, n = "bigram", 2
     contexts = spark.read.parquet(f"{path}/contexts")
     # limit(1) restores the single-row guarantee a file scan cannot
@@ -352,7 +365,13 @@ def ngram_perplexity(
     P(w | ctx) = (c + alpha) / (cc + alpha·V); unseen grams/contexts
     coalesce to 0 so cross-corpus scoring is defined.
     """
-    n = lm.n if n is None else n
+    if n is not None and n != lm.n:
+        raise ValueError(
+            f"ngram_perplexity: n={n} does not match the model's order "
+            f"{lm.n}; a mismatched order would miss every context key "
+            "and score the uniform smoothing floor for every gram"
+        )
+    n = lm.n
     occ = ngram_occurrences(df, id_col, text_col, n)
     scored = attach_scalars(
         occ.join(lm.grams, ["ctx", "w"], "left").join(
@@ -368,26 +387,4 @@ def ngram_perplexity(
         .cast("decimal(18,6)")
         .alias("__lp"),
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_ngrams"),
-        F.sum("__lp").cast("decimal(28,6)").alias("__sum"),
-    )
-    out = (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
-            F.col("__sum").cast("double").alias("sum_logp"),
-            # raw IEEE division (see perplexity: decimal re-rounding
-            # would land exact-halfway quotients on engine rounding
-            # modes)
-            (F.col("__sum").cast("double") / F.col("n_ngrams")).alias(
-                "avg_logp"
-            ),
-        )
-    )
-    return out.withColumn(
-        "ppl",
-        F.exp(-(F.col("avg_logp"))).cast("decimal(18,6)").cast("double"),
-    )
+    return _ppl_output(df, scored, id_col, "n_ngrams")

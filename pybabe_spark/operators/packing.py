@@ -174,11 +174,14 @@ def clip_documents(
         )
     else:
         raise ValueError(f"clip_documents: unknown mode {mode!r}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
-        F.when(n <= max_words, F.coalesce(F.col(text_col), F.lit("")))
+        F.when(n <= max_words, txt)
         .otherwise(F.array_join(clip, " "))
         .alias(text_col),
-        n.alias("n_words"),
+        # split('') is [''] — an empty doc has 0 words, not 1 (the same
+        # correction chunk_documents makes)
+        F.when(txt == "", F.lit(0)).otherwise(n).alias("n_words"),
         (n > max_words).alias("clipped"),
     )

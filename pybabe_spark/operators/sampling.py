@@ -187,13 +187,9 @@ def global_shuffle(
     sharded training-data write wants: globally range-ordered,
     per-shard sorted, no total-order barrier).
     """
-    h = shuffle_key(key, seed)
-    k = F.col(key)
-    if shards is None:
-        return df.orderBy(h, k)
-    if shards < 1:
-        raise ValueError(f"global_shuffle: shards {shards} < 1")
-    return df.repartitionByRange(shards, h, k).sortWithinPartitions(h, k)
+    return _range_ordered(
+        df, [shuffle_key(key, seed), F.col(key)], shards, "global_shuffle"
+    )
 
 
 def mix_sources(
@@ -212,6 +208,18 @@ def mix_sources(
     return out
 
 
+def _range_ordered(df, cols, shards, op_name):
+    """Shared total-order / N-shard mechanics for the epoch-ordering
+    family: ``shards=None`` → range-partitioned external merge sort
+    (the 100 TB-safe total order), ``shards=N`` → N globally
+    range-ordered, per-shard-sorted shards."""
+    if shards is None:
+        return df.orderBy(*cols)
+    if shards < 1:
+        raise ValueError(f"{op_name}: shards {shards} < 1")
+    return df.repartitionByRange(shards, *cols).sortWithinPartitions(*cols)
+
+
 def curriculum_band(
     score: Column | str, boundaries: Sequence[float]
 ) -> Column:
@@ -221,10 +229,11 @@ def curriculum_band(
     unpartitioned window would be the single-task funnel plan_lint
     rejects). Mirrored exactly by :func:`curriculum_band_sql`."""
     s = F.col(score) if isinstance(score, str) else score
-    bounds = sorted(boundaries)
     band = F.lit(0)
-    for b in bounds:
-        band = band + (s >= F.lit(b)).cast("int")
+    for b in sorted(boundaries):
+        # when/otherwise, not a bare comparison cast: a NULL score must
+        # band to 0 exactly like the SQL mirror's CASE ... ELSE 0
+        band = band + F.when(s >= F.lit(b), F.lit(1)).otherwise(F.lit(0))
     return band
 
 
@@ -258,17 +267,12 @@ def curriculum_order(
     funnel; ``shards=N`` yields N globally-range-ordered sorted shards
     instead of a total order.
     """
-    h = shuffle_key(key, seed)
-    k = F.col(key)
     bcol = F.col("__band")
     border = bcol.desc() if easiest_first else bcol.asc()
     work = df.withColumn("__band", curriculum_band(score_col, boundaries))
-    if shards is None:
-        return work.orderBy(border, h, k).drop("__band")
-    if shards < 1:
-        raise ValueError(f"curriculum_order: shards {shards} < 1")
-    return (
-        work.repartitionByRange(shards, border, h, k)
-        .sortWithinPartitions(border, h, k)
-        .drop("__band")
-    )
+    return _range_ordered(
+        work,
+        [border, shuffle_key(key, seed), F.col(key)],
+        shards,
+        "curriculum_order",
+    ).drop("__band")

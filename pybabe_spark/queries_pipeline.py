@@ -456,8 +456,11 @@ def q_curriculum_order(spark, sf_dir):
         shuffle_key,
     )
 
+    # band the DECIMAL(18,6)-rounded score — the representation the
+    # oracle's _QUALITY_SQL bakes in; banding the raw double instead
+    # could split a boundary-adjacent doc across engines
     docs = read_table(spark, sf_dir, "documents").withColumn(
-        "__q", quality_score("text")
+        "__q", quality_score("text").cast("decimal(18,6)").cast("double")
     )
     ordered = curriculum_order(docs, "__q", [0.3, 0.5, 0.7], "doc_id", seed=7)
     return ordered.select(

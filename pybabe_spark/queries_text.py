@@ -613,7 +613,8 @@ def q_lm_trigram_perplexity(spark, sf_dir):
                                    list_slice(ws, len(ws) - 19, len(ws))),
                        ' ')
            END AS text,
-           len(ws) AS n_words,
+           CASE WHEN COALESCE(text, '') = '' THEN 0
+                ELSE len(ws) END AS n_words,
            len(ws) > 40 AS clipped
     FROM w
     """,

@@ -625,8 +625,9 @@ def test_clip_documents_matches_python(spark):
 
     def py_clip(t, m, mode):
         ws = (t or "").split(" ")
+        nw = 0 if not (t or "") else len(ws)  # empty doc has 0 words
         if len(ws) <= m:
-            return (t or "", len(ws), False)
+            return (t or "", nw, False)
         if mode == "head":
             kept = ws[:m]
         elif mode == "tail":
@@ -729,3 +730,30 @@ def test_ngram_lm_save_load_and_filter_dispatch(spark, docs, tmp_path):
         r["doc_id"] for r in perplexity_filter(docs, loaded, cut).collect()
     )
     assert kept == sorted(i for i, p in scores.items() if p is not None and p <= cut)
+
+
+def test_ngram_perplexity_rejects_order_mismatch(spark, docs):
+    """Review finding: a mismatched explicit n missed every context key
+    and silently scored the uniform floor for every gram."""
+    from pybabe_spark.operators.lm import ngram_perplexity, train_ngram_lm
+
+    lm = train_ngram_lm(docs, n=3)
+    with pytest.raises(ValueError, match="does not match the model's order"):
+        ngram_perplexity(docs, lm, n=4)
+
+
+def test_curriculum_band_nulls_band_to_zero(spark):
+    """NULL scores must band to 0 on BOTH engines (the SQL mirror's
+    CASE ... ELSE 0), not propagate NULL through the Spark sum."""
+    from pybabe_spark.operators.sampling import curriculum_band
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None)], "doc_id bigint, s double"
+    )
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", curriculum_band("s", [0.3, 0.7]).alias("b")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0}
