@@ -134,6 +134,46 @@ def ip_to_int(col: Column | str) -> Column:
     )
 
 
+
+#: /16 prefix bucketing for the range join: a range [start, end] lands
+#: in every bucket floor(start/2^16)..floor(end/2^16) (GeoLite2-style
+#: networks rarely span more than one), and a probe IP joins only its
+#: own bucket's copies — the O(rows x ALL ranges) nested loop becomes a
+#: hash equi-join on the bucket with the BETWEEN as a join filter.
+_IP_BUCKET = 65536
+
+
+def _range_lookup(probe: DataFrame, r: DataFrame, how: str) -> DataFrame:
+    """probe (carrying __ip_int) joined to DISJOINT ip ranges via the
+    bucketed broadcast hash join. Disjointness guarantees at most one
+    match per IP, and the per-range bucket replicas cannot duplicate a
+    match because each IP joins exactly its own bucket's replica."""
+    br = _bucketized_ranges(r).withColumnRenamed("__ipb", "__rpb")
+    probe = probe.withColumn(
+        "__ipb", (F.col("__ip_int") / _IP_BUCKET).cast("bigint")
+    )
+    out = probe.join(
+        F.broadcast(br),
+        (F.col("__ipb") == F.col("__rpb"))
+        & (F.col("__ip_int") >= F.col("ip_start"))
+        & (F.col("__ip_int") <= F.col("ip_end")),
+        how,
+    )
+    return out.drop("__ipb", "__rpb", "__ip_int", "ip_start", "ip_end")
+
+
+def _bucketized_ranges(r: DataFrame) -> DataFrame:
+    return r.withColumn(
+        "__ipb",
+        F.explode(
+            F.sequence(
+                (F.col("ip_start") / _IP_BUCKET).cast("bigint"),
+                (F.col("ip_end") / _IP_BUCKET).cast("bigint"),
+            )
+        ),
+    )
+
+
 def geoip(
     df: DataFrame,
     field: str = "ip",
@@ -144,21 +184,19 @@ def geoip(
     (pybabe/geoip.py:26-53): broadcast range join.
 
     The ranges table is broadcast (GeoLite2 is ~10 MB — well under the
-    threshold); the probe side gets a single BroadcastNestedLoopJoin on
-    the BETWEEN predicate, streamed once. Non-matching / malformed IPs
-    get NULLs when ``ignore_error`` (reference errors→NULLs behavior),
-    else are dropped.
+    threshold) bucketed by /16 prefix, so the probe side runs a hash
+    EQUI-join on the bucket with the BETWEEN as a join filter — per-row
+    work is the handful of ranges in the IP's own bucket, not ALL
+    ranges (the nested-loop shape scans the full ~3M-network GeoLite2
+    table per row at real scale). Non-matching / malformed IPs get
+    NULLs when ``ignore_error`` (reference errors→NULLs behavior), else
+    are dropped.
     """
     spark = df.sparkSession
     r = ranges if ranges is not None else builtin_ip_ranges(spark)
     probe = df.withColumn("__ip_int", ip_to_int(field))
     how = "left" if ignore_error else "inner"
-    out = probe.join(
-        F.broadcast(r),
-        (F.col("__ip_int") >= F.col("ip_start")) & (F.col("__ip_int") <= F.col("ip_end")),
-        how,
-    )
-    return out.drop("__ip_int", "ip_start", "ip_end")
+    return _range_lookup(probe, r, how)
 
 
 def geoip_country_code(
@@ -167,17 +205,13 @@ def geoip_country_code(
     output: str = "country_code",
     ranges: DataFrame | None = None,
 ) -> DataFrame:
-    """IP → country code only (pybabe/geoip.py:55-79)."""
+    """IP → country code only (pybabe/geoip.py:55-79); same bucketed
+    equi-join as :func:`geoip`."""
     spark = df.sparkSession
     r = ranges if ranges is not None else builtin_ip_ranges(spark)
     r = r.select("ip_start", "ip_end", F.col("country_code").alias(output))
     probe = df.withColumn("__ip_int", ip_to_int(field))
-    out = probe.join(
-        F.broadcast(r),
-        (F.col("__ip_int") >= F.col("ip_start")) & (F.col("__ip_int") <= F.col("ip_end")),
-        "left",
-    )
-    return out.drop("__ip_int", "ip_start", "ip_end")
+    return _range_lookup(probe, r, "left")
 
 
 def _cp1252_fold_tables() -> tuple[str, str]:

@@ -298,8 +298,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         "ann_cosine_topk": {"broadcast-nested-loop"},
         "embedding_neardup": {"broadcast-nested-loop"},
         "ann_ivf_topk": {"broadcast-nested-loop"},
-        # broadcast ip-range dim lookup: the intended plan
-        "geoip_country": {"broadcast-nested-loop"},
+        # /16-bucketed ip-range lookup: now a hash EQUI-join (the
+        # nested-loop shape scanned ALL ranges per row) — must stay clean
+        "geoip_country": set(),
         # SemDeDup Voronoi assignment: k centroid rows broadcast against
         # the corpus — the intended linear-pass plan; the quadratic pair
         # stage is a cell equi-join, NOT all-pairs

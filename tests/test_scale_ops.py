@@ -1509,3 +1509,42 @@ def test_ann_ivfpq_consistent_with_pq_and_cell_pruned(spark, sf_dir):
     from pybabe_spark.plans.lint import plan_lint
 
     assert plan_lint(ivfpq) == []
+
+
+def test_geoip_bucketed_join_spans_and_edges(spark):
+    """The /16-bucketed range join must behave exactly like the naive
+    BETWEEN scan: ranges spanning multiple /16 buckets match IPs in
+    every spanned bucket (each IP exactly once), boundary IPs match,
+    out-of-range and malformed IPs get NULLs, and the plan is a hash
+    equi-join — never a nested loop."""
+    from pybabe_spark.functions.enrich import geoip_country_code
+    from pybabe_spark.plans.lint import plan_lint
+
+    ranges = spark.createDataFrame(
+        [
+            # spans four /16 buckets: 10.0.0.0 .. 10.3.255.255
+            (167772160, 168034303, "AA", None, None, None, None),
+            # single-bucket range right after it
+            (168034304, 168099839, "BB", None, None, None, None),
+        ],
+        "ip_start bigint, ip_end bigint, country_code string, "
+        "region string, city string, latitude double, longitude double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "10.0.0.0"),     # start boundary of the spanning range
+            (2, "10.2.7.9"),     # interior bucket of the spanning range
+            (3, "10.3.255.255"), # end boundary
+            (4, "10.4.0.0"),     # first IP of the next range
+            (5, "10.5.0.0"),     # past every range
+            (6, "999.1.2.3"),    # malformed
+        ],
+        "id bigint, ip string",
+    )
+    out = geoip_country_code(probes, "ip", ranges=ranges)
+    got = {r["id"]: r["country_code"] for r in out.collect()}
+    assert got == {1: "AA", 2: "AA", 3: "AA", 4: "BB", 5: None, 6: None}
+    assert out.count() == 6  # bucket replicas never duplicate a match
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan_lint(out) == []
