@@ -475,3 +475,41 @@ def test_strip_duplicated_spans_property(spark, texts, n):
                 covered.update(range(j, j + n))
         kept = [w for j, w in enumerate(ws) if j not in covered]
         assert got[i] == (" ".join(kept), len(ws), len(covered))
+
+
+@given(
+    texts=st.lists(
+        st.lists(words_st, min_size=0, max_size=15).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    m=st.sampled_from([1, 3, 7]),
+    mode=st.sampled_from(["head", "tail", "middle"]),
+)
+@settings(**SETTINGS)
+def test_clip_documents_property(spark, texts, m, mode):
+    from pybabe_spark.operators.packing import clip_documents
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["clipped"])
+        for r in clip_documents(df, m, mode=mode).collect()
+    }
+    for i, t in corpus:
+        ws = t.split(" ")
+        nw = 0 if t == "" else len(ws)
+        if len(ws) <= m:
+            assert got[i] == (t, nw, False)
+        else:
+            if mode == "head":
+                kept = ws[:m]
+            elif mode == "tail":
+                kept = ws[-m:]
+            else:
+                h = (m + 1) // 2
+                kept = ws[:h] + ws[len(ws) - (m - h):]
+            assert got[i] == (" ".join(kept), nw, True)
+        # the clip never exceeds the budget
+        out_ws = got[i][0].split(" ") if got[i][0] else []
+        assert len(out_ws) <= max(m, 1)
