@@ -110,6 +110,8 @@ def dsir_log_weights(
     text_col: str = "text",
     buckets: int = 10_000,
     alpha: float = 1.0,
+    raw_profile: DataFrame | None = None,
+    target_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance log-weight.
 
@@ -121,8 +123,20 @@ def dsir_log_weights(
     per-bucket models are ≤ ``buckets`` rows and broadcast to the
     scoring join.
     """
-    raw_prof = doc_feature_profile(raw, id_col, text_col, buckets)
-    tgt_prof = doc_feature_profile(target, id_col, text_col, buckets)
+    # profile passthrough (the classifier's train/score idiom): a
+    # caller whose target is a SUBSET of raw can materialize the raw
+    # profile once and derive the target's as a semi-join on its ids —
+    # one corpus explode+hash instead of two
+    raw_prof = (
+        raw_profile
+        if raw_profile is not None
+        else doc_feature_profile(raw, id_col, text_col, buckets)
+    )
+    tgt_prof = (
+        target_profile
+        if target_profile is not None
+        else doc_feature_profile(target, id_col, text_col, buckets)
+    )
     cr, nr = _bucket_model(raw_prof)
     ct, nt = _bucket_model(tgt_prof)
     totals = attach_scalars(

@@ -362,10 +362,19 @@ def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (operators/dsir.py): raw = the whole
     documents corpus, target = its English slice; fixed 10k-bucket
     hashed-bigram models broadcast to one scoring join + per-doc agg."""
-    from pybabe_spark.operators.dsir import dsir_log_weights
+    from pybabe_spark.operators.dsir import (
+        doc_feature_profile,
+        dsir_log_weights,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    target = docs.filter(F.col("lang") == "en")
+    # target ⊂ raw: one materialized profile serves both models
+    prof = doc_feature_profile(docs).localCheckpoint(eager=True)
+    tgt_prof = prof.join(target.select("doc_id"), "doc_id", "semi")
+    return dsir_log_weights(
+        docs, target, raw_profile=prof, target_profile=tgt_prof
+    )
 
 
 def _dsir_sample_sql() -> str:
@@ -388,10 +397,19 @@ def q_dsir_sample(spark, sf_dir):
     """Gumbel-top-k DSIR resample (operators/dsir.py::dsir_resample):
     deterministic seeded-md5 Gumbel noise, TakeOrderedAndProject top-50
     — sample-without-replacement ∝ exp(log_weight), no global sort."""
-    from pybabe_spark.operators.dsir import dsir_log_weights, dsir_resample
+    from pybabe_spark.operators.dsir import (
+        doc_feature_profile,
+        dsir_log_weights,
+        dsir_resample,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    target = docs.filter(F.col("lang") == "en")
+    prof = doc_feature_profile(docs).localCheckpoint(eager=True)
+    w = dsir_log_weights(
+        docs, target, raw_profile=prof,
+        target_profile=prof.join(target.select("doc_id"), "doc_id", "semi"),
+    )
     return dsir_resample(w, k=50)
 
 
