@@ -143,11 +143,24 @@ def ip_to_int(col: Column | str) -> Column:
 _IP_BUCKET = 65536
 
 
-def _range_lookup(probe: DataFrame, r: DataFrame, how: str) -> DataFrame:
+def _range_lookup(
+    probe: DataFrame, r: DataFrame, how: str, bucketize: bool = True
+) -> DataFrame:
     """probe (carrying __ip_int) joined to DISJOINT ip ranges via the
     bucketed broadcast hash join. Disjointness guarantees at most one
     match per IP, and the per-range bucket replicas cannot duplicate a
-    match because each IP joins exactly its own bucket's replica."""
+    match because each IP joins exactly its own bucket's replica.
+
+    ``bucketize=False`` keeps the plain broadcast nested-loop BETWEEN
+    join — see the tiny-table trade note on :func:`geoip`."""
+    if not bucketize:
+        out = probe.join(
+            F.broadcast(r),
+            (F.col("__ip_int") >= F.col("ip_start"))
+            & (F.col("__ip_int") <= F.col("ip_end")),
+            how,
+        )
+        return out.drop("__ip_int", "ip_start", "ip_end")
     br = _bucketized_ranges(r).withColumnRenamed("__ipb", "__rpb")
     probe = probe.withColumn(
         "__ipb", (F.col("__ip_int") / _IP_BUCKET).cast("bigint")
@@ -163,6 +176,18 @@ def _range_lookup(probe: DataFrame, r: DataFrame, how: str) -> DataFrame:
 
 
 def _bucketized_ranges(r: DataFrame) -> DataFrame:
+    """One replica of each range per /16 bucket it overlaps.
+
+    PRECONDITION (documented contract): ranges are narrow — real
+    registry data (GeoLite2-style) allocates networks that rarely span
+    more than one /16, so the explode adds ~0–1 extra rows per range.
+    The replication is unbounded by construction: a pathological
+    user-supplied range like 0.0.0.0–255.255.255.255 replicates into
+    65,536 broadcast rows. Feeding tables with ranges that span many
+    /16s is misuse of this path — pass ``bucketize=False`` to
+    :func:`geoip` / :func:`geoip_country_code` for such tables and take
+    the nested-loop join instead (correct for any ranges, linear in
+    ranges-per-row)."""
     return r.withColumn(
         "__ipb",
         F.explode(
@@ -179,6 +204,7 @@ def geoip(
     field: str = "ip",
     ranges: DataFrame | None = None,
     ignore_error: bool = True,
+    bucketize: bool = True,
 ) -> DataFrame:
     """IP → country_code, region, city, latitude, longitude
     (pybabe/geoip.py:26-53): broadcast range join.
@@ -191,12 +217,23 @@ def geoip(
     table per row at real scale). Non-matching / malformed IPs get
     NULLs when ``ignore_error`` (reference errors→NULLs behavior), else
     are dropped.
+
+    Tiny-table trade: bucketizing pays a fixed cost (replica explode +
+    equi-join machinery) that only amortizes once the ranges table has
+    enough rows for the per-row nested-loop scan to dominate — with a
+    ~20-row table the nested loop is measurably faster at small scale
+    (≈0.3 s at sf0.1). ``bucketize=False`` selects that nested-loop
+    form; it is also REQUIRED for range tables violating the
+    narrow-range precondition of the bucketed path (ranges spanning
+    many /16s — see :func:`_bucketized_ranges`). Default stays the
+    bucketed join: it is the only shape that survives the real ~3M-row
+    registry at 100 TB probe scale.
     """
     spark = df.sparkSession
     r = ranges if ranges is not None else builtin_ip_ranges(spark)
     probe = df.withColumn("__ip_int", ip_to_int(field))
     how = "left" if ignore_error else "inner"
-    return _range_lookup(probe, r, how)
+    return _range_lookup(probe, r, how, bucketize)
 
 
 def geoip_country_code(
@@ -204,14 +241,16 @@ def geoip_country_code(
     field: str = "ip",
     output: str = "country_code",
     ranges: DataFrame | None = None,
+    bucketize: bool = True,
 ) -> DataFrame:
     """IP → country code only (pybabe/geoip.py:55-79); same bucketed
-    equi-join as :func:`geoip`."""
+    equi-join as :func:`geoip` (and the same ``bucketize=False``
+    tiny-table / wide-range escape)."""
     spark = df.sparkSession
     r = ranges if ranges is not None else builtin_ip_ranges(spark)
     r = r.select("ip_start", "ip_end", F.col("country_code").alias(output))
     probe = df.withColumn("__ip_int", ip_to_int(field))
-    return _range_lookup(probe, r, "left")
+    return _range_lookup(probe, r, "left", bucketize)
 
 
 def _cp1252_fold_tables() -> tuple[str, str]:

@@ -47,6 +47,15 @@ class BigramLM(NamedTuple):
     ``bigrams``: (w1, w2, c12) observed-bigram counts;
     ``contexts``: (w1, c1) unigram counts — the denominator contexts;
     ``vocab``: single row (v) — vocabulary size for the smoothing mass.
+
+    Smoothing-denominator variant, stated explicitly: contexts are TOTAL
+    unigram counts, which include each document's final token even though
+    that token never serves as a bigram context — so P(.|w1) sums to
+    slightly below 1. :class:`NgramLM` instead derives its denominators
+    from exact prefix counts (summing the gram table over ctx), where the
+    conditional mass is exact. Both variants are internally consistent
+    with their oracles and tests; the difference only matters when
+    comparing absolute perplexities across the two model families.
     """
 
     bigrams: DataFrame
@@ -261,12 +270,20 @@ def load_lm(spark, path: str) -> "BigramLM | NgramLM":
 
 
 def merge_lm(a: BigramLM, b: BigramLM) -> BigramLM:
-    """Combine two trained LMs by summing counts — EXACTLY the model
+    """Combine two trained LMs by summing counts — for models trained
+    with ``min_count=1`` (no pruning) this is EXACTLY the model
     :func:`train_bigram_lm` would produce on the concatenated corpora
     (counts are additive), so incremental pipelines can fold each new
     batch's cheap local model into the stored global one instead of
     re-scanning history. Two union+sum aggregations, model-sized not
-    corpus-sized."""
+    corpus-sized.
+
+    If either input was pruned (``min_count > 1``), merged bigram counts
+    are LOWER BOUNDS: bigram rows already pruned from an input are lost,
+    and a bigram pruned in both inputs stays absent even if its combined
+    count would clear the threshold. Contexts and vocab are never pruned,
+    so denominators stay exact either way — pruned-merge models just
+    smooth a little more mass than a from-scratch retrain would."""
     bigrams = (
         a.bigrams.unionByName(b.bigrams)
         .groupBy("w1", "w2")

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from pybabe_spark.operators._util import gen_col
+
 #: bucket space: membership thresholds are expressed in millionths
 BUCKETS = 1_000_000
 _FOLD = 1_000_003
@@ -267,12 +269,13 @@ def curriculum_order(
     funnel; ``shards=N`` yields N globally-range-ordered sorted shards
     instead of a total order.
     """
-    bcol = F.col("__band")
+    band = gen_col(df.columns, "__band")
+    bcol = F.col(band)
     border = bcol.desc() if easiest_first else bcol.asc()
-    work = df.withColumn("__band", curriculum_band(score_col, boundaries))
+    work = df.withColumn(band, curriculum_band(score_col, boundaries))
     return _range_ordered(
         work,
         [border, shuffle_key(key, seed), F.col(key)],
         shards,
         "curriculum_order",
-    ).drop("__band")
+    ).drop(band)
