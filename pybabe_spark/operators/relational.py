@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pybabe_spark.operators._util import gen_col
+from pybabe_spark.operators._util import attach_scalars, gen_col
 from pybabe_spark.sources.io import INGEST_ID, with_ingest_id
 
 
@@ -92,43 +92,66 @@ def skip(df: DataFrame, n: int, order_by: str | None = None) -> DataFrame:
     stream, and a unique order key is what gives that position meaning
     on a distributed table.
 
-    Scale shape: the n-th smallest key is found with a TakeOrdered job
-    over the key column only (per-partition heaps of n keys, driver
-    merge — no global sort, no data shuffle), then the result is a
-    map-side ``key > boundary`` filter that parquet scans push down.
-    The previous form (row_number over an unpartitioned window) funneled
-    every row through one task; this touches only n keys + one scan.
+    Scale shape, FULLY LAZY (no job at construction): the n-th-smallest
+    key boundary is a 1-row aggregate over a TakeOrdered subquery
+    (per-partition heaps of n keys — no global sort, no data shuffle),
+    attached to every row with the ``attach_scalars`` crossJoin idiom
+    and compared map-side. The boundary evaluates inside the query's own
+    action, so a ``skip`` composed before upstream data lands sees the
+    data as of the action — and interactive users pay no hidden job at
+    plan-build time. Trade disclosed: the boundary is a plan column,
+    not a literal, so the comparison no longer reaches the parquet
+    scan's PushedFilters; the filter is still map-side and row-cheap.
+
+    NULL order keys sort first and are part of the skipped prefix. If
+    MORE than n keys are NULL no deterministic prefix exists — that is
+    detected in-plan (a surviving NULL-key row when the whole skipped
+    prefix was NULL is itself the (n+1)-th NULL) and raised from the
+    action via ``raise_error``.
     """
     key = order_by or INGEST_ID
     if key not in df.columns:
         raise ValueError(f"skip() needs an order column; attach {INGEST_ID} at read")
     if n <= 0:
         return df
-    stats = (
-        df.select(key).orderBy(F.col(key).asc_nulls_first()).limit(n)
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col(key).isNull().cast("long")).alias("nulls"),
-            F.max(key).alias("b"),
-        )
-        .collect()[0]
+    c_cnt = gen_col(df.columns, "__skip_cnt")
+    c_b = gen_col(df.columns, "__skip_b")
+    c_nulls1 = gen_col(df.columns, "__skip_nulls1")
+    ordered = df.select(key).orderBy(F.col(key).asc_nulls_first())
+    stats = ordered.limit(n).agg(
+        F.count(F.lit(1)).alias(c_cnt),
+        F.max(key).alias(c_b),
     )
-    if stats["cnt"] < n:  # fewer than n rows total: whole stream skipped
-        return df.filter(F.lit(False))
-    if stats["nulls"]:
-        # NULL keys sort first, so every NULL-key row is in the skipped
-        # prefix — unless there are MORE than n of them, where 'which n'
-        # is undefined (the order key is supposed to be unique).
-        if stats["nulls"] == n and df.filter(F.col(key).isNull()).count() > n:
-            raise ValueError(
+    # NULLs sort first, so 'more than n NULL keys' (no deterministic
+    # prefix exists) is exactly 'the first n+1 keys are all NULL' —
+    # provable from a second n+1-key TakeOrdered, never a full scan.
+    over = ordered.limit(n + 1).agg(
+        F.coalesce(
+            F.sum(F.col(key).isNull().cast("long")), F.lit(0)
+        ).alias(c_nulls1)
+    )
+    # fewer than n rows total (cnt < n) → whole stream skipped; a NULL
+    # boundary with cnt == n means the entire prefix was NULL-keyed, so
+    # every non-NULL row survives.
+    keep = (
+        (F.col(c_cnt) == n)
+        & F.col(key).isNotNull()
+        & (F.col(c_b).isNull() | (F.col(key) > F.col(c_b)))
+    )
+    cond = F.when(
+        F.col(c_nulls1) == n + 1,
+        F.raise_error(
+            F.lit(
                 f"skip(): more than {n} NULL values in order column "
                 f"{key!r}; a deterministic prefix needs a unique key"
             )
-        cond = F.col(key).isNotNull()
-        if stats["b"] is not None:
-            cond = cond & (F.col(key) > F.lit(stats["b"]))
-        return df.filter(cond)
-    return df.filter(F.col(key) > F.lit(stats["b"]))
+        ).cast("boolean"),
+    ).otherwise(keep)
+    return (
+        attach_scalars(attach_scalars(df, stats), over)
+        .filter(cond)
+        .drop(c_cnt, c_b, c_nulls1)
+    )
 
 
 def head(df: DataFrame, n: int) -> DataFrame:

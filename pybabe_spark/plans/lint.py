@@ -77,44 +77,76 @@ def _explain_physical(df: DataFrame) -> str:
     return text[text.index(marker):] if marker in text else text
 
 
-def _single_row_side_joins(df: DataFrame) -> int:
-    """Number of logical Join nodes that will plan as a nested loop
-    (no join condition — a cross join) AND have a PROVABLY ≤1-row side
-    (``maxRows`` from Catalyst — e.g. a grouping-key-free aggregate, a
-    ``LIMIT 1``). Such a join is linear in the other side, so the
-    BroadcastNestedLoopJoin it plans to — the attach-a-global-scalar
-    idiom (operators/_util.py::attach_scalars) — is not a scale smell.
+def _build_side_max_rows(side) -> float:
+    """``maxRows`` proof for a physical build side: the first node
+    at-or-under ``side`` that carries a ``logicalLink``, descending only
+    through single-child physical-only wrappers (Broadcast/Shuffle
+    exchanges never get links of their own). ``inf`` when unprovable —
+    the caller then does NOT discount."""
+    for _ in range(64):
+        try:
+            ll = side.logicalLink()
+            if ll.isDefined():
+                mr = ll.get().maxRows()
+                return float(mr.get()) if mr.isDefined() else float("inf")
+            if side.children().size() == 1:
+                side = side.children().head()
+                continue
+        except Exception:
+            pass
+        return float("inf")
+    return float("inf")
 
-    Both predicates are required: a 1-row-side join WITH a condition
-    plans as a hash join and never produces the BNLJ node being
-    discounted, so counting it would let one benign equi-join mask a
-    genuine quadratic nested loop elsewhere in the same plan. Errors
-    (and sessions without the classic JVM plan handle — Spark Connect)
-    count 0: lint degrades toward flagging MORE, never less."""
+
+def _provably_single_row_bnljs(df: DataFrame) -> int:
+    """Number of PHYSICAL BroadcastNestedLoopJoin nodes whose BUILD side
+    is provably ≤1 row (``maxRows`` from the build subtree's logical
+    link — e.g. a grouping-key-free aggregate, a ``LIMIT 1``). Such a
+    join is linear in the probe side — the attach-a-global-scalar idiom
+    (operators/_util.py::attach_scalars) — so it is not a scale smell,
+    with or without a join condition (Catalyst folds downstream filters
+    into the BNLJ condition, so requiring condition-less-ness would
+    un-discount the idiom whenever a filter sits above it).
+
+    Each discount is anchored to an actual BNLJ node in the executed
+    plan, so a benign join elsewhere can never mask a genuine quadratic
+    nested loop in the same plan (the previous logical-vs-physical
+    cross-count could, if Catalyst planned a condition-less 1-row-side
+    join as something other than a BNLJ). Errors (and sessions without
+    the classic JVM plan handle — Spark Connect) count 0: lint degrades
+    toward flagging MORE, never less."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
+        plan = df._jdf.queryExecution().executedPlan()
     except Exception:
         return 0
-    count = 0
+    benign = 0
     stack = [plan]
     while stack:
         node = stack.pop()
         try:
-            if (
-                node.getClass().getSimpleName() == "Join"
-                and not node.condition().isDefined()
-            ):
-                for side in (node.left(), node.right()):
-                    mr = side.maxRows()
-                    if mr.isDefined() and mr.get() <= 1:
-                        count += 1
-                        break
+            name = node.getClass().getSimpleName()
+        except Exception:
+            continue
+        try:
+            # AdaptiveSparkPlanExec holds the real tree out-of-children
+            stack.append(node.initialPlan())
+        except Exception:
+            pass
+        if "BroadcastNestedLoopJoin" in name:
+            try:
+                build_right = "BuildRight" in node.buildSide().toString()
+                side = node.right() if build_right else node.left()
+                if _build_side_max_rows(side) <= 1:
+                    benign += 1
+            except Exception:
+                pass
+        try:
             it = node.children().iterator()
             while it.hasNext():
                 stack.append(it.next())
         except Exception:
             continue
-    return count
+    return benign
 
 
 def plan_lint(df: DataFrame) -> list[Finding]:
@@ -139,7 +171,7 @@ def plan_lint(df: DataFrame) -> list[Finding]:
                 "a bucketed/candidate form instead",
             )
         )
-    bnlj = phys.count("BroadcastNestedLoopJoin") - _single_row_side_joins(df)
+    bnlj = phys.count("BroadcastNestedLoopJoin") - _provably_single_row_bnljs(df)
     for _ in range(max(bnlj, 0)):
         findings.append(
             (

@@ -514,10 +514,11 @@ def test_skip_with_null_order_keys(spark):
     )
     got = sorted(r["v"] for r in skip(df, 2, order_by="k").collect())
     assert got == ["c", "d"]
-    # more NULLs than n: no deterministic prefix exists
+    # more NULLs than n: no deterministic prefix exists — detected
+    # in-plan (skip is lazy now) and raised from the ACTION
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="NULL"):
+    with _pytest.raises(Exception, match="NULL"):
         skip(df, 1, order_by="k").collect()
     # n beyond the row count skips everything
     assert skip(df, 9, order_by="k").count() == 0

@@ -128,12 +128,31 @@ def test_mix_sources_no_shuffle(spark, sf_dir):
 
 
 def test_skip_has_no_global_window(spark, sf_dir):
-    """skip() must be boundary-value + pushed filter, not a row_number
-    over an unpartitioned window (the single-task funnel at 100 TB)."""
+    """skip() must be a boundary-value comparison, not a row_number over
+    an unpartitioned window (the single-task funnel at 100 TB). The
+    boundary is an in-plan TakeOrdered scalar (lazy — see
+    test_skip_is_lazy), so the key filter no longer reaches
+    PushedFilters; assert the intended shape instead: no Window, and the
+    TakeOrdered boundary subquery present."""
     plan = _plan(spark, "skip_rows", sf_dir)
     assert "Window" not in plan, plan
-    assert "PushedFilters: [" in plan, plan
-    assert "event_id" in plan.split("PushedFilters")[1][:200], plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_skip_is_lazy(spark):
+    """Constructing skip() must run NO job; the boundary evaluates
+    inside the query's own action (VERDICT r5 next-round item 3)."""
+    from pybabe_spark.operators.relational import skip
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "k int, v int"
+    )
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    out = skip(df, 4, order_by="k")
+    assert store.jobsList(None).size() == before, "skip() ran a job at plan-construction time"
+    assert sorted(r["k"] for r in out.collect()) == [5, 6, 7, 8, 9, 10]
+    assert store.jobsList(None).size() > before
 
 
 def test_dedup_against_broadcasts_seen_keys(spark, sf_dir):
