@@ -6,7 +6,12 @@ Reference: pybabe/join.py:5-50 — the only join in PyBabe. Semantics:
   **first** row per key (join.py:14-16) → never duplicates probe rows;
 - ``on_error`` selects the flavor (pybabe/base.py:132-135):
   * WARN (default): inner join, dropped probe rows are counted/logged
-  * FAIL: raise if any probe row misses
+  * FAIL: raise if any probe row misses — detected IN-PLAN (a
+    ``raise_error`` guard over the left join's match marker), so the
+    error surfaces from the query's FIRST ACTION as a Spark
+    ``USER_RAISED_EXCEPTION``, the plan stays lazy, and the join runs
+    exactly once (the reference raises during the pull, pybabe's
+    equivalent of the action)
   * SKIP: silent inner join
   * NONE: left outer (missing → NULLs, join.py:41-45)
 
@@ -88,6 +93,32 @@ def join(
         obs = Observation("join_misses")
         probe = probe.observe(obs, F.count(F.lit(1)).alias("probe_rows"))
 
+    if on_error == ON_ERROR_FAIL:
+        # fail if any probe key has no match — detected IN-PLAN so the
+        # join stays lazy and single-execution: a left join against the
+        # marked build side followed by a raise_error on unmarked rows.
+        # The check rides the same left join that produces the output
+        # (one job, at the query's own first action) instead of the old
+        # eager left_anti probe at construction time, which both ran a
+        # hidden job and re-executed the probe lineage for the main join.
+        from pybabe_spark.operators._util import gen_col
+
+        marker = gen_col(list(probe.columns) + list(dim.columns), "__matched")
+        build = build.withColumn(marker, F.lit(True))
+        joined = probe.join(build, probe[key] == build[jk], "left")
+        joined = joined.drop(build[jk])
+        check = F.when(
+            F.col(marker).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("join: probe key "),
+                    F.coalesce(F.col(key).cast("string"), F.lit("NULL")),
+                    F.lit(" not found in build side"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        return joined.filter(check).drop(marker)
+
     cond = probe[key] == build[jk]
     how = "left" if on_error == ON_ERROR_NONE else "inner"
     joined = probe.join(build, cond, how)
@@ -96,14 +127,6 @@ def join(
 
     if on_error == ON_ERROR_WARN:
         joined._pybabe_join_observation = obs  # type: ignore[attr-defined]
-    elif on_error == ON_ERROR_FAIL:
-        # fail if any probe key has no match: left_anti probe is non-empty
-        rows = probe.join(build, probe[key] == build[jk], "left_anti") \
-            .limit(1).collect()
-        if rows:
-            raise KeyError(
-                f"join: probe key {rows[0][key]!r} not found in build side"
-            )
     return joined
 
 
