@@ -34,13 +34,82 @@ def words(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, " ", -1)
 
 
-def token_count(text: str) -> Column:
-    """BPE-ish token count: word runs + individual symbols.
+def resolve_tokenizer(tokenizer):
+    """Normalize a user tokenizer to ``{'encode', 'encode_batch',
+    'decode'}`` — resolved on the DRIVER at plan time and shipped to
+    executors inside the pandas-UDF closure (the exact seam pattern of
+    ``multimodal._image_decoder``, multimodal.py:66), so a misconfigured
+    tokenizer fails at plan build, not as a worker ImportError.
 
-    regexp_count stays in codegen; the same pattern runs in DuckDB via
-    len(regexp_extract_all(...)).
+    Accepted shapes (matching the public tokenizer ecosystems):
+
+    - an object with ``.encode(str) -> Sequence`` (tiktoken,
+      HF ``PreTrainedTokenizer``); ``.encode_batch(list[str])`` is used
+      when present (HF fast tokenizers — one Python call per Arrow
+      batch); ``.decode(Sequence) -> str`` enables exact token-slice
+      clipping in :func:`pybabe_spark.operators.packing.clip_documents`;
+    - a bare callable ``f(str) -> Sequence`` of tokens.
+
+    Returns ``None`` for ``tokenizer=None`` (callers then take the
+    default whitespace/symbol-regex heuristic — the codegen path every
+    oracle-checked query uses).
     """
-    return F.regexp_count(F.col(text), F.lit(TOKEN_PATTERN))
+    if tokenizer is None:
+        return None
+    encode = getattr(tokenizer, "encode", None)
+    if encode is None and callable(tokenizer):
+        encode = tokenizer
+    if encode is None:
+        raise TypeError(
+            "tokenizer must be a callable text -> tokens or expose "
+            f".encode(); got {type(tokenizer).__name__}"
+        )
+    return {
+        "encode": encode,
+        "encode_batch": getattr(tokenizer, "encode_batch", None),
+        "decode": getattr(tokenizer, "decode", None),
+    }
+
+
+def token_count(text: str, tokenizer=None) -> Column:
+    """Token count of a text column.
+
+    Default (``tokenizer=None``): BPE-ish heuristic — word runs +
+    individual symbols via ``regexp_count``, pure codegen; the same
+    pattern runs in DuckDB via len(regexp_extract_all(...)), which is
+    what keeps the oracle gate on this path.
+
+    With a ``tokenizer`` (see :func:`resolve_tokenizer`): real
+    tokenizer-token counts through an Arrow-batched ``pandas_udf`` —
+    one Python invocation per Arrow batch, vectorized through
+    ``encode_batch`` when the tokenizer provides it. This is the
+    pluggable seam real training pipelines budget with (BPE tokens);
+    :func:`~pybabe_spark.operators.packing.pack_tokens`,
+    :func:`~pybabe_spark.operators.packing.clip_documents` and
+    ``Babe.text_stats`` all thread it through. NULL text counts 0.
+    """
+    if tokenizer is None:
+        return F.regexp_count(F.col(text), F.lit(TOKEN_PATTERN))
+    tok = resolve_tokenizer(tokenizer)
+    encode, encode_batch = tok["encode"], tok["encode_batch"]
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _count(s):
+        vals = s.fillna("")
+        if encode_batch is not None:
+            return pd.Series(
+                [len(t) for t in encode_batch(vals.tolist())],
+                index=s.index,
+                dtype="int64",
+            )
+        return vals.map(lambda t: len(encode(t))).astype("int64")
+
+    # real annotation objects: PEP-563 stringified hints (this module's
+    # `from __future__ import annotations`) are invisible to pandas_udf
+    _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "bigint")(F.col(text))
 
 
 def word_count(text: str) -> Column:

@@ -39,6 +39,8 @@ def pack_tokens(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_buckets: int = 32,
+    text_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Next-fit greedy packing: (id, bucket, pack_id).
 
@@ -49,7 +51,20 @@ def pack_tokens(
     next pack. A single oversized document (> budget) gets its own
     pack. ``pack_id`` is local to the bucket; (bucket, pack_id) is the
     global pack key.
+
+    Token counts come from ``tokens_col`` (precomputed, the default) or
+    — when ``text_col`` is given — are derived in the same plan via
+    :func:`pybabe_spark.functions.text.token_count`, with an optional
+    real ``tokenizer`` (Arrow-batched seam, see ``resolve_tokenizer``).
+    The heuristic default keeps the oracle-checked path byte-identical.
     """
+    if text_col is not None:
+        from pybabe_spark.functions.text import token_count
+
+        df = df.select(
+            *[c for c in df.columns if c != tokens_col],
+            token_count(text_col, tokenizer).alias(tokens_col),
+        )
     work = df.select(
         F.col(id_col),
         # NULL token counts pack as 0 (Arrow would deliver a nullable
@@ -145,6 +160,7 @@ def clip_documents(
     mode: str = "head",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Token-budget truncation ahead of packing/training: keep at most
     ``max_words`` words per document — ``head`` the first, ``tail`` the
@@ -154,9 +170,26 @@ def clip_documents(
     the ORIGINAL word count; NULL text behaves like ''.
 
     Pure codegen array slicing — narrow map, zero shuffle, no Python.
+
+    With a ``tokenizer`` (see ``functions.text.resolve_tokenizer``) the
+    budget is measured in REAL tokenizer tokens instead of words and the
+    clip runs as an Arrow-batched ``mapInPandas`` stage returning
+    (id, text, n_tokens, clipped) — ``n_tokens`` is the ORIGINAL count,
+    mirroring the default path's ``n_words``. When the tokenizer has
+    ``.decode`` the cut is an exact token-slice (encode → slice →
+    decode; ``middle`` decodes head and tail separately and joins with
+    a single space). Without ``.decode`` the cut falls back to word
+    boundaries: the largest prefix/suffix of words whose summed
+    per-word token cost fits the budget — never splitting a word,
+    possibly keeping fewer than budget tokens (documented
+    approximation; per-word costs ignore cross-space merges).
     """
     if max_words < 1:
         raise ValueError(f"clip_documents: max_words {max_words} < 1")
+    if mode not in ("head", "tail", "middle"):
+        raise ValueError(f"clip_documents: unknown mode {mode!r}")
+    if tokenizer is not None:
+        return _clip_tokenized(df, max_words, mode, id_col, text_col, tokenizer)
     ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
     n = F.size(ws)
     if mode == "head":
@@ -185,3 +218,92 @@ def clip_documents(
         F.when(txt == "", F.lit(0)).otherwise(n).alias("n_words"),
         (n > max_words).alias("clipped"),
     )
+
+
+def _fit_prefix(costs: list, budget: int) -> int:
+    """Length of the largest prefix with summed cost <= budget."""
+    acc = 0
+    for i, c in enumerate(costs):
+        acc += c
+        if acc > budget:
+            return i
+    return len(costs)
+
+
+def _clip_tokenized(
+    df: DataFrame,
+    budget: int,
+    mode: str,
+    id_col: str,
+    text_col: str,
+    tokenizer,
+) -> DataFrame:
+    """Tokenizer-budget clip (see :func:`clip_documents`): Arrow-batched
+    ``mapInPandas`` over (id, text) only — the kernel is resolved on the
+    driver and shipped in the closure (multimodal._image_decoder seam).
+    """
+    from pybabe_spark.functions.text import resolve_tokenizer
+
+    tok = resolve_tokenizer(tokenizer)
+    encode, decode = tok["encode"], tok["decode"]
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_ddl}, `{text_col}` string, "
+        "n_tokens bigint, clipped boolean"
+    )
+    h = (budget + 1) // 2
+    t = budget - h
+
+    def _clip_one(text: str) -> tuple[str, int, bool]:
+        toks = encode(text)
+        n = len(toks)
+        if n <= budget:
+            return text, n, False
+        if decode is not None:
+            toks = list(toks)
+            if mode == "head":
+                new = decode(toks[:budget])
+            elif mode == "tail":
+                new = decode(toks[n - budget:])
+            else:
+                new = decode(toks[:h]) + (
+                    " " + decode(toks[n - t:]) if t else ""
+                )
+            return new, n, True
+        words = text.split(" ")
+        costs = [len(encode(w)) for w in words]
+        if mode == "head":
+            keep = words[: _fit_prefix(costs, budget)]
+        elif mode == "tail":
+            keep = words[len(words) - _fit_prefix(costs[::-1], budget):]
+        else:
+            hd = _fit_prefix(costs, h)
+            tl = _fit_prefix(costs[::-1], t)
+            # never overlap the two halves on short-but-costly docs
+            tl = min(tl, len(words) - hd)
+            keep = words[:hd] + words[len(words) - tl:] if tl else words[:hd]
+        return " ".join(keep), n, True
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            new_text: list[str] = []
+            n_tokens: list[int] = []
+            clipped: list[bool] = []
+            for txt in texts:
+                s, n, c = _clip_one(txt)
+                new_text.append(s)
+                n_tokens.append(n)
+                clipped.append(c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: new_text,
+                    "n_tokens": pd.Series(
+                        n_tokens, dtype="int64", index=pdf.index
+                    ),
+                    "clipped": clipped,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema=schema)

@@ -423,15 +423,19 @@ class Babe:
 
         return primary_key_detect(self.df, **kwargs)
 
-    def text_stats(self, field="text") -> "Babe":
-        """Append n_words / n_tokens / lang_pred / quality columns."""
+    def text_stats(self, field="text", tokenizer=None) -> "Babe":
+        """Append n_words / n_tokens / lang_pred / quality columns.
+
+        ``tokenizer`` switches n_tokens from the codegen heuristic to
+        real tokenizer counts (Arrow-batched seam — see
+        functions.text.resolve_tokenizer)."""
         from pybabe_spark.functions import text as T
 
         return self._wrap(
             self.df.withColumns(
                 {
                     "n_words": T.word_count(field),
-                    "n_tokens": T.token_count(field),
+                    "n_tokens": T.token_count(field, tokenizer=tokenizer),
                     "lang_pred": T.lang_id(field),
                     "quality": T.quality_score(field),
                 }
