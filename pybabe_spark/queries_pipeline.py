@@ -441,6 +441,152 @@ def _curriculum_sql() -> str:
     """
 
 
+def _clip_pack_curriculum_sql() -> str:
+    """The full clip → pack → curriculum composition replayed in SQL:
+    the middle-clip as list slices, the next-fit packing recurrence as
+    a recursive CTE over CLIPPED token counts (the pack_tokens_docs
+    oracle, rebased onto the clip CTE), per-pack quality as an exact
+    decimal sum with ONE raw IEEE division (house convention: never
+    re-round an exact-decimal ÷ small-int quotient), then the band +
+    shuffle-key mapping of the curriculum oracle keyed by pack."""
+    from pybabe_spark.operators.sampling import (
+        curriculum_band_sql,
+        hash_bucket_sql,
+        shuffle_key_sql,
+    )
+    from pybabe_spark.queries_ml import _QUALITY_SQL
+
+    bucket = f"(({hash_bucket_sql('doc_id', 'int')}) % {_CPC_BUCKETS})"
+    tokens = "len(regexp_extract_all(text, '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1))"
+    band = curriculum_band_sql("pack_q", _CPC_BANDS)
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, text, string_split(COALESCE(text, ''), ' ') AS ws
+      FROM documents),
+    clip AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) <= {_CPC_MAX_WORDS} THEN COALESCE(text, '')
+                  ELSE array_to_string(
+                         list_concat(
+                           list_slice(ws, 1, {_CPC_HEAD}),
+                           list_slice(ws, len(ws) - {_CPC_TAIL - 1}, len(ws))),
+                         ' ')
+             END AS text
+      FROM w),
+    feat AS (
+      SELECT doc_id, {bucket} AS bucket,
+             CAST({tokens} AS BIGINT) AS t,
+             {_QUALITY_SQL} AS q
+      FROM clip),
+    x AS (
+      SELECT doc_id, bucket, t, q,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM feat),
+    r AS (
+      SELECT bucket, rn, doc_id, t, q, t AS acc, CAST(0 AS BIGINT) AS pack
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.bucket, x.rn, x.doc_id, x.t, x.q,
+             CASE WHEN r.acc + x.t > {_CPC_BUDGET} THEN x.t
+                  ELSE r.acc + x.t END,
+             CASE WHEN r.acc + x.t > {_CPC_BUDGET} THEN r.pack + 1
+                  ELSE r.pack END
+      FROM r JOIN x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+    ),
+    packs AS (
+      SELECT CAST(bucket AS INT) AS bucket, pack AS pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS pack_tokens,
+             CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS pack_q
+      FROM r GROUP BY bucket, pack
+    )
+    SELECT bucket, pack_id, n_docs, pack_tokens,
+           {band} AS band,
+           {shuffle_key_sql(
+               "CAST(bucket AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR)",
+               _CPC_SEED,
+           )} AS shuffle_key
+    FROM packs
+    """
+
+
+_CPC_MAX_WORDS, _CPC_HEAD, _CPC_TAIL = 40, 20, 20
+_CPC_BUDGET, _CPC_BUCKETS, _CPC_SEED = 128, 8, 11
+# quartile-ish cuts of the measured per-pack mean-quality distribution
+# (sf0.01 range 0.40-0.475) — fixed data-independent constants, chosen so
+# every band is populated and the ordering is exercised for real
+_CPC_BANDS = [0.44, 0.455, 0.47]
+
+
+@register("clip_pack_curriculum_docs", _clip_pack_curriculum_sql())
+def q_clip_pack_curriculum(spark, sf_dir):
+    """The real pre-training data path, composed end to end (VERDICT r5
+    next-round item 7): middle-clip every document to 40 words →
+    token-count the clipped text → next-fit pack into ≤128-token
+    sequences (deterministic hash buckets, Arrow-batched state) →
+    per-pack mean quality → curriculum-order the PACKS (fixed bands,
+    seeded in-band shuffle, range sort). Proves the three round-5
+    operators compose deterministically: the oracle replays clip, the
+    packing recurrence, the decimal quality sum, and the (band,
+    shuffle-key) mapping value-for-value."""
+    from pybabe_spark.functions.text import quality_score, token_count
+    from pybabe_spark.operators.packing import clip_documents, pack_tokens
+    from pybabe_spark.operators.sampling import (
+        curriculum_band,
+        curriculum_order,
+        shuffle_key,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feat = clip_documents(
+        docs, max_words=_CPC_MAX_WORDS, mode="middle"
+    ).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").cast("decimal(18,6)").alias("__q"),
+    )
+    packs = pack_tokens(
+        feat, budget=_CPC_BUDGET, tokens_col="n_tokens",
+        n_buckets=_CPC_BUCKETS,
+    )
+    # equi-join pack assignments back to the per-doc features (both
+    # corpus-sized — a plain shuffled hash join, linear at any scale)
+    per_pack = (
+        packs.join(feat, "doc_id")
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            # exact decimal sum, then ONE raw IEEE division — identical
+            # bits on both engines (house determinism convention)
+            (
+                F.sum("__q").cast("decimal(28,6)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("pack_q"),
+        )
+        .withColumn(
+            "pack_key",
+            F.concat_ws(
+                ":",
+                F.col("bucket").cast("string"),
+                F.col("pack_id").cast("string"),
+            ),
+        )
+    )
+    ordered = curriculum_order(
+        per_pack, "pack_q", _CPC_BANDS, "pack_key", seed=_CPC_SEED
+    )
+    return ordered.select(
+        "bucket",
+        "pack_id",
+        "n_docs",
+        "pack_tokens",
+        curriculum_band("pack_q", _CPC_BANDS).alias("band"),
+        shuffle_key("pack_key", _CPC_SEED).alias("shuffle_key"),
+    )
+
+
 @register("curriculum_order_docs", _curriculum_sql())
 def q_curriculum_order(spark, sf_dir):
     """Curriculum epoch ordering (operators/sampling.py::

@@ -567,6 +567,132 @@ def q_quality_classifier(spark, sf_dir):
     return score_quality(docs, w, profile=prof)
 
 
+# Held-out evidence that the classifier LEARNS, not just that its
+# arithmetic replays (VERDICT r5 next-round item 6). Label: the doc
+# contains the word 'spark' — chosen because it is genuinely derivable
+# from the hashed-bigram features (bigrams straddling the word light up
+# reproducible buckets) on THIS corpus; the `lang` column is
+# statistically independent of the text by construction (all langs share
+# one vocabulary), so a lang label would certify nothing. The metric is
+# AUC, not accuracy: the model has no intercept term, so its 0-threshold
+# is uncalibrated for skewed labels (predict-the-majority hits
+# share-of-majority accuracy while learning nothing) — AUC is
+# threshold-free and measures exactly 'do held-out positives outrank
+# held-out negatives'. Measured with iters=2/lr=1: 0.74 (sf0.001), 0.80
+# (sf0.01), 0.81 (sf0.1); the 0.6 floor leaves regeneration margin while
+# staying far above the 0.5 of a non-learning model.
+#
+# Scale shape: AUC via a 1000-bin prob histogram (prob is already
+# DECIMAL(18,6)-rounded) — one groupBy to the ≤1001-row histogram, the
+# rank prefix-sum as a bounded explode + broadcast equi-join over bins
+# (NOT a global window — no single-task funnel at any corpus size), ties
+# counted ½ within a bin. Oracle: DuckDB recomputes the exact split and
+# label counts; auc_ok is the boolean-certified floor (the
+# ann_ivf_topk pattern — a broken trainer flips the boolean and the
+# hash-compare catches it).
+_EVAL_AUC_FLOOR = 0.6
+
+
+def _eval_split_sql() -> str:
+    from pybabe_spark.operators.sampling import hash_bucket_sql
+
+    return f"({hash_bucket_sql('doc_id')}) % 4 = 0"
+
+
+@register(
+    "quality_classifier_eval",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           TRUE AS auc_ok
+    FROM documents
+    WHERE {_eval_split_sql()}
+    """,
+)
+def q_quality_classifier_eval(spark, sf_dir):
+    """Train on the ¾ split, score the held-out ¼, certify held-out
+    ranking quality (AUC ≥ 0.6) as a boolean — the driver's check that
+    the classifier generalizes to documents it never saw."""
+    from pybabe_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from pybabe_spark.operators.dsir import doc_feature_profile
+    from pybabe_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__lbl",
+        F.array_contains(F.split("text", " "), "spark").cast("int"),
+    )
+    held = hash_bucket("doc_id") % 4 == 0
+    train, test = docs.filter(~held), docs.filter(held)
+    prof = doc_feature_profile(train, buckets=4096).localCheckpoint(eager=True)
+    w = train_quality_classifier(train, "__lbl", iters=2, lr=1.0, profile=prof)
+    ev = (
+        test.select("doc_id", "__lbl")
+        .join(
+            score_quality(test, w).select("doc_id", "prob"), "doc_id", "left"
+        )
+        # featureless docs sit at the σ̃(0)=0.5 midpoint
+        .select(
+            "__lbl",
+            F.coalesce(F.col("prob"), F.lit(0.5)).alias("prob"),
+        )
+    )
+    hist = ev.groupBy(
+        F.floor(F.col("prob") * 1000).cast("int").alias("bin")
+    ).agg(
+        F.sum("__lbl").alias("np"),
+        F.sum(F.lit(1) - F.col("__lbl")).alias("nn"),
+    )
+    # negatives strictly below each bin: explode bin -> [0, bin), equi-join
+    below = (
+        hist.select(
+            "bin",
+            # explode of the empty array drops bin 0 (nothing below it);
+            # when() must wrap the ARRAY, not the generator
+            F.explode(
+                F.when(
+                    F.col("bin") > 0,
+                    F.sequence(F.lit(0), F.col("bin") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pb"),
+        )
+        .join(
+            F.broadcast(
+                hist.select(F.col("bin").alias("pb"), F.col("nn").alias("nnb"))
+            ),
+            "pb",
+        )
+        .groupBy("bin")
+        .agg(F.sum("nnb").alias("nn_below"))
+    )
+    stats = (
+        hist.join(below, "bin", "left")
+        .agg(
+            F.sum("np").alias("P"),
+            F.sum("nn").alias("N"),
+            F.sum(
+                F.col("np") * F.coalesce(F.col("nn_below"), F.lit(0))
+                + F.lit(0.5) * F.col("np") * F.col("nn")
+            ).alias("num"),
+        )
+    )
+    return stats.select(
+        (F.col("P") + F.col("N")).cast("bigint").alias("n_eval"),
+        F.col("P").cast("bigint").alias("n_pos"),
+        (
+            (F.col("P") > 0)
+            & (F.col("N") > 0)
+            & (
+                F.col("num") / (F.col("P") * F.col("N"))
+                >= F.lit(_EVAL_AUC_FLOOR)
+            )
+        ).alias("auc_ok"),
+    )
+
+
 @register(
     "lm_trigram_perplexity_docs",
     """

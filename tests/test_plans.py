@@ -346,8 +346,15 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # iterative GD: broadcast weights + two linear aggs per
                 # round — must stay clean
                 "quality_classifier_docs",
+                # held-out AUC: histogram + bounded bin explode + equi
+                # join, deliberately NOT a global rank window
+                "quality_classifier_eval",
                 "lm_trigram_perplexity_docs",
-                "clip_docs_middle", "curriculum_order_docs"]:
+                "clip_docs_middle", "curriculum_order_docs",
+                # the clip -> pack -> curriculum composition: narrow
+                # clip, bucketed applyInPandas pack, equi join back,
+                # range-sorted curriculum — must stay clean end to end
+                "clip_pack_curriculum_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
