@@ -33,8 +33,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
+    """Warm + min-of-N time the given registry queries (all when None)
+    in THIS process's SparkSession. One call = one JVM's worth of
+    code-cache/GC history — the forked runner keeps that bounded."""
     from pybabe_spark.session import get_spark
     from pybabe_spark.queries import all_queries
 
@@ -42,6 +44,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     qs = all_queries()
+    if names is not None:
+        qs = {n: qs[n] for n in names}
     timings: dict[str, float] = {}
 
     # Warm pass at the smallest SF: triggers whole-stage codegen JIT and
@@ -80,6 +84,62 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+    spark.stop()
+    return timings
+
+
+def _run_chunk(out_path: str, names_csv: str) -> None:
+    """Child-process entry: time one chunk of queries, dump partial JSON."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings = _time_queries(names_csv.split(","), sf_dir)
+    with open(out_path, "w") as f:
+        json.dump(timings, f)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pybabe_spark.queries import all_queries
+
+    all_names = list(all_queries())
+
+    # JVM isolation (r5 bench-integrity finding): the ~120-query suite in
+    # ONE shared JVM drifted +13% on unchanged queries across rounds —
+    # code-cache/GC pressure, not plan cost. Each chunk of queries now
+    # runs in a FRESH child process/JVM (registry import on the parent
+    # never starts a JVM), so no query pays for more than chunk_size
+    # predecessors' churn. SPARK_GRAFT_BENCH_FORK=0 restores the inline
+    # single-JVM path for quick iteration.
+    chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "24"))
+    fork = os.environ.get("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    timings: dict[str, float] = {}
+    if fork:
+        import subprocess
+        import tempfile
+
+        for lo in range(0, len(all_names), chunk_size):
+            chunk = all_names[lo:lo + chunk_size]
+            with tempfile.NamedTemporaryFile(
+                suffix=".json", delete=False
+            ) as tf:
+                out_path = tf.name
+            try:
+                subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--chunk",
+                        out_path,
+                        ",".join(chunk),
+                    ],
+                    check=True,
+                )
+                with open(out_path) as f:
+                    timings.update(json.load(f))
+            finally:
+                if os.path.exists(out_path):
+                    os.unlink(out_path)
+    else:
+        timings = _time_queries(None, sf_dir)
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,7 +177,6 @@ def main() -> None:
     if rest:
         line_queries["_other"] = round(sum(rest), 4)
     print(json.dumps(dict(detail, queries=line_queries), separators=(",", ":")))
-    spark.stop()
 
 
 def _inflate(spark, base_dir: str, factor: int, out_dir: str) -> str:
@@ -167,6 +226,29 @@ def _inflate(spark, base_dir: str, factor: int, out_dir: str) -> str:
     return sf_dir
 
 
+def _stage_metrics(spark) -> dict[str, int] | None:
+    """Cumulative shuffle-write / spill bytes across every stage in the
+    app status store (UI-independent); deltas bracketing a run yield
+    that run's totals. The wall-time exponents alone can hide a memory
+    cliff that 100 TB hits first — spill bytes are the early warning."""
+    sc = spark.sparkContext
+    try:
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        arr = sc._gateway.new_array(sc._jvm.double, 0)
+        stages = store.stageList(empty, False, False, arr, empty)
+        sw = ms = ds = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            sw += s.shuffleWriteBytes()
+            ms += s.memoryBytesSpilled()
+            ds += s.diskBytesSpilled()
+        return {"shuffle_write": sw, "mem_spill": ms, "disk_spill": ds}
+    except Exception:
+        return None  # Connect / API drift: skip bytes, keep wall times
+
+
 def stress(factors: list[int]) -> None:
     import tempfile
 
@@ -178,7 +260,16 @@ def stress(factors: list[int]) -> None:
     import shutil
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("pybabe_spark-stress")
+    # stage-metric retention raised far above the suite's stage count so
+    # the status store never evicts a stage mid-measurement (the UI
+    # itself stays off; AppStatusListener records metrics regardless)
+    spark = get_spark(
+        "pybabe_spark-stress",
+        extra_conf={
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("WARN")
     # the workdir holds sum-of-factors corpus copies (~14x at [1,3,10]) —
     # reclaim at exit rather than orphaning gigabytes per run
@@ -311,6 +402,7 @@ def stress(factors: list[int]) -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sizes: dict[int, dict[str, int]] = {}
     timings: dict[str, dict[int, float]] = {}
+    bytes_by: dict[str, dict[int, dict[str, int]]] = {}
     for factor in factors:
         sf_dir = _inflate(spark, base_dir, factor, work)
         n_docs = spark.read.parquet(
@@ -331,10 +423,19 @@ def stress(factors: list[int]) -> None:
             except Exception:
                 pass
             best = None
-            for _ in range(runs):
+            for ri in range(runs):
+                if ri == 0:
+                    m0 = _stage_metrics(spark)
                 t0 = time.perf_counter()
                 fn()
                 dt = time.perf_counter() - t0
+                if ri == 0:
+                    m1 = _stage_metrics(spark)
+                    if m0 is not None and m1 is not None:
+                        bytes_by[name] = bytes_by.get(name, {})
+                        bytes_by[name][factor] = {
+                            k: m1[k] - m0[k] for k in m0
+                        }
                 best = dt if best is None else min(best, dt)
             timings.setdefault(name, {})[factor] = round(best, 3)
             print(f"  x{factor} {name}: {best:.3f}s", file=sys.stderr)
@@ -354,6 +455,11 @@ def stress(factors: list[int]) -> None:
             n: {str(f): t for f, t in d.items()} for n, d in timings.items()
         },
         "scaling_exponent": exponents,
+        # per-family per-factor shuffle-write + spill bytes of one run
+        # (status-store deltas): the memory-pressure axis wall time hides
+        "stage_bytes": {
+            n: {str(f): m for f, m in d.items()} for n, d in bytes_by.items()
+        },
     }
     with open(os.path.join(_REPO, "STRESS.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -369,5 +475,7 @@ if __name__ == "__main__":
             else [1, 3, 10]
         )
         stress(factors)
+    elif len(sys.argv) > 3 and sys.argv[1] == "--chunk":
+        _run_chunk(sys.argv[2], sys.argv[3])
     else:
         main()
