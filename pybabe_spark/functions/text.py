@@ -34,6 +34,27 @@ def words(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, " ", -1)
 
 
+class CharPairTokenizer:
+    """Deterministic reference tokenizer: non-overlapping 2-char chunks.
+
+    Exists so the tokenizer SEAM itself is oracle-checkable: its token
+    count is exactly ``(length(text)+1) // 2`` and a head token-slice
+    decode is exactly ``substr(text, 1, 2*budget)`` — both ANSI-SQL
+    expressions a DuckDB oracle can replay, so the registry carries
+    driver-green rows for the seam's pandas-UDF count path AND the
+    encode→slice→decode clip path (queries_text.py::
+    pack_tokens_tokenizer_docs / clip_docs_tokenizer), not just unit
+    tests with an injected toy. Shaped like the public protocol
+    (tiktoken / HF): ``encode`` → token list, ``decode`` → exact text.
+    """
+
+    def encode(self, s):
+        return [s[i:i + 2] for i in range(0, len(s), 2)]
+
+    def decode(self, toks):
+        return "".join(toks)
+
+
 def resolve_tokenizer(tokenizer):
     """Normalize a user tokenizer to ``{'encode', 'encode_batch',
     'decode'}`` — resolved on the DRIVER at plan time and shipped to

@@ -207,6 +207,141 @@ def _pack_oracle() -> str:
     """
 
 
+# The tokenizer-seam twins: identical pipelines to pack_tokens_docs /
+# clip_docs_middle but with REAL tokenizer counts through the
+# Arrow-batched pandas-UDF seam, using text.CharPairTokenizer — chosen
+# exactly because its arithmetic ((length+1)//2 tokens; a head slice
+# decodes to substr(text, 1, 2*budget)) is ANSI-SQL expressible, so the
+# driver value-hashes the seam itself, executors included, not just the
+# heuristic default path.
+_PAIR_TOKENS_SQL = "((length(COALESCE(text, '')) + 1) // 2)"
+
+
+def _pack_tokenizer_oracle() -> str:
+    from pybabe_spark.operators.sampling import hash_bucket_sql
+
+    bucket = f"(({hash_bucket_sql('doc_id', 'int')}) % {_PACK_BUCKETS})"
+    return f"""
+    WITH RECURSIVE x AS (
+      SELECT doc_id, bucket, t,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, {bucket} AS bucket,
+                   CAST({_PAIR_TOKENS_SQL} AS BIGINT) AS t
+            FROM documents)
+    ),
+    r AS (
+      SELECT bucket, rn, doc_id, t, t AS acc, CAST(0 AS BIGINT) AS pack
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.bucket, x.rn, x.doc_id, x.t,
+             CASE WHEN r.acc + x.t > {_PACK_BUDGET} THEN x.t
+                  ELSE r.acc + x.t END,
+             CASE WHEN r.acc + x.t > {_PACK_BUDGET} THEN r.pack + 1
+                  ELSE r.pack END
+      FROM r JOIN x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, pack AS pack_id FROM r
+    """
+
+
+@register("pack_tokens_tokenizer_docs", _pack_tokenizer_oracle())
+def q_pack_tokens_tokenizer(spark, sf_dir):
+    """pack_tokens with token counts derived IN-PLAN from the text via
+    the pluggable tokenizer seam (functions/text.py::token_count with
+    CharPairTokenizer — an Arrow-batched pandas UDF on the executors);
+    the oracle replays the same next-fit recurrence over the
+    tokenizer's exact (length+1)//2 counts."""
+    from pybabe_spark.functions.text import CharPairTokenizer
+    from pybabe_spark.operators.packing import pack_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_tokens(
+        docs,
+        budget=_PACK_BUDGET,
+        n_buckets=_PACK_BUCKETS,
+        text_col="text",
+        tokenizer=CharPairTokenizer(),
+    )
+
+
+_CLIP_TOK_BUDGET = 64
+
+
+@register(
+    "clip_docs_tokenizer",
+    f"""
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+    SELECT doc_id,
+           CASE WHEN {_PAIR_TOKENS_SQL} <= {_CLIP_TOK_BUDGET} THEN text
+                ELSE substr(text, 1, {2 * _CLIP_TOK_BUDGET}) END AS text,
+           CAST({_PAIR_TOKENS_SQL} AS BIGINT) AS n_tokens,
+           {_PAIR_TOKENS_SQL} > {_CLIP_TOK_BUDGET} AS clipped
+    FROM t
+    """,
+)
+def q_clip_tokenizer(spark, sf_dir):
+    """Head clip at a REAL tokenizer budget (clip_documents with
+    CharPairTokenizer): encode → slice to 64 tokens → decode, run as an
+    Arrow-batched mapInPandas stage; the oracle replays the exact
+    substr/count arithmetic of the pair tokenizer."""
+    from pybabe_spark.functions.text import CharPairTokenizer
+    from pybabe_spark.operators.packing import clip_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return clip_documents(
+        docs, _CLIP_TOK_BUDGET, mode="head", tokenizer=CharPairTokenizer()
+    )
+
+
+# Corpus-trained BPE through the seam. The merge list is learned from
+# the corpus itself (operators/bpe.py: one word-frequency agg + bounded
+# driver merge loop), so its token counts are NOT SQL-expressible — the
+# oracle instead recomputes the exact word/char counts and certifies the
+# structural bounds every valid BPE encode must satisfy (each non-empty
+# word encodes to between 1 and len(word) tokens → per-doc totals are
+# bracketed by n_words and n_chars-excl-spaces). The exactness evidence
+# lives in tests/test_bpe.py, which replays training AND encoding
+# against an independent reference implementation value-for-value.
+_BPE_CACHE: dict = {}
+
+
+@register(
+    "bpe_token_count_docs",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(length(replace(COALESCE(text, ''), ' ', '')) AS BIGINT)
+             AS n_chars,
+           TRUE AS bounds_ok
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark, sf_dir):
+    """Train BPE on the corpus (30 merges), count every document in the
+    learned subword units via the Arrow-batched tokenizer seam, and
+    certify the BPE bracketing invariants (n_words ≤ n_tokens ≤
+    n_chars). Trained once per corpus and cached — the build-offline /
+    use-many shape of a real tokenizer deployment."""
+    from pybabe_spark.functions.text import token_count
+    from pybabe_spark.operators.bpe import train_bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = _BPE_CACHE.get(sf_dir)
+    if tok is None:
+        tok = _BPE_CACHE[sf_dir] = train_bpe(docs, num_merges=30)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_words = F.size(F.filter(F.split(txt, " ", -1), lambda w: w != ""))
+    n_chars = F.length(F.regexp_replace(txt, " ", ""))
+    nt = token_count("text", tok)
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        ((nt >= n_words) & (nt <= n_chars)).alias("bounds_ok"),
+    )
+
+
 @register("pack_tokens_docs", _pack_oracle())
 def q_pack_tokens(spark, sf_dir):
     """Next-fit greedy sequence packing (operators/packing.py::

@@ -351,6 +351,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "quality_classifier_eval",
                 "lm_trigram_perplexity_docs",
                 "clip_docs_middle", "curriculum_order_docs",
+                # tokenizer-seam twins: Arrow-batched pandas UDF /
+                # mapInPandas stages (never row-at-a-time Python)
+                "pack_tokens_tokenizer_docs", "clip_docs_tokenizer",
+                "bpe_token_count_docs",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
