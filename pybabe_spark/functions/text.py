@@ -133,6 +133,38 @@ def token_count(text: str, tokenizer=None) -> Column:
     return pandas_udf(_count, "bigint")(F.col(text))
 
 
+def tokens(text: str, tokenizer=None) -> Column:
+    """The token ARRAY of a text column (the materialized form
+    downstream n-gram / embedding stages consume).
+
+    Default: the heuristic pattern via ``regexp_extract_all`` — pure
+    codegen, mirrored in DuckDB by the same ASCII-class regex (the
+    parity the oracle-checked ``tokenize_docs`` key certifies). With a
+    ``tokenizer``: the seam's Arrow-batched pandas UDF returning
+    ``array<string>`` of real tokenizer tokens (NULL text → empty
+    array).
+    """
+    if tokenizer is None:
+        return F.regexp_extract_all(F.col(text), F.lit(TOKEN_PATTERN), 1)
+    tok = resolve_tokenizer(tokenizer)
+    encode, encode_batch = tok["encode"], tok["encode_batch"]
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _toks(s):
+        vals = s.fillna("")
+        if encode_batch is not None:
+            return pd.Series(
+                [list(map(str, t)) for t in encode_batch(vals.tolist())],
+                index=s.index,
+            )
+        return vals.map(lambda t: list(map(str, encode(t))))
+
+    _toks.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_toks, "array<string>")(F.col(text))
+
+
 def word_count(text: str) -> Column:
     return F.size(words(text))
 

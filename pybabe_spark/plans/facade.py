@@ -442,6 +442,24 @@ class Babe:
             )
         )
 
+    def tokenize(self, field="text", tokenizer=None, output="tokens") -> "Babe":
+        """Append the token array (heuristic regex, or a real tokenizer
+        through the Arrow-batched seam)."""
+        from pybabe_spark.functions import text as T
+
+        return self._wrap(
+            self.df.withColumn(output, T.tokens(field, tokenizer=tokenizer))
+        )
+
+    def train_bpe(self, field="text", **kwargs):
+        """Train a corpus BPE tokenizer (operators/bpe.py); returns the
+        TrainedBPETokenizer — pass it back into text_stats / tokenize /
+        pack_tokens / clip as ``tokenizer=``. Training is an action
+        (one word-frequency agg + a bounded TakeOrdered head)."""
+        from pybabe_spark.operators.bpe import train_bpe
+
+        return train_bpe(self.df, text_col=field, **kwargs)
+
     def minhash_lsh_pairs(self, id_col, text_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.dedup_scale import minhash_lsh_pairs
 

@@ -293,6 +293,36 @@ def q_clip_tokenizer(spark, sf_dir):
     )
 
 
+@register(
+    "tokenize_docs",
+    """
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(COALESCE(text, ''),
+             '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1), ' ') AS tokens_str,
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+             '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1)) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_tokenize(spark, sf_dir):
+    """Materialized token arrays (functions/text.py::tokens, heuristic
+    default path): regexp_extract_all stays in codegen and the SAME
+    ASCII-class pattern runs in DuckDB — certifying the token-LIST
+    parity that token_count's regexp_count only counts. Arrays travel
+    as the order-preserving join for the driver's value hash."""
+    from pybabe_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__t", F.coalesce(F.col("text"), F.lit(""))
+    )
+    arr = tokens("__t")
+    return docs.select(
+        "doc_id",
+        F.array_join(arr, " ").alias("tokens_str"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+    )
+
+
 # Corpus-trained BPE through the seam. The merge list is learned from
 # the corpus itself (operators/bpe.py: one word-frequency agg + bounded
 # driver merge loop), so its token counts are NOT SQL-expressible — the

@@ -135,6 +135,28 @@ def test_clip_documents_word_boundary_fallback(spark):
     assert mid["text"] == "aa"
 
 
+def test_tokens_array_both_paths(spark):
+    from pybabe_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [(1, "ab cd!"), (2, None)], "doc_id int, text string"
+    )
+    default = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    assert default[1] == ["ab", "cd", "!"]
+    assert default[2] is None  # NULL propagates on the codegen path
+    seam = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", tokens("text", PairTokenizer()).alias("t")
+        ).collect()
+    }
+    assert seam[1] == ["ab", " c", "d!"]
+    assert seam[2] == []  # the UDF path normalizes NULL to empty
+
+
 def test_text_stats_threads_tokenizer(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id int, text string")
     out = Babe.from_df(df).text_stats(tokenizer=PairTokenizer()).df.head()
