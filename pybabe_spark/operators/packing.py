@@ -103,6 +103,83 @@ def pack_tokens(
     return work.groupBy("bucket").applyInPandas(_pack, schema=schema)
 
 
+def pack_contiguous(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 32,
+    text_col: str | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """GPT-style contiguous packing: concatenate documents (in id order,
+    within each deterministic hash bucket) into one token stream and cut
+    it into fixed ``budget``-token training sequences — documents MAY
+    span a cut (the standard pre-training "concat and chunk" regime,
+    complementing :func:`pack_tokens`' whole-document next-fit).
+
+    Returns per document: (id, bucket, start_off, end_off, first_seq,
+    last_seq, spans_cut) where offsets index the bucket's token stream,
+    ``first_seq``/``last_seq`` are the budget-window ids the document's
+    tokens land in, and ``spans_cut`` marks boundary-crossing docs.
+    Zero-token documents occupy no stream positions
+    (start_off == end_off, first_seq == last_seq at the cursor).
+
+    Scale shape: ONE window — a per-bucket running sum ordered by id —
+    then pure arithmetic. Partitioned by bucket, so no single-task
+    funnel; (bucket, seq) is the global sequence key, reproducible
+    across runs/retries like pack_tokens' (bucket, pack_id). Token
+    counts come from ``tokens_col`` or in-plan via ``text_col`` (+
+    optional real ``tokenizer`` through the Arrow-batched seam).
+    """
+    from pyspark.sql import Window
+
+    if text_col is not None:
+        from pybabe_spark.functions.text import token_count
+
+        df = df.select(
+            *[c for c in df.columns if c != tokens_col],
+            token_count(text_col, tokenizer).alias(tokens_col),
+        )
+    work = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0)).alias("__t"),
+        F.pmod(_key_bucket(df, id_col), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("__t").over(w)
+    start = end - F.col("__t")
+    offs = work.select(
+        id_col,
+        "bucket",
+        F.col("__t"),
+        start.alias("start_off"),
+        end.alias("end_off"),
+    )
+    # integer `div`, never floor(double /): offsets are bigint token
+    # positions that exceed double's 2^53 exact range at real scale
+    first_seq = F.expr(f"start_off div {budget}")
+    # the last token sits at end_off-1; empty docs pin to the cursor
+    last_seq = F.when(
+        F.col("__t") > 0, F.expr(f"(end_off - 1) div {budget}")
+    ).otherwise(first_seq)
+    return offs.select(
+        id_col,
+        "bucket",
+        "start_off",
+        "end_off",
+        first_seq.cast("bigint").alias("first_seq"),
+        last_seq.cast("bigint").alias("last_seq"),
+        (last_seq > first_seq).alias("spans_cut"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_words: int,

@@ -411,6 +411,11 @@ class Babe:
 
         return self._wrap(pack_tokens(self.df, budget, **kwargs))
 
+    def pack_contiguous(self, budget, **kwargs) -> "Babe":
+        from pybabe_spark.operators.packing import pack_contiguous
+
+        return self._wrap(pack_contiguous(self.df, budget, **kwargs))
+
     def chunk_documents(self, chunk_words, **kwargs) -> "Babe":
         from pybabe_spark.operators.packing import chunk_documents
 

@@ -372,6 +372,57 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def _pack_contiguous_oracle() -> str:
+    from pybabe_spark.operators.sampling import hash_bucket_sql
+
+    bucket = f"(({hash_bucket_sql('doc_id', 'int')}) % {_PACK_BUCKETS})"
+    # the cumsum window is partitioned by bucket on BOTH engines; DuckDB
+    # `//` and Spark `div` are the same exact bigint floor division
+    return f"""
+    WITH x AS (
+      SELECT doc_id,
+             CAST({bucket} AS INT) AS bucket,
+             CAST({_TOKENS_SQL} AS BIGINT) AS t
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, bucket, t,
+             SUM(t) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS end_off
+      FROM x
+    )
+    SELECT doc_id, bucket,
+           CAST(end_off - t AS BIGINT) AS start_off,
+           CAST(end_off AS BIGINT) AS end_off,
+           CAST((end_off - t) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+           CAST(CASE WHEN t > 0 THEN (end_off - 1) // {_PACK_BUDGET}
+                     ELSE (end_off - t) // {_PACK_BUDGET} END AS BIGINT)
+             AS last_seq,
+           (CASE WHEN t > 0 THEN (end_off - 1) // {_PACK_BUDGET}
+                 ELSE (end_off - t) // {_PACK_BUDGET} END)
+             > ((end_off - t) // {_PACK_BUDGET}) AS spans_cut
+    FROM o
+    """
+
+
+@register("pack_contiguous_docs", _pack_contiguous_oracle())
+def q_pack_contiguous(spark, sf_dir):
+    """GPT-style contiguous packing (operators/packing.py::
+    pack_contiguous): per-bucket token streams cut at fixed 256-token
+    boundaries, docs may span cuts — ONE bucket-partitioned cumsum
+    window + exact integer division, no Python, no iteration."""
+    from pybabe_spark.functions.text import token_count
+    from pybabe_spark.operators.packing import pack_contiguous
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_contiguous(
+        docs, budget=_PACK_BUDGET, tokens_col="n_tokens",
+        n_buckets=_PACK_BUCKETS,
+    )
+
+
 @register("pack_tokens_docs", _pack_oracle())
 def q_pack_tokens(spark, sf_dir):
     """Next-fit greedy sequence packing (operators/packing.py::

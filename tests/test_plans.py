@@ -355,6 +355,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # mapInPandas stages (never row-at-a-time Python)
                 "pack_tokens_tokenizer_docs", "clip_docs_tokenizer",
                 "bpe_token_count_docs", "tokenize_docs",
+                # bucket-partitioned cumsum window (never global)
+                "pack_contiguous_docs",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end

@@ -1182,6 +1182,37 @@ def test_pack_tokens_respects_budget_and_oversized(spark):
     assert sorted(r["doc_id"] for r in out) == list(range(8))
 
 
+def test_pack_contiguous_offsets_and_spans(spark):
+    """The bucket token stream is gapless (each doc starts where the
+    previous ended), seq ids are exact integer windows of the offsets,
+    spans_cut marks exactly the boundary-crossing docs, and zero-token
+    docs occupy no positions."""
+    from pybabe_spark.operators.packing import pack_contiguous
+
+    sizes = [100, 100, 100, 700, 0, 50, 400, 10]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sizes)],
+        "doc_id long, n_tokens long",
+    )
+    rows = sorted(
+        pack_contiguous(docs, budget=512, n_buckets=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cursor = 0
+    for r, t in zip(rows, sizes):
+        assert r["start_off"] == cursor and r["end_off"] == cursor + t
+        assert r["first_seq"] == r["start_off"] // 512
+        expect_last = (r["end_off"] - 1) // 512 if t else r["first_seq"]
+        assert r["last_seq"] == expect_last
+        assert r["spans_cut"] == (r["last_seq"] > r["first_seq"])
+        cursor += t
+    # doc 3 (700 tokens at offset 300) must span the 512 boundary
+    assert rows[3]["spans_cut"] and not rows[0]["spans_cut"]
+    # zero-token doc: empty range, no span
+    assert rows[4]["start_off"] == rows[4]["end_off"]
+    assert not rows[4]["spans_cut"]
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     """Chunks cover every word; consecutive chunks share exactly
     `overlap` words; short docs yield one chunk."""
