@@ -129,6 +129,17 @@ def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def merge_word_frequencies(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum two (word, c) frequency tables — counts are additive, so an
+    incremental pipeline folds each new batch's cheap local table into
+    the stored global one and retrains merges WITHOUT re-scanning
+    history (the merge_lm shape, operators/lm.py). Exact: the result
+    equals :func:`word_frequencies` over the concatenated corpora."""
+    return (
+        a.unionByName(b).groupBy("word").agg(F.sum("c").alias("c"))
+    )
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -143,8 +154,24 @@ def train_bpe(
     Stops early when no pair reaches ``min_pair_count`` (merging a
     pair seen once memorizes a word, it does not generalize).
     """
+    return train_bpe_from_frequencies(
+        word_frequencies(df, text_col),
+        num_merges=num_merges,
+        top_words=top_words,
+        min_pair_count=min_pair_count,
+    )
+
+
+def train_bpe_from_frequencies(
+    wf: DataFrame,
+    num_merges: int = 200,
+    top_words: int = 10_000,
+    min_pair_count: int = 2,
+) -> TrainedBPETokenizer:
+    """Train from a persisted / incrementally-merged (word, c) table —
+    see :func:`merge_word_frequencies` — skipping the corpus scan."""
     head = (
-        word_frequencies(df, text_col)
+        wf
         .orderBy(F.col("c").desc(), F.col("word").asc())
         .limit(top_words)
         .collect()

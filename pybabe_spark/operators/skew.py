@@ -70,3 +70,42 @@ def salted_join(
     return out.drop(salted_probe["__salt"]).drop(exploded_build["__salt"]).drop(
         exploded_build[build_key]
     )
+
+
+def skew_report(
+    df: DataFrame, key: str, top_n: int = 20
+) -> DataFrame:
+    """Heavy-key diagnostic: the ``top_n`` most frequent key values with
+    their counts and skew ratio (count ÷ mean-count-per-key) — the
+    number you look at BEFORE choosing between a plain shuffle join,
+    AQE's skew split, and :func:`salted_join` (ratio ≫ number of
+    executor cores on one key = a straggler task in any un-salted
+    shuffle).
+
+    Scale shape: one map-side-combinable groupBy count, a 1-row global
+    aggregate derived from the (already key-sized) count table, and a
+    TakeOrdered head — never a sort of the full key space, never a
+    driver-side key scan. Deterministic tie-break (count DESC, key ASC).
+    NULL keys count as a key like any other (NULL-heavy columns are the
+    most common real skew).
+
+    Ratio arithmetic is two IEEE double ops in a fixed order
+    ((c · n_keys) / total) — bit-identical on any engine, and immune to
+    the bigint overflow a c·n_keys integer product would hit at
+    extreme cardinalities.
+    """
+    from pybabe_spark.operators._util import attach_scalars, gen_col
+
+    c = gen_col(df.columns, "n_rows")
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias(c))
+    totals = counts.agg(
+        F.sum(c).alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    top = counts.orderBy(F.col(c).desc(), F.col(key).asc()).limit(top_n)
+    return attach_scalars(top, totals).select(
+        F.col(key),
+        F.col(c),
+        (
+            F.col(c).cast("double") * F.col("__n_keys") / F.col("__total")
+        ).alias("skew_ratio"),
+    )

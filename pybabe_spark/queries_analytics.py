@@ -390,6 +390,30 @@ def q_salted_join_priority_revenue(spark, sf_dir):
 
 
 @register(
+    "skew_report_orders",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                 COUNT(*) AS n_keys FROM c)
+    SELECT o_custkey, CAST(n_rows AS BIGINT) AS n_rows,
+           (CAST(n_rows AS DOUBLE) * n_keys) / total AS skew_ratio
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, o_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Heavy-key diagnostic (operators/skew.py::skew_report): top-20
+    order-count customers with count ÷ mean-per-key skew ratio — the
+    pre-join skew probe. One map-combinable count agg + a TakeOrdered
+    head + a 1-row scalar attach; never a full-key sort."""
+    from pybabe_spark.operators.skew import skew_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    return skew_report(orders, "o_custkey", top_n=20)
+
+
+@register(
     "percentile_price_by_priority",
     """
     SELECT o_orderpriority,

@@ -148,6 +148,46 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     assert tok2.encode("lowest newest") == tok.encode("lowest newest")
 
 
+def test_bpe_incremental_frequency_merge(spark):
+    """merge_word_frequencies(a, b) must equal word_frequencies over the
+    concatenated corpora — so incremental retrains are exact."""
+    from pybabe_spark.operators.bpe import (
+        merge_word_frequencies,
+        train_bpe_from_frequencies,
+    )
+
+    d1 = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id int, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(2, "low newest newest")], "doc_id int, text string"
+    )
+    both = d1.unionByName(d2)
+    merged = merge_word_frequencies(word_frequencies(d1), word_frequencies(d2))
+    a = {(r["word"], r["c"]) for r in merged.collect()}
+    b = {(r["word"], r["c"]) for r in word_frequencies(both).collect()}
+    assert a == b
+    tok_inc = train_bpe_from_frequencies(merged, num_merges=6)
+    tok_full = train_bpe(both, num_merges=6)
+    assert tok_inc.merges == tok_full.merges
+
+
+def test_bpe_concat_invariant():
+    """BPE merges only concatenate adjacent symbols, so for ANY merge
+    list and ANY text: ''.join(encode(text)) == text without spaces, and
+    token counts are bracketed by [#nonempty words, #non-space chars]."""
+    rng = random.Random(3)
+    merges = [("a", "b"), ("ab", "c"), ("b", "a"), ("c", "ba")]
+    tok = TrainedBPETokenizer(merges)
+    alphabet = "abc "
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        toks = tok.encode(text)
+        assert "".join(toks) == text.replace(" ", ""), text
+        n_words = len([w for w in text.split(" ") if w])
+        assert n_words <= len(toks) <= len(text.replace(" ", "")), text
+
+
 def test_bpe_pickles_into_udf_closure():
     import pickle
 

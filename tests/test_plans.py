@@ -357,6 +357,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "bpe_token_count_docs", "tokenize_docs",
                 # bucket-partitioned cumsum window (never global)
                 "pack_contiguous_docs",
+                # count agg + TakeOrdered head + 1-row scalar attach
+                "skew_report_orders",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
