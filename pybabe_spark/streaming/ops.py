@@ -425,3 +425,76 @@ def run_foreach_batch(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_near_dedup_against_index(
+    stream_df: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    update_index: bool = True,
+    available_now: bool = True,
+):
+    """Incremental-crawl near-dedup: each arriving micro-batch is
+    deduplicated against the STORED MinHash index
+    (operators/dedup_scale.py::near_dedup_against_stored — banded
+    bucket equi-join, signature-fraction estimate, seen text never
+    read), survivors are appended to ``output_path``, and — with
+    ``update_index`` — their signatures/buckets are appended to the
+    index so LATER batches dedup against them too. This is the
+    steady-state shape of a production crawl pipeline: the corpus is
+    write-once, the index is the only growing working set (~1/1000 of
+    corpus), and each batch costs one signature pass over the batch
+    plus index-sized joins.
+
+    Runs through foreachBatch deliberately: the candidate-distinct and
+    keep-decision steps are per-batch aggregates, which the micro-batch
+    boundary already scopes — no unbounded streaming state, no
+    watermark tuning. Batches are processed sequentially by Structured
+    Streaming, so the read-then-append on the index is race-free.
+    At-least-once note: a batch REPLAYED after a crash re-appends its
+    survivors; replayed docs collide with their own signatures already
+    in the index and drop to zero survivors, so the index stays
+    duplicate-bounded while ``output_path`` should be compacted
+    idempotently by id downstream (the standard foreachBatch contract).
+    """
+    from pybabe_spark.operators.dedup_scale import (
+        _band_buckets,
+        minhash_signature,
+        near_dedup_against_stored,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch_df.sparkSession
+        kept = near_dedup_against_stored(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        # the keep-set feeds BOTH the sink and the index append — cut
+        # the lineage once instead of re-running the probe joins twice
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(output_path)
+        if update_index:
+            p = spark.read.parquet(
+                posixpath.join(index_path, "params")
+            ).collect()[0]
+            sig = minhash_signature(
+                kept, id_col, text_col, p["num_hashes"], p["shingle_n"]
+            )
+            sig.write.mode("append").parquet(
+                posixpath.join(index_path, "signatures")
+            )
+            _band_buckets(sig, id_col, id_col, p["num_hashes"], p["bands"]) \
+                .write.mode("append").partitionBy("band").parquet(
+                    posixpath.join(index_path, "buckets")
+                )
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

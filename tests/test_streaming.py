@@ -257,6 +257,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert batch_counts["2024-01-01 10:00:00"] == 4  # batch sees the late row
 
 
+def test_stream_near_dedup_against_index(spark, tmp_path):
+    """Two micro-batches dedup against the stored MinHash index AND
+    against earlier batches (update_index): a doc duplicating the seed
+    corpus drops in batch 1; a doc duplicating a batch-1 survivor drops
+    in batch 2; novel docs survive."""
+    from pybabe_spark.operators.dedup_scale import build_minhash_index
+    from pybabe_spark.streaming.ops import stream_near_dedup_against_index
+
+    seed_text = "alpha beta gamma delta epsilon zeta eta theta"
+    novel1 = "one two three four five six seven eight"
+    novel2 = "red green blue cyan magenta yellow black white"
+    seed = spark.createDataFrame(
+        [(1, seed_text)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(seed, idx, num_hashes=16, bands=4, shingle_n=1)
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(10, seed_text), (11, novel1)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(20, novel1), (21, novel2)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    out = str(tmp_path / "out")
+    q = stream_near_dedup_against_index(
+        stream, idx, out, str(tmp_path / "ckpt"),
+        threshold=0.8, update_index=True,
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 10 dups the seed; one of {11, 20} survives (whichever batch ran
+    # first indexed novel1 and drops the other); 21 is novel
+    assert 21 in kept
+    assert 10 not in kept
+    assert len({11, 20} & set(kept)) == 1, kept
+
+
 def test_streaming_upsert_sink(spark, tmp_path):
     """Continuous SCD1: each micro-batch upserts into a keyed parquet
     target via foreachBatch + operators/merge.upsert — the streaming
