@@ -243,3 +243,40 @@ def quality_classifier_filter(
     scored = score_quality(docs, weights, id_col, text_col, buckets, profile)
     keep = scored.filter(F.col("prob") >= min_prob).select(id_col)
     return docs.join(keep, id_col, "semi")
+
+
+def save_classifier(
+    weights: DataFrame, path: str, buckets: int = 4096,
+    mode: str = "overwrite",
+) -> None:
+    """Persist trained weights for the build-offline / score-many
+    deployment shape: ``weights/`` (bucket, w) plus a one-row
+    ``params/`` pinning the feature-bucket count — scoring against a
+    model trained in a DIFFERENT bucket space would silently hash
+    features into the wrong weights, the exact failure the stored
+    MinHash/LSH indexes also pin params against
+    (dedup_scale.build_minhash_index)."""
+    import posixpath
+
+    weights.write.mode(mode).parquet(posixpath.join(path, "weights"))
+    weights.sparkSession.createDataFrame(
+        [(int(buckets),)], "buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(path, "params")
+    )
+
+
+def load_classifier(spark, path: str) -> tuple[DataFrame, int]:
+    """(weights, buckets) — pass ``buckets`` through to
+    :func:`score_quality` / :func:`quality_classifier_filter` so the
+    scoring feature space always matches the trained one."""
+    import posixpath
+
+    prows = spark.read.parquet(posixpath.join(path, "params")).collect()
+    if len(prows) != 1:
+        raise ValueError(
+            f"load_classifier: model at {path!r} has {len(prows)} params "
+            "rows (expected exactly 1) — rewrite it with save_classifier"
+        )
+    weights = spark.read.parquet(posixpath.join(path, "weights"))
+    return weights, int(prows[0]["buckets"])

@@ -757,3 +757,32 @@ def test_curriculum_band_nulls_band_to_zero(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 0}
+
+
+def test_classifier_save_load_roundtrip(spark, docs, tmp_path):
+    """Persisted weights + pinned bucket count score identically to the
+    in-session model; a corrupted params table is refused."""
+    from pybabe_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    labeled = docs.withColumn("__lbl", (F.col("doc_id") % 2 == 0).cast("int"))
+    w = train_quality_classifier(labeled, "__lbl", iters=1, buckets=512)
+    path = str(tmp_path / "clf")
+    save_classifier(w, path, buckets=512)
+    w2, buckets = load_classifier(spark, path)
+    assert buckets == 512
+    a = {r["doc_id"]: r["prob"] for r in score_quality(labeled, w, buckets=512).collect()}
+    b = {r["doc_id"]: r["prob"] for r in score_quality(labeled, w2, buckets=buckets).collect()}
+    assert a == b
+    # second params row (mixed bucket spaces) must refuse, not guess
+    spark.createDataFrame([(1024,)], "buckets int").write.mode("append").parquet(
+        path + "/params"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="params"):
+        load_classifier(spark, path)
