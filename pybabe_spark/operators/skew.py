@@ -101,7 +101,13 @@ def skew_report(
     totals = counts.agg(
         F.sum(c).alias("__total"), F.count(F.lit(1)).alias("__n_keys")
     )
-    top = counts.orderBy(F.col(c).desc(), F.col(key).asc()).limit(top_n)
+    # asc_nulls_first EXPLICITLY: Spark's bare asc is nulls-first but
+    # DuckDB's default is nulls-last — a NULL key tying at the top_n
+    # boundary would otherwise pick different rows per engine (the
+    # oracle pins NULLS FIRST to match)
+    top = counts.orderBy(
+        F.col(c).desc(), F.col(key).asc_nulls_first()
+    ).limit(top_n)
     return attach_scalars(top, totals).select(
         F.col(key),
         F.col(c),

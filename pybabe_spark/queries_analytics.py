@@ -398,7 +398,7 @@ def q_salted_join_priority_revenue(spark, sf_dir):
     SELECT o_custkey, CAST(n_rows AS BIGINT) AS n_rows,
            (CAST(n_rows AS DOUBLE) * n_keys) / total AS skew_ratio
     FROM c CROSS JOIN t
-    ORDER BY n_rows DESC, o_custkey ASC
+    ORDER BY n_rows DESC, o_custkey ASC NULLS FIRST
     LIMIT 20
     """,
 )
