@@ -112,6 +112,7 @@ def dsir_log_weights(
     alpha: float = 1.0,
     raw_profile: DataFrame | None = None,
     target_profile: DataFrame | None = None,
+    target_model: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance log-weight.
 
@@ -132,13 +133,18 @@ def dsir_log_weights(
         if raw_profile is not None
         else doc_feature_profile(raw, id_col, text_col, buckets)
     )
-    tgt_prof = (
-        target_profile
-        if target_profile is not None
-        else doc_feature_profile(target, id_col, text_col, buckets)
-    )
     cr, nr = _bucket_model(raw_prof)
-    ct, nt = _bucket_model(tgt_prof)
+    if target_model is not None:
+        # a stored/precomputed (counts, total) target model — see
+        # save_dsir_target — skips the target corpus entirely
+        ct, nt = target_model
+    else:
+        tgt_prof = (
+            target_profile
+            if target_profile is not None
+            else doc_feature_profile(target, id_col, text_col, buckets)
+        )
+        ct, nt = _bucket_model(tgt_prof)
     totals = attach_scalars(
         nr.withColumnRenamed("n", "nr"), nt.withColumnRenamed("n", "nt")
     )
@@ -238,3 +244,51 @@ def dsir_resample(
         .orderBy(F.col("gumbel").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def save_dsir_target(
+    target: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the TARGET distribution's bucket model — the fixed
+    artifact a production DSIR deployment computes once from the
+    high-quality target corpus and reuses against every raw batch.
+    Layout: ``counts/`` (bucket, c), ``total/`` one row (n), and a
+    one-row ``params/`` pinning the feature-bucket count (mixing bucket
+    spaces silently mis-scores — the save_classifier /
+    build_minhash_index contract). Model size ≤ buckets rows, never
+    corpus-sized."""
+    import posixpath
+
+    prof = doc_feature_profile(target, id_col, text_col, buckets)
+    counts, total = _bucket_model(prof)
+    counts.write.mode(mode).parquet(posixpath.join(path, "counts"))
+    total.write.mode(mode).parquet(posixpath.join(path, "total"))
+    target.sparkSession.createDataFrame(
+        [(int(buckets),)], "buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(path, "params")
+    )
+
+
+def load_dsir_target(spark, path: str):
+    """(target_model, buckets) for :func:`dsir_log_weights`'s
+    ``target_model=`` / ``buckets=`` parameters. The 1-row total reads
+    back with ``limit(1)`` so plan_lint's maxRows proof of the scalar
+    attach survives the parquet roundtrip (the lm.load_lm precaution).
+    """
+    import posixpath
+
+    prows = spark.read.parquet(posixpath.join(path, "params")).collect()
+    if len(prows) != 1:
+        raise ValueError(
+            f"load_dsir_target: model at {path!r} has {len(prows)} params "
+            "rows (expected exactly 1) — rewrite it with save_dsir_target"
+        )
+    counts = spark.read.parquet(posixpath.join(path, "counts"))
+    total = spark.read.parquet(posixpath.join(path, "total")).limit(1)
+    return (counts, total), int(prows[0]["buckets"])

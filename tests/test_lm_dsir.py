@@ -786,3 +786,31 @@ def test_classifier_save_load_roundtrip(spark, docs, tmp_path):
 
     with _pytest.raises(ValueError, match="params"):
         load_classifier(spark, path)
+
+
+def test_dsir_target_model_save_load(spark, docs, tmp_path):
+    """Stored target bucket model scores raw batches identically to the
+    direct two-corpus computation, without touching target text."""
+    from pybabe_spark.operators.dsir import (
+        dsir_log_weights,
+        load_dsir_target,
+        save_dsir_target,
+    )
+
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    raw = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "dsir_target")
+    save_dsir_target(target, path, buckets=512)
+    model, buckets = load_dsir_target(spark, path)
+    assert buckets == 512
+    direct = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, target, buckets=512).collect()
+    }
+    stored = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            raw, None, buckets=buckets, target_model=model
+        ).collect()
+    }
+    assert direct == stored
