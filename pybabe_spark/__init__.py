@@ -20,4 +20,4 @@ from pybabe_spark.session import get_spark
 from pybabe_spark.plans.facade import Babe
 
 __all__ = ["Babe", "get_spark"]
-__version__ = "0.5.0"
+__version__ = "0.6.0"
