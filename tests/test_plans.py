@@ -248,6 +248,39 @@ def test_pack_tokens_single_bucket_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan, plan
 
 
+def test_pack_contiguous_single_shuffle_no_python(spark, sf_dir):
+    """Contiguous packing is ONE hash exchange on bucket feeding the
+    partitioned cumsum window — no Python stage, no global window."""
+    plan = _plan(spark, "pack_contiguous_docs", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan and "Python" not in plan, plan
+
+
+def test_semantic_dedup_assignment_expansion_is_narrow(spark):
+    """The Voronoi-assignment argmax must aggregate NARROW (id, cell,
+    sim) rows — the vector column may not ride through the ×k-expanded
+    join into the hash aggregate (measured 4.7 GB spill at the ×30
+    stress point when it did). The physical aggregate just above the
+    expansion join must therefore not reference the normalized-vector
+    column."""
+    from pybabe_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_dedup(emb, k_clusters=4, threshold=0.5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the max_by aggregate's struct carries exactly (cell, sim)
+    import re
+
+    aggs = [ln for ln in plan.splitlines() if "max_by" in ln]
+    assert aggs, plan
+    assert not any("__vn" in ln for ln in aggs), aggs
+
+
 def test_plan_lint_detects_scale_smells(spark):
     import pytest
     from pyspark.sql import Window
