@@ -274,8 +274,6 @@ def test_semantic_dedup_assignment_expansion_is_narrow(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     # the max_by aggregate's struct carries exactly (cell, sim)
-    import re
-
     aggs = [ln for ln in plan.splitlines() if "max_by" in ln]
     assert aggs, plan
     assert not any("__vn" in ln for ln in aggs), aggs
