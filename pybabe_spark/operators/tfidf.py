@@ -20,8 +20,12 @@ reorder the top-k.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import attach_scalars
 
 
 def tfidf_top_terms(
@@ -33,18 +37,20 @@ def tfidf_top_terms(
     """(id, term, tf, score) — each document's top-``k`` TF-IDF terms.
 
     score = tf × (ln((N+1)/(df+1)) + 1), DECIMAL(18,6)-rounded; ties
-    break on term name ascending.
+    break on term name ascending. Fully lazy: the corpus size enters the
+    plan as a 1-row broadcast aggregate (``attach_scalars``), not a
+    construction-time ``count()``.
     """
-    n_docs = docs.count()
     terms = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
     )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_counts.select(
+    idf = attach_scalars(df_counts, n_docs).select(
         "term",
-        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
     )
     scored = tf.join(idf, "term").select(
         "id",
@@ -59,6 +65,143 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score) — Okapi BM25 relevance of every document that contains
+    at least one of ``query_terms`` (docs matching none are absent, as in
+    any inverted-index engine).
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    the Robertson/Lucene non-negative idf(t) = ln(1 + (N − df + 0.5)/(df
+    + 0.5)).
+
+    Scale shape (100 TB): document lengths and corpus totals are one
+    linear map-combinable aggregation; term frequencies are computed only
+    for the query's terms (the explode is filtered before the shuffle, so
+    the (id, term) aggregation is proportional to the query's posting
+    lists, not the corpus vocabulary); the per-term idf table is at most
+    ``len(query_terms)`` rows and broadcast. The only corpus-wide
+    exchanges are the two linear aggregations — no corpus self-join.
+
+    Cross-engine determinism: per-term scores are IEEE doubles built from
+    identical inputs with identical operation order in the SQL mirror
+    (:func:`bm25_sql`), DECIMAL(18,6)-rounded per term (ln makes every
+    value irrational — half-point risk is measure-zero), then summed
+    exactly in decimal so per-doc totals are independent of Spark's
+    aggregation order.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__total_len"),
+    )
+    tf = (
+        terms.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = attach_scalars(dfreq, scalars).select(
+        "term",
+        F.log(
+            1.0 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        (F.col("__total_len").cast("double") / F.col("__n_docs")).alias("avgdl"),
+    )
+    scored = (
+        tf.join(dl, "id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("__s"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("__s").cast("double").alias("score")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score, id-ascending tiebreak.
+
+    The ranking is ``orderBy(...).limit(k)`` — Spark plans TakeOrdered
+    (per-partition top-k, then a k-row merge on the driver), NOT a
+    global row_number window, so the cut scales to any corpus size.
+    """
+    scores = bm25_scores(docs, query_terms, k1=k1, b=b,
+                         id_col=id_col, text_col=text_col)
+    return scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def bm25_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle of :func:`bm25_search` over ``documents`` — same
+    idf, same operation order, same per-term DECIMAL(18,6) rounding and
+    exact decimal sum, same (score DESC, id ASC) top-``k``."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH terms AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT id, COUNT(*) AS dl FROM terms GROUP BY id),
+    sc AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+           FROM dl),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN ({in_list}) GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term,
+             ln(1.0 + (sc.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+             CAST(sc.total_len AS DOUBLE) / sc.n_docs AS avgdl
+      FROM dfreq, sc
+    ),
+    scored AS (
+      SELECT tf.id,
+             CAST(idf.idf * (tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / idf.avgdl)))
+                  AS DECIMAL(18,6)) AS s
+      FROM tf JOIN dl USING (id) JOIN idf USING (term)
+    )
+    SELECT id, CAST(SUM(s) AS DOUBLE) AS score
+    FROM scored GROUP BY id
+    ORDER BY SUM(s) DESC, id ASC LIMIT {k}
+    """
 
 
 def tfidf_sql(k: int = 3) -> str:

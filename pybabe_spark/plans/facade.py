@@ -396,6 +396,16 @@ class Babe:
 
         return self._wrap(user_agent(self.df, field, **kwargs))
 
+    def tfidf_top_terms(self, k=3, **kwargs) -> "Babe":
+        from pybabe_spark.operators.tfidf import tfidf_top_terms
+
+        return self._wrap(tfidf_top_terms(self.df, k, **kwargs))
+
+    def bm25_search(self, query_terms, k=10, **kwargs) -> "Babe":
+        from pybabe_spark.operators.tfidf import bm25_search
+
+        return self._wrap(bm25_search(self.df, query_terms, k, **kwargs))
+
     def quantize_embeddings(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.similarity import quantize_embeddings
 

@@ -988,3 +988,22 @@ def q_clip_docs(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return clip_documents(docs, max_words=40, mode="middle")
+
+
+@register(
+    "bm25_search_docs",
+    __import__("pybabe_spark.operators.tfidf", fromlist=["bm25_sql"]).bm25_sql(
+        ["spark", "window", "sort"], k=10
+    ),
+)
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for the query ``spark window sort``
+    (operators/tfidf.py::bm25_search): filtered-posting tf aggregation,
+    broadcast ≤3-row idf table, TakeOrdered top-k — the text-retrieval
+    counterpart of the ANN family. Scale shape: only the two linear
+    corpus aggregations touch every row; everything else is
+    posting-list-sized."""
+    from pybabe_spark.operators.tfidf import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "window", "sort"], k=10)

@@ -361,6 +361,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # IVF-PQ itself joins on cell id (clean); the finding is the
         # in-query ann_pq recall anchor (same contract as ann_pq_topk)
         "ann_ivfpq_topk": {"broadcast-nested-loop"},
+        # BM25: linear aggs + broadcast idf + TakeOrdered — must stay
+        # clean (the 1-row scalar attach is maxRows-proven)
+        "bm25_search_docs": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

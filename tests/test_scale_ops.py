@@ -1579,3 +1579,40 @@ def test_geoip_bucketed_join_spans_and_edges(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan_lint(out) == []
+
+
+def test_bm25_hand_checked(spark):
+    """Hand-checked BM25 on a 3-doc corpus: docs with no query term are
+    absent; a query term concentrated in a short doc outranks the same
+    term diluted in a long one; TakeOrdered limit is deterministic."""
+    import math
+
+    from pybabe_spark.operators.tfidf import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark fast"), (2, "spark slow slow slow slow slow"), (3, "other words")],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_search(docs, ["spark"], k=10).collect()
+    ids = [r["id"] for r in rows]
+    assert 3 not in ids            # no query term -> absent
+    assert ids[0] == 1             # tf=1, dl=2 beats tf=1, dl=6
+    # closed form: idf = ln(1 + (3 - 2 + 0.5)/(2 + 0.5)); avgdl = 10/3
+    idf = math.log(1 + 1.5 / 2.5)
+    k1, b = 1.2, 0.75
+    exp1 = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * (2 / (10 / 3))))
+    assert abs(rows[0]["score"] - round(exp1, 6)) < 1e-6
+
+
+def test_bm25_facade_and_plan(spark):
+    """Facade path returns the same top-1; the physical plan is a
+    TakeOrdered (no global row_number window)."""
+    from pybabe_spark.plans.facade import Babe
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a a"), (3, "b")], "doc_id bigint, text string"
+    )
+    b = Babe.from_df(docs).bm25_search(["a"], k=1)
+    plan = b.df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert b.df.collect()[0]["id"] == 2
