@@ -23,11 +23,11 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-from pybabe_spark.operators._util import gen_col
+from pybabe_spark.operators._util import attach_scalars, gen_col
 
 #: bucket space: membership thresholds are expressed in millionths
 BUCKETS = 1_000_000
@@ -192,6 +192,118 @@ def global_shuffle(
     return _range_ordered(
         df, [shuffle_key(key, seed), F.col(key)], shards, "global_shuffle"
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    budget: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    min_rows: int = 1,
+    exact: bool = True,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual α-sampling
+    of mBERT/mT5/UNIMAX): allocate a row budget across groups in
+    proportion to ``count^alpha`` — ``alpha=1`` keeps natural
+    proportions, ``alpha→0`` approaches uniform, upweighting
+    low-resource groups — then deterministically select each group's
+    allocation.
+
+    Allocation: ``t_g = min(n_g, max(min_rows, floor(budget · w_g /
+    Σw)))`` with ``w_g = pow(n_g, alpha)`` rounded to DECIMAL(18,6) so
+    the total Σw is an exact decimal sum (group-order-independent); the
+    floor runs on IEEE doubles built identically in the SQL mirror.
+    Floor allocation means Σt_g ≤ budget (plus any min_rows lift).
+
+    Selection, ``exact=True``: each group's first ``t_g`` rows in
+    deterministic ``shuffle_key`` order (row_number window partitioned
+    by group — exact counts; a single enormous group sorts in one task,
+    so prefer ``exact=False`` when groups can be huge). ``exact=False``:
+    a map-side hash-fraction filter at threshold ``t_g/n_g`` — no
+    window, no sort, fully distributed; group sizes come out binomially
+    close to ``t_g`` rather than exact. Both paths are properties of the
+    data + seed: stable under retries, identical across engines.
+    """
+    if budget <= 0:
+        raise ValueError(f"temperature_resample: budget {budget} must be > 0")
+    if alpha < 0:
+        raise ValueError(f"temperature_resample: alpha {alpha} must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = counts.withColumn(
+        "__w", F.pow(F.col("__n"), F.lit(float(alpha))).cast("decimal(18,6)")
+    )
+    totals = w.agg(F.sum("__w").alias("__tw"))
+    alloc = attach_scalars(w, totals).select(
+        group_col,
+        "__n",
+        F.least(
+            F.col("__n"),
+            F.greatest(
+                F.lit(min_rows).cast("bigint"),
+                F.floor(
+                    (F.col("__w").cast("double") * budget)
+                    / F.col("__tw").cast("double")
+                ).cast("bigint"),
+            ),
+        ).alias("__t"),
+    )
+    joined = df.join(F.broadcast(alloc), group_col)
+    if exact:
+        rk = gen_col(joined.columns, "__rk")
+        wnd = Window.partitionBy(group_col).orderBy(
+            shuffle_key(key, seed), F.col(key)
+        )
+        return (
+            joined.withColumn(rk, F.row_number().over(wnd))
+            .filter(F.col(rk) <= F.col("__t"))
+            .drop(rk, "__n", "__t")
+        )
+    bucket = _key_bucket(df, key)
+    thresh = F.floor(
+        (F.col("__t").cast("double") / F.col("__n")) * BUCKETS
+    ).cast("bigint")
+    return joined.filter(bucket < thresh).drop("__n", "__t")
+
+
+def temperature_resample_sql(
+    table: str,
+    group_col: str,
+    key: str,
+    budget: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    min_rows: int = 1,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB oracle of the ``exact=True`` path — same decimal weight
+    rounding, same IEEE floor allocation, same md5 selection order."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col}, COUNT(*) AS n FROM {table} GROUP BY {group_col}
+    ),
+    w AS (SELECT {group_col}, n,
+                 CAST(pow(n, {float(alpha)}) AS DECIMAL(18,6)) AS w
+          FROM counts),
+    tot AS (SELECT SUM(w) AS tw FROM w),
+    alloc AS (
+      SELECT {group_col}, n,
+             LEAST(n, GREATEST({min_rows},
+               CAST(floor((CAST(w AS DOUBLE) * {budget})
+                          / CAST(tot.tw AS DOUBLE)) AS BIGINT))) AS t
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT d.*, a.t,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.{group_col}
+               ORDER BY {shuffle_key_sql(key, seed)}, d.{key}
+             ) AS rk
+      FROM {table} d JOIN alloc a USING ({group_col})
+    )
+    SELECT {select_cols} FROM ranked WHERE rk <= t
+    """
 
 
 def mix_sources(

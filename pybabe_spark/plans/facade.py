@@ -185,6 +185,11 @@ class Babe:
             curriculum_order(self.df, score_col, boundaries, key, seed, **kwargs)
         )
 
+    def temperature_resample(self, group_col, key, budget, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sampling import temperature_resample
+
+        return self._wrap(temperature_resample(self.df, group_col, key, budget, **kwargs))
+
     def global_shuffle(self, key, seed=0, shards=None) -> "Babe":
         from pybabe_spark.operators.sampling import global_shuffle
 

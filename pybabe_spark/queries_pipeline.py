@@ -253,6 +253,31 @@ def q_mix_sources(spark, sf_dir):
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _temperature_sql() -> str:
+    from pybabe_spark.operators.sampling import temperature_resample_sql
+
+    return temperature_resample_sql(
+        "documents", "lang", "doc_id", budget=200, alpha=0.5,
+        select_cols="doc_id, lang",
+    )
+
+
+@register("temperature_resample_docs", _temperature_sql())
+def q_temperature_resample(spark, sf_dir):
+    """Temperature (α=0.5) resampling of the corpus across languages
+    (operators/sampling.py::temperature_resample): per-language budgets
+    ∝ count^α — the mBERT/UNIMAX low-resource upweighting step — with
+    deterministic shuffle-key selection. Scale shape: one group-count
+    aggregation, a broadcast ≤|langs|-row allocation table, a window
+    partitioned by language (exact path; the map-side hash-fraction
+    path handles giant groups)."""
+    from pybabe_spark.operators.sampling import temperature_resample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = temperature_resample(docs, "lang", "doc_id", budget=200, alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Keyed merges
 # ---------------------------------------------------------------------------

@@ -364,6 +364,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # BM25: linear aggs + broadcast idf + TakeOrdered — must stay
         # clean (the 1-row scalar attach is maxRows-proven)
         "bm25_search_docs": set(),
+        # temperature resampling: group-partitioned window (not global),
+        # broadcast alloc table, maxRows-proven scalar attach — clean
+        "temperature_resample_docs": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

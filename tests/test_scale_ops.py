@@ -1616,3 +1616,67 @@ def test_bm25_facade_and_plan(spark):
     plan = b.df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
     assert b.df.collect()[0]["id"] == 2
+
+
+def test_temperature_resample_alpha_behavior(spark):
+    """alpha=1 keeps natural proportions; alpha→0 flattens toward
+    uniform; exact path returns exactly the allocation per group."""
+    import pyspark.sql.functions as F
+
+    from pybabe_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+
+    def sizes(alpha, budget=100):
+        out = temperature_resample(df, "g", "id", budget=budget, alpha=alpha)
+        return {r["g"]: r["n"] for r in
+                out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    nat = sizes(1.0)     # floor(100*900/1000)=90, floor(100*100/1000)=10
+    assert nat == {"big": 90, "small": 10}
+    flat = sizes(0.0)    # weights equal -> 50/50
+    assert flat == {"big": 50, "small": 50}
+    mid = sizes(0.5)     # sqrt weighting sits between
+    assert nat["small"] < mid["small"] < flat["small"] + 1
+
+    # determinism: same seed = same rows
+    a = {r["id"] for r in temperature_resample(df, "g", "id", 100).collect()}
+    b = {r["id"] for r in temperature_resample(df, "g", "id", 100).collect()}
+    assert a == b
+
+
+def test_temperature_resample_fraction_path(spark):
+    """exact=False is a map-side filter: no window in the plan, group
+    sizes binomially near the allocation, subset determinism holds."""
+    import pyspark.sql.functions as F
+
+    from pybabe_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    out = temperature_resample(df, "g", "id", budget=1000, alpha=1.0,
+                               exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # ~500 per group, binomial noise
+    assert 400 < got["a"] < 600 and 400 < got["b"] < 600
+
+
+def test_temperature_resample_min_rows_and_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big") for i in range(995)] + [(1000 + i, "tiny") for i in range(5)]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    # natural floor alloc would give tiny floor(10*5/1000)=0 -> lifted to 1
+    out = temperature_resample(df, "g", "id", budget=10, alpha=1.0)
+    tiny = [r for r in out.collect() if r["g"] == "tiny"]
+    assert len(tiny) == 1
+    with pytest.raises(ValueError, match="budget"):
+        temperature_resample(df, "g", "id", budget=0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "g", "id", budget=10, alpha=-1)
