@@ -284,3 +284,112 @@ def dup_clusters(
     return assigned.join(sizes, "component").select(
         "id", "component", "cluster_size"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_interval: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node,
+    rank_micro) with ranks in exact 1e-6 micro-units (bigint).
+
+    Beyond-reference graph analytics next to ``connected_components``:
+    rank flows along edges — ``r_{i+1}(v) = (1-d) + d · Σ_{u→v}
+    r_i(u)/outdeg(u)`` with unnormalized init ``r_0 = 1`` — the standard
+    power-iteration variant. Mass arriving at dangling nodes (no
+    out-edges) is dropped, the classic simple treatment; feed a
+    symmetrized edge list if every node must keep mass.
+
+    Cross-engine determinism (house integer-micro-unit idiom,
+    operators/classifier.py): the per-edge share is integer ``div``, the
+    damped update is half-away-from-zero integer division against
+    ``damping``'s exact Fraction — the whole iteration is integer
+    arithmetic, so :func:`pagerank_sql` replays it bit-exactly and no
+    decimal half-point ever arises.
+
+    Scale shape: state is one (node, rank) row per node; each iteration
+    is one equi-join of the edge list with the rank table (both
+    exchanged on src — AQE reuses the partitioning) plus one hash
+    aggregation on dst, shuffles linear in |E|. The degree-annotated
+    edge list is re-derived lazily each iteration — persist it and set
+    ``checkpoint_interval`` (cuts lineage every k iterations, at the
+    price of eager jobs) for big graphs or deep iteration counts.
+    """
+    from fractions import Fraction
+
+    if iters < 1:
+        raise ValueError(f"pagerank: iters {iters} must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping {damping} outside (0, 1)")
+    frac = Fraction(damping).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    base = ((den - num) * 1_000_000) // den
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ewd = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("__r", F.lit(1_000_000).cast("bigint"))
+    for i in range(iters):
+        contrib = ewd.join(ranks, ewd["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), F.expr("__r div __deg").alias("__c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"(2 * {num} * coalesce(__s, cast(0 as bigint)) + {den})"
+                    f" div (2 * {den})"
+                )
+            ).alias("__r"),
+        )
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("__r").alias("rank_micro"))
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB oracle of :func:`pagerank`: the same integer micro-unit
+    iteration unrolled as CTEs. ``edges_cte`` is a SELECT producing
+    (src, dst)."""
+    from fractions import Fraction
+
+    frac = Fraction(damping).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    base = ((den - num) * 1_000_000) // den
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION ALL SELECT dst AS node FROM edges))",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s"
+            f" FROM edges e JOIN deg d USING (src)"
+            f" JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {base} +"
+            f" (2 * {num} * COALESCE(s.s, 0) + {den}) // (2 * {den}) AS r"
+            f" FROM nodes n LEFT JOIN s{i} s USING (node))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{iters}"
+    )

@@ -212,6 +212,12 @@ class Babe:
         s = seen.df if isinstance(seen, Babe) else seen
         return self._wrap(dedup_against(self.df, s, keys))
 
+    def pagerank(self, iters=3, damping=0.85, **kwargs) -> "Babe":
+        """Treats the wrapped frame as a (src, dst) edge list."""
+        from pybabe_spark.operators.graph import pagerank
+
+        return self._wrap(pagerank(self.df, iters, damping, **kwargs))
+
     def heavy_hitters(self, column, support=0.01) -> "Babe":
         from pybabe_spark.operators.sketch import heavy_hitters
 

@@ -367,6 +367,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # temperature resampling: group-partitioned window (not global),
         # broadcast alloc table, maxRows-proven scalar attach — clean
         "temperature_resample_docs": set(),
+        # pagerank: per-iteration equi-join + hash agg, integer
+        # arithmetic only — no window, no nested loop, no Python
+        "pagerank_trade_network": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

@@ -1680,3 +1680,45 @@ def test_temperature_resample_min_rows_and_validation(spark):
         temperature_resample(df, "g", "id", budget=0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, "g", "id", budget=10, alpha=-1)
+
+
+def test_pagerank_hand_checked(spark):
+    """Regular symmetric graphs are a fixed point at 1.0 (1e6 micro);
+    a star with a dangling center matches the hand-computed integer
+    iteration; validation raises."""
+    import pytest
+
+    from pybabe_spark.operators.graph import pagerank
+
+    # 2-cycle: every node deg 1, rank stays exactly 1e6
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(cyc, iters=3).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+    # leaves -> center, center dangling: hand-unrolled two iterations
+    star = spark.createDataFrame(
+        [("l1", "c"), ("l2", "c"), ("l3", "c")], "src string, dst string"
+    )
+    r2 = {r["node"]: r["rank_micro"] for r in pagerank(star, iters=2).collect()}
+    assert r2["l1"] == r2["l2"] == r2["l3"] == 150_000
+    assert r2["c"] == 150_000 + (2 * 17 * 450_000 + 20) // 40  # = 532500
+
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(cyc, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(cyc, damping=1.5)
+
+
+def test_pagerank_checkpoint_path_same_result(spark):
+    """checkpoint_interval cuts lineage without changing the integer
+    iteration's result."""
+    from pybabe_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    lazy = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=4).collect()}
+    ckpt = {r["node"]: r["rank_micro"]
+            for r in pagerank(edges, iters=4, checkpoint_interval=2).collect()}
+    assert lazy == ckpt
