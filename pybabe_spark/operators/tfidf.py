@@ -229,3 +229,103 @@ def tfidf_sql(k: int = 3) -> str:
       FROM scored
     ) WHERE rk <= {k}
     """
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an inverted index for :func:`bm25_search_stored`: one
+    posting row (term, id, tf, dl, df) per distinct (doc, term),
+    partitioned by the term's md5 bucket (256 partitions), plus a 1-row
+    ``_stats`` sidecar (n_docs, total_len).
+
+    Document length and term document-frequency are DENORMALIZED onto
+    every posting row — the classic inverted-index trade: the index
+    costs ~2 extra ints per posting, and a query then needs NO join and
+    NO corpus-wide aggregation at all. The build is two linear
+    aggregations + one term-keyed join, each map-side combinable.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .withColumn("bucket", F.substring(F.md5(F.col("term")), 1, 2))
+    )
+    postings.write.mode(mode).partitionBy("bucket").parquet(path)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    stats.write.mode(mode).json(path.rstrip("/") + "/_stats")
+
+
+def bm25_search_stored(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 against a :func:`build_bm25_index` layout —
+    bit-identical scores to the in-memory :func:`bm25_search` on the
+    same corpus (same formulas, same decimal rounding; asserted in
+    tests).
+
+    Probe buckets are md5 prefixes computed driver-side from the query
+    terms, so the partition filter is a LITERAL ``isin`` — Catalyst
+    prunes non-probed partitions at the file listing, and the query
+    reads only its own posting lists. Per-query work is proportional to
+    those lists, not the corpus: lengths, df, and corpus totals were
+    precomputed at build time (no join in the probe plan; the 1-row
+    stats attach is maxRows-proven via ``.limit(1)``).
+    """
+    import hashlib
+
+    from pybabe_spark.operators._util import attach_scalars
+
+    buckets = sorted(
+        {hashlib.md5(t.encode("utf-8")).hexdigest()[:2] for t in query_terms}
+    )
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(list(query_terms)))
+    )
+    stats = spark.read.json(path.rstrip("/") + "/_stats").limit(1)
+    scored = attach_scalars(postings, stats).select(
+        "id",
+        (
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * (
+                        F.col("dl")
+                        / (F.col("total_len").cast("double") / F.col("n_docs"))
+                    )
+                )
+            )
+        )
+        .cast("decimal(18,6)")
+        .alias("__s"),
+    )
+    scores = scored.groupBy("id").agg(F.sum("__s").cast("double").alias("score"))
+    return scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)

@@ -417,6 +417,11 @@ class Babe:
 
         return self._wrap(bm25_search(self.df, query_terms, k, **kwargs))
 
+    def build_bm25_index(self, path, **kwargs) -> None:
+        from pybabe_spark.operators.tfidf import build_bm25_index
+
+        build_bm25_index(self.df, path, **kwargs)
+
     def quantize_embeddings(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.similarity import quantize_embeddings
 

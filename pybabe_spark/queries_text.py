@@ -1007,3 +1007,39 @@ def q_bm25_search(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return bm25_search(docs, ["spark", "window", "sort"], k=10)
+
+
+_BM25_INDEX_CACHE: dict = {}
+
+
+@register(
+    "bm25_stored_docs",
+    __import__("pybabe_spark.operators.tfidf", fromlist=["bm25_sql"]).bm25_sql(
+        ["hash", "merge"], k=8
+    ),
+)
+def q_bm25_stored(spark, sf_dir):
+    """BM25 against the persisted inverted index
+    (operators/tfidf.py::build_bm25_index / bm25_search_stored):
+    posting rows carry (tf, dl, df) denormalized, corpus totals ride a
+    1-row sidecar, so the probe plan has NO join and reads only the
+    query terms' md5-bucket partitions (pruned at the file listing).
+    The oracle is the SAME full-value BM25 SQL as the in-memory path —
+    the index must reproduce it bit-for-bit."""
+    import os
+
+    from pybabe_spark.operators.tfidf import bm25_search_stored, build_bm25_index
+
+    path = _BM25_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pybabe_bm25_")
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "index")
+        docs = read_table(spark, sf_dir, "documents")
+        build_bm25_index(docs, path)
+        _BM25_INDEX_CACHE[sf_dir] = path
+    return bm25_search_stored(spark, path, ["hash", "merge"], k=8)

@@ -370,6 +370,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # pagerank: per-iteration equi-join + hash agg, integer
         # arithmetic only — no window, no nested loop, no Python
         "pagerank_trade_network": set(),
+        # stored BM25 probe: partition-pruned scan + 1-row stats attach
+        # (maxRows-proven), no posting join — must stay clean
+        "bm25_stored_docs": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

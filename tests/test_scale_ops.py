@@ -1722,3 +1722,32 @@ def test_pagerank_checkpoint_path_same_result(spark):
     ckpt = {r["node"]: r["rank_micro"]
             for r in pagerank(edges, iters=4, checkpoint_interval=2).collect()}
     assert lazy == ckpt
+
+
+def test_bm25_stored_matches_inmemory_and_prunes(spark, tmp_path):
+    """The stored-index probe reproduces the in-memory BM25 scores
+    bit-for-bit, and its scan carries a partition filter on the md5
+    bucket (pruned at file listing, no join in the probe plan)."""
+    from pybabe_spark.operators.tfidf import (
+        bm25_search,
+        bm25_search_stored,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} spark common") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "bm25idx")
+    build_bm25_index(docs, path)
+    mem = [(r["id"], r["score"])
+           for r in bm25_search(docs, ["spark", "w1"], k=9).collect()]
+    sto = [(r["id"], r["score"])
+           for r in bm25_search_stored(spark, path, ["spark", "w1"], k=9).collect()]
+    assert mem == sto
+    probe = bm25_search_stored(spark, path, ["spark", "w1"], k=9)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    # the only join-shaped node is the 1-row stats attach (BNLJ,
+    # maxRows-proven); no posting-list join exists in the probe plan
+    assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin")
