@@ -320,6 +320,12 @@ def stress(factors: list[int]) -> None:
         semantic_dedup,
     )
 
+    from pybabe_spark.operators.graph import pagerank
+    from pybabe_spark.operators.tfidf import (
+        bm25_search_stored,
+        build_bm25_index,
+    )
+
     def _families(sf_dir, factor=1):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -327,6 +333,9 @@ def stress(factors: list[int]) -> None:
             "doc_id", "text", quality_score("text").alias("score")
         )
         idx = os.path.join(work, "lsh_idx", os.path.basename(sf_dir) or "base")
+        bm25_idx = os.path.join(
+            work, "bm25_idx", os.path.basename(sf_dir) or "base"
+        )
         queries = emb.filter(F.col("vec_id") < 5)
 
         def _ann_build():
@@ -337,7 +346,34 @@ def stress(factors: list[int]) -> None:
                 spark, idx, queries, k=10, dims=64, planes=4, nprobe=2
             ).count()
 
+        def _bm25_build():
+            build_bm25_index(docs, bm25_idx)
+
+        def _bm25_probe():
+            # original-corpus terms: replica tokens carry _i suffixes, so
+            # the probed posting lists stay x1-sized while the index
+            # grows — the stored-index claim is that probe cost tracks
+            # the posting lists + 3/256 bucket partitions, not the corpus
+            bm25_search_stored(
+                spark, bm25_idx, ["spark", "window", "sort"], k=10
+            ).count()
+
+        def _pagerank_chain():
+            # doc-id chain (replica offsets keep ids unique): |E| grows
+            # with the corpus, graph is segment-shaped, 3 iterations
+            e = docs.select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 1).alias("dst"),
+            )
+            edges = e.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            pagerank(edges, iters=3).count()
+
         return {
+            "bm25_index_build": _bm25_build,
+            "bm25_stored_probe": _bm25_probe,
+            "pagerank_chain": _pagerank_chain,
             "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
                 docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
             ).count(),
