@@ -404,3 +404,49 @@ def pii_count(text: str) -> Column:
     return sum(
         F.regexp_count(F.col(text), F.lit(p)) for p in PII_PATTERNS.values()
     )
+
+
+def normalize_text(
+    text: str,
+    lower: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonical text cleanup ahead of tokenization/dedup: lowercase →
+    optional punctuation strip (conservative ``[^a-z0-9 ]`` class, same
+    semantics in Java regex and RE2) → space-run collapse → trim.
+    Chained codegen expressions, no UDF, no shuffle.
+
+    The exact-dedup and shingle families key on the NORMALIZED form
+    when this runs first — the standard "casing/punctuation shouldn't
+    defeat dedup" step (cf. ``exact_key``'s md5 over raw text).
+    """
+    out: Column = F.col(text) if isinstance(text, str) else text
+    if lower:
+        out = F.lower(out)
+    if strip_punct:
+        cls = "[^a-z0-9 ]" if lower else "[^A-Za-z0-9 ]"
+        out = F.regexp_replace(out, cls, "")
+    if collapse_ws:
+        out = F.regexp_replace(out, "  *", " ")
+        out = F.trim(out)
+    return out
+
+
+def normalize_text_sql(
+    col: str,
+    lower: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`normalize_text` (RE2 needs the explicit
+    ``'g'`` flag where Java's regexp_replace is global by default)."""
+    out = col
+    if lower:
+        out = f"lower({out})"
+    if strip_punct:
+        cls = "[^a-z0-9 ]" if lower else "[^A-Za-z0-9 ]"
+        out = f"regexp_replace({out}, '{cls}', '', 'g')"
+    if collapse_ws:
+        out = f"trim(regexp_replace({out}, '  *', ' ', 'g'))"
+    return out

@@ -1,0 +1,118 @@
+"""PMI collocation mining — corpus bigram association statistics.
+
+Beyond-reference corpus analysis (the text family next to TF-IDF/BM25):
+pointwise mutual information over bigram occurrences surfaces the
+corpus's fixed phrases ("new york", "machine learning") — the standard
+collocation detector (Church & Hanks 1990), used in training-data work
+for phrase vocabularies, tokenizer merge sanity checks, and boilerplate
+discovery.
+
+PMI(w1, w2) = ln( P(w1 w2) / (P(w1) · P(w2)) ) with P from corpus
+occurrence counts (bigram denominator = total bigram occurrences,
+unigram denominator = total token occurrences).
+
+Scale shape: unigram and bigram counting are map-side-combinable
+aggregations over the token stream (`lm.py`'s codegen extraction);
+``min_count`` prunes the bigram table BEFORE any join — at 100 TB the
+pruned collocation candidates are a vanishing fraction of the corpus,
+and the unigram side joins them keyed by word (broadcastable once the
+vocabulary is pruned-small; left as an equi-join so Catalyst/AQE picks).
+Top-k is TakeOrdered, never a global window.
+
+Cross-engine determinism: counts are exact integers; the PMI is one
+IEEE expression with identical operation order in the SQL mirror and a
+single DECIMAL(18,6) rounding on the transcendental output (measure-zero
+half-point risk, house convention); ranking uses the rounded value with
+a (w1, w2) tiebreak so libm ulp noise cannot reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import attach_scalars
+from pybabe_spark.operators.lm import bigram_rows, unigram_rows
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` (w1, w2, c12, pmi) bigrams by PMI (ties: w1, w2 asc).
+
+    ``min_count`` drops rare bigrams before scoring — both the
+    statistical floor (PMI over-rewards hapax pairs) and the scale
+    knob (see module docstring).
+    """
+    if min_count < 1:
+        raise ValueError(f"pmi_collocations: min_count {min_count} must be >= 1")
+    uni = unigram_rows(docs, text_col).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    totals_u = uni.agg(F.sum("c1").alias("__nu"))
+    bg = (
+        bigram_rows(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    totals_b = bg.agg(F.sum("c12").alias("__nb"))
+    bg = bg.filter(F.col("c12") >= min_count)
+    right = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+    joined = attach_scalars(
+        attach_scalars(bg.join(uni, "w1").join(right, "w2"), totals_u), totals_b
+    )
+    pmi = F.log(
+        (F.col("c12") / F.col("__nb"))
+        / ((F.col("c1") / F.col("__nu")) * (F.col("c2") / F.col("__nu")))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "c12",
+        pmi.cast("decimal(18,6)").cast("double").alias("pmi"),
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def pmi_collocations_sql(k: int = 20, min_count: int = 5) -> str:
+    """DuckDB oracle of :func:`pmi_collocations` over ``documents`` —
+    same token extraction, same operation order, same rounding and
+    tiebreaks."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT unnest(ws) AS w1 FROM toks
+      ) GROUP BY w1
+    ),
+    nu AS (SELECT CAST(SUM(c1) AS BIGINT) AS nu FROM uni),
+    bgx AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM toks
+    ),
+    bg AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12
+           FROM bgx GROUP BY b.w1, b.w2),
+    nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bg),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.c12,
+             CAST(CAST(ln((bg.c12 / nb.nb)
+                          / ((u1.c1 / nu.nu) * (u2.c1 / nu.nu)))
+                       AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+      FROM bg
+      JOIN uni u1 ON u1.w1 = bg.w1
+      JOIN uni u2 ON u2.w1 = bg.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bg.c12 >= {min_count}
+    )
+    SELECT w1, w2, c12, pmi FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
+    """

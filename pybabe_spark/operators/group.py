@@ -166,3 +166,113 @@ def function_reducer(fn, keys: str | Sequence[str]):
             return fn(self.key, self.buf)
 
     return protocol_reducer(_FnReducer(), keys)
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: one row per step — (step, event_type,
+    users, conversion) — where a user counts for step i only with an
+    event of that type STRICTLY AFTER their earliest qualifying event
+    of step i-1 (first-touch semantics, the standard product-analytics
+    funnel). ``within`` optionally bounds each hop to N seconds after
+    the previous step's time (the conversion window; microsecond-exact
+    interval arithmetic on both engines).
+
+    Scale shape: step i is one equi-join of the step's filtered events
+    against the (user, t_{i-1}) frontier — both sides keyed by user, so
+    the chain reuses one partitioning — plus a min() aggregation;
+    per-step cost is linear in that step's events, steps are bounded.
+    The final assembly is a union of 1-row aggregates; conversion is
+    users_i / users_0 as one IEEE division (NULL when step 0 is empty),
+    identical in the SQL mirror.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    from pybabe_spark.operators._util import attach_scalars
+
+    frontier = None
+    prev_t = None
+    rows = []
+    for i, s in enumerate(steps):
+        f = events.filter(F.col(type_col) == s)
+        if frontier is not None:
+            cond = F.col(ts_col) > F.col(prev_t)
+            if within is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(prev_t) + F.expr(f"INTERVAL {int(within)} SECOND")
+                )
+            f = f.join(frontier, user_col).filter(cond)
+        prev_t = f"__t{i}"
+        frontier = f.groupBy(user_col).agg(F.min(ts_col).alias(prev_t))
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                "users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    u0 = rows[0].select(F.col("users").alias("__u0"))
+    return attach_scalars(out, u0).select(
+        "step",
+        "event_type",
+        "users",
+        F.when(F.col("__u0") > 0, F.col("users") / F.col("__u0")).alias(
+            "conversion"
+        ),
+    )
+
+
+def funnel_sql(
+    table: str,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> str:
+    """DuckDB oracle of :func:`funnel` — same first-touch join chain,
+    same IEEE conversion division."""
+    ctes = []
+    for i, s in enumerate(steps):
+        lit = "'" + s.replace("'", "''") + "'"
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {user_col}, MIN({ts_col}) AS t0 FROM {table}"
+                f" WHERE {type_col} = {lit} GROUP BY {user_col})"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user_col}, MIN(e.{ts_col}) AS t{i}"
+                f" FROM {table} e JOIN s{i-1} p USING ({user_col})"
+                f" WHERE e.{type_col} = {lit} AND e.{ts_col} > p.t{i-1}"
+                + (
+                    f" AND e.{ts_col} <= p.t{i-1}"
+                    f" + INTERVAL {int(within)} SECOND"
+                    if within is not None
+                    else ""
+                )
+                + f" GROUP BY e.{user_col})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type,"
+        f" (SELECT COUNT(*) FROM s{i}) AS users"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f", u AS ({selects})\n"
+        "SELECT step, event_type, users,\n"
+        "       CASE WHEN (SELECT users FROM u WHERE step = 0) > 0\n"
+        "            THEN users / (SELECT users FROM u WHERE step = 0)\n"
+        "       END AS conversion\n"
+        "FROM u"
+    )

@@ -46,3 +46,80 @@ def exact_heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(min_count))
     )
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one row per bin —
+    (bin, lo, hi, n) — empty bins included with n=0, NULLs excluded.
+
+    Two linear passes (min/max scalars, then the binned count — both
+    map-side combinable); the bin edges ride a 1-row broadcast attach,
+    never a collect. The top edge is closed (a value equal to the max
+    lands in the last bin via the ``LEAST`` clamp). Every edge/bin
+    computation is plain IEEE arithmetic replayed with identical
+    operation order in the oracle — exact cross-engine, no rounding
+    step needed.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    if bins < 1:
+        raise ValueError(f"histogram: bins {bins} must be >= 1")
+    vals = df.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    scalars = vals.agg(
+        F.min("__x").cast("double").alias("__mn"),
+        F.max("__x").cast("double").alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(bins)
+    binned = attach_scalars(vals, scalars).select(
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1).cast("bigint"),
+                F.floor((F.col("__x") - F.col("__mn")) / width),
+            )
+        )
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").alias("bin"))
+    return (
+        attach_scalars(grid.join(counts, "bin", "left"), scalars)
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            (F.col("__mn") + F.col("bin") * width).alias("lo"),
+            (F.col("__mn") + (F.col("bin") + 1) * width).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+def histogram_sql(table: str, col: str, bins: int = 10) -> str:
+    """DuckDB oracle of :func:`histogram` — identical IEEE edge/bin
+    arithmetic, identical clamp and empty-bin grid."""
+    w = f"((s.mx - s.mn) / {bins})"
+    return f"""
+    WITH s AS (
+      SELECT CAST(MIN({col}) AS DOUBLE) AS mn,
+             CAST(MAX({col}) AS DOUBLE) AS mx
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    binned AS (
+      SELECT CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST({bins - 1} AS BIGINT),
+                             CAST(FLOOR((CAST({col} AS DOUBLE) - s.mn) / {w})
+                                  AS BIGINT))
+             END AS bin
+      FROM {table}, s WHERE {col} IS NOT NULL
+    ),
+    counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin)
+    SELECT CAST(g.i AS INT) AS bin,
+           s.mn + g.i * {w} AS lo,
+           s.mn + (g.i + 1) * {w} AS hi,
+           COALESCE(c.n, 0) AS n
+    FROM generate_series(0, {bins - 1}) g(i)
+    LEFT JOIN counts c ON c.bin = g.i
+    CROSS JOIN s
+    """

@@ -195,6 +195,13 @@ class Babe:
 
         return self._wrap(global_shuffle(self.df, key, seed, shards))
 
+    def normalize_text(self, field, **kwargs) -> "Babe":
+        from pybabe_spark.functions.text import normalize_text
+
+        return self._wrap(
+            self.df.withColumn(field, normalize_text(field, **kwargs))
+        )
+
     def pii_scrub(self, field) -> "Babe":
         from pybabe_spark.functions.text import pii_scrub
 
@@ -217,6 +224,11 @@ class Babe:
         from pybabe_spark.operators.graph import pagerank
 
         return self._wrap(pagerank(self.df, iters, damping, **kwargs))
+
+    def histogram(self, column, bins=10) -> "Babe":
+        from pybabe_spark.operators.sketch import histogram
+
+        return self._wrap(histogram(self.df, column, bins))
 
     def heavy_hitters(self, column, support=0.01) -> "Babe":
         from pybabe_spark.operators.sketch import heavy_hitters
@@ -314,6 +326,11 @@ class Babe:
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other
         return self._wrap(ops.join(self.df, build, key, join_key, **kwargs))
+
+    def funnel(self, steps, **kwargs) -> "Babe":
+        from pybabe_spark.operators.group import funnel
+
+        return self._wrap(funnel(self.df, steps, **kwargs))
 
     def groupBy(self, key, aggregations=None, **kwargs) -> "Babe":
         return self._wrap(ops.group(self.df, key, aggregations, **kwargs))
@@ -421,6 +438,22 @@ class Babe:
         from pybabe_spark.operators.tfidf import build_bm25_index
 
         build_bm25_index(self.df, path, **kwargs)
+
+    def pmi_collocations(self, k=20, min_count=5, **kwargs) -> "Babe":
+        from pybabe_spark.operators.collocations import pmi_collocations
+
+        return self._wrap(pmi_collocations(self.df, k, min_count, **kwargs))
+
+    def kmeans_fit(self, k=8, iters=5, **kwargs):
+        """Returns the k × dim centroid matrix (driver-side value)."""
+        from pybabe_spark.operators.kmeans import kmeans_fit
+
+        return kmeans_fit(self.df, k, iters, **kwargs)
+
+    def kmeans_assign(self, centroids, **kwargs) -> "Babe":
+        from pybabe_spark.operators.kmeans import kmeans_assign
+
+        return self._wrap(kmeans_assign(self.df, centroids, **kwargs))
 
     def quantize_embeddings(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.similarity import quantize_embeddings

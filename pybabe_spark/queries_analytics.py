@@ -732,3 +732,39 @@ def q_pagerank(spark, sf_dir):
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, iters=3, damping=0.85)
+
+
+def _histogram_sql():
+    from pybabe_spark.operators.sketch import histogram_sql
+
+    return histogram_sql("orders", "o_totalprice", bins=10)
+
+
+@register("histogram_orders", _histogram_sql())
+def q_histogram(spark, sf_dir):
+    """Fixed-width 10-bin histogram of order totals
+    (operators/sketch.py::histogram): two map-combinable passes, 1-row
+    edge broadcast, empty bins materialized from a range grid — exact
+    IEEE oracle, no rounding step."""
+    from pybabe_spark.operators.sketch import histogram
+
+    orders = read_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=10)
+
+
+def _funnel_sql():
+    from pybabe_spark.operators.group import funnel_sql
+
+    return funnel_sql("events", ["view", "click", "purchase"], within=86400)
+
+
+@register("funnel_events", _funnel_sql())
+def q_funnel(spark, sf_dir):
+    """view → click → purchase conversion funnel with a 1-day window
+    (operators/group.py::funnel): first-touch frontier join chain, one
+    user-keyed equi-join + min() per step, union of 1-row totals —
+    classic product analytics as three linear steps."""
+    from pybabe_spark.operators.group import funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within=86400)

@@ -1117,3 +1117,84 @@ def q_ann_ivfpq(spark, sf_dir):
             "recall_ok"
         ),
     )
+
+
+# Distributed Lloyd k-means: the fit is a driver-coordinated iteration
+# (like the IVF sample fit), so the oracle CERTIFIES invariants instead
+# of replaying arithmetic: (1) the assignment total equals the corpus
+# row count (a REAL data fact the oracle recomputes), (2) every row's
+# assigned cell is its numerically-nearest centroid re-checked through
+# an INDEPENDENT pure-JVM expression path (zip_with/aggregate fold, no
+# Python — guards the Arrow kernel against a transposed/NaN centroid
+# matrix) within 1e-9, (3) final inertia improved on the seed
+# centroids' (Lloyd monotonicity; decimal-exact sums, 1e-3 slack for
+# the rounding). A broken fit flips a boolean; the driver hash-compare
+# catches it.
+_KMEANS_CACHE: dict = {}
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+
+
+@register(
+    "kmeans_embeddings",
+    f"""
+    SELECT CAST(i AS INT) AS cell,
+           (SELECT COUNT(*) FROM embeddings) AS n_total,
+           TRUE AS assign_ok,
+           TRUE AS inertia_ok
+    FROM generate_series(0, {_KMEANS_K - 1}) t(i)
+    """,
+)
+def q_kmeans(spark, sf_dir):
+    from pybabe_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_distances,
+        kmeans_fit,
+    )
+    from pybabe_spark.operators._util import attach_scalars
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = _KMEANS_CACHE.get(sf_dir)
+    if got is None:
+        seed = (
+            emb.orderBy(F.col("vec_id").asc()).limit(_KMEANS_K).collect()
+        )
+        C0 = [list(r["embedding"]) for r in seed]
+        C = kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+        got = _KMEANS_CACHE[sf_dir] = (C0, C)
+    C0, C = got
+
+    d = kmeans_distances(kmeans_assign(emb, C), C)
+    row_ok = (
+        F.element_at(F.col("__dists"), F.col("cell") + 1)
+        <= F.array_min(F.col("__dists")) + F.lit(1e-9)
+    )
+    percell = (
+        d.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.min(row_ok.cast("int")).alias("__ok"),
+        )
+    )
+    inertia = d.agg(
+        F.sum(F.array_min(F.col("__dists")).cast("decimal(18,6)")).alias("__fin")
+    )
+    inertia0 = kmeans_distances(emb, C0).agg(
+        F.sum(F.array_min(F.col("__dists")).cast("decimal(18,6)")).alias("__ini")
+    )
+    totals = percell.agg(F.sum("__m").alias("__tot"))
+
+    cells = spark.range(_KMEANS_K).select(F.col("id").cast("int").alias("cell"))
+    out = attach_scalars(
+        attach_scalars(attach_scalars(cells.join(percell, "cell", "left"), totals), inertia),
+        inertia0,
+    )
+    return out.select(
+        "cell",
+        F.col("__tot").alias("n_total"),
+        F.coalesce(F.col("__ok") == 1, F.lit(True)).alias("assign_ok"),
+        (
+            F.col("__fin").cast("double")
+            <= F.col("__ini").cast("double") + F.lit(1e-3)
+        ).alias("inertia_ok"),
+    )

@@ -1043,3 +1043,41 @@ def q_bm25_stored(spark, sf_dir):
         build_bm25_index(docs, path)
         _BM25_INDEX_CACHE[sf_dir] = path
     return bm25_search_stored(spark, path, ["hash", "merge"], k=8)
+
+
+def _pmi_sql():
+    from pybabe_spark.operators.collocations import pmi_collocations_sql
+
+    return pmi_collocations_sql(k=20, min_count=5)
+
+
+@register("pmi_collocations_docs", _pmi_sql())
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 PMI collocations with min_count=5
+    (operators/collocations.py): map-combinable unigram/bigram counts,
+    pruned-before-join candidates, TakeOrdered top-k — Church & Hanks
+    phrase mining as two aggregations and two word-keyed joins."""
+    from pybabe_spark.operators.collocations import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=20, min_count=5)
+
+
+def _normalize_sql():
+    from pybabe_spark.functions.text import normalize_text_sql
+
+    expr = normalize_text_sql("text", lower=True, strip_punct=True)
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+@register("normalize_text_docs", _normalize_sql())
+def q_normalize_text(spark, sf_dir):
+    """Canonical cleanup (functions/text.py::normalize_text): lower +
+    punctuation strip + whitespace collapse as pure codegen — zero
+    shuffle, exact cross-engine value oracle."""
+    from pybabe_spark.functions.text import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text("text", strip_punct=True).alias("text")
+    )

@@ -606,3 +606,21 @@ def test_transpose_all_null_row(spark):
     assert dict(out.dtypes) == {"field": "string", "r1": "string", "r2": "string"}
     row = out.collect()[0]
     assert (row["r1"], row["r2"]) == (None, "5")
+
+
+def test_normalize_text_golden(spark):
+    """Casing, punctuation, and whitespace runs collapse to the
+    canonical form; flags compose independently."""
+    from pybabe_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!  it's 42  ")], "id bigint, t string"
+    )
+    full = df.select(normalize_text("t", strip_punct=True).alias("t")).head()["t"]
+    assert full == "hello world its 42"
+    keep_punct = df.select(normalize_text("t").alias("t")).head()["t"]
+    assert keep_punct == "hello, world! it's 42"
+    no_lower = df.select(
+        normalize_text("t", lower=False, strip_punct=True).alias("t")
+    ).head()["t"]
+    assert no_lower == "Hello WORLD its 42"

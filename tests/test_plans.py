@@ -373,6 +373,20 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # stored BM25 probe: partition-pruned scan + 1-row stats attach
         # (maxRows-proven), no posting join — must stay clean
         "bm25_stored_docs": set(),
+        # kmeans certificate: Arrow assignment pass + JVM distance
+        # re-check, 8-row cells equi-join, maxRows-proven scalar
+        # attaches — clean
+        "kmeans_embeddings": set(),
+        # PMI: two count aggs, pruned-candidate equi-joins, TakeOrdered
+        # — clean (scalar attaches maxRows-proven)
+        "pmi_collocations_docs": set(),
+        # pure codegen map — clean
+        "normalize_text_docs": set(),
+        # two linear passes + bin-grid equi-join + maxRows-proven
+        # scalar attaches — clean
+        "histogram_orders": set(),
+        # funnel: user-keyed join chain + 1-row unions/attach — clean
+        "funnel_events": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

@@ -1751,3 +1751,177 @@ def test_bm25_stored_matches_inmemory_and_prunes(spark, tmp_path):
     # the only join-shaped node is the 1-row stats attach (BNLJ,
     # maxRows-proven); no posting-list join exists in the probe plan
     assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin")
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two well-separated blobs: Lloyd lands one centroid per blob,
+    assignment matches blob membership, inertia is non-increasing
+    across iterations."""
+    import numpy as np
+
+    from pybabe_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_distances,
+        kmeans_fit,
+    )
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(40):
+        base = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.1, base[1] + (i % 7) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def inertia(C):
+        d = kmeans_distances(df, C)
+        return d.agg(F.sum(F.array_min("__dists"))).head()[0]
+
+    prev = None
+    for it in range(4):
+        C = kmeans_fit(df, k=2, iters=it)
+        cur = inertia(C)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+
+    C = kmeans_fit(df, k=2, iters=4)
+    got = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, C).collect()}
+    blob0 = {got[i] for i in range(0, 40, 2)}
+    blob1 = {got[i] for i in range(1, 40, 2)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    # centroids are the blob means (exact sums / counts)
+    near = sorted(np.asarray(C)[:, 0].round(1).tolist())
+    assert near[0] < 1.0 and near[1] > 9.0
+
+
+def test_kmeans_empty_cell_and_validation(spark):
+    """A seed centroid that attracts no rows keeps its previous value;
+    bad args raise."""
+    import pytest
+
+    from pybabe_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    # 3 seeds but only two point groups: seed 1 (dup of point A) loses
+    # everything to seed 0 on the first assignment (lowest-cell tie)
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    C = kmeans_fit(df, k=3, iters=2)
+    assert [round(x, 6) for x in C[1]] == [0.0, 0.0]  # kept, not NaN
+    cells = {r["cell"] for r in kmeans_assign(df, C).collect()}
+    assert cells == {0, 2}
+
+    with pytest.raises(ValueError, match="k 0"):
+        kmeans_fit(df, k=0)
+    with pytest.raises(ValueError, match="rows < k"):
+        kmeans_fit(df, k=10)
+    with pytest.raises(ValueError, match="centroids"):
+        kmeans_assign(df, [])
+
+
+def test_kmeans_assignment_tie_breaks_low_cell(spark):
+    from pybabe_spark.operators.kmeans import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    # equidistant centroids -> lowest index wins
+    got = kmeans_assign(df, [[0.0, 0.0], [2.0, 0.0]]).head()["cell"]
+    assert got == 0
+
+
+def test_pmi_collocations_hand_checked(spark):
+    """A corpus with one glued phrase: the pair that always co-occurs
+    tops the ranking; min_count prunes hapax pairs; validation raises."""
+    import math
+
+    import pytest
+
+    from pybabe_spark.operators.collocations import pmi_collocations
+
+    rows = [(i, "new york " + ("a b " * 3).strip()) for i in range(4)]
+    rows.append((99, "rare pair"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pmi_collocations(df, k=5, min_count=2).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert ("rare", "pair") not in pairs          # hapax pruned
+    assert ("new", "york") in pairs
+    top = out[0]
+    # 'new york': c12=4, c1(new)=4, c2(york)=4; totals INCLUDE the
+    # pruned doc 99 (nu=34 tokens, nb=29 bigram occurrences)
+    exp = math.log((4 / 29) / ((4 / 34) * (4 / 34)))
+    got = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert abs(got[("new", "york")] - round(exp, 6)) < 1e-6
+    assert top["pmi"] == max(r["pmi"] for r in out)
+
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+
+
+def test_histogram_edges_counts_and_nulls(spark):
+    """Hand-checked 4-bin histogram: closed top edge (max lands in the
+    last bin), empty bins emitted with n=0, NULLs dropped, degenerate
+    single-value column collapses to bin 0."""
+    import pytest
+
+    from pybabe_spark.operators.sketch import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (3.9,), (4.0,), (None,)], "x double"
+    )
+    out = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in
+           histogram(df, "x", bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0][2] == 1          # 0.0 -> [0, 1)
+    assert out[1][2] == 1          # 1.0 -> [1, 2)
+    assert out[2][2] == 0          # empty bin kept
+    assert out[3][2] == 2          # 3.9 and the max 4.0 (clamped)
+    assert out[0][0] == 0.0 and out[3][1] == 4.0
+
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    got = {r["bin"]: r["n"] for r in histogram(one, "x", bins=3).collect()}
+    assert got == {0: 2, 1: 0, 2: 0}
+
+    with pytest.raises(ValueError, match="bins"):
+        histogram(df, "x", bins=0)
+
+
+def test_funnel_first_touch_and_window(spark):
+    """Hand-checked funnel: strictly-after ordering, first-touch
+    anchoring (a later A does not re-open the window), conversion
+    window exclusion, NULL conversion on an empty step 0."""
+    import datetime as dt
+
+    import pytest
+
+    from pybabe_spark.operators.group import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 converts: A@0 -> B@5 -> C@10
+        (1, "A", t(0)), (1, "B", t(5)), (1, "C", t(10)),
+        # u2: B before A only -> no conversion
+        (2, "B", t(0)), (2, "A", t(5)),
+        # u3: first A@0, B only at minute 50 -> outside 30-min window,
+        # even though a second A@40 is nearer (first-touch)
+        (3, "A", t(0)), (3, "A", t(40)), (3, "B", t(50)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = {r["step"]: (r["users"], r["conversion"])
+           for r in funnel(df, ["A", "B", "C"], within=1800).collect()}
+    assert out[0] == (3, 1.0)
+    assert out[1] == (1, 1 / 3)
+    assert out[2] == (1, 1 / 3)
+
+    # no window: u3's B@50 now counts
+    loose = {r["step"]: r["users"]
+             for r in funnel(df, ["A", "B"]).collect()}
+    assert loose == {0: 3, 1: 2}
+
+    empty = {r["step"]: r["conversion"]
+             for r in funnel(df, ["Z", "A"]).collect()}
+    assert empty[0] is None and empty[1] is None
+
+    with pytest.raises(ValueError, match="steps"):
+        funnel(df, [])
