@@ -231,6 +231,27 @@ def tfidf_sql(k: int = 3) -> str:
     """
 
 
+def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
+    """(postings, stats): batch-local posting rows (term, id, tf, dl,
+    bucket) and the 1-row (n_docs, total_len) aggregate. Both are pure
+    functions of the batch — everything appended to an index stays
+    valid forever (see :func:`append_bm25_index`)."""
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    postings = tf.join(dl, "id").withColumn(
+        "bucket", F.substring(F.md5(F.col("term")), 1, 2)
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    return postings, stats
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -239,34 +260,58 @@ def build_bm25_index(
     mode: str = "overwrite",
 ) -> None:
     """Persist an inverted index for :func:`bm25_search_stored`: one
-    posting row (term, id, tf, dl, df) per distinct (doc, term),
+    posting row (term, id, tf, dl) per distinct (doc, term),
     partitioned by the term's md5 bucket (256 partitions), plus a 1-row
     ``_stats`` sidecar (n_docs, total_len).
 
-    Document length and term document-frequency are DENORMALIZED onto
-    every posting row — the classic inverted-index trade: the index
-    costs ~2 extra ints per posting, and a query then needs NO join and
-    NO corpus-wide aggregation at all. The build is two linear
-    aggregations + one term-keyed join, each map-side combinable.
+    Document length is DENORMALIZED onto every posting row; term
+    document-frequency deliberately is NOT — a probe recomputes df from
+    the posting lists it reads anyway (one tiny aggregation), which is
+    what makes :func:`append_bm25_index` exact: every stored field is a
+    pure function of its own batch, so appended postings never
+    invalidate old ones. The build is two linear aggregations + one
+    id-keyed join, each map-side combinable — no term-keyed corpus
+    aggregation at all.
     """
-    terms = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
-    )
-    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dl, "id")
-        .join(dfreq, "term")
-        .withColumn("bucket", F.substring(F.md5(F.col("term")), 1, 2))
-    )
+    postings, stats = _bm25_postings(docs, id_col, text_col)
     postings.write.mode(mode).partitionBy("bucket").parquet(path)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_len"),
+    stats.write.mode("overwrite").json(path.rstrip("/") + "/_stats")
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a crawl batch to an existing :func:`build_bm25_index`
+    layout WITHOUT re-reading any indexed text — the incremental-crawl
+    shape of the stored MinHash index (`dedup_scale`), for retrieval.
+
+    Correctness: posting rows (tf, dl) are batch-local facts; df is
+    probe-time-computed; the corpus totals are additive — so append =
+    write the batch's postings into the same bucket partitions + fold
+    the batch's (n_docs, total_len) into ``_stats``. A probe after any
+    number of appends is bit-identical to a fresh rebuild over the
+    union (asserted in tests). Single-writer: the stats read-add-write
+    is not transactional against concurrent appends.
+    """
+    spark = docs.sparkSession
+    stats_path = path.rstrip("/") + "/_stats"
+    old = spark.read.json(stats_path).limit(1).collect()[0]
+    postings, stats = _bm25_postings(docs, id_col, text_col)
+    postings.write.mode("append").partitionBy("bucket").parquet(path)
+    add = stats.collect()[0]
+    merged = spark.createDataFrame(
+        [
+            (
+                old["n_docs"] + add["n_docs"],
+                old["total_len"] + (add["total_len"] or 0),
+            )
+        ],
+        "n_docs bigint, total_len bigint",
     )
-    stats.write.mode(mode).json(path.rstrip("/") + "/_stats")
+    merged.write.mode("overwrite").json(stats_path)
 
 
 def bm25_search_stored(
@@ -286,9 +331,11 @@ def bm25_search_stored(
     terms, so the partition filter is a LITERAL ``isin`` — Catalyst
     prunes non-probed partitions at the file listing, and the query
     reads only its own posting lists. Per-query work is proportional to
-    those lists, not the corpus: lengths, df, and corpus totals were
-    precomputed at build time (no join in the probe plan; the 1-row
-    stats attach is maxRows-proven via ``.limit(1)``).
+    those lists, not the corpus: lengths and corpus totals were
+    precomputed at build time, and df is one tiny aggregation over the
+    pruned rows themselves (a ≤ |query-terms|-row broadcast join — the
+    probe-time recompute that makes appends exact; the 1-row stats
+    attach is maxRows-proven via ``.limit(1)``).
     """
     import hashlib
 
@@ -302,6 +349,8 @@ def bm25_search_stored(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(query_terms)))
     )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = postings.join(F.broadcast(dfreq), "term")
     stats = spark.read.json(path.rstrip("/") + "/_stats").limit(1)
     scored = attach_scalars(postings, stats).select(
         "id",

@@ -1081,3 +1081,40 @@ def q_normalize_text(spark, sf_dir):
     return docs.select(
         "doc_id", normalize_text("text", strip_punct=True).alias("text")
     )
+
+
+@register(
+    "bm25_incremental_docs",
+    __import__("pybabe_spark.operators.tfidf", fromlist=["bm25_sql"]).bm25_sql(
+        ["scan", "batch"], k=8
+    ),
+)
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental-crawl BM25: index built on half the corpus, the
+    other half APPENDED (operators/tfidf.py::append_bm25_index — no
+    indexed text re-read; df is probe-time-exact), then probed. The
+    oracle is the whole-corpus BM25 SQL — append must be
+    indistinguishable from a fresh rebuild."""
+    import os
+
+    from pybabe_spark.operators.tfidf import (
+        append_bm25_index,
+        bm25_search_stored,
+        build_bm25_index,
+    )
+
+    key = (sf_dir, "incremental")
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pybabe_bm25_inc_")
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "index")
+        docs = read_table(spark, sf_dir, "documents")
+        build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        append_bm25_index(docs.filter(F.col("doc_id") % 2 != 0), path)
+        _BM25_INDEX_CACHE[key] = path
+    return bm25_search_stored(spark, path, ["scan", "batch"], k=8)

@@ -1748,9 +1748,39 @@ def test_bm25_stored_matches_inmemory_and_prunes(spark, tmp_path):
     probe = bm25_search_stored(spark, path, ["spark", "w1"], k=9)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
-    # the only join-shaped node is the 1-row stats attach (BNLJ,
-    # maxRows-proven); no posting-list join exists in the probe plan
-    assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin")
+    # probe joins are broadcast-only (the 1-row stats attach + the
+    # query-terms-sized df rejoin): no shuffle join may appear
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bm25_append_matches_rebuild(spark, tmp_path):
+    """build(half1) + append(half2) probes bit-identically to a fresh
+    build over the union — df and totals stay exact across appends."""
+    from pybabe_spark.operators.tfidf import (
+        append_bm25_index,
+        bm25_search_stored,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} spark common") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    h1 = docs.filter("doc_id < 30")
+    h2 = docs.filter("doc_id >= 30")
+
+    inc = str(tmp_path / "inc")
+    build_bm25_index(h1, inc)
+    append_bm25_index(h2, inc)
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+
+    q = ["spark", "w2"]
+    got = [(r["id"], r["score"])
+           for r in bm25_search_stored(spark, inc, q, k=50).collect()]
+    want = [(r["id"], r["score"])
+            for r in bm25_search_stored(spark, full, q, k=50).collect()]
+    assert got == want and len(got) > 0
 
 
 def test_kmeans_separates_obvious_clusters(spark):
