@@ -370,7 +370,29 @@ def stress(factors: list[int]) -> None:
             )
             pagerank(edges, iters=3).count()
 
+        def _sessionize_gap_fill():
+            # synthetic event log carved from the inflated corpus:
+            # users ∝ factor (per-key series length stays flat, the
+            # realistic growth mode), fixed 30-day span → the gap-fill
+            # grid grows with users, i.e. linearly
+            from pybabe_spark.operators.timeseries import (
+                gap_fill,
+                session_stats,
+            )
+
+            ev = docs.select(
+                (F.col("doc_id") % F.lit(150 * factor)).alias("user_id"),
+                F.timestamp_seconds(
+                    (F.col("doc_id") * 37 % 2592000).cast("long")
+                ).alias("ts"),
+                F.col("doc_id").alias("event_id"),
+                (F.col("doc_id") % 100).cast("double").alias("value"),
+            )
+            session_stats(ev, 3600, order_cols=["event_id"]).count()
+            gap_fill(ev, 86400, "user_id", "ts", {"value": "sum"}).count()
+
         return {
+            "sessionize_gap_fill": _sessionize_gap_fill,
             "bm25_index_build": _bm25_build,
             "bm25_stored_probe": _bm25_probe,
             "pagerank_chain": _pagerank_chain,

@@ -1,0 +1,290 @@
+"""Batch time-series operators: gap-based sessionization and regular-grid
+gap fill (resample + forward fill).
+
+Beyond-reference capability. The reference's closest machinery is the
+per-substream grouping of its sort/group pipeline (pybabe/base.py — one
+generator pass per key run); these are the same semantics expressed as
+per-key window plans so every key's series is processed in parallel.
+
+Scale shape (both ops): ONE shuffle on the series key, then per-key
+window/aggregation work that is linear in that key's rows. No global
+window, no driver-side series. Skewed keys (one user with a billion
+events) serialize within their key — the same bound as any keyed
+sessionization — and the gap-fill grid is generated per key from that
+key's own [min, max] span, so a sparse key never pays the global span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import gen_col
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: per key, events ordered by time
+    belong to one session until an inter-event gap of ``gap_seconds``
+    OR MORE opens (``ts >= prev_ts + gap`` starts a new session — the
+    strict-overlap boundary of Spark's ``session_window`` and of this
+    engine's streaming ``sessionize``, streaming/ops.py, so batch and
+    stream agree on the edge case).
+
+    Adds a ``session_id`` column: consecutive integers per key starting
+    at 1, in time order. ``order_cols`` breaks timestamp ties
+    deterministically (defaults to every other column being absent —
+    pass a unique id when timestamps can collide).
+
+    Plan: one lag() + one running SUM over the key-partitioned time
+    order — a single shuffle on ``key_col``, then linear per-key work.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = gen_col(events.columns, "__prev_ts")
+    new = gen_col(events.columns, "__new_session")
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    return (
+        events.withColumn(prev, F.lag(ts_col).over(w))
+        .withColumn(
+            new,
+            F.when(
+                F.col(prev).isNull()
+                | (F.col(ts_col) >= F.col(prev) + gap),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum(new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop(prev, new)
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (key, session): start, end, event count, duration in
+    MICROSECONDS (exact integer arithmetic — seconds would force a
+    floor whose rounding differs across engines). Same single-shuffle
+    plan as :func:`sessionize` plus one hash aggregation that reuses
+    the session shuffle's partitioning."""
+    s = sessionize(events, gap_seconds, key_col, ts_col, order_cols)
+    return (
+        s.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_us",
+            F.unix_micros("session_end") - F.unix_micros("session_start"),
+        )
+    )
+
+
+def sessionize_sql(
+    table: str,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    stats: bool = False,
+) -> str:
+    """DuckDB oracle of :func:`sessionize` / :func:`session_stats` —
+    the identical lag + running-sum formulation."""
+    order = ", ".join([ts_col] + list(order_cols or []))
+    base = f"""
+    WITH lagged AS (
+        SELECT *,
+               LAG({ts_col}) OVER (PARTITION BY {key_col} ORDER BY {order})
+                   AS __prev_ts
+        FROM {table}
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN __prev_ts IS NULL
+                         OR {ts_col} >= __prev_ts
+                            + INTERVAL {int(gap_seconds)} SECOND
+                    THEN 1 ELSE 0 END AS __new_session
+        FROM lagged
+    ), sessioned AS (
+        SELECT * EXCLUDE (__prev_ts, __new_session),
+               CAST(SUM(__new_session) OVER (
+                   PARTITION BY {key_col} ORDER BY {order}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    """
+    if not stats:
+        return base + "SELECT * FROM sessioned"
+    return base + f"""
+    SELECT {key_col}, session_id,
+           MIN({ts_col}) AS session_start,
+           MAX({ts_col}) AS session_end,
+           COUNT(*) AS n_events,
+           epoch_us(MAX({ts_col})) - epoch_us(MIN({ts_col}))
+               AS duration_us
+    FROM sessioned
+    GROUP BY {key_col}, session_id
+    """
+
+
+def gap_fill(
+    df: DataFrame,
+    step_seconds: int,
+    key_col: str,
+    ts_col: str,
+    agg_cols: dict[str, str],
+    fill: str = "forward",
+) -> DataFrame:
+    """Resample an event series onto a regular per-key grid and fill
+    the empty buckets: floor each event into a ``step_seconds`` bucket,
+    aggregate per (key, bucket), MATERIALIZE every bucket between that
+    key's first and last (``sequence`` + explode — absent buckets exist
+    as rows), then fill each aggregate column per ``fill``:
+
+    - ``"forward"``: last non-null earlier value (classic LOCF),
+    - ``"zero"``: 0,
+    - ``"null"``: leave NULL.
+
+    ``agg_cols`` maps column → aggregate ('sum' | 'count' | 'min' |
+    'max'); sums of doubles go through the engine's exact-decimal
+    convention so the fill is cross-engine deterministic.
+
+    Plan: one shuffle for the (key, bucket) aggregation, a per-key
+    1-row span aggregate whose ``sequence()`` explode generates the
+    grid (grid size = key's own span / step, never the global span), a
+    key+bucket equi-join of grid to data, and — for forward fill — one
+    key-partitioned window. No global window, no driver loop.
+    """
+    if fill not in ("forward", "zero", "null"):
+        raise ValueError(f"gap_fill: unknown fill {fill!r}")
+    aggs = []
+    for c, how in agg_cols.items():
+        if how == "sum":
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(18,6)"))
+                .cast("double")
+                .alias(c)
+            )
+        elif how == "count":
+            aggs.append(F.count(c).alias(c))
+        elif how in ("min", "max"):
+            aggs.append(getattr(F, how)(c).alias(c))
+        else:
+            raise ValueError(f"gap_fill: unknown agg {how!r} for {c}")
+    step = int(step_seconds)
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(ts_col) / F.lit(step)) * step).cast(
+            "long"
+        )
+    )
+    data = (
+        df.withColumn("bucket", bucket)
+        .groupBy(key_col, "bucket")
+        .agg(*aggs)
+    )
+    grid = (
+        data.groupBy(key_col)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    "__lo", "__hi", F.expr(f"INTERVAL {step} SECOND")
+                )
+            ).alias("bucket"),
+        )
+    )
+    out = grid.join(data, [key_col, "bucket"], "left")
+    vals = list(agg_cols)
+    if fill == "zero":
+        out = out.select(
+            key_col,
+            "bucket",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in vals],
+        )
+    elif fill == "forward":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.select(
+            key_col,
+            "bucket",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in vals],
+        )
+    return out
+
+
+def gap_fill_sql(
+    table: str,
+    step_seconds: int,
+    key_col: str,
+    ts_col: str,
+    agg_cols: dict[str, str],
+    fill: str = "forward",
+) -> str:
+    """DuckDB oracle of :func:`gap_fill` — generate_series grid, same
+    bucket floor, same decimal-sum convention, IGNORE NULLS window for
+    the forward fill."""
+    step = int(step_seconds)
+    parts = []
+    for c, how in agg_cols.items():
+        if how == "sum":
+            parts.append(
+                f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS {c}"
+            )
+        elif how == "count":
+            parts.append(f"COUNT({c}) AS {c}")
+        else:
+            parts.append(f"{how.upper()}({c}) AS {c}")
+    sel = ", ".join(parts)
+    vals = list(agg_cols)
+    if fill == "zero":
+        fills = ", ".join(f"COALESCE(d.{c}, 0) AS {c}" for c in vals)
+    elif fill == "forward":
+        fills = ", ".join(
+            f"LAST_VALUE(d.{c} IGNORE NULLS) OVER ("
+            f"PARTITION BY g.{key_col} ORDER BY g.bucket "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+            for c in vals
+        )
+    else:
+        fills = ", ".join(f"d.{c} AS {c}" for c in vals)
+    return f"""
+    WITH data AS (
+        SELECT {key_col},
+               TIMESTAMP '1970-01-01 00:00:00'
+                   + CAST(floor(epoch({ts_col}) / {step}) AS BIGINT)
+                     * {step} * INTERVAL 1 SECOND AS bucket,
+               {sel}
+        FROM {table}
+        GROUP BY 1, 2
+    ), span AS (
+        SELECT {key_col}, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM data GROUP BY {key_col}
+    ), grid AS (
+        SELECT {key_col}, UNNEST(generate_series(lo, hi,
+                   INTERVAL {step} SECOND))::TIMESTAMP AS bucket
+        FROM span
+    )
+    SELECT g.{key_col}, g.bucket, {fills}
+    FROM grid g LEFT JOIN data d
+      ON g.{key_col} = d.{key_col} AND g.bucket = d.bucket
+    """

@@ -390,6 +390,23 @@ class Babe:
 
         return self._wrap(sessionize(self.df, **kwargs))
 
+    def sessionize_batch(self, gap_seconds, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import sessionize
+
+        return self._wrap(sessionize(self.df, gap_seconds, **kwargs))
+
+    def session_stats(self, gap_seconds, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import session_stats
+
+        return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
+
+    def gap_fill(self, step_seconds, key_col, ts_col, agg_cols, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import gap_fill
+
+        return self._wrap(
+            gap_fill(self.df, step_seconds, key_col, ts_col, agg_cols, **kwargs)
+        )
+
     # -- set ops ---------------------------------------------------------------
     def union(self, *others: "Babe | DataFrame") -> "Babe":
         dfs = [o.df if isinstance(o, Babe) else o for o in others]

@@ -768,3 +768,48 @@ def q_funnel(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"], within=86400)
+
+
+def _sessionize_sql():
+    from pybabe_spark.operators.timeseries import sessionize_sql
+
+    return sessionize_sql(
+        "events", 7200, order_cols=["event_id"], stats=True
+    )
+
+
+@register("sessionize_batch_events", _sessionize_sql())
+def q_sessionize_batch(spark, sf_dir):
+    """Gap-based batch sessionization of the event log, 2-hour gap
+    (operators/timeseries.py::session_stats): one shuffle on user_id,
+    lag + running-sum session ids, session summary per (user, session).
+    Boundary matches the streaming sessionize (split at gap >= 7200s)
+    so batch and stream backfills agree."""
+    from pybabe_spark.operators.timeseries import session_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_stats(ev, 7200, order_cols=["event_id"])
+
+
+def _gap_fill_sql():
+    from pybabe_spark.operators.timeseries import gap_fill_sql
+
+    return gap_fill_sql(
+        "events", 21600, "user_id", "ts",
+        {"value": "sum", "event_id": "count"}, fill="forward",
+    )
+
+
+@register("gap_fill_events", _gap_fill_sql())
+def q_gap_fill(spark, sf_dir):
+    """Regular 6-hour per-user activity grid with forward fill
+    (operators/timeseries.py::gap_fill): (user, bucket) aggregation,
+    per-key sequence() grid so absent buckets become rows, LOCF via a
+    key-partitioned IGNORE-NULLS window. Decimal-exact value sums."""
+    from pybabe_spark.operators.timeseries import gap_fill
+
+    ev = read_table(spark, sf_dir, "events")
+    return gap_fill(
+        ev, 21600, "user_id", "ts",
+        {"value": "sum", "event_id": "count"}, fill="forward",
+    )

@@ -387,6 +387,13 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         "histogram_orders": set(),
         # funnel: user-keyed join chain + 1-row unions/attach — clean
         "funnel_events": set(),
+        # appended index probe: same pruned-scan + broadcast-only plan
+        "bm25_incremental_docs": set(),
+        # user-partitioned lag/cumsum windows (never global) — clean
+        "sessionize_batch_events": set(),
+        # per-key sequence grid + equi-join + key-partitioned LOCF
+        # window — clean
+        "gap_fill_events": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

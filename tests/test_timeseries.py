@@ -1,0 +1,141 @@
+"""Batch sessionization + gap fill: boundary exactness, per-key
+isolation, and agreement with Spark's native session_window grouping."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.timeseries import (
+    gap_fill,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(*args):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=args[0])
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(s), i) for i, (u, s) in enumerate(rows)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    # gap=60: an event exactly 60s after the previous STARTS a new
+    # session (>= boundary, matching session_window / streaming ops);
+    # 59.999999s stays in the same one.
+    ev = _events(spark, [(1, 0), (1, 59), (1, 119)])
+    out = sessionize(ev, 60, order_cols=["event_id"]).orderBy("event_id")
+    assert [r["session_id"] for r in out.collect()] == [1, 1, 2]
+
+    just_under = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 59, 999999), 1),
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = sessionize(just_under, 60, order_cols=["event_id"])
+    assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_sessionize_keys_are_independent(spark):
+    ev = _events(spark, [(1, 0), (2, 30), (1, 1000), (2, 1030)])
+    out = session_stats(ev, 60, order_cols=["event_id"])
+    rows = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    assert rows == {(1, 1): 1, (1, 2): 1, (2, 1): 1, (2, 2): 1}
+
+
+def test_session_stats_matches_native_session_window(spark, sf_dir):
+    """Same grouping as Spark's native session_window on real events:
+    identical (user, session_start, n_events) triples — the two
+    formulations share the split-at->=gap boundary."""
+    from pybabe_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ours = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(ev, 1800, order_cols=["event_id"]).collect()
+    }
+    native = {
+        (r["user_id"], r["w"]["start"], r["n"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ours == native and len(ours) > 0
+
+
+def test_session_duration_is_exact_microseconds(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0, 250000), 0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 5, 750001), 1),
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    [r] = session_stats(ev, 60, order_cols=["event_id"]).collect()
+    assert r["duration_us"] == 5_500_001 and r["n_events"] == 2
+
+
+def test_gap_fill_materializes_and_forward_fills(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), 10.0),
+            (1, dt.datetime(2024, 1, 1, 0, 3, 0), 7.0),
+            # user 2: single bucket — no grid inflation, no fill leak
+            (2, dt.datetime(2024, 1, 1, 0, 1, 0), 99.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = gap_fill(df, 60, "user_id", "ts", {"value": "sum"}).collect()
+    by_key = {(r["user_id"], r["bucket"]): r["value"] for r in out}
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # user 1: buckets 0..3 exist; 1 and 2 forward-filled from bucket 0
+    assert by_key[(1, b)] == 10.0
+    assert by_key[(1, b + m)] == 10.0 and by_key[(1, b + 2 * m)] == 10.0
+    assert by_key[(1, b + 3 * m)] == 7.0
+    # user 2: exactly one bucket, its own value
+    assert [(k, v) for (k, v) in by_key.items() if k[0] == 2] == [
+        ((2, b + m), 99.0)
+    ]
+    assert len(out) == 5
+
+
+def test_gap_fill_zero_and_null_fill(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+            (1, dt.datetime(2024, 1, 1, 0, 2, 0), 3.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    zero = gap_fill(df, 60, "user_id", "ts", {"value": "sum"}, fill="zero")
+    mid = [r for r in zero.collect() if r["bucket"].minute == 1]
+    assert mid[0]["value"] == 0.0
+    asnull = gap_fill(df, 60, "user_id", "ts", {"value": "sum"}, fill="null")
+    mid = [r for r in asnull.collect() if r["bucket"].minute == 1]
+    assert mid[0]["value"] is None
+    with pytest.raises(ValueError, match="unknown fill"):
+        gap_fill(df, 60, "user_id", "ts", {"value": "sum"}, fill="bogus")
+
+
+def test_gap_fill_count_agg(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), 3.0),
+            (1, dt.datetime(2024, 1, 1, 0, 2, 0), 1.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = gap_fill(df, 60, "user_id", "ts", {"value": "count"}, fill="zero")
+    got = {r["bucket"].minute: r["value"] for r in out.collect()}
+    assert got == {0: 2, 1: 0, 2: 1}
