@@ -1,0 +1,219 @@
+"""Fuzzy string matching: edit-distance pairs and joins via
+symmetric-delete blocking (SymSpell, Garbe 2012).
+
+Beyond-reference capability for record linkage / dirty-key joins on
+short strings (names, codes, titles). The blocking is EXACT, not
+approximate: if ``lev(a, b) <= d`` then deleting from ``a`` the (≤ d)
+positions an optimal alignment substitutes-or-deletes, and from ``b``
+the (≤ d) positions it substitutes-or-inserts, leaves the aligned
+matches — the SAME string — so ``a`` and ``b`` share a key in their
+depth-``d`` deletion neighborhoods. The equi-join on deletion keys
+therefore finds every qualifying pair, and the exact
+``levenshtein() <= d`` confirm removes the false positives. No
+all-pairs comparison anywhere.
+
+Scale shape: key generation is pure codegen (``transform`` over a
+``sequence``, O(len^d) keys per DISTINCT string), one shuffle on the
+key, candidate work proportional to key-bucket collisions. Pairs are
+computed over DISTINCT strings — a billion rows with a million distinct
+names cost a million strings' worth of keys, and exact-duplicate
+multiplicities never enter the pair join (that's the exact-dedup
+family's job, operators/dedup_scale.py). For long free text use the
+MinHash/SimHash family instead; the in-plan length guard raises on
+strings past ``max_len`` rather than silently exploding the key fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EMPTY = "filter(array(''), x -> false)"  # typed empty array<string>
+
+
+def _del1(c: str, var: str) -> str:
+    """SQL expr: all single-character deletions of ``c`` (array)."""
+    return (
+        f"if(length({c}) = 0, {_EMPTY}, "
+        f"transform(sequence(1, length({c})), {var} -> "
+        f"concat(substr({c}, 1, {var} - 1), substr({c}, {var} + 1))))"
+    )
+
+
+def deletion_keys(col: str, max_dist: int) -> "F.Column":
+    """Depth-``max_dist`` deletion neighborhood of a string column
+    (including the string itself), distinct. Pure codegen."""
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy: max_dist must be 1 or 2")
+    d1 = _del1(col, "i")
+    if max_dist == 1:
+        expr = f"array_distinct(concat(array({col}), {d1}))"
+    else:
+        d2 = f"flatten(transform({d1}, t -> {_del1('t', 'j')}))"
+        expr = f"array_distinct(concat(array({col}), {d1}, {d2}))"
+    return F.expr(expr)
+
+
+def _guarded(df: DataFrame, col: str, max_len: int) -> DataFrame:
+    """In-plan contract: raise at action time if a string exceeds
+    ``max_len`` (deletion-key fanout is O(len^d); long text belongs to
+    the MinHash family). Lazy — no construction-time job."""
+    msg = (
+        f"fuzzy: string in {col!r} longer than max_len={max_len}; "
+        "use minhash_lsh_pairs for long text or raise max_len"
+    )
+    return df.filter(
+        F.when(
+            F.length(F.col(col)) > max_len,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    s_col: str,
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """All pairs of DISTINCT non-null values of ``s_col`` within edit
+    distance ``max_dist``: (s1, s2, dist) with ``s1 < s2``. Exact —
+    complete blocking (module docstring) + levenshtein confirm."""
+    s = (
+        _guarded(df, s_col, max_len)
+        .select(F.col(s_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    keys = s.select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("s1", "s2")).filter(
+        F.col("dist") <= max_dist
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """Row-pair form: (id1, id2, s1, s2, dist) for every pair of rows
+    whose string values DIFFER and are within ``max_dist`` (``s1 < s2``
+    orders the pair; ids follow their strings). Equal-string row pairs
+    are exact duplicates — out of scope here, covered by the exact-dedup
+    operators. The pair join runs over distinct strings; ids re-attach
+    via two equi-joins, so duplicate strings multiply only the final
+    output, never the candidate join."""
+    pairs = fuzzy_string_pairs(df, s_col, max_dist, max_len)
+    ids1 = df.select(
+        F.col(id_col).alias("id1"), F.col(s_col).alias("__fs1")
+    )
+    ids2 = df.select(
+        F.col(id_col).alias("id2"), F.col(s_col).alias("__fs2")
+    )
+    return (
+        pairs.join(ids1, pairs.s1 == ids1.__fs1)
+        .join(ids2, pairs.s2 == ids2.__fs2)
+        .select("id1", "id2", "s1", "s2", "dist")
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int = 1,
+    how: str = "inner",
+    max_len: int = 64,
+) -> DataFrame:
+    """Dirty-key join: match left rows to right rows whose key strings
+    are within ``max_dist`` edits (exact blocking + confirm). Returns
+    left columns + right columns + ``dist``; ``how`` is 'inner' or
+    'left' (unmatched left rows kept with NULL right side).
+
+    The string-pair match runs over DISTINCT keys of each side; row
+    multiplicities re-enter through two ordinary equi-joins. A left row
+    matching several right keys yields one row per match — aggregate
+    afterwards to pick a best match (e.g. ``min_by`` on dist)."""
+    if how not in ("inner", "left"):
+        raise ValueError("fuzzy_join: how must be 'inner' or 'left'")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"fuzzy_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first"
+        )
+    ls = (
+        _guarded(left, left_on, max_len)
+        .select(F.col(left_on).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
+    )
+    rs = (
+        _guarded(right, right_on, max_len)
+        .select(F.col(right_on).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
+    )
+    cand = (
+        ls.alias("a")
+        .join(rs.alias("b"), F.col("a.k") == F.col("b.k"))
+        .select(F.col("a.s").alias("__ls"), F.col("b.s").alias("__rs"))
+        .distinct()
+    )
+    pairs = cand.withColumn(
+        "dist", F.levenshtein("__ls", "__rs")
+    ).filter(F.col("dist") <= max_dist)
+    matched = pairs.join(right, pairs.__rs == right[right_on]).drop(
+        "__rs"
+    )
+    out = left.join(matched, left[left_on] == matched.__ls, how).drop(
+        "__ls"
+    )
+    return out
+
+
+def fuzzy_pairs_sql(
+    table: str,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> str:
+    """DuckDB oracle of :func:`fuzzy_pairs` — the all-pairs definition
+    the blocking must reproduce exactly."""
+    return f"""
+    SELECT a.{id_col} AS id1, b.{id_col} AS id2,
+           a.{s_col} AS s1, b.{s_col} AS s2,
+           levenshtein(a.{s_col}, b.{s_col}) AS dist
+    FROM {table} a JOIN {table} b
+      ON a.{s_col} < b.{s_col}
+     AND levenshtein(a.{s_col}, b.{s_col}) <= {int(max_dist)}
+    """
+
+
+def fuzzy_string_pairs_sql(
+    table: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> str:
+    """DuckDB oracle of :func:`fuzzy_string_pairs`."""
+    return f"""
+    WITH s AS (SELECT DISTINCT {s_col} AS s FROM {table}
+               WHERE {s_col} IS NOT NULL)
+    SELECT a.s AS s1, b.s AS s2, levenshtein(a.s, b.s) AS dist
+    FROM s a JOIN s b
+      ON a.s < b.s AND levenshtein(a.s, b.s) <= {int(max_dist)}
+    """

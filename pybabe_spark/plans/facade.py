@@ -407,6 +407,21 @@ class Babe:
             gap_fill(self.df, step_seconds, key_col, ts_col, agg_cols, **kwargs)
         )
 
+    def fuzzy_join(
+        self, other: "Babe | DataFrame", left_on, right_on, max_dist=1, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.fuzzy import fuzzy_join
+
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(
+            fuzzy_join(self.df, right, left_on, right_on, max_dist, **kwargs)
+        )
+
+    def fuzzy_pairs(self, id_col, s_col, max_dist=1, **kwargs) -> "Babe":
+        from pybabe_spark.operators.fuzzy import fuzzy_pairs
+
+        return self._wrap(fuzzy_pairs(self.df, id_col, s_col, max_dist, **kwargs))
+
     # -- set ops ---------------------------------------------------------------
     def union(self, *others: "Babe | DataFrame") -> "Babe":
         dfs = [o.df if isinstance(o, Babe) else o for o in others]

@@ -813,3 +813,41 @@ def q_gap_fill(spark, sf_dir):
         ev, 21600, "user_id", "ts",
         {"value": "sum", "event_id": "count"}, fill="forward",
     )
+
+
+def _fuzzy_pairs_sql():
+    from pybabe_spark.operators.fuzzy import fuzzy_pairs_sql
+
+    return fuzzy_pairs_sql("customer", "c_custkey", "c_name", max_dist=1)
+
+
+@register("fuzzy_pairs_customer_names", _fuzzy_pairs_sql())
+def q_fuzzy_pairs(spark, sf_dir):
+    """Record linkage: customer-name pairs within edit distance 1
+    (operators/fuzzy.py::fuzzy_pairs — symmetric-delete blocking, a
+    complete candidate set by the SymSpell deletion lemma, then exact
+    levenshtein confirm). The oracle is the ALL-PAIRS definition; the
+    engine never compares all pairs — candidates come from one
+    deletion-key equi-join over distinct names."""
+    from pybabe_spark.operators.fuzzy import fuzzy_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+def _fuzzy_strings_sql():
+    from pybabe_spark.operators.fuzzy import fuzzy_string_pairs_sql
+
+    return fuzzy_string_pairs_sql("part", "p_name", max_dist=2)
+
+
+@register("fuzzy_match_part_names", _fuzzy_strings_sql())
+def q_fuzzy_strings(spark, sf_dir):
+    """Distinct part-name pairs within edit distance 2 — exercises the
+    depth-2 deletion neighborhood (O(len^2) keys per DISTINCT string;
+    the 2000-row part table holds only ~64 distinct names, so the
+    candidate join sees 64 strings, not 2000 rows)."""
+    from pybabe_spark.operators.fuzzy import fuzzy_string_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    return fuzzy_string_pairs(part, "p_name", max_dist=2)

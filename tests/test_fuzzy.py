@@ -1,0 +1,106 @@
+"""Symmetric-delete fuzzy matching: blocking completeness vs a
+brute-force all-pairs reference, lazy length guard, join forms."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.fuzzy import (
+    deletion_keys,
+    fuzzy_join,
+    fuzzy_pairs,
+    fuzzy_string_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_blocking_complete_vs_bruteforce(spark, max_dist):
+    """Every all-pairs edit-distance pair must survive the deletion-key
+    blocking — randomized fixed-seed corpus over a tiny alphabet so
+    near-pairs are dense."""
+    rng = random.Random(42)
+    strings = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+            for _ in range(120)
+        }
+    )
+    want = {
+        (s1, s2, _lev(s1, s2))
+        for i, s1 in enumerate(strings)
+        for s2 in strings[i + 1 :]
+        if _lev(s1, s2) <= max_dist
+    }
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        (r["s1"], r["s2"], r["dist"])
+        for r in fuzzy_string_pairs(df, "s", max_dist).collect()
+    }
+    assert got == want and len(want) > 50
+
+
+def test_deletion_keys_edge_cases(spark):
+    df = spark.createDataFrame([("",), ("a",)], "s string")
+    rows = df.select(deletion_keys("s", 2).alias("k")).collect()
+    by = {tuple(sorted(r["k"])) for r in rows}
+    # "" -> just itself; "a" -> itself + ""
+    assert ("",) in by and ("", "a") in by
+
+
+def test_fuzzy_pairs_reattaches_duplicate_ids(spark):
+    # two rows share the string 'cat': both ids must pair with 'cats'
+    df = spark.createDataFrame(
+        [(1, "cat"), (2, "cat"), (3, "cats")], "id bigint, s string"
+    )
+    got = {(r["id1"], r["id2"]) for r in fuzzy_pairs(df, "id", "s").collect()}
+    assert got == {(1, 3), (2, 3)}
+
+
+def test_max_len_guard_is_lazy_and_raises(spark):
+    df = spark.createDataFrame([("x" * 100,), ("ok",)], "s string")
+    out = fuzzy_string_pairs(df, "s", 1, max_len=64)  # no job yet
+    with pytest.raises(Exception, match="max_len"):
+        out.collect()
+
+
+def test_fuzzy_join_left_and_overlap(spark):
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "dog"), (3, "zzz")], "id bigint, s string"
+    )
+    right = spark.createDataFrame(
+        [("sitten", "S1"), ("dig", "D1")], "name string, code string"
+    )
+    got = {
+        (r["id"], r["code"], r["dist"])
+        for r in fuzzy_join(left, right, "s", "name", 1, how="left")
+        .select("id", "code", "dist")
+        .collect()
+    }
+    assert got == {(1, "S1", 1), (2, "D1", 1), (3, None, None)}
+    with pytest.raises(ValueError, match="overlapping"):
+        fuzzy_join(left, left, "s", "s")
+    with pytest.raises(ValueError, match="how"):
+        fuzzy_join(left, right, "s", "name", how="full")
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_string_pairs(left, "s", 3)
+
+
+def test_fuzzy_candidates_scan_distinct_strings_only(spark):
+    """The candidate join must be fed by distinct strings: 1000 rows of
+    the same two strings generate exactly one confirmed string pair."""
+    rows = [(i, "cat" if i % 2 else "cats") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    assert fuzzy_string_pairs(df, "s", 1).count() == 1

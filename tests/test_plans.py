@@ -394,6 +394,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # per-key sequence grid + equi-join + key-partitioned LOCF
         # window — clean
         "gap_fill_events": set(),
+        # symmetric-delete blocking: deletion-key equi-joins over
+        # distinct strings, never all-pairs — clean
+        "fuzzy_pairs_customer_names": set(),
+        "fuzzy_match_part_names": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
