@@ -639,3 +639,37 @@ def q_curriculum_order(spark, sf_dir):
         curriculum_band("__q", [0.3, 0.5, 0.7]).alias("band"),
         shuffle_key("doc_id", 7).alias("shuffle_key"),
     )
+
+
+@register(
+    "dedup_against_bloom_docs",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS ck
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id,
+             md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS ck
+      FROM documents
+    )
+    SELECT b.doc_id FROM batch b WHERE b.ck NOT IN (SELECT ck FROM seen)
+    """,
+)
+def q_dedup_against_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (operators/bloom.py
+    ::dedup_against_bloom): SAME oracle and SAME result as
+    `dedup_against_seen` — the Bloom filter is a transparent scale
+    optimization (misses skip the anti-join shuffle entirely; hits are
+    confirmed exactly), and this key certifies that transparency
+    value-for-value against the plain anti-join's oracle."""
+    from pybabe_spark.operators.bloom import dedup_against_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 5 == 0).select(
+        T.exact_key("text").alias("ck")
+    )
+    batch = docs.select("doc_id", T.exact_key("text").alias("ck"))
+    return dedup_against_bloom(batch, seen, "ck", m_bits=1 << 20, k=5).select(
+        "doc_id"
+    )

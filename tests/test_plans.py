@@ -398,6 +398,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # distinct strings, never all-pairs — clean
         "fuzzy_pairs_customer_names": set(),
         "fuzzy_match_part_names": set(),
+        # bloom prefilter: Arrow-batched bit test + anti-join on the
+        # hit subset only — clean
+        "dedup_against_bloom_docs": set(),
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
