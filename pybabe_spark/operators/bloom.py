@@ -52,11 +52,19 @@ _SEEDS = [
 
 @dataclass
 class BloomFilter:
-    """Driver-held packed bitset (uint64 words) + parameters."""
+    """Driver-held packed bitset (uint64 words) + parameters.
+
+    ``key_types`` records the build-side key column dtypes: bloom keys
+    are hashed from STRING casts, and two Spark types that compare
+    equal natively can cast to different strings (double 1.0 vs
+    decimal 1.00) — a probe against a differently-typed column would
+    silently produce a false negative, breaking the no-false-negative
+    contract. Probes assert the probe columns' dtypes match."""
 
     words: np.ndarray  # dtype uint64, length m_bits // 64
     m_bits: int
     k: int
+    key_types: tuple[str, ...] | None = None
 
     def __post_init__(self):
         if self.k < 1 or self.k > len(_SEEDS):
@@ -122,7 +130,8 @@ def build_bloom(
     )
     for r in rows:
         words[r["w"]] = np.uint64(np.int64(r["word"]).view(np.uint64))
-    return BloomFilter(words=words, m_bits=m_bits, k=k)
+    types = tuple(dict(df.dtypes)[c] for c in cols)
+    return BloomFilter(words=words, m_bits=m_bits, k=k, key_types=types)
 
 
 def bloom_might_contain(
@@ -137,6 +146,17 @@ def bloom_might_contain(
     JVM expressions as the build; the bit test is one Arrow-batched
     numpy pass against the closure-shipped bitset."""
     cols = [cols] if isinstance(cols, str) else list(cols)
+    if bloom.key_types is not None:
+        probe_types = tuple(dict(df.dtypes)[c] for c in cols)
+        if probe_types != bloom.key_types:
+            raise TypeError(
+                "bloom: probe key dtypes "
+                f"{probe_types} != build dtypes {bloom.key_types}; "
+                "string-cast hashing would diverge on coercible types "
+                "(e.g. double 1.0 vs decimal 1.00) and yield silent "
+                "false negatives — cast the probe columns to the build "
+                "types first"
+            )
     words, k = bloom.words, bloom.k
 
     def _test(batch):
@@ -175,7 +195,13 @@ def dedup_against_bloom(
     Pass a prebuilt ``bloom`` to amortize one corpus filter across many
     batches; otherwise one is built from ``seen`` (one aggregation job
     over the key projection — still cheaper than shuffling ``df`` when
-    the batch outweighs the key set)."""
+    the batch outweighs the key set).
+
+    Precondition (asserted via the filter's recorded ``key_types``):
+    ``df`` and ``seen`` key columns must have IDENTICAL dtypes. The
+    bloom hashes string casts while the confirming anti-join compares
+    natively, so a double/decimal mismatch would otherwise produce a
+    bloom false negative that silently keeps a true duplicate."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     if bloom is None:
         bloom = build_bloom(seen.select(*keys), keys, m_bits, k)

@@ -247,7 +247,10 @@ def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_len"),
+        # coalesce: SUM over zero rows is NULL, and the JSON writer
+        # drops null fields — an empty-corpus build would then break
+        # the first append_bm25_index read of total_len
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_len"),
     )
     return postings, stats
 
@@ -298,15 +301,23 @@ def append_bm25_index(
     """
     spark = docs.sparkSession
     stats_path = path.rstrip("/") + "/_stats"
-    old = spark.read.json(stats_path).limit(1).collect()[0]
+    # read with an explicit schema: an index built from an empty corpus
+    # (or by an older build) may lack total_len in the JSON — schema'd
+    # read yields NULL there instead of a missing-field error
+    old = (
+        spark.read.schema("n_docs bigint, total_len bigint")
+        .json(stats_path)
+        .limit(1)
+        .collect()[0]
+    )
     postings, stats = _bm25_postings(docs, id_col, text_col)
     postings.write.mode("append").partitionBy("bucket").parquet(path)
     add = stats.collect()[0]
     merged = spark.createDataFrame(
         [
             (
-                old["n_docs"] + add["n_docs"],
-                old["total_len"] + (add["total_len"] or 0),
+                (old["n_docs"] or 0) + add["n_docs"],
+                (old["total_len"] or 0) + (add["total_len"] or 0),
             )
         ],
         "n_docs bigint, total_len bigint",

@@ -73,3 +73,27 @@ def test_param_validation():
 def test_build_validates_m_bits(spark):
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(spark.range(1), "id", m_bits=100)
+
+
+def test_probe_dtype_mismatch_raises(spark):
+    # double 1.0 and decimal 1.00 compare equal natively but cast to
+    # different strings — the probe must refuse rather than emit a
+    # silent bloom false negative (ADVICE r6)
+    seen = spark.range(3).selectExpr("cast(id as decimal(10,2)) as k")
+    bf = build_bloom(seen, "k", m_bits=1 << 10, k=3)
+    assert bf.key_types == ("decimal(10,2)",)
+    batch = spark.range(3).selectExpr("cast(id as double) as k")
+    with pytest.raises(TypeError, match="dtypes"):
+        dedup_against_bloom(batch, seen, "k", bloom=bf).collect()
+    # matching dtypes still pass
+    ok = dedup_against_bloom(
+        batch.selectExpr("cast(k as decimal(10,2)) as k"), seen, "k", bloom=bf
+    )
+    assert ok.count() == 0
+
+
+def test_dedup_against_bloom_type_mismatch_without_prebuilt(spark):
+    seen = spark.range(3).selectExpr("cast(id as decimal(10,2)) as k")
+    batch = spark.range(3).selectExpr("cast(id as double) as k")
+    with pytest.raises(TypeError, match="dtypes"):
+        dedup_against_bloom(batch, seen, "k").collect()

@@ -1783,6 +1783,35 @@ def test_bm25_append_matches_rebuild(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_bm25_empty_corpus_build_then_append(spark, tmp_path):
+    """An index built from ZERO documents must still append cleanly:
+    SUM over no rows is NULL and the JSON writer drops null fields, so
+    without the build-time coalesce the first append_bm25_index read
+    of total_len fails (ADVICE r6)."""
+    from pybabe_spark.operators.tfidf import (
+        append_bm25_index,
+        bm25_search_stored,
+        build_bm25_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} spark") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    inc = str(tmp_path / "inc")
+    build_bm25_index(empty, inc)
+    append_bm25_index(docs, inc)
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+    q = ["spark", "w2"]
+    got = [(r["id"], r["score"])
+           for r in bm25_search_stored(spark, inc, q, k=30).collect()]
+    want = [(r["id"], r["score"])
+            for r in bm25_search_stored(spark, full, q, k=30).collect()]
+    assert got == want and len(got) > 0
+
+
 def test_kmeans_separates_obvious_clusters(spark):
     """Two well-separated blobs: Lloyd lands one centroid per blob,
     assignment matches blob membership, inertia is non-increasing
