@@ -400,6 +400,21 @@ class Babe:
 
         return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
 
+    def scd2(self, key_col, ts_col, attr_cols, **kwargs) -> "Babe":
+        from pybabe_spark.operators.scd import scd2_from_changelog
+
+        return self._wrap(
+            scd2_from_changelog(self.df, key_col, ts_col, attr_cols, **kwargs)
+        )
+
+    def scd2_upsert(self, updates, key_col, ts_col, attr_cols) -> "Babe":
+        from pybabe_spark.operators.scd import scd2_upsert
+
+        right = updates.df if isinstance(updates, Babe) else updates
+        return self._wrap(
+            scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
+        )
+
     def gap_fill(self, step_seconds, key_col, ts_col, agg_cols, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import gap_fill
 

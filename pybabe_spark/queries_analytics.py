@@ -851,3 +851,58 @@ def q_fuzzy_strings(spark, sf_dir):
 
     part = read_table(spark, sf_dir, "part")
     return fuzzy_string_pairs(part, "p_name", max_dist=2)
+
+
+def _scd2_events_sql():
+    from pybabe_spark.operators.scd import scd2_sql
+
+    return scd2_sql("events", "user_id", "ts", ["event_type"])
+
+
+@register("scd2_events_history", _scd2_events_sql())
+def q_scd2_history(spark, sf_dir):
+    """SCD2 collapse of the event log: per user, consecutive
+    same-event_type rows merge into one validity interval with
+    half-open [valid_from, valid_to) boundaries, last-row witness
+    timestamp, multiplicity, and is_current flag
+    (operators/scd.py::scd2_from_changelog). One shuffle on user_id,
+    lag/running-sum/lead windows — the sessionization plan shape with
+    an equality predicate instead of a time gap. (user_id, ts) is
+    unique in the testdata, so no tie-break columns are needed."""
+    from pybabe_spark.operators.scd import scd2_from_changelog
+
+    ev = read_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev.select("user_id", "ts", "event_type"),
+        "user_id",
+        "ts",
+        ["event_type"],
+    )
+
+
+@register("scd2_upsert_events", _scd2_events_sql())
+def q_scd2_upsert(spark, sf_dir):
+    """Incremental SCD2 fold: history built from events before
+    2024-01-24, then the remaining week folded in with
+    operators/scd.py::scd2_upsert — WITHOUT re-windowing untouched
+    users (one anti-join keeps them as-is; only updated users'
+    intervals re-collapse). The oracle is the FULL-TABLE rebuild SQL:
+    the incremental path must be value-identical to recomputing from
+    the whole changelog, which is exactly the operator's exactness
+    contract for append-only batches."""
+    from pybabe_spark.operators.scd import scd2_from_changelog, scd2_upsert
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    hist = scd2_from_changelog(
+        ev.filter(F.col("ts") < cutoff), "user_id", "ts", ["event_type"]
+    )
+    return scd2_upsert(
+        hist,
+        ev.filter(F.col("ts") >= cutoff),
+        "user_id",
+        "ts",
+        ["event_type"],
+    )
