@@ -79,6 +79,8 @@ def fuzzy_string_pairs(
     """All pairs of DISTINCT non-null values of ``s_col`` within edit
     distance ``max_dist``: (s1, s2, dist) with ``s1 < s2``. Exact —
     complete blocking (module docstring) + levenshtein confirm."""
+    from pybabe_spark.operators.similarity import _spread
+
     s = (
         _guarded(df, s_col, max_len)
         .select(F.col(s_col).alias("s"))
@@ -86,17 +88,26 @@ def fuzzy_string_pairs(
         .distinct()
     )
     keys = s.select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")),
+    # the candidate join streams this side: without _spread, AQE
+    # coalesces the small distinct-names shuffle to 1 partition and the
+    # whole candidate+confirm stage serializes (8 s → 2 s at sf0.1,
+    # local[32]); quadratic=True because downstream work grows with
+    # key-bucket collisions², not input bytes
+    a = _spread(keys, quadratic=True).alias("a")
+    b = keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")),
+    ).select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+    # confirm BEFORE the pair-dedup shuffle so only true matches are
+    # shuffled; thresholded levenshtein (banded DP, -1 past the bound)
+    # costs O(len·d) per candidate instead of O(len²)
+    return (
+        cand.withColumn(
+            "dist", F.expr(f"levenshtein(s1, s2, {int(max_dist)})")
         )
-        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .filter(F.col("dist") >= 0)
         .distinct()
-    )
-    return cand.withColumn("dist", F.levenshtein("s1", "s2")).filter(
-        F.col("dist") <= max_dist
     )
 
 
@@ -154,6 +165,8 @@ def fuzzy_join(
             f"fuzzy_join: overlapping column names {sorted(overlap)}; "
             "rename one side first"
         )
+    from pybabe_spark.operators.similarity import _spread
+
     ls = (
         _guarded(left, left_on, max_len)
         .select(F.col(left_on).alias("s"))
@@ -168,15 +181,21 @@ def fuzzy_join(
         .distinct()
         .select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
     )
+    # streamed side parallelism + banded confirm before the pair dedup
+    # — see fuzzy_string_pairs
     cand = (
-        ls.alias("a")
+        _spread(ls, quadratic=True)
+        .alias("a")
         .join(rs.alias("b"), F.col("a.k") == F.col("b.k"))
         .select(F.col("a.s").alias("__ls"), F.col("b.s").alias("__rs"))
+    )
+    pairs = (
+        cand.withColumn(
+            "dist", F.expr(f"levenshtein(__ls, __rs, {int(max_dist)})")
+        )
+        .filter(F.col("dist") >= 0)
         .distinct()
     )
-    pairs = cand.withColumn(
-        "dist", F.levenshtein("__ls", "__rs")
-    ).filter(F.col("dist") <= max_dist)
     matched = pairs.join(right, pairs.__rs == right[right_on]).drop(
         "__rs"
     )
