@@ -288,3 +288,92 @@ def gap_fill_sql(
     FROM grid g LEFT JOIN data d
       ON g.{key_col} = d.{key_col} AND g.bucket = d.bucket
     """
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST activity; each later period they are active again
+    counts toward that cohort's retention at ``offset = period −
+    cohort_period``. Returns one row per (cohort, offset ≤
+    ``max_offset``): ``(cohort_start, offset, n_users,
+    retained_ppm)`` where ``retained_ppm`` is retention in exact
+    integer parts-per-million of the cohort's offset-0 size (the house
+    integer-micro-unit idiom — cross-engine deterministic, no IEEE
+    division).
+
+    Plan: one distinct over (key, period) — the only corpus-scale
+    shuffle; the first-activity aggregation and the activity join both
+    reuse that key partitioning; the (cohort, offset) count and the
+    cohort-partitioned size window run on cohorts × offsets rows, not
+    the corpus. Period arithmetic is integer µs (``div``), positive
+    epochs assumed (period index truncates toward zero).
+    """
+    if period_seconds <= 0 or max_offset < 0:
+        raise ValueError("retention_cohorts: bad period/max_offset")
+    per_us = int(period_seconds) * 1_000_000
+    act = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {per_us}").alias("__p"),
+        )
+        .distinct()
+    )
+    coh = act.groupBy("__k").agg(F.min("__p").alias("__c0"))
+    cnt = (
+        act.join(coh, "__k")
+        .filter(F.col("__p") - F.col("__c0") <= max_offset)
+        .groupBy(
+            F.col("__c0"),
+            (F.col("__p") - F.col("__c0")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("__c0")
+    size = F.sum(F.when(F.col("offset") == 0, F.col("n_users"))).over(w)
+    return cnt.withColumn("__sz", size).select(
+        F.timestamp_micros(F.col("__c0") * per_us).alias("cohort_start"),
+        "offset",
+        "n_users",
+        F.expr("(n_users * 1000000) div __sz").alias("retained_ppm"),
+    )
+
+
+def retention_cohorts_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+    max_offset: int = 8,
+) -> str:
+    """DuckDB oracle of :func:`retention_cohorts` — identical integer-µs
+    period arithmetic and ppm division."""
+    per_us = int(period_seconds) * 1_000_000
+    return f"""
+    WITH act AS (
+        SELECT DISTINCT {key_col} AS k,
+               epoch_us({ts_col}) // {per_us} AS p
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ), coh AS (
+        SELECT k, MIN(p) AS c0 FROM act GROUP BY k
+    ), cnt AS (
+        SELECT c0, p - c0 AS "offset", COUNT(*) AS n_users
+        FROM act JOIN coh USING (k)
+        WHERE p - c0 <= {int(max_offset)}
+        GROUP BY c0, p - c0
+    )
+    SELECT make_timestamp(c0 * {per_us}) AS cohort_start,
+           "offset", n_users,
+           CAST((n_users * 1000000)
+                // CAST(SUM(CASE WHEN "offset" = 0 THEN n_users END)
+                        OVER (PARTITION BY c0) AS BIGINT)
+                AS BIGINT) AS retained_ppm
+    FROM cnt
+    """

@@ -400,6 +400,13 @@ class Babe:
 
         return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
 
+    def retention_cohorts(self, key_col, ts_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import retention_cohorts
+
+        return self._wrap(
+            retention_cohorts(self.df, key_col, ts_col, **kwargs)
+        )
+
     def scd2(self, key_col, ts_col, attr_cols, **kwargs) -> "Babe":
         from pybabe_spark.operators.scd import scd2_from_changelog
 

@@ -906,3 +906,23 @@ def q_scd2_upsert(spark, sf_dir):
         "ts",
         ["event_type"],
     )
+
+
+def _retention_sql():
+    from pybabe_spark.operators.timeseries import retention_cohorts_sql
+
+    return retention_cohorts_sql("events", "user_id", "ts", 604800, 6)
+
+
+@register("retention_cohorts_events", _retention_sql())
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention over the event log
+    (operators/timeseries.py::retention_cohorts): users cohorted by
+    first-activity week, per-cohort active-user counts at week offsets
+    0..6, retention in exact integer ppm (no IEEE division). One
+    corpus-scale distinct on (user, week); everything after runs on
+    cohort×offset rows."""
+    from pybabe_spark.operators.timeseries import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", 604800, 6)

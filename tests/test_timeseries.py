@@ -139,3 +139,50 @@ def test_gap_fill_count_agg(spark):
     out = gap_fill(df, 60, "user_id", "ts", {"value": "count"}, fill="zero")
     got = {r["bucket"].minute: r["value"] for r in out.collect()}
     assert got == {0: 2, 1: 0, 2: 1}
+
+
+def test_retention_cohorts_hand_checked(spark):
+    """Two weekly cohorts: A,B,C start week 0 (A returns w1+w2, B
+    returns w2); D starts week 1 and returns w2 → offset-1 retention
+    for its cohort."""
+    from pybabe_spark.operators.timeseries import retention_cohorts
+
+    week = 604800
+    rows = []
+    for user, weeks in [
+        ("A", [0, 1, 2]),
+        ("B", [0, 2]),
+        ("C", [0]),
+        ("D", [1, 2]),
+    ]:
+        for w in weeks:
+            rows.append((user, w * week + 10))
+    df = spark.createDataFrame(rows, "u string, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) as ts"
+    )
+    out = retention_cohorts(df, "u", "ts", week, 8)
+    got = {
+        (r["cohort_start"].isoformat(), r["offset"], r["n_users"],
+         r["retained_ppm"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("1970-01-01T00:00:00", 0, 3, 1000000),
+        ("1970-01-01T00:00:00", 1, 1, 333333),
+        ("1970-01-01T00:00:00", 2, 2, 666666),
+        ("1970-01-08T00:00:00", 0, 1, 1000000),
+        ("1970-01-08T00:00:00", 1, 1, 1000000),
+    }
+
+
+def test_retention_cohorts_null_and_offset_cap(spark):
+    from pybabe_spark.operators.timeseries import retention_cohorts
+
+    week = 604800
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 9 * week), (None, 0), ("B", None)],
+        "u string, sec bigint",
+    ).selectExpr("u", "timestamp_seconds(sec) as ts")
+    out = retention_cohorts(df, "u", "ts", week, 8).collect()
+    # A's week-9 activity is past max_offset; null key/ts rows dropped
+    assert [(r["offset"], r["n_users"]) for r in out] == [(0, 1)]
