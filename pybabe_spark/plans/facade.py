@@ -195,6 +195,11 @@ class Babe:
 
         return self._wrap(global_shuffle(self.df, key, seed, shards))
 
+    def html_to_text(self, field) -> "Babe":
+        from pybabe_spark.functions.html import html_to_text
+
+        return self._wrap(self.df.withColumn(field, html_to_text(field)))
+
     def normalize_text(self, field, **kwargs) -> "Babe":
         from pybabe_spark.functions.text import normalize_text
 

@@ -1118,3 +1118,49 @@ def q_bm25_incremental(spark, sf_dir):
         append_bm25_index(docs.filter(F.col("doc_id") % 2 != 0), path)
         _BM25_INDEX_CACHE[key] = path
     return bm25_search_stored(spark, path, ["scan", "batch"], k=8)
+
+
+_HTML_PRE = (
+    '<html><head><title>t</title>'
+    '<script>var x = "<b>no</b>";</script></head><body><h1>Doc '
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = " &amp; tail</p><!-- hidden --></body></html>"
+
+
+def _html_extract_sql():
+    from pybabe_spark.functions.html import html_to_text_sql
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (
+        f"{q(_HTML_PRE)} || CAST(doc_id AS VARCHAR) || {q(_HTML_MID)}"
+        f" || text || {q(_HTML_POST)}"
+    )
+    return (
+        f"SELECT doc_id, {html_to_text_sql(expr)} AS extracted"
+        " FROM documents"
+    )
+
+
+@register("html_extract_docs", _html_extract_sql())
+def q_html_extract(spark, sf_dir):
+    """Markup-strip stage of a crawl-ingest pipeline
+    (functions/html.py::html_to_text): every document wrapped in
+    deterministic HTML (script + comment + entities included) and
+    extracted back to text. Pure whole-stage-codegen regexp chain —
+    zero Python, zero shuffles; the oracle SQL is generated from the
+    SAME pattern table, so the key certifies the cross-engine
+    extraction contract, not just this wrapper."""
+    from pybabe_spark.functions.html import html_to_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("extracted"))
