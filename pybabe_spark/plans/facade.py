@@ -195,6 +195,18 @@ class Babe:
 
         return self._wrap(global_shuffle(self.df, key, seed, shards))
 
+    def normalize_url(self, field) -> "Babe":
+        from pybabe_spark.functions.url import normalize_url
+
+        return self._wrap(self.df.withColumn(field, normalize_url(field)))
+
+    def registered_domain(self, field, out_col="domain") -> "Babe":
+        from pybabe_spark.functions.url import registered_domain
+
+        return self._wrap(
+            self.df.withColumn(out_col, registered_domain(field))
+        )
+
     def html_to_text(self, field) -> "Babe":
         from pybabe_spark.functions.html import html_to_text
 

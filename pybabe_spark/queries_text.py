@@ -1164,3 +1164,68 @@ def q_html_extract(spark, sf_dir):
         F.lit(_HTML_POST),
     )
     return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+
+def _url_stats_sql():
+    from pybabe_spark.functions.url import (
+        normalize_url_sql,
+        registered_domain_sql,
+    )
+
+    build = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+        " || source"
+        " || (CASE WHEN doc_id % 5 = 0 THEN '.Co.UK' ELSE '.Example.com' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)"
+        " || '/d/' || CAST(doc_id AS VARCHAR)"
+        " || '?utm_source=bench&q=' || CAST(doc_id % 10 AS VARCHAR) || '&a=1'"
+    )
+    return f"""
+    WITH urls AS (
+        SELECT {normalize_url_sql('u')} AS nu,
+               {registered_domain_sql('u')} AS domain
+        FROM (SELECT {build} AS u FROM documents)
+    )
+    SELECT domain, COUNT(*) AS n_urls,
+           COUNT(DISTINCT nu) AS n_unique
+    FROM urls GROUP BY domain
+    """
+
+
+@register("url_domain_stats_docs", _url_stats_sql())
+def q_url_domain_stats(spark, sf_dir):
+    """Crawl-side URL hygiene (functions/url.py): deterministic
+    synthetic URLs per document (mixed scheme/www/SLD/port/tracking
+    params), canonicalized and rolled up per registrable domain —
+    the count-by-domain pass every crawl pipeline runs before source
+    weighting. normalize/domain are pure codegen; one hash aggregate;
+    the oracle rebuilds the same URLs and mirrors the same constants."""
+    from pybabe_spark.functions.url import normalize_url, registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".Co.UK")).otherwise(
+            F.lit(".Example.com")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=bench&q="),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("&a=1"),
+    )
+    urls = docs.select(
+        normalize_url(u).alias("nu"), registered_domain(u).alias("domain")
+    )
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("nu").alias("n_unique"),
+    )
