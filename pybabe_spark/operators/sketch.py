@@ -123,3 +123,145 @@ def histogram_sql(table: str, col: str, bins: int = 10) -> str:
     LEFT JOIN counts c ON c.bin = g.i
     CROSS JOIN s
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), relational form
+# ---------------------------------------------------------------------------
+#
+# The sketch is a (depth × width) cell TABLE, not a driver array:
+# build = one hash aggregation over (row, depth) — map-side combinable,
+# never more than depth·width cells per partition; merge = union + sum
+# (sketches are linear); lookup = key positions left-joined to cells,
+# MIN over depth. Positions come from the house md5-hex-prefix idiom
+# (sampling.hash_bucket), so every estimate is bit-reproducible in
+# DuckDB — the registry key carries a FULL-VALUE oracle, not just an
+# error-bound certificate. Standard guarantee: est ≥ true, and
+# est ≤ true + (e/width)·N with prob ≥ 1 − (1/e)^depth per key.
+
+def _cms_pos(key_str, d: int, width: int):
+    """Cell column for depth row ``d``: md5-60-bit of "d:key" % width
+    (md5 output is non-negative — plain mod matches across engines)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{d}:"), key_str)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def _cms_key_str(df: DataFrame, col: str):
+    dtype = df.schema[col].dataType.simpleString()
+    if dtype not in ("string", "tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"cms: column {col!r} has type {dtype}; integral or string "
+            "keys only (no cross-engine stable hash for float/date)"
+        )
+    return F.coalesce(F.col(col).cast("string"), F.lit("\x00null"))
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Build the sketch cell table ``(d, pos, n)`` for ``df[col]``.
+    Only non-empty cells materialize (absent cell = 0)."""
+    if width < 2 or depth < 1:
+        raise ValueError("cms: width >= 2 and depth >= 1 required")
+    k = _cms_key_str(df, col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(k, d, width).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        rows.select("c.d", "c.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (width, depth): cellwise
+    sum (sketches are linear — merge-then-lookup ≡ build-over-union,
+    asserted in tests)."""
+    return (
+        a.unionByName(b).groupBy("d", "pos").agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[col]`` (distinct): adds
+    ``cms_count`` = MIN over the key's depth cells (absent cell = 0).
+    ``width``/``depth`` must match the build — they are the sketch's
+    identity, carried by the caller like the bloom filter's params."""
+    distinct = keys.select(col).distinct()
+    k = _cms_key_str(distinct, col)
+    probes = distinct.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(k, d, width).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col(col), "c.d", "c.pos")
+    joined = probes.join(cms, ["d", "pos"], "left").select(
+        F.col(col), F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return joined.groupBy(col).agg(F.min("n").alias("cms_count"))
+
+
+def cms_pos_sql(key: str, d: int, width: int) -> str:
+    """DuckDB mirror of the position arithmetic."""
+    return (
+        f"(CAST(('0x' || substr(md5('{d}:' || "
+        f"COALESCE(CAST({key} AS VARCHAR), chr(0) || 'null')), 1, 15)) "
+        f"AS BIGINT) % {int(width)})"
+    )
+
+
+def cms_estimate_sql(
+    table: str, key: str, width: int, depth: int
+) -> str:
+    """DuckDB oracle: per-distinct-key CMS estimate, same cells, same
+    md5 arithmetic — bit-identical to build+lookup."""
+    pos_cases = " ".join(
+        f"WHEN {d} THEN {cms_pos_sql(key, d, width)}"
+        for d in range(depth)
+    )
+    return f"""
+    WITH ks AS (SELECT {key} FROM {table}),
+    rows_d AS (
+        SELECT {key}, t.range AS d,
+               CASE t.range {pos_cases} END AS pos
+        FROM ks CROSS JOIN range({int(depth)}) t
+    ),
+    cells AS (
+        SELECT d, pos, COUNT(*) AS n FROM rows_d GROUP BY d, pos
+    ),
+    probes AS (SELECT DISTINCT {key}, d, pos FROM rows_d)
+    SELECT p.{key}, CAST(MIN(c.n) AS BIGINT) AS cms_count
+    FROM probes p JOIN cells c USING (d, pos)
+    GROUP BY p.{key}
+    """

@@ -926,3 +926,25 @@ def q_retention(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return retention_cohorts(ev, "user_id", "ts", 604800, 6)
+
+
+def _cms_sql():
+    from pybabe_spark.operators.sketch import cms_estimate_sql
+
+    return cms_estimate_sql("orders", "o_custkey", 512, 3)
+
+
+@register("cms_counts_orders", _cms_sql())
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch frequencies of order custkeys
+    (operators/sketch.py::cms_build/cms_lookup): the fixed-memory
+    frequency tier between freqItems and a full groupBy — cells are a
+    (depth×width) TABLE built by one map-combinable aggregation, and
+    the md5 position arithmetic is replayed bit-identically by the
+    DuckDB oracle (FULL-value check, estimates included), so the
+    overcount-only guarantee is certified per key, not just bounded."""
+    from pybabe_spark.operators.sketch import cms_build, cms_lookup
+
+    orders = read_table(spark, sf_dir, "orders")
+    cms = cms_build(orders, "o_custkey", 512, 3)
+    return cms_lookup(cms, orders, "o_custkey", 512, 3)
