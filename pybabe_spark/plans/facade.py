@@ -417,6 +417,12 @@ class Babe:
 
         return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
 
+    def table_diff(self, other, keys, compare_cols=None) -> "Babe":
+        from pybabe_spark.operators.merge import table_diff
+
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(table_diff(self.df, right, keys, compare_cols))
+
     def retention_cohorts(self, key_col, ts_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import retention_cohorts
 

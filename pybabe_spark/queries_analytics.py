@@ -948,3 +948,48 @@ def q_cms_counts(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cms = cms_build(orders, "o_custkey", 512, 3)
     return cms_lookup(cms, orders, "o_custkey", 512, 3)
+
+
+_DIFF_A = "(SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)"
+_DIFF_B = (
+    "(SELECT o_orderkey, o_orderstatus,"
+    " CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1"
+    "      ELSE o_totalprice END AS o_totalprice"
+    " FROM orders WHERE o_orderkey % 11 <> 0"
+    " UNION ALL"
+    " SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice"
+    " FROM orders WHERE o_orderkey % 13 = 0)"
+)
+
+
+def _table_diff_sql():
+    from pybabe_spark.operators.merge import table_diff_sql
+
+    return table_diff_sql(
+        _DIFF_A, _DIFF_B, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register("table_diff_orders", _table_diff_sql())
+def q_table_diff(spark, sf_dir):
+    """Dataset-version diff (operators/merge.py::table_diff): orders
+    vs a deterministically mutated copy (every 11th key dropped, every
+    7th repriced, every 13th re-keyed as new) — added/removed/changed
+    rows with per-column change lists from ONE full-outer equi-join.
+    The CDC primitive for auditing dataset releases."""
+    from pybabe_spark.operators.merge import table_diff
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10000000
+        )
+    )
+    return table_diff(o, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
