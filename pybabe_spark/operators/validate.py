@@ -1,0 +1,211 @@
+"""Data-quality expectations: declarative rules → violation counts and
+row-level quarantine.
+
+Beyond-reference capability (the reference's only gate is
+``ignore_bad_lines`` at parse time, pybabe/format_csv.py — this is the
+post-ingest contract layer every production pipeline adds: "keys are
+unique, prices are in range, statuses are from the enum, every order
+has a customer").
+
+Rule specs are plain tuples so they serialize/log cleanly:
+
+- ``("not_null", col)``
+- ``("unique", [cols…])`` — violations = surplus rows (Σ per-group
+  count−1 over groups larger than 1; NULL keys group like values)
+- ``("range", col, lo, hi)`` — inclusive; NULL passes (pair with
+  not_null to reject NULLs)
+- ``("regexp", col, pattern)`` — full-match NOT required (Java
+  ``rlike`` / RE2 ``regexp_matches`` find semantics); NULL passes
+- ``("in_set", col, [values…])`` — NULL passes
+- ``("fk", col, ref_df, ref_col)`` — NULL passes; violations = rows
+  whose value has no match in the reference column
+
+Scale shape: ALL row-level rules fold into ONE conditional aggregation
+over a single scan (adding a rule adds a counter, not a pass);
+``unique`` adds one keyed aggregation; each ``fk`` adds one left join
+(broadcast when the reference is small). ``validate`` returns the
+summary as a DataFrame — compose it, don't collect it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROW_RULES = ("not_null", "range", "regexp", "in_set")
+
+
+def _row_violation(df: DataFrame, rule: tuple) -> "F.Column":
+    kind = rule[0]
+    col = F.col(rule[1])
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "range":
+        _, _, lo, hi = rule
+        return col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi)))
+    if kind == "regexp":
+        return col.isNotNull() & ~col.rlike(rule[2])
+    if kind == "in_set":
+        return col.isNotNull() & ~col.isin(*rule[2])
+    raise ValueError(f"validate: unknown row rule {kind!r}")
+
+
+def _label(rule: tuple) -> tuple[str, str]:
+    kind = rule[0]
+    col = ",".join(rule[1]) if isinstance(rule[1], (list, tuple)) else rule[1]
+    return kind, col
+
+
+def validate(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+    """Violation summary: one row per rule —
+    ``(rule, col_name, violations)`` (module docstring for rule specs
+    and NULL policy)."""
+    if not rules:
+        raise ValueError("validate: no rules given")
+    parts: list[DataFrame] = []
+    row_rules = [r for r in rules if r[0] in _ROW_RULES]
+    if row_rules:
+        aggs = [
+            F.sum(
+                F.when(_row_violation(df, r), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v{i}")
+            for i, r in enumerate(row_rules)
+        ]
+        one = df.agg(*aggs)
+        stack = ", ".join(
+            "'{0}', '{1}', coalesce(__v{2}, 0)".format(*_label(r), i)
+            for i, r in enumerate(row_rules)
+        )
+        parts.append(
+            one.selectExpr(
+                f"stack({len(row_rules)}, {stack}) AS "
+                "(rule, col_name, violations)"
+            )
+        )
+    for r in rules:
+        if r[0] == "unique":
+            keys = list(r[1]) if isinstance(r[1], (list, tuple)) else [r[1]]
+            grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+            kind, col = _label(("unique", keys))
+            parts.append(
+                grouped.agg(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__c") > 1, F.col("__c") - 1)
+                        ),
+                        F.lit(0),
+                    ).alias("violations")
+                ).select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("col_name"),
+                    F.col("violations"),
+                )
+            )
+        elif r[0] == "fk":
+            _, col, ref_df, ref_col = r
+            misses = (
+                df.filter(F.col(col).isNotNull())
+                .join(
+                    ref_df.select(F.col(ref_col).alias(col)).distinct(),
+                    col,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            parts.append(
+                misses.select(
+                    F.lit("fk").alias("rule"),
+                    F.lit(col).alias("col_name"),
+                    F.col("violations"),
+                )
+            )
+        elif r[0] not in _ROW_RULES:
+            raise ValueError(f"validate: unknown rule {r[0]!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def quarantine(
+    df: DataFrame, rules: Sequence[tuple], out_col: str = "violations"
+) -> DataFrame:
+    """Row-level tagging for the ROW rules only (not_null / range /
+    regexp / in_set — dataset-level rules have no per-row meaning):
+    adds ``out_col`` = comma-joined failed-rule labels, '' for clean
+    rows. Split with ``.filter(col == '')`` / ``!= ''`` — one scan,
+    pure codegen, no shuffle."""
+    row_rules = [r for r in rules if r[0] in _ROW_RULES]
+    if not row_rules:
+        raise ValueError("quarantine: no row-level rules given")
+    tags = [
+        F.when(
+            _row_violation(df, r),
+            F.lit("{0}:{1}".format(*_label(r))),
+        )
+        for r in row_rules
+    ]
+    return df.withColumn(
+        out_col,
+        F.concat_ws(",", F.filter(F.array(*tags), lambda x: x.isNotNull())),
+    )
+
+
+def _sql_quote(v: Any) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def validate_sql(table: str, rules: Sequence[tuple]) -> str:
+    """DuckDB oracle of :func:`validate` — same rules, same NULL
+    policy; ``fk`` refs are table names here."""
+    selects = []
+    for r in rules:
+        kind = r[0]
+        if kind in _ROW_RULES:
+            col = r[1]
+            if kind == "not_null":
+                cond = f"{col} IS NULL"
+            elif kind == "range":
+                cond = (
+                    f"{col} IS NOT NULL AND ({col} < {_sql_quote(r[2])}"
+                    f" OR {col} > {_sql_quote(r[3])})"
+                )
+            elif kind == "regexp":
+                cond = (
+                    f"{col} IS NOT NULL AND NOT regexp_matches"
+                    f"({col}, {_sql_quote(r[2])})"
+                )
+            else:  # in_set
+                vals = ", ".join(_sql_quote(v) for v in r[2])
+                cond = f"{col} IS NOT NULL AND {col} NOT IN ({vals})"
+            label_kind, label_col = _label(r)
+            selects.append(
+                f"SELECT '{label_kind}' AS rule, '{label_col}' AS col_name,"
+                f" CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+                f" AS BIGINT) AS violations FROM {table}"
+            )
+        elif kind == "unique":
+            keys = list(r[1]) if isinstance(r[1], (list, tuple)) else [r[1]]
+            _, label_col = _label(("unique", keys))
+            klist = ", ".join(keys)
+            selects.append(
+                f"SELECT 'unique' AS rule, '{label_col}' AS col_name,"
+                " CAST(COALESCE(SUM(CASE WHEN __c > 1 THEN __c - 1 END), 0)"
+                " AS BIGINT) AS violations FROM ("
+                f"SELECT COUNT(*) AS __c FROM {table} GROUP BY {klist})"
+            )
+        elif kind == "fk":
+            _, col, ref_table, ref_col = r
+            selects.append(
+                f"SELECT 'fk' AS rule, '{col}' AS col_name,"
+                " CAST(COUNT(*) AS BIGINT) AS violations"
+                f" FROM {table} t WHERE t.{col} IS NOT NULL AND NOT EXISTS"
+                f" (SELECT 1 FROM {ref_table} r WHERE r.{ref_col} = t.{col})"
+            )
+        else:
+            raise ValueError(f"validate_sql: unknown rule {kind!r}")
+    return " UNION ALL ".join(selects)

@@ -417,6 +417,16 @@ class Babe:
 
         return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
 
+    def validate(self, rules) -> "Babe":
+        from pybabe_spark.operators.validate import validate
+
+        return self._wrap(validate(self.df, rules))
+
+    def quarantine(self, rules, out_col="violations") -> "Babe":
+        from pybabe_spark.operators.validate import quarantine
+
+        return self._wrap(quarantine(self.df, rules, out_col))
+
     def table_diff(self, other, keys, compare_cols=None) -> "Babe":
         from pybabe_spark.operators.merge import table_diff
 

@@ -993,3 +993,43 @@ def q_table_diff(spark, sf_dir):
         )
     )
     return table_diff(o, b, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
+def _validate_sql():
+    from pybabe_spark.operators.validate import validate_sql
+
+    return validate_sql(
+        "orders",
+        [
+            ("not_null", "o_custkey"),
+            ("unique", ["o_orderkey"]),
+            ("range", "o_totalprice", 0, 250000),
+            ("in_set", "o_orderstatus", ["O", "F"]),
+            ("regexp", "o_orderpriority", "^[0-9]-"),
+            ("fk", "o_custkey", "customer", "c_custkey"),
+        ],
+    )
+
+
+@register("validate_orders", _validate_sql())
+def q_validate(spark, sf_dir):
+    """Declarative data-quality gate (operators/validate.py): six
+    expectations over orders — null/unique/range/enum/regexp/FK — in
+    one conditional-aggregation scan plus one keyed agg (unique) and
+    one anti-join (FK). Range and enum rules are deliberately tight so
+    the key certifies NON-ZERO violation counts, not just zeros."""
+    from pybabe_spark.operators.validate import validate
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", ["o_orderkey"]),
+            ("range", "o_totalprice", 0, 250000),
+            ("in_set", "o_orderstatus", ["O", "F"]),
+            ("regexp", "o_orderpriority", "^[0-9]-"),
+            ("fk", "o_custkey", cust, "c_custkey"),
+        ],
+    )
