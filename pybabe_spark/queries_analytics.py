@@ -1033,3 +1033,60 @@ def q_validate(spark, sf_dir):
             ("fk", "o_custkey", cust, "c_custkey"),
         ],
     )
+
+
+_ROLLUP_CACHE: dict = {}
+_ROLLUP_MEASURES = {"o_totalprice": "sum", "o_custkey": "count"}
+_ROLLUP_DIMS = ["o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "rollup_orders_incremental",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS o_totalprice_sum,
+           COUNT(o_custkey) AS o_custkey_count
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental materialized rollup (operators/rollup.py): built
+    from even order keys, the odd half folded in by rollup_append —
+    batch-aggregate ∪ stored partials, re-merge, atomic swap. The
+    oracle is the FULL-table GROUP BY: append must equal rebuild
+    value-for-value (decimal-exact sums, so append order cannot
+    produce an IEEE drift)."""
+    import os
+
+    from pybabe_spark.operators.rollup import (
+        rollup_append,
+        rollup_build,
+        rollup_read,
+    )
+
+    path = _ROLLUP_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pybabe_rollup_")
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "rollup")
+        orders = read_table(spark, sf_dir, "orders")
+        rollup_build(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            _ROLLUP_DIMS,
+            _ROLLUP_MEASURES,
+            path,
+        )
+        rollup_append(
+            orders.filter(F.col("o_orderkey") % 2 != 0),
+            path,
+            _ROLLUP_DIMS,
+            _ROLLUP_MEASURES,
+        )
+        _ROLLUP_CACHE[sf_dir] = path
+    return rollup_read(spark, path, _ROLLUP_MEASURES)
