@@ -276,3 +276,110 @@ def funnel_sql(
         "       END AS conversion\n"
         "FROM u"
     )
+
+
+def sequence_count(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    contiguous: bool = False,
+) -> DataFrame:
+    """Per-key count of NON-OVERLAPPING occurrences of an ordered event
+    sequence — the MATCH_RECOGNIZE-lite every product funnel eventually
+    outgrows (funnel counts users per step; this counts repetitions of
+    the whole pattern per user).
+
+    ``contiguous=False``: events not named in ``steps`` are ignored —
+    "view, then eventually click, then eventually purchase". With
+    ``contiguous=True`` every event matters — the steps must be
+    back-to-back in the user's full stream.
+
+    Engine-portable by construction: each step maps to one letter, the
+    user's stream collapses to a time-ordered letter string (one
+    shuffle: groupBy + sorted collect_list), and occurrences are
+    counted by LITERAL replace arithmetic —
+    ``(len(s) − len(replace(s, pat, ''))) / len(pat)`` — leftmost
+    non-overlapping semantics identical in Spark and DuckDB, no regex
+    dialect in play. Keys with zero matches are omitted.
+
+    Per-key memory is that key's event count (same bound as any
+    sessionization); ties on ``ts`` order by the letter for
+    determinism.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("sequence_count: empty steps")
+    if len(steps) > 26:
+        raise ValueError("sequence_count: at most 26 steps")
+    letters = {s: chr(ord("A") + i) for i, s in enumerate(steps)}
+    ch = None
+    for s, letter in letters.items():
+        cond = F.when(F.col(type_col) == s, F.lit(letter))
+        ch = cond if ch is None else ch.when(F.col(type_col) == s, F.lit(letter))
+    ch = ch.otherwise(F.lit("z"))
+    df = events.withColumn("__ch", ch)
+    if not contiguous:
+        df = df.filter(F.col("__ch") != "z")
+    pat = "".join(letters[s] for s in steps)
+    seq = df.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(ts_col), F.col("__ch")))
+                ),
+                lambda s: s["__ch"],
+            ),
+            "",
+        ).alias("__s")
+    )
+    n = (
+        (
+            F.length("__s")
+            - F.length(F.replace(F.col("__s"), F.lit(pat), F.lit("")))
+        )
+        / F.lit(len(pat))
+    ).cast("bigint")
+    return (
+        seq.withColumn("n_matches", n)
+        .filter(F.col("n_matches") > 0)
+        .select(user_col, "n_matches")
+    )
+
+
+def sequence_count_sql(
+    table: str,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    contiguous: bool = False,
+) -> str:
+    """DuckDB oracle of :func:`sequence_count` — same letter mapping,
+    same ordered string_agg, same replace arithmetic."""
+    steps = list(steps)
+    letters = {s: chr(ord("A") + i) for i, s in enumerate(steps)}
+    cases = " ".join(
+        f"WHEN {type_col} = '{s}' THEN '{letter}'"
+        for s, letter in letters.items()
+    )
+    pat = "".join(letters[s] for s in steps)
+    where = "" if contiguous else "WHERE __ch <> 'z'"
+    return f"""
+    WITH mapped AS (
+        SELECT {user_col}, {ts_col},
+               CASE {cases} ELSE 'z' END AS __ch
+        FROM {table}
+    ), seqs AS (
+        SELECT {user_col},
+               string_agg(__ch, '' ORDER BY {ts_col}, __ch) AS s
+        FROM mapped {where}
+        GROUP BY {user_col}
+    )
+    SELECT {user_col},
+           CAST((length(s) - length(replace(s, '{pat}', '')))
+                / {len(pat)} AS BIGINT) AS n_matches
+    FROM seqs
+    WHERE length(s) - length(replace(s, '{pat}', '')) > 0
+    """

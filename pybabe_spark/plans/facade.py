@@ -344,6 +344,11 @@ class Babe:
         build = other.df if isinstance(other, Babe) else other
         return self._wrap(ops.join(self.df, build, key, join_key, **kwargs))
 
+    def sequence_count(self, steps, **kwargs) -> "Babe":
+        from pybabe_spark.operators.group import sequence_count
+
+        return self._wrap(sequence_count(self.df, steps, **kwargs))
+
     def funnel(self, steps, **kwargs) -> "Babe":
         from pybabe_spark.operators.group import funnel
 

@@ -1090,3 +1090,22 @@ def q_rollup_incremental(spark, sf_dir):
         )
         _ROLLUP_CACHE[sf_dir] = path
     return rollup_read(spark, path, _ROLLUP_MEASURES)
+
+
+def _seq_sql():
+    from pybabe_spark.operators.group import sequence_count_sql
+
+    return sequence_count_sql("events", ["view", "click", "purchase"])
+
+
+@register("sequence_count_events", _seq_sql())
+def q_sequence_count(spark, sf_dir):
+    """Ordered-sequence repetition count per user, view→click→purchase
+    ignoring other events (operators/group.py::sequence_count): letter
+    mapping + one sorted collect_list shuffle + literal-replace
+    counting — MATCH_RECOGNIZE-lite with no regex dialect risk; the
+    oracle replays the identical string arithmetic."""
+    from pybabe_spark.operators.group import sequence_count
+
+    ev = read_table(spark, sf_dir, "events")
+    return sequence_count(ev, ["view", "click", "purchase"])

@@ -894,3 +894,44 @@ print("FP:" + _plan_fingerprint(
     assert proc.returncode == 0, proc.stderr[-1500:]
     there = [l for l in proc.stdout.splitlines() if l.startswith("FP:")][0][3:]
     assert there == here
+
+
+def test_sequence_count_hand_checked(spark):
+    """Non-overlapping leftmost counting, contiguous vs not, tie order."""
+    from pybabe_spark.operators.group import sequence_count
+
+    rows = []
+    # user 1: V C P V C P  -> 2 matches (non-contig), with noise events
+    seq1 = ["view", "error", "click", "purchase", "view", "click",
+            "signup", "purchase"]
+    rows += [(1, i, e) for i, e in enumerate(seq1)]
+    # user 2: V V C P -> 1 (leftmost non-overlap)
+    rows += [(2, i, e) for i, e in enumerate(
+        ["view", "view", "click", "purchase"])]
+    # user 3: P C V -> 0 (wrong order, dropped from output)
+    rows += [(3, i, e) for i, e in enumerate(["purchase", "click", "view"])]
+    df = spark.createDataFrame(
+        rows, "user_id int, sec int, event_type string"
+    ).selectExpr("user_id", "timestamp_seconds(sec) as ts", "event_type")
+
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+    # contiguous: user 1 has noise between steps -> only the 2nd run
+    # (view,click at 4,5 is broken by signup) -> 0 matches; build a
+    # clean contiguous user
+    rows4 = [(4, i, e) for i, e in enumerate(
+        ["view", "click", "purchase", "error", "view", "click", "purchase"])]
+    df4 = spark.createDataFrame(
+        rows + rows4, "user_id int, sec int, event_type string"
+    ).selectExpr("user_id", "timestamp_seconds(sec) as ts", "event_type")
+    got_c = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(
+            df4, ["view", "click", "purchase"], contiguous=True
+        ).collect()
+    }
+    assert got_c == {2: 1, 4: 2}
