@@ -1,0 +1,168 @@
+"""Per-key z-score anomaly detection over value series.
+
+Beyond-reference capability: the monitoring layer on top of the
+engine's time-series family (sessionize / gap_fill / window_map) —
+"which readings sit more than t standard deviations from their key's
+level" — as pure declarative plans.
+
+Cross-engine determinism: the mean/variance inputs are EXACT decimal
+sums (the engine's house convention — associative, order-independent),
+cast to double once; the per-row decision is then a fixed-shape scalar
+IEEE-754 expression, identical bit-for-bit on any engine that
+evaluates binary64 without reassociation (Spark and DuckDB both do).
+The test is kept in squared form — ``(n·x − s)² > t²·(n·q − s²)·1``
+divided through by n² as doubles — so no sqrt enters the comparison.
+
+Modes:
+
+- ``global``: one aggregation per key (mean/std over the key's whole
+  series), one key-partitioned join back. Two shuffles on the key.
+- ``rolling``: trailing ``window``-row statistics per key via a
+  key-partitioned window over the SAME decimal sums — the plan shape
+  of window_map's partitioned twin; rows before a full window are not
+  flagged (std undefined on a part-filled frame is a judgement call —
+  this one is documented and mirrored by the oracle).
+
+Both modes emit only the anomalous rows: (key, ts, value, mean, std)
+with mean/std decimal-rounded to 6 dp for cross-engine display
+stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _round6(c):
+    return F.round(c, 6)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    mode: str = "global",
+    window: int = 20,
+) -> DataFrame:
+    """Rows where ``|value − mean| > threshold · std`` against the
+    key's statistics (module docstring). ``std`` is the population
+    standard deviation; keys/frames with zero variance flag nothing
+    (a constant series has no outliers, even at value jumps from
+    NULLs). NULL values are ignored in the statistics and never
+    flagged."""
+    if mode not in ("global", "rolling"):
+        raise ValueError(f"zscore_anomalies: unknown mode {mode!r}")
+    v = F.col(value_col)
+    vd = v.cast("decimal(18,6)")
+    vq = (vd * vd).cast("decimal(38,12)")  # exact: scale 12 ≥ 6+6
+
+    if mode == "global":
+        stats = df.filter(v.isNotNull()).groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(vd).cast("double").alias("__s"),
+            F.sum(vq).cast("double").alias("__q"),
+        )
+        j = df.join(stats, key_col)
+    else:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col).asc())
+            .rowsBetween(-(window - 1), 0)
+        )
+        j = (
+            df.withColumn(
+                "__n",
+                F.count(F.when(v.isNotNull(), F.lit(1))).over(w),
+            )
+            .withColumn("__s", F.sum(vd).over(w).cast("double"))
+            .withColumn("__q", F.sum(vq).over(w).cast("double"))
+        )
+        # only full frames: n counts non-null values in the last
+        # `window` ROWS; require the frame itself to be full
+        j = j.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+            ),
+        ).filter(F.col("__rn") >= window)
+
+    n = F.col("__n").cast("double")
+    s = F.col("__s")
+    q = F.col("__q")
+    x = v.cast("double")
+    lhs = (n * x - s) * (n * x - s)
+    rhs = (threshold * threshold) * (n * q - s * s)
+    var_pos = (n * q - s * s) > 0.0
+    cond = v.isNotNull() & var_pos & (lhs > rhs) & (F.col("__n") >= 2)
+    out = j.filter(cond).select(
+        key_col,
+        ts_col,
+        v.alias(value_col),
+        _round6(s / n).alias("mean"),
+        _round6(F.sqrt((n * q - s * s)) / n).alias("std"),
+    )
+    return out
+
+
+def zscore_anomalies_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    mode: str = "global",
+    window: int = 20,
+) -> str:
+    """DuckDB oracle — identical decimal sums and scalar double
+    expression shapes."""
+    t2 = repr(float(threshold) * float(threshold))
+    vd = f"CAST({value_col} AS DECIMAL(18,6))"
+    vq = f"CAST({vd} * {vd} AS DECIMAL(38,12))"
+    if mode == "global":
+        base = f"""
+        WITH stats AS (
+            SELECT {key_col},
+                   COUNT(*) AS __n,
+                   CAST(SUM({vd}) AS DOUBLE) AS __s,
+                   CAST(SUM({vq}) AS DOUBLE) AS __q
+            FROM {table} WHERE {value_col} IS NOT NULL
+            GROUP BY {key_col}
+        ), j AS (
+            SELECT t.*, s.__n, s.__s, s.__q
+            FROM {table} t JOIN stats s USING ({key_col})
+        )
+        """
+    else:
+        base = f"""
+        WITH win AS (
+            SELECT *,
+                   COUNT(CASE WHEN {value_col} IS NOT NULL THEN 1 END)
+                       OVER w AS __n,
+                   CAST(SUM({vd}) OVER w AS DOUBLE) AS __s,
+                   CAST(SUM({vq}) OVER w AS DOUBLE) AS __q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col} ORDER BY {ts_col}
+                   ) AS __rn
+            FROM {table}
+            WINDOW w AS (
+                PARTITION BY {key_col} ORDER BY {ts_col}
+                ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW
+            )
+        ), j AS (SELECT * FROM win WHERE __rn >= {int(window)})
+        """
+    return base + f"""
+    SELECT {key_col}, {ts_col}, {value_col},
+           ROUND(__s / CAST(__n AS DOUBLE), 6) AS mean,
+           ROUND(sqrt(CAST(__n AS DOUBLE) * __q - __s * __s)
+                 / CAST(__n AS DOUBLE), 6) AS std
+    FROM j
+    WHERE {value_col} IS NOT NULL
+      AND (CAST(__n AS DOUBLE) * __q - __s * __s) > 0.0
+      AND __n >= 2
+      AND (CAST(__n AS DOUBLE) * {value_col} - __s)
+          * (CAST(__n AS DOUBLE) * {value_col} - __s)
+          > {t2} * (CAST(__n AS DOUBLE) * __q - __s * __s)
+    """

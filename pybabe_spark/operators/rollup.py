@@ -102,7 +102,11 @@ def rollup_append(
     """Fold a new raw batch into the stored rollup: one aggregation of
     the batch, one merge with the stored partials, one swap. Exact:
     the result equals :func:`rollup_build` over (all batches) — the
-    partials are decomposable and sums are decimal."""
+    partials are decomposable and sums are decimal.
+
+    Classic (JVM-attached) sessions only, like ``compact_files``: the
+    atomic swap needs the Hadoop FS handle (Connect sessions can
+    rebuild with :func:`rollup_build` instead)."""
     _check(measures)
     spark = batch.sparkSession
     old = spark.read.parquet(path)

@@ -438,6 +438,13 @@ class Babe:
         right = other.df if isinstance(other, Babe) else other
         return self._wrap(table_diff(self.df, right, keys, compare_cols))
 
+    def zscore_anomalies(self, key_col, value_col, ts_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.anomaly import zscore_anomalies
+
+        return self._wrap(
+            zscore_anomalies(self.df, key_col, value_col, ts_col, **kwargs)
+        )
+
     def retention_cohorts(self, key_col, ts_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import retention_cohorts
 

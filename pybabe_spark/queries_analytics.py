@@ -1109,3 +1109,31 @@ def q_sequence_count(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return sequence_count(ev, ["view", "click", "purchase"])
+
+
+def _anomaly_sql():
+    from pybabe_spark.operators.anomaly import zscore_anomalies_sql
+
+    return zscore_anomalies_sql(
+        "events", "user_id", "value", "ts", threshold=1.5, mode="global"
+    )
+
+
+@register("zscore_anomalies_events", _anomaly_sql())
+def q_zscore_anomalies(spark, sf_dir):
+    """Per-user z-score outliers in the event values
+    (operators/anomaly.py::zscore_anomalies, global mode): exact
+    decimal sums feed a fixed-shape squared-form IEEE comparison —
+    no sqrt in the decision, bit-identical across engines. Two
+    key-partitioned shuffles (stats agg + join back)."""
+    from pybabe_spark.operators.anomaly import zscore_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    return zscore_anomalies(
+        ev.select("user_id", "ts", "value"),
+        "user_id",
+        "value",
+        "ts",
+        threshold=1.5,
+        mode="global",
+    )

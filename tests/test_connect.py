@@ -31,13 +31,15 @@ _HAS_CONNECT_DEPS = importlib.util.find_spec("grpc") is not None
 
 #: functions allowed to touch the classic-only surface:
 #: - plans/introspect.py IS the degradation layer (every probe wrapped);
-#: - sources/io.py::compact_files is a storage-maintenance tool needing
-#:   the Hadoop FS JVM handle, documented classic-only.
+#: - sources/io.py::compact_files and operators/rollup.py::rollup_append
+#:   are storage-maintenance tools needing the Hadoop FS JVM handle for
+#:   the atomic rename swap, documented classic-only.
 _ALLOWED = {
     ("plans/introspect.py", "plan_size_bytes"),
     ("plans/introspect.py", "num_partitions"),
     ("plans/introspect.py", "default_parallelism"),
     ("sources/io.py", "compact_files"),
+    ("operators/rollup.py", "rollup_append"),
 }
 
 
