@@ -265,3 +265,92 @@ def cms_estimate_sql(
     FROM probes p JOIN cells c USING (d, pos)
     GROUP BY p.{key}
     """
+
+
+# ---------------------------------------------------------------------------
+# Quantiles: exact (bounded groups) + sketch (corpus scale)
+# ---------------------------------------------------------------------------
+
+def quantiles(
+    df: DataFrame,
+    col: str,
+    probs: "list[float]",
+    by: str | None = None,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles — one row per (group,
+    prob): ``(group?, prob, value)``. All probs compute in ONE
+    aggregation pass (n_probs counters, not n_probs scans).
+
+    Exact percentile buffers each group's values in the aggregation
+    state: right for bounded groups (dashboards over dimension keys),
+    wrong for a 100 TB ungrouped column — use :func:`quantiles_approx`
+    there (mergeable KLL-style sketch, fixed memory). Outputs round to
+    6 dp: interpolated values of ≤2 dp data at 1–2 dp prob fractions
+    are ≤6 dp decimals, so the rounding is exact and cross-engine
+    stable (queries.py decimal conventions).
+    """
+    if not probs:
+        raise ValueError("quantiles: empty probs")
+    aggs = [
+        F.round(F.percentile(F.col(col), F.lit(p)), 6).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    keys = [by] if by else []
+    one = df.groupBy(*keys).agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p} AS DOUBLE), __q{i}" for i, p in enumerate(probs)
+    )
+    return one.selectExpr(
+        *keys, f"stack({len(probs)}, {stack}) AS (prob, value)"
+    )
+
+
+def quantiles_approx(
+    df: DataFrame,
+    col: str,
+    probs: "list[float]",
+    by: str | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch twin of :func:`quantiles`: ``approx_percentile`` —
+    mergeable, fixed memory ∝ accuracy, rank error ≤ 1/accuracy. Same
+    output shape; no value oracle (estimates are engine-specific), the
+    registry certifies it through the exact twin's bracketing."""
+    if not probs:
+        raise ValueError("quantiles_approx: empty probs")
+    aggs = [
+        F.approx_percentile(
+            F.col(col), F.lit(p), F.lit(accuracy)
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    keys = [by] if by else []
+    one = df.groupBy(*keys).agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p} AS DOUBLE), CAST(__q{i} AS DOUBLE)"
+        for i, p in enumerate(probs)
+    )
+    return one.selectExpr(
+        *keys, f"stack({len(probs)}, {stack}) AS (prob, value)"
+    )
+
+
+def quantiles_sql(
+    table: str,
+    col: str,
+    probs: "list[float]",
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`quantiles` (quantile_cont = the same
+    p·(n−1) linear interpolation; 6 dp rounding absorbs formula-shape
+    double noise — see quantiles docstring for why that rounding is
+    exact here)."""
+    keys = f"{by}, " if by else ""
+    group = f"GROUP BY {by}" if by else ""
+    selects = [
+        f"SELECT {keys}CAST({p} AS DOUBLE) AS prob,"
+        f" ROUND(quantile_cont({col}, {p}), 6) AS value"
+        f" FROM {table} {group}"
+        for p in probs
+    ]
+    return " UNION ALL ".join(selects)

@@ -242,6 +242,12 @@ class Babe:
 
         return self._wrap(pagerank(self.df, iters, damping, **kwargs))
 
+    def quantiles(self, column, probs, by=None, approx=False, **kw) -> "Babe":
+        from pybabe_spark.operators.sketch import quantiles, quantiles_approx
+
+        fn = quantiles_approx if approx else quantiles
+        return self._wrap(fn(self.df, column, probs, by, **kw))
+
     def histogram(self, column, bins=10) -> "Babe":
         from pybabe_spark.operators.sketch import histogram
 

@@ -1137,3 +1137,28 @@ def q_zscore_anomalies(spark, sf_dir):
         threshold=1.5,
         mode="global",
     )
+
+
+def _quantiles_sql():
+    from pybabe_spark.operators.sketch import quantiles_sql
+
+    return quantiles_sql(
+        "orders", "o_totalprice", [0.25, 0.5, 0.75, 0.9], by="o_orderstatus"
+    )
+
+
+@register("quantiles_orders_by_status", _quantiles_sql())
+def q_quantiles(spark, sf_dir):
+    """Exact per-status price quantiles
+    (operators/sketch.py::quantiles): all probs in one aggregation
+    pass; 6 dp rounding is exact for 2 dp data at these prob
+    fractions, so the oracle (quantile_cont) matches value-for-value.
+    The 100 TB path is the mergeable quantiles_approx twin — exact
+    percentile buffers per-group values and is for bounded groups
+    like these three statuses."""
+    from pybabe_spark.operators.sketch import quantiles
+
+    orders = read_table(spark, sf_dir, "orders")
+    return quantiles(
+        orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9], by="o_orderstatus"
+    )

@@ -74,3 +74,40 @@ def test_type_guard(spark):
     df = spark.createDataFrame([(1.5,)], "k double")
     with pytest.raises(TypeError, match="integral or string"):
         cms_build(df, "k")
+
+
+def test_quantiles_exact_matches_python(spark):
+    from pybabe_spark.operators.sketch import quantiles
+
+    vals = [float(v) for v in [1, 3, 5, 7, 100, 2, 4, 6, 8, 50]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["prob"]: r["value"] for r in quantiles(df, "v", [0.5, 0.9]).collect()}
+
+    def pq(p):
+        s = sorted(vals)
+        rank = p * (len(s) - 1)
+        lo, hi = int(rank), min(int(rank) + 1, len(s) - 1)
+        return round(s[lo] + (s[hi] - s[lo]) * (rank - lo), 6)
+
+    assert got == {0.5: pq(0.5), 0.9: pq(0.9)}
+
+
+def test_quantiles_grouped_and_approx_brackets(spark):
+    from pybabe_spark.operators.sketch import quantiles, quantiles_approx
+
+    rows = [("a", float(i)) for i in range(101)] + [
+        ("b", float(1000 + i)) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {
+        (r["g"], r["prob"]): r["value"]
+        for r in quantiles(df, "v", [0.5], by="g").collect()
+    }
+    assert exact == {("a", 0.5): 50.0, ("b", 0.5): 1005.0}
+    approx = {
+        (r["g"], r["prob"]): r["value"]
+        for r in quantiles_approx(df, "v", [0.5], by="g").collect()
+    }
+    # rank error <= 1/accuracy: on 101 values the estimate is the median
+    for k, v in approx.items():
+        assert abs(v - exact[k]) <= 1.0
