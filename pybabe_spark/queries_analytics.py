@@ -1162,3 +1162,47 @@ def q_quantiles(spark, sf_dir):
     return quantiles(
         orders, "o_totalprice", [0.25, 0.5, 0.75, 0.9], by="o_orderstatus"
     )
+
+
+@register(
+    "entity_resolution_customers",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      FROM customer a JOIN customer b
+        ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    sym AS (SELECT id1 AS u, id2 AS v FROM edges
+            UNION SELECT id2 AS u, id1 AS v FROM edges),
+    reach(src, node) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u
+    ),
+    comp AS (SELECT src AS id, MIN(node) AS component FROM reach GROUP BY src),
+    assigned AS (
+      SELECT c.c_custkey AS id, COALESCE(m.component, c.c_custkey) AS component
+      FROM customer c LEFT JOIN comp m ON c.c_custkey = m.id
+    ),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size
+              FROM assigned GROUP BY component)
+    SELECT id, component, cluster_size
+    FROM assigned JOIN sizes USING (component)
+    """,
+)
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end record linkage: SymSpell-blocked fuzzy name pairs
+    (edit distance ≤ 1) closed under transitive connectivity into
+    entity clusters, singletons kept (operators/fuzzy.fuzzy_pairs →
+    operators/graph.dup_clusters). Composition certificate: the
+    blocking, the confirm, AND the CC fixpoint must all agree with the
+    oracle's all-pairs + recursive-CTE definition on real keys."""
+    from pybabe_spark.operators.fuzzy import fuzzy_pairs
+    from pybabe_spark.operators.graph import dup_clusters
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    return dup_clusters(
+        cust, pairs, id_col="c_custkey", src="id1", dst="id2"
+    )
