@@ -370,6 +370,67 @@ def stress(factors: list[int]) -> None:
             )
             pagerank(edges, iters=3).count()
 
+        def _carved_events():
+            # synthetic event log carved from the inflated corpus:
+            # users ∝ factor (per-key series length stays flat, the
+            # realistic growth mode), fixed 30-day span
+            return docs.select(
+                (F.col("doc_id") % F.lit(150 * factor)).alias("user_id"),
+                F.timestamp_seconds(
+                    (F.col("doc_id") * 37 % 2592000).cast("long")
+                ).alias("ts"),
+                F.col("doc_id").alias("event_id"),
+                (F.col("doc_id") % 100).cast("double").alias("value"),
+                F.col("source").alias("attr"),
+            )
+
+        def _entity_resolution():
+            # names ∝ corpus; digit-edit candidate graph grows linearly,
+            # CC diameter stays flat — the r7 composition at scale
+            from pybabe_spark.operators.fuzzy import fuzzy_pairs
+
+            named = docs.select(
+                F.col("doc_id"),
+                F.concat(
+                    F.lit("Name#"),
+                    F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+                ).alias("name"),
+            )
+            pairs = fuzzy_pairs(named, "doc_id", "name", max_dist=1)
+            dup_clusters(
+                named, pairs, id_col="doc_id", src="id1", dst="id2"
+            ).count()
+
+        def _scd2_upsert():
+            # changelog keys ∝ factor; append batch = newest third of
+            # ids — incremental cost must track the batch's keys
+            from pybabe_spark.operators.scd import (
+                scd2_from_changelog,
+                scd2_upsert,
+            )
+
+            log = docs.select(
+                (F.col("doc_id") % F.lit(150 * factor)).alias("k"),
+                F.col("doc_id").alias("ts"),
+                F.col("source").alias("attr"),
+            )
+            cut = log.agg(
+                (F.max("ts") * 2 / 3).cast("long").alias("c")
+            ).collect()[0]["c"]
+            hist = scd2_from_changelog(
+                log.filter(F.col("ts") < cut), "k", "ts", ["attr"]
+            )
+            scd2_upsert(
+                hist, log.filter(F.col("ts") >= cut), "k", "ts", ["attr"]
+            ).count()
+
+        def _retention():
+            from pybabe_spark.operators.timeseries import retention_cohorts
+
+            retention_cohorts(
+                _carved_events(), "user_id", "ts", 86400, 10
+            ).count()
+
         def _sessionize_gap_fill():
             # synthetic event log carved from the inflated corpus:
             # users ∝ factor (per-key series length stays flat, the
@@ -392,6 +453,9 @@ def stress(factors: list[int]) -> None:
             gap_fill(ev, 86400, "user_id", "ts", {"value": "sum"}).count()
 
         return {
+            "entity_resolution": _entity_resolution,
+            "scd2_upsert": _scd2_upsert,
+            "retention_cohorts": _retention,
             "sessionize_gap_fill": _sessionize_gap_fill,
             "bm25_index_build": _bm25_build,
             "bm25_stored_probe": _bm25_probe,

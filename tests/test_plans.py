@@ -455,3 +455,71 @@ def test_explain_fallback_sees_join_strategy(spark):
     txt = _explain_physical(cross)
     assert "== Physical Plan ==" in txt
     assert "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
+
+
+def test_html_extract_map_only(spark, sf_dir):
+    """Markup strip must stay a scan-fused codegen projection."""
+    plan = _plan(spark, "html_extract_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_url_domain_stats_single_exchange_no_python(spark, sf_dir):
+    """URL canonicalize + per-domain rollup: regexp work fuses into the
+    scan; the only exchanges serve the distinct-count aggregate."""
+    plan = _plan(spark, "url_domain_stats_docs", sf_dir)
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_validate_row_rules_single_scan(spark, sf_dir):
+    """All row rules fold into ONE aggregation over ONE orders scan;
+    unique adds a keyed agg, fk one more scan + join — so the orders
+    parquet appears at most 3 times, never once per rule (6 rules)."""
+    plan = _plan(spark, "validate_orders", sf_dir)
+    assert plan.count("orders.parquet") <= 3, plan
+    assert "Python" not in plan, plan
+
+
+def test_cms_build_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, "cms_counts_orders", sf_dir)
+    # map-side combine on the (d,pos) cells before the exchange
+    assert "partial_count" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """SCD2 collapse: windows + aggregation all ride ONE user_id
+    exchange (the sessionization plan shape)."""
+    plan = _plan(spark, "scd2_events_history", sf_dir)
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_table_diff_single_full_outer_join(spark, sf_dir):
+    plan = _plan(spark, "table_diff_orders", sf_dir)
+    assert "FullOuter" in plan, plan
+    assert plan.count("Join") <= 2, plan  # physical ops mention join once-ish
+    assert "Python" not in plan, plan
+
+
+def test_zscore_anomalies_no_python_no_global_window(spark, sf_dir):
+    plan = _plan(spark, "zscore_anomalies_events", sf_dir)
+    assert "Python" not in plan, plan
+    # global mode: stats agg + join back, no window at all
+    assert "Window" not in plan, plan
+
+
+def test_retention_single_corpus_distinct(spark, sf_dir):
+    """The only corpus-scale work is the (user, period) distinct; the
+    size window runs post-aggregation on cohort rows."""
+    plan = _plan(spark, "retention_cohorts_events", sf_dir)
+    assert "Python" not in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_sequence_count_one_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, "sequence_count_events", sf_dir)
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
