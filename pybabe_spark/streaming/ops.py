@@ -498,3 +498,54 @@ def stream_near_dedup_against_index(
         stream_df, _batch, checkpoint,
         output_mode="update", available_now=available_now,
     )
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    dims: list[str],
+    measures: dict,
+    available_now: bool = True,
+):
+    """Continuously-maintained materialized rollup: every arriving
+    micro-batch folds into the stored aggregate via
+    operators/rollup.py::rollup_append (batch agg ∪ stored partials →
+    re-merge → atomic swap). The streaming complement of the batch
+    rollup — dashboards read a dims-cardinality parquet that is always
+    a bounded swap behind the stream, and NO raw history is retained
+    or re-scanned.
+
+    foreachBatch deliberately (like stream_near_dedup_against_index):
+    the merge is a per-batch aggregate scoped by the micro-batch
+    boundary — no unbounded streaming state, no watermark. Batches are
+    sequential, so read-merge-swap is race-free. At-least-once note: a
+    REPLAYED batch double-counts into the rollup; exactly-once needs an
+    idempotent batch-id ledger — this op targets the additive-metrics
+    dashboards where the occasional replayed micro-batch is an
+    accepted trade (the standard foreachBatch contract).
+
+    The first batch creates the rollup (build), later batches append.
+    """
+    from pybabe_spark.operators.rollup import rollup_append, rollup_build
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Hadoop-FS existence check, not os.path: on s3a/hdfs a local
+        # isdir is always False and every batch would silently REBUILD,
+        # dropping prior state (this sink is classic-session-only via
+        # rollup_append's swap anyway)
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(rollup_path)
+        fs = hp.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(hp):
+            rollup_build(batch_df, dims, measures, rollup_path)
+        else:
+            rollup_append(batch_df, rollup_path, dims, measures)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

@@ -33,13 +33,16 @@ _HAS_CONNECT_DEPS = importlib.util.find_spec("grpc") is not None
 #: - plans/introspect.py IS the degradation layer (every probe wrapped);
 #: - sources/io.py::compact_files and operators/rollup.py::rollup_append
 #:   are storage-maintenance tools needing the Hadoop FS JVM handle for
-#:   the atomic rename swap, documented classic-only.
+#:   the atomic rename swap, documented classic-only;
+#: - streaming/ops.py::_batch is stream_rollup's foreachBatch body (FS
+#:   existence probe for the build-vs-append decision — same contract).
 _ALLOWED = {
     ("plans/introspect.py", "plan_size_bytes"),
     ("plans/introspect.py", "num_partitions"),
     ("plans/introspect.py", "default_parallelism"),
     ("sources/io.py", "compact_files"),
     ("operators/rollup.py", "rollup_append"),
+    ("streaming/ops.py", "_batch"),
 }
 
 

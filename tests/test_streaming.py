@@ -361,3 +361,55 @@ def test_streaming_upsert_sink(spark, tmp_path):
     # the two batches is lexicographic (b1 then b2) with ts tiebreak
     # inside a batch if they coalesce into one.
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_stream_rollup_matches_batch_build(spark, tmp_path):
+    """Three micro-batches folded through stream_rollup equal a single
+    batch rollup_build over the union — the mergeable-partials
+    contract carried into Structured Streaming."""
+    import os
+
+    from pybabe_spark.operators.rollup import rollup_build, rollup_read
+    from pybabe_spark.streaming.ops import stream_rollup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (f"g{i % 3}", float(i + 100 * b), i + 100 * b)
+            for i in range(40)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "d1 string, v double, x bigint"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    measures = {"v": "sum", "x": "max"}
+    stream = (
+        spark.readStream.schema("d1 string, v double, x bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_rollup(
+        stream,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+        ["d1"],
+        measures,
+    )
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    rollup_build(
+        spark.createDataFrame(all_rows, "d1 string, v double, x bigint"),
+        ["d1"],
+        measures,
+        full,
+    )
+    def rows_of(p):
+        df = rollup_read(spark, p, measures)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    assert rows_of(str(tmp_path / "rollup")) == rows_of(full)
