@@ -391,3 +391,132 @@ def curriculum_order(
         shards,
         "curriculum_order",
     ).drop(band)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows from every stratum (all rows when
+    a stratum is smaller) — the eval-set constructor
+    ``stratified_sample`` (rate-based, run-size ~n·p) cannot give.
+    Deterministic: rows are ranked inside each stratum by the seeded
+    md5 shuffle key (:func:`shuffle_key` — a property of the data, not
+    the run), ties impossible for distinct keys.
+
+    One shuffle on the stratum column; the per-stratum rank is a
+    key-partitioned window, and Spark's WindowGroupLimit pushes the
+    ``rank <= n`` cut below the full sort at scale. Skew bound: one
+    stratum's rows sort within one partition — same bound as any
+    per-group top-k.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("stratified_fixed_n: n_per_stratum must be >= 1")
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators._util import gen_col
+
+    rn = gen_col(df.columns, "__rn")
+    w = Window.partitionBy(strata).orderBy(
+        shuffle_key(key, seed).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_stratum)
+        .drop(rn)
+    )
+
+
+def stratified_fixed_n_sql(
+    table: str,
+    strata: str,
+    key: str,
+    n_per_stratum: int,
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle of :func:`stratified_fixed_n` (same md5 rank)."""
+    return f"""
+    SELECT {columns} FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {strata}
+            ORDER BY {shuffle_key_sql(key, seed)}, {key}
+        ) AS __rn
+        FROM {table}
+    ) WHERE __rn <= {int(n_per_stratum)}
+    """
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    by: str | None = None,
+) -> DataFrame:
+    """Clamp ``col`` into its [lower_p, upper_p] quantile range —
+    per group with ``by`` — the standard outlier-taming step before
+    statistics that squares or averages values. Adds ``{col}_w``.
+
+    The clamp bounds are the EXACT 6-dp-rounded quantiles
+    (operators/sketch.quantiles — exact for ≤2 dp data), attached by a
+    broadcastable group join (or a 1-row cross join ungrouped), so the
+    clamped column is cross-engine deterministic: every output value is
+    either the untouched input double or a shared 6-dp bound.
+    Exact quantiles buffer per-group values — bounded groups, like
+    ``quantiles`` itself; at corpus scale swap in approx bounds via
+    ``quantiles_approx`` and accept sketch-defined bounds.
+    """
+    if not 0.0 <= lower_p < upper_p <= 1.0:
+        raise ValueError("winsorize: need 0 <= lower_p < upper_p <= 1")
+    keys = [by] if by else []
+    bounds = df.groupBy(*keys).agg(
+        F.round(F.percentile(F.col(col), F.lit(lower_p)), 6).alias("__lo"),
+        F.round(F.percentile(F.col(col), F.lit(upper_p)), 6).alias("__hi"),
+    )
+    if by:
+        j = df.join(F.broadcast(bounds), by)
+    else:
+        from pybabe_spark.operators._util import attach_scalars
+
+        j = attach_scalars(df, bounds)
+    return j.withColumn(
+        f"{col}_w",
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")
+
+
+def winsorize_sql(
+    table: str,
+    col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    by: str | None = None,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle of :func:`winsorize`."""
+    if by:
+        return f"""
+        WITH b AS (
+            SELECT {by},
+                   ROUND(quantile_cont({col}, {lower_p}), 6) AS __lo,
+                   ROUND(quantile_cont({col}, {upper_p}), 6) AS __hi
+            FROM {table} GROUP BY {by}
+        )
+        SELECT {columns},
+               LEAST(GREATEST({col}, __lo), __hi) AS {col}_w
+        FROM {table} JOIN b USING ({by})
+        """
+    return f"""
+    WITH b AS (
+        SELECT ROUND(quantile_cont({col}, {lower_p}), 6) AS __lo,
+               ROUND(quantile_cont({col}, {upper_p}), 6) AS __hi
+        FROM {table}
+    )
+    SELECT {columns},
+           LEAST(GREATEST({col}, __lo), __hi) AS {col}_w
+    FROM {table} CROSS JOIN b
+    """

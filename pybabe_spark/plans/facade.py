@@ -157,6 +157,16 @@ class Babe:
 
         return self._wrap(hash_sample(self.df, key, fraction))
 
+    def stratified_fixed_n(self, strata, key, n, seed=0) -> "Babe":
+        from pybabe_spark.operators.sampling import stratified_fixed_n
+
+        return self._wrap(stratified_fixed_n(self.df, strata, key, n, seed))
+
+    def winsorize(self, column, lower_p=0.01, upper_p=0.99, by=None) -> "Babe":
+        from pybabe_spark.operators.sampling import winsorize
+
+        return self._wrap(winsorize(self.df, column, lower_p, upper_p, by))
+
     def stratified_sample(self, strata, key, fractions) -> "Babe":
         from pybabe_spark.operators.sampling import stratified_sample
 

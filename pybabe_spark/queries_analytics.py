@@ -1206,3 +1206,49 @@ def q_entity_resolution(spark, sf_dir):
     return dup_clusters(
         cust, pairs, id_col="c_custkey", src="id1", dst="id2"
     )
+
+
+def _strat_n_sql():
+    from pybabe_spark.operators.sampling import stratified_fixed_n_sql
+
+    return stratified_fixed_n_sql(
+        "documents", "lang", "doc_id", 50,
+        columns="doc_id, text, lang, source, n_chars",
+    )
+
+
+@register("stratified_fixed_n_docs", _strat_n_sql())
+def q_stratified_fixed_n(spark, sf_dir):
+    """Exactly-50-per-language eval sample
+    (operators/sampling.py::stratified_fixed_n): seeded-md5 rank
+    inside each stratum, WindowGroupLimit cuts below the sort. The
+    deterministic fixed-size constructor rate-based sampling can't
+    provide."""
+    from pybabe_spark.operators.sampling import stratified_fixed_n
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_fixed_n(docs, "lang", "doc_id", 50)
+
+
+def _winsorize_sql():
+    from pybabe_spark.operators.sampling import winsorize_sql
+
+    return winsorize_sql(
+        "orders", "o_totalprice", 0.05, 0.95, by="o_orderstatus",
+        columns="o_orderkey, o_orderstatus, o_totalprice",
+    )
+
+
+@register("winsorize_orders_price", _winsorize_sql())
+def q_winsorize(spark, sf_dir):
+    """Per-status price winsorization at [p5, p95]
+    (operators/sampling.py::winsorize): exact 6-dp quantile bounds
+    broadcast-joined back, LEAST/GREATEST clamp — every output value
+    is the untouched input double or a shared rounded bound, so the
+    oracle matches value-for-value."""
+    from pybabe_spark.operators.sampling import winsorize
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return winsorize(orders, "o_totalprice", 0.05, 0.95, by="o_orderstatus")

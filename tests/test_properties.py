@@ -513,3 +513,35 @@ def test_clip_documents_property(spark, texts, m, mode):
         # the clip never exceeds the budget
         out_ws = got[i][0].split(" ") if got[i][0] else []
         assert len(out_ws) <= max(m, 1)
+
+
+def test_stratified_fixed_n_exact_counts_and_determinism(spark):
+    from pybabe_spark.operators.sampling import stratified_fixed_n
+
+    rows = [(f"s{i % 3}", i) for i in range(100)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out1 = stratified_fixed_n(df, "g", "k", 10)
+    counts = {r["g"]: r["n"] for r in out1.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    # full strata give exactly n; the 1-row stratum gives all it has
+    assert counts == {"s0": 10, "s1": 10, "s2": 10, "tiny": 1}
+    # deterministic: same seed → same set; different seed → (almost surely) different
+    s1 = {(r["g"], r["k"]) for r in out1.collect()}
+    s2 = {(r["g"], r["k"]) for r in stratified_fixed_n(df, "g", "k", 10).collect()}
+    s3 = {(r["g"], r["k"]) for r in stratified_fixed_n(df, "g", "k", 10, seed=7).collect()}
+    assert s1 == s2 and s1 != s3
+
+
+def test_winsorize_bounds_and_passthrough(spark):
+    from pybabe_spark.operators.sampling import winsorize
+
+    vals = [float(v) for v in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["v"]: r["v_w"] for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    import numpy as np
+
+    lo = round(float(np.percentile(vals, 5)), 6)
+    hi = round(float(np.percentile(vals, 95)), 6)
+    for v in vals:
+        assert out[v] == min(max(v, lo), hi)
+    # interior values pass through untouched (same double)
+    assert out[50.0] == 50.0
