@@ -354,3 +354,111 @@ def quantiles_sql(
         for p in probs
     ]
     return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix, decimal-exact moments
+# ---------------------------------------------------------------------------
+
+def corr_matrix(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Pairwise Pearson correlations: one row per unordered pair —
+    ``(col_x, col_y, n, corr)`` with pairwise NULL deletion (a row
+    enters a pair's statistics only when BOTH values are non-null).
+
+    ONE aggregation pass: 5 conditional counters per pair (n, Sx, Sy,
+    Sxy, Sxx/Syy shared through per-pair masking), all map-side
+    combinable — never a per-pair scan. Moments accumulate as exact
+    decimals (products at scale 12), so the only IEEE arithmetic is the
+    final fixed-shape scalar formula — cross-engine deterministic, and
+    6 dp rounding absorbs nothing but the final division/sqrt noise.
+    Zero-variance pairs yield NULL corr. p columns cost p(p−1)/2 × 5
+    counters in one reduce — fine to a few dozen columns.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    aggs = []
+    pairs = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            pairs.append((cx, cy))
+            both = F.col(cx).isNotNull() & F.col(cy).isNotNull()
+            x = F.when(both, F.col(cx).cast("decimal(18,6)"))
+            y = F.when(both, F.col(cy).cast("decimal(18,6)"))
+            tag = f"{cx}__{cy}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{tag}"),
+                F.sum(x).cast("double").alias(f"__sx_{tag}"),
+                F.sum(y).cast("double").alias(f"__sy_{tag}"),
+                F.sum((x * y).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"__sxy_{tag}"),
+                F.sum((x * x).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"__sxx_{tag}"),
+                F.sum((y * y).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"__syy_{tag}"),
+            ]
+    one = df.agg(*aggs)
+    parts = []
+    for cx, cy in pairs:
+        tag = f"{cx}__{cy}"
+        n = F.col(f"__n_{tag}").cast("double")
+        sx, sy = F.col(f"__sx_{tag}"), F.col(f"__sy_{tag}")
+        sxy = F.col(f"__sxy_{tag}")
+        sxx, syy = F.col(f"__sxx_{tag}"), F.col(f"__syy_{tag}")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (vx > 0.0) & (vy > 0.0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        )
+        parts.append(
+            one.select(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col(f"__n_{tag}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def corr_matrix_sql(table: str, cols: "list[str]") -> str:
+    """DuckDB oracle of :func:`corr_matrix` — identical decimal
+    moments and scalar formula shape."""
+    selects = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            both = f"{cx} IS NOT NULL AND {cy} IS NOT NULL"
+            # DECIMAL(19,6), not (18,6): DuckDB stores precision ≤ 18
+            # in int64 and overflows the raw product — 19 forces int128
+            # while the VALUES stay the same exact decimals Spark sums
+            x = f"CASE WHEN {both} THEN CAST({cx} AS DECIMAL(19,6)) END"
+            y = f"CASE WHEN {both} THEN CAST({cy} AS DECIMAL(19,6)) END"
+            selects.append(f"""
+            SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0
+                         AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0.0
+                        THEN ROUND(
+                          (CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                   END AS corr
+            FROM (
+                SELECT COUNT(CASE WHEN {both} THEN 1 END) AS n,
+                       CAST(SUM({x}) AS DOUBLE) AS sx,
+                       CAST(SUM({y}) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(({x}) * ({y}) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(({x}) * ({x}) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(({y}) * ({y}) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS syy
+                FROM {table}
+            )""")
+    return " UNION ALL ".join(selects)

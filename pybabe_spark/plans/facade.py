@@ -252,6 +252,11 @@ class Babe:
 
         return self._wrap(pagerank(self.df, iters, damping, **kwargs))
 
+    def corr_matrix(self, cols) -> "Babe":
+        from pybabe_spark.operators.sketch import corr_matrix
+
+        return self._wrap(corr_matrix(self.df, cols))
+
     def quantiles(self, column, probs, by=None, approx=False, **kw) -> "Babe":
         from pybabe_spark.operators.sketch import quantiles, quantiles_approx
 

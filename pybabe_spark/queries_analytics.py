@@ -1252,3 +1252,23 @@ def q_winsorize(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     return winsorize(orders, "o_totalprice", 0.05, 0.95, by="o_orderstatus")
+
+
+def _corr_sql():
+    from pybabe_spark.operators.sketch import corr_matrix_sql
+
+    return corr_matrix_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+@register("corr_matrix_lineitem", _corr_sql())
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem numerics
+    (operators/sketch.py::corr_matrix): all pairs in ONE map-combinable
+    aggregation pass, moments as exact decimals, the final formula a
+    fixed-shape scalar — value-for-value oracle, not a tolerance."""
+    from pybabe_spark.operators.sketch import corr_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -111,3 +111,30 @@ def test_quantiles_grouped_and_approx_brackets(spark):
     # rank error <= 1/accuracy: on 101 values the estimate is the median
     for k, v in approx.items():
         assert abs(v - exact[k]) <= 1.0
+
+
+def test_corr_matrix_hand_checked(spark):
+    from pybabe_spark.operators.sketch import corr_matrix
+
+    rows = [(float(i), float(2 * i), float(-i), None if i % 2 else float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")] == (20, 1.0)     # perfectly linear
+    assert got[("a", "c")] == (20, -1.0)
+    assert got[("b", "c")] == (20, -1.0)
+    # pairwise deletion: d has 10 non-null rows; a==d on those -> 1.0
+    assert got[("a", "d")] == (10, 1.0)
+
+
+def test_corr_matrix_zero_variance_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, b double"
+    )
+    from pybabe_spark.operators.sketch import corr_matrix
+
+    row = corr_matrix(df, ["a", "b"]).collect()[0]
+    assert row["corr"] is None
