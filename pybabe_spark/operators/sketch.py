@@ -462,3 +462,43 @@ def corr_matrix_sql(table: str, cols: "list[str]") -> str:
                 FROM {table}
             )""")
     return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built in)
+# ---------------------------------------------------------------------------
+
+def hll_build(
+    df: DataFrame, col: str, by: "list[str] | str | None" = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketches of ``col``'s distinct values — a BINARY
+    ``hll`` column you can persist. The incremental-distinct pattern:
+    store one sketch per day/source partition, answer "distinct users
+    over any date range" by :func:`hll_merge` over the stored rows —
+    no raw re-scan, fixed 2^lg_k memory, rsd ≈ 1.04/√2^lg_k (~1.6% at
+    the default). Estimates are engine/library-specific: certify them
+    against exact counts (the registry key's boolean bound), never
+    hash-compare them."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_merge(
+    parts: DataFrame, by: "list[str] | str | None" = None
+) -> DataFrame:
+    """Union stored sketches (same lg_k) to coarser groups — the cube
+    walk for distincts, which plain counts cannot do."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    return parts.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll")
+    )
+
+
+def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
+    """Materialize estimates from a sketch column."""
+    return df.withColumn(
+        out_col, F.hll_sketch_estimate(F.col("hll"))
+    ).drop("hll")

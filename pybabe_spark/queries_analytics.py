@@ -1272,3 +1272,39 @@ def q_corr_matrix(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "hll_daily_users_events",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_hll_daily_users(spark, sf_dir):
+    """Stored mergeable distinct-user sketches per day
+    (operators/sketch.py::hll_build/hll_estimate — DataSketches HLL,
+    lg_k=12, rsd ≈ 1.6%): the incremental-distinct pattern that
+    answers any-date-range distincts without raw re-scans. Estimates
+    are library-specific, so the oracle certifies a boolean 5% error
+    bound per day next to the exact count (the ann recall-floor
+    pattern) — a broken sketch flips hll_ok and fails the hash."""
+    from pybabe_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    est = hll_estimate(hll_build(ev, "user_id", by="day"))
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= F.lit(2) + F.lit(0.05) * F.col("n_exact")
+        ).alias("hll_ok"),
+    )

@@ -138,3 +138,32 @@ def test_corr_matrix_zero_variance_null(spark):
 
     row = corr_matrix(df, ["a", "b"]).collect()[0]
     assert row["corr"] is None
+
+
+def test_hll_merge_equals_build_and_bounds(spark):
+    from pybabe_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 13) % 500) for i in range(5000)], "g int, u bigint"
+    )
+    per_g = hll_build(df, "u", by="g")
+    est = {r["g"]: r["distinct_est"] for r in hll_estimate(per_g).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(
+            __import__("pyspark.sql.functions", fromlist=["countDistinct"])
+            .countDistinct("u").alias("n")
+        ).collect()
+    }
+    for g, e in est.items():
+        assert abs(e - exact[g]) <= max(2, 0.05 * exact[g])
+    # merged per-group sketches estimate the same global distinct set
+    # (union transitions sparse→dense differently than a direct build,
+    # so assert the error bound, not estimate equality)
+    merged = hll_estimate(hll_merge(per_g)).collect()[0]["distinct_est"]
+    direct = hll_estimate(hll_build(df, "u")).collect()[0]["distinct_est"]
+    assert abs(merged - 500) <= 25 and abs(direct - 500) <= 25
