@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pybabe_spark.operators._util import gen_col
@@ -382,4 +382,71 @@ def sequence_count_sql(
                 / {len(pat)} AS BIGINT) AS n_matches
     FROM seqs
     WHERE length(s) - length(replace(s, '{pat}', '')) > 0
+    """
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transitions of the event stream: one row per
+    observed ``(from_type, to_type)`` — ``(from_type, to_type, n,
+    p_ppm)`` where ``p_ppm`` is the row-conditional probability
+    P(to|from) in exact integer parts-per-million (house micro-unit
+    idiom — no IEEE division). Consecutive events per key form the
+    pairs; the last event of each key emits nothing.
+
+    Plan: one shuffle on the key for the lag window, then a hash
+    aggregation on the (from, to) pair (map-side combined) and a
+    from-partitioned window over the TINY |types|² table for the
+    denominators. ``order_cols`` breaks timestamp ties like
+    sessionize.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.withColumn(
+        "p_ppm",
+        F.expr("(n * 1000000) div sum(n) over (partition by from_type)"),
+    ).select("from_type", "to_type", "n", "p_ppm")
+
+
+def transition_matrix_sql(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+) -> str:
+    """DuckDB oracle of :func:`transition_matrix`."""
+    order = ", ".join([ts_col] + list(order_cols or []))
+    return f"""
+    WITH pairs AS (
+        SELECT {type_col} AS from_type,
+               LEAD({type_col}) OVER (
+                   PARTITION BY {user_col} ORDER BY {order}
+               ) AS to_type
+        FROM {table}
+    ), cnt AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // CAST(SUM(n) OVER (
+               PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+    FROM cnt
     """

@@ -365,6 +365,11 @@ class Babe:
         build = other.df if isinstance(other, Babe) else other
         return self._wrap(ops.join(self.df, build, key, join_key, **kwargs))
 
+    def transition_matrix(self, **kwargs) -> "Babe":
+        from pybabe_spark.operators.group import transition_matrix
+
+        return self._wrap(transition_matrix(self.df, **kwargs))
+
     def sequence_count(self, steps, **kwargs) -> "Babe":
         from pybabe_spark.operators.group import sequence_count
 

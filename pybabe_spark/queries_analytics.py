@@ -1308,3 +1308,21 @@ def q_hll_daily_users(spark, sf_dir):
             <= F.lit(2) + F.lit(0.05) * F.col("n_exact")
         ).alias("hll_ok"),
     )
+
+
+def _transition_sql():
+    from pybabe_spark.operators.group import transition_matrix_sql
+
+    return transition_matrix_sql("events", order_cols=["event_id"])
+
+
+@register("transition_matrix_events", _transition_sql())
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream
+    (operators/group.py::transition_matrix): lag pairs per user (one
+    key shuffle), (from,to) hash agg, conditional probabilities in
+    exact integer ppm over the tiny |types|² table."""
+    from pybabe_spark.operators.group import transition_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return transition_matrix(ev, order_cols=["event_id"])

@@ -935,3 +935,23 @@ def test_sequence_count_hand_checked(spark):
         ).collect()
     }
     assert got_c == {2: 1, 4: 2}
+
+
+def test_transition_matrix_hand_checked(spark):
+    from pybabe_spark.operators.group import transition_matrix
+
+    rows = []
+    # user 1: A A B ; user 2: A B  → from A: A×1, B×2 ; from B: nothing
+    for u, seq in [(1, ["A", "A", "B"]), (2, ["A", "B"])]:
+        rows += [(u, i, e) for i, e in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id int, sec int, event_type string"
+    ).selectExpr("user_id", "timestamp_seconds(sec) as ts", "event_type")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_ppm"])
+        for r in transition_matrix(df).collect()
+    }
+    assert got == {
+        ("A", "A"): (1, 333333),
+        ("A", "B"): (2, 666666),
+    }
