@@ -393,3 +393,88 @@ def pagerank_sql(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{iters}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global triangle census of an undirected graph: ONE row —
+    ``(n_nodes, n_edges, n_triangles)`` over the deduplicated,
+    self-loop-free edge set.
+
+    Scale algorithm (the standard distributed one): orient every edge
+    from its ≺-smaller endpoint, where ``a ≺ b`` iff ``(deg(a), a) <
+    (deg(b), b)`` — each triangle then has exactly one "apex" with two
+    out-edges, so wedges are generated ONLY at low-degree vertices and
+    total wedge work is O(Σ out-deg²) ≤ O(m^1.5) instead of the
+    naive Σ deg² that a hub vertex explodes. Plan: degree agg (one
+    shuffle), two degree joins, the wedge self-join on the apex, and a
+    semi-join against the oriented closing edge — all equi-joins, no
+    cartesian anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    x = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
+    )
+    y = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy")
+    )
+    # wedge (x ≺ y) at apex a; close with oriented edge x→y
+    wedges = x.join(y, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def triangle_count_sql(edges_cte: str) -> str:
+    """DuckDB oracle of :func:`triangle_count` — the textbook u<v<w
+    3-way join over the canonical edge set (``edges_cte`` SELECTs
+    (id_a, id_b))."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM raw
+        WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b
+    ),
+    nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """

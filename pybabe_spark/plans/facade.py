@@ -246,6 +246,11 @@ class Babe:
         s = seen.df if isinstance(seen, Babe) else seen
         return self._wrap(dedup_against(self.df, s, keys))
 
+    def triangle_count(self, src="id_a", dst="id_b") -> "Babe":
+        from pybabe_spark.operators.graph import triangle_count
+
+        return self._wrap(triangle_count(self.df, src, dst))
+
     def pagerank(self, iters=3, damping=0.85, **kwargs) -> "Babe":
         """Treats the wrapped frame as a (src, dst) edge list."""
         from pybabe_spark.operators.graph import pagerank

@@ -1326,3 +1326,38 @@ def q_transition_matrix(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return transition_matrix(ev, order_cols=["event_id"])
+
+
+def _triangle_sql():
+    from pybabe_spark.operators.graph import triangle_count_sql
+
+    return triangle_count_sql(
+        """
+        SELECT a.s AS id_a, b.s AS id_b FROM
+          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
+          JOIN
+          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
+          ON a.o = b.o AND a.s < b.s
+        """
+    )
+
+
+@register("triangle_count_suppliers", _triangle_sql())
+def q_triangle_count(spark, sf_dir):
+    """Triangle census of the supplier co-occurrence graph (suppliers
+    linked when they serve one order; operators/graph.py::
+    triangle_count): degree-ordered orientation bounds wedge work by
+    O(m^1.5) — the hub-safe distributed algorithm — while the oracle
+    counts the textbook u<v<w 3-way join. Pair fanout per order is
+    bounded by order width."""
+    from pybabe_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
+    ).select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+    return triangle_count(edges)

@@ -1984,3 +1984,28 @@ def test_funnel_first_touch_and_window(spark):
 
     with pytest.raises(ValueError, match="steps"):
         funnel(df, [])
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing; a
+    square (C4) has none; duplicate/reversed/self-loop edges are
+    canonicalized away."""
+    from pybabe_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9), (9, 3), (2, 2), (10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (9, 11, 4)
+
+
+def test_triangle_count_hub_star(spark):
+    """A star (hub + leaves) has zero triangles and must not explode
+    wedge generation at the hub — degree orientation points every edge
+    AT the hub, so the hub generates no wedges."""
+    from pybabe_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 200)]
+    df = spark.createDataFrame(star, "id_a int, id_b int")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_edges"] == 199
