@@ -520,3 +520,58 @@ def winsorize_sql(
            LEAST(GREATEST({col}, __lo), __hi) AS {col}_w
     FROM {table} CROSS JOIN b
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic sample of ``n`` rows WITHOUT replacement with
+    inclusion probability ∝ ``weight_col`` (Efraimidis–Spirakis via
+    Gumbel-top-k: keep the n largest ``ln(w) − ln(−ln(u))`` keys, u
+    from the seeded md5 of the id — dsir.gumbel_key's idiom, DECIMAL-
+    rounded so the libm ln difference across engines is absorbed).
+    Rows with NULL or non-positive weight are excluded (they have no
+    sampling mass). Ties break by id. Physical plan is
+    TakeOrderedAndProject — no global sort at any scale; a different
+    seed is an independent sample.
+    """
+    if n < 1:
+        raise ValueError("weighted_sample: n must be >= 1")
+    from pybabe_spark.operators.dsir import gumbel_key
+
+    lw = gen_col(df.columns, "__lw")
+    g = gen_col(df.columns + [lw], "__g")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(lw, F.log(F.col(weight_col).cast("double")))
+        .withColumn(g, gumbel_key(lw, id_col, seed))
+    )
+    return (
+        keyed.orderBy(F.col(g).desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop(lw, g)
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle of :func:`weighted_sample`."""
+    from pybabe_spark.operators.dsir import gumbel_key_sql
+
+    g = gumbel_key_sql(f"ln(CAST({weight_col} AS DOUBLE))", id_col, seed)
+    return f"""
+    SELECT {columns} FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ORDER BY {g} DESC, {id_col} ASC
+    LIMIT {int(n)}
+    """

@@ -162,6 +162,11 @@ class Babe:
 
         return self._wrap(stratified_fixed_n(self.df, strata, key, n, seed))
 
+    def weighted_sample(self, weight_col, n, id_col, seed=0) -> "Babe":
+        from pybabe_spark.operators.sampling import weighted_sample
+
+        return self._wrap(weighted_sample(self.df, weight_col, n, id_col, seed))
+
     def winsorize(self, column, lower_p=0.01, upper_p=0.99, by=None) -> "Babe":
         from pybabe_spark.operators.sampling import winsorize
 

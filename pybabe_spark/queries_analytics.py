@@ -1361,3 +1361,27 @@ def q_triangle_count(spark, sf_dir):
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
     ).select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
     return triangle_count(edges)
+
+
+def _weighted_sample_sql():
+    from pybabe_spark.operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "orders", "o_totalprice", 200, "o_orderkey",
+        columns="o_orderkey, o_custkey, o_totalprice",
+    )
+
+
+@register("weighted_sample_orders", _weighted_sample_sql())
+def q_weighted_sample(spark, sf_dir):
+    """200 orders sampled ∝ price without replacement
+    (operators/sampling.py::weighted_sample — Efraimidis–Spirakis
+    Gumbel-top-k on seeded-md5 noise, decimal-rounded keys): the
+    deterministic importance sampler; TakeOrderedAndProject, never a
+    global sort."""
+    from pybabe_spark.operators.sampling import weighted_sample
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return weighted_sample(orders, "o_totalprice", 200, "o_orderkey")

@@ -545,3 +545,22 @@ def test_winsorize_bounds_and_passthrough(spark):
         assert out[v] == min(max(v, lo), hi)
     # interior values pass through untouched (same double)
     assert out[50.0] == 50.0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from pybabe_spark.operators.sampling import weighted_sample
+
+    # 100 heavy (w=100) + 900 light (w=1): a 100-row sample should be
+    # dominated by heavy ids; zero/null weights never appear
+    rows = [(i, 100.0) for i in range(100)]
+    rows += [(i, 1.0) for i in range(100, 1000)]
+    rows += [(5000, 0.0), (5001, None)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    out1 = {r["id"] for r in weighted_sample(df, "w", 100, "id").collect()}
+    assert len(out1) == 100
+    assert not {5000, 5001} & out1
+    heavy = len([i for i in out1 if i < 100])
+    assert heavy >= 60  # expectation ~91; 60 is a generous floor
+    out2 = {r["id"] for r in weighted_sample(df, "w", 100, "id").collect()}
+    out3 = {r["id"] for r in weighted_sample(df, "w", 100, "id", seed=9).collect()}
+    assert out1 == out2 and out1 != out3
