@@ -262,6 +262,11 @@ class Babe:
 
         return self._wrap(pagerank(self.df, iters, damping, **kwargs))
 
+    def pareto_report(self, key, value_col, top_n=50) -> "Babe":
+        from pybabe_spark.operators.skew import pareto_report
+
+        return self._wrap(pareto_report(self.df, key, value_col, top_n))
+
     def corr_matrix(self, cols) -> "Babe":
         from pybabe_spark.operators.sketch import corr_matrix
 

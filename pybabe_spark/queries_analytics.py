@@ -1385,3 +1385,45 @@ def q_weighted_sample(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     return weighted_sample(orders, "o_totalprice", 200, "o_orderkey")
+
+
+@register(
+    "pareto_suppliers_revenue",
+    """
+    WITH sums AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS vm
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT CAST(SUM(vm) AS BIGINT) AS tm FROM sums),
+    top AS (
+        SELECT l_suppkey, vm FROM sums
+        ORDER BY vm DESC, l_suppkey ASC NULLS FIRST LIMIT 40
+    ),
+    cum AS (
+        SELECT a.l_suppkey, a.vm,
+               CAST(SUM(b.vm) AS BIGINT) AS c
+        FROM top a JOIN top b
+          ON b.vm > a.vm
+          OR (b.vm = a.vm AND (b.l_suppkey IS NULL
+              OR (a.l_suppkey IS NOT NULL AND b.l_suppkey <= a.l_suppkey)))
+        GROUP BY a.l_suppkey, a.vm
+    )
+    SELECT l_suppkey,
+           CAST(vm AS DOUBLE) / 1e6 AS value_sum,
+           CAST((CAST(vm AS HUGEINT) * 1000000) // tm AS BIGINT) AS share_ppm,
+           CAST((CAST(c AS HUGEINT) * 1000000) // tm AS BIGINT) AS cum_share_ppm
+    FROM cum CROSS JOIN t
+    """,
+)
+def q_pareto(spark, sf_dir):
+    """Top-40 suppliers by revenue with exact-ppm share and cumulative
+    share (operators/skew.py::pareto_report): the 80-20 contribution
+    diagnostic — keyed decimal sum + TakeOrdered head + bounded
+    self-join cumulative (limit-proved maxRows, never a global
+    window)."""
+    from pybabe_spark.operators.skew import pareto_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return pareto_report(li, "l_suppkey", "l_extendedprice", 40)

@@ -2009,3 +2009,17 @@ def test_triangle_count_hub_star(spark):
     df = spark.createDataFrame(star, "id_a int, id_b int")
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == 0 and row["n_edges"] == 199
+
+
+def test_pareto_report_hand_checked(spark):
+    from pybabe_spark.operators.skew import pareto_report
+
+    rows = [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)]
+    df = spark.createDataFrame(rows * 2, "k string, v double")  # sums double
+    out = {r["k"]: (r["value_sum"], r["share_ppm"], r["cum_share_ppm"])
+           for r in pareto_report(df, "k", "v", 3).collect()}
+    assert out == {
+        "a": (100.0, 500000, 500000),
+        "b": (60.0, 300000, 800000),
+        "c": (30.0, 150000, 950000),
+    }
