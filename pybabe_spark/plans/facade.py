@@ -222,6 +222,11 @@ class Babe:
             self.df.withColumn(out_col, registered_domain(field))
         )
 
+    def json_flatten(self, col, fields, **kwargs) -> "Babe":
+        from pybabe_spark.functions.json_ops import json_flatten
+
+        return self._wrap(json_flatten(self.df, col, fields, **kwargs))
+
     def html_to_text(self, field) -> "Babe":
         from pybabe_spark.functions.html import html_to_text
 

@@ -1427,3 +1427,31 @@ def q_pareto(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return pareto_report(li, "l_suppkey", "l_extendedprice", 40)
+
+
+@register(
+    "json_flatten_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INT)
+    """,
+)
+def q_json_flatten(spark, sf_dir):
+    """JSON property promotion + rollup
+    (functions/json_ops.py::json_flatten): the event `props` JSON
+    column flattened to a typed `k` (pure-codegen get_json_object +
+    try cast, scan-speed, no Python) and aggregated — the
+    semi-structured step every event pipeline runs before analytics."""
+    from pybabe_spark.functions.json_ops import json_flatten
+
+    ev = read_table(spark, sf_dir, "events")
+    flat = json_flatten(ev, "props", {"k": "int"})
+    return flat.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
