@@ -29,7 +29,7 @@ summary as a DataFrame — compose it, don't collect it.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -209,3 +209,100 @@ def validate_sql(table: str, rules: Sequence[tuple]) -> str:
         else:
             raise ValueError(f"validate_sql: unknown rule {kind!r}")
     return " UNION ALL ".join(selects)
+
+
+def impute(
+    df: DataFrame,
+    cols: Mapping[str, str],
+    by: str | None = None,
+) -> DataFrame:
+    """Fill NULLs per column by strategy — ``{"col": "mean" | "median"
+    | "mode" | "zero"}`` — optionally per ``by`` group (the ML-prep
+    step after :func:`validate` finds the holes).
+
+    Deterministic fills: ``mean`` is the decimal-exact sum over count
+    rounded to 6 dp; ``median`` the exact interpolated percentile
+    rounded to 6 dp; ``mode`` the most frequent non-null value with
+    ties to the SMALLEST value (cross-engine reproducible, unlike
+    Spark's own ``mode()`` tie behavior); ``zero`` a literal 0. Fill
+    values compute in ONE aggregation (mode adds one keyed count per
+    mode-column) and attach by broadcast join (1-row cross join
+    ungrouped); a group whose fill value is itself NULL (all-NULL
+    group) leaves its NULLs in place. Type note: mean/median fills are
+    doubles, so an integer column imputed by them widens to double
+    (the fractional fill is the point); zero/mode preserve the
+    column's type.
+    """
+    strategies = dict(cols)
+    for c, how in strategies.items():
+        if how not in ("mean", "median", "mode", "zero"):
+            raise ValueError(f"impute: unknown strategy {how!r} for {c!r}")
+    keys = [by] if by else []
+    aggs = []
+    for c, how in strategies.items():
+        if how == "mean":
+            aggs.append(
+                F.round(
+                    F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+                    / F.count(F.col(c)),
+                    6,
+                ).alias(f"__fill_{c}")
+            )
+        elif how == "median":
+            aggs.append(
+                F.round(F.percentile(F.col(c), F.lit(0.5)), 6).alias(
+                    f"__fill_{c}"
+                )
+            )
+        elif how == "zero":
+            aggs.append(
+                F.lit(0).cast(df.schema[c].dataType).alias(f"__fill_{c}")
+            )
+        else:  # mode — min_by over (-count, value) with deterministic tie
+            aggs.append(F.lit(None).alias(f"__fill_{c}"))  # placeholder
+    fills = df.groupBy(*keys).agg(*aggs)
+    for c, how in strategies.items():
+        if how != "mode":
+            continue
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*keys, F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy(F.lit(1))
+        )
+        mode_rows = (
+            counts.withColumn(
+                "__rn",
+                F.row_number().over(
+                    w.orderBy(F.col("__n").desc(), F.col("__v").asc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(*keys, F.col("__v").alias(f"__mode_{c}"))
+        )
+        if keys:
+            fills = fills.join(mode_rows, keys, "left")
+        else:
+            from pybabe_spark.operators._util import attach_scalars
+
+            fills = attach_scalars(fills, mode_rows)
+        fills = fills.withColumn(
+            f"__fill_{c}", F.col(f"__mode_{c}")
+        ).drop(f"__mode_{c}")
+    if keys:
+        out = df.join(F.broadcast(fills), keys, "left")
+    else:
+        from pybabe_spark.operators._util import attach_scalars
+
+        out = attach_scalars(df, fills)
+    for c in strategies:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"__fill_{c}"))
+        )
+    return out.drop(*[f"__fill_{c}" for c in strategies])

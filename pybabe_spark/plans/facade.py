@@ -473,6 +473,11 @@ class Babe:
 
         return self._wrap(validate(self.df, rules))
 
+    def impute(self, cols, by=None) -> "Babe":
+        from pybabe_spark.operators.validate import impute
+
+        return self._wrap(impute(self.df, cols, by))
+
     def quarantine(self, rules, out_col="violations") -> "Babe":
         from pybabe_spark.operators.validate import quarantine
 

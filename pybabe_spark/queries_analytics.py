@@ -1455,3 +1455,38 @@ def q_json_flatten(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "impute_orders_price",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                    ELSE o_totalprice END AS v
+        FROM orders
+    ), m AS (
+        SELECT o_orderstatus,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(v), 6) AS f
+        FROM base GROUP BY o_orderstatus
+    )
+    SELECT o_orderkey, o_orderstatus, COALESCE(v, f) AS v
+    FROM base JOIN m USING (o_orderstatus)
+    """,
+)
+def q_impute(spark, sf_dir):
+    """Grouped mean imputation (operators/validate.py::impute): every
+    9th price nulled then refilled with its status group's
+    decimal-exact 6 dp mean — one aggregation + one broadcast join;
+    untouched values pass through as the same doubles."""
+    from pybabe_spark.operators.validate import impute
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 9 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    return impute(orders, {"v": "mean"}, by="o_orderstatus")

@@ -69,3 +69,56 @@ def test_unknown_rule_raises(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="unknown rule"):
         validate(df, [("bogus", "k")])
+
+
+def test_impute_strategies(spark):
+    from pybabe_spark.operators.validate import impute
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 10, "x"),
+            ("a", 3.0, None, "x"),
+            ("a", None, 30, None),
+            ("b", None, None, "y"),
+        ],
+        "g string, v double, i int, s string",
+    )
+    out = impute(
+        df, {"v": "mean", "i": "zero", "s": "mode"}
+    ).orderBy("g", "v").collect()
+    vals = [(r["g"], r["v"], r["i"], r["s"]) for r in out]
+    # mean(v)=2.0 over non-nulls; zero keeps int type; mode(s)='x'
+    assert vals == [
+        ("a", 1.0, 10, "x"),
+        ("a", 2.0, 30, "x"),   # was (None, 30, None)
+        ("a", 3.0, 0, "x"),    # was (3.0, None, 'x')
+        ("b", 2.0, 0, "y"),
+    ]
+    assert all(isinstance(r["i"], int) for r in out)
+
+
+def test_impute_grouped_median_and_all_null_group(spark):
+    from pybabe_spark.operators.validate import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    out = {(r["g"], i): r["v"] for i, r in enumerate(
+        impute(df, {"v": "median"}, by="g").orderBy("g", "v").collect())}
+    rows = sorted(out.items())
+    # group a's NULL -> 5.0; group b is all-NULL -> stays NULL
+    vals_a = [v for (g, _), v in rows if g == "a"]
+    vals_b = [v for (g, _), v in rows if g == "b"]
+    assert sorted(vals_a) == [1.0, 5.0, 9.0]
+    assert vals_b == [None]
+
+
+def test_impute_mode_tie_breaks_to_smallest(spark):
+    from pybabe_spark.operators.validate import impute
+
+    df = spark.createDataFrame(
+        [(2,), (2,), (1,), (1,), (None,)], "v int"
+    )
+    out = impute(df, {"v": "mode"}).collect()
+    assert sorted(r["v"] for r in out) == [1, 1, 1, 2, 2]
