@@ -575,3 +575,64 @@ def weighted_sample_sql(
     ORDER BY {g} DESC, {id_col} ASC
     LIMIT {int(n)}
     """
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    k: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: adds ``{col}_bin`` ∈ [0, k) by
+    the column's exact (6 dp-rounded) quantile edges at i/k — the
+    ML-prep binning step (feature bucketization, calibration bins).
+    ``bin = #{edges strictly below the value}``, so ties at an edge
+    fall in the LOWER bin deterministically; NULL values get NULL.
+    One aggregation for the k−1 edges (single pass — all probs in one
+    ``percentile`` call family), one 1-row broadcast attach, then pure
+    codegen comparisons. Exact-percentile caveat as
+    ``sketch.quantiles``: edges buffer the column once — ungrouped,
+    that is one aggregation state; swap in approx edges at true corpus
+    scale."""
+    if k < 2:
+        raise ValueError("quantile_bins: k must be >= 2")
+    from pybabe_spark.operators._util import attach_scalars
+
+    out_col = out_col or f"{col}_bin"
+    edges = df.agg(
+        *[
+            F.round(F.percentile(F.col(col), F.lit(i / k)), 6).alias(
+                f"__e{i}"
+            )
+            for i in range(1, k)
+        ]
+    )
+    binned = attach_scalars(df, edges)
+    expr = None
+    for i in range(1, k):
+        term = (F.col(col) > F.col(f"__e{i}")).cast("int")
+        expr = term if expr is None else expr + term
+    return binned.withColumn(
+        out_col, F.when(F.col(col).isNotNull(), expr)
+    ).drop(*[f"__e{i}" for i in range(1, k)])
+
+
+def quantile_bins_sql(
+    table: str, col: str, k: int, columns: str = "*",
+    out_col: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`quantile_bins`."""
+    out_col = out_col or f"{col}_bin"
+    edges = ", ".join(
+        f"ROUND(quantile_cont({col}, {i / k}), 6) AS e{i}"
+        for i in range(1, k)
+    )
+    terms = " + ".join(
+        f"CAST({col} > e{i} AS INT)" for i in range(1, k)
+    )
+    return f"""
+    WITH e AS (SELECT {edges} FROM {table})
+    SELECT {columns},
+           CASE WHEN {col} IS NOT NULL THEN {terms} END AS {out_col}
+    FROM {table} CROSS JOIN e
+    """

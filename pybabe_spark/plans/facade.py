@@ -162,6 +162,11 @@ class Babe:
 
         return self._wrap(stratified_fixed_n(self.df, strata, key, n, seed))
 
+    def quantile_bins(self, column, k, out_col=None) -> "Babe":
+        from pybabe_spark.operators.sampling import quantile_bins
+
+        return self._wrap(quantile_bins(self.df, column, k, out_col))
+
     def weighted_sample(self, weight_col, n, id_col, seed=0) -> "Babe":
         from pybabe_spark.operators.sampling import weighted_sample
 

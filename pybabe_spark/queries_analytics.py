@@ -1490,3 +1490,26 @@ def q_impute(spark, sf_dir):
         .alias("v"),
     )
     return impute(orders, {"v": "mean"}, by="o_orderstatus")
+
+
+def _qbins_sql():
+    from pybabe_spark.operators.sampling import quantile_bins_sql
+
+    return quantile_bins_sql(
+        "orders", "o_totalprice", 10,
+        columns="o_orderkey, o_totalprice",
+    )
+
+
+@register("quantile_bins_orders", _qbins_sql())
+def q_quantile_bins(spark, sf_dir):
+    """Decile binning of order prices
+    (operators/sampling.py::quantile_bins): one edge aggregation, one
+    1-row attach, codegen comparisons — equal-frequency feature
+    discretization with exact 6 dp edges the oracle reproduces."""
+    from pybabe_spark.operators.sampling import quantile_bins
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return quantile_bins(orders, "o_totalprice", 10)

@@ -564,3 +564,22 @@ def test_weighted_sample_bias_and_determinism(spark):
     out2 = {r["id"] for r in weighted_sample(df, "w", 100, "id").collect()}
     out3 = {r["id"] for r in weighted_sample(df, "w", 100, "id", seed=9).collect()}
     assert out1 == out2 and out1 != out3
+
+
+def test_quantile_bins_equal_frequency_and_nulls(spark):
+    from pybabe_spark.operators.sampling import quantile_bins
+
+    vals = [float(v) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+    out = quantile_bins(df, "v", 4).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r["v_bin"], []).append(r["v"])
+    assert sorted(b for b in bins if b is not None) == [0, 1, 2, 3]
+    assert bins[None] == [None]
+    # quartiles of 0..99: ~25 values per bin (edge ties go low)
+    for b in range(4):
+        assert 24 <= len(bins[b]) <= 26
+    # monotone: every bin-b value < every bin-(b+1) value
+    for b in range(3):
+        assert max(bins[b]) < min(bins[b + 1])
