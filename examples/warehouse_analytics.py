@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Warehouse analytics tour over the event log and order tables: the
+round-7 analytics surface composed as one runnable script — quality
+gate → imputation → SCD2 history → retention / funnel / sequence /
+transitions → anomalies → Pareto → incremental rollup. Every stage is
+a registry operator with a driver oracle; the script is the dashboard
+backend shape in miniature (aggregates and bounded heads, never a
+corpus collect).
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from pybabe_spark import Babe, get_spark
+from pybabe_spark.sources.io import read_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001"):
+    spark = get_spark("warehouse-analytics")
+    orders = Babe.from_df(read_table(spark, sf_dir, "orders"))
+    events = Babe.from_df(read_table(spark, sf_dir, "events"))
+    cust = read_table(spark, sf_dir, "customer")
+
+    # 1. contract gate: what is broken, and how badly?
+    violations = orders.validate(
+        [
+            ("not_null", "o_custkey"),
+            ("unique", ["o_orderkey"]),
+            ("range", "o_totalprice", 0, 1_000_000),
+            ("fk", "o_custkey", cust, "c_custkey"),
+        ]
+    ).df.collect()
+    print("violations:", [(r["rule"], r["violations"]) for r in violations])
+
+    # 2. SCD2 user-state history from the raw event changelog
+    history = events.scd2("user_id", "ts", ["event_type"])
+    print("scd2 intervals:", history.df.count())
+
+    # 3. the product-analytics block — each one aggregation-shaped
+    retention = events.retention_cohorts("user_id", "ts", period_seconds=604800)
+    funnel = events.funnel(["view", "click", "purchase"], within=86400)
+    repeats = events.sequence_count(["view", "click", "purchase"])
+    transitions = events.transition_matrix(order_cols=["event_id"])
+    print("cohort rows:", retention.df.count())
+    print("funnel:", [(r["step"], r["users"]) for r in funnel.df.collect()])
+    print("repeat converters:", repeats.df.count())
+    print("transitions:", transitions.df.count())
+
+    # 4. which readings are suspicious, which keys dominate revenue
+    anomalies = events.zscore_anomalies("user_id", "value", "ts", threshold=1.5)
+    pareto = Babe.from_df(read_table(spark, sf_dir, "lineitem")).pareto_report(
+        "l_suppkey", "l_extendedprice", top_n=10
+    )
+    print("anomalies:", anomalies.df.count())
+    print(
+        "top suppliers cum ppm:",
+        [(r["l_suppkey"], r["cum_share_ppm"]) for r in pareto.df.collect()[:3]],
+    )
+
+    # 5. the always-fresh dashboard aggregate: build once, fold batches
+    from pybabe_spark.operators.rollup import (
+        rollup_append,
+        rollup_build,
+        rollup_query,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="pybabe_rollup_ex_") as root:
+        path = os.path.join(root, "rollup")
+        o = orders.df
+        rollup_build(
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderstatus"],
+            {"o_totalprice": "sum"},
+            path,
+        )
+        rollup_append(
+            o.filter(F.col("o_orderkey") % 2 != 0),
+            path,
+            ["o_orderstatus"],
+            {"o_totalprice": "sum"},
+        )
+        cube = rollup_query(spark, path, [], {"o_totalprice": "sum"})
+        print("rollup grand total:", cube.collect()[0]["o_totalprice_sum"])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:] or []))
