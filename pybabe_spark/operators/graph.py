@@ -478,3 +478,88 @@ def triangle_count_sql(edges_cte: str) -> str:
             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
     """
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Unweighted shortest hop-distance from a SOURCE SET over an
+    undirected graph: ``(id, distance)`` for every node reachable
+    within ``max_hops`` (sources at 0; unreachable nodes are absent).
+    The k-hop neighborhood primitive (blast-radius queries, feature
+    neighborhoods, seed expansion).
+
+    Frontier iteration, one round per hop: join the CURRENT frontier
+    (nodes first reached last round — not the whole visited set)
+    against the symmetrized edges, anti-join out already-visited
+    nodes, append. Per-round cost is edges incident to the frontier;
+    state is the visited (id, distance) set, lineage cut per round
+    with an eager ``localCheckpoint`` and an ``observe()`` count so an
+    EMPTY frontier stops iterating without an extra job (the
+    connected-components discipline).
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_distances: max_hops must be >= 0")
+    id_col = id_col or src
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("distance", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("distance") == hop)
+        if obs.get["n"] == 0:
+            break
+    return visited.withColumnRenamed("id", id_col)
+
+
+def bfs_distances_sql(
+    edges_cte: str, sources_cte: str, max_hops: int, id_col: str
+) -> str:
+    """DuckDB oracle of :func:`bfs_distances` — hop-unrolled CTE
+    (min distance per node, capped at ``max_hops``)."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "sym AS (SELECT id_a AS u, id_b AS v FROM edges"
+        " UNION SELECT id_b, id_a FROM edges)",
+        f"d0 AS (SELECT DISTINCT s AS id, 0 AS distance"
+        f" FROM ({sources_cte}))",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"d{h} AS (SELECT id, distance FROM d{h-1}"
+            f" UNION ALL"
+            f" SELECT DISTINCT sym.v AS id, {h} AS distance"
+            f" FROM d{h-1} JOIN sym ON d{h-1}.id = sym.u"
+            f" WHERE d{h-1}.distance = {h-1})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id AS {id_col}, CAST(MIN(distance) AS INT) AS distance"
+        f" FROM d{max_hops} GROUP BY id"
+    )

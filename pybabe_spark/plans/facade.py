@@ -261,6 +261,12 @@ class Babe:
         s = seen.df if isinstance(seen, Babe) else seen
         return self._wrap(dedup_against(self.df, s, keys))
 
+    def bfs_distances(self, sources, max_hops=6, **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import bfs_distances
+
+        srcs = sources.df if isinstance(sources, Babe) else sources
+        return self._wrap(bfs_distances(self.df, srcs, max_hops, **kwargs))
+
     def triangle_count(self, src="id_a", dst="id_b") -> "Babe":
         from pybabe_spark.operators.graph import triangle_count
 

@@ -1513,3 +1513,46 @@ def q_quantile_bins(spark, sf_dir):
         "o_orderkey", "o_totalprice"
     )
     return quantile_bins(orders, "o_totalprice", 10)
+
+
+_SUPP_EDGES_SQL = """
+        SELECT a.s AS id_a, b.s AS id_b FROM
+          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
+          JOIN
+          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
+          ON a.o = b.o AND a.s < b.s
+"""
+
+
+def _bfs_sql():
+    from pybabe_spark.operators.graph import bfs_distances_sql
+
+    return bfs_distances_sql(
+        _SUPP_EDGES_SQL,
+        "SELECT DISTINCT l_suppkey AS s FROM lineitem WHERE l_suppkey % 50 = 0",
+        3,
+        "l_suppkey",
+    )
+
+
+@register("bfs_supplier_neighborhood", _bfs_sql())
+def q_bfs(spark, sf_dir):
+    """3-hop BFS from the %50 seed suppliers over the co-occurrence
+    graph (operators/graph.py::bfs_distances): frontier-only joins,
+    per-round anti-join against visited, observe()-stopped — the
+    blast-radius / seed-expansion primitive; the oracle unrolls the
+    hops as CTEs and takes per-node MIN distance."""
+    from pybabe_spark.operators.graph import bfs_distances
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
+    ).select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+    seeds = li.filter(F.col("l_suppkey") % 50 == 0).select(
+        F.col("l_suppkey")
+    )
+    return bfs_distances(edges, seeds, max_hops=3, id_col="l_suppkey")

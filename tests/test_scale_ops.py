@@ -2023,3 +2023,36 @@ def test_pareto_report_hand_checked(spark):
         "b": (60.0, 300000, 800000),
         "c": (30.0, 150000, 950000),
     }
+
+
+def test_bfs_distances_hand_checked(spark):
+    """Path 0-1-2-3-4 with a branch 2-9: distances from {0}; cap at 2
+    hops; early stop on disconnected part."""
+    from pybabe_spark.operators.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9), (100, 101)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    seeds = spark.createDataFrame([(0,)], "s int")
+    got = {
+        r["id_a"]: r["distance"]
+        for r in bfs_distances(df, seeds, max_hops=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+    full = {
+        r["id_a"]: r["distance"]
+        for r in bfs_distances(df, seeds, max_hops=10).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 9: 3}
+
+
+def test_bfs_multiple_sources_min_distance(spark):
+    from pybabe_spark.operators.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    seeds = spark.createDataFrame([(0,), (4,)], "s int")
+    got = {
+        r["id_a"]: r["distance"]
+        for r in bfs_distances(df, seeds, max_hops=5).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
