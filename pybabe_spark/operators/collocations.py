@@ -116,3 +116,89 @@ def pmi_collocations_sql(k: int = 20, min_count: int = 5) -> str:
     SELECT w1, w2, c12, pmi FROM scored
     ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
     """
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair mining: items co-occurring in at least
+    ``min_support`` baskets — ``(item_a, item_b, n_pairs, lift_ppm)``
+    with ``item_a < item_b`` and lift = P(a,b)/(P(a)·P(b)) in exact
+    integer ppm (128-bit products — no IEEE division, no overflow at
+    any corpus size). The association-rule primitive (PMI's
+    transactional sibling — collocations rank by log-ratio over text
+    positions; this counts basket co-occurrence with a support
+    floor).
+
+    Plan: distinct (basket, item) projection, the within-basket pair
+    self-join (fanout bounded by basket width, like the triangle
+    census' co-occurrence edges), one pair hash agg with the support
+    filter BEFORE the lift join, then two broadcast joins against the
+    (item, count) table and a 1-row basket-count attach.
+    """
+    if min_support < 1:
+        raise ValueError("frequent_pairs: min_support must be >= 1")
+    from pybabe_spark.operators._util import attach_scalars
+
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).filter(F.col("b").isNotNull() & F.col("i").isNotNull()).distinct()
+    x, y = bi.alias("x"), bi.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(
+            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
+    )
+    items = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("__ni"))
+    na = items.select(F.col("i").alias("item_a"), F.col("__ni").alias("__na"))
+    nb = items.select(F.col("i").alias("item_b"), F.col("__ni").alias("__nb"))
+    baskets = bi.agg(
+        F.countDistinct("b").cast("bigint").alias("__nbaskets")
+    )
+    out = attach_scalars(
+        pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b"),
+        baskets,
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pairs",
+        F.expr(
+            "(cast(n_pairs as decimal(38,0)) * __nbaskets * 1000000)"
+            " div (cast(__na as decimal(38,0)) * __nb)"
+        ).alias("lift_ppm"),
+    )
+
+
+def frequent_pairs_sql(
+    table: str, basket_col: str, item_col: str, min_support: int = 2
+) -> str:
+    """DuckDB oracle of :func:`frequent_pairs` (HUGEINT products)."""
+    return f"""
+    WITH bi AS (
+        SELECT DISTINCT {basket_col} AS b, {item_col} AS i
+        FROM {table}
+        WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+    ),
+    pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_pairs
+        FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        GROUP BY x.i, y.i
+        HAVING COUNT(*) >= {int(min_support)}
+    ),
+    items AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+    nb AS (SELECT COUNT(DISTINCT b) AS nbaskets FROM bi)
+    SELECT item_a, item_b, n_pairs,
+           CAST((CAST(n_pairs AS HUGEINT) * nbaskets * 1000000)
+                // (CAST(a.ni AS HUGEINT) * c.ni) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN items a ON a.i = pairs.item_a
+    JOIN items c ON c.i = pairs.item_b
+    CROSS JOIN nb
+    """

@@ -396,6 +396,13 @@ class Babe:
         build = other.df if isinstance(other, Babe) else other
         return self._wrap(ops.join(self.df, build, key, join_key, **kwargs))
 
+    def frequent_pairs(self, basket_col, item_col, min_support=2) -> "Babe":
+        from pybabe_spark.operators.collocations import frequent_pairs
+
+        return self._wrap(
+            frequent_pairs(self.df, basket_col, item_col, min_support)
+        )
+
     def transition_matrix(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.group import transition_matrix
 

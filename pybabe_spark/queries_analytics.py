@@ -1556,3 +1556,22 @@ def q_bfs(spark, sf_dir):
         F.col("l_suppkey")
     )
     return bfs_distances(edges, seeds, max_hops=3, id_col="l_suppkey")
+
+
+def _freq_pairs_sql():
+    from pybabe_spark.operators.collocations import frequent_pairs_sql
+
+    return frequent_pairs_sql("lineitem", "l_orderkey", "l_partkey", 2)
+
+
+@register("frequent_pairs_lineitem", _freq_pairs_sql())
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket part pairs with support ≥ 2 and exact-ppm lift
+    (operators/collocations.py::frequent_pairs): within-order pair
+    join bounded by basket width, support filter before the lift
+    joins, 128-bit integer lift — association rules as one shuffle
+    plus broadcast enrichment."""
+    from pybabe_spark.operators.collocations import frequent_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", 2)

@@ -2056,3 +2056,22 @@ def test_bfs_multiple_sources_min_distance(spark):
         for r in bfs_distances(df, seeds, max_hops=5).collect()
     }
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_frequent_pairs_hand_checked(spark):
+    from pybabe_spark.operators.collocations import frequent_pairs
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "beer"),
+        (4, "bread"),
+        (4, "bread"),  # duplicate line in one basket counts once
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_pairs"], r["lift_ppm"])
+        for r in frequent_pairs(df, "b", "i", 2).collect()
+    }
+    # bread+milk co-occur twice; lift = (2*4)/(3*3) = 0.888888
+    assert got == {("bread", "milk"): (2, 888888)}
