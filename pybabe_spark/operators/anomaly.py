@@ -52,7 +52,10 @@ def zscore_anomalies(
     standard deviation; keys/frames with zero variance flag nothing
     (a constant series has no outliers, even at value jumps from
     NULLs). NULL values are ignored in the statistics and never
-    flagged."""
+    flagged. Rolling frames order by ``ts_col`` alone — rows sharing a
+    timestamp within one key have no deterministic frame membership;
+    disambiguate upstream (e.g. add an id to the timestamp) when keys
+    can carry duplicate timestamps."""
     if mode not in ("global", "rolling"):
         raise ValueError(f"zscore_anomalies: unknown mode {mode!r}")
     v = F.col(value_col)

@@ -106,7 +106,11 @@ def rollup_append(
 
     Classic (JVM-attached) sessions only, like ``compact_files``: the
     atomic swap needs the Hadoop FS handle (Connect sessions can
-    rebuild with :func:`rollup_build` instead)."""
+    rebuild with :func:`rollup_build` instead). Single-writer, like
+    ``append_bm25_index``: the read-merge-swap is not transactional
+    against a concurrent append — serialize appends (Structured
+    Streaming's sequential foreachBatch, streaming/ops.stream_rollup,
+    does this for free)."""
     _check(measures)
     spark = batch.sparkSession
     old = spark.read.parquet(path)

@@ -165,8 +165,12 @@ def _cms_key_str(df: DataFrame, col: str):
 def cms_build(
     df: DataFrame, col: str, width: int = 2048, depth: int = 4
 ) -> DataFrame:
-    """Build the sketch cell table ``(d, pos, n)`` for ``df[col]``.
-    Only non-empty cells materialize (absent cell = 0)."""
+    """Build the sketch cell table ``(d, pos, n, w, dp)`` for
+    ``df[col]``. Only non-empty cells materialize (absent cell = 0).
+    The (width, depth) identity is EMBEDDED as constant columns so a
+    probe or merge against a differently-parameterized sketch raises
+    instead of silently estimating garbage (the bloom ``key_types``
+    lesson) — two tiny literals per row, pruned wherever unused."""
     if width < 2 or depth < 1:
         raise ValueError("cms: width >= 2 and depth >= 1 required")
     k = _cms_key_str(df, col)
@@ -187,15 +191,48 @@ def cms_build(
         rows.select("c.d", "c.pos")
         .groupBy("d", "pos")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.lit(width))
+        .withColumn("dp", F.lit(depth))
+    )
+
+
+def _cms_param_guard(cms: DataFrame, width: int, depth: int):
+    """In-plan mismatch check: any cell row whose embedded (w, dp)
+    differs from the caller's raises at the query's first action —
+    lazy, no construction-time job (the FAIL-join idiom). Sketches
+    from an older build (no w/dp columns) pass unchecked."""
+    if "w" not in cms.columns or "dp" not in cms.columns:
+        return cms
+    ok = (F.col("w") == width) & (F.col("dp") == depth)
+    return cms.filter(
+        F.when(
+            ~ok,
+            F.raise_error(
+                F.concat(
+                    F.lit("cms: sketch built with (width, depth)=("),
+                    F.col("w").cast("string"),
+                    F.lit(", "),
+                    F.col("dp").cast("string"),
+                    F.lit(f") probed/merged as ({width}, {depth})"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
     )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two sketches built with the SAME (width, depth): cellwise
     sum (sketches are linear — merge-then-lookup ≡ build-over-union,
-    asserted in tests)."""
+    asserted in tests). The embedded identity columns participate in
+    the merge key, so accidentally merging differently-parameterized
+    sketches cannot corrupt cells — the mixture survives verbatim and
+    the next :func:`cms_lookup` raises on it."""
+    cols = ["d", "pos"] + (["w", "dp"] if "w" in a.columns else [])
     return (
-        a.unionByName(b).groupBy("d", "pos").agg(F.sum("n").alias("n"))
+        a.unionByName(b, allowMissingColumns=False)
+        .groupBy(*cols)
+        .agg(F.sum("n").alias("n"))
+        .select(*cols, "n")
     )
 
 
@@ -208,8 +245,12 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-frequency estimates for ``keys[col]`` (distinct): adds
     ``cms_count`` = MIN over the key's depth cells (absent cell = 0).
-    ``width``/``depth`` must match the build — they are the sketch's
-    identity, carried by the caller like the bloom filter's params."""
+    ``width``/``depth`` must match the build — enforced in-plan via
+    the sketch's embedded identity columns (mismatch raises at the
+    first action rather than silently estimating with wrong cells)."""
+    cms = _cms_param_guard(cms, width, depth)
+    if "w" in cms.columns:
+        cms = cms.drop("w", "dp")
     distinct = keys.select(col).distinct()
     k = _cms_key_str(distinct, col)
     probes = distinct.select(

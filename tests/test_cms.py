@@ -167,3 +167,21 @@ def test_hll_merge_equals_build_and_bounds(spark):
     merged = hll_estimate(hll_merge(per_g)).collect()[0]["distinct_est"]
     direct = hll_estimate(hll_build(df, "u")).collect()[0]["distinct_est"]
     assert abs(merged - 500) <= 25 and abs(direct - 500) <= 25
+
+
+def test_param_mismatch_raises_in_plan(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "k bigint")
+    cms = cms_build(df, "k", width=64, depth=3)
+    # probing with different params must raise at the action, not
+    # silently estimate from the wrong cells
+    bad = cms_lookup(cms, df, "k", width=128, depth=3)
+    bad.schema  # analysis stays lazy and clean
+    with _pytest.raises(Exception, match="width, depth"):
+        bad.collect()
+    # merging mismatched sketches survives the merge, raises at lookup
+    other = cms_build(df, "k", width=128, depth=3)
+    merged = cms_merge(cms, other)
+    with _pytest.raises(Exception, match="width, depth"):
+        cms_lookup(merged, df, "k", width=64, depth=3).collect()
