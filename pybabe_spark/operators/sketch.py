@@ -543,3 +543,106 @@ def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
     return df.withColumn(
         out_col, F.hll_sketch_estimate(F.col("hll"))
     ).drop("hll")
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (pooled z), deterministic decision
+# ---------------------------------------------------------------------------
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-proportion z-test between ``control`` and ``treatment``
+    rows: ONE output row — per-variant trials and conversion in exact
+    integer ppm, the lift (treatment − control) in ppm, and
+    ``significant`` under the pooled-variance z-test at ``z_crit``
+    (default two-sided 95%).
+
+    ``success_col`` is boolean/0-1; each ROW is a trial (pre-aggregate
+    to users upstream for per-user conversion). The decision is the
+    squared form ``(p1−p2)² > z²·p̂(1−p̂)(1/n1+1/n2)`` over counts that
+    are exact integers — the scalar IEEE expression is fixed-shape and
+    reproduced verbatim by the oracle, so significance is
+    deterministic, not a tolerance. One conditional aggregation —
+    map-side combinable, no shuffle beyond it.
+    """
+    s = F.col(success_col).cast("int")
+    is_c = F.col(variant_col) == control
+    is_t = F.col(variant_col) == treatment
+    agg = df.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(is_c, s).otherwise(0)).alias("k_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_t, s).otherwise(0)).alias("k_t"),
+    )
+    n1, k1 = F.col("n_c").cast("double"), F.col("k_c").cast("double")
+    n2, k2 = F.col("n_t").cast("double"), F.col("k_t").cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pool = (k1 + k2) / (n1 + n2)
+    lhs = (p1 - p2) * (p1 - p2)
+    rhs = (
+        (z_crit * z_crit)
+        * (pool * (1.0 - pool))
+        * (1.0 / n1 + 1.0 / n2)
+    )
+    return agg.select(
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.expr("(k_c * 1000000) div n_c").alias("conv_control_ppm"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.expr("(k_t * 1000000) div n_t").alias("conv_treatment_ppm"),
+        (
+            F.expr("(k_t * 1000000) div n_t")
+            - F.expr("(k_c * 1000000) div n_c")
+        ).alias("lift_ppm"),
+        F.when((F.col("n_c") > 0) & (F.col("n_t") > 0), lhs > rhs)
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+def ab_test_sql(
+    table: str,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`ab_test` — identical counts and scalar
+    expression shape."""
+    z2 = repr(float(z_crit) * float(z_crit))
+    return f"""
+    WITH a AS (
+        SELECT SUM(CASE WHEN {variant_col} = '{control}' THEN 1 ELSE 0 END) AS n_c,
+               SUM(CASE WHEN {variant_col} = '{control}'
+                        THEN CAST({success_col} AS INT) ELSE 0 END) AS k_c,
+               SUM(CASE WHEN {variant_col} = '{treatment}' THEN 1 ELSE 0 END) AS n_t,
+               SUM(CASE WHEN {variant_col} = '{treatment}'
+                        THEN CAST({success_col} AS INT) ELSE 0 END) AS k_t
+        FROM {table}
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST((k_c * 1000000) // n_c AS BIGINT) AS conv_control_ppm,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST((k_t * 1000000) // n_t AS BIGINT) AS conv_treatment_ppm,
+           CAST((k_t * 1000000) // n_t - (k_c * 1000000) // n_c
+                AS BIGINT) AS lift_ppm,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             (CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+              - CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             * (CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                - CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             > {z2}
+               * ((CAST(k_c AS DOUBLE) + CAST(k_t AS DOUBLE))
+                  / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+               * (1.0 - (CAST(k_c AS DOUBLE) + CAST(k_t AS DOUBLE))
+                        / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+               * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))
+           ELSE FALSE END AS significant
+    FROM a
+    """

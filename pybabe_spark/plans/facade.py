@@ -278,6 +278,13 @@ class Babe:
 
         return self._wrap(pagerank(self.df, iters, damping, **kwargs))
 
+    def ab_test(self, variant_col, success_col, control, treatment, **kw) -> "Babe":
+        from pybabe_spark.operators.sketch import ab_test
+
+        return self._wrap(
+            ab_test(self.df, variant_col, success_col, control, treatment, **kw)
+        )
+
     def pareto_report(self, key, value_col, top_n=50) -> "Babe":
         from pybabe_spark.operators.skew import pareto_report
 

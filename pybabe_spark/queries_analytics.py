@@ -1575,3 +1575,42 @@ def q_frequent_pairs(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return frequent_pairs(li, "l_orderkey", "l_partkey", 2)
+
+
+@register(
+    "ab_test_events",
+    __import__(
+        "pybabe_spark.operators.sketch", fromlist=["ab_test_sql"]
+    ).ab_test_sql(
+        """(SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS variant,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+           FROM events GROUP BY user_id,
+                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END)""",
+        "variant",
+        "converted",
+        "A",
+        "B",
+    ),
+)
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B test on per-user purchase conversion,
+    variants by user parity (operators/sketch.py::ab_test): one
+    per-user aggregation, one conditional-agg scan, a squared-form
+    pooled-z decision in fixed-shape IEEE — conversion/lift in exact
+    ppm, significance as a deterministic boolean."""
+    from pybabe_spark.operators.sketch import ab_test
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return ab_test(per_user, "variant", "converted", "A", "B")

@@ -185,3 +185,25 @@ def test_param_mismatch_raises_in_plan(spark):
     merged = cms_merge(cms, other)
     with _pytest.raises(Exception, match="width, depth"):
         cms_lookup(merged, df, "k", width=64, depth=3).collect()
+
+
+def test_ab_test_hand_checked(spark):
+    from pybabe_spark.operators.sketch import ab_test
+
+    # control 10% (100 trials), treatment 40% (100 trials): clearly
+    # significant; equal rates: clearly not
+    rows = [("A", 1 if i < 10 else 0) for i in range(100)]
+    rows += [("B", 1 if i < 40 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string, s int")
+    r = ab_test(df, "v", "s", "A", "B").collect()[0]
+    assert (r["n_control"], r["conv_control_ppm"]) == (100, 100000)
+    assert (r["n_treatment"], r["conv_treatment_ppm"]) == (100, 400000)
+    assert r["lift_ppm"] == 300000 and r["significant"]
+
+    same = spark.createDataFrame(
+        [("A", i % 10 == 0) for i in range(100)]
+        + [("B", i % 10 == 0) for i in range(100)],
+        "v string, s boolean",
+    )
+    r2 = ab_test(same, "v", "s", "A", "B").collect()[0]
+    assert not r2["significant"] and r2["lift_ppm"] == 0
