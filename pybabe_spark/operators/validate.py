@@ -306,3 +306,114 @@ def impute(
             c, F.coalesce(F.col(c), F.col(f"__fill_{c}"))
         )
     return out.drop(*[f"__fill_{c}" for c in strategies])
+
+
+def benford_audit(
+    df: DataFrame, col: str, chi2_crit: float = 15.507
+) -> DataFrame:
+    """First-digit Benford's-law audit of a positive numeric column —
+    the fraud/synthetic-data smell test. One row per leading digit
+    1..9: ``(digit, n, expected_ppm, observed_ppm)`` plus the same
+    ``suspicious`` boolean on every row (χ² over the 9 digits >
+    ``chi2_crit``; default = 95th percentile at 8 dof). Zero, NULL,
+    and negative-sign rows are excluded (Benford applies to positive
+    magnitudes; the leading digit of |x| < 1 is its first NONZERO
+    digit).
+
+    One conditional aggregation to the 9-row digit table; the χ²
+    statistic is a fixed-shape scalar over exact integer counts and
+    double constants — deterministic cross-engine, replayed verbatim
+    by the oracle. Digits with zero rows still appear (n=0).
+    """
+    import math
+
+    digit = F.regexp_extract(
+        F.format_number(F.abs(F.col(col)).cast("double"), 10),
+        r"([1-9])",
+        1,
+    )
+    counted = (
+        df.filter(F.col(col).isNotNull() & (F.abs(F.col(col)) > 0))
+        .select(digit.alias("__d"))
+        .filter(F.col("__d") != "")
+        .groupBy(F.col("__d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = grid.join(counted, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    from pybabe_spark.operators._util import attach_scalars
+
+    total = full.agg(F.sum("n").cast("bigint").alias("__t"))
+    # chi2 = sum over digits of (n - t*p_d)^2 / (t*p_d), p_d = log10(1+1/d)
+    probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    with_t = attach_scalars(full, total)
+    p_expr = None
+    for d, p in probs.items():
+        term = F.when(F.col("digit") == d, F.lit(p))
+        p_expr = term if p_expr is None else p_expr.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    exp = F.col("__t").cast("double") * p_expr
+    contrib = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    staged = with_t.withColumn("__c", contrib).withColumn("__p", p_expr)
+    chi2 = staged.agg(F.sum("__c").alias("__chi2"))
+    out = attach_scalars(staged, chi2)
+    return out.select(
+        "digit",
+        "n",
+        F.floor(F.col("__p") * 1e6).cast("bigint").alias("expected_ppm"),
+        F.expr("(n * 1000000) div __t").alias("observed_ppm"),
+        (F.col("__chi2") > F.lit(float(chi2_crit))).alias("suspicious"),
+    )
+
+
+def benford_audit_sql(
+    table: str, col: str, chi2_crit: float = 15.507
+) -> str:
+    """DuckDB oracle of :func:`benford_audit` — identical digit
+    extraction (format_number 10-dp rendering) and χ² shape."""
+    import math
+
+    digit = (
+        f"regexp_extract(format('{{:.10f}}', "
+        f"CAST(ABS({col}) AS DOUBLE)), '([1-9])', 1)"
+    )
+    p_case = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH counted AS (
+        SELECT CAST(d AS INT) AS digit, COUNT(*) AS n FROM (
+            SELECT {digit} AS d FROM {table}
+            WHERE {col} IS NOT NULL AND ABS({col}) > 0
+        ) WHERE d <> '' GROUP BY d
+    ),
+    full_grid AS (
+        SELECT g.digit, COALESCE(c.n, 0) AS n
+        FROM (SELECT UNNEST(range(1, 10)) AS digit) g
+        LEFT JOIN counted c ON c.digit = g.digit
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM full_grid),
+    staged AS (
+        SELECT digit, n,
+               CASE digit {p_case} END AS p,
+               (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+                * (CASE digit {p_case} END))
+               * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
+                  * (CASE digit {p_case} END))
+               / (CAST(total AS DOUBLE) * (CASE digit {p_case} END)) AS c,
+               total
+        FROM full_grid CROSS JOIN t
+    ),
+    chi AS (SELECT SUM(c) AS chi2 FROM staged)
+    SELECT CAST(digit AS INT) AS digit, n,
+           CAST(FLOOR(p * 1e6) AS BIGINT) AS expected_ppm,
+           (n * 1000000) // total AS observed_ppm,
+           chi2 > {float(chi2_crit)!r} AS suspicious
+    FROM staged CROSS JOIN chi
+    """

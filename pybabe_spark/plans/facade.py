@@ -498,6 +498,11 @@ class Babe:
 
         return self._wrap(validate(self.df, rules))
 
+    def benford_audit(self, column, **kwargs) -> "Babe":
+        from pybabe_spark.operators.validate import benford_audit
+
+        return self._wrap(benford_audit(self.df, column, **kwargs))
+
     def impute(self, cols, by=None) -> "Babe":
         from pybabe_spark.operators.validate import impute
 

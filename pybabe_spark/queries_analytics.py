@@ -1614,3 +1614,22 @@ def q_ab_test(spark, sf_dir):
         ).alias("converted")
     )
     return ab_test(per_user, "variant", "converted", "A", "B")
+
+
+def _benford_sql():
+    from pybabe_spark.operators.validate import benford_audit_sql
+
+    return benford_audit_sql("orders", "o_totalprice")
+
+
+@register("benford_orders_price", _benford_sql())
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of order prices
+    (operators/validate.py::benford_audit): 9-digit distribution vs
+    log10(1+1/d) expectations + a deterministic χ² flag — the
+    fraud/synthetic-data smell test as one conditional aggregation
+    (uniform-ish TPC-H prices rightly flag as non-Benford)."""
+    from pybabe_spark.operators.validate import benford_audit
+
+    orders = read_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")

@@ -122,3 +122,37 @@ def test_impute_mode_tie_breaks_to_smallest(spark):
     )
     out = impute(df, {"v": "mode"}).collect()
     assert sorted(r["v"] for r in out) == [1, 1, 1, 2, 2]
+
+
+def test_benford_accepts_benford_rejects_uniform(spark):
+    from pybabe_spark.operators.validate import benford_audit
+
+    import math
+    import random
+
+    rng = random.Random(3)
+    # log-uniform magnitudes ARE Benford-distributed
+    benford = [(10 ** (rng.uniform(0, 5)),) for _ in range(5000)]
+    uniform = [(rng.uniform(1000, 5000),) for _ in range(5000)]
+    b = spark.createDataFrame(benford, "v double")
+    u = spark.createDataFrame(uniform, "v double")
+    rows_b = benford_audit(b, "v").collect()
+    rows_u = benford_audit(u, "v").collect()
+    assert len(rows_b) == 9 and len(rows_u) == 9
+    assert not rows_b[0]["suspicious"]
+    assert rows_u[0]["suspicious"]
+    # digit-1 expectation ppm = floor(log10(2) * 1e6)
+    d1 = [r for r in rows_b if r["digit"] == 1][0]
+    assert d1["expected_ppm"] == int(math.log10(2) * 1e6)
+
+
+def test_benford_excludes_zero_null_and_uses_first_nonzero(spark):
+    from pybabe_spark.operators.validate import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (-230.0,), (0.045,), (7.0,)], "v double"
+    )
+    rows = {r["digit"]: r["n"] for r in benford_audit(df, "v").collect()}
+    # -230 -> 2, 0.045 -> 4, 7 -> 7; zero and NULL excluded
+    assert rows[2] == 1 and rows[4] == 1 and rows[7] == 1
+    assert sum(rows.values()) == 3
