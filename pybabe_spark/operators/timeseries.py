@@ -377,3 +377,58 @@ def retention_cohorts_sql(
                 AS BIGINT) AS retained_ppm
     FROM cnt
     """
+
+
+def calendar(
+    spark,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Date-dimension generator: one row per day in [start, end]
+    (inclusive, 'YYYY-MM-DD' strings) — ``(d, year, quarter, month,
+    week, day, dow, is_weekend)`` with ISO semantics (``week`` =
+    ISO week number, ``dow`` 1 = Monday … 7 = Sunday). The spine every
+    warehouse joins facts against (gap-free reporting, fiscal rollups,
+    weekend flags).
+
+    One ``sequence()`` explode — the grid never passes through the
+    driver; a century is ~36 525 rows. All fields are pure codegen
+    date functions with DuckDB-identical ISO definitions (Spark's
+    ``dayofweek`` is Sunday-based and ``weekofyear``'s January
+    boundary is ISO on both engines — ``dow`` here deliberately uses
+    ``weekday()+1`` to pin Monday=1).
+    """
+    base = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+            )
+        ).alias("d")
+    )
+    return base.select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.weekofyear("d").cast("int").alias("week"),
+        F.dayofmonth("d").alias("day"),
+        (F.weekday("d") + 1).cast("int").alias("dow"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+    )
+
+
+def calendar_sql(start: str, end: str) -> str:
+    """DuckDB oracle of :func:`calendar`."""
+    return f"""
+    SELECT CAST(d AS TIMESTAMP) AS d,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(weekofyear(d) AS INT) AS week,
+           CAST(dayofmonth(d) AS INT) AS day,
+           CAST(isodow(d) AS INT) AS dow,
+           isodow(d) >= 6 AS is_weekend
+    FROM (SELECT UNNEST(generate_series(DATE '{start}', DATE '{end}',
+                                        INTERVAL 1 DAY)) AS d)
+    """

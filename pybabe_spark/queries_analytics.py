@@ -1633,3 +1633,20 @@ def q_benford(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return benford_audit(orders, "o_totalprice")
+
+
+def _calendar_sql():
+    from pybabe_spark.operators.timeseries import calendar_sql
+
+    return calendar_sql("2023-12-25", "2024-02-29")
+
+
+@register("calendar_dimension", _calendar_sql())
+def q_calendar(spark, sf_dir):
+    """Date-dimension spine for the testdata window incl. a leap day
+    and an ISO-week year boundary (operators/timeseries.py::calendar):
+    sequence() explode, pure codegen, ISO week/dow pinned identically
+    across engines."""
+    from pybabe_spark.operators.timeseries import calendar
+
+    return calendar(spark, "2023-12-25", "2024-02-29")

@@ -186,3 +186,20 @@ def test_retention_cohorts_null_and_offset_cap(spark):
     out = retention_cohorts(df, "u", "ts", week, 8).collect()
     # A's week-9 activity is past max_offset; null key/ts rows dropped
     assert [(r["offset"], r["n_users"]) for r in out] == [(0, 1)]
+
+
+def test_calendar_iso_semantics(spark):
+    from pybabe_spark.operators.timeseries import calendar
+
+    cal = {r["d"].date().isoformat(): r for r in
+           calendar(spark, "2024-01-01", "2024-01-08").collect()}
+    jan1 = cal["2024-01-01"]           # a Monday, ISO week 1
+    assert (jan1["dow"], jan1["week"], jan1["is_weekend"]) == (1, 1, False)
+    sat = cal["2024-01-06"]
+    assert (sat["dow"], sat["is_weekend"]) == (6, True)
+    sun = cal["2024-01-07"]
+    assert (sun["dow"], sun["is_weekend"]) == (7, True)
+    assert len(cal) == 8  # inclusive bounds
+    # leap day exists in 2024
+    feb = calendar(spark, "2024-02-28", "2024-03-01").count()
+    assert feb == 3
