@@ -583,3 +583,70 @@ def test_quantile_bins_equal_frequency_and_nulls(spark):
     # monotone: every bin-b value < every bin-(b+1) value
     for b in range(3):
         assert max(bins[b]) < min(bins[b + 1])
+
+
+def test_table_diff_matches_python_model_randomized(spark):
+    """Randomized keyed diff vs a dict-based reference model."""
+    import random
+
+    from pybabe_spark.operators.merge import table_diff
+
+    rng = random.Random(11)
+    a_rows = {k: (rng.choice("xyz"), rng.randint(0, 3)) for k in range(60)
+              if rng.random() < 0.8}
+    b_rows = {}
+    for k in range(60):
+        if rng.random() < 0.8:
+            if k in a_rows and rng.random() < 0.5:
+                b_rows[k] = a_rows[k]          # unchanged
+            else:
+                b_rows[k] = (rng.choice("xyz"), rng.randint(0, 3))
+    a = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in a_rows.items()], "k int, s string, v int"
+    )
+    b = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in b_rows.items()], "k int, s string, v int"
+    )
+    got = {
+        r["k"]: (r["change"], r["changed_cols"])
+        for r in table_diff(a, b, "k").collect()
+    }
+    want = {}
+    for k in set(a_rows) | set(b_rows):
+        if k not in a_rows:
+            want[k] = ("added", "")
+        elif k not in b_rows:
+            want[k] = ("removed", "")
+        elif a_rows[k] != b_rows[k]:
+            cols = [c for c, (x, y) in zip("sv", zip(a_rows[k], b_rows[k]))
+                    if x != y]
+            want[k] = ("changed", ",".join(cols))
+    assert got == want
+
+
+def test_sequence_count_matches_python_model_randomized(spark):
+    """Randomized event streams vs a greedy non-overlap counter."""
+    import random
+
+    from pybabe_spark.operators.group import sequence_count
+
+    rng = random.Random(23)
+    steps = ["view", "click", "purchase"]
+    rows, model = [], {}
+    for u in range(30):
+        seq = [rng.choice(steps + ["error", "signup"]) for _ in
+               range(rng.randint(0, 25))]
+        rows += [(u, i, e) for i, e in enumerate(seq)]
+        filtered = [e for e in seq if e in steps]
+        # greedy leftmost non-overlapping count of the exact sequence
+        s = "".join("ABC"[steps.index(e)] for e in filtered)
+        model[u] = s.count("ABC")
+    df = spark.createDataFrame(
+        rows, "user_id int, sec int, event_type string"
+    ).selectExpr("user_id", "timestamp_seconds(sec) as ts", "event_type")
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(df, steps).collect()
+    }
+    want = {u: n for u, n in model.items() if n > 0}
+    assert got == want
