@@ -764,6 +764,12 @@ class Babe:
             kwargs["partition_by"] = list(self._partition_fields)
         _io.push(self.df, filename, **kwargs)
 
+    def push_bucketed(self, table, keys, buckets=32, **kwargs) -> "Babe":
+        from pybabe_spark.sources.io import write_bucketed
+
+        write_bucketed(self.df, table, keys, buckets, **kwargs)
+        return self
+
     def to_list(self) -> list:
         """pybabe/base.py:459-460 — materialize rows, in ingest order
         when the ingest id is present (the reference's stream order)."""
