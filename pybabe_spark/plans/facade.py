@@ -764,10 +764,10 @@ class Babe:
             kwargs["partition_by"] = list(self._partition_fields)
         _io.push(self.df, filename, **kwargs)
 
-    def push_bucketed(self, table, keys, buckets=32, **kwargs) -> "Babe":
+    def push_bucketed(self, table, keys, num_buckets=32, **kwargs) -> "Babe":
         from pybabe_spark.sources.io import write_bucketed
 
-        write_bucketed(self.df, table, keys, buckets, **kwargs)
+        write_bucketed(self.df, table, keys, num_buckets, **kwargs)
         return self
 
     def to_list(self) -> list:

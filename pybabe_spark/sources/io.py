@@ -897,32 +897,6 @@ def compact_files(
     return n_files
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    keys: list[str],
-    buckets: int = 32,
-    sort: bool = True,
-    mode: str = "overwrite",
-) -> None:
-    """Persist as a BUCKETED catalog table: rows hash-partitioned into
-    ``buckets`` files per partition by ``keys`` (and sorted within,
-    with ``sort``), so later equi-joins and aggregations on those keys
-    read co-located data and plan WITHOUT an Exchange — the
-    pre-shuffled layout for fact tables that join on the same key
-    every day (asserted by ``test_bucketed_join_has_no_exchange``).
-    Bucketing metadata lives in the session catalog
-    (``spark.sql.warehouse.dir``); both sides of a join must be
-    bucketed on the same keys with the same count for the exchange to
-    vanish. At 100 TB this converts every recurring join/agg on the
-    bucket key from a full shuffle into a local merge.
-    """
-    w = drop_ingest_id(df).write.mode(mode).bucketBy(buckets, *keys)
-    if sort:
-        w = w.sortBy(*keys)
-    w.saveAsTable(table)
-
-
 def read_table_catalog(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table written by :func:`write_bucketed` (thin
     alias so pipelines don't reach for ``spark.table`` directly)."""

@@ -8,8 +8,8 @@ from pybabe_spark.sources.io import read_table_catalog, write_bucketed
 def test_bucketed_join_has_no_exchange(spark):
     a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
-    write_bucketed(a, "t_bucket_a", ["k"], buckets=8)
-    write_bucketed(b, "t_bucket_b", ["k"], buckets=8)
+    write_bucketed(a, "t_bucket_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "t_bucket_b", ["k"], 8, sort_cols=["k"])
     try:
         ta = read_table_catalog(spark, "t_bucket_a")
         tb = read_table_catalog(spark, "t_bucket_b")
