@@ -549,3 +549,40 @@ def stream_rollup(
         stream_df, _batch, checkpoint,
         output_mode="update", available_now=available_now,
     )
+
+
+def stream_quarantine(
+    stream_df: DataFrame,
+    rules,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming data-contract gate: every micro-batch splits by the
+    row-level expectation rules (operators/validate.py::quarantine) —
+    clean rows append to ``clean_path``, violating rows append to
+    ``quarantine_path`` WITH their ``violations`` tags — the standard
+    ingest topology (bad rows never block the pipeline, never get
+    silently dropped, and arrive pre-labelled for triage).
+
+    foreachBatch so one batch writes both sinks consistently; the
+    tagging itself is the same single-scan codegen projection as the
+    batch op. At-least-once on replay like every foreachBatch sink —
+    compact idempotently downstream.
+    """
+    from pybabe_spark.operators.validate import quarantine as _q
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = _q(batch_df, rules).localCheckpoint(eager=True)
+        tagged.filter(F.col("violations") == "").drop(
+            "violations"
+        ).write.mode("append").parquet(clean_path)
+        tagged.filter(F.col("violations") != "").write.mode(
+            "append"
+        ).parquet(quarantine_path)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

@@ -413,3 +413,44 @@ def test_stream_rollup_matches_batch_build(spark, tmp_path):
         return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
     assert rows_of(str(tmp_path / "rollup")) == rows_of(full)
+
+
+def test_stream_quarantine_splits_clean_and_bad(spark, tmp_path):
+    import os
+
+    from pybabe_spark.streaming.ops import stream_quarantine
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, 5.0), (2, 50.0)]
+    rows2 = [(None, 5.0), (4, 7.0)]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "k int, v double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k int, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rules = [("not_null", "k"), ("range", "v", 0, 10)]
+    q = stream_quarantine(
+        stream,
+        rules,
+        str(tmp_path / "clean"),
+        str(tmp_path / "bad"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    clean = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    }
+    bad = {
+        (r["k"], r["v"], r["violations"])
+        for r in spark.read.parquet(str(tmp_path / "bad")).collect()
+    }
+    assert clean == {(1, 5.0), (4, 7.0)}
+    assert bad == {(2, 50.0, "range:v"), (None, 5.0, "not_null:k")}
