@@ -337,3 +337,50 @@ def url_param(col: Column | str, name: str) -> Column:
     """Value of one query parameter (empty string when absent)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, rf"[?&]{name}=([^&#]*)", 1)
+
+
+def pseudonymize(
+    df,
+    cols,
+    salt: str,
+    prefix_len: int = 16,
+):
+    """GDPR-style column pseudonymization: replace each named column
+    with the ``prefix_len``-hex-char md5 of ``salt || ':' || value``
+    (NULL stays NULL). Deterministic — equal values map to equal
+    tokens, so joins/group-bys on the pseudonym still work — and
+    one-way for the pipeline (recovery requires the salt AND a
+    dictionary attack; rotate the salt to unlink datasets). Pure
+    codegen projection; the complement of functions/text.pii_scrub
+    (which redacts inside free text — this tokenizes whole key
+    columns)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not 4 <= int(prefix_len) <= 32:
+        raise ValueError("pseudonymize: prefix_len must be 4..32")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"), F.col(c).cast("string")
+                        )
+                    ),
+                    1,
+                    int(prefix_len),
+                ),
+            ),
+        )
+    return out
+
+
+def pseudonymize_sql(col: str, salt: str, prefix_len: int = 16) -> str:
+    """DuckDB oracle expression for one pseudonymized column."""
+    q = salt.replace("'", "''")
+    return (
+        f"CASE WHEN {col} IS NOT NULL THEN substr(md5('{q}:' || "
+        f"CAST({col} AS VARCHAR)), 1, {int(prefix_len)}) END"
+    )

@@ -215,6 +215,11 @@ class Babe:
 
         return self._wrap(global_shuffle(self.df, key, seed, shards))
 
+    def pseudonymize(self, cols, salt, prefix_len=16) -> "Babe":
+        from pybabe_spark.functions.enrich import pseudonymize
+
+        return self._wrap(pseudonymize(self.df, cols, salt, prefix_len))
+
     def normalize_url(self, field) -> "Babe":
         from pybabe_spark.functions.url import normalize_url
 

@@ -1650,3 +1650,27 @@ def q_calendar(spark, sf_dir):
     from pybabe_spark.operators.timeseries import calendar
 
     return calendar(spark, "2023-12-25", "2024-02-29")
+
+
+def _pseudo_sql():
+    from pybabe_spark.functions.enrich import pseudonymize_sql
+
+    c = pseudonymize_sql("c_name", "bench-salt")
+    return (
+        f"SELECT c_custkey, {c} AS c_name, c_nationkey"
+        " FROM customer"
+    )
+
+
+@register("pseudonymize_customers", _pseudo_sql())
+def q_pseudonymize(spark, sf_dir):
+    """Deterministic key-column pseudonymization
+    (functions/enrich.py::pseudonymize): salted-md5 tokens preserve
+    joinability while unlinking identity — the GDPR-pipeline step;
+    pure codegen projection, oracle replays the identical hash."""
+    from pybabe_spark.functions.enrich import pseudonymize
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return pseudonymize(cust, "c_name", "bench-salt")

@@ -955,3 +955,19 @@ def test_transition_matrix_hand_checked(spark):
         ("A", "A"): (1, 333333),
         ("A", "B"): (2, 666666),
     }
+
+
+def test_pseudonymize_deterministic_joinable_null_safe(spark):
+    from pybabe_spark.functions.enrich import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice"), (4, None)],
+        "id int, name string",
+    )
+    out = {r["id"]: r["name"] for r in pseudonymize(df, "name", "s1").collect()}
+    assert out[1] == out[3] and out[1] != out[2]   # joinability kept
+    assert out[4] is None
+    assert len(out[1]) == 16 and out[1] != "alice"
+    # a different salt unlinks the datasets
+    out2 = {r["id"]: r["name"] for r in pseudonymize(df, "name", "s2").collect()}
+    assert out2[1] != out[1]
