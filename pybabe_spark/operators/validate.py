@@ -320,10 +320,16 @@ def benford_audit(
     magnitudes; the leading digit of |x| < 1 is its first NONZERO
     digit).
 
-    One conditional aggregation to the 9-row digit table; the χ²
-    statistic is a fixed-shape scalar over exact integer counts and
-    double constants — deterministic cross-engine, replayed verbatim
-    by the oracle. Digits with zero rows still appear (n=0).
+    TWO passes over the column (like ``histogram``'s documented
+    two-pass shape): one scan aggregates to the 9-row digit table,
+    and ONE further 1-row aggregate over those 9 rows carries both the
+    total and the χ² — via the algebraic identity
+    ``χ² = Σ(n²/p)/t − t`` (expand ``Σ(n−tp)²/(tp)`` with ``Σp = 1``)
+    so no per-digit expected-count stage re-derives the scan. The
+    per-digit ``n²/p`` terms round to exact decimals before summing
+    (9-term IEEE sum order would otherwise differ across engines);
+    everything else is fixed-shape scalar arithmetic, replayed
+    verbatim by the oracle. Digits with zero rows still appear (n=0).
     """
     import math
 
@@ -346,29 +352,29 @@ def benford_audit(
     )
     from pybabe_spark.operators._util import attach_scalars
 
-    total = full.agg(F.sum("n").cast("bigint").alias("__t"))
-    # chi2 = sum over digits of (n - t*p_d)^2 / (t*p_d), p_d = log10(1+1/d)
     probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
-    with_t = attach_scalars(full, total)
     p_expr = None
     for d, p in probs.items():
         term = F.when(F.col("digit") == d, F.lit(p))
         p_expr = term if p_expr is None else p_expr.when(
             F.col("digit") == d, F.lit(p)
         )
-    exp = F.col("__t").cast("double") * p_expr
-    contrib = (F.col("n").cast("double") - exp) * (
-        F.col("n").cast("double") - exp
-    ) / exp
-    staged = with_t.withColumn("__c", contrib).withColumn("__p", p_expr)
-    chi2 = staged.agg(F.sum("__c").alias("__chi2"))
-    out = attach_scalars(staged, chi2)
+    nn = F.col("n").cast("double")
+    term6 = F.round(nn * nn / p_expr, 6).cast("decimal(18,6)")
+    scalars = full.agg(
+        F.sum("n").cast("bigint").alias("__t"),
+        F.sum(term6).cast("double").alias("__s2"),
+    )
+    out = attach_scalars(full.withColumn("__p", p_expr), scalars)
+    chi2 = F.col("__s2") / F.col("__t").cast("double") - F.col(
+        "__t"
+    ).cast("double")
     return out.select(
         "digit",
         "n",
         F.floor(F.col("__p") * 1e6).cast("bigint").alias("expected_ppm"),
         F.expr("(n * 1000000) div __t").alias("observed_ppm"),
-        (F.col("__chi2") > F.lit(float(chi2_crit))).alias("suspicious"),
+        (chi2 > F.lit(float(chi2_crit))).alias("suspicious"),
     )
 
 
@@ -398,22 +404,19 @@ def benford_audit_sql(
         FROM (SELECT UNNEST(range(1, 10)) AS digit) g
         LEFT JOIN counted c ON c.digit = g.digit
     ),
-    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM full_grid),
-    staged AS (
-        SELECT digit, n,
-               CASE digit {p_case} END AS p,
-               (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
-                * (CASE digit {p_case} END))
-               * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE)
-                  * (CASE digit {p_case} END))
-               / (CAST(total AS DOUBLE) * (CASE digit {p_case} END)) AS c,
-               total
-        FROM full_grid CROSS JOIN t
-    ),
-    chi AS (SELECT SUM(c) AS chi2 FROM staged)
+    scalars AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(CAST(ROUND(
+                   CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CASE digit {p_case} END), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        FROM full_grid
+    )
     SELECT CAST(digit AS INT) AS digit, n,
-           CAST(FLOOR(p * 1e6) AS BIGINT) AS expected_ppm,
+           CAST(FLOOR((CASE digit {p_case} END) * 1e6) AS BIGINT)
+               AS expected_ppm,
            (n * 1000000) // total AS observed_ppm,
-           chi2 > {float(chi2_crit)!r} AS suspicious
-    FROM staged CROSS JOIN chi
+           s2 / CAST(total AS DOUBLE) - CAST(total AS DOUBLE)
+               > {float(chi2_crit)!r} AS suspicious
+    FROM full_grid CROSS JOIN scalars
     """

@@ -523,3 +523,55 @@ def test_sequence_count_one_shuffle_no_python(spark, sf_dir):
     plan = _plan(spark, "sequence_count_events", sf_dir)
     assert "Python" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_json_flatten_agg_no_python_partial(spark, sf_dir):
+    plan = _plan(spark, "json_flatten_events", sf_dir)
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pseudonymize_map_only(spark, sf_dir):
+    plan = _plan(spark, "pseudonymize_customers", sf_dir)
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_ab_test_single_conditional_agg(spark, sf_dir):
+    """Per-user conversion agg + the 4-counter test agg: exactly two
+    aggregation layers over one events scan, no Python."""
+    plan = _plan(spark, "ab_test_events", sf_dir)
+    assert plan.count("events.parquet") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_benford_two_pass_no_python(spark, sf_dir):
+    """Digit-table pass + 1-row scalar pass — the histogram-style
+    two-pass bound (was 4 scans before the χ² identity rewrite)."""
+    plan = _plan(spark, "benford_orders_price", sf_dir)
+    assert plan.count("orders.parquet") <= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "weighted_sample_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pareto_take_ordered_no_global_window(spark, sf_dir):
+    plan = _plan(spark, "pareto_suppliers_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_frequent_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "frequent_pairs_lineitem", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_quantile_bins_single_scan_pair(spark, sf_dir):
+    """Edges agg + binned projection: the orders scan appears at most
+    twice (edge pass + bin pass), bin assignment is codegen."""
+    plan = _plan(spark, "quantile_bins_orders", sf_dir)
+    assert plan.count("orders.parquet") <= 2, plan
+    assert "Python" not in plan, plan
