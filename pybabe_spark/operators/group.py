@@ -196,6 +196,13 @@ def funnel(
         raise ValueError("funnel: steps must be non-empty")
     from pybabe_spark.operators._util import attach_scalars
 
+    # lazy checkpoints (no construction job): the event projection is
+    # filtered once per step, and each frontier feeds BOTH the next
+    # step's join and its own count row — without the cuts the source
+    # lineage re-derives per consumer (measured 7× on 3 steps)
+    events = events.select(user_col, type_col, ts_col).localCheckpoint(
+        eager=False
+    )
     frontier = None
     prev_t = None
     rows = []
@@ -210,7 +217,9 @@ def funnel(
                 )
             f = f.join(frontier, user_col).filter(cond)
         prev_t = f"__t{i}"
-        frontier = f.groupBy(user_col).agg(F.min(ts_col).alias(prev_t))
+        frontier = f.groupBy(user_col).agg(
+            F.min(ts_col).alias(prev_t)
+        ).localCheckpoint(eager=False)
         rows.append(
             frontier.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),
