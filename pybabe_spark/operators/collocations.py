@@ -147,10 +147,10 @@ def frequent_pairs(
         df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
         .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
         .distinct()
-        # lazy checkpoint: bi feeds the pair join (twice), both item
+        # lazy persist: bi feeds the pair join (twice), both item
         # count sides, and the basket total — 5 source re-scans without
-        # it; eager=False keeps plan construction job-free
-        .localCheckpoint(eager=False)
+        # it; persist() keeps plan construction job-free
+        .persist()
     )
     x, y = bi.alias("x"), bi.alias("y")
     pairs = (

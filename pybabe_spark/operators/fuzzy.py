@@ -87,7 +87,12 @@ def fuzzy_string_pairs(
         .filter(F.col("s").isNotNull())
         .distinct()
     )
-    keys = s.select("s", F.explode(deletion_keys("s", max_dist)).alias("k"))
+    keys = s.select(
+        "s", F.explode(deletion_keys("s", max_dist)).alias("k")
+    ).persist()  # both join sides consume the key table; the lazy
+    # cache computes the deletion neighborhoods once (persist, not
+    # localCheckpoint(eager=False): the latter can run stages at
+    # construction, which would defeat the max_len guard's laziness)
     # the candidate join streams this side: without _spread, AQE
     # coalesces the small distinct-names shuffle to 1 partition and the
     # whole candidate+confirm stage serializes (8 s → 2 s at sf0.1,

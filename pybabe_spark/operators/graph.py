@@ -315,9 +315,9 @@ def pagerank(
     is one equi-join of the edge list with the rank table (both
     exchanged on src — AQE reuses the partitioning) plus one hash
     aggregation on dst, shuffles linear in |E|. The degree-annotated
-    edge list and node set are lazily checkpointed once (no
-    construction job; materialized at the query's own first action) so
-    iterations never re-derive the upstream edge lineage; set
+    edge list and node set are lazily persisted once (no
+    construction job; the cache fills at the query's own first action)
+    so iterations never re-derive the upstream edge lineage; set
     ``checkpoint_interval`` to additionally cut the RANK lineage every
     k iterations (eager jobs) for deep iteration counts.
     """
@@ -333,17 +333,17 @@ def pagerank(
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # LAZY checkpoints: the degree-annotated edges and the node set are
+    # LAZY persists: the degree-annotated edges and the node set are
     # consumed once per iteration — without them every iteration (and
     # both sides of the final assembly) re-derives the full upstream
     # edge lineage (measured 40× source re-scan on the 3-iteration
-    # trade-network query). eager=False keeps construction job-free.
-    ewd = e.join(deg, "src").localCheckpoint(eager=False)
+    # trade-network query). persist() is construction-job-free.
+    ewd = e.join(deg, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ranks = nodes.withColumn("__r", F.lit(1_000_000).cast("bigint"))
     for i in range(iters):
@@ -428,12 +428,14 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        # LAZY checkpoint: the edge set feeds nodes/degrees/orientation/
+        # LAZY persist: the edge set feeds nodes/degrees/orientation/
         # closing-edge probes — without it every consumer re-derives the
         # whole upstream lineage (measured: a 36× source re-scan on the
-        # supplier graph). eager=False keeps construction job-free; the
-        # materialization happens once, at the query's own action.
-        .localCheckpoint(eager=False)
+        # supplier graph). persist() marks only — no construction job
+        # (localCheckpoint(eager=False) is NOT construction-free: its
+        # .rdd conversion can force AQE stage materialization) — and
+        # the cache fills at the query's own first action.
+        .persist()
     )
     nodes = e.select(F.col("u").alias("n")).unionAll(
         e.select(F.col("v").alias("n"))
@@ -449,7 +451,7 @@ def triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=False)  # reused by both wedge sides + close
+    ).persist()  # reused by both wedge sides + the closing-edge probe
     x = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
     )
@@ -527,9 +529,9 @@ def bfs_distances(
         )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        # lazy checkpoint: every hop joins the frontier against sym —
+        # lazy persist: every hop joins the frontier against sym —
         # without it each round re-derives the edge lineage from source
-        .localCheckpoint(eager=False)
+        .persist()
     )
     visited = (
         sources.select(F.col(sources.columns[0]).alias("id"))

@@ -196,13 +196,11 @@ def funnel(
         raise ValueError("funnel: steps must be non-empty")
     from pybabe_spark.operators._util import attach_scalars
 
-    # lazy checkpoints (no construction job): the event projection is
+    # lazy persists (no construction job): the event projection is
     # filtered once per step, and each frontier feeds BOTH the next
-    # step's join and its own count row — without the cuts the source
+    # step's join and its own count row — without the caches the source
     # lineage re-derives per consumer (measured 7× on 3 steps)
-    events = events.select(user_col, type_col, ts_col).localCheckpoint(
-        eager=False
-    )
+    events = events.select(user_col, type_col, ts_col).persist()
     frontier = None
     prev_t = None
     rows = []
@@ -219,7 +217,7 @@ def funnel(
         prev_t = f"__t{i}"
         frontier = f.groupBy(user_col).agg(
             F.min(ts_col).alias(prev_t)
-        ).localCheckpoint(eager=False)
+        ).persist()
         rows.append(
             frontier.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step"),

@@ -143,9 +143,9 @@ def pareto_report(
     micro = sums.select(
         F.col(key),
         (F.col(v) * 1_000_000).cast("bigint").alias("__vm"),
-    ).localCheckpoint(eager=False)  # feeds totals + the TakeOrdered head:
-    # without the (lazy, key-cardinality) checkpoint each consumer re-runs
-    # the corpus aggregation
+    ).persist()  # feeds totals + the TakeOrdered head: without the
+    # (lazy, key-cardinality) cache each consumer re-runs the corpus
+    # aggregation
     totals = micro.agg(F.sum("__vm").cast("bigint").alias("__tm"))
     top = micro.orderBy(
         F.col("__vm").desc(), F.col(key).asc_nulls_first()

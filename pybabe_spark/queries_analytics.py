@@ -896,12 +896,12 @@ def q_scd2_upsert(spark, sf_dir):
         "user_id", "ts", "event_type"
     )
     cutoff = F.lit("2024-01-24").cast("timestamp")
-    # lazy checkpoint: in real use history is READ from storage; built
+    # lazy persist: in real use history is READ from storage; built
     # in-plan it would otherwise be re-collapsed once per consumer
     # (anti-join, span guard, re-expansion — 7 source scans measured)
     hist = scd2_from_changelog(
         ev.filter(F.col("ts") < cutoff), "user_id", "ts", ["event_type"]
-    ).localCheckpoint(eager=False)
+    ).persist()
     return scd2_upsert(
         hist,
         ev.filter(F.col("ts") >= cutoff),

@@ -840,8 +840,8 @@ def q_quality_classifier_eval(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "__lbl",
         F.array_contains(F.split("text", " "), "spark").cast("int"),
-    ).localCheckpoint(eager=False)  # train/test splits + scoring would
-    # otherwise each re-read and re-label the corpus (15 scans measured)
+    ).persist()  # train/test splits + scoring would otherwise each
+    # re-read and re-label the corpus (15 scans measured)
     held = hash_bucket("doc_id") % 4 == 0
     train, test = docs.filter(~held), docs.filter(held)
     prof = doc_feature_profile(train, buckets=4096).localCheckpoint(eager=True)
