@@ -1336,23 +1336,31 @@ def _triangle_sql():
 
     return triangle_count_sql(
         """
-        SELECT a.s AS id_a, b.s AS id_b FROM
-          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
-          JOIN
-          (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
-          ON a.o = b.o AND a.s < b.s
+        SELECT id_a, id_b FROM (
+          SELECT a.s AS id_a, b.s AS id_b FROM
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
+            JOIN
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
+            ON a.o = b.o AND a.s < b.s
+        ) WHERE (id_a + id_b) % 7 = 0
         """
     )
 
 
 @register("triangle_count_suppliers", _triangle_sql())
 def q_triangle_count(spark, sf_dir):
-    """Triangle census of the supplier co-occurrence graph (suppliers
-    linked when they serve one order; operators/graph.py::
-    triangle_count): degree-ordered orientation bounds wedge work by
-    O(m^1.5) — the hub-safe distributed algorithm — while the oracle
-    counts the textbook u<v<w 3-way join. Pair fanout per order is
-    bounded by order width."""
+    """Triangle census of a deterministic 1/7 edge sample of the
+    supplier co-occurrence graph (suppliers linked when they serve one
+    order; operators/graph.py::triangle_count): degree-ordered
+    orientation bounds wedge work by O(m^1.5) — the hub-safe
+    distributed algorithm — while the oracle counts the textbook
+    u<v<w 3-way join on the same sampled edge set. The sample keeps
+    the key bench-sized: the synthetic baskets make the FULL
+    projection near-complete (every pair of 1 000 suppliers
+    co-occurs somewhere at sf0.1 — ~500 k edges, Θ(n³) triangles),
+    which stresses nothing but raw wedge volume; real co-occurrence
+    graphs are sparse and the operator's bound is the interesting
+    part."""
     from pybabe_spark.operators.graph import triangle_count
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1360,9 +1368,14 @@ def q_triangle_count(spark, sf_dir):
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
     ).distinct()
     a, b = os_.alias("a"), os_.alias("b")
-    edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s"))
-    ).select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
+    )
     return triangle_count(edges)
 
 
