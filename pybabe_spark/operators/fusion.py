@@ -1,0 +1,126 @@
+"""Rank fusion for hybrid retrieval (RRF).
+
+Beyond-reference capability: the retrieval layer a RAG / training-data
+pipeline puts ON TOP of the engine's two search families — sparse
+(BM25, ``operators/tfidf.py``) and dense (cosine ANN,
+``operators/similarity.py``). Reciprocal-rank fusion (Cormack et al.,
+SIGIR 2009) combines any number of ranked lists without score
+calibration: each list contributes ``1 / (rrf_k + rank)`` per document,
+and documents are re-ranked by the summed contribution. RRF is the
+standard fusion in hybrid search engines precisely because it only
+consumes RANKS — BM25 log-scores and cosine similarities never have to
+share a scale.
+
+Scale shape (100 TB): fusion itself never touches the corpus — its
+inputs are the top-k CUTS the search operators already produce
+(TakeOrdered results, k rows each). The per-list ranking window is
+partitioned by list index (each partition is one bounded list, never a
+corpus funnel), the fuse is a k·n_lists-row hash aggregation, and the
+final cut is again TakeOrdered. Everything upstream keeps its own scale
+story (filtered posting lists for BM25, bucketed/IVF candidate
+generation for ANN).
+
+Cross-engine determinism: ranks are integers (ties broken by id), and
+each contribution is the INTEGER ``1_000_000_000_000 // (rrf_k + rank)``
+— floor division of exact bigints, identical in Spark (``div``) and
+DuckDB (``//``); the fused score is an exact bigint sum, so the result
+hash cannot drift. The ppm-style fixed-point keeps six significant
+digits of the reciprocal at rank 1000, far beyond any tie the float
+form could distinguish.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators._util import gen_col
+
+#: fixed-point scale of one reciprocal-rank unit: score = Σ SCALE//(K+r)
+RRF_SCALE = 1_000_000_000_000
+
+
+def _max_rows(df: DataFrame) -> tuple[bool, int | None]:
+    """``(known, bound)``: the logical plan's row-count bound.
+    ``known=False`` means the classic plan handle is absent (Spark
+    Connect) and nothing can be proven either way; ``(True, None)``
+    means the plan is provably unbounded."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().maxRows()
+    except Exception:
+        return False, None
+    return True, (int(opt.get()) if not opt.isEmpty() else None)
+
+
+def rank_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Fuse ranked lists with reciprocal-rank fusion → top-``k``
+    ``(id, rrf_score, n_lists)``.
+
+    Each input must be a BOUNDED ranked result — a top-k cut such as
+    :func:`~pybabe_spark.operators.tfidf.bm25_search` or
+    :func:`~pybabe_spark.operators.similarity.ann_brute_force` output —
+    with an ``id_col`` and a ``score_col``. Boundedness is asserted
+    from the logical plan's ``maxRows`` where the classic plan handle
+    exists (an unbounded input means someone passed a corpus, not a
+    ranking — the per-list rank would funnel it through one task); on
+    Spark Connect the check degrades to trusting the caller.
+
+    Ranks within each list are recomputed here as
+    ``row_number() over (order by score desc, id asc)`` — deterministic
+    under score ties, independent of the input's physical row order
+    (top-k cuts arrive unsorted after a shuffle). ``rrf_score`` is the
+    exact integer ``Σ_lists RRF_SCALE // (rrf_k + rank)``; ``n_lists``
+    counts how many lists surfaced the id (a useful hybrid-agreement
+    signal). Final ties break id-ascending.
+    """
+    if not rankings:
+        raise ValueError("rank_fuse: need at least one ranking")
+    if k <= 0 or rrf_k < 0:
+        raise ValueError("rank_fuse: k must be positive and rrf_k >= 0")
+    sides = []
+    side_col = gen_col([id_col, score_col], "__rrf_side")
+    for i, r in enumerate(rankings):
+        known, bound = _max_rows(r)
+        if known and bound is None:
+            raise ValueError(
+                f"rank_fuse: ranking {i} has no row bound in its plan; "
+                "pass top-k cuts (orderBy(...).limit(k)), not corpora"
+            )
+        sides.append(
+            r.select(
+                F.lit(i).alias(side_col),
+                F.col(id_col).cast("long").alias(id_col),
+                F.col(score_col).cast("double").alias(score_col),
+            )
+        )
+    allr = sides[0]
+    for s in sides[1:]:
+        allr = allr.unionByName(s)
+    rk = gen_col([id_col, score_col, side_col], "__rrf_rank")
+    w = Window.partitionBy(side_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    contrib = allr.withColumn(rk, F.row_number().over(w)).select(
+        id_col,
+        F.expr(f"{RRF_SCALE} div ({rrf_k} + {rk})").alias("__c"),
+    )
+    fused = contrib.groupBy(id_col).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def rrf_contrib_sql(rank_expr: str, rrf_k: int = 60) -> str:
+    """The DuckDB mirror of one list's integer RRF contribution."""
+    return f"({RRF_SCALE} // ({rrf_k} + {rank_expr}))"

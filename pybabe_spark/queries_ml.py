@@ -1198,3 +1198,77 @@ def q_kmeans(spark, sf_dir):
             <= F.col("__ini").cast("double") + F.lit(1e-3)
         ).alias("inertia_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: sparse (BM25) + dense (cosine) fused with RRF
+# ---------------------------------------------------------------------------
+
+_HYBRID_TERMS = ["spark", "window", "sort"]
+_HYBRID_K_IN = 20  # depth of each input list fed to the fusion
+
+
+def _hybrid_sql() -> str:
+    """DuckDB oracle of ``hybrid_search_docs``: the bm25_sql top-20 and
+    a vec-0 cosine top-20 are re-ranked with the SAME (score DESC, id
+    ASC) tiebreak each list was cut by, then fused with the exact
+    integer reciprocal-rank contribution (operators/fusion.py)."""
+    from pybabe_spark.operators.fusion import rrf_contrib_sql
+    from pybabe_spark.operators.tfidf import bm25_sql
+
+    sparse = bm25_sql(_HYBRID_TERMS, k=_HYBRID_K_IN)
+    return f"""
+    WITH sparse AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rk
+      FROM ({sparse}) s
+    ),
+    q AS (SELECT {_NORMED.format(v='embedding')} AS qv
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS id, {_NORMED.format(v='embedding')} AS cv
+          FROM embeddings),
+    dsims AS (
+      SELECT id,
+             CAST(CAST({_DOT_N.format(a='qv', b='cv')} AS DECIMAL(18,6))
+                  AS DOUBLE) AS score
+      FROM c, q WHERE id <> 0
+    ),
+    dense AS (
+      SELECT id, rk FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rk
+        FROM dsims
+      ) t WHERE rk <= {_HYBRID_K_IN}
+    ),
+    lists AS (
+      SELECT id, rk FROM sparse UNION ALL SELECT id, rk FROM dense
+    )
+    SELECT id,
+           CAST(SUM({rrf_contrib_sql('rk')}) AS BIGINT) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM lists GROUP BY id
+    ORDER BY rrf_score DESC, id ASC LIMIT 10
+    """
+
+
+@register("hybrid_search_docs", _hybrid_sql())
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (operators/fusion.py::rank_fuse): BM25 top-20
+    for three query terms fused with the cosine top-20 around vec 0
+    (doc ids and vec ids share the key space in the testdata) by
+    reciprocal-rank fusion. Fusion never touches the corpus — both
+    inputs are the search operators' own top-k cuts; the rank windows
+    are partitioned per list; the fused score is an exact bigint."""
+    from pybabe_spark.operators.fusion import rank_fuse
+    from pybabe_spark.operators.tfidf import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    sparse = bm25_search(docs, _HYBRID_TERMS, k=_HYBRID_K_IN)
+    # the per-query rank filter is ≤ K_IN rows by construction; the
+    # explicit limit writes that bound into the plan (rank_fuse asserts
+    # boundedness from logical maxRows)
+    dense = (
+        ann_brute_force(emb, emb.filter(F.col("vec_id") == 0), k=_HYBRID_K_IN)
+        .select(F.col("neighbor_id").alias("id"), F.col("sim").alias("score"))
+        .limit(_HYBRID_K_IN)
+    )
+    return rank_fuse([sparse, dense], k=10)

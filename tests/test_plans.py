@@ -364,6 +364,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # BM25: linear aggs + broadcast idf + TakeOrdered — must stay
         # clean (the 1-row scalar attach is maxRows-proven)
         "bm25_search_docs": set(),
+        # hybrid RRF: fusion itself is clean (per-list rank windows are
+        # partitioned, the fuse is a k·lists-row agg); the finding is
+        # the dense input's brute-force scorer (the ann_cosine_topk
+        # contract — bounded query set broadcast against the corpus)
+        "hybrid_search_docs": {"broadcast-nested-loop"},
         # temperature resampling: group-partitioned window (not global),
         # broadcast alloc table, maxRows-proven scalar attach — clean
         "temperature_resample_docs": set(),
