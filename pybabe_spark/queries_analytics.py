@@ -1690,3 +1690,59 @@ def q_pseudonymize(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey"
     )
     return pseudonymize(cust, "c_name", "bench-salt")
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (operators/attribution.py)
+# ---------------------------------------------------------------------------
+
+_ATTR_CONV = "event_type = 'purchase'"
+_ATTR_TOUCH = "event_type IN ('click', 'view', 'signup')"
+
+
+def _attr_sql(model: str) -> str:
+    from pybabe_spark.operators.attribution import attribution_sql
+
+    return attribution_sql(
+        conversion_where=_ATTR_CONV,
+        touch_where=_ATTR_TOUCH,
+        channel_expr="event_type",
+        model=model,
+        lookback_days=7,
+        value_expr="value",
+    )
+
+
+def _attr_query(spark, sf_dir, model: str):
+    from pybabe_spark.operators.attribution import attribute_conversions
+
+    ev = read_table(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        conversion=F.col("event_type") == "purchase",
+        touch=F.col("event_type").isin("click", "view", "signup"),
+        channel_col="event_type",
+        model=model,
+        lookback_days=7,
+        value_col="value",
+    )
+
+
+@register("attribution_last_touch_events", _attr_sql("last"))
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution (operators/attribution.py): purchases
+    credited to the most recent click/view/signup inside a 7-day
+    lookback; purchases with no touch land in '(none)'. One user-keyed
+    equi-join + per-conversion rank window + channel rollup — the
+    interval-join scale shape; credits and attributed value are exact
+    micro-integer arithmetic on both engines."""
+    return _attr_query(spark, sf_dir, "last")
+
+
+@register("attribution_linear_events", _attr_sql("linear"))
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's credit is split
+    ``1e6 // n_touches`` micro-units per touch (documented floor
+    truncation, identical on both engines), value proportionally in
+    DECIMAL(38,0)/HUGEINT — overflow-proof at any corpus size."""
+    return _attr_query(spark, sf_dir, "linear")

@@ -435,6 +435,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "pack_contiguous_docs",
                 # count agg + TakeOrdered head + 1-row scalar attach
                 "skew_report_orders",
+                # user-keyed equi-join + per-conversion windows + a
+                # low-cardinality channel rollup — clean end to end
+                "attribution_last_touch_events",
+                "attribution_linear_events",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
