@@ -169,3 +169,120 @@ def zscore_anomalies_sql(
           * (CAST(__n AS DOUBLE) * {value_col} - __s)
           > {t2} * (CAST(__n AS DOUBLE) * __q - __s * __s)
     """
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outliers by the modified z-score (Iglewicz-
+    Hoaglin): rows where ``0.6745 · |x − median| / MAD > threshold``,
+    with MAD the median absolute deviation. Unlike :func:`
+    zscore_anomalies` this is insensitive to the outliers themselves
+    inflating the spread — the standard robust twin.
+
+    Cross-engine determinism: the two medians are linear-interpolated
+    exact percentiles; on 2-decimal money inputs a midpoint has ≤3
+    decimals, so the DECIMAL(18,6) rounding applied to each median is
+    stable against the engines' 1-ulp interpolation-order noise (a
+    3-decimal value can never sit on a 6-dp half-point). Deviations are
+    then EXACT decimals (2-dp value − 6-dp median), and the decision is
+    the integer-scaled comparison ``6745·dev > round(10000·t)·mad`` —
+    exact decimal×int arithmetic, no float in the comparison. The
+    reported ``mscore`` is one final rounded double.
+
+    Keys with ``MAD = 0`` (a majority-constant series) flag nothing —
+    the modified z-score is undefined there; NULL values are ignored
+    and never flagged. ``threshold`` is quantized to 1e-4.
+
+    Scale shape: two grouped aggregations on the key (exact percentile
+    is a per-key sort-based aggregate — grouped, never global) and two
+    key-partitioned joins back. For corpora where exact per-key medians
+    are too hot, pre-aggregate or sample upstream; an approximate
+    variant would lose the value-level oracle.
+    """
+    tq = round(float(threshold) * 10000)
+    vd = F.col(value_col).cast("decimal(18,2)")
+    med = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.round(F.expr(f"percentile({value_col}, 0.5)"), 6)
+            .cast("decimal(18,6)")
+            .alias("__med")
+        )
+    )
+    dev = (
+        df.join(med, key_col)
+        .withColumn("__dev", F.abs(vd - F.col("__med")))
+    )
+    mad = (
+        dev.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.round(F.expr("percentile(__dev, 0.5)"), 6)
+            .cast("decimal(18,6)")
+            .alias("__mad")
+        )
+    )
+    j = dev.join(mad, key_col)
+    cond = (
+        F.col(value_col).isNotNull()
+        & (F.col("__mad") > 0)
+        & (F.col("__dev") * 6745 > F.col("__mad") * tq)
+    )
+    return j.filter(cond).select(
+        key_col,
+        ts_col,
+        F.col(value_col),
+        F.col("__med").cast("double").alias("median"),
+        F.col("__mad").cast("double").alias("mad"),
+        _round6(
+            F.lit(0.6745)
+            * F.col("__dev").cast("double")
+            / F.col("__mad").cast("double")
+        ).alias("mscore"),
+    )
+
+
+def mad_anomalies_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.5,
+) -> str:
+    """DuckDB oracle — same rounded medians, exact decimal deviations,
+    and integer-scaled decision."""
+    tq = round(float(threshold) * 10000)
+    return f"""
+    WITH med AS (
+      SELECT {key_col},
+             CAST(ROUND(quantile_cont({value_col}, 0.5), 6)
+                  AS DECIMAL(18,6)) AS __med
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {key_col}
+    ),
+    dev AS (
+      SELECT t.*, m.__med,
+             abs(CAST(t.{value_col} AS DECIMAL(18,2)) - m.__med) AS __dev
+      FROM {table} t JOIN med m USING ({key_col})
+    ),
+    mad AS (
+      SELECT {key_col},
+             CAST(ROUND(quantile_cont(__dev, 0.5), 6)
+                  AS DECIMAL(18,6)) AS __mad
+      FROM dev WHERE {value_col} IS NOT NULL GROUP BY {key_col}
+    )
+    SELECT d.{key_col}, d.{ts_col}, d.{value_col},
+           CAST(d.__med AS DOUBLE) AS median,
+           CAST(a.__mad AS DOUBLE) AS mad,
+           ROUND(0.6745 * CAST(d.__dev AS DOUBLE)
+                 / CAST(a.__mad AS DOUBLE), 6) AS mscore
+    FROM dev d JOIN mad a USING ({key_col})
+    WHERE d.{value_col} IS NOT NULL
+      AND a.__mad > 0
+      AND d.__dev * 6745 > a.__mad * {tq}
+    """

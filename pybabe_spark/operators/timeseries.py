@@ -432,3 +432,96 @@ def calendar_sql(start: str, end: str) -> str:
     FROM (SELECT UNNEST(generate_series(DATE '{start}', DATE '{end}',
                                         INTERVAL 1 DAY)) AS d)
     """
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str | None = None,
+    depth: int = 4,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (half-life decay)
+    over the trailing ``depth`` observations, appended as ``out_col``.
+
+    Weights are the EXACT powers of two of an α=½ EWMA truncated at
+    ``depth`` terms — the newest observation gets ``2^(depth−1)``, the
+    oldest kept one gets 1 — normalized by the weights actually present
+    (series starts and NULL values simply drop their term, so early
+    rows average over what exists instead of decaying toward a phantom
+    zero). A row whose trailing window holds no non-NULL value gets a
+    NULL ``out_col``.
+
+    Cross-engine determinism: values enter at 2-decimal money precision
+    (``DECIMAL(18,2)·100`` → exact bigint cents), the weighted sum is a
+    fixed-depth chain of bigint multiply-adds over ``lag`` columns (no
+    float accumulation, no order dependence), and the single final
+    division of two exact bigints is correctly rounded IEEE-754 on
+    every engine. α is fixed at ½ BECAUSE of this design — arbitrary α
+    would put transcendental powers inside the accumulation, the exact
+    hazard the house decimal convention exists to avoid.
+
+    Scale shape (100 TB): one key-partitioned window, ``depth`` lag
+    expressions evaluated in a single pass — no self-join, no
+    per-row Python. ``depth`` is bounded (≤ 30) because each term
+    shifts cents left by up to ``depth`` bits.
+    """
+    if not 1 <= depth <= 30:
+        raise ValueError("ewma_smooth: depth must be in [1, 30]")
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    c0 = gen_col(df.columns, "__ewma_c")
+    with_c = df.withColumn(c0, cents)
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for i in range(depth):
+        term = F.lag(c0, i).over(w) if i else F.col(c0)
+        wt = 1 << (depth - 1 - i)
+        num = num + F.coalesce(term * wt, F.lit(0))
+        den = den + F.when(term.isNotNull(), F.lit(wt * 100)).otherwise(0)
+    return with_c.withColumn(
+        out_col,
+        F.when(den > 0, num.cast("double") / den.cast("double")),
+    ).drop(c0)
+
+
+def ewma_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str | None = None,
+    depth: int = 4,
+    out_col: str = "ewma",
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`ewma_smooth` — same bigint cents, same
+    power-of-two weight chain, same single IEEE division."""
+    order = f"{ts_col} ASC" + (f", {id_col} ASC" if id_col else "")
+    over = f"OVER (PARTITION BY {key_col} ORDER BY {order})"
+    lag = lambda i: (  # noqa: E731
+        "c" if i == 0 else f"lag(c, {i}) {over}"
+    )
+    num = " + ".join(
+        f"COALESCE({lag(i)} * {1 << (depth - 1 - i)}, 0)" for i in range(depth)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag(i)} IS NOT NULL THEN {(1 << (depth - 1 - i)) * 100} ELSE 0 END)"
+        for i in range(depth)
+    )
+    return f"""
+    WITH __ewma_src AS (
+      SELECT *, CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM {table}
+    )
+    SELECT {select},
+           CASE WHEN ({den}) > 0
+                THEN CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE)
+           END AS {out_col}
+    FROM __ewma_src
+    """

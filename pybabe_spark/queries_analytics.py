@@ -1746,3 +1746,56 @@ def q_attribution_linear(spark, sf_dir):
     truncation, identical on both engines), value proportionally in
     DECIMAL(38,0)/HUGEINT — overflow-proof at any corpus size."""
     return _attr_query(spark, sf_dir, "linear")
+
+
+def _ewma_sql() -> str:
+    from pybabe_spark.operators.timeseries import ewma_sql
+
+    return ewma_sql(
+        "events",
+        key_col="user_id",
+        value_col="value",
+        ts_col="ts",
+        id_col="event_id",
+        depth=4,
+        select="user_id, event_id, value",
+    )
+
+
+@register("ewma_events", _ewma_sql())
+def q_ewma_events(spark, sf_dir):
+    """Per-user EWMA smoothing (operators/timeseries.py::ewma_smooth):
+    trailing 4-term half-life average of each user's event values —
+    exact bigint-cents weight chain inside one key-partitioned window,
+    a single IEEE division at the end."""
+    from pybabe_spark.operators.timeseries import ewma_smooth
+
+    ev = read_table(spark, sf_dir, "events")
+    return ewma_smooth(
+        ev, key_col="user_id", value_col="value", ts_col="ts",
+        id_col="event_id", depth=4,
+    ).select("user_id", "event_id", "value", "ewma")
+
+
+def _mad_sql() -> str:
+    from pybabe_spark.operators.anomaly import mad_anomalies_sql
+
+    return mad_anomalies_sql(
+        "events", key_col="event_type", value_col="value", ts_col="ts",
+        threshold=3.5,
+    )
+
+
+@register("mad_anomalies_events", _mad_sql())
+def q_mad_anomalies(spark, sf_dir):
+    """Robust outliers by modified z-score (operators/anomaly.py::
+    mad_anomalies): per-event-type median/MAD — rounded exact
+    percentiles, exact decimal deviations, integer-scaled decision —
+    the outlier-insensitive twin of zscore_anomalies_events."""
+    from pybabe_spark.operators.anomaly import mad_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    return mad_anomalies(
+        ev, key_col="event_type", value_col="value", ts_col="ts",
+        threshold=3.5,
+    )

@@ -1,0 +1,79 @@
+"""ewma_smooth and mad_anomalies unit behavior on hand-built series."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.anomaly import mad_anomalies
+from pybabe_spark.operators.timeseries import ewma_smooth
+
+_TS = "id long, ts timestamp, k string, v double"
+
+
+def _df(spark, vals, k="a"):
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), k, v) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, _TS)
+
+
+def test_ewma_halflife_weights(spark):
+    out = (
+        ewma_smooth(_df(spark, [1.0, 2.0, 4.0]), "k", "v", "ts", id_col="id",
+                    depth=2)
+        .orderBy("id")
+        .collect()
+    )
+    # depth=2, weights (2,1) on cents: 200/200, (400+100)/300, (800+200)/300
+    assert [r["ewma"] for r in out] == [1.0, 500 / 300, 1000 / 300]
+
+
+def test_ewma_null_values_drop_their_term(spark):
+    out = (
+        ewma_smooth(_df(spark, [1.0, None, 4.0]), "k", "v", "ts",
+                    id_col="id", depth=2)
+        .orderBy("id")
+        .collect()
+    )
+    # row1: value NULL, lag=1.0 with weight 1 -> 100/100 = 1.0
+    # row2: own 4.0 (weight 2), lag NULL -> 800/200 = 4.0
+    assert [r["ewma"] for r in out] == [1.0, 1.0, 4.0]
+
+
+def test_ewma_all_null_window_is_null_and_depth_guard(spark):
+    out = ewma_smooth(_df(spark, [None]), "k", "v", "ts", depth=3).collect()
+    assert out[0]["ewma"] is None
+    with pytest.raises(ValueError, match="depth"):
+        ewma_smooth(_df(spark, [1.0]), "k", "v", "ts", depth=0)
+    with pytest.raises(ValueError, match="depth"):
+        ewma_smooth(_df(spark, [1.0]), "k", "v", "ts", depth=31)
+
+
+def test_mad_flags_robust_outlier(spark):
+    df = _df(spark, [10.0, 12.0, 14.0, 16.0, 18.0, 100.0], k="b")
+    out = mad_anomalies(df, "k", "v", "ts", threshold=3.5).collect()
+    # median 15, devs (5,3,1,1,3,85), MAD 3 -> only 100 flags (19.1σ̃)
+    assert len(out) == 1 and out[0]["v"] == 100.0
+    assert out[0]["median"] == 15.0 and out[0]["mad"] == 3.0
+    assert out[0]["mscore"] == pytest.approx(0.6745 * 85 / 3, abs=1e-6)
+
+
+def test_mad_zero_mad_flags_nothing(spark):
+    # majority-constant series: MAD = 0 -> modified z undefined -> empty
+    df = _df(spark, [1.0, 1.0, 1.0, 1.0, 100.0])
+    assert mad_anomalies(df, "k", "v", "ts").count() == 0
+
+
+def test_mad_ignores_nulls(spark):
+    df = _df(spark, [10.0, 12.0, 14.0, None, 16.0, 18.0, 100.0])
+    out = mad_anomalies(df, "k", "v", "ts", threshold=3.5).collect()
+    assert [r["v"] for r in out] == [100.0]
+
+
+def test_ewma_and_mad_plans_lint_clean(spark):
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = _df(spark, [1.0, 2.0, 3.0])
+    assert plan_lint(ewma_smooth(df, "k", "v", "ts", depth=4)) == []
+    assert plan_lint(mad_anomalies(df, "k", "v", "ts")) == []

@@ -439,6 +439,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # low-cardinality channel rollup — clean end to end
                 "attribution_last_touch_events",
                 "attribution_linear_events",
+                # key-partitioned lag chain / grouped exact percentiles
+                # + key joins — never a global window
+                "ewma_events",
+                "mad_anomalies_events",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
