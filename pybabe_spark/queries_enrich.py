@@ -346,3 +346,24 @@ def _transpose_oracle() -> str:
 def q_transpose(spark, sf_dir):
     region = read_table(spark, sf_dir, "region")
     return transpose(sort(region, "r_regionkey"))
+
+
+def _soundex_nations_sql() -> str:
+    from pybabe_spark.functions.phonetic import soundex_sql
+
+    return f"""
+    SELECT n_name, {soundex_sql('n_name')} AS sdx
+    FROM nation
+    """
+
+
+@register("soundex_nations", _soundex_nations_sql())
+def q_soundex_nations(spark, sf_dir):
+    """Phonetic keys (functions/phonetic.py::soundex) over the 25 real
+    country names — every code value-checked against the DuckDB mirror
+    generated from the same letter table and collapse passes. Pure
+    codegen (translate + 7 regexp passes), zero shuffles."""
+    from pybabe_spark.functions.phonetic import soundex
+
+    nation = read_table(spark, sf_dir, "nation")
+    return nation.select("n_name", soundex("n_name").alias("sdx"))

@@ -443,6 +443,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # + key joins — never a global window
                 "ewma_events",
                 "mad_anomalies_events",
+                # pure codegen translate/regexp chain, zero shuffles
+                "soundex_nations",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
