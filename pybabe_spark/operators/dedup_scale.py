@@ -668,3 +668,79 @@ def near_dedup_against_stored(
         .distinct()
     )
     return new.join(drops, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment:
+    ``(id_a, id_b, contained_id, containment)`` where containment =
+    ``|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)`` ≥ threshold and
+    ``contained_id`` is the doc whose shingle set is the (smaller)
+    covered one — ties to the lower id.
+
+    Why a separate operator: Jaccard (and therefore MinHash LSH) is
+    blind to exactly the pairs this catches — a short document quoted
+    wholesale inside a long one has near-zero Jaccard but containment
+    ≈ 1. Containment is the right test for boilerplate supersets,
+    quote inclusion, and partial-copy detection (Broder's original
+    "containment" resemblance twin).
+
+    Scale shape: inverted shingle equi-join (the ``jaccard_pairs``
+    shape — shuffle on shingle, never all-pairs). The quadratic hazard
+    is HOT shingles (a boilerplate 3-gram shared by 1e6 docs joins
+    1e12 pairs); ``max_shingle_df`` drops shingles above a document
+    frequency cap before the join (standard stop-shingle removal —
+    trades recall on pathological grams for a hard per-shingle join
+    bound; the threshold denominator keeps the ORIGINAL set sizes so
+    containment stays conservative, never inflated).
+
+    Cross-engine determinism: the decision is the exact integer
+    comparison ``c · 1e6 ≥ round(threshold·1e6) · min(na, nb)``; the
+    reported containment is one IEEE division of two exact ints.
+    """
+    thr_ppm = round(float(threshold) * 1_000_000)
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("doc"), F.col("__shingle").alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > int(max_shingle_df))
+            .select("s")
+        )
+        joinable = sh.join(hot, "s", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("c") * 1_000_000 >= F.lit(thr_ppm) * F.least("na", "nb")
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        (
+            F.col("c").cast("double")
+            / F.least("na", "nb").cast("double")
+        ).alias("containment"),
+    )

@@ -1314,3 +1314,59 @@ def ann_ivfpq(
         )
     )
     return _topk_by_adist(sims, k)
+
+
+def ann_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training:
+    per query, the top-``k`` most-similar corpus vectors whose LABEL
+    DIFFERS from the query's — the nearest wrong answers, exactly the
+    negatives that sharpen a retrieval or classification margin
+    (in-batch random negatives are too easy; these are the hard ones).
+
+    Output ``(query_id, neighbor_id, sim)`` with the ANN family's
+    deterministic (sim DESC, neighbor ASC) tiebreak and DECIMAL(18,6)
+    sim rounding. NULL labels count as distinct from everything
+    (``IS DISTINCT FROM`` semantics), so unlabeled corpus rows are
+    eligible negatives for any labeled query.
+
+    Scale shape: identical to :func:`ann_brute_force` — bounded query
+    set broadcast against one spread corpus scan, numpy-einsum Arrow
+    scoring, per-query top-k. The label filter prunes BEFORE scoring.
+    For corpus-scale query sets, swap the candidate generator for the
+    IVF/LSH bucketed paths and apply the same label filter inside the
+    bucket join.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlbl"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("__nlbl"),
+    )
+    c = _spread(c, target_bytes=2 << 20)
+    sims = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.col("__nlbl").eqNullSafe(F.col("__qlbl")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pandas(F.col("__qvec"), F.col("__cvec"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    return _topk_by_query(sims, k)

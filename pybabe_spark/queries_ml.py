@@ -1272,3 +1272,78 @@ def q_hybrid_search(spark, sf_dir):
         .limit(_HYBRID_K_IN)
     )
     return rank_fuse([sparse, dense], k=10)
+
+
+@register(
+    "containment_pairs_docs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_FP_SHINGLES})) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+           CAST(c AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+               AS containment
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc
+    JOIN sizes sb ON id_b = sb.doc
+    WHERE c * 1000000 >= 500000 * LEAST(sa.n, sb.n)
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups (operators/dedup_scale.py::
+    containment_pairs): 3-gram shingle containment ≥ 0.5 over
+    min(|A|,|B|) — the quote-inclusion/boilerplate-superset detector
+    Jaccard-based LSH is structurally blind to. Inverted shingle
+    equi-join, exact integer-ppm decision; the id-bounded subset keeps
+    the oracle's exact definition flat across scale factors (the
+    operator's scale valve is max_shingle_df stop-shingle removal,
+    exercised in unit tests)."""
+    from pybabe_spark.operators.dedup_scale import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3
+    )
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                      {_NORMED.format(v='embedding')} AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, label AS nl,
+                 {_NORMED.format(v='embedding')} AS cv
+          FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             CAST({_DOT_N.format(a='qv', b='cv')} AS DECIMAL(18,6)) AS sim
+      FROM c, q
+      WHERE neighbor_id <> query_id AND nl IS DISTINCT FROM ql
+    )
+    SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM sims
+    ) t WHERE rk <= 10
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py::
+    ann_hard_negatives): per query vector, the 10 nearest corpus
+    vectors with a DIFFERENT label — the contrastive-training
+    negatives an in-batch sampler never finds. Same broadcast +
+    Arrow-einsum plan as ann_cosine_topk with the label prune before
+    scoring."""
+    from pybabe_spark.operators.similarity import ann_hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=10)

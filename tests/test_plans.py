@@ -369,6 +369,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # the dense input's brute-force scorer (the ann_cosine_topk
         # contract — bounded query set broadcast against the corpus)
         "hybrid_search_docs": {"broadcast-nested-loop"},
+        # hard negatives: the same bounded-query brute-force contract
+        "hard_negatives_embeddings": {"broadcast-nested-loop"},
+        # inverted shingle equi-join (jaccard_pairs shape) — clean
+        "containment_pairs_docs": set(),
         # temperature resampling: group-partitioned window (not global),
         # broadcast alloc table, maxRows-proven scalar attach — clean
         "temperature_resample_docs": set(),
