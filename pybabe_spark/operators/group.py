@@ -457,3 +457,37 @@ def transition_matrix_sql(
                PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
     FROM cnt
     """
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: Sequence[str],
+    aggregations: Mapping[str, tuple[str, str] | Column],
+    kind: str = "cube",
+) -> DataFrame:
+    """OLAP subtotal grids: ``CUBE`` (every dim subset) or ``ROLLUP``
+    (hierarchical prefixes) over ``dims``, with the same declarative
+    aggregation spec as :func:`group`.
+
+    A ``grouping_id`` column (Spark's ``grouping_id()`` — bit ``i``
+    set when dim ``i`` is aggregated away, dim 0 most significant)
+    disambiguates subtotal rows from genuine NULL dimension values —
+    without it a cube over nullable dims is ambiguous and un-joinable.
+
+    Scale shape: Spark expands grouping sets inside ONE hash
+    aggregation (the Expand operator replicates each input row once
+    per grouping set, map-side partial combine still applies) — one
+    shuffle, no unions of N aggregations. At 100 TB prefer ``rollup``
+    over ``cube`` when the report is hierarchical: rollup expands
+    ``d+1`` sets instead of ``2^d``.
+    """
+    if kind not in ("cube", "rollup"):
+        raise ValueError(f"cube_agg: kind must be cube|rollup, got {kind!r}")
+    dims = list(dims)
+    if not dims:
+        raise ValueError("cube_agg: need at least one dimension")
+    grouped = df.cube(*dims) if kind == "cube" else df.rollup(*dims)
+    return grouped.agg(
+        F.grouping_id().cast("bigint").alias("grouping_id"),
+        *_build_aggs(aggregations),
+    )

@@ -308,3 +308,52 @@ def primary_key_detect(df: DataFrame, max_cols: int | None = None) -> str | None
         if c in candidates and erow[f"__d_{c}"] == n:
             return c
     return None
+
+
+def foreign_key_check(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+) -> DataFrame:
+    """Referential-integrity profile: does ``child.child_col`` ⊆
+    ``parent.parent_col``? One row:
+    ``(n_rows, n_null_rows, n_values, n_orphan_values, full_coverage)``
+    — the companion to :func:`primary_key_detect` for FK discovery and
+    pre-join data-contract checks (an orphan count > 0 predicts
+    silently-dropped rows in every downstream inner join).
+
+    NULL child values are reported separately (SQL FK semantics: NULL
+    references are not violations). Scale shape: the child side
+    collapses to DISTINCT values first (hash agg with map-side
+    combine), then one left-anti equi-join against the parent's
+    distinct keys — the comparison is value-space-sized, never
+    row-space; no broadcast assumption on either side.
+    """
+    vals = (
+        child.select(F.col(child_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    orphans = vals.join(
+        parent.select(F.col(parent_col).alias("__v")).distinct(),
+        "__v",
+        "left_anti",
+    )
+    counts = child.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(child_col).isNull().cast("bigint")).alias("__nn"),
+    ).select(
+        "n_rows", F.coalesce(F.col("__nn"), F.lit(0)).alias("n_null_rows")
+    )
+    nv = vals.agg(F.count(F.lit(1)).alias("n_values"))
+    no = orphans.agg(F.count(F.lit(1)).alias("n_orphan_values"))
+    from pybabe_spark.operators._util import attach_scalars
+
+    return attach_scalars(attach_scalars(counts, nv), no).select(
+        "n_rows",
+        "n_null_rows",
+        "n_values",
+        "n_orphan_values",
+        (F.col("n_orphan_values") == 0).alias("full_coverage"),
+    )

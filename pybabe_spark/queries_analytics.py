@@ -1799,3 +1799,67 @@ def q_mad_anomalies(spark, sf_dir):
         ev, key_col="event_type", value_col="value", ts_col="ts",
         threshold=3.5,
     )
+
+
+@register(
+    "cube_orders_report",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+               AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark, sf_dir):
+    """OLAP CUBE subtotal grid (operators/group.py::cube_agg): counts
+    and exact-decimal revenue for every (status, priority) subset,
+    subtotal rows disambiguated by grouping_id. One Expand + one hash
+    aggregation — a single shuffle for all 4 grouping sets."""
+    from pybabe_spark.operators.group import cube_agg
+
+    orders = read_table(spark, sf_dir, "orders")
+    return cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "total_price": F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("double"),
+        },
+    )
+
+
+@register(
+    "fk_check_orders_customer",
+    """
+    WITH vals AS (SELECT DISTINCT o_custkey AS v FROM orders
+                  WHERE o_custkey IS NOT NULL),
+    orphans AS (
+      SELECT v FROM vals
+      WHERE v NOT IN (SELECT DISTINCT c_custkey FROM customer
+                      WHERE c_custkey IS NOT NULL)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT)
+            FROM orders) AS n_null_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS n_values,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orphans)
+               AS n_orphan_values,
+           (SELECT COUNT(*) FROM orphans) = 0 AS full_coverage
+    """,
+)
+def q_fk_check(spark, sf_dir):
+    """Referential-integrity profile (operators/infra.py::
+    foreign_key_check): orders.o_custkey against customer.c_custkey —
+    distinct-value anti-join, value-space-sized comparison; the
+    profiling companion to primary_key_detect."""
+    from pybabe_spark.operators.infra import foreign_key_check
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return foreign_key_check(orders, "o_custkey", cust, "c_custkey")

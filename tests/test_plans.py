@@ -449,6 +449,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "mad_anomalies_events",
                 # pure codegen translate/regexp chain, zero shuffles
                 "soundex_nations",
+                # one Expand + one hash agg (single shuffle for all
+                # grouping sets)
+                "cube_orders_report",
+                # distinct-value anti-join + 1-row-proven scalar attaches
+                "fk_check_orders_customer",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
