@@ -531,6 +531,72 @@ class Babe:
             zscore_anomalies(self.df, key_col, value_col, ts_col, **kwargs)
         )
 
+    def mad_anomalies(self, key_col, value_col, ts_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.anomaly import mad_anomalies
+
+        return self._wrap(
+            mad_anomalies(self.df, key_col, value_col, ts_col, **kwargs)
+        )
+
+    def ewma(self, key_col, value_col, ts_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import ewma_smooth
+
+        return self._wrap(
+            ewma_smooth(self.df, key_col, value_col, ts_col, **kwargs)
+        )
+
+    def attribute_conversions(
+        self, conversion, touch, channel_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.attribution import attribute_conversions
+
+        return self._wrap(
+            attribute_conversions(
+                self.df, conversion, touch, channel_col, **kwargs
+            )
+        )
+
+    def cube(self, dims, aggregations, kind="cube") -> "Babe":
+        from pybabe_spark.operators.group import cube_agg
+
+        return self._wrap(cube_agg(self.df, dims, aggregations, kind=kind))
+
+    def foreign_key_check(self, child_col, parent, parent_col) -> "Babe":
+        from pybabe_spark.operators.infra import foreign_key_check
+
+        right = parent.df if isinstance(parent, Babe) else parent
+        return self._wrap(
+            foreign_key_check(self.df, child_col, right, parent_col)
+        )
+
+    def phonetic_pairs(self, id_col, name_col, max_dist=None) -> "Babe":
+        from pybabe_spark.functions.phonetic import phonetic_pairs
+
+        return self._wrap(
+            phonetic_pairs(self.df, id_col, name_col, max_dist=max_dist)
+        )
+
+    def containment_pairs(self, id_col, text_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import containment_pairs
+
+        return self._wrap(
+            containment_pairs(self.df, id_col, text_col, **kwargs)
+        )
+
+    def hard_negatives(self, queries: "Babe | DataFrame", k=10, **kwargs) -> "Babe":
+        from pybabe_spark.operators.similarity import ann_hard_negatives
+
+        q = queries.df if isinstance(queries, Babe) else queries
+        return self._wrap(ann_hard_negatives(self.df, q, k=k, **kwargs))
+
+    def rank_fuse(self, *others: "Babe | DataFrame", k=10, **kwargs) -> "Babe":
+        from pybabe_spark.operators.fusion import rank_fuse
+
+        lists = [self.df] + [
+            o.df if isinstance(o, Babe) else o for o in others
+        ]
+        return self._wrap(rank_fuse(lists, k=k, **kwargs))
+
     def retention_cohorts(self, key_col, ts_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import retention_cohorts
 

@@ -624,3 +624,79 @@ def test_normalize_text_golden(spark):
         normalize_text("t", lower=False, strip_punct=True).alias("t")
     ).head()["t"]
     assert no_lower == "Hello WORLD its 42"
+
+
+def test_facade_round7_surface(spark):
+    """The round-7 additions exposed through the fluent facade:
+    anomalies (MAD), smoothing (EWMA), attribution, cube, FK check,
+    phonetic/containment pairs, hard negatives, rank fusion."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    ev = Babe.from_df(
+        spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1), 1, "click", 1.0),
+                (2, datetime(2024, 1, 2), 1, "purchase", 10.0),
+                (3, datetime(2024, 1, 3), 1, "view", 2.0),
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+    )
+    attr = ev.attribute_conversions(
+        conversion=F.col("event_type") == "purchase",
+        touch=F.col("event_type") == "click",
+        channel_col="event_type",
+    ).df.collect()
+    assert len(attr) == 1 and attr[0]["channel"] == "click"
+
+    sm = ev.ewma("user_id", "value", "ts", id_col="event_id", depth=2)
+    assert "ewma" in sm.df.columns
+    # values (1, 10, 2): median 2, MAD 1 -> the 10 is a 5.4σ̃ outlier
+    assert ev.mad_anomalies("user_id", "value", "ts").count() == 1
+
+    cube = ev.cube(["event_type"], {"n": F.count(F.lit(1))})
+    assert {r["grouping_id"] for r in cube.df.collect()} == {0, 1}
+
+    parent = spark.createDataFrame([(1,)], "user_id long")
+    fk = ev.foreign_key_check("user_id", parent, "user_id").df.collect()[0]
+    assert fk["full_coverage"] is True
+
+    names = Babe.from_df(
+        spark.createDataFrame(
+            [(1, "Smith"), (2, "Smyth")], "id long, name string"
+        )
+    )
+    assert names.phonetic_pairs("id", "name").count() == 1
+
+    docs = Babe.from_df(
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "x a b c y z q r")],
+            "doc_id long, text string",
+        )
+    )
+    assert docs.containment_pairs(
+        "doc_id", "text", threshold=0.9, shingle_n=2
+    ).count() == 1
+
+    emb = Babe.from_df(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1), (2, [0.8, 0.2], 2)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    hn = emb.hard_negatives(emb.df.filter(F.col("vec_id") == 0), k=1)
+    assert hn.df.collect()[0]["neighbor_id"] == 2
+
+    r1 = Babe.from_df(
+        spark.createDataFrame([(1, 2.0), (2, 1.0)], "id long, score double")
+        .orderBy(F.col("score").desc()).limit(5)
+    )
+    r2 = (
+        spark.createDataFrame([(2, 9.0), (3, 1.0)], "id long, score double")
+        .orderBy(F.col("score").desc()).limit(5)
+    )
+    fused = r1.rank_fuse(r2, k=2).df.collect()
+    assert fused[0]["id"] == 2
