@@ -288,7 +288,9 @@ def stress(factors: list[int]) -> None:
         score_quality,
         train_quality_classifier,
     )
+    from pybabe_spark.operators.anomaly import mad_anomalies
     from pybabe_spark.operators.decontam import strip_duplicated_spans
+    from pybabe_spark.operators.dedup_scale import containment_pairs
     from pybabe_spark.operators.dsir import doc_feature_profile
 
     def _clf_run(docs):
@@ -383,6 +385,23 @@ def stress(factors: list[int]) -> None:
                 (F.col("doc_id") % 100).cast("double").alias("value"),
                 F.col("source").alias("attr"),
             )
+
+        def _attribution():
+            # conversions ≈ 5% of events, touches the rest; credit per
+            # conversion is window-bounded by per-user activity (flat)
+            from pybabe_spark.operators.attribution import (
+                attribute_conversions,
+            )
+
+            ev = _carved_events()
+            attribute_conversions(
+                ev,
+                conversion=F.col("value") >= 95,
+                touch=F.col("value") < 95,
+                channel_col="attr",
+                model="linear",
+                lookback_days=7,
+            ).count()
 
         def _entity_resolution():
             # names ∝ corpus; digit-edit candidate graph grows linearly,
@@ -513,6 +532,20 @@ def stress(factors: list[int]) -> None:
             .filter(F.col("n_removed") > 0)
             .count(),
             "quality_classifier": lambda: _clf_run(docs),
+            "attribution_linear": _attribution,
+            # hot-shingle valve demo: the synthetic 31-word vocab makes
+            # 3-gram shingles near-complete across docs — without the
+            # df cap the inverted join is Θ(n²); with it, candidate
+            # volume is n_shingles · cap² (linear in the corpus)
+            "containment_capped": lambda: containment_pairs(
+                docs, "doc_id", "text", threshold=0.5, shingle_n=3,
+                max_shingle_df=20,
+            ).count(),
+            # per-key exact medians at scale: users ∝ factor, per-key
+            # series flat — grouped percentile cost must track keys
+            "mad_anomalies": lambda: mad_anomalies(
+                _carved_events(), "user_id", "value", "ts", threshold=2.0
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -564,6 +597,9 @@ def stress(factors: list[int]) -> None:
 
     exponents = {}
     for name, by_factor in timings.items():
+        if len(by_factor) < 2:  # one factor: no line to fit
+            exponents[name] = None
+            continue
         xs = np.log([f for f in by_factor])
         ys = np.log([max(t, 1e-3) for t in by_factor.values()])
         exponents[name] = round(float(np.polyfit(xs, ys, 1)[0]), 3)

@@ -525,3 +525,93 @@ def ewma_sql(
            END AS {out_col}
     FROM __ewma_src
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) over an irregular series:
+    each observation is held until the next one (LOCF integral), so
+    ``twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_N − t₀)`` — the correct mean for
+    sampled-on-change series (prices, sensor states, account levels)
+    where the row-mean over-weights bursty periods.
+
+    Output ``(key, twa, n_intervals, total_seconds)``; keys with fewer
+    than two non-NULL observations have no interval and are absent.
+    The LAST observation carries no weight (it is the integral's right
+    boundary — the standard convention; append a synthetic now-row
+    upstream to extend the hold). NULL values are dropped before
+    pairing, so a NULL never truncates its neighbors' interval.
+
+    Cross-engine determinism: weights are exact microsecond bigints
+    (``unix_micros`` / ``epoch_us``), values exact bigint cents, each
+    product accumulated in DECIMAL(38,0) (HUGEINT-equivalent — a
+    century-long interval at max money cannot overflow), and the final
+    division is one IEEE op. Scale shape: one key-partitioned lead()
+    window + one hash aggregation — two shuffles on the key, no joins.
+    """
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nn = df.filter(F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    stepped = nn.select(
+        F.col(key_col),
+        cents.alias("__c"),
+        (F.lead(F.unix_micros(F.col(ts_col))).over(w)
+         - F.unix_micros(F.col(ts_col))).alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    agg = stepped.groupBy(key_col).agg(
+        F.sum((F.col("__c") * F.col("__dt")).cast("decimal(38,0)"))
+        .alias("__num"),
+        F.sum(F.col("__dt").cast("decimal(38,0)")).alias("__den"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return agg.select(
+        key_col,
+        (
+            F.col("__num").cast("double")
+            / (F.col("__den").cast("double") * 100.0)
+        ).alias("twa"),
+        "n_intervals",
+        (F.col("__den").cast("double") / 1e6).alias("total_seconds"),
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`time_weighted_avg` — same micros ×
+    cents integers, HUGEINT accumulation, single IEEE division."""
+    oid = f", {id_col} AS oid" if id_col else ""
+    order = "t ASC" + (", oid ASC" if id_col else "")
+    return f"""
+    WITH nn AS (
+      SELECT {key_col} AS k,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             epoch_us({ts_col}) AS t{oid}
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    stepped AS (
+      SELECT k, c,
+             lead(t) OVER (PARTITION BY k ORDER BY {order}) - t AS dt
+      FROM nn
+    )
+    SELECT k AS {key_col},
+           CAST(CAST(SUM(CAST(c AS HUGEINT) * dt) AS DOUBLE)
+                / (CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) * 100.0)
+                AS DOUBLE) AS twa,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) / 1e6 AS total_seconds
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY k
+    """

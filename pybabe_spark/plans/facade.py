@@ -545,6 +545,13 @@ class Babe:
             ewma_smooth(self.df, key_col, value_col, ts_col, **kwargs)
         )
 
+    def time_weighted_avg(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import time_weighted_avg
+
+        return self._wrap(
+            time_weighted_avg(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def attribute_conversions(
         self, conversion, touch, channel_col, **kwargs
     ) -> "Babe":

@@ -1863,3 +1863,27 @@ def q_fk_check(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return foreign_key_check(orders, "o_custkey", cust, "c_custkey")
+
+
+def _twap_sql() -> str:
+    from pybabe_spark.operators.timeseries import time_weighted_avg_sql
+
+    return time_weighted_avg_sql(
+        "events", key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id",
+    )
+
+
+@register("twap_events", _twap_sql())
+def q_twap_events(spark, sf_dir):
+    """Per-user time-weighted average (operators/timeseries.py::
+    time_weighted_avg): LOCF integral over the irregular event series —
+    exact micros × cents products in DECIMAL(38,0)/HUGEINT, one lead()
+    window + one hash agg."""
+    from pybabe_spark.operators.timeseries import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id",
+    )

@@ -77,3 +77,38 @@ def test_ewma_and_mad_plans_lint_clean(spark):
     df = _df(spark, [1.0, 2.0, 3.0])
     assert plan_lint(ewma_smooth(df, "k", "v", "ts", depth=4)) == []
     assert plan_lint(mad_anomalies(df, "k", "v", "ts")) == []
+
+
+def test_time_weighted_avg_holds_values(spark):
+    from datetime import datetime
+
+    from pybabe_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # value 10 held 1s, value 20 held 3s -> twa = (10+60)/4 = 17.5
+        (1, datetime(2024, 1, 1, 0, 0, 0), "a", 10.0),
+        (2, datetime(2024, 1, 1, 0, 0, 1), "a", 20.0),
+        (3, datetime(2024, 1, 1, 0, 0, 4), "a", 99.0),  # right boundary
+        # key with a single observation: no interval -> absent
+        (4, datetime(2024, 1, 1), "b", 5.0),
+        # NULL value must not truncate the neighbors' interval
+        (5, datetime(2024, 1, 1, 0, 0, 0), "c", 10.0),
+        (6, datetime(2024, 1, 1, 0, 0, 1), "c", None),
+        (7, datetime(2024, 1, 1, 0, 0, 2), "c", 10.0),
+    ]
+    df = spark.createDataFrame(rows, _TS)
+    out = {r["k"]: r for r in
+           time_weighted_avg(df, "k", "ts", "v", id_col="id").collect()}
+    assert set(out) == {"a", "c"}
+    assert out["a"]["twa"] == 17.5
+    assert out["a"]["n_intervals"] == 2
+    assert out["a"]["total_seconds"] == 4.0
+    assert out["c"]["twa"] == 10.0 and out["c"]["total_seconds"] == 2.0
+
+
+def test_time_weighted_avg_plan_lints_clean(spark):
+    from pybabe_spark.operators.timeseries import time_weighted_avg
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = _df(spark, [1.0, 2.0])
+    assert plan_lint(time_weighted_avg(df, "k", "ts", "v")) == []

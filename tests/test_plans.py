@@ -454,6 +454,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "cube_orders_report",
                 # distinct-value anti-join + 1-row-proven scalar attaches
                 "fk_check_orders_customer",
+                # key-partitioned lead() + hash agg — two key shuffles
+                "twap_events",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
