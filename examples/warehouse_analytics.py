@@ -51,16 +51,42 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     print("repeat converters:", repeats.df.count())
     print("transitions:", transitions.df.count())
 
-    # 4. which readings are suspicious, which keys dominate revenue
+    # 4. which readings are suspicious, which keys dominate revenue —
+    # z-score (moment-based) next to MAD (robust to the outliers
+    # themselves), plus the level metrics: EWMA trend and TWAP
     anomalies = events.zscore_anomalies("user_id", "value", "ts", threshold=1.5)
+    robust = events.mad_anomalies("event_type", "value", "ts", threshold=3.5)
+    smoothed = events.ewma("user_id", "value", "ts", id_col="event_id")
+    twap = events.time_weighted_avg("user_id", "ts", "value", id_col="event_id")
     pareto = Babe.from_df(read_table(spark, sf_dir, "lineitem")).pareto_report(
         "l_suppkey", "l_extendedprice", top_n=10
     )
-    print("anomalies:", anomalies.df.count())
+    print("anomalies:", anomalies.df.count(), "robust:", robust.df.count())
+    last = smoothed.df.orderBy(F.col("event_id").desc()).limit(1).collect()
+    print("ewma tail:", round(last[0]["ewma"], 4))
+    print("twap users:", twap.df.count())
     print(
         "top suppliers cum ppm:",
         [(r["l_suppkey"], r["cum_share_ppm"]) for r in pareto.df.collect()[:3]],
     )
+
+    # 4b. channel attribution and the OLAP subtotal grid
+    attr = events.attribute_conversions(
+        conversion=F.col("event_type") == "purchase",
+        touch=F.col("event_type").isin("click", "view", "signup"),
+        channel_col="event_type",
+        model="linear",
+        value_col="value",
+    )
+    grid = orders.cube(
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": F.count(F.lit(1))},
+    )
+    fk = orders.foreign_key_check("o_custkey", cust, "c_custkey")
+    print("attribution:", [(r["channel"], round(r["conversions"], 2))
+                           for r in attr.df.collect()])
+    print("cube rows:", grid.df.count(),
+          "fk ok:", fk.df.collect()[0]["full_coverage"])
 
     # 5. the always-fresh dashboard aggregate: build once, fold batches
     from pybabe_spark.operators.rollup import (
