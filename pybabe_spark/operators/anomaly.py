@@ -206,6 +206,9 @@ def mad_anomalies(
     """
     tq = round(float(threshold) * 10000)
     vd = F.col(value_col).cast("decimal(18,2)")
+    # med (and mad below) are per-key tables consumed by two corpus
+    # branches each; the lazy persist stops their aggregation lineage
+    # re-running the source scan per consumer (4 scans → 3 measured)
     med = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(key_col)
@@ -214,6 +217,7 @@ def mad_anomalies(
             .cast("decimal(18,6)")
             .alias("__med")
         )
+        .persist()
     )
     dev = (
         df.join(med, key_col)
@@ -227,6 +231,7 @@ def mad_anomalies(
             .cast("decimal(18,6)")
             .alias("__mad")
         )
+        .persist()
     )
     j = dev.join(mad, key_col)
     cond = (

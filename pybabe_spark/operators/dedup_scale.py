@@ -705,9 +705,12 @@ def containment_pairs(
     reported containment is one IEEE division of two exact ints.
     """
     thr_ppm = round(float(threshold) * 1_000_000)
+    # the shingle explode feeds sizes + both join sides (+ the hot-df
+    # filter): lazy persist cuts 3-4 explode re-runs to one
+    # materialization at the query's own action
     sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("doc"), F.col("__shingle").alias("s")
-    )
+    ).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     joinable = sh
     if max_shingle_df is not None:

@@ -330,10 +330,13 @@ def foreign_key_check(
     distinct keys — the comparison is value-space-sized, never
     row-space; no broadcast assumption on either side.
     """
+    # the distinct-value table feeds both the count and the anti-join;
+    # lazy persist keeps the child scan single-pass per consumer pair
     vals = (
         child.select(F.col(child_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
         .distinct()
+        .persist()
     )
     orphans = vals.join(
         parent.select(F.col(parent_col).alias("__v")).distinct(),
