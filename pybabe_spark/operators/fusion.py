@@ -60,6 +60,7 @@ def rank_fuse(
     rrf_k: int = 60,
     id_col: str = "id",
     score_col: str = "score",
+    weights: Sequence[int] | None = None,
 ) -> DataFrame:
     """Fuse ranked lists with reciprocal-rank fusion → top-``k``
     ``(id, rrf_score, n_lists)``.
@@ -80,11 +81,24 @@ def rank_fuse(
     exact integer ``Σ_lists RRF_SCALE // (rrf_k + rank)``; ``n_lists``
     counts how many lists surfaced the id (a useful hybrid-agreement
     signal). Final ties break id-ascending.
+
+    ``weights`` (one positive INTEGER per list, default all-1) scale
+    each list's contribution — the standard weighted-RRF bias toward a
+    trusted retriever, kept integral so the fused score stays exact.
     """
     if not rankings:
         raise ValueError("rank_fuse: need at least one ranking")
     if k <= 0 or rrf_k < 0:
         raise ValueError("rank_fuse: k must be positive and rrf_k >= 0")
+    if weights is None:
+        weights = [1] * len(rankings)
+    if len(weights) != len(rankings) or any(
+        (not isinstance(w, int)) or w <= 0 for w in weights
+    ):
+        raise ValueError(
+            "rank_fuse: weights must be one positive INTEGER per ranking "
+            "(integer multipliers keep the fused score exact)"
+        )
     sides = []
     side_col = gen_col([id_col, score_col], "__rrf_side")
     for i, r in enumerate(rankings):
@@ -97,6 +111,7 @@ def rank_fuse(
         sides.append(
             r.select(
                 F.lit(i).alias(side_col),
+                F.lit(int(weights[i])).alias("__rrf_w"),
                 F.col(id_col).cast("long").alias(id_col),
                 F.col(score_col).cast("double").alias(score_col),
             )
@@ -110,7 +125,10 @@ def rank_fuse(
     )
     contrib = allr.withColumn(rk, F.row_number().over(w)).select(
         id_col,
-        F.expr(f"{RRF_SCALE} div ({rrf_k} + {rk})").alias("__c"),
+        (
+            F.col("__rrf_w")
+            * F.expr(f"{RRF_SCALE} div ({rrf_k} + {rk})")
+        ).alias("__c"),
     )
     fused = contrib.groupBy(id_col).agg(
         F.sum("__c").alias("rrf_score"),

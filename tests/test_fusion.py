@@ -56,3 +56,18 @@ def test_rank_fuse_plan_lints_clean(spark):
     a = _ranked(spark, [(1, 2.0), (2, 1.0)])
     b = _ranked(spark, [(2, 3.0), (3, 1.0)])
     assert plan_lint(rank_fuse([a, b], k=5)) == []
+
+
+def test_rank_fuse_integer_weights(spark):
+    a = _ranked(spark, [(1, 9.0), (2, 5.0)])
+    b = _ranked(spark, [(2, 0.9), (3, 0.8)])
+    out = {r["id"]: r["rrf_score"]
+           for r in rank_fuse([a, b], k=10, weights=[3, 1]).collect()}
+    c = lambda r: RRF_SCALE // (60 + r)  # noqa: E731
+    assert out[1] == 3 * c(1)
+    assert out[2] == 3 * c(2) + 1 * c(1)
+    assert out[3] == 1 * c(2)
+    with pytest.raises(ValueError, match="INTEGER"):
+        rank_fuse([a, b], weights=[0.5, 1.5])
+    with pytest.raises(ValueError, match="INTEGER"):
+        rank_fuse([a, b], weights=[1])
