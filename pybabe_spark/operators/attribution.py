@@ -9,6 +9,9 @@ Three classic models:
   full credit (the default in most analytics products).
 - ``first`` — the earliest touch inside the window gets full credit.
 - ``linear`` — credit is split evenly across all touches in the window.
+- ``u_shaped`` — position-based: 40% to the first touch, 40% to the
+  last, 20% split across the middle (full/half credit for 1/2-touch
+  journeys).
 
 Conversions with NO touch inside their lookback window are credited to
 the ``(none)`` channel, so per-channel credits always total the
@@ -43,7 +46,7 @@ from pybabe_spark.operators._util import gen_col
 #: one full conversion credit, in micro units
 CREDIT_SCALE = 1_000_000
 
-_MODELS = ("last", "first", "linear")
+_MODELS = ("last", "first", "linear", "u_shaped")
 
 
 def attribute_conversions(
@@ -113,6 +116,39 @@ def attribute_conversions(
         ).otherwise(F.expr(f"CAST({CREDIT_SCALE} AS BIGINT) div {n}"))
         picked = j.withColumn(n, F.count("__tid").over(per_conv)).select(
             "__cid", "__cents", "__ch", "__tid", credit.alias("__credit")
+        )
+    elif model == "u_shaped":
+        # 40% first touch, 40% last touch, 20% split across the middle
+        # (the position-based standard); n=1 → full, n=2 → 50/50, so a
+        # journey never loses credit to a missing middle. All exact
+        # bigint arithmetic; middle split floors like linear.
+        n = gen_col(j.columns, "__n")
+        ra = gen_col(j.columns, "__ra")
+        rd = gen_col(j.columns, "__rd")
+        asc = [F.col("__tts").asc(), F.col("__tid").asc()]
+        desc = [F.col("__tts").desc(), F.col("__tid").desc()]
+        forty = (CREDIT_SCALE * 2) // 5
+        credit = (
+            F.when(F.col("__tid").isNull(), F.lit(CREDIT_SCALE))
+            .when(F.col(n) == 1, F.lit(CREDIT_SCALE))
+            .when(F.col(n) == 2, F.lit(CREDIT_SCALE // 2))
+            .when(F.col(ra) == 1, F.lit(forty))
+            .when(F.col(rd) == 1, F.lit(forty))
+            .otherwise(
+                F.expr(
+                    f"CAST({CREDIT_SCALE - 2 * forty} AS BIGINT)"
+                    f" div ({n} - 2)"
+                )
+            )
+            .cast("bigint")
+        )
+        picked = (
+            j.withColumn(n, F.count("__tid").over(per_conv))
+            .withColumn(ra, F.row_number().over(per_conv.orderBy(*asc)))
+            .withColumn(rd, F.row_number().over(per_conv.orderBy(*desc)))
+            .select(
+                "__cid", "__cents", "__ch", "__tid", credit.alias("__credit")
+            )
         )
     else:
         order = (
@@ -187,6 +223,29 @@ def attribution_sql(
                   ELSE {CREDIT_SCALE} // COUNT(tid) OVER (PARTITION BY cid)
              END AS credit
       FROM j
+    )"""
+    elif model == "u_shaped":
+        forty = (CREDIT_SCALE * 2) // 5
+        pick = f"""
+    ranked AS (
+      SELECT cid, cents, ch, tid,
+             COUNT(tid) OVER (PARTITION BY cid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY tts ASC NULLS LAST, tid ASC NULLS LAST) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST) AS rd
+      FROM j
+    ),
+    picked AS (
+      SELECT cid, cents, ch, tid,
+             CAST(CASE WHEN tid IS NULL THEN {CREDIT_SCALE}
+                  WHEN n = 1 THEN {CREDIT_SCALE}
+                  WHEN n = 2 THEN {CREDIT_SCALE // 2}
+                  WHEN ra = 1 THEN {forty}
+                  WHEN rd = 1 THEN {forty}
+                  ELSE {CREDIT_SCALE - 2 * forty} // (n - 2)
+             END AS BIGINT) AS credit
+      FROM ranked
     )"""
     else:
         direction = "DESC" if model == "last" else "ASC"

@@ -1887,3 +1887,11 @@ def q_twap_events(spark, sf_dir):
         ev, key_col="user_id", ts_col="ts", value_col="value",
         id_col="event_id",
     )
+
+
+@register("attribution_u_shaped_events", _attr_sql("u_shaped"))
+def q_attribution_u_shaped(spark, sf_dir):
+    """Position-based (U-shaped) attribution: 40% first / 40% last /
+    20% split across middle touches, exact micro-integer credits —
+    same interval-join scale shape as the last-touch model."""
+    return _attr_query(spark, sf_dir, "u_shaped")

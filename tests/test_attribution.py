@@ -90,7 +90,7 @@ def test_conversions_column_and_model_guard(spark):
     got = _run(spark, "last")
     assert got["click"]["conversions"] == pytest.approx(2.0)
     with pytest.raises(ValueError, match="unknown model"):
-        _run(spark, "u_shaped")
+        _run(spark, "time_decay")
     with pytest.raises(ValueError, match="lookback_days"):
         attribute_conversions(
             _events(spark),
@@ -124,3 +124,17 @@ def test_attribution_plan_lints_clean(spark):
             model=model,
         )
         assert plan_lint(df) == [], model
+
+
+def test_u_shaped_split(spark):
+    got = _run(spark, "u_shaped")
+    # u3 (3 touches): view 40%, click 20%, signup 40%
+    # u1 (2 touches): view 50%, click 50%
+    # u4 (2 same-ts touches): view 50%, click 50%  (id tiebreak)
+    # u2: (none)
+    assert got["signup"]["credit_micro"] == 400_000
+    assert got["view"]["credit_micro"] == 500_000 + 400_000 + 500_000
+    assert got["click"]["credit_micro"] == 500_000 + 200_000 + 500_000
+    assert got["(none)"]["credit_micro"] == CREDIT_SCALE
+    # u3's $9: view 3.6, click 1.8, signup 3.6
+    assert got["signup"]["attributed_value"] == pytest.approx(3.6)
