@@ -233,3 +233,55 @@ def strip_duplicated_spans(
         F.count(F.lit(1)).alias("n_words"),
         F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
     )
+
+
+def novelty_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """(id, n_shingles, novelty): per document, the fraction of its
+    DISTINCT word ``n``-grams that do NOT occur anywhere in the
+    ``reference`` corpus — the selection-side twin of
+    :func:`contaminated_ids` (decontamination asks "does this doc leak
+    the benchmark?"; novelty asks "does this doc add anything the
+    training set doesn't already have?"). High-novelty docs are the
+    ones worth keeping when growing a corpus; near-zero novelty is
+    redundancy the dedup family may still miss (paraphrase-level
+    n-gram reuse below the near-dup threshold).
+
+    Plan: reference shingles collapse to a DISTINCT shingle set (hash
+    agg with map-side combine — value-space-sized, reusable across
+    probes), then one left-anti-style flag via a left join on shingle
+    and a per-doc aggregation. Two shuffles on the shingle key + one on
+    the doc id; never all-pairs, no window over the corpus.
+
+    Determinism: novelty is a small-integer ratio, DECIMAL(18,6)-
+    rounded like ``duplicated_ngram_coverage``. A doc with no shingles
+    (empty text) is absent from the output.
+    """
+    rid = ref_id_col or id_col
+    rtext = ref_text_col or text_col
+    ref_sh = (
+        _shingle_rows(reference, rid, rtext, n)
+        .select(F.col("__shingle").alias("__ref_s"))
+        .distinct()
+    )
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    flagged = sh.join(
+        ref_sh, sh["__shingle"] == ref_sh["__ref_s"], "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        (
+            F.sum(F.col("__ref_s").isNull().cast("int"))
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("novelty"),
+    )

@@ -590,6 +590,12 @@ class Babe:
             containment_pairs(self.df, id_col, text_col, **kwargs)
         )
 
+    def novelty_score(self, reference: "Babe | DataFrame", **kwargs) -> "Babe":
+        from pybabe_spark.operators.decontam import novelty_score
+
+        ref = reference.df if isinstance(reference, Babe) else reference
+        return self._wrap(novelty_score(self.df, ref, **kwargs))
+
     def hard_negatives(self, queries: "Babe | DataFrame", k=10, **kwargs) -> "Babe":
         from pybabe_spark.operators.similarity import ann_hard_negatives
 

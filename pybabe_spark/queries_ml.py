@@ -1347,3 +1347,39 @@ def q_hard_negatives(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ann_hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "novelty_score_docs",
+    f"""
+    WITH probe AS (
+      SELECT doc_id, unnest(list_distinct({_FP_SHINGLES})) AS s
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    ref AS (
+      SELECT DISTINCT unnest(list_distinct({_FP_SHINGLES})) AS rs
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(CAST(CAST(SUM(CASE WHEN ref.rs IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+               AS novelty
+    FROM probe LEFT JOIN ref ON probe.s = ref.rs
+    GROUP BY doc_id
+    """,
+)
+def q_novelty_score(spark, sf_dir):
+    """Corpus-growth novelty (operators/decontam.py::novelty_score):
+    fraction of each probe doc's distinct 3-grams unseen in the
+    reference 9/10ths of the corpus — the keep-what-adds-something
+    filter; distinct reference shingle set + one shingle join, never
+    all-pairs."""
+    from pybabe_spark.operators.decontam import novelty_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return novelty_score(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        n=3,
+    )

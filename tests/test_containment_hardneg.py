@@ -1,6 +1,7 @@
 """containment_pairs (asymmetric near-dup) and ann_hard_negatives
 unit behavior on hand-built fixtures."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pybabe_spark.operators.dedup_scale import containment_pairs
@@ -105,3 +106,30 @@ def test_new_ops_plan_lint(spark):
         ann_hard_negatives(emb, emb.filter(F.col("vec_id") == 0), k=2)
     )}
     assert codes <= {"broadcast-nested-loop"}
+
+
+def test_novelty_score_fractions(spark):
+    from pybabe_spark.operators.decontam import novelty_score
+
+    probe = spark.createDataFrame(
+        [(1, "a b c d"),        # 2-grams ab bc cd: ab seen -> 2/3 novel
+         (2, "x y z w")],       # fully novel
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "a b q r")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           novelty_score(probe, ref, n=2).collect()}
+    assert out[1]["n_shingles"] == 3
+    assert out[1]["novelty"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["novelty"] == 1.0
+
+
+def test_novelty_plan_lints_clean(spark):
+    from pybabe_spark.operators.decontam import novelty_score
+    from pybabe_spark.plans.lint import plan_lint
+
+    probe = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    ref = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    assert plan_lint(novelty_score(probe, ref, n=2)) == []
