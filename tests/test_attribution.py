@@ -138,3 +138,95 @@ def test_u_shaped_split(spark):
     assert got["(none)"]["credit_micro"] == CREDIT_SCALE
     # u3's $9: view 3.6, click 1.8, signup 3.6
     assert got["signup"]["attributed_value"] == pytest.approx(3.6)
+
+
+def _python_model(rows, model, lookback_days=7):
+    """Brute-force reference: rows = (event_id, ts_epoch_s, user, type,
+    value); conversions = 'purchase', touches = everything else."""
+    from collections import defaultdict
+
+    S = 1_000_000
+    credits = defaultdict(int)
+    values = defaultdict(int)  # cents * micro
+    touch_counts = defaultdict(int)
+    convs = [r for r in rows if r[3] == "purchase"]
+    touches = [r for r in rows if r[3] != "purchase"]
+    for cid, cts, cu, _, cval in convs:
+        cents = round(cval * 100)
+        win = [
+            t for t in touches
+            if t[2] == cu and t[1] < cts and t[1] >= cts - lookback_days * 86400
+        ]
+        win.sort(key=lambda t: (t[1], t[0]))
+        if not win:
+            credits["(none)"] += S
+            values["(none)"] += cents * S
+            continue
+        n = len(win)
+        if model == "last":
+            per = {win[-1][0]: S}
+        elif model == "first":
+            per = {win[0][0]: S}
+        elif model == "linear":
+            per = {t[0]: S // n for t in win}
+        else:  # u_shaped
+            if n == 1:
+                per = {win[0][0]: S}
+            elif n == 2:
+                per = {win[0][0]: S // 2, win[1][0]: S // 2}
+            else:
+                forty = (S * 2) // 5
+                per = {t[0]: (S - 2 * forty) // (n - 2) for t in win[1:-1]}
+                per[win[0][0]] = forty
+                per[win[-1][0]] = forty
+        for t in win:
+            c = per.get(t[0], 0)
+            if c:
+                credits[t[3]] += c
+                values[t[3]] += cents * c
+            touch_counts[t[3]] += 1 if model in ("linear", "u_shaped") else 0
+    return credits, values
+
+
+def test_attribution_matches_bruteforce_model(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0
+        for _ in range(rng.randint(1, 14)):
+            t += rng.randint(600, 5 * 86400)
+            kind = rng.choice(["view", "click", "signup", "purchase",
+                               "purchase"])
+            rows.append((eid, t, u, kind, round(rng.uniform(0, 50), 2)))
+            eid += 1
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + timedelta(seconds=t), u, k, v)
+         for i, t, u, k, v in rows],
+        _SCHEMA,
+    )
+    for model in ("last", "first", "linear", "u_shaped"):
+        want_credits, want_values = _python_model(rows, model)
+        got = {
+            r["channel"]: r
+            for r in attribute_conversions(
+                df,
+                conversion=F.col("event_type") == "purchase",
+                touch=F.col("event_type") != "purchase",
+                channel_col="event_type",
+                model=model,
+                lookback_days=7,
+                value_col="value",
+            ).collect()
+        }
+        assert {c: r["credit_micro"] for c, r in got.items()} == dict(
+            want_credits
+        ), model
+        for ch, r in got.items():
+            assert r["attributed_value"] == pytest.approx(
+                want_values[ch] / (1_000_000 * 100.0), abs=1e-9
+            ), (model, ch)
