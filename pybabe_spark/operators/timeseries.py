@@ -574,9 +574,12 @@ def time_weighted_avg(
     )
     return agg.select(
         key_col,
-        (
+        # a key whose every interval is zero-width (identical
+        # timestamps) has no integral: NULL, not an engine-dependent 0/0
+        F.when(
+            F.col("__den") > 0,
             F.col("__num").cast("double")
-            / (F.col("__den").cast("double") * 100.0)
+            / (F.col("__den").cast("double") * 100.0),
         ).alias("twa"),
         "n_intervals",
         (F.col("__den").cast("double") / 1e6).alias("total_seconds"),
@@ -607,9 +610,10 @@ def time_weighted_avg_sql(
       FROM nn
     )
     SELECT k AS {key_col},
+           CASE WHEN SUM(CAST(dt AS HUGEINT)) > 0 THEN
            CAST(CAST(SUM(CAST(c AS HUGEINT) * dt) AS DOUBLE)
                 / (CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) * 100.0)
-                AS DOUBLE) AS twa,
+                AS DOUBLE) END AS twa,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) / 1e6 AS total_seconds
     FROM stepped WHERE dt IS NOT NULL

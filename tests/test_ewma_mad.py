@@ -112,3 +112,18 @@ def test_time_weighted_avg_plan_lints_clean(spark):
 
     df = _df(spark, [1.0, 2.0])
     assert plan_lint(time_weighted_avg(df, "k", "ts", "v")) == []
+
+
+def test_time_weighted_avg_zero_duration_key_is_null(spark):
+    from datetime import datetime
+
+    from pybabe_spark.operators.timeseries import time_weighted_avg
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, "z", 1.0), (2, t, "z", 2.0)], _TS
+    )
+    out = time_weighted_avg(df, "k", "ts", "v", id_col="id").collect()
+    # one zero-width interval: NULL twa, not an engine-dependent 0/0
+    assert len(out) == 1 and out[0]["twa"] is None
+    assert out[0]["total_seconds"] == 0.0
