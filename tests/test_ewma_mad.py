@@ -127,3 +127,44 @@ def test_time_weighted_avg_zero_duration_key_is_null(spark):
     # one zero-width interval: NULL twa, not an engine-dependent 0/0
     assert len(out) == 1 and out[0]["twa"] is None
     assert out[0]["total_seconds"] == 0.0
+
+
+def test_ewma_matches_python_model_randomized(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(5)
+    rows = []
+    i = 0
+    for k in "abc":
+        for _ in range(rng.randint(3, 12)):
+            v = None if rng.random() < 0.15 else round(rng.uniform(0, 99), 2)
+            rows.append((i, datetime(2024, 1, 1) + timedelta(minutes=i), k, v))
+            i += 1
+    df = spark.createDataFrame(rows, _TS)
+    depth = 3
+    got = {
+        r["id"]: r["ewma"]
+        for r in ewma_smooth(df, "k", "v", "ts", id_col="id",
+                             depth=depth).collect()
+    }
+    series = {}
+    for rid, _, k, v in rows:
+        series.setdefault(k, []).append((rid, v))
+    for k, s in series.items():
+        for pos, (rid, _) in enumerate(s):
+            num = den = 0
+            for j in range(depth):
+                if pos - j < 0:
+                    break
+                v = s[pos - j][1]
+                if v is None:
+                    continue
+                w = 1 << (depth - 1 - j)
+                num += round(v * 100) * w
+                den += w * 100
+            want = (num / den) if den else None
+            if want is None:
+                assert got[rid] is None, rid
+            else:
+                assert got[rid] == want, (rid, got[rid], want)
