@@ -12,6 +12,13 @@ Three classic models:
 - ``u_shaped`` — position-based: 40% to the first touch, 40% to the
   last, 20% split across the middle (full/half credit for 1/2-touch
   journeys).
+- ``time_decay`` — recency-weighted with an exact one-day half-life:
+  a touch aged ``d`` whole days carries weight ``2^(lookback−1−d)``,
+  credits are ``1e6·wᵢ // Σw``. Powers of two BY DESIGN — an arbitrary
+  decay constant would put transcendental weights inside the exact
+  integer pipeline (the house determinism hazard); day-granular ages
+  keep the weight set small and the division exact. ``lookback_days``
+  is capped at 30 for this model (the weight fits a bigint with room).
 
 Conversions with NO touch inside their lookback window are credited to
 the ``(none)`` channel, so per-channel credits always total the
@@ -46,7 +53,7 @@ from pybabe_spark.operators._util import gen_col
 #: one full conversion credit, in micro units
 CREDIT_SCALE = 1_000_000
 
-_MODELS = ("last", "first", "linear", "u_shaped")
+_MODELS = ("last", "first", "linear", "u_shaped", "time_decay")
 
 
 def attribute_conversions(
@@ -79,6 +86,11 @@ def attribute_conversions(
         raise ValueError(f"attribute_conversions: unknown model {model!r}")
     if lookback_days <= 0:
         raise ValueError("attribute_conversions: lookback_days must be > 0")
+    if model == "time_decay" and lookback_days > 30:
+        raise ValueError(
+            "attribute_conversions: time_decay caps lookback_days at 30 "
+            "(2^lookback weights stay exact bigints)"
+        )
     u, t, i = user_col, ts_col, id_col
     convs = events.filter(conversion).select(
         F.col(u).alias("__cu"),
@@ -146,6 +158,34 @@ def attribute_conversions(
             j.withColumn(n, F.count("__tid").over(per_conv))
             .withColumn(ra, F.row_number().over(per_conv.orderBy(*asc)))
             .withColumn(rd, F.row_number().over(per_conv.orderBy(*desc)))
+            .select(
+                "__cid", "__cents", "__ch", "__tid", credit.alias("__credit")
+            )
+        )
+    elif model == "time_decay":
+        # whole-day age (floor of the micros delta) → weight 2^(L-1-d);
+        # Σw per conversion via a window; credit = 1e6·w div Σw — all
+        # exact bigints. age ∈ [0, L) inside the join window by
+        # construction, so the exponent never goes negative.
+        age = gen_col(j.columns, "__age")
+        wcol = gen_col(j.columns, "__w")
+        sw = gen_col(j.columns, "__sw")
+        age_expr = F.expr(
+            "CAST((unix_micros(__cts) - unix_micros(__tts))"
+            f" div {86_400_000_000} AS INT)"
+        )
+        weight = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {lookback_days - 1} - {age})"
+        )
+        credit = F.when(
+            F.col("__tid").isNull(), F.lit(CREDIT_SCALE).cast("bigint")
+        ).otherwise(
+            F.expr(f"CAST({CREDIT_SCALE} AS BIGINT) * {wcol} div {sw}")
+        )
+        picked = (
+            j.withColumn(age, age_expr)
+            .withColumn(wcol, F.when(F.col("__tid").isNotNull(), weight))
+            .withColumn(sw, F.sum(wcol).over(per_conv))
             .select(
                 "__cid", "__cents", "__ch", "__tid", credit.alias("__credit")
             )
@@ -224,6 +264,23 @@ def attribution_sql(
              END AS credit
       FROM j
     )"""
+    elif model == "time_decay":
+        pick = f"""
+    aged AS (
+      SELECT cid, cents, ch, tid,
+             CASE WHEN tid IS NOT NULL THEN
+               (CAST(1 AS BIGINT) << ({{L1}} - (epoch_us(cts) - epoch_us(tts)) // {86_400_000_000}))
+             END AS w
+      FROM j
+    ),
+    picked AS (
+      SELECT cid, cents, ch, tid,
+             CASE WHEN tid IS NULL THEN CAST({CREDIT_SCALE} AS BIGINT)
+                  ELSE CAST({CREDIT_SCALE} AS BIGINT) * w
+                       // SUM(w) OVER (PARTITION BY cid)
+             END AS credit
+      FROM aged
+    )""".replace("{L1}", str(int(lookback_days) - 1))
     elif model == "u_shaped":
         forty = (CREDIT_SCALE * 2) // 5
         pick = f"""
@@ -279,7 +336,7 @@ def attribution_sql(
       FROM {table} WHERE {touch_where}
     ),
     j AS (
-      SELECT c.cid, c.cents, t.ch, t.tid, t.tts
+      SELECT c.cid, c.cents, c.cts, t.ch, t.tid, t.tts
       FROM convs c LEFT JOIN touches t
         ON c.cu = t.tu AND t.tts < c.cts
        AND t.tts >= c.cts - INTERVAL {int(lookback_days)} DAY

@@ -1895,3 +1895,11 @@ def q_attribution_u_shaped(spark, sf_dir):
     20% split across middle touches, exact micro-integer credits —
     same interval-join scale shape as the last-touch model."""
     return _attr_query(spark, sf_dir, "u_shaped")
+
+
+@register("attribution_time_decay_events", _attr_sql("time_decay"))
+def q_attribution_time_decay(spark, sf_dir):
+    """Time-decay attribution: exact one-day-half-life powers of two
+    over whole-day touch ages, credits 1e6·w // Σw — recency weighting
+    with zero transcendental arithmetic."""
+    return _attr_query(spark, sf_dir, "time_decay")

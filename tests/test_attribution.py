@@ -90,7 +90,7 @@ def test_conversions_column_and_model_guard(spark):
     got = _run(spark, "last")
     assert got["click"]["conversions"] == pytest.approx(2.0)
     with pytest.raises(ValueError, match="unknown model"):
-        _run(spark, "time_decay")
+        _run(spark, "w_shaped")
     with pytest.raises(ValueError, match="lookback_days"):
         attribute_conversions(
             _events(spark),
@@ -169,7 +169,7 @@ def _python_model(rows, model, lookback_days=7):
             per = {win[0][0]: S}
         elif model == "linear":
             per = {t[0]: S // n for t in win}
-        else:  # u_shaped
+        elif model == "u_shaped":
             if n == 1:
                 per = {win[0][0]: S}
             elif n == 2:
@@ -179,6 +179,11 @@ def _python_model(rows, model, lookback_days=7):
                 per = {t[0]: (S - 2 * forty) // (n - 2) for t in win[1:-1]}
                 per[win[0][0]] = forty
                 per[win[-1][0]] = forty
+        else:  # time_decay
+            L = lookback_days
+            ws = {t[0]: 1 << (L - 1 - (cts - t[1]) // 86400) for t in win}
+            tot = sum(ws.values())
+            per = {tid: S * w // tot for tid, w in ws.items()}
         for t in win:
             c = per.get(t[0], 0)
             if c:
@@ -209,7 +214,7 @@ def test_attribution_matches_bruteforce_model(spark):
          for i, t, u, k, v in rows],
         _SCHEMA,
     )
-    for model in ("last", "first", "linear", "u_shaped"):
+    for model in ("last", "first", "linear", "u_shaped", "time_decay"):
         want_credits, want_values = _python_model(rows, model)
         got = {
             r["channel"]: r

@@ -444,6 +444,7 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "attribution_last_touch_events",
                 "attribution_linear_events",
                 "attribution_u_shaped_events",
+                "attribution_time_decay_events",
                 # key-partitioned lag chain / grouped exact percentiles
                 # + key joins — never a global window
                 "ewma_events",
