@@ -636,3 +636,63 @@ def quantile_bins_sql(
            CASE WHEN {col} IS NOT NULL THEN {terms} END AS {out_col}
     FROM {table} CROSS JOIN e
     """
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    by: str | Sequence[str] | None = None,
+    tie_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rank-based feature scaling: adds ``{col}_pctile_ppm`` — the
+    value's percent-rank within its group as an EXACT integer ppm
+    (``(rank−1)·1e6 div (n−1)``; a 1-row group maps to 0). The robust
+    normalization for quality scores and curriculum signals: immune to
+    outliers and distribution shape, comparable across groups.
+
+    Deterministic under value ties via ``tie_col`` (default: the value
+    alone — tied values then share ORDER but not rank, so pass a unique
+    tiebreak like the doc id whenever ties are possible; with a unique
+    tie_col the output is reproducible on any engine). NULL values get
+    NULL rank.
+
+    Scale shape: one key-partitioned rank window + one key count window
+    — same pass, no joins. ``by=None`` ranks globally, which funnels
+    the corpus through one task and is refused at plan-lint level for
+    registry use; prefer a group key.
+    """
+    keys = (
+        [] if by is None else ([by] if isinstance(by, str) else list(by))
+    )
+    out = out_col or f"{col}_pctile_ppm"
+    wall = Window.partitionBy(*keys)
+    nn = F.col(col).isNotNull()
+    # NULLs are excluded from both rank and n: rank over the non-null
+    # subframe via a conditional row_number surrogate — rank among
+    # non-nulls = row_number minus the count of leading NULLs, but
+    # NULLS FIRST ordering makes that count constant per group
+    w_nf = Window.partitionBy(*keys).orderBy(
+        *[F.col(col).asc_nulls_first()]
+        + ([F.col(tie_col).asc()] if tie_col is not None else [])
+    )
+    n_null = F.sum((~nn).cast("long")).over(wall)
+    n_val = F.sum(nn.cast("long")).over(wall)
+    rk = F.row_number().over(w_nf) - n_null
+    c_rk = gen_col(df.columns, "__rn_rk")
+    c_n = gen_col(df.columns, "__rn_n")
+    return (
+        df.withColumn(c_rk, rk)
+        .withColumn(c_n, n_val)
+        .withColumn(
+            out,
+            F.when(
+                nn & (F.col(c_n) > 1),
+                F.expr(
+                    f"CAST(1000000 AS BIGINT) * ({c_rk} - 1)"
+                    f" div ({c_n} - 1)"
+                ),
+            ).when(nn, F.lit(0).cast("bigint")),
+        )
+        .drop(c_rk, c_n)
+    )

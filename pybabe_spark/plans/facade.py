@@ -167,6 +167,14 @@ class Babe:
 
         return self._wrap(quantile_bins(self.df, column, k, out_col))
 
+    def rank_normalize(self, column, by=None, tie_col=None, out_col=None) -> "Babe":
+        from pybabe_spark.operators.sampling import rank_normalize
+
+        return self._wrap(
+            rank_normalize(self.df, column, by=by, tie_col=tie_col,
+                           out_col=out_col)
+        )
+
     def weighted_sample(self, weight_col, n, id_col, seed=0) -> "Babe":
         from pybabe_spark.operators.sampling import weighted_sample
 

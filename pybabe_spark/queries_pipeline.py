@@ -673,3 +673,29 @@ def q_dedup_against_bloom(spark, sf_dir):
     return dedup_against_bloom(batch, seen, "ck", m_bits=1 << 20, k=5).select(
         "doc_id"
     )
+
+
+@register(
+    "rank_normalize_docs",
+    """
+    SELECT doc_id, n_chars,
+           CASE WHEN COUNT(n_chars) OVER (PARTITION BY lang) > 1 THEN
+             CAST(1000000 AS BIGINT)
+             * (ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_chars ASC, doc_id ASC) - 1)
+             // (COUNT(n_chars) OVER (PARTITION BY lang) - 1)
+           ELSE CAST(0 AS BIGINT) END AS n_chars_pctile_ppm
+    FROM documents
+    """,
+)
+def q_rank_normalize(spark, sf_dir):
+    """Rank-based feature scaling (operators/sampling.py::
+    rank_normalize): per-language percent-rank of doc length as exact
+    integer ppm — outlier-immune normalization for quality/curriculum
+    signals; one key-partitioned window pass, unique doc_id tiebreak."""
+    from pybabe_spark.operators.sampling import rank_normalize
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rank_normalize(
+        docs, "n_chars", by="lang", tie_col="doc_id"
+    ).select("doc_id", "n_chars", "n_chars_pctile_ppm")

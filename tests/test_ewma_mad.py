@@ -168,3 +168,33 @@ def test_ewma_matches_python_model_randomized(spark):
                 assert got[rid] is None, rid
             else:
                 assert got[rid] == want, (rid, got[rid], want)
+
+
+def test_rank_normalize_exact_ppm(spark):
+    from pybabe_spark.operators.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "a", None),
+         (5, "b", 7.0)],
+        "id long, k string, v double",
+    )
+    out = {r["id"]: r["v_pctile_ppm"]
+           for r in rank_normalize(df, "v", by="k", tie_col="id").collect()}
+    # group a: 3 non-null values -> 0, 500000, 1000000; NULL -> NULL
+    assert (out[1], out[2], out[3]) == (0, 500_000, 1_000_000)
+    assert out[4] is None
+    # singleton group -> 0
+    assert out[5] == 0
+
+
+def test_rank_normalize_tie_determinism(spark):
+    from pybabe_spark.operators.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(2, "a", 5.0), (1, "a", 5.0), (3, "a", 5.0)],
+        "id long, k string, v double",
+    )
+    out = {r["id"]: r["v_pctile_ppm"]
+           for r in rank_normalize(df, "v", by="k", tie_col="id").collect()}
+    # equal values rank by the unique tiebreak, id-ascending
+    assert (out[1], out[2], out[3]) == (0, 500_000, 1_000_000)

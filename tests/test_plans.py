@@ -458,6 +458,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "fk_check_orders_customer",
                 # key-partitioned lead() + hash agg — two key shuffles
                 "twap_events",
+                # one key-partitioned window pass
+                "rank_normalize_docs",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
