@@ -291,3 +291,155 @@ def mad_anomalies_sql(
       AND a.__mad > 0
       AND d.__dev * 6745 > a.__mad * {tq}
     """
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key CUSUM drift detection: the first time each key's
+    cumulative deviation from ``target`` (minus the ``slack`` dead
+    band) exceeds ``threshold``, in either direction. One row per key:
+    ``(key, n_obs, max_s_up, max_s_down, first_alarm_ts, alarm_dir)``
+    — ``first_alarm_ts``/``alarm_dir`` NULL when the key never drifts.
+
+    The textbook recursion ``s_t = max(0, s_{t−1} + x_t − μ − k)`` is
+    NOT window-expressible, but its closed form is:
+    ``s_t = cum_t − min_{j≤t} cum_j`` where ``cum`` is the running sum
+    of ``x − μ − k`` — a running sum and a running min, BOTH plain
+    cumulative windows. The downward side mirrors with
+    ``max_{j≤t} cum'_j − cum'_t`` over ``x − μ + k``. (No alarm-reset
+    semantics — this is the detect-FIRST-drift form; after an alarm,
+    re-run on the post-alarm suffix if you need sequential alarms.)
+
+    Cross-engine determinism: everything is exact bigint cents —
+    values, target, slack and threshold all quantized to 2 decimals;
+    no float enters any comparison. NULL values are skipped (they
+    contribute no deviation). Scale shape: one key-partitioned
+    cumulative window pass + one hash aggregation; no joins, no
+    Python.
+    """
+    tc = round(float(target) * 100)
+    kc = round(float(slack) * 100)
+    hc = round(float(threshold) * 100)
+    if kc < 0 or hc <= 0:
+        raise ValueError("cusum_alarms: slack must be >= 0, threshold > 0")
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nn = df.filter(F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    up_dev = cents - F.lit(tc + kc)
+    dn_dev = cents - F.lit(tc - kc)
+    # two projection layers (window calls cannot nest); same
+    # partition/order spec, so the sort is shared
+    cums = nn.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *([F.col(id_col)] if id_col is not None else []),
+        F.sum(up_dev).over(w).alias("__cu"),
+        F.sum(dn_dev).over(w).alias("__cd"),
+    )
+    stepped = cums.select(
+        key_col,
+        ts_col,
+        (F.col("__cu") - F.min("__cu").over(w)).alias("__s_up"),
+        (F.max("__cd").over(w) - F.col("__cd")).alias("__s_dn"),
+    )
+    # a zero-floor start: the running min/max include the current row,
+    # so s >= 0 always and the first row's s is 0 — textbook s_0 = 0
+    alarmed = stepped.select(
+        key_col,
+        ts_col,
+        "__s_up",
+        "__s_dn",
+        F.when(F.col("__s_up") > hc, F.lit("up"))
+        .when(F.col("__s_dn") > hc, F.lit("down"))
+        .alias("__dir"),
+    )
+    first = (
+        alarmed.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("__s_up").alias("max_s_up"),
+            F.max("__s_dn").alias("max_s_down"),
+            F.min(
+                F.when(
+                    F.col("__dir").isNotNull(),
+                    F.struct(F.col(ts_col).alias("t"), F.col("__dir").alias("d")),
+                )
+            ).alias("__first"),
+        )
+    )
+    return first.select(
+        key_col,
+        "n_obs",
+        "max_s_up",
+        "max_s_down",
+        F.col("__first.t").alias("first_alarm_ts"),
+        F.col("__first.d").alias("alarm_dir"),
+    )
+
+
+def cusum_alarms_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    id_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`cusum_alarms` — same bigint cents, same
+    layered cumulative windows, same first-alarm pick."""
+    tc = round(float(target) * 100)
+    kc = round(float(slack) * 100)
+    hc = round(float(threshold) * 100)
+    order = f"{ts_col}" + (f", {id_col}" if id_col else "")
+    return f"""
+    WITH nn AS (
+      SELECT {key_col} AS k, {ts_col} AS t,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             {f', {id_col} AS oid' if id_col else ''}
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    cums AS (
+      SELECT k, t,
+             SUM(c - {tc + kc}) OVER w AS cu,
+             SUM(c - {tc - kc}) OVER w AS cd
+      FROM nn WINDOW w AS (PARTITION BY k ORDER BY {('t' + (', oid' if id_col else ''))}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    st AS (
+      SELECT k, t,
+             cu - MIN(cu) OVER w AS s_up,
+             MAX(cd) OVER w - cd AS s_dn
+      FROM cums WINDOW w AS (PARTITION BY k ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    alarmed AS (
+      SELECT k, t, s_up, s_dn,
+             CASE WHEN s_up > {hc} THEN 'up'
+                  WHEN s_dn > {hc} THEN 'down' END AS d
+      FROM st
+    )
+    SELECT k AS {key_col},
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(s_up) AS BIGINT) AS max_s_up,
+           CAST(MAX(s_dn) AS BIGINT) AS max_s_down,
+           MIN(t) FILTER (d IS NOT NULL) AS first_alarm_ts,
+           arg_min(d, t) FILTER (d IS NOT NULL) AS alarm_dir
+    FROM alarmed GROUP BY k
+    """

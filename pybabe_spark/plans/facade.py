@@ -546,6 +546,13 @@ class Babe:
             mad_anomalies(self.df, key_col, value_col, ts_col, **kwargs)
         )
 
+    def cusum_alarms(self, key_col, value_col, ts_col, target, **kwargs) -> "Babe":
+        from pybabe_spark.operators.anomaly import cusum_alarms
+
+        return self._wrap(
+            cusum_alarms(self.df, key_col, value_col, ts_col, target, **kwargs)
+        )
+
     def ewma(self, key_col, value_col, ts_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import ewma_smooth
 

@@ -1903,3 +1903,27 @@ def q_attribution_time_decay(spark, sf_dir):
     over whole-day touch ages, credits 1e6·w // Σw — recency weighting
     with zero transcendental arithmetic."""
     return _attr_query(spark, sf_dir, "time_decay")
+
+
+def _cusum_sql() -> str:
+    from pybabe_spark.operators.anomaly import cusum_alarms_sql
+
+    return cusum_alarms_sql(
+        "events", key_col="user_id", value_col="value", ts_col="ts",
+        target=50.0, slack=2.0, threshold=500.0,
+    )
+
+
+@register("cusum_alarms_events", _cusum_sql())
+def q_cusum_alarms(spark, sf_dir):
+    """Per-user CUSUM drift detection (operators/anomaly.py::
+    cusum_alarms): the textbook max(0, s+x-mu-k) recursion rewritten as
+    running-sum-minus-running-min — two layered cumulative windows,
+    exact bigint cents, first-alarm timestamp and direction per key."""
+    from pybabe_spark.operators.anomaly import cusum_alarms
+
+    ev = read_table(spark, sf_dir, "events")
+    return cusum_alarms(
+        ev, key_col="user_id", value_col="value", ts_col="ts",
+        target=50.0, slack=2.0, threshold=500.0,
+    )

@@ -198,3 +198,60 @@ def test_rank_normalize_tie_determinism(spark):
            for r in rank_normalize(df, "v", by="k", tie_col="id").collect()}
     # equal values rank by the unique tiebreak, id-ascending
     assert (out[1], out[2], out[3]) == (0, 500_000, 1_000_000)
+
+
+def test_cusum_detects_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    from pybabe_spark.operators.anomaly import cusum_alarms
+
+    t0 = datetime(2024, 1, 1)
+    # key 'a': 10 obs at the 5.0 target, then a +2 level shift
+    rows = [(i, t0 + timedelta(minutes=i), "a",
+             5.0 if i < 10 else 7.0) for i in range(20)]
+    # key 'b': stays on target -> never alarms
+    rows += [(100 + i, t0 + timedelta(minutes=i), "b", 5.0)
+             for i in range(20)]
+    df = spark.createDataFrame(rows, _TS)
+    out = {r["k"]: r for r in cusum_alarms(
+        df, "k", "v", "ts", target=5.0, slack=0.5, threshold=4.0,
+        id_col="id",
+    ).collect()}
+    a, b = out["a"], out["b"]
+    assert a["alarm_dir"] == "up"
+    # s grows 1.5/obs after the shift; crosses 4.0 on the 3rd shifted
+    # row (ts index 12)
+    assert a["first_alarm_ts"] == t0 + timedelta(minutes=12)
+    assert b["first_alarm_ts"] is None and b["alarm_dir"] is None
+    assert b["max_s_up"] == 0 and b["max_s_down"] == 0
+
+
+def test_cusum_downward_and_nulls(spark):
+    from datetime import datetime, timedelta
+
+    from pybabe_spark.operators.anomaly import cusum_alarms
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), "a",
+             None if i == 3 else (5.0 if i < 8 else 2.0))
+            for i in range(16)]
+    df = spark.createDataFrame(rows, _TS)
+    r = cusum_alarms(
+        df, "k", "v", "ts", target=5.0, slack=0.5, threshold=5.0,
+        id_col="id",
+    ).collect()[0]
+    assert r["alarm_dir"] == "down"
+    assert r["n_obs"] == 15  # the NULL contributes nothing
+
+
+def test_cusum_plan_and_guards(spark):
+    from pybabe_spark.operators.anomaly import cusum_alarms
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = _df(spark, [1.0, 2.0])
+    assert plan_lint(
+        cusum_alarms(df, "k", "v", "ts", target=1.0, threshold=1.0)
+    ) == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        cusum_alarms(df, "k", "v", "ts", target=1.0, threshold=0.0)

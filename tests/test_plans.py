@@ -460,6 +460,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "twap_events",
                 # one key-partitioned window pass
                 "rank_normalize_docs",
+                # layered key-partitioned cumulative windows + hash agg
+                "cusum_alarms_events",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
