@@ -705,13 +705,16 @@ def containment_pairs(
     reported containment is one IEEE division of two exact ints.
     """
     thr_ppm = round(float(threshold) * 1_000_000)
-    # the shingle explode feeds sizes + both join sides (+ the hot-df
-    # filter): lazy persist cuts 3-4 explode re-runs to one
-    # materialization at the query's own action
     sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("doc"), F.col("__shingle").alias("s")
-    ).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # persist the SMALL per-doc size table (two downstream joins), not
+    # the corpus-sized shingle explode: the explode is cheap codegen to
+    # re-derive per join side, while caching it pins corpus-scale rows
+    # in executor memory. (The ×30 stress spill on this family is the
+    # shingle join's own sort buffers — present with or without a
+    # cache — not a persist artifact; measured both ways.)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n")).persist()
     joinable = sh
     if max_shingle_df is not None:
         hot = (

@@ -420,3 +420,136 @@ def benford_audit_sql(
                > {float(chi2_crit)!r} AS suspicious
     FROM full_grid CROSS JOIN scalars
     """
+
+
+def population_stability(
+    ref: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference distribution and
+    a new batch of the same column — THE production drift monitor for
+    model inputs and scores (rule of thumb: PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted).
+
+    Bins are the REFERENCE's equal-frequency quantile edges (exact
+    6 dp-rounded percentiles, the ``quantile_bins`` rule: ties fall in
+    the lower bin), so the reference lands ~uniform and drift shows as
+    mass moving between bins. Output: one row per bin
+    ``(bin, ref_n, new_n, term)`` plus the attached total ``psi`` —
+    ``term = (p − q)·ln(p/q)`` with Laplace-smoothed shares
+    ``p = (ref_n+1)/(ref_total+bins)`` (empty bins stay finite,
+    deterministically). NULLs are excluded from both sides.
+
+    Cross-engine determinism: counts are exact; shares are fixed-shape
+    double expressions; each term takes one DECIMAL(18,6) rounding
+    (ln is transcendental — the house measure-zero boundary) and the
+    total is their exact decimal sum. Scale shape: one percentile agg
+    on the reference, one 1-row broadcast attach per side, two
+    bin-grid hash aggs, a ``bins``-row join — corpus cost is two scans.
+    """
+    if bins < 2:
+        raise ValueError("population_stability: bins must be >= 2")
+    from pybabe_spark.operators._util import attach_scalars
+
+    edges = ref.agg(
+        *[
+            F.round(F.percentile(F.col(col), F.lit(i / bins)), 6).alias(
+                f"__e{i}"
+            )
+            for i in range(1, bins)
+        ]
+    )
+
+    def _binned(df: DataFrame, name: str) -> DataFrame:
+        expr = None
+        for i in range(1, bins):
+            term = (F.col(col) > F.col(f"__e{i}")).cast("int")
+            expr = term if expr is None else expr + term
+        return (
+            attach_scalars(df.filter(F.col(col).isNotNull()), edges)
+            .select(expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = ref.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(_binned(ref, "ref_n"), "bin", "left")
+        .join(_binned(new, "new_n"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("new_n").alias("__nt")
+    )
+    p = (F.col("ref_n") + 1).cast("double") / (F.col("__rt") + bins).cast("double")
+    q = (F.col("new_n") + 1).cast("double") / (F.col("__nt") + bins).cast("double")
+    terms = attach_scalars(counts, totals).select(
+        "bin",
+        "ref_n",
+        "new_n",
+        ((p - q) * F.log(p / q)).cast("decimal(18,6)").alias("__term"),
+    )
+    psi = terms.agg(F.sum("__term").cast("double").alias("__psi"))
+    return attach_scalars(terms, psi).select(
+        "bin",
+        "ref_n",
+        "new_n",
+        F.col("__term").cast("double").alias("term"),
+        F.col("__psi").alias("psi"),
+    )
+
+
+def population_stability_sql(
+    ref_sql: str,
+    new_sql: str,
+    col: str,
+    bins: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`population_stability`; ``ref_sql`` /
+    ``new_sql`` are table names or parenthesized subqueries."""
+    edges = ", ".join(
+        f"ROUND(quantile_cont({col}, {i / bins}), 6) AS e{i}"
+        for i in range(1, bins)
+    )
+    terms = " + ".join(
+        f"CAST({col} > e{i} AS INT)" for i in range(1, bins)
+    )
+    binned = lambda src, name: f"""(
+      SELECT ({terms}) AS bin, COUNT(*) AS {name}
+      FROM {src} CROSS JOIN e WHERE {col} IS NOT NULL GROUP BY 1
+    )"""  # noqa: E731
+    return f"""
+    WITH e AS (SELECT {edges} FROM {ref_sql}),
+    grid AS (SELECT UNNEST(range({bins})) AS bin),
+    counts AS (
+      SELECT grid.bin,
+             COALESCE(r.ref_n, 0) AS ref_n,
+             COALESCE(n.new_n, 0) AS new_n
+      FROM grid
+      LEFT JOIN {binned(ref_sql, 'ref_n')} r ON grid.bin = r.bin
+      LEFT JOIN {binned(new_sql, 'new_n')} n ON grid.bin = n.bin
+    ),
+    tot AS (SELECT SUM(ref_n) AS rt, SUM(new_n) AS nt FROM counts),
+    terms AS (
+      SELECT bin, ref_n, new_n,
+             CAST((CAST(ref_n + 1 AS DOUBLE) / (rt + {bins})
+                   - CAST(new_n + 1 AS DOUBLE) / (nt + {bins}))
+                  * ln((CAST(ref_n + 1 AS DOUBLE) / (rt + {bins}))
+                       / (CAST(new_n + 1 AS DOUBLE) / (nt + {bins})))
+                  AS DECIMAL(18,6)) AS term
+      FROM counts CROSS JOIN tot
+    ),
+    psi AS (SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM terms)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(new_n AS BIGINT) AS new_n,
+           CAST(term AS DOUBLE) AS term, psi
+    FROM terms CROSS JOIN psi
+    """

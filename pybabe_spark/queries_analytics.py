@@ -1927,3 +1927,32 @@ def q_cusum_alarms(spark, sf_dir):
         ev, key_col="user_id", value_col="value", ts_col="ts",
         target=50.0, slack=2.0, threshold=500.0,
     )
+
+
+def _psi_sql() -> str:
+    from pybabe_spark.operators.validate import population_stability_sql
+
+    return population_stability_sql(
+        "(SELECT * FROM orders WHERE o_orderstatus = 'O')",
+        "(SELECT * FROM orders WHERE o_orderstatus = 'F')",
+        "o_totalprice",
+        bins=10,
+    )
+
+
+@register("psi_orders_price", _psi_sql())
+def q_psi_orders(spark, sf_dir):
+    """Population Stability Index (operators/validate.py::
+    population_stability): open vs fulfilled orders' price
+    distributions over the reference's own decile edges —
+    Laplace-smoothed shares, decimal-rounded ln terms, exact decimal
+    total; the production input-drift monitor."""
+    from pybabe_spark.operators.validate import population_stability
+
+    orders = read_table(spark, sf_dir, "orders")
+    return population_stability(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        orders.filter(F.col("o_orderstatus") == "F"),
+        "o_totalprice",
+        bins=10,
+    )
