@@ -506,6 +506,12 @@ class Babe:
 
         return self._wrap(session_stats(self.df, gap_seconds, **kwargs))
 
+    def population_stability(self, new: "Babe | DataFrame", col, bins=10) -> "Babe":
+        from pybabe_spark.operators.validate import population_stability
+
+        n = new.df if isinstance(new, Babe) else new
+        return self._wrap(population_stability(self.df, n, col, bins=bins))
+
     def validate(self, rules) -> "Babe":
         from pybabe_spark.operators.validate import validate
 

@@ -78,3 +78,45 @@ def test_cube_fk_plans(spark):
     parent = spark.createDataFrame([(1,)], "pk long")
     # the two attach_scalars are 1-row-proven — no findings
     assert plan_lint(foreign_key_check(child, "fk", parent, "pk")) == []
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from pybabe_spark.operators.validate import population_stability
+
+    base = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    out = population_stability(base, base, "v", bins=5).collect()
+    assert len(out) == 5
+    assert all(r["psi"] == 0.0 for r in out)  # identical -> every term 0
+    assert sum(r["ref_n"] for r in out) == 1000
+
+
+def test_psi_detects_shift_and_smooths_empty_bins(spark):
+    from pybabe_spark.operators.validate import population_stability
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = spark.range(1000).select(
+        (F.col("id") % 100 + 200).cast("double").alias("v")
+    )
+    out = population_stability(ref, shifted, "v", bins=5).collect()
+    psi = out[0]["psi"]
+    assert psi > 0.25  # full shift: everything lands in the top bin
+    # bins the new batch vacated are Laplace-smoothed, not -inf/NaN
+    assert all(r["term"] is not None for r in out)
+    # all new mass in the last bin
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[4]["new_n"] == 1000
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bins"):
+        population_stability(ref, shifted, "v", bins=1)
+
+
+def test_psi_plan_lints_clean(spark):
+    from pybabe_spark.operators.validate import population_stability
+    from pybabe_spark.plans.lint import plan_lint
+
+    ref = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    assert plan_lint(population_stability(ref, ref, "v", bins=4)) == []

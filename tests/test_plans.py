@@ -462,6 +462,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "rank_normalize_docs",
                 # layered key-partitioned cumulative windows + hash agg
                 "cusum_alarms_events",
+                # one ref percentile agg + two bin-grid aggs + 1-row
+                # attaches — clean
+                "psi_orders_price",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
