@@ -619,3 +619,157 @@ def time_weighted_avg_sql(
     FROM stepped WHERE dt IS NOT NULL
     GROUP BY k
     """
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group: for each distinct event
+    time ``t`` (durations where at least one event occurred),
+    ``(group, t, n_risk, n_events, n_censored, survival)`` with
+    ``survival = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` — the standard right-censored
+    time-to-event estimator (churn curves, conversion-latency curves,
+    component lifetimes). ``event_col`` is 1 when the event was
+    observed at ``duration_col``, 0 when the subject left observation
+    (censored). Censored subjects leave the risk set after ``t`` but
+    contribute no factor.
+
+    Cross-engine determinism: the product is computed in log space —
+    each factor's ``ln((n−d)/n)`` takes one DECIMAL(18,6) rounding
+    (the house transcendental boundary), the running sum is an exact
+    decimal cumulative window, and one final ``exp`` + rounding emits
+    the curve. A step where every at-risk subject dies (n = d) sends
+    the curve to EXACTLY 0 from that time on (flagged in-plan, not
+    ln(0) = −inf arithmetic).
+
+    Scale shape: one hash agg to per-(group, duration) event/censor
+    counts — the table is distinct-duration-sized, corpus-sized only
+    in the worst case — then group-partitioned cumulative windows on
+    it. NULL durations are excluded; ties in duration process events
+    at ``t`` before censors (the standard convention: a subject
+    censored at ``t`` was at risk at ``t``).
+    """
+    g = [group_col] if group_col is not None else []
+    ev = F.col(event_col).cast("int")
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        *g,
+        F.col(duration_col).alias("t"),
+        ev.alias("__e"),
+    )
+    counts = base.groupBy(*g, "t").agg(
+        F.sum("__e").alias("n_events"),
+        F.sum(F.lit(1) - F.col("__e")).alias("n_censored"),
+    )
+    w_ord = Window.partitionBy(*g).orderBy(F.col("t").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*g)
+    # layered (window calls cannot nest): cumulative departures first,
+    # then the lag of that cumulative in a second projection
+    stepped = (
+        counts.withColumn(
+            "__tot", F.sum(F.col("n_events") + F.col("n_censored")).over(wall)
+        )
+        .withColumn(
+            "__cum", F.sum(F.col("n_events") + F.col("n_censored")).over(w_cum)
+        )
+        .withColumn(
+            "n_risk", F.col("__tot") - F.lag("__cum", 1, 0).over(w_ord)
+        )
+        .drop("__tot", "__cum")
+    )
+    # log-space factor; NULL marks the n == d extinction step
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).cast("decimal(18,6)"),
+    )
+    curve = (
+        stepped.withColumn("__term", term)
+        .withColumn(
+            "__logsum",
+            F.sum(F.when(F.col("n_events") > 0, F.col("__term"))).over(w_cum),
+        )
+        .withColumn(
+            "__dead",
+            F.sum(
+                ((F.col("n_events") > 0) & F.col("__term").isNull()).cast("int")
+            ).over(w_cum),
+        )
+    )
+    out = curve.filter(F.col("n_events") > 0).select(
+        *g,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("__dead") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.coalesce(F.col("__logsum").cast("double"),
+                                     F.lit(0.0))), 6)
+        )
+        .alias("survival"),
+    )
+    return out
+
+
+def km_survival_sql(
+    src: str,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`km_survival` (same rounded log terms,
+    exact decimal cumsum, same extinction rule). ``src`` is a table
+    name or parenthesized subquery."""
+    g = f"{group_col}, " if group_col else ""
+    gp = f"PARTITION BY {group_col}" if group_col else ""
+    return f"""
+    WITH base AS (
+      SELECT {g}{duration_col} AS t,
+             CAST({event_col} AS INT) AS e
+      FROM {src} WHERE {duration_col} IS NOT NULL
+    ),
+    counts AS (
+      SELECT {g}t, CAST(SUM(e) AS BIGINT) AS n_events,
+             CAST(SUM(1 - e) AS BIGINT) AS n_censored
+      FROM base GROUP BY {g}t
+    ),
+    stepped AS (
+      SELECT *,
+             CAST(SUM(n_events + n_censored) OVER ({gp}) -
+                  COALESCE(SUM(n_events + n_censored) OVER
+                    ({gp} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM counts
+    ),
+    terms AS (
+      SELECT *,
+             CASE WHEN n_events < n_risk THEN
+               CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+                       / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,6))
+             END AS term
+      FROM stepped
+    ),
+    curve AS (
+      SELECT *,
+             SUM(CASE WHEN n_events > 0 THEN term END) OVER
+               ({gp} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS logsum,
+             SUM(CASE WHEN n_events > 0 AND term IS NULL
+                      THEN 1 ELSE 0 END) OVER
+               ({gp} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS dead
+      FROM terms
+    )
+    SELECT {g}t, n_risk, n_events, n_censored,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE ROUND(exp(COALESCE(CAST(logsum AS DOUBLE), 0.0)), 6)
+           END AS survival
+    FROM curve WHERE n_events > 0
+    """

@@ -573,6 +573,13 @@ class Babe:
             time_weighted_avg(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def km_survival(self, duration_col, event_col, group_col=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import km_survival
+
+        return self._wrap(
+            km_survival(self.df, duration_col, event_col, group_col)
+        )
+
     def attribute_conversions(
         self, conversion, touch, channel_col, **kwargs
     ) -> "Babe":

@@ -1956,3 +1956,51 @@ def q_psi_orders(spark, sf_dir):
         "o_totalprice",
         bins=10,
     )
+
+
+def _km_sql() -> str:
+    from pybabe_spark.operators.timeseries import km_survival_sql
+
+    subjects = """(
+      SELECT arg_min(event_type, ts) AS cohort,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                  THEN epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END)) - epoch_us(MIN(ts))
+                  ELSE epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+             END AS duration,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  IS NOT NULL AS INT) AS event
+      FROM events GROUP BY user_id
+    )"""
+    return km_survival_sql(subjects, "duration", "event",
+                           group_col="cohort")
+
+
+@register("km_survival_events", _km_sql())
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-purchase curves (operators/timeseries.py::
+    km_survival), cohorted by each user's first event type; users who
+    never purchase are right-censored at their last event. Log-space
+    decimal-rounded factors, exact cumulative sums, in-plan extinction
+    rule — the churn/conversion-latency estimator."""
+    from pybabe_spark.operators.timeseries import km_survival
+
+    ev = read_table(spark, sf_dir, "events")
+    tp = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subjects = ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("cohort"),
+        F.min("ts").alias("__t0"),
+        tp.alias("__tp"),
+        F.max("ts").alias("__tl"),
+    ).select(
+        "cohort",
+        F.when(
+            F.col("__tp").isNotNull(),
+            F.unix_micros("__tp") - F.unix_micros("__t0"),
+        )
+        .otherwise(F.unix_micros("__tl") - F.unix_micros("__t0"))
+        .alias("duration"),
+        F.col("__tp").isNotNull().cast("int").alias("event"),
+    )
+    return km_survival(subjects, "duration", "event", group_col="cohort")

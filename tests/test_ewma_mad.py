@@ -255,3 +255,48 @@ def test_cusum_plan_and_guards(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="threshold"):
         cusum_alarms(df, "k", "v", "ts", target=1.0, threshold=0.0)
+
+
+def test_km_survival_textbook_curve(spark):
+    from pybabe_spark.operators.timeseries import km_survival
+
+    # classic KM fixture: events at t=1 (1 death of 5), t=3 (1 death of
+    # 3 after a censor at 2), censor at 4, death at 5 (1 of 1 -> 0)
+    rows = [
+        ("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 4, 0), ("g", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    out = {r["t"]: r for r in
+           km_survival(df, "duration", "event", group_col="grp").collect()}
+    assert set(out) == {1, 3, 5}  # censor-only times don't plot
+    import pytest as _pt
+    assert out[1]["n_risk"] == 5 and out[1]["survival"] == _pt.approx(0.8)
+    assert out[3]["n_risk"] == 3
+    assert out[3]["survival"] == _pt.approx(0.8 * 2 / 3, abs=1e-6)
+    # last subject dies: extinction -> exactly 0, no ln(0) arithmetic
+    assert out[5]["n_risk"] == 1 and out[5]["survival"] == 0.0
+
+
+def test_km_tied_events_and_censors(spark):
+    from pybabe_spark.operators.timeseries import km_survival
+
+    # a censor tied WITH a death at t=2: the censored subject counts in
+    # the t=2 risk set (standard convention)
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 0), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    out = {r["t"]: r for r in
+           km_survival(df, "duration", "event", group_col="grp").collect()}
+    assert out[2]["n_risk"] == 3 and out[2]["n_censored"] == 1
+    import pytest as _pt
+    assert out[2]["survival"] == _pt.approx(0.75 * 2 / 3, abs=1e-6)
+    assert out[3]["n_risk"] == 1 and out[3]["survival"] == 0.0
+
+
+def test_km_plan_lints_clean(spark):
+    from pybabe_spark.operators.timeseries import km_survival
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = spark.createDataFrame(
+        [("g", 1, 1)], "grp string, duration int, event int"
+    )
+    assert plan_lint(km_survival(df, "duration", "event", "grp")) == []

@@ -465,6 +465,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one ref percentile agg + two bin-grid aggs + 1-row
                 # attaches — clean
                 "psi_orders_price",
+                # distinct-duration table + group-partitioned windows
+                "km_survival_events",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
