@@ -102,15 +102,15 @@ def bm25_scores(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
     )
-    # dl feeds three consumers (scalars, the score join, and the tf
-    # branch shares its explode lineage); tf feeds two (dfreq + score).
-    # Without the lazy persist each consumer re-runs the corpus explode
-    # (4 source scans measured at r7); both tables are post-aggregation
-    # small — per-doc lengths and query-term tfs — so marking them
-    # cacheable cuts the explode to 2 passes with bounded memory. Lazy:
-    # no job until the query's own action (house rule — never
-    # localCheckpoint(eager=False) here).
-    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    # dl and tf each feed two consumers, but their duplicated subtrees
+    # contain IDENTICAL shuffle exchanges, which Spark's ReuseExchange
+    # already computes once per query — an explicit persist() here was
+    # measured SLOWER at sf0.1 (0.56 → 0.87 s: cache materialization
+    # replaces exchange reuse and breaks stage pipelining), so the
+    # dedup is left to the optimizer. (dl is also corpus-row-sized —
+    # one row per doc — so caching it at 100 TB would pin a 2-column
+    # corpus in memory for no new saving.)
+    dl = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     scalars = dl.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum("dl").alias("__total_len"),
@@ -119,7 +119,6 @@ def bm25_scores(
         terms.filter(F.col("term").isin(list(query_terms)))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = attach_scalars(dfreq, scalars).select(
