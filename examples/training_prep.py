@@ -107,6 +107,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     )
     codes = sem_vecs.pq_encode()
 
+    # 7. selection-side signals (round 7): what does the batch ADD
+    #    beyond the seen corpus (novelty), and a curriculum signal from
+    #    per-language length percentile (exact ppm — outlier-immune)
+    novelty = batch.novelty_score(seen.df, n=3)
+    ranked = docs.rank_normalize("n_chars", by="lang", tie_col="doc_id")
+
+    # 8. hybrid retrieval over the kept corpus: BM25 + dense cosine
+    #    fused by reciprocal rank (exact bigint credits), and the
+    #    contrastive hard negatives for embedding finetuning
+    from pybabe_spark.operators.similarity import ann_brute_force
+    from pybabe_spark.operators.tfidf import bm25_search
+
+    sparse = bm25_search(docs.df, ["spark", "window", "sort"], k=20)
+    dense = (
+        ann_brute_force(emb.df, emb.df.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("id"), F.col("sim").alias("score"))
+        .limit(20)
+    )
+    hybrid = Babe.from_df(sparse).rank_fuse(dense, k=5)
+    negatives = emb.hard_negatives(emb.df.filter(F.col("vec_id") < 2), k=3)
+
     print(f"seen {seen.count()} | batch {batch.count()} -> "
           f"fresh {fresh.count()} -> survivors {survivors.count()}")
     print(f"embeddings {emb.count()} -> semantic survivors {sem.count()} "
@@ -116,6 +137,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         print(f"  bucket {r['bucket']}: {r['n_packs']} packs / {r['n_docs']} docs")
     head = [r["doc_id"] for r in epoch.df.limit(5).collect()]
     print(f"epoch order head: {head}")
+    mean_nov = novelty.df.agg(
+        F.round(F.avg("novelty"), 3).alias("m")
+    ).collect()[0]["m"]
+    print(f"batch novelty vs seen: mean {mean_nov} over {novelty.count()} docs")
+    print(f"curriculum signal rows: {ranked.count()}")
+    print("hybrid top-5:", [r["id"] for r in hybrid.df.collect()])
+    print(f"hard negatives mined: {negatives.count()}")
 
 
 if __name__ == "__main__":
