@@ -15,7 +15,7 @@ skewed-shuffle joins only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -177,3 +177,106 @@ def pareto_report(
         ).alias("cum_share_ppm"),
     )
     return out
+
+
+def gini(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Gini concentration coefficient over non-negative values:
+    ``(key, n, total, gini_ppm, gini)`` — 0 = perfectly even, →1 = one
+    row holds everything. The single-number companion to
+    :func:`pareto_report` (which returns the whole contribution curve):
+    revenue concentration per segment, token share per source, traffic
+    share per domain.
+
+    Exact arithmetic end to end: values enter as bigint cents, the
+    rank-sum identity ``G = (2·Σ rank·xᵢ − (n+1)·Σx) / (n·Σx)`` is
+    computed in DECIMAL(38,0) (rank·cents products overflow bigint at
+    corpus scale), and ``gini_ppm = 1e6·num div den`` is exact integer
+    division — no float anywhere but the convenience double. Ranks are
+    ascending row_numbers; tie ORDER among equal values cannot change
+    the sum (equal x across a tie block make Σ rank·x permutation-
+    invariant), so no tie column is needed. NULL values are excluded;
+    negative values raise in-plan at the query's own action (Gini is
+    undefined below zero — clamp or shift upstream). Keys with a zero
+    total report NULL gini.
+
+    Scale shape: one key-partitioned rank window + one hash agg — two
+    key shuffles, no joins.
+    """
+    nn = df.filter(F.col(value_col).isNotNull())
+    cents_raw = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    guard = F.when(
+        cents_raw < 0,
+        F.raise_error(
+            F.lit(f"gini: negative {value_col} — undefined; clamp upstream")
+        ).cast("bigint"),
+    ).otherwise(cents_raw)
+    w = Window.partitionBy(key_col).orderBy(F.col("__c").asc())
+    ranked = nn.select(
+        F.col(key_col), guard.alias("__c")
+    ).withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sx"),
+        F.sum((F.col("__rn") * F.col("__c")).cast("decimal(38,0)"))
+        .alias("__srx"),
+    )
+    # integral `div` (not decimal divide + cast: Spark's decimal
+    # division rounds to the result scale BEFORE a cast truncates,
+    # which can disagree with DuckDB's exact floor by one ulp)
+    with_nd = agg.withColumn(
+        "__num",
+        (F.lit(2) * F.col("__srx") - (F.col("n") + 1) * F.col("__sx"))
+        .cast("decimal(38,0)"),
+    ).withColumn(
+        "__den", (F.col("n") * F.col("__sx")).cast("decimal(38,0)")
+    )
+    ppm = F.when(
+        F.col("__sx") > 0,
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __num) div __den"
+            " AS BIGINT)"
+        ),
+    )
+    return with_nd.select(
+        key_col,
+        "n",
+        (F.col("__sx").cast("double") / 100.0).alias("total"),
+        ppm.alias("gini_ppm"),
+        (ppm.cast("double") / 1_000_000).alias("gini"),
+    )
+
+
+def gini_sql(table: str, key_col: str, value_col: str) -> str:
+    """DuckDB mirror of :func:`gini` — same cents, same rank-sum
+    identity in HUGEINT, same integer ppm."""
+    return f"""
+    WITH ranked AS (
+      SELECT {key_col} AS k,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY CAST(CAST({value_col} AS
+                                DECIMAL(18,2)) * 100 AS BIGINT) ASC) AS rn
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    agg AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS sx,
+             SUM(CAST(rn AS HUGEINT) * c) AS srx
+      FROM ranked GROUP BY k
+    )
+    SELECT k AS {key_col}, n,
+           CAST(sx AS DOUBLE) / 100.0 AS total,
+           CASE WHEN sx > 0 THEN
+             CAST((1000000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+                  AS BIGINT)
+           END AS gini_ppm,
+           CASE WHEN sx > 0 THEN
+             CAST(CAST((1000000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+                  AS BIGINT) AS DOUBLE) / 1000000
+           END AS gini
+    FROM agg
+    """

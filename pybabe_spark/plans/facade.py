@@ -298,6 +298,11 @@ class Babe:
             ab_test(self.df, variant_col, success_col, control, treatment, **kw)
         )
 
+    def gini(self, key_col, value_col) -> "Babe":
+        from pybabe_spark.operators.skew import gini
+
+        return self._wrap(gini(self.df, key_col, value_col))
+
     def pareto_report(self, key, value_col, top_n=50) -> "Babe":
         from pybabe_spark.operators.skew import pareto_report
 

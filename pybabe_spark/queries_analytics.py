@@ -2004,3 +2004,21 @@ def q_km_survival(spark, sf_dir):
         F.col("__tp").isNotNull().cast("int").alias("event"),
     )
     return km_survival(subjects, "duration", "event", group_col="cohort")
+
+
+def _gini_sql() -> str:
+    from pybabe_spark.operators.skew import gini_sql
+
+    return gini_sql("orders", "o_orderpriority", "o_totalprice")
+
+
+@register("gini_orders_priority", _gini_sql())
+def q_gini_orders(spark, sf_dir):
+    """Per-priority Gini concentration of order value (operators/
+    skew.py::gini): exact rank-sum identity in DECIMAL(38,0)/HUGEINT
+    cents, integral ppm division — the single-number companion to
+    pareto_report."""
+    from pybabe_spark.operators.skew import gini
+
+    orders = read_table(spark, sf_dir, "orders")
+    return gini(orders, "o_orderpriority", "o_totalprice")

@@ -300,3 +300,39 @@ def test_km_plan_lints_clean(spark):
         [("g", 1, 1)], "grp string, duration int, event int"
     )
     assert plan_lint(km_survival(df, "duration", "event", "grp")) == []
+
+
+def test_gini_known_values(spark):
+    from pybabe_spark.operators.skew import gini
+
+    df = spark.createDataFrame(
+        [("even", v) for v in (5.0, 5.0, 5.0, 5.0)]
+        + [("onehas", 0.0), ("onehas", 0.0), ("onehas", 0.0),
+           ("onehas", 10.0)]
+        + [("zeros", 0.0), ("zeros", 0.0)],
+        "k string, v double",
+    )
+    out = {r["k"]: r for r in gini(df, "k", "v").collect()}
+    assert out["even"]["gini_ppm"] == 0
+    # one of n holds all: G = (n-1)/n = 0.75
+    assert out["onehas"]["gini_ppm"] == 750_000
+    assert out["zeros"]["gini_ppm"] is None  # zero total -> undefined
+
+
+def test_gini_negative_raises_in_plan(spark):
+    import pytest as _pt
+
+    from pybabe_spark.operators.skew import gini
+
+    df = spark.createDataFrame([("a", -1.0)], "k string, v double")
+    plan = gini(df, "k", "v")  # construction stays lazy
+    with _pt.raises(Exception, match="negative"):
+        plan.collect()
+
+
+def test_gini_plan_lints_clean(spark):
+    from pybabe_spark.operators.skew import gini
+    from pybabe_spark.plans.lint import plan_lint
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    assert plan_lint(gini(df, "k", "v")) == []

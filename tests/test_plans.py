@@ -467,6 +467,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "psi_orders_price",
                 # distinct-duration table + group-partitioned windows
                 "km_survival_events",
+                # key-partitioned rank window + hash agg
+                "gini_orders_priority",
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
