@@ -293,6 +293,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_interval: int | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node,
     rank_micro) with ranks in exact 1e-6 micro-units (bigint).
@@ -310,6 +312,14 @@ def pagerank(
     ``damping``'s exact Fraction — the whole iteration is integer
     arithmetic, so :func:`pagerank_sql` replays it bit-exactly and no
     decimal half-point ever arises.
+
+    ``seeds`` switches to PERSONALIZED PageRank (the TrustRank form —
+    Gyöngyi et al.): teleport mass lands ONLY on the seed nodes
+    (``base_v = (1−d)·1e6·[v ∈ seeds]``, init likewise), so rank
+    measures proximity-to-seeds along links — the crawl-quality
+    propagation trick (seed trusted domains, rank the web by trust
+    flow). The seed set rides one broadcast-ish equi-join onto the
+    node table; everything else is the same integer iteration.
 
     Scale shape: state is one (node, rank) row per node; each iteration
     is one equi-join of the edge list with the rank table (both
@@ -345,16 +355,38 @@ def pagerank(
         .distinct()
         .persist()
     )
-    ranks = nodes.withColumn("__r", F.lit(1_000_000).cast("bigint"))
+    if seeds is not None:
+        flags = (
+            nodes.join(
+                seeds.select(F.col(seed_col).alias("node")).distinct()
+                .withColumn("__is_seed", F.lit(1)),
+                "node",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("__is_seed", F.lit(0)).alias("__seed")
+            )
+            .persist()
+        )
+        base_col = (F.lit(base) * F.col("__seed")).cast("bigint")
+        ranks = flags.select(
+            "node",
+            (F.lit(1_000_000) * F.col("__seed")).cast("bigint").alias("__r"),
+        )
+        node_base = flags
+    else:
+        base_col = F.lit(base).cast("bigint")
+        ranks = nodes.withColumn("__r", F.lit(1_000_000).cast("bigint"))
+        node_base = nodes
     for i in range(iters):
         contrib = ewd.join(ranks, ewd["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), F.expr("__r div __deg").alias("__c")
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        ranks = nodes.join(sums, "node", "left").select(
+        ranks = node_base.join(sums, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.expr(
                     f"(2 * {num} * coalesce(__s, cast(0 as bigint)) + {den})"
                     f" div (2 * {den})"
@@ -370,10 +402,12 @@ def pagerank_sql(
     edges_cte: str,
     iters: int = 3,
     damping: float = 0.85,
+    seeds_cte: str | None = None,
 ) -> str:
     """DuckDB oracle of :func:`pagerank`: the same integer micro-unit
     iteration unrolled as CTEs. ``edges_cte`` is a SELECT producing
-    (src, dst)."""
+    (src, dst); ``seeds_cte`` (a SELECT producing ``node``) mirrors the
+    personalized form."""
     from fractions import Fraction
 
     frac = Fraction(damping).limit_denominator(10**6)
@@ -384,8 +418,26 @@ def pagerank_sql(
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
         " UNION ALL SELECT dst AS node FROM edges))",
-        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
     ]
+    if seeds_cte is not None:
+        parts.append(f"seedset AS (SELECT DISTINCT node FROM ({seeds_cte}))")
+        parts.append(
+            "flags AS (SELECT n.node,"
+            " CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed"
+            " FROM nodes n LEFT JOIN seedset s USING (node))"
+        )
+        parts.append(
+            "r0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS r"
+            " FROM flags)"
+        )
+        base_expr = f"{base} * f.seed"
+        node_src = "flags f"
+    else:
+        parts.append(
+            "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+        )
+        base_expr = str(base)
+        node_src = "nodes f"
     for i in range(1, iters + 1):
         parts.append(
             f"s{i} AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s"
@@ -393,9 +445,9 @@ def pagerank_sql(
             f" JOIN r{i-1} r ON r.node = e.src GROUP BY e.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT n.node, {base} +"
+            f"r{i} AS (SELECT f.node, {base_expr} +"
             f" (2 * {num} * COALESCE(s.s, 0) + {den}) // (2 * {den}) AS r"
-            f" FROM nodes n LEFT JOIN s{i} s USING (node))"
+            f" FROM {node_src} LEFT JOIN s{i} s USING (node))"
         )
     return (
         ",\n".join(parts)

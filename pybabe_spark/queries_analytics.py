@@ -2022,3 +2022,56 @@ def q_gini_orders(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return gini(orders, "o_orderpriority", "o_totalprice")
+
+
+def _trustrank_sql() -> str:
+    from pybabe_spark.operators.graph import pagerank_sql
+
+    edges = """
+      SELECT src, dst FROM (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      )
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      )
+    """
+    seeds = """
+      SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier WHERE s_suppkey % 10 = 0
+    """
+    return pagerank_sql(edges, iters=3, damping=0.85, seeds_cte=seeds)
+
+
+@register("trustrank_trade_network", _trustrank_sql())
+def q_trustrank(spark, sf_dir):
+    """Personalized PageRank / TrustRank (operators/graph.py::pagerank
+    with seeds): teleport mass lands only on a trusted 1/10th of
+    suppliers, so rank measures trust flow through the trade graph —
+    the crawl-quality propagation pattern (seed trusted domains, rank
+    everything by proximity). Same exact integer iteration, one extra
+    seed-flag equi-join; the oracle replays it bit-for-bit."""
+    from pybabe_spark.operators.graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = supp.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return pagerank(edges, iters=3, damping=0.85, seeds=seeds)

@@ -336,3 +336,22 @@ def test_gini_plan_lints_clean(spark):
 
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     assert plan_lint(gini(df, "k", "v")) == []
+
+
+def test_personalized_pagerank_seeds_get_the_mass(spark):
+    from pybabe_spark.operators.graph import pagerank
+
+    # star: seed 1 -> {2,3}; node 4 isolated-ish (4 -> 1)
+    e = [(1, 2), (1, 3), (4, 1), (2, 1), (3, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pr = {r["node"]: r["rank_micro"]
+          for r in pagerank(edges, iters=5, seeds=seeds).collect()}
+    # only the seed receives teleport mass; unreachable-from-seed node 4
+    # decays to 0 (nothing links INTO 4)
+    assert pr[4] == 0
+    assert pr[1] > pr[2] == pr[3] > 0
+    # plain pagerank on the same graph gives 4 a base share
+    plain = {r["node"]: r["rank_micro"]
+             for r in pagerank(edges, iters=5).collect()}
+    assert plain[4] > 0

@@ -379,6 +379,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # pagerank: per-iteration equi-join + hash agg, integer
         # arithmetic only — no window, no nested loop, no Python
         "pagerank_trade_network": set(),
+        # the personalized form adds one seed-flag equi-join — clean
+        "trustrank_trade_network": set(),
         # stored BM25 probe: partition-pruned scan + 1-row stats attach
         # (maxRows-proven), no posting join — must stay clean
         "bm25_stored_docs": set(),
