@@ -133,3 +133,43 @@ def test_novelty_plan_lints_clean(spark):
     probe = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     ref = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
     assert plan_lint(novelty_score(probe, ref, n=2)) == []
+
+
+def test_containment_matches_bruteforce_model(spark):
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(25):
+        n = rng.randint(2, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text, n=2):
+        w = text.split(" ")
+        if len(w) < n:
+            return {text}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    thr_ppm = 600000
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            sa, sb = shingles(ta), shingles(tb)
+            c = len(sa & sb)
+            m = min(len(sa), len(sb))
+            if c * 1_000_000 >= thr_ppm * m:
+                contained = ia if len(sa) <= len(sb) else ib
+                want[(ia, ib)] = (contained, c / m)
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["contained_id"], r["containment"])
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.6, shingle_n=2
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cid, cont) in want.items():
+        assert got[k][0] == cid, k
+        assert abs(got[k][1] - cont) < 1e-12, k
