@@ -129,6 +129,44 @@ def test_upsert_valid_from_tie_different_attr_raises(spark):
         up.collect()
 
 
+def test_upsert_randomized_equals_rebuild(spark):
+    """Randomized contract sweep (ADVICE r6 follow-up): for unique
+    per-key timestamps, EVERY split of a changelog into (base, updates)
+    either folds to exactly the rebuild or raises SCD2_OUT_OF_ORDER —
+    no silent third outcome. 60 seeded trials over 2-8 timestamps."""
+    import random
+
+    rng = random.Random(7)
+    checked = raised = 0
+    for _ in range(60):
+        ts_pool = rng.sample(range(0, 20), rng.randint(2, 8))
+        rng.shuffle(ts_pool)
+        n_base = rng.randint(1, len(ts_pool) - 1)
+        base = sorted(
+            (1, t * 5, rng.choice("AB")) for t in ts_pool[:n_base]
+        )
+        updates = [
+            (1, t * 5, rng.choice("AB")) for t in ts_pool[n_base:]
+        ]
+        hist = scd2_from_changelog(_mk(spark, base), "k", "ts", ["attr"])
+        up = scd2_upsert(
+            hist, _mk(spark, updates), "k", "ts", ["attr"]
+        )
+        try:
+            got = _rows(up)
+        except Exception as e:  # noqa: BLE001 — raise class varies by plan
+            assert "SCD2_OUT_OF_ORDER" in str(e)
+            raised += 1
+            continue
+        rebuild = scd2_from_changelog(
+            _mk(spark, base + updates), "k", "ts", ["attr"]
+        )
+        assert got == _rows(rebuild), (base, updates)
+        checked += 1
+    # both outcomes must actually occur across the sweep
+    assert checked > 10 and raised > 3
+
+
 def test_upsert_guard_is_lazy(spark):
     # building the conflicting plan runs NO job and raises nothing;
     # the error surfaces at the query's own first action
