@@ -665,6 +665,14 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def apply_cdc(self, changes, keys, order_by, **kwargs) -> "Babe":
+        from pybabe_spark.operators.cdc import apply_cdc
+
+        feed = changes.df if isinstance(changes, Babe) else changes
+        return self._wrap(
+            apply_cdc(self.df, feed, keys, order_by, **kwargs)
+        )
+
     def gap_fill(self, step_seconds, key_col, ts_col, agg_cols, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import gap_fill
 

@@ -2075,3 +2075,58 @@ def q_trustrank(spark, sf_dir):
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
     )
     return pagerank(edges, iters=3, damping=0.85, seeds=seeds)
+
+
+def _cdc_sql():
+    from pybabe_spark.operators.cdc import apply_cdc_sql
+
+    base = """
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-24'
+        ) WHERE rn = 1
+    """
+    changes = """
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+    """
+    return apply_cdc_sql(
+        base, changes, ["user_id"], ["ts"], ["event_type", "value"]
+    )
+
+
+@register("cdc_apply_events", _cdc_sql())
+def q_cdc_apply(spark, sf_dir):
+    """CDC apply-changes (operators/cdc.py::apply_cdc): a per-user
+    latest-state snapshot built from events before 2024-01-24, then the
+    remaining week replayed as a Debezium-style feed — 'error' events
+    become DELETEs, everything else upserts — with last-wins per user
+    by timestamp. The base is never windowed: one row_number over the
+    FEED, one anti-join, one union. ``value`` is a pass-through double
+    (same parquet bits both engines)."""
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators.cdc import apply_cdc
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(base, changes, "user_id", "ts")

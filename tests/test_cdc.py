@@ -1,0 +1,108 @@
+"""apply_cdc: last-wins I/U/D feed folding (operators/cdc.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybabe_spark.operators.cdc import apply_cdc
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string, op string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "v").collect())
+
+
+def test_insert_update_delete(spark):
+    base = _base(spark, [(1, "a"), (2, "b"), (3, "c")])
+    feed = _feed(
+        spark,
+        [
+            (2, 10, "b2", "U"),   # update existing
+            (3, 10, None, "D"),   # delete existing
+            (4, 10, "d", "I"),    # insert new
+            (5, 10, None, "D"),   # delete absent key — no-op
+        ],
+    )
+    out = apply_cdc(base, feed, "k", "ts")
+    assert _rows(out) == [(1, "a"), (2, "b2"), (4, "d")]
+    assert out.columns == base.columns
+
+
+def test_last_wins_within_feed(spark):
+    base = _base(spark, [(1, "a")])
+    feed = _feed(
+        spark,
+        [
+            (1, 10, "x", "U"),
+            (1, 30, None, "D"),   # latest: delete wins
+            (1, 20, "y", "U"),
+            (2, 10, "n", "U"),
+            (2, 20, "m", "U"),    # latest: m
+        ],
+    )
+    out = apply_cdc(base, feed, "k", "ts")
+    assert _rows(out) == [(2, "m")]
+
+
+def test_delete_then_reinsert_order(spark):
+    base = _base(spark, [(1, "a")])
+    feed = _feed(spark, [(1, 10, None, "D"), (1, 20, "a2", "I")])
+    assert _rows(apply_cdc(base, feed, "k", "ts")) == [(1, "a2")]
+
+
+def test_idempotent_and_composable(spark):
+    base = _base(spark, [(1, "a"), (2, "b")])
+    f1 = _feed(spark, [(1, 10, "a1", "U"), (3, 10, "c", "I")])
+    f2 = _feed(spark, [(1, 20, None, "D"), (2, 20, "b2", "U")])
+    once = apply_cdc(base, f1, "k", "ts")
+    # idempotence: re-applying the same feed changes nothing
+    assert _rows(apply_cdc(once, f1, "k", "ts")) == _rows(once)
+    # composability under the append-only order contract
+    seq = apply_cdc(once, f2, "k", "ts")
+    both = apply_cdc(base, f1.unionByName(f2), "k", "ts")
+    assert _rows(seq) == _rows(both) == [(2, "b2"), (3, "c")]
+
+
+def test_null_key_matches_null_safely(spark):
+    base = _base(spark, [(None, "ghost"), (1, "a")])
+    feed = _feed(spark, [(None, 10, None, "D")])
+    assert _rows(apply_cdc(base, feed, "k", "ts")) == [(1, "a")]
+
+
+def test_duplicate_order_tuple_raises_lazily(spark):
+    base = _base(spark, [(1, "a")])
+    feed = _feed(spark, [(1, 10, "x", "U"), (1, 10, "y", "U")])
+    out = apply_cdc(base, feed, "k", "ts")
+    out.schema  # plan construction and analysis must not raise
+    with pytest.raises(Exception, match="duplicate order_by"):
+        out.collect()
+    # a tie BELOW the winner is harmless
+    feed2 = _feed(
+        spark,
+        [(1, 30, "w", "U"), (1, 10, "x", "U"), (1, 10, "y", "U")],
+    )
+    # still raises: rows 2/3 tie — contract asks per-key uniqueness
+    # only for the winner; 10 vs 10 sit below 30 and must pass
+    assert _rows(apply_cdc(base, feed2, "k", "ts")) == [(1, "w")]
+
+
+def test_schema_validation(spark):
+    base = _base(spark, [(1, "a")])
+    bad = spark.createDataFrame([(1, 10, "x")], "k int, ts int, op string")
+    with pytest.raises(ValueError, match="changes side lacks"):
+        apply_cdc(base, bad, "k", "ts")
+
+
+def test_facade_hook(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    base = _base(spark, [(1, "a")])
+    feed = _feed(spark, [(1, 10, "a1", "U")])
+    out = Babe(base).apply_cdc(feed, "k", "ts")
+    assert _rows(out.df) == [(1, "a1")]
