@@ -665,6 +665,11 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def ols(self, x_col, y_col, group_cols=None) -> "Babe":
+        from pybabe_spark.operators.regression import ols
+
+        return self._wrap(ols(self.df, x_col, y_col, group_cols))
+
     def apply_cdc(self, changes, keys, order_by, **kwargs) -> "Babe":
         from pybabe_spark.operators.cdc import apply_cdc
 

@@ -2130,3 +2130,26 @@ def q_cdc_apply(spark, sf_dir):
         .alias("op"),
     )
     return apply_cdc(base, changes, "user_id", "ts")
+
+
+def _ols_sql():
+    from pybabe_spark.operators.regression import ols_sql
+
+    return ols_sql(
+        "lineitem", "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+
+
+@register("ols_lineitem_price_qty", _ols_sql())
+def q_ols(spark, sf_dir):
+    """Grouped OLS (operators/regression.py::ols): per return flag,
+    fit extendedprice = slope·quantity + intercept with exact bigint-
+    cents sufficient statistics in DECIMAL(38,0) and sign-split
+    integral ppm division; r² is the DECIMAL(18,6)-rounded IEEE ratio
+    of the exact statistics. ONE map-side-combinable hash aggregation —
+    the plan shape a 100 TB trend fit needs (no window, no join, no
+    second pass)."""
+    from pybabe_spark.operators.regression import ols
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return ols(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
