@@ -665,6 +665,16 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def zorder_key(self, cols, bits=16, out_col="zkey") -> "Babe":
+        from pybabe_spark.operators.layout import zorder_key
+
+        return self._wrap(zorder_key(self.df, cols, bits, out_col))
+
+    def zorder_layout(self, cols, bits=16, num_files=32) -> "Babe":
+        from pybabe_spark.operators.layout import zorder_layout
+
+        return self._wrap(zorder_layout(self.df, cols, bits, num_files))
+
     def ols(self, x_col, y_col, group_cols=None) -> "Babe":
         from pybabe_spark.operators.regression import ols
 

@@ -2153,3 +2153,28 @@ def q_ols(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return ols(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+
+
+def _zorder_sql():
+    from pybabe_spark.operators.layout import zorder_stats_sql
+
+    return zorder_stats_sql(
+        "orders", ["o_custkey", "o_totalprice"], bits=16, num_files=16
+    )
+
+
+@register("zorder_stats_orders", _zorder_sql())
+def q_zorder(spark, sf_dir):
+    """Z-order layout statistics (operators/layout.py::zorder_stats):
+    orders keyed on the (custkey, totalprice) Z-curve — equal-width
+    integral 16-bit bucketization with lazily-attached min/max, pure
+    bit-shift interleave — then assigned to 16 fixed-width key ranges
+    ('files') reporting the per-file min/max a reader would prune on.
+    Everything integer-exact, zero shuffles before the final hash
+    agg."""
+    from pybabe_spark.operators.layout import zorder_stats
+
+    orders = read_table(spark, sf_dir, "orders")
+    return zorder_stats(
+        orders, ["o_custkey", "o_totalprice"], bits=16, num_files=16
+    )
