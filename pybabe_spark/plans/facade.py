@@ -665,6 +665,20 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def radius_join(self, other, radius, **kwargs) -> "Babe":
+        from pybabe_spark.operators.spatial import radius_join
+
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(radius_join(self.df, right, radius, **kwargs))
+
+    def nearest_join(self, other, radius, right_id, **kwargs) -> "Babe":
+        from pybabe_spark.operators.spatial import nearest_join
+
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(
+            nearest_join(self.df, right, radius, right_id, **kwargs)
+        )
+
     def zorder_key(self, cols, bits=16, out_col="zkey") -> "Babe":
         from pybabe_spark.operators.layout import zorder_key
 

@@ -2178,3 +2178,69 @@ def q_zorder(spark, sf_dir):
     return zorder_stats(
         orders, ["o_custkey", "o_totalprice"], bits=16, num_files=16
     )
+
+
+def _spatial_sql():
+    from pybabe_spark.operators.spatial import radius_join_sql
+
+    left = """
+        SELECT c_custkey,
+               CAST(CAST(('0x' || substr(md5('cx' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS cx,
+               CAST(CAST(('0x' || substr(md5('cy' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS cy
+        FROM customer
+    """
+    right = """
+        SELECT s_suppkey,
+               CAST(CAST(('0x' || substr(md5('sx' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS sx,
+               CAST(CAST(('0x' || substr(md5('sy' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS sy
+        FROM supplier
+    """
+    inner = radius_join_sql(
+        left, right, 150.0,
+        ["c_custkey"], ["s_suppkey"],
+        left_xy=("cx", "cy"), right_xy=("sx", "sy"),
+    )
+    return (
+        f"SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2 "
+        f"FROM ({inner})"
+    )
+
+
+@register("spatial_radius_customers_suppliers", _spatial_sql())
+def q_spatial(spark, sf_dir):
+    """Grid-bucketed spatial radius join (operators/spatial.py::
+    radius_join): customers and suppliers placed on a deterministic
+    md5-derived 10000×10000 plane, all pairs within distance 150 —
+    cell size = radius, the small supplier side replicated to its 3×3
+    neighborhood, one equi-join on cell id, exact HUGEINT squared-
+    distance confirm. The oracle is the ALL-PAIRS definition; the
+    engine never compares all pairs."""
+    from pybabe_spark.operators.spatial import radius_join
+
+    def coord(tag, key):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint") % 10000
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coord("cx", "c_custkey").cast("double").alias("cx"),
+        coord("cy", "c_custkey").cast("double").alias("cy"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord("sx", "s_suppkey").cast("double").alias("sx"),
+        coord("sy", "s_suppkey").cast("double").alias("sy"),
+    )
+    pairs = radius_join(
+        cust, supp, 150.0, left_xy=("cx", "cy"), right_xy=("sx", "sy")
+    )
+    return pairs.select(
+        "c_custkey", "s_suppkey", F.col("dist2").cast("bigint").alias("dist2")
+    )
