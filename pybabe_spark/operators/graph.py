@@ -634,3 +634,98 @@ def bfs_distances_sql(
         + f"\nSELECT id AS {id_col}, CAST(MIN(distance) AS INT) AS distance"
         f" FROM d{max_hops} GROUP BY id"
     )
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Seeded label propagation (graph Voronoi): every node reachable
+    within ``max_hops`` of a seed takes the label of its NEAREST seed
+    — ties at equal hop distance break to the smallest label. Returns
+    ``(id, label, distance)``; unreached nodes are absent; a seeded
+    node keeps its own label at distance 0 (duplicate seed ids take
+    the min label). ``seeds`` columns are (id, label).
+
+    The semi-supervised companion to :func:`bfs_distances`: spread
+    trusted/spam/topic/owner labels from a seed set through a
+    relationship graph — first-reach-wins, deterministic, no float
+    scores. Same frontier discipline as BFS: per round one
+    frontier-edges join + one min() hash agg + one anti-join, an
+    eager per-round ``localCheckpoint`` lineage cut, and an
+    ``observe()`` count so exhaustion stops without an extra job.
+    Per-round cost is edges incident to the frontier, never the graph.
+    """
+    if max_hops < 0:
+        raise ValueError("propagate_labels: max_hops must be >= 0")
+    id_col = id_col or src
+    sid, slab = seeds.columns[0], seeds.columns[1]
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.groupBy(F.col(sid).alias("id"))
+        .agg(F.min(slab).alias("label"))
+        .withColumn("distance", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["u"])
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("label"))
+            .join(visited, "id", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("distance") == hop)
+        if obs.get["n"] == 0:
+            break
+    return visited.withColumnRenamed("id", id_col)
+
+
+def propagate_labels_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int,
+    id_col: str,
+) -> str:
+    """DuckDB oracle of :func:`propagate_labels` — hop-unrolled CTE
+    replaying the iteration exactly (min label per NEW node per hop).
+    ``seeds_cte`` must select columns (s, label)."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "sym AS (SELECT id_a AS u, id_b AS v FROM edges"
+        " UNION SELECT id_b, id_a FROM edges)",
+        f"d0 AS (SELECT s AS id, MIN(label) AS label, 0 AS distance"
+        f" FROM ({seeds_cte}) GROUP BY s)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"d{h} AS (SELECT id, label, distance FROM d{h-1}"
+            f" UNION ALL"
+            f" SELECT sym.v AS id, MIN(f.label) AS label,"
+            f" {h} AS distance"
+            f" FROM d{h-1} f JOIN sym ON f.id = sym.u"
+            f" WHERE f.distance = {h-1}"
+            f" AND sym.v NOT IN (SELECT id FROM d{h-1})"
+            f" GROUP BY sym.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id AS {id_col}, label,"
+        f" CAST(distance AS INT) AS distance FROM d{max_hops}"
+    )

@@ -665,6 +665,14 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def propagate_labels(self, seeds, max_hops=6, **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import propagate_labels
+
+        sd = seeds.df if isinstance(seeds, Babe) else seeds
+        return self._wrap(
+            propagate_labels(self.df, sd, max_hops, **kwargs)
+        )
+
     def radius_join(self, other, radius, **kwargs) -> "Babe":
         from pybabe_spark.operators.spatial import radius_join
 

@@ -2244,3 +2244,48 @@ def q_spatial(spark, sf_dir):
     return pairs.select(
         "c_custkey", "s_suppkey", F.col("dist2").cast("bigint").alias("dist2")
     )
+
+
+def _labelprop_sql():
+    from pybabe_spark.operators.graph import propagate_labels_sql
+
+    edges = """
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS id_a,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS id_b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """
+    seeds = """
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+               s_nationkey AS label
+        FROM supplier
+    """
+    return propagate_labels_sql(edges, seeds, max_hops=3, id_col="node")
+
+
+@register("label_propagation_trade", _labelprop_sql())
+def q_labelprop(spark, sf_dir):
+    """Seeded label propagation / graph Voronoi (operators/graph.py::
+    propagate_labels): suppliers seed their nation key into the
+    customer-supplier trade graph; every node takes its NEAREST seed's
+    label (ties → smallest label), giving each customer the nation
+    whose suppliers it trades closest with. Frontier iteration — one
+    join + one min() agg per hop over frontier-incident edges only —
+    replayed hop-for-hop by the unrolled oracle."""
+    from pybabe_spark.operators.graph import propagate_labels
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id_a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("s"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return propagate_labels(edges, seeds, max_hops=3, id_col="node")

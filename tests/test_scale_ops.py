@@ -2075,3 +2075,42 @@ def test_frequent_pairs_hand_checked(spark):
     }
     # bread+milk co-occur twice; lift = (2*4)/(3*3) = 0.888888
     assert got == {("bread", "milk"): (2, 888888)}
+
+
+# -- propagate_labels (operators/graph.py) -----------------------------------
+
+
+def test_propagate_labels_nearest_seed_and_ties(spark):
+    from pybabe_spark.operators.graph import propagate_labels
+
+    # chain: 1-2-3-4-5 with seeds at 1 (label 10) and 5 (label 20);
+    # node 3 is equidistant → smaller label wins
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "id_a int, id_b int"
+    )
+    seeds = spark.createDataFrame([(1, 10), (5, 20)], "s int, label int")
+    got = {
+        r["id_a"]: (r["label"], r["distance"])
+        for r in propagate_labels(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {
+        1: (10, 0), 2: (10, 1), 3: (10, 2), 4: (20, 1), 5: (20, 0)
+    }
+    # 6,7 unreachable from any seed — absent
+    assert 6 not in got and 7 not in got
+
+
+def test_propagate_labels_hop_cap_and_dup_seeds(spark):
+    from pybabe_spark.operators.graph import propagate_labels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a int, id_b int"
+    )
+    seeds = spark.createDataFrame(
+        [(1, 9), (1, 4)], "s int, label int"  # dup seed id → min label
+    )
+    got = {
+        r["id_a"]: (r["label"], r["distance"])
+        for r in propagate_labels(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: (4, 0), 2: (4, 1), 3: (4, 2)}  # 4 is past the cap
