@@ -773,3 +773,160 @@ def km_survival_sql(
            END AS survival
     FROM curve WHERE n_events > 0
     """
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: int = 3,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags 1..``lags`` over the
+    series ordered by ``ts_col`` (unique per key — the engine's usual
+    ordering contract): ``(key, n, lag, acf_ppm, acf)`` where
+
+        ρ_h = Σₜ(xₜ−x̄)(xₜ₊ₕ−x̄) / Σₜ(xₜ−x̄)²
+
+    computed EXACTLY: values lift to bigint cents and both sides are
+    multiplied through by n², turning the rational mean into integer
+    identities — numerator ``n²·Cₕ − n·S·(Hₕ+Tₕ) + (n−h)·S²`` over
+    denominator ``n²·Q − n·S²`` in DECIMAL(38,0), emitted as
+    sign-split integral ppm (the regression-family convention).
+    ``Cₕ = Σ xₜxₜ₋ₕ``, ``Hₕ/Tₕ`` the head/tail partial sums the lag
+    window exposes for free. Keys with n ≤ h or zero variance report
+    NULL at that lag. NULL values are excluded before ordering.
+
+    The seasonality / burst-persistence detector: metrics series,
+    per-user activity, quality drift. Scale shape: ONE key-partitioned
+    window pass carrying all ``lags`` lag columns, then one hash agg —
+    two key shuffles total, lag count adds columns, not passes.
+    """
+    if lags < 1 or lags > 32:
+        raise ValueError("acf: lags must be 1..32")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), F.col(ts_col), x.alias("__x")
+    )
+    lag_cols = [F.lag("__x", h).over(w).alias(f"__l{h}") for h in range(1, lags + 1)]
+    rows = base.select(key_col, "__x", *lag_cols)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("__x"))).alias("__s"),
+        F.sum(d(F.col("__x")) * F.col("__x")).alias("__q"),
+    ]
+    for h in range(1, lags + 1):
+        lh = F.col(f"__l{h}")
+        aggs += [
+            F.coalesce(F.sum(d(lh) * F.col("__x")), F.lit(0)).cast(
+                "decimal(38,0)"
+            ).alias(f"__c{h}"),
+            F.coalesce(
+                F.sum(F.when(lh.isNotNull(), d(F.col("__x")))), F.lit(0)
+            ).cast("decimal(38,0)").alias(f"__t{h}"),
+            F.coalesce(F.sum(d(lh)), F.lit(0)).cast("decimal(38,0)").alias(
+                f"__h{h}"
+            ),
+        ]
+    agg = rows.groupBy(key_col).agg(*aggs)
+    n2 = (F.col("n") * F.col("n")).cast("decimal(38,0)")
+    den = d(
+        n2 * F.col("__q") - F.col("n") * F.col("__s") * F.col("__s")
+    )
+    agg = agg.withColumn("__den", den)
+    out_cols = []
+    for h in range(1, lags + 1):
+        num = d(
+            n2 * F.col(f"__c{h}")
+            - F.col("n") * F.col("__s") * (F.col(f"__h{h}") + F.col(f"__t{h}"))
+            + (F.col("n") - h) * F.col("__s") * F.col("__s")
+        )
+        agg = agg.withColumn(f"__num{h}", num)
+        mag = F.expr(
+            f"(CAST(1000000 AS DECIMAL(38,0)) * abs(__num{h}))"
+            " div abs(__den)"
+        )
+        sign = F.when(
+            (F.col(f"__num{h}") < 0) != (F.col("__den") < 0), F.lit(-1)
+        ).otherwise(F.lit(1))
+        ppm = F.when(
+            (F.col("__den") != 0) & (F.col("n") > h), (sign * mag)
+        ).cast("bigint")
+        out_cols.append(ppm.alias(f"__ppm{h}"))
+    final = agg.select(key_col, "n", *out_cols)
+    stack = ", ".join(
+        f"{h}, __ppm{h}" for h in range(1, lags + 1)
+    )
+    return final.select(
+        key_col,
+        "n",
+        F.expr(f"stack({lags}, {stack}) as (lag, acf_ppm)"),
+    ).select(
+        key_col,
+        "n",
+        "lag",
+        "acf_ppm",
+        (F.col("acf_ppm").cast("double") / 1e6).alias("acf"),
+    )
+
+
+def acf_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: int = 3,
+) -> str:
+    """DuckDB oracle of :func:`acf` — same cents, same lag windows,
+    same n²-scaled integer identities in HUGEINT, one UNION ALL arm
+    per lag."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    lag_sel = ", ".join(
+        f"LAG(x, {h}) OVER (PARTITION BY k ORDER BY {ts_col}) AS l{h}"
+        for h in range(1, lags + 1)
+    )
+    per_lag_aggs = ", ".join(
+        f"COALESCE(SUM(CAST(l{h} AS HUGEINT) * x), 0) AS c{h}, "
+        f"COALESCE(SUM(CASE WHEN l{h} IS NOT NULL"
+        f" THEN CAST(x AS HUGEINT) END), 0) AS t{h}, "
+        f"COALESCE(SUM(CAST(l{h} AS HUGEINT)), 0) AS h{h}"
+        for h in range(1, lags + 1)
+    )
+    arms = []
+    for h in range(1, lags + 1):
+        num = (
+            f"(n::HUGEINT * n * c{h} - n::HUGEINT * s * (h{h} + t{h})"
+            f" + (n::HUGEINT - {h}) * s * s)"
+        )
+        arms.append(
+            f"SELECT k AS {key_col}, n, {h} AS lag,"
+            f" CASE WHEN den <> 0 AND n > {h} THEN"
+            f" CAST((CASE WHEN ({num} < 0) <> (den < 0)"
+            f" THEN -1 ELSE 1 END)"
+            f" * ((1000000::HUGEINT * abs({num})) // abs(den))"
+            f" AS BIGINT) END AS acf_ppm"
+            f" FROM stats"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH pts AS (
+        SELECT {key_col} AS k, {ts_col}, {x} AS x
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ), lagged AS (
+        SELECT k, x, {lag_sel} FROM pts
+    ), stats AS (
+        SELECT k, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q,
+               {per_lag_aggs},
+               COUNT(*)::HUGEINT * COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                 - COUNT(*)::HUGEINT * SUM(CAST(x AS HUGEINT))
+                   * SUM(CAST(x AS HUGEINT)) AS den
+        FROM lagged GROUP BY k
+    )
+    SELECT {key_col}, n, lag, acf_ppm,
+           CAST(acf_ppm AS DOUBLE) / 1e6 AS acf
+    FROM ({union})
+    """

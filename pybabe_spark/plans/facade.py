@@ -710,6 +710,11 @@ class Babe:
             apply_cdc(self.df, feed, keys, order_by, **kwargs)
         )
 
+    def acf(self, key_col, ts_col, value_col, lags=3) -> "Babe":
+        from pybabe_spark.operators.timeseries import acf
+
+        return self._wrap(acf(self.df, key_col, ts_col, value_col, lags))
+
     def gap_fill(self, step_seconds, key_col, ts_col, agg_cols, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import gap_fill
 

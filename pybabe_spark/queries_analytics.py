@@ -2289,3 +2289,23 @@ def q_labelprop(spark, sf_dir):
         F.col("s_nationkey").alias("label"),
     )
     return propagate_labels(edges, seeds, max_hops=3, id_col="node")
+
+
+def _acf_sql():
+    from pybabe_spark.operators.timeseries import acf_sql
+
+    return acf_sql("events", "user_id", "ts", "value", lags=3)
+
+
+@register("acf_user_values", _acf_sql())
+def q_acf(spark, sf_dir):
+    """Per-user autocorrelation of event values at lags 1-3
+    (operators/timeseries.py::acf): exact bigint-cents series, the
+    n²-scaled mean-centering identities in DECIMAL(38,0)/HUGEINT, and
+    sign-split integral ppm — seasonality/persistence detection with
+    no float anywhere. One key-partitioned window pass carries all
+    three lags; one hash agg finishes."""
+    from pybabe_spark.operators.timeseries import acf
+
+    ev = read_table(spark, sf_dir, "events")
+    return acf(ev, "user_id", "ts", "value", lags=3)

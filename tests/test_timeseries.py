@@ -203,3 +203,81 @@ def test_calendar_iso_semantics(spark):
     # leap day exists in 2024
     feb = calendar(spark, "2024-02-28", "2024-03-01").count()
     assert feb == 3
+
+
+# -- acf (operators/timeseries.py) -------------------------------------------
+
+
+def test_acf_known_alternating_series(spark):
+    from pybabe_spark.operators.timeseries import acf
+
+    # x = [1,-1,1,-1,1,-1]: mean 0, lag1 rho = -5/5... compute the
+    # exact sample formula: num_1 = sum of x_t x_{t+1} (5 pairs, all
+    # -1) = -5; den = 6 → rho1 = -5/6; rho2 = 4/6; rho3 = -3/6
+    rows = [(1, t, 1.0 if t % 2 == 0 else -1.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {
+        r["lag"]: r["acf_ppm"]
+        for r in acf(df, "k", "ts", "v", lags=3).collect()
+    }
+    assert got[1] == -833_333  # trunc(-5e6/6)
+    assert got[2] == 666_666
+    assert got[3] == -500_000
+
+
+def test_acf_perfect_lag1_on_trend(spark):
+    from pybabe_spark.operators.timeseries import acf
+
+    # a pure linear trend has lag-1 acf (n²c - ...) < 1 but known:
+    # x=[1..5]: classic sample acf lag1 = 0.4
+    rows = [(1, t, float(t + 1)) for t in range(5)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {
+        r["lag"]: r["acf_ppm"]
+        for r in acf(df, "k", "ts", "v", lags=1).collect()
+    }
+    assert got[1] == 400_000
+
+
+def test_acf_short_and_constant_series_null(spark):
+    from pybabe_spark.operators.timeseries import acf
+
+    rows = [
+        (1, 0, 5.0), (1, 1, 5.0), (1, 2, 5.0),   # constant → den 0
+        (2, 0, 1.0), (2, 1, 2.0),                # n=2: lag2/3 NULL
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    out = {
+        (r["k"], r["lag"]): r["acf_ppm"]
+        for r in acf(df, "k", "ts", "v", lags=3).collect()
+    }
+    assert out[(1, 1)] is None and out[(1, 2)] is None
+    assert out[(2, 1)] is not None
+    assert out[(2, 2)] is None and out[(2, 3)] is None
+
+
+def test_acf_python_model_randomized(spark):
+    import random
+
+    from pybabe_spark.operators.timeseries import acf
+
+    rng = random.Random(5)
+    rows = [(1, t, round(rng.uniform(-10, 10), 2)) for t in range(40)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    xs = [int(round(v * 100)) for _, _, v in rows]
+    n = len(xs)
+    got = {
+        r["lag"]: r["acf_ppm"]
+        for r in acf(df, "k", "ts", "v", lags=4).collect()
+    }
+    s = sum(xs)
+    q = sum(v * v for v in xs)
+    den = n * n * q - n * s * s
+    for h in range(1, 5):
+        c = sum(xs[t] * xs[t + h] for t in range(n - h))
+        head = sum(xs[: n - h])
+        tail = sum(xs[h:])
+        num = n * n * c - n * s * (head + tail) + (n - h) * s * s
+        sign = -1 if (num < 0) != (den < 0) else 1
+        want = sign * ((10**6 * abs(num)) // abs(den))
+        assert got[h] == want, h
