@@ -665,6 +665,13 @@ class Babe:
             scd2_upsert(self.df, right, key_col, ts_col, attr_cols)
         )
 
+    def item_neighbors(self, basket_col, item_col, k=10, min_support=2) -> "Babe":
+        from pybabe_spark.operators.recommend import item_neighbors
+
+        return self._wrap(
+            item_neighbors(self.df, basket_col, item_col, k, min_support)
+        )
+
     def propagate_labels(self, seeds, max_hops=6, **kwargs) -> "Babe":
         from pybabe_spark.operators.graph import propagate_labels
 

@@ -2309,3 +2309,24 @@ def q_acf(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return acf(ev, "user_id", "ts", "value", lags=3)
+
+
+def _item_neighbors_sql():
+    from pybabe_spark.operators.recommend import item_neighbors_sql
+
+    return item_neighbors_sql(
+        "lineitem", "l_orderkey", "l_partkey", k=5, min_support=2
+    )
+
+
+@register("item_neighbors_parts", _item_neighbors_sql())
+def q_item_neighbors(spark, sf_dir):
+    """Item-to-item collaborative filtering (operators/recommend.py::
+    item_neighbors): per part, the 5 most-cosine-similar parts by
+    order co-occurrence — exact HUGEINT cosine²-ppm over binary
+    basket vectors, support floor before any join, one window over
+    the pruned pair table. The 'also bought' table, float-free."""
+    from pybabe_spark.operators.recommend import item_neighbors
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return item_neighbors(li, "l_orderkey", "l_partkey", k=5, min_support=2)
