@@ -1383,3 +1383,26 @@ def q_novelty_score(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 != 0),
         n=3,
     )
+
+
+def _nb_sql():
+    from pybabe_spark.operators.nb import naive_bayes_sql
+
+    return naive_bayes_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1", "lang"
+    )
+
+
+@register("naive_bayes_lang_docs", _nb_sql())
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language-ID (operators/nb.py): trained
+    by two count aggregations on even doc_ids, scored on odd doc_ids
+    via one model equi-join + the unseen-coverage identity, argmax
+    with smallest-label ties. Closed-form counting classifier — no
+    iterations — with the decimal-rounded-log determinism of the LM
+    family."""
+    from pybabe_spark.operators.nb import nb_predict, train_naive_bayes
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = train_naive_bayes(docs.filter(F.col("doc_id") % 2 == 0), "lang")
+    return nb_predict(docs.filter(F.col("doc_id") % 2 == 1), model)
