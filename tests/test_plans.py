@@ -412,6 +412,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # bloom prefilter: Arrow-batched bit test + anti-join on the
         # hit subset only — clean
         "dedup_against_bloom_docs": set(),
+        # NB class grid: the C-row class table broadcast against the
+        # per-doc token counts (C bounded by contract, like the
+        # semdedup centroid broadcast) — the model join itself is a
+        # hash equi-join
+        "naive_bayes_lang_docs": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
@@ -474,7 +479,23 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # the clip -> pack -> curriculum composition: narrow
                 # clip, bucketed applyInPandas pack, equi join back,
                 # range-sorted curriculum — must stay clean end to end
-                "clip_pack_curriculum_docs"]:
+                "clip_pack_curriculum_docs",
+                # CDC: feed-only window + anti-join + union
+                "cdc_apply_events",
+                # one map-side-combinable hash agg
+                "ols_lineitem_price_qty",
+                # codegen bucketize/interleave + 1-row-proven min/max
+                # attach + one hash agg
+                "zorder_stats_orders",
+                # 3x3 grid-cell equi-join, never all-pairs
+                "spatial_radius_customers_suppliers",
+                # frontier joins + min aggs per hop, lineage-cut
+                "label_propagation_trade",
+                # one key-partitioned lag window + one hash agg
+                "acf_user_values",
+                # support-pruned pair equi-join + partitioned top-k
+                # window
+                "item_neighbors_parts"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
