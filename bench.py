@@ -292,6 +292,9 @@ def stress(factors: list[int]) -> None:
     from pybabe_spark.operators.decontam import strip_duplicated_spans
     from pybabe_spark.operators.dedup_scale import containment_pairs
     from pybabe_spark.operators.dsir import doc_feature_profile
+    from pybabe_spark.operators.nb import nb_predict, train_naive_bayes
+    from pybabe_spark.operators.recommend import item_neighbors
+    from pybabe_spark.operators.timeseries import acf
 
     def _clf_run(docs):
         # one materialized profile shared by train + score — the
@@ -471,6 +474,84 @@ def stress(factors: list[int]) -> None:
             session_stats(ev, 3600, order_cols=["event_id"]).count()
             gap_fill(ev, 86400, "user_id", "ts", {"value": "sum"}).count()
 
+        def _spatial_radius():
+            from pybabe_spark.operators.spatial import radius_join
+
+            def coord(tag, mod):
+                return (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(tag),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % mod
+                ).cast("double")
+
+            left = docs.filter(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("lid"),
+                coord("x", 10000 * factor).alias("lx"),
+                coord("y", 10000).alias("ly"),
+            )
+            right = docs.filter(F.col("doc_id") % 2 == 1).select(
+                F.col("doc_id").alias("rid"),
+                coord("x", 10000 * factor).alias("rx"),
+                coord("y", 10000).alias("ry"),
+            )
+            radius_join(
+                left, right, 300.0, ("lx", "ly"), ("rx", "ry")
+            ).count()
+
+        def _label_prop_chain():
+            from pybabe_spark.operators.graph import propagate_labels
+
+            e = docs.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"),
+            )
+            seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+                F.col("doc_id").alias("s"),
+                (F.col("doc_id") % 7).alias("label"),
+            )
+            propagate_labels(e, seeds, max_hops=3).count()
+
+        def _cdc_apply():
+            from pybabe_spark.operators.cdc import apply_cdc
+            from pyspark.sql import Window
+
+            log = docs.select(
+                (F.col("doc_id") % F.lit(150 * factor)).alias("k"),
+                F.col("doc_id").alias("ts"),
+                F.col("source").alias("v"),
+            )
+            cut = log.agg(
+                (F.max("ts") * 2 / 3).cast("long").alias("c")
+            ).collect()[0]["c"]
+            w = Window.partitionBy("k").orderBy(F.col("ts").desc())
+            base = (
+                log.filter(F.col("ts") < cut)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .select("k", "v")
+            )
+            feed = log.filter(F.col("ts") >= cut).select(
+                "k",
+                "ts",
+                "v",
+                F.when(F.col("ts") % 7 == 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+            )
+            apply_cdc(base, feed, "k", "ts").count()
+
         return {
             "entity_resolution": _entity_resolution,
             "scd2_upsert": _scd2_upsert,
@@ -545,6 +626,40 @@ def stress(factors: list[int]) -> None:
             # series flat — grouped percentile cost must track keys
             "mad_anomalies": lambda: mad_anomalies(
                 _carved_events(), "user_id", "value", "ts", threshold=2.0
+            ).count(),
+            # r8 families ------------------------------------------------
+            # area ∝ factor with flat density → true pairs ∝ factor;
+            # the grid join's candidate volume must track that, not n²
+            "spatial_radius": _spatial_radius,
+            # baskets ∝ corpus, width flat, vocab ∝ factor → pair table
+            # ∝ corpus; top-k window input is the pruned pair table
+            "item_neighbors": lambda: item_neighbors(
+                docs.select(
+                    (F.col("doc_id") / 5).cast("bigint").alias("b"),
+                    (F.col("doc_id") % (200 * factor)).alias("i"),
+                ),
+                "b",
+                "i",
+                k=5,
+                min_support=2,
+            ).count(),
+            # chain graph ∝ corpus, seeds every 100 ids → frontier work
+            # linear per hop, 3 hops
+            "label_propagation": _label_prop_chain,
+            # count-train + coverage-identity scoring: two aggs + one
+            # model join, everything ∝ corpus
+            "naive_bayes": lambda: nb_predict(
+                docs.filter(F.col("doc_id") % 2 == 1),
+                train_naive_bayes(
+                    docs.filter(F.col("doc_id") % 2 == 0), "lang"
+                ),
+            ).count(),
+            # keys ∝ factor; feed = newest third — apply cost must
+            # track the feed + one base anti-join, never re-window base
+            "cdc_apply": _cdc_apply,
+            # one lag window + one agg over users ∝ factor
+            "acf_lags": lambda: acf(
+                _carved_events(), "user_id", "ts", "value", lags=3
             ).count(),
         }
 

@@ -586,3 +586,86 @@ def stream_quarantine(
         stream_df, _batch, checkpoint,
         output_mode="update", available_now=available_now,
     )
+
+
+def stream_apply_cdc(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    keys,
+    order_by,
+    op_col: str = "op",
+    delete_op: str = "D",
+    available_now: bool = True,
+):
+    """Continuously-maintained keyed snapshot from a CDC stream: every
+    micro-batch folds into the stored table via
+    operators/cdc.py::apply_cdc (read snapshot → last-wins fold →
+    atomic swap). The streaming sink a Debezium/outbox topic wants —
+    the snapshot is always one bounded swap behind the stream and NO
+    raw change history is retained or re-scanned.
+
+    foreachBatch deliberately (the stream_rollup contract): the fold is
+    scoped by the micro-batch boundary — no unbounded streaming state,
+    no watermark; batches are sequential so read-fold-swap is race-free.
+    apply_cdc is idempotent per feed (last-wins is stable), so an
+    at-least-once REPLAYED batch re-folds to the same snapshot —
+    stronger than the rollup's additive trade. Cross-batch order
+    follows the stream: a later batch's changes overwrite earlier ones
+    via the fold itself (its rows win only where their op is the key's
+    latest — within the batch — and base rows lose by replacement),
+    i.e. the append-only ``order_by`` contract of apply_cdc.
+
+    The first batch applies against an empty snapshot (pure inserts).
+    ``op_col`` rows with ``delete_op`` delete; everything else upserts.
+    """
+    from pybabe_spark.operators.cdc import apply_cdc
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    order_l = [order_by] if isinstance(order_by, str) else list(order_by)
+    drop = [op_col] + [c for c in order_l if c not in keys_l]
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+        fs = hp.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        value_cols = [c for c in batch_df.columns if c not in drop]
+        if not fs.exists(hp):
+            from pyspark.sql import functions as F
+
+            base = batch_df.select(*value_cols).filter(F.lit(False))
+        else:
+            base = spark.read.parquet(snapshot_path)
+        out = apply_cdc(
+            base, batch_df, keys_l, order_l, op_col, delete_op
+        )
+        # collect-free tmp-write + rename swap (the rollup_append
+        # discipline): the plan reads the live path, so write the fold
+        # to a sibling and swap with two metadata renames — snapshot
+        # size never touches the driver
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            snapshot_path.rstrip("/") + ".cdc.tmp"
+        )
+        oldp = jvm.org.apache.hadoop.fs.Path(
+            snapshot_path.rstrip("/") + ".cdc.old"
+        )
+        out.write.mode("overwrite").parquet(tmp.toString())
+        fs.delete(oldp, True)
+        if fs.exists(hp) and not fs.rename(hp, oldp):
+            raise IOError(
+                f"stream_apply_cdc: could not move {snapshot_path} aside"
+            )
+        if not fs.rename(tmp, hp):
+            fs.rename(oldp, hp)
+            raise IOError(
+                f"stream_apply_cdc: could not swap in {snapshot_path}"
+            )
+        fs.delete(oldp, True)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

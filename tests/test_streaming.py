@@ -454,3 +454,52 @@ def test_stream_quarantine_splits_clean_and_bad(spark, tmp_path):
     }
     assert clean == {(1, 5.0), (4, 7.0)}
     assert bad == {(2, 50.0, "range:v"), (None, 5.0, "not_null:k")}
+
+
+def test_stream_apply_cdc_matches_batch_fold(spark, tmp_path):
+    """Three CDC micro-batches folded through stream_apply_cdc equal
+    one batch apply_cdc over the whole feed (the operator's
+    composition contract carried into Structured Streaming), and
+    deletes actually remove keys from the stored snapshot."""
+    import os
+
+    from pybabe_spark.operators.cdc import apply_cdc
+    from pybabe_spark.streaming.ops import stream_apply_cdc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, 10, "a", "U"), (2, 11, "b", "U"), (3, 12, "c", "U")],
+        [(2, 20, "b2", "U"), (3, 21, None, "D"), (4, 22, "d", "U")],
+        [(3, 30, "c2", "U"), (4, 31, None, "D"), (1, 32, "a2", "U")],
+    ]
+    all_rows = []
+    for rows in batches:
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "k int, ts int, v string, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k int, ts int, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = str(tmp_path / "snap")
+    q = stream_apply_cdc(
+        stream, snap, str(tmp_path / "ckpt"), "k", "ts"
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(snap).collect()
+    )
+    empty = spark.createDataFrame([], "k int, v string")
+    feed = spark.createDataFrame(
+        all_rows, "k int, ts int, v string, op string"
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in apply_cdc(empty, feed, "k", "ts").collect()
+    )
+    assert got == want == [(1, "a2"), (2, "b2"), (3, "c2")]
