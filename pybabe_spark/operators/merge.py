@@ -199,3 +199,60 @@ def table_diff_sql(
     )
     SELECT * FROM j WHERE change IS NOT NULL
     """
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    order_by: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Survivorship / golden-record merge: one row per cluster, each
+    value column filled with its most-recent NON-NULL value by
+    ``order_by`` (unique within a cluster — raise upstream otherwise;
+    typically an updated_at or ingest id). The step after entity
+    resolution: fuzzy_pairs → dup_clusters → golden_record turns a
+    pile of partial duplicate records into one best composite. Output:
+    ``(cluster, value_cols…, n_members)``.
+
+    Per-column survivorship (not whole-row): a cluster whose newest
+    row has a NULL phone but an older row knows it yields the
+    composite with BOTH — the standard MDM merge rule.
+
+    Plan: ONE hash aggregation — ``max_by(col, order) FILTER (col IS
+    NOT NULL)`` per column (both engines share the FILTER-clause
+    semantics exactly) — map-side combinable, no window, no join, one
+    shuffle on the cluster key.
+    """
+    value_cols = [
+        c
+        for c in (value_cols or df.columns)
+        if c not in (cluster_col, order_by)
+    ]
+    aggs = [
+        F.expr(
+            f"max_by({c}, {order_by}) FILTER (WHERE {c} IS NOT NULL)"
+        ).alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(cluster_col).agg(
+        *aggs, F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def golden_record_sql(
+    table: str,
+    cluster_col: str,
+    order_by: str,
+    value_cols: Sequence[str],
+) -> str:
+    """DuckDB oracle of :func:`golden_record` — identical FILTERed
+    max_by aggregation."""
+    aggs = ", ".join(
+        f"max_by({c}, {order_by}) FILTER (WHERE {c} IS NOT NULL) AS {c}"
+        for c in value_cols
+    )
+    return f"""
+    SELECT {cluster_col}, {aggs}, COUNT(*) AS n_members
+    FROM {table} GROUP BY {cluster_col}
+    """

@@ -709,6 +709,13 @@ class Babe:
 
         return self._wrap(ols(self.df, x_col, y_col, group_cols))
 
+    def golden_record(self, cluster_col, order_by, value_cols=None) -> "Babe":
+        from pybabe_spark.operators.merge import golden_record
+
+        return self._wrap(
+            golden_record(self.df, cluster_col, order_by, value_cols)
+        )
+
     def apply_cdc(self, changes, keys, order_by, **kwargs) -> "Babe":
         from pybabe_spark.operators.cdc import apply_cdc
 

@@ -2330,3 +2330,78 @@ def q_item_neighbors(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return item_neighbors(li, "l_orderkey", "l_partkey", k=5, min_support=2)
+
+
+@register(
+    "golden_record_customers",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      FROM customer a JOIN customer b
+        ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    sym AS (SELECT id1 AS u, id2 AS v FROM edges
+            UNION SELECT id2 AS u, id1 AS v FROM edges),
+    reach(src, node) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u
+    ),
+    comp AS (SELECT src AS id, MIN(node) AS component FROM reach GROUP BY src),
+    dirty AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS nation,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END
+               AS acctbal,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+               AS segment
+      FROM customer
+    ),
+    assigned AS (
+      SELECT d.*, COALESCE(m.component, d.id) AS component
+      FROM dirty d LEFT JOIN comp m USING (id)
+    )
+    SELECT component,
+           max_by(nation, id) FILTER (WHERE nation IS NOT NULL) AS nation,
+           max_by(acctbal, id) FILTER (WHERE acctbal IS NOT NULL)
+             AS acctbal,
+           max_by(segment, id) FILTER (WHERE segment IS NOT NULL)
+             AS segment,
+           COUNT(*) AS n_members
+    FROM assigned GROUP BY component
+    """,
+)
+def q_golden_record(spark, sf_dir):
+    """Survivorship on top of entity resolution (the full MDM path:
+    operators/fuzzy.fuzzy_pairs → operators/graph.dup_clusters →
+    operators/merge.golden_record): customer records with
+    deterministically-injected NULL gaps merge per entity cluster into
+    one composite row — each column's newest non-null value survives
+    independently (max_by FILTER, one hash agg). The oracle replays
+    blocking, CC fixpoint AND the per-column survivorship."""
+    from pybabe_spark.operators.fuzzy import fuzzy_pairs
+    from pybabe_spark.operators.graph import dup_clusters
+    from pybabe_spark.operators.merge import golden_record
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    clusters = dup_clusters(
+        cust, pairs, id_col="c_custkey", src="id1", dst="id2"
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_nationkey")).alias(
+            "nation"
+        ),
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_acctbal")).alias(
+            "acctbal"
+        ),
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_mktsegment")).alias(
+            "segment"
+        ),
+    )
+    assigned = dirty.join(clusters.select("id", "component"), "id")
+    return golden_record(
+        assigned, "component", "id", ["nation", "acctbal", "segment"]
+    )

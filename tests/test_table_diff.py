@@ -45,3 +45,49 @@ def test_compare_cols_subset(spark):
     a = spark.createDataFrame([(1, "x", 1)], "k int, s string, v int")
     b = spark.createDataFrame([(1, "x", 999)], "k int, s string, v int")
     assert table_diff(a, b, "k", ["s"]).count() == 0
+
+
+# -- golden_record (operators/merge.py) --------------------------------------
+
+
+def test_golden_record_per_column_survivorship(spark):
+    from pybabe_spark.operators.merge import golden_record
+
+    rows = [
+        # cluster 1: newest row (ts 3) lacks phone; older row has it
+        (1, 1, "alice", None, 10.0),
+        (1, 2, None, "555-1", None),
+        (1, 3, "alicia", None, 30.0),
+        # cluster 2: single row
+        (2, 1, "bob", "555-2", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "c int, ts int, name string, phone string, bal double"
+    )
+    got = {
+        r["c"]: (r["name"], r["phone"], r["bal"], r["n_members"])
+        for r in golden_record(df, "c", "ts").collect()
+    }
+    # per-column: name/bal from ts3, phone survives from ts2
+    assert got[1] == ("alicia", "555-1", 30.0, 3)
+    assert got[2] == ("bob", "555-2", 5.0, 1)
+
+
+def test_golden_record_all_null_column_stays_null(spark):
+    from pybabe_spark.operators.merge import golden_record
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None)], "c int, ts int, v string"
+    )
+    r = golden_record(df, "c", "ts").collect()[0]
+    assert r["v"] is None and r["n_members"] == 2
+
+
+def test_golden_record_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, None)], "c int, ts int, v string"
+    )
+    out = Babe(df).golden_record("c", "ts")
+    assert out.df.collect()[0]["v"] == "x"
