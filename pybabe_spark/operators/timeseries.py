@@ -930,3 +930,80 @@ def acf_sql(
            CAST(acf_ppm AS DOUBLE) / 1e6 AS acf
     FROM ({union})
     """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Downsample an irregular per-key series into OHLC bars:
+    ``(key, bar_ts, open, high, low, close, n_rows[, volume])`` per
+    ``bucket_seconds`` window — the candlestick/metrics-downsampling
+    primitive (only buckets with data appear; compose with
+    :func:`gap_fill` for a dense grid). ``open``/``close`` are the
+    first/last value by ``ts_col`` (unique per key — the engine's
+    ordering contract) via ``min_by``/``max_by``; high/low are plain
+    extremes; ``volume`` is the exact decimal sum of ``volume_col``.
+    NULL values are excluded.
+
+    Scale shape: ONE map-side-combinable hash aggregation on
+    (key, bucket) — the whole downsample is a single shuffle of one
+    bar per group, no window, no self-join. This is the aggregation
+    Spark was built for; at 100 TB the partial aggs do ~all the work.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("ohlc_bars: bucket_seconds must be positive")
+    nn = df.filter(F.col(value_col).isNotNull())
+    bar = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
+        * bucket_seconds
+    ).alias("bar_ts")
+    aggs = [
+        F.min_by(value_col, ts_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if volume_col is not None:
+        aggs.append(
+            F.sum(F.col(volume_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume")
+        )
+    return nn.groupBy(F.col(key_col), bar).agg(*aggs)
+
+
+def ohlc_bars_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    volume_col: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`ohlc_bars` — same epoch floor, same
+    min_by/max_by witnesses, same decimal volume."""
+    vol = (
+        f", CAST(SUM(CAST({volume_col} AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS volume"
+        if volume_col
+        else ""
+    )
+    return f"""
+    SELECT {key_col},
+           CAST(to_timestamp((epoch({ts_col})::BIGINT // {bucket_seconds})
+                        * {bucket_seconds}) AS TIMESTAMP) AS bar_ts,
+           min_by({value_col}, {ts_col}) AS "open",
+           MAX({value_col}) AS high,
+           MIN({value_col}) AS low,
+           max_by({value_col}, {ts_col}) AS "close",
+           COUNT(*) AS n_rows{vol}
+    FROM {table}
+    WHERE {value_col} IS NOT NULL
+    GROUP BY 1, 2
+    """

@@ -724,6 +724,15 @@ class Babe:
             apply_cdc(self.df, feed, keys, order_by, **kwargs)
         )
 
+    def ohlc_bars(self, key_col, ts_col, value_col, bucket_seconds,
+                  volume_col=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import ohlc_bars
+
+        return self._wrap(
+            ohlc_bars(self.df, key_col, ts_col, value_col,
+                      bucket_seconds, volume_col)
+        )
+
     def acf(self, key_col, ts_col, value_col, lags=3) -> "Babe":
         from pybabe_spark.operators.timeseries import acf
 

@@ -2405,3 +2405,24 @@ def q_golden_record(spark, sf_dir):
     return golden_record(
         assigned, "component", "id", ["nation", "acctbal", "segment"]
     )
+
+
+def _ohlc_sql():
+    from pybabe_spark.operators.timeseries import ohlc_bars_sql
+
+    return ohlc_bars_sql(
+        "events", "user_id", "ts", "value", 86400, volume_col="value"
+    )
+
+
+@register("ohlc_bars_events", _ohlc_sql())
+def q_ohlc(spark, sf_dir):
+    """Daily OHLC downsampling of per-user event values
+    (operators/timeseries.py::ohlc_bars): first/last witnesses via
+    min_by/max_by on the unique per-user timestamps, plain extremes,
+    exact decimal volume — ONE map-side-combinable hash agg, the
+    single-shuffle plan a 100 TB downsample needs."""
+    from pybabe_spark.operators.timeseries import ohlc_bars
+
+    ev = read_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "user_id", "ts", "value", 86400, volume_col="value")

@@ -281,3 +281,48 @@ def test_acf_python_model_randomized(spark):
         sign = -1 if (num < 0) != (den < 0) else 1
         want = sign * ((10**6 * abs(num)) // abs(den))
         assert got[h] == want, h
+
+
+# -- ohlc_bars (operators/timeseries.py) --------------------------------------
+
+
+def test_ohlc_known_bars(spark):
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 10.0, 2.0),
+        (1, "2024-01-01 00:20:00", 30.0, 1.0),
+        (1, "2024-01-01 00:50:00", 5.0, 4.0),
+        (1, "2024-01-01 01:10:00", 7.0, 1.0),
+        (2, "2024-01-01 00:30:00", 99.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts string, v double, vol double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ohlc_bars(df, "k", "ts", "v", 3600, volume_col="vol")
+    got = {
+        (r["k"], str(r["bar_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_rows"],
+            r["volume"],
+        )
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (10.0, 30.0, 5.0, 5.0, 3, 7.0)
+    assert got[(1, "2024-01-01 01:00:00")] == (7.0, 7.0, 7.0, 7.0, 1, 1.0)
+    assert got[(2, "2024-01-01 00:00:00")] == (99.0, 99.0, 99.0, 99.0, 1, 1.0)
+
+
+def test_ohlc_null_values_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.timeseries import ohlc_bars
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", None), (1, "2024-01-01 00:01:00", 3.0)],
+        "k int, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ohlc_bars(df, "k", "ts", "v", 3600).collect()
+    assert len(out) == 1 and out[0]["n_rows"] == 1
+    assert out[0]["open"] == 3.0
