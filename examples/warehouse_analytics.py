@@ -88,6 +88,77 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     print("cube rows:", grid.df.count(),
           "fk ok:", fk.df.collect()[0]["full_coverage"])
 
+    # 4b. the round-8 blocks: trend fits, downsampling, persistence,
+    # CDC state, layout, spatial, recommendations, survivorship
+    li = Babe.from_df(read_table(spark, sf_dir, "lineitem"))
+    trend = li.ols("l_quantity", "l_extendedprice", ["l_returnflag"])
+    print("ols slopes:", [(r["l_returnflag"], r["slope"])
+                          for r in trend.df.collect()])
+    bars = events.ohlc_bars("user_id", "ts", "value", 86400,
+                            volume_col="value")
+    print("ohlc bars:", bars.df.count())
+    persistence = events.acf("user_id", "ts", "value", lags=2)
+    print("acf rows:", persistence.df.count())
+
+    # CDC: replay the post-cutoff events as an upsert/delete feed over
+    # the pre-cutoff per-user state
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    pre = events.df.filter(F.col("ts") < cutoff)
+    base = Babe.from_df(
+        pre.groupBy("user_id").agg(
+            F.max_by("event_type", "ts").alias("event_type"),
+            F.max_by("value", "ts").alias("value"),
+        )
+    )
+    feed = events.df.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    snapshot = base.apply_cdc(feed, "user_id", "ts")
+    print("cdc snapshot keys:", snapshot.df.count())
+
+    # layout: how well does a (custkey, totalprice) Z-curve cluster?
+    from pybabe_spark.operators.layout import zorder_stats
+
+    zstats = zorder_stats(
+        orders.df, ["o_custkey", "o_totalprice"], bits=12, num_files=8
+    )
+    print("zorder files:", zstats.count())
+
+    # spatial: md5-placed customers near suppliers
+    from pybabe_spark.operators.spatial import radius_join
+
+    def coord(tag, key):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(tag),
+                   F.col(key).cast("string"))), 1, 15), 16, 10)
+            .cast("bigint") % 10000
+        ).cast("double")
+
+    supp = read_table(spark, sf_dir, "supplier")
+    near = radius_join(
+        cust.select("c_custkey", coord("cx", "c_custkey").alias("cx"),
+                    coord("cy", "c_custkey").alias("cy")),
+        supp.select("s_suppkey", coord("sx", "s_suppkey").alias("sx"),
+                    coord("sy", "s_suppkey").alias("sy")),
+        300.0, ("cx", "cy"), ("sx", "sy"),
+    )
+    print("spatial pairs:", near.count())
+
+    # recommendations + survivorship
+    also_bought = li.item_neighbors("l_orderkey", "l_partkey", k=3)
+    print("item neighbors:", also_bought.df.count())
+    merged = Babe.from_df(
+        events.df.select(
+            "user_id", "ts",
+            F.when(F.col("value") > 50, F.col("value")).alias("big_value"),
+            F.when(F.col("event_type") != "view", F.col("event_type"))
+            .alias("last_action"),
+        )
+    ).golden_record("user_id", "ts")
+    print("golden records:", merged.df.count())
+
     # 5. the always-fresh dashboard aggregate: build once, fold batches
     from pybabe_spark.operators.rollup import (
         rollup_append,
