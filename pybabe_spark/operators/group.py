@@ -491,3 +491,92 @@ def cube_agg(
         F.grouping_id().cast("bigint").alias("grouping_id"),
         *_build_aggs(aggregations),
     )
+
+
+def path_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    k: int = 20,
+    max_steps: int = 10,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-``k`` most-common ordered step paths across keys:
+    ``(path, n_keys)`` where each key contributes the ``sep``-joined
+    sequence of its first ``max_steps`` steps in ``ts_col`` order
+    (unique per key — the ordering contract; NULL steps excluded).
+    The "top user flows" product-analytics view — the whole-journey
+    complement of :func:`transition_matrix` (which counts single
+    hops). Ties rank by path string ascending.
+
+    Plan: one hash agg per key building the ordered step array via
+    ``sort_array(collect_list(struct(ts, step)))`` — per-key memory
+    bounded by ``max_steps`` after the slice — then one path count agg
+    and a TakeOrdered head. Two key shuffles, no window.
+    """
+    if k < 1 or max_steps < 1:
+        raise ValueError("path_counts: k and max_steps must be >= 1")
+    per_key = (
+        events.filter(F.col(step_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ts_col).alias("t"),
+                                    F.col(step_col).cast("string").alias(
+                                        "s"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    1,
+                    max_steps,
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    return (
+        per_key.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy(F.col("n_keys").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def path_counts_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    k: int = 20,
+    max_steps: int = 10,
+    sep: str = ">",
+) -> str:
+    """DuckDB oracle of :func:`path_counts` — ordered string_agg
+    sliced to the same step budget."""
+    return f"""
+    WITH per_key AS (
+        SELECT {key_col},
+               array_to_string(
+                 list_transform(
+                   (list_sort(list(ROW({ts_col}, CAST({step_col} AS VARCHAR)))
+                    ))[1:{int(max_steps)}],
+                   r -> r[2]
+                 ), '{sep}') AS path
+        FROM {table}
+        WHERE {step_col} IS NOT NULL
+        GROUP BY {key_col}
+    )
+    SELECT path, COUNT(*) AS n_keys
+    FROM per_key GROUP BY path
+    ORDER BY n_keys DESC, path ASC
+    LIMIT {int(k)}
+    """

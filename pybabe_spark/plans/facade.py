@@ -724,6 +724,13 @@ class Babe:
             apply_cdc(self.df, feed, keys, order_by, **kwargs)
         )
 
+    def path_counts(self, key_col, ts_col, step_col, k=20, **kwargs) -> "Babe":
+        from pybabe_spark.operators.group import path_counts
+
+        return self._wrap(
+            path_counts(self.df, key_col, ts_col, step_col, k, **kwargs)
+        )
+
     def ohlc_bars(self, key_col, ts_col, value_col, bucket_seconds,
                   volume_col=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ohlc_bars

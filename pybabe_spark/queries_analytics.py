@@ -2426,3 +2426,25 @@ def q_ohlc(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return ohlc_bars(ev, "user_id", "ts", "value", 86400, volume_col="value")
+
+
+def _paths_sql():
+    from pybabe_spark.operators.group import path_counts_sql
+
+    return path_counts_sql(
+        "events", "user_id", "ts", "event_type", k=25, max_steps=8
+    )
+
+
+@register("path_counts_events", _paths_sql())
+def q_path_counts(spark, sf_dir):
+    """Top user journeys (operators/group.py::path_counts): each
+    user's first 8 events in time order joined into a path string,
+    the 25 most common paths ranked with a path tiebreak — the
+    whole-journey complement of transition_matrix. One per-key
+    collect_list agg (bounded by the step budget) + one path count +
+    TakeOrdered; no window."""
+    from pybabe_spark.operators.group import path_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return path_counts(ev, "user_id", "ts", "event_type", k=25, max_steps=8)

@@ -971,3 +971,28 @@ def test_pseudonymize_deterministic_joinable_null_safe(spark):
     # a different salt unlinks the datasets
     out2 = {r["id"]: r["name"] for r in pseudonymize(df, "name", "s2").collect()}
     assert out2[1] != out[1]
+
+
+# -- path_counts (operators/group.py) -----------------------------------------
+
+
+def test_path_counts_order_slice_and_ties(spark):
+    from pybabe_spark.operators.group import path_counts
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 5, "a"), (2, 6, "b"), (2, 7, "c"),
+        (3, 1, "x"), (3, 2, None), (3, 3, "y"),
+        (4, 9, "x"), (4, 10, "y"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, s string")
+    got = [(r["path"], r["n_keys"])
+           for r in path_counts(df, "k", "ts", "s", k=10).collect()]
+    # a>b>c twice; x>y twice (NULL step dropped for key 3);
+    # count tie breaks by path string ascending
+    assert got == [("a>b>c", 2), ("x>y", 2)]
+    # max_steps slices the journey head
+    got2 = [(r["path"], r["n_keys"])
+            for r in path_counts(df, "k", "ts", "s", k=10,
+                                 max_steps=2).collect()]
+    assert got2 == [("a>b", 2), ("x>y", 2)]
