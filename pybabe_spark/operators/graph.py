@@ -455,6 +455,28 @@ def pagerank_sql(
     )
 
 
+def _closed_wedges(oriented) -> DataFrame:
+    """Triangle rows ``(a, x, y)`` from a degree-oriented edge set
+    (columns a, b, db): wedge (x ≺ y) at apex a, closed by the
+    oriented edge x→y — shared by the global census and the per-node
+    coefficient."""
+    x = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
+    )
+    y = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy")
+    )
+    wedges = x.join(y, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    return wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    ).select("a", "x", "y")
+
+
 def triangle_count(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
@@ -504,22 +526,7 @@ def triangle_count(
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
     ).persist()  # reused by both wedge sides + the closing-edge probe
-    x = oriented.select(
-        F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
-    )
-    y = oriented.select(
-        F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy")
-    )
-    # wedge (x ≺ y) at apex a; close with oriented edge x→y
-    wedges = x.join(y, "a").filter(
-        (F.col("dx") < F.col("dy"))
-        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-    )
-    closed = wedges.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
-        ["x", "y"],
-        "left_semi",
-    )
+    closed = _closed_wedges(oriented)
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     counts = e.agg(
         F.count(F.lit(1)).alias("n_edges"),
@@ -729,3 +736,115 @@ def propagate_labels_sql(
         + f"\nSELECT id AS {id_col}, label,"
         f" CAST(distance AS INT) AS distance FROM d{max_hops}"
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node local clustering coefficient: ``(node, degree,
+    n_triangles, lcc_ppm, lcc)`` with ``lcc = 2·T_v / (d_v·(d_v−1))``
+    as exact integral ppm (sign-free — both sides non-negative);
+    degree-1 nodes report NULL. The community-density / spam-farm /
+    ego-net cohesion signal — how close each node's neighborhood is to
+    a clique.
+
+    Same O(m^1.5) degree-oriented wedge machinery as
+    :func:`triangle_count` (one shared closure helper); per-node
+    credit is one explode of each triangle row to its three corners +
+    one hash agg + a left join back onto the degree table (nodes in no
+    triangle count zero). No new join shapes beyond the census.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()  # lazy — feeds degrees + orientation (triangle_count
+        # discipline)
+    )
+    nodes = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist()
+    credits = (
+        _closed_wedges(oriented)
+        .select(
+            F.explode(
+                F.array(F.col("a"), F.col("x"), F.col("y"))
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(credits, "n", "left").select(
+        F.col("n").alias("node"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    ppm = F.when(
+        F.col("degree") >= 2,
+        F.expr(
+            "(cast(n_triangles as decimal(38,0)) * 2000000)"
+            " div (cast(degree as decimal(38,0)) * (degree - 1))"
+        ).cast("bigint"),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        ppm.alias("lcc_ppm"),
+        (ppm.cast("double") / 1e6).alias("lcc"),
+    )
+
+
+def clustering_coefficient_sql(edges_cte: str) -> str:
+    """DuckDB oracle of :func:`clustering_coefficient` — textbook
+    u<v<w triangle join exploded to corners, HUGEINT ppm."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM raw
+        WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b
+    ),
+    nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT n, COUNT(*) AS d FROM nodes GROUP BY n),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS x, e2.v AS y
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT a AS n FROM tris
+        UNION ALL SELECT x FROM tris
+        UNION ALL SELECT y FROM tris
+    ),
+    credits AS (SELECT n, COUNT(*) AS t FROM corners GROUP BY n)
+    SELECT deg.n AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(credits.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+             CAST((COALESCE(credits.t, 0)::HUGEINT * 2000000)
+                  // (deg.d::HUGEINT * (deg.d - 1)) AS BIGINT)
+           END AS lcc_ppm,
+           CASE WHEN deg.d >= 2 THEN
+             CAST((COALESCE(credits.t, 0)::HUGEINT * 2000000)
+                  // (deg.d::HUGEINT * (deg.d - 1)) AS BIGINT) / 1e6
+           END AS lcc
+    FROM deg LEFT JOIN credits USING (n)
+    """

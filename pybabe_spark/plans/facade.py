@@ -672,6 +672,11 @@ class Babe:
             item_neighbors(self.df, basket_col, item_col, k, min_support)
         )
 
+    def clustering_coefficient(self, src="id_a", dst="id_b") -> "Babe":
+        from pybabe_spark.operators.graph import clustering_coefficient
+
+        return self._wrap(clustering_coefficient(self.df, src, dst))
+
     def propagate_labels(self, seeds, max_hops=6, **kwargs) -> "Babe":
         from pybabe_spark.operators.graph import propagate_labels
 

@@ -2448,3 +2448,44 @@ def q_path_counts(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return path_counts(ev, "user_id", "ts", "event_type", k=25, max_steps=8)
+
+
+def _lcc_sql():
+    from pybabe_spark.operators.graph import clustering_coefficient_sql
+
+    return clustering_coefficient_sql(
+        """
+        SELECT id_a, id_b FROM (
+          SELECT a.s AS id_a, b.s AS id_b FROM
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
+            JOIN
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
+            ON a.o = b.o AND a.s < b.s
+        ) WHERE (id_a + id_b) % 7 = 0
+        """
+    )
+
+
+@register("clustering_coeff_suppliers", _lcc_sql())
+def q_clustering_coeff(spark, sf_dir):
+    """Per-supplier local clustering coefficient on the sampled
+    co-occurrence graph (operators/graph.py::clustering_coefficient):
+    the same O(m^1.5) degree-oriented wedge closure as the census,
+    plus one corner explode + hash agg and a degree left-join —
+    exact integral 2T/d(d-1) ppm, the ego-net cohesion signal."""
+    from pybabe_spark.operators.graph import clustering_coefficient
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
+    )
+    return clustering_coefficient(edges)

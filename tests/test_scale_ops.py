@@ -2114,3 +2114,51 @@ def test_propagate_labels_hop_cap_and_dup_seeds(spark):
         for r in propagate_labels(edges, seeds, max_hops=2).collect()
     }
     assert got == {1: (4, 0), 2: (4, 1), 3: (4, 2)}  # 4 is past the cap
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from pybabe_spark.operators.graph import clustering_coefficient
+
+    # K4: every node degree 3, in 3 triangles → lcc = 2·3/(3·2) = 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_ppm"])
+        for r in clustering_coefficient(
+            spark.createDataFrame(k4, "id_a int, id_b int")
+        ).collect()
+    }
+    assert all(v == (3, 3, 1_000_000) for v in got.values())
+
+    # star K1,3: center degree 3, zero triangles → 0; leaves deg 1 →
+    # NULL
+    star = [(0, 1), (0, 2), (0, 3)]
+    got = {
+        r["node"]: (r["degree"], r["lcc_ppm"])
+        for r in clustering_coefficient(
+            spark.createDataFrame(star, "id_a int, id_b int")
+        ).collect()
+    }
+    assert got[0] == (3, 0)
+    assert got[1] == (1, None)
+
+    # triangle + pendant: node 0 in {0,1,2} triangle plus edge to 3:
+    # deg(0)=3, T=1 → 2/6 = 333333 ppm (trunc)
+    g = [(0, 1), (1, 2), (0, 2), (0, 3)]
+    got = {
+        r["node"]: r["lcc_ppm"]
+        for r in clustering_coefficient(
+            spark.createDataFrame(g, "id_a int, id_b int")
+        ).collect()
+    }
+    assert got[0] == 333_333
+    assert got[1] == 1_000_000 and got[2] == 1_000_000
+
+
+def test_triangle_count_still_matches_after_refactor(spark):
+    from pybabe_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = triangle_count(
+        spark.createDataFrame(k4, "id_a int, id_b int")
+    ).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
