@@ -685,6 +685,11 @@ class Babe:
             propagate_labels(self.df, sd, max_hops, **kwargs)
         )
 
+    def skyline2d(self, x_col, y_col, buckets=32) -> "Babe":
+        from pybabe_spark.operators.skyline import skyline2d
+
+        return self._wrap(skyline2d(self.df, x_col, y_col, buckets))
+
     def radius_join(self, other, radius, **kwargs) -> "Babe":
         from pybabe_spark.operators.spatial import radius_join
 

@@ -2489,3 +2489,22 @@ def q_clustering_coeff(spark, sf_dir):
         .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
     )
     return clustering_coefficient(edges)
+
+
+def _skyline_sql():
+    from pybabe_spark.operators.skyline import skyline2d_sql
+
+    return skyline2d_sql("part", "p_retailprice", "p_size")
+
+
+@register("skyline_parts_price_size", _skyline_sql())
+def q_skyline(spark, sf_dir):
+    """2-D skyline / Pareto front of parts minimizing (retailprice,
+    size) (operators/skyline.py::skyline2d): bucketed partitioned
+    range-frame windows plus a ≤B-row bucket-stats prefix join — no
+    global window, no all-pairs — against the oracle's quadratic
+    NOT-EXISTS dominance definition."""
+    from pybabe_spark.operators.skyline import skyline2d
+
+    part = read_table(spark, sf_dir, "part")
+    return skyline2d(part, "p_retailprice", "p_size")

@@ -417,6 +417,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # semdedup centroid broadcast) — the model join itself is a
         # hash equi-join
         "naive_bayes_lang_docs": {"broadcast-nested-loop"},
+        # skyline cross-bucket prefix: a ≤32-row limit()-proved
+        # bucket-stats self-join (inequality → BNLJ by construction,
+        # bounded independent of data size); the data path itself is
+        # bucketed windows + one equi-join
+        "skyline_parts_price_size": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
