@@ -650,3 +650,14 @@ def test_quantile_bins_single_scan_pair(spark, sf_dir):
     plan = _plan(spark, "quantile_bins_orders", sf_dir)
     assert plan.count("orders.parquet") <= 2, plan
     assert "Python" not in plan, plan
+
+
+def test_q6_pushes_all_filters(spark, sf_dir):
+    """Q6's whole predicate set must reach the parquet scan and the
+    plan must be join-free with a single partial-agg exchange."""
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan, plan
