@@ -1007,3 +1007,120 @@ def ohlc_bars_sql(
     WHERE {value_col} IS NOT NULL
     GROUP BY 1, 2
     """
+
+
+def seasonal_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season_rows: int,
+) -> DataFrame:
+    """Per-key forecastability backtest: does the seasonal-naive
+    forecast (value one season ago) beat the naive forecast (previous
+    value)? Returns ``(key, n, n_eval, sae_seasonal, sae_naive,
+    mase_ppm, mase, seasonal_better)`` where, over the rows with a
+    full season of history (positions > ``season_rows`` in
+    ``ts_col`` order),
+
+        mase = Σ|vₜ − vₜ₋ₛ| / Σ|vₜ − vₜ₋₁|    (< 1 ⟹ seasonality real)
+
+    as exact integral ppm on bigint cents (both sums over the SAME
+    evaluation window — the standard MASE comparability rule). Row
+    seasonality assumes a regular series: compose with
+    :func:`gap_fill` first for time-based seasons. Keys with no
+    evaluation rows or a zero naive denominator report NULL mase.
+    NULL values are excluded before ordering.
+
+    Scale shape: one key-partitioned window pass carrying both lags +
+    one hash agg — two key shuffles, like :func:`acf`.
+    """
+    if season_rows < 1:
+        raise ValueError("seasonal_backtest: season_rows must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), F.col(ts_col), x.alias("__x")
+    )
+    rows = base.select(
+        key_col,
+        "__x",
+        F.lag("__x", 1).over(w).alias("__l1"),
+        F.lag("__x", season_rows).over(w).alias("__ls"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ev = F.col("__ls").isNotNull()
+    agg = rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ev.cast("int")).alias("n_eval"),
+        F.coalesce(
+            F.sum(F.when(ev, d(F.abs(F.col("__x") - F.col("__ls"))))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("__ss"),
+        F.coalesce(
+            F.sum(F.when(ev, d(F.abs(F.col("__x") - F.col("__l1"))))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("__sn"),
+    )
+    ppm = F.when(
+        (F.col("n_eval") > 0) & (F.col("__sn") != 0),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __ss) div __sn"
+            " AS BIGINT)"
+        ),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        (F.col("__ss").cast("double") / 100).alias("sae_seasonal"),
+        (F.col("__sn").cast("double") / 100).alias("sae_naive"),
+        ppm.alias("mase_ppm"),
+        (ppm.cast("double") / 1e6).alias("mase"),
+        (ppm < 1_000_000).alias("seasonal_better"),
+    )
+
+
+def seasonal_backtest_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season_rows: int,
+) -> str:
+    """DuckDB oracle of :func:`seasonal_backtest` — same lags, same
+    HUGEINT sums, same ppm."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH pts AS (
+        SELECT {key_col} AS k, {ts_col} AS t, {x} AS x
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ), lagged AS (
+        SELECT k, x,
+               LAG(x, 1) OVER (PARTITION BY k ORDER BY t) AS l1,
+               LAG(x, {int(season_rows)}) OVER (PARTITION BY k ORDER BY t)
+                   AS ls
+        FROM pts
+    ), agg AS (
+        SELECT k, COUNT(*) AS n,
+               CAST(COUNT(ls) AS BIGINT) AS n_eval,
+               COALESCE(SUM(CASE WHEN ls IS NOT NULL
+                   THEN CAST(abs(x - ls) AS HUGEINT) END), 0) AS ss,
+               COALESCE(SUM(CASE WHEN ls IS NOT NULL
+                   THEN CAST(abs(x - l1) AS HUGEINT) END), 0) AS sn
+        FROM lagged GROUP BY k
+    )
+    SELECT k AS {key_col}, n, n_eval,
+           CAST(ss AS DOUBLE) / 100 AS sae_seasonal,
+           CAST(sn AS DOUBLE) / 100 AS sae_naive,
+           CASE WHEN n_eval > 0 AND sn <> 0 THEN
+             CAST((1000000::HUGEINT * ss) // sn AS BIGINT)
+           END AS mase_ppm,
+           CASE WHEN n_eval > 0 AND sn <> 0 THEN
+             CAST((1000000::HUGEINT * ss) // sn AS BIGINT) / 1e6
+           END AS mase,
+           CASE WHEN n_eval > 0 AND sn <> 0 THEN
+             CAST((1000000::HUGEINT * ss) // sn AS BIGINT) < 1000000
+           END AS seasonal_better
+    FROM agg
+    """

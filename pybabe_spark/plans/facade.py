@@ -750,6 +750,15 @@ class Babe:
                       bucket_seconds, volume_col)
         )
 
+    def seasonal_backtest(self, key_col, ts_col, value_col,
+                          season_rows) -> "Babe":
+        from pybabe_spark.operators.timeseries import seasonal_backtest
+
+        return self._wrap(
+            seasonal_backtest(self.df, key_col, ts_col, value_col,
+                              season_rows)
+        )
+
     def acf(self, key_col, ts_col, value_col, lags=3) -> "Babe":
         from pybabe_spark.operators.timeseries import acf
 

@@ -2546,3 +2546,21 @@ def q_q6(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def _seasonal_sql():
+    from pybabe_spark.operators.timeseries import seasonal_backtest_sql
+
+    return seasonal_backtest_sql("events", "user_id", "ts", "value", 3)
+
+
+@register("seasonal_backtest_events", _seasonal_sql())
+def q_seasonal(spark, sf_dir):
+    """Per-user seasonal-naive vs naive forecast backtest (MASE, lag
+    3; operators/timeseries.py::seasonal_backtest): exact bigint-cents
+    absolute-error sums over the common evaluation window, integral
+    ppm ratio — one window pass + one hash agg, the acf plan shape."""
+    from pybabe_spark.operators.timeseries import seasonal_backtest
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_backtest(ev, "user_id", "ts", "value", 3)

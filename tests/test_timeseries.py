@@ -326,3 +326,41 @@ def test_ohlc_null_values_excluded(spark):
     out = ohlc_bars(df, "k", "ts", "v", 3600).collect()
     assert len(out) == 1 and out[0]["n_rows"] == 1
     assert out[0]["open"] == 3.0
+
+
+# -- seasonal_backtest (operators/timeseries.py) ------------------------------
+
+
+def test_seasonal_backtest_perfect_seasonality(spark):
+    from pybabe_spark.operators.timeseries import seasonal_backtest
+
+    # period-2 alternation: seasonal error 0, naive error > 0 → mase 0
+    rows = [(1, t, 10.0 if t % 2 == 0 else 20.0) for t in range(8)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = seasonal_backtest(df, "k", "ts", "v", 2).collect()[0]
+    assert r["mase_ppm"] == 0 and r["seasonal_better"] is True
+    assert r["n_eval"] == 6 and r["sae_seasonal"] == 0.0
+
+
+def test_seasonal_backtest_no_seasonality(spark):
+    from pybabe_spark.operators.timeseries import seasonal_backtest
+
+    # random walk up: v = t → seasonal |v_t - v_{t-3}| = 3, naive = 1
+    rows = [(1, t, float(t)) for t in range(9)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = seasonal_backtest(df, "k", "ts", "v", 3).collect()[0]
+    assert r["mase_ppm"] == 3_000_000
+    assert r["seasonal_better"] is False
+
+
+def test_seasonal_backtest_short_and_constant(spark):
+    from pybabe_spark.operators.timeseries import seasonal_backtest
+
+    rows = [(1, 0, 5.0), (1, 1, 6.0),            # n=2 < season → NULL
+            (2, 0, 7.0), (2, 1, 7.0), (2, 2, 7.0),
+            (2, 3, 7.0)]                          # constant → sn=0
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {r["k"]: (r["mase_ppm"], r["n_eval"])
+           for r in seasonal_backtest(df, "k", "ts", "v", 3).collect()}
+    assert got[1] == (None, 0)
+    assert got[2][0] is None and got[2][1] == 1
