@@ -508,7 +508,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # bounded collect_list agg + path count + TakeOrdered
                 "path_counts_events",
                 # degree-oriented wedge equi-joins + corner explode
-                "clustering_coeff_suppliers"]:
+                "clustering_coeff_suppliers",
+                # pushdown scan-agg, join-free
+                "q6_forecast_revenue",
+                # one lag window pass + one hash agg
+                "seasonal_backtest_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
