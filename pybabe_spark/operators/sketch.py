@@ -10,7 +10,7 @@ fixed memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -645,4 +645,119 @@ def ab_test_sql(
                * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))
            ELSE FALSE END AS significant
     FROM a
+    """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    probs: "list[float]",
+    by: str | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED lower quantiles — one row per (group, prob):
+    ``(group?, prob, value)`` where value is the smallest ``col`` whose
+    cumulative weight reaches ``p`` of the group's total (the
+    traffic-weighted latency-percentile / spend-weighted price-band
+    semantics the unweighted :func:`quantiles` can't express).
+
+    Exact arithmetic: values lift to bigint cents, weights to bigint
+    micro-units, the reach test is ``cum_w · 10⁶ ≥ p_ppm · W`` in
+    DECIMAL(38,0) — no IEEE division anywhere, so the picked value is
+    bit-identical across engines. NULL values and NULL/non-positive
+    weights are excluded. Groups with zero total weight are absent.
+
+    Scale shape — and the difference from the unweighted form: no
+    per-group value buffer. One (group, value) hash agg collapses
+    duplicates, one key-partitioned cumulative window orders each
+    group's DISTINCT values, and every prob is a conditional min in
+    ONE final hash agg (probs add counters, not passes). Distinct
+    values per group bound the window input, not row count.
+    """
+    if not probs:
+        raise ValueError("weighted_quantiles: empty probs")
+    p_ppms = [int(round(float(p) * 1_000_000)) for p in probs]
+    if any(p < 0 or p > 1_000_000 for p in p_ppms):
+        raise ValueError("weighted_quantiles: probs must be in [0, 1]")
+    keys = [by] if by else []
+    cv = (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+    cw = (F.col(weight_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    base = (
+        df.filter(F.col(col).isNotNull() & (F.col(weight_col) > 0))
+        .select(*keys, cv.alias("__v"), cw.alias("__w"))
+        .groupBy(*keys, "__v")
+        .agg(F.sum(F.col("__w").cast("decimal(38,0)")).alias("__w"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    cum = base.withColumn(
+        "__cum",
+        F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "__tot",
+        F.sum("__w").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum").cast("decimal(38,0)") * 1_000_000
+                >= F.lit(p).cast("decimal(38,0)") * F.col("__tot"),
+                F.col("__v"),
+            )
+        ).alias(f"__q{i}")
+        for i, p in enumerate(p_ppms)
+    ]
+    one = cum.groupBy(*keys).agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p / 1e6} AS DOUBLE), CAST(__q{i} AS DOUBLE) / 100"
+        for i, p in enumerate(p_ppms)
+    )
+    return one.selectExpr(
+        *keys, f"stack({len(p_ppms)}, {stack}) AS (prob, value)"
+    )
+
+
+def weighted_quantiles_sql(
+    table: str,
+    col: str,
+    weight_col: str,
+    probs: "list[float]",
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`weighted_quantiles` — same cents/micro
+    lift, same HUGEINT reach test, one UNION ALL arm per prob."""
+    p_ppms = [int(round(float(p) * 1_000_000)) for p in probs]
+    keys = f"{by}, " if by else ""
+    part = f"PARTITION BY {by} " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    arms = " UNION ALL ".join(
+        f"SELECT {keys}CAST({p / 1e6} AS DOUBLE) AS prob,"
+        f" CAST(MIN(CASE WHEN cum * 1000000 >= {p}::HUGEINT * tot"
+        f" THEN v END) AS DOUBLE) / 100 AS value"
+        f" FROM cum {gby}"
+        for p in p_ppms
+    )
+    return f"""
+    WITH base AS (
+        SELECT {keys}
+               CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               SUM(CAST(CAST({weight_col} AS DECIMAL(18,6)) * 1000000
+                   AS BIGINT)::HUGEINT) AS w
+        FROM {table}
+        WHERE {col} IS NOT NULL AND {weight_col} > 0
+        GROUP BY {keys.rstrip(', ') + ',' if keys else ''} v
+    ), cum AS (
+        SELECT *,
+               SUM(w) OVER ({part}ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               SUM(w) OVER ({part.rstrip() or ''}) AS tot
+        FROM base
+    )
+    {arms}
     """

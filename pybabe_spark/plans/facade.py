@@ -685,6 +685,13 @@ class Babe:
             propagate_labels(self.df, sd, max_hops, **kwargs)
         )
 
+    def weighted_quantiles(self, col, weight_col, probs, by=None) -> "Babe":
+        from pybabe_spark.operators.sketch import weighted_quantiles
+
+        return self._wrap(
+            weighted_quantiles(self.df, col, weight_col, probs, by)
+        )
+
     def skyline2d(self, x_col, y_col, buckets=32) -> "Babe":
         from pybabe_spark.operators.skyline import skyline2d
 

@@ -2564,3 +2564,27 @@ def q_seasonal(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return seasonal_backtest(ev, "user_id", "ts", "value", 3)
+
+
+def _wq_sql():
+    from pybabe_spark.operators.sketch import weighted_quantiles_sql
+
+    return weighted_quantiles_sql(
+        "lineitem", "l_extendedprice", "l_quantity",
+        [0.5, 0.9, 0.99], by="l_returnflag",
+    )
+
+
+@register("weighted_quantiles_lineitem", _wq_sql())
+def q_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag
+    (operators/sketch.py::weighted_quantiles): exact integer reach
+    test on distinct-value cumulative weights — no per-group value
+    buffer, no IEEE division; all probs in one final agg."""
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", [0.5, 0.9, 0.99],
+        by="l_returnflag",
+    )

@@ -207,3 +207,50 @@ def test_ab_test_hand_checked(spark):
     )
     r2 = ab_test(same, "v", "s", "A", "B").collect()[0]
     assert not r2["significant"] and r2["lift_ppm"] == 0
+
+
+# -- weighted_quantiles (operators/sketch.py) ---------------------------------
+
+
+def test_weighted_quantiles_hand_checked(spark):
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    # values 1..4 with weights 1,1,6,2 (total 10): cum = 1,2,8,10
+    # p=0.5 → first cum ≥ 5 → 3; p=0.2 → 2; p=0.9 → 4; p=0.8 → 3
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0),
+            ("g", 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(
+            df, "v", "w", [0.2, 0.5, 0.8, 0.9], by="g"
+        ).collect()
+    }
+    assert got == {0.2: 2.0, 0.5: 3.0, 0.8: 3.0, 0.9: 4.0}
+
+
+def test_weighted_quantiles_equal_weights_match_lower_quantile(spark):
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    rows = [("g", float(v), 1.0) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", [0.5, 1.0], by="g").collect()
+    }
+    assert got == {0.5: 5.0, 1.0: 10.0}
+
+
+def test_weighted_quantiles_excludes_bad_rows_and_dup_values(spark):
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    rows = [("g", 1.0, 3.0), ("g", 1.0, 3.0),   # dup value: weights add
+            ("g", 2.0, 0.0), ("g", None, 9.0),  # zero weight / NULL out
+            ("g", 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", [0.5, 0.6], by="g").collect()
+    }
+    # total 12: cum(1.0)=6 ≥ 0.5·12 → 1.0; 0.6·12=7.2 → 5.0
+    assert got == {0.5: 1.0, 0.6: 5.0}
