@@ -685,6 +685,14 @@ class Babe:
             propagate_labels(self.df, sd, max_hops, **kwargs)
         )
 
+    def cuped_adjust(self, metric_col, covariate_col, by=None,
+                     out_col="adjusted") -> "Babe":
+        from pybabe_spark.operators.cuped import cuped_adjust
+
+        return self._wrap(
+            cuped_adjust(self.df, metric_col, covariate_col, by, out_col)
+        )
+
     def weighted_quantiles(self, col, weight_col, probs, by=None) -> "Babe":
         from pybabe_spark.operators.sketch import weighted_quantiles
 

@@ -2588,3 +2588,44 @@ def q_weighted_quantiles(spark, sf_dir):
         li, "l_extendedprice", "l_quantity", [0.5, 0.9, 0.99],
         by="l_returnflag",
     )
+
+
+def _cuped_sql():
+    from pybabe_spark.operators.cuped import cuped_adjust_sql
+
+    frame = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+                 AS pre,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+                 AS post,
+               user_id % 2 AS arm
+        FROM events GROUP BY user_id
+    """
+    return cuped_adjust_sql(
+        frame, "post", "pre", columns="user_id, pre, post, arm"
+    )
+
+
+@register("cuped_adjust_events", _cuped_sql())
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (operators/cuped.py::cuped_adjust):
+    per-user post-period value adjusted by the pre-period covariate,
+    θ from pooled arms as exact DECIMAL(38,0) statistics (integral ppm
+    certificate alongside the fixed-shape IEEE adjustment). One stats
+    agg + broadcast-back — the experimentation sensitivity lever."""
+    from pybabe_spark.operators.cuped import cuped_adjust
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,6)")
+    frame = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, dec)).cast("double").alias("pre"),
+        F.sum(F.when(F.col("ts") >= cutoff, dec)).cast("double").alias(
+            "post"
+        ),
+        (F.first("user_id") % 2).alias("arm"),
+    )
+    return cuped_adjust(frame, "post", "pre")

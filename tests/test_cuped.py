@@ -1,0 +1,74 @@
+"""CUPED adjustment (operators/cuped.py)."""
+
+from pybabe_spark.operators.cuped import cuped_adjust
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "u int, y double, x double")
+
+
+def test_perfectly_correlated_covariate_flattens_metric(spark):
+    # y = 2x exactly → theta = 2, adjusted = ȳ for every row
+    rows = [(i, 2.0 * i, float(i)) for i in range(1, 6)]
+    out = cuped_adjust(_mk(spark, rows), "y", "x").collect()
+    assert all(r["theta_ppm"] == 2_000_000 for r in out)
+    vals = {r["adjusted"] for r in out}
+    assert vals == {6.0}  # mean of 2,4,6,8,10
+
+
+def test_variance_actually_shrinks(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        x = rng.uniform(0, 100)
+        rows.append((i, round(0.8 * x + rng.uniform(-5, 5), 2),
+                     round(x, 2)))
+    out = cuped_adjust(_mk(spark, rows), "y", "x").collect()
+    ys = [r["y"] for r in out]
+    adj = [r["adjusted"] for r in out]
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((a - m) ** 2 for a in v) / len(v)
+    assert var(adj) < 0.2 * var(ys)  # ≥80% variance reduction
+    # CUPED preserves the mean
+    assert abs(sum(adj) / len(adj) - sum(ys) / len(ys)) < 1e-6
+
+
+def test_constant_covariate_is_noop(spark):
+    rows = [(1, 5.0, 3.0), (2, 9.0, 3.0)]
+    out = {r["u"]: (r["adjusted"], r["theta_ppm"])
+           for r in cuped_adjust(_mk(spark, rows), "y", "x").collect()}
+    assert out == {1: (5.0, 0), 2: (9.0, 0)}
+
+
+def test_null_rows_keep_null_adjustment_but_pass_through(spark):
+    rows = [(1, 5.0, 1.0), (2, None, 2.0), (3, 7.0, None), (4, 9.0, 3.0)]
+    out = {r["u"]: r["adjusted"]
+           for r in cuped_adjust(_mk(spark, rows), "y", "x").collect()}
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and out[4] is not None
+    assert len(out) == 4
+
+
+def test_grouped_theta_is_per_group(spark):
+    rows = (
+        [(i, 3.0 * i, float(i)) for i in range(1, 5)]
+        + [(10 + i, -1.0 * i, float(i)) for i in range(1, 5)]
+    )
+    df = spark.createDataFrame(
+        [(u, y, x, "a" if u < 10 else "b") for u, y, x in rows],
+        "u int, y double, x double, g string",
+    )
+    out = {r["g"]: r["theta_ppm"]
+           for r in cuped_adjust(df, "y", "x", by="g").collect()}
+    assert out == {"a": 3_000_000, "b": -1_000_000}
+
+
+def test_facade_hook(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    rows = [(1, 2.0, 1.0), (2, 4.0, 2.0)]
+    out = Babe(_mk(spark, rows)).cuped_adjust("y", "x")
+    assert "adjusted" in out.df.columns
