@@ -512,7 +512,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # pushdown scan-agg, join-free
                 "q6_forecast_revenue",
                 # one lag window pass + one hash agg
-                "seasonal_backtest_events"]:
+                "seasonal_backtest_events",
+                # one stats agg + 1-row-proven broadcast-back
+                "cuped_adjust_events",
+                # distinct-value cumsum window + one final agg
+                "weighted_quantiles_lineitem"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
