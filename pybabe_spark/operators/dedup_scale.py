@@ -750,3 +750,107 @@ def containment_pairs(
             / F.least("na", "nb").cast("double")
         ).alias("containment"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-overlap matrix between SOURCES (or any grouping): for
+    every pair of groups, the shingle-set Jaccard and both directed
+    containments in exact integer ppm — ``(source_a, source_b, n_a,
+    n_b, n_common, jaccard_ppm, containment_a_ppm,
+    containment_b_ppm)`` with ``source_a < source_b``. The
+    corpus-level diagnostic the doc-pair family can't give: which
+    ingest sources are near-copies of each other (mirror crawls,
+    re-dumps), and which direction the inclusion runs — read
+    containment_a as "fraction of a's shingles also in b".
+
+    Scale shape: one DISTINCT (group, shingle) projection (the only
+    corpus-scale shuffle), then a shingle self-join whose fanout per
+    shingle is bounded by the NUMBER OF GROUPS squared — never by
+    document frequency, because each group contributes one row per
+    distinct shingle. With G sources the join emits ≤ G²/2 rows per
+    shingle; pair aggregation and the size joins run on G² rows.
+    """
+    gs = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(text_col).alias("t"))
+    )
+    rows = (
+        _shingle_rows(gs, "g", "t", shingle_n)
+        .distinct()
+        .persist()  # lazy: feeds the pair join twice + the sizes
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = rows.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+    na = sizes.select(
+        F.col("g").alias("source_a"), F.col("__n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("g").alias("source_b"), F.col("__n").alias("n_b")
+    )
+    out = common.join(F.broadcast(na), "source_a").join(
+        F.broadcast(nb), "source_b"
+    )
+    ppm = lambda num, den: F.expr(  # noqa: E731
+        f"(cast({num} as decimal(38,0)) * 1000000) div {den}"
+    ).cast("bigint")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        ppm("n_common", "(cast(n_a as decimal(38,0)) + n_b - n_common)")
+        .alias("jaccard_ppm"),
+        ppm("n_common", "n_a").alias("containment_a_ppm"),
+        ppm("n_common", "n_b").alias("containment_b_ppm"),
+    )
+
+
+def source_overlap_sql(
+    table: str,
+    group_col: str,
+    shingle_sql: str,
+) -> str:
+    """DuckDB oracle of :func:`source_overlap` — ``shingle_sql`` is
+    the list-of-shingles expression over ``text`` (the minhash-family
+    mirror)."""
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT {group_col} AS g, unnest({shingle_sql}) AS s
+        FROM {table} WHERE {group_col} IS NOT NULL
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM sh GROUP BY g),
+    common AS (
+        SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST((n_common::HUGEINT * 1000000)
+                // (sa.n::HUGEINT + sb.n - n_common) AS BIGINT)
+             AS jaccard_ppm,
+           CAST((n_common::HUGEINT * 1000000) // sa.n AS BIGINT)
+             AS containment_a_ppm,
+           CAST((n_common::HUGEINT * 1000000) // sb.n AS BIGINT)
+             AS containment_b_ppm
+    FROM common
+    JOIN sizes sa ON source_a = sa.g
+    JOIN sizes sb ON source_b = sb.g
+    """

@@ -114,6 +114,13 @@ class Babe:
     def dedup(self, fields=None, keep_first=False) -> "Babe":
         return self._wrap(ops.dedup(self.df, fields, keep_first))
 
+    def source_overlap(self, group_col, text_col="text", shingle_n=3) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import source_overlap
+
+        return self._wrap(
+            source_overlap(self.df, group_col, text_col, shingle_n)
+        )
+
     def near_dedup(self, id_col, text_col, threshold=0.8, **kwargs) -> "Babe":
         from pybabe_spark.operators.dedup_scale import near_dedup_keep
 

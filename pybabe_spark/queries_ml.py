@@ -1406,3 +1406,24 @@ def q_naive_bayes(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     model = train_naive_bayes(docs.filter(F.col("doc_id") % 2 == 0), "lang")
     return nb_predict(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
+def _source_overlap_sql():
+    from pybabe_spark.operators.dedup_scale import source_overlap_sql
+
+    return source_overlap_sql("documents", "source", _FP_SHINGLES)
+
+
+@register("source_overlap_docs", _source_overlap_sql())
+def q_source_overlap(spark, sf_dir):
+    """Inter-source 3-gram corpus overlap matrix
+    (operators/dedup_scale.py::source_overlap): per source pair, exact
+    shingle-set Jaccard and BOTH directed containments in integer ppm
+    — the mirror-crawl / re-dump detector at corpus granularity. One
+    distinct (source, shingle) projection; the self-join's per-shingle
+    fanout is bounded by the number of sources squared, never by
+    document frequency."""
+    from pybabe_spark.operators.dedup_scale import source_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_overlap(docs, "source", "text", shingle_n=3)

@@ -2162,3 +2162,29 @@ def test_triangle_count_still_matches_after_refactor(spark):
         spark.createDataFrame(k4, "id_a int, id_b int")
     ).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+
+def test_source_overlap_hand_checked(spark):
+    from pybabe_spark.operators.dedup_scale import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),       # shingles: abc, bcd
+            (2, "a b c e", "s1"),       # abc, bce  → s1 = {abc,bcd,bce}
+            (3, "a b c d", "s2"),       # s2 = {abc, bcd}
+            (4, "x y z w", "s3"),       # s3 = {xyz, yzw} (disjoint)
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, "source").collect()
+    }
+    r = got[("s1", "s2")]
+    # |s1|=3, |s2|=2, common=2 → jaccard 2/3, cont_a 2/3, cont_b 1
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 2, 2)
+    assert r["jaccard_ppm"] == 666_666
+    assert r["containment_a_ppm"] == 666_666
+    assert r["containment_b_ppm"] == 1_000_000
+    # disjoint pairs are absent (no common shingles)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
