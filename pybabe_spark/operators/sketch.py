@@ -761,3 +761,137 @@ def weighted_quantiles_sql(
     )
     {arms}
     """
+
+
+def mean_test(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-sample mean test (Welch/large-sample z) between ``control``
+    and ``treatment`` rows of a CONTINUOUS metric — the revenue/
+    duration sibling of :func:`ab_test`'s proportions, and the stage
+    after :func:`~pybabe_spark.operators.cuped.cuped_adjust`: ONE
+    output row with per-arm n/mean, the difference, and
+    ``significant`` under
+
+        (m̄_t − m̄_c)² > z²·(s²_c/n_c + s²_t/n_t)
+
+    with sample variances ``s² = (n·Σx² − (Σx)²) / (n·(n−1))``. All
+    sums are exact DECIMAL(38,0) on bigint cents; the decision is one
+    fixed-shape squared-form IEEE expression over those exact inputs,
+    reproduced verbatim by the oracle — deterministic, not a
+    tolerance. Means round once to DECIMAL(18,6). Arms need n ≥ 2;
+    otherwise significant = false and NULL means where undefined.
+    One conditional aggregation — map-side combinable.
+    """
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_c = (F.col(variant_col) == control) & F.col(value_col).isNotNull()
+    is_t = (F.col(variant_col) == treatment) & F.col(value_col).isNotNull()
+    agg = df.agg(
+        F.sum(is_c.cast("int")).alias("n_c"),
+        F.coalesce(F.sum(F.when(is_c, d(x))), F.lit(0)).cast(
+            "decimal(38,0)"
+        ).alias("s_c"),
+        F.coalesce(F.sum(F.when(is_c, d(x) * x)), F.lit(0)).cast(
+            "decimal(38,0)"
+        ).alias("q_c"),
+        F.sum(is_t.cast("int")).alias("n_t"),
+        F.coalesce(F.sum(F.when(is_t, d(x))), F.lit(0)).cast(
+            "decimal(38,0)"
+        ).alias("s_t"),
+        F.coalesce(F.sum(F.when(is_t, d(x) * x)), F.lit(0)).cast(
+            "decimal(38,0)"
+        ).alias("q_t"),
+    )
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    sc = F.col("s_c").cast("double")
+    st = F.col("s_t").cast("double")
+    qc = F.col("q_c").cast("double")
+    qt = F.col("q_t").cast("double")
+    mc = sc / nc / 100.0
+    mt = st / nt / 100.0
+    var_c = (nc * qc - sc * sc) / (nc * (nc - 1.0))
+    var_t = (nt * qt - st * st) / (nt * (nt - 1.0))
+    diff = st / nt - sc / nc  # cents
+    lhs = diff * diff
+    rhs = (z_crit * z_crit) * (var_c / nc + var_t / nt)
+    mean = lambda m: m.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return agg.select(
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.when(F.col("n_c") > 0, mean(mc)).alias("mean_control"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.when(F.col("n_t") > 0, mean(mt)).alias("mean_treatment"),
+        F.when(
+            (F.col("n_c") > 0) & (F.col("n_t") > 0),
+            mean(diff / 100.0),  # same op order as the oracle
+        ).alias("diff"),
+        F.when(
+            (F.col("n_c") > 1) & (F.col("n_t") > 1), lhs > rhs
+        ).otherwise(F.lit(False)).alias("significant"),
+    )
+
+
+def mean_test_sql(
+    select: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`mean_test` over a subquery — same
+    HUGEINT sums, same fixed-shape decision."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    c = f"({variant_col} = '{control}' AND {value_col} IS NOT NULL)"
+    t = f"({variant_col} = '{treatment}' AND {value_col} IS NOT NULL)"
+    z2 = f"({z_crit} * {z_crit})"
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (
+        SELECT SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS n_c,
+               COALESCE(SUM(CASE WHEN {c} THEN CAST({x} AS HUGEINT) END),
+                        0) AS s_c,
+               COALESCE(SUM(CASE WHEN {c}
+                        THEN CAST({x} AS HUGEINT) * {x} END), 0) AS q_c,
+               SUM(CASE WHEN {t} THEN 1 ELSE 0 END) AS n_t,
+               COALESCE(SUM(CASE WHEN {t} THEN CAST({x} AS HUGEINT) END),
+                        0) AS s_t,
+               COALESCE(SUM(CASE WHEN {t}
+                        THEN CAST({x} AS HUGEINT) * {x} END), 0) AS q_t
+        FROM rows_in
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CASE WHEN n_c > 0 THEN CAST(CAST(
+             CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0
+             AS DECIMAL(18,6)) AS DOUBLE) END AS mean_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CASE WHEN n_t > 0 THEN CAST(CAST(
+             CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100.0
+             AS DECIMAL(18,6)) AS DOUBLE) END AS mean_treatment,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN CAST(CAST(
+             (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 100.0
+             AS DECIMAL(18,6)) AS DOUBLE) END AS diff,
+           CASE WHEN n_c > 1 AND n_t > 1 THEN
+             ((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+              * (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+             > {z2} * (
+               ((CAST(n_c AS DOUBLE) * CAST(q_c AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE))
+                / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)))
+                 / CAST(n_c AS DOUBLE)
+               + ((CAST(n_t AS DOUBLE) * CAST(q_t AS DOUBLE)
+                 - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)))
+                 / CAST(n_t AS DOUBLE))
+           ELSE FALSE END AS significant
+    FROM agg
+    """

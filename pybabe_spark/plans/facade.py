@@ -692,6 +692,15 @@ class Babe:
             propagate_labels(self.df, sd, max_hops, **kwargs)
         )
 
+    def mean_test(self, variant_col, value_col, control, treatment,
+                  z_crit=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import mean_test
+
+        return self._wrap(
+            mean_test(self.df, variant_col, value_col, control,
+                      treatment, z_crit)
+        )
+
     def cuped_adjust(self, metric_col, covariate_col, by=None,
                      out_col="adjusted") -> "Babe":
         from pybabe_spark.operators.cuped import cuped_adjust

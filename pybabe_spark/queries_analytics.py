@@ -2629,3 +2629,35 @@ def q_cuped(spark, sf_dir):
         (F.first("user_id") % 2).alias("arm"),
     )
     return cuped_adjust(frame, "post", "pre")
+
+
+def _mean_test_sql():
+    from pybabe_spark.operators.sketch import mean_test_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm, value
+        FROM events WHERE event_type = 'purchase'
+    """
+    return mean_test_sql(frame, "arm", "value", "control", "treatment")
+
+
+@register("mean_test_events", _mean_test_sql())
+def q_mean_test(spark, sf_dir):
+    """Two-sample Welch mean test on purchase values
+    (operators/sketch.py::mean_test): exact DECIMAL(38,0)/HUGEINT
+    moment sums feed one fixed-shape squared-form IEEE decision —
+    deterministic significance on a continuous metric, the stage after
+    cuped_adjust. One conditional aggregation."""
+    from pybabe_spark.operators.sketch import mean_test
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    frame = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return mean_test(frame, "arm", "value", "control", "treatment")

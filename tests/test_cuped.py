@@ -72,3 +72,69 @@ def test_facade_hook(spark):
     rows = [(1, 2.0, 1.0), (2, 4.0, 2.0)]
     out = Babe(_mk(spark, rows)).cuped_adjust("y", "x")
     assert "adjusted" in out.df.columns
+
+
+# -- mean_test (operators/sketch.py) ------------------------------------------
+
+
+def _arms(spark, rows):
+    return spark.createDataFrame(rows, "arm string, v double")
+
+
+def test_mean_test_clear_separation_significant(spark):
+    from pybabe_spark.operators.sketch import mean_test
+
+    rows = [("control", 10.0 + (i % 3) * 0.1) for i in range(50)] + [
+        ("treatment", 20.0 + (i % 3) * 0.1) for i in range(50)
+    ]
+    r = mean_test(_arms(spark, rows), "arm", "v", "control",
+                  "treatment").collect()[0]
+    assert r["significant"] is True
+    assert abs(r["diff"] - 10.0) < 1e-9
+    assert r["n_control"] == 50 and r["n_treatment"] == 50
+
+
+def test_mean_test_identical_arms_not_significant(spark):
+    from pybabe_spark.operators.sketch import mean_test
+
+    rows = [("control", float(i % 7)) for i in range(60)] + [
+        ("treatment", float(i % 7)) for i in range(60)
+    ]
+    r = mean_test(_arms(spark, rows), "arm", "v", "control",
+                  "treatment").collect()[0]
+    assert r["significant"] is False and r["diff"] == 0.0
+
+
+def test_mean_test_degenerate_arms(spark):
+    from pybabe_spark.operators.sketch import mean_test
+
+    rows = [("control", 5.0), ("treatment", 9.0)]  # n=1 each
+    r = mean_test(_arms(spark, rows), "arm", "v", "control",
+                  "treatment").collect()[0]
+    assert r["significant"] is False
+    assert r["mean_control"] == 5.0 and r["mean_treatment"] == 9.0
+
+
+def test_mean_test_cuped_composition_flips_decision(spark):
+    """The reason cuped exists: a treatment effect invisible under raw
+    noise becomes significant after the covariate is regressed out."""
+    import random
+
+    from pybabe_spark.operators.cuped import cuped_adjust
+    from pybabe_spark.operators.sketch import mean_test
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(400):
+        x = rng.uniform(0, 100)             # pre-period signal
+        arm = "treatment" if i % 2 else "control"
+        effect = 1.0 if arm == "treatment" else 0.0
+        rows.append((i, arm, round(x + effect + rng.uniform(-0.2, 0.2), 2),
+                     round(x, 2)))
+    df = spark.createDataFrame(rows, "u int, arm string, y double, x double")
+    raw = mean_test(df, "arm", "y", "control", "treatment").collect()[0]
+    adj = cuped_adjust(df, "y", "x")
+    after = mean_test(adj, "arm", "adjusted", "control",
+                      "treatment").collect()[0]
+    assert raw["significant"] is False   # drowned by covariate noise
+    assert after["significant"] is True  # recovered by CUPED
