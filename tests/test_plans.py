@@ -516,7 +516,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one stats agg + 1-row-proven broadcast-back
                 "cuped_adjust_events",
                 # distinct-value cumsum window + one final agg
-                "weighted_quantiles_lineitem"]:
+                "weighted_quantiles_lineitem",
+                # one conditional moment agg
+                "mean_test_events",
+                # distinct projection + group-bounded shingle join
+                "source_overlap_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
