@@ -10,9 +10,13 @@ is (dims × mergeable partials), and every append is
 plus the rollup's own (tiny) cardinality, never the corpus.
 
 Only decomposable aggregates are allowed (``sum`` / ``count`` /
-``min`` / ``max``; ``n_rows`` is always kept) — their merge is the
-same shape as their build, which is what makes append ≡ rebuild EXACT
-(asserted in tests and by the driver oracle). Averages are derived at
+``min`` / ``max`` / ``first:<order>`` / ``last:<order>``; ``n_rows``
+is always kept) — their merge is the same shape as their build, which
+is what makes append ≡ rebuild EXACT (asserted in tests and by the
+driver oracle). ``first``/``last`` store an (order, value) witness
+pair and re-pick by the stored order at merge time — the OHLC
+open/close shape, mergeable because argmin/argmax compose; the order
+column must be unique per dims cell for 'the' first to be defined. Averages are derived at
 read time (sum/count). Double sums are stored as DECIMAL(38,6) — the
 engine's exact-decimal convention — so append order can never change
 a stored value by an IEEE rounding.
@@ -29,20 +33,33 @@ from typing import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MERGEABLE = ("sum", "count", "min", "max")
+_MERGEABLE = ("sum", "count", "min", "max", "first", "last")
 
 
 def _measure_name(col: str, how: str) -> str:
-    return f"{col}_{how}"
+    return f"{col}_{how.split(':', 1)[0]}"
+
+
+def _parse(how: str) -> tuple[str, str | None]:
+    """'first:ts' → ('first', 'ts'); plain aggregates → (how, None)."""
+    kind, _, order = how.partition(":")
+    return kind, (order or None)
 
 
 def _check(measures: Mapping[str, str]) -> None:
     for col, how in measures.items():
-        if how not in _MERGEABLE:
+        kind, order = _parse(how)
+        if kind not in _MERGEABLE:
             raise ValueError(
                 f"rollup: {how!r} on {col!r} is not mergeable; only "
                 f"{_MERGEABLE} fold exactly across appends (derive avg "
                 "at read time from sum/count)"
+            )
+        if kind in ("first", "last") and not order:
+            raise ValueError(
+                f"rollup: {kind!r} on {col!r} needs an order column — "
+                f"use '{kind}:<order_col>' (e.g. 'first:ts'); the order "
+                "value is stored with the witness so appends stay exact"
             )
 
 
@@ -60,8 +77,13 @@ def _first_pass(df: DataFrame, dims: list[str], measures) -> DataFrame:
             aggs.append(F.count(F.col(col)).alias(name))
         elif how == "min":
             aggs.append(F.min(col).alias(name))
-        else:
+        elif how == "max":
             aggs.append(F.max(col).alias(name))
+        else:  # first:o / last:o — store (order, value) witness pairs
+            kind, order = _parse(how)
+            pair = F.struct(F.col(order).alias("o"), F.col(col).alias("v"))
+            pick = F.min_by if kind == "first" else F.max_by
+            aggs.append(pick(pair, F.col(order)).alias(name))
     return df.groupBy(*dims).agg(*aggs)
 
 
@@ -69,6 +91,7 @@ def _merge_pass(parts: DataFrame, dims: list[str], measures) -> DataFrame:
     aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
     for col, how in measures.items():
         name = _measure_name(col, how)
+        how = _parse(how)[0] if ":" in how else how
         if how in ("sum",):
             aggs.append(
                 F.sum(name).cast("decimal(38,6)").alias(name)
@@ -77,8 +100,12 @@ def _merge_pass(parts: DataFrame, dims: list[str], measures) -> DataFrame:
             aggs.append(F.sum(name).cast("bigint").alias(name))
         elif how == "min":
             aggs.append(F.min(name).alias(name))
-        else:
+        elif how == "max":
             aggs.append(F.max(name).alias(name))
+        else:  # witness pairs re-pick by their stored order
+            kind, _ = _parse(how)
+            pick = F.min_by if kind == "first" else F.max_by
+            aggs.append(pick(F.col(name), F.col(name)["o"]).alias(name))
     return parts.groupBy(*dims).agg(*aggs)
 
 
@@ -145,9 +172,11 @@ def rollup_read(
     doubles (the engine's convention — exact value, familiar type)."""
     df = spark.read.parquet(path)
     for col, how in measures.items():
+        name = _measure_name(col, how)
         if how == "sum":
-            name = _measure_name(col, how)
             df = df.withColumn(name, F.col(name).cast("double"))
+        elif _parse(how)[0] in ("first", "last"):
+            df = df.withColumn(name, F.col(name)["v"])
     return df
 
 
@@ -162,7 +191,9 @@ def rollup_query(
     df = spark.read.parquet(path)
     out = _merge_pass(df, dims_subset, measures)
     for col, how in measures.items():
+        name = _measure_name(col, how)
         if how == "sum":
-            name = _measure_name(col, how)
             out = out.withColumn(name, F.col(name).cast("double"))
+        elif _parse(how)[0] in ("first", "last"):
+            out = out.withColumn(name, F.col(name)["v"])
     return out
