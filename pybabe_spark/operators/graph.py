@@ -189,13 +189,36 @@ def connected_components(
     )
     prev_sum = obs0.get["s"]
 
-    for _ in range(max_iters - 1):
+    for rnd in range(max_iters - 1):
         neighbor_labels = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "label")
+        parts = labels.unionByName(neighbor_labels)
+        if rnd >= 2:
+            # the graph has proven deeper than the shallow dup-cluster
+            # case (still unconverged after 3 one-hop spreads): add
+            # pointer doubling — the label OF my label (labels is total
+            # over node ids and a label is always a node id, so the
+            # self-join is total). Shortcutting makes reach per round
+            # multiplicative — O(log diameter) rounds on chains instead
+            # of O(diameter) — for one extra node-set equi-join inside
+            # the same single job. Shallow graphs converge before ever
+            # paying for it.
+            jump = (
+                labels.alias("x")
+                .join(
+                    labels.alias("y"),
+                    F.col("x.label") == F.col("y.id"),
+                )
+                .select(
+                    F.col("x.id").alias("id"),
+                    F.col("y.label").alias("label"),
+                )
+            )
+            parts = parts.unionByName(jump)
         obs = Observation()
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            parts
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
