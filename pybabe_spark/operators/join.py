@@ -279,3 +279,105 @@ def range_join(
     )
     rb = F.broadcast(rb) if broadcast_right else rb
     return lb.join(rb, "__bucket").filter(contain).drop("__bucket")
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    key: str | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval-OVERLAP join: all (left, right) pairs whose half-open
+    time ranges intersect — ``a.start < b.end AND b.start < a.end`` —
+    plus ``overlap_us`` (exact microseconds of intersection). The
+    two-interval-sets temporal join :func:`range_join` (point-in-
+    interval) cannot express: concurrent sessions, meeting conflicts,
+    downtime × deploy windows. Column names must not overlap.
+
+    Plan: with ``key``, an equi-join plus the overlap filter. Without,
+    both interval sets explode into the time ``bucket`` cells they
+    cover and join on the cell — and each qualifying pair is emitted
+    EXACTLY once with no dedup shuffle: overlapping intervals both
+    cover the cell containing the LATER of the two starts, so the join
+    keeps only that canonical cell (``cell == floor(max(starts)/s)``).
+    Cells per interval is duration/bucket + 1 — pick ``bucket`` ≈ the
+    typical interval length; intervals are otherwise unbounded (a
+    year-long interval costs a year of hourly cells, it does not
+    break).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"overlap_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first"
+        )
+    ls, le = left_range
+    rs, re = right_range
+    # empty/inverted intervals ([t, t)) contain nothing and would both
+    # trip the strict overlap predicate and explode a DESCENDING cell
+    # sequence — excluded on both sides (and in the oracle)
+    left = left.filter(F.col(ls) < F.col(le))
+    right = right.filter(F.col(rs) < F.col(re))
+    meet = (F.col(ls) < F.col(re)) & (F.col(rs) < F.col(le))
+    ov_us = (
+        F.least(F.unix_micros(F.col(le)), F.unix_micros(F.col(re)))
+        - F.greatest(F.unix_micros(F.col(ls)), F.unix_micros(F.col(rs)))
+    ).alias("overlap_us")
+    if key is not None:
+        return (
+            left.join(right, left[key] == right[key])
+            .filter(meet)
+            .select(*left.columns, *right.columns, ov_us)
+        )
+    from pybabe_spark.functions.time import parse_duration_seconds
+
+    step_us = parse_duration_seconds(bucket) * 1_000_000
+
+    def cells(s: str, e: str) -> "F.Column":
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(s)) / step_us).cast("long"),
+                F.floor((F.unix_micros(F.col(e)) - 1) / step_us).cast(
+                    "long"
+                ),
+            )
+        )
+
+    lb = left.select("*", cells(ls, le).alias("__cell"))
+    rb = right.select("*", cells(rs, re).alias("__cell"))
+    canonical = F.col("__cell") == F.floor(
+        F.greatest(F.unix_micros(F.col(ls)), F.unix_micros(F.col(rs)))
+        / step_us
+    ).cast("long")
+    return (
+        lb.join(rb, "__cell")
+        .filter(meet & canonical)
+        .select(*left.columns, *right.columns, ov_us)
+    )
+
+
+def overlap_join_sql(
+    left_select: str,
+    right_select: str,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    left_cols: list[str],
+    right_cols: list[str],
+) -> str:
+    """DuckDB oracle of :func:`overlap_join` — the raw inequality-join
+    definition the bucketed plan must reproduce exactly."""
+    ls, le = left_range
+    rs, re = right_range
+    cols = ", ".join(
+        [f"l.{c}" for c in left_cols] + [f"r.{c}" for c in right_cols]
+    )
+    return f"""
+    SELECT {cols},
+           least(epoch_us(l.{le}), epoch_us(r.{re}))
+             - greatest(epoch_us(l.{ls}), epoch_us(r.{rs})) AS overlap_us
+    FROM ({left_select}) l JOIN ({right_select}) r
+      ON l.{ls} < r.{re} AND r.{rs} < l.{le}
+    WHERE l.{ls} < l.{le} AND r.{rs} < r.{re}
+    """

@@ -802,6 +802,14 @@ class Babe:
             gap_fill(self.df, step_seconds, key_col, ts_col, agg_cols, **kwargs)
         )
 
+    def overlap_join(self, other, left_range, right_range, **kwargs) -> "Babe":
+        from pybabe_spark.operators.join import overlap_join
+
+        right = other.df if isinstance(other, Babe) else other
+        return self._wrap(
+            overlap_join(self.df, right, left_range, right_range, **kwargs)
+        )
+
     def fuzzy_join(
         self, other: "Babe | DataFrame", left_on, right_on, max_dist=1, **kwargs
     ) -> "Babe":

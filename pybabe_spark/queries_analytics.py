@@ -2661,3 +2661,59 @@ def q_mean_test(spark, sf_dir):
         "value",
     )
     return mean_test(frame, "arm", "value", "control", "treatment")
+
+
+def _overlap_sql():
+    from pybabe_spark.operators.join import overlap_join_sql
+    from pybabe_spark.operators.timeseries import sessionize_sql
+
+    sess = sessionize_sql(
+        "events", 1800, "user_id", "ts",
+        order_cols=["event_id"], stats=True,
+    )
+    left = f"""
+        SELECT user_id AS ua, session_id AS sa,
+               session_start AS start_a, session_end AS end_a
+        FROM ({sess}) WHERE user_id % 2 = 0
+    """
+    right = f"""
+        SELECT user_id AS ub, session_id AS sb,
+               session_start AS start_b, session_end AS end_b
+        FROM ({sess}) WHERE user_id % 2 = 1
+    """
+    return overlap_join_sql(
+        left, right,
+        ("start_a", "end_a"), ("start_b", "end_b"),
+        ["ua", "sa"], ["ub", "sb"],
+    )
+
+
+@register("overlap_join_sessions", _overlap_sql())
+def q_overlap_join(spark, sf_dir):
+    """Interval-overlap join (operators/join.py::overlap_join):
+    concurrent sessions across the even/odd user split — both interval
+    sets explode into hourly cells and join on the cell, each pair
+    emitted exactly once via the canonical later-start cell (NO dedup
+    shuffle); exact integer overlap microseconds. The oracle is the
+    raw inequality-join definition."""
+    from pybabe_spark.operators.join import overlap_join
+    from pybabe_spark.operators.timeseries import session_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = session_stats(ev, 1800, order_cols=["event_id"]).persist()
+    left = sess.filter(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("ua"),
+        F.col("session_id").alias("sa"),
+        F.col("session_start").alias("start_a"),
+        F.col("session_end").alias("end_a"),
+    )
+    right = sess.filter(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("session_start").alias("start_b"),
+        F.col("session_end").alias("end_b"),
+    )
+    return overlap_join(
+        left, right, ("start_a", "end_a"), ("start_b", "end_b"),
+        bucket="1 hour",
+    ).select("ua", "sa", "ub", "sb", "overlap_us")

@@ -2188,3 +2188,71 @@ def test_source_overlap_hand_checked(spark):
     assert r["containment_b_ppm"] == 1_000_000
     # disjoint pairs are absent (no common shingles)
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_overlap_join_brute_force_randomized(spark):
+    import datetime as dt
+    import random
+
+    from pybabe_spark.operators.join import overlap_join
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(prefix, n):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 50_000)
+            d = rng.randint(0, 12_000)  # up to ~3.3 h, crossing cells
+            rows.append(
+                (i, base + dt.timedelta(seconds=s),
+                 base + dt.timedelta(seconds=s + d))
+            )
+        return rows
+
+    lrows, rrows = mk("a", 60), mk("b", 60)
+    left = spark.createDataFrame(
+        lrows, "aid int, astart timestamp, aend timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "bid int, bstart timestamp, bend timestamp"
+    )
+    got = {
+        (r["aid"], r["bid"], r["overlap_us"])
+        for r in overlap_join(
+            left, right, ("astart", "aend"), ("bstart", "bend"),
+            bucket="30 minutes",
+        ).collect()
+    }
+    want = set()
+    for aid, a_s, a_e in lrows:
+        for bid, b_s, b_e in rrows:
+            if a_s >= a_e or b_s >= b_e:
+                continue  # empty intervals excluded
+            if a_s < b_e and b_s < a_e:
+                ov = (min(a_e, b_e) - max(a_s, b_s)).total_seconds()
+                want.add((aid, bid, int(ov * 1_000_000)))
+    assert got == want and len(want) > 50
+
+
+def test_overlap_join_emits_each_pair_once_across_cells(spark):
+    import datetime as dt
+
+    from pybabe_spark.operators.join import overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    # two long intervals sharing MANY hourly cells — still one row
+    left = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=10))],
+        "aid int, astart timestamp, aend timestamp",
+    )
+    right = spark.createDataFrame(
+        [(2, base + dt.timedelta(hours=1),
+          base + dt.timedelta(hours=20))],
+        "bid int, bstart timestamp, bend timestamp",
+    )
+    out = overlap_join(
+        left, right, ("astart", "aend"), ("bstart", "bend")
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_us"] == 9 * 3600 * 1_000_000
