@@ -520,7 +520,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one conditional moment agg
                 "mean_test_events",
                 # distinct projection + group-bounded shingle join
-                "source_overlap_docs"]:
+                "source_overlap_docs",
+                # cell-bucketed interval equi-join, canonical emission
+                "overlap_join_sessions"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
