@@ -781,6 +781,15 @@ class Babe:
                       bucket_seconds, volume_col)
         )
 
+    def active_intervals(self, start_col, end_col, bucket_seconds=3600,
+                         max_buckets=4096) -> "Babe":
+        from pybabe_spark.operators.timeseries import active_intervals
+
+        return self._wrap(
+            active_intervals(self.df, start_col, end_col,
+                             bucket_seconds, max_buckets)
+        )
+
     def seasonal_backtest(self, key_col, ts_col, value_col,
                           season_rows) -> "Babe":
         from pybabe_spark.operators.timeseries import seasonal_backtest

@@ -2717,3 +2717,41 @@ def q_overlap_join(spark, sf_dir):
         left, right, ("start_a", "end_a"), ("start_b", "end_b"),
         bucket="1 hour",
     ).select("ua", "sa", "ub", "sb", "overlap_us")
+
+
+def _active_sql():
+    from pybabe_spark.operators.timeseries import (
+        active_intervals_sql,
+        sessionize_sql,
+    )
+
+    sess = sessionize_sql(
+        "events", 1800, "user_id", "ts",
+        order_cols=["event_id"], stats=True,
+    )
+    return active_intervals_sql(
+        f"SELECT session_start, session_end FROM ({sess})",
+        "session_start",
+        "session_end",
+    )
+
+
+@register("active_sessions_curve", _active_sql())
+def q_active_sessions(spark, sf_dir):
+    """Session concurrency curve (operators/timeseries.py::
+    active_intervals): the sweep line de-globalized — per-boundary ±1
+    deltas cumulative-sum inside hourly buckets (partitioned window)
+    plus a limit-proved bucket-prefix offset, against the oracle's
+    single global cumulative sum. max(active) is peak concurrency."""
+    from pybabe_spark.operators.timeseries import (
+        active_intervals,
+        session_stats,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = session_stats(ev, 1800, order_cols=["event_id"])
+    return active_intervals(
+        sess.select("session_start", "session_end"),
+        "session_start",
+        "session_end",
+    )

@@ -422,6 +422,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # bounded independent of data size); the data path itself is
         # bucketed windows + one equi-join
         "skyline_parts_price_size": {"broadcast-nested-loop"},
+        # sweep-line bucket-prefix: the same limit()-proved bounded
+        # inequality self-join over bucket totals (calendar-span-sized,
+        # guarded at max_buckets); the data path is a partitioned
+        # cumulative window
+        "active_sessions_curve": {"broadcast-nested-loop"},
     }
     for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs

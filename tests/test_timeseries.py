@@ -364,3 +364,84 @@ def test_seasonal_backtest_short_and_constant(spark):
            for r in seasonal_backtest(df, "k", "ts", "v", 3).collect()}
     assert got[1] == (None, 0)
     assert got[2][0] is None and got[2][1] == 1
+
+
+# -- active_intervals (operators/timeseries.py) -------------------------------
+
+
+def test_active_intervals_hand_checked(spark):
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import active_intervals
+
+    b = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (b, b + 3 * h),          # covers 0-3
+        (b + h, b + 2 * h),      # covers 1-2
+        (b + h, b + 5 * h),      # covers 1-5 (bucket-crossing)
+        (b + 4 * h, b + 4 * h),  # empty — excluded
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        r["ts"]: (r["delta"], r["active"])
+        for r in active_intervals(df, "s", "e").collect()
+    }
+    assert got[b] == (1, 1)
+    assert got[b + h] == (2, 3)          # two starts at the same ts
+    assert got[b + 2 * h] == (-1, 2)
+    assert got[b + 3 * h] == (-1, 1)
+    assert got[b + 5 * h] == (-1, 0)
+    assert len(got) == 5
+
+
+def test_active_intervals_python_model_randomized(spark):
+    import datetime as dt
+    import random
+
+    from pybabe_spark.operators.timeseries import active_intervals
+
+    rng = random.Random(29)
+    b = dt.datetime(2024, 1, 1)
+    rows = []
+    for _ in range(120):
+        s = rng.randint(0, 200_000)
+        rows.append(
+            (b + dt.timedelta(seconds=s),
+             b + dt.timedelta(seconds=s + rng.randint(1, 30_000)))
+        )
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = sorted(
+        (r["ts"], r["active"])
+        for r in active_intervals(df, "s", "e", bucket_seconds=7200).collect()
+    )
+    deltas = {}
+    for s, e in rows:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e] = deltas.get(e, 0) - 1
+    want, run = [], 0
+    for t in sorted(deltas):
+        run += deltas[t]
+        want.append((t, run))
+    assert got == want
+    assert max(a for _, a in got) > 3  # the curve actually stacks
+
+
+def test_active_intervals_bucket_guard_raises_lazily(spark):
+    import datetime as dt
+
+    import pytest
+
+    from pybabe_spark.operators.timeseries import active_intervals
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (b + dt.timedelta(hours=5 * i),
+         b + dt.timedelta(hours=5 * i + 1))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    out = active_intervals(df, "s", "e", bucket_seconds=3600, max_buckets=4)
+    out.schema  # construction + analysis must not raise
+    with pytest.raises(Exception, match="max_buckets"):
+        out.collect()
