@@ -106,3 +106,45 @@ def test_facade_hook(spark):
     feed = _feed(spark, [(1, 10, "a1", "U")])
     out = Babe(base).apply_cdc(feed, "k", "ts")
     assert _rows(out.df) == [(1, "a1")]
+
+
+def test_randomized_against_python_model(spark):
+    """Random feeds vs a dict last-wins model — insert/update/delete,
+    multiple keys, unique (key, ts)."""
+    import random
+
+    rng = random.Random(31)
+    for trial in range(6):
+        base_rows = [
+            (k, f"b{k}") for k in range(8) if rng.random() < 0.7
+        ]
+        used = set()
+        feed_rows = []
+        for _ in range(25):
+            k = rng.randint(0, 11)
+            ts = rng.randint(0, 99)
+            if (k, ts) in used:
+                continue
+            used.add((k, ts))
+            op = "D" if rng.random() < 0.3 else "U"
+            feed_rows.append((k, ts, f"v{k}_{ts}", op))
+        base = spark.createDataFrame(base_rows or [(99, "x")],
+                                     "k int, v string")
+        feed = spark.createDataFrame(
+            feed_rows or [(0, 0, "v", "U")],
+            "k int, ts int, v string, op string",
+        )
+        got = sorted(
+            tuple(r) for r in apply_cdc(base, feed, "k", "ts").collect()
+        )
+        state = dict(base_rows or [(99, "x")])
+        latest = {}
+        for k, ts, v, op in (feed_rows or [(0, 0, "v", "U")]):
+            if k not in latest or ts > latest[k][0]:
+                latest[k] = (ts, v, op)
+        for k, (ts, v, op) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        assert got == sorted(state.items()), trial
