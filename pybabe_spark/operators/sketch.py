@@ -895,3 +895,122 @@ def mean_test_sql(
            ELSE FALSE END AS significant
     FROM agg
     """
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    crit: float = 15.507313,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table sibling of :func:`ab_test`
+    (proportions) and :func:`mean_test` (means): ONE output row with
+    ``n`` (non-null pairs), ``dof`` ((R−1)·(C−1)), ``chi2_ppm`` and
+    ``significant`` (chi2 > ``crit``, caller supplies the critical
+    value for their dof/alpha — e.g. 15.507 for dof=8 at 0.05).
+
+    Determinism: the statistic is summed as exact integers, not IEEE.
+    Per cell, with ``num = (n·n_ab − r_a·c_b)²`` and
+    ``den = n·r_a·c_b`` (both exact DECIMAL(38,0) on counts),
+    the contribution is ``num·10⁶ div den`` — integer ppm, floored,
+    non-negative (Spark ``div`` and DuckDB ``//`` agree); ``chi2_ppm``
+    is their exact integer sum, order-independent. The floor
+    understates true chi2 by < #cells ppm — a defined statistic, not a
+    tolerance. Exact for n ≲ 10⁸ (n⁴·10⁶ within DECIMAL(38,0)); NULL
+    in either column drops the pair. Empty input ⟹ (0, 0, 0, false).
+
+    Scale shape: ONE map-side-combinable hash agg over the data
+    (the cell table, ≤ R·C rows); row/column/grand totals are aggs
+    OVER that tiny table, broadcast back. No window, no second scan.
+    """
+    ok = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    rows = cells.groupBy("__a").agg(F.sum("__nab").alias("__r"))
+    cols = cells.groupBy("__b").agg(F.sum("__nab").alias("__c"))
+    tot = cells.agg(
+        F.sum("__nab").alias("__n"),
+        F.countDistinct("__a").alias("__ra"),
+        F.countDistinct("__b").alias("__cb"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    contrib = (
+        cells.join(F.broadcast(rows), "__a")
+        .join(F.broadcast(cols), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__n",
+            "__ra",
+            "__cb",
+            (d("__n") * F.col("__nab") - d("__r") * F.col("__c")).alias(
+                "__num"
+            ),
+            (d("__n") * F.col("__r") * F.col("__c")).alias("__den"),
+        )
+        .select(
+            "__n",
+            "__ra",
+            "__cb",
+            F.expr(
+                "CAST(CAST(__num * __num * 1000000 AS DECIMAL(38,0))"
+                " div __den AS BIGINT)"
+            ).alias("__ppm"),
+        )
+    )
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    out = contrib.agg(
+        F.max("__n").alias("__n"),
+        F.max((F.col("__ra") - 1) * (F.col("__cb") - 1)).alias("__dof"),
+        F.sum("__ppm").alias("__chi2"),
+    )
+    return out.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("__dof"), F.lit(0)).cast("bigint").alias("dof"),
+        F.coalesce(F.col("__chi2"), F.lit(0)).cast("bigint").alias(
+            "chi2_ppm"
+        ),
+        F.coalesce(F.col("__chi2") > crit_ppm, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def chi2_independence_sql(
+    select: str,
+    a_col: str,
+    b_col: str,
+    crit: float = 15.507313,
+) -> str:
+    """DuckDB oracle of :func:`chi2_independence` over a subquery —
+    same HUGEINT cell arithmetic, same floored integer ppm."""
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, COUNT(*)::HUGEINT AS nab
+        FROM rows_in
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY {a_col}, {b_col}
+    ),
+    r AS (SELECT a, SUM(nab) AS r FROM cells GROUP BY a),
+    c AS (SELECT b, SUM(nab) AS c FROM cells GROUP BY b),
+    tt AS (SELECT SUM(nab) AS n, COUNT(DISTINCT a) AS ra,
+                  COUNT(DISTINCT b) AS cb
+           FROM cells),
+    contrib AS (
+        SELECT tt.n, tt.ra, tt.cb,
+               ((tt.n * cells.nab - r.r * c.c)
+                * (tt.n * cells.nab - r.r * c.c) * 1000000)
+               // (tt.n * r.r * c.c) AS ppm
+        FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN tt
+    )
+    SELECT COALESCE(CAST(MAX(n) AS BIGINT), 0) AS n,
+           COALESCE(CAST(MAX((ra - 1) * (cb - 1)) AS BIGINT), 0) AS dof,
+           COALESCE(CAST(SUM(ppm) AS BIGINT), 0) AS chi2_ppm,
+           COALESCE(SUM(ppm) > {crit_ppm}, FALSE) AS significant
+    FROM contrib
+    """

@@ -701,6 +701,13 @@ class Babe:
                       treatment, z_crit)
         )
 
+    def chi2_independence(self, a_col, b_col, crit=15.507313) -> "Babe":
+        from pybabe_spark.operators.sketch import chi2_independence
+
+        return self._wrap(
+            chi2_independence(self.df, a_col, b_col, crit)
+        )
+
     def cuped_adjust(self, metric_col, covariate_col, by=None,
                      out_col="adjusted") -> "Babe":
         from pybabe_spark.operators.cuped import cuped_adjust

@@ -2755,3 +2755,27 @@ def q_active_sessions(spark, sf_dir):
         "session_start",
         "session_end",
     )
+
+
+def _chi2_sql():
+    from pybabe_spark.operators.sketch import chi2_independence_sql
+
+    return chi2_independence_sql(
+        "SELECT o_orderpriority, o_orderstatus FROM orders",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+@register("chi2_orders_priority_status", _chi2_sql())
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence (operators/sketch.py::
+    chi2_independence) between order priority and status: one hash agg
+    builds the R×C cell table; totals are aggs over that tiny table,
+    broadcast back; each cell contributes an exact floored integer
+    ppm ((n·n_ab − r·c)²·10⁶ div n·r·c) so chi2_ppm is an
+    order-independent integer sum, not IEEE."""
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    orders = read_table(spark, sf_dir, "orders")
+    return chi2_independence(orders, "o_orderpriority", "o_orderstatus")

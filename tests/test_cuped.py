@@ -138,3 +138,77 @@ def test_mean_test_cuped_composition_flips_decision(spark):
                       "treatment").collect()[0]
     assert raw["significant"] is False   # drowned by covariate noise
     assert after["significant"] is True  # recovered by CUPED
+
+
+# -- chi2_independence (operators/sketch.py) -----------------------------------
+
+
+def _chi2_model(pairs):
+    """Floored-ppm Python model of chi2_independence."""
+    from collections import Counter
+
+    cells = Counter(pairs)
+    if not cells:
+        return (0, 0, 0)
+    r = Counter()
+    c = Counter()
+    for (a, b), nab in cells.items():
+        r[a] += nab
+        c[b] += nab
+    n = sum(cells.values())
+    ppm = 0
+    for (a, b), nab in cells.items():
+        num = (n * nab - r[a] * c[b]) ** 2
+        ppm += (num * 1_000_000) // (n * r[a] * c[b])
+    return (n, (len(r) - 1) * (len(c) - 1), ppm)
+
+
+def test_chi2_hand_checked_2x2(spark):
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b", crit=3.841459).collect()[0]
+    # each cell: (60*nab - 900)^2 = 90000; ppm = 90000e6 // 54000
+    assert r.n == 60 and r.dof == 1
+    assert r.chi2_ppm == 4 * ((90000 * 1_000_000) // 54000)
+    assert r.significant is True
+
+
+def test_chi2_independent_columns_zero(spark):
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(7)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.chi2_ppm == 0 and r.significant is False
+
+
+def test_chi2_empty_and_nulls(spark):
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    empty = spark.createDataFrame([], "a string, b string")
+    r = chi2_independence(empty, "a", "b").collect()[0]
+    assert (r.n, r.dof, r.chi2_ppm, r.significant) == (0, 0, 0, False)
+    rows = [("x", None), (None, "u"), ("x", "u"), ("y", "v")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.n == 2  # null pairs dropped
+
+
+def test_chi2_randomized_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    rng = random.Random(80)
+    pairs = [
+        (rng.choice("abc"), rng.choice("uvwx")) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    n, dof, ppm = _chi2_model(pairs)
+    assert (r.n, r.dof, r.chi2_ppm) == (n, dof, ppm)

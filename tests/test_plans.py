@@ -527,7 +527,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # distinct projection + group-bounded shingle join
                 "source_overlap_docs",
                 # cell-bucketed interval equi-join, canonical emission
-                "overlap_join_sessions"]:
+                "overlap_join_sessions",
+                # one hash agg to cells; totals broadcast back
+                "chi2_orders_priority_status"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
