@@ -208,3 +208,138 @@ def frequent_pairs_sql(
     JOIN items c ON c.i = pairs.item_b
     CROSS JOIN nb
     """
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence_ppm: int = 0,
+) -> DataFrame:
+    """Directed association rules from market baskets: both
+    orientations of every frequent pair as ``antecedent → consequent``
+    with exact integer-ppm metrics —
+
+    - ``support_ppm``  = n_pairs·10⁶ div n_baskets
+    - ``confidence_ppm`` = n_pairs·10⁶ div n_antecedent
+    - ``lift_ppm``     = n_pairs·n_baskets·10⁶ div (n_a·n_c)
+
+    All divisions are non-negative integral ``div`` on 128-bit products
+    (Spark ``div`` ≡ DuckDB ``//``) — no IEEE anywhere, deterministic
+    across engines at any corpus size. Rules below ``min_support``
+    co-occurrences or ``min_confidence_ppm`` confidence are dropped.
+
+    Plan: identical to :func:`frequent_pairs` up to the support-pruned
+    UNDIRECTED pair aggregate (one bounded-fanout self-join + one hash
+    agg); both directions are then emitted from that tiny table via a
+    2-row explode — no second pass over the baskets — followed by one
+    broadcast item-count join and a 1-row basket-total attach.
+    """
+    if min_support < 1:
+        raise ValueError("association_rules: min_support must be >= 1")
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+        .persist()  # same lazy-persist rationale as frequent_pairs
+    )
+    x, y = bi.alias("x"), bi.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(
+            F.col("x.i").alias("__ia"), F.col("y.i").alias("__ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__ia").alias("antecedent"),
+                    F.col("__ib").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("__ib").alias("antecedent"),
+                    F.col("__ia").alias("consequent"),
+                ),
+            )
+        ).alias("__r"),
+        "n_pairs",
+    ).select("__r.antecedent", "__r.consequent", "n_pairs")
+    items = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("__ni"))
+    na = items.select(
+        F.col("i").alias("antecedent"), F.col("__ni").alias("__na")
+    )
+    nc = items.select(
+        F.col("i").alias("consequent"), F.col("__ni").alias("__nc")
+    )
+    baskets = bi.agg(
+        F.countDistinct("b").cast("bigint").alias("__nbaskets")
+    )
+    out = attach_scalars(
+        directed.join(F.broadcast(na), "antecedent").join(
+            F.broadcast(nc), "consequent"
+        ),
+        baskets,
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_pairs",
+        F.expr(
+            "(cast(n_pairs as decimal(38,0)) * 1000000) div __nbaskets"
+        ).alias("support_ppm"),
+        F.expr(
+            "(cast(n_pairs as decimal(38,0)) * 1000000) div __na"
+        ).alias("confidence_ppm"),
+        F.expr(
+            "(cast(n_pairs as decimal(38,0)) * __nbaskets * 1000000)"
+            " div (cast(__na as decimal(38,0)) * __nc)"
+        ).alias("lift_ppm"),
+    ).filter(F.col("confidence_ppm") >= int(min_confidence_ppm))
+
+
+def association_rules_sql(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence_ppm: int = 0,
+) -> str:
+    """DuckDB oracle of :func:`association_rules` (HUGEINT products,
+    UNION ALL for the two orientations)."""
+    return f"""
+    WITH bi AS (
+        SELECT DISTINCT {basket_col} AS b, {item_col} AS i
+        FROM {table}
+        WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+    ),
+    pairs AS (
+        SELECT x.i AS ia, y.i AS ib, COUNT(*) AS n_pairs
+        FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        GROUP BY x.i, y.i
+        HAVING COUNT(*) >= {int(min_support)}
+    ),
+    directed AS (
+        SELECT ia AS antecedent, ib AS consequent, n_pairs FROM pairs
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, n_pairs FROM pairs
+    ),
+    items AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+    nb AS (SELECT COUNT(DISTINCT b) AS nbaskets FROM bi)
+    SELECT antecedent, consequent, n_pairs,
+           CAST((CAST(n_pairs AS HUGEINT) * 1000000) // nbaskets
+                AS BIGINT) AS support_ppm,
+           CAST((CAST(n_pairs AS HUGEINT) * 1000000) // a.ni
+                AS BIGINT) AS confidence_ppm,
+           CAST((CAST(n_pairs AS HUGEINT) * nbaskets * 1000000)
+                // (CAST(a.ni AS HUGEINT) * c.ni) AS BIGINT) AS lift_ppm
+    FROM directed
+    JOIN items a ON a.i = directed.antecedent
+    JOIN items c ON c.i = directed.consequent
+    CROSS JOIN nb
+    WHERE CAST((CAST(n_pairs AS HUGEINT) * 1000000) // a.ni AS BIGINT)
+          >= {int(min_confidence_ppm)}
+    """

@@ -435,6 +435,15 @@ class Babe:
             frequent_pairs(self.df, basket_col, item_col, min_support)
         )
 
+    def association_rules(self, basket_col, item_col, min_support=2,
+                          min_confidence_ppm=0) -> "Babe":
+        from pybabe_spark.operators.collocations import association_rules
+
+        return self._wrap(
+            association_rules(self.df, basket_col, item_col,
+                              min_support, min_confidence_ppm)
+        )
+
     def transition_matrix(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.group import transition_matrix
 

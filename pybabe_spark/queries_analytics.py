@@ -2779,3 +2779,25 @@ def q_chi2_independence(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+def _assoc_rules_sql():
+    from pybabe_spark.operators.collocations import association_rules_sql
+
+    return association_rules_sql(
+        "lineitem", "l_orderkey", "l_partkey", 2, 100_000
+    )
+
+
+@register("association_rules_lineitem", _assoc_rules_sql())
+def q_association_rules(spark, sf_dir):
+    """Directed association rules over order baskets
+    (operators/collocations.py::association_rules): the support-pruned
+    undirected pair aggregate exploded into both orientations (no
+    second basket pass), broadcast item-count enrichment, exact-ppm
+    support/confidence/lift via integral div — the classic
+    market-basket rule miner at one-shuffle cost."""
+    from pybabe_spark.operators.collocations import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", 2, 100_000)

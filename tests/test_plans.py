@@ -529,7 +529,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # cell-bucketed interval equi-join, canonical emission
                 "overlap_join_sessions",
                 # one hash agg to cells; totals broadcast back
-                "chi2_orders_priority_status"]:
+                "chi2_orders_priority_status",
+                # support-pruned pair agg + 2-row explode + broadcasts
+                "association_rules_lineitem"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

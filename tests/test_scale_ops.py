@@ -2256,3 +2256,45 @@ def test_overlap_join_emits_each_pair_once_across_cells(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["overlap_us"] == 9 * 3600 * 1_000_000
+
+
+# -- association_rules (operators/collocations.py) -----------------------------
+
+
+def test_association_rules_hand_checked(spark):
+    from pybabe_spark.operators.collocations import association_rules
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "beer"),
+        (4, "bread"),
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pairs"], r["support_ppm"], r["confidence_ppm"],
+            r["lift_ppm"],
+        )
+        for r in association_rules(df, "b", "i", 2).collect()
+    }
+    # bread+milk co-occur in 2 of 4 baskets; bread in 3, milk in 3
+    assert got == {
+        ("bread", "milk"): (2, 500000, 666666, 888888),
+        ("milk", "bread"): (2, 500000, 666666, 888888),
+    }
+
+
+def test_association_rules_confidence_floor_is_directional(spark):
+    from pybabe_spark.operators.collocations import association_rules
+
+    # x in 4 baskets, y in 2, together twice: conf(y→x)=100%, conf(x→y)=50%
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "x")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {
+        (r["antecedent"], r["consequent"]): r["confidence_ppm"]
+        for r in association_rules(
+            df, "b", "i", 2, min_confidence_ppm=600_000
+        ).collect()
+    }
+    assert got == {("y", "x"): 1_000_000}
