@@ -710,6 +710,14 @@ class Babe:
                       treatment, z_crit)
         )
 
+    def rfm_segments(self, key_col, ts_col, value_col, as_of,
+                     k=5) -> "Babe":
+        from pybabe_spark.operators.rfm import rfm_segments
+
+        return self._wrap(
+            rfm_segments(self.df, key_col, ts_col, value_col, as_of, k)
+        )
+
     def chi2_independence(self, a_col, b_col, crit=15.507313) -> "Babe":
         from pybabe_spark.operators.sketch import chi2_independence
 

@@ -2801,3 +2801,26 @@ def q_association_rules(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return association_rules(li, "l_orderkey", "l_partkey", 2, 100_000)
+
+
+def _rfm_sql():
+    from pybabe_spark.operators.rfm import rfm_segments_sql
+
+    return rfm_segments_sql(
+        "orders", "o_custkey", "o_orderdate", "o_totalprice",
+        "1998-12-31",
+    )
+
+
+@register("rfm_segments_orders", _rfm_sql())
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (operators/rfm.py::rfm_segments):
+    one hash agg to the per-customer rollup, one 1-row quantile-edge
+    agg over it, broadcast attach + codegen scoring — the classic
+    lifecycle model with NO global NTILE window."""
+    from pybabe_spark.operators.rfm import rfm_segments
+
+    orders = read_table(spark, sf_dir, "orders")
+    return rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", "1998-12-31"
+    )

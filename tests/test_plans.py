@@ -531,7 +531,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one hash agg to cells; totals broadcast back
                 "chi2_orders_priority_status",
                 # support-pruned pair agg + 2-row explode + broadcasts
-                "association_rules_lineitem"]:
+                "association_rules_lineitem",
+                # rollup hash agg + 1-row edge agg + codegen scoring
+                "rfm_segments_orders"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
