@@ -384,3 +384,86 @@ def pseudonymize_sql(col: str, salt: str, prefix_len: int = 16) -> str:
         f"CASE WHEN {col} IS NOT NULL THEN substr(md5('{q}:' || "
         f"CAST({col} AS VARCHAR)), 1, {int(prefix_len)}) END"
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 10,
+) -> DataFrame:
+    """Privacy re-identification audit — the k-anonymity check that
+    belongs next to :func:`pseudonymize`/PII scrubbing before any
+    dataset leaves the boundary: ONE summary row over the
+    quasi-identifier combination ``quasi_cols``:
+
+    - ``n_rows`` / ``n_groups`` — population and distinct QI tuples
+    - ``min_group_size`` — the dataset's achieved k (0 when empty)
+    - ``risky_groups`` / ``risky_rows`` — equivalence classes (and the
+      rows inside them) smaller than ``k``, i.e. re-identifiable
+    - ``risky_rows_ppm`` — risky share, exact integral ppm
+
+    NULL is a legitimate QI value (an attacker sees the blank too), so
+    groups are formed NULL-safely over all rows. The dataset is
+    k-anonymous over these columns iff ``risky_rows == 0``.
+
+    Scale shape: one map-side-combinable hash agg to the QI group
+    table, one 1-row agg over it — the profile idiom; nothing is
+    collected, no window.
+    """
+    if k < 2:
+        raise ValueError(f"k_anonymity: k {k} must be >= 2")
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    risky = F.col("__sz") < k
+    out = groups.agg(
+        F.coalesce(F.sum("__sz"), F.lit(0)).cast("bigint").alias(
+            "n_rows"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.min("__sz"), F.lit(0)).cast("bigint").alias(
+            "min_group_size"
+        ),
+        F.coalesce(F.sum(risky.cast("bigint")), F.lit(0)).cast(
+            "bigint"
+        ).alias("risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("__sz"))), F.lit(0)).cast(
+            "bigint"
+        ).alias("risky_rows"),
+    )
+    return out.withColumn(
+        "risky_rows_ppm",
+        F.when(F.col("n_rows") > 0, F.expr(
+            "CAST(risky_rows * 1000000 div n_rows AS BIGINT)"
+        )).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def k_anonymity_sql(
+    table: str, quasi_cols: "list[str]", k: int = 10
+) -> str:
+    """DuckDB oracle of :func:`k_anonymity` — same group/summary
+    aggregation, same integral ppm."""
+    qi = ", ".join(quasi_cols)
+    return f"""
+    WITH groups AS (
+        SELECT {qi}, COUNT(*) AS sz FROM {table} GROUP BY {qi}
+    ),
+    s AS (
+        SELECT COALESCE(CAST(SUM(sz) AS BIGINT), 0) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               COALESCE(CAST(MIN(sz) AS BIGINT), 0) AS min_group_size,
+               COALESCE(CAST(SUM(CASE WHEN sz < {int(k)} THEN 1 END)
+                        AS BIGINT), 0) AS risky_groups,
+               COALESCE(CAST(SUM(CASE WHEN sz < {int(k)} THEN sz END)
+                        AS BIGINT), 0) AS risky_rows
+        FROM groups
+    )
+    SELECT *,
+           CASE WHEN n_rows > 0 THEN
+             CAST((risky_rows * 1000000) // n_rows AS BIGINT)
+           ELSE 0 END AS risky_rows_ppm
+    FROM s
+    """

@@ -264,6 +264,11 @@ class Babe:
             self.df.withColumn(field, normalize_text(field, **kwargs))
         )
 
+    def k_anonymity(self, quasi_cols, k=10) -> "Babe":
+        from pybabe_spark.functions.enrich import k_anonymity
+
+        return self._wrap(k_anonymity(self.df, quasi_cols, k))
+
     def pii_scrub(self, field) -> "Babe":
         from pybabe_spark.functions.text import pii_scrub
 

@@ -367,3 +367,23 @@ def q_soundex_nations(spark, sf_dir):
 
     nation = read_table(spark, sf_dir, "nation")
     return nation.select("n_name", soundex("n_name").alias("sdx"))
+
+
+def _kanon_sql():
+    from pybabe_spark.functions.enrich import k_anonymity_sql
+
+    return k_anonymity_sql(
+        "customer", ["c_nationkey", "c_mktsegment"], 10
+    )
+
+
+@register("k_anonymity_customers", _kanon_sql())
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over (nation, segment) quasi-identifiers
+    (functions/enrich.py::k_anonymity): one hash agg to the QI group
+    table + one 1-row summary — re-identification risk as exact
+    integral ppm, the release gate next to pseudonymize/pii_scrub."""
+    from pybabe_spark.functions.enrich import k_anonymity
+
+    cust = read_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], 10)

@@ -533,7 +533,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # support-pruned pair agg + 2-row explode + broadcasts
                 "association_rules_lineitem",
                 # rollup hash agg + 1-row edge agg + codegen scoring
-                "rfm_segments_orders"]:
+                "rfm_segments_orders",
+                # QI hash agg + 1-row summary, profile idiom
+                "k_anonymity_customers"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -156,3 +156,47 @@ def test_benford_excludes_zero_null_and_uses_first_nonzero(spark):
     # -230 -> 2, 0.045 -> 4, 7 -> 7; zero and NULL excluded
     assert rows[2] == 1 and rows[4] == 1 and rows[7] == 1
     assert sum(rows.values()) == 3
+
+
+# -- k_anonymity (functions/enrich.py) -----------------------------------------
+
+
+def test_k_anonymity_hand_checked(spark):
+    from pybabe_spark.functions.enrich import k_anonymity
+
+    rows = (
+        [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")] * 1
+        + [(None, "a")] * 3
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    r = k_anonymity(df, ["country", "seg"], k=3).collect()[0]
+    assert r.n_rows == 11 and r.n_groups == 4
+    assert r.min_group_size == 1
+    # (us,b)=2 and (fr,a)=1 are risky; NULL group of 3 is NOT
+    assert r.risky_groups == 2 and r.risky_rows == 3
+    assert r.risky_rows_ppm == (3 * 1_000_000) // 11
+
+
+def test_k_anonymity_anonymous_and_empty(spark):
+    from pybabe_spark.functions.enrich import k_anonymity
+
+    rows = [("x",)] * 4 + [("y",)] * 4
+    df = spark.createDataFrame(rows, "g string")
+    r = k_anonymity(df, ["g"], k=4).collect()[0]
+    assert r.risky_rows == 0 and r.risky_rows_ppm == 0
+    empty = spark.createDataFrame([], "g string")
+    r = k_anonymity(empty, ["g"], k=4).collect()[0]
+    assert (r.n_rows, r.n_groups, r.min_group_size, r.risky_rows_ppm) \
+        == (0, 0, 0, 0)
+
+
+def test_k_anonymity_validation(spark):
+    import pytest
+
+    from pybabe_spark.functions.enrich import k_anonymity
+
+    df = spark.createDataFrame([("x",)], "g string")
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], 10)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["g"], 1)
