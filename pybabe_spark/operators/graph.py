@@ -871,3 +871,111 @@ def clustering_coefficient_sql(edges_cte: str) -> str:
            END AS lcc
     FROM deg LEFT JOIN credits USING (n)
     """
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, hop-bounded
+    Bellman-Ford: ``(id, dist_cents)`` — the cheapest DIRECTED path of
+    at most ``max_hops`` edges from any source node (sources at 0;
+    unreachable nodes absent). The weighted sibling of
+    :func:`bfs_distances`; symmetrize the edge set for undirected
+    graphs.
+
+    Weights go through the house cents lift (DECIMAL(18,2)·100 →
+    bigint) so path costs are exact integer sums — no IEEE
+    accumulation, identical across engines. The hop bound makes the
+    semantics well-defined even with negative weights or cycles
+    ("min cost over walks of ≤ k edges" — for non-negative weights and
+    k ≥ |V|−1 this IS the shortest path).
+
+    Per round: one frontier×edges equi-join on the node key + one
+    min() hash agg over (state ∪ candidates); state is one row per
+    reached node, lineage-cut with an eager ``localCheckpoint``; an
+    ``observe()`` (count, sum) fingerprint stops early at the fixpoint
+    without an extra job (distances decrease monotonically, so an
+    unchanged fingerprint ⟺ converged — the result then equals the
+    full unroll the oracle replays).
+    """
+    if max_hops < 0:
+        raise ValueError("sssp: max_hops must be >= 0")
+    id_col = id_col or "id"
+    w_cents = (F.col(weight).cast("decimal(18,2)") * 100).cast("bigint")
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            w_cents.alias("w"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & F.col("w").isNotNull()
+        )
+        # lazy persist: every round joins the frontier against e
+        .persist()
+    )
+    state = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_hops):
+        cand = (
+            state.join(e, state["id"] == e["u"])
+            .select(e["v"].alias("id"), (state["dist"] + e["w"]).alias("dist"))
+        )
+        nxt = (
+            state.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        obs = Observation()
+        nxt = nxt.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist").alias("s"),
+        )
+        state = nxt.localCheckpoint(eager=True)
+        fp = (obs.get["n"], obs.get["s"])
+        if fp == prev:
+            break
+        prev = fp
+    return state.select(
+        F.col("id").alias(id_col), F.col("dist").alias("dist_cents")
+    )
+
+
+def sssp_sql(
+    edges_cte: str, sources_cte: str, max_hops: int, id_col: str
+) -> str:
+    """DuckDB oracle of :func:`sssp` — the full Bellman-Ford unroll
+    (``edges_cte`` must yield (src, dst, w) with w already exact
+    cents); the engine's early stop is a fixpoint, so results match."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "d0 AS (SELECT DISTINCT s AS id, CAST(0 AS BIGINT) AS dist"
+        f" FROM ({sources_cte}))",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"d{h} AS (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{h-1}"
+            f" UNION ALL"
+            f" SELECT e.dst AS id, d{h-1}.dist + e.w AS dist"
+            f" FROM d{h-1} JOIN edges e ON d{h-1}.id = e.src"
+            f") GROUP BY id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id AS {id_col}, CAST(dist AS BIGINT) AS dist_cents"
+        f" FROM d{max_hops}"
+    )

@@ -292,6 +292,12 @@ class Babe:
         srcs = sources.df if isinstance(sources, Babe) else sources
         return self._wrap(bfs_distances(self.df, srcs, max_hops, **kwargs))
 
+    def sssp(self, sources, max_hops=4, **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import sssp
+
+        srcs = sources.df if isinstance(sources, Babe) else sources
+        return self._wrap(sssp(self.df, srcs, max_hops, **kwargs))
+
     def triangle_count(self, src="id_a", dst="id_b") -> "Babe":
         from pybabe_spark.operators.graph import triangle_count
 

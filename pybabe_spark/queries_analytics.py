@@ -2824,3 +2824,66 @@ def q_rfm_segments(spark, sf_dir):
     return rfm_segments(
         orders, "o_custkey", "o_orderdate", "o_totalprice", "1998-12-31"
     )
+
+
+def _sssp_sql():
+    from pybabe_spark.operators.graph import sssp_sql
+
+    base = """
+        SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+               MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    """
+    edges = f"""
+        SELECT cn AS src, sn AS dst, w FROM ({base})
+        UNION ALL
+        SELECT sn AS src, cn AS dst, w FROM ({base})
+    """
+    return sssp_sql(edges, "SELECT 0 AS s", 4, "nationkey")
+
+
+@register("sssp_trade_nations", _sssp_sql())
+def q_sssp(spark, sf_dir):
+    """Weighted shortest trade routes from nation 0
+    (operators/graph.py::sssp, hop-bounded Bellman-Ford): nation-pair
+    edges carry the MINIMUM line price between customer and supplier
+    nations (exact cents); per round one frontier equi-join + one min
+    hash agg, observe()-fingerprint early stop. The oracle is the
+    full relaxation unroll — the fixpoint equality is the test."""
+    from pybabe_spark.operators.graph import sssp
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    base = (
+        li.join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"])
+        .join(F.broadcast(supp), supp["s_suppkey"] == li["l_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+        .agg(F.min(cents).alias("w"))
+    )
+    edges = base.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst"), "w"
+    ).unionByName(
+        base.select(
+            F.col("sn").alias("src"), F.col("cn").alias("dst"), "w"
+        )
+    )
+    # weights are already cents: undo the operator's lift exactly
+    edges = edges.withColumn(
+        "w", (F.col("w").cast("decimal(18,2)") / 100)
+    )
+    src = spark.range(1).select(F.lit(0).alias("s"))
+    return sssp(edges, src, max_hops=4, id_col="nationkey")

@@ -535,7 +535,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # rollup hash agg + 1-row edge agg + codegen scoring
                 "rfm_segments_orders",
                 # QI hash agg + 1-row summary, profile idiom
-                "k_anonymity_customers"]:
+                "k_anonymity_customers",
+                # per-round frontier equi-join + min hash agg
+                "sssp_trade_nations"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -2298,3 +2298,70 @@ def test_association_rules_confidence_floor_is_directional(spark):
         ).collect()
     }
     assert got == {("y", "x"): 1_000_000}
+
+
+# -- sssp (operators/graph.py) --------------------------------------------------
+
+
+def _sssp_edges(spark, rows):
+    return spark.createDataFrame(rows, "src int, dst int, w double")
+
+
+def _src(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "s int")
+
+
+def test_sssp_cheap_detour_beats_direct_edge(spark):
+    from pybabe_spark.operators.graph import sssp
+
+    # 1->3 direct costs 10.00; 1->2->3 costs 1.00+2.00
+    edges = _sssp_edges(
+        spark, [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 2.0)]
+    )
+    got = {
+        r["id"]: r["dist_cents"]
+        for r in sssp(edges, _src(spark, [1]), max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 100, 3: 300}
+
+
+def test_sssp_hop_bound_truncates(spark):
+    from pybabe_spark.operators.graph import sssp
+
+    # chain 1->2->3->4, but only 2 hops allowed
+    edges = _sssp_edges(
+        spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 9.0)]
+    )
+    got = {
+        r["id"]: r["dist_cents"]
+        for r in sssp(edges, _src(spark, [1]), max_hops=2).collect()
+    }
+    # 4 reachable only via the expensive direct edge within 2 hops
+    assert got == {1: 0, 2: 100, 3: 200, 4: 900}
+
+
+def test_sssp_multi_source_and_directedness(spark):
+    from pybabe_spark.operators.graph import sssp
+
+    edges = _sssp_edges(spark, [(1, 2, 5.0), (3, 2, 1.0)])
+    got = {
+        r["id"]: r["dist_cents"]
+        for r in sssp(edges, _src(spark, [1, 3]), max_hops=3).collect()
+    }
+    assert got == {1: 0, 3: 0, 2: 100}  # min over sources; no back-edge
+
+
+def test_sssp_early_stop_matches_full_unroll(spark):
+    from pybabe_spark.operators.graph import sssp
+
+    # diameter 2 but max_hops 6: converges early, same fixpoint
+    edges = _sssp_edges(spark, [(1, 2, 1.0), (2, 3, 1.0)])
+    got6 = {
+        r["id"]: r["dist_cents"]
+        for r in sssp(edges, _src(spark, [1]), max_hops=6).collect()
+    }
+    got2 = {
+        r["id"]: r["dist_cents"]
+        for r in sssp(edges, _src(spark, [1]), max_hops=2).collect()
+    }
+    assert got6 == got2 == {1: 0, 2: 100, 3: 200}
