@@ -696,3 +696,137 @@ def rank_normalize(
         )
         .drop(c_rk, c_n)
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    loo: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Smoothed target encoding — the high-cardinality categorical
+    feature for tree/linear models: adds ``{cat_col}_te_micro``, the
+    category's smoothed mean target in exact integral MICRO-units
+    (sign-split ``div`` — engine-identical at any scale):
+
+        te = (Σ_cat target + m · global_mean) / (n_cat + m)
+
+    With ``loo=True`` (the default, and the leakage-safe form for
+    training data) each row's OWN target is excluded:
+    ``(Σ_cat − xᵢ + m·ḡ) / (n_cat − 1 + m)``. The global-mean prior
+    ``ḡ = S/N`` stays a single exact rational — both numerator and
+    denominator are carried symbolically, so the whole encoding is ONE
+    integral division per row, never a float intermediate:
+
+        ((Σ_cat [− xᵢ]) · N + m · S) · 10⁶ div (N · (n_cat [−1] + m) · 100)
+
+    (cents → micro-units; NULL when the denominator is 0, i.e. a
+    singleton category at m = 0, or a NULL category/target — those
+    rows keep a NULL encoding for the caller's imputer).
+
+    Scale shape: one map-side-combinable hash agg per category, one
+    1-row global agg, a broadcast join back on the category key, then
+    pure codegen — no window, no second pass over the data.
+    """
+    if smoothing < 0:
+        raise ValueError("target_encode: smoothing must be >= 0")
+    from pybabe_spark.operators._util import attach_scalars, gen_col
+
+    out = out_col or f"{cat_col}_te_micro"
+    x = (F.col(target_col).cast("decimal(18,2)") * 100).cast("bigint")
+    ok = F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cat = (
+        df.filter(ok)
+        .groupBy(F.col(cat_col).alias("__cat"))
+        .agg(
+            F.count(F.lit(1)).alias("__nc"),
+            F.sum(d(x)).cast("decimal(38,0)").alias("__sc"),
+        )
+    )
+    tot = df.filter(ok).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(d(x)), F.lit(0)).cast("decimal(38,0)").alias(
+            "__s"
+        ),
+    )
+    c_x = gen_col(df.columns, "__te_x")
+    joined = attach_scalars(
+        df.withColumn(c_x, F.when(ok, x)).join(
+            F.broadcast(cat), F.col(cat_col) == F.col("__cat"), "left"
+        ),
+        tot,
+    )
+    m = int(smoothing)
+    if loo:
+        num = (
+            (F.col("__sc") - F.col(c_x)) * F.col("__n")
+            + F.lit(m) * F.col("__s")
+        ).cast("decimal(38,0)")
+        den = (
+            d(F.col("__n")) * (F.col("__nc") - 1 + m) * 100
+        ).cast("decimal(38,0)")
+    else:
+        num = (
+            F.col("__sc") * F.col("__n") + F.lit(m) * F.col("__s")
+        ).cast("decimal(38,0)")
+        den = (
+            d(F.col("__n")) * (F.col("__nc") + m) * 100
+        ).cast("decimal(38,0)")
+    c_num = gen_col(df.columns, "__te_num")
+    c_den = gen_col(df.columns, "__te_den")
+    from pybabe_spark.operators.regression import _ppm
+
+    return (
+        joined.withColumn(c_num, num)
+        .withColumn(c_den, den)
+        .withColumn(out, F.when(ok, _ppm(c_num, c_den)))
+        .drop("__cat", "__nc", "__sc", "__n", "__s", c_x, c_num, c_den)
+    )
+
+
+def target_encode_sql(
+    table: str,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    loo: bool = True,
+    columns: str = "*",
+    out_col: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`target_encode` — same HUGEINT symbolic
+    rational, same sign-split integral division."""
+    out = out_col or f"{cat_col}_te_micro"
+    m = int(smoothing)
+    x = f"CAST(CAST({target_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    ok = f"({cat_col} IS NOT NULL AND {target_col} IS NOT NULL)"
+    if loo:
+        num = f"((sc - {x}) * n + {m} * s)"
+        den = f"(CAST(n AS HUGEINT) * (nc - 1 + {m}) * 100)"
+    else:
+        num = f"(sc * n + {m} * s)"
+        den = f"(CAST(n AS HUGEINT) * (nc + {m}) * 100)"
+    return f"""
+    WITH cat AS (
+        SELECT {cat_col} AS cat, COUNT(*) AS nc,
+               SUM(CAST({x} AS HUGEINT)) AS sc
+        FROM {table} WHERE {ok} GROUP BY {cat_col}
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               COALESCE(SUM(CAST({x} AS HUGEINT)), 0) AS s
+        FROM {table} WHERE {ok}
+    )
+    SELECT {columns},
+           CASE WHEN {ok} AND {den} != 0 THEN
+             CAST(CASE WHEN ({num} < 0) != ({den} < 0)
+                       THEN -1 ELSE 1 END
+                  * ((1000000::HUGEINT * ABS({num})) // ABS({den}))
+                  AS BIGINT)
+           END AS {out}
+    FROM {table}
+    LEFT JOIN cat ON {cat_col} = cat.cat
+    CROSS JOIN tot
+    """

@@ -182,6 +182,15 @@ class Babe:
                            out_col=out_col)
         )
 
+    def target_encode(self, cat_col, target_col, smoothing=20,
+                      loo=True, out_col=None) -> "Babe":
+        from pybabe_spark.operators.sampling import target_encode
+
+        return self._wrap(
+            target_encode(self.df, cat_col, target_col, smoothing,
+                          loo, out_col)
+        )
+
     def weighted_sample(self, weight_col, n, id_col, seed=0) -> "Babe":
         from pybabe_spark.operators.sampling import weighted_sample
 

@@ -2887,3 +2887,28 @@ def q_sssp(spark, sf_dir):
     )
     src = spark.range(1).select(F.lit(0).alias("s"))
     return sssp(edges, src, max_hops=4, id_col="nationkey")
+
+
+def _target_encode_sql():
+    from pybabe_spark.operators.sampling import target_encode_sql
+
+    return target_encode_sql(
+        "orders", "o_orderpriority", "o_totalprice", 20, True,
+        columns="o_orderkey, o_orderpriority",
+    )
+
+
+@register("target_encode_orders", _target_encode_sql())
+def q_target_encode(spark, sf_dir):
+    """Smoothed leave-one-out target encoding of order priority by
+    order value (operators/sampling.py::target_encode): one category
+    hash agg + one 1-row global agg broadcast back, the whole encoding
+    a single sign-split integral division per row over the symbolic
+    rational (no float intermediates) — the leakage-safe
+    high-cardinality feature for downstream models."""
+    from pybabe_spark.operators.sampling import target_encode
+
+    orders = read_table(spark, sf_dir, "orders")
+    return target_encode(
+        orders, "o_orderpriority", "o_totalprice", 20, True
+    ).select("o_orderkey", "o_orderpriority", "o_orderpriority_te_micro")

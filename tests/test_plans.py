@@ -537,7 +537,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # QI hash agg + 1-row summary, profile idiom
                 "k_anonymity_customers",
                 # per-round frontier equi-join + min hash agg
-                "sssp_trade_nations"]:
+                "sssp_trade_nations",
+                # category hash agg + 1-row global agg + broadcast back
+                "target_encode_orders"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -2365,3 +2365,71 @@ def test_sssp_early_stop_matches_full_unroll(spark):
         for r in sssp(edges, _src(spark, [1]), max_hops=2).collect()
     }
     assert got6 == got2 == {1: 0, 2: 100, 3: 200}
+
+
+# -- target_encode (operators/sampling.py) --------------------------------------
+
+
+def test_target_encode_hand_checked_no_loo(spark):
+    from pybabe_spark.operators.sampling import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 40.0)]
+    df = spark.createDataFrame(rows, "cat string, v double")
+    got = {
+        (r["cat"], r["v"]): r["cat_te_micro"]
+        for r in target_encode(df, "cat", "v", smoothing=1,
+                               loo=False).collect()
+    }
+    # global mean 70/3; te(a) = (30 + 70/3)/3 = (90+70)/9 units=160/9*... 
+    # exact: ((sc*N + m*S)*1e6) // (N*(nc+m)*100): a: (3000*3+7000)*1e6
+    # // (3*3*100) = 16000e6 // 900
+    te_a = (16000 * 1_000_000) // 900
+    te_b = ((4000 * 3 + 7000) * 1_000_000) // (3 * 2 * 100)
+    assert got[("a", 10.0)] == te_a and got[("a", 20.0)] == te_a
+    assert got[("b", 40.0)] == te_b
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from pybabe_spark.operators.sampling import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 40.0)]
+    df = spark.createDataFrame(rows, "cat string, v double")
+    got = {
+        (r["cat"], r["v"]): r["cat_te_micro"]
+        for r in target_encode(df, "cat", "v", smoothing=1,
+                               loo=True).collect()
+    }
+    # row (a,10): ((3000-1000)*3 + 7000)*1e6 // (3*(2-1+1)*100)
+    assert got[("a", 10.0)] == (13000 * 1_000_000) // 600
+    assert got[("a", 20.0)] == ((1000 * 3 + 7000) * 1_000_000) // 600
+    # singleton b with LOO: nc-1+m = 1 -> prior only: (0*3+7000)*1e6//300
+    assert got[("b", 40.0)] == (7000 * 1_000_000) // 300
+
+
+def test_target_encode_null_and_singleton_m0(spark):
+    from pybabe_spark.operators.sampling import target_encode
+
+    rows = [("a", 10.0), ("a", 30.0), ("b", 40.0), (None, 5.0),
+            ("c", None)]
+    df = spark.createDataFrame(rows, "cat string, v double")
+    got = {
+        (r["cat"], r["v"]): r["cat_te_micro"]
+        for r in target_encode(df, "cat", "v", smoothing=0,
+                               loo=True).collect()
+    }
+    assert got[(None, 5.0)] is None and got[("c", None)] is None
+    assert got[("b", 40.0)] is None  # singleton, m=0 -> undefined
+    assert got[("a", 10.0)] == 30 * 1_000_000  # the other row's value
+
+
+def test_target_encode_negative_values_sign_split(spark):
+    from pybabe_spark.operators.sampling import target_encode
+
+    rows = [("a", -10.0), ("a", -20.0), ("b", -40.0)]
+    df = spark.createDataFrame(rows, "cat string, v double")
+    got = {
+        (r["cat"], r["v"]): r["cat_te_micro"]
+        for r in target_encode(df, "cat", "v", smoothing=1,
+                               loo=False).collect()
+    }
+    assert got[("a", -10.0)] == -((16000 * 1_000_000) // 900)
