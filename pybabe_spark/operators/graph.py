@@ -967,7 +967,7 @@ def sssp_sql(
     ]
     for h in range(1, max_hops + 1):
         parts.append(
-            f"d{h} AS (SELECT id, MIN(dist) AS dist FROM ("
+            f"d{h} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
             f"SELECT id, dist FROM d{h-1}"
             f" UNION ALL"
             f" SELECT e.dst AS id, d{h-1}.dist + e.w AS dist"
@@ -978,4 +978,114 @@ def sssp_sql(
         ",\n".join(parts)
         + f"\nSELECT id AS {id_col}, CAST(dist AS BIGINT) AS dist_cents"
         f" FROM d{max_hops}"
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: the maximal subgraph
+    in which every node keeps degree ≥ ``k`` — the standard cohesion
+    filter (spam rings, dense communities, nucleus extraction).
+    Returns the surviving ``(id, degree)`` with degree measured INSIDE
+    the core. Undirected: edges are symmetrized and de-duplicated;
+    self-loops dropped.
+
+    Each round: one degree hash agg over the surviving edge set, keep
+    nodes with degree ≥ k, then semi-join the edge set down to
+    surviving endpoints — per-round cost is the CURRENT edge set,
+    monotonically shrinking. ``observe()`` counts surviving nodes, so
+    an unchanged count stops without an extra job (peeling is
+    monotone — unchanged ⟺ fixpoint ⟺ the true k-core). If
+    ``max_rounds`` rounds don't converge the result is the
+    ``max_rounds``-peel partial — the SAME well-defined object the
+    oracle's unroll produces, and a superset of the k-core; raise
+    ``max_rounds`` for pathological chains (each round peels at least
+    one node of every non-converged component, and real graphs
+    converge in a handful).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k {k} must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("k_core: max_rounds must be >= 1")
+    id_col = id_col or src
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(
+                F.col("u").isNotNull()
+                & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v"))
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    for _ in range(max_rounds):
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        obs = Observation()
+        # the keep set feeds BOTH semi-joins: checkpoint it (one job,
+        # which also resolves the observation) so the metric isn't
+        # attached to a twice-consumed plan node
+        keep = keep.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = obs.get["n"]
+        if n == prev_n:
+            break
+        prev_n = n
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    # final degrees inside the surviving edge set, filtered once more
+    out = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+    return out.select(F.col("u").alias(id_col), "degree")
+
+
+def k_core_sql(
+    edges_cte: str, k: int, max_rounds: int, id_col: str
+) -> str:
+    """DuckDB oracle of :func:`k_core` — the peeling unroll
+    (``edges_cte`` yields (id_a, id_b); same symmetrize/dedup)."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM edges"
+        " WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a != id_b"
+        " UNION SELECT id_b, id_a FROM edges"
+        " WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a != id_b)",
+    ]
+    for r in range(1, max_rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS d"
+            f" FROM e{r-1} GROUP BY u) WHERE d >= {int(k)})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM e{r-1}"
+            f" WHERE u IN (SELECT u FROM n{r})"
+            f" AND v IN (SELECT u FROM n{r}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT u AS {id_col}, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM e{max_rounds} GROUP BY u HAVING COUNT(*) >= {int(k)}"
     )

@@ -301,6 +301,11 @@ class Babe:
         srcs = sources.df if isinstance(sources, Babe) else sources
         return self._wrap(bfs_distances(self.df, srcs, max_hops, **kwargs))
 
+    def k_core(self, k, max_rounds=8, **kwargs) -> "Babe":
+        from pybabe_spark.operators.graph import k_core
+
+        return self._wrap(k_core(self.df, k, max_rounds, **kwargs))
+
     def sssp(self, sources, max_hops=4, **kwargs) -> "Babe":
         from pybabe_spark.operators.graph import sssp
 

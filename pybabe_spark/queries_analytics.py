@@ -2912,3 +2912,43 @@ def q_target_encode(spark, sf_dir):
     return target_encode(
         orders, "o_orderpriority", "o_totalprice", 20, True
     ).select("o_orderkey", "o_orderpriority", "o_orderpriority_te_micro")
+
+
+def _kcore_sql():
+    from pybabe_spark.operators.graph import k_core_sql
+
+    edges = """
+        SELECT a.s AS id_a, b.s AS id_b
+        FROM (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem) b
+          ON a.o = b.o AND a.s < b.s
+        WHERE (a.s + b.s) % 7 = 0
+    """
+    return k_core_sql(edges, 3, 8, "suppkey")
+
+
+@register("kcore_suppliers", _kcore_sql())
+def q_kcore(spark, sf_dir):
+    """3-core of the sampled supplier co-trade graph
+    (operators/graph.py::k_core): iterative peeling — per round one
+    degree hash agg + two semi-joins over the monotonically shrinking
+    edge set, observe()-stopped at the fixpoint. The oracle unrolls
+    the same peel; fixpoint equality is the test."""
+    from pybabe_spark.operators.graph import k_core
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
+    )
+    return k_core(edges, k=3, max_rounds=8, id_col="suppkey")

@@ -539,7 +539,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # per-round frontier equi-join + min hash agg
                 "sssp_trade_nations",
                 # category hash agg + 1-row global agg + broadcast back
-                "target_encode_orders"]:
+                "target_encode_orders",
+                # per-round degree hash agg + two semi-joins, shrinking
+                "kcore_suppliers"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -2433,3 +2433,60 @@ def test_target_encode_negative_values_sign_split(spark):
                                loo=False).collect()
     }
     assert got[("a", -10.0)] == -((16000 * 1_000_000) // 900)
+
+
+# -- k_core (operators/graph.py) -------------------------------------------------
+
+
+def _kc_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a int, id_b int")
+
+
+def test_k_core_k4_with_pendants(spark):
+    from pybabe_spark.operators.graph import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendants = [(4, 5), (5, 6)]
+    got = {
+        r["id_a"]: r["degree"]
+        for r in k_core(_kc_edges(spark, k4 + pendants), k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_cascade_peeling(spark):
+    from pybabe_spark.operators.graph import k_core
+
+    # path 1-2-3-4-5: 2-core is empty, but only after cascading peels
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert k_core(_kc_edges(spark, path), k=2, max_rounds=8).count() == 0
+    # triangle + tail: 2-core = the triangle
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    got = {
+        r["id_a"]: r["degree"]
+        for r in k_core(_kc_edges(spark, tri), k=2, max_rounds=8).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_self_loops_and_dups_ignored(spark):
+    from pybabe_spark.operators.graph import k_core
+
+    edges = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (1, 3)]
+    got = {
+        r["id_a"]: r["degree"]
+        for r in k_core(_kc_edges(spark, edges), k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.graph import k_core
+
+    e = _kc_edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        k_core(e, k=0)
+    with pytest.raises(ValueError):
+        k_core(e, k=2, max_rounds=0)
