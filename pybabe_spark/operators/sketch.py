@@ -1014,3 +1014,145 @@ def chi2_independence_sql(
            COALESCE(SUM(ppm) > {crit_ppm}, FALSE) AS significant
     FROM contrib
     """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the NON-parametric
+    sibling of :func:`mean_test` for skewed metrics (revenue,
+    latency): ONE output row with per-arm n, ``u2`` (2·U for the
+    treatment arm — doubled so ties stay integral), ``auc_ppm``
+    (U/(n₁n₂), the probability a random treatment value exceeds a
+    random control value — the rank-biserial effect size, floored
+    integral ppm) and ``significant`` under the large-sample normal
+    approximation WITHOUT tie correction (documented choice: the
+    corrected variance is smaller, so this decision is conservative
+    under heavy ties):
+
+        3·(u2 − n₁n₂)² > z²·n₁n₂·(n₁+n₂+1)   [z² scaled to ppm]
+
+    — an EXACT integer comparison: u2 is an exact integer, both sides
+    are DECIMAL(38,0) products, no IEEE anywhere in the decision.
+    Exact for arms ≲ 10⁸ rows.
+
+    Scale shape (the weighted_quantiles discipline): one (value → arm
+    counts) hash agg collapses duplicates, ONE cumulative window over
+    the DISTINCT values (bounded by value cardinality, not rows),
+    one final 1-row agg. ``u2 = Σ_v cb(v)·(2·cumA_less(v) + ca(v))``
+    where cumA_less is the control count strictly below v.
+    """
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    is_c = (F.col(variant_col) == control) & F.col(value_col).isNotNull()
+    is_t = (F.col(variant_col) == treatment) & F.col(value_col).isNotNull()
+    base = (
+        df.filter(is_c | is_t)
+        .select(
+            x.alias("__v"),
+            is_c.cast("long").alias("__ca"),
+            is_t.cast("long").alias("__cb"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb")
+        )
+    )
+    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = base.withColumn("__cuma", F.sum("__ca").over(w))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("n_c"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("n_t"),
+        F.coalesce(
+            F.sum(
+                d("__cb")
+                * (2 * (F.col("__cuma") - F.col("__ca")) + F.col("__ca"))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__u2"),
+    )
+    crit2_ppm = int(round(float(z_crit) * float(z_crit) * 1_000_000))
+    lhs = (
+        F.lit(3_000_000).cast("decimal(38,0)")
+        * (F.col("__u2") - d("n_c") * F.col("n_t"))
+        * (F.col("__u2") - d("n_c") * F.col("n_t"))
+    )
+    rhs = (
+        F.lit(crit2_ppm).cast("decimal(38,0)")
+        * d("n_c")
+        * F.col("n_t")
+        * (F.col("n_c") + F.col("n_t") + 1)
+    )
+    return agg.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("__u2").cast("bigint").alias("u2"),
+        F.when(
+            (F.col("n_c") > 0) & (F.col("n_t") > 0),
+            F.expr(
+                "CAST(CAST(__u2 AS DECIMAL(38,0)) * 500000"
+                " div (CAST(n_c AS DECIMAL(38,0)) * n_t) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+        F.when(
+            (F.col("n_c") > 0) & (F.col("n_t") > 0), lhs > rhs
+        ).otherwise(F.lit(False)).alias("significant"),
+    )
+
+
+def mann_whitney_u_sql(
+    select: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`mann_whitney_u` — same value-level
+    cumulative counts, same exact integer decision."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    c = f"({variant_col} = '{control}' AND {value_col} IS NOT NULL)"
+    t = f"({variant_col} = '{treatment}' AND {value_col} IS NOT NULL)"
+    crit2_ppm = int(round(float(z_crit) * float(z_crit) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {x} AS v,
+               SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN {t} THEN 1 ELSE 0 END) AS cb
+        FROM rows_in WHERE {c} OR {t} GROUP BY 1
+    ),
+    cum AS (
+        SELECT *, SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma
+        FROM base
+    ),
+    agg AS (
+        SELECT COALESCE(CAST(SUM(ca) AS BIGINT), 0) AS n_c,
+               COALESCE(CAST(SUM(cb) AS BIGINT), 0) AS n_t,
+               COALESCE(SUM(CAST(cb AS HUGEINT)
+                   * (2 * (cuma - ca) + ca)), 0) AS u2
+        FROM cum
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           CAST(u2 AS BIGINT) AS u2,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             CAST((u2 * 500000) // (CAST(n_c AS HUGEINT) * n_t)
+                  AS BIGINT) END AS auc_ppm,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             3000000::HUGEINT
+               * (u2 - CAST(n_c AS HUGEINT) * n_t)
+               * (u2 - CAST(n_c AS HUGEINT) * n_t)
+             > {crit2_ppm}::HUGEINT * n_c * n_t * (n_c + n_t + 1)
+           ELSE FALSE END AS significant
+    FROM agg
+    """

@@ -750,6 +750,15 @@ class Babe:
             chi2_independence(self.df, a_col, b_col, crit)
         )
 
+    def mann_whitney_u(self, variant_col, value_col, control,
+                       treatment, z_crit=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import mann_whitney_u
+
+        return self._wrap(
+            mann_whitney_u(self.df, variant_col, value_col, control,
+                           treatment, z_crit)
+        )
+
     def cuped_adjust(self, metric_col, covariate_col, by=None,
                      out_col="adjusted") -> "Babe":
         from pybabe_spark.operators.cuped import cuped_adjust

@@ -2952,3 +2952,36 @@ def q_kcore(spark, sf_dir):
         .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
     )
     return k_core(edges, k=3, max_rounds=8, id_col="suppkey")
+
+
+def _mwu_sql():
+    from pybabe_spark.operators.sketch import mann_whitney_u_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm, value
+        FROM events WHERE event_type = 'purchase'
+    """
+    return mann_whitney_u_sql(frame, "arm", "value", "control",
+                              "treatment")
+
+
+@register("mann_whitney_events", _mwu_sql())
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test on purchase values
+    (operators/sketch.py::mann_whitney_u): value-level arm counts +
+    one distinct-value cumulative window + a fully exact integer
+    significance decision (no IEEE anywhere) — the non-parametric
+    counterpart of mean_test_events on the same frame."""
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    frame = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return mann_whitney_u(frame, "arm", "value", "control", "treatment")

@@ -212,3 +212,69 @@ def test_chi2_randomized_model(spark):
     r = chi2_independence(df, "a", "b").collect()[0]
     n, dof, ppm = _chi2_model(pairs)
     assert (r.n, r.dof, r.chi2_ppm) == (n, dof, ppm)
+
+
+# -- mann_whitney_u (operators/sketch.py) ---------------------------------------
+
+
+def _mwu_frame(spark, a_vals, b_vals):
+    rows = [("control", v) for v in a_vals] + [
+        ("treatment", v) for v in b_vals
+    ]
+    return spark.createDataFrame(rows, "arm string, v double")
+
+
+def test_mwu_hand_checked_no_ties(spark):
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    r = mann_whitney_u(
+        _mwu_frame(spark, [1.0, 2.0], [3.0, 4.0]),
+        "arm", "v", "control", "treatment",
+    ).collect()[0]
+    assert (r.n_control, r.n_treatment, r.u2) == (2, 2, 8)
+    assert r.auc_ppm == 1_000_000  # full separation
+    assert r.significant is False  # n too small for z
+
+
+def test_mwu_half_tie_counting(spark):
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    r = mann_whitney_u(
+        _mwu_frame(spark, [1.0, 2.0], [2.0, 3.0]),
+        "arm", "v", "control", "treatment",
+    ).collect()[0]
+    assert r.u2 == 7  # U = 3.5 with the tie counting half
+    assert r.auc_ppm == (7 * 500000) // 4
+
+
+def test_mwu_identical_arms_auc_half(spark):
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    vals = [float(i) for i in range(1, 21)]
+    r = mann_whitney_u(
+        _mwu_frame(spark, vals, vals), "arm", "v", "control",
+        "treatment",
+    ).collect()[0]
+    assert r.auc_ppm == 500_000 and r.significant is False
+
+
+def test_mwu_clear_separation_significant(spark):
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    a = [float(i) for i in range(30)]
+    b = [float(i + 100) for i in range(30)]
+    r = mann_whitney_u(
+        _mwu_frame(spark, a, b), "arm", "v", "control", "treatment"
+    ).collect()[0]
+    assert r.u2 == 2 * 900 and r.significant is True
+
+
+def test_mwu_empty_arm(spark):
+    from pybabe_spark.operators.sketch import mann_whitney_u
+
+    r = mann_whitney_u(
+        _mwu_frame(spark, [1.0, 2.0], []), "arm", "v", "control",
+        "treatment",
+    ).collect()[0]
+    assert (r.n_treatment, r.u2) == (0, 0)
+    assert r.auc_ppm is None and r.significant is False

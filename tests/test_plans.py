@@ -341,6 +341,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
     expected_dirty = {
         # reference-parity single-stream semantics, documented
         "window_rolling_sum": {"global-window"},
+        # value-level sweep: the window input is the DISTINCT cents
+        # values of a 2-dp metric — bounded by the metric's dynamic
+        # range, not row count (grows with price span, never with TB)
+        "mann_whitney_events": {"global-window"},
         "window_udf_rolling_max": {"global-window"},
         "skip_rows": set(),  # boundary plan: no window — must stay clean
         # all-pairs oracle definitions + the in-query exact recall
