@@ -171,3 +171,170 @@ def cuped_adjust_sql(
            ELSE 0 END AS theta_ppm
     FROM t
     """
+
+
+def did_estimate(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    pre: str,
+    post: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator
+    when you can't randomize (feature launched to one cohort, policy
+    hit one region): ONE output row with the four cell means
+    (arm × period), the DiD effect
+
+        (m̄_t,post − m̄_t,pre) − (m̄_c,post − m̄_c,pre)
+
+    and ``significant`` under the large-sample squared-form decision
+
+        did² > z²·Σᵢ s²ᵢ/nᵢ   (i over the four cells)
+
+    — the parallel-trends estimator with independent-samples variance
+    (repeated cross-sections; for panel data CUPED on the same module
+    is the stronger tool). House determinism: all moments are exact
+    DECIMAL(38,0) sums on bigint cents; means and the effect round
+    once to DECIMAL(18,6); the decision is one fixed-shape IEEE
+    expression over exact inputs, replayed verbatim by the oracle.
+    Cells need n ≥ 2 for the variance — otherwise significant=false;
+    means are NULL for empty cells. ONE conditional aggregation,
+    map-side combinable.
+    """
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = {
+        "cpre": (F.col(arm_col) == control) & (F.col(period_col) == pre),
+        "cpost": (F.col(arm_col) == control) & (F.col(period_col) == post),
+        "tpre": (F.col(arm_col) == treatment) & (F.col(period_col) == pre),
+        "tpost": (F.col(arm_col) == treatment)
+        & (F.col(period_col) == post),
+    }
+    aggs = []
+    for name, cond in cells.items():
+        ok = cond & F.col(value_col).isNotNull()
+        aggs += [
+            F.sum(ok.cast("long")).alias(f"n_{name}"),
+            F.coalesce(F.sum(F.when(ok, d(x))), F.lit(0)).cast(
+                "decimal(38,0)"
+            ).alias(f"s_{name}"),
+            F.coalesce(F.sum(F.when(ok, d(x) * x)), F.lit(0)).cast(
+                "decimal(38,0)"
+            ).alias(f"q_{name}"),
+        ]
+    agg = df.agg(*aggs)
+
+    def _n(c):
+        return F.col(f"n_{c}").cast("double")
+
+    def _s(c):
+        return F.col(f"s_{c}").cast("double")
+
+    def _q(c):
+        return F.col(f"q_{c}").cast("double")
+
+    def _mean(c):
+        return _s(c) / _n(c) / 100.0
+
+    def _var_over_n(c):
+        n, s, q = _n(c), _s(c), _q(c)
+        return ((n * q - s * s) / (n * (n - 1.0))) / n
+
+    did = (
+        (_s("tpost") / _n("tpost") - _s("tpre") / _n("tpre"))
+        - (_s("cpost") / _n("cpost") - _s("cpre") / _n("cpre"))
+    )  # cents
+    all_n2 = None
+    for c in cells:
+        cond = F.col(f"n_{c}") > 1
+        all_n2 = cond if all_n2 is None else (all_n2 & cond)
+    var_sum = sum(
+        (_var_over_n(c) for c in list(cells)[1:]),
+        _var_over_n(next(iter(cells))),
+    )
+    rounded = lambda m: m.cast("decimal(18,6)").cast("double")  # noqa: E731
+    out = [F.col(f"n_{c}").cast("bigint").alias(f"n_{c}") for c in cells]
+    out += [
+        F.when(F.col(f"n_{c}") > 0, rounded(_mean(c))).alias(f"mean_{c}")
+        for c in cells
+    ]
+    out += [
+        F.when(all_n2, rounded(did / 100.0)).alias("did"),
+        F.when(
+            all_n2, (did * did) > (z_crit * z_crit) * var_sum
+        ).otherwise(F.lit(False)).alias("significant"),
+    ]
+    return agg.select(*out)
+
+
+def did_estimate_sql(
+    select: str,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    pre: str,
+    post: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`did_estimate` — same HUGEINT moments,
+    same fixed-shape decision with identical operation order."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    conds = {
+        "cpre": f"({arm_col} = '{control}' AND {period_col} = '{pre}')",
+        "cpost": f"({arm_col} = '{control}' AND {period_col} = '{post}')",
+        "tpre": f"({arm_col} = '{treatment}' AND {period_col} = '{pre}')",
+        "tpost": f"({arm_col} = '{treatment}'"
+        f" AND {period_col} = '{post}')",
+    }
+    moments = ",\n".join(
+        f"SUM(CASE WHEN {c} AND {value_col} IS NOT NULL THEN 1 ELSE 0 END)"
+        f" AS n_{k},\n"
+        f"COALESCE(SUM(CASE WHEN {c} AND {value_col} IS NOT NULL"
+        f" THEN CAST({x} AS HUGEINT) END), 0) AS s_{k},\n"
+        f"COALESCE(SUM(CASE WHEN {c} AND {value_col} IS NOT NULL"
+        f" THEN CAST({x} AS HUGEINT) * {x} END), 0) AS q_{k}"
+        for k, c in conds.items()
+    )
+
+    def m(k):
+        return (
+            f"(CAST(s_{k} AS DOUBLE) / CAST(n_{k} AS DOUBLE))"
+        )
+
+    def von(k):
+        return (
+            f"(((CAST(n_{k} AS DOUBLE) * CAST(q_{k} AS DOUBLE)"
+            f" - CAST(s_{k} AS DOUBLE) * CAST(s_{k} AS DOUBLE))"
+            f" / (CAST(n_{k} AS DOUBLE) * (CAST(n_{k} AS DOUBLE) - 1.0)))"
+            f" / CAST(n_{k} AS DOUBLE))"
+        )
+
+    did = (
+        f"(({m('tpost')} - {m('tpre')}) - ({m('cpost')} - {m('cpre')}))"
+    )
+    all_n2 = " AND ".join(f"n_{k} > 1" for k in conds)
+    var_sum = " + ".join(von(k) for k in conds)
+    means = ",\n".join(
+        f"CASE WHEN n_{k} > 0 THEN CAST(CAST({m(k)} / 100.0"
+        f" AS DECIMAL(18,6)) AS DOUBLE) END AS mean_{k}"
+        for k in conds
+    )
+    ns = ", ".join(f"CAST(n_{k} AS BIGINT) AS n_{k}" for k in conds)
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (SELECT {moments} FROM rows_in)
+    SELECT {ns},
+           {means},
+           CASE WHEN {all_n2} THEN CAST(CAST({did} / 100.0
+             AS DECIMAL(18,6)) AS DOUBLE) END AS did,
+           CASE WHEN {all_n2} THEN
+             ({did} * {did}) > ({z_crit} * {z_crit}) * ({var_sum})
+           ELSE FALSE END AS significant
+    FROM agg
+    """

@@ -759,6 +759,15 @@ class Babe:
                            treatment, z_crit)
         )
 
+    def did_estimate(self, arm_col, period_col, value_col, control,
+                     treatment, pre, post, z_crit=1.959964) -> "Babe":
+        from pybabe_spark.operators.cuped import did_estimate
+
+        return self._wrap(
+            did_estimate(self.df, arm_col, period_col, value_col,
+                         control, treatment, pre, post, z_crit)
+        )
+
     def cuped_adjust(self, metric_col, covariate_col, by=None,
                      out_col="adjusted") -> "Babe":
         from pybabe_spark.operators.cuped import cuped_adjust

@@ -2985,3 +2985,49 @@ def q_mann_whitney(spark, sf_dir):
         "value",
     )
     return mann_whitney_u(frame, "arm", "value", "control", "treatment")
+
+
+def _did_sql():
+    from pybabe_spark.operators.cuped import did_estimate_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               CASE WHEN ts < TIMESTAMP '2024-01-24'
+                    THEN 'pre' ELSE 'post' END AS period,
+               value
+        FROM events WHERE event_type = 'purchase'
+    """
+    return did_estimate_sql(
+        frame, "arm", "period", "value", "control", "treatment",
+        "pre", "post",
+    )
+
+
+@register("did_estimate_events", _did_sql())
+def q_did_estimate(spark, sf_dir):
+    """Difference-in-differences on purchase values
+    (operators/cuped.py::did_estimate): four arm×period cells from ONE
+    conditional moment aggregation (exact DECIMAL(38,0)/HUGEINT), the
+    DiD effect and its independent-samples significance as one
+    fixed-shape IEEE decision — the quasi-experimental stage of the
+    experimentation family (ab_test / mean_test / CUPED / MWU)."""
+    from pybabe_spark.operators.cuped import did_estimate
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    frame = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        F.when(F.col("ts") < cutoff, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        "value",
+    )
+    return did_estimate(
+        frame, "arm", "period", "value", "control", "treatment",
+        "pre", "post",
+    )

@@ -278,3 +278,69 @@ def test_mwu_empty_arm(spark):
     ).collect()[0]
     assert (r.n_treatment, r.u2) == (0, 0)
     assert r.auc_ppm is None and r.significant is False
+
+
+# -- did_estimate (operators/cuped.py) ------------------------------------------
+
+
+def _did_frame(spark, cells):
+    """cells: dict (arm, period) -> list of values."""
+    rows = [
+        (arm, period, v)
+        for (arm, period), vals in cells.items()
+        for v in vals
+    ]
+    return spark.createDataFrame(rows, "arm string, period string, v double")
+
+
+def test_did_parallel_trends_effect_zero(spark):
+    from pybabe_spark.operators.cuped import did_estimate
+
+    # both arms rise by exactly 10 -> DiD = 0
+    cells = {
+        ("control", "pre"): [10.0, 20.0, 30.0],
+        ("control", "post"): [20.0, 30.0, 40.0],
+        ("treatment", "pre"): [50.0, 60.0, 70.0],
+        ("treatment", "post"): [60.0, 70.0, 80.0],
+    }
+    r = did_estimate(
+        _did_frame(spark, cells), "arm", "period", "v",
+        "control", "treatment", "pre", "post",
+    ).collect()[0]
+    assert r.did == 0.0 and r.significant is False
+    assert r.mean_cpre == 20.0 and r.mean_tpost == 70.0
+
+
+def test_did_hand_checked_lift(spark):
+    from pybabe_spark.operators.cuped import did_estimate
+
+    # control +10, treatment +25 -> DiD = 15, tight cells -> significant
+    cells = {
+        ("control", "pre"): [10.0, 10.0, 10.0, 10.1],
+        ("control", "post"): [20.0, 20.0, 20.0, 20.1],
+        ("treatment", "pre"): [30.0, 30.0, 30.0, 30.1],
+        ("treatment", "post"): [55.0, 55.0, 55.0, 55.1],
+    }
+    r = did_estimate(
+        _did_frame(spark, cells), "arm", "period", "v",
+        "control", "treatment", "pre", "post",
+    ).collect()[0]
+    assert abs(r.did - 15.0) < 1e-9
+    assert r.significant is True
+
+
+def test_did_degenerate_cell_not_significant(spark):
+    from pybabe_spark.operators.cuped import did_estimate
+
+    cells = {
+        ("control", "pre"): [10.0],  # n=1: variance undefined
+        ("control", "post"): [20.0, 21.0],
+        ("treatment", "pre"): [30.0, 31.0],
+        ("treatment", "post"): [55.0, 56.0],
+    }
+    r = did_estimate(
+        _did_frame(spark, cells), "arm", "period", "v",
+        "control", "treatment", "pre", "post",
+    ).collect()[0]
+    assert r.did is None and r.significant is False
+    assert r.n_cpre == 1 and r.mean_cpre == 10.0

@@ -545,7 +545,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # category hash agg + 1-row global agg + broadcast back
                 "target_encode_orders",
                 # per-round degree hash agg + two semi-joins, shrinking
-                "kcore_suppliers"]:
+                "kcore_suppliers",
+                # one conditional 4-cell moment agg
+                "did_estimate_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
