@@ -343,3 +343,119 @@ def association_rules_sql(
     WHERE CAST((CAST(n_pairs AS HUGEINT) * 1000000) // a.ni AS BIGINT)
           >= {int(min_confidence_ppm)}
     """
+
+
+def llr_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` (w1, w2, c12, llr) bigrams by Dunning's log-likelihood
+    ratio (Dunning 1993) — the collocation statistic that, unlike PMI,
+    does not over-reward rare pairs: G² over the 2×2 bigram
+    contingency (w1-first? × w2-second?), in Ted Dunning's entropy
+    form with ``H(x) = x·ln x`` (``H(0) = 0``):
+
+        G² = 2·(H(k₁₁)+H(k₁₂)+H(k₂₁)+H(k₂₂)
+                − H(c₁) − H(N−c₁) − H(c₂) − H(N−c₂) + H(N))
+
+    where c₁ counts bigrams with w1 FIRST, c₂ with w2 SECOND, N total
+    bigram occurrences, k₁₁ = c12, k₁₂ = c₁−c12, k₂₁ = c₂−c12,
+    k₂₂ = N−c₁−c₂+c12.
+
+    Same shape as :func:`pmi_collocations`: position-count hash aggs,
+    ``min_count`` prunes candidates BEFORE the count joins, top-k is
+    TakeOrdered. Determinism: counts exact; G² is ONE fixed-shape IEEE
+    expression (identical term order in the oracle), rounded once to
+    DECIMAL(18,6); ranking ties break (w1, w2) asc.
+    """
+    if min_count < 1:
+        raise ValueError(
+            f"llr_collocations: min_count {min_count} must be >= 1"
+        )
+    bg = (
+        bigram_rows(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    firsts = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    seconds = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    totals = bg.agg(F.sum("c12").cast("bigint").alias("__nb"))
+    cand = bg.filter(F.col("c12") >= min_count)
+    joined = attach_scalars(
+        cand.join(firsts, "w1").join(seconds, "w2"), totals
+    )
+
+    def h(x):
+        x = x.cast("double")
+        return F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("__nb") - F.col("c1") - F.col("c2") + F.col("c12")
+    llr = 2.0 * (
+        h(k11) + h(k12) + h(k21) + h(k22)
+        - h(F.col("c1")) - h(F.col("__nb") - F.col("c1"))
+        - h(F.col("c2")) - h(F.col("__nb") - F.col("c2"))
+        + h(F.col("__nb"))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "c12",
+        llr.cast("decimal(18,6)").cast("double").alias("llr"),
+    )
+    return scored.orderBy(
+        F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def llr_collocations_sql(k: int = 20, min_count: int = 5) -> str:
+    """DuckDB oracle of :func:`llr_collocations` over ``documents`` —
+    same token extraction, same entropy-form term order, same
+    rounding and tiebreaks."""
+    def h(x):
+        return (
+            f"CASE WHEN ({x}) > 0 THEN CAST({x} AS DOUBLE)"
+            f" * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END"
+        )
+
+    llr = (
+        f"2.0 * ({h('k11')} + {h('k12')} + {h('k21')} + {h('k22')}"
+        f" - {h('c1')} - {h('nb - c1')}"
+        f" - {h('c2')} - {h('nb - c2')}"
+        f" + {h('nb')})"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bgx AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM toks
+    ),
+    bg AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12
+           FROM bgx GROUP BY b.w1, b.w2),
+    firsts AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+    seconds AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY w2),
+    nbt AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bg),
+    cells AS (
+      SELECT bg.w1, bg.w2, bg.c12, f.c1, s.c2, nbt.nb,
+             bg.c12 AS k11, f.c1 - bg.c12 AS k12,
+             s.c2 - bg.c12 AS k21,
+             nbt.nb - f.c1 - s.c2 + bg.c12 AS k22
+      FROM bg
+      JOIN firsts f ON f.w1 = bg.w1
+      JOIN seconds s ON s.w2 = bg.w2
+      CROSS JOIN nbt
+      WHERE bg.c12 >= {min_count}
+    )
+    SELECT w1, w2, c12,
+           CAST(CAST({llr} AS DECIMAL(18,6)) AS DOUBLE) AS llr
+    FROM cells
+    ORDER BY llr DESC, w1 ASC, w2 ASC LIMIT {k}
+    """

@@ -955,6 +955,11 @@ class Babe:
 
         return self._wrap(pmi_collocations(self.df, k, min_count, **kwargs))
 
+    def llr_collocations(self, k=20, min_count=5, **kwargs) -> "Babe":
+        from pybabe_spark.operators.collocations import llr_collocations
+
+        return self._wrap(llr_collocations(self.df, k, min_count, **kwargs))
+
     def kmeans_fit(self, k=8, iters=5, **kwargs):
         """Returns the k × dim centroid matrix (driver-side value)."""
         from pybabe_spark.operators.kmeans import kmeans_fit

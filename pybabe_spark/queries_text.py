@@ -1230,3 +1230,22 @@ def q_url_domain_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("nu").alias("n_unique"),
     )
+
+
+def _llr_sql():
+    from pybabe_spark.operators.collocations import llr_collocations_sql
+
+    return llr_collocations_sql(k=20, min_count=5)
+
+
+@register("llr_collocations_docs", _llr_sql())
+def q_llr_collocations(spark, sf_dir):
+    """Dunning G² log-likelihood collocations
+    (operators/collocations.py::llr_collocations): the rare-pair-robust
+    sibling of PMI — position-count hash aggs, min_count prune before
+    the joins, one fixed-shape entropy-form IEEE expression rounded
+    once, TakeOrdered top-k."""
+    from pybabe_spark.operators.collocations import llr_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return llr_collocations(docs, k=20, min_count=5)

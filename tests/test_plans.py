@@ -547,7 +547,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # per-round degree hash agg + two semi-joins, shrinking
                 "kcore_suppliers",
                 # one conditional 4-cell moment agg
-                "did_estimate_events"]:
+                "did_estimate_events",
+                # position-count hash aggs + pruned joins + TakeOrdered
+                "llr_collocations_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -2490,3 +2490,67 @@ def test_k_core_validation(spark):
         k_core(e, k=0)
     with pytest.raises(ValueError):
         k_core(e, k=2, max_rounds=0)
+
+
+# -- llr_collocations (operators/collocations.py) --------------------------------
+
+
+def test_llr_hand_checked_against_python_model(spark):
+    import math
+
+    from pybabe_spark.operators.collocations import llr_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big and new york is old"),
+            (2, "york new things come to new york"),
+            (3, "big apples and big dreams in new york"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["llr"])
+        for r in llr_collocations(docs, k=5, min_count=2).collect()
+    }
+
+    # python model over whitespace bigrams
+    from collections import Counter
+
+    bigs = Counter()
+    for _, t in [(1, "new york is big and new york is old"),
+                 (2, "york new things come to new york"),
+                 (3, "big apples and big dreams in new york")]:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bigs[(a, b)] += 1
+    n = sum(bigs.values())
+    firsts = Counter()
+    seconds = Counter()
+    for (a, b), c in bigs.items():
+        firsts[a] += c
+        seconds[b] += c
+
+    def H(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    for (a, b), (c12, llr) in got.items():
+        c1, c2 = firsts[a], seconds[b]
+        want = 2.0 * (
+            H(c12) + H(c1 - c12) + H(c2 - c12) + H(n - c1 - c2 + c12)
+            - H(c1) - H(n - c1) - H(c2) - H(n - c2) + H(n)
+        )
+        assert bigs[(a, b)] == c12
+        assert abs(llr - want) < 1e-5, (a, b, llr, want)
+    assert ("new", "york") in got and got[("new", "york")][0] == 4
+
+
+def test_llr_zero_for_independent_saturated_pair(spark):
+    from pybabe_spark.operators.collocations import llr_collocations
+
+    # corpus of one repeated bigram: c1=c2=c12=N -> every H term
+    # cancels -> llr 0
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id int, text string"
+    )
+    rows = llr_collocations(docs, k=5, min_count=2).collect()
+    assert len(rows) == 1 and rows[0]["llr"] == 0.0
