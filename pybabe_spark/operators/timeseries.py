@@ -1243,3 +1243,180 @@ def active_intervals_sql(
              AS BIGINT) AS active
     FROM deltas
     """
+
+
+def theilsen_slope(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_points: int = 200,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(vⱼ−vᵢ)/(tⱼ−tᵢ)`` — the outlier-immune alternative to
+    OLS (one wild point corrupts the OLS slope arbitrarily; Theil-Sen
+    tolerates ~29% contamination). Returns ``(key, n_points,
+    n_pairs, slope_cents_per_day_ppm)``.
+
+    Deterministic statistic: each pairwise slope is lifted to EXACT
+    sign-split integral ppm of cents/day (``1e6·|Δcents·86400·1e6| div
+    |Δmicros|`` with the sign outside — Spark ``div`` ≡ DuckDB ``//``),
+    and the median is the LOWER median of those integers via the
+    distinct-value cumulative reach test (the weighted_quantiles
+    idiom) — no interpolation, no IEEE, bit-identical across engines.
+    Ties in timestamps (Δt = 0) are skipped; keys with < 2 distinct
+    timestamps are absent.
+
+    Scale shape: the pairwise join is GROUP-BOUNDED (per-key points,
+    like the fuzzy/pair families) and refused beyond ``max_points``
+    points per key with an in-plan ``raise_error`` — Theil-Sen is
+    O(n²) per key BY DEFINITION; for long series downsample first
+    (``ohlc_bars`` per day, then slope over the bars). One pair
+    equi-join on the key + one (key, slope) hash agg + one
+    key-partitioned cumulative window over DISTINCT slopes + one
+    final agg.
+    """
+    if max_points < 2:
+        raise ValueError("theilsen_slope: max_points must be >= 2")
+    pts = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).cast("timestamp").alias("__t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__v"),
+        )
+    )
+    counts = pts.groupBy("__k").agg(F.count(F.lit(1)).alias("__np"))
+    guarded = pts.join(F.broadcast(counts), "__k").withColumn(
+        "__np",
+        F.when(
+            F.col("__np") <= max_points, F.col("__np")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"theilsen_slope: key exceeds max_points="
+                        f"{max_points} (downsample first): "
+                    ),
+                    F.col("__k").cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
+    dt = F.unix_micros(F.col("b.__t")) - F.unix_micros(F.col("a.__t"))
+    dv = F.col("b.__v") - F.col("a.__v")
+    num = (
+        dv.cast("decimal(38,0)") * 86_400_000_000 * 1_000_000
+    ).cast("decimal(38,0)")
+    den = dt.cast("decimal(38,0)")
+    mag = F.expr(
+        "CAST(abs(__num) div abs(__den) AS BIGINT)"
+    )
+    sign = F.when(
+        (F.col("__num") < 0) != (F.col("__den") < 0), F.lit(-1)
+    ).otherwise(F.lit(1))
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__t") < F.col("b.__t")),
+        )
+        .select(
+            F.col("a.__k").alias("__k"),
+            F.col("a.__np").alias("__np"),
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .filter(F.col("__den") != 0)
+        .select(
+            "__k", "__np", (sign * mag).cast("bigint").alias("__s")
+        )
+    )
+    byval = slopes.groupBy("__k", "__np", "__s").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__s").asc())
+    cum = (
+        byval.withColumn(
+            "__cum",
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__tot",
+            F.sum("__c").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    # lower median: first distinct value whose cumulative count
+    # reaches ceil(tot/2)  ⟺  2·cum ≥ tot
+    return cum.groupBy("__k").agg(
+        F.max("__np").cast("bigint").alias("n_points"),
+        F.max("__tot").cast("bigint").alias("n_pairs"),
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__tot"), F.col("__s"))
+        ).alias("slope_cents_per_day_ppm"),
+    ).select(
+        F.col("__k").alias(key_col),
+        "n_points",
+        "n_pairs",
+        "slope_cents_per_day_ppm",
+    )
+
+
+def theilsen_slope_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB oracle of :func:`theilsen_slope` — same sign-split ppm
+    slopes, same lower-median reach test (no max_points guard: the
+    oracle defines the value, the guard is an engine scale contract)."""
+    v = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH pts AS (
+        SELECT {key_col} AS k,
+               CAST({ts_col} AS TIMESTAMP) AS t,
+               {v} AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND {value_col} IS NOT NULL
+    ),
+    np AS (SELECT k, COUNT(*) AS np FROM pts GROUP BY k),
+    slopes AS (
+        SELECT a.k,
+               CASE WHEN ((b.v - a.v) < 0) != (epoch_us(b.t) - epoch_us(a.t) < 0)
+                    THEN -1 ELSE 1 END
+               * (ABS(CAST(b.v - a.v AS HUGEINT) * 86400000000 * 1000000)
+                  // ABS(CAST(epoch_us(b.t) - epoch_us(a.t) AS HUGEINT)))
+               AS s
+        FROM pts a JOIN pts b ON a.k = b.k AND a.t < b.t
+        WHERE epoch_us(b.t) != epoch_us(a.t)
+    ),
+    byval AS (SELECT k, s, COUNT(*) AS c FROM slopes GROUP BY k, s),
+    cum AS (
+        SELECT k, s, c,
+               SUM(c) OVER (PARTITION BY k ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               SUM(c) OVER (PARTITION BY k) AS tot
+        FROM byval
+    )
+    SELECT cum.k AS {key_col},
+           CAST(MAX(np.np) AS BIGINT) AS n_points,
+           CAST(MAX(tot) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN s END) AS BIGINT)
+             AS slope_cents_per_day_ppm
+    FROM cum JOIN np ON np.k = cum.k
+    GROUP BY cum.k
+    """

@@ -866,6 +866,15 @@ class Babe:
                               season_rows)
         )
 
+    def theilsen_slope(self, key_col, ts_col, value_col,
+                       max_points=200) -> "Babe":
+        from pybabe_spark.operators.timeseries import theilsen_slope
+
+        return self._wrap(
+            theilsen_slope(self.df, key_col, ts_col, value_col,
+                           max_points)
+        )
+
     def acf(self, key_col, ts_col, value_col, lags=3) -> "Babe":
         from pybabe_spark.operators.timeseries import acf
 

@@ -3031,3 +3031,44 @@ def q_did_estimate(spark, sf_dir):
         frame, "arm", "period", "value", "control", "treatment",
         "pre", "post",
     )
+
+
+def _theilsen_sql():
+    from pybabe_spark.operators.timeseries import theilsen_slope_sql
+
+    daily = """(
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS DECIMAL(18,2)) / 100 AS v
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+              AND user_id % 10 = 0
+        GROUP BY user_id, CAST(ts AS DATE)
+    )"""
+    return theilsen_slope_sql(daily, "user_id", "day", "v")
+
+
+@register("theilsen_slope_events", _theilsen_sql())
+def q_theilsen(spark, sf_dir):
+    """Per-user Theil-Sen robust spend trend over daily purchase
+    totals (operators/timeseries.py::theilsen_slope): group-bounded
+    pairwise-slope join (days per user, never raw events), exact
+    sign-split integral-ppm slopes, lower median via the
+    distinct-value cumulative reach test — the outlier-immune OLS."""
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("user_id") % 10 == 0)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(cents).cast("decimal(18,2)") / 100).alias("v")
+    ).select(
+        "user_id", F.col("day").cast("timestamp").alias("day"), "v"
+    )
+    return theilsen_slope(daily, "user_id", "day", "v")

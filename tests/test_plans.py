@@ -549,7 +549,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one conditional 4-cell moment agg
                 "did_estimate_events",
                 # position-count hash aggs + pruned joins + TakeOrdered
-                "llr_collocations_docs"]:
+                "llr_collocations_docs",
+                # group-bounded pair join + keyed cumsum reach test
+                "theilsen_slope_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -445,3 +445,69 @@ def test_active_intervals_bucket_guard_raises_lazily(spark):
     out.schema  # construction + analysis must not raise
     with pytest.raises(Exception, match="max_buckets"):
         out.collect()
+
+
+# -- theilsen_slope (operators/timeseries.py) ------------------------------------
+
+
+def _ts_pts(spark, rows):
+    df = spark.createDataFrame(rows, "k int, t string, v double")
+    return df.selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "v")
+
+
+def test_theilsen_perfect_line(spark):
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    # +2.00/day exactly: every pairwise slope is 200 cents/day
+    rows = [(1, f"2024-01-0{d} 00:00:00", 2.0 * d) for d in range(1, 6)]
+    r = theilsen_slope(_ts_pts(spark, rows), "k", "t", "v").collect()[0]
+    assert r.n_points == 5 and r.n_pairs == 10
+    assert r.slope_cents_per_day_ppm == 200 * 1_000_000
+
+
+def test_theilsen_outlier_immune_vs_mean(spark):
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    # 1/day trend with one wild outlier at the end
+    rows = [(1, f"2024-01-0{d} 00:00:00", float(d)) for d in range(1, 6)]
+    rows[-1] = (1, "2024-01-05 00:00:00", 1000.0)
+    r = theilsen_slope(_ts_pts(spark, rows), "k", "t", "v").collect()[0]
+    # 6 of 10 pairwise slopes are exactly 100 cents/day -> median holds
+    assert r.slope_cents_per_day_ppm == 100 * 1_000_000
+
+
+def test_theilsen_lower_median_even_pairs(spark):
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    # two points per key -> a single pair, slope = dv/dt
+    rows = [(7, "2024-01-01 00:00:00", 10.0),
+            (7, "2024-01-03 00:00:00", 13.0)]
+    r = theilsen_slope(_ts_pts(spark, rows), "k", "t", "v").collect()[0]
+    assert r.n_pairs == 1
+    assert r.slope_cents_per_day_ppm == 150 * 1_000_000
+
+
+def test_theilsen_negative_slope_and_singletons_absent(spark):
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    rows = [(1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-02 00:00:00", 7.5),
+            (2, "2024-01-01 00:00:00", 5.0)]  # singleton key absent
+    got = {
+        r["k"]: r["slope_cents_per_day_ppm"]
+        for r in theilsen_slope(_ts_pts(spark, rows), "k", "t",
+                                "v").collect()
+    }
+    assert got == {1: -250 * 1_000_000}
+
+
+def test_theilsen_max_points_guard(spark):
+    import pytest
+
+    from pybabe_spark.operators.timeseries import theilsen_slope
+
+    rows = [(1, f"2024-01-01 00:00:{s:02d}", float(s)) for s in range(5)]
+    with pytest.raises(Exception, match="max_points"):
+        theilsen_slope(
+            _ts_pts(spark, rows), "k", "t", "v", max_points=3
+        ).collect()
