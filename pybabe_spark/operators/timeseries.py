@@ -1420,3 +1420,112 @@ def theilsen_slope_sql(
     FROM cum JOIN np ON np.k = cum.k
     GROUP BY cum.k
     """
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival rhythm: ``(key, n_gaps, mean_gap_s, cv,
+    burstiness)`` over consecutive event gaps (ordered by ``ts_col``,
+    which the engine's usual contract requires unique per key) —
+    burstiness ``B = (σ−μ)/(σ+μ)`` (Goh & Barabási 2008): −1 ⟸
+    perfectly periodic, 0 ⟸ Poisson, → 1 ⟸ bursty. The behavioral
+    signal for bot detection, session modeling, and retention-risk
+    features.
+
+    Determinism: gaps are exact integer MICROSECONDS from one lag
+    window; Σx and Σx² are exact DECIMAL(38,0); μ, σ (the one
+    transcendental — sqrt), cv = σ/μ and B are a fixed-shape IEEE
+    expression over those exact sums, each output rounded once to
+    DECIMAL(18,6) (house convention). Keys with < 3 events (< 2 gaps)
+    emit NULL cv/burstiness (variance undefined); keys with < 2 events
+    are absent. Zero-mean edge (all events simultaneous): NULL.
+
+    Scale shape: ONE key-partitioned lag window pass + ONE hash agg.
+    """
+    pts = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__t").asc())
+    gaps = (
+        pts.withColumn("__prev", F.lag("__t").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select("__k", (F.col("__t") - F.col("__prev")).alias("__g"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = gaps.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d(F.col("__g"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(d(F.col("__g")) * F.col("__g")).cast("decimal(38,0)").alias(
+            "__q"
+        ),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+    mu = s / n
+    var = (n * q - s * s) / (n * (n - 1.0))
+    sig = F.sqrt(var)
+    r6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    ok2 = (F.col("__n") > 1) & (F.col("__s") > 0)
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("bigint").alias("n_gaps"),
+        r6(mu / 1e6).alias("mean_gap_s"),
+        F.when(ok2, r6(sig / mu)).alias("cv"),
+        F.when(ok2, r6((sig - mu) / (sig + mu))).alias("burstiness"),
+    )
+
+
+def interarrival_stats_sql(
+    table: str, key_col: str, ts_col: str, where: str = "TRUE"
+) -> str:
+    """DuckDB oracle of :func:`interarrival_stats` — same lag window,
+    same exact HUGEINT sums, same fixed-shape IEEE expressions and
+    6 dp roundings."""
+    return f"""
+    WITH pts AS (
+        SELECT {key_col} AS k,
+               epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND ({where})
+    ),
+    gaps AS (
+        SELECT k, t - LAG(t) OVER (PARTITION BY k ORDER BY t) AS g
+        FROM pts
+        QUALIFY g IS NOT NULL
+    ),
+    agg AS (
+        SELECT k, COUNT(*) AS n,
+               SUM(CAST(g AS HUGEINT)) AS s,
+               SUM(CAST(g AS HUGEINT) * g) AS q
+        FROM gaps GROUP BY k
+    )
+    SELECT k AS {key_col},
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(CAST((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_gap_s,
+           CASE WHEN n > 1 AND s > 0 THEN CAST(CAST(
+             sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS cv,
+           CASE WHEN n > 1 AND s > 0 THEN CAST(CAST(
+             (sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS burstiness
+    FROM agg
+    """

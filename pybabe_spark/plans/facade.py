@@ -866,6 +866,11 @@ class Babe:
                               season_rows)
         )
 
+    def interarrival_stats(self, key_col, ts_col) -> "Babe":
+        from pybabe_spark.operators.timeseries import interarrival_stats
+
+        return self._wrap(interarrival_stats(self.df, key_col, ts_col))
+
     def theilsen_slope(self, key_col, ts_col, value_col,
                        max_points=200) -> "Babe":
         from pybabe_spark.operators.timeseries import theilsen_slope

@@ -3072,3 +3072,22 @@ def q_theilsen(spark, sf_dir):
         "user_id", F.col("day").cast("timestamp").alias("day"), "v"
     )
     return theilsen_slope(daily, "user_id", "day", "v")
+
+
+def _burst_sql():
+    from pybabe_spark.operators.timeseries import interarrival_stats_sql
+
+    return interarrival_stats_sql("events", "user_id", "ts")
+
+
+@register("interarrival_burstiness_events", _burst_sql())
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival rhythm and Goh-Barabási burstiness
+    (operators/timeseries.py::interarrival_stats): one key-partitioned
+    lag window + one hash agg; exact integer-microsecond gaps feed
+    fixed-shape IEEE mean/cv/burstiness rounded once — the behavioral
+    bot/burst signal on the events stream."""
+    from pybabe_spark.operators.timeseries import interarrival_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return interarrival_stats(ev, "user_id", "ts")

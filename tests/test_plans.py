@@ -551,7 +551,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # position-count hash aggs + pruned joins + TakeOrdered
                 "llr_collocations_docs",
                 # group-bounded pair join + keyed cumsum reach test
-                "theilsen_slope_events"]:
+                "theilsen_slope_events",
+                # one keyed lag window + one hash agg
+                "interarrival_burstiness_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -511,3 +511,53 @@ def test_theilsen_max_points_guard(spark):
         theilsen_slope(
             _ts_pts(spark, rows), "k", "t", "v", max_points=3
         ).collect()
+
+
+# -- interarrival_stats (operators/timeseries.py) --------------------------------
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(rows, "k int, t string")
+    return df.selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+
+
+def test_interarrival_periodic_burstiness_minus_one(spark):
+    from pybabe_spark.operators.timeseries import interarrival_stats
+
+    # perfectly periodic: sigma = 0 -> cv 0, burstiness -1
+    rows = [(1, f"2024-01-01 00:{m:02d}:00") for m in range(0, 50, 10)]
+    r = interarrival_stats(_ev(spark, rows), "k", "t").collect()[0]
+    assert r.n_gaps == 4
+    assert r.mean_gap_s == 600.0
+    assert r.cv == 0.0 and r.burstiness == -1.0
+
+
+def test_interarrival_hand_checked_moments(spark):
+    import math
+
+    from pybabe_spark.operators.timeseries import interarrival_stats
+
+    # gaps: 10s, 30s  -> mean 20s, var = (2*(1e14+9e14)-(4e7)^2)/2 ...
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:10"),
+            (1, "2024-01-01 00:00:40")]
+    r = interarrival_stats(_ev(spark, rows), "k", "t").collect()[0]
+    g = [10e6, 30e6]
+    n, s, q = 2, sum(g), sum(x * x for x in g)
+    mu = s / n
+    sig = math.sqrt((n * q - s * s) / (n * (n - 1.0)))
+    assert r.mean_gap_s == 20.0
+    assert abs(r.cv - sig / mu) < 1e-6
+    assert abs(r.burstiness - (sig - mu) / (sig + mu)) < 1e-6
+
+
+def test_interarrival_single_gap_and_singletons(spark):
+    from pybabe_spark.operators.timeseries import interarrival_stats
+
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:01:00"),
+            (2, "2024-01-01 00:00:00")]
+    got = {r["k"]: r for r in
+           interarrival_stats(_ev(spark, rows), "k", "t").collect()}
+    assert set(got) == {1}  # singleton key 2 absent
+    assert got[1].n_gaps == 1
+    assert got[1].mean_gap_s == 60.0
+    assert got[1].cv is None and got[1].burstiness is None
