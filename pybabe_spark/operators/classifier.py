@@ -280,3 +280,102 @@ def load_classifier(spark, path: str) -> tuple[DataFrame, int]:
         )
     weights = spark.read.parquet(posixpath.join(path, "weights"))
     return weights, int(prows[0]["buckets"])
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability curve for probabilistic scores: one row per
+    occupied bin — ``(bin, n, n_pos, pos_rate_ppm, mean_score_ppm,
+    gap_ppm)`` where scores in [0, 1] bucket by
+    ``least(bins−1, floor(score·bins))``, ``pos_rate_ppm`` is the
+    observed positive rate and ``gap_ppm`` the signed calibration gap
+    (observed − predicted). A well-calibrated model has gaps near 0;
+    Σ n_b·|gap_b|/N is ECE. The threshold-free companion to the AUC
+    certificate (`quality_classifier_eval`).
+
+    Determinism: scores lift to exact integral micro-units
+    (DECIMAL(18,6)·10⁶ — scores are probabilities, 6 dp is their
+    resolution) BEFORE binning, so bin edges, sums, and all three ppm
+    outputs are pure integer arithmetic — no IEEE anywhere. NULL
+    score/label rows drop; labels must be 0/1 (anything non-zero
+    counts as positive via ``label != 0``).
+
+    Scale shape: ONE map-side-combinable hash agg to ≤ ``bins`` rows.
+    """
+    if bins < 2:
+        raise ValueError(f"calibration_bins: bins {bins} must be >= 2")
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    binned = (
+        df.filter(ok)
+        .select(
+            micro.alias("__m"),
+            (F.col(label_col) != 0).cast("long").alias("__pos"),
+        )
+        .select(
+            F.expr(
+                f"least(CAST({bins - 1} AS BIGINT),"
+                f" (__m * {bins}) div 1000000)"
+            ).alias("bin"),
+            "__m",
+            "__pos",
+        )
+    )
+    out = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("__m").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sm"),
+    )
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        F.expr(
+            "CAST(n_pos * 1000000 div n AS BIGINT)"
+        ).alias("pos_rate_ppm"),
+        F.expr("CAST(__sm div n AS BIGINT)").alias("mean_score_ppm"),
+        F.expr(
+            "CAST(n_pos * 1000000 div n AS BIGINT)"
+            " - CAST(__sm div n AS BIGINT)"
+        ).cast("bigint").alias("gap_ppm"),
+    )
+
+
+def calibration_bins_sql(
+    select: str, score_col: str, label_col: str, bins: int = 10
+) -> str:
+    """DuckDB oracle of :func:`calibration_bins` — same micro lift,
+    same integer bin edges and ppm arithmetic."""
+    m = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    binned AS (
+        SELECT LEAST(CAST({bins - 1} AS BIGINT),
+                     ({m} * {bins}) // 1000000) AS bin,
+               {m} AS mm,
+               CASE WHEN {label_col} != 0 THEN 1 ELSE 0 END AS pos
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+    ),
+    agg AS (
+        SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos,
+               SUM(CAST(mm AS HUGEINT)) AS sm
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_ppm,
+           CAST(sm // n AS BIGINT) AS mean_score_ppm,
+           CAST(CAST((n_pos * 1000000) // n AS BIGINT)
+                - CAST(sm // n AS BIGINT) AS BIGINT) AS gap_ppm
+    FROM agg
+    """

@@ -404,6 +404,13 @@ class Babe:
             perplexity_filter(self.df, model, max_ppl, id_col, text_col, **kwargs)
         )
 
+    def calibration_bins(self, score_col, label_col, bins=10) -> "Babe":
+        from pybabe_spark.operators.classifier import calibration_bins
+
+        return self._wrap(
+            calibration_bins(self.df, score_col, label_col, bins)
+        )
+
     def quality_filter(
         self, labeled: "Babe | DataFrame", label_col, min_prob=0.5,
         id_col="doc_id", text_col="text", **kwargs

@@ -1249,3 +1249,40 @@ def q_llr_collocations(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return llr_collocations(docs, k=20, min_count=5)
+
+
+def _calib_sql():
+    from pybabe_spark.operators.classifier import calibration_bins_sql
+
+    frame = """
+        SELECT CAST(CAST(LEAST(1000000,
+                   len(string_split(text, ' ')) * 5000)
+               AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6)) AS score,
+               CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    """
+    return calibration_bins_sql(frame, "score", "label", 10)
+
+
+@register("calibration_bins_docs", _calib_sql())
+def q_calibration_bins(spark, sf_dir):
+    """Reliability curve (operators/classifier.py::calibration_bins):
+    a length-based 'probability the doc mentions spark' score binned
+    into deciles against the observed rate — ONE hash agg to ≤10 rows,
+    all-integer micro/ppm arithmetic (scores lift to exact micro-units
+    BEFORE binning). The threshold-free calibration companion to the
+    AUC certificate."""
+    from pybabe_spark.operators.classifier import calibration_bins
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.array_contains(F.split("text", " "), "spark")
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_bins(frame, "score", "label", 10)

@@ -73,3 +73,48 @@ def test_tie_breaks_to_smallest_label(spark):
     model = train_naive_bayes(train, "lang")
     out = nb_predict(_docs(spark, [(9, "x", None)]), model).collect()
     assert out[0]["label"] == "a"
+
+
+# -- calibration_bins (operators/classifier.py) -----------------------------------
+
+
+def test_calibration_hand_checked(spark):
+    from pybabe_spark.operators.classifier import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.05, 1),   # bin 0: rate 1/3, mean 50000
+        (0.95, 1), (0.95, 1),              # bin 9: rate 1, mean 950000
+        (1.0, 1),                          # clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in
+           calibration_bins(df, "score", "label", 10).collect()}
+    assert set(got) == {0, 9}
+    b0, b9 = got[0], got[9]
+    assert (b0.n, b0.n_pos) == (3, 1)
+    assert b0.pos_rate_ppm == 333333 and b0.mean_score_ppm == 50000
+    assert b0.gap_ppm == 333333 - 50000
+    assert (b9.n, b9.n_pos) == (3, 3)
+    assert b9.mean_score_ppm == (950000 + 950000 + 1000000) // 3
+    assert b9.pos_rate_ppm == 1000000
+
+
+def test_calibration_nulls_and_nonbinary_labels(spark):
+    from pybabe_spark.operators.classifier import calibration_bins
+
+    rows = [(0.5, 2), (0.5, 0), (None, 1), (0.5, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = calibration_bins(df, "score", "label", 10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.bin == 5 and r.n == 2 and r.n_pos == 1  # label 2 counts
+
+
+def test_calibration_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.classifier import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "label", 1)

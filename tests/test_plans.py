@@ -553,7 +553,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # group-bounded pair join + keyed cumsum reach test
                 "theilsen_slope_events",
                 # one keyed lag window + one hash agg
-                "interarrival_burstiness_events"]:
+                "interarrival_burstiness_events",
+                # one hash agg to <=bins rows, all-integer
+                "calibration_bins_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
