@@ -1529,3 +1529,131 @@ def interarrival_stats_sql(
              AS DECIMAL(18,6)) AS DOUBLE) END AS burstiness
     FROM agg
     """
+
+
+def cohort_values(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_seconds: int = 604800,
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort LTV curve — :func:`retention_cohorts`' revenue sibling:
+    users cohort by the period of their FIRST activity; each later
+    period contributes its value to the cohort's curve at that offset.
+    One row per (cohort, offset ≤ ``max_offset``): ``(cohort_start,
+    offset, n_users, value_cents, cum_value_cents,
+    ltv_per_user_cents)`` — n_users is the users of the COHORT active
+    at that offset, cum is the cohort's running total through the
+    offset, and ltv_per_user is cum div cohort size (exact integral
+    cents, the house no-IEEE idiom).
+
+    Plan: one (key, period) hash agg over the corpus (values pre-
+    summed per user-period — the only corpus-scale shuffle), the
+    first-activity agg and activity join reuse that key partitioning;
+    the offset aggregation, the cohort-partitioned cumulative window
+    and the size attach all run on cohorts × offsets rows. NULL-value
+    rows count for cohorting (first activity) but add 0 value.
+    """
+    if period_seconds <= 0 or max_offset < 0:
+        raise ValueError("cohort_values: bad period/max_offset")
+    per_us = int(period_seconds) * 1_000_000
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    act = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {per_us}").alias("__p"),
+            F.coalesce(cents, F.lit(0)).alias("__v"),
+        )
+        .groupBy("__k", "__p")
+        .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__v"))
+    )
+    coh = act.groupBy("__k").agg(F.min("__p").alias("__c0"))
+    cnt = (
+        act.join(coh, "__k")
+        .filter(F.col("__p") - F.col("__c0") <= max_offset)
+        .groupBy(
+            F.col("__c0"),
+            (F.col("__p") - F.col("__c0")).alias("offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("__v").cast("decimal(38,0)").alias("__vc"),
+        )
+    )
+    w = Window.partitionBy("__c0")
+    wcum = (
+        Window.partitionBy("__c0")
+        .orderBy(F.col("offset").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    size = F.sum(F.when(F.col("offset") == 0, F.col("n_users"))).over(w)
+    cum = F.sum("__vc").over(wcum)
+    return (
+        cnt.withColumn("__sz", size)
+        .withColumn("__cum", cum.cast("decimal(38,0)"))
+        .select(
+            F.timestamp_micros(F.col("__c0") * per_us).alias(
+                "cohort_start"
+            ),
+            "offset",
+            "n_users",
+            F.col("__vc").cast("bigint").alias("value_cents"),
+            F.col("__cum").cast("bigint").alias("cum_value_cents"),
+            F.expr("CAST(__cum div __sz AS BIGINT)").alias(
+                "ltv_per_user_cents"
+            ),
+        )
+    )
+
+
+def cohort_values_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_seconds: int = 604800,
+    max_offset: int = 8,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`cohort_values` — identical integer-µs
+    period arithmetic, HUGEINT cents, and integral divisions."""
+    per_us = int(period_seconds) * 1_000_000
+    cents = (
+        f"COALESCE(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100"
+        f" AS BIGINT), 0)"
+    )
+    return f"""
+    WITH act AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {per_us} AS p,
+               SUM(CAST({cents} AS HUGEINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND ({where})
+        GROUP BY 1, 2
+    ), coh AS (
+        SELECT k, MIN(p) AS c0 FROM act GROUP BY k
+    ), cnt AS (
+        SELECT c0, p - c0 AS "offset", COUNT(*) AS n_users,
+               SUM(v) AS vc
+        FROM act JOIN coh USING (k)
+        WHERE p - c0 <= {int(max_offset)}
+        GROUP BY c0, p - c0
+    )
+    SELECT make_timestamp(c0 * {per_us}) AS cohort_start,
+           "offset",
+           n_users,
+           CAST(vc AS BIGINT) AS value_cents,
+           CAST(SUM(vc) OVER (PARTITION BY c0 ORDER BY "offset"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_value_cents,
+           CAST(SUM(vc) OVER (PARTITION BY c0 ORDER BY "offset"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // CAST(SUM(CASE WHEN "offset" = 0 THEN n_users END)
+                        OVER (PARTITION BY c0) AS HUGEINT)
+                AS BIGINT) AS ltv_per_user_cents
+    FROM cnt
+    """

@@ -691,6 +691,14 @@ class Babe:
         ]
         return self._wrap(rank_fuse(lists, k=k, **kwargs))
 
+    def cohort_values(self, key_col, ts_col, value_col,
+                      **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import cohort_values
+
+        return self._wrap(
+            cohort_values(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def retention_cohorts(self, key_col, ts_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import retention_cohorts
 

@@ -3091,3 +3091,25 @@ def q_interarrival(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return interarrival_stats(ev, "user_id", "ts")
+
+
+def _cohort_values_sql():
+    from pybabe_spark.operators.timeseries import cohort_values_sql
+
+    return cohort_values_sql(
+        "events", "user_id", "ts", "value", 604800, 8
+    )
+
+
+@register("cohort_ltv_events", _cohort_values_sql())
+def q_cohort_values(spark, sf_dir):
+    """Weekly cohort LTV curve (operators/timeseries.py::
+    cohort_values): one (user, week) value-presumming hash agg — the
+    only corpus-scale shuffle — then offset aggregation, a
+    cohort-partitioned cumulative window, and an exact integral
+    cents-per-user division on cohorts×offsets rows. Retention's
+    revenue sibling."""
+    from pybabe_spark.operators.timeseries import cohort_values
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_values(ev, "user_id", "ts", "value", 604800, 8)

@@ -555,7 +555,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one keyed lag window + one hash agg
                 "interarrival_burstiness_events",
                 # one hash agg to <=bins rows, all-integer
-                "calibration_bins_docs"]:
+                "calibration_bins_docs",
+                # one (key,period) hash agg + cohort-keyed windows
+                "cohort_ltv_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

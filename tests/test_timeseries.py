@@ -561,3 +561,54 @@ def test_interarrival_single_gap_and_singletons(spark):
     assert got[1].n_gaps == 1
     assert got[1].mean_gap_s == 60.0
     assert got[1].cv is None and got[1].burstiness is None
+
+
+# -- cohort_values (operators/timeseries.py) -------------------------------------
+
+
+def test_cohort_ltv_hand_checked(spark):
+    from pybabe_spark.operators.timeseries import cohort_values
+
+    day = 86400
+    rows = [
+        # cohort A (period 0): two users
+        (1, "1970-01-01 01:00:00", 10.0),
+        (2, "1970-01-01 02:00:00", 20.0),
+        # user 1 returns in period 1 and spends 5
+        (1, "1970-01-02 01:00:00", 5.0),
+        # cohort B (period 1): one user, no value
+        (3, "1970-01-02 03:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, "u int, t string, v double") \
+        .selectExpr("u", "CAST(t AS TIMESTAMP) AS t", "v")
+    got = {
+        (r["cohort_start"].isoformat(), r["offset"]): r
+        for r in cohort_values(df, "u", "t", "v", day, 8).collect()
+    }
+    a0 = got[("1970-01-01T00:00:00", 0)]
+    assert (a0.n_users, a0.value_cents, a0.cum_value_cents) == (
+        2, 3000, 3000)
+    assert a0.ltv_per_user_cents == 1500
+    a1 = got[("1970-01-01T00:00:00", 1)]
+    assert (a1.n_users, a1.value_cents, a1.cum_value_cents) == (
+        1, 500, 3500)
+    assert a1.ltv_per_user_cents == 1750
+    b0 = got[("1970-01-02T00:00:00", 0)]
+    assert (b0.n_users, b0.value_cents, b0.ltv_per_user_cents) == (
+        1, 0, 0)
+
+
+def test_cohort_ltv_offset_cap_and_null_key(spark):
+    from pybabe_spark.operators.timeseries import cohort_values
+
+    day = 86400
+    rows = [
+        (1, "1970-01-01 01:00:00", 1.0),
+        (1, "1970-01-05 01:00:00", 1.0),  # offset 4 > cap 2 -> absent
+        (None, "1970-01-01 01:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, t string, v double") \
+        .selectExpr("u", "CAST(t AS TIMESTAMP) AS t", "v")
+    got = cohort_values(df, "u", "t", "v", day, 2).collect()
+    assert len(got) == 1 and got[0]["offset"] == 0
+    assert got[0]["value_cents"] == 100
