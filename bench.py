@@ -552,6 +552,58 @@ def stress(factors: list[int]) -> None:
             )
             apply_cdc(base, feed, "k", "ts").count()
 
+        def _sssp_chain():
+            from pybabe_spark.operators.graph import sssp
+
+            # chain graph with corpus-proportional length; 4 hops ->
+            # frontier work linear in edges touched, never the graph^2
+            e = docs.select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 1).alias("dst"),
+                (F.col("doc_id") % 100 / 10.0 + 0.1).alias("w"),
+            )
+            srcs = docs.filter(F.col("doc_id") % 100 == 0).select(
+                F.col("doc_id").alias("s")
+            )
+            sssp(e, srcs, max_hops=4).count()
+
+        def _kcore_ring():
+            from pybabe_spark.operators.graph import k_core
+
+            # ring + chords: every node degree 4 -> 3-core keeps all,
+            # peeling converges in one confirm round; per-round cost
+            # must track |E| (linear)
+            n_docs_expr = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+            ring = docs.select(
+                F.col("doc_id").alias("id_a"),
+                ((F.col("doc_id") + 1) % n_docs_expr).alias("id_b"),
+            )
+            chords = docs.select(
+                F.col("doc_id").alias("id_a"),
+                ((F.col("doc_id") + 2) % n_docs_expr).alias("id_b"),
+            )
+            k_core(ring.unionByName(chords), k=3, max_rounds=4).count()
+
+        def _theilsen_daily():
+            from pybabe_spark.operators.timeseries import theilsen_slope
+
+            # keys ∝ factor, ~30 daily points per key (flat) -> the
+            # O(points²) pair join is constant per key, linear overall
+            ev = _carved_events()
+            daily = ev.groupBy(
+                "user_id", F.col("ts").cast("date").alias("day")
+            ).agg(
+                (F.sum(
+                    (F.col("value").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                ).cast("decimal(18,2)") / 100).alias("v")
+            ).select(
+                "user_id",
+                F.col("day").cast("timestamp").alias("day"),
+                "v",
+            )
+            theilsen_slope(daily, "user_id", "day", "v").count()
+
         return {
             "entity_resolution": _entity_resolution,
             "scd2_upsert": _scd2_upsert,
@@ -661,6 +713,10 @@ def stress(factors: list[int]) -> None:
             "acf_lags": lambda: acf(
                 _carved_events(), "user_id", "ts", "value", lags=3
             ).count(),
+            # r8 second-session families --------------------------------
+            "sssp_chain": _sssp_chain,
+            "kcore_ring": _kcore_ring,
+            "theilsen_daily": _theilsen_daily,
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
