@@ -1156,3 +1156,226 @@ def mann_whitney_u_sql(
            ELSE FALSE END AS significant
     FROM agg
     """
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected_ppm: "dict[str, int]",
+    crit: float = 3.841459,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check of any A/B
+    readout (a skewed split invalidates every downstream metric):
+    chi-square goodness-of-fit of observed arm counts against the
+    design allocation. ONE output row: ``(n, unexpected_n, chi2_ppm,
+    srm_detected)``.
+
+    ``expected_ppm`` maps variant → designed share in integral ppm and
+    must sum to 1_000_000 (e.g. {'control': 500000, 'treatment':
+    500000}). Rows with variants OUTSIDE the design are counted in
+    ``unexpected_n`` (their mere presence is a bug upstream) and
+    excluded from the statistic; NULL variants likewise.
+
+    Fully exact integer statistic: per arm,
+    ``(10⁶·n_i − n·p_i)² div (n·p_i)`` — already ppm, floored,
+    non-negative — summed as integers; ``srm_detected`` compares
+    against ``crit`` (default: dof=1 at α=0.05; pass the right
+    critical value for #arms−1). Exact for n ≲ 10¹² rows. Empty
+    input ⟹ (0, 0, 0, false).
+
+    Scale shape: one hash agg to ≤ #arms+1 rows, then driver-free
+    codegen — the cheapest possible plan.
+    """
+    if not expected_ppm:
+        raise ValueError("srm_check: expected_ppm must be non-empty")
+    tot = sum(int(v) for v in expected_ppm.values())
+    if tot != 1_000_000:
+        raise ValueError(
+            f"srm_check: expected_ppm must sum to 1000000, got {tot}"
+        )
+    if any(int(v) <= 0 for v in expected_ppm.values()):
+        raise ValueError("srm_check: every expected share must be > 0")
+    known = F.col(variant_col).isin(*expected_ppm.keys())
+    counts = df.agg(
+        F.coalesce(F.sum(known.cast("long")), F.lit(0)).alias("__n"),
+        F.coalesce(
+            F.sum((~known | F.col(variant_col).isNull()).cast("long")),
+            F.lit(0),
+        ).alias("__u"),
+        *[
+            F.coalesce(
+                F.sum((F.col(variant_col) == v).cast("long")), F.lit(0)
+            ).alias(f"__a{i}")
+            for i, v in enumerate(expected_ppm)
+        ],
+    )
+    terms = []
+    for i, (_, p) in enumerate(expected_ppm.items()):
+        terms.append(
+            f"(CAST(1000000 AS DECIMAL(38,0)) * __a{i}"
+            f" - CAST(__n AS DECIMAL(38,0)) * {int(p)})"
+        )
+    chi2 = " + ".join(
+        f"(({t}) * ({t})) div (CAST(__n AS DECIMAL(38,0)) * {int(p)})"
+        for t, (_, p) in zip(terms, expected_ppm.items())
+    )
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    return counts.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__u").cast("bigint").alias("unexpected_n"),
+        F.when(
+            F.col("__n") > 0, F.expr(f"CAST({chi2} AS BIGINT)")
+        ).otherwise(F.lit(0).cast("bigint")).alias("chi2_ppm"),
+        F.coalesce(
+            F.when(F.col("__n") > 0, F.expr(f"{chi2} > {crit_ppm}")),
+            F.lit(False),
+        ).alias("srm_detected"),
+    )
+
+
+def srm_check_sql(
+    select: str,
+    variant_col: str,
+    expected_ppm: "dict[str, int]",
+    crit: float = 3.841459,
+) -> str:
+    """DuckDB oracle of :func:`srm_check` — same HUGEINT floored-ppm
+    goodness-of-fit terms."""
+    known = " OR ".join(
+        f"{variant_col} = '{v}'" for v in expected_ppm
+    )
+    arm_counts = ", ".join(
+        f"COALESCE(SUM(CASE WHEN {variant_col} = '{v}' THEN 1 END), 0)"
+        f" AS a{i}"
+        for i, v in enumerate(expected_ppm)
+    )
+    chi2 = " + ".join(
+        f"(((1000000::HUGEINT * a{i} - n::HUGEINT * {int(p)})"
+        f" * (1000000::HUGEINT * a{i} - n::HUGEINT * {int(p)}))"
+        f" // (n::HUGEINT * {int(p)}))"
+        for i, (_, p) in enumerate(expected_ppm.items())
+    )
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    counts AS (
+        SELECT COALESCE(SUM(CASE WHEN {known} THEN 1 END), 0) AS n,
+               COALESCE(SUM(CASE WHEN NOT ({known})
+                    OR {variant_col} IS NULL THEN 1 END), 0) AS u,
+               {arm_counts}
+        FROM rows_in
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(u AS BIGINT) AS unexpected_n,
+           CASE WHEN n > 0 THEN CAST({chi2} AS BIGINT)
+                ELSE 0 END AS chi2_ppm,
+           COALESCE(CASE WHEN n > 0 THEN ({chi2}) > {crit_ppm} END,
+                    FALSE) AS srm_detected
+    FROM counts
+    """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-group α-trimmed mean — the robust location estimate between
+    the mean (α=0) and the median (α→0.5): values outside the group's
+    [α, 1−α] quantile edges are DROPPED (not clamped — that is
+    ``sampling.winsorize``) and the rest average exactly. One row per
+    group: ``(group?, n, n_kept, trimmed_mean)``.
+
+    Determinism: values lift to bigint cents; the two edges are
+    ``percentile``/``quantile_cont`` rounded once to 6 dp (the proven
+    quantile_bins convention); membership is a codegen comparison
+    against the rounded edges; the kept-mean is an exact decimal sum
+    over kept cents divided once, rounded to DECIMAL(18,6). NULLs are
+    excluded everywhere. Empty groups are absent.
+
+    Scale shape: one per-group percentile agg (buffers the group's
+    values — the exact-percentile caveat of ``sketch.quantiles``; use
+    approx edges beyond ~1e7 rows/group), one broadcast join back,
+    one conditional hash agg.
+    """
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"trimmed_mean: alpha {alpha} outside [0, 0.5)")
+    keys = [by] if by else []
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, cents.alias("__v")
+    )
+    edges = base.groupBy(*keys).agg(
+        F.round(F.percentile(F.col("__v"), F.lit(alpha)), 6).alias(
+            "__lo"
+        ),
+        F.round(F.percentile(F.col("__v"), F.lit(1.0 - alpha)), 6).alias(
+            "__hi"
+        ),
+    )
+    joined = (
+        base.join(F.broadcast(edges), keys) if keys
+        else base.crossJoin(F.broadcast(edges))
+    )
+    kept = (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    agg = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("__v").cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+    )
+    mean = (
+        (F.col("__s").cast("double") / F.col("n_kept").cast("double"))
+        / 100.0
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            mean.cast("decimal(18,6)").cast("double"),
+        ).alias("trimmed_mean"),
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    value_col: str,
+    by: str | None = None,
+    alpha: float = 0.1,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`trimmed_mean` — same cents lift, same
+    6 dp quantile_cont edges, same exact HUGEINT kept-sum."""
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    join = f"JOIN edges USING ({by})" if by else "CROSS JOIN edges"
+    v = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH base AS (
+        SELECT {keys}{v} AS v FROM {table}
+        WHERE {value_col} IS NOT NULL AND ({where})
+    ),
+    edges AS (
+        SELECT {keys}ROUND(quantile_cont(v, {alpha}), 6) AS lo,
+               ROUND(quantile_cont(v, {1.0 - alpha}), 6) AS hi
+        FROM base {gby}
+    ),
+    agg AS (
+        SELECT {keys}COUNT(*) AS n,
+               SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+                 AS n_kept,
+               SUM(CASE WHEN v >= lo AND v <= hi
+                   THEN CAST(v AS HUGEINT) END) AS s
+        FROM base {join} {gby}
+    )
+    SELECT {keys}CAST(n AS BIGINT) AS n,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CASE WHEN n_kept > 0 THEN CAST(CAST(
+             (CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE)) / 100.0
+             AS DECIMAL(18,6)) AS DOUBLE) END AS trimmed_mean
+    FROM agg
+    """

@@ -1657,3 +1657,175 @@ def cohort_values_sql(
                 AS BIGINT) AS ltv_per_user_cents
     FROM cnt
     """
+
+
+def ccf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    lags: int = 3,
+) -> DataFrame:
+    """Per-key cross-correlation ``(key, n, lag, ccf)`` at lags
+    0..``lags`` between two ALIGNED series (rows carry both values;
+    rows where either is NULL are excluded): lag h correlates ``x_t``
+    with ``y_{t−h}`` — "does y lead x by h steps" (lag 0 is plain
+    Pearson correlation). The lead-indicator detector: views→
+    purchases, deploys→errors, spend→retention.
+
+    ACF's two-series sibling, same exact machinery: cents lift,
+    n²-scaled mean-centering identities over DECIMAL(38,0) sums —
+    numerator ``n²·Cₕ − n·Sy·Tₕ − n·Sx·HYₕ + (n−h)·Sx·Sy`` with
+    ``Cₕ = Σ xₜ·yₜ₋ₕ`` and Tₕ/HYₕ the window's partial sums. The one
+    departure: the denominator ``√((n²Qx−nSx²)·(n²Qy−nSy²))`` needs a
+    square root, so the output is a fixed-shape IEEE expression over
+    those exact sums, rounded once to DECIMAL(18,6) (the cuped/DiD
+    convention) — not integral ppm. NULL at lags with n ≤ h or zero
+    variance in either series.
+
+    Scale shape: ONE key-partitioned window pass carrying all lag
+    columns + ONE hash agg — identical to :func:`acf`.
+    """
+    if lags < 0 or lags > 32:
+        raise ValueError("ccf: lags must be 0..32")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cy = (F.col(y_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(key_col), F.col(ts_col), cx.alias("__x"), cy.alias("__y")
+    )
+    lag_cols = [
+        F.lag("__y", h).over(w).alias(f"__l{h}")
+        for h in range(1, lags + 1)
+    ]
+    rows = base.select(key_col, "__x", "__y", *lag_cols)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("__x"))).cast("decimal(38,0)").alias("__sx"),
+        F.sum(d(F.col("__x")) * F.col("__x")).cast("decimal(38,0)").alias(
+            "__qx"
+        ),
+        F.sum(d(F.col("__y"))).cast("decimal(38,0)").alias("__sy"),
+        F.sum(d(F.col("__y")) * F.col("__y")).cast("decimal(38,0)").alias(
+            "__qy"
+        ),
+    ]
+    for h in range(0, lags + 1):
+        lh = F.col("__y") if h == 0 else F.col(f"__l{h}")
+        aggs += [
+            F.coalesce(F.sum(d(lh) * F.col("__x")), F.lit(0)).cast(
+                "decimal(38,0)"
+            ).alias(f"__c{h}"),
+            F.coalesce(
+                F.sum(F.when(lh.isNotNull(), d(F.col("__x")))), F.lit(0)
+            ).cast("decimal(38,0)").alias(f"__t{h}"),
+            F.coalesce(F.sum(d(lh)), F.lit(0)).cast("decimal(38,0)").alias(
+                f"__hy{h}"
+            ),
+        ]
+    agg = rows.groupBy(key_col).agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    dx = (n * n * F.col("__qx") - n * F.col("__sx") * F.col("__sx")).cast(
+        "decimal(38,0)"
+    )
+    dy = (n * n * F.col("__qy") - n * F.col("__sy") * F.col("__sy")).cast(
+        "decimal(38,0)"
+    )
+    agg = agg.withColumn("__dx", dx).withColumn("__dy", dy)
+    out_cols = []
+    for h in range(0, lags + 1):
+        num = (
+            n * n * F.col(f"__c{h}")
+            - n * F.col("__sy") * F.col(f"__t{h}")
+            - n * F.col("__sx") * F.col(f"__hy{h}")
+            + (n - h) * F.col("__sx") * F.col("__sy")
+        ).cast("decimal(38,0)")
+        val = (
+            num.cast("double")
+            / F.sqrt(F.col("__dx").cast("double") * F.col("__dy").cast("double"))
+        ).cast("decimal(18,6)").cast("double")
+        out_cols.append(
+            F.when(
+                (F.col("__dx") > 0) & (F.col("__dy") > 0) & (F.col("n") > h),
+                val,
+            ).alias(f"__v{h}")
+        )
+    final = agg.select(key_col, "n", *out_cols)
+    stack = ", ".join(f"{h}, __v{h}" for h in range(0, lags + 1))
+    return final.select(
+        key_col,
+        "n",
+        F.expr(f"stack({lags + 1}, {stack}) as (lag, ccf)"),
+    )
+
+
+def ccf_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    lags: int = 3,
+) -> str:
+    """DuckDB oracle of :func:`ccf` — same cents, same lag windows,
+    same n²-scaled HUGEINT identities, same fixed-shape IEEE division
+    and 6 dp rounding, one UNION ALL arm per lag."""
+    x = f"CAST(CAST({x_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    y = f"CAST(CAST({y_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    lag_sel = ", ".join(
+        f"LAG(y, {h}) OVER (PARTITION BY k ORDER BY {ts_col}) AS l{h}"
+        for h in range(1, lags + 1)
+    )
+    per_lag = []
+    for h in range(0, lags + 1):
+        lh = "y" if h == 0 else f"l{h}"
+        per_lag.append(
+            f"COALESCE(SUM(CAST({lh} AS HUGEINT) * x), 0) AS c{h}, "
+            f"COALESCE(SUM(CASE WHEN {lh} IS NOT NULL"
+            f" THEN CAST(x AS HUGEINT) END), 0) AS t{h}, "
+            f"COALESCE(SUM(CAST({lh} AS HUGEINT)), 0) AS hy{h}"
+        )
+    arms = []
+    for h in range(0, lags + 1):
+        num = (
+            f"(n::HUGEINT * n * c{h} - n::HUGEINT * sy * t{h}"
+            f" - n::HUGEINT * sx * hy{h}"
+            f" + (n::HUGEINT - {h}) * sx * sy)"
+        )
+        arms.append(
+            f"SELECT k AS {key_col}, n, {h} AS lag,"
+            f" CASE WHEN dx > 0 AND dy > 0 AND n > {h} THEN"
+            f" CAST(CAST(CAST({num} AS DOUBLE)"
+            f" / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))"
+            f" AS DECIMAL(18,6)) AS DOUBLE) END AS ccf"
+            f" FROM stats"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH pts AS (
+        SELECT {key_col} AS k, {ts_col}, {x} AS x, {y} AS y
+        FROM {table}
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), lagged AS (
+        SELECT k, x, y{', ' if lags else ''}{lag_sel} FROM pts
+    ), stats AS (
+        SELECT k, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(x AS HUGEINT) * x) AS qx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(y AS HUGEINT) * y) AS qy,
+               {', '.join(per_lag)},
+               COUNT(*)::HUGEINT * COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                 - COUNT(*)::HUGEINT * SUM(CAST(x AS HUGEINT))
+                   * SUM(CAST(x AS HUGEINT)) AS dx,
+               COUNT(*)::HUGEINT * COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+                 - COUNT(*)::HUGEINT * SUM(CAST(y AS HUGEINT))
+                   * SUM(CAST(y AS HUGEINT)) AS dy
+        FROM lagged GROUP BY k
+    )
+    SELECT * FROM ({union})
+    """

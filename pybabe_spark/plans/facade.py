@@ -765,6 +765,19 @@ class Babe:
             chi2_independence(self.df, a_col, b_col, crit)
         )
 
+    def trimmed_mean(self, value_col, by=None, alpha=0.1) -> "Babe":
+        from pybabe_spark.operators.sketch import trimmed_mean
+
+        return self._wrap(trimmed_mean(self.df, value_col, by, alpha))
+
+    def srm_check(self, variant_col, expected_ppm,
+                  crit=3.841459) -> "Babe":
+        from pybabe_spark.operators.sketch import srm_check
+
+        return self._wrap(
+            srm_check(self.df, variant_col, expected_ppm, crit)
+        )
+
     def mann_whitney_u(self, variant_col, value_col, control,
                        treatment, z_crit=1.959964) -> "Babe":
         from pybabe_spark.operators.sketch import mann_whitney_u
@@ -893,6 +906,13 @@ class Babe:
         return self._wrap(
             theilsen_slope(self.df, key_col, ts_col, value_col,
                            max_points)
+        )
+
+    def ccf(self, key_col, ts_col, x_col, y_col, lags=3) -> "Babe":
+        from pybabe_spark.operators.timeseries import ccf
+
+        return self._wrap(
+            ccf(self.df, key_col, ts_col, x_col, y_col, lags)
         )
 
     def acf(self, key_col, ts_col, value_col, lags=3) -> "Babe":

@@ -3113,3 +3113,109 @@ def q_cohort_values(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return cohort_values(ev, "user_id", "ts", "value", 604800, 8)
+
+
+def _ccf_sql():
+    from pybabe_spark.operators.timeseries import ccf_sql
+
+    daily = """(
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(SUM(CASE WHEN event_type IN ('view', 'click')
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS activity,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS purchases
+        FROM events
+        WHERE user_id % 5 = 0
+        GROUP BY user_id, CAST(ts AS DATE)
+    )"""
+    return ccf_sql(daily, "user_id", "day", "purchases", "activity", 2)
+
+
+@register("ccf_activity_purchases", _ccf_sql())
+def q_ccf(spark, sf_dir):
+    """Per-user cross-correlogram: does view/click activity LEAD
+    purchases by 0-2 days (operators/timeseries.py::ccf)? One
+    key-partitioned window pass carrying all lag columns + one hash
+    agg; exact n²-scaled DECIMAL(38,0) identities under a fixed-shape
+    IEEE √-normalized correlation rounded once."""
+    from pybabe_spark.operators.timeseries import ccf
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.col("event_type").isin("view", "click").cast("int")
+        ).cast("double").alias("activity"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).cast("double").alias("purchases"),
+    ).select(
+        "user_id", F.col("day").cast("timestamp").alias("day"),
+        "activity", "purchases",
+    )
+    return ccf(daily, "user_id", "day", "purchases", "activity", 2)
+
+
+def _srm_sql():
+    from pybabe_spark.operators.sketch import srm_check_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 10 < 5 THEN 'control'
+                    WHEN user_id % 10 < 9 THEN 'treatment'
+                    ELSE 'holdout' END AS arm
+        FROM events
+    """
+    return srm_check_sql(
+        frame, "arm",
+        {"control": 500_000, "treatment": 400_000, "holdout": 100_000},
+        5.991465,
+    )
+
+
+@register("srm_check_events", _srm_sql())
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (operators/sketch.py::
+    srm_check): observed arm counts vs the 50/40/10 design in one hash
+    agg, fully exact integer goodness-of-fit (floored ppm terms) —
+    the first gate of every experiment readout."""
+    from pybabe_spark.operators.sketch import srm_check
+
+    ev = read_table(spark, sf_dir, "events")
+    frame = ev.select(
+        F.when(F.col("user_id") % 10 < 5, F.lit("control"))
+        .when(F.col("user_id") % 10 < 9, F.lit("treatment"))
+        .otherwise(F.lit("holdout"))
+        .alias("arm")
+    )
+    return srm_check(
+        frame, "arm",
+        {"control": 500_000, "treatment": 400_000, "holdout": 100_000},
+        5.991465,
+    )
+
+
+def _trimmed_sql():
+    from pybabe_spark.operators.sketch import trimmed_mean_sql
+
+    return trimmed_mean_sql(
+        "orders", "o_totalprice", by="o_orderpriority", alpha=0.1
+    )
+
+
+@register("trimmed_mean_orders", _trimmed_sql())
+def q_trimmed_mean(spark, sf_dir):
+    """Per-priority 10%-trimmed mean order value
+    (operators/sketch.py::trimmed_mean): one per-group percentile-edge
+    agg broadcast back + one conditional exact-decimal agg — the
+    robust location estimate between mean and median, outliers
+    dropped, not clamped."""
+    from pybabe_spark.operators.sketch import trimmed_mean
+
+    orders = read_table(spark, sf_dir, "orders")
+    return trimmed_mean(
+        orders, "o_totalprice", by="o_orderpriority", alpha=0.1
+    )

@@ -344,3 +344,106 @@ def test_did_degenerate_cell_not_significant(spark):
     ).collect()[0]
     assert r.did is None and r.significant is False
     assert r.n_cpre == 1 and r.mean_cpre == 10.0
+
+
+# -- srm_check (operators/sketch.py) --------------------------------------------
+
+
+def _arm_frame(spark, counts):
+    rows = [(arm,) for arm, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "arm string")
+
+
+def test_srm_balanced_not_detected(spark):
+    from pybabe_spark.operators.sketch import srm_check
+
+    r = srm_check(
+        _arm_frame(spark, {"a": 500, "b": 500}),
+        "arm", {"a": 500_000, "b": 500_000},
+    ).collect()[0]
+    assert (r.n, r.unexpected_n, r.chi2_ppm, r.srm_detected) == (
+        1000, 0, 0, False)
+
+
+def test_srm_skewed_detected_hand_checked(spark):
+    from pybabe_spark.operators.sketch import srm_check
+
+    # 600/400 under a 50/50 design: chi2 = 2*(100^2/500) = 40
+    r = srm_check(
+        _arm_frame(spark, {"a": 600, "b": 400}),
+        "arm", {"a": 500_000, "b": 500_000},
+    ).collect()[0]
+    # per arm: (1e6*600 - 1000*500000)^2 // (1000*500000)
+    t = (1_000_000 * 600 - 1000 * 500_000) ** 2 // (1000 * 500_000)
+    assert r.chi2_ppm == 2 * t == 40_000_000
+    assert r.srm_detected is True
+
+
+def test_srm_unexpected_arm_and_empty(spark):
+    from pybabe_spark.operators.sketch import srm_check
+
+    r = srm_check(
+        _arm_frame(spark, {"a": 10, "b": 10, "rogue": 3}),
+        "arm", {"a": 500_000, "b": 500_000},
+    ).collect()[0]
+    assert r.n == 20 and r.unexpected_n == 3 and r.chi2_ppm == 0
+    empty = spark.createDataFrame([], "arm string")
+    r = srm_check(empty, "arm", {"a": 500_000, "b": 500_000}).collect()[0]
+    assert (r.n, r.unexpected_n, r.chi2_ppm, r.srm_detected) == (
+        0, 0, 0, False)
+
+
+def test_srm_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.sketch import srm_check
+
+    df = spark.createDataFrame([("a",)], "arm string")
+    with pytest.raises(ValueError):
+        srm_check(df, "arm", {})
+    with pytest.raises(ValueError):
+        srm_check(df, "arm", {"a": 600_000, "b": 500_000})
+    with pytest.raises(ValueError):
+        srm_check(df, "arm", {"a": 1_000_000, "b": 0})
+
+
+# -- trimmed_mean (operators/sketch.py) -----------------------------------------
+
+
+def test_trimmed_mean_drops_outlier(spark):
+    from pybabe_spark.operators.sketch import trimmed_mean
+
+    vals = [10.0] * 9 + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_mean(df, "v", alpha=0.1).collect()[0]
+    assert r.n == 10
+    # 10% trim drops the single outlier at the top (and nothing real
+    # at the bottom: lo edge is 10.0, values >= lo survive)
+    assert r.n_kept == 9 and r.trimmed_mean == 10.0
+
+
+def test_trimmed_mean_alpha_zero_is_plain_mean(spark):
+    from pybabe_spark.operators.sketch import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 6.0)], "g string, v double"
+    )
+    r = trimmed_mean(df, "v", by="g", alpha=0.0).collect()[0]
+    assert r.n_kept == 3 and r.trimmed_mean == 3.0
+
+
+def test_trimmed_mean_groups_and_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.sketch import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", None)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in
+           trimmed_mean(df, "v", by="g", alpha=0.2).collect()}
+    assert got["a"].trimmed_mean == 1.0
+    assert got["b"].n == 1 and got["b"].trimmed_mean == 5.0
+    with pytest.raises(ValueError):
+        trimmed_mean(df, "v", alpha=0.5)

@@ -557,7 +557,13 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one hash agg to <=bins rows, all-integer
                 "calibration_bins_docs",
                 # one (key,period) hash agg + cohort-keyed windows
-                "cohort_ltv_events"]:
+                "cohort_ltv_events",
+                # one keyed lag-window pass + one hash agg (acf shape)
+                "ccf_activity_purchases",
+                # one hash agg to <=arms rows + codegen decision
+                "srm_check_events",
+                # per-group edge agg broadcast back + conditional agg
+                "trimmed_mean_orders"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

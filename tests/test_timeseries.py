@@ -612,3 +612,78 @@ def test_cohort_ltv_offset_cap_and_null_key(spark):
     got = cohort_values(df, "u", "t", "v", day, 2).collect()
     assert len(got) == 1 and got[0]["offset"] == 0
     assert got[0]["value_cents"] == 100
+
+
+# -- ccf (operators/timeseries.py) ------------------------------------------------
+
+
+def _xy(spark, rows):
+    df = spark.createDataFrame(rows, "k int, t string, x double, y double")
+    return df.selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "x", "y")
+
+
+def test_ccf_lag0_is_pearson(spark):
+    import math
+
+    from pybabe_spark.operators.timeseries import ccf
+
+    xs = [1.0, 2.0, 4.0, 3.0, 5.0]
+    ys = [2.0, 1.0, 5.0, 3.0, 6.0]
+    rows = [(1, f"2024-01-0{i+1} 00:00:00", xs[i], ys[i])
+            for i in range(5)]
+    got = {r["lag"]: r["ccf"]
+           for r in ccf(_xy(spark, rows), "k", "t", "x", "y", 1).collect()}
+    n = 5
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    qx = sum(a * a for a in xs)
+    qy = sum(b * b for b in ys)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * qx - sx * sx) * (n * qy - sy * sy)
+    )
+    assert abs(got[0] - want) < 1e-6
+
+
+def _ccf_model(xs, ys, h):
+    """Python replica of the operator's n²-scaled identity (cents)."""
+    import math
+
+    cx = [round(v * 100) for v in xs]
+    cy = [round(v * 100) for v in ys]
+    n = len(cx)
+    sx, sy = sum(cx), sum(cy)
+    qx = sum(v * v for v in cx)
+    qy = sum(v * v for v in cy)
+    c = sum(cx[t] * cy[t - h] for t in range(h, n))
+    t_ = sum(cx[t] for t in range(h, n))
+    hy = sum(cy[t - h] for t in range(h, n))
+    num = n * n * c - n * sy * t_ - n * sx * hy + (n - h) * sx * sy
+    dx = n * n * qx - n * sx * sx
+    dy = n * n * qy - n * sy * sy
+    return float(num) / math.sqrt(float(dx) * float(dy))
+
+
+def test_ccf_detects_lead(spark):
+    from pybabe_spark.operators.timeseries import ccf
+
+    # y leads x by exactly 1 step: x_t = y_{t-1}
+    ys = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0]
+    xs = [0.0] + ys[:-1]
+    rows = [(1, f"2024-01-0{i+1} 00:00:00", xs[i], ys[i])
+            for i in range(6)]
+    got = {r["lag"]: r["ccf"]
+           for r in ccf(_xy(spark, rows), "k", "t", "x", "y", 2).collect()}
+    for h in (0, 1, 2):
+        assert abs(got[h] - _ccf_model(xs, ys, h)) < 1e-6, h
+    assert got[1] > got[0]  # the lead shows up at lag 1
+
+
+def test_ccf_null_rows_and_zero_variance(spark):
+    from pybabe_spark.operators.timeseries import ccf
+
+    rows = [(1, "2024-01-01 00:00:00", 1.0, 2.0),
+            (1, "2024-01-02 00:00:00", 1.0, 3.0),  # x constant
+            (1, "2024-01-03 00:00:00", None, 4.0)]
+    got = {r["lag"]: r["ccf"]
+           for r in ccf(_xy(spark, rows), "k", "t", "x", "y", 1).collect()}
+    assert got[0] is None and got[1] is None  # zero x-variance -> NULL
