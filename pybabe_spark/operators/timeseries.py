@@ -1829,3 +1829,117 @@ def ccf_sql(
     )
     SELECT * FROM ({union})
     """
+
+
+def period_over_period(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Period-over-period growth report — the DoD/WoW/MoM BI staple:
+    per (key, period) exact cents totals with the STRICTLY previous
+    period's total and the growth rate, ``(key, period_start,
+    value_cents, prev_value_cents, growth_ppm)``.
+
+    Strict-adjacency semantics: ``prev`` is period−1 or NULL — a gap
+    yields NULL growth rather than silently comparing across it
+    (compose with :func:`gap_fill` first for dense grids).
+    ``growth_ppm`` is the sign-split integral ppm of
+    (cur − prev)/|prev| (house ``div`` convention); NULL when prev is
+    0 or absent. NULL keys/timestamps drop; NULL values count as 0
+    (the period existed, revenue was zero).
+
+    Scale shape: one (key, period) hash agg — the only corpus-scale
+    shuffle — then one keyed lag window + codegen over period rows.
+    """
+    if period_seconds <= 0:
+        raise ValueError("period_over_period: period_seconds must be > 0")
+    per_us = int(period_seconds) * 1_000_000
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    per = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {per_us}").alias("__p"),
+            F.coalesce(cents, F.lit(0)).alias("__v"),
+        )
+        .groupBy("__k", "__p")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("__v")
+        )
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__p").asc())
+    lagged = per.withColumn("__pp", F.lag("__p").over(w)).withColumn(
+        "__pv",
+        F.when(
+            F.lag("__p").over(w) == F.col("__p") - 1,
+            F.lag("__v").over(w),
+        ),
+    )
+    num = (F.col("__v") - F.col("__pv")).cast("decimal(38,0)")
+    lagged = lagged.withColumn("__num", num).withColumn(
+        "__den", F.col("__pv").cast("decimal(38,0)")
+    )
+    from pybabe_spark.operators.regression import _ppm
+
+    return lagged.select(
+        F.col("__k").alias(key_col),
+        F.timestamp_micros(F.col("__p") * per_us).alias("period_start"),
+        F.col("__v").alias("value_cents"),
+        F.col("__pv").alias("prev_value_cents"),
+        F.when(F.col("__pv").isNotNull(), _ppm("__num", "__den")).alias(
+            "growth_ppm"
+        ),
+    )
+
+
+def period_over_period_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_seconds: int = 86400,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`period_over_period` — same integer-µs
+    periods, same strict adjacency, same sign-split ppm."""
+    per_us = int(period_seconds) * 1_000_000
+    cents = (
+        f"COALESCE(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100"
+        f" AS BIGINT), 0)"
+    )
+    return f"""
+    WITH per AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {per_us} AS p,
+               CAST(SUM(CAST({cents} AS HUGEINT)) AS BIGINT) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND ({where})
+        GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT k, p, v,
+               CASE WHEN LAG(p) OVER (PARTITION BY k ORDER BY p)
+                         = p - 1
+                    THEN LAG(v) OVER (PARTITION BY k ORDER BY p)
+               END AS pv
+        FROM per
+    )
+    SELECT k AS {key_col},
+           make_timestamp(p * {per_us}) AS period_start,
+           v AS value_cents,
+           pv AS prev_value_cents,
+           CASE WHEN pv IS NOT NULL AND pv != 0 THEN
+             CAST(CASE WHEN ((v - pv) < 0) != (pv < 0)
+                       THEN -1 ELSE 1 END
+                  * ((1000000::HUGEINT * ABS(CAST(v AS HUGEINT) - pv))
+                     // ABS(CAST(pv AS HUGEINT)))
+                  AS BIGINT)
+           END AS growth_ppm
+    FROM lagged
+    """

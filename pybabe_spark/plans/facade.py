@@ -691,6 +691,15 @@ class Babe:
         ]
         return self._wrap(rank_fuse(lists, k=k, **kwargs))
 
+    def period_over_period(self, key_col, ts_col, value_col,
+                           period_seconds=86400) -> "Babe":
+        from pybabe_spark.operators.timeseries import period_over_period
+
+        return self._wrap(
+            period_over_period(self.df, key_col, ts_col, value_col,
+                               period_seconds)
+        )
+
     def cohort_values(self, key_col, ts_col, value_col,
                       **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import cohort_values

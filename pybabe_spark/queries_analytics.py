@@ -3219,3 +3219,27 @@ def q_trimmed_mean(spark, sf_dir):
     return trimmed_mean(
         orders, "o_totalprice", by="o_orderpriority", alpha=0.1
     )
+
+
+def _pop_sql():
+    from pybabe_spark.operators.timeseries import period_over_period_sql
+
+    return period_over_period_sql(
+        "events", "event_type", "ts", "value", 86400,
+        where="value IS NOT NULL",
+    )
+
+
+@register("period_over_period_events", _pop_sql())
+def q_period_over_period(spark, sf_dir):
+    """Daily period-over-period value growth per event type
+    (operators/timeseries.py::period_over_period): one (key, day)
+    hash agg — the only corpus-scale shuffle — then a keyed lag
+    window with STRICT day-adjacency and sign-split integral-ppm
+    growth. The DoD/WoW BI report."""
+    from pybabe_spark.operators.timeseries import period_over_period
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return period_over_period(ev, "event_type", "ts", "value", 86400)

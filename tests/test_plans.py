@@ -563,7 +563,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one hash agg to <=arms rows + codegen decision
                 "srm_check_events",
                 # per-group edge agg broadcast back + conditional agg
-                "trimmed_mean_orders"]:
+                "trimmed_mean_orders",
+                # one (key,day) hash agg + keyed lag window
+                "period_over_period_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -687,3 +687,49 @@ def test_ccf_null_rows_and_zero_variance(spark):
     got = {r["lag"]: r["ccf"]
            for r in ccf(_xy(spark, rows), "k", "t", "x", "y", 1).collect()}
     assert got[0] is None and got[1] is None  # zero x-variance -> NULL
+
+
+# -- period_over_period (operators/timeseries.py) ---------------------------------
+
+
+def test_pop_hand_checked_growth_and_gap(spark):
+    from pybabe_spark.operators.timeseries import period_over_period
+
+    rows = [
+        (1, "1970-01-01 05:00:00", 10.0),
+        (1, "1970-01-02 05:00:00", 15.0),   # +50%
+        (1, "1970-01-04 05:00:00", 30.0),   # gap: day 3 missing -> NULL
+        (2, "1970-01-01 01:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t string, v double") \
+        .selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "v")
+    got = {
+        (r["k"], r["period_start"].day): r
+        for r in period_over_period(df, "k", "t", "v", 86400).collect()
+    }
+    assert got[(1, 1)].growth_ppm is None
+    r2 = got[(1, 2)]
+    assert (r2.value_cents, r2.prev_value_cents) == (1500, 1000)
+    assert r2.growth_ppm == 500_000
+    assert got[(1, 4)].growth_ppm is None  # strict adjacency
+    assert got[(2, 1)].value_cents == 700
+
+
+def test_pop_negative_growth_and_zero_prev(spark):
+    from pybabe_spark.operators.timeseries import period_over_period
+
+    rows = [
+        (1, "1970-01-01 05:00:00", 20.0),
+        (1, "1970-01-02 05:00:00", 5.0),    # -75%
+        (2, "1970-01-01 05:00:00", None),   # value NULL -> 0 total
+        (2, "1970-01-02 05:00:00", 5.0),    # prev 0 -> NULL growth
+    ]
+    df = spark.createDataFrame(rows, "k int, t string, v double") \
+        .selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "v")
+    got = {
+        (r["k"], r["period_start"].day): r
+        for r in period_over_period(df, "k", "t", "v", 86400).collect()
+    }
+    assert got[(1, 2)].growth_ppm == -750_000
+    assert got[(2, 1)].value_cents == 0
+    assert got[(2, 2)].growth_ppm is None
