@@ -3243,3 +3243,61 @@ def q_period_over_period(spark, sf_dir):
         F.col("value").isNotNull()
     )
     return period_over_period(ev, "event_type", "ts", "value", 86400)
+
+
+def _ttc_sql():
+    from pybabe_spark.operators.sketch import quantiles_sql
+
+    deltas = """(
+        SELECT (epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                    THEN ts END))
+              - epoch_us(MIN(CASE WHEN event_type IN ('view', 'click')
+                    THEN ts END))) / 1000000.0 AS delta_s
+        FROM events
+        GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               >= MIN(CASE WHEN event_type IN ('view', 'click')
+                      THEN ts END)
+    )"""
+    return quantiles_sql(deltas, "delta_s", [0.5, 0.9])
+
+
+@register("time_to_convert_events", _ttc_sql())
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per-user first touch (view/click)
+    to first purchase, in seconds, then exact quantiles — ONE
+    conditional hash agg per user + the quantiles agg (composition of
+    existing primitives; converted users only). The funnel-latency
+    readout next to funnel_events."""
+    from pybabe_spark.operators.sketch import quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__fp"),
+            F.min(
+                F.when(
+                    F.col("event_type").isin("view", "click"),
+                    F.col("ts"),
+                )
+            ).alias("__ft"),
+        )
+        .filter(
+            F.col("__fp").isNotNull()
+            & F.col("__ft").isNotNull()
+            & (F.col("__fp") >= F.col("__ft"))
+        )
+        .select(
+            (
+                (
+                    F.unix_micros(F.col("__fp"))
+                    - F.unix_micros(F.col("__ft"))
+                )
+                / 1_000_000.0
+            ).alias("delta_s")
+        )
+    )
+    return quantiles(per_user, "delta_s", [0.5, 0.9])

@@ -565,7 +565,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # per-group edge agg broadcast back + conditional agg
                 "trimmed_mean_orders",
                 # one (key,day) hash agg + keyed lag window
-                "period_over_period_events"]:
+                "period_over_period_events",
+                # per-user conditional agg + one quantile agg
+                "time_to_convert_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
