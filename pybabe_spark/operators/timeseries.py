@@ -1943,3 +1943,132 @@ def period_over_period_sql(
            END AS growth_ppm
     FROM lagged
     """
+
+
+def growth_accounting(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+) -> DataFrame:
+    """Growth-accounting decomposition (the Social Capital MAU
+    framework): every period's actives split EXACTLY into
+    ``new + retained + resurrected``, plus the period's ``churned``
+    (active previous period, gone now) — the identity
+    ``active(p) − active(p−1) = new + resurrected − churned`` is the
+    only honest way to read growth. One row per period:
+    ``(period_start, n_active, n_new, n_retained, n_resurrected,
+    n_churned)``; churned is NULL for a period with no predecessor
+    data (strict adjacency, like :func:`period_over_period`).
+
+    new = first-ever activity this period; retained = also active the
+    IMMEDIATELY previous period; resurrected = returning after a gap.
+    All counts are exact integers.
+
+    Plan: one distinct over (key, period) — the only corpus-scale
+    shuffle; the first-activity agg and the previous-period self-join
+    reuse that key partitioning; the per-period rollup and the
+    strict-adjacency lag run on period rows.
+    """
+    if period_seconds <= 0:
+        raise ValueError("growth_accounting: period_seconds must be > 0")
+    per_us = int(period_seconds) * 1_000_000
+    act = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {per_us}").alias("__p"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("__k").agg(F.min("__p").alias("__f"))
+    prev = act.select("__k", (F.col("__p") + 1).alias("__p")).withColumn(
+        "__had_prev", F.lit(1)
+    )
+    flagged = (
+        act.join(first, "__k")
+        .join(prev, ["__k", "__p"], "left")
+        .select(
+            "__p",
+            (F.col("__p") == F.col("__f")).cast("long").alias("__new"),
+            F.coalesce(F.col("__had_prev"), F.lit(0))
+            .cast("long")
+            .alias("__ret"),
+        )
+    )
+    per = flagged.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("__new").cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(F.col("__new") == 0, F.col("__ret")).otherwise(0)
+        ).cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when((F.col("__new") == 0) & (F.col("__ret") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+    w = Window.orderBy(F.col("__p").asc())
+    per = per.withColumn("__pp", F.lag("__p").over(w)).withColumn(
+        "__pa",
+        F.when(
+            F.lag("__p").over(w) == F.col("__p") - 1,
+            F.lag("n_active").over(w),
+        ),
+    )
+    return per.select(
+        F.timestamp_micros(F.col("__p") * per_us).alias("period_start"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (F.col("__pa") - F.col("n_retained")).cast("bigint").alias(
+            "n_churned"
+        ),
+    )
+
+
+def growth_accounting_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+) -> str:
+    """DuckDB oracle of :func:`growth_accounting` — same integer-µs
+    periods, same new/retained/resurrected split and strict-adjacency
+    churn."""
+    per_us = int(period_seconds) * 1_000_000
+    return f"""
+    WITH act AS (
+        SELECT DISTINCT {key_col} AS k,
+               epoch_us({ts_col}) // {per_us} AS p
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    first_p AS (SELECT k, MIN(p) AS f FROM act GROUP BY k),
+    flagged AS (
+        SELECT act.p,
+               CASE WHEN act.p = f.f THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev.k IS NOT NULL THEN 1 ELSE 0 END AS ret
+        FROM act
+        JOIN first_p f ON f.k = act.k
+        LEFT JOIN act prev ON prev.k = act.k AND prev.p = act.p - 1
+    ),
+    per AS (
+        SELECT p, COUNT(*) AS n_active,
+               SUM(is_new) AS n_new,
+               SUM(CASE WHEN is_new = 0 THEN ret ELSE 0 END)
+                 AS n_retained,
+               SUM(CASE WHEN is_new = 0 AND ret = 0 THEN 1 ELSE 0 END)
+                 AS n_resurrected
+        FROM flagged GROUP BY p
+    )
+    SELECT make_timestamp(p * {per_us}) AS period_start,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(CASE WHEN LAG(p) OVER (ORDER BY p) = p - 1
+                THEN LAG(n_active) OVER (ORDER BY p) - n_retained
+                END AS BIGINT) AS n_churned
+    FROM per
+    """

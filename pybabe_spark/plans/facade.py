@@ -691,6 +691,14 @@ class Babe:
         ]
         return self._wrap(rank_fuse(lists, k=k, **kwargs))
 
+    def growth_accounting(self, key_col, ts_col,
+                          period_seconds=604800) -> "Babe":
+        from pybabe_spark.operators.timeseries import growth_accounting
+
+        return self._wrap(
+            growth_accounting(self.df, key_col, ts_col, period_seconds)
+        )
+
     def period_over_period(self, key_col, ts_col, value_col,
                            period_seconds=86400) -> "Babe":
         from pybabe_spark.operators.timeseries import period_over_period

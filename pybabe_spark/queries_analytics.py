@@ -3301,3 +3301,22 @@ def q_time_to_convert(spark, sf_dir):
         )
     )
     return quantiles(per_user, "delta_s", [0.5, 0.9])
+
+
+def _growth_sql():
+    from pybabe_spark.operators.timeseries import growth_accounting_sql
+
+    return growth_accounting_sql("events", "user_id", "ts", 604800)
+
+
+@register("growth_accounting_events", _growth_sql())
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting (operators/timeseries.py::
+    growth_accounting): actives decomposed exactly into
+    new + retained + resurrected with strict-adjacency churn — one
+    (user, week) distinct is the only corpus-scale shuffle; the
+    period rollup and lag run on week rows."""
+    from pybabe_spark.operators.timeseries import growth_accounting
+
+    ev = read_table(spark, sf_dir, "events")
+    return growth_accounting(ev, "user_id", "ts", 604800)

@@ -345,6 +345,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # values of a 2-dp metric — bounded by the metric's dynamic
         # range, not row count (grows with price span, never with TB)
         "mann_whitney_events": {"global-window"},
+        # the strict-adjacency lag runs on PERIOD rows (weeks of
+        # calendar), bounded by time span, never by corpus size
+        "growth_accounting_events": {"global-window"},
         "window_udf_rolling_max": {"global-window"},
         "skip_rows": set(),  # boundary plan: no window — must stay clean
         # all-pairs oracle definitions + the in-query exact recall

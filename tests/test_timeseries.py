@@ -733,3 +733,50 @@ def test_pop_negative_growth_and_zero_prev(spark):
     assert got[(1, 2)].growth_ppm == -750_000
     assert got[(2, 1)].value_cents == 0
     assert got[(2, 2)].growth_ppm is None
+
+
+# -- growth_accounting (operators/timeseries.py) -----------------------------------
+
+
+def test_growth_accounting_hand_checked(spark):
+    from pybabe_spark.operators.timeseries import growth_accounting
+
+    week = 604800
+    rows = []
+    for user, weeks in [("A", [0, 1, 2]), ("B", [0, 2]), ("C", [1])]:
+        for w in weeks:
+            rows.append((user, w * week + 5))
+    df = spark.createDataFrame(rows, "u string, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) AS ts"
+    )
+    got = {
+        r["period_start"].day: r
+        for r in growth_accounting(df, "u", "ts", week).collect()
+    }
+    p0, p1, p2 = got[1], got[8], got[15]
+    assert (p0.n_active, p0.n_new, p0.n_retained, p0.n_resurrected) == (
+        2, 2, 0, 0)
+    assert p0.n_churned is None  # no predecessor data
+    assert (p1.n_active, p1.n_new, p1.n_retained, p1.n_resurrected,
+            p1.n_churned) == (2, 1, 1, 0, 1)  # B churned
+    assert (p2.n_active, p2.n_new, p2.n_retained, p2.n_resurrected,
+            p2.n_churned) == (2, 0, 1, 1, 1)  # B resurrected, C churned
+    # the accounting identity: Δactive = new + resurrected − churned
+    assert p2.n_active - p1.n_active == (
+        p2.n_new + p2.n_resurrected - p2.n_churned)
+
+
+def test_growth_accounting_gap_period_churn_null(spark):
+    from pybabe_spark.operators.timeseries import growth_accounting
+
+    week = 604800
+    rows = [("A", 0), ("A", 3 * week)]  # weeks 0 and 3, nothing between
+    df = spark.createDataFrame(rows, "u string, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) AS ts"
+    )
+    got = sorted(
+        growth_accounting(df, "u", "ts", week).collect(),
+        key=lambda r: r["period_start"],
+    )
+    assert got[1].n_resurrected == 1
+    assert got[1].n_churned is None  # predecessor period absent
