@@ -49,8 +49,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         )
     )
 
+    # gate 0: sample-ratio mismatch — a skewed split invalidates
+    # everything below (id-parity assignment should be ~50/50)
+    srm = frame.srm_check(
+        "arm", {"control": 500_000, "treatment": 500_000}
+    )
+    print("srm gate:", srm.df.collect()[0].asDict())
+
     raw = frame.mean_test("arm", "post", "control", "treatment")
     print("raw mean test:", raw.df.collect()[0].asDict())
+
+    mwu = frame.mann_whitney_u("arm", "post", "control", "treatment")
+    r = mwu.df.collect()[0]
+    print(
+        "mann-whitney:",
+        {k: r[k] for k in ("auc_ppm", "significant")},
+    )
+
+    robust = frame.trimmed_mean("post", by="arm", alpha=0.1)
+    print(
+        "trimmed means:",
+        sorted((r["arm"], r["trimmed_mean"]) for r in robust.df.collect()),
+    )
 
     adjusted = frame.cuped_adjust("post", "pre")
     cuped = adjusted.mean_test("arm", "adjusted", "control", "treatment")
@@ -64,6 +84,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
 
     conv = frame.ab_test("arm", "converted", "control", "treatment")
     print("conversion z-test:", conv.df.collect()[0].asDict())
+
+    # quasi-experimental readout on the raw events: pre/post × arm
+    did = Babe.from_df(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            F.when(F.col("ts") < cutoff, F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            "value",
+        )
+    ).did_estimate(
+        "arm", "period", "value", "control", "treatment", "pre", "post"
+    )
+    r = did.df.collect()[0]
+    print("diff-in-diff:", {k: r[k] for k in ("did", "significant")})
 
     wq = frame.weighted_quantiles("post", "pre", [0.5, 0.9], by="arm")
     print(
