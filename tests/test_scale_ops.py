@@ -2554,3 +2554,47 @@ def test_llr_zero_for_independent_saturated_pair(spark):
     )
     rows = llr_collocations(docs, k=5, min_count=2).collect()
     assert len(rows) == 1 and rows[0]["llr"] == 0.0
+
+
+def test_association_rules_randomized_model(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from pybabe_spark.operators.collocations import association_rules
+
+    rng = random.Random(55)
+    rows = set()
+    for b in range(40):
+        for _ in range(rng.randrange(1, 6)):
+            rows.add((b, rng.choice("abcdef")))
+    df = spark.createDataFrame(sorted(rows), "b int, i string")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pairs"], r["support_ppm"], r["confidence_ppm"],
+            r["lift_ppm"],
+        )
+        for r in association_rules(df, "b", "i", 2).collect()
+    }
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    nb = len(baskets)
+    item_n = Counter(i for items in baskets.values() for i in items)
+    pair_n = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pair_n[(s[x], s[y])] += 1
+    want = {}
+    for (a, c), n in pair_n.items():
+        if n < 2:
+            continue
+        for ant, con in ((a, c), (c, a)):
+            want[(ant, con)] = (
+                n,
+                (n * 1_000_000) // nb,
+                (n * 1_000_000) // item_n[ant],
+                (n * nb * 1_000_000) // (item_n[ant] * item_n[con]),
+            )
+    assert got == want

@@ -780,3 +780,87 @@ def test_growth_accounting_gap_period_churn_null(spark):
     )
     assert got[1].n_resurrected == 1
     assert got[1].n_churned is None  # predecessor period absent
+
+
+def test_growth_accounting_randomized_model(spark):
+    import random
+    from collections import defaultdict
+
+    from pybabe_spark.operators.timeseries import growth_accounting
+
+    rng = random.Random(88)
+    week = 604800
+    rows = []
+    active = defaultdict(set)
+    for u in range(30):
+        for w in range(8):
+            if rng.random() < 0.4:
+                rows.append((f"u{u}", w * week + rng.randrange(week)))
+                active[w].add(f"u{u}")
+    df = spark.createDataFrame(rows, "u string, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) AS ts"
+    )
+    got = {
+        int(r["period_start"].timestamp()) // week: r
+        for r in growth_accounting(df, "u", "ts", week).collect()
+    }
+    first = {}
+    for w in sorted(active):
+        for u in active[w]:
+            first.setdefault(u, w)
+    for w, users in active.items():
+        r = got[w]
+        new = {u for u in users if first[u] == w}
+        ret = {u for u in users if u in active.get(w - 1, set())} - new
+        res = users - new - ret
+        assert r.n_active == len(users)
+        assert r.n_new == len(new)
+        assert r.n_retained == len(ret)
+        assert r.n_resurrected == len(res)
+        if (w - 1) in active:
+            assert r.n_churned == len(active[w - 1]) - len(
+                {u for u in users if u in active[w - 1]} - new
+            ) - len({u for u in new if u in active[w - 1]})
+        else:
+            assert r.n_churned is None
+
+
+def test_pop_randomized_model(spark):
+    import random
+    from collections import defaultdict
+
+    from pybabe_spark.operators.timeseries import period_over_period
+
+    rng = random.Random(77)
+    day = 86400
+    rows = []
+    totals = defaultdict(int)
+    for _ in range(200):
+        k = rng.randrange(4)
+        d = rng.randrange(10)
+        cents = rng.randrange(-500, 5000)
+        rows.append((k, d * day + rng.randrange(day), cents / 100.0))
+        totals[(k, d)] += cents
+    df = spark.createDataFrame(rows, "k int, sec bigint, v double") \
+        .selectExpr("k", "timestamp_seconds(sec) AS ts", "v")
+    got = {
+        (r["k"], int(r["period_start"].timestamp()) // day): r
+        for r in period_over_period(df, "k", "ts", "v", day).collect()
+    }
+    assert set(got) == set(totals)
+    for (k, d), cents in totals.items():
+        r = got[(k, d)]
+        assert r.value_cents == cents
+        prev = totals.get((k, d - 1))
+        if prev is None:
+            assert r.prev_value_cents is None and r.growth_ppm is None
+        else:
+            assert r.prev_value_cents == prev
+            if prev == 0:
+                assert r.growth_ppm is None
+            else:
+                diff = cents - prev
+                sign = -1 if (diff < 0) != (prev < 0) else 1
+                assert r.growth_ppm == sign * (
+                    (1_000_000 * abs(diff)) // abs(prev)
+                )
