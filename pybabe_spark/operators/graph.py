@@ -1030,29 +1030,32 @@ def k_core(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev_n = None
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    # fixpoint fingerprint rides the EDGE-set checkpoints: every node
+    # in e has degree >= 1, so a peeled node always removes edges —
+    # edge count unchanged ⟺ no node peeled ⟺ the k-core. One job
+    # per round (the e checkpoint); the twice-consumed keep subtree is
+    # recomputed from the checkpointed e (one small agg, and Spark
+    # reuses the exchange between the two semi-joins).
+    obs0 = Observation()
+    e = e.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    prev_n = obs0.get["n"]
     for _ in range(max_rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("u")
         obs = Observation()
-        # the keep set feeds BOTH semi-joins: checkpoint it (one job,
-        # which also resolves the observation) so the metric isn't
-        # attached to a twice-consumed plan node
-        keep = keep.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
-            eager=True
-        )
         e = (
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         n = obs.get["n"]
         if n == prev_n:
             break
         prev_n = n
-        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     # final degrees inside the surviving edge set, filtered once more
     out = (
         e.groupBy("u")
