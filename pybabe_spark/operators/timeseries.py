@@ -2072,3 +2072,91 @@ def growth_accounting_sql(
                 END AS BIGINT) AS n_churned
     FROM per
     """
+
+
+def streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Per-key consecutive-activity streaks (gaps-and-islands):
+    ``(key, n_periods, n_streaks, longest_streak, current_streak)``
+    over integer-µs periods — the engagement/habit feature (daily
+    streaks, consecutive-week buyers). ``current_streak`` is the
+    length of the streak containing the KEY's latest active period
+    (data-relative, not wall-clock). All counts exact integers.
+
+    The island id is the classic ``period − row_number()`` constant:
+    consecutive periods share it, any gap shifts it. Scale shape: one
+    distinct over (key, period) — the only corpus-scale shuffle — one
+    keyed row_number window over the key's periods, then two hash
+    aggs (islands, then keys).
+    """
+    if period_seconds <= 0:
+        raise ValueError("streaks: period_seconds must be > 0")
+    per_us = int(period_seconds) * 1_000_000
+    act = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {per_us}").alias("__p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__p").asc())
+    isl = act.withColumn(
+        "__isl", F.col("__p") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("__k", "__isl").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.max("__p").alias("__maxp"),
+    )
+    return runs.groupBy("__k").agg(
+        F.sum("__len").cast("bigint").alias("n_periods"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        F.max_by("__len", "__maxp").cast("bigint").alias(
+            "current_streak"
+        ),
+    ).select(
+        F.col("__k").alias(key_col),
+        "n_periods",
+        "n_streaks",
+        "longest_streak",
+        "current_streak",
+    )
+
+
+def streaks_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 86400,
+) -> str:
+    """DuckDB oracle of :func:`streaks` — same integer-µs periods,
+    same period−row_number island id."""
+    per_us = int(period_seconds) * 1_000_000
+    return f"""
+    WITH act AS (
+        SELECT DISTINCT {key_col} AS k,
+               epoch_us({ts_col}) // {per_us} AS p
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    isl AS (
+        SELECT k, p,
+               p - ROW_NUMBER() OVER (PARTITION BY k ORDER BY p) AS i
+        FROM act
+    ),
+    runs AS (
+        SELECT k, i, COUNT(*) AS len, MAX(p) AS maxp
+        FROM isl GROUP BY k, i
+    )
+    SELECT k AS {key_col},
+           CAST(SUM(len) AS BIGINT) AS n_periods,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(max_by(len, maxp) AS BIGINT) AS current_streak
+    FROM runs GROUP BY k
+    """

@@ -691,6 +691,13 @@ class Babe:
         ]
         return self._wrap(rank_fuse(lists, k=k, **kwargs))
 
+    def streaks(self, key_col, ts_col, period_seconds=86400) -> "Babe":
+        from pybabe_spark.operators.timeseries import streaks
+
+        return self._wrap(
+            streaks(self.df, key_col, ts_col, period_seconds)
+        )
+
     def growth_accounting(self, key_col, ts_col,
                           period_seconds=604800) -> "Babe":
         from pybabe_spark.operators.timeseries import growth_accounting

@@ -3320,3 +3320,21 @@ def q_growth_accounting(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return growth_accounting(ev, "user_id", "ts", 604800)
+
+
+def _streaks_sql():
+    from pybabe_spark.operators.timeseries import streaks_sql
+
+    return streaks_sql("events", "user_id", "ts", 86400)
+
+
+@register("streaks_events", _streaks_sql())
+def q_streaks(spark, sf_dir):
+    """Per-user daily activity streaks (operators/timeseries.py::
+    streaks): the gaps-and-islands period−row_number island id — one
+    (user, day) distinct, one keyed window, two hash aggs; longest
+    and current streak exact."""
+    from pybabe_spark.operators.timeseries import streaks
+
+    ev = read_table(spark, sf_dir, "events")
+    return streaks(ev, "user_id", "ts", 86400)

@@ -570,7 +570,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one (key,day) hash agg + keyed lag window
                 "period_over_period_events",
                 # per-user conditional agg + one quantile agg
-                "time_to_convert_events"]:
+                "time_to_convert_events",
+                # (key,period) distinct + keyed window + two hash aggs
+                "streaks_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

@@ -864,3 +864,41 @@ def test_pop_randomized_model(spark):
                 assert r.growth_ppm == sign * (
                     (1_000_000 * abs(diff)) // abs(prev)
                 )
+
+
+# -- streaks (operators/timeseries.py) ---------------------------------------------
+
+
+def test_streaks_hand_checked(spark):
+    from pybabe_spark.operators.timeseries import streaks
+
+    day = 86400
+    rows = []
+    # user 1: days 1,2,3, gap, 5,6 -> longest 3, current 2, 2 streaks
+    for d in (1, 2, 3, 5, 6):
+        rows.append((1, d * day + 100))
+        rows.append((1, d * day + 200))  # dup within day collapses
+    # user 2: single day
+    rows.append((2, 9 * day))
+    df = spark.createDataFrame(rows, "u int, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) AS ts"
+    )
+    got = {r["u"]: r for r in streaks(df, "u", "ts", day).collect()}
+    r1 = got[1]
+    assert (r1.n_periods, r1.n_streaks, r1.longest_streak,
+            r1.current_streak) == (5, 2, 3, 2)
+    r2 = got[2]
+    assert (r2.n_periods, r2.n_streaks, r2.longest_streak,
+            r2.current_streak) == (1, 1, 1, 1)
+
+
+def test_streaks_current_equals_longest_when_active_run_last(spark):
+    from pybabe_spark.operators.timeseries import streaks
+
+    day = 86400
+    rows = [(1, d * day) for d in (1, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "u int, sec bigint").selectExpr(
+        "u", "timestamp_seconds(sec) AS ts"
+    )
+    r = streaks(df, "u", "ts", day).collect()[0]
+    assert (r.longest_streak, r.current_streak) == (3, 3)
