@@ -1379,3 +1379,102 @@ def trimmed_mean_sql(
              AS DECIMAL(18,6)) AS DOUBLE) END AS trimmed_mean
     FROM agg
     """
+
+
+def category_diversity(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Per-group categorical diversity: ``(group?, n, n_categories,
+    entropy, simpson_ppm)`` — Shannon entropy (nats) and the
+    Gini-Simpson index ``1 − Σpᵢ²`` of a categorical column's
+    distribution. The balance/concentration signal for source mixes,
+    segment health, and drift baselines (Simpson is the probability
+    two random rows differ).
+
+    Determinism: counts are exact; Simpson is FULLY exact integral ppm
+    (``(n² − Σnᵢ²)·10⁶ div n²``). Entropy needs ``ln``: it uses the
+    identity ``H = ln(n) − (Σ nᵢ·ln nᵢ)/n`` where each per-category
+    term rounds once to DECIMAL(18,6) BEFORE the sum — decimal sums
+    are associative, so the (documented) per-term-rounded statistic is
+    order-independent and engine-identical; the final expression is
+    fixed-shape IEEE rounded once. NULL category rows are DROPPED —
+    coalesce to a sentinel upstream if NULL should count as a
+    category. Empty groups are absent.
+
+    Scale shape: one (group, category) hash agg — the only
+    corpus-scale shuffle — then one per-group agg over category rows.
+    """
+    keys = [by] if by else []
+    cnts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, F.col(col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    term = (
+        (F.col("__ni").cast("double") * F.log(F.col("__ni").cast("double")))
+        .cast("decimal(18,6)")
+    )
+    agg = cnts.groupBy(*keys).agg(
+        F.sum(d(F.col("__ni"))).cast("decimal(38,0)").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(d(F.col("__ni")) * F.col("__ni")).cast("decimal(38,0)").alias(
+            "__q"
+        ),
+        F.sum(term).cast("decimal(28,6)").alias("__s"),
+    )
+    n_dbl = F.col("__n").cast("double")
+    entropy = (
+        (F.log(n_dbl) - F.col("__s").cast("double") / n_dbl)
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        "n_categories",
+        entropy.alias("entropy"),
+        F.expr(
+            "CAST(((__n * __n - __q) * 1000000)"
+            " div (__n * __n) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+def category_diversity_sql(
+    table: str,
+    col: str,
+    by: str | None = None,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`category_diversity` — same per-term
+    DECIMAL(18,6) rounding, same exact Simpson ppm."""
+    keys = f"{by}, " if by else ""
+    gby1 = f"GROUP BY {by}, {col}" if by else f"GROUP BY {col}"
+    gby2 = f"GROUP BY {by}" if by else ""
+    return f"""
+    WITH cnts AS (
+        SELECT {keys}{col} AS c, COUNT(*)::HUGEINT AS ni
+        FROM {table}
+        WHERE {col} IS NOT NULL AND ({where})
+        {gby1}
+    ),
+    agg AS (
+        SELECT {keys}SUM(ni) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               SUM(ni * ni) AS q,
+               SUM(CAST(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE))
+                   AS DECIMAL(18,6))) AS s
+        FROM cnts {gby2}
+    )
+    SELECT {keys}CAST(n AS BIGINT) AS n,
+           n_categories,
+           CAST(CAST(ln(CAST(n AS DOUBLE))
+                - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS entropy,
+           CAST(((n * n - q) * 1000000) // (n * n) AS BIGINT)
+             AS simpson_ppm
+    FROM agg
+    """

@@ -789,6 +789,11 @@ class Babe:
             chi2_independence(self.df, a_col, b_col, crit)
         )
 
+    def category_diversity(self, col, by=None) -> "Babe":
+        from pybabe_spark.operators.sketch import category_diversity
+
+        return self._wrap(category_diversity(self.df, col, by))
+
     def trimmed_mean(self, value_col, by=None, alpha=0.1) -> "Babe":
         from pybabe_spark.operators.sketch import trimmed_mean
 

@@ -3338,3 +3338,24 @@ def q_streaks(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return streaks(ev, "user_id", "ts", 86400)
+
+
+def _diversity_sql():
+    from pybabe_spark.operators.sketch import category_diversity_sql
+
+    return category_diversity_sql(
+        "documents", "source", by="lang"
+    )
+
+
+@register("category_diversity_docs", _diversity_sql())
+def q_category_diversity(spark, sf_dir):
+    """Source diversity per language (operators/sketch.py::
+    category_diversity): Shannon entropy via per-term-rounded decimal
+    sums (order-independent) + FULLY exact Gini-Simpson ppm — one
+    (lang, source) hash agg then one per-lang rollup. The mix-balance
+    signal for corpus curation."""
+    from pybabe_spark.operators.sketch import category_diversity
+
+    docs = read_table(spark, sf_dir, "documents")
+    return category_diversity(docs, "source", by="lang")

@@ -447,3 +447,55 @@ def test_trimmed_mean_groups_and_validation(spark):
     assert got["b"].n == 1 and got["b"].trimmed_mean == 5.0
     with pytest.raises(ValueError):
         trimmed_mean(df, "v", alpha=0.5)
+
+
+# -- category_diversity (operators/sketch.py) ------------------------------------
+
+
+def test_diversity_uniform_and_concentrated(spark):
+    import math
+
+    from pybabe_spark.operators.sketch import category_diversity
+
+    rows = [("g1", c) for c in "abcd" for _ in range(5)] + [
+        ("g2", "a")
+    ] * 20
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r["g"]: r for r in
+           category_diversity(df, "c", by="g").collect()}
+    u = got["g1"]
+    assert (u.n, u.n_categories) == (20, 4)
+    assert abs(u.entropy - math.log(4)) < 1e-5  # uniform -> ln k
+    # simpson = 1 - 4*(5/20)^2 = 0.75
+    assert u.simpson_ppm == ((20 * 20 - 4 * 25) * 1_000_000) // 400
+    c = got["g2"]
+    assert c.entropy == 0.0 and c.simpson_ppm == 0
+    assert c.n_categories == 1
+
+
+def test_diversity_model_replica(spark):
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pybabe_spark.operators.sketch import category_diversity
+
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.choice("abcdefg") for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    r = category_diversity(df, "c").collect()[0]
+    cnt = Counter(vals)
+    n = sum(cnt.values())
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    s = sum(r6(ni * math.log(ni)) for ni in cnt.values())
+    want_h = float(r6(math.log(n) - float(s) / n))
+    assert abs(r.entropy - want_h) < 2e-6
+    q = sum(ni * ni for ni in cnt.values())
+    assert r.simpson_ppm == ((n * n - q) * 1_000_000) // (n * n)

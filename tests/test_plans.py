@@ -572,7 +572,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # per-user conditional agg + one quantile agg
                 "time_to_convert_events",
                 # (key,period) distinct + keyed window + two hash aggs
-                "streaks_events"]:
+                "streaks_events",
+                # one (group,category) hash agg + per-group rollup
+                "category_diversity_docs"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
