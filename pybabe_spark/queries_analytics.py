@@ -3359,3 +3359,36 @@ def q_category_diversity(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return category_diversity(docs, "source", by="lang")
+
+
+def _volume_anom_sql():
+    from pybabe_spark.operators.anomaly import mad_anomalies_sql
+
+    daily = """(
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )"""
+    return mad_anomalies_sql(
+        daily, "event_type", "n_events", "day", threshold=2.0
+    )
+
+
+@register("volume_anomalies_events", _volume_anom_sql())
+def q_volume_anomalies(spark, sf_dir):
+    """Pipeline-volume monitoring: daily event counts per type run
+    through the robust MAD outlier gate (threshold 2) — the
+    data-freshness/completeness alarm, a pure composition (one
+    (type, day) hash agg feeding operators/anomaly.py::
+    mad_anomalies)."""
+    from pybabe_spark.operators.anomaly import mad_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events")).select(
+        "event_type", F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+    )
+    return mad_anomalies(daily, "event_type", "n_events", "day", 2.0)

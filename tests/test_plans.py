@@ -574,7 +574,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # (key,period) distinct + keyed window + two hash aggs
                 "streaks_events",
                 # one (group,category) hash agg + per-group rollup
-                "category_diversity_docs"]:
+                "category_diversity_docs",
+                # (type,day) hash agg -> keyed MAD gate, composition
+                "volume_anomalies_events"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)
