@@ -738,42 +738,50 @@ def target_encode(
     x = (F.col(target_col).cast("decimal(18,2)") * 100).cast("bigint")
     ok = F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # collision-proof working names: these land on the USER's row-level
+    # frame, so fixed "__x" names could shadow (and later drop) real
+    # columns — the rank_normalize gen_col discipline
+    c_cat = gen_col(df.columns, "__te_cat")
+    c_nc = gen_col(df.columns, "__te_nc")
+    c_sc = gen_col(df.columns, "__te_sc")
+    c_n = gen_col(df.columns, "__te_n")
+    c_s = gen_col(df.columns, "__te_s")
     cat = (
         df.filter(ok)
-        .groupBy(F.col(cat_col).alias("__cat"))
+        .groupBy(F.col(cat_col).alias(c_cat))
         .agg(
-            F.count(F.lit(1)).alias("__nc"),
-            F.sum(d(x)).cast("decimal(38,0)").alias("__sc"),
+            F.count(F.lit(1)).alias(c_nc),
+            F.sum(d(x)).cast("decimal(38,0)").alias(c_sc),
         )
     )
     tot = df.filter(ok).agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count(F.lit(1)).alias(c_n),
         F.coalesce(F.sum(d(x)), F.lit(0)).cast("decimal(38,0)").alias(
-            "__s"
+            c_s
         ),
     )
     c_x = gen_col(df.columns, "__te_x")
     joined = attach_scalars(
         df.withColumn(c_x, F.when(ok, x)).join(
-            F.broadcast(cat), F.col(cat_col) == F.col("__cat"), "left"
+            F.broadcast(cat), F.col(cat_col) == F.col(c_cat), "left"
         ),
         tot,
     )
     m = int(smoothing)
     if loo:
         num = (
-            (F.col("__sc") - F.col(c_x)) * F.col("__n")
-            + F.lit(m) * F.col("__s")
+            (F.col(c_sc) - F.col(c_x)) * F.col(c_n)
+            + F.lit(m) * F.col(c_s)
         ).cast("decimal(38,0)")
         den = (
-            d(F.col("__n")) * (F.col("__nc") - 1 + m) * 100
+            d(F.col(c_n)) * (F.col(c_nc) - 1 + m) * 100
         ).cast("decimal(38,0)")
     else:
         num = (
-            F.col("__sc") * F.col("__n") + F.lit(m) * F.col("__s")
+            F.col(c_sc) * F.col(c_n) + F.lit(m) * F.col(c_s)
         ).cast("decimal(38,0)")
         den = (
-            d(F.col("__n")) * (F.col("__nc") + m) * 100
+            d(F.col(c_n)) * (F.col(c_nc) + m) * 100
         ).cast("decimal(38,0)")
     c_num = gen_col(df.columns, "__te_num")
     c_den = gen_col(df.columns, "__te_den")
@@ -783,7 +791,7 @@ def target_encode(
         joined.withColumn(c_num, num)
         .withColumn(c_den, den)
         .withColumn(out, F.when(ok, _ppm(c_num, c_den)))
-        .drop("__cat", "__nc", "__sc", "__n", "__s", c_x, c_num, c_den)
+        .drop(c_cat, c_nc, c_sc, c_n, c_s, c_x, c_num, c_den)
     )
 
 

@@ -1293,7 +1293,10 @@ def theilsen_slope(
         )
     )
     counts = pts.groupBy("__k").agg(F.count(F.lit(1)).alias("__np"))
-    guarded = pts.join(F.broadcast(counts), "__k").withColumn(
+    # plain equi-join: counts is one row per KEY (unbounded at corpus
+    # scale) — a broadcast hint here would collect the key set to the
+    # driver; the join reuses the key partitioning the pair join needs
+    guarded = pts.join(counts, "__k").withColumn(
         "__np",
         F.when(
             F.col("__np") <= max_points, F.col("__np")
@@ -1602,9 +1605,13 @@ def cohort_values(
             "n_users",
             F.col("__vc").cast("bigint").alias("value_cents"),
             F.col("__cum").cast("bigint").alias("cum_value_cents"),
-            F.expr("CAST(__cum div __sz AS BIGINT)").alias(
-                "ltv_per_user_cents"
-            ),
+            # sign-split: cum can be net-negative (refunds) and Spark
+            # div truncates while DuckDB // floors — they agree only on
+            # non-negative operands (house convention)
+            F.expr(
+                "CAST(CASE WHEN __cum < 0 THEN -1 ELSE 1 END"
+                " * (abs(__cum) div __sz) AS BIGINT)"
+            ).alias("ltv_per_user_cents"),
         )
     )
 
@@ -1650,10 +1657,13 @@ def cohort_values_sql(
            CAST(SUM(vc) OVER (PARTITION BY c0 ORDER BY "offset"
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cum_value_cents,
-           CAST(SUM(vc) OVER (PARTITION BY c0 ORDER BY "offset"
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                // CAST(SUM(CASE WHEN "offset" = 0 THEN n_users END)
-                        OVER (PARTITION BY c0) AS HUGEINT)
+           CAST(CASE WHEN SUM(vc) OVER (PARTITION BY c0 ORDER BY
+                     "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) < 0 THEN -1 ELSE 1 END
+                * (ABS(SUM(vc) OVER (PARTITION BY c0 ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   // CAST(SUM(CASE WHEN "offset" = 0 THEN n_users END)
+                           OVER (PARTITION BY c0) AS HUGEINT))
                 AS BIGINT) AS ltv_per_user_cents
     FROM cnt
     """
@@ -1873,7 +1883,7 @@ def period_over_period(
         )
     )
     w = Window.partitionBy("__k").orderBy(F.col("__p").asc())
-    lagged = per.withColumn("__pp", F.lag("__p").over(w)).withColumn(
+    lagged = per.withColumn(
         "__pv",
         F.when(
             F.lag("__p").over(w) == F.col("__p") - 1,
@@ -2008,7 +2018,7 @@ def growth_accounting(
         ).cast("bigint").alias("n_resurrected"),
     )
     w = Window.orderBy(F.col("__p").asc())
-    per = per.withColumn("__pp", F.lag("__p").over(w)).withColumn(
+    per = per.withColumn(
         "__pa",
         F.when(
             F.lag("__p").over(w) == F.col("__p") - 1,

@@ -2598,3 +2598,14 @@ def test_association_rules_randomized_model(spark):
                 (n * nb * 1_000_000) // (item_n[ant] * item_n[con]),
             )
     assert got == want
+
+
+def test_target_encode_survives_dunder_column_collision(spark):
+    from pybabe_spark.operators.sampling import target_encode
+
+    rows = [("a", 10.0, 7), ("a", 20.0, 8), ("b", 40.0, 9)]
+    df = spark.createDataFrame(rows, "cat string, v double, __n int")
+    out = target_encode(df, "cat", "v", smoothing=1, loo=False)
+    assert "__n" in out.columns  # user column passes through intact
+    got = {r["__n"]: r["cat_te_micro"] for r in out.collect()}
+    assert got[7] == (16000 * 1_000_000) // 900

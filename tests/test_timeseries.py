@@ -902,3 +902,19 @@ def test_streaks_current_equals_longest_when_active_run_last(spark):
     )
     r = streaks(df, "u", "ts", day).collect()[0]
     assert (r.longest_streak, r.current_streak) == (3, 3)
+
+
+def test_cohort_ltv_negative_cum_sign_split(spark):
+    from pybabe_spark.operators.timeseries import cohort_values
+
+    day = 86400
+    rows = [
+        (1, "1970-01-01 01:00:00", -17.51),
+        (2, "1970-01-01 02:00:00", -17.50),
+    ]
+    df = spark.createDataFrame(rows, "u int, t string, v double") \
+        .selectExpr("u", "CAST(t AS TIMESTAMP) AS t", "v")
+    r = cohort_values(df, "u", "t", "v", day, 2).collect()[0]
+    # cum = -3501 cents over 2 users: truncation toward zero -> -1750
+    assert r.cum_value_cents == -3501
+    assert r.ltv_per_user_cents == -1750
