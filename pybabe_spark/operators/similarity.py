@@ -1370,3 +1370,149 @@ def ann_hard_negatives(
         )
     )
     return _topk_by_query(sims, k)
+
+
+def embedding_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Embedding-table quality gate — the profile() of vector columns,
+    run before any ANN/dedup stage trusts the data: ONE summary row
+
+    - ``n`` / ``n_null`` — rows and NULL vectors
+    - ``n_empty`` — zero-length vectors
+    - ``n_dims`` / ``modal_dim`` — distinct dimensionalities and the
+      most common one (ties break to the smallest; a healthy table has
+      n_dims = 1)
+    - ``n_nonfinite`` — vectors containing NaN/±Inf
+    - ``n_zero`` — all-zero vectors (cosine-undefined)
+    - ``median_norm2_e8x2`` — median squared L2 norm in exact
+      integral units of 5·10⁻⁹ (elements quantize once to 4 dp — unit-
+      scale embeddings' diagnostic resolution — so squares are exactly
+      8 decimals; the ×2 keeps the even-count interpolation midpoint
+      integral — no rounding anywhere after the element quantization)
+
+    Determinism: each element casts once to DECIMAL(9,4) and squares
+    EXACTLY in decimal — the per-vector norm² is an exact DECIMAL sum,
+    order-independent, so the median is an exact percentile over exact
+    integers, not an IEEE fold (n_zero therefore means "zero at 4 dp
+    element resolution"). NaN/Inf
+    elements make a vector non-finite and are excluded from the norm
+    statistic (they'd poison any decimal cast).
+
+    Scale shape: one projection pass with JVM-side higher-order
+    functions (``exists``/``aggregate``/``size`` — no Python), one
+    dim-histogram hash agg (tiny), one 1-row summary agg.
+
+    Reference anchor: the reference has no vector surface at all
+    (pybabe is pre-embedding-era); this is the data-quality face of
+    the engine's beyond-reference ANN family.
+    """
+    v = F.col(col)
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    norm2 = F.aggregate(
+        v,
+        F.lit(0).cast("decimal(20,8)"),
+        # decimal addition widens precision; the accumulator must keep
+        # its declared type — (20,8) holds 10^12 squared-unit-scale
+        # elements, far past any real embedding dim
+        lambda acc, x: (
+            acc + x.cast("decimal(9,4)") * x.cast("decimal(9,4)")
+        ).cast("decimal(20,8)"),
+    )
+    rows = df.select(
+        F.when(v.isNull(), 1).otherwise(0).alias("__null"),
+        F.when(v.isNotNull() & (F.size(v) == 0), 1).otherwise(0).alias(
+            "__empty"
+        ),
+        F.when(v.isNotNull(), F.size(v)).alias("__dim"),
+        F.when(v.isNotNull() & nonfinite, 1).otherwise(0).alias("__nf"),
+        F.when(
+            v.isNotNull() & ~nonfinite & (F.size(v) > 0), norm2
+        ).alias("__n2"),
+    ).localCheckpoint(eager=False)
+    dims = rows.filter(F.col("__dim").isNotNull()).groupBy("__dim").agg(
+        F.count(F.lit(1)).alias("__dn")
+    )
+    modal = dims.agg(
+        F.max_by(
+            F.col("__dim"),
+            F.struct(F.col("__dn"), -F.col("__dim")),
+        ).alias("modal_dim"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+    )
+    e8x2 = (
+        F.col("__n2") * F.lit(200_000_000).cast("decimal(9,0)")
+    ).cast("bigint")
+    summary = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__null").cast("bigint").alias("n_null"),
+        F.sum("__empty").cast("bigint").alias("n_empty"),
+        F.sum("__nf").cast("bigint").alias("n_nonfinite"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n2") == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_zero"),
+        F.percentile(e8x2, F.lit(0.5)).alias("__mn2"),
+    )
+    return summary.crossJoin(F.broadcast(modal)).select(
+        "n",
+        "n_null",
+        "n_empty",
+        "n_dims",
+        "modal_dim",
+        "n_nonfinite",
+        "n_zero",
+        F.col("__mn2").cast("bigint").alias("median_norm2_e8x2"),
+    )
+
+
+def embedding_stats_sql(table: str, col: str = "embedding") -> str:
+    """DuckDB oracle of :func:`embedding_stats` — same per-element
+    DECIMAL(9,4) squares, same exact integral median."""
+    nf = (
+        f"list_bool_or(list_transform({col},"
+        f" x -> isnan(x) OR isinf(x)))"
+    )
+    n2 = (
+        f"list_aggregate(list_transform({col},"
+        f" x -> CAST(x AS DECIMAL(9,4)) * CAST(x AS DECIMAL(9,4))),"
+        f" 'sum')"
+    )
+    return f"""
+    WITH rows_in AS (
+        SELECT CASE WHEN {col} IS NULL THEN 1 ELSE 0 END AS isnull_,
+               CASE WHEN {col} IS NOT NULL AND len({col}) = 0
+                    THEN 1 ELSE 0 END AS isempty,
+               CASE WHEN {col} IS NOT NULL THEN len({col}) END AS dim,
+               CASE WHEN {col} IS NOT NULL
+                         AND COALESCE({nf}, FALSE)
+                    THEN 1 ELSE 0 END AS nf,
+               CASE WHEN {col} IS NOT NULL
+                         AND NOT COALESCE({nf}, FALSE)
+                         AND len({col}) > 0
+                    THEN {n2} END AS n2
+        FROM {table}
+    ),
+    dims AS (
+        SELECT dim, COUNT(*) AS dn FROM rows_in
+        WHERE dim IS NOT NULL GROUP BY dim
+    ),
+    modal AS (
+        SELECT (SELECT dim FROM dims ORDER BY dn DESC, dim ASC
+                LIMIT 1) AS modal_dim,
+               CAST(COUNT(*) AS BIGINT) AS n_dims
+        FROM dims
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(isnull_) AS BIGINT) AS n_null,
+           CAST(SUM(isempty) AS BIGINT) AS n_empty,
+           modal.n_dims,
+           modal.modal_dim,
+           CAST(SUM(nf) AS BIGINT) AS n_nonfinite,
+           COALESCE(CAST(SUM(CASE WHEN n2 = 0 THEN 1 END) AS BIGINT),
+                    0) AS n_zero,
+           CAST(quantile_cont(CAST(CAST(n2 AS DECIMAL(20,8))
+                     * CAST(200000000 AS DECIMAL(9,0)) AS BIGINT),
+                0.5) AS BIGINT) AS median_norm2_e8x2
+    FROM rows_in CROSS JOIN modal
+    GROUP BY modal.n_dims, modal.modal_dim
+    """

@@ -1049,6 +1049,11 @@ class Babe:
 
         return self._wrap(kmeans_assign(self.df, centroids, **kwargs))
 
+    def embedding_stats(self, col="embedding") -> "Babe":
+        from pybabe_spark.operators.similarity import embedding_stats
+
+        return self._wrap(embedding_stats(self.df, col))
+
     def quantize_embeddings(self, **kwargs) -> "Babe":
         from pybabe_spark.operators.similarity import quantize_embeddings
 

@@ -1427,3 +1427,22 @@ def q_source_overlap(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return source_overlap(docs, "source", "text", shingle_n=3)
+
+
+def _emb_stats_sql():
+    from pybabe_spark.operators.similarity import embedding_stats_sql
+
+    return embedding_stats_sql("embeddings", "embedding")
+
+
+@register("embedding_stats_quality", _emb_stats_sql())
+def q_embedding_stats(spark, sf_dir):
+    """Embedding-table quality gate (operators/similarity.py::
+    embedding_stats): NULL/empty/non-finite/zero-vector counts, dim
+    histogram modal check, and an exact decimal median norm² — one
+    JVM-side higher-order-function pass + a tiny dim agg, the
+    profile() of vector columns run before any ANN stage."""
+    from pybabe_spark.operators.similarity import embedding_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_stats(emb, "embedding")

@@ -576,7 +576,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # one (group,category) hash agg + per-group rollup
                 "category_diversity_docs",
                 # (type,day) hash agg -> keyed MAD gate, composition
-                "volume_anomalies_events"]:
+                "volume_anomalies_events",
+                # one HOF projection pass + tiny dim agg + 1-row summary
+                "embedding_stats_quality"]:
         fn, _ = REGISTRY[key]
         codes = {c for c, _ in plan_lint(fn(spark, sf_dir))}
         assert codes == set(), (key, codes)

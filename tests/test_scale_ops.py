@@ -2609,3 +2609,49 @@ def test_target_encode_survives_dunder_column_collision(spark):
     assert "__n" in out.columns  # user column passes through intact
     got = {r["__n"]: r["cat_te_micro"] for r in out.collect()}
     assert got[7] == (16000 * 1_000_000) // 900
+
+
+# -- embedding_stats (operators/similarity.py) ------------------------------------
+
+
+def test_embedding_stats_counts_and_median(spark):
+    from pyspark.sql import types as T
+
+    from pybabe_spark.operators.similarity import embedding_stats
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [
+        (1, [1.0, 0.0]),            # norm2 = 1
+        (2, [0.0, 2.0]),            # norm2 = 4
+        (3, [3.0, 4.0]),            # norm2 = 25
+        (4, None),                  # null
+        (5, []),                    # empty
+        (6, [float("nan"), 1.0]),   # non-finite
+        (7, [0.0, 0.0]),            # zero vector
+        (8, [1.0, 1.0, 1.0]),       # odd dim
+    ]
+    df = spark.createDataFrame(rows, schema)
+    r = embedding_stats(df, "embedding").collect()[0]
+    assert r.n == 8 and r.n_null == 1 and r.n_empty == 1
+    assert r.n_nonfinite == 1 and r.n_zero == 1
+    assert r.n_dims == 3 and r.modal_dim == 2
+    # finite non-empty norms: {0, 1, 3, 4, 25} -> median 3 -> e8x2
+    assert r.median_norm2_e8x2 == 3 * 200_000_000
+
+
+def test_embedding_stats_even_count_midpoint_exact(spark):
+    from pyspark.sql import types as T
+
+    from pybabe_spark.operators.similarity import embedding_stats
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(1, [1.0]), (2, [2.0])]  # norms 1, 4 -> median 2.5
+    df = spark.createDataFrame(rows, schema)
+    r = embedding_stats(df, "embedding").collect()[0]
+    assert r.median_norm2_e8x2 == 500_000_000  # 2.5 * 2e8, exact
