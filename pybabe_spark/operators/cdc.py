@@ -56,7 +56,9 @@ def apply_cdc(
     deliberately the same — upsert) replaces/creates the key's row.
     Returns the base schema. NULL keys match null-safely, as in
     ``upsert``. ``order_by`` must be unique per key within the feed
-    (raised at action time otherwise — ties make 'latest' undefined).
+    (raised at action time otherwise — ties make 'latest' undefined), and a winning row's op must be
+    non-NULL (raised at action time — a NULL op would otherwise act
+    as a silent DELETE).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -93,7 +95,22 @@ def apply_cdc(
                         "add a tie-break column (e.g. an ingest id)"
                     )
                 ).cast("boolean"),
-            ).otherwise(F.col(rn) == 1)
+            )
+            .when(
+                # NULL op on a winning row: `op != delete_op` is NULL,
+                # so the row would vanish from writes while its key is
+                # still anti-joined away — a silent DELETE. Malformed
+                # feeds must fail loudly instead (same lazy idiom).
+                (F.col(rn) == 1) & F.col(op_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "apply_cdc: NULL op on the winning row of a "
+                        "key — a NULL op would act as a silent DELETE;"
+                        " fix the feed or map NULL to an upsert op"
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(F.col(rn) == 1)
         )
     )
     changed_keys = latest.select(*keys)

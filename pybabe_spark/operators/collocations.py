@@ -136,8 +136,9 @@ def frequent_pairs(
     Plan: distinct (basket, item) projection, the within-basket pair
     self-join (fanout bounded by basket width, like the triangle
     census' co-occurrence edges), one pair hash agg with the support
-    filter BEFORE the lift join, then two broadcast joins against the
-    (item, count) table and a 1-row basket-count attach.
+    filter BEFORE the lift join, then two equi-joins against the
+    (item, count) table (no explicit broadcast hint — the item
+    vocabulary is unbounded; AQE broadcasts when actually small) and a 1-row basket-count attach.
     """
     if min_support < 1:
         raise ValueError("frequent_pairs: min_support must be >= 1")
@@ -168,7 +169,7 @@ def frequent_pairs(
         F.countDistinct("b").cast("bigint").alias("__nbaskets")
     )
     out = attach_scalars(
-        pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b"),
+        pairs.join(na, "item_a").join(nb, "item_b"),
         baskets,
     )
     return out.select(
@@ -234,7 +235,8 @@ def association_rules(
     UNDIRECTED pair aggregate (one bounded-fanout self-join + one hash
     agg); both directions are then emitted from that tiny table via a
     2-row explode — no second pass over the baskets — followed by one
-    broadcast item-count join and a 1-row basket-total attach.
+    item-count equi-join (AQE-broadcast when small) and a 1-row
+    basket-total attach.
     """
     if min_support < 1:
         raise ValueError("association_rules: min_support must be >= 1")
@@ -279,9 +281,7 @@ def association_rules(
         F.countDistinct("b").cast("bigint").alias("__nbaskets")
     )
     out = attach_scalars(
-        directed.join(F.broadcast(na), "antecedent").join(
-            F.broadcast(nc), "consequent"
-        ),
+        directed.join(na, "antecedent").join(nc, "consequent"),
         baskets,
     )
     return out.select(

@@ -736,16 +736,22 @@ def propagate_labels_sql(
     """DuckDB oracle of :func:`propagate_labels` — hop-unrolled CTE
     replaying the iteration exactly (min label per NEW node per hop).
     ``seeds_cte`` must select columns (s, label)."""
+    # every d{h} is referenced three times by d{h+1} (scan, join,
+    # NOT IN) — without MATERIALIZED DuckDB inlines CTEs and the
+    # expansion is ~3^max_hops (house unrolled-CTE convention, same
+    # as the sssp/k_core oracles)
     parts = [
-        f"WITH edges AS ({edges_cte})",
-        "sym AS (SELECT id_a AS u, id_b AS v FROM edges"
+        f"WITH edges AS MATERIALIZED ({edges_cte})",
+        "sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM edges"
         " UNION SELECT id_b, id_a FROM edges)",
-        f"d0 AS (SELECT s AS id, MIN(label) AS label, 0 AS distance"
+        f"d0 AS MATERIALIZED (SELECT s AS id, MIN(label) AS label,"
+        f" 0 AS distance"
         f" FROM ({seeds_cte}) GROUP BY s)",
     ]
     for h in range(1, max_hops + 1):
         parts.append(
-            f"d{h} AS (SELECT id, label, distance FROM d{h-1}"
+            f"d{h} AS MATERIALIZED"
+            f" (SELECT id, label, distance FROM d{h-1}"
             f" UNION ALL"
             f" SELECT sym.v AS id, MIN(f.label) AS label,"
             f" {h} AS distance"

@@ -294,9 +294,13 @@ def overlap_join(
     plus ``overlap_us`` (exact microseconds of intersection). The
     two-interval-sets temporal join :func:`range_join` (point-in-
     interval) cannot express: concurrent sessions, meeting conflicts,
-    downtime × deploy windows. Column names must not overlap.
+    downtime × deploy windows. Column names must not overlap —
+    except the ``key`` column itself, which (when given as a single
+    name) must exist on BOTH sides and is emitted once.
 
-    Plan: with ``key``, an equi-join plus the overlap filter. Without,
+    Plan: with ``key`` (a shared column name, or a
+    ``(left_key, right_key)`` pair), an equi-join plus the overlap
+    filter. Without,
     both interval sets explode into the time ``bucket`` cells they
     cover and join on the cell — and each qualifying pair is emitted
     EXACTLY once with no dedup shuffle: overlapping intervals both
@@ -307,7 +311,11 @@ def overlap_join(
     year-long interval costs a year of hourly cells, it does not
     break).
     """
-    overlap = set(left.columns) & set(right.columns)
+    # the equi-join key is the one legitimately shared name (joined by
+    # name → emitted once); everything else shared is ambiguous
+    lk, rk = (key, key) if key is None or isinstance(key, str) else key
+    exempt = {lk} if key is not None and lk == rk else set()
+    overlap = (set(left.columns) & set(right.columns)) - exempt
     if overlap:
         raise ValueError(
             f"overlap_join: overlapping column names {sorted(overlap)}; "
@@ -326,8 +334,19 @@ def overlap_join(
         - F.greatest(F.unix_micros(F.col(ls)), F.unix_micros(F.col(rs)))
     ).alias("overlap_us")
     if key is not None:
+        if lk == rk:
+            # join by name: the key column appears once in the output
+            return (
+                left.join(right, on=lk)
+                .filter(meet)
+                .select(
+                    *left.columns,
+                    *[c for c in right.columns if c != rk],
+                    ov_us,
+                )
+            )
         return (
-            left.join(right, left[key] == right[key])
+            left.join(right, left[lk] == right[rk])
             .filter(meet)
             .select(*left.columns, *right.columns, ov_us)
         )

@@ -15,7 +15,8 @@ Scale shape: the distinct (basket, item) projection feeds a
 within-basket pair self-join (fanout bounded by basket width — the
 triangle-census discipline; cap pathological baskets upstream with
 ``head_per_group``), one pair hash agg with the support floor applied
-BEFORE any join, two broadcast joins against the (item, count) table,
+BEFORE any join, two equi-joins against the (item, count) table
+(unbounded vocabulary — no explicit broadcast hint, AQE decides),
 and ONE key-partitioned row_number window over the ranked pairs —
 whose input is the support-pruned pair table, not the corpus.
 """
@@ -79,8 +80,8 @@ def item_neighbors(
         F.col("i").alias("neighbor"), F.col("__n").alias("n_neighbor")
     )
     scored = (
-        sym.join(F.broadcast(ni), "item")
-        .join(F.broadcast(nn), "neighbor")
+        sym.join(ni, "item")
+        .join(nn, "neighbor")
         .withColumn(
             "cosine2_ppm",
             F.expr(

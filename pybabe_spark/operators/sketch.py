@@ -1314,8 +1314,12 @@ def trimmed_mean(
             "__hi"
         ),
     )
+    # keyed: NO explicit broadcast hint — `by` is unbounded, so the
+    # edge table grows with group cardinality; AQE broadcasts it when
+    # it is actually small (the unbounded-key rule from theilsen_slope,
+    # commit 2cd3b0a). Keyless: a 1-row table, hint is safe.
     joined = (
-        base.join(F.broadcast(edges), keys) if keys
+        base.join(edges, keys) if keys
         else base.crossJoin(F.broadcast(edges))
     )
     kept = (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))

@@ -142,10 +142,11 @@ def nearest_join(
     pairs = radius_join(left, right, radius, left_xy, right_xy)
     keys = [left_key] if left_key else list(left.columns)
     rest = [c for c in left.columns if c not in keys]
-    # deterministic best: minimize (dist2, right_id)
-    pick = F.struct(
-        F.col("dist2"), F.col(right_id).cast("bigint").alias("__tid")
-    )
+    # deterministic best: minimize (dist2, right_id) — the raw id
+    # column, NOT cast to bigint: struct ordering handles strings,
+    # while a failed cast would NULL the tiebreaker and pick an
+    # arbitrary neighbor among equidistant candidates
+    pick = F.struct(F.col("dist2"), F.col(right_id).alias("__tid"))
     others = [c for c in right.columns] + ["dist2"]
     return pairs.groupBy(*keys).agg(
         *[F.first(c).alias(c) for c in rest],

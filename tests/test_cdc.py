@@ -92,6 +92,20 @@ def test_duplicate_order_tuple_raises_lazily(spark):
     assert _rows(apply_cdc(base, feed2, "k", "ts")) == [(1, "w")]
 
 
+def test_null_op_on_winner_raises_lazily(spark):
+    # a NULL op on the winning row used to act as a silent DELETE
+    # (op != 'D' is NULL → dropped from writes, key still anti-joined)
+    base = _base(spark, [(1, "a"), (2, "b")])
+    feed = _feed(spark, [(1, 10, "x", None)])
+    out = apply_cdc(base, feed, "k", "ts")
+    out.schema  # lazy: construction/analysis fine
+    with pytest.raises(Exception, match="NULL op"):
+        out.collect()
+    # NULL op on a NON-winning row is superseded and harmless
+    feed2 = _feed(spark, [(1, 10, "x", None), (1, 20, "y", "U")])
+    assert _rows(apply_cdc(base, feed2, "k", "ts")) == [(1, "y"), (2, "b")]
+
+
 def test_schema_validation(spark):
     base = _base(spark, [(1, "a")])
     bad = spark.createDataFrame([(1, 10, "x")], "k int, ts int, op string")

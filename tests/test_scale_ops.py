@@ -2235,6 +2235,50 @@ def test_overlap_join_brute_force_randomized(spark):
     assert got == want and len(want) > 50
 
 
+def test_overlap_join_keyed_equi_path(spark):
+    import datetime as dt
+
+    from pybabe_spark.operators.join import overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [("u1", 1, base, base + 2 * h),
+         ("u2", 2, base, base + 2 * h)],
+        "uid string, aid int, astart timestamp, aend timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, base + h, base + 3 * h),   # overlaps u1's interval
+         ("u2", 20, base + 5 * h, base + 6 * h),  # same key, no overlap
+         ("u3", 30, base + h, base + 3 * h)],  # overlapping time, other key
+        "uid string, bid int, bstart timestamp, bend timestamp",
+    )
+    # shared 'uid' is the key: must NOT trip the column-overlap check,
+    # must restrict pairs to equal keys, and must emit uid once
+    out = overlap_join(
+        left, right, ("astart", "aend"), ("bstart", "bend"), key="uid"
+    )
+    assert out.columns.count("uid") == 1
+    rows = out.collect()
+    assert [(r["uid"], r["aid"], r["bid"], r["overlap_us"])
+            for r in rows] == [("u1", 1, 10, 3600 * 1_000_000)]
+    # a (left_key, right_key) pair keeps both columns
+    right2 = right.withColumnRenamed("uid", "ruid")
+    out2 = overlap_join(
+        left, right2, ("astart", "aend"), ("bstart", "bend"),
+        key=("uid", "ruid"),
+    )
+    assert {"uid", "ruid"} <= set(out2.columns)
+    assert [(r["uid"], r["bid"]) for r in out2.collect()] == [("u1", 10)]
+    # non-key shared columns still raise
+    with pytest.raises(ValueError, match="overlapping column names"):
+        overlap_join(
+            left.withColumn("dup", F.lit(1)),
+            right.withColumn("dup", F.lit(1)),
+            ("astart", "aend"), ("bstart", "bend"), key="uid",
+        )
+
+
 def test_overlap_join_emits_each_pair_once_across_cells(spark):
     import datetime as dt
 

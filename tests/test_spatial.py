@@ -120,6 +120,35 @@ def test_nearest_join_tie_breaks_on_id(spark):
     assert len(out) == 1 and out[0]["bid"] == 3
 
 
+def test_nearest_join_tie_breaks_on_string_id(spark):
+    # string ids would cast to NULL under the old bigint tiebreaker,
+    # making the pick nondeterministic — lexicographically smallest
+    # id must win among equidistant neighbors
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "aid int, ax double, ay double"
+    )
+    right = spark.createDataFrame(
+        [("store-b", 1.0, 0.0), ("store-a", -1.0, 0.0),
+         ("store-c", 0.5, 0.0)],
+        "bid string, bx double, by double",
+    )
+    out = nearest_join(
+        left, right, 2.0, right_id="bid",
+        left_xy=("ax", "ay"), right_xy=("bx", "by"), left_key="aid",
+    ).collect()
+    # store-c is strictly nearer; among the tie pair store-a < store-b
+    assert len(out) == 1 and out[0]["bid"] == "store-c"
+    right_tied = spark.createDataFrame(
+        [("store-b", 1.0, 0.0), ("store-a", -1.0, 0.0)],
+        "bid string, bx double, by double",
+    )
+    out2 = nearest_join(
+        left, right_tied, 2.0, right_id="bid",
+        left_xy=("ax", "ay"), right_xy=("bx", "by"), left_key="aid",
+    ).collect()
+    assert len(out2) == 1 and out2[0]["bid"] == "store-a"
+
+
 def test_overlapping_columns_rejected(spark):
     df = _pts(spark, [(1, 0.0, 0.0)], "a")
     with pytest.raises(ValueError, match="overlapping"):
