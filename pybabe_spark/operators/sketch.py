@@ -654,6 +654,7 @@ def weighted_quantiles(
     weight_col: str,
     probs: "list[float]",
     by: str | None = None,
+    buckets: int = 1024,
 ) -> DataFrame:
     """Exact WEIGHTED lower quantiles — one row per (group, prob):
     ``(group?, prob, value)`` where value is the smallest ``col`` whose
@@ -668,17 +669,32 @@ def weighted_quantiles(
     weights are excluded. Groups with zero total weight are absent.
 
     Scale shape — and the difference from the unweighted form: no
-    per-group value buffer. One (group, value) hash agg collapses
-    duplicates, one key-partitioned cumulative window orders each
-    group's DISTINCT values, and every prob is a conditional min in
-    ONE final hash agg (probs add counters, not passes). Distinct
-    values per group bound the window input, not row count.
+    per-group value buffer, and NO per-group cumulative funnel. One
+    (group, value) hash agg collapses duplicates; the GLOBAL value
+    range (one 1-row min/max agg, maxRows-proven broadcast attach)
+    splits into ``buckets`` equal-width cells, so the cumulative sum
+    runs in a window partitioned by (group, CELL) — parallelism is
+    groups × cells, not groups. Cell offsets AND the group total both
+    ride the (group, cell)-totals side table (≤ ``buckets`` rows per
+    group): per-group running/total sums when keyed (a bounded
+    key-partitioned window), a ``limit``-proved prefix self-join plus
+    a 1-row total attach (the ``active_intervals`` bucket-prefix
+    idiom) when global — so the big side is only ever joined to
+    broadcast-sized tables. Every prob is a conditional min in ONE
+    final hash agg (probs add counters, not passes). Cells use the
+    GLOBAL range: a group concentrated in a narrow value slice
+    degrades toward the old per-group funnel for THAT group only,
+    and is never worse; raise ``buckets`` to tighten.
     """
     if not probs:
         raise ValueError("weighted_quantiles: empty probs")
+    if buckets < 1:
+        raise ValueError("weighted_quantiles: buckets must be >= 1")
     p_ppms = [int(round(float(p) * 1_000_000)) for p in probs]
     if any(p < 0 or p > 1_000_000 for p in p_ppms):
         raise ValueError("weighted_quantiles: probs must be in [0, 1]")
+    from pybabe_spark.operators._util import attach_scalars
+
     keys = [by] if by else []
     cv = (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
     cw = (F.col(weight_col).cast("decimal(18,6)") * 1_000_000).cast(
@@ -689,36 +705,136 @@ def weighted_quantiles(
         .select(*keys, cv.alias("__v"), cw.alias("__w"))
         .groupBy(*keys, "__v")
         .agg(F.sum(F.col("__w").cast("decimal(38,0)")).alias("__w"))
+        # feeds the range agg AND the bucketed path — persist keeps the
+        # source scan + agg single-execution (lazy, no job)
+        .persist()
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
-    cum = base.withColumn(
-        "__cum",
-        F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn(
-        "__tot",
-        F.sum("__w").over(
-            w.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
+    rng = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    # equal-width cell of the GLOBAL range, in [0, buckets-1];
+    # decimal math — (v - lo) * buckets can overflow bigint cents
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
         ),
+    ).drop("__lo", "__hi")
+    btot = j.groupBy(*keys, "__b").agg(
+        F.sum("__w").cast("decimal(38,0)").alias("__bt")
     )
-    aggs = [
+    zero = F.lit(0).cast("decimal(38,0)")
+    if keys:
+        # ≤ buckets rows per group: the exclusive prefix and the group
+        # total are bounded key-partitioned windows over the
+        # cell-TOTALS table, never over the data
+        wb = Window.partitionBy(*keys).orderBy(F.col("__b").asc())
+        offs = btot.select(
+            *keys,
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                zero,
+            ).alias("__off"),
+            "__bt",
+            F.sum("__bt")
+            .over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__tot"),
+        )
+    else:
+        bounded = btot.limit(buckets)  # boundedness proof for the
+        # linter; the cell id is < buckets by construction, so the
+        # limit can never truncate
+        a, b = bounded.alias("a"), bounded.alias("b")
+        offs = attach_scalars(
+            a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+            .groupBy(
+                F.col("a.__b").alias("__b"), F.col("a.__bt").alias("__bt")
+            )
+            .agg(F.coalesce(F.sum("b.__bt"), zero).alias("__off"))
+            .select("__b", "__off", "__bt"),
+            bounded.agg(F.sum("__bt").alias("__tot")),
+        )
+    # TARGET CELL per (group, prob), resolved on the tiny table: the
+    # first cell whose inclusive cumulative reaches p·tot — the cell
+    # that contains the answer (all earlier cells sit strictly below
+    # the threshold). One row per (group, prob).
+    targets = (
+        offs.groupBy(*keys)
+        .agg(
+            F.max("__tot").alias("__tot"),
+            *[
+                F.min(
+                    F.when(
+                        (F.col("__off") + F.col("__bt")) * 1_000_000
+                        >= F.lit(p).cast("decimal(38,0)") * F.col("__tot"),
+                        F.col("__b"),
+                    )
+                ).alias(f"__tb{i}")
+                for i, p in enumerate(p_ppms)
+            ],
+            *[
+                F.min(
+                    F.when(
+                        (F.col("__off") + F.col("__bt")) * 1_000_000
+                        >= F.lit(p).cast("decimal(38,0)") * F.col("__tot"),
+                        F.col("__off"),
+                    )
+                ).alias(f"__to{i}")
+                for i, p in enumerate(p_ppms)
+            ],
+        )
+        .selectExpr(
+            *keys,
+            "__tot",
+            "stack({n}, {arms}) AS (__p, __tb, __toff)".format(
+                n=len(p_ppms),
+                arms=", ".join(
+                    f"CAST({p} AS BIGINT), __tb{i}, __to{i}"
+                    for i, p in enumerate(p_ppms)
+                ),
+            ),
+        )
+    )
+    # dig into ONLY the target cells: broadcast is one row per
+    # (group, prob) — the operator's OWN OUTPUT cardinality, so if it
+    # does not fit in a broadcast the result set is the problem, not
+    # the plan. The window then runs over the ≤1/buckets slice of the
+    # data that lives in a target cell, partitioned per (group, prob).
+    tsel = [*keys, "__tot", "__p", "__tb", "__toff"]
+    tr = targets.select(
+        *[F.col(k).alias("__k") for k in keys], *tsel[len(keys):]
+    ) if keys else targets.select(*tsel)
+    cond = F.col("__b") == F.col("__tb")
+    if keys:
+        cond = F.col(by).eqNullSafe(F.col("__k")) & cond
+    cand = j.join(F.broadcast(tr), cond)
+    w = Window.partitionBy(*keys, "__p").orderBy(F.col("__v").asc())
+    cum = cand.withColumn(
+        "__cum",
+        F.col("__toff")
+        + F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    one = cum.groupBy(*keys, "__p", "__tot").agg(
         F.min(
             F.when(
                 F.col("__cum").cast("decimal(38,0)") * 1_000_000
-                >= F.lit(p).cast("decimal(38,0)") * F.col("__tot"),
+                >= F.col("__p").cast("decimal(38,0)") * F.col("__tot"),
                 F.col("__v"),
             )
-        ).alias(f"__q{i}")
-        for i, p in enumerate(p_ppms)
-    ]
-    one = cum.groupBy(*keys).agg(*aggs)
-    stack = ", ".join(
-        f"CAST({p / 1e6} AS DOUBLE), CAST(__q{i} AS DOUBLE) / 100"
-        for i, p in enumerate(p_ppms)
+        ).alias("__q")
     )
-    return one.selectExpr(
-        *keys, f"stack({len(p_ppms)}, {stack}) AS (prob, value)"
+    return one.select(
+        *keys,
+        (F.col("__p").cast("double") / 1_000_000).alias("prob"),
+        (F.col("__q").cast("double") / 100).alias("value"),
     )
 
 
@@ -1042,11 +1158,18 @@ def mann_whitney_u(
     Exact for arms ≲ 10⁸ rows.
 
     Scale shape (the weighted_quantiles discipline): one (value → arm
-    counts) hash agg collapses duplicates, ONE cumulative window over
-    the DISTINCT values (bounded by value cardinality, not rows),
-    one final 1-row agg. ``u2 = Σ_v cb(v)·(2·cumA_less(v) + ca(v))``
-    where cumA_less is the control count strictly below v.
+    counts) hash agg collapses duplicates; the control-count running
+    sum over the DISTINCT values is DE-GLOBALIZED — the value range
+    (one 1-row min/max attach) splits into 1024 equal-width cells, the
+    cumsum runs in a window partitioned by CELL, and cell offsets come
+    from a ``limit``-proved prefix self-join over the ≤1024-row
+    cell-totals table (the ``active_intervals`` bucket-prefix idiom —
+    no single-task funnel even when the metric's dynamic range is
+    large); one final 1-row agg.
+    ``u2 = Σ_v cb(v)·(2·cumA_less(v) + ca(v))`` where cumA_less is the
+    control count strictly below v.
     """
+    buckets = 1024
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
     is_c = (F.col(variant_col) == control) & F.col(value_col).isNotNull()
     is_t = (F.col(variant_col) == treatment) & F.col(value_col).isNotNull()
@@ -1062,10 +1185,35 @@ def mann_whitney_u(
             F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb")
         )
     )
-    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+    from pybabe_spark.operators._util import attach_scalars
+
+    stats = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    j = attach_scalars(base, stats).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    )
+    btot = j.groupBy("__b").agg(F.sum("__ca").alias("__bca"))
+    bounded = btot.limit(buckets)  # boundedness proof for the linter;
+    # __b < buckets by construction, the limit can never truncate
+    a, b = bounded.alias("a"), bounded.alias("b")
+    offs = (
+        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("b.__bca"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = base.withColumn("__cuma", F.sum("__ca").over(w))
+    # explicit broadcast is PROVEN here: offs aggregates the
+    # limit(buckets)-bounded table, ≤1024 rows regardless of data
+    cum = j.join(F.broadcast(offs), ["__b"]).withColumn(
+        "__cuma", F.col("__off") + F.sum("__ca").over(w)
+    )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = cum.agg(
         F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("n_c"),

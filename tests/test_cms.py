@@ -254,3 +254,66 @@ def test_weighted_quantiles_excludes_bad_rows_and_dup_values(spark):
     }
     # total 12: cum(1.0)=6 ≥ 0.5·12 → 1.0; 0.6·12=7.2 → 5.0
     assert got == {0.5: 1.0, 0.6: 5.0}
+
+
+def test_weighted_quantiles_keyless_and_null_group(spark):
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    # keyless: the limit-proved bucket-prefix path
+    rows = [(float(v), 1.0) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", [0.5, 1.0]).collect()
+    }
+    assert got == {0.5: 5.0, 1.0: 10.0}
+    # NULL group key is its own group (window-partition parity)
+    rows2 = [("g", 1.0, 1.0), ("g", 3.0, 1.0),
+             (None, 10.0, 1.0), (None, 20.0, 3.0)]
+    df2 = spark.createDataFrame(rows2, "g string, v double, w double")
+    got2 = {
+        (r["g"], r["prob"]): r["value"]
+        for r in weighted_quantiles(df2, "v", "w", [0.5], by="g").collect()
+    }
+    assert got2 == {("g", 0.5): 1.0, (None, 0.5): 20.0}
+
+
+def test_weighted_quantiles_randomized_vs_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import weighted_quantiles
+
+    rng = random.Random(17)
+    rows = [
+        (rng.choice("abc"),
+         round(rng.uniform(-50, 50), 2),
+         round(rng.uniform(0.01, 5.0), 3))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    probs = [0.1, 0.25, 0.5, 0.75, 0.99, 1.0]
+    # few buckets → values share cells; offsets must still be exact
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in weighted_quantiles(
+            df, "v", "w", probs, by="g", buckets=7
+        ).collect()
+    }
+    # python model on the same cents/micro lift
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: defaultdict(int))
+    for g, v, w in rows:
+        agg[g][int(round(v * 100))] += int(round(w * 1_000_000))
+    want = {}
+    for g, vw in agg.items():
+        tot = sum(vw.values())
+        for p in probs:
+            p_ppm = int(round(p * 1_000_000))
+            cum = 0
+            for v in sorted(vw):
+                cum += vw[v]
+                if cum * 1_000_000 >= p_ppm * tot:
+                    want[(g, p)] = v / 100
+                    break
+    assert got == want

@@ -341,10 +341,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
     expected_dirty = {
         # reference-parity single-stream semantics, documented
         "window_rolling_sum": {"global-window"},
-        # value-level sweep: the window input is the DISTINCT cents
-        # values of a 2-dp metric — bounded by the metric's dynamic
-        # range, not row count (grows with price span, never with TB)
-        "mann_whitney_events": {"global-window"},
+        # value-level sweep de-globalized: bucket-partitioned cumsum;
+        # the finding is the ≤1024-row limit()-proved bucket-prefix
+        # self-join (inequality → BNLJ by construction, bounded
+        # independent of data size — the active_intervals idiom)
+        "mann_whitney_events": {"broadcast-nested-loop"},
         # the strict-adjacency lag runs on PERIOD rows (weeks of
         # calendar), bounded by time span, never by corpus size
         "growth_accounting_events": {"global-window"},
@@ -527,7 +528,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "seasonal_backtest_events",
                 # one stats agg + 1-row-proven broadcast-back
                 "cuped_adjust_events",
-                # distinct-value cumsum window + one final agg
+                # (group,bucket)-partitioned cumsum + per-group window
+                # over <=1024 bucket totals + one final agg — the
+                # distinct-value funnel is gone
                 "weighted_quantiles_lineitem",
                 # one conditional moment agg
                 "mean_test_events",
