@@ -33,7 +33,7 @@ INGEST_ID = "__ingest_id"
 #: (patchable in tests; the read loop enforces it incrementally).
 COMMAND_STDOUT_CAP = 256 * 1024 * 1024
 
-#: URL schemes pull() fetches driver-side before format dispatch.
+#: URL schemes pull() fetches / push() uploads driver-side.
 _FETCH_SCHEMES = ("http://", "https://", "ftp://")
 
 
@@ -48,6 +48,38 @@ def _default_url_opener(url: str, timeout: float = 120, headers=None):
 #: injectable transport for URL pulls (swap in tests / restricted envs),
 #: mirroring mail()'s injectable-transport pattern.
 URL_OPENER = _default_url_opener
+
+
+def _default_url_pusher(url: str, local_path: str, timeout: float = 120):
+    """Upload a staged local file to ``url`` — ftp STOR
+    (pybabe/protocol_ftp.py:6-18) or http(s) PUT
+    (pybabe/protocol_http.py:22-33)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(url)
+    if u.scheme == "ftp":
+        from ftplib import FTP
+
+        ftp = FTP()
+        ftp.connect(u.hostname or "", u.port or 21, timeout=timeout)
+        ftp.login(unquote(u.username or ""), unquote(u.password or ""))
+        try:
+            with open(local_path, "rb") as f:
+                ftp.storbinary(f"STOR {u.path.lstrip('/')}", f)
+        finally:
+            ftp.quit()
+        return
+    from urllib.request import Request, urlopen
+
+    with open(local_path, "rb") as f:
+        req = Request(url, data=f.read(), method="PUT")
+    with urlopen(req, timeout=timeout) as resp:
+        resp.read()
+
+
+#: injectable transport for URL pushes (swap in tests / restricted
+#: envs) — the upload twin of URL_OPENER.
+URL_PUSHER = _default_url_pusher
 
 
 def _raise_if_missing_avro(exc: Exception, fmt: str):
@@ -631,6 +663,92 @@ def _pull_sql_dump(spark, filename):
 # push
 # ---------------------------------------------------------------------------
 
+def _stage_single_local_file(
+    df: DataFrame,
+    basename: str,
+    *,
+    format: str | None = None,
+    header: bool = True,
+    separator: str | None = None,
+    encoding: str | None = None,
+    **options: str,
+) -> str:
+    """Materialize ``df`` as ONE driver-local file named ``basename``
+    (the reference's push staging, pybabe/base.py:541-562) and return
+    its path. Handles zip, the driver-side formats (xlsx/html), and
+    every distributed format via a single-task write whose part file is
+    renamed into place. Driver-local by nature — the same small-export
+    contract as ``single_file=True``; capped at COMMAND_STDOUT_CAP."""
+    import shutil
+    import tempfile
+
+    fmt_guess, compress = guess_format(basename)
+    fmt = format or fmt_guess or "csv"
+    d = tempfile.mkdtemp(prefix="pybabe_stage_")
+    target = os.path.join(d, basename)
+    if compress == "zip":
+        _write_zip(df, target, fmt, header=header, separator=separator,
+                   encoding=encoding, **options)
+    elif fmt in ("xlsx", "xls", "html"):
+        _push_driver_side(df, target, fmt)
+    else:
+        outdir = os.path.join(d, "stage")
+        push(df, outdir, format=fmt, single_file=True, mode="overwrite",
+             compression="gzip" if compress in ("gz", "gzip") else None,
+             header=header, separator=separator, encoding=encoding,
+             **options)
+        parts = [p for p in os.listdir(outdir)
+                 if p.startswith("part-") and not p.endswith(".crc")]
+        if len(parts) != 1:  # pragma: no cover - single_file guarantees 1
+            raise RuntimeError(
+                f"staging produced {len(parts)} part files, expected 1"
+            )
+        shutil.move(os.path.join(outdir, parts[0]), target)
+        shutil.rmtree(outdir, ignore_errors=True)
+    size = os.path.getsize(target)
+    if size > COMMAND_STDOUT_CAP:
+        raise ValueError(
+            f"push staging: {basename} is {size} bytes (> "
+            f"{COMMAND_STDOUT_CAP}); remote/zip push is a driver-side "
+            "single-file path — write to a distributed store instead"
+        )
+    return target
+
+
+def _write_zip(
+    df: DataFrame,
+    filename: str,
+    fmt: str,
+    *,
+    header: bool = True,
+    separator: str | None = None,
+    encoding: str | None = None,
+    **options: str,
+) -> None:
+    """Single-member zip write (pybabe/compress_zip.py:7-14 +
+    base.py:553-556's member naming): ``data.csv.zip`` holds member
+    ``data.csv``; ``data.zip`` holds ``data.<fmt>``. Driver-side by
+    nature — zip is not a distributed codec (same contract as the zip
+    read shim)."""
+    inner = os.path.basename(filename)
+    if inner.lower().endswith(".zip"):
+        inner = inner[:-4]
+    if "." not in inner:
+        inner = f"{inner}.{fmt}"
+    staged = _stage_single_local_file(
+        df, inner, format=fmt, header=header, separator=separator,
+        encoding=encoding, **options,
+    )
+    try:
+        with zipfile.ZipFile(filename, "w", zipfile.ZIP_DEFLATED) as z:
+            z.write(staged, inner)
+    finally:
+        try:
+            os.unlink(staged)
+        except OSError:  # pragma: no cover
+            pass
+
+
 def push(
     df: DataFrame,
     filename: str,
@@ -660,9 +778,35 @@ def push(
       via Spark's dynamic partition overwrite (no full-table rewrite; at
       100 TB this is the difference between touching one day and
       rewriting the lake).
+    - ``ftp://`` / ``http(s)://`` targets upload: stage ONE driver-local
+      file, then ship via the injectable ``URL_PUSHER`` (ftp STOR /
+      http PUT — pybabe/protocol_ftp.py:6-18, protocol_http.py:22-33).
+      Driver-side single-file by nature, size-capped; distributed
+      stores (s3a://, hdfs://) stay native Spark writes.
+    - ``.zip`` targets write a single-member archive
+      (pybabe/compress_zip.py:7-14) — driver-side, like the zip read.
     """
+    if filename.startswith(_FETCH_SCHEMES):
+        import shutil
+
+        base = os.path.basename(filename.split("?", 1)[0]) or "upload"
+        staged = _stage_single_local_file(
+            df, base, format=format, header=header,
+            separator=separator, encoding=encoding, **options,
+        )
+        try:
+            URL_PUSHER(filename, staged)
+        finally:
+            shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+        return
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "parquet"
+    if compress == "zip":
+        _write_zip(
+            df, filename, format or fmt_guess or "csv", header=header,
+            separator=separator, encoding=encoding, **options,
+        )
+        return
     if compression is None and compress in ("gz", "gzip"):
         compression = "gzip"
     if ignore_if_exists:

@@ -487,6 +487,85 @@ def test_fetch_url_default_opener_file_scheme(tmp_path):
         os.unlink(out)
 
 
+def test_push_ftp_and_http_urls_roundtrip(spark, tmp_path, monkeypatch):
+    """push('ftp://.../file.csv') and push('http(s)://.../file.csv')
+    stage ONE driver-local file then ship it via the injectable
+    URL_PUSHER (ftp STOR / http PUT — reference
+    pybabe/protocol_ftp.py:6-18, protocol_http.py:22-33), the upload
+    twin of test_pull_http_and_ftp_file_urls."""
+    import shutil
+
+    import pybabe_spark.sources.io as io_mod
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    shipped = []
+
+    def fake_pusher(url, local_path):
+        dst = tmp_path / f"up{len(shipped)}_{os.path.basename(local_path)}"
+        shutil.copy(local_path, dst)
+        shipped.append((url, str(dst)))
+
+    monkeypatch.setattr(io_mod, "URL_PUSHER", fake_pusher)
+    for url in ("ftp://user:pw@host.test/out.csv",
+                "http://host.test/out.csv",
+                "https://host.test/out.csv"):
+        push(df, url)
+    assert [u for u, _ in shipped] == [
+        "ftp://user:pw@host.test/out.csv",
+        "http://host.test/out.csv",
+        "https://host.test/out.csv",
+    ]
+    for _, local in shipped:
+        back = pull(spark, local)
+        assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+    # remote gz: the staged file is actually gzip-compressed
+    push(df, "http://host.test/out.csv.gz")
+    import gzip
+
+    with gzip.open(shipped[-1][1], "rt") as f:
+        assert f.readline().strip() == "a,b"
+
+    # remote ZIP composes with the zip writer
+    push(df, "ftp://host.test/out.csv.zip")
+    with zipfile.ZipFile(shipped[-1][1]) as z:
+        assert z.namelist() == ["out.csv"]
+
+
+def test_push_zip_write_roundtrip(spark, tmp_path):
+    """push('x.csv.zip') writes a single-member archive the zip pull
+    shim reads back (reference pybabe/compress_zip.py:7-23 both
+    directions)."""
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    target = str(tmp_path / "data.csv.zip")
+    push(df, target)
+    with zipfile.ZipFile(target) as z:
+        assert z.namelist() == ["data.csv"]
+    back = pull(spark, target)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+    # extensionless inner name gets the format extension
+    target2 = str(tmp_path / "plain.zip")
+    push(df, target2, format="csv")
+    with zipfile.ZipFile(target2) as z:
+        assert z.namelist() == ["plain.csv"]
+    back2 = pull(spark, target2, format="csv")
+    assert back2.count() == 2
+
+
+def test_push_staging_size_cap(spark, tmp_path, monkeypatch):
+    import pybabe_spark.sources.io as io_mod
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    monkeypatch.setattr(io_mod, "COMMAND_STDOUT_CAP", 2)
+    monkeypatch.setattr(io_mod, "URL_PUSHER",
+                        lambda *a: pytest.fail("must not upload"))
+    with pytest.raises(ValueError, match="driver-side single-file"):
+        push(df, "http://host.test/big.csv")
+
+
 def test_pull_command_stdout_cap_kills_runaway(spark, monkeypatch):
     """The stdout cap is enforced WHILE reading (child killed mid-stream),
     not after buffering everything — the advisory's OOM scenario."""
