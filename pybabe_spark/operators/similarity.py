@@ -442,6 +442,32 @@ def build_lsh_index(
     )
 
 
+def append_lsh_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 4,
+) -> None:
+    """Append a vector batch to a :func:`build_lsh_index` layout
+    WITHOUT touching the indexed rows — the incremental-crawl shape of
+    ``append_bm25_index``, for ANN. The bucket hash is stateless md5
+    math (no sidecar), so appending a batch is bit-identical to
+    rebuilding over the union (asserted in tests); ``dims``/``planes``
+    must match the build. Single-writer, like every stored index here.
+    """
+    bucket = _bucket_pandas(dims, planes)
+    (
+        new_rows.select(
+            F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def ann_lsh_stored(
     spark,
     path: str,
@@ -714,21 +740,7 @@ def build_ivf_index(
     across every subsequent query batch.
     """
     C = _ivf_centroids(corpus, id_col, vec_col, nlist, sample_size, iters)
-
-    @pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype="float64")
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
-
-    (
-        corpus.select(
-            F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
-        )
-        .write.mode(mode)
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    _write_ivf_cells(corpus, path, C, id_col, vec_col, mode)
     spark = corpus.sparkSession
     rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
     (
@@ -737,6 +749,50 @@ def build_ivf_index(
         .write.mode(mode)
         .json(path.rstrip("/") + "/_centroids")
     )
+
+
+def _write_ivf_cells(rows, path, C, id_col, vec_col, mode) -> None:
+    """Assign rows to their nearest of the closure-shipped centroids
+    (one Arrow-batch matmul per partition) and write partitionBy(cell)."""
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype="float64")
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+
+    (
+        rows.select(
+            F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
+        )
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def append_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a :func:`build_ivf_index` layout
+    WITHOUT re-reading indexed vectors or refitting: cells are assigned
+    with the STORED centroid sidecar (which stays immutable, so every
+    probe — before or after any number of appends — partitions the
+    space identically). Appending equals a build over the union with
+    the same centroids (asserted in tests); a periodic full rebuild
+    refreshes centroid quality when the corpus drifts, exactly like a
+    production IVF service. Single-writer, like ``append_bm25_index``.
+    """
+    spark = new_rows.sparkSession
+    cent = spark.read.json(path.rstrip("/") + "/_centroids")
+    crows = sorted(
+        ((r["cell"], r["centroid"]) for r in cent.collect()), key=lambda t: t[0]
+    )
+    C = np.asarray([c for _, c in crows], dtype="float64")
+    _write_ivf_cells(new_rows, path, C, id_col, vec_col, "append")
 
 
 def ann_ivf_stored(

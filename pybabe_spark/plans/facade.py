@@ -1028,6 +1028,26 @@ class Babe:
 
         build_bm25_index(self.df, path, **kwargs)
 
+    def build_lsh_index(self, path, **kwargs) -> None:
+        from pybabe_spark.operators.similarity import build_lsh_index
+
+        build_lsh_index(self.df, path, **kwargs)
+
+    def append_lsh_index(self, path, **kwargs) -> None:
+        from pybabe_spark.operators.similarity import append_lsh_index
+
+        append_lsh_index(self.df, path, **kwargs)
+
+    def build_ivf_index(self, path, **kwargs) -> None:
+        from pybabe_spark.operators.similarity import build_ivf_index
+
+        build_ivf_index(self.df, path, **kwargs)
+
+    def append_ivf_index(self, path, **kwargs) -> None:
+        from pybabe_spark.operators.similarity import append_ivf_index
+
+        append_ivf_index(self.df, path, **kwargs)
+
     def pmi_collocations(self, k=20, min_count=5, **kwargs) -> "Babe":
         from pybabe_spark.operators.collocations import pmi_collocations
 

@@ -566,6 +566,48 @@ def q_ann_lsh_stored(spark, sf_dir):
     )
 
 
+@register("ann_lsh_appended_topk", _lsh_oracle())
+def q_ann_lsh_appended(spark, sf_dir):
+    """Incremental-crawl ANN: the LSH index built on half the
+    embeddings, the other half APPENDED
+    (operators/similarity.py::append_lsh_index — stateless md5 bucket
+    hash, no indexed row re-read), then probed. The oracle is the
+    whole-corpus LSH SQL — append must be indistinguishable from a
+    fresh rebuild over the union."""
+    import os
+
+    from pybabe_spark.operators.similarity import (
+        ann_lsh_stored,
+        append_lsh_index,
+        build_lsh_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "appended")
+    path = _LSH_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pybabe_lsh_app_")
+        atexit.register(shutil.rmtree, root, True)
+        path = os.path.join(root, "index")
+        build_lsh_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            dims=_LSH_DIMS, planes=_LSH_PLANES,
+        )
+        append_lsh_index(
+            emb.filter(F.col("vec_id") % 2 != 0), path,
+            dims=_LSH_DIMS, planes=_LSH_PLANES,
+        )
+        _LSH_INDEX_CACHE[key] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh_stored(
+        spark, path, queries, k=10, dims=_LSH_DIMS, planes=_LSH_PLANES, nprobe=2
+    )
+
+
 # IVF ANN: the driver-side k-means fit is not SQL-replicable, so the query
 # REDUCES the approximate result to facts an exact engine can verify (the
 # approx_stats_scale pattern): per query, the IVF result count is bounded

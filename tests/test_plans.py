@@ -436,7 +436,11 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # cumulative window
         "active_sessions_curve": {"broadcast-nested-loop"},
     }
-    for key in ["flagship_revenue_by_nation", "ann_lsh_topk", "minhash_lsh_pairs",
+    for key in ["flagship_revenue_by_nation", "ann_lsh_topk",
+                # appended stored-LSH probe: pruned scan + broadcast
+                # query join, same clean plan as the fresh index
+                "ann_lsh_appended_topk",
+                "minhash_lsh_pairs",
                 "jaccard_pairs_words",  # shingle equi-join, NOT all-pairs
                 "segment_dedup_docs", "pack_tokens_docs", "chunk_documents_docs",
                 "rolling_value_per_user", "skip_rows",

@@ -895,6 +895,74 @@ def test_lsh_stored_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path
     assert sorted(got) == sorted(want)
 
 
+def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """append_lsh_index on half the corpus == build_lsh_index over the
+    union: same probes, same neighbors, same sims (the bucket hash is
+    stateless, so the layouts are interchangeable)."""
+    from pybabe_spark.operators.similarity import (
+        ann_lsh_stored,
+        append_lsh_index,
+        build_lsh_index,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_lsh_index(emb, full, dims=64, planes=4)
+    build_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), inc,
+                    dims=64, planes=4)
+    append_lsh_index(emb.filter(F.col("vec_id") % 2 != 0), inc,
+                     dims=64, planes=4)
+
+    def probe(path):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"])
+            for r in ann_lsh_stored(
+                spark, path, queries, k=10, dims=64, planes=4, nprobe=2
+            ).collect()
+        )
+
+    got = probe(inc)
+    assert got == probe(full) and got
+
+
+def test_ivf_append_equals_rebuild_with_same_centroids(spark, sf_dir, tmp_path):
+    """append_ivf_index assigns the batch with the STORED centroids, so
+    append == a full build whose centroid fit sees the same sample.
+    Split by id threshold: the union's lowest-id training sample IS the
+    base half's sample, so both indexes share centroids exactly."""
+    from pybabe_spark.operators.similarity import (
+        ann_ivf_stored,
+        append_ivf_index,
+        build_ivf_index,
+    )
+    from pybabe_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = n // 2
+    base = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    queries = emb.filter(F.col("vec_id") < 5)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    # sample_size <= |base| and ids ordered => identical centroid fits
+    build_ivf_index(emb, full, nlist=8, sample_size=cut)
+    build_ivf_index(base, inc, nlist=8, sample_size=cut)
+    append_ivf_index(batch, inc)
+
+    def probe(path):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"])
+            for r in ann_ivf_stored(
+                spark, path, queries, k=10, nprobe=3
+            ).collect()
+        )
+
+    got = probe(inc)
+    assert got == probe(full) and got
+
+
 def test_decontaminate_drop_and_flag_agree(spark, sf_dir):
     """flag-mode marks exactly the docs drop-mode removes; a benchmark
     doc's own n-grams always contaminate an identical training doc."""
