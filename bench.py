@@ -249,7 +249,24 @@ def _stage_metrics(spark) -> dict[str, int] | None:
         return None  # Connect / API drift: skip bytes, keep wall times
 
 
-def stress(factors: list[int]) -> None:
+#: the families --stress-lowmem squeezes (the ×10 wall-clock top five):
+#: wall-time exponents alone can't show whether these SPILL gracefully
+#: or OOM when executor memory is the binding constraint — the cliff
+#: 100 TB hits first.
+LOWMEM_FAMILIES = [
+    "near_dedup_best",
+    "semantic_dedup",
+    "containment_capped",
+    "entity_resolution",
+    "quality_classifier",
+]
+
+
+def stress(
+    factors: list[int],
+    lowmem: bool = False,
+    only: list[str] | None = None,
+) -> None:
     import tempfile
 
     import numpy as np
@@ -263,12 +280,24 @@ def stress(factors: list[int]) -> None:
     # stage-metric retention raised far above the suite's stage count so
     # the status store never evicts a stage mid-measurement (the UI
     # itself stays off; AppStatusListener records metrics regardless)
+    conf = {
+        "spark.ui.retainedStages": "100000",
+        "spark.ui.retainedJobs": "100000",
+    }
+    if lowmem:
+        # a deliberately memory-starved JVM: 2g heap with the unified
+        # execution+storage region cut to 15% (~250 MB) forces the
+        # heavy families onto the spill path the normal run never
+        # exercises (STRESS.json shows zero spill at ×10 otherwise).
+        # The claim under test is GRACEFUL DEGRADATION: slower is fine,
+        # OOM is a failure.
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_LOWMEM_DRIVER_MEM", "2g"
+        )
+        conf["spark.memory.fraction"] = "0.15"
     spark = get_spark(
-        "pybabe_spark-stress",
-        extra_conf={
-            "spark.ui.retainedStages": "100000",
-            "spark.ui.retainedJobs": "100000",
-        },
+        "pybabe_spark-stress-lowmem" if lowmem else "pybabe_spark-stress",
+        extra_conf=conf,
     )
     spark.sparkContext.setLogLevel("WARN")
     # the workdir holds sum-of-factors corpus copies (~14x at [1,3,10]) —
@@ -738,7 +767,10 @@ def stress(factors: list[int]) -> None:
             os.path.join(sf_dir, "embeddings.parquet")
         ).count()
         sizes[factor] = {"n_docs": n_docs, "n_vecs": n_vecs}
-        for name, fn in _families(sf_dir, factor).items():
+        fams = _families(sf_dir, factor)
+        if only is not None:
+            fams = {n: fams[n] for n in only if n in fams}
+        for name, fn in fams.items():
             # same session-state shedding as main(): checkpoint blocks
             # pinned by the iterative families (CC, greedy dedup, the
             # classifier) must not accumulate across factors and tax
@@ -790,9 +822,36 @@ def stress(factors: list[int]) -> None:
             n: {str(f): m for f, m in d.items()} for n, d in bytes_by.items()
         },
     }
-    with open(os.path.join(_REPO, "STRESS.json"), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps(out, separators=(",", ":")))
+    path = os.path.join(_REPO, "STRESS.json")
+    if lowmem:
+        # merge as a section of the existing STRESS.json so both axes
+        # (scale exponents, memory-pressure behavior) live in one file
+        try:
+            full = json.load(open(path))
+        except (OSError, ValueError):
+            full = {}
+        full["lowmem"] = {
+            "driver_memory": conf["spark.driver.memory"],
+            "memory_fraction": conf["spark.memory.fraction"],
+            "factors": factors,
+            "families": list((only or LOWMEM_FAMILIES)),
+            "timings_sec": out["timings_sec"],
+            "stage_bytes": out["stage_bytes"],
+            "oom": False,  # reaching this line means every family ran
+        }
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        print(json.dumps(full["lowmem"], separators=(",", ":")))
+    else:
+        try:
+            prev = json.load(open(path))
+        except (OSError, ValueError):
+            prev = {}
+        if "lowmem" in prev:
+            out["lowmem"] = prev["lowmem"]  # keep the other axis
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 
@@ -804,6 +863,13 @@ if __name__ == "__main__":
             else [1, 3, 10]
         )
         stress(factors)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stress-lowmem":
+        factors = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [10]
+        )
+        stress(factors, lowmem=True, only=LOWMEM_FAMILIES)
     elif len(sys.argv) > 3 and sys.argv[1] == "--chunk":
         _run_chunk(sys.argv[2], sys.argv[3])
     else:
