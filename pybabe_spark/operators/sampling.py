@@ -306,6 +306,78 @@ def temperature_resample_sql(
     """
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    token_col: str,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy per-group TOKEN-budget fill — the data-mixing primitive
+    row-count sampling (``temperature_resample``) can't express: each
+    group keeps documents in deterministic seeded-shuffle order until
+    its cumulative ``token_col`` reaches ``budget``. A doc is kept
+    while the tokens BEFORE it are under budget, so a group overshoots
+    by at most one document — budgets are fuzzy at doc granularity,
+    exact at corpus scale (the standard mixing contract). Rows with
+    NULL ``token_col`` are excluded; ``token_col`` must be
+    non-negative (compose with ``functions.text.token_count`` or a
+    stored length column upstream).
+
+    Deterministic: the order is the md5 ``shuffle_key`` (a property of
+    data + seed — stable under retries, identical across engines), so
+    re-running a mixing job reproduces the same corpus slice.
+
+    Scale shape: ONE key-partitioned cumulative window over each
+    group's rows — no global sort, no driver state; groups fill in
+    parallel. At 100 TB this is one shuffle by group key.
+    """
+    if budget <= 0:
+        raise ValueError(f"token_budget_sample: budget {budget} must be > 0")
+    w = Window.partitionBy(group_col).orderBy(
+        shuffle_key(key, seed), F.col(key)
+    )
+    prior = gen_col(df.columns, "__prior")
+    return (
+        df.filter(F.col(token_col).isNotNull())
+        .withColumn(
+            prior,
+            F.coalesce(
+                F.sum(F.col(token_col).cast("bigint")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .filter(F.col(prior) < budget)
+        .drop(prior)
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    group_col: str,
+    key: str,
+    token_col: str,
+    budget: int,
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle of :func:`token_budget_sample` — identical md5
+    order, exclusive-prefix cumulative sum, strict budget test."""
+    return f"""
+    SELECT {columns} FROM (
+        SELECT *, COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY {shuffle_key_sql(key, seed)}, {key}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS __prior
+        FROM {table} WHERE {token_col} IS NOT NULL
+    ) WHERE __prior < {budget}
+    """
+
+
 def mix_sources(
     sources: Sequence[tuple[DataFrame, float]], key: str
 ) -> DataFrame:

@@ -234,6 +234,17 @@ class Babe:
 
         return self._wrap(temperature_resample(self.df, group_col, key, budget, **kwargs))
 
+    def token_budget_sample(
+        self, group_col, key, token_col, budget, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.sampling import token_budget_sample
+
+        return self._wrap(
+            token_budget_sample(
+                self.df, group_col, key, token_col, budget, **kwargs
+            )
+        )
+
     def global_shuffle(self, key, seed=0, shards=None) -> "Babe":
         from pybabe_spark.operators.sampling import global_shuffle
 

@@ -1220,10 +1220,10 @@ def _er_clusters(spark, sf_dir):
     from pybabe_spark.operators.fuzzy import fuzzy_pairs
     from pybabe_spark.operators.graph import dup_clusters
 
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # pragma: no cover - Connect session
-        app = str(id(spark))
+    # Connect-safe session identity (no sparkContext): the app id conf
+    # is present on classic sessions; fall back to the session object
+    # identity, which is stable for the session's lifetime
+    app = spark.conf.get("spark.app.id", None) or str(id(spark))
     key = (app, sf_dir)
     hit = _ER_CLUSTERS_MEMO.get(key)
     if hit is not None:

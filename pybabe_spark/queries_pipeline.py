@@ -278,6 +278,31 @@ def q_temperature_resample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _token_budget_sql() -> str:
+    from pybabe_spark.operators.sampling import token_budget_sample_sql
+
+    return token_budget_sample_sql(
+        "documents", "lang", "doc_id", "n_chars", budget=10_000,
+        columns="doc_id, lang, n_chars",
+    )
+
+
+@register("token_budget_sample_docs", _token_budget_sql())
+def q_token_budget_sample(spark, sf_dir):
+    """Per-language token-budget fill
+    (operators/sampling.py::token_budget_sample): each language keeps
+    documents in deterministic md5-shuffle order until 10k stored
+    length units are consumed (overshoot ≤ 1 doc) — the exact-budget
+    half of data mixing that row-count resampling can't express.
+    Scale shape: one language-partitioned cumulative window, groups
+    fill in parallel, no global sort."""
+    from pybabe_spark.operators.sampling import token_budget_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, "lang", "doc_id", "n_chars", 10_000)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Keyed merges
 # ---------------------------------------------------------------------------

@@ -580,6 +580,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "time_to_convert_events",
                 # (key,period) distinct + keyed window + two hash aggs
                 "streaks_events",
+                # one group-partitioned cumsum window, no global sort
+                "token_budget_sample_docs",
                 # one (group,category) hash agg + per-group rollup
                 "category_diversity_docs",
                 # (type,day) hash agg -> keyed MAD gate, composition

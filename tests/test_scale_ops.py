@@ -1714,6 +1714,64 @@ def test_temperature_resample_alpha_behavior(spark):
     assert a == b
 
 
+def test_token_budget_sample_fills_to_budget(spark):
+    """Each group keeps docs in md5 order until the budget is consumed;
+    overshoot is at most one doc; NULL token counts are excluded."""
+    import pyspark.sql.functions as F
+
+    from pybabe_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             None if i == 7 else 10 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, g string, toks int")
+    budget = 300
+    out = token_budget_sample(df, "g", "id", "toks", budget)
+    per = {
+        r["g"]: (r["n"], r["tot"])
+        for r in out.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("toks").alias("tot"))
+        .collect()
+    }
+    for g, (n, tot) in per.items():
+        # filled: reached the budget...
+        assert tot >= budget
+        # ...with at most one overshooting doc (max token count is 14)
+        assert tot < budget + 14 + 1
+    assert 7 not in {r["id"] for r in out.collect()}
+    # determinism
+    a = {r["id"] for r in token_budget_sample(df, "g", "id", "toks", budget).collect()}
+    assert a == {r["id"] for r in out.collect()}
+    # a different seed is a different permutation (almost surely)
+    c = {r["id"] for r in
+         token_budget_sample(df, "g", "id", "toks", budget, seed=1).collect()}
+    assert c != a
+    # python-model cross-check of the greedy fill
+    import hashlib
+
+    want = set()
+    for g in ("a", "b"):
+        docs = sorted(
+            ((hashlib.md5(f"0:{i}".encode()).hexdigest(), i, t)
+             for i, gg, t in rows if gg == g and t is not None),
+        )
+        cum = 0
+        for _, i, t in docs:
+            if cum < budget:
+                want.add(i)
+            cum += t
+    assert a == want
+
+
+def test_token_budget_sample_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame([(1, "a", 5)], "id bigint, g string, toks int")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_sample(df, "g", "id", "toks", 0)
+
+
 def test_temperature_resample_fraction_path(spark):
     """exact=False is a map-side filter: no window in the plan, group
     sizes binomially near the allocation, subset determinism holds."""
