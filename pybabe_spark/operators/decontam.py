@@ -285,3 +285,123 @@ def novelty_score(
         .cast("double")
         .alias("novelty"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4/RefinedWeb line-level boilerplate removal: any LINE whose
+    verbatim text occurs in at least ``min_df`` DISTINCT documents is
+    deleted from every document (nav bars, cookie banners, footers —
+    the dominant residual duplication after doc-level dedup). Returns
+    ``(id, text)`` with each document's surviving lines rejoined in
+    their original order; a fully-boilerplate document survives as an
+    empty string. Lines whose trimmed length is under
+    ``min_line_chars`` are always KEPT and never counted (blank lines
+    are structure, not boilerplate). NULL texts are dropped (the house
+    text-op contract); line matching is verbatim — normalize upstream
+    (``functions.text.normalize_text``) for fuzzier matching.
+
+    Scale shape: one narrow posexplode, a (line-hash → distinct-doc
+    count) hash agg with map-side combine, one line-hash equi-join of
+    the lines against the boilerplate table (left-anti — shuffle keyed
+    by a 128-bit md5 of the line, so wide lines never ride the
+    shuffle twice), and one per-doc reassembly agg whose ordering is
+    an in-row ``array_sort`` over (pos, line) structs — no window, no
+    driver state, three shuffles total. The boilerplate table scales
+    with the number of REPEATED distinct lines, not the corpus.
+    """
+    if min_df < 2:
+        raise ValueError(
+            f"strip_boilerplate_lines: min_df {min_df} must be >= 2 "
+            "(1 would delete every eligible line)"
+        )
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+                "__pos", "__line"
+            ),
+        )
+        .withColumn("__h", F.md5(F.col("__line")))
+        .withColumn(
+            "__elig",
+            F.length(F.trim(F.col("__line"))) >= min_line_chars,
+        )
+    )
+    boiler = (
+        lines.filter(F.col("__elig"))
+        .select(F.col(id_col), F.col("__h"))
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    kept = lines.join(
+        boiler,
+        (lines["__h"] == boiler["__h"]) & lines["__elig"],
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda x: x["__line"],
+            ),
+            line_sep,
+        ).alias(text_col)
+    )
+    ids = df.filter(F.col(text_col).isNotNull()).select(id_col)
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
+def strip_boilerplate_lines_sql(
+    select: str,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    min_line_chars: int = 1,
+) -> str:
+    """DuckDB oracle of :func:`strip_boilerplate_lines` — identical
+    verbatim-line df counting and ordered reassembly (string_agg with
+    ORDER BY replays the array_sort-by-position rebuild)."""
+    return f"""
+    WITH src AS ({select}),
+    ls AS (
+        SELECT {id_col}, string_split({text_col}, chr(10)) AS __ls
+        FROM src WHERE {text_col} IS NOT NULL
+    ),
+    lines AS (
+        SELECT {id_col}, r.i AS __pos, __ls[r.i] AS __line,
+               length(trim(__ls[r.i])) >= {min_line_chars} AS __elig
+        FROM ls, LATERAL unnest(range(1, len(__ls) + 1)) AS r(i)
+    ),
+    boiler AS (
+        SELECT md5(__line) AS __h
+        FROM (SELECT DISTINCT {id_col}, __line FROM lines WHERE __elig)
+        GROUP BY md5(__line) HAVING COUNT(*) >= {min_df}
+    ),
+    kept AS (
+        SELECT * FROM lines l
+        WHERE NOT (l.__elig AND md5(l.__line) IN (SELECT __h FROM boiler))
+    )
+    SELECT s.{id_col},
+           COALESCE(k.{text_col}, '') AS {text_col}
+    FROM (SELECT {id_col} FROM src WHERE {text_col} IS NOT NULL) s
+    LEFT JOIN (
+        SELECT {id_col},
+               string_agg(__line, chr(10) ORDER BY __pos) AS {text_col}
+        FROM kept GROUP BY {id_col}
+    ) k USING ({id_col})
+    """

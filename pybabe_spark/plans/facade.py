@@ -395,6 +395,13 @@ class Babe:
 
         return self._wrap(coverage_dedup(self.df, threshold, **kwargs))
 
+    def strip_boilerplate_lines(self, id_col, text_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+        return self._wrap(
+            strip_boilerplate_lines(self.df, id_col, text_col, **kwargs)
+        )
+
     def strip_duplicated_spans(self, n=15, **kwargs) -> "Babe":
         """Exact duplicated-substring removal (Lee et al. / RefinedWeb):
         delete every word covered by a corpus-duplicated n-gram."""

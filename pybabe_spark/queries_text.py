@@ -1286,3 +1286,42 @@ def q_calibration_bins(spark, sf_dir):
         .alias("label"),
     )
     return calibration_bins(frame, "score", "label", 10)
+
+
+def _boiler_sql():
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines_sql
+
+    src = (
+        "SELECT doc_id, "
+        "'COOKIE NOTICE' || chr(10) || text || chr(10) || "
+        "'footer-' || CAST(doc_id % 3 AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id < 3000"
+    )
+    return strip_boilerplate_lines_sql(src, "doc_id", "text", min_df=2)
+
+
+@register("strip_boilerplate_docs", _boiler_sql())
+def q_strip_boilerplate(spark, sf_dir):
+    """C4/RefinedWeb line-level boilerplate removal
+    (operators/decontam.py::strip_boilerplate_lines): every document is
+    wrapped in a shared cookie-banner header plus a 3-way footer, and
+    any line occurring in >= 2 distinct documents is stripped — the
+    banner and footers vanish corpus-wide, each unique body line
+    survives in place. Scale shape: posexplode + line-hash df agg +
+    line-hash anti-join + in-row ordered reassembly (array_sort over
+    (pos, line) structs) — no window, three shuffles."""
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 3000
+    )
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.concat(F.lit("footer-"), (F.col("doc_id") % 3).cast("string")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(wrapped, "doc_id", "text", min_df=2)

@@ -814,3 +814,76 @@ def test_dsir_target_model_save_load(spark, docs, tmp_path):
         ).collect()
     }
     assert direct == stored
+
+
+# strip_boilerplate_lines (operators/decontam.py) — corpus-frequency line dedup
+
+
+def test_strip_boilerplate_lines_hand_checked(spark):
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+    rows = [
+        (1, "COOKIE\nalpha body\n\nFOOTER"),
+        (2, "COOKIE\nbeta body\nFOOTER"),
+        (3, "COOKIE\ngamma body\nunique tail"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(df, "doc_id", "text").collect()
+    }
+    # COOKIE (df=3) and FOOTER (df=2) are removed everywhere; the blank
+    # line (under min_line_chars) is structure and survives; unique
+    # body lines survive in order; NULL text rows are dropped
+    assert got == {
+        1: "alpha body\n",
+        2: "beta body",
+        3: "gamma body\nunique tail",
+    }
+
+
+def test_strip_boilerplate_lines_edges(spark):
+    import pytest
+
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+    # a fully-boilerplate doc survives as an empty string
+    rows = [(1, "SAME"), (2, "SAME"), (3, "SAME\nown line")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(df, "doc_id", "text").collect()
+    }
+    assert got == {1: "", 2: "", 3: "own line"}
+    # repeats WITHIN one doc don't make a line boilerplate (df counts
+    # distinct docs)
+    rows2 = [(1, "dup\ndup\nbody"), (2, "other")]
+    df2 = spark.createDataFrame(rows2, "doc_id int, text string")
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(df2, "doc_id", "text").collect()
+    }
+    assert got2 == {1: "dup\ndup\nbody", 2: "other"}
+    with pytest.raises(ValueError, match="min_df"):
+        strip_boilerplate_lines(df2, "doc_id", "text", min_df=1)
+
+
+def test_strip_boilerplate_lines_min_line_chars(spark):
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+    # raising min_line_chars protects short shared lines ("---")
+    rows = [(1, "---\nbody a"), (2, "---\nbody b")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", min_line_chars=5
+        ).collect()
+    }
+    assert kept == {1: "---\nbody a", 2: "---\nbody b"}
+    gone = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(df, "doc_id", "text").collect()
+    }
+    assert gone == {1: "body a", 2: "body b"}

@@ -582,6 +582,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "streaks_events",
                 # one group-partitioned cumsum window, no global sort
                 "token_budget_sample_docs",
+                # posexplode + line-hash df agg + anti-join + in-row
+                # ordered reassembly (array_sort) - window-free
+                "strip_boilerplate_docs",
                 # one (group,category) hash agg + per-group rollup
                 "category_diversity_docs",
                 # (type,day) hash agg -> keyed MAD gate, composition
