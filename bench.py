@@ -715,6 +715,32 @@ def stress(
             "strip_dup_spans": lambda: strip_duplicated_spans(docs, n=6)
             .filter(F.col("n_removed") > 0)
             .count(),
+            # corpus-frequency line dedup: the replica suffixing keeps
+            # each replica's lines distinct, so the boilerplate table
+            # (shared banner lines injected here) stays x1-sized while
+            # the exploded line count grows with the corpus
+            "strip_boilerplate": lambda: __import__(
+                "pybabe_spark.operators.decontam",
+                fromlist=["strip_boilerplate_lines"],
+            ).strip_boilerplate_lines(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("COOKIE BANNER\n"), F.col("text"),
+                        F.lit("\nfooter-"),
+                        (F.col("doc_id") % 3).cast("string"),
+                    ).alias("text"),
+                ),
+                "doc_id", "text", min_df=2,
+            ).count(),
+            # per-language greedy budget fill: one keyed cumsum window;
+            # budget ∝ factor keeps the kept fraction comparable
+            "token_budget": lambda: __import__(
+                "pybabe_spark.operators.sampling",
+                fromlist=["token_budget_sample"],
+            ).token_budget_sample(
+                docs, "lang", "doc_id", "n_chars", 10_000 * factor
+            ).count(),
             "quality_classifier": lambda: _clf_run(docs),
             "attribution_linear": _attribution,
             # hot-shingle valve demo: the synthetic 31-word vocab makes

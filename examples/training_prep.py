@@ -29,6 +29,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     seen = docs.filter(F.col("doc_id") % 5 == 0)
     batch = docs.filter(F.col("doc_id") % 5 != 0)
 
+    # 0b. line-level boilerplate removal (C4/RefinedWeb): any line
+    #     occurring in >= 3 distinct docs (nav, banners, footers) is
+    #     deleted corpus-wide before anything else reads the text
+    batch = batch.strip_boilerplate_lines("doc_id", "text", min_df=3)
+
     # 1. exact duplicated-substring scrub (Lee-et-al pass): delete
     #    spans covered by corpus-duplicated 6-grams, keep docs that
     #    still have text — BEFORE stats, so quality scores see the

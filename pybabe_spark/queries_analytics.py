@@ -2159,6 +2159,76 @@ def q_cdc_apply(spark, sf_dir):
     return apply_cdc(base, changes, "user_id", "ts")
 
 
+def _cdc_diff_sql():
+    from pybabe_spark.operators.cdc import apply_cdc_sql
+    from pybabe_spark.operators.merge import table_diff_sql
+
+    base = """
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-24'
+        ) WHERE rn = 1
+    """
+    changes = """
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+    """
+    applied = apply_cdc_sql(
+        base, changes, ["user_id"], ["ts"], ["event_type", "value"]
+    )
+    diff = table_diff_sql(
+        f"({base})", f"({applied})", ["user_id"], ["event_type", "value"]
+    )
+    return (
+        f"SELECT change, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM ({diff}) GROUP BY change"
+    )
+
+
+@register("cdc_diff_report_events", _cdc_diff_sql())
+def q_cdc_diff_report(spark, sf_dir):
+    """Lakehouse batch-audit composition (operators/cdc.apply_cdc →
+    operators/merge.table_diff): replay the week's change feed onto the
+    snapshot, then diff new-vs-old and report how many keys were
+    added / removed / changed — the post-load reconciliation a daily
+    CDC pipeline emits. Certifies the two operators COMPOSE: the diff's
+    full-outer join consumes apply_cdc's union output directly, and the
+    oracle nests both operators' own SQL builders unchanged. Plan:
+    apply_cdc's feed-window + anti-join + union, one full-outer key
+    join, one tiny hash agg — the base is never windowed."""
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators.cdc import apply_cdc
+    from pybabe_spark.operators.merge import table_diff
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    new = apply_cdc(base, changes, "user_id", "ts")
+    diff = table_diff(base, new, "user_id", ["event_type", "value"])
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 def _ols_sql():
     from pybabe_spark.operators.regression import ols_sql
 

@@ -789,6 +789,12 @@ def push(
     if filename.startswith(_FETCH_SCHEMES):
         import shutil
 
+        if partition_by:
+            raise ValueError(
+                "push: remote-protocol targets are single-file uploads; "
+                "partition_by is not supported — write to a "
+                "distributed store instead"
+            )
         base = os.path.basename(filename.split("?", 1)[0]) or "upload"
         staged = _stage_single_local_file(
             df, base, format=format, header=header,
@@ -802,6 +808,11 @@ def push(
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "parquet"
     if compress == "zip":
+        if partition_by:
+            raise ValueError(
+                "push: zip targets are single-member archives; "
+                "partition_by is not supported"
+            )
         _write_zip(
             df, filename, format or fmt_guess or "csv", header=header,
             separator=separator, encoding=encoding, **options,

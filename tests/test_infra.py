@@ -554,6 +554,19 @@ def test_push_zip_write_roundtrip(spark, tmp_path):
     assert back2.count() == 2
 
 
+def test_push_remote_and_zip_reject_partition_by(spark, tmp_path, monkeypatch):
+    import pybabe_spark.sources.io as io_mod
+    from pybabe_spark.sources.io import push
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    monkeypatch.setattr(io_mod, "URL_PUSHER",
+                        lambda *args: pytest.fail("must not upload"))
+    with pytest.raises(ValueError, match="partition_by"):
+        push(df, "ftp://host.test/out.csv", partition_by=["a"])
+    with pytest.raises(ValueError, match="partition_by"):
+        push(df, str(tmp_path / "out.csv.zip"), partition_by=["a"])
+
+
 def test_push_staging_size_cap(spark, tmp_path, monkeypatch):
     import pybabe_spark.sources.io as io_mod
     from pybabe_spark.sources.io import push

@@ -504,6 +504,8 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "clip_pack_curriculum_docs",
                 # CDC: feed-only window + anti-join + union
                 "cdc_apply_events",
+                # CDC apply + full-outer diff + tiny agg, composition
+                "cdc_diff_report_events",
                 # one map-side-combinable hash agg
                 "ols_lineitem_price_qty",
                 # codegen bucketize/interleave + 1-row-proven min/max
