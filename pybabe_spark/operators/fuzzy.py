@@ -25,6 +25,8 @@ strings past ``max_len`` rather than silently exploding the key fanout.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -378,4 +380,102 @@ def fuzzy_string_pairs_sql(
     SELECT a.s AS s1, b.s AS s2, levenshtein(a.s, b.s) AS dist
     FROM s a JOIN s b
       ON a.s < b.s AND levenshtein(a.s, b.s) <= {int(max_dist)}
+    """
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    fields: "dict[str, tuple[float, float]]",
+    lower: float = 0.0,
+    upper: float = 4.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring — the
+    classical decision layer on top of blocking (Fellegi & Sunter
+    1969): each candidate pair's log-odds of being a true match is the
+    sum of per-field agreement weights, ``ln(m/u)`` on agreement and
+    ``ln((1-m)/(1-u))`` on disagreement, where ``m``/``u`` are the
+    field's match/unmatch agreement probabilities (supplied — from
+    labeled data or EM run offline). Appends ``fs_score`` (micro-units)
+    and ``fs_tier`` ∈ match / possible / non_match by the two
+    thresholds (log-odds units).
+
+    ``fields`` maps an existing BOOLEAN agreement column to its
+    ``(m, u)``; a NULL agreement contributes weight 0 (the standard
+    missing-is-no-information convention). Requires
+    ``0 < u < m < 1`` per field (otherwise the weights lose their
+    monotone meaning).
+
+    Determinism: the log weights are computed ONCE in Python and enter
+    the plan as integral micro-unit literals, so the score is a pure
+    integer sum — bit-identical across engines, no transcendental
+    evaluated by either. Scale shape: a single codegen projection over
+    the pair table — zero shuffles beyond what produced the pairs.
+    """
+    import math
+
+    if not fields:
+        raise ValueError("fellegi_sunter: fields must be non-empty")
+    if lower > upper:
+        raise ValueError(
+            f"fellegi_sunter: lower {lower} > upper {upper}"
+        )
+    missing = [c for c in fields if c not in pairs.columns]
+    if missing:
+        raise ValueError(f"fellegi_sunter: columns {missing} not in pairs")
+    terms = []
+    for col, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"fellegi_sunter: field {col!r} needs 0 < u < m < 1, "
+                f"got (m={m}, u={u})"
+            )
+        wa = int(round(math.log(m / u) * 1_000_000))
+        wd = int(round(math.log((1.0 - m) / (1.0 - u)) * 1_000_000))
+        terms.append(
+            F.when(F.col(col).isNull(), F.lit(0))
+            .when(F.col(col), F.lit(wa))
+            .otherwise(F.lit(wd))
+        )
+    score = reduce(lambda a, b: a + b, terms).cast("bigint")
+    lo = int(round(float(lower) * 1_000_000))
+    hi = int(round(float(upper) * 1_000_000))
+    return pairs.withColumn("fs_score", score).withColumn(
+        "fs_tier",
+        F.when(F.col("fs_score") >= hi, F.lit("match"))
+        .when(F.col("fs_score") <= lo, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def fellegi_sunter_sql(
+    pairs_select: str,
+    fields: "dict[str, tuple[float, float]]",
+    lower: float = 0.0,
+    upper: float = 4.0,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle of :func:`fellegi_sunter` — the identical integer
+    micro-unit weight literals and tier thresholds."""
+    import math
+
+    terms = []
+    for col, (m, u) in fields.items():
+        wa = int(round(math.log(m / u) * 1_000_000))
+        wd = int(round(math.log((1.0 - m) / (1.0 - u)) * 1_000_000))
+        terms.append(
+            f"CASE WHEN {col} IS NULL THEN 0"
+            f" WHEN {col} THEN {wa} ELSE {wd} END"
+        )
+    score = " + ".join(terms)
+    lo = int(round(float(lower) * 1_000_000))
+    hi = int(round(float(upper) * 1_000_000))
+    return f"""
+    SELECT {columns}, fs_score,
+           CASE WHEN fs_score >= {hi} THEN 'match'
+                WHEN fs_score <= {lo} THEN 'non_match'
+                ELSE 'possible' END AS fs_tier
+    FROM (
+        SELECT *, CAST({score} AS BIGINT) AS fs_score
+        FROM ({pairs_select})
+    )
     """

@@ -159,7 +159,14 @@ def gap_fill(
 
     - ``"forward"``: last non-null earlier value (classic LOCF),
     - ``"zero"``: 0,
-    - ``"null"``: leave NULL.
+    - ``"null"``: leave NULL,
+    - ``"linear"``: straight-line interpolation between the nearest
+      non-null neighbors (time-weighted — a 1-bucket gap and a 9-bucket
+      gap both draw the same line); before the first / after the last
+      non-null value the fill is flat (nearest available). The sensor /
+      metrics resampling rule LOCF mis-states for sloping series. The
+      interpolated value is one fixed-shape IEEE expression rounded
+      once to DECIMAL(18,6), so both engines agree bit-for-bit.
 
     ``agg_cols`` maps column → aggregate ('sum' | 'count' | 'min' |
     'max'); sums of doubles go through the engine's exact-decimal
@@ -171,7 +178,7 @@ def gap_fill(
     key+bucket equi-join of grid to data, and — for forward fill — one
     key-partitioned window. No global window, no driver loop.
     """
-    if fill not in ("forward", "zero", "null"):
+    if fill not in ("forward", "zero", "null", "linear"):
         raise ValueError(f"gap_fill: unknown fill {fill!r}")
     aggs = []
     for c, how in agg_cols.items():
@@ -229,6 +236,39 @@ def gap_fill(
             "bucket",
             *[F.last(c, ignorenulls=True).over(w).alias(c) for c in vals],
         )
+    elif fill == "linear":
+        wp = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        t = F.unix_timestamp("bucket").cast("double")
+
+        def lerp(c):
+            known_t = F.when(
+                F.col(c).isNotNull(), F.unix_timestamp("bucket")
+            ).cast("double")
+            pv = F.last(c, ignorenulls=True).over(wp)
+            pt = F.last(known_t, ignorenulls=True).over(wp)
+            nv = F.first(c, ignorenulls=True).over(wn)
+            nt = F.first(known_t, ignorenulls=True).over(wn)
+            interp = pv + (nv - pv) * ((t - pt) / (nt - pt))
+            return (
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(pv.isNull(), nv)
+                .when(nv.isNull(), pv)
+                .otherwise(
+                    interp.cast("decimal(18,6)").cast("double")
+                )
+                .alias(c)
+            )
+
+        out = out.select(key_col, "bucket", *[lerp(c) for c in vals])
     return out
 
 
@@ -265,6 +305,35 @@ def gap_fill_sql(
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
             for c in vals
         )
+    elif fill == "linear":
+        wp = (
+            f"OVER (PARTITION BY g.{key_col} ORDER BY g.bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        wn = (
+            f"OVER (PARTITION BY g.{key_col} ORDER BY g.bucket "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+
+        def _lerp(c):
+            kt = (
+                f"CASE WHEN d.{c} IS NOT NULL"
+                " THEN CAST(epoch(g.bucket) AS DOUBLE) END"
+            )
+            pv = f"LAST_VALUE(d.{c} IGNORE NULLS) {wp}"
+            pt = f"LAST_VALUE({kt} IGNORE NULLS) {wp}"
+            nv = f"FIRST_VALUE(d.{c} IGNORE NULLS) {wn}"
+            nt = f"FIRST_VALUE({kt} IGNORE NULLS) {wn}"
+            return (
+                f"CASE WHEN d.{c} IS NOT NULL THEN d.{c} "
+                f"WHEN {pv} IS NULL THEN {nv} "
+                f"WHEN {nv} IS NULL THEN {pv} "
+                f"ELSE CAST(CAST({pv} + ({nv} - {pv}) * "
+                f"((CAST(epoch(g.bucket) AS DOUBLE) - {pt}) / ({nt} - {pt}))"
+                f" AS DECIMAL(18,6)) AS DOUBLE) END AS {c}"
+            )
+
+        fills = ", ".join(_lerp(c) for c in vals)
     else:
         fills = ", ".join(f"d.{c} AS {c}" for c in vals)
     return f"""

@@ -992,6 +992,11 @@ class Babe:
             fuzzy_join(self.df, right, left_on, right_on, max_dist, **kwargs)
         )
 
+    def fellegi_sunter(self, fields, lower=0.0, upper=4.0) -> "Babe":
+        from pybabe_spark.operators.fuzzy import fellegi_sunter
+
+        return self._wrap(fellegi_sunter(self.df, fields, lower, upper))
+
     def fuzzy_pairs(self, id_col, s_col, max_dist=1, **kwargs) -> "Babe":
         from pybabe_spark.operators.fuzzy import fuzzy_pairs
 

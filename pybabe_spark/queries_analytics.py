@@ -815,6 +815,32 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+def _gap_fill_linear_sql():
+    from pybabe_spark.operators.timeseries import gap_fill_sql
+
+    return gap_fill_sql(
+        "events", 21600, "user_id", "ts", {"value": "sum"}, fill="linear"
+    )
+
+
+@register("gap_fill_linear_events", _gap_fill_linear_sql())
+def q_gap_fill_linear(spark, sf_dir):
+    """Linear-interpolation resampling
+    (operators/timeseries.py::gap_fill fill='linear'): empty buckets on
+    the per-user 6-hour grid take the time-weighted straight line
+    between their nearest non-null neighbors (flat at the edges) — the
+    sensor/metrics rule LOCF mis-states for sloping series. One
+    fixed-shape IEEE expression rounded once to DECIMAL(18,6), two
+    key-partitioned IGNORE-NULLS windows over the SAME sort — no extra
+    shuffle beyond the forward-fill plan."""
+    from pybabe_spark.operators.timeseries import gap_fill
+
+    ev = read_table(spark, sf_dir, "events")
+    return gap_fill(
+        ev, 21600, "user_id", "ts", {"value": "sum"}, fill="linear"
+    )
+
+
 def _fuzzy_pairs_sql():
     from pybabe_spark.operators.fuzzy import fuzzy_pairs_sql
 
@@ -1236,6 +1262,76 @@ def _er_clusters(spark, sf_dir):
     # the first action pins the result for every later consumer
     _ER_CLUSTERS_MEMO[key] = clusters
     return clusters
+
+
+_FS_FIELDS = {
+    "nation_agree": (0.95, 0.04),
+    "segment_agree": (0.90, 0.20),
+    "balance_agree": (0.85, 0.05),
+}
+
+
+def _fs_sql():
+    from pybabe_spark.operators.fuzzy import fellegi_sunter_sql
+
+    pairs = """
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               a.c_nationkey = b.c_nationkey AS nation_agree,
+               a.c_mktsegment = b.c_mktsegment AS segment_agree,
+               abs(a.c_acctbal - b.c_acctbal) <= 100.0 AS balance_agree
+        FROM customer a JOIN customer b
+          ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """
+    return fellegi_sunter_sql(
+        pairs, _FS_FIELDS, lower=0.0, upper=4.0,
+        columns="id1, id2, nation_agree, segment_agree, balance_agree",
+    )
+
+
+@register("fellegi_sunter_customers", _fs_sql())
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi–Sunter probabilistic linkage scoring on the fuzzy-name
+    candidate pairs (operators/fuzzy.py::fellegi_sunter): per-field
+    agreement (nation / segment / balance-within-100) folds into an
+    integer micro-unit log-odds sum with match / possible / non_match
+    tiers — the classical decision layer between blocking and
+    clustering. The weights are Python-computed literals, so neither
+    engine evaluates a transcendental; the oracle replays blocking,
+    agreements AND the identical weight table. Plan: the SymSpell
+    blocking (pinned clean) + two id equi-joins + one codegen
+    projection — zero extra shuffles."""
+    from pybabe_spark.operators.fuzzy import fellegi_sunter, fuzzy_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        "id1", "id2"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_nationkey").alias("__n1"),
+        F.col("c_mktsegment").alias("__s1"),
+        F.col("c_acctbal").alias("__b1"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_nationkey").alias("__n2"),
+        F.col("c_mktsegment").alias("__s2"),
+        F.col("c_acctbal").alias("__b2"),
+    )
+    ag = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("__n1") == F.col("__n2")).alias("nation_agree"),
+            (F.col("__s1") == F.col("__s2")).alias("segment_agree"),
+            (F.abs(F.col("__b1") - F.col("__b2")) <= 100.0).alias(
+                "balance_agree"
+            ),
+        )
+    )
+    return fellegi_sunter(ag, _FS_FIELDS, lower=0.0, upper=4.0)
 
 
 def _strat_n_sql():

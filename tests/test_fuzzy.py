@@ -104,3 +104,45 @@ def test_fuzzy_candidates_scan_distinct_strings_only(spark):
     rows = [(i, "cat" if i % 2 else "cats") for i in range(1000)]
     df = spark.createDataFrame(rows, "id bigint, s string")
     assert fuzzy_string_pairs(df, "s", 1).count() == 1
+
+
+# -- fellegi_sunter (operators/fuzzy.py) --------------------------------------
+
+
+def test_fellegi_sunter_hand_checked(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pybabe_spark.operators.fuzzy import fellegi_sunter
+
+    rows = [
+        (1, 2, True, True),    # both agree: strong match
+        (1, 3, False, False),  # both disagree: non-match
+        (1, 4, True, None),    # NULL contributes 0
+    ]
+    df = spark.createDataFrame(
+        rows, "id1 int, id2 int, a boolean, b boolean"
+    )
+    fields = {"a": (0.9, 0.1), "b": (0.8, 0.2)}
+    wa_a = int(round(math.log(0.9 / 0.1) * 1e6))
+    wd_a = int(round(math.log(0.1 / 0.9) * 1e6))
+    wa_b = int(round(math.log(0.8 / 0.2) * 1e6))
+    wd_b = int(round(math.log(0.2 / 0.8) * 1e6))
+    got = {
+        (r["id1"], r["id2"]): (r["fs_score"], r["fs_tier"])
+        for r in fellegi_sunter(df, fields, lower=0.0, upper=3.0).collect()
+    }
+    assert got[(1, 2)] == (wa_a + wa_b, "match")
+    assert got[(1, 3)] == (wd_a + wd_b, "non_match")
+    assert got[(1, 4)] == (wa_a, "possible")  # 2.197 < 3.0 upper
+
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter(df, {"a": (0.1, 0.9)})
+    with pytest.raises(ValueError, match="not in pairs"):
+        fellegi_sunter(df, {"zz": (0.9, 0.1)})
+    with pytest.raises(ValueError, match="fields"):
+        fellegi_sunter(df, {})
+    with pytest.raises(ValueError, match="lower"):
+        fellegi_sunter(df, fields, lower=5.0, upper=1.0)

@@ -413,9 +413,15 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # per-key sequence grid + equi-join + key-partitioned LOCF
         # window — clean
         "gap_fill_events": set(),
+        # same grid plan + two key-partitioned IGNORE-NULLS windows
+        # over one sort - clean
+        "gap_fill_linear_events": set(),
         # symmetric-delete blocking: deletion-key equi-joins over
         # distinct strings, never all-pairs — clean
         "fuzzy_pairs_customer_names": set(),
+        # FS scoring rides the same blocking + two id equi-joins + one
+        # codegen weight projection - clean
+        "fellegi_sunter_customers": set(),
         "fuzzy_match_part_names": set(),
         # bloom prefilter: Arrow-batched bit test + anti-join on the
         # hit subset only — clean

@@ -127,6 +127,48 @@ def test_gap_fill_zero_and_null_fill(spark):
         gap_fill(df, 60, "user_id", "ts", {"value": "sum"}, fill="bogus")
 
 
+def test_gap_fill_linear_interpolation(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            # 3-bucket gap: values at minute 0 and 4 draw one line
+            (1, dt.datetime(2024, 1, 1, 0, 4, 0), 2.0),
+            # user 2: only one value — every grid row is that value
+            (2, dt.datetime(2024, 1, 1, 0, 1, 0), 7.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = gap_fill(
+        df, 60, "user_id", "ts", {"value": "sum"}, fill="linear"
+    ).collect()
+    by = {(r["user_id"], r["bucket"].minute): r["value"] for r in out}
+    assert by[(1, 0)] == 10.0 and by[(1, 4)] == 2.0
+    assert by[(1, 1)] == 8.0
+    assert by[(1, 2)] == 6.0
+    assert by[(1, 3)] == 4.0
+    assert by[(2, 1)] == 7.0
+
+
+def test_gap_fill_linear_edges_flat(spark):
+    # NULL at the edges of the grid: flat fill from the nearest known
+    # value, never extrapolated. Build leading/trailing NULL buckets by
+    # summing NULL values in the boundary buckets.
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), None),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 0), 4.0),
+            (1, dt.datetime(2024, 1, 1, 0, 3, 0), 8.0),
+            (1, dt.datetime(2024, 1, 1, 0, 4, 0), None),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = gap_fill(
+        df, 60, "user_id", "ts", {"value": "sum"}, fill="linear"
+    ).collect()
+    by = {r["bucket"].minute: r["value"] for r in out}
+    assert by == {0: 4.0, 1: 4.0, 2: 6.0, 3: 8.0, 4: 8.0}
+
+
 def test_gap_fill_count_agg(spark):
     df = spark.createDataFrame(
         [
