@@ -10,6 +10,8 @@ fixed memory.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1629,4 +1631,200 @@ def category_diversity_sql(
            CAST(((n * n - q) * 1000000) // (n * n) AS BIGINT)
              AS simpson_ppm
     FROM agg
+    """
+
+
+def _avg_rank2(
+    df: DataFrame,
+    keys: "list[str]",
+    col: str,
+    out: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Append ``out`` = TWICE the average tie-rank of ``col`` within
+    its group (2·rank keeps half-ranks integral — ties average to
+    .5s). Ranks come from cumulative DISTINCT-value counts computed
+    with the weighted_quantiles cell machinery: global-range cells,
+    per-(group, cell) partitioned cumsum, offsets from the tiny
+    cell-totals table — no per-group funnel. One extra shuffle joins
+    the distinct-value rank table back to the rows by (group, value).
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    base = df.groupBy(
+        *keys, F.col(col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    rng = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    ).drop("__lo", "__hi")
+    btot = j.groupBy(*keys, "__b").agg(F.sum("__c").alias("__bt"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    if keys:
+        wb = Window.partitionBy(*keys).orderBy(F.col("__b").asc())
+        offs = btot.select(
+            *keys,
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                zero,
+            ).alias("__off"),
+        )
+        offr = offs.withColumnRenamed("__b", "__b2")
+        for k in keys:
+            offr = offr.withColumnRenamed(k, f"__k_{k}")
+        conds = [F.col("__b") == F.col("__b2")] + [
+            F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys
+        ]
+        cum_in = j.join(
+            offr, reduce(lambda a, b: a & b, conds)
+        ).drop("__b2", *[f"__k_{k}" for k in keys])
+    else:
+        bounded = btot.limit(buckets)
+        a, b = bounded.alias("a"), bounded.alias("b")
+        offs = (
+            a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+            .groupBy(F.col("a.__b").alias("__b"))
+            .agg(F.coalesce(F.sum("b.__bt"), zero).alias("__off"))
+        )
+        cum_in = j.join(offs, ["__b"])
+    w = Window.partitionBy(*keys, "__b").orderBy(F.col("__v").asc())
+    ranks = cum_in.withColumn(
+        "__cum",
+        F.col("__off")
+        + F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select(
+        # fresh aliases: the rank table shares lineage with df, so the
+        # join-back must reference renamed attributes (self-join rule)
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        F.col("__v").alias("__rv"),
+        # before = inclusive-cum - own count; r2 = 2*before + c + 1
+        (2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + 1)
+        .cast("bigint")
+        .alias(out),
+    )
+    cond = [F.col(col) == F.col("__rv")]
+    for k in keys:
+        cond.append(F.col(k).eqNullSafe(F.col(f"__rk_{k}")))
+    joined = df.join(ranks, reduce(lambda a, b: a & b, cond))
+    return joined.select(*df.columns, out)
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Spearman rank correlation per group — ``(group?, n, rho)`` —
+    the monotone-association measure Pearson (``corr_matrix``)
+    mis-states for heavy-tailed metrics: rho = Pearson correlation of
+    the per-group AVERAGE TIE-RANKS of x and y. The constant factor in
+    2·rank cancels in the correlation, so every rank-side quantity is
+    an exact integer and all five moment sums run in DECIMAL(38,0);
+    only the final ``cov / (√varx·√vary)`` is IEEE, one fixed shape,
+    rounded once to DECIMAL(18,6). Values lift to bigint cents (2-dp),
+    so ties are cent-level — the house lift. Rows with NULL x or y are
+    excluded; groups with zero rank variance on either side yield NULL
+    rho.
+
+    Scale shape: ranks come from cumulative DISTINCT-value counts via
+    the weighted_quantiles cell machinery (no per-group funnel: the
+    cumsum windows are (group, cell)-partitioned, offsets ride the
+    tiny cell-totals table), joined back by (group, value); then ONE
+    map-combinable moment aggregation. No global window, no all-pairs.
+    """
+    keys = [by] if by else []
+    cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cy = (F.col(y_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*keys, cx.alias("__x"), cy.alias("__y"))
+    ranked = _avg_rank2(
+        _avg_rank2(base, keys, "__x", "__rx", buckets),
+        keys,
+        "__y",
+        "__ry",
+        buckets,
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("__rx")).alias("__sx"),
+        F.sum(d("__ry")).alias("__sy"),
+        F.sum(d("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(d("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(d("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    cov = d("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = d("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = d("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = (
+        cov.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.when((vx > 0) & (vy > 0), rho)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("rho"),
+    )
+
+
+def spearman_corr_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`spearman_corr` — average tie-ranks via
+    RANK() + per-value COUNT (2·avg = 2·RANK + cnt − 1, the same
+    integral form), identical DECIMAL moments and final expression."""
+    keys = f"{by}, " if by else ""
+    part = f"PARTITION BY {by} " if by else ""
+    pv = f"PARTITION BY {by}, " if by else "PARTITION BY "
+    gby = f"GROUP BY {by}" if by else ""
+    return f"""
+    WITH base AS (
+        SELECT {keys}
+               CAST(CAST({x_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(CAST({y_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM {table}
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), ranked AS (
+        SELECT {keys}
+               2 * RANK() OVER ({part}ORDER BY x)
+                 + COUNT(*) OVER ({pv}x) - 1 AS rx,
+               2 * RANK() OVER ({part}ORDER BY y)
+                 + COUNT(*) OVER ({pv}y) - 1 AS ry
+        FROM base
+    ), m AS (
+        SELECT {keys}
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+               SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+        FROM ranked {gby}
+    )
+    SELECT {keys} n,
+           CAST(CAST(CASE WHEN n::DECIMAL(38,0) * sxx - sx * sx > 0
+                     AND n::DECIMAL(38,0) * syy - sy * sy > 0 THEN
+             CAST(n::DECIMAL(38,0) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n::DECIMAL(38,0) * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n::DECIMAL(38,0) * syy - sy * sy AS DOUBLE)))
+           END AS DECIMAL(18,6)) AS DOUBLE) AS rho
+    FROM m
     """

@@ -351,6 +351,11 @@ class Babe:
 
         return self._wrap(pareto_report(self.df, key, value_col, top_n))
 
+    def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import spearman_corr
+
+        return self._wrap(spearman_corr(self.df, x_col, y_col, by, **kwargs))
+
     def corr_matrix(self, cols) -> "Babe":
         from pybabe_spark.operators.sketch import corr_matrix
 

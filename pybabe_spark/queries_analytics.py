@@ -1380,6 +1380,30 @@ def q_winsorize(spark, sf_dir):
     return winsorize(orders, "o_totalprice", 0.05, 0.95, by="o_orderstatus")
 
 
+def _spearman_sql():
+    from pybabe_spark.operators.sketch import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "lineitem", "l_quantity", "l_extendedprice", by="l_returnflag"
+    )
+
+
+@register("spearman_lineitem", _spearman_sql())
+def q_spearman(spark, sf_dir):
+    """Per-flag Spearman rank correlation of quantity vs price
+    (operators/sketch.py::spearman_corr): exact integral average
+    tie-ranks (2·rank form) from the de-globalized cumulative
+    machinery, DECIMAL(38,0) moment sums, one fixed-shape IEEE finish
+    — the monotone-association twin of ``corr_matrix_lineitem`` for
+    heavy-tailed metrics."""
+    from pybabe_spark.operators.sketch import spearman_corr
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", by="l_returnflag"
+    )
+
+
 def _corr_sql():
     from pybabe_spark.operators.sketch import corr_matrix_sql
 

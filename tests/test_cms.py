@@ -317,3 +317,84 @@ def test_weighted_quantiles_randomized_vs_python_model(spark):
                     want[(g, p)] = v / 100
                     break
     assert got == want
+
+
+# -- spearman_corr (operators/sketch.py) ---------------------------------------
+
+
+def test_spearman_hand_checked_and_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import spearman_corr
+
+    # perfect monotone (nonlinear) relation: rho = 1 even though
+    # Pearson < 1
+    rows = [("g", float(i), float(i) ** 3 / 100) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = spearman_corr(df, "x", "y", by="g").collect()[0]
+    assert r["n"] == 20 and r["rho"] == 1.0
+    # reversed: rho = -1
+    rows2 = [("g", float(i), float(-i)) for i in range(1, 21)]
+    df2 = spark.createDataFrame(rows2, "g string, x double, y double")
+    assert spearman_corr(df2, "x", "y", by="g").collect()[0]["rho"] == -1.0
+
+    # randomized with ties + NULLs vs a python model (average ranks)
+    rng = random.Random(5)
+    rows3 = [
+        (rng.choice("ab"),
+         None if rng.random() < 0.05 else round(rng.uniform(0, 20), 2),
+         None if rng.random() < 0.05 else round(rng.uniform(0, 9), 1))
+        for _ in range(400)
+    ]
+    df3 = spark.createDataFrame(rows3, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["rho"])
+        for r in spearman_corr(df3, "x", "y", by="g", buckets=7).collect()
+    }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (j + 1 < len(order)
+                   and vals[order[j + 1]] == vals[order[i]]):
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    import math
+
+    for g in "ab":
+        pts = [(int(round(x * 100)), int(round(y * 100)))
+               for gg, x, y in rows3
+               if gg == g and x is not None and y is not None]
+        rx = avg_ranks([p[0] for p in pts])
+        ry = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        want = cov / math.sqrt(vx * vy)
+        assert got[g][0] == n
+        assert abs(got[g][1] - want) < 1e-5, (g, got[g][1], want)
+
+
+def test_spearman_keyless_and_degenerate(spark):
+    from pybabe_spark.operators.sketch import spearman_corr
+
+    rows = [(float(i), float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()
+    assert len(out) == 1 and out[0]["n"] == 30
+    assert -1.0 <= out[0]["rho"] <= 1.0
+    # constant y: zero rank variance -> NULL rho
+    const = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None

@@ -552,6 +552,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "overlap_join_sessions",
                 # one hash agg to cells; totals broadcast back
                 "chi2_orders_priority_status",
+                # rank tables via (group,cell) windows + value joins +
+                # one moment agg - no global window
+                "spearman_lineitem",
                 # support-pruned pair agg + 2-row explode + broadcasts
                 "association_rules_lineitem",
                 # rollup hash agg + 1-row edge agg + codegen scoring
