@@ -1828,3 +1828,184 @@ def spearman_corr_sql(
            END AS DECIMAL(18,6)) AS DOUBLE) AS rho
     FROM m
     """
+
+
+#: cumulative Poisson(1) CDF thresholds scaled to 2^60 — computed once
+#: in Python, entering BOTH engines as integer literals so weight
+#: derivation is pure integral comparison (k = 9 covers the CDF to
+#: ~1e-10; the residual tail rounds into the last bucket)
+_POISSON1_CDF_2_60 = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776, 1152920207336574720,
+]
+
+
+def _poisson_weight(u60):
+    """Integer Poisson(1) draw from a 60-bit uniform hash value —
+    inverse-CDF against the literal threshold table (no floats)."""
+    w = F.lit(9)
+    for k in reversed(range(len(_POISSON1_CDF_2_60))):
+        w = F.when(u60 < F.lit(_POISSON1_CDF_2_60[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    by: str | None = None,
+    n_resamples: int = 50,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean —
+    ``(group?, n, mean, ci_lo, ci_hi)`` — the error bar a 100 TB
+    aggregate needs WITHOUT collecting anything: classical resampling
+    replays the dataset B times, the Poisson bootstrap (Chamandy et
+    al., Google 2012) instead gives every row an independent
+    Poisson(1) replication weight per resample, so all B resample
+    means come out of ONE map-combinable aggregation pass.
+
+    Fully deterministic and cross-engine exact: the per-(row, b)
+    weight is the inverse-CDF of a 60-bit integer slice of
+    ``md5(seed:b:key)`` against Python-computed integer thresholds —
+    no RNG, no floats until the final division. Resample sums run in
+    the exact-decimal convention; each mean is one fixed-shape IEEE
+    division rounded to DECIMAL(18,6); the CI bounds are order
+    statistics of the B means picked by in-row ``array_sort`` (index
+    ``floor(alpha/2·B)+1`` / ``ceil((1-alpha/2)·B)``, 1-based). NULL
+    values are excluded.
+
+    Scale shape: ONE aggregation with 2·B+2 sums (B is a constant —
+    default 50 — so the agg width is fixed, not data-dependent), then
+    a tiny in-row sort of B numbers per group. No shuffle beyond the
+    group-by, no second pass, no driver-side randomness.
+    """
+    if n_resamples < 4:
+        raise ValueError("bootstrap_mean_ci: n_resamples must be >= 4")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"bootstrap_mean_ci: alpha {alpha} not in (0,1)")
+    keys = [by] if by else []
+    xd = F.col(value_col).cast("decimal(18,6)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        xd.alias("__x"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("__k"),
+    )
+    sums = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("decimal(38,6)").alias("__sx"),
+    ]
+    for b in range(n_resamples):
+        u60 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:{b}:"), F.col("__k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        w = _poisson_weight(u60).cast("decimal(18,0)")
+        sums.append(F.sum(w * F.col("__x")).cast("decimal(38,6)").alias(f"__wx{b}"))
+        sums.append(F.sum(w).cast("decimal(38,0)").alias(f"__w{b}"))
+    agg = base.groupBy(*keys).agg(*sums)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"__w{b}") > 0,
+                    (
+                        F.col(f"__wx{b}").cast("double")
+                        / F.col(f"__w{b}").cast("double")
+                    )
+                    .cast("decimal(18,6)")
+                    .cast("double"),
+                )
+                for b in range(n_resamples)
+            ]
+        )
+    )
+    lo_i = int(alpha / 2 * n_resamples) + 1
+    import math as _math
+
+    hi_i = int(_math.ceil((1 - alpha / 2) * n_resamples))
+    return agg.select(
+        *keys,
+        "n",
+        (F.col("__sx").cast("double") / F.col("n").cast("double"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean"),
+        F.element_at(means, lo_i).alias("ci_lo"),
+        F.element_at(means, hi_i).alias("ci_hi"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    by: str | None = None,
+    n_resamples: int = 50,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle of :func:`bootstrap_mean_ci` — the identical md5
+    slice, integer threshold table, decimal sums and order-statistic
+    picks."""
+    import math as _math
+
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    ths = _POISSON1_CDF_2_60
+
+    def w_expr(b):
+        u = (
+            f"CAST(('0x' || substr(md5('{seed}:{b}:' ||"
+            f" COALESCE(CAST({key_col} AS VARCHAR), '')), 1, 15))"
+            " AS BIGINT)"
+        )
+        cases = " ".join(
+            f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(ths)
+        )
+        return f"CASE {cases} ELSE 9 END"
+
+    sums = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,6)))"
+        " AS DECIMAL(38,6)) AS sx",
+    ]
+    for b in range(n_resamples):
+        w = w_expr(b)
+        sums.append(
+            f"CAST(SUM(CAST({w} AS DECIMAL(18,0))"
+            f" * CAST({value_col} AS DECIMAL(18,6)))"
+            f" AS DECIMAL(38,6)) AS wx{b}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST({w} AS DECIMAL(18,0)))"
+            f" AS DECIMAL(38,0)) AS w{b}"
+        )
+    mean_arms = ", ".join(
+        f"CAST(CAST(CASE WHEN w{b} > 0 THEN"
+        f" CAST(wx{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) END"
+        f" AS DECIMAL(18,6)) AS DOUBLE)"
+        for b in range(n_resamples)
+    )
+    lo_i = int(alpha / 2 * n_resamples) + 1
+    hi_i = int(_math.ceil((1 - alpha / 2) * n_resamples))
+    return f"""
+    WITH agg AS (
+        SELECT {keys}{', '.join(sums)}
+        FROM {table} WHERE {value_col} IS NOT NULL
+        {gby}
+    )
+    SELECT {keys}n,
+           CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+           list_sort([{mean_arms}])[{lo_i}] AS ci_lo,
+           list_sort([{mean_arms}])[{hi_i}] AS ci_hi
+    FROM agg
+    """

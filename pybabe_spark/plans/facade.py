@@ -351,6 +351,13 @@ class Babe:
 
         return self._wrap(pareto_report(self.df, key, value_col, top_n))
 
+    def bootstrap_mean_ci(self, value_col, key_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import bootstrap_mean_ci
+
+        return self._wrap(
+            bootstrap_mean_ci(self.df, value_col, key_col, by, **kwargs)
+        )
+
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
 

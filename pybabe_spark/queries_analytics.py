@@ -1380,6 +1380,34 @@ def q_winsorize(spark, sf_dir):
     return winsorize(orders, "o_totalprice", 0.05, 0.95, by="o_orderstatus")
 
 
+def _bootstrap_sql():
+    from pybabe_spark.operators.sketch import bootstrap_mean_ci_sql
+
+    return bootstrap_mean_ci_sql(
+        "orders", "o_totalprice", "o_orderkey", by="o_orderstatus",
+        n_resamples=40,
+    )
+
+
+@register("bootstrap_ci_orders", _bootstrap_sql())
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the per-status mean order price
+    (operators/sketch.py::bootstrap_mean_ci): 40 resample means from
+    ONE aggregation pass — each row's per-resample replication weight
+    is the inverse-CDF of a 60-bit md5 slice against Python-computed
+    integer thresholds, so both engines draw the identical 'random'
+    weights with zero floats before the final division. The error-bar
+    primitive a 100 TB mean needs without a second pass or a driver
+    collect."""
+    from pybabe_spark.operators.sketch import bootstrap_mean_ci
+
+    orders = read_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        orders, "o_totalprice", "o_orderkey", by="o_orderstatus",
+        n_resamples=40,
+    )
+
+
 def _spearman_sql():
     from pybabe_spark.operators.sketch import spearman_corr_sql
 

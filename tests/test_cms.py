@@ -398,3 +398,65 @@ def test_spearman_keyless_and_degenerate(spark):
         [(float(i), 5.0) for i in range(10)], "x double, y double"
     )
     assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+
+# -- bootstrap_mean_ci (operators/sketch.py) ------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pybabe_spark.operators.sketch import bootstrap_mean_ci
+
+    rows = [("g", i, 10.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    out = bootstrap_mean_ci(df, "v", "id", by="g", n_resamples=40)
+    r = out.collect()[0]
+    assert r["n"] == 500
+    assert abs(r["mean"] - sum(10.0 + (i % 7) for i in range(500)) / 500) < 1e-9
+    # the CI brackets the sample mean and is sane for a tight metric
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 1.0
+    # determinism: exact same interval on re-run
+    r2 = bootstrap_mean_ci(df, "v", "id", by="g", n_resamples=40).collect()[0]
+    assert (r2["ci_lo"], r2["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    # a different seed is a different (but overlapping) interval
+    r3 = bootstrap_mean_ci(
+        df, "v", "id", by="g", n_resamples=40, seed=1
+    ).collect()[0]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+    assert r3["ci_lo"] <= r["mean"] <= r3["ci_hi"]
+
+
+def test_bootstrap_ci_validation_and_nulls(spark):
+    import pytest
+
+    from pybabe_spark.operators.sketch import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id bigint, v double"
+    )
+    out = bootstrap_mean_ci(df, "v", "id", n_resamples=10).collect()[0]
+    assert out["n"] == 2 and out["mean"] == 2.0
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_mean_ci(df, "v", "id", n_resamples=2)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, "v", "id", alpha=1.5)
+
+
+def test_poisson_weights_mean_near_one(spark):
+    """The integral inverse-CDF weights must actually behave like
+    Poisson(1): mean ≈ 1, P(0) ≈ 1/e over many keys."""
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.sketch import _poisson_weight
+
+    df = spark.createDataFrame([(str(i),) for i in range(20000)], "k string")
+    u60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("0:0:"), F.col("k"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    stats = df.select(_poisson_weight(u60).alias("w")).agg(
+        F.avg("w").alias("m"),
+        F.avg((F.col("w") == 0).cast("int")).alias("p0"),
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.02
+    assert abs(stats["p0"] - 0.3679) < 0.01

@@ -555,6 +555,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 # rank tables via (group,cell) windows + value joins +
                 # one moment agg - no global window
                 "spearman_lineitem",
+                # ONE fixed-width (2B+2 sums) map-combinable agg +
+                # in-row array_sort of B means - no second pass
+                "bootstrap_ci_orders",
                 # support-pruned pair agg + 2-row explode + broadcasts
                 "association_rules_lineitem",
                 # rollup hash agg + 1-row edge agg + codegen scoring
