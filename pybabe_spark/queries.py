@@ -48,6 +48,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 def register(name: str, sql: str | None):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent overwrite would REPLACE an existing key's query
+            # and oracle under the same name — the driver's gate would
+            # quietly verify the wrong thing
+            raise ValueError(
+                f"register: duplicate registry key {name!r} "
+                f"(existing: {REGISTRY[name][0].__module__}."
+                f"{REGISTRY[name][0].__name__}, "
+                f"new: {fn.__module__}.{fn.__name__})"
+            )
         REGISTRY[name] = (fn, sql)
         return fn
     return deco

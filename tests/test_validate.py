@@ -200,3 +200,16 @@ def test_k_anonymity_validation(spark):
         k_anonymity(df, [], 10)
     with pytest.raises(ValueError):
         k_anonymity(df, ["g"], 1)
+
+
+def test_register_rejects_duplicate_keys():
+    """A duplicate registry key must raise at import/registration time,
+    never silently replace an existing query+oracle pair (the driver
+    gate would quietly verify the wrong thing)."""
+    import pytest
+
+    from pybabe_spark.queries import REGISTRY, register
+
+    key = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate registry key"):
+        register(key, "SELECT 1")(lambda spark, sf_dir: None)
