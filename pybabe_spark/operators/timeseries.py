@@ -2239,3 +2239,215 @@ def streaks_sql(
            CAST(max_by(len, maxp) AS BIGINT) AS current_streak
     FROM runs GROUP BY k
     """
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    chi2_crit: float = 3.841459,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample log-rank test — does group A's survival curve differ
+    from group B's? The inferential companion of :func:`km_survival`
+    (KM draws the curves; this says whether the gap is noise). ONE
+    output row: ``(n_a, n_b, events_a, events_b, o_minus_e, variance,
+    significant)`` where ``o_minus_e`` = Σ_t (d_At − d_t·n_At/n_t)
+    over distinct EVENT times, ``variance`` = Σ_t hypergeometric
+    variance terms, and ``significant`` applies the χ²(1 dof)
+    criterion ``(O−E)² > crit·V``. Rows outside the two groups are
+    ignored; NULL durations are excluded; ties are handled exactly
+    (all standard).
+
+    Determinism: at-risk counts are exact integers; each time's
+    expectation/variance term is a fixed-shape IEEE expression over
+    those integers ROUNDED ONCE to DECIMAL(18,6), so the Σ is an
+    order-independent decimal sum (the ``benford_audit`` term idiom);
+    the final decision is fixed-shape scalar arithmetic.
+
+    Scale shape: one (duration → per-group subject/event counts) hash
+    agg collapses ties; the at-risk counts need the count of subjects
+    with duration STRICTLY BELOW t — the mann_whitney cell machinery
+    (cells from a 1-row min/max attach, (cell)-partitioned cumsums,
+    offsets via the limit-proved bucket-prefix self-join) — then one
+    1-row conditional agg. No per-subject window, no global funnel.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    base = (
+        df.filter((is_a | is_b) & F.col(duration_col).isNotNull())
+        .select(
+            F.col(duration_col).cast("bigint").alias("__t"),
+            is_a.cast("long").alias("__a"),
+            F.col(event_col).cast("int").alias("__e"),
+        )
+        .groupBy("__t")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__a").alias("__ca"),
+            F.sum(F.col("__e")).alias("__d"),
+            F.sum(F.col("__e") * F.col("__a")).alias("__da"),
+        )
+    )
+    rng = base.agg(F.min("__t").alias("__lo"), F.max("__t").alias("__hi"))
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__t AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    ).drop("__lo", "__hi")
+    btot = j.groupBy("__b").agg(
+        F.sum("__c").alias("__bc"), F.sum("__ca").alias("__bca")
+    )
+    bounded = btot.limit(buckets)  # boundedness proof (cell id <
+    # buckets by construction, the limit can never truncate)
+    x, y = bounded.alias("x"), bounded.alias("y")
+    offs = (
+        x.join(y, F.col("y.__b") < F.col("x.__b"), "left")
+        .groupBy(F.col("x.__b").alias("__b"))
+        .agg(
+            F.coalesce(F.sum("y.__bc"), F.lit(0)).alias("__oc"),
+            F.coalesce(F.sum("y.__bca"), F.lit(0)).alias("__oca"),
+        )
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = j.join(F.broadcast(offs), ["__b"]).select(
+        "__t",
+        "__c",
+        "__ca",
+        "__d",
+        "__da",
+        (F.col("__oc") + F.sum("__c").over(w) - F.col("__c")).alias(
+            "__before"
+        ),
+        (F.col("__oca") + F.sum("__ca").over(w) - F.col("__ca")).alias(
+            "__before_a"
+        ),
+    )
+    totals = base.agg(
+        F.sum("__c").alias("__n"), F.sum("__ca").alias("__na")
+    )
+    t = attach_scalars(cum, totals).select(
+        "*",
+        (F.col("__n") - F.col("__before")).alias("__nt"),
+        (F.col("__na") - F.col("__before_a")).alias("__nat"),
+    )
+    d = F.col("__d").cast("double")
+    nt = F.col("__nt").cast("double")
+    nat = F.col("__nat").cast("double")
+    # per-event-time terms, each rounded once then decimal-summed
+    e_term = F.round(d * (nat / nt), 6).cast("decimal(18,6)")
+    v_term = F.round(
+        d
+        * (nat / nt)
+        * (1 - nat / nt)
+        * ((nt - d) / (nt - F.lit(1.0))),
+        6,
+    ).cast("decimal(18,6)")
+    agg = t.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        (F.sum("__c") - F.sum("__ca")).cast("bigint").alias("n_b"),
+        F.sum("__da").cast("bigint").alias("events_a"),
+        (F.sum("__d") - F.sum("__da")).cast("bigint").alias("events_b"),
+        F.sum(F.when(F.col("__d") > 0, e_term))
+        .cast("decimal(18,6)")
+        .alias("__e1"),
+        F.sum(F.when((F.col("__d") > 0) & (F.col("__nt") > 1), v_term))
+        .cast("decimal(18,6)")
+        .alias("__v"),
+    )
+    ome = F.col("events_a").cast("double") - F.col("__e1").cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        ome.cast("decimal(18,6)").cast("double").alias("o_minus_e"),
+        F.col("__v").cast("double").alias("variance"),
+        F.when(
+            F.col("__v") > 0,
+            ome * ome
+            > F.lit(float(chi2_crit)) * F.col("__v").cast("double"),
+        )
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+def logrank_test_sql(
+    select: str,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    chi2_crit: float = 3.841459,
+) -> str:
+    """DuckDB oracle of :func:`logrank_test` — plain global cumulative
+    at-risk counts over distinct durations, identical rounded terms and
+    decision."""
+    return f"""
+    WITH src AS ({select}),
+    base AS (
+        SELECT CAST({duration_col} AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN {group_col} = '{group_a}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CAST({event_col} AS INT)) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN {group_col} = '{group_a}'
+                        THEN CAST({event_col} AS INT) ELSE 0 END)
+                    AS BIGINT) AS da
+        FROM src
+        WHERE {group_col} IN ('{group_a}', '{group_b}')
+          AND {duration_col} IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT *,
+               CAST(SUM(c) OVER () AS BIGINT)
+                 - COALESCE(CAST(SUM(c) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nt,
+               CAST(SUM(ca) OVER () AS BIGINT)
+                 - COALESCE(CAST(SUM(ca) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS nat
+        FROM base
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(c) - SUM(ca) AS BIGINT) AS n_b,
+               CAST(SUM(da) AS BIGINT) AS events_a,
+               CAST(SUM(d) - SUM(da) AS BIGINT) AS events_b,
+               CAST(SUM(CASE WHEN d > 0 THEN CAST(round(
+                   CAST(d AS DOUBLE) * (CAST(nat AS DOUBLE)
+                     / CAST(nt AS DOUBLE)), 6) AS DECIMAL(18,6)) END)
+                 AS DECIMAL(18,6)) AS e1,
+               CAST(SUM(CASE WHEN d > 0 AND nt > 1 THEN CAST(round(
+                   CAST(d AS DOUBLE) * (CAST(nat AS DOUBLE)
+                     / CAST(nt AS DOUBLE))
+                   * (1 - CAST(nat AS DOUBLE) / CAST(nt AS DOUBLE))
+                   * ((CAST(nt AS DOUBLE) - CAST(d AS DOUBLE))
+                      / (CAST(nt AS DOUBLE) - 1.0)), 6)
+                   AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS v
+        FROM cum
+    )
+    SELECT n_a, n_b, events_a, events_b,
+           CAST(CAST(CAST(events_a AS DOUBLE) - CAST(e1 AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS o_minus_e,
+           CAST(v AS DOUBLE) AS variance,
+           CASE WHEN v > 0 THEN
+             (CAST(events_a AS DOUBLE) - CAST(e1 AS DOUBLE))
+             * (CAST(events_a AS DOUBLE) - CAST(e1 AS DOUBLE))
+             > {float(chi2_crit)!r} * CAST(v AS DOUBLE)
+           ELSE FALSE END AS significant
+    FROM agg
+    """

@@ -659,6 +659,15 @@ class Babe:
     def km_survival(self, duration_col, event_col, group_col=None) -> "Babe":
         from pybabe_spark.operators.timeseries import km_survival
 
+    def logrank_test(self, duration_col, event_col, group_col,
+                     group_a, group_b, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import logrank_test
+
+        return self._wrap(
+            logrank_test(self.df, duration_col, event_col, group_col,
+                         group_a, group_b, **kwargs)
+        )
+
         return self._wrap(
             km_survival(self.df, duration_col, event_col, group_col)
         )

@@ -2181,6 +2181,65 @@ def q_km_survival(spark, sf_dir):
     return km_survival(subjects, "duration", "event", group_col="cohort")
 
 
+_LR_SUBJECTS_SQL = """
+    SELECT cohort, duration, event FROM (
+        SELECT min_by(event_type, ts) AS cohort,
+               CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                  THEN ts END) IS NOT NULL
+                    THEN epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                           THEN ts END))
+                         - epoch_us(MIN(ts))
+                    ELSE epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+               END AS duration,
+               CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    IS NOT NULL AS INT) AS event
+        FROM events GROUP BY user_id
+    )
+"""
+
+
+def _logrank_sql():
+    from pybabe_spark.operators.timeseries import logrank_test_sql
+
+    return logrank_test_sql(
+        _LR_SUBJECTS_SQL, "duration", "event", "cohort", "view", "click"
+    )
+
+
+@register("logrank_events", _logrank_sql())
+def q_logrank(spark, sf_dir):
+    """Two-sample log-rank test on the KM cohorts
+    (operators/timeseries.py::logrank_test): do users whose first
+    event was a 'view' convert to purchase on a different clock than
+    'click'-first users? Same subject derivation as
+    ``km_survival_events`` (never-purchasers right-censored at last
+    activity); the inferential companion of the KM curves. At-risk
+    counts ride the de-globalized cell machinery; per-event-time
+    expectation/variance terms round once then decimal-sum."""
+    from pybabe_spark.operators.timeseries import logrank_test
+
+    ev = read_table(spark, sf_dir, "events")
+    tp = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subjects = ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("cohort"),
+        F.min("ts").alias("__t0"),
+        tp.alias("__tp"),
+        F.max("ts").alias("__tl"),
+    ).select(
+        "cohort",
+        F.when(
+            F.col("__tp").isNotNull(),
+            F.unix_micros("__tp") - F.unix_micros("__t0"),
+        )
+        .otherwise(F.unix_micros("__tl") - F.unix_micros("__t0"))
+        .alias("duration"),
+        F.col("__tp").isNotNull().cast("int").alias("event"),
+    )
+    return logrank_test(
+        subjects, "duration", "event", "cohort", "view", "click"
+    )
+
+
 def _gini_sql() -> str:
     from pybabe_spark.operators.skew import gini_sql
 

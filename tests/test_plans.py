@@ -416,6 +416,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # same grid plan + two key-partitioned IGNORE-NULLS windows
         # over one sort - clean
         "gap_fill_linear_events": set(),
+        # log-rank at-risk counts: the <=1024-row limit()-proved
+        # bucket-prefix self-join (inequality -> BNLJ by construction)
+        "logrank_events": {"broadcast-nested-loop"},
         # symmetric-delete blocking: deletion-key equi-joins over
         # distinct strings, never all-pairs — clean
         "fuzzy_pairs_customer_names": set(),

@@ -960,3 +960,68 @@ def test_cohort_ltv_negative_cum_sign_split(spark):
     # cum = -3501 cents over 2 users: truncation toward zero -> -1750
     assert r.cum_value_cents == -3501
     assert r.ltv_per_user_cents == -1750
+
+
+# -- logrank_test (operators/timeseries.py) ------------------------------------
+
+
+def _lr(spark, rows):
+    from pybabe_spark.operators.timeseries import logrank_test
+
+    df = spark.createDataFrame(
+        rows, "g string, duration bigint, event int"
+    )
+    return logrank_test(df, "duration", "event", "g", "A", "B").collect()[0]
+
+
+def test_logrank_identical_groups_not_significant(spark):
+    rows = [("A", d, e) for d, e in [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    rows += [("B", d, e) for d, e in [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    r = _lr(spark, rows)
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    # mirrored groups: expected equals observed exactly
+    assert abs(r["o_minus_e"]) < 1e-9 and not r["significant"]
+
+
+def test_logrank_clearly_different_significant(spark):
+    # group A dies fast, group B late: strongly significant
+    rows = [("A", d, 1) for d in range(1, 21)]
+    rows += [("B", d + 100, 1) for d in range(1, 21)]
+    r = _lr(spark, rows)
+    assert r["events_a"] == 20 and r["events_b"] == 20
+    assert r["significant"] and r["o_minus_e"] > 0
+
+
+def test_logrank_matches_python_model(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(150):
+        rows.append(("A", rng.randint(1, 40), int(rng.random() < 0.7)))
+        rows.append(("B", rng.randint(1, 60), int(rng.random() < 0.6)))
+        # ties + a third group that must be ignored
+        rows.append(("C", rng.randint(1, 60), 1))
+    r = _lr(spark, rows)
+    sub = [(g, d, e) for g, d, e in rows if g in ("A", "B")]
+    times = sorted({d for _, d, _ in sub})
+    o1 = sum(e for g, d, e in sub if g == "A")
+    e1 = v = 0.0
+    for t in times:
+        at = [(g, d, e) for g, d, e in sub if d >= t]
+        nt = len(at)
+        nat = sum(1 for g, _, _ in at if g == "A")
+        dt = sum(e for _, d, e in sub if d == t)
+        if dt == 0:
+            continue
+        e1 += round(dt * (nat / nt), 6)
+        if nt > 1:
+            v += round(
+                dt * (nat / nt) * (1 - nat / nt) * ((nt - dt) / (nt - 1)),
+                6,
+            )
+    assert r["events_a"] == o1
+    assert abs(r["o_minus_e"] - (o1 - e1)) < 1e-4
+    assert abs(r["variance"] - v) < 1e-4
+    want_sig = (o1 - e1) ** 2 > 3.841459 * v
+    assert r["significant"] == want_sig
