@@ -1015,33 +1015,9 @@ def mean_test_sql(
     """
 
 
-def chi2_independence(
-    df: DataFrame,
-    a_col: str,
-    b_col: str,
-    crit: float = 15.507313,
-) -> DataFrame:
-    """Pearson chi-square test of independence between two categorical
-    columns — the contingency-table sibling of :func:`ab_test`
-    (proportions) and :func:`mean_test` (means): ONE output row with
-    ``n`` (non-null pairs), ``dof`` ((R−1)·(C−1)), ``chi2_ppm`` and
-    ``significant`` (chi2 > ``crit``, caller supplies the critical
-    value for their dof/alpha — e.g. 15.507 for dof=8 at 0.05).
-
-    Determinism: the statistic is summed as exact integers, not IEEE.
-    Per cell, with ``num = (n·n_ab − r_a·c_b)²`` and
-    ``den = n·r_a·c_b`` (both exact DECIMAL(38,0) on counts),
-    the contribution is ``num·10⁶ div den`` — integer ppm, floored,
-    non-negative (Spark ``div`` and DuckDB ``//`` agree); ``chi2_ppm``
-    is their exact integer sum, order-independent. The floor
-    understates true chi2 by < #cells ppm — a defined statistic, not a
-    tolerance. Exact for n ≲ 10⁸ (n⁴·10⁶ within DECIMAL(38,0)); NULL
-    in either column drops the pair. Empty input ⟹ (0, 0, 0, false).
-
-    Scale shape: ONE map-side-combinable hash agg over the data
-    (the cell table, ≤ R·C rows); row/column/grand totals are aggs
-    OVER that tiny table, broadcast back. No window, no second scan.
-    """
+def _chi2_contrib(df, a_col, b_col):
+    """Shared interior of chi2_independence / cramers_v: the per-cell
+    integral-ppm contribution table plus carried totals."""
     ok = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
     cells = (
         df.filter(ok)
@@ -1056,8 +1032,18 @@ def chi2_independence(
         F.countDistinct("__b").alias("__cb"),
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    contrib = (
-        cells.join(F.broadcast(rows), "__a")
+    # the FULL R x C grid: a zero cell still contributes (r*c/n)/1 *
+    # ... i.e. (0 - r*c)^2 terms - omitting unobserved pairs would
+    # understate chi2 on sparse tables (found via cramers_v's perfect-
+    # association test: V came out sqrt(2/3) instead of 1)
+    grid = rows.crossJoin(F.broadcast(cols))
+    full = grid.join(cells, ["__a", "__b"], "left").select(
+        "__a",
+        "__b",
+        F.coalesce(F.col("__nab"), F.lit(0)).alias("__nab"),
+    )
+    return (
+        full.join(F.broadcast(rows), "__a")
         .join(F.broadcast(cols), "__b")
         .crossJoin(F.broadcast(tot))
         .select(
@@ -1079,6 +1065,38 @@ def chi2_independence(
             ).alias("__ppm"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    crit: float = 15.507313,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table sibling of :func:`ab_test`
+    (proportions) and :func:`mean_test` (means): ONE output row with
+    ``n`` (non-null pairs), ``dof`` ((R−1)·(C−1)), ``chi2_ppm`` and
+    ``significant`` (chi2 > ``crit``, caller supplies the critical
+    value for their dof/alpha — e.g. 15.507 for dof=8 at 0.05).
+
+    Determinism: the statistic is summed as exact integers, not IEEE.
+    Per cell, with ``num = (n·n_ab − r_a·c_b)²`` and
+    ``den = n·r_a·c_b`` (both exact DECIMAL(38,0) on counts),
+    the contribution is ``num·10⁶ div den`` — integer ppm, floored,
+    non-negative (Spark ``div`` and DuckDB ``//`` agree); ``chi2_ppm``
+    is their exact integer sum, order-independent. The floor
+    understates true chi2 by < #cells ppm — a defined statistic, not a
+    tolerance. Unobserved (zero) cells of the R x C grid are
+    materialized and contribute their full expected-count terms —
+    sparse tables are not understated (fixed in r9). Exact for n ≲ 10⁸ (n⁴·10⁶ within DECIMAL(38,0)); NULL
+    in either column drops the pair. Empty input ⟹ (0, 0, 0, false).
+
+    Scale shape: ONE map-side-combinable hash agg over the data
+    (the cell table, ≤ R·C rows); row/column/grand totals are aggs
+    OVER that tiny table, broadcast back. No window, no second scan.
+    """
+    contrib = _chi2_contrib(df, a_col, b_col)
     crit_ppm = int(round(float(crit) * 1_000_000))
     out = contrib.agg(
         F.max("__n").alias("__n"),
@@ -1119,12 +1137,18 @@ def chi2_independence_sql(
     tt AS (SELECT SUM(nab) AS n, COUNT(DISTINCT a) AS ra,
                   COUNT(DISTINCT b) AS cb
            FROM cells),
+    grid AS (
+        SELECT r.a, c.b,
+               COALESCE(cells.nab, 0::HUGEINT) AS nab, r.r, c.c
+        FROM r CROSS JOIN c
+        LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b
+    ),
     contrib AS (
         SELECT tt.n, tt.ra, tt.cb,
-               ((tt.n * cells.nab - r.r * c.c)
-                * (tt.n * cells.nab - r.r * c.c) * 1000000)
-               // (tt.n * r.r * c.c) AS ppm
-        FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN tt
+               ((tt.n * grid.nab - grid.r * grid.c)
+                * (tt.n * grid.nab - grid.r * grid.c) * 1000000)
+               // (tt.n * grid.r * grid.c) AS ppm
+        FROM grid CROSS JOIN tt
     )
     SELECT COALESCE(CAST(MAX(n) AS BIGINT), 0) AS n,
            COALESCE(CAST(MAX((ra - 1) * (cb - 1)) AS BIGINT), 0) AS dof,
@@ -2007,5 +2031,89 @@ def bootstrap_mean_ci_sql(
                 AS DECIMAL(18,6)) AS DOUBLE) AS mean,
            list_sort([{mean_arms}])[{lo_i}] AS ci_lo,
            list_sort([{mean_arms}])[{hi_i}] AS ci_hi
+    FROM agg
+    """
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V — the [0, 1] EFFECT SIZE for categorical association
+    that :func:`chi2_independence` (a yes/no test) does not report:
+    ``V = √(χ² / (n · min(R−1, C−1)))``. At 100 TB every χ² is
+    "significant"; V says whether the association MATTERS. ONE output
+    row: ``(n, chi2_ppm, v)``.
+
+    Shares the exact integral per-cell machinery with
+    ``chi2_independence`` (one hash agg to the ≤R·C cell table, totals
+    broadcast back); χ² is the same floored integer-ppm sum, and only
+    the final square root is IEEE — one fixed shape, rounded once to
+    DECIMAL(18,6). Single-category inputs (min dim = 1) yield NULL v.
+    """
+    contrib = _chi2_contrib(df, a_col, b_col)
+    out = contrib.agg(
+        F.max("__n").alias("__n"),
+        F.max(F.least(F.col("__ra") - 1, F.col("__cb") - 1)).alias(
+            "__k"
+        ),
+        F.sum("__ppm").alias("__chi2"),
+    )
+    v = F.sqrt(
+        (F.col("__chi2").cast("double") / 1e6)
+        / (F.col("__n").cast("double") * F.col("__k").cast("double"))
+    )
+    return out.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("__chi2"), F.lit(0))
+        .cast("bigint")
+        .alias("chi2_ppm"),
+        F.when((F.col("__n") > 0) & (F.col("__k") > 0), v)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("v"),
+    )
+
+
+def cramers_v_sql(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB oracle of :func:`cramers_v` — identical integral cell
+    ppm sum and final fixed-shape root."""
+    return f"""
+    WITH cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, COUNT(*)::HUGEINT AS nab
+        FROM {table}
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT a, SUM(nab) AS r FROM cells GROUP BY a),
+    ct AS (SELECT b, SUM(nab) AS c FROM cells GROUP BY b),
+    t AS (SELECT SUM(nab) AS n, COUNT(DISTINCT a) AS ra,
+                 COUNT(DISTINCT b) AS cb FROM cells),
+    grid AS (
+        SELECT rt.a, ct.b,
+               COALESCE(cells.nab, 0::HUGEINT) AS nab, rt.r, ct.c
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+    ),
+    contrib AS (
+        SELECT t.n, t.ra, t.cb,
+               ((t.n * grid.nab - grid.r * grid.c)
+                * (t.n * grid.nab - grid.r * grid.c) * 1000000)
+               // (t.n * grid.r * grid.c) AS ppm
+        FROM grid CROSS JOIN t
+    ),
+    agg AS (
+        SELECT MAX(n) AS n,
+               MAX(LEAST(ra - 1, cb - 1)) AS k,
+               SUM(ppm) AS chi2
+        FROM contrib
+    )
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(chi2, 0) AS BIGINT) AS chi2_ppm,
+           CAST(CAST(CASE WHEN n > 0 AND k > 0 THEN
+             sqrt((CAST(chi2 AS DOUBLE) / 1e6)
+                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)))
+           END AS DECIMAL(18,6)) AS DOUBLE) AS v
     FROM agg
     """

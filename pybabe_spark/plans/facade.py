@@ -354,6 +354,11 @@ class Babe:
     def bootstrap_mean_ci(self, value_col, key_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import bootstrap_mean_ci
 
+    def cramers_v(self, a_col, b_col) -> "Babe":
+        from pybabe_spark.operators.sketch import cramers_v
+
+        return self._wrap(cramers_v(self.df, a_col, b_col))
+
         return self._wrap(
             bootstrap_mean_ci(self.df, value_col, key_col, by, **kwargs)
         )

@@ -1807,6 +1807,25 @@ def q_ab_test(spark, sf_dir):
     return ab_test(per_user, "variant", "converted", "A", "B")
 
 
+def _cramers_sql():
+    from pybabe_spark.operators.sketch import cramers_v_sql
+
+    return cramers_v_sql("orders", "o_orderpriority", "o_orderstatus")
+
+
+@register("cramers_v_orders", _cramers_sql())
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V between order priority and status
+    (operators/sketch.py::cramers_v): the [0,1] categorical effect
+    size on top of the chi2_independence cell machinery — at scale
+    everything is 'significant', V says whether it matters. Same
+    integral-ppm χ², one extra fixed-shape square root."""
+    from pybabe_spark.operators.sketch import cramers_v
+
+    orders = read_table(spark, sf_dir, "orders")
+    return cramers_v(orders, "o_orderpriority", "o_orderstatus")
+
+
 def _benford_sql():
     from pybabe_spark.operators.validate import benford_audit_sql
 

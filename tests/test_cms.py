@@ -460,3 +460,29 @@ def test_poisson_weights_mean_near_one(spark):
     ).collect()[0]
     assert abs(stats["m"] - 1.0) < 0.02
     assert abs(stats["p0"] - 0.3679) < 0.01
+
+
+# -- cramers_v (operators/sketch.py) --------------------------------------------
+
+
+def test_cramers_v_hand_checked(spark):
+    import math
+
+    from pybabe_spark.operators.sketch import cramers_v
+
+    # perfect association: a determines b exactly -> V = 1
+    rows = [(f"a{i % 3}", f"b{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["n"] == 300 and abs(r["v"] - 1.0) < 0.01
+    # independence: V near 0
+    rows2 = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(600)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = cramers_v(df2, "a", "b").collect()[0]
+    assert r2["v"] < 0.01
+    # V consistent with the reported integral chi2
+    want = math.sqrt((r2["chi2_ppm"] / 1e6) / (600 * min(2, 3)))
+    assert abs(r2["v"] - want) < 1e-6
+    # single-category side -> NULL
+    one = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    assert cramers_v(one, "a", "b").collect()[0]["v"] is None

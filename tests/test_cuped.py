@@ -499,3 +499,17 @@ def test_diversity_model_replica(spark):
     assert abs(r.entropy - want_h) < 2e-6
     q = sum(ni * ni for ni in cnt.values())
     assert r.simpson_ppm == ((n * n - q) * 1_000_000) // (n * n)
+
+
+def test_chi2_sparse_table_counts_zero_cells(spark):
+    """Unobserved cells must contribute their expected-count terms:
+    a perfect 3x3 association has chi2 = n*(min(r,c)-1) = 2n exactly
+    (the 6 zero cells carry a third of it)."""
+    from pybabe_spark.operators.sketch import chi2_independence
+
+    rows = [(f"a{i % 3}", f"b{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b", crit=9.487).collect()[0]
+    # floored integral ppm: within #cells ppm of exactly 600.0
+    assert abs(r["chi2_ppm"] - 600_000_000) <= 9
+    assert r["dof"] == 4 and r["significant"]

@@ -416,6 +416,12 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # same grid plan + two key-partitioned IGNORE-NULLS windows
         # over one sort - clean
         "gap_fill_linear_events": set(),
+        # chi2/V materialize the FULL R x C grid (r9 sparse-table fix):
+        # the category-table cross is a BNLJ by construction, bounded
+        # by the operator's own output-cell contract (like the NB
+        # class grid); everything else is hash aggs + broadcasts
+        "chi2_orders_priority_status": {"broadcast-nested-loop"},
+        "cramers_v_orders": {"broadcast-nested-loop"},
         # log-rank at-risk counts: the <=1024-row limit()-proved
         # bucket-prefix self-join (inequality -> BNLJ by construction)
         "logrank_events": {"broadcast-nested-loop"},
@@ -553,8 +559,7 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
                 "source_overlap_docs",
                 # cell-bucketed interval equi-join, canonical emission
                 "overlap_join_sessions",
-                # one hash agg to cells; totals broadcast back
-                "chi2_orders_priority_status",
+
                 # rank tables via (group,cell) windows + value joins +
                 # one moment agg - no global window
                 "spearman_lineitem",
