@@ -2117,3 +2117,142 @@ def cramers_v_sql(table: str, a_col: str, b_col: str) -> str:
            END AS DECIMAL(18,6)) AS DOUBLE) AS v
     FROM agg
     """
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — ONE row
+    ``(n, h_a, h_b, h_ab, mi, nmi)`` in nats: how many bits of one
+    column the other reveals, with ``nmi = mi / min(h_a, h_b)`` the
+    [0,1] normalized form. The information-theoretic companion of
+    :func:`cramers_v` (V is effect size under χ²; MI is the
+    feature-selection / leakage-detection measure: nmi ≈ 1 flags a
+    column pair that encodes the same thing).
+
+    Exactly the ``category_diversity`` entropy discipline:
+    ``H = ln n − (Σ nᵢ·ln nᵢ)/n`` with every per-category term rounded
+    once to DECIMAL(18,6) before an associative decimal sum, and
+    ``mi = ln n + (S_ab − S_a − S_b)/n`` combines the three rounded
+    sums in one fixed-shape IEEE expression — engine-identical by the
+    same argument. NULL in either column drops the pair. Empty input
+    yields n=0 with NULL entropies.
+
+    Scale shape: one (a, b) cell hash agg — the only corpus-scale
+    shuffle — then marginal aggs OVER the cell table and three 1-row
+    aggregates (maxRows-proven attaches). No window, no join on data.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+
+    def ent_sum(counts, c, out):
+        term = (
+            F.col(c).cast("double") * F.log(F.col(c).cast("double"))
+        ).cast("decimal(18,6)")
+        return counts.agg(F.sum(term).cast("decimal(28,6)").alias(out))
+
+    sab = ent_sum(cells, "__nab", "__sab")
+    sa = ent_sum(
+        cells.groupBy("__a").agg(F.sum("__nab").alias("__r")), "__r", "__sa"
+    )
+    sb = ent_sum(
+        cells.groupBy("__b").agg(F.sum("__nab").alias("__c")), "__c", "__sb"
+    )
+    tot = cells.agg(F.sum("__nab").cast("bigint").alias("n"))
+    one = attach_scalars(attach_scalars(attach_scalars(tot, sab), sa), sb)
+    n_dbl = F.col("n").cast("double")
+
+    def h(s):
+        return F.when(
+            F.col("n") > 0,
+            (F.log(n_dbl) - F.col(s).cast("double") / n_dbl)
+            .cast("decimal(18,6)")
+            .cast("double"),
+        )
+
+    mi = F.when(
+        F.col("n") > 0,
+        (
+            F.log(n_dbl)
+            + (
+                F.col("__sab").cast("double")
+                - F.col("__sa").cast("double")
+                - F.col("__sb").cast("double")
+            )
+            / n_dbl
+        )
+        .cast("decimal(18,6)")
+        .cast("double"),
+    )
+    out = one.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        h("__sa").alias("h_a"),
+        h("__sb").alias("h_b"),
+        h("__sab").alias("h_ab"),
+        mi.alias("mi"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.least(F.col("h_a"), F.col("h_b")) > 0,
+            (F.col("mi") / F.least(F.col("h_a"), F.col("h_b")))
+            .cast("decimal(18,6)")
+            .cast("double"),
+        ).alias("nmi"),
+    )
+
+
+def mutual_information_sql(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB oracle of :func:`mutual_information` — identical rounded
+    entropy-term sums and fixed-shape combinations."""
+    t = (
+        "CAST(CAST({c} AS DOUBLE) * ln(CAST({c} AS DOUBLE))"
+        " AS DECIMAL(18,6))"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, COUNT(*) AS nab
+        FROM {table}
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT (SELECT CAST(SUM({t.format(c='nab')}) AS DECIMAL(28,6))
+                FROM cells) AS sab,
+               (SELECT CAST(SUM({t.format(c='r')}) AS DECIMAL(28,6))
+                FROM (SELECT SUM(nab) AS r FROM cells GROUP BY a)) AS sa,
+               (SELECT CAST(SUM({t.format(c='c')}) AS DECIMAL(28,6))
+                FROM (SELECT SUM(nab) AS c FROM cells GROUP BY b)) AS sb,
+               (SELECT CAST(COALESCE(SUM(nab), 0) AS BIGINT)
+                FROM cells) AS n
+    ),
+    e AS (
+        SELECT n,
+               CASE WHEN n > 0 THEN CAST(CAST(ln(CAST(n AS DOUBLE))
+                 - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS h_a,
+               CASE WHEN n > 0 THEN CAST(CAST(ln(CAST(n AS DOUBLE))
+                 - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS h_b,
+               CASE WHEN n > 0 THEN CAST(CAST(ln(CAST(n AS DOUBLE))
+                 - CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS h_ab,
+               CASE WHEN n > 0 THEN CAST(CAST(ln(CAST(n AS DOUBLE))
+                 + (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)
+                    - CAST(sb AS DOUBLE)) / CAST(n AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS mi
+        FROM s
+    )
+    SELECT n, h_a, h_b, h_ab, mi,
+           CASE WHEN LEAST(h_a, h_b) > 0 THEN
+             CAST(CAST(mi / LEAST(h_a, h_b) AS DECIMAL(18,6)) AS DOUBLE)
+           END AS nmi
+    FROM e
+    """

@@ -354,6 +354,11 @@ class Babe:
     def bootstrap_mean_ci(self, value_col, key_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import bootstrap_mean_ci
 
+    def mutual_information(self, a_col, b_col) -> "Babe":
+        from pybabe_spark.operators.sketch import mutual_information
+
+        return self._wrap(mutual_information(self.df, a_col, b_col))
+
     def cramers_v(self, a_col, b_col) -> "Babe":
         from pybabe_spark.operators.sketch import cramers_v
 

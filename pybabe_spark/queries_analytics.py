@@ -1807,6 +1807,28 @@ def q_ab_test(spark, sf_dir):
     return ab_test(per_user, "variant", "converted", "A", "B")
 
 
+def _mi_sql():
+    from pybabe_spark.operators.sketch import mutual_information_sql
+
+    return mutual_information_sql(
+        "orders", "o_orderpriority", "o_orderstatus"
+    )
+
+
+@register("mutual_information_orders", _mi_sql())
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between order priority and status
+    (operators/sketch.py::mutual_information): the leakage /
+    feature-selection measure on the same cell table as cramers_v —
+    H(a)+H(b)−H(a,b) with the proven per-term-rounded entropy
+    discipline, normalized by min-entropy. One corpus shuffle (the
+    cell agg), marginals over the tiny cell table."""
+    from pybabe_spark.operators.sketch import mutual_information
+
+    orders = read_table(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
 def _cramers_sql():
     from pybabe_spark.operators.sketch import cramers_v_sql
 

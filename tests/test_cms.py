@@ -486,3 +486,53 @@ def test_cramers_v_hand_checked(spark):
     # single-category side -> NULL
     one = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
     assert cramers_v(one, "a", "b").collect()[0]["v"] is None
+
+
+# -- mutual_information (operators/sketch.py) -----------------------------------
+
+
+def test_mutual_information_hand_checked(spark):
+    import math
+
+    from pybabe_spark.operators.sketch import mutual_information
+
+    # a determines b exactly: MI = H(a) = H(b), NMI = 1
+    rows = [(f"a{i % 3}", f"b{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["n"] == 300
+    assert abs(r["h_a"] - math.log(3)) < 1e-4
+    assert abs(r["mi"] - r["h_a"]) < 1e-4
+    assert abs(r["nmi"] - 1.0) < 1e-4
+    # independent columns: MI ~ 0
+    rows2 = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(600)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = mutual_information(df2, "a", "b").collect()[0]
+    assert abs(r2["mi"]) < 1e-3 and abs(r2["nmi"]) < 1e-3
+    # python cross-check on a skewed joint distribution
+    rows3 = [("x", "p")] * 50 + [("x", "q")] * 10 + [("y", "q")] * 40
+    df3 = spark.createDataFrame(rows3, "a string, b string")
+    r3 = mutual_information(df3, "a", "b").collect()[0]
+    n = 100.0
+    import collections
+
+    ja = collections.Counter(a for a, _ in rows3)
+    jb = collections.Counter(b for _, b in rows3)
+    jab = collections.Counter(rows3)
+
+    def h(cnt):
+        return math.log(n) - sum(
+            round(c * math.log(c), 6) for c in cnt.values()
+        ) / n
+
+    want = math.log(n) + (
+        sum(round(c * math.log(c), 6) for c in jab.values())
+        - sum(round(c * math.log(c), 6) for c in ja.values())
+        - sum(round(c * math.log(c), 6) for c in jb.values())
+    ) / n
+    assert abs(r3["mi"] - want) < 1e-5
+    assert abs(r3["h_a"] - h(ja)) < 1e-5
+    # empty input: n=0, NULL measures
+    empty = spark.createDataFrame([], "a string, b string")
+    r4 = mutual_information(empty, "a", "b").collect()[0]
+    assert r4["n"] == 0 and r4["mi"] is None and r4["nmi"] is None

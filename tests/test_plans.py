@@ -422,6 +422,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # class grid); everything else is hash aggs + broadcasts
         "chi2_orders_priority_status": {"broadcast-nested-loop"},
         "cramers_v_orders": {"broadcast-nested-loop"},
+        # MI: one cell agg + marginal aggs over the tiny cell table +
+        # three maxRows-proven 1-row attaches - clean
+        "mutual_information_orders": set(),
         # log-rank at-risk counts: the <=1024-row limit()-proved
         # bucket-prefix self-join (inequality -> BNLJ by construction)
         "logrank_events": {"broadcast-nested-loop"},
