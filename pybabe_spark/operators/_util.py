@@ -35,3 +35,46 @@ def attach_scalars(df, scalars):
     from pyspark.sql import functions as F
 
     return df.crossJoin(F.broadcast(scalars))
+
+
+#: DataFrames persisted by operators through lazy_persist — a release
+#: path for long sessions. Entries are plan handles (tiny driver
+#: objects); the cached BLOCKS only materialize when an action runs.
+#: :func:`unpersist_tracked` frees the blocks AND drops the handles,
+#: after which Spark's ContextCleaner (``spark.cleaner.
+#: referenceTracking``, on by default) can reclaim anything the JVM
+#: still holds.
+_TRACKED_PERSISTS: list = []
+
+
+def lazy_persist(df):
+    """``df.persist()`` with lifecycle tracking.
+
+    The operators' lazy-persist idiom (cache a stage consumed by two+
+    downstream branches; no job is triggered at construction) has no
+    natural unpersist point — the API is lazy, the caller owns the
+    action. Registering the handle here gives sessions that build many
+    plans an explicit release valve (:func:`unpersist_tracked`); a
+    strong reference is required because the operator-local DataFrame
+    dies at function return and a weakref would never survive to the
+    cleanup call.
+    """
+    out = df.persist()
+    _TRACKED_PERSISTS.append(out)
+    return out
+
+
+def unpersist_tracked() -> int:
+    """Unpersist every DataFrame registered by :func:`lazy_persist`
+    and drop the tracker's references; returns how many were released.
+    Safe to call any time — a stopped session's entries are skipped.
+    """
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n

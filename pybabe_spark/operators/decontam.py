@@ -321,13 +321,19 @@ def strip_boilerplate_lines(
             f"strip_boilerplate_lines: min_df {min_df} must be >= 2 "
             "(1 would delete every eligible line)"
         )
+    # line_sep is a LITERAL separator (the rejoin below uses it
+    # verbatim in array_join), but F.split takes a Java regex — quote
+    # it Pattern.quote-style so '.', '|' etc. split literally. The
+    # DuckDB oracle (strip_boilerplate_lines_sql) supports only the
+    # default newline separator.
+    sep_pattern = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
-                "__pos", "__line"
-            ),
+            F.posexplode(
+                F.split(F.col(text_col), sep_pattern, -1)
+            ).alias("__pos", "__line"),
         )
         .withColumn("__h", F.md5(F.col("__line")))
         .withColumn(

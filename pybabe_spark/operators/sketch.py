@@ -695,21 +695,21 @@ def weighted_quantiles(
     p_ppms = [int(round(float(p) * 1_000_000)) for p in probs]
     if any(p < 0 or p > 1_000_000 for p in p_ppms):
         raise ValueError("weighted_quantiles: probs must be in [0, 1]")
-    from pybabe_spark.operators._util import attach_scalars
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
 
     keys = [by] if by else []
     cv = (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
     cw = (F.col(weight_col).cast("decimal(18,6)") * 1_000_000).cast(
         "bigint"
     )
-    base = (
+    base = lazy_persist(
+        # feeds the range agg AND the bucketed path — persist keeps the
+        # source scan + agg single-execution (lazy, no job); tracked so
+        # unpersist_tracked() can release it in a long session
         df.filter(F.col(col).isNotNull() & (F.col(weight_col) > 0))
         .select(*keys, cv.alias("__v"), cw.alias("__w"))
         .groupBy(*keys, "__v")
         .agg(F.sum(F.col("__w").cast("decimal(38,0)")).alias("__w"))
-        # feeds the range agg AND the bucketed path — persist keeps the
-        # source scan + agg single-execution (lazy, no job)
-        .persist()
     )
     rng = base.agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")

@@ -354,6 +354,10 @@ class Babe:
     def bootstrap_mean_ci(self, value_col, key_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import bootstrap_mean_ci
 
+        return self._wrap(
+            bootstrap_mean_ci(self.df, value_col, key_col, by, **kwargs)
+        )
+
     def mutual_information(self, a_col, b_col) -> "Babe":
         from pybabe_spark.operators.sketch import mutual_information
 
@@ -363,10 +367,6 @@ class Babe:
         from pybabe_spark.operators.sketch import cramers_v
 
         return self._wrap(cramers_v(self.df, a_col, b_col))
-
-        return self._wrap(
-            bootstrap_mean_ci(self.df, value_col, key_col, by, **kwargs)
-        )
 
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
@@ -669,6 +669,10 @@ class Babe:
     def km_survival(self, duration_col, event_col, group_col=None) -> "Babe":
         from pybabe_spark.operators.timeseries import km_survival
 
+        return self._wrap(
+            km_survival(self.df, duration_col, event_col, group_col)
+        )
+
     def logrank_test(self, duration_col, event_col, group_col,
                      group_a, group_b, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import logrank_test
@@ -676,10 +680,6 @@ class Babe:
         return self._wrap(
             logrank_test(self.df, duration_col, event_col, group_col,
                          group_a, group_b, **kwargs)
-        )
-
-        return self._wrap(
-            km_survival(self.df, duration_col, event_col, group_col)
         )
 
     def attribute_conversions(

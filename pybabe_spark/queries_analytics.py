@@ -1232,26 +1232,36 @@ def q_entity_resolution(spark, sf_dir):
     return _er_clusters(spark, sf_dir)
 
 
-#: (application id, sf_dir) → localCheckpoint-pinned cluster table;
+#: session → {sf_dir: localCheckpoint-pinned cluster table};
 #: entity_resolution_customers and golden_record_customers run the
 #: IDENTICAL fuzzy-blocking + connected-components stage — the two most
 #: expensive bench queries — so it is computed once per session+dataset
 #: and reused (the engine's memoize idiom, in-process flavor: plan
 #: fingerprints can't see file CONTENT, so the cache is scoped to one
-#: session where the dataset is immutable).
-_ER_CLUSTERS_MEMO: dict = {}
+#: session where the dataset is immutable). Keyed by a
+#: WeakKeyDictionary on the SESSION OBJECT, not id()/app.id strings:
+#: id() values can be reused after the original session is GC'd, which
+#: could hand a stale checkpoint-pinned plan to a NEW session — weak
+#: keys make a dead session's entries vanish with the session.
+import weakref as _weakref
+
+_ER_CLUSTERS_MEMO: "_weakref.WeakKeyDictionary" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _er_clusters(spark, sf_dir):
     from pybabe_spark.operators.fuzzy import fuzzy_pairs
     from pybabe_spark.operators.graph import dup_clusters
 
-    # Connect-safe session identity (no sparkContext): the app id conf
-    # is present on classic sessions; fall back to the session object
-    # identity, which is stable for the session's lifetime
-    app = spark.conf.get("spark.app.id", None) or str(id(spark))
-    key = (app, sf_dir)
-    hit = _ER_CLUSTERS_MEMO.get(key)
+    try:
+        per_session = _ER_CLUSTERS_MEMO.get(spark)
+        if per_session is None:
+            per_session = {}
+            _ER_CLUSTERS_MEMO[spark] = per_session
+    except TypeError:  # non-weakref-able session double in tests
+        per_session = {}
+    hit = per_session.get(sf_dir)
     if hit is not None:
         return hit
     cust = read_table(spark, sf_dir, "customer")
@@ -1260,7 +1270,7 @@ def _er_clusters(spark, sf_dir):
         cust, pairs, id_col="c_custkey", src="id1", dst="id2"
     ).localCheckpoint(eager=False)  # lazy: construction stays job-free,
     # the first action pins the result for every later consumer
-    _ER_CLUSTERS_MEMO[key] = clusters
+    per_session[sf_dir] = clusters
     return clusters
 
 

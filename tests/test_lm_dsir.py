@@ -887,3 +887,30 @@ def test_strip_boilerplate_lines_min_line_chars(spark):
         for r in strip_boilerplate_lines(df, "doc_id", "text").collect()
     }
     assert gone == {1: "body a", 2: "body b"}
+
+
+def test_strip_boilerplate_lines_literal_separator(spark):
+    """line_sep is a LITERAL separator, not a regex — a '.' or '|'
+    separator must split on that character only (r9 advisory: F.split
+    treated it as a Java regex, so '.' split between every char)."""
+    from pybabe_spark.operators.decontam import strip_boilerplate_lines
+
+    rows = [(1, "ad banner.keep me one"), (2, "ad banner.keep me two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", line_sep="."
+        ).collect()
+    }
+    assert out == {1: "keep me one", 2: "keep me two"}
+
+    rows2 = [(1, "nav|alpha"), (2, "nav|beta")]
+    df2 = spark.createDataFrame(rows2, "doc_id int, text string")
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(
+            df2, "doc_id", "text", line_sep="|"
+        ).collect()
+    }
+    assert out2 == {1: "alpha", 2: "beta"}
