@@ -143,13 +143,13 @@ def mail(
     df: DataFrame,
     subject: str,
     recipients: list[str],
-    sender: str = "pybabe_spark@localhost",
+    sender: str | None = None,
     in_body: bool = True,
     in_body_row_limit: int = 20,
     attach_csv: bool = True,
     attach_row_limit: int = 10_000,
-    smtp_host: str = "localhost",
-    smtp_port: int = 25,
+    smtp_host: str | None = None,
+    smtp_port: int | None = None,
     transport=None,
 ) -> None:
     """Mail a (small) result: HTML body + CSV attachment
@@ -163,6 +163,19 @@ def mail(
     from email.mime.base import MIMEBase
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
+
+    from pybabe_spark.sources.config import get_config
+
+    # SMTP settings fall back to the [smtp] section of pybabe.cfg /
+    # ~/.pybabe.cfg (reference pybabe/mail.py:24-29 via get_config)
+    if smtp_host is None:
+        smtp_host = get_config("smtp", "server", default="localhost")
+    if smtp_port is None:
+        smtp_port = int(get_config("smtp", "port", default=25))
+    if sender is None:
+        sender = get_config(
+            "smtp", "author", default="pybabe_spark@localhost"
+        )
 
     # the attachment is the full result, so only it needs the
     # size-refusal guard; a body-only summary mail of a big table is

@@ -261,6 +261,15 @@ def pull_twitter(
     fetch→parse→stream-of-rows pipeline."""
     from urllib.parse import quote
 
+    from pybabe_spark.sources.config import get_config_with_env
+
+    # token falls back to [twitter] bearer_token in pybabe.cfg /
+    # ~/.pybabe.cfg, then the BEARER_TOKEN-named env — the reference's
+    # credential seam (pybabe/base.py:161-170, twitter.py:36-41)
+    if bearer_token is None:
+        bearer_token = get_config_with_env(
+            "twitter", "bearer_token", default=None
+        )
     url = f"{base_url}?query={quote(query)}&max_results={max_results}"
     headers = (
         {"Authorization": f"Bearer {bearer_token}"} if bearer_token else None

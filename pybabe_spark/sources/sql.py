@@ -35,6 +35,11 @@ def pull_sql(
     """
     if (table is None) == (query is None):
         raise ValueError("pass exactly one of table / query")
+    from pybabe_spark.sources.config import resolve_sql_credentials
+
+    # missing credentials fall back to pybabe.cfg/~/.pybabe.cfg
+    # ([<subprotocol>] then [sql]) — reference pybabe/base.py:142-158
+    user, password = resolve_sql_credentials(url, user, password)
     reader = spark.read.format("jdbc").option("url", url)
     if table:
         reader = reader.option("dbtable", table)
@@ -83,6 +88,9 @@ def push_sql(
     """
     if drop_table:
         mode = "overwrite"
+    from pybabe_spark.sources.config import resolve_sql_credentials
+
+    user, password = resolve_sql_credentials(url, user, password)
     writer = (
         df.write.format("jdbc")
         .option("url", url)
