@@ -50,6 +50,32 @@ def _default_url_opener(url: str, timeout: float = 120, headers=None):
 URL_OPENER = _default_url_opener
 
 
+def _default_url_stat(url: str) -> str | None:
+    """Remote version tag (etag) for ``url``, or None when unknown —
+    the metadata-before-download probe the reference got from
+    ``bucket.list`` etags (pybabe/protocol_s3.py:34-47,96-99). The
+    default issues one HEAD request and reads ``ETag`` (falling back
+    to ``Last-Modified``); injectable like URL_OPENER so tests and
+    custom stores can supply their own."""
+    from urllib.error import URLError
+    from urllib.request import Request, urlopen
+
+    if not url.startswith(("http://", "https://")):
+        return None  # ftp has no cheap metadata probe
+    try:
+        with urlopen(Request(url, method="HEAD"), timeout=30) as resp:
+            tag = resp.headers.get("ETag") or resp.headers.get(
+                "Last-Modified"
+            )
+            return tag.strip('"') if tag else None
+    except (URLError, OSError):
+        return None
+
+
+#: injectable metadata probe for the pull-side download cache.
+URL_STAT = _default_url_stat
+
+
 def _default_url_pusher(url: str, local_path: str, timeout: float = 120):
     """Upload a staged local file to ``url`` — ftp STOR
     (pybabe/protocol_ftp.py:6-18) or http(s) PUT
@@ -141,6 +167,49 @@ def _fetch_url_to_temp(url: str, cap: int | None = None) -> str:
         os.unlink(tmp)
         raise
     return _register_temp_spool(tmp)
+
+
+def _fetch_url_maybe_cached(
+    url: str, cache: bool | None, cache_dir: str | None
+) -> str:
+    """Stage ``url`` locally, through the etag-keyed FileCache when
+    caching is on (``cache=True`` kwarg, or the reference's ``[s3]
+    cache`` config switch — pybabe/protocol_s3.py:89-111). A cache HIT
+    never touches the network; an unknown etag (URL_STAT → None)
+    bypasses the cache rather than risk serving a stale copy."""
+    import tempfile
+
+    from pybabe_spark.sources.config import get_config
+
+    if cache is None:
+        cache = str(
+            get_config("s3", "cache", default="false")
+        ).lower() in ("1", "true", "yes", "on")
+    if not cache:
+        return _fetch_url_to_temp(url)
+    etag = URL_STAT(url)
+    if not etag:
+        return _fetch_url_to_temp(url)
+    if cache_dir is None:
+        cache_dir = get_config(
+            "s3",
+            "cache_dir",
+            default=os.path.join(
+                tempfile.gettempdir(),
+                f"pybabe-fetch-cache-{os.getenv('USER', 'spark')}",
+            ),
+        )
+    from pybabe_spark.sources.filecache import FileCache
+
+    fc = FileCache(cache_dir)
+    base = os.path.basename(url.split("?", 1)[0]) or "download"
+    name = f"{base}-{etag.replace('/', '_')}"
+
+    def _fetch(tmp_path: str) -> None:
+        staged = _fetch_url_to_temp(url)
+        os.replace(staged, tmp_path)
+
+    return fc.lookup(name, _fetch)
 
 # extension → (format, is_compression) — mirrors pybabe/base.py:345-358's
 # two-level guess (compress extension first, then format extension).
@@ -276,6 +345,8 @@ def pull(
     normalize_fields: bool = False,
     schema: str | None = None,
     multiline: bool = False,
+    cache: bool | None = None,
+    cache_dir: str | None = None,
     **options: str,
 ) -> DataFrame:
     """Universal source (pybabe/base.py:361-450).
@@ -365,7 +436,10 @@ def pull(
         # dispatch (so .csv.gz / .zip URLs work). Distributed stores
         # (s3a://, hdfs://) are NOT fetched: Spark reads those natively
         # executor-side; this path is for the odd single-file endpoint.
-        filename = _fetch_url_to_temp(filename)
+        # cache=True (or ``[s3] cache`` in pybabe.cfg, the reference's
+        # switch — protocol_s3.py:89-95) keeps an etag-keyed local copy
+        # so an unchanged remote object is never re-downloaded.
+        filename = _fetch_url_maybe_cached(filename, cache, cache_dir)
 
     fmt_guess, compress = guess_format(filename)
     fmt = format or fmt_guess or "csv"
