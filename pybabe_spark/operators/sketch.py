@@ -1332,6 +1332,196 @@ def mann_whitney_u_sql(
     """
 
 
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    c_alpha: float = 1.358102,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — do the two groups' value
+    DISTRIBUTIONS differ in shape? The third leg of the comparison
+    family: :func:`mean_test` tests location parametrically,
+    :func:`mann_whitney_u` tests rank-location, this tests the maximum
+    ECDF gap, so it also catches equal-median/equal-mean differences
+    (variance, bimodality, tail weight). ONE output row:
+    ``(n_a, n_b, d_num, d_ppm, significant)`` where
+
+        d_num = max over distinct values v of |cumA(v)·n_b − cumB(v)·n_a|
+
+    is the KS numerator kept EXACT-INTEGRAL (D = d_num/(n_a·n_b);
+    ``d_ppm`` is the floored integral ppm) and ``significant`` applies
+    the large-sample rejection rule D > c(α)·√((n_a+n_b)/(n_a·n_b))
+    squared into the all-integer comparison
+
+        10⁶ · d_num² > c²_ppm · (n_a+n_b) · n_a · n_b
+
+    — c² is a Python-computed integer ppm literal shared with the
+    oracle, so neither engine evaluates a square root (the
+    mann_whitney decision discipline). Ties are exact (counts collapse
+    per distinct value); NULL values and other groups are excluded;
+    an empty arm ⟹ NULL d_ppm, significant = false. Default c(α) is
+    the classical α = 0.05 two-sided coefficient 1.358.
+
+    Scale shape (the weighted_quantiles / mann_whitney discipline):
+    one (value → per-arm counts) hash agg collapses duplicates, the
+    BOTH-arm running sums over distinct values are de-globalized via
+    1024 equal-width cells (1-row min/max attach; cell offsets from a
+    ``limit``-proved prefix self-join over the ≤1024-row cell-totals
+    table; cumsum windows partitioned by cell), arm totals ride a
+    1-row broadcast attach, one final fixed-shape agg. No global
+    window anywhere — the plan is all map-combinable aggs plus
+    bounded-small joins, sound at 100×.
+    """
+    buckets = 1024
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    is_a = (F.col(group_col) == group_a) & F.col(value_col).isNotNull()
+    is_b = (F.col(group_col) == group_b) & F.col(value_col).isNotNull()
+    base = (
+        df.filter(is_a | is_b)
+        .select(
+            x.alias("__v"),
+            is_a.cast("long").alias("__ca"),
+            is_b.cast("long").alias("__cb"),
+        )
+        .groupBy("__v")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
+    )
+    from pybabe_spark.operators._util import attach_scalars
+
+    rng = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    )
+    btot = j.groupBy("__b").agg(
+        F.sum("__ca").alias("__bca"), F.sum("__cb").alias("__bcb")
+    )
+    bounded = btot.limit(buckets)  # boundedness proof for the linter;
+    # __b < buckets by construction, the limit can never truncate
+    a, b = bounded.alias("a"), bounded.alias("b")
+    offs = (
+        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(
+            F.coalesce(F.sum("b.__bca"), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("b.__bcb"), F.lit(0)).alias("__offb"),
+        )
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # explicit broadcast is PROVEN: offs aggregates the limit(buckets)-
+    # bounded table, ≤1024 rows regardless of data
+    cum = j.join(F.broadcast(offs), ["__b"]).select(
+        (F.col("__offa") + F.sum("__ca").over(w)).alias("__cuma"),
+        (F.col("__offb") + F.sum("__cb").over(w)).alias("__cumb"),
+    )
+    tot = base.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("__nb"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    gap = F.abs(d("__cuma") * F.col("__nb") - d("__cumb") * F.col("__na"))
+    # coalesce: on EMPTY input the attach produces zero rows and the
+    # keyless agg emits NULL maxes, while the oracle's tot-side LEFT
+    # JOIN emits (0, 0, 0) — align on the zeros
+    agg = attach_scalars(cum, tot).agg(
+        F.coalesce(F.max("__na"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("__nb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.max(gap), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__dnum"),
+    )
+    c2_ppm = int(round(float(c_alpha) * float(c_alpha) * 1_000_000))
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("__dnum").cast("bigint").alias("d_num"),
+        F.when(
+            both,
+            F.expr(
+                "CAST(CAST(__dnum AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ),
+        ).alias("d_ppm"),
+        F.when(
+            both,
+            F.lit(1_000_000).cast("decimal(38,0)")
+            * F.col("__dnum")
+            * F.col("__dnum")
+            > F.lit(c2_ppm).cast("decimal(38,0)")
+            * (d("n_a") + F.col("n_b"))
+            * d("n_a")
+            * F.col("n_b"),
+        )
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+def ks_test_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    c_alpha: float = 1.358102,
+) -> str:
+    """DuckDB oracle of :func:`ks_test` — same distinct-value ECDF
+    cumulatives, same exact-integer max-gap and decision (HUGEINT
+    arithmetic; the c² ppm literal is the identical Python integer)."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    ia = f"({group_col} = '{group_a}' AND {value_col} IS NOT NULL)"
+    ib = f"({group_col} = '{group_b}' AND {value_col} IS NOT NULL)"
+    c2_ppm = int(round(float(c_alpha) * float(c_alpha) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {x} AS v,
+               SUM(CASE WHEN {ia} THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN {ib} THEN 1 ELSE 0 END) AS cb
+        FROM rows_in WHERE {ia} OR {ib} GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+        FROM base
+        WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT COALESCE(CAST(SUM(ca) AS BIGINT), 0) AS na,
+               COALESCE(CAST(SUM(cb) AS BIGINT), 0) AS nb
+        FROM base
+    ),
+    agg AS (
+        SELECT t.na AS n_a, t.nb AS n_b,
+               COALESCE(MAX(ABS(CAST(c.cuma AS HUGEINT) * t.nb
+                                - CAST(c.cumb AS HUGEINT) * t.na)),
+                        0) AS dnum
+        FROM tot t LEFT JOIN cum c ON TRUE
+        GROUP BY t.na, t.nb
+    )
+    SELECT n_a, n_b, CAST(dnum AS BIGINT) AS d_num,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST((dnum * 1000000)
+                  // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS d_ppm,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             1000000::HUGEINT * dnum * dnum
+               > {c2_ppm}::HUGEINT * (n_a + n_b)
+                 * CAST(n_a AS HUGEINT) * n_b
+           ELSE FALSE END AS significant
+    FROM agg
+    """
+
+
 def srm_check(
     df: DataFrame,
     variant_col: str,

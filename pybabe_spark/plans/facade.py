@@ -865,6 +865,15 @@ class Babe:
                            treatment, z_crit)
         )
 
+    def ks_test(self, group_col, value_col, group_a, group_b,
+                c_alpha=1.358102) -> "Babe":
+        from pybabe_spark.operators.sketch import ks_test
+
+        return self._wrap(
+            ks_test(self.df, group_col, value_col, group_a, group_b,
+                    c_alpha)
+        )
+
     def did_estimate(self, arm_col, period_col, value_col, control,
                      treatment, pre, post, z_crit=1.959964) -> "Babe":
         from pybabe_spark.operators.cuped import did_estimate

@@ -3339,6 +3339,33 @@ def q_mann_whitney(spark, sf_dir):
     return mann_whitney_u(frame, "arm", "value", "control", "treatment")
 
 
+def _ks_sql():
+    from pybabe_spark.operators.sketch import ks_test_sql
+
+    frame = """
+        SELECT event_type AS grp, value
+        FROM events WHERE event_type IN ('click', 'purchase')
+    """
+    return ks_test_sql(frame, "grp", "value", "click", "purchase")
+
+
+@register("ks_test_events", _ks_sql())
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test: click vs purchase value
+    DISTRIBUTIONS (operators/sketch.py::ks_test) — max ECDF gap kept
+    exact-integral over the de-globalized (cell-partitioned) cumsum,
+    all-integer significance decision; the distribution-shape
+    companion of mann_whitney_events (rank-location) and
+    logrank_events (survival)."""
+    from pybabe_spark.operators.sketch import ks_test
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    frame = ev.select(F.col("event_type").alias("grp"), "value")
+    return ks_test(frame, "grp", "value", "click", "purchase")
+
+
 def _did_sql():
     from pybabe_spark.operators.cuped import did_estimate_sql
 

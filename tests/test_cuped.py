@@ -513,3 +513,115 @@ def test_chi2_sparse_table_counts_zero_cells(spark):
     # floored integral ppm: within #cells ppm of exactly 600.0
     assert abs(r["chi2_ppm"] - 600_000_000) <= 9
     assert r["dof"] == 4 and r["significant"]
+
+
+# -- ks_test (operators/sketch.py) -----------------------------------------------
+
+
+def _ks_frame(spark, a_vals, b_vals):
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_ks_hand_checked_full_separation(spark):
+    from pybabe_spark.operators.sketch import ks_test
+
+    # a = {1,2}, b = {3,4}: at v=2 ECDF gap is |2*2 - 0*2| = 4 = n_a*n_b
+    r = ks_test(
+        _ks_frame(spark, [1.0, 2.0], [3.0, 4.0]), "grp", "v", "a", "b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.d_num) == (2, 2, 4)
+    assert r.d_ppm == 1_000_000  # D = 1, full separation
+    assert r.significant is False  # but n too small: D_crit > 1 here
+
+
+def test_ks_identical_distributions_zero_gap_modulo_ties(spark):
+    from pybabe_spark.operators.sketch import ks_test
+
+    vals = [float(i) for i in range(1, 41)]
+    r = ks_test(_ks_frame(spark, vals, vals), "grp", "v", "a", "b").collect()[0]
+    assert r.d_num == 0 and r.d_ppm == 0 and r.significant is False
+
+
+def test_ks_shift_detected_significant(spark):
+    from pybabe_spark.operators.sketch import ks_test
+
+    a = [float(i) for i in range(100)]
+    b = [float(i) + 60.0 for i in range(100)]
+    r = ks_test(_ks_frame(spark, a, b), "grp", "v", "a", "b").collect()[0]
+    # shift of 60 over range 100 → D = 0.6 ≫ 1.358·sqrt(2/100) ≈ 0.192
+    assert r.d_ppm == 600_000 and r.significant is True
+
+
+def test_ks_equal_means_different_shape_detected(spark):
+    """The case mean/rank tests miss: same center, different spread."""
+    from pybabe_spark.operators.sketch import ks_test, mann_whitney_u
+
+    # narrow around 50 vs wide around 50 (symmetric → same mean/median)
+    a = [50.0 + d for d in (-1, -0.5, 0.5, 1) for _ in range(25)]
+    b = [50.0 + d for d in (-40, -20, 20, 40) for _ in range(25)]
+    fr = _ks_frame(spark, a, b)
+    ks = ks_test(fr, "grp", "v", "a", "b").collect()[0]
+    mwu = mann_whitney_u(fr, "grp", "v", "a", "b").collect()[0]
+    assert ks.significant is True  # shape gap: ECDFs cross hard
+    assert mwu.auc_ppm == 500_000  # rank test sees nothing (AUC = 1/2)
+
+
+def test_ks_matches_python_model(spark):
+    """Exact-integer d_num equals a brute-force two-sample KS in
+    Python (scipy-free model: max over pooled values of the scaled
+    ECDF gap), across a deterministic pseudo-random draw with ties."""
+    import random
+
+    from pybabe_spark.operators.sketch import ks_test
+
+    rng = random.Random(17)
+    a = [round(rng.uniform(0, 50), 1) for _ in range(200)]
+    b = [round(rng.expovariate(1 / 15), 1) for _ in range(150)]
+    r = ks_test(_ks_frame(spark, a, b), "grp", "v", "a", "b").collect()[0]
+
+    def model_dnum(xs, ys):
+        pooled = sorted(set(xs) | set(ys))
+        best = 0
+        for v in pooled:
+            ca = sum(1 for x in xs if x <= v)
+            cb = sum(1 for y in ys if y <= v)
+            best = max(best, abs(ca * len(ys) - cb * len(xs)))
+        return best
+
+    assert (r.n_a, r.n_b) == (200, 150)
+    assert r.d_num == model_dnum(a, b)
+    assert r.d_ppm == (r.d_num * 1_000_000) // (200 * 150)
+
+
+def test_ks_empty_arm_and_nulls(spark):
+    from pybabe_spark.operators.sketch import ks_test
+
+    r = ks_test(
+        _ks_frame(spark, [1.0, 2.0], []), "grp", "v", "a", "b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.d_num) == (2, 0, 0)
+    assert r.d_ppm is None and r.significant is False
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None), ("c", 9.0), ("b", 2.0)],
+        "grp string, v double",
+    )
+    r2 = ks_test(df, "grp", "v", "a", "b").collect()[0]
+    assert (r2.n_a, r2.n_b) == (1, 1)  # NULLs + other groups excluded
+
+
+def test_ks_empty_input_zero_row_contract(spark):
+    from pybabe_spark.operators.sketch import ks_test
+
+    r = ks_test(_ks_frame(spark, [], []), "grp", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_num, r.d_ppm, r.significant) == (
+        0, 0, 0, None, False,
+    )
+
+
+def test_ks_facade_hook(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    out = Babe(_ks_frame(spark, [1.0], [2.0])).ks_test("grp", "v", "a", "b")
+    assert out.df.collect()[0].n_a == 1

@@ -346,6 +346,10 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # self-join (inequality → BNLJ by construction, bounded
         # independent of data size — the active_intervals idiom)
         "mann_whitney_events": {"broadcast-nested-loop"},
+        # same de-globalized cumsum machinery as mann_whitney: the
+        # finding is the ≤1024-row limit()-proved bucket-prefix
+        # self-join; the arm-totals attach is maxRows-proven
+        "ks_test_events": {"broadcast-nested-loop"},
         # the strict-adjacency lag runs on PERIOD rows (weeks of
         # calendar), bounded by time span, never by corpus size
         "growth_accounting_events": {"global-window"},
