@@ -50,6 +50,138 @@ def exact_heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
     )
 
 
+def _group_hh_candidates(
+    df: DataFrame, group_col: str, col: str, support: float
+) -> DataFrame:
+    """Candidate (group, value) pairs for :func:`group_heavy_hitters`:
+    a per-partition, per-group Misra–Gries summary with capacity
+    ``k = ceil(1/support)`` counters per group, run as ONE Arrow
+    ``mapInPandas`` pass (bulk counter updates per batch — no Python
+    row loop). Guarantee (the KPS pigeonhole): if a value's GLOBAL
+    in-group frequency exceeds ``support``, some partition holds it
+    with local in-group frequency > support, and Misra–Gries with
+    ⌈1/support⌉ counters never evicts such a value — so the candidate
+    set has NO false negatives; false positives are culled by the
+    exact confirm pass. Output size ≤ partitions × groups × ⌈1/s⌉,
+    independent of row count — the bounded-shuffle property the naive
+    full (group, value) aggregation lacks under heavy-tailed values."""
+    import math
+
+    k = math.ceil(1.0 / support)
+    sel = df.select(
+        F.col(group_col).alias("__g"), F.col(col).alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    out_schema = sel.schema
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}  # group -> {value: count}
+        for pdf in batches:
+            vc = pdf.groupby(["__g", "__v"], sort=False).size()
+            for (g, v), c in vc.items():
+                cnt = counters.setdefault(g, {})
+                if v in cnt or len(cnt) < k:
+                    cnt[v] = cnt.get(v, 0) + int(c)
+                else:
+                    # bulk Misra–Gries decrement: absorb what the new
+                    # item's count covers, evict zeroed counters
+                    dec = min(int(c), min(cnt.values()))
+                    for key in list(cnt):
+                        cnt[key] -= dec
+                        if cnt[key] <= 0:
+                            del cnt[key]
+                    rem = int(c) - dec
+                    if rem > 0 and (v in cnt or len(cnt) < k):
+                        cnt[v] = cnt.get(v, 0) + rem
+        rows = [
+            (g, v) for g, cnt in counters.items() for v in cnt
+        ]
+        yield pd.DataFrame(rows, columns=["__g", "__v"])
+
+    return sel.mapInPandas(summarize, out_schema).distinct()
+
+
+def group_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    support: float = 0.01,
+) -> DataFrame:
+    """Per-group frequent values — for each group, every value whose
+    in-group frequency STRICTLY exceeds ``support`` (the training-data
+    staples: top domains per language, top URLs per source, hot keys
+    per tenant). Returns ``(group, value, n, group_n)`` with exact
+    counts. The global :func:`heavy_hitters` can't answer this: a
+    value can dominate a small group while invisible globally.
+
+    EXACT output with a sketch-bounded plan: candidates come from one
+    Arrow ``mapInPandas`` Misra–Gries pass (no false negatives — see
+    :func:`_group_hh_candidates`; memory ∝ groups × ⌈1/support⌉ per
+    partition), then ONE semi-join of the base against the small
+    candidate table + per-pair and per-group exact count aggs confirm
+    and filter. The shuffle carries candidate pairs and group totals —
+    never the full distinct (group, value) key space, which is the
+    thing that explodes at 100 TB under heavy-tailed value columns
+    (URLs, user-agents). The frequency test is the all-integer
+    ``n · 10⁶ > support_ppm · group_n`` with a Python-computed ppm
+    literal shared by the oracle. NULL groups/values are excluded.
+    """
+    if not 1e-4 <= support <= 1.0:
+        raise ValueError(
+            f"group_heavy_hitters: support {support} outside [1e-4, 1]"
+        )
+    support_ppm = int(round(support * 1_000_000))
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(col).alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    cand = _group_hh_candidates(df, group_col, col, support).select(
+        F.col("__g"), F.col("__v")
+    )
+    counts = (
+        base.join(cand, ["__g", "__v"], "left_semi")
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    return (
+        counts.join(totals, "__g")
+        .filter(
+            F.col("n") * F.lit(1_000_000)
+            > F.lit(support_ppm) * F.col("group_n")
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(col),
+            F.col("n"),
+            F.col("group_n"),
+        )
+    )
+
+
+def group_heavy_hitters_sql(
+    select: str, group_col: str, col: str, support: float = 0.01
+) -> str:
+    """DuckDB oracle of :func:`group_heavy_hitters` — the exact
+    definition (per-group counts, strict integer-ppm frequency test);
+    the engine's sketch+confirm plan must reproduce it exactly."""
+    support_ppm = int(round(support * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {group_col} AS g, {col} AS v FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {col} IS NOT NULL
+    ),
+    tot AS (SELECT g, COUNT(*) AS group_n FROM base GROUP BY g),
+    cnt AS (SELECT g, v, COUNT(*) AS n FROM base GROUP BY g, v)
+    SELECT c.g AS {group_col}, c.v AS {col}, c.n, t.group_n
+    FROM cnt c JOIN tot t USING (g)
+    WHERE c.n * 1000000 > {support_ppm} * t.group_n
+    """
+
+
 def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     """Fixed-width histogram of a numeric column: one row per bin —
     (bin, lo, hi, n) — empty bins included with n=0, NULLs excluded.

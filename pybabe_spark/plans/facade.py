@@ -394,6 +394,13 @@ class Babe:
 
         return self._wrap(heavy_hitters(self.df, column, support))
 
+    def group_heavy_hitters(self, group_col, column, support=0.01) -> "Babe":
+        from pybabe_spark.operators.sketch import group_heavy_hitters
+
+        return self._wrap(
+            group_heavy_hitters(self.df, group_col, column, support)
+        )
+
     def throttle(self, key, ts_col, min_gap_seconds, tiebreak=None) -> "Babe":
         from pybabe_spark.operators.relational import throttle
 

@@ -400,6 +400,30 @@ def q_heavy_hitters(spark, sf_dir):
     return exact_heavy_hitters(orders, "o_custkey", 18)
 
 
+def _ghh_sql():
+    from pybabe_spark.operators.sketch import group_heavy_hitters_sql
+
+    return group_heavy_hitters_sql(
+        "SELECT lang, source FROM documents", "lang", "source",
+        support=0.05,
+    )
+
+
+@register("group_heavy_hitters_docs", _ghh_sql())
+def q_group_heavy_hitters(spark, sf_dir):
+    """Per-group heavy hitters: sources exceeding 5% of their
+    LANGUAGE's documents (operators/sketch.py::group_heavy_hitters) —
+    Misra-Gries candidates per partition per group via one Arrow
+    mapInPandas pass (no false negatives by the KPS pigeonhole), then
+    an exact semi-join confirm; the shuffle never carries the full
+    distinct (group, value) key space. Output matches the exact
+    definition value-for-value."""
+    from pybabe_spark.operators.sketch import group_heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return group_heavy_hitters(docs, "lang", "source", support=0.05)
+
+
 # ---------------------------------------------------------------------------
 # URL parsing
 # ---------------------------------------------------------------------------

@@ -2825,3 +2825,117 @@ def test_embedding_stats_even_count_midpoint_exact(spark):
     df = spark.createDataFrame(rows, schema)
     r = embedding_stats(df, "embedding").collect()[0]
     assert r.median_norm2_e8x2 == 500_000_000  # 2.5 * 2e8, exact
+
+
+# -- group_heavy_hitters (operators/sketch.py) -----------------------------------
+
+
+def _ghh_model(rows, support):
+    """Exact per-group heavy hitters in plain Python (strict >)."""
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for g, v in rows:
+        if g is not None and v is not None:
+            per[g][v] += 1
+    out = set()
+    for g, cnt in per.items():
+        n = sum(cnt.values())
+        for v, c in cnt.items():
+            if c * 1_000_000 > int(round(support * 1_000_000)) * n:
+                out.add((g, v, c, n))
+    return out
+
+
+def test_group_heavy_hitters_matches_exact_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import group_heavy_hitters
+
+    rng = random.Random(29)
+    rows = []
+    # group A: one dominant value + tail; group B: uniform; group C tiny
+    rows += [("A", "hot")] * 60 + [
+        ("A", f"t{rng.randrange(50)}") for _ in range(140)
+    ]
+    rows += [("B", f"u{rng.randrange(10)}") for _ in range(100)]
+    rows += [("C", "x"), ("C", "x"), ("C", "y")]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    got = {
+        (r["g"], r["v"], r["n"], r["group_n"])
+        for r in group_heavy_hitters(df, "g", "v", support=0.1).collect()
+    }
+    assert got == _ghh_model(rows, 0.1)
+    assert ("A", "hot", 60, 200) in got
+    assert ("C", "x", 2, 3) in got  # 2/3 > 0.1 — small group, visible
+
+
+def test_group_heavy_hitters_strict_threshold(spark):
+    """A value at EXACTLY the support fraction is excluded (strict >,
+    the freqItems 'more than' contract) — integer-ppm boundary."""
+    from pybabe_spark.operators.sketch import group_heavy_hitters
+
+    rows = [("g", "a")] * 25 + [("g", "b")] * 75
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["v"] for r in
+           group_heavy_hitters(df, "g", "v", support=0.25).collect()}
+    assert got == {"b"}  # a is exactly 25%, not > 25%
+
+
+def test_group_heavy_hitters_candidates_no_false_negatives(spark):
+    """The Misra-Gries candidate stage must contain every true heavy
+    hitter regardless of how rows are spread across partitions."""
+    import random
+
+    from pybabe_spark.operators.sketch import (
+        _group_hh_candidates,
+        group_heavy_hitters,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for g in ("x", "y", "z"):
+        rows += [(g, "dominant")] * 120
+        rows += [(g, f"noise{rng.randrange(200)}") for _ in range(880)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v string").repartition(16)
+    support = 0.05
+    cand = {
+        (r["__g"], r["__v"])
+        for r in _group_hh_candidates(df, "g", "v", support).collect()
+    }
+    true_hh = {
+        (g, v) for g, v, _, _ in _ghh_model(rows, support)
+    }
+    assert true_hh <= cand, true_hh - cand
+    # and the confirmed output is EXACTLY the true set
+    got = {
+        (r["g"], r["v"])
+        for r in group_heavy_hitters(df, "g", "v", support).collect()
+    }
+    assert got == true_hh
+
+
+def test_group_heavy_hitters_nulls_and_empty(spark):
+    from pybabe_spark.operators.sketch import group_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), (None, "a"), ("g", "a")],
+        "g string, v string",
+    )
+    rows = group_heavy_hitters(df, "g", "v", support=0.5).collect()
+    assert [(r["g"], r["v"], r["n"], r["group_n"]) for r in rows] == [
+        ("g", "a", 2, 2)
+    ]
+    empty = spark.createDataFrame([], "g string, v string")
+    assert group_heavy_hitters(empty, "g", "v", 0.5).collect() == []
+    with pytest.raises(ValueError, match="support"):
+        group_heavy_hitters(df, "g", "v", support=0.0)
+
+
+def test_group_heavy_hitters_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame([("g", "a")] * 3, "g string, v string")
+    out = Babe(df).group_heavy_hitters("g", "v", support=0.5)
+    assert out.df.collect()[0]["n"] == 3
