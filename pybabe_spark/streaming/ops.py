@@ -500,6 +500,84 @@ def stream_near_dedup_against_index(
     )
 
 
+def stream_dedup_against(
+    stream_df: DataFrame,
+    seen_path: str,
+    output_path: str,
+    checkpoint: str,
+    keys: "str | list[str]",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    update_seen: bool = True,
+    available_now: bool = True,
+):
+    """Streaming twin of ``operators/merge.py::dedup_against`` (the
+    batch key ``dedup_against_seen``): every arriving micro-batch is
+    deduplicated against the STORED seen-key table, survivors append to
+    ``output_path``, and — with ``update_seen`` — their keys append to
+    the seen table so later batches (and later RUNS: the table is the
+    durable all-time memory) drop them too.
+
+    Two dedup layers, each doing the job the other can't:
+
+    * ``ts_col`` + ``watermark`` turns on
+      ``dropDuplicatesWithinWatermark`` BEFORE the sink — in-flight
+      duplicate suppression with BOUNDED state (keys older than the
+      watermark are evicted), which is the only sane within-stream
+      dedup at 100 TB/day; without a watermark the within-batch
+      ``dropDuplicates`` still guarantees one row per key per batch.
+    * the seen-table anti-join is the UNBOUNDED-horizon memory the
+      watermark deliberately gave up: a key first seen last month
+      still drops, because table storage (not executor state) holds
+      the history — same stored-sidecar discipline as the MinHash
+      index twin above.
+
+    Per batch: one left-anti equi-join against a key-only projection
+    (AQE broadcasts a small seen side) + one append of a key-only
+    delta. foreachBatch scopes the read-then-append race-free (batches
+    run sequentially); on an at-least-once replay the batch's own keys
+    are already in the table, so the replay appends zero survivors —
+    the seen table is self-healing, ``output_path`` compacts
+    idempotently by key downstream (the standard foreachBatch
+    contract).
+    """
+    from pybabe_spark.operators.merge import dedup_against
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError(
+                "stream_dedup_against: watermark needs ts_col"
+            )
+        stream_df = stream_df.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(key_list)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(key_list)
+        try:
+            seen = spark.read.parquet(seen_path)
+        except Exception:
+            seen = None  # first batch bootstraps the table
+        kept = (
+            dedup_against(fresh, seen, key_list)
+            if seen is not None
+            else fresh
+        )
+        # survivors feed BOTH the sink and the seen append — cut the
+        # lineage once instead of re-running the anti-join twice
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(output_path)
+        if update_seen:
+            kept.select(*key_list).write.mode("append").parquet(seen_path)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )
+
+
 def stream_rollup(
     stream_df: DataFrame,
     rollup_path: str,

@@ -503,3 +503,128 @@ def test_stream_apply_cdc_matches_batch_fold(spark, tmp_path):
         for r in apply_cdc(empty, feed, "k", "ts").collect()
     )
     assert got == want == [(1, "a2"), (2, "b2"), (3, "c2")]
+
+
+def test_stream_dedup_against_matches_batch(spark, tmp_path):
+    """Streaming twin of the batch dedup_against_seen composition:
+    micro-batches drop keys already in the STORED seen table, earlier
+    batches' survivors (appended to the table) suppress later batches,
+    and the final corpus equals the batch-path fold over the same
+    input."""
+    from pybabe_spark.operators.merge import dedup_against
+    from pybabe_spark.streaming.ops import stream_dedup_against
+
+    seen_path = str(tmp_path / "seen")
+    spark.createDataFrame(
+        [("k1",), ("k2",)], "ck string"
+    ).write.parquet(seen_path)
+
+    src = str(tmp_path / "src")
+    b1 = [("k1", "dup-of-seen"), ("k3", "novel-1"), ("k3", "within-batch-dup")]
+    b2 = [("k3", "dup-of-batch1"), ("k4", "novel-2"), ("k2", "dup-of-seen-2")]
+    spark.createDataFrame(b1, "ck string, payload string") \
+        .coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, "ck string, payload string") \
+        .coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("ck string, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    out = str(tmp_path / "out")
+    q = stream_dedup_against(
+        stream, seen_path, out, str(tmp_path / "ckpt"), keys="ck",
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["ck"] for r in spark.read.parquet(out).collect())
+    # batch-path fold over the same rows and the same initial seen set
+    batch_all = spark.createDataFrame(b1 + b2, "ck string, payload string")
+    seen0 = spark.createDataFrame([("k1",), ("k2",)], "ck string")
+    expect = sorted(
+        r["ck"]
+        for r in dedup_against(
+            batch_all.dropDuplicates(["ck"]), seen0, "ck"
+        ).collect()
+    )
+    assert got == expect == ["k3", "k4"]
+    # the seen table now carries the survivors for the NEXT run
+    seen_now = {r["ck"] for r in spark.read.parquet(seen_path).collect()}
+    assert seen_now == {"k1", "k2", "k3", "k4"}
+
+
+def test_stream_dedup_against_bootstrap_and_next_run(spark, tmp_path):
+    """No pre-existing seen table: the first run bootstraps it; a
+    SECOND run (new checkpoint, same table) drops everything the first
+    run admitted — the durable all-time memory the watermarked
+    streaming state can't provide."""
+    from pybabe_spark.streaming.ops import stream_dedup_against
+
+    seen_path = str(tmp_path / "seen")  # never created
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "ck string, v int"
+    ).coalesce(1).write.parquet(src1)
+    out1 = str(tmp_path / "out1")
+    q = stream_dedup_against(
+        spark.readStream.schema("ck string, v int").parquet(src1),
+        seen_path, out1, str(tmp_path / "ck1"), keys="ck",
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["ck"] for r in spark.read.parquet(out1).collect()
+    ) == ["a", "b"]
+
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [("a", 9), ("c", 3)], "ck string, v int"
+    ).coalesce(1).write.parquet(src2)
+    out2 = str(tmp_path / "out2")
+    q2 = stream_dedup_against(
+        spark.readStream.schema("ck string, v int").parquet(src2),
+        seen_path, out2, str(tmp_path / "ck2"), keys="ck",
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["ck"] for r in spark.read.parquet(out2).collect()
+    ) == ["c"]
+
+
+def test_stream_dedup_against_within_watermark(spark, tmp_path):
+    """The watermarked variant: dropDuplicatesWithinWatermark runs
+    before the sink (bounded in-flight state) and the stored-table
+    anti-join still applies; requires ts_col, rejects watermark
+    without one."""
+    import pytest
+
+    from pybabe_spark.streaming.ops import stream_dedup_against
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 00:00:30"),  # in-watermark duplicate
+        ("b", "2024-01-01 00:01:00"),
+    ]
+    spark.createDataFrame(rows, "ck string, ts_s string").coalesce(1) \
+        .write.parquet(src)
+    stream = (
+        spark.readStream.schema("ck string, ts_s string").parquet(src)
+        .selectExpr("ck", "CAST(ts_s AS TIMESTAMP) AS ts")
+    )
+    out = str(tmp_path / "out")
+    seen_path = str(tmp_path / "seen")
+    q = stream_dedup_against(
+        stream, seen_path, out, str(tmp_path / "ckpt"),
+        keys="ck", ts_col="ts", watermark="10 minutes",
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["ck"] for r in spark.read.parquet(out).collect()
+    ) == ["a", "b"]
+
+    with pytest.raises(ValueError, match="needs ts_col"):
+        stream_dedup_against(
+            stream, seen_path, out, str(tmp_path / "x"),
+            keys="ck", watermark="10 minutes",
+        )
