@@ -281,6 +281,11 @@ LOWMEM_FAMILIES = [
     "containment_capped",
     "entity_resolution",
     "quality_classifier",
+    # r9's two new top-5 bench costs (verdict ask): both are
+    # decimal-moment aggregations over de-globalized rank/resample
+    # stages — the claim under test is the same graceful-spill one
+    "spearman_exact",
+    "bootstrap_ci",
 ]
 
 
@@ -794,6 +799,34 @@ def stress(
             "sssp_chain": _sssp_chain,
             "kcore_ring": _kcore_ring,
             "theilsen_daily": _theilsen_daily,
+            # r10 families: the two new r9 top-5 bench costs ------------
+            # rows ∝ corpus, distinct (x, y) values bounded (mod carve)
+            # → rank tables flat, the corpus-side rank join + one
+            # DECIMAL(38,0) moment agg must track rows linearly
+            "spearman_exact": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["spearman_corr"],
+            ).spearman_corr(
+                docs.select(
+                    F.col("lang"),
+                    (F.col("doc_id") % 100).cast("double").alias("x"),
+                    ((F.col("doc_id") * 37) % 89).cast("double").alias("y"),
+                ),
+                "x", "y", by="lang",
+            ).count(),
+            # ONE fixed-width agg of 2B+2 sums over md5 Poisson weights
+            # (B = 50 constant): cost must track rows, memory flat
+            "bootstrap_ci": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["bootstrap_mean_ci"],
+            ).bootstrap_mean_ci(
+                docs.select(
+                    F.col("lang"),
+                    F.col("doc_id").alias("k"),
+                    (F.col("doc_id") % 100).cast("double").alias("v"),
+                ),
+                "v", "k", by="lang",
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
