@@ -2441,6 +2441,116 @@ def cramers_v_sql(table: str, a_col: str, b_col: str) -> str:
     """
 
 
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical columns over the SAME label space (rater vs rater,
+    model prediction vs gold label, two pipeline versions' lang-id):
+    ``κ = (p_o − p_e) / (1 − p_e)`` with observed agreement
+    ``p_o = Σ_v n_vv / N`` and chance agreement
+    ``p_e = Σ_v (r_v/N)(c_v/N)``. The accuracy a dumb
+    majority-guesser would get is priced out — the number a "94%
+    agreement" readout on a 94%-one-class corpus hides. ONE output
+    row: ``(n, agree, kappa)``.
+
+    Companion of :func:`cramers_v` (association strength, any two
+    domains) and :func:`mutual_information` (shared information): κ is
+    the one that penalizes OFF-DIAGONAL structure, so two columns can
+    be perfectly associated (V = 1) yet κ = negative (systematic
+    disagreement). Rows with NULL on either side are excluded.
+
+    Cross-engine determinism: κ is computed as the single fixed-shape
+    IEEE division ``(N·agree − Σ r_v c_v) / (N² − Σ r_v c_v)`` of two
+    EXACT DECIMAL(38,0) integers, rounded once to DECIMAL(18,6) — the
+    cramers_v discipline. Degenerate inputs (empty, or a single
+    category on both sides, where chance agreement is total and κ is
+    undefined) yield NULL kappa.
+
+    Scale shape: one (a, b) cell hash agg with map-side combine, two
+    margin aggs over the ≤R·C cell table, one ≤min(R,C)-row equi-join
+    of the margins for Σ r_v c_v, three 1-row broadcast attaches —
+    nothing bigger than the cell table ever moves.
+    """
+    ok = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = cells.agg(
+        F.coalesce(F.sum("__nab"), F.lit(0)).cast("bigint").alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__nab"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__agree"),
+    )
+    rows = cells.groupBy("__a").agg(F.sum("__nab").alias("__r"))
+    cols = cells.groupBy("__b").agg(F.sum("__nab").alias("__c"))
+    pe = (
+        rows.join(cols, rows["__a"] == cols["__b"])
+        .agg(
+            F.coalesce(F.sum(d("__r") * F.col("__c")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__pe")
+        )
+    )
+    from pybabe_spark.operators._util import attach_scalars
+
+    out = attach_scalars(tot, pe)
+    num = d("__n") * F.col("__agree") - F.col("__pe")
+    den = d("__n") * F.col("__n") - F.col("__pe")
+    return out.select(
+        F.col("__n").alias("n"),
+        F.col("__agree").alias("agree"),
+        F.when(
+            den > 0,
+            (num.cast("double") / den.cast("double")),
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB oracle of :func:`cohens_kappa` — identical exact-integer
+    numerator/denominator, identical single IEEE division + rounding."""
+    return f"""
+    WITH cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, COUNT(*)::HUGEINT AS nab
+        FROM {table}
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT COALESCE(SUM(nab), 0) AS n,
+               COALESCE(SUM(CASE WHEN a = b THEN nab END), 0) AS agree
+        FROM cells
+    ),
+    rt AS (SELECT a, SUM(nab) AS r FROM cells GROUP BY a),
+    ct AS (SELECT b, SUM(nab) AS c FROM cells GROUP BY b),
+    pe AS (
+        SELECT COALESCE(SUM(rt.r * ct.c), 0) AS pe
+        FROM rt JOIN ct ON rt.a = ct.b
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(t.agree AS BIGINT) AS agree,
+           CASE WHEN t.n * t.n - p.pe > 0 THEN
+             CAST(CAST(
+               CAST(t.n * t.agree - p.pe AS DOUBLE)
+               / CAST(t.n * t.n - p.pe AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE)
+           END AS kappa
+    FROM tot t CROSS JOIN pe p
+    """
+
+
 def mutual_information(
     df: DataFrame,
     a_col: str,

@@ -368,6 +368,11 @@ class Babe:
 
         return self._wrap(cramers_v(self.df, a_col, b_col))
 
+    def cohens_kappa(self, a_col, b_col) -> "Babe":
+        from pybabe_spark.operators.sketch import cohens_kappa
+
+        return self._wrap(cohens_kappa(self.df, a_col, b_col))
+
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
 

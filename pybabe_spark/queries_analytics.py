@@ -1858,6 +1858,34 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(orders, "o_orderpriority", "o_orderstatus")
 
 
+def _kappa_sql():
+    from pybabe_spark.operators.sketch import cohens_kappa_sql
+
+    frame = """(SELECT lang AS gold,
+                       CASE WHEN doc_id % 10 < 7 THEN lang
+                            ELSE 'en' END AS pred
+                FROM documents)"""
+    return cohens_kappa_sql(frame, "gold", "pred")
+
+
+@register("cohens_kappa_docs", _kappa_sql())
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the gold lang label and a deterministic
+    70%-faithful pseudo-prediction (operators/sketch.py::cohens_kappa)
+    — chance-corrected agreement, the model-vs-gold readout a raw
+    accuracy number overstates on skewed label sets. Exact-integer
+    numerator/denominator, one IEEE division rounded once."""
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("doc_id") % 10 < 7, F.col("lang"))
+        .otherwise(F.lit("en"))
+        .alias("pred"),
+    )
+    return cohens_kappa(docs, "gold", "pred")
+
+
 def _benford_sql():
     from pybabe_spark.operators.validate import benford_audit_sql
 

@@ -558,3 +558,110 @@ def test_weighted_quantiles_persist_is_tracked_and_releasable(spark):
     assert len(_TRACKED_PERSISTS) > before
     assert unpersist_tracked() >= 1
     assert len(_TRACKED_PERSISTS) == 0
+
+
+# -- cohens_kappa (operators/sketch.py) ------------------------------------------
+
+
+def _kappa_frame(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_kappa_perfect_agreement(spark):
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    pairs = [("x", "x")] * 6 + [("y", "y")] * 4
+    r = cohens_kappa(_kappa_frame(spark, pairs), "a", "b").collect()[0]
+    assert (r["n"], r["agree"]) == (10, 10)
+    assert r["kappa"] == 1.0
+
+
+def test_kappa_hand_checked_textbook(spark):
+    """Classic 2x2 worked example: 50 raters' items, po=0.7, pe=0.5
+    -> kappa = 0.4 exactly."""
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    pairs = (
+        [("yes", "yes")] * 20 + [("yes", "no")] * 5
+        + [("no", "yes")] * 10 + [("no", "no")] * 15
+    )
+    r = cohens_kappa(_kappa_frame(spark, pairs), "a", "b").collect()[0]
+    # N=50, agree=35, pe_num = r_yes*c_yes + r_no*c_no = 25*30+25*20=1250
+    # kappa = (50*35-1250)/(2500-1250) = 500/1250 = 0.4
+    assert (r["n"], r["agree"]) == (50, 35)
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_kappa_systematic_disagreement_negative(spark):
+    """Perfectly ASSOCIATED but systematically swapped labels: V = 1,
+    kappa = -1 — the off-diagonal structure only kappa prices."""
+    from pybabe_spark.operators.sketch import cohens_kappa, cramers_v
+
+    pairs = [("x", "y")] * 5 + [("y", "x")] * 5
+    fr = _kappa_frame(spark, pairs)
+    k = cohens_kappa(fr, "a", "b").collect()[0]
+    v = cramers_v(fr, "a", "b").collect()[0]
+    assert k["agree"] == 0 and k["kappa"] == -1.0
+    assert v["v"] == 1.0
+
+
+def test_kappa_chance_level_zero(spark):
+    """Independent uniform labels: agreement exactly at chance →
+    kappa = 0."""
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    pairs = [
+        (a, b) for a in ("x", "y") for b in ("x", "y") for _ in range(5)
+    ]
+    r = cohens_kappa(_kappa_frame(spark, pairs), "a", "b").collect()[0]
+    assert r["kappa"] == 0.0
+
+
+def test_kappa_degenerate_and_nulls(spark):
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    # single category both sides: pe = N² → undefined
+    r = cohens_kappa(
+        _kappa_frame(spark, [("x", "x")] * 3), "a", "b"
+    ).collect()[0]
+    assert (r["n"], r["agree"], r["kappa"]) == (3, 3, None)
+    # NULLs excluded; empty after filter → (0, 0, NULL)
+    r2 = cohens_kappa(
+        _kappa_frame(spark, [("x", None), (None, "y")]), "a", "b"
+    ).collect()[0]
+    assert (r2["n"], r2["agree"], r2["kappa"]) == (0, 0, None)
+
+
+def test_kappa_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    rng = random.Random(47)
+    labels = ["a", "b", "c", "d"]
+    pairs = [
+        (
+            rng.choice(labels),
+            rng.choice(labels) if rng.random() < 0.5 else "a",
+        )
+        for _ in range(500)
+    ]
+    r = cohens_kappa(_kappa_frame(spark, pairs), "a", "b").collect()[0]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    from collections import Counter
+
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    pe = sum(ra[v] * cb.get(v, 0) for v in ra)
+    expect = (n * agree - pe) / (n * n - pe)
+    assert (r["n"], r["agree"]) == (n, agree)
+    assert abs(r["kappa"] - expect) < 1e-6
+
+
+def test_kappa_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    out = Babe(_kappa_frame(spark, [("x", "x"), ("x", "y")])) \
+        .cohens_kappa("a", "b")
+    assert out.df.collect()[0]["n"] == 2
