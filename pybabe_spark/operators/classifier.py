@@ -379,3 +379,121 @@ def calibration_bins_sql(
                 - CAST(sm // n AS BIGINT) AS BIGINT) AS gap_ppm
     FROM agg
     """
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 over (gold, predicted) label
+    pairs — one row per label appearing in EITHER column:
+    ``(label, tp, fp, fn, support, precision_ppm, recall_ppm,
+    f1_ppm)``. The per-class view :func:`cohens_kappa` (one scalar)
+    and raw accuracy both hide: a 99%-accurate lang-id that never
+    predicts a minority language shows recall_ppm = 0 on exactly that
+    row. ``support = tp + fn`` is the gold count.
+
+    All three ratios are EXACT floored integral ppm — ``tp·10⁶ div
+    (tp+fp)``, ``tp·10⁶ div (tp+fn)``, and F1 in its
+    harmonic-mean-free integer form ``2·tp·10⁶ div (2·tp+fp+fn)`` —
+    NULL when the denominator is 0 (a label never predicted has NULL
+    precision, never gold has NULL recall). Rows with NULL on either
+    side are excluded, matching :func:`cohens_kappa`.
+
+    Scale shape: one (gold, pred) cell hash agg with map-side combine,
+    two margin aggs over the ≤R·C cell table, one full-outer equi-join
+    of the ≤R- and ≤C-row margins plus a diagonal lookup — nothing
+    bigger than the cell table moves.
+    """
+    ok = F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(
+            F.col(label_col).alias("__g"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    gold = cells.groupBy(F.col("__g").alias("label")).agg(
+        F.sum("__n").alias("__gold_n")
+    )
+    pred = cells.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").alias("__pred_n")
+    )
+    diag = cells.filter(F.col("__g") == F.col("__p")).select(
+        F.col("__g").alias("label"), F.col("__n").alias("__tp")
+    )
+    base = (
+        gold.join(pred, "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("__tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("__pred_n"), F.lit(0))
+                - F.coalesce(F.col("__tp"), F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce(F.col("__gold_n"), F.lit(0))
+                - F.coalesce(F.col("__tp"), F.lit(0))
+            ).alias("fn"),
+            F.coalesce(F.col("__gold_n"), F.lit(0)).alias("support"),
+        )
+    )
+    ppm = lambda num, den: F.expr(  # noqa: E731
+        f"CASE WHEN ({den}) > 0 THEN"
+        f" CAST(({num}) * 1000000 div ({den}) AS BIGINT) END"
+    )
+    return base.select(
+        "label",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("support").cast("bigint").alias("support"),
+        ppm("tp", "tp + fp").alias("precision_ppm"),
+        ppm("tp", "tp + fn").alias("recall_ppm"),
+        ppm("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"),
+    )
+
+
+def classification_report_sql(
+    table: str, label_col: str, pred_col: str
+) -> str:
+    """DuckDB oracle of :func:`classification_report` — identical
+    margins, identical floored integer-ppm ratios."""
+    return f"""
+    WITH cells AS (
+        SELECT {label_col} AS g, {pred_col} AS p, COUNT(*) AS n
+        FROM {table}
+        WHERE {label_col} IS NOT NULL AND {pred_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    gold AS (SELECT g AS label, SUM(n) AS gold_n FROM cells GROUP BY g),
+    pred AS (SELECT p AS label, SUM(n) AS pred_n FROM cells GROUP BY p),
+    diag AS (SELECT g AS label, n AS tp FROM cells WHERE g = p),
+    base AS (
+        SELECT COALESCE(gold.label, pred.label) AS label,
+               COALESCE(diag.tp, 0) AS tp,
+               COALESCE(pred.pred_n, 0) - COALESCE(diag.tp, 0) AS fp,
+               COALESCE(gold.gold_n, 0) - COALESCE(diag.tp, 0) AS fn,
+               COALESCE(gold.gold_n, 0) AS support
+        FROM gold
+        FULL OUTER JOIN pred ON gold.label = pred.label
+        LEFT JOIN diag ON COALESCE(gold.label, pred.label) = diag.label
+    )
+    SELECT label,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(support AS BIGINT) AS support,
+           CASE WHEN tp + fp > 0 THEN
+             CAST((tp * 1000000) // (tp + fp) AS BIGINT) END
+             AS precision_ppm,
+           CASE WHEN tp + fn > 0 THEN
+             CAST((tp * 1000000) // (tp + fn) AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) END
+             AS f1_ppm
+    FROM base
+    """

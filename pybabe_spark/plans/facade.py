@@ -373,6 +373,13 @@ class Babe:
 
         return self._wrap(cohens_kappa(self.df, a_col, b_col))
 
+    def classification_report(self, label_col, pred_col) -> "Babe":
+        from pybabe_spark.operators.classifier import classification_report
+
+        return self._wrap(
+            classification_report(self.df, label_col, pred_col)
+        )
+
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
 

@@ -1325,3 +1325,32 @@ def q_strip_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return strip_boilerplate_lines(wrapped, "doc_id", "text", min_df=2)
+
+
+def _clf_report_sql():
+    from pybabe_spark.operators.classifier import classification_report_sql
+
+    frame = """(SELECT lang AS gold,
+                       CASE WHEN doc_id % 10 < 7 THEN lang
+                            ELSE 'en' END AS pred
+                FROM documents)"""
+    return classification_report_sql(frame, "gold", "pred")
+
+
+@register("classification_report_docs", _clf_report_sql())
+def q_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the 70%-faithful pseudo-
+    prediction against the gold lang label (operators/classifier.py::
+    classification_report) — the per-class view cohens_kappa_docs'
+    scalar hides: 'en' shows inflated precision-cost (every miss
+    lands there) while minority langs keep precision 1.0 at recall
+    0.7. All-integer ppm ratios, margins over one cell agg."""
+    from pybabe_spark.operators.classifier import classification_report
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("doc_id") % 10 < 7, F.col("lang"))
+        .otherwise(F.lit("en"))
+        .alias("pred"),
+    )
+    return classification_report(docs, "gold", "pred")

@@ -665,3 +665,99 @@ def test_kappa_facade(spark):
     out = Babe(_kappa_frame(spark, [("x", "x"), ("x", "y")])) \
         .cohens_kappa("a", "b")
     assert out.df.collect()[0]["n"] == 2
+
+
+# -- classification_report (operators/classifier.py) -----------------------------
+
+
+def test_classification_report_hand_checked(spark):
+    from pybabe_spark.operators.classifier import classification_report
+
+    pairs = (
+        [("a", "a")] * 3 + [("a", "b")] * 1
+        + [("b", "b")] * 2 + [("b", "a")] * 2
+    )
+    df = spark.createDataFrame(pairs, "gold string, pred string")
+    rows = {
+        r["label"]: r
+        for r in classification_report(df, "gold", "pred").collect()
+    }
+    a, b = rows["a"], rows["b"]
+    # a: tp=3 fp=2 fn=1 support=4
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (3, 2, 1, 4)
+    assert a["precision_ppm"] == 600_000  # 3/5
+    assert a["recall_ppm"] == 750_000  # 3/4
+    assert a["f1_ppm"] == (2 * 3 * 1_000_000) // (2 * 3 + 2 + 1)
+    # b: tp=2 fp=1 fn=2 support=4
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 1, 2)
+    assert b["precision_ppm"] == 666_666  # floored 2/3
+
+
+def test_classification_report_never_predicted_and_phantom_label(spark):
+    """A gold label never predicted → NULL precision, recall 0; a
+    predicted label absent from gold → support 0, NULL recall."""
+    from pybabe_spark.operators.classifier import classification_report
+
+    pairs = [("x", "y"), ("x", "y"), ("y", "y")]
+    df = spark.createDataFrame(pairs, "gold string, pred string")
+    rows = {
+        r["label"]: r
+        for r in classification_report(df, "gold", "pred").collect()
+    }
+    x = rows["x"]
+    assert (x["tp"], x["fp"], x["fn"], x["support"]) == (0, 0, 2, 2)
+    assert x["precision_ppm"] is None and x["recall_ppm"] == 0
+    assert x["f1_ppm"] == 0  # 2tp+fp+fn = 2 > 0, tp = 0
+    y = rows["y"]
+    assert (y["tp"], y["fp"], y["support"]) == (1, 2, 1)
+
+    only_pred = spark.createDataFrame(
+        [("g1", "phantom"), ("g1", "g1")], "gold string, pred string"
+    )
+    rows2 = {
+        r["label"]: r
+        for r in classification_report(only_pred, "gold", "pred").collect()
+    }
+    ph = rows2["phantom"]
+    assert (ph["tp"], ph["fp"], ph["fn"], ph["support"]) == (0, 1, 0, 0)
+    assert ph["recall_ppm"] is None and ph["precision_ppm"] == 0
+
+
+def test_classification_report_matches_python_model(spark):
+    import random
+    from collections import Counter
+
+    from pybabe_spark.operators.classifier import classification_report
+
+    rng = random.Random(53)
+    labels = ["a", "b", "c"]
+    pairs = [
+        (rng.choice(labels), rng.choice(labels)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "gold string, pred string")
+    got = {
+        r["label"]: (r["tp"], r["fp"], r["fn"], r["precision_ppm"],
+                     r["recall_ppm"], r["f1_ppm"])
+        for r in classification_report(df, "gold", "pred").collect()
+    }
+    cells = Counter(pairs)
+    for lab in labels:
+        tp = cells[(lab, lab)]
+        fp = sum(c for (g, p), c in cells.items() if p == lab and g != lab)
+        fn = sum(c for (g, p), c in cells.items() if g == lab and p != lab)
+        expect = (
+            tp, fp, fn,
+            (tp * 1_000_000) // (tp + fp) if tp + fp else None,
+            (tp * 1_000_000) // (tp + fn) if tp + fn else None,
+            (2 * tp * 1_000_000) // (2 * tp + fp + fn)
+            if 2 * tp + fp + fn else None,
+        )
+        assert got[lab] == expect, lab
+
+
+def test_classification_report_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame([("x", "x")], "gold string, pred string")
+    out = Babe(df).classification_report("gold", "pred")
+    assert out.df.collect()[0]["f1_ppm"] == 1_000_000
