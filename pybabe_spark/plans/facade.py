@@ -380,6 +380,15 @@ class Babe:
             classification_report(self.df, label_col, pred_col)
         )
 
+    def ranking_metrics(self, truth: "Babe | DataFrame", query_col,
+                        doc_col, rank_col, k=10) -> "Babe":
+        from pybabe_spark.operators.ranking import ranking_metrics
+
+        t = truth.df if isinstance(truth, Babe) else truth
+        return self._wrap(
+            ranking_metrics(self.df, t, query_col, doc_col, rank_col, k)
+        )
+
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
 

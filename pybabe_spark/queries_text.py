@@ -1354,3 +1354,44 @@ def q_classification_report(spark, sf_dir):
         .alias("pred"),
     )
     return classification_report(docs, "gold", "pred")
+
+
+def _ranking_sql():
+    from pybabe_spark.operators.ranking import ranking_metrics_sql
+
+    results = """
+        SELECT lang, doc_id, rank FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        ) WHERE rank <= 10
+    """
+    truth = "SELECT lang, doc_id FROM documents WHERE doc_id % 3 = 0"
+    return ranking_metrics_sql(results, truth, "lang", "doc_id", "rank", 10)
+
+
+@register("ranking_metrics_docs", _ranking_sql())
+def q_ranking_metrics(spark, sf_dir):
+    """Recall@10 / MRR@10 / NDCG@10 of a deterministic longest-docs-
+    first ranking per language against a doc_id%3 relevance set
+    (operators/ranking.py::ranking_metrics) — the tuning harness for
+    the BM25/ANN/RRF search family; all per-rank gains are Python
+    integer-ppm literals shared with the oracle, so neither engine
+    computes a log."""
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators.ranking import ranking_metrics
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    results = (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    truth = docs.filter(F.col("doc_id") % 3 == 0).select("lang", "doc_id")
+    return ranking_metrics(results, truth, "lang", "doc_id", "rank", k=10)
