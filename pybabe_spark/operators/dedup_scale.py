@@ -208,6 +208,122 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs — ``(id_a, id_b, hamming)`` for
+    every pair whose ``bits``-wide :func:`simhash` fingerprints differ
+    in at most ``max_hamming`` bit positions. This is the DEDUP HALF
+    the existing :func:`simhash` signature was missing (the classic
+    Charikar/Manku-Jain-Sarma web-dedup pipeline): MinHash/LSH catches
+    shingle-set overlap, SimHash Hamming catches token-frequency-
+    profile near-identity — cheaper signatures (one narrow map, no
+    shuffle) and a cheaper join.
+
+    EXACT output via band pigeonhole: the fingerprint splits into
+    ``max_hamming + 1`` contiguous bit bands, and two fingerprints
+    within Hamming distance d ≤ max_hamming must agree EXACTLY on at
+    least one band (d differing bits can't touch all d+1 bands), so an
+    equi-join on (band index, band value) produces candidates with NO
+    false negatives; the ``bit_count(xor)`` confirm removes false
+    positives. Same exactness-with-a-bounded-shuffle shape as
+    ``group_heavy_hitters``: the shuffle carries (band, value) keys —
+    never all pairs. Candidate volume concentrates on bands shared by
+    many docs (near-constant fingerprint regions); at 100 TB cap the
+    corpus upstream by :func:`dedup_exact` first, as hash-identical
+    docs all land in one Hamming-0 clique.
+
+    Both the banding and the confirm are pure JVM codegen (shifts,
+    masks, ``bit_count``); the oracle replays the brute-force
+    definition, which the banded plan must match pair-for-pair.
+    """
+    if not 1 <= max_hamming < bits:
+        raise ValueError(
+            f"simhash_neardup_pairs: max_hamming {max_hamming} must be "
+            f"in [1, bits)"
+        )
+    if bits > 63:
+        raise ValueError(
+            f"simhash_neardup_pairs: bits {bits} exceeds 63 (the "
+            "fingerprint rides a signed BIGINT in both engines)"
+        )
+    bands = max_hamming + 1
+    sig = simhash(df, id_col, text_col, bits)
+    # contiguous bands, widths as even as possible (floor/ceil split)
+    widths = [
+        bits // bands + (1 if i < bits % bands else 0)
+        for i in range(bands)
+    ]
+    offs = [sum(widths[:i]) for i in range(bands)]
+    band_structs = ", ".join(
+        f"struct({i} AS band, (shiftright(simhash, {offs[i]})"
+        f" & {(1 << widths[i]) - 1}) AS val)"
+        for i in range(bands)
+    )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__sig"),
+        F.explode(F.expr(f"array({band_structs})")).alias("__b"),
+    ).select("__id", "__sig", "__b.band", "__b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .distinct()  # a pair agreeing on several bands appears once
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("__sa ^ __sb")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB oracle of :func:`simhash_neardup_pairs` — the brute-force
+    all-pairs xor-popcount definition the banded plan must reproduce
+    pair-for-pair (quarantined oracle shape: quadratic is fine at
+    oracle scale, never in the engine)."""
+    nib = lambda k: k // 4 + 1  # noqa: E731
+    sig_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(string_split({text_col}, ' '), "
+        f"t -> CASE WHEN ((instr('0123456789abcdef', "
+        f"substr(md5(t), {nib(k)}, 1)) - 1) "
+        f"& {1 << (k % 4)}) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(bits)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT {id_col} AS id, CAST({sig_bits} AS BIGINT) AS s
+        FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -128,6 +128,15 @@ class Babe:
             near_dedup_keep(self.df, id_col, text_col, threshold, **kwargs)
         )
 
+    def simhash_neardup(self, id_col, text_col, bits=48,
+                        max_hamming=3) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs
+
+        return self._wrap(
+            simhash_neardup_pairs(self.df, id_col, text_col, bits,
+                                  max_hamming)
+        )
+
     def near_dedup_against(
         self, seen: "Babe | DataFrame", id_col, text_col, **kwargs
     ) -> "Babe":

@@ -356,6 +356,30 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "doc_id", "text", bits=16)
 
 
+def _simhash_neardup_sql():
+    from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs_sql
+
+    return simhash_neardup_pairs_sql(
+        "documents", "doc_id", "text", bits=16, max_hamming=2
+    )
+
+
+@register("simhash_neardup_docs", _simhash_neardup_sql())
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash Hamming near-dup pairs (operators/dedup_scale.py::
+    simhash_neardup_pairs): band-pigeonhole candidates (d+1 contiguous
+    bit bands, equi-join on band value — no false negatives) +
+    bit_count(xor) confirm, EXACTLY matching the oracle's brute-force
+    all-pairs definition; the token-frequency-profile complement of
+    minhash_lsh_pairs' shingle-set overlap."""
+    from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", bits=16, max_hamming=2
+    )
+
+
 @register(
     "jaccard_pairs_words",
     """

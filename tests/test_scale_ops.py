@@ -2939,3 +2939,79 @@ def test_group_heavy_hitters_facade(spark):
     df = spark.createDataFrame([("g", "a")] * 3, "g string, v string")
     out = Babe(df).group_heavy_hitters("g", "v", support=0.5)
     assert out.df.collect()[0]["n"] == 3
+
+
+# -- simhash_neardup_pairs (operators/dedup_scale.py) ----------------------------
+
+
+def test_simhash_neardup_matches_bruteforce(spark):
+    """The band-pigeonhole plan must equal the brute-force all-pairs
+    xor-popcount definition pair-for-pair (banding is exact: d
+    differing bits cannot touch all d+1 bands)."""
+    import itertools
+    import random
+
+    from pybabe_spark.operators.dedup_scale import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    rng = random.Random(71)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=12))) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", bits=16, max_hamming=2
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text", bits=16).collect()
+    }
+    expect = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 2:
+            expect.add((a, b, h))
+    assert got == expect and len(expect) > 0
+
+
+def test_simhash_neardup_identical_docs_hamming_zero(spark):
+    from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+            (3, "totally different words here entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", bits=32, max_hamming=1
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0
+
+
+def test_simhash_neardup_validation(spark):
+    import pytest
+
+    from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs(df, "doc_id", "text", bits=16, max_hamming=0)
+    with pytest.raises(ValueError, match="exceeds 63"):
+        simhash_neardup_pairs(df, "doc_id", "text", bits=64)
+
+
+def test_simhash_neardup_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    rows = [(1, "a b c"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Babe(df).simhash_neardup("doc_id", "text", bits=16, max_hamming=1)
+    assert out.df.collect()[0]["hamming"] == 0
