@@ -192,19 +192,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     bit k iff the vote sum is positive. Pure codegen expressions —
     ``aggregate`` over the token array, no shuffle at all (narrow map).
     """
-    tokens = f"split({text_col}, ' ', -1)"
-    bit_terms = []
+    # explode tokens to rows and md5 ONCE per token under whole-stage
+    # codegen, then the per-bit votes are k SUM(CASE) aggregates with
+    # map-side combine — the minhash_signature discipline (its r4
+    # measurement: codegen digest on exploded rows beats interpreted
+    # HOF md5 ~8×; the original HOF form here also re-ran md5 per bit,
+    # 6.6 s → 1.0 s on simhash_neardup_docs at sf0.1). explode_outer +
+    # the NULL-digest arm keep NULL-text docs in the output with the
+    # same all-zero signature the HOF/oracle forms produce.
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.col(text_col), " ", -1)).alias("__t"),
+    ).withColumn("__h", F.md5(F.col("__t")))
+    votes = []
     for k in range(bits):
         nib = k // 4 + 1  # 1-based position in the md5 hex string
         mask = 1 << (k % 4)
-        vote = (
-            f"aggregate({tokens}, 0L, (acc, t) -> acc + "
-            f"CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {nib}, 1)) - 1) "
-            f"& {mask}) > 0 THEN 1 ELSE -1 END)"
+        votes.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN __h IS NULL THEN 0 WHEN "
+                    f"((instr('0123456789abcdef', substr(__h, {nib}, 1)) - 1) "
+                    f"& {mask}) > 0 THEN 1 ELSE -1 END"
+                )
+            ).alias(f"__v{k}")
         )
-        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
-    return df.select(
-        F.col(id_col), F.expr(" + ".join(bit_terms)).cast("bigint").alias("simhash")
+    sig_expr = " + ".join(
+        f"(CASE WHEN __v{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(bits)
+    )
+    return sh.groupBy(id_col).agg(*votes).select(
+        F.col(id_col),
+        F.expr(sig_expr).cast("bigint").alias("simhash"),
     )
 
 

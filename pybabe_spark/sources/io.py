@@ -206,8 +206,13 @@ def _fetch_url_maybe_cached(
     name = f"{base}-{etag.replace('/', '_')}"
 
     def _fetch(tmp_path: str) -> None:
+        import shutil
+
         staged = _fetch_url_to_temp(url)
-        os.replace(staged, tmp_path)
+        # shutil.move, not os.replace: the cache_dir may live on a
+        # different filesystem than the temp spool (os.replace raises
+        # EXDEV across mounts; move falls back to copy+unlink)
+        shutil.move(staged, tmp_path)
 
     return fc.lookup(name, _fetch)
 

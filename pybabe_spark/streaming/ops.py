@@ -554,12 +554,18 @@ def stream_dedup_against(
         ).dropDuplicatesWithinWatermark(key_list)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates(key_list)
         try:
             seen = spark.read.parquet(seen_path)
-        except Exception:
-            seen = None  # first batch bootstraps the table
+        except AnalysisException:
+            # missing path = first batch bootstraps the table; any
+            # OTHER read failure must propagate — silently treating a
+            # transient error as "empty table" would re-admit the
+            # whole corpus
+            seen = None
         kept = (
             dedup_against(fresh, seen, key_list)
             if seen is not None

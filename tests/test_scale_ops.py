@@ -3015,3 +3015,38 @@ def test_simhash_neardup_facade(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = Babe(df).simhash_neardup("doc_id", "text", bits=16, max_hamming=1)
     assert out.df.collect()[0]["hamming"] == 0
+
+
+def test_simhash_null_and_empty_text_kept(spark):
+    """NULL-text docs stay in the signature output with the all-zero
+    signature (the explode_outer + NULL-vote arm); empty text hashes
+    the single empty token like the oracle's string_split('')."""
+    from pybabe_spark.operators.dedup_scale import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text", bits=16).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == 0
+    import duckdb
+
+    from pybabe_spark.queries_ml import _SIMHASH_SQL_BITS
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, NULL), (2, ''), (3, 'a b')) AS t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, CAST({_SIMHASH_SQL_BITS} AS BIGINT) "
+            "FROM documents"
+        ).fetchall()
+    }
+    # DuckDB NULL text -> NULL votes -> 0-signature via the CASE ELSE 0
+    assert got == {k: (v if v is not None else 0) for k, v in oracle.items()}
