@@ -650,3 +650,81 @@ def test_sequence_count_matches_python_model_randomized(spark):
     }
     want = {u: n for u, n in model.items() if n > 0}
     assert got == want
+
+
+# -- r10 stats ops vs exact python models -----------------------------------------
+
+_pair_labels = st.sampled_from(["x", "y", "z"])
+_label_pairs = st.lists(
+    st.tuples(_pair_labels, _pair_labels), min_size=1, max_size=40
+)
+
+
+@given(data=_label_pairs)
+@settings(**SETTINGS)
+def test_cohens_kappa_matches_model(spark, data):
+    from collections import Counter
+
+    from pybabe_spark.operators.sketch import cohens_kappa
+
+    df = spark.createDataFrame(data, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = len(data)
+    agree = sum(1 for a, b in data if a == b)
+    ra = Counter(a for a, _ in data)
+    cb = Counter(b for _, b in data)
+    pe = sum(ra[v] * cb.get(v, 0) for v in ra)
+    assert (r["n"], r["agree"]) == (n, agree)
+    if n * n - pe > 0:
+        expect = round((n * agree - pe) / (n * n - pe), 6)
+        assert abs(r["kappa"] - expect) <= 1e-6
+    else:
+        assert r["kappa"] is None
+
+
+@given(data=_label_pairs)
+@settings(**SETTINGS)
+def test_classification_report_matches_model(spark, data):
+    from collections import Counter
+
+    from pybabe_spark.operators.classifier import classification_report
+
+    df = spark.createDataFrame(data, "g string, p string")
+    got = {
+        r["label"]: (r["tp"], r["fp"], r["fn"], r["support"])
+        for r in classification_report(df, "g", "p").collect()
+    }
+    cells = Counter(data)
+    labels = {g for g, _ in data} | {p for _, p in data}
+    for lab in labels:
+        tp = cells[(lab, lab)]
+        fp = sum(c for (g, p), c in cells.items() if p == lab) - tp
+        fn = sum(c for (g, p), c in cells.items() if g == lab) - tp
+        assert got[lab] == (tp, fp, fn, tp + fn), lab
+    assert set(got) == labels
+
+
+_ks_vals = st.floats(
+    min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 1))
+_ks_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _ks_vals),
+    min_size=2, max_size=50,
+)
+
+
+@given(data=_ks_rows)
+@settings(**SETTINGS)
+def test_ks_dnum_matches_model(spark, data):
+    from pybabe_spark.operators.sketch import ks_test
+
+    df = spark.createDataFrame(data, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    xs = [v for g, v in data if g == "a"]
+    ys = [v for g, v in data if g == "b"]
+    best = 0
+    for t in sorted(set(xs) | set(ys)):
+        ca = sum(1 for x in xs if x <= t)
+        cb = sum(1 for y in ys if y <= t)
+        best = max(best, abs(ca * len(ys) - cb * len(xs)))
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (len(xs), len(ys), best)
