@@ -169,3 +169,123 @@ def ranking_metrics_sql(
                 ELSE SUM(ndcg) // COUNT(*) END AS BIGINT) AS ndcg_ppm
     FROM scored
     """
+
+
+def _rbo_suffix_ppm(k: int, p: float) -> list[int]:
+    """S[m] = Σ_{d=m..k} (1−p)·p^{d−1}/d as floored integer ppm, for
+    m = 1..k — a doc first appearing in BOTH prefixes at depth m
+    contributes exactly S[m] to truncated RBO. Python-computed floats
+    collapse to shared literals, so both engines sum identical ints."""
+    w = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    out = []
+    for m in range(1, k + 1):
+        out.append(int(sum(w[m - 1:]) * 1_000_000))
+    return out
+
+
+def rbo_overlap(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (RBO@k, Webber et al. 2010)
+    between two RANKINGS of the same queries — ``(query, rbo_ppm)``
+    per query in EITHER system. The label-free companion of
+    :func:`ranking_metrics`: comparing the BM25 ranking against the
+    hybrid-RRF ranking (or yesterday's index against today's) needs no
+    relevance judgments, just how much the top-k lists agree, with
+    top-weighted emphasis (rank 1 disagreements cost most).
+
+    ``RBO@k = Σ_{d=1..k} (1−p)·p^{d−1} · |A_d ∩ B_d| / d`` — truncated,
+    not extrapolated: identical prefixes score Σ_{d≤k} w_d < 1 (the
+    tail weight beyond k is unobserved; comparisons at the same k are
+    what matter). Exactness: a doc in both prefixes with ranks
+    (r_a, r_b) enters every depth d ≥ max(r_a, r_b), so its total
+    contribution is the suffix sum S[max(r_a, r_b)] — a Python integer
+    ppm literal per possible depth (see :func:`_rbo_suffix_ppm`), and
+    the per-query score is an exact integer sum of literals. A query
+    present in only one system scores 0 (a vanished query IS maximal
+    disagreement).
+
+    Scale shape: two rank≤k filters (each side shrinks to queries×k
+    before any shuffle), one (query, doc) equi-join, one per-query hash
+    agg, one union-distinct of the two query universes + a left join
+    back. Nothing larger than queries×k moves.
+    """
+    if k < 1:
+        raise ValueError(f"rbo_overlap: k {k} must be >= 1")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"rbo_overlap: p {p} must be in (0, 1)")
+    suffix = _rbo_suffix_ppm(k, p)
+
+    def top(df):
+        return df.select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rank_col).cast("int").alias("__r"),
+        ).filter((F.col("__r") >= 1) & (F.col("__r") <= k))
+
+    ta, tb = top(results_a), top(results_b)
+    both = ta.alias("a").join(
+        tb.alias("b"),
+        (F.col("a.__q") == F.col("b.__q"))
+        & (F.col("a.__d") == F.col("b.__d")),
+    ).select(
+        F.col("a.__q").alias("__q"),
+        F.greatest(F.col("a.__r"), F.col("b.__r")).alias("__m"),
+    )
+    contrib = _case_over_rank("__m", suffix)
+    per_q = both.groupBy("__q").agg(
+        F.sum(F.expr(contrib)).alias("__rbo")
+    )
+    universe = ta.select("__q").union(tb.select("__q")).distinct()
+    return universe.join(per_q, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("__rbo"), F.lit(0))
+        .cast("bigint")
+        .alias("rbo_ppm"),
+    )
+
+
+def rbo_overlap_sql(
+    results_a_select: str,
+    results_b_select: str,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    k: int = 10,
+    p: float = 0.9,
+) -> str:
+    """DuckDB oracle of :func:`rbo_overlap` — identical suffix-sum
+    literal table, identical integer arithmetic."""
+    suffix = _rbo_suffix_ppm(k, p)
+    contrib = _case_over_rank("m", suffix)
+    return f"""
+    WITH ra AS ({results_a_select}),
+    rb AS ({results_b_select}),
+    ta AS (
+        SELECT {query_col} AS q, {doc_col} AS d,
+               CAST({rank_col} AS INT) AS r
+        FROM ra WHERE {rank_col} BETWEEN 1 AND {k}
+    ),
+    tb AS (
+        SELECT {query_col} AS q, {doc_col} AS d,
+               CAST({rank_col} AS INT) AS r
+        FROM rb WHERE {rank_col} BETWEEN 1 AND {k}
+    ),
+    both_side AS (
+        SELECT ta.q, GREATEST(ta.r, tb.r) AS m
+        FROM ta JOIN tb ON ta.q = tb.q AND ta.d = tb.d
+    ),
+    per_q AS (SELECT q, SUM({contrib}) AS rbo FROM both_side GROUP BY q),
+    universe AS (
+        SELECT DISTINCT q FROM (SELECT q FROM ta UNION ALL SELECT q FROM tb)
+    )
+    SELECT u.q AS {query_col},
+           CAST(COALESCE(per_q.rbo, 0) AS BIGINT) AS rbo_ppm
+    FROM universe u LEFT JOIN per_q USING (q)
+    """

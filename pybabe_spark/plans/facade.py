@@ -398,6 +398,15 @@ class Babe:
             ranking_metrics(self.df, t, query_col, doc_col, rank_col, k)
         )
 
+    def rbo_overlap(self, other: "Babe | DataFrame", query_col, doc_col,
+                    rank_col, k=10, p=0.9) -> "Babe":
+        from pybabe_spark.operators.ranking import rbo_overlap
+
+        o = other.df if isinstance(other, Babe) else other
+        return self._wrap(
+            rbo_overlap(self.df, o, query_col, doc_col, rank_col, k, p)
+        )
+
     def spearman_corr(self, x_col, y_col, by=None, **kwargs) -> "Babe":
         from pybabe_spark.operators.sketch import spearman_corr
 

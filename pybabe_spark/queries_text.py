@@ -1395,3 +1395,55 @@ def q_ranking_metrics(spark, sf_dir):
     )
     truth = docs.filter(F.col("doc_id") % 3 == 0).select("lang", "doc_id")
     return ranking_metrics(results, truth, "lang", "doc_id", "rank", k=10)
+
+
+def _rbo_sql():
+    from pybabe_spark.operators.ranking import rbo_overlap_sql
+
+    ra = """
+        SELECT lang, doc_id, rank FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        ) WHERE rank <= 10
+    """
+    rb = """
+        SELECT lang, doc_id, rank FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars - (n_chars % 10) DESC, doc_id ASC
+                   ) AS rank
+            FROM documents
+        ) WHERE rank <= 10
+    """
+    return rbo_overlap_sql(ra, rb, "lang", "doc_id", "rank", 10)
+
+
+@register("rbo_overlap_docs", _rbo_sql())
+def q_rbo_overlap(spark, sf_dir):
+    """Truncated RBO@10 between the exact longest-docs ranking and a
+    10-char-coarsened variant per language (operators/ranking.py::
+    rbo_overlap) — the label-free ranking-change monitor: high-but-
+    not-1.0 agreement exactly where tie-band reshuffles moved docs.
+    Suffix-sum ppm literals shared with the oracle; exact integer
+    sums."""
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators.ranking import rbo_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    wa = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        (F.col("n_chars") - F.col("n_chars") % 10).desc(),
+        F.col("doc_id").asc(),
+    )
+    ra = docs.select(
+        "lang", "doc_id", F.row_number().over(wa).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    rb = docs.select(
+        "lang", "doc_id", F.row_number().over(wb).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return rbo_overlap(ra, rb, "lang", "doc_id", "rank", k=10)

@@ -119,3 +119,119 @@ def test_facade_hook(spark):
     t = spark.createDataFrame([("q", "a")], "q string, d string")
     out = Babe(r).ranking_metrics(Babe(t), "q", "d", "rank", k=3)
     assert out.df.collect()[0]["mrr_ppm"] == 1_000_000
+
+
+# -- rbo_overlap -------------------------------------------------------------------
+
+
+def _rk(spark, rows):
+    return spark.createDataFrame(rows, "q string, d string, rank int")
+
+
+def test_rbo_identical_rankings_full_truncated_weight(spark):
+    from pybabe_spark.operators.ranking import _rbo_suffix_ppm, rbo_overlap
+
+    rows = [("q1", f"d{i}", i) for i in range(1, 6)]
+    out = rbo_overlap(
+        _rk(spark, rows), _rk(spark, rows), "q", "d", "rank", k=5
+    ).collect()
+    # every doc matches at depth m = its own rank → Σ S[m]
+    suffix = _rbo_suffix_ppm(5, 0.9)
+    assert out[0]["rbo_ppm"] == sum(suffix)
+    # and that total is the full truncated weight Σ_{d<=k} w_d (ppm-ish,
+    # floored per term so allow the k-ulp slack)
+    w_total = sum(0.1 * 0.9 ** (d - 1) for d in range(1, 6))
+    assert abs(out[0]["rbo_ppm"] - w_total * 1_000_000) <= 5
+
+
+def test_rbo_disjoint_rankings_zero(spark):
+    from pybabe_spark.operators.ranking import rbo_overlap
+
+    ra = [("q1", f"a{i}", i) for i in range(1, 4)]
+    rb = [("q1", f"b{i}", i) for i in range(1, 4)]
+    out = rbo_overlap(_rk(spark, ra), _rk(spark, rb), "q", "d", "rank", k=3)
+    assert out.collect()[0]["rbo_ppm"] == 0
+
+
+def test_rbo_top_rank_agreement_weighs_most(spark):
+    """Same single shared doc: shared at rank 1 in both lists scores
+    strictly higher than shared at rank 3 in both lists."""
+    from pybabe_spark.operators.ranking import rbo_overlap
+
+    base = [("q1", "x1", 2), ("q1", "x2", 3)]
+    top = [("q1", "s", 1)] + base
+    bot = [("q1", "x1", 1), ("q1", "x2", 2), ("q1", "s", 3)]
+    hi = rbo_overlap(
+        _rk(spark, top), _rk(spark, top), "q", "d", "rank", k=3
+    ).collect()[0]["rbo_ppm"]
+    # compare the SHARED-DOC-ONLY contribution: rank-1-vs-rank-1 beats
+    # rank-3-vs-rank-3
+    from pybabe_spark.operators.ranking import _rbo_suffix_ppm
+
+    s = _rbo_suffix_ppm(3, 0.9)
+    assert s[0] > s[2]
+    lo = rbo_overlap(
+        _rk(spark, bot), _rk(spark, [("q1", "s", 3)]), "q", "d", "rank", k=3
+    ).collect()[0]["rbo_ppm"]
+    assert lo == s[2] and hi > lo
+
+
+def test_rbo_query_in_one_system_scores_zero(spark):
+    from pybabe_spark.operators.ranking import rbo_overlap
+
+    ra = [("q1", "d1", 1), ("q2", "d1", 1)]
+    rb = [("q1", "d1", 1)]
+    got = {
+        r["q"]: r["rbo_ppm"]
+        for r in rbo_overlap(
+            _rk(spark, ra), _rk(spark, rb), "q", "d", "rank", k=3
+        ).collect()
+    }
+    assert got["q2"] == 0 and got["q1"] > 0
+    assert set(got) == {"q1", "q2"}
+
+
+def test_rbo_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.ranking import _rbo_suffix_ppm, rbo_overlap
+
+    rng = random.Random(83)
+    k = 6
+    docs = [f"d{i}" for i in range(15)]
+    ra, rb = [], []
+    for q in [f"q{i}" for i in range(12)]:
+        la = rng.sample(docs, k)
+        lb = rng.sample(docs, k)
+        ra += [(q, d, i + 1) for i, d in enumerate(la)]
+        rb += [(q, d, i + 1) for i, d in enumerate(lb)]
+    got = {
+        r["q"]: r["rbo_ppm"]
+        for r in rbo_overlap(
+            _rk(spark, ra), _rk(spark, rb), "q", "d", "rank", k=k
+        ).collect()
+    }
+    suffix = _rbo_suffix_ppm(k, 0.9)
+    A, B = {}, {}
+    for q, d, r in ra:
+        A.setdefault(q, {})[d] = r
+    for q, d, r in rb:
+        B.setdefault(q, {})[d] = r
+    for q in A:
+        expect = sum(
+            suffix[max(ra_, B[q][d]) - 1]
+            for d, ra_ in A[q].items()
+            if d in B[q]
+        )
+        assert got[q] == expect, q
+
+
+def test_rbo_validation_and_facade(spark):
+    from pybabe_spark.operators.ranking import rbo_overlap
+    from pybabe_spark.plans.facade import Babe
+
+    r = _rk(spark, [("q", "d", 1)])
+    with pytest.raises(ValueError, match="p "):
+        rbo_overlap(r, r, "q", "d", "rank", p=1.0)
+    out = Babe(r).rbo_overlap(Babe(r), "q", "d", "rank", k=3)
+    assert out.df.collect()[0]["rbo_ppm"] > 0
