@@ -270,8 +270,37 @@ def simhash_neardup_pairs(
             f"simhash_neardup_pairs: bits {bits} exceeds 63 (the "
             "fingerprint rides a signed BIGINT in both engines)"
         )
-    bands = max_hamming + 1
     sig = simhash(df, id_col, text_col, bits)
+    return hamming_neardup_pairs(sig, id_col, "simhash", bits, max_hamming)
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column — the
+    signature-agnostic core of :func:`simhash_neardup_pairs`, directly
+    usable with perceptual image hashes (pHash/dHash over the
+    multimodal decode path), audio chromaprints, or any custom bit
+    profile ≤ 63 bits. Same band-pigeonhole exactness: split into
+    ``max_hamming + 1`` contiguous bit bands, equi-join on (band,
+    value) — a pair within Hamming d ≤ max_hamming must agree on some
+    band — confirm with ``bit_count(xor)``. NULL fingerprints are
+    excluded (no profile, no pair)."""
+    if not 1 <= max_hamming < bits:
+        raise ValueError(
+            f"hamming_neardup_pairs: max_hamming {max_hamming} must be "
+            f"in [1, bits)"
+        )
+    if bits > 63:
+        raise ValueError(
+            f"hamming_neardup_pairs: bits {bits} exceeds 63 (the "
+            "fingerprint rides a signed BIGINT in both engines)"
+        )
+    bands = max_hamming + 1
     # contiguous bands, widths as even as possible (floor/ceil split)
     widths = [
         bits // bands + (1 if i < bits % bands else 0)
@@ -279,15 +308,18 @@ def simhash_neardup_pairs(
     ]
     offs = [sum(widths[:i]) for i in range(bands)]
     band_structs = ", ".join(
-        f"struct({i} AS band, (shiftright(simhash, {offs[i]})"
+        f"struct({i} AS band, (shiftright(__fp, {offs[i]})"
         f" & {(1 << widths[i]) - 1}) AS val)"
         for i in range(bands)
     )
-    banded = sig.select(
+    banded = df.filter(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
-        F.col("simhash").alias("__sig"),
+        F.col(fp_col).cast("bigint").alias("__fp"),
+    ).select(
+        "__id",
+        "__fp",
         F.explode(F.expr(f"array({band_structs})")).alias("__b"),
-    ).select("__id", "__sig", "__b.band", "__b.val")
+    ).select("__id", "__fp", "__b.band", "__b.val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -299,15 +331,15 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("__sa"),
-            F.col("b.__sig").alias("__sb"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
         )
         .distinct()  # a pair agreeing on several bands appears once
     )
     return cand.select(
         "id_a",
         "id_b",
-        F.bit_count(F.expr("__sa ^ __sb")).cast("int").alias("hamming"),
+        F.bit_count(F.expr("__fa ^ __fb")).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 

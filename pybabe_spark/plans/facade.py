@@ -137,6 +137,13 @@ class Babe:
                                   max_hamming)
         )
 
+    def hamming_neardup(self, id_col, fp_col, bits, max_hamming=3) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import hamming_neardup_pairs
+
+        return self._wrap(
+            hamming_neardup_pairs(self.df, id_col, fp_col, bits, max_hamming)
+        )
+
     def near_dedup_against(
         self, seen: "Babe | DataFrame", id_col, text_col, **kwargs
     ) -> "Babe":

@@ -81,3 +81,55 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(media, every_n=3, id_col="doc_id").select(
         "doc_id", "frame_index", F.length("frame").alias("frame_bytes")
     )
+
+
+def _mm_fp_sql() -> str:
+    """16-bit fingerprint from the fake decode's sha256-byte features:
+    bit i set iff feature_i > 0.5 — the same bytes, the same /255.0
+    IEEE division, the same comparison as the engine kernel."""
+    bits = " + ".join(
+        f"(CASE WHEN CAST(16 * {_HEXV.format(pos=2 * i + 1)} + "
+        f"{_HEXV.format(pos=2 * i + 2)} AS DOUBLE) / 255.0 > 0.5 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@register(
+    "multimodal_neardup_media",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, {_mm_fp_sql()} AS f
+        FROM documents WHERE doc_id < 2000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 2
+    """,
+)
+def q_multimodal_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup over the MEDIA column: fake decode →
+    16-bit feature-sign fingerprint → hamming_neardup_pairs (band
+    pigeonhole + bit_count confirm, operators/dedup_scale.py). The
+    image-dedup pipeline shape — swap the fake kernel for PIL pHash
+    and nothing downstream changes; the oracle replays the sha256
+    feature bytes and brute-forces the pairs."""
+    from pybabe_spark.operators.dedup_scale import hamming_neardup_pairs
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000
+    )
+    media = attach_fake_media(docs, "text")
+    feats = decode_features(media, "doc_id", n_features=16)
+    fp = feats.select(
+        "doc_id",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN features[{i}] > 0.5D THEN {1 << i} ELSE 0 END)"
+                for i in range(16)
+            )
+        ).cast("bigint").alias("fp"),
+    )
+    return hamming_neardup_pairs(fp, "doc_id", "fp", bits=16, max_hamming=2)

@@ -128,3 +128,32 @@ def test_pil_real_roundtrip(spark):
     resized = resize_media(df, 5, 3).collect()[0]
     back = PIL_Image.open(io.BytesIO(bytes(resized["media"])))
     assert back.size == (5, 3)
+
+
+def test_hamming_neardup_on_fingerprint_column(spark):
+    """hamming_neardup_pairs over an arbitrary precomputed fingerprint
+    column (the pHash plug-in point): exact pairs, NULLs excluded."""
+    from pybabe_spark.operators.dedup_scale import hamming_neardup_pairs
+
+    rows = [(1, 0b1010101010), (2, 0b1010101011), (3, 0b0101010101),
+            (4, None), (5, 0b1010101010)]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            df, "id", "fp", bits=10, max_hamming=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+
+def test_multimodal_neardup_media_key_shape(spark, sf_dir):
+    """The registry key end-to-end at test scale: decode -> sign
+    fingerprint -> banded hamming join; identical texts must pair at
+    hamming 0 via their identical blobs."""
+    from pybabe_spark.queries import all_queries
+
+    out = all_queries()["multimodal_neardup_media"](spark, sf_dir)
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    rows = out.collect()
+    assert all(0 <= r["hamming"] <= 2 for r in rows)
