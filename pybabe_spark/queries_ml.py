@@ -1515,3 +1515,78 @@ def q_embedding_stats(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_stats(emb, "embedding")
+
+
+def _dot_dims(a: str, b: str, dims: int) -> str:
+    return f"list_sum(list_transform(range(1, {dims + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _topk_ranked_sql(dims: int) -> str:
+    """Ranked exact cosine top-10 over the first ``dims`` embedding
+    dimensions (re-normalized after truncation) — the matryoshka
+    question's building block."""
+    vec = f"embedding[1:{dims}]"
+    normed = _NORMED.format(v=vec)
+    return f"""
+        SELECT query_id, neighbor_id, rk AS rank FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST({_dot_dims('q.qv', 'c.cv', dims)}
+                        AS DECIMAL(18,6)) AS sim
+            FROM (SELECT vec_id, {normed} AS qv
+                  FROM embeddings WHERE vec_id < 5) q
+            JOIN (SELECT vec_id, {normed} AS cv FROM embeddings) c
+              ON c.vec_id <> q.vec_id
+          ) s
+        ) t WHERE rk <= 10
+    """
+
+
+def _matryoshka_sql():
+    from pybabe_spark.operators.ranking import ranking_metrics_sql
+
+    results16 = _topk_ranked_sql(16)
+    truth64 = f"""
+        SELECT query_id, neighbor_id FROM ({_topk_ranked_sql(64)})
+    """
+    return ranking_metrics_sql(
+        results16, truth64, "query_id", "neighbor_id", "rank", 10
+    )
+
+
+@register("matryoshka_recall_embeddings", _matryoshka_sql())
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit: how much of the FULL 64-dim top-10
+    does retrieval over just the first 16 dims keep? Composes
+    ann_brute_force at both widths with ranking_metrics — the
+    recall@10/MRR/NDCG certificate that tells you whether prefix-
+    truncated embeddings (4x cheaper index, 4x cheaper dot products)
+    are safe for this corpus. ONE output row; everything downstream of
+    the DECIMAL(18,6)-rounded sims is exact integer arithmetic."""
+    from pybabe_spark.operators.ranking import ranking_metrics
+    from pybabe_spark.operators.similarity import ann_brute_force
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def ranked(dims: int):
+        cut = lambda d: d.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+        )
+        top = ann_brute_force(cut(emb), cut(queries), k=10)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return top.select(
+            "query_id", "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+        )
+
+    results16 = ranked(16)
+    truth64 = ranked(64).select("query_id", "neighbor_id")
+    return ranking_metrics(
+        results16, truth64, "query_id", "neighbor_id", "rank", k=10
+    )

@@ -358,6 +358,9 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # all-pairs oracle definitions + the in-query exact recall
         # baseline: broadcast side bounded by contract -> advisory code
         "ann_cosine_topk": {"broadcast-nested-loop"},
+        # matryoshka audit = TWO ann_cosine_topk passes (16- and 64-dim)
+        # + the metrics join; same bounded-query-set brute-force contract
+        "matryoshka_recall_embeddings": {"broadcast-nested-loop"},
         "embedding_neardup": {"broadcast-nested-loop"},
         "ann_ivf_topk": {"broadcast-nested-loop"},
         # /16-bucketed ip-range lookup: now a hash EQUI-join (the

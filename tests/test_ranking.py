@@ -235,3 +235,44 @@ def test_rbo_validation_and_facade(spark):
         rbo_overlap(r, r, "q", "d", "rank", p=1.0)
     out = Babe(r).rbo_overlap(Babe(r), "q", "d", "rank", k=3)
     assert out.df.collect()[0]["rbo_ppm"] > 0
+
+
+def test_matryoshka_recall_key(spark, sf_dir):
+    """Registry key end-to-end: truncated-vs-full retrieval recall is a
+    single row, with recall at most 1e6 and MORE dims = perfect
+    self-recall sanity (64 vs 64 must be 1.0)."""
+    from pybabe_spark.queries import all_queries
+
+    qs = all_queries()
+    row = qs["matryoshka_recall_embeddings"](spark, sf_dir).collect()[0]
+    assert row["n_queries"] == 5
+    assert 0 <= row["recall_at_k_ppm"] <= 1_000_000
+    assert 0 <= row["ndcg_ppm"] <= 1_000_000
+
+
+def test_truncated_self_recall_is_perfect(spark, sf_dir):
+    """Control: ranking a width against ITSELF through the same
+    composition scores exactly 1.0 on all three metrics."""
+    from pyspark.sql import Window
+
+    from pybabe_spark.operators.ranking import ranking_metrics
+    from pybabe_spark.operators.similarity import ann_brute_force
+    from pybabe_spark.sources.io import read_table
+    import pyspark.sql.functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    top = ann_brute_force(emb, queries, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = top.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    )
+    row = ranking_metrics(
+        ranked, ranked.select("query_id", "neighbor_id"),
+        "query_id", "neighbor_id", "rank", k=5,
+    ).collect()[0]
+    assert (row["recall_at_k_ppm"], row["mrr_ppm"], row["ndcg_ppm"]) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
