@@ -660,6 +660,30 @@ def stress(
             )
             theilsen_slope(daily, "user_id", "day", "v").count()
 
+        def _ranking_eval():
+            from pyspark.sql import Window
+
+            from pybabe_spark.operators.ranking import (
+                ranking_metrics,
+                rbo_overlap,
+            )
+
+            w = Window.partitionBy("lang").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+            ranked = docs.select(
+                "lang", "doc_id", F.row_number().over(w).alias("rank")
+            ).filter(F.col("rank") <= 10)
+            truth = docs.filter(F.col("doc_id") % 3 == 0).select(
+                "lang", "doc_id"
+            )
+            ranking_metrics(
+                ranked, truth, "lang", "doc_id", "rank", 10
+            ).count()
+            rbo_overlap(
+                ranked, ranked, "lang", "doc_id", "rank", 10
+            ).count()
+
         return {
             "entity_resolution": _entity_resolution,
             "scd2_upsert": _scd2_upsert,
@@ -827,6 +851,37 @@ def stress(
                 ),
                 "v", "k", by="lang",
             ).count(),
+            # r10 families ----------------------------------------------
+            # bounded value domain (mod carve) → distinct-value/cell
+            # tables flat; cost must track rows through the one hash agg
+            "ks_two_sample": lambda: __import__(
+                "pybabe_spark.operators.sketch", fromlist=["ks_test"]
+            ).ks_test(
+                docs.select(
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+                    .otherwise(F.lit("b")).alias("g"),
+                    (F.col("doc_id") % 97).cast("double").alias("v"),
+                ),
+                "g", "v", "a", "b",
+            ).count(),
+            # groups (lang) and values (source) stay flat while rows grow
+            # → MG candidate table flat, confirm join ∝ rows
+            "group_heavy_hitters": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["group_heavy_hitters"],
+            ).group_heavy_hitters(docs, "lang", "source", 0.01).count(),
+            # replica words are suffixed (mutually dissimilar) → the
+            # near-dup pair graph is factor disjoint copies; signature
+            # pass ∝ token rows, banded join ∝ corpus × bands
+            "simhash_neardup": lambda: __import__(
+                "pybabe_spark.operators.dedup_scale",
+                fromlist=["simhash_neardup_pairs"],
+            ).simhash_neardup_pairs(
+                docs, "doc_id", "text", bits=32, max_hamming=3
+            ).count(),
+            # per-lang rankings over a growing corpus + the rank<=10
+            # metric joins: the window sorts dominate, n log n per lang
+            "ranking_eval": _ranking_eval,
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
