@@ -683,6 +683,117 @@ def hll_estimate(df: DataFrame, out_col: str = "distinct_est") -> DataFrame:
 # Two-proportion A/B test (pooled z), deterministic decision
 # ---------------------------------------------------------------------------
 
+def _wilson_exprs(z: float) -> "tuple[str, str]":
+    """(lo, hi) Wilson-score-interval SQL over double columns ``kk``
+    (successes) and ``nn`` (trials) — ONE textual formula evaluated by
+    BOTH engines, so the fixed-shape IEEE arithmetic (and its single
+    DECIMAL(18,6) rounding, applied by the callers) is bit-identical.
+    ``z`` embeds as the same decimal literal on both sides."""
+    zl = repr(float(z))
+    zz = repr(float(z) * float(z))
+    p = "(kk / nn)"
+    denom = f"(1.0 + {zz} / nn)"
+    center = f"(({p} + {zz} / (2.0 * nn)) / {denom})"
+    half = (
+        f"(({zl} / {denom}) * sqrt({p} * (1.0 - {p}) / nn"
+        f" + {zz} / (4.0 * nn * nn)))"
+    )
+    return f"({center} - {half})", f"({center} + {half})"
+
+
+def proportion_ci(
+    df: DataFrame,
+    success_col: str,
+    by: str | None = None,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a proportion, per group —
+    ``(group?, n, successes, p_ppm, ci_lo, ci_hi)``: the error bar
+    every rate readout needs (conversion per segment, defect rate per
+    supplier, dedup rate per source). Wilson, not the naive normal
+    interval: it never leaves [0, 1], stays honest at p near 0/1 and
+    at small n — exactly the regimes per-group slicing produces.
+    The inferential sibling of :func:`ab_test` (which DECIDES between
+    two arms; this QUANTIFIES each rate alone).
+
+    ``success_col`` is boolean/0-1; NULL successes are excluded (an
+    unknown outcome is not a failure). ``p_ppm`` is the exact floored
+    integral rate; the interval bounds are ONE fixed-shape IEEE
+    expression over the exact (successes, trials) integers — shared
+    TEXTUALLY with the oracle (:func:`_wilson_exprs`) — rounded once
+    to DECIMAL(18,6). Empty groups can't occur; a keyless call on
+    empty input yields (0, 0, NULL, NULL, NULL).
+
+    Scale shape: one conditional hash agg with map-side combine, then
+    pure codegen scalar math — the cheapest per-group plan there is.
+    """
+    lo, hi = _wilson_exprs(z)
+    keys = [by] if by else []
+    base = df.filter(F.col(success_col).isNotNull()).select(
+        *keys, F.col(success_col).cast("int").alias("__s")
+    )
+    agg = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("__s"), F.lit(0)).cast("bigint").alias(
+            "successes"
+        ),
+    )
+    guard = F.col("n") > 0
+    with_d = agg.withColumn(
+        "kk", F.col("successes").cast("double")
+    ).withColumn("nn", F.col("n").cast("double"))
+    return with_d.select(
+        *keys,
+        "n",
+        "successes",
+        F.when(
+            guard, F.expr("CAST(successes * 1000000 div n AS BIGINT)")
+        ).alias("p_ppm"),
+        F.when(guard, F.expr(lo))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ci_lo"),
+        F.when(guard, F.expr(hi))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ci_hi"),
+    )
+
+
+def proportion_ci_sql(
+    select: str,
+    success_col: str,
+    by: str | None = None,
+    z: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`proportion_ci` — the identical textual
+    Wilson formula over the identical exact counts."""
+    lo, hi = _wilson_exprs(z)
+    keys = f"{by}, " if by else ""
+    grp = f"GROUP BY {by}" if by else ""
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (
+        SELECT {keys}COUNT(*) AS n,
+               COALESCE(SUM(CAST({success_col} AS INT)), 0) AS successes
+        FROM rows_in WHERE {success_col} IS NOT NULL {grp}
+    ),
+    d AS (
+        SELECT *, CAST(successes AS DOUBLE) AS kk, CAST(n AS DOUBLE) AS nn
+        FROM agg
+    )
+    SELECT {keys}CAST(n AS BIGINT) AS n,
+           CAST(successes AS BIGINT) AS successes,
+           CASE WHEN n > 0 THEN
+             CAST(successes * 1000000 // n AS BIGINT) END AS p_ppm,
+           CASE WHEN n > 0 THEN
+             CAST(CAST({lo} AS DECIMAL(18,6)) AS DOUBLE) END AS ci_lo,
+           CASE WHEN n > 0 THEN
+             CAST(CAST({hi} AS DECIMAL(18,6)) AS DOUBLE) END AS ci_hi
+    FROM d
+    """
+
+
 def ab_test(
     df: DataFrame,
     variant_col: str,

@@ -357,6 +357,11 @@ class Babe:
             ab_test(self.df, variant_col, success_col, control, treatment, **kw)
         )
 
+    def proportion_ci(self, success_col, by=None, z=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import proportion_ci
+
+        return self._wrap(proportion_ci(self.df, success_col, by, z))
+
     def gini(self, key_col, value_col) -> "Babe":
         from pybabe_spark.operators.skew import gini
 

@@ -1858,6 +1858,32 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(orders, "o_orderpriority", "o_orderstatus")
 
 
+def _prop_ci_sql():
+    from pybabe_spark.operators.sketch import proportion_ci_sql
+
+    frame = """
+        SELECT o_orderpriority,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS done
+        FROM orders
+    """
+    return proportion_ci_sql(frame, "done", by="o_orderpriority")
+
+
+@register("proportion_ci_orders", _prop_ci_sql())
+def q_proportion_ci(spark, sf_dir):
+    """Wilson score interval for the finished-order rate per priority
+    (operators/sketch.py::proportion_ci): one conditional hash agg +
+    fixed-shape IEEE interval shared TEXTUALLY with the oracle — the
+    error bar ab_test's point estimates lack."""
+    from pybabe_spark.operators.sketch import proportion_ci
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    return proportion_ci(orders, "done", by="o_orderpriority")
+
+
 def _kappa_sql():
     from pybabe_spark.operators.sketch import cohens_kappa_sql
 

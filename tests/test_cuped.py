@@ -625,3 +625,70 @@ def test_ks_facade_hook(spark):
 
     out = Babe(_ks_frame(spark, [1.0], [2.0])).ks_test("grp", "v", "a", "b")
     assert out.df.collect()[0].n_a == 1
+
+
+# -- proportion_ci (operators/sketch.py) ------------------------------------------
+
+
+def test_wilson_hand_checked(spark):
+    """Textbook Wilson: k=8, n=10, z=1.959964 → interval ≈
+    (0.4901, 0.9433) (replay the op's own fixed-shape formula)."""
+    import math
+
+    from pybabe_spark.operators.sketch import proportion_ci
+
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(0,)] * 2, "s int"
+    )
+    r = proportion_ci(df, "s").collect()[0]
+    assert (r["n"], r["successes"], r["p_ppm"]) == (10, 8, 800_000)
+    z = 1.959964
+    zz = z * z
+    p, n = 0.8, 10.0
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = (z / denom) * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+    assert abs(r["ci_lo"] - round(center - half, 6)) <= 1e-9
+    assert abs(r["ci_hi"] - round(center + half, 6)) <= 1e-9
+    assert 0.49 < r["ci_lo"] < 0.491 and 0.943 < r["ci_hi"] < 0.944
+
+
+def test_wilson_stays_inside_unit_interval_at_extremes(spark):
+    """p̂ = 1 with small n: the naive normal interval would exceed 1;
+    Wilson must not."""
+    from pybabe_spark.operators.sketch import proportion_ci
+
+    df = spark.createDataFrame([(1,)] * 3, "s int")
+    r = proportion_ci(df, "s").collect()[0]
+    assert r["p_ppm"] == 1_000_000
+    assert r["ci_hi"] <= 1.0 and r["ci_lo"] > 0.2
+
+
+def test_wilson_per_group_and_null_exclusion(spark):
+    from pybabe_spark.operators.sketch import proportion_ci
+
+    rows = [("a", 1), ("a", 0), ("a", None), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {
+        r["g"]: (r["n"], r["successes"])
+        for r in proportion_ci(df, "s", by="g").collect()
+    }
+    assert got == {"a": (2, 1), "b": (2, 2)}  # NULL excluded entirely
+
+
+def test_wilson_empty_input_keyless(spark):
+    from pybabe_spark.operators.sketch import proportion_ci
+
+    df = spark.createDataFrame([], "s int")
+    r = proportion_ci(df, "s").collect()[0]
+    assert (r["n"], r["successes"], r["p_ppm"], r["ci_lo"], r["ci_hi"]) == (
+        0, 0, None, None, None,
+    )
+
+
+def test_wilson_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame([(1,), (0,)], "s int")
+    out = Babe(df).proportion_ci("s")
+    assert out.df.collect()[0]["n"] == 2
