@@ -850,6 +850,120 @@ def ab_test(
     )
 
 
+def ab_test_by(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    by: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Per-segment two-proportion z-test — :func:`ab_test` broken out
+    by a dimension (lift per country, per device, per source): one row
+    per ``by`` value with the same exact-integer counts/ppm and the
+    same fixed-shape pooled-variance decision applied WITHIN the
+    segment. The standard heterogeneity readout ("the win is all in
+    one segment") a single global row hides. NULL segments are
+    excluded; a segment missing an arm reports NULL ppm for that arm
+    and ``significant = false`` (no comparison exists). Multiple
+    -comparison caution is the caller's: pass a Bonferroni-adjusted
+    ``z_crit`` when reading many segments.
+
+    Scale shape: ONE conditional hash agg keyed by the segment
+    (map-side combinable), then pure codegen scalar math per row —
+    segments never shuffle more than their 4 counters.
+    """
+    s = F.col(success_col).cast("int")
+    is_c = F.col(variant_col) == control
+    is_t = F.col(variant_col) == treatment
+    agg = (
+        df.filter(F.col(by).isNotNull())
+        .groupBy(by)
+        .agg(
+            F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(is_c, s).otherwise(0)).alias("k_c"),
+            F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(is_t, s).otherwise(0)).alias("k_t"),
+        )
+    )
+    n1, k1 = F.col("n_c").cast("double"), F.col("k_c").cast("double")
+    n2, k2 = F.col("n_t").cast("double"), F.col("k_t").cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pool = (k1 + k2) / (n1 + n2)
+    lhs = (p1 - p2) * (p1 - p2)
+    rhs = (
+        (z_crit * z_crit)
+        * (pool * (1.0 - pool))
+        * (1.0 / n1 + 1.0 / n2)
+    )
+    both = (F.col("n_c") > 0) & (F.col("n_t") > 0)
+    cc = F.expr("(k_c * 1000000) div n_c")
+    ct = F.expr("(k_t * 1000000) div n_t")
+    return agg.select(
+        by,
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.when(F.col("n_c") > 0, cc).alias("conv_control_ppm"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.when(F.col("n_t") > 0, ct).alias("conv_treatment_ppm"),
+        F.when(both, ct - cc).alias("lift_ppm"),
+        F.when(both, lhs > rhs).otherwise(F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def ab_test_by_sql(
+    table: str,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    by: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`ab_test_by` — :func:`ab_test_sql`'s
+    expressions grouped by the segment, NULL-guarded per arm."""
+    z2 = repr(float(z_crit) * float(z_crit))
+    return f"""
+    WITH a AS (
+        SELECT {by},
+               SUM(CASE WHEN {variant_col} = '{control}' THEN 1 ELSE 0 END) AS n_c,
+               SUM(CASE WHEN {variant_col} = '{control}'
+                        THEN CAST({success_col} AS INT) ELSE 0 END) AS k_c,
+               SUM(CASE WHEN {variant_col} = '{treatment}' THEN 1 ELSE 0 END) AS n_t,
+               SUM(CASE WHEN {variant_col} = '{treatment}'
+                        THEN CAST({success_col} AS INT) ELSE 0 END) AS k_t
+        FROM {table}
+        WHERE {by} IS NOT NULL
+        GROUP BY {by}
+    )
+    SELECT {by},
+           CAST(n_c AS BIGINT) AS n_control,
+           CASE WHEN n_c > 0 THEN
+             CAST((k_c * 1000000) // n_c AS BIGINT) END AS conv_control_ppm,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CASE WHEN n_t > 0 THEN
+             CAST((k_t * 1000000) // n_t AS BIGINT) END AS conv_treatment_ppm,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             CAST((k_t * 1000000) // n_t - (k_c * 1000000) // n_c
+                  AS BIGINT) END AS lift_ppm,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             (CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+              - CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             * (CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                - CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             > {z2}
+               * ((CAST(k_c AS DOUBLE) + CAST(k_t AS DOUBLE))
+                  / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+               * (1.0 - (CAST(k_c AS DOUBLE) + CAST(k_t AS DOUBLE))
+                        / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+               * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))
+           ELSE FALSE END AS significant
+    FROM a
+    """
+
+
 def ab_test_sql(
     table: str,
     variant_col: str,

@@ -357,6 +357,15 @@ class Babe:
             ab_test(self.df, variant_col, success_col, control, treatment, **kw)
         )
 
+    def ab_test_by(self, variant_col, success_col, control, treatment,
+                   by, z_crit=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import ab_test_by
+
+        return self._wrap(
+            ab_test_by(self.df, variant_col, success_col, control,
+                       treatment, by, z_crit)
+        )
+
     def proportion_ci(self, success_col, by=None, z=1.959964) -> "Babe":
         from pybabe_spark.operators.sketch import proportion_ci
 

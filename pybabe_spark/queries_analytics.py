@@ -1817,6 +1817,48 @@ def q_ab_test(spark, sf_dir):
     return ab_test(per_user, "variant", "converted", "A", "B")
 
 
+_AB_BY_FRAME = """(
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+           'seg' || CAST(user_id % 3 AS VARCHAR) AS segment,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id)"""
+
+
+@register(
+    "ab_test_by_events",
+    __import__(
+        "pybabe_spark.operators.sketch", fromlist=["ab_test_by_sql"]
+    ).ab_test_by_sql(
+        _AB_BY_FRAME, "variant", "converted", "A", "B", "segment"
+    ),
+)
+def q_ab_test_by(spark, sf_dir):
+    """Per-segment A/B readout (operators/sketch.py::ab_test_by):
+    the same exact-ppm conversion/lift + pooled-z decision as
+    ab_test_events, broken out by a user-id-derived segment — the
+    heterogeneity view a single global row hides. ONE segment-keyed
+    conditional hash agg."""
+    from pybabe_spark.operators.sketch import ab_test_by
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        F.concat(F.lit("seg"), (F.col("user_id") % 3).cast("string"))
+        .alias("segment"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return ab_test_by(
+        per_user, "variant", "converted", "A", "B", "segment"
+    )
+
+
 def _mi_sql():
     from pybabe_spark.operators.sketch import mutual_information_sql
 

@@ -692,3 +692,78 @@ def test_wilson_facade(spark):
     df = spark.createDataFrame([(1,), (0,)], "s int")
     out = Babe(df).proportion_ci("s")
     assert out.df.collect()[0]["n"] == 2
+
+
+# -- ab_test_by (operators/sketch.py) ---------------------------------------------
+
+
+def _ab_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "variant string, seg string, converted int"
+    )
+
+
+def test_ab_test_by_heterogeneity(spark):
+    """A lift confined to ONE segment: the global test would average it
+    away; the per-segment rows localize it."""
+    from pybabe_spark.operators.sketch import ab_test_by
+
+    rows = (
+        # seg X: strong effect (A 10%, B 90%, n=100/arm)
+        [("A", "X", 1)] * 10 + [("A", "X", 0)] * 90
+        + [("B", "X", 1)] * 90 + [("B", "X", 0)] * 10
+        # seg Y: no effect (both 50%)
+        + [("A", "Y", 1)] * 50 + [("A", "Y", 0)] * 50
+        + [("B", "Y", 1)] * 50 + [("B", "Y", 0)] * 50
+    )
+    got = {
+        r["seg"]: r
+        for r in ab_test_by(
+            _ab_frame(spark, rows), "variant", "converted", "A", "B", "seg"
+        ).collect()
+    }
+    x, y = got["X"], got["Y"]
+    assert (x["n_control"], x["n_treatment"]) == (100, 100)
+    assert x["lift_ppm"] == 800_000 and x["significant"] is True
+    assert y["lift_ppm"] == 0 and y["significant"] is False
+
+
+def test_ab_test_by_missing_arm_and_null_segment(spark):
+    from pybabe_spark.operators.sketch import ab_test_by
+
+    rows = [("A", "solo", 1), ("A", "solo", 0), ("A", None, 1),
+            ("B", None, 0)]
+    got = ab_test_by(
+        _ab_frame(spark, rows), "variant", "converted", "A", "B", "seg"
+    ).collect()
+    assert len(got) == 1  # NULL segment dropped
+    r = got[0]
+    assert (r["seg"], r["n_control"], r["n_treatment"]) == ("solo", 2, 0)
+    assert r["conv_treatment_ppm"] is None and r["lift_ppm"] is None
+    assert r["significant"] is False
+
+
+def test_ab_test_by_matches_global_on_single_segment(spark):
+    """With one segment, ab_test_by's row equals ab_test's output."""
+    from pybabe_spark.operators.sketch import ab_test, ab_test_by
+
+    rows = (
+        [("A", "all", 1)] * 30 + [("A", "all", 0)] * 70
+        + [("B", "all", 1)] * 45 + [("B", "all", 0)] * 55
+    )
+    fr = _ab_frame(spark, rows)
+    seg = ab_test_by(fr, "variant", "converted", "A", "B", "seg").collect()[0]
+    glob = ab_test(fr, "variant", "converted", "A", "B").collect()[0]
+    for c in ("n_control", "conv_control_ppm", "n_treatment",
+              "conv_treatment_ppm", "lift_ppm", "significant"):
+        assert seg[c] == glob[c], c
+
+
+def test_ab_test_by_facade(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    rows = [("A", "s", 1), ("B", "s", 0)]
+    out = Babe(_ab_frame(spark, rows)).ab_test_by(
+        "variant", "converted", "A", "B", "seg"
+    )
+    assert out.df.collect()[0]["n_control"] == 1
