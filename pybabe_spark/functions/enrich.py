@@ -441,6 +441,114 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741
+) -> DataFrame:
+    """l-diversity audit — the companion :func:`k_anonymity` misses:
+    a group can be large (k-anonymous) yet leak the SENSITIVE
+    attribute outright when every member shares one value (the
+    homogeneity attack). ONE summary row over the quasi-identifier
+    combination:
+
+    - ``n_rows`` / ``n_groups`` — population and distinct QI tuples
+    - ``min_distinct_sensitive`` — the dataset's achieved l (0 empty)
+    - ``risky_groups`` / ``risky_rows`` — equivalence classes (and
+      their rows) with fewer than ``l`` distinct sensitive values
+    - ``risky_rows_ppm`` — risky share, exact integral ppm
+
+    NULL is a value on BOTH sides: a blank QI cell is visible to the
+    attacker, and a blank sensitive cell is still a disclosure class —
+    distinct counts include the NULL bucket (``COUNT(DISTINCT s) +
+    [any NULL present]``, identical shape in the oracle). The dataset
+    is (distinct-)l-diverse over these columns iff ``risky_rows == 0``.
+
+    Scale shape: one hash agg to the (QI, sensitive) grain, one to the
+    QI grain, one 1-row agg — no window, nothing collected; the
+    distinct count never rides a shuffle wider than the cell table.
+    """
+    if l < 2:
+        raise ValueError(f"l_diversity: l {l} must be >= 2")
+    if not quasi_cols:
+        raise ValueError("l_diversity: quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            "l_diversity: sensitive_col must not be a quasi-identifier"
+        )
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__sz"))
+    groups = cells.groupBy(*quasi_cols).agg(
+        F.sum("__sz").alias("__n"),
+        (
+            F.count(F.when(F.col("__s").isNotNull(), F.lit(1)))
+            + F.max(F.when(F.col("__s").isNull(), 1).otherwise(0))
+        ).alias("__d"),
+    )
+    risky = F.col("__d") < l
+    out = groups.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.min("__d"), F.lit(0)).cast("bigint").alias(
+            "min_distinct_sensitive"
+        ),
+        F.coalesce(F.sum(risky.cast("bigint")), F.lit(0)).cast(
+            "bigint"
+        ).alias("risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("__n"))), F.lit(0)).cast(
+            "bigint"
+        ).alias("risky_rows"),
+    )
+    return out.withColumn(
+        "risky_rows_ppm",
+        F.when(F.col("n_rows") > 0, F.expr(
+            "CAST(risky_rows * 1000000 div n_rows AS BIGINT)"
+        )).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def l_diversity_sql(
+    table: str,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741
+) -> str:
+    """DuckDB oracle of :func:`l_diversity` — same two-level
+    aggregation, same NULL-inclusive distinct count, same ppm."""
+    qi = ", ".join(quasi_cols)
+    s = sensitive_col
+    return f"""
+    WITH cells AS (
+        SELECT {qi}, {s} AS s, COUNT(*) AS sz
+        FROM {table} GROUP BY {qi}, {s}
+    ),
+    groups AS (
+        SELECT {qi}, SUM(sz) AS n,
+               COUNT(CASE WHEN s IS NOT NULL THEN 1 END)
+                 + MAX(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS d
+        FROM cells GROUP BY {qi}
+    ),
+    agg AS (
+        SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               COALESCE(CAST(MIN(d) AS BIGINT), 0)
+                 AS min_distinct_sensitive,
+               COALESCE(CAST(SUM(CASE WHEN d < {int(l)} THEN 1 END)
+                        AS BIGINT), 0) AS risky_groups,
+               COALESCE(CAST(SUM(CASE WHEN d < {int(l)} THEN n END)
+                        AS BIGINT), 0) AS risky_rows
+        FROM groups
+    )
+    SELECT *,
+           CASE WHEN n_rows > 0 THEN
+             CAST((risky_rows * 1000000) // n_rows AS BIGINT)
+           ELSE 0 END AS risky_rows_ppm
+    FROM agg
+    """
+
+
 def k_anonymity_sql(
     table: str, quasi_cols: "list[str]", k: int = 10
 ) -> str:

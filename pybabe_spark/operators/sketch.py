@@ -2913,3 +2913,346 @@ def mutual_information_sql(table: str, a_col: str, b_col: str) -> str:
            END AS nmi
     FROM e
     """
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA across ALL levels of ``group_col`` — the k-group
+    generalization of :func:`mean_test` (which compares exactly two
+    arms): ONE output row with the group count, total n, degrees of
+    freedom, the F statistic, and eta² (SS_between / SS_total, the
+    effect size the F number alone hides).
+
+    Exactness discipline: values lift to bigint cents; per-group
+    ``n_g / Σx / Σx²`` are exact DECIMAL(38,0) from one hash agg.
+    The between-groups moment ``Σ_g s_g²/n_g`` is the one place a
+    float sum would be order-dependent, so each group's term is ONE
+    IEEE division of exact integers rounded once to DECIMAL(38,6) and
+    the terms are summed as decimals — associative, engine-identical
+    (the ``mutual_information`` per-term-rounding discipline). The
+    finish is a single fixed-shape IEEE expression over the exact
+    totals, rounded once to DECIMAL(18,6), reproduced verbatim by the
+    oracle. NULL group or value rows are excluded. F is NULL when
+    undefined (k < 2, N ≤ k, or zero within-group variance); eta² is
+    NULL when SS_total = 0.
+
+    Scale shape: one map-side-combinable hash agg to the group grain,
+    then a 1-row reduction — no window, no join, no second scan; the
+    group cardinality is the only state.
+    """
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(d(x)).cast("decimal(38,0)").alias("__s"),
+            F.sum(d(x) * x).cast("decimal(38,0)").alias("__q"),
+        )
+    )
+    term = (
+        F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+    ).cast("decimal(38,6)")
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(d(F.col("__s"))).cast("decimal(38,0)").alias("s"),
+        F.sum(d(F.col("__q"))).cast("decimal(38,0)").alias("q"),
+        F.sum(term).cast("decimal(38,6)").alias("t"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    td = F.col("t").cast("double")
+    ssb = td - sd * sd / nd
+    sst = qd - sd * sd / nd
+    ssw = sst - ssb
+    f_stat = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return tot.select(
+        F.col("k").cast("bigint").alias("group_count"),
+        F.col("n").alias("n_total"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0.0),
+            out(f_stat),
+        ).alias("f_stat"),
+        F.when(sst > 0.0, out(ssb / sst)).alias("eta_squared"),
+    )
+
+
+def anova_f_sql(select: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle of :func:`anova_f` over a subquery — same cents
+    lift, same HUGEINT moments, same per-group rounded term, same
+    fixed-shape finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    per_g AS (
+        SELECT {group_col} AS g,
+               COUNT(*) AS n_g,
+               SUM(CAST({x} AS HUGEINT)) AS s_g,
+               SUM(CAST({x} AS HUGEINT) * {x}) AS q_g
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY {group_col}
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               SUM(s_g) AS s,
+               SUM(q_g) AS q,
+               SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS t
+        FROM per_g
+    )
+    SELECT CAST(k AS BIGINT) AS group_count,
+           n AS n_total,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k >= 2 AND n > k
+                 AND ((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      - (CAST(t AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))) > 0.0
+           THEN CAST(CAST(
+             ((CAST(t AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / (((CAST(q AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 - (CAST(t AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS f_stat,
+           CASE WHEN (CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) > 0.0
+           THEN CAST(CAST(
+             (CAST(t AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS eta_squared
+    FROM tot
+    """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (rank-based, robust to skew) and the
+    non-parametric sibling of :func:`anova_f`: ONE output row with the
+    group count, total n, H, tie-corrected H, and (when ``chi2_crit``
+    for χ²(k−1) is supplied) ``significant``.
+
+    Exact integral ranks: doubled midranks ``r2(v) = 2·cum_<(v) +
+    n_v + 1`` stay integers under ties (the spearman trick), so each
+    group's doubled rank sum ``R2_g`` is an exact DECIMAL(38,0), and
+
+        H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)
+
+    (the 1/4 from un-doubling folds into 12/4 = 3). The per-group
+    division is the one order-dependent float, so each term rounds
+    once to DECIMAL(38,6) and the terms sum as decimals (the
+    ``anova_f`` discipline). Tie correction divides by
+    ``1 − Σ_v(n_v³−n_v)/(N³−N)`` — both sums exact integers — applied
+    as one fixed-shape IEEE expression rounded once. H is NULL when
+    k < 2; tie-corrected H is NULL when every value is identical.
+
+    Scale shape: one (value, group) hash agg collapses duplicates, a
+    value-level cumulative count runs DE-GLOBALIZED (1024 equal-width
+    cells, window partitioned by cell, offsets from the limit()-proved
+    ≤1024-row bucket-prefix self-join — the mann_whitney machinery),
+    one join back by value, one group-grain agg, one 1-row finish. No
+    global window anywhere.
+    """
+    buckets = 1024
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cnt = (
+        df.filter(ok)
+        .groupBy(x.alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vtot = cnt.groupBy("__v").agg(F.sum("__c").alias("__nv"))
+
+    from pybabe_spark.operators._util import attach_scalars
+
+    stats = vtot.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    j = attach_scalars(vtot, stats).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    )
+    btot = j.groupBy("__b").agg(F.sum("__nv").alias("__bnv"))
+    bounded = btot.limit(buckets)  # __b < buckets by construction —
+    # the limit is the linter's boundedness proof, it cannot truncate
+    a, b = bounded.alias("a"), bounded.alias("b")
+    offs = (
+        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("b.__bnv"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        j.join(F.broadcast(offs), ["__b"])
+        .withColumn("__cum", F.col("__off") + F.sum("__nv").over(w))
+        .select(
+            "__v",
+            "__nv",
+            # doubled midrank: 2·(count strictly below) + n_v + 1
+            (
+                2 * (F.col("__cum") - F.col("__nv")) + F.col("__nv") + 1
+            ).alias("__r2"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        cnt.join(ranked, ["__v"])
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(d(F.col("__c")) * F.col("__r2"))
+            .cast("decimal(38,0)")
+            .alias("__rs2"),
+        )
+    )
+    term = (
+        F.col("__rs2").cast("double")
+        * F.col("__rs2").cast("double")
+        / F.col("__ng").cast("double")
+    ).cast("decimal(38,6)")
+    gagg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum(term).cast("decimal(38,6)").alias("t"),
+    )
+    vagg = vtot.agg(
+        F.coalesce(
+            F.sum(d(F.col("__nv")) * F.col("__nv") * F.col("__nv") - F.col("__nv")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    one = attach_scalars(gagg, vagg)
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    tiesd = F.col("ties").cast("double")
+    h = 3.0 * td / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    denom = (nd * nd * nd - nd) - tiesd
+    h_corr = h * (nd * nd * nd - nd) / denom
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    cols = [
+        F.col("k").cast("bigint").alias("group_count"),
+        F.col("n").alias("n_total"),
+        F.when(F.col("k") >= 2, out(h)).alias("h"),
+        F.when((F.col("k") >= 2) & (denom > 0.0), out(h_corr)).alias(
+            "h_tie_corrected"
+        ),
+    ]
+    if chi2_crit is not None:
+        cols.append(
+            F.when(
+                (F.col("k") >= 2) & (denom > 0.0),
+                out(h_corr) > F.lit(float(chi2_crit)),
+            )
+            .otherwise(F.lit(False))
+            .alias("significant")
+        )
+    return one.select(*cols)
+
+
+def kruskal_wallis_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`kruskal_wallis` — same doubled
+    midranks (global window over distinct values: the definition the
+    de-globalized engine must reproduce), same per-term rounding, same
+    fixed-shape finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    h_expr = (
+        "3.0 * CAST(t AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+        " - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
+    )
+    n3 = (
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(n AS DOUBLE))"
+    )
+    denom = f"({n3} - CAST(ties AS DOUBLE))"
+    hc = f"CAST(CAST(({h_expr}) * {n3} / {denom} AS DECIMAL(18,6)) AS DOUBLE)"
+    sig = (
+        f""",
+           CASE WHEN k >= 2 AND {denom} > 0.0
+           THEN {hc} > {float(chi2_crit)} ELSE FALSE END AS significant"""
+        if chi2_crit is not None
+        else ""
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    cnt AS (
+        SELECT {x} AS v, {group_col} AS g, COUNT(*) AS c
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    vtot AS (SELECT v, SUM(c) AS nv FROM cnt GROUP BY v),
+    ranked AS (
+        SELECT v, nv,
+               2 * (SUM(nv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nv) + nv + 1 AS r2
+        FROM vtot
+    ),
+    per_g AS (
+        SELECT g, SUM(c) AS ng,
+               SUM(CAST(c AS HUGEINT) * r2) AS rs2
+        FROM cnt JOIN ranked USING (v)
+        GROUP BY g
+    ),
+    gagg AS (
+        SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+               SUM(CAST(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+                        / CAST(ng AS DOUBLE) AS DECIMAL(38,6))) AS t
+        FROM per_g
+    ),
+    vagg AS (
+        SELECT COALESCE(SUM(CAST(nv AS HUGEINT) * nv * nv - nv), 0)
+               AS ties
+        FROM vtot
+    )
+    SELECT CAST(k AS BIGINT) AS group_count,
+           n AS n_total,
+           CASE WHEN k >= 2 THEN
+             CAST(CAST({h_expr} AS DECIMAL(18,6)) AS DOUBLE)
+           END AS h,
+           CASE WHEN k >= 2 AND {denom} > 0.0 THEN {hc}
+           END AS h_tie_corrected{sig}
+    FROM gagg, vagg
+    """

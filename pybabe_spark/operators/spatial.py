@@ -154,6 +154,36 @@ def nearest_join(
     )
 
 
+def nearest_join_sql(
+    left_select: str,
+    right_select: str,
+    radius: float,
+    right_id: str,
+    left_key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+) -> str:
+    """DuckDB oracle of :func:`nearest_join` — the all-pairs radius
+    join ranked per left key by (dist2, right_id), keeping rank 1.
+    The window over all pairs is the DEFINITION the grid + min_by agg
+    must reproduce; the engine never materializes all pairs."""
+    inner = radius_join_sql(
+        left_select, right_select, radius, left_cols, right_cols,
+        left_xy, right_xy,
+    )
+    cols = ", ".join(left_cols + right_cols + ["dist2"])
+    return f"""
+    SELECT {cols} FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {left_key} ORDER BY dist2, {right_id}
+        ) AS __rn
+        FROM ({inner})
+    ) WHERE __rn = 1
+    """
+
+
 def radius_join_sql(
     left_select: str,
     right_select: str,

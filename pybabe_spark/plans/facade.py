@@ -305,6 +305,13 @@ class Babe:
 
         return self._wrap(k_anonymity(self.df, quasi_cols, k))
 
+    def l_diversity(self, quasi_cols, sensitive_col, l=2) -> "Babe":  # noqa: E741
+        from pybabe_spark.functions.enrich import l_diversity
+
+        return self._wrap(
+            l_diversity(self.df, quasi_cols, sensitive_col, l)
+        )
+
     def pii_scrub(self, field) -> "Babe":
         from pybabe_spark.functions.text import pii_scrub
 
@@ -888,6 +895,19 @@ class Babe:
         return self._wrap(
             mean_test(self.df, variant_col, value_col, control,
                       treatment, z_crit)
+        )
+
+    def anova_f(self, group_col, value_col) -> "Babe":
+        from pybabe_spark.operators.sketch import anova_f
+
+        return self._wrap(anova_f(self.df, group_col, value_col))
+
+    def kruskal_wallis(self, group_col, value_col,
+                       chi2_crit=None) -> "Babe":
+        from pybabe_spark.operators.sketch import kruskal_wallis
+
+        return self._wrap(
+            kruskal_wallis(self.df, group_col, value_col, chi2_crit)
         )
 
     def rfm_segments(self, key_col, ts_col, value_col, as_of,

@@ -2631,21 +2631,55 @@ def q_zorder(spark, sf_dir):
     )
 
 
-def _spatial_sql():
-    from pybabe_spark.operators.spatial import radius_join_sql
-
-    left = """
+# md5-derived deterministic 10000×10000 plane shared by the spatial keys
+_SPATIAL_CUST_SQL = """
         SELECT c_custkey,
                CAST(CAST(('0x' || substr(md5('cx' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS cx,
                CAST(CAST(('0x' || substr(md5('cy' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS cy
         FROM customer
     """
-    right = """
+_SPATIAL_SUPP_SQL = """
         SELECT s_suppkey,
                CAST(CAST(('0x' || substr(md5('sx' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS sx,
                CAST(CAST(('0x' || substr(md5('sy' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE) AS sy
         FROM supplier
     """
+
+
+def _spatial_coord(tag, key):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(key).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+
+
+def _spatial_frames(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _spatial_coord("cx", "c_custkey").cast("double").alias("cx"),
+        _spatial_coord("cy", "c_custkey").cast("double").alias("cy"),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _spatial_coord("sx", "s_suppkey").cast("double").alias("sx"),
+        _spatial_coord("sy", "s_suppkey").cast("double").alias("sy"),
+    )
+    return cust, supp
+
+
+def _spatial_sql():
+    from pybabe_spark.operators.spatial import radius_join_sql
+
+    left = _SPATIAL_CUST_SQL
+    right = _SPATIAL_SUPP_SQL
     inner = radius_join_sql(
         left, right, 150.0,
         ["c_custkey"], ["s_suppkey"],
@@ -2668,31 +2702,50 @@ def q_spatial(spark, sf_dir):
     engine never compares all pairs."""
     from pybabe_spark.operators.spatial import radius_join
 
-    def coord(tag, key):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(tag), F.col(key).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint") % 10000
-
-    cust = read_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        coord("cx", "c_custkey").cast("double").alias("cx"),
-        coord("cy", "c_custkey").cast("double").alias("cy"),
-    )
-    supp = read_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        coord("sx", "s_suppkey").cast("double").alias("sx"),
-        coord("sy", "s_suppkey").cast("double").alias("sy"),
-    )
+    cust, supp = _spatial_frames(spark, sf_dir)
     pairs = radius_join(
         cust, supp, 150.0, left_xy=("cx", "cy"), right_xy=("sx", "sy")
     )
     return pairs.select(
+        "c_custkey", "s_suppkey", F.col("dist2").cast("bigint").alias("dist2")
+    )
+
+
+def _spatial_nearest_sql():
+    from pybabe_spark.operators.spatial import nearest_join_sql
+
+    inner = nearest_join_sql(
+        _SPATIAL_CUST_SQL, _SPATIAL_SUPP_SQL, 300.0,
+        right_id="s_suppkey", left_key="c_custkey",
+        left_cols=["c_custkey"], right_cols=["s_suppkey"],
+        left_xy=("cx", "cy"), right_xy=("sx", "sy"),
+    )
+    return (
+        f"SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2 "
+        f"FROM ({inner})"
+    )
+
+
+@register("spatial_nearest_supplier", _spatial_nearest_sql())
+def q_spatial_nearest(spark, sf_dir):
+    """Nearest-neighbor-within-radius join (operators/spatial.py::
+    nearest_join): each customer's single closest supplier within
+    distance 300 on the shared md5 plane — the grid-bucketed radius
+    join (3×3 neighborhood equi-join, exact HUGEINT squared distance)
+    collapsed by ONE min_by hash agg on the customer key, ties broken
+    by smallest supplier id. Customers with no supplier in range are
+    absent (inner semantics). The oracle is the all-pairs ROW_NUMBER
+    definition; the engine's shuffle carries cell ids, never pairs,
+    and no window touches the pair stream."""
+    from pybabe_spark.operators.spatial import nearest_join
+
+    cust, supp = _spatial_frames(spark, sf_dir)
+    best = nearest_join(
+        cust, supp, 300.0, right_id="s_suppkey",
+        left_xy=("cx", "cy"), right_xy=("sx", "sy"),
+        left_key="c_custkey",
+    )
+    return best.select(
         "c_custkey", "s_suppkey", F.col("dist2").cast("bigint").alias("dist2")
     )
 
@@ -3109,6 +3162,58 @@ def q_mean_test(spark, sf_dir):
         "value",
     )
     return mean_test(frame, "arm", "value", "control", "treatment")
+
+
+def _anova_sql():
+    from pybabe_spark.operators.sketch import anova_f_sql
+
+    return anova_f_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+@register("anova_orders_price", _anova_sql())
+def q_anova(spark, sf_dir):
+    """One-way ANOVA (operators/sketch.py::anova_f): does order value
+    differ across the five order priorities — the k-group
+    generalization of mean_test_events. Exact DECIMAL(38,0) per-group
+    moments from one hash agg; the between-groups moment sums
+    per-group ONE-division terms rounded once to DECIMAL(38,6)
+    (order-independent decimal sum); F and eta² from a single
+    fixed-shape IEEE finish the oracle reproduces verbatim."""
+    from pybabe_spark.operators.sketch import anova_f
+
+    orders = read_table(spark, sf_dir, "orders")
+    return anova_f(orders, "o_orderpriority", "o_totalprice")
+
+
+def _kruskal_sql():
+    from pybabe_spark.operators.sketch import kruskal_wallis_sql
+
+    return kruskal_wallis_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        chi2_crit=5.991465,
+    )
+
+
+@register("kruskal_wallis_lineitem", _kruskal_sql())
+def q_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H across the three return flags
+    (operators/sketch.py::kruskal_wallis): rank-based k-group location
+    test on line price — exact doubled midranks from the de-globalized
+    1024-cell cumulative count (no global window), per-group
+    DECIMAL(38,0) rank sums, per-term-rounded between moment,
+    tie-corrected H vs χ²(2) in one fixed-shape finish."""
+    from pybabe_spark.operators.sketch import kruskal_wallis
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return kruskal_wallis(
+        li, "l_returnflag", "l_extendedprice", chi2_crit=5.991465
+    )
 
 
 def _overlap_sql():

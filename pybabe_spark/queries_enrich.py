@@ -387,3 +387,48 @@ def q_k_anonymity(spark, sf_dir):
 
     cust = read_table(spark, sf_dir, "customer")
     return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], 10)
+
+
+_LDIV_BAND_SQL = """
+    CASE WHEN c_acctbal < 0 THEN 'debt'
+         WHEN c_acctbal < 3000 THEN 'low'
+         WHEN c_acctbal < 7000 THEN 'mid'
+         ELSE 'high' END
+"""
+
+
+def _ldiv_sql():
+    from pybabe_spark.functions.enrich import l_diversity_sql
+
+    inner = (
+        f"(SELECT c_nationkey, c_mktsegment, {_LDIV_BAND_SQL} AS band "
+        "FROM customer)"
+    )
+    return l_diversity_sql(
+        inner, ["c_nationkey", "c_mktsegment"], "band", 4
+    )
+
+
+@register("l_diversity_customers", _ldiv_sql())
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (functions/enrich.py::l_diversity): the
+    homogeneity-attack check k-anonymity misses — per (nation,
+    segment) group, how many DISTINCT account-balance bands appear;
+    groups below l=4 leak the sensitive band. Two stacked hash aggs
+    ((QI, sensitive) cells → QI groups) + one 1-row summary, NULL
+    counted as a disclosure class on both sides, risk as exact
+    integral ppm."""
+    from pybabe_spark.functions.enrich import l_diversity
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "c_mktsegment"], "band", 4
+    )

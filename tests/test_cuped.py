@@ -767,3 +767,207 @@ def test_ab_test_by_facade(spark):
         "variant", "converted", "A", "B", "seg"
     )
     assert out.df.collect()[0]["n_control"] == 1
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def test_anova_clear_separation(spark):
+    """Three well-separated tight groups → huge F, eta² near 1."""
+    from pybabe_spark.operators.sketch import anova_f
+
+    rows = (
+        [("a", 10.0 + (i % 3) * 0.1) for i in range(30)]
+        + [("b", 50.0 + (i % 3) * 0.1) for i in range(30)]
+        + [("c", 90.0 + (i % 3) * 0.1) for i in range(30)]
+    )
+    r = anova_f(_arms(spark, rows), "arm", "v").collect()[0]
+    assert r["group_count"] == 3 and r["n_total"] == 90
+    assert r["df_between"] == 2 and r["df_within"] == 87
+    assert r["f_stat"] > 1000.0
+    assert r["eta_squared"] > 0.99
+
+
+def test_anova_matches_python_model(spark):
+    """F and eta² match a plain-float Python computation on random
+    data (tolerance: the engine rounds once to 1e-6)."""
+    import random
+
+    from pybabe_spark.operators.sketch import anova_f
+
+    rng = random.Random(23)
+    rows = [
+        (g, round(rng.uniform(0, 100), 2))
+        for g in ("a", "b", "c", "d")
+        for _ in range(rng.randint(20, 40))
+    ]
+    r = anova_f(_arms(spark, rows), "arm", "v").collect()[0]
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    n = sum(len(vs) for vs in groups.values())
+    k = len(groups)
+    mean = sum(v for vs in groups.values() for v in vs) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - mean) ** 2
+              for vs in groups.values())
+    sst = sum((v - mean) ** 2 for vs in groups.values() for v in vs)
+    ssw = sst - ssb
+    f_exp = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r["f_stat"] - f_exp) < 1e-4 * max(1.0, f_exp)
+    assert abs(r["eta_squared"] - ssb / sst) < 1e-5
+
+
+def test_anova_identical_groups_f_small(spark):
+    """Same distribution in every group → F ≈ 0, eta² ≈ 0."""
+    from pybabe_spark.operators.sketch import anova_f
+
+    rows = [(g, float(i % 7)) for g in ("a", "b", "c") for i in range(70)]
+    r = anova_f(_arms(spark, rows), "arm", "v").collect()[0]
+    assert r["f_stat"] is not None and abs(r["f_stat"]) < 1e-6
+    assert abs(r["eta_squared"]) < 1e-9
+
+
+def test_anova_degenerate(spark):
+    from pybabe_spark.operators.sketch import anova_f
+
+    # one group only → F undefined
+    one = [("a", float(i)) for i in range(10)]
+    r = anova_f(_arms(spark, one), "arm", "v").collect()[0]
+    assert r["group_count"] == 1 and r["f_stat"] is None
+
+    # zero within-group variance but distinct means → F undefined
+    # (infinite), eta² = 1
+    flat = [("a", 1.0)] * 5 + [("b", 2.0)] * 5
+    r = anova_f(_arms(spark, flat), "arm", "v").collect()[0]
+    assert r["f_stat"] is None and abs(r["eta_squared"] - 1.0) < 1e-9
+
+    # all-constant → SST = 0 → both NULL
+    const = [("a", 3.0)] * 5 + [("b", 3.0)] * 5
+    r = anova_f(_arms(spark, const), "arm", "v").collect()[0]
+    assert r["f_stat"] is None and r["eta_squared"] is None
+
+    # NULLs excluded
+    rows = [("a", 1.0), ("a", None), (None, 9.0), ("b", 2.0), ("b", 4.0)]
+    r = anova_f(_arms(spark, rows), "arm", "v").collect()[0]
+    assert r["n_total"] == 3 and r["group_count"] == 2
+
+
+def test_anova_two_groups_is_squared_mean_test_z(spark):
+    """With k=2 equal-size groups, F = t² (Student pooled form): check
+    against the pooled two-sample t computed in Python."""
+    from pybabe_spark.operators.sketch import anova_f
+
+    rows = [("control", 10.0 + (i % 5)) for i in range(40)] + [
+        ("treatment", 12.0 + (i % 5)) for i in range(40)
+    ]
+    r = anova_f(_arms(spark, rows), "arm", "v").collect()[0]
+    a = [10.0 + (i % 5) for i in range(40)]
+    b = [12.0 + (i % 5) for i in range(40)]
+    n_a, n_b = len(a), len(b)
+    ma, mb = sum(a) / n_a, sum(b) / n_b
+    sp2 = (
+        sum((x - ma) ** 2 for x in a) + sum((x - mb) ** 2 for x in b)
+    ) / (n_a + n_b - 2)
+    t2 = (mb - ma) ** 2 / (sp2 * (1 / n_a + 1 / n_b))
+    assert abs(r["f_stat"] - t2) < 1e-6 * max(1.0, t2)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kw_matches_python_model(spark):
+    """H (with and without tie correction) matches a plain-Python
+    midrank computation on random data with ties."""
+    import random
+
+    from pybabe_spark.operators.sketch import kruskal_wallis
+
+    rng = random.Random(41)
+    rows = [
+        (g, float(rng.randint(0, 30)))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(25, 45))
+    ]
+    r = kruskal_wallis(_arms(spark, rows), "arm", "v").collect()[0]
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # midrank per value
+    ranks, i = {}, 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(ranks[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(vals).values())
+    h_c = h / (1 - tie / (n**3 - n))
+    assert abs(r["h"] - h) < 1e-4
+    assert abs(r["h_tie_corrected"] - h_c) < 1e-4
+    assert r["group_count"] == 3 and r["n_total"] == n
+
+
+def test_kw_two_groups_consistent_with_mwu(spark):
+    """k=2 KW is the squared standardized MWU (no tie correction):
+    H = z² where z = (U − n₁n₂/2)/sqrt(n₁n₂(N+1)/12)."""
+    from pybabe_spark.operators.sketch import kruskal_wallis, mann_whitney_u
+
+    rows = [("control", 10.0 + (i % 11)) for i in range(40)] + [
+        ("treatment", 13.0 + (i % 11)) for i in range(40)
+    ]
+    df = _arms(spark, rows)
+    kw = kruskal_wallis(df, "arm", "v").collect()[0]
+    mw = mann_whitney_u(df, "arm", "v", "control", "treatment").collect()[0]
+    n1 = n2 = 40
+    n = n1 + n2
+    u = mw["u2"] / 2.0
+    z2 = (u - n1 * n2 / 2.0) ** 2 / (n1 * n2 * (n + 1) / 12.0)
+    assert abs(kw["h"] - z2) < 1e-6
+
+
+def test_kw_separation_significant_identical_not(spark):
+    from pybabe_spark.operators.sketch import kruskal_wallis
+
+    far = (
+        [("a", 1.0 + i * 0.01) for i in range(40)]
+        + [("b", 100.0 + i * 0.01) for i in range(40)]
+        + [("c", 200.0 + i * 0.01) for i in range(40)]
+    )
+    r = kruskal_wallis(_arms(spark, far), "arm", "v", 5.991465).collect()[0]
+    assert r["significant"] is True and r["h"] > 50.0
+
+    same = [(g, float(i % 9)) for g in ("a", "b", "c") for i in range(45)]
+    r = kruskal_wallis(_arms(spark, same), "arm", "v", 5.991465).collect()[0]
+    assert r["significant"] is False and abs(r["h_tie_corrected"]) < 0.5
+
+
+def test_kw_degenerate(spark):
+    from pybabe_spark.operators.sketch import kruskal_wallis
+
+    # single group → H NULL, significant False
+    one = [("a", float(i)) for i in range(10)]
+    r = kruskal_wallis(_arms(spark, one), "arm", "v", 3.841459).collect()[0]
+    assert r["h"] is None and r["significant"] is False
+
+    # every value identical → tie-corrected H NULL (0/0)
+    const = [("a", 2.0)] * 6 + [("b", 2.0)] * 6
+    r = kruskal_wallis(_arms(spark, const), "arm", "v").collect()[0]
+    assert r["h_tie_corrected"] is None
+
+    # NULLs excluded
+    rows = [("a", 1.0), ("a", None), (None, 9.0), ("b", 2.0)]
+    r = kruskal_wallis(_arms(spark, rows), "arm", "v").collect()[0]
+    assert r["n_total"] == 2

@@ -213,3 +213,67 @@ def test_register_rejects_duplicate_keys():
     key = next(iter(REGISTRY))
     with pytest.raises(ValueError, match="duplicate registry key"):
         register(key, "SELECT 1")(lambda spark, sf_dir: None)
+
+
+# -- l_diversity (functions/enrich.py) ------------------------------------------
+
+
+def test_l_diversity_hand_checked(spark):
+    from pybabe_spark.functions.enrich import l_diversity
+
+    rows = [
+        # group (US, A): 3 rows, 1 distinct sensitive -> risky at l=2
+        ("US", "A", "flu"), ("US", "A", "flu"), ("US", "A", "flu"),
+        # group (US, B): 3 rows, 2 distinct -> diverse at l=2
+        ("US", "B", "flu"), ("US", "B", "cold"), ("US", "B", "flu"),
+        # group (FR, A): 2 rows, 2 distinct (NULL is a class)
+        ("FR", "A", None), ("FR", "A", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "country string, seg string, dx string")
+    r = l_diversity(df, ["country", "seg"], "dx", 2).collect()[0]
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["min_distinct_sensitive"] == 1
+    assert r["risky_groups"] == 1 and r["risky_rows"] == 3
+    assert r["risky_rows_ppm"] == 3 * 1_000_000 // 8
+
+
+def test_l_diversity_homogeneity_invisible_to_k_anonymity(spark):
+    """The motivating case: a big (k-anonymous) group that is fully
+    homogeneous in the sensitive column — k_anonymity passes, l_diversity
+    flags it."""
+    from pybabe_spark.functions.enrich import k_anonymity, l_diversity
+
+    rows = [("US", "flu")] * 20 + [("FR", "flu")] * 10 + [("FR", "cold")] * 10
+    df = spark.createDataFrame(rows, "country string, dx string")
+    k = k_anonymity(df, ["country"], k=5).collect()[0]
+    assert k["risky_rows"] == 0  # both groups are large
+    r = l_diversity(df, ["country"], "dx", 2).collect()[0]
+    assert r["risky_groups"] == 1 and r["risky_rows"] == 20
+
+
+def test_l_diversity_null_sensitive_and_empty(spark):
+    from pybabe_spark.functions.enrich import l_diversity
+
+    # all-NULL sensitive: 1 distinct class (the blank) -> risky at l=2
+    rows = [("g1", None), ("g1", None)]
+    df = spark.createDataFrame(rows, "g string, s string")
+    r = l_diversity(df, ["g"], "s", 2).collect()[0]
+    assert r["min_distinct_sensitive"] == 1 and r["risky_groups"] == 1
+
+    empty = df.filter("1=0")
+    r = l_diversity(empty, ["g"], "s", 2).collect()[0]
+    assert r["n_rows"] == 0 and r["risky_rows_ppm"] == 0
+
+
+def test_l_diversity_validation(spark):
+    import pytest
+
+    from pybabe_spark.functions.enrich import l_diversity
+
+    df = spark.createDataFrame([("a", "b")], "g string, s string")
+    with pytest.raises(ValueError):
+        l_diversity(df, ["g"], "s", 1)
+    with pytest.raises(ValueError):
+        l_diversity(df, [], "s", 2)
+    with pytest.raises(ValueError):
+        l_diversity(df, ["g"], "g", 2)
