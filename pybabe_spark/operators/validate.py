@@ -553,3 +553,178 @@ def population_stability_sql(
            CAST(term AS DOUBLE) AS term, psi
     FROM terms CROSS JOIN psi
     """
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the distributions of a
+    CATEGORICAL column (token, domain, label, n-gram) on two sides —
+    the discrete sibling of :func:`population_stability` (which bins a
+    continuous column): symmetric, bounded in [0, ln 2], finite even
+    on disjoint supports, the corpus-shift monitor for training-data
+    mixes (yesterday's crawl vs today's, source A vs source B). ONE
+    output row: per-side token totals, the union vocabulary size,
+    ``js`` (nats) and ``js_normalized`` (share of ln 2, so 1.0 means
+    fully disjoint).
+
+    ``JS = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))`` with p, q the
+    per-value shares. Each value's term is ONE fixed-shape IEEE
+    expression over exact integer counts rounded once to
+    DECIMAL(38,12) — fine enough that a 10⁶-term vocabulary keeps six
+    honest digits, coarse enough to absorb sub-ulp ln() noise — and
+    the terms sum as decimals (order-independent, engine-identical;
+    ln itself is the house measure-zero boundary, as in
+    :func:`population_stability`). NULL values are excluded on both
+    sides.
+
+    Scale shape: union → one conditional hash agg to the value grain
+    (map-side combinable), a 1-row totals attach, one 1-row finish.
+    The only shuffle is the value vocabulary; nothing is collected.
+    """
+    ok = F.col(col).isNotNull()
+    from pybabe_spark.operators._util import attach_scalars
+
+    tagged = a.filter(ok).select(
+        F.col(col).alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).unionAll(
+        b.filter(ok).select(
+            F.col(col).alias("__v"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    cnt = tagged.groupBy("__v").agg(
+        F.sum("__a").cast("bigint").alias("__ca"),
+        F.sum("__b").cast("bigint").alias("__cb"),
+    )
+    tot = cnt.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("__nb"),
+    )
+    # shares guarded on the side totals: an empty side divides nowhere
+    # (ANSI mode raises on 0/0), and each taken CASE arm has its own
+    # share > 0 so every ln() argument is positive
+    pa = (
+        "(CASE WHEN __na > 0 THEN"
+        " CAST(__ca AS DOUBLE) / CAST(__na AS DOUBLE) ELSE 0.0 END)"
+    )
+    qb = (
+        "(CASE WHEN __nb > 0 THEN"
+        " CAST(__cb AS DOUBLE) / CAST(__nb AS DOUBLE) ELSE 0.0 END)"
+    )
+    term_sql = (
+        "CAST("
+        f"0.5 * (CASE WHEN __ca > 0 THEN"
+        f" {pa} * ln(2.0 * {pa} / ({pa} + {qb}))"
+        " ELSE 0.0 END)"
+        f" + 0.5 * (CASE WHEN __cb > 0 THEN"
+        f" {qb} * ln(2.0 * {qb} / ({pa} + {qb}))"
+        " ELSE 0.0 END)"
+        " AS DECIMAL(38,12))"
+    )
+    terms = attach_scalars(cnt, tot).select(
+        F.col("__na"),
+        F.col("__nb"),
+        F.expr(term_sql).alias("__t"),
+    )
+    agg = terms.agg(
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.coalesce(
+            F.sum("__t"), F.lit(0).cast("decimal(38,12)")
+        ).cast("decimal(38,12)").alias("__js"),
+    )
+    # empty input: the terms frame has 0 rows, first() yields NULL —
+    # recover totals as 0 and JS as NULL (undefined, not "identical")
+    js = F.col("__js").cast("double")
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.col("vocab_size"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), js
+        ).alias("js"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (js / F.lit(0.6931471805599453))
+            .cast("decimal(18,6)")
+            .cast("double"),
+        ).alias("js_normalized"),
+    )
+
+
+def js_divergence_sql(a_select: str, b_select: str, col: str) -> str:
+    """DuckDB oracle of :func:`js_divergence` — same conditional
+    counts, same per-term DECIMAL(38,12) rounding, same finish."""
+    return f"""
+    WITH tagged AS (
+        SELECT {col} AS v, 1 AS a, 0 AS b FROM ({a_select})
+        WHERE {col} IS NOT NULL
+        UNION ALL
+        SELECT {col} AS v, 0 AS a, 1 AS b FROM ({b_select})
+        WHERE {col} IS NOT NULL
+    ),
+    cnt AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(b) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    tot AS (
+        SELECT COALESCE(CAST(SUM(ca) AS BIGINT), 0) AS na,
+               COALESCE(CAST(SUM(cb) AS BIGINT), 0) AS nb
+        FROM cnt
+    ),
+    terms AS (
+        SELECT na, nb,
+               CAST(
+                 0.5 * (CASE WHEN ca > 0 THEN
+                   (CASE WHEN na > 0 THEN
+                      CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                    ELSE 0.0 END)
+                   * ln(2.0 * (CASE WHEN na > 0 THEN
+                        CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                      ELSE 0.0 END)
+                        / ((CASE WHEN na > 0 THEN
+                              CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                            ELSE 0.0 END)
+                           + (CASE WHEN nb > 0 THEN
+                                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE 0.0 END)))
+                 ELSE 0.0 END)
+                 + 0.5 * (CASE WHEN cb > 0 THEN
+                   (CASE WHEN nb > 0 THEN
+                      CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                    ELSE 0.0 END)
+                   * ln(2.0 * (CASE WHEN nb > 0 THEN
+                        CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                      ELSE 0.0 END)
+                        / ((CASE WHEN na > 0 THEN
+                              CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                            ELSE 0.0 END)
+                           + (CASE WHEN nb > 0 THEN
+                                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE 0.0 END)))
+                 ELSE 0.0 END)
+               AS DECIMAL(38,12)) AS t
+        FROM cnt CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT MIN(na) AS n_a, MIN(nb) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               COALESCE(SUM(t), CAST(0 AS DECIMAL(38,12))) AS js_d
+        FROM terms
+    )
+    SELECT COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b,
+           vocab_size,
+           CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0
+           THEN CAST(js_d AS DOUBLE) END AS js,
+           CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0
+           THEN CAST(CAST(CAST(js_d AS DOUBLE) / 0.6931471805599453
+                AS DECIMAL(18,6)) AS DOUBLE) END AS js_normalized
+    FROM agg
+    """

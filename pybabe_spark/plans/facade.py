@@ -679,6 +679,12 @@ class Babe:
         n = new.df if isinstance(new, Babe) else new
         return self._wrap(population_stability(self.df, n, col, bins=bins))
 
+    def js_divergence(self, other: "Babe | DataFrame", col) -> "Babe":
+        from pybabe_spark.operators.validate import js_divergence
+
+        o = other.df if isinstance(other, Babe) else other
+        return self._wrap(js_divergence(self.df, o, col))
+
     def validate(self, rules) -> "Babe":
         from pybabe_spark.operators.validate import validate
 

@@ -105,6 +105,44 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, k=3)
 
 
+def _jsd_sql():
+    from pybabe_spark.operators.validate import js_divergence_sql
+
+    side = lambda pred: f"""
+        SELECT w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE {pred} AND text IS NOT NULL
+        ) WHERE w <> ''
+    """  # noqa: E731
+    return js_divergence_sql(side("lang = 'en'"), side("lang <> 'en'"), "w")
+
+
+@register("js_divergence_docs", _jsd_sql())
+def q_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between the word distributions of the
+    English and non-English corpus slices (operators/validate.py::
+    js_divergence) — the token-level drift monitor beside
+    psi_orders_price's continuous one: union → one conditional hash
+    agg to the vocabulary grain, per-term DECIMAL(38,12) rounding so
+    the decimal sum is order-independent, 1-row finish with the
+    normalized [0,1] readout."""
+    from pybabe_spark.operators.validate import js_divergence
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = lambda pred: (  # noqa: E731
+        docs.filter(pred)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return js_divergence(
+        words(F.col("lang") == "en"),
+        words(F.col("lang") != "en"),
+        "w",
+    )
+
+
 @register(
     "word_entropy_docs",
     """

@@ -277,3 +277,81 @@ def test_l_diversity_validation(spark):
         l_diversity(df, [], "s", 2)
     with pytest.raises(ValueError):
         l_diversity(df, ["g"], "g", 2)
+
+
+# -- js_divergence (operators/validate.py) --------------------------------------
+
+
+def _side(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "w string")
+
+
+def test_jsd_matches_python_model(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from pybabe_spark.operators.validate import js_divergence
+
+    rng = random.Random(7)
+    a = [rng.choice("abcdefgh") for _ in range(300)]
+    b = [rng.choice("defghijk") for _ in range(250)]
+    r = js_divergence(_side(spark, a), _side(spark, b), "w").collect()[0]
+
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    js = 0.0
+    for v in set(ca) | set(cb):
+        p, q = ca.get(v, 0) / na, cb.get(v, 0) / nb
+        if p > 0:
+            js += 0.5 * p * math.log(2 * p / (p + q))
+        if q > 0:
+            js += 0.5 * q * math.log(2 * q / (p + q))
+    assert abs(r["js"] - js) < 1e-9
+    assert abs(r["js_normalized"] - js / math.log(2)) < 1e-6
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["vocab_size"] == len(set(ca) | set(cb))
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    import math
+
+    from pybabe_spark.operators.validate import js_divergence
+
+    same = ["x"] * 5 + ["y"] * 3
+    r = js_divergence(
+        _side(spark, same), _side(spark, same), "w"
+    ).collect()[0]
+    assert abs(r["js"]) < 1e-12 and abs(r["js_normalized"]) < 1e-6
+
+    r = js_divergence(
+        _side(spark, ["a", "b"]), _side(spark, ["c", "d"]), "w"
+    ).collect()[0]
+    assert abs(r["js"] - math.log(2)) < 1e-9
+    assert abs(r["js_normalized"] - 1.0) < 1e-6
+
+
+def test_jsd_symmetric(spark):
+    from pybabe_spark.operators.validate import js_divergence
+
+    a = ["a"] * 8 + ["b"] * 2
+    b = ["a"] * 3 + ["b"] * 6 + ["c"]
+    r1 = js_divergence(_side(spark, a), _side(spark, b), "w").collect()[0]
+    r2 = js_divergence(_side(spark, b), _side(spark, a), "w").collect()[0]
+    assert abs(r1["js"] - r2["js"]) < 1e-12
+
+
+def test_jsd_nulls_and_empty(spark):
+    from pybabe_spark.operators.validate import js_divergence
+
+    a = _side(spark, ["a", None, "b"])
+    b = _side(spark, ["a", "b"])
+    r = js_divergence(a, b, "w").collect()[0]
+    assert r["n_a"] == 2  # NULL excluded
+
+    empty = a.filter("1=0")
+    r = js_divergence(a, empty, "w").collect()[0]
+    assert r["n_b"] == 0 and r["js"] is None and r["js_normalized"] is None
+
+    r = js_divergence(empty, empty, "w").collect()[0]
+    assert r["n_a"] == 0 and r["vocab_size"] == 0 and r["js"] is None
