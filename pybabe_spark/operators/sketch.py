@@ -3256,3 +3256,71 @@ def kruskal_wallis_sql(
            END AS h_tie_corrected{sig}
     FROM gagg, vagg
     """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test — the check
+    :func:`anova_f` silently assumes: are the group SPREADS equal?
+    It is literally one-way ANOVA on the absolute deviations from each
+    group's MEDIAN (robust to skew, unlike Levene's mean-centered
+    form), so the statistic, output schema, and exactness discipline
+    are :func:`anova_f`'s verbatim — this operator only builds the
+    derived frame.
+
+    Determinism: the per-group median is Spark's exact interpolated
+    ``percentile(x, 0.5)`` (= DuckDB ``quantile_cont``) rounded once
+    to 6 dp (the :func:`~pybabe_spark.operators.validate.
+    population_stability` edge rule); the deviation then rides
+    anova_f's DECIMAL(18,2) cents lift — one more engine-shared
+    rounding, both reproduced verbatim in the oracle. NULL group or
+    value rows are excluded before the median so both stages see the
+    same population.
+
+    Scale shape: one percentile hash agg to the group grain, one
+    equi-join back (AQE broadcasts the tiny group table), then
+    anova_f's single moment agg — three total passes, no window.
+    """
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    meds = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("__bfg"))
+        .agg(
+            F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias(
+                "__med"
+            )
+        )
+    )
+    z = df.filter(ok).join(
+        meds, F.col(group_col) == F.col("__bfg")
+    ).select(
+        F.col(group_col),
+        F.abs(F.col(value_col) - F.col("__med")).alias("__z"),
+    )
+    return anova_f(z, group_col, "__z")
+
+
+def brown_forsythe_sql(
+    select: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB oracle of :func:`brown_forsythe` — same rounded
+    ``quantile_cont`` median, same deviation frame, then
+    :func:`anova_f_sql` verbatim (the statistic cannot drift)."""
+    dev = f"""
+        SELECT r.{group_col} AS {group_col},
+               abs(r.{value_col} - m.med) AS z
+        FROM (SELECT * FROM ({select})
+              WHERE {group_col} IS NOT NULL
+                AND {value_col} IS NOT NULL) r
+        JOIN (SELECT {group_col} AS g,
+                     ROUND(quantile_cont({value_col}, 0.5), 6) AS med
+              FROM ({select})
+              WHERE {group_col} IS NOT NULL
+                AND {value_col} IS NOT NULL
+              GROUP BY {group_col}) m
+          ON r.{group_col} = m.g
+    """
+    return anova_f_sql(dev, group_col, "z")

@@ -2451,3 +2451,107 @@ def logrank_test_sql(
            ELSE FALSE END AS significant
     FROM agg
     """
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: int = 3,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test per key — the
+    inferential layer over :func:`acf`: is the autocorrelation
+    structure at lags 1..``lags`` jointly distinguishable from noise?
+
+        Q = n(n+2) · Σ_h ρ_h²/(n−h)   ~  χ²(lags) under H₀
+
+    Composes the exact machinery: ρ_h arrives as :func:`acf`'s
+    sign-split integral ppm (exact integers), so ``ρ_h² = ppm²/10¹²``
+    and each lag's term is ONE IEEE division of exact integers rounded
+    once to DECIMAL(38,6) (order-independent decimal sum across lags —
+    the ``anova_f`` discipline); Q is one fixed-shape finish rounded
+    once. Since ``lags`` is a call-site constant, the χ²(lags)
+    critical value is a LITERAL — pass ``chi2_crit`` (e.g. 7.814728
+    for lags=3 at α=0.05) to emit a deterministic ``significant``
+    column. Q is NULL for keys where any lag 1..lags is undefined
+    (series shorter than lags+1, or zero variance) — a partial Q would
+    silently compare against the wrong χ² df.
+
+    Scale shape: exactly acf's (one key-partitioned window pass + one
+    hash agg) plus one more key-grain agg — nothing global.
+
+    The per-user / per-series noise gate: residual checks after
+    seasonal_backtest, burst persistence screening, metric sanity.
+    """
+    r = acf(df, key_col, ts_col, value_col, lags)
+    term = (
+        F.col("acf_ppm").cast("double")
+        * F.col("acf_ppm").cast("double")
+        / (F.col("n") - F.col("lag")).cast("double")
+    ).cast("decimal(38,6)")
+    g = r.groupBy(key_col).agg(
+        F.first("n").alias("n"),
+        F.count("acf_ppm").alias("__lu"),
+        F.sum(F.when(F.col("acf_ppm").isNotNull(), term))
+        .cast("decimal(38,6)")
+        .alias("__t"),
+    )
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2.0) * F.col("__t").cast("double") / 1_000_000_000_000.0
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    cols = [
+        F.col(key_col),
+        F.col("n"),
+        F.when(F.col("__lu") == lags, out(q)).alias("q"),
+    ]
+    if chi2_crit is not None:
+        cols.append(
+            F.when(F.col("__lu") == lags, out(q) > F.lit(float(chi2_crit)))
+            .otherwise(F.lit(False))
+            .alias("significant")
+        )
+    return g.select(*cols)
+
+
+def ljung_box_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: int = 3,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`ljung_box` — nests :func:`acf_sql`
+    verbatim (the ppm definition cannot drift between the two), same
+    per-lag term rounding, same finish."""
+    inner = acf_sql(table, key_col, ts_col, value_col, lags)
+    qe = (
+        "CAST(CAST("
+        "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+        " * CAST(t AS DOUBLE) / 1000000000000.0"
+        " AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    sig = (
+        f""",
+           CASE WHEN lu = {int(lags)} THEN {qe} > {float(chi2_crit)!r}
+           ELSE FALSE END AS significant"""
+        if chi2_crit is not None
+        else ""
+    )
+    return f"""
+    WITH acf_rows AS ({inner}),
+    g AS (
+        SELECT {key_col}, MIN(n) AS n,
+               COUNT(acf_ppm) AS lu,
+               SUM(CASE WHEN acf_ppm IS NOT NULL THEN
+                 CAST(CAST(acf_ppm AS DOUBLE) * CAST(acf_ppm AS DOUBLE)
+                      / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+                      AS DECIMAL(38,6)) END) AS t
+        FROM acf_rows GROUP BY {key_col}
+    )
+    SELECT {key_col}, n,
+           CASE WHEN lu = {int(lags)} THEN {qe} END AS q{sig}
+    FROM g
+    """

@@ -908,6 +908,11 @@ class Babe:
 
         return self._wrap(anova_f(self.df, group_col, value_col))
 
+    def brown_forsythe(self, group_col, value_col) -> "Babe":
+        from pybabe_spark.operators.sketch import brown_forsythe
+
+        return self._wrap(brown_forsythe(self.df, group_col, value_col))
+
     def kruskal_wallis(self, group_col, value_col,
                        chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.sketch import kruskal_wallis
@@ -1099,6 +1104,15 @@ class Babe:
         from pybabe_spark.operators.timeseries import acf
 
         return self._wrap(acf(self.df, key_col, ts_col, value_col, lags))
+
+    def ljung_box(self, key_col, ts_col, value_col, lags=3,
+                  chi2_crit=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import ljung_box
+
+        return self._wrap(
+            ljung_box(self.df, key_col, ts_col, value_col, lags,
+                      chi2_crit)
+        )
 
     def gap_fill(self, step_seconds, key_col, ts_col, agg_cols, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import gap_fill

@@ -2815,6 +2815,30 @@ def q_acf(spark, sf_dir):
     return acf(ev, "user_id", "ts", "value", lags=3)
 
 
+def _ljung_box_sql():
+    from pybabe_spark.operators.timeseries import ljung_box_sql
+
+    return ljung_box_sql(
+        "events", "user_id", "ts", "value", lags=3, chi2_crit=7.814728
+    )
+
+
+@register("ljung_box_events", _ljung_box_sql())
+def q_ljung_box(spark, sf_dir):
+    """Per-user Ljung–Box white-noise test at lags 1–3
+    (operators/timeseries.py::ljung_box): the inferential layer over
+    acf_user_values — Q = n(n+2)·Σρ_h²/(n−h) from acf's exact integral
+    ppm (each lag term one IEEE division rounded once, decimal-summed),
+    against the χ²(3) literal. Same two key shuffles as acf plus one
+    key-grain agg; Q NULL when any lag is undefined."""
+    from pybabe_spark.operators.timeseries import ljung_box
+
+    ev = read_table(spark, sf_dir, "events")
+    return ljung_box(
+        ev, "user_id", "ts", "value", lags=3, chi2_crit=7.814728
+    )
+
+
 def _item_neighbors_sql():
     from pybabe_spark.operators.recommend import item_neighbors_sql
 
@@ -3187,6 +3211,30 @@ def q_anova(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return anova_f(orders, "o_orderpriority", "o_totalprice")
+
+
+def _brown_forsythe_sql():
+    from pybabe_spark.operators.sketch import brown_forsythe_sql
+
+    return brown_forsythe_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+@register("brown_forsythe_orders", _brown_forsythe_sql())
+def q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe spread-homogeneity test across order priorities
+    (operators/sketch.py::brown_forsythe): one-way ANOVA on absolute
+    deviations from each priority's exact interpolated median (rounded
+    once, the quantile edge rule) — the variance-equality check
+    anova_orders_price assumes. Percentile agg + tiny-table join back
+    + anova_f's single moment agg."""
+    from pybabe_spark.operators.sketch import brown_forsythe
+
+    orders = read_table(spark, sf_dir, "orders")
+    return brown_forsythe(orders, "o_orderpriority", "o_totalprice")
 
 
 def _kruskal_sql():

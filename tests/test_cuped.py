@@ -971,3 +971,70 @@ def test_kw_degenerate(spark):
     rows = [("a", 1.0), ("a", None), (None, 9.0), ("b", 2.0)]
     r = kruskal_wallis(_arms(spark, rows), "arm", "v").collect()[0]
     assert r["n_total"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe
+# ---------------------------------------------------------------------------
+
+
+def test_bf_unequal_spread_detected(spark):
+    """Same center, wildly different spread: ANOVA sees nothing,
+    Brown–Forsythe sees everything."""
+    from pybabe_spark.operators.sketch import anova_f, brown_forsythe
+
+    tight = [("a", 50.0 + (i % 3) * 0.01 - 0.01) for i in range(60)]
+    wide = [("b", 50.0 + (i % 2) * 80.0 - 40.0) for i in range(60)]
+    df = _arms(spark, tight + wide)
+    av = anova_f(df, "arm", "v").collect()[0]
+    bf = brown_forsythe(df, "arm", "v").collect()[0]
+    assert av["eta_squared"] < 0.01  # near-identical means
+    assert bf["f_stat"] > 100.0      # spread difference is huge
+
+
+def test_bf_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import brown_forsythe
+
+    rng = random.Random(5)
+    rows = [
+        (g, round(rng.uniform(0, spread), 2))
+        for g, spread in (("a", 20), ("b", 60), ("c", 100))
+        for _ in range(31)
+    ]
+    r = brown_forsythe(_arms(spark, rows), "arm", "v").collect()[0]
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+
+    def median(vs):
+        s = sorted(vs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    # replicate the engine's roundings: median to 6dp, z to cents
+    zs = {
+        g: [round(abs(v - round(median(vs), 6)), 2) for v in vs]
+        for g, vs in groups.items()
+    }
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    mean = sum(x for v in zs.values() for x in v) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2 for v in zs.values())
+    sst = sum((x - mean) ** 2 for v in zs.values() for x in v)
+    f_exp = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert abs(r["f_stat"] - f_exp) < 1e-4 * max(1.0, f_exp)
+    assert r["n_total"] == n and r["group_count"] == 3
+
+
+def test_bf_equal_spread_f_small(spark):
+    from pybabe_spark.operators.sketch import brown_forsythe
+
+    # same shape shifted: medians differ, deviations identical
+    rows = [("a", float(i % 10)) for i in range(100)] + [
+        ("b", 500.0 + (i % 10)) for i in range(100)
+    ]
+    r = brown_forsythe(_arms(spark, rows), "arm", "v").collect()[0]
+    assert r["f_stat"] is not None and r["f_stat"] < 1e-6

@@ -1025,3 +1025,89 @@ def test_logrank_matches_python_model(spark):
     assert abs(r["variance"] - v) < 1e-4
     want_sig = (o1 - e1) ** 2 > 3.841459 * v
     assert r["significant"] == want_sig
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_matches_python_model(spark):
+    """Q matches a plain-Python Ljung–Box over the same floored-ppm
+    autocorrelations (the composition's exact contract)."""
+    import random
+
+    from pybabe_spark.operators.timeseries import ljung_box
+
+    rng = random.Random(99)
+    rows = [
+        (k, t, round(rng.uniform(-50, 50), 2))
+        for k in (1, 2)
+        for t in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {
+        r["k"]: r
+        for r in ljung_box(df, "k", "ts", "v", lags=3).collect()
+    }
+
+    import math
+
+    for k in (1, 2):
+        xs = [int(round(v * 100)) for kk, t, v in rows if kk == k]
+        n = len(xs)
+        s = sum(xs)
+        den = n * n * sum(x * x for x in xs) - n * s * s
+        q = 0.0
+        for h in (1, 2, 3):
+            c = sum(xs[i] * xs[i + h] for i in range(n - h))
+            head = sum(xs[:n - h])
+            tail = sum(xs[h:])
+            num = n * n * c - n * s * (head + tail) + (n - h) * s * s
+            ppm = (1_000_000 * abs(num)) // abs(den)
+            ppm *= 1 if (num < 0) == (den < 0) else -1
+            q += (ppm * ppm) / (n - h)
+        q = n * (n + 2) * q / 1e12
+        assert math.isclose(got[k]["q"], q, abs_tol=1e-5)
+
+
+def test_ljung_box_strong_autocorrelation_significant(spark):
+    from pybabe_spark.operators.timeseries import ljung_box
+
+    # slow sine: heavy lag-1..3 correlation
+    import math
+
+    rows = [(1, t, round(50 * math.sin(t / 6.0), 2)) for t in range(60)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = ljung_box(df, "k", "ts", "v", 3, chi2_crit=7.814728).collect()[0]
+    assert r["significant"] is True and r["q"] > 50.0
+
+
+def test_ljung_box_alternating_large_q(spark):
+    """The deterministic alternating series from the acf test: rho =
+    (-5/6, 4/6, -3/6) at n=6 → Q from those exact ppm values."""
+    from pybabe_spark.operators.timeseries import ljung_box
+
+    rows = [(1, t, 1.0 if t % 2 == 0 else -1.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = ljung_box(df, "k", "ts", "v", 3).collect()[0]
+    exp = 6 * 8 * (
+        (833_333**2) / 5 + (666_666**2) / 4 + (500_000**2) / 3
+    ) / 1e12
+    assert abs(r["q"] - exp) < 1e-5
+
+
+def test_ljung_box_short_series_null(spark):
+    from pybabe_spark.operators.timeseries import ljung_box
+
+    # n=3 with lags=3: lag-3 undefined -> Q NULL, significant False
+    rows = [(1, t, float(t)) for t in range(3)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = ljung_box(df, "k", "ts", "v", 3, chi2_crit=7.814728).collect()[0]
+    assert r["q"] is None and r["significant"] is False
+
+    # constant series: zero variance -> all lags NULL -> Q NULL
+    rows = [(1, t, 4.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    r = ljung_box(df, "k", "ts", "v", 3).collect()[0]
+    assert r["q"] is None
