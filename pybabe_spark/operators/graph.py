@@ -1098,3 +1098,135 @@ def k_core_sql(
         + f"\nSELECT u AS {id_col}, CAST(COUNT(*) AS BIGINT) AS degree"
         f" FROM e{max_rounds} GROUP BY u HAVING COUNT(*) >= {int(k)}"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int = 256,
+    top_n: int = 100,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: the
+    ``top_n`` NON-edges ranked by ``AA(x,y) = Σ_{z∈N(x)∩N(y)}
+    1/ln(deg z)`` — the classic "who should be connected" score
+    (common neighbors, discounted by how promiscuous each shared
+    neighbor is). Output ``(id_a, id_b, common_neighbors, aa)``,
+    ranked by the EXACT decimal score with an (id_a, id_b) tiebreak.
+
+    Contract (mirrored verbatim by the oracle): wedge centers with
+    degree > ``max_degree`` are excluded — the capped-candidate rule
+    every scalable AA uses, and principled here because a hub's
+    contribution is the smallest possible (1/ln d → 0) while its wedge
+    fan-out is the largest (d²). Each center's weight ``1/ln(deg)``
+    (deg ≥ 2 for any wedge, so ln > 0) is ONE IEEE expression rounded
+    once to DECIMAL(18,12); pair scores are exact decimal SUMS of
+    those literals — order-independent, engine-identical, and the
+    ranking compares decimals, never floats.
+
+    Scale shape: one degree agg, wedge self-join generated ONLY at
+    capped centers (work Σ_{deg≤cap} deg² ≤ cap·m, never the hub
+    blow-up), one pair hash agg, one anti-join against the edge set,
+    TakeOrderedAndProject for the top_n. No cartesian, nothing
+    collected.
+    """
+    if max_degree < 2:
+        raise ValueError("adamic_adar: max_degree must be >= 2")
+    if top_n < 1:
+        raise ValueError("adamic_adar: top_n must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()  # feeds degrees, wedges, and the anti-join probe
+    )
+    sym = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("__d"))
+    # deg-1 leaves can never center a wedge — and ln(1) = 0 would
+    # divide by zero under ANSI, so they leave the weight table here
+    w = deg.filter(
+        (F.col("__d") >= 2) & (F.col("__d") <= max_degree)
+    ).select(
+        "z",
+        F.expr(
+            "CAST(1.0 / ln(CAST(__d AS DOUBLE)) AS DECIMAL(18,12))"
+        ).alias("__w"),
+    )
+    centers = sym.join(w, "z")
+    a, b = centers.alias("a"), centers.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+        F.col("a.__w").alias("__w"),
+    )
+    pairs = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("__w").cast("decimal(28,12)").alias("__aa"),
+    )
+    non_edges = pairs.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    # rank on the double-cast score (the output value — DuckDB's ORDER
+    # BY sees the aliased double too), ties broken by the pair id
+    return (
+        non_edges.select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            "common_neighbors",
+            F.col("__aa").cast("double").alias("aa"),
+        )
+        .orderBy(
+            F.col("aa").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(top_n)
+    )
+
+
+def adamic_adar_sql(
+    edges_cte: str, max_degree: int = 256, top_n: int = 100
+) -> str:
+    """DuckDB oracle of :func:`adamic_adar` — same canonical edges,
+    same capped centers, same DECIMAL(18,12) weights and exact decimal
+    ranking (``edges_cte`` SELECTs (id_a, id_b))."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM raw
+        WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b
+    ),
+    sym AS (
+        SELECT u AS z, v AS n FROM e
+        UNION ALL SELECT v AS z, u AS n FROM e
+    ),
+    deg AS (SELECT z, COUNT(*) AS d FROM sym GROUP BY z),
+    w AS (
+        SELECT z, CAST(1.0 / ln(CAST(d AS DOUBLE)) AS DECIMAL(18,12)) AS w
+        FROM deg WHERE d >= 2 AND d <= {int(max_degree)}
+    ),
+    centers AS (SELECT sym.z, sym.n, w.w FROM sym JOIN w USING (z)),
+    pairs AS (
+        SELECT a.n AS x, b.n AS y,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(a.w) AS DECIMAL(28,12)) AS aa
+        FROM centers a JOIN centers b ON a.z = b.z AND a.n < b.n
+        GROUP BY a.n, b.n
+    )
+    SELECT x AS id_a, y AS id_b, common_neighbors,
+           CAST(aa AS DOUBLE) AS aa
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+    ORDER BY aa DESC, x, y
+    LIMIT {int(top_n)}
+    """

@@ -2555,3 +2555,124 @@ def ljung_box_sql(
            CASE WHEN lu = {int(lags)} THEN {qe} END AS q{sig}
     FROM g
     """
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve per group — the additive
+    companion of :func:`km_survival` on the SAME right-censored risk
+    table: ``H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ``, the estimator of choice when
+    hazards are compared or fed downstream (H is a plain sum, so
+    group differences and regression residuals behave linearly where
+    KM's product does not). Output per event time:
+    ``(group, t, n_risk, n_events, n_censored, cum_hazard,
+    na_survival)`` with ``na_survival = exp(−H)`` (the Fleming–
+    Harrington survival estimate, ≥ KM's step product).
+
+    Determinism: each step hazard ``d/n`` is ONE IEEE division of
+    exact integers rounded once to DECIMAL(18,6); ``H`` is the exact
+    decimal cumulative sum (associative), and ``exp(−H)`` takes the
+    same single terminal rounding as KM's curve. Ties at a duration
+    process events before censors (subjects censored at ``t`` were at
+    risk at ``t`` — KM's convention, same risk table).
+
+    Scale shape: identical to km_survival — one hash agg to the
+    per-(group, duration) grain, then group-partitioned cumulative
+    windows over the distinct-duration table (bounded by the duration
+    domain, not the corpus).
+    """
+    g = [group_col] if group_col is not None else []
+    ev = F.col(event_col).cast("int")
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        *g,
+        F.col(duration_col).alias("t"),
+        ev.alias("__e"),
+    )
+    counts = base.groupBy(*g, "t").agg(
+        F.sum("__e").alias("n_events"),
+        F.sum(F.lit(1) - F.col("__e")).alias("n_censored"),
+    )
+    w_ord = Window.partitionBy(*g).orderBy(F.col("t").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*g)
+    stepped = (
+        counts.withColumn(
+            "__tot", F.sum(F.col("n_events") + F.col("n_censored")).over(wall)
+        )
+        .withColumn(
+            "__cum", F.sum(F.col("n_events") + F.col("n_censored")).over(w_cum)
+        )
+        .withColumn(
+            "n_risk", F.col("__tot") - F.lag("__cum", 1, 0).over(w_ord)
+        )
+        .drop("__tot", "__cum")
+    )
+    term = (
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    ).cast("decimal(18,6)")
+    curve = stepped.withColumn(
+        "__h",
+        F.sum(F.when(F.col("n_events") > 0, term)).over(w_cum),
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        *g,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.col("__h").cast("double").alias("cum_hazard"),
+        F.round(F.exp(-F.col("__h").cast("double")), 6).alias(
+            "na_survival"
+        ),
+    )
+
+
+def nelson_aalen_sql(
+    src: str,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`nelson_aalen` — same risk table as
+    km_survival_sql, same once-rounded step hazards, exact decimal
+    cumsum, same terminal rounding."""
+    g = f"{group_col}, " if group_col else ""
+    gp = f"PARTITION BY {group_col}" if group_col else ""
+    return f"""
+    WITH base AS (
+      SELECT {g}{duration_col} AS t,
+             CAST({event_col} AS INT) AS e
+      FROM {src} WHERE {duration_col} IS NOT NULL
+    ),
+    counts AS (
+      SELECT {g}t, CAST(SUM(e) AS BIGINT) AS n_events,
+             CAST(SUM(1 - e) AS BIGINT) AS n_censored
+      FROM base GROUP BY {g}t
+    ),
+    stepped AS (
+      SELECT *,
+             CAST(SUM(n_events + n_censored) OVER ({gp}) -
+                  COALESCE(SUM(n_events + n_censored) OVER
+                    ({gp} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM counts
+    ),
+    curve AS (
+      SELECT *,
+             SUM(CASE WHEN n_events > 0 THEN
+               CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    AS DECIMAL(18,6)) END) OVER
+               ({gp} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS h
+      FROM stepped
+    )
+    SELECT {g}t, n_risk, n_events, n_censored,
+           CAST(h AS DOUBLE) AS cum_hazard,
+           ROUND(exp(-CAST(h AS DOUBLE)), 6) AS na_survival
+    FROM curve WHERE n_events > 0
+    """

@@ -351,6 +351,14 @@ class Babe:
 
         return self._wrap(triangle_count(self.df, src, dst))
 
+    def adamic_adar(self, src="id_a", dst="id_b", max_degree=256,
+                    top_n=100) -> "Babe":
+        from pybabe_spark.operators.graph import adamic_adar
+
+        return self._wrap(
+            adamic_adar(self.df, src, dst, max_degree, top_n)
+        )
+
     def pagerank(self, iters=3, damping=0.85, **kwargs) -> "Babe":
         """Treats the wrapped frame as a (src, dst) edge list."""
         from pybabe_spark.operators.graph import pagerank
@@ -751,6 +759,14 @@ class Babe:
 
         return self._wrap(
             km_survival(self.df, duration_col, event_col, group_col)
+        )
+
+    def nelson_aalen(self, duration_col, event_col,
+                     group_col=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import nelson_aalen
+
+        return self._wrap(
+            nelson_aalen(self.df, duration_col, event_col, group_col)
         )
 
     def logrank_test(self, duration_col, event_col, group_col,

@@ -1532,6 +1532,54 @@ def _triangle_sql():
     )
 
 
+_SUPPLIER_EDGES_SQL = """
+        SELECT id_a, id_b FROM (
+          SELECT a.s AS id_a, b.s AS id_b FROM
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
+            JOIN
+            (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
+            ON a.o = b.o AND a.s < b.s
+        ) WHERE (id_a + id_b) % 7 = 0
+    """
+
+
+def _supplier_edges(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
+        .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
+    )
+
+
+def _adamic_adar_sql():
+    from pybabe_spark.operators.graph import adamic_adar_sql
+
+    return adamic_adar_sql(_SUPPLIER_EDGES_SQL, max_degree=256, top_n=100)
+
+
+@register("adamic_adar_suppliers", _adamic_adar_sql())
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction on the sampled supplier
+    co-occurrence graph (operators/graph.py::adamic_adar): the 100
+    highest-scoring NON-edges — common neighbors discounted by
+    1/ln(degree), weights as once-rounded DECIMAL(18,12) literals
+    decimal-summed per pair, wedges generated only at ≤256-degree
+    centers (the capped-candidate contract the oracle mirrors), one
+    anti-join against the edge set, TakeOrderedAndProject finish."""
+    from pybabe_spark.operators.graph import adamic_adar
+
+    edges = _supplier_edges(spark, sf_dir)
+    return adamic_adar(edges, max_degree=256, top_n=100)
+
+
 @register("triangle_count_suppliers", _triangle_sql())
 def q_triangle_count(spark, sf_dir):
     """Triangle census of a deterministic 1/7 edge sample of the
@@ -2299,18 +2347,13 @@ def _km_sql() -> str:
                            group_col="cohort")
 
 
-@register("km_survival_events", _km_sql())
-def q_km_survival(spark, sf_dir):
-    """Kaplan-Meier time-to-purchase curves (operators/timeseries.py::
-    km_survival), cohorted by each user's first event type; users who
-    never purchase are right-censored at their last event. Log-space
-    decimal-rounded factors, exact cumulative sums, in-plan extinction
-    rule — the churn/conversion-latency estimator."""
-    from pybabe_spark.operators.timeseries import km_survival
-
+def _km_subjects(spark, sf_dir):
+    """Shared time-to-purchase subject frame for the survival keys:
+    per user (cohort = first event type, duration, event) with
+    never-purchasers right-censored at their last event."""
     ev = read_table(spark, sf_dir, "events")
     tp = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
-    subjects = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.min_by("event_type", "ts").alias("cohort"),
         F.min("ts").alias("__t0"),
         tp.alias("__tp"),
@@ -2325,7 +2368,52 @@ def q_km_survival(spark, sf_dir):
         .alias("duration"),
         F.col("__tp").isNotNull().cast("int").alias("event"),
     )
+
+
+@register("km_survival_events", _km_sql())
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-purchase curves (operators/timeseries.py::
+    km_survival), cohorted by each user's first event type; users who
+    never purchase are right-censored at their last event. Log-space
+    decimal-rounded factors, exact cumulative sums, in-plan extinction
+    rule — the churn/conversion-latency estimator."""
+    from pybabe_spark.operators.timeseries import km_survival
+
+    subjects = _km_subjects(spark, sf_dir)
     return km_survival(subjects, "duration", "event", group_col="cohort")
+
+
+def _na_sql() -> str:
+    from pybabe_spark.operators.timeseries import nelson_aalen_sql
+
+    subjects = """(
+      SELECT arg_min(event_type, ts) AS cohort,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                  THEN epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END)) - epoch_us(MIN(ts))
+                  ELSE epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+             END AS duration,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  IS NOT NULL AS INT) AS event
+      FROM events GROUP BY user_id
+    )"""
+    return nelson_aalen_sql(subjects, "duration", "event",
+                            group_col="cohort")
+
+
+@register("nelson_aalen_events", _na_sql())
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative conversion hazard on the KM subject
+    frame (operators/timeseries.py::nelson_aalen): the additive
+    estimator — step hazards d/n as once-rounded DECIMAL(18,6)
+    divisions of exact risk-table integers, exact decimal cumsum,
+    exp(−H) survival alongside. Same risk table, hash agg, and
+    distinct-duration windows as km_survival_events."""
+    from pybabe_spark.operators.timeseries import nelson_aalen
+
+    subjects = _km_subjects(spark, sf_dir)
+    return nelson_aalen(subjects, "duration", "event", group_col="cohort")
 
 
 _LR_SUBJECTS_SQL = """

@@ -355,3 +355,58 @@ def test_personalized_pagerank_seeds_get_the_mass(spark):
     plain = {r["node"]: r["rank_micro"]
              for r in pagerank(edges, iters=5).collect()}
     assert plain[4] > 0
+
+
+def test_nelson_aalen_textbook_curve(spark):
+    import math
+
+    import pytest as _pt
+
+    from pybabe_spark.operators.timeseries import nelson_aalen
+
+    # same fixture as the KM test: events at 1 (1/5), 3 (1/3 after the
+    # censor at 2), censor at 4, event at 5 (1/1)
+    rows = [
+        ("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 4, 0), ("g", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    out = {r["t"]: r for r in
+           nelson_aalen(df, "duration", "event", group_col="grp").collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1]["cum_hazard"] == _pt.approx(0.2)
+    assert out[3]["cum_hazard"] == _pt.approx(0.2 + 1 / 3, abs=1e-6)
+    # n == d is finite here (H += 1), not an extinction special case
+    assert out[5]["cum_hazard"] == _pt.approx(0.2 + 1 / 3 + 1.0, abs=1e-6)
+    assert out[5]["na_survival"] == _pt.approx(
+        math.exp(-(0.2 + 1 / 3 + 1.0)), abs=1e-5
+    )
+    # Fleming–Harrington survival dominates the KM step product
+    from pybabe_spark.operators.timeseries import km_survival
+
+    km = {r["t"]: r["survival"] for r in
+          km_survival(df, "duration", "event", group_col="grp").collect()}
+    for t in (1, 3, 5):
+        assert out[t]["na_survival"] >= km[t] - 1e-9
+
+
+def test_nelson_aalen_ties_and_groups(spark):
+    import pytest as _pt
+
+    from pybabe_spark.operators.timeseries import nelson_aalen
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 1), ("a", 2, 0), ("a", 3, 1),
+        ("b", 1, 0), ("b", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    out = {(r["grp"], r["t"]): r for r in
+           nelson_aalen(df, "duration", "event", group_col="grp").collect()}
+    # group a at t=2: risk 3 (tied censor at risk), d=1
+    assert out[("a", 2)]["n_risk"] == 3
+    assert out[("a", 2)]["cum_hazard"] == _pt.approx(0.25 + 1 / 3, abs=1e-6)
+    # group b: censor at 1 leaves risk set -> t=2 risk 1
+    assert out[("b", 2)]["n_risk"] == 1
+    assert out[("b", 2)]["cum_hazard"] == _pt.approx(1.0)
+    # keyless form works too
+    single = nelson_aalen(df.filter("grp = 'b'"), "duration", "event")
+    assert single.count() == 1

@@ -3050,3 +3050,96 @@ def test_simhash_null_and_empty_text_kept(spark):
     }
     # DuckDB NULL text -> NULL votes -> 0-signature via the CASE ELSE 0
     assert got == {k: (v if v is not None else 0) for k, v in oracle.items()}
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a int, id_b int")
+
+
+def test_adamic_adar_hand_checked(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals are the non-edges; each
+    has two common neighbors of degree 2 → AA = 2/ln 2. Add edge
+    (2,5): node 2's degree rises to 3, so (1,3) — whose common
+    neighbors are {2, 4} — scores 1/ln 3 + 1/ln 2, while (2,4) keeps
+    {1, 3} both deg 2 → 2/ln 2, ranking (2,4) first."""
+    import math
+
+    from pybabe_spark.operators.graph import adamic_adar
+
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4), (2, 5)]
+    out = adamic_adar(_edges_df(spark, edges)).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    assert got[(1, 3)]["common_neighbors"] == 2
+    assert abs(got[(1, 3)]["aa"] - (1 / math.log(3) + 1 / math.log(2))) < 1e-9
+    assert got[(2, 4)]["common_neighbors"] == 2
+    assert abs(got[(2, 4)]["aa"] - 2 / math.log(2)) < 1e-9
+    # ranking: 2/ln2 > 1/ln3 + 1/ln2
+    assert out[0]["id_a"] == 2 and out[0]["id_b"] == 4
+
+
+def test_adamic_adar_existing_edges_excluded(spark):
+    from pybabe_spark.operators.graph import adamic_adar
+
+    # triangle: every pair already an edge -> no predictions
+    out = adamic_adar(_edges_df(spark, [(1, 2), (2, 3), (1, 3)])).collect()
+    assert out == []
+
+
+def test_adamic_adar_matches_python_model(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    from pybabe_spark.operators.graph import adamic_adar
+
+    rng = random.Random(11)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randint(1, 25), rng.randint(1, 25)) for _ in range(80)
+        )
+        if a != b
+    }
+    out = adamic_adar(_edges_df(spark, sorted(edges)), top_n=1000).collect()
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                exp[(x, y)] = sum(1 / math.log(len(adj[z])) for z in common)
+    got = {(r["id_a"], r["id_b"]): r["aa"] for r in out}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, k
+
+
+def test_adamic_adar_max_degree_cap(spark):
+    """A hub above the cap stops contributing as a CENTER but still
+    appears as an endpoint."""
+    from pybabe_spark.operators.graph import adamic_adar
+
+    # star: hub 100 connected to 1..6 (deg 6); also edge 1-2
+    edges = [(100, i) for i in range(1, 7)] + [(1, 2)]
+    out = adamic_adar(_edges_df(spark, edges), max_degree=5).collect()
+    # hub excluded as center -> pairs (i,j) get NO common-neighbor
+    # credit from 100; only centers 1 and 2 (deg 2 each) make wedges:
+    # (2,100) via 1, (1,100) via 2 are edges already... wedges from
+    # center 1: neighbors {100, 2} -> pair (2,100) is an edge.
+    # center 2: neighbors {100, 1} -> (1,100) edge. So: empty.
+    assert out == []
+    # with the cap lifted the hub generates all (i<j) pairs
+    out = adamic_adar(_edges_df(spark, edges), max_degree=50).collect()
+    assert len(out) == 14  # C(6,2)=15 minus the (1,2) edge
