@@ -882,6 +882,38 @@ def stress(
             # per-lang rankings over a growing corpus + the rank<=10
             # metric joins: the window sorts dominate, n log n per lang
             "ranking_eval": _ranking_eval,
+            # r10 second-session families --------------------------------
+            # bounded value domain (mod carve) → distinct-value/cell and
+            # rank tables flat; the (value, group) agg + rank join back
+            # must track rows linearly
+            "kruskal_wallis": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["kruskal_wallis"],
+            ).kruskal_wallis(
+                docs.select(
+                    F.col("lang").alias("g"),
+                    (F.col("doc_id") % 97).cast("double").alias("v"),
+                ),
+                "g", "v",
+            ).count(),
+            # doc-id chain + skip edges (replica offsets keep replicas
+            # disjoint): degree ≤ 4 flat, wedge volume ∝ nodes — the
+            # capped-center contract's linear regime
+            "adamic_adar": lambda: __import__(
+                "pybabe_spark.operators.graph",
+                fromlist=["adamic_adar"],
+            ).adamic_adar(
+                docs.select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"),
+                ).unionAll(
+                    docs.select(
+                        F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 2).alias("id_b"),
+                    )
+                ),
+                top_n=100,
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -985,6 +1017,19 @@ def stress(
             prev = {}
         if "lowmem" in prev:
             out["lowmem"] = prev["lowmem"]  # keep the other axis
+        if only is not None:
+            # a targeted run (new families) MERGES into the standing
+            # full-sweep file instead of clobbering the other ~40
+            # families' evidence; the per-family factor lists can
+            # legitimately differ across runs
+            for section in ("timings_sec", "scaling_exponent",
+                            "stage_bytes"):
+                merged = dict(prev.get(section, {}))
+                merged.update(out[section])
+                out[section] = merged
+            out["sizes"] = {**prev.get("sizes", {}),
+                            **{str(k): v for k, v in sizes.items()}}
+            out["factors"] = prev.get("factors", factors)
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(json.dumps(out, separators=(",", ":")))

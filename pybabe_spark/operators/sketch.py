@@ -3324,3 +3324,130 @@ def brown_forsythe_sql(
           ON r.{group_col} = m.g
     """
     return anova_f_sql(dev, group_col, "z")
+
+
+def mcnemar(
+    df: DataFrame,
+    gold_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — the question
+    :func:`cohens_kappa`/``classification_report`` readouts can't
+    answer: is model A actually better than model B **on the same
+    examples**, or do their accuracies differ only through the cases
+    they both get right/wrong? Only the DISCORDANT pairs carry
+    information:
+
+        χ² = max(|b − c| − 1, 0)² / (b + c)      (continuity-corrected)
+
+    with ``b`` = A-correct/B-wrong, ``c`` = A-wrong/B-correct, against
+    χ²(1) (e.g. 3.841459 at α=0.05). ONE conditional hash agg
+    (map-side combinable), then a fixed-shape finish. The decision is
+    an EXACT integer comparison (``10⁶·g² > crit_ppm·(b+c)`` — the
+    mann_whitney discipline), no IEEE anywhere in it; the reported χ²
+    takes one DECIMAL(18,6) rounding. Rows with a NULL gold or NULL
+    prediction on either side are excluded (a missing prediction is
+    not a wrong one — filter upstream to score abstentions as errors).
+    χ² is NULL and significant false when b + c = 0.
+
+    Output: ``(n, both_correct, both_wrong, a_only_correct,
+    b_only_correct, mcnemar_chi2[, significant])``.
+    """
+    ok = (
+        F.col(gold_col).isNotNull()
+        & F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+    )
+    a_ok = F.col(pred_a_col) == F.col(gold_col)
+    b_ok = F.col(pred_b_col) == F.col(gold_col)
+    agg = df.filter(ok).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum((a_ok & b_ok).cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("both_correct"),
+        F.coalesce(F.sum((~a_ok & ~b_ok).cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("both_wrong"),
+        F.coalesce(F.sum((a_ok & ~b_ok).cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("a_only_correct"),
+        F.coalesce(F.sum((~a_ok & b_ok).cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("b_only_correct"),
+    )
+    b = F.col("a_only_correct")
+    c = F.col("b_only_correct")
+    g = F.greatest(F.abs(b - c) - 1, F.lit(0)).cast("decimal(38,0)")
+    chi2 = (
+        (g * g).cast("double") / (b + c).cast("double")
+    ).cast("decimal(18,6)").cast("double")
+    cols = [
+        F.col("n"),
+        F.col("both_correct"),
+        F.col("both_wrong"),
+        b,
+        c,
+        F.when(b + c > 0, chi2).alias("mcnemar_chi2"),
+    ]
+    if chi2_crit is not None:
+        crit_ppm = int(round(float(chi2_crit) * 1_000_000))
+        cols.append(
+            F.when(
+                b + c > 0,
+                F.lit(1_000_000).cast("decimal(38,0)") * g * g
+                > F.lit(crit_ppm).cast("decimal(38,0)") * (b + c),
+            )
+            .otherwise(F.lit(False))
+            .alias("significant")
+        )
+    return agg.select(*cols)
+
+
+def mcnemar_sql(
+    select: str,
+    gold_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`mcnemar` — same conditional counts,
+    same exact integer decision, same once-rounded χ²."""
+    ok = (
+        f"({gold_col} IS NOT NULL AND {pred_a_col} IS NOT NULL"
+        f" AND {pred_b_col} IS NOT NULL)"
+    )
+    a = f"({pred_a_col} = {gold_col})"
+    bb = f"({pred_b_col} = {gold_col})"
+    sig = ""
+    if chi2_crit is not None:
+        crit_ppm = int(round(float(chi2_crit) * 1_000_000))
+        sig = f""",
+           CASE WHEN b + c > 0 THEN
+             1000000::HUGEINT * GREATEST(ABS(b - c) - 1, 0)
+               * GREATEST(ABS(b - c) - 1, 0)
+             > {crit_ppm}::HUGEINT * (b + c)
+           ELSE FALSE END AS significant"""
+    return f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               COALESCE(CAST(SUM(CASE WHEN {a} AND {bb} THEN 1 END)
+                        AS BIGINT), 0) AS bc,
+               COALESCE(CAST(SUM(CASE WHEN NOT {a} AND NOT {bb} THEN 1 END)
+                        AS BIGINT), 0) AS bw,
+               COALESCE(CAST(SUM(CASE WHEN {a} AND NOT {bb} THEN 1 END)
+                        AS BIGINT), 0) AS b,
+               COALESCE(CAST(SUM(CASE WHEN NOT {a} AND {bb} THEN 1 END)
+                        AS BIGINT), 0) AS c
+        FROM ({select}) WHERE {ok}
+    )
+    SELECT n, bc AS both_correct, bw AS both_wrong,
+           b AS a_only_correct, c AS b_only_correct,
+           CASE WHEN b + c > 0 THEN CAST(CAST(
+             CAST(GREATEST(ABS(b - c) - 1, 0)::HUGEINT
+                  * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+             / CAST(b + c AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) END AS mcnemar_chi2{sig}
+    FROM agg
+    """

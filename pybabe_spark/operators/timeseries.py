@@ -2676,3 +2676,102 @@ def nelson_aalen_sql(
            ROUND(exp(-CAST(h AS DOUBLE)), 6) AS na_survival
     FROM curve WHERE n_events > 0
     """
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic per key —
+    the quick residual-independence check (DW ≈ 2 independent, → 0
+    positive autocorrelation, → 4 negative) next to :func:`acf`'s full
+    lag profile and :func:`ljung_box`'s joint test. Applied to a raw
+    series it mean-centers implicitly: successive differences cancel
+    the mean, so
+
+        DW = n·Σ(xₜ−xₜ₋₁)² / (n·Q − S²)
+
+    is an EXACT integer rational (cents lift; Σdiff², Q = Σx², S = Σx
+    all DECIMAL(38,0)) emitted as integral ppm plus the once-rounded
+    double — no IEEE until the final division, the :func:`acf`
+    convention. NULL values are excluded before ordering; keys with
+    n < 2 or zero variance report NULL.
+
+    Scale shape: one key-partitioned lag window + one hash agg — the
+    acf plan with a single lag.
+    """
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), F.col(ts_col), x.alias("__x")
+    )
+    rows = base.select(
+        key_col, "__x", F.lag("__x", 1).over(w).alias("__p")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = F.col("__x") - F.col("__p")
+    agg = rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("__x"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(d(F.col("__x")) * F.col("__x"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+        F.coalesce(F.sum(d(diff) * diff), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__num"),
+    )
+    den = d(
+        F.col("n") * F.col("__q") - F.col("__s") * F.col("__s")
+    )
+    ppm = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * n * __num)"
+        " div (CAST(n AS DECIMAL(38,0)) * __q - __s * __s) AS BIGINT)"
+    )
+    ok = (F.col("n") >= 2) & (den > 0)
+    return agg.select(
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, ppm).alias("dw_ppm"),
+        F.when(ok, (ppm.cast("double") / 1e6)).alias("dw"),
+    )
+
+
+def durbin_watson_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB oracle of :func:`durbin_watson` — same cents lift, lag
+    window, HUGEINT moments, and floored integral ppm."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS k, {ts_col} AS ts, {x} AS x
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    rows_l AS (
+        SELECT k, x,
+               LAG(x, 1) OVER (PARTITION BY k ORDER BY ts) AS p
+        FROM base
+    ),
+    agg AS (
+        SELECT k, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q,
+               COALESCE(SUM(CAST(x - p AS HUGEINT) * (x - p)), 0) AS num
+        FROM rows_l GROUP BY k
+    )
+    SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND n::HUGEINT * q - s * s > 0 THEN
+             CAST((1000000::HUGEINT * n * num)
+                  // (n::HUGEINT * q - s * s) AS BIGINT)
+           END AS dw_ppm,
+           CASE WHEN n >= 2 AND n::HUGEINT * q - s * s > 0 THEN
+             CAST(CAST((1000000::HUGEINT * n * num)
+                  // (n::HUGEINT * q - s * s) AS BIGINT) AS DOUBLE) / 1e6
+           END AS dw
+    FROM agg
+    """

@@ -1121,6 +1121,21 @@ class Babe:
 
         return self._wrap(acf(self.df, key_col, ts_col, value_col, lags))
 
+    def mcnemar(self, gold_col, pred_a_col, pred_b_col,
+                chi2_crit=None) -> "Babe":
+        from pybabe_spark.operators.sketch import mcnemar
+
+        return self._wrap(
+            mcnemar(self.df, gold_col, pred_a_col, pred_b_col, chi2_crit)
+        )
+
+    def durbin_watson(self, key_col, ts_col, value_col) -> "Babe":
+        from pybabe_spark.operators.timeseries import durbin_watson
+
+        return self._wrap(
+            durbin_watson(self.df, key_col, ts_col, value_col)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

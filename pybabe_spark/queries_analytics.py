@@ -2002,6 +2002,61 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(docs, "gold", "pred")
 
 
+def _mcnemar_sql():
+    from pybabe_spark.operators.sketch import mcnemar_sql
+
+    frame = """(SELECT lang AS gold,
+                       CASE WHEN doc_id % 10 < 7 THEN lang
+                            ELSE 'en' END AS pred_a,
+                       CASE WHEN doc_id % 7 < 5 THEN lang
+                            ELSE 'de' END AS pred_b
+                FROM documents)"""
+    return mcnemar_sql(frame, "gold", "pred_a", "pred_b",
+                       chi2_crit=3.841459)
+
+
+@register("mcnemar_docs", _mcnemar_sql())
+def q_mcnemar(spark, sf_dir):
+    """McNemar paired-classifier test between two deterministic
+    pseudo-predictions of the lang label (operators/sketch.py::
+    mcnemar): only the discordant cells carry information —
+    continuity-corrected χ² from one conditional hash agg, the
+    decision an exact 10⁶-scaled integer comparison against χ²(1),
+    no IEEE in it."""
+    from pybabe_spark.operators.sketch import mcnemar
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("doc_id") % 10 < 7, F.col("lang"))
+        .otherwise(F.lit("en"))
+        .alias("pred_a"),
+        F.when(F.col("doc_id") % 7 < 5, F.col("lang"))
+        .otherwise(F.lit("de"))
+        .alias("pred_b"),
+    )
+    return mcnemar(docs, "gold", "pred_a", "pred_b", chi2_crit=3.841459)
+
+
+def _dw_sql():
+    from pybabe_spark.operators.timeseries import durbin_watson_sql
+
+    return durbin_watson_sql("events", "user_id", "ts", "value")
+
+
+@register("durbin_watson_events", _dw_sql())
+def q_durbin_watson(spark, sf_dir):
+    """Per-user Durbin–Watson statistic on the event-value series
+    (operators/timeseries.py::durbin_watson): first-order
+    autocorrelation as an exact integer rational — successive
+    differences cancel the mean, so DW = n·Σdiff²/(nQ−S²) over
+    DECIMAL(38,0) cents moments, floored integral ppm — the acf plan
+    with a single lag."""
+    from pybabe_spark.operators.timeseries import durbin_watson
+
+    ev = read_table(spark, sf_dir, "events")
+    return durbin_watson(ev, "user_id", "ts", "value")
+
+
 def _benford_sql():
     from pybabe_spark.operators.validate import benford_audit_sql
 

@@ -1038,3 +1038,63 @@ def test_bf_equal_spread_f_small(spark):
     ]
     r = brown_forsythe(_arms(spark, rows), "arm", "v").collect()[0]
     assert r["f_stat"] is not None and r["f_stat"] < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# McNemar
+# ---------------------------------------------------------------------------
+
+
+def _preds(spark, rows):
+    return spark.createDataFrame(rows, "gold string, pa string, pb string")
+
+
+def test_mcnemar_hand_checked(spark):
+    """Textbook cells: b=10 (A only), c=2 (B only) →
+    χ² = (|10−2|−1)²/12 = 49/12."""
+    from pybabe_spark.operators.sketch import mcnemar
+
+    rows = (
+        [("x", "x", "x")] * 20        # both correct
+        + [("x", "y", "y")] * 5       # both wrong
+        + [("x", "x", "y")] * 10      # A only
+        + [("x", "y", "x")] * 2       # B only
+    )
+    r = mcnemar(_preds(spark, rows), "gold", "pa", "pb",
+                chi2_crit=3.841459).collect()[0]
+    assert r["n"] == 37
+    assert r["both_correct"] == 20 and r["both_wrong"] == 5
+    assert r["a_only_correct"] == 10 and r["b_only_correct"] == 2
+    assert abs(r["mcnemar_chi2"] - 49 / 12) < 1e-6
+    assert r["significant"] is True  # 49/12 = 4.083 > 3.841
+
+
+def test_mcnemar_symmetric_discordance_not_significant(spark):
+    from pybabe_spark.operators.sketch import mcnemar
+
+    rows = [("x", "x", "y")] * 6 + [("x", "y", "x")] * 6
+    r = mcnemar(_preds(spark, rows), "gold", "pa", "pb",
+                chi2_crit=3.841459).collect()[0]
+    # |b-c|=0 -> corrected numerator clamps to 0
+    assert r["mcnemar_chi2"] == 0.0 and r["significant"] is False
+
+
+def test_mcnemar_degenerate(spark):
+    from pybabe_spark.operators.sketch import mcnemar
+
+    # no discordant pairs -> chi2 NULL, not significant
+    rows = [("x", "x", "x")] * 4 + [("x", "y", "y")] * 3
+    r = mcnemar(_preds(spark, rows), "gold", "pa", "pb",
+                chi2_crit=3.841459).collect()[0]
+    assert r["mcnemar_chi2"] is None and r["significant"] is False
+
+    # NULLs excluded on any of the three columns
+    rows = [("x", "x", None), (None, "x", "x"), ("x", None, "x"),
+            ("x", "x", "y")]
+    r = mcnemar(_preds(spark, rows), "gold", "pa", "pb").collect()[0]
+    assert r["n"] == 1 and r["a_only_correct"] == 1
+
+    # |b-c|=1: continuity correction clamps to 0 exactly
+    rows = [("x", "x", "y")] * 3 + [("x", "y", "x")] * 2
+    r = mcnemar(_preds(spark, rows), "gold", "pa", "pb").collect()[0]
+    assert r["mcnemar_chi2"] == 0.0

@@ -1111,3 +1111,59 @@ def test_ljung_box_short_series_null(spark):
     df = spark.createDataFrame(rows, "k int, ts int, v double")
     r = ljung_box(df, "k", "ts", "v", 3).collect()[0]
     assert r["q"] is None
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson
+# ---------------------------------------------------------------------------
+
+
+def test_dw_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.timeseries import durbin_watson
+
+    rng = random.Random(3)
+    rows = [
+        (k, t, round(rng.uniform(-30, 30), 2))
+        for k in (1, 2)
+        for t in range(25)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {r["k"]: r for r in durbin_watson(df, "k", "ts", "v").collect()}
+    for k in (1, 2):
+        xs = [int(round(v * 100)) for kk, _, v in rows if kk == k]
+        n = len(xs)
+        num = sum((xs[i] - xs[i - 1]) ** 2 for i in range(1, n))
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        exp_ppm = (1_000_000 * n * num) // den
+        assert got[k]["dw_ppm"] == exp_ppm
+        assert abs(got[k]["dw"] - exp_ppm / 1e6) < 1e-12
+
+
+def test_dw_known_regimes(spark):
+    from pybabe_spark.operators.timeseries import durbin_watson
+
+    # perfectly alternating series: maximal negative autocorrelation,
+    # DW -> 4 (exact: n*sum(diff^2) with diff=±2c)
+    alt = [(1, t, 1.0 if t % 2 == 0 else -1.0) for t in range(40)]
+    # slow ramp: strong positive autocorrelation, DW near 0
+    ramp = [(2, t, float(t)) for t in range(40)]
+    df = spark.createDataFrame(alt + ramp, "k int, ts int, v double")
+    got = {r["k"]: r["dw"] for r in
+           durbin_watson(df, "k", "ts", "v").collect()}
+    assert got[1] > 3.5
+    assert got[2] < 0.1
+
+
+def test_dw_degenerate(spark):
+    from pybabe_spark.operators.timeseries import durbin_watson
+
+    rows = [(1, 0, 5.0), (2, 0, 1.0), (2, 1, 1.0), (3, 0, 1.0),
+            (3, 1, None), (3, 2, 3.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, v double")
+    got = {r["k"]: r for r in durbin_watson(df, "k", "ts", "v").collect()}
+    assert got[1]["dw"] is None          # n=1
+    assert got[2]["dw"] is None          # zero variance
+    assert got[3]["n"] == 2              # NULL excluded, diff spans gap
+    assert got[3]["dw"] is not None
