@@ -397,3 +397,153 @@ def bm25_search_stored(
     )
     scores = scored.groupBy("id").agg(F.sum("__s").cast("double").alias("score"))
     return scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank–frequency fit over the corpus vocabulary — the
+    one-row corpus-health certificate (natural language tracks slope
+    ≈ −1 on the log-log rank/frequency line; synthetic, boilerplate-
+    heavy, or truncated corpora drift off it): OLS of ``ln(count)`` on
+    ``ln(rank)`` over the ``top_n`` most frequent whitespace terms,
+    returning ``(n_terms, total_tokens, slope, intercept, r2)``.
+
+    Determinism discipline: the top-``top_n`` cut is an
+    ``orderBy(count desc, term)`` + ``limit`` (TakeOrdered — total
+    order, both engines cut identically); ranks come from a
+    ``limit``-proved self-join over that ≤``top_n``-row table (the
+    bucket-prefix idiom — no corpus-sized window); each point's
+    ``ln(rank)`` / ``ln(count)`` is a double both engines round
+    identically, their products round once per point to
+    DECIMAL(38,12), and the five OLS moments are exact decimal sums —
+    order-independent. One fixed-shape IEEE finish rounds slope /
+    intercept / r² once. NULL texts contribute nothing; empty
+    vocabulary yields NULL fits.
+
+    Scale shape: one token hash agg (map-combinable) → TakeOrdered
+    ``top_n`` → bounded self-join (≤ top_n² pairs of a CONSTANT-sized
+    table) → one 1-row agg. Corpus cost is the single count pass.
+    """
+    if top_n < 2:
+        raise ValueError("zipf_fit: top_n must be >= 2")
+    terms = docs.select(
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("__t")
+    ).filter(F.col("__t") != "")
+    counts = terms.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(
+        F.col("__c").desc(), F.col("__t").asc()
+    ).limit(top_n)
+    a, b = top.alias("a"), top.alias("b")
+    ranked = (
+        a.join(
+            b,
+            (F.col("b.__c") > F.col("a.__c"))
+            | (
+                (F.col("b.__c") == F.col("a.__c"))
+                & (F.col("b.__t") < F.col("a.__t"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.__t").alias("__t"), F.col("a.__c").alias("__c"))
+        .agg((F.count(F.col("b.__t")) + 1).alias("__r"))
+    )
+    pt = ranked.select(
+        F.col("__c"),
+        F.expr("ln(CAST(__r AS DOUBLE))").alias("__x"),
+        F.expr("ln(CAST(__c AS DOUBLE))").alias("__y"),
+    )
+    d12 = lambda e: F.expr(e).cast("decimal(38,12)")  # noqa: E731
+    agg = pt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d12("__x")).cast("decimal(38,12)").alias("sx"),
+        F.sum(d12("__y")).cast("decimal(38,12)").alias("sy"),
+        F.sum(d12("__x * __y")).cast("decimal(38,12)").alias("sxy"),
+        F.sum(d12("__x * __x")).cast("decimal(38,12)").alias("sxx"),
+        F.sum(d12("__y * __y")).cast("decimal(38,12)").alias("syy"),
+        F.sum("__c").cast("bigint").alias("total_top"),
+    )
+    tot = terms.agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"))
+    one = attach_scalars(agg, tot)
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return one.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.col("total_tokens"),
+        F.when((F.col("n") >= 2) & (vx > 0.0), out(cov / vx)).alias(
+            "slope"
+        ),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0.0),
+            out((sy - (cov / vx) * sx) / nd),
+        ).alias("intercept"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+            out(cov * cov / (vx * vy)),
+        ).alias("r2"),
+    )
+
+
+def zipf_fit_sql(
+    select: str, top_n: int = 1000, text_col: str = "text"
+) -> str:
+    """DuckDB oracle of :func:`zipf_fit` — same TakeOrdered cut, rank
+    via the window DEFINITION (the engine's bounded self-join must
+    reproduce it), same per-point rounding and finish."""
+    fin = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    vx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vy = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    return f"""
+    WITH toks AS (
+        SELECT t FROM (
+            SELECT unnest(string_split({text_col}, ' ')) AS t
+            FROM ({select})
+        ) WHERE t <> ''
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    top AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {int(top_n)}),
+    ranked AS (
+        SELECT t, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+        FROM top
+    ),
+    pt AS (
+        SELECT c, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+        FROM pt
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           total_tokens,
+           CASE WHEN n >= 2 AND {vx} > 0.0
+           THEN {fin(f"{cov} / {vx}")} END AS slope,
+           CASE WHEN n >= 2 AND {vx} > 0.0
+           THEN {fin(f"(CAST(sy AS DOUBLE) - ({cov} / {vx})"
+                     f" * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")}
+           END AS intercept,
+           CASE WHEN n >= 2 AND {vx} > 0.0 AND {vy} > 0.0
+           THEN {fin(f"{cov} * {cov} / ({vx} * {vy})")} END AS r2
+    FROM agg, tot
+    """

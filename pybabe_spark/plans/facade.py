@@ -577,6 +577,16 @@ class Babe:
 
         return self._wrap(running_totals(self.df, **kwargs))
 
+    def stream_group_heavy_hitters(self, group_col, value_col,
+                                   support=0.01, **kwargs) -> "Babe":
+        from pybabe_spark.streaming.ops import stream_group_heavy_hitters
+
+        return self._wrap(
+            stream_group_heavy_hitters(
+                self.df, group_col, value_col, support, **kwargs
+            )
+        )
+
     # -- join / group / reshape ----------------------------------------------
     def join(self, other: "Babe | DataFrame", key, join_key=None, **kwargs) -> "Babe":
         build = other.df if isinstance(other, Babe) else other
@@ -686,6 +696,11 @@ class Babe:
 
         n = new.df if isinstance(new, Babe) else new
         return self._wrap(population_stability(self.df, n, col, bins=bins))
+
+    def zipf_fit(self, top_n=1000, text_col="text") -> "Babe":
+        from pybabe_spark.operators.tfidf import zipf_fit
+
+        return self._wrap(zipf_fit(self.df, top_n, text_col))
 
     def js_divergence(self, other: "Babe | DataFrame", col) -> "Babe":
         from pybabe_spark.operators.validate import js_divergence

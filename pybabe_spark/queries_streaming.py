@@ -154,3 +154,40 @@ def q_interval_join(spark, sf_dir):
     return interval_join(
         clicks, purchases, key="user_id", left_ts="ts", right_ts="pts"
     ).select("click_id", "purchase_id")
+
+
+def _ghh_stream_sql():
+    from pybabe_spark.operators.sketch import group_heavy_hitters_sql
+
+    frame = """
+        SELECT event_type,
+               CAST(CASE WHEN user_id % 3 = 0 THEN 0
+                         ELSE user_id % 50 END AS VARCHAR) AS val
+        FROM events
+    """
+    inner = group_heavy_hitters_sql(frame, "event_type", "val", 0.05)
+    return (
+        "SELECT CAST(event_type AS VARCHAR) AS \"group\", val AS value, "
+        f"n, group_n FROM ({inner})"
+    )
+
+
+@register("stream_group_hh_events", _ghh_stream_sql())
+def q_stream_group_hh(spark, sf_dir):
+    """Batch arm of the streaming Misra–Gries heavy-hitters twin
+    (streaming/ops.py::stream_group_heavy_hitters): per event type,
+    values above 5% in-group share of a deliberately skewed derived
+    column — exact counts, string-cast twin schema. The REAL stateful
+    stream (applyInPandasWithState, MG state per group) is bounded
+    against this in tests/test_streaming.py."""
+    from pybabe_spark.streaming.ops import stream_group_heavy_hitters
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 50)
+        .cast("string")
+        .alias("val"),
+        "ts",
+    )
+    return stream_group_heavy_hitters(ev, "event_type", "val", 0.05)

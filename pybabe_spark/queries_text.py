@@ -105,6 +105,26 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, k=3)
 
 
+def _zipf_sql():
+    from pybabe_spark.operators.tfidf import zipf_fit_sql
+
+    return zipf_fit_sql("SELECT text FROM documents", top_n=1000)
+
+
+@register("zipf_fit_docs", _zipf_sql())
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank–frequency fit over the corpus vocabulary
+    (operators/tfidf.py::zipf_fit): OLS of ln(count) on ln(rank) over
+    the top-1000 terms — slope ≈ −1 is the natural-language
+    certificate; synthetic/boilerplate corpora drift off it. One token
+    hash agg → TakeOrdered cut → limit-proved bounded rank self-join →
+    per-point-rounded decimal moments → one fixed-shape finish."""
+    from pybabe_spark.operators.tfidf import zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=1000)
+
+
 def _jsd_sql():
     from pybabe_spark.operators.validate import js_divergence_sql
 

@@ -364,6 +364,120 @@ def running_totals(
     )
 
 
+GHH_SCHEMA = (
+    "group string, value string, n bigint, group_n bigint"
+)
+#: the Misra–Gries summary: parallel value/count arrays + rows seen
+_GHH_STATE_SCHEMA = "vals array<string>, counts array<long>, n long"
+
+
+def stream_group_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    support: float = 0.01,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-group heavy hitters over an unbounded stream — the third
+    custom stateful operator (with ``sessionize`` / ``running_totals``)
+    and the streaming twin of :func:`~pybabe_spark.operators.sketch.
+    group_heavy_hitters`.
+
+    - **Streaming**: ``applyInPandasWithState`` keyed by group; the
+      state is a Misra–Gries summary of ⌈1/support⌉ counters (bulk
+      per-batch updates — no Python row loop inside a batch) plus the
+      rows-seen total. Every trigger that touches a group re-emits its
+      current candidates ``(group, value, n, group_n)`` where ``n`` is
+      the MG count — a LOWER bound on the true count, within
+      ``group_n·support`` of it, and never missing a value whose true
+      in-group frequency exceeds ``support`` (the classic MG
+      guarantee). State is O(groups / support), independent of stream
+      length — the property a streaming exact count lacks.
+    - **Batch**: delegates to the exact operator (same schema, string-
+      cast keys), which is what the parity test bounds against.
+    """
+    import math
+
+    if not 1e-4 <= support <= 1.0:
+        raise ValueError(
+            f"stream_group_heavy_hitters: support {support} "
+            "outside [1e-4, 1]"
+        )
+    if not df.isStreaming:
+        from pybabe_spark.operators.sketch import group_heavy_hitters
+
+        out = group_heavy_hitters(df, group_col, value_col, support)
+        return out.select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(value_col).cast("string").alias("value"),
+            "n",
+            "group_n",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = math.ceil(1.0 / support)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            vals, counts, n = state.get
+            cnt = dict(zip(vals, counts))
+        else:
+            cnt, n = {}, 0
+        for pdf in pdfs:
+            col = pdf["__v"].dropna()
+            n += len(col)
+            for v, c in col.value_counts(sort=False).items():
+                if v in cnt or len(cnt) < k:
+                    cnt[v] = cnt.get(v, 0) + int(c)
+                else:
+                    # bulk decrement (the batch helper's discipline)
+                    dec = min(int(c), min(cnt.values()))
+                    for kk in list(cnt):
+                        cnt[kk] -= dec
+                        if cnt[kk] <= 0:
+                            del cnt[kk]
+                    rem = int(c) - dec
+                    if rem > 0 and (v in cnt or len(cnt) < k):
+                        cnt[v] = cnt.get(v, 0) + rem
+        state.update(
+            (list(cnt.keys()), [int(x) for x in cnt.values()], int(n))
+        )
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "group": [key[0]] * len(cnt),
+                    "value": list(cnt.keys()),
+                    "n": [int(x) for x in cnt.values()],
+                    "group_n": [int(n)] * len(cnt),
+                }
+            )
+
+    keyed = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("string").alias("__v"),
+        F.col(ts_col).alias("__ts"),
+    )
+    return (
+        keyed.withWatermark("__ts", watermark)
+        .groupBy(F.col("__g"))
+        .applyInPandasWithState(
+            _update,
+            outputStructType=GHH_SCHEMA,
+            stateStructType=_GHH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _duration_seconds(s: str) -> int:
     from pybabe_spark.functions.time import parse_duration_seconds
 

@@ -914,3 +914,68 @@ def test_strip_boilerplate_lines_literal_separator(spark):
         ).collect()
     }
     assert out2 == {1: "alpha", 2: "beta"}
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (operators/tfidf.py::zipf_fit)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from pybabe_spark.operators.tfidf import zipf_fit
+
+    # a Zipfian-ish corpus: term i appears ~N/i times
+    words = []
+    for i in range(1, 21):
+        words += [f"w{i:02d}"] * (200 // i)
+    docs = spark.createDataFrame(
+        [(" ".join(words[i::5]),) for i in range(5)], "text string"
+    )
+    r = zipf_fit(docs, top_n=50).collect()[0]
+
+    cnt = Counter(words)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    cov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    assert r["n_terms"] == n and r["total_tokens"] == len(words)
+    assert abs(r["slope"] - cov / vx) < 1e-5
+    assert abs(r["r2"] - cov * cov / (vx * vy)) < 1e-5
+    # a 1/i corpus is close to slope -1
+    assert -1.3 < r["slope"] < -0.7
+
+
+def test_zipf_fit_rank_ties_and_cut(spark):
+    """Equal-count terms rank by name; top_n cuts the same way both
+    engines do (count desc, term asc)."""
+    from pybabe_spark.operators.tfidf import zipf_fit
+
+    docs = spark.createDataFrame(
+        [("a a a b b c c d",)], "text string"
+    )
+    r3 = zipf_fit(docs, top_n=3).collect()[0]
+    assert r3["n_terms"] == 3          # a(3), b(2), c(2) — d cut
+    assert r3["total_tokens"] == 8
+
+    r_all = zipf_fit(docs, top_n=10).collect()[0]
+    assert r_all["n_terms"] == 4
+
+
+def test_zipf_fit_degenerate(spark):
+    from pybabe_spark.operators.tfidf import zipf_fit
+
+    # single distinct term: vx = 0 -> NULL fit
+    docs = spark.createDataFrame([("x x x",)], "text string")
+    r = zipf_fit(docs).collect()[0]
+    assert r["n_terms"] == 1 and r["slope"] is None and r["r2"] is None
+
+    # empty / NULL text
+    docs = spark.createDataFrame([(None,), ("",)], "text string")
+    r = zipf_fit(docs).collect()[0]
+    assert r["n_terms"] == 0 and r["total_tokens"] == 0

@@ -628,3 +628,72 @@ def test_stream_dedup_against_within_watermark(spark, tmp_path):
             stream, seen_path, out, str(tmp_path / "x"),
             keys="ck", watermark="10 minutes",
         )
+
+
+def test_stream_group_heavy_hitters_bounds_exact(
+    spark, sf_dir, events_stream_dir
+):
+    """The streaming Misra–Gries state's final emission per group must
+    (a) contain every EXACT heavy hitter (no false negatives), and
+    (b) report counts within group_n·support below the exact count."""
+    from pybabe_spark.streaming.ops import stream_group_heavy_hitters
+
+    from pyspark.sql import functions as F
+
+    # skewed derived value: a third of rows collapse onto "0", the rest
+    # spread over 50 buckets — "0" is the heavy hitter at 5% support
+    skewed = F.when(F.col("user_id") % 3 == 0, F.lit(0)).otherwise(
+        F.col("user_id") % 50
+    ).cast("string")
+
+    support = 0.05
+    batch = read_table(spark, sf_dir, "events").select(
+        "event_type", skewed.alias("val"), "ts"
+    )
+    exact = {
+        (r["group"], r["value"]): (r["n"], r["group_n"])
+        for r in stream_group_heavy_hitters(
+            batch, "event_type", "val", support
+        ).collect()
+    }
+    assert exact, "fixture must produce at least one heavy hitter"
+
+    stream = stream_events(spark, events_stream_dir).select(
+        "event_type", skewed.alias("val"), "ts"
+    )
+    ghh = stream_group_heavy_hitters(stream, "event_type", "val", support)
+    q = run_to_memory(ghh, "ghh_test", output_mode="update")
+    q.awaitTermination(120)
+    got = {
+        (r["group"], r["value"]): (r["n"], r["group_n"])
+        for r in spark.sql("SELECT * FROM ghh_test").collect()
+    }
+    # (a) superset of the exact answer
+    assert set(exact) <= set(got)
+    for key, (n_exact, gn_exact) in exact.items():
+        n_mg, gn_mg = got[key]
+        assert gn_mg == gn_exact          # rows seen per group agree
+        assert n_mg <= n_exact            # MG never overcounts
+        assert n_mg >= n_exact - gn_exact * support - 1  # MG error bound
+
+
+def test_stream_group_heavy_hitters_state_bounded(spark):
+    """A skew-free stream of distinct values keeps the candidate table
+    at the MG capacity, not the distinct count."""
+    import math
+
+    from pybabe_spark.streaming.ops import stream_group_heavy_hitters
+
+    rows = [("g", f"v{i}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v string, ts long").select(
+        "g", "v", F_ts("ts").alias("ts")
+    )
+    out = stream_group_heavy_hitters(df, "g", "v", support=0.02)
+    # batch arm: exact — nothing exceeds 2% of 500 (each value is 1/500)
+    assert out.count() == 0
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp(F.from_unixtime(F.col(col) + 1_700_000_000))
