@@ -2775,3 +2775,94 @@ def durbin_watson_sql(
            END AS dw
     FROM agg
     """
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Restricted mean survival time per group — the scalar summary of
+    :func:`km_survival`'s whole curve: ``RMST(τ) = ∫₀^τ S(t) dt``, the
+    average event-free time over the first ``τ`` duration units
+    (average days-to-churn within the quarter, mean conversion-free
+    time in the first week). Unlike the median survival time it is
+    defined even when the curve never crosses 0.5, and group
+    DIFFERENCES of RMST are the effect size log-rank's p-value lacks.
+
+    Composes the KM machinery: the curve's step integral is
+    ``min(t₁,τ)·1 + Σᵢ S(tᵢ)·(min(tᵢ₊₁,τ) − min(tᵢ,τ))`` over the
+    distinct event times (last step extends to τ). Each step's
+    ``S·Δt`` is ONE double product of the 6dp-rounded survival and
+    exact integer durations, rounded once to DECIMAL(38,6) and
+    decimal-summed (order-independent); the first segment is exact
+    integer arithmetic. Output ``(group, tau, n_steps, rmst)`` in the
+    duration column's own units; empty groups are absent, and a group
+    whose first event lies beyond τ reports rmst = τ.
+
+    Scale shape: km_survival's plan (hash agg to the distinct-duration
+    grain + group-partitioned windows) plus one lead() on the same
+    window and one group-grain agg.
+    """
+    if tau <= 0:
+        raise ValueError(f"rmst: tau {tau} must be positive")
+    g = [group_col] if group_col is not None else []
+    curve = km_survival(df, duration_col, event_col, group_col)
+    w_ord = Window.partitionBy(*g).orderBy(F.col("t").asc())
+    t_cap = F.least(F.col("t").cast("bigint"), F.lit(int(tau)))
+    nxt = F.lead(F.col("t").cast("bigint"), 1).over(w_ord)
+    nxt_cap = F.least(F.coalesce(nxt, F.lit(int(tau))), F.lit(int(tau)))
+    step = (
+        F.col("survival") * (nxt_cap - t_cap).cast("double")
+    ).cast("decimal(38,6)")
+    stepped = curve.select(*g, "t", "survival").withColumn("__s", step)
+    return stepped.groupBy(*g).agg(
+        F.lit(int(tau)).cast("bigint").alias("tau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        (
+            F.least(F.min(F.col("t").cast("bigint")), F.lit(int(tau)))
+            .cast("decimal(38,6)")
+            + F.coalesce(
+                F.sum("__s"), F.lit(0).cast("decimal(38,6)")
+            )
+        )
+        .cast("double")
+        .alias("rmst"),
+    )
+
+
+def rmst_sql(
+    src: str,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`rmst` — nests :func:`km_survival_sql`
+    verbatim (the curve definition cannot drift), same capped lead,
+    per-step rounding, and decimal sum."""
+    inner = km_survival_sql(src, duration_col, event_col, group_col)
+    g = f"{group_col}, " if group_col else ""
+    gp = f"PARTITION BY {group_col}" if group_col else ""
+    t = int(tau)
+    return f"""
+    WITH curve AS ({inner}),
+    stepped AS (
+        SELECT {g}t, survival,
+               CAST(survival *
+                 CAST(LEAST(COALESCE(LEAD(CAST(t AS BIGINT), 1) OVER
+                        ({gp} ORDER BY t), {t}), {t})
+                      - LEAST(CAST(t AS BIGINT), {t}) AS DOUBLE)
+               AS DECIMAL(38,6)) AS s
+        FROM curve
+    )
+    SELECT {g}CAST({t} AS BIGINT) AS tau,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(CAST(LEAST(MIN(CAST(t AS BIGINT)), {t}) AS DECIMAL(38,6))
+                + COALESCE(SUM(s), CAST(0 AS DECIMAL(38,6)))
+                AS DOUBLE) AS rmst
+    FROM stepped
+    {f'GROUP BY {group_col}' if group_col else ''}
+    """

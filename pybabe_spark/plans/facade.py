@@ -776,6 +776,14 @@ class Babe:
             km_survival(self.df, duration_col, event_col, group_col)
         )
 
+    def rmst(self, duration_col, event_col, tau,
+             group_col=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import rmst
+
+        return self._wrap(
+            rmst(self.df, duration_col, event_col, tau, group_col)
+        )
+
     def nelson_aalen(self, duration_col, event_col,
                      group_col=None) -> "Babe":
         from pybabe_spark.operators.timeseries import nelson_aalen

@@ -2438,6 +2438,43 @@ def q_km_survival(spark, sf_dir):
     return km_survival(subjects, "duration", "event", group_col="cohort")
 
 
+_RMST_TAU = 259_200_000_000  # 3 days in microseconds
+
+
+def _rmst_sql() -> str:
+    from pybabe_spark.operators.timeseries import rmst_sql
+
+    subjects = """(
+      SELECT arg_min(event_type, ts) AS cohort,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                  THEN epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END)) - epoch_us(MIN(ts))
+                  ELSE epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+             END AS duration,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  IS NOT NULL AS INT) AS event
+      FROM events GROUP BY user_id
+    )"""
+    return rmst_sql(subjects, "duration", "event", _RMST_TAU,
+                    group_col="cohort")
+
+
+@register("rmst_events", _rmst_sql())
+def q_rmst(spark, sf_dir):
+    """Restricted mean time-to-purchase within the first 3 days per
+    cohort (operators/timeseries.py::rmst): the KM curve's step
+    integral ∫₀^τ S(t)dt — per-step S·Δt rounded once to
+    DECIMAL(38,6) then decimal-summed, first segment exact integer —
+    the effect-size scalar the log-rank p-value lacks. km_survival's
+    plan plus one lead() and one group agg."""
+    from pybabe_spark.operators.timeseries import rmst
+
+    subjects = _km_subjects(spark, sf_dir)
+    return rmst(subjects, "duration", "event", _RMST_TAU,
+                group_col="cohort")
+
+
 def _na_sql() -> str:
     from pybabe_spark.operators.timeseries import nelson_aalen_sql
 

@@ -410,3 +410,46 @@ def test_nelson_aalen_ties_and_groups(spark):
     # keyless form works too
     single = nelson_aalen(df.filter("grp = 'b'"), "duration", "event")
     assert single.count() == 1
+
+
+def test_rmst_textbook(spark):
+    import pytest as _pt
+
+    from pybabe_spark.operators.timeseries import rmst
+
+    # KM fixture: S = 0.8 on [1,3), 0.5333 on [3,5), 0 after 5
+    rows = [
+        ("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 4, 0), ("g", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    # tau = 4: 1*1 + 0.8*(3-1) + 0.533333*(4-3) = 3.133333
+    r = rmst(df, "duration", "event", 4, group_col="grp").collect()[0]
+    assert r["rmst"] == _pt.approx(1 + 0.8 * 2 + 0.533333, abs=1e-5)
+    # tau beyond the last event: the S=0 tail adds nothing
+    r = rmst(df, "duration", "event", 100, group_col="grp").collect()[0]
+    assert r["rmst"] == _pt.approx(
+        1 + 0.8 * 2 + 0.533333 * 2 + 0.0 * 95, abs=1e-5
+    )
+    # tau before the first event: rmst = tau exactly
+    r = rmst(df, "duration", "event", 1, group_col="grp").collect()[0]
+    assert r["rmst"] == _pt.approx(1.0)
+
+
+def test_rmst_no_events_and_groups(spark):
+    import pytest as _pt
+
+    from pybabe_spark.operators.timeseries import rmst
+
+    rows = [("a", 1, 1), ("a", 10, 1), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    got = {r["grp"]: r for r in
+           rmst(df, "duration", "event", 6, group_col="grp").collect()}
+    # a: S=0.5 on [1,6) capped -> 1 + 0.5*5 = 3.5 ; b: 2 + 0*4 = 2
+    assert got["a"]["rmst"] == _pt.approx(3.5)
+    assert got["b"]["rmst"] == _pt.approx(2.0)
+    assert got["a"]["n_steps"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rmst(df, "duration", "event", 0)
