@@ -3451,3 +3451,262 @@ def mcnemar_sql(
              AS DECIMAL(18,6)) AS DOUBLE) END AS mcnemar_chi2{sig}
     FROM agg
     """
+
+
+def trend_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    scores: "dict",
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Cochran–Armitage trend test — does a binary outcome rate move
+    MONOTONICALLY across ordered groups (conversion by spend bucket,
+    defect rate by severity tier)? :func:`chi2_independence` only says
+    "the groups differ"; this prices the ORDER, scoring each group
+    with the caller's integer ``scores`` map (group value → score —
+    entering both engines as CASE literals).
+
+    With N rows, R successes, ``n_t/n_t2/r_t`` = Σscore / Σscore² /
+    Σscore·success (all exact integers from ONE conditional agg):
+
+        z² = N·(N·r_t − n_t·R)² / (R·(N−R)·(N·n_t2 − n_t²))
+
+    The decision ``z² > z_crit²`` is an EXACT integer comparison
+    (``10⁶``-scaled, the mann_whitney discipline); the reported z²
+    takes one DECIMAL(18,6) rounding, and ``trend_sign`` (+1 rate
+    rises with score, −1 falls, 0 flat) comes from the exact numerator.
+    Rows whose group is not in ``scores`` or with NULL group/outcome
+    are excluded. z² is NULL (and significant false) when R = 0, R = N,
+    or all scored rows share one score.
+
+    Scale shape: ONE map-side-combinable conditional aggregation —
+    no group table, no join, no window.
+    """
+    if not scores:
+        raise ValueError("trend_test: scores must be non-empty")
+    ok = F.col(group_col).isNotNull() & F.col(success_col).isNotNull()
+    t = F.lit(None).cast("long")
+    for val, sc in scores.items():
+        t = F.when(F.col(group_col) == val, F.lit(int(sc))).otherwise(t)
+    s = F.col(success_col).cast("long")
+    base = df.filter(ok).select(t.alias("__t"), s.alias("__s")).filter(
+        F.col("__t").isNotNull()
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("__s"), F.lit(0)).cast("bigint").alias("r"),
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("nt"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__t")), F.lit(0))
+        .cast("bigint")
+        .alias("nt2"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__s")), F.lit(0))
+        .cast("bigint")
+        .alias("rt"),
+    )
+    num = d(F.col("n")) * F.col("rt") - d(F.col("nt")) * F.col("r")
+    den = (
+        d(F.col("r"))
+        * (F.col("n") - F.col("r"))
+        * (d(F.col("n")) * F.col("nt2") - d(F.col("nt")) * F.col("nt"))
+    )
+    defined = (
+        (F.col("r") > 0)
+        & (F.col("r") < F.col("n"))
+        & (d(F.col("n")) * F.col("nt2") - d(F.col("nt")) * F.col("nt") > 0)
+    )
+    z2 = (
+        (d(F.col("n")) * num * num).cast("double") / den.cast("double")
+    ).cast("decimal(18,6)").cast("double")
+    crit2_ppm = int(round(float(z_crit) * float(z_crit) * 1_000_000))
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_success"),
+        F.when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("trend_sign"),
+        F.when(defined, z2).alias("z2"),
+        F.when(
+            defined,
+            F.lit(1_000_000).cast("decimal(38,0)") * d(F.col("n")) * num * num
+            > F.lit(crit2_ppm).cast("decimal(38,0)") * den,
+        )
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+def trend_test_sql(
+    select: str,
+    group_col: str,
+    success_col: str,
+    scores: "dict",
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`trend_test` — same CASE score literals,
+    same exact integer decision, same once-rounded z²."""
+    arms = " ".join(
+        f"WHEN {group_col} = '{val}' THEN {int(sc)}"
+        for val, sc in scores.items()
+    )
+    t = f"(CASE {arms} END)"
+    crit2_ppm = int(round(float(z_crit) * float(z_crit) * 1_000_000))
+    num = "(n::HUGEINT * rt - nt::HUGEINT * r)"
+    den = ("(r::HUGEINT * (n - r)"
+           " * (n::HUGEINT * nt2 - nt::HUGEINT * nt))")
+    defined = (
+        "r > 0 AND r < n AND n::HUGEINT * nt2 - nt::HUGEINT * nt > 0"
+    )
+    return f"""
+    WITH base AS (
+        SELECT {t} AS t, CAST({success_col} AS BIGINT) AS s
+        FROM ({select})
+        WHERE {group_col} IS NOT NULL AND {success_col} IS NOT NULL
+          AND {t} IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               COALESCE(CAST(SUM(s) AS BIGINT), 0) AS r,
+               COALESCE(CAST(SUM(t) AS BIGINT), 0) AS nt,
+               COALESCE(CAST(SUM(t * t) AS BIGINT), 0) AS nt2,
+               COALESCE(CAST(SUM(t * s) AS BIGINT), 0) AS rt
+        FROM base
+    )
+    SELECT n AS n_total, r AS n_success,
+           CAST(CASE WHEN {num} > 0 THEN 1
+                     WHEN {num} < 0 THEN -1 ELSE 0 END AS INT)
+             AS trend_sign,
+           CASE WHEN {defined} THEN CAST(CAST(
+             CAST(n::HUGEINT * {num} * {num} AS DOUBLE)
+             / CAST({den} AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) END AS z2,
+           CASE WHEN {defined} THEN
+             1000000::HUGEINT * n * {num} * {num}
+             > {crit2_ppm}::HUGEINT * {den}
+           ELSE FALSE END AS significant
+    FROM agg
+    """
+
+
+def effect_size(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size between two arms
+    — the magnitude readout :func:`mean_test`'s significant-or-not
+    decision lacks (with big n, trivial differences go significant;
+    d says whether anyone should care: ~0.2 small, ~0.5 medium,
+    ~0.8 large).
+
+        d = (m̄_t − m̄_c) / s_pooled,
+        s²_pooled = ((n_c−1)s²_c + (n_t−1)s²_t) / (n_c + n_t − 2)
+        g = d · (1 − 3/(4(n_c+n_t) − 9))     (small-sample correction)
+
+    Same exact DECIMAL(38,0) cents moments as mean_test from ONE
+    conditional agg; the finish is a single fixed-shape IEEE
+    expression (sqrt is IEEE-correctly-rounded, so both engines agree
+    bit-for-bit) with one DECIMAL(18,6) rounding per output. NULL
+    when either arm has n < 2 or the pooled variance is 0.
+
+    Output: ``(n_control, n_treatment, diff, cohens_d, hedges_g)``.
+    """
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_c = (F.col(variant_col) == control) & F.col(value_col).isNotNull()
+    is_t = (F.col(variant_col) == treatment) & F.col(value_col).isNotNull()
+    agg = df.agg(
+        F.sum(is_c.cast("int")).cast("bigint").alias("n_c"),
+        F.coalesce(F.sum(F.when(is_c, d(x))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("s_c"),
+        F.coalesce(F.sum(F.when(is_c, d(x) * x)), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("q_c"),
+        F.sum(is_t.cast("int")).cast("bigint").alias("n_t"),
+        F.coalesce(F.sum(F.when(is_t, d(x))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("s_t"),
+        F.coalesce(F.sum(F.when(is_t, d(x) * x)), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("q_t"),
+    )
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    sc = F.col("s_c").cast("double")
+    st = F.col("s_t").cast("double")
+    qc = F.col("q_c").cast("double")
+    qt = F.col("q_t").cast("double")
+    # (n-1)*s^2 = (n*q - s*s)/n  — sums of squared deviations
+    ss_c = (nc * qc - sc * sc) / nc
+    ss_t = (nt * qt - st * st) / nt
+    sp2 = (ss_c + ss_t) / (nc + nt - 2.0)
+    diff = (st / nt - sc / nc) / 100.0
+    dd = (st / nt - sc / nc) / F.sqrt(sp2)
+    g = dd * (1.0 - 3.0 / (4.0 * (nc + nt) - 9.0))
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okn = (F.col("n_c") > 1) & (F.col("n_t") > 1)
+    return agg.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.when(
+            (F.col("n_c") > 0) & (F.col("n_t") > 0), out(diff)
+        ).alias("diff"),
+        F.when(okn & (sp2 > 0.0), out(dd)).alias("cohens_d"),
+        F.when(okn & (sp2 > 0.0), out(g)).alias("hedges_g"),
+    )
+
+
+def effect_size_sql(
+    select: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> str:
+    """DuckDB oracle of :func:`effect_size` — same HUGEINT moments,
+    same fixed-shape pooled-variance finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    c = f"({variant_col} = '{control}' AND {value_col} IS NOT NULL)"
+    t = f"({variant_col} = '{treatment}' AND {value_col} IS NOT NULL)"
+    nc = "CAST(n_c AS DOUBLE)"
+    nt = "CAST(n_t AS DOUBLE)"
+    sc = "CAST(s_c AS DOUBLE)"
+    st = "CAST(s_t AS DOUBLE)"
+    qc = "CAST(q_c AS DOUBLE)"
+    qt = "CAST(q_t AS DOUBLE)"
+    ssc = f"(({nc} * {qc} - {sc} * {sc}) / {nc})"
+    sst = f"(({nt} * {qt} - {st} * {st}) / {nt})"
+    sp2 = f"(({ssc} + {sst}) / ({nc} + {nt} - 2.0))"
+    dd = f"(({st} / {nt} - {sc} / {nc}) / sqrt({sp2}))"
+    fin = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH agg AS (
+        SELECT CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               COALESCE(SUM(CASE WHEN {c} THEN CAST({x} AS HUGEINT) END),
+                        0) AS s_c,
+               COALESCE(SUM(CASE WHEN {c}
+                        THEN CAST({x} AS HUGEINT) * {x} END), 0) AS q_c,
+               CAST(SUM(CASE WHEN {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               COALESCE(SUM(CASE WHEN {t} THEN CAST({x} AS HUGEINT) END),
+                        0) AS s_t,
+               COALESCE(SUM(CASE WHEN {t}
+                        THEN CAST({x} AS HUGEINT) * {x} END), 0) AS q_t
+        FROM ({select})
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           CASE WHEN n_c > 0 AND n_t > 0 THEN
+             {fin(f"({st} / {nt} - {sc} / {nc}) / 100.0")}
+           END AS diff,
+           CASE WHEN n_c > 1 AND n_t > 1 AND {sp2} > 0.0 THEN
+             {fin(dd)} END AS cohens_d,
+           CASE WHEN n_c > 1 AND n_t > 1 AND {sp2} > 0.0 THEN
+             {fin(f"{dd} * (1.0 - 3.0 / (4.0 * ({nc} + {nt}) - 9.0))")}
+           END AS hedges_g
+    FROM agg
+    """

@@ -947,6 +947,23 @@ class Babe:
 
         return self._wrap(anova_f(self.df, group_col, value_col))
 
+    def trend_test(self, group_col, success_col, scores,
+                   z_crit=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import trend_test
+
+        return self._wrap(
+            trend_test(self.df, group_col, success_col, scores, z_crit)
+        )
+
+    def effect_size(self, variant_col, value_col, control,
+                    treatment) -> "Babe":
+        from pybabe_spark.operators.sketch import effect_size
+
+        return self._wrap(
+            effect_size(self.df, variant_col, value_col, control,
+                        treatment)
+        )
+
     def brown_forsythe(self, group_col, value_col) -> "Babe":
         from pybabe_spark.operators.sketch import brown_forsythe
 

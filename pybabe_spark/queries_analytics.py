@@ -3444,6 +3444,72 @@ def q_kruskal(spark, sf_dir):
     )
 
 
+_TREND_SCORES = {
+    "1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4,
+    "5-LOW": 5,
+}
+
+
+def _trend_sql():
+    from pybabe_spark.operators.sketch import trend_test_sql
+
+    return trend_test_sql(
+        "SELECT o_orderpriority, CAST(o_orderstatus = 'F' AS INT) AS done"
+        " FROM orders",
+        "o_orderpriority",
+        "done",
+        _TREND_SCORES,
+    )
+
+
+@register("trend_test_orders", _trend_sql())
+def q_trend_test(spark, sf_dir):
+    """Cochran–Armitage trend test (operators/sketch.py::trend_test):
+    does the fulfilled-rate move monotonically across the five ordered
+    priorities — the ORDER question chi2_orders_priority_status can't
+    price. Integer score literals shared with the oracle, one
+    conditional agg, exact 10⁶-scaled integer decision."""
+    from pybabe_spark.operators.sketch import trend_test
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    return trend_test(orders, "o_orderpriority", "done", _TREND_SCORES)
+
+
+def _effect_size_sql():
+    from pybabe_spark.operators.sketch import effect_size_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm, value
+        FROM events WHERE event_type = 'purchase'
+    """
+    return effect_size_sql(frame, "arm", "value", "control", "treatment")
+
+
+@register("effect_size_events", _effect_size_sql())
+def q_effect_size(spark, sf_dir):
+    """Cohen's d / Hedges' g on the mean_test_events frame
+    (operators/sketch.py::effect_size): the magnitude readout the
+    significance decision lacks — pooled-variance standardization from
+    the same exact DECIMAL(38,0) cents moments, one fixed-shape IEEE
+    finish (sqrt is correctly rounded on both engines)."""
+    from pybabe_spark.operators.sketch import effect_size
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    frame = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return effect_size(frame, "arm", "value", "control", "treatment")
+
+
 def _overlap_sql():
     from pybabe_spark.operators.join import overlap_join_sql
     from pybabe_spark.operators.timeseries import sessionize_sql

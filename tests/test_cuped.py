@@ -1098,3 +1098,153 @@ def test_mcnemar_degenerate(spark):
     rows = [("x", "x", "y")] * 3 + [("x", "y", "x")] * 2
     r = mcnemar(_preds(spark, rows), "gold", "pa", "pb").collect()[0]
     assert r["mcnemar_chi2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test
+# ---------------------------------------------------------------------------
+
+
+def _dose(spark, rows):
+    return spark.createDataFrame(rows, "g string, s int")
+
+
+def test_trend_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import trend_test
+
+    rng = random.Random(13)
+    scores = {"low": 1, "mid": 2, "high": 3}
+    # conversion rises with the bucket
+    rows = []
+    for g, p in (("low", 0.2), ("mid", 0.4), ("high", 0.7)):
+        rows += [(g, 1 if rng.random() < p else 0) for _ in range(60)]
+    r = trend_test(_dose(spark, rows), "g", "s", scores).collect()[0]
+
+    n = len(rows)
+    rr = sum(s for _, s in rows)
+    nt = sum(scores[g] for g, _ in rows)
+    nt2 = sum(scores[g] ** 2 for g, _ in rows)
+    rt = sum(scores[g] * s for g, s in rows)
+    num = n * rt - nt * rr
+    den = rr * (n - rr) * (n * nt2 - nt * nt)
+    z2 = n * num * num / den
+    assert abs(r["z2"] - z2) < 1e-4
+    assert r["trend_sign"] == 1 and r["significant"] is True
+    assert r["n_total"] == n and r["n_success"] == rr
+
+
+def test_trend_direction_and_flat(spark):
+    from pybabe_spark.operators.sketch import trend_test
+
+    scores = {"a": 1, "b": 2, "c": 3}
+    falling = (
+        [("a", 1)] * 30 + [("a", 0)] * 10
+        + [("b", 1)] * 20 + [("b", 0)] * 20
+        + [("c", 1)] * 8 + [("c", 0)] * 32
+    )
+    r = trend_test(_dose(spark, falling), "g", "s", scores).collect()[0]
+    assert r["trend_sign"] == -1 and r["significant"] is True
+
+    flat = [(g, i % 2) for g in ("a", "b", "c") for i in range(40)]
+    r = trend_test(_dose(spark, flat), "g", "s", scores).collect()[0]
+    assert r["trend_sign"] == 0 and r["significant"] is False
+
+
+def test_trend_chi2_blind_case(spark):
+    """A V-shaped rate (high at the ends, low in the middle) is strong
+    chi2 association but ~zero TREND — the distinction this test
+    prices."""
+    from pybabe_spark.operators.sketch import chi2_independence, trend_test
+
+    scores = {"a": 1, "b": 2, "c": 3}
+    rows = (
+        [("a", 1)] * 35 + [("a", 0)] * 5
+        + [("b", 1)] * 5 + [("b", 0)] * 35
+        + [("c", 1)] * 35 + [("c", 0)] * 5
+    )
+    df = _dose(spark, rows)
+    tr = trend_test(df, "g", "s", scores).collect()[0]
+    assert tr["significant"] is False  # no monotone trend
+    chi = chi2_independence(df, "g", "s", crit=5.991465).collect()[0]
+    assert chi["significant"] is True  # but strong association
+
+
+def test_trend_degenerate(spark):
+    from pybabe_spark.operators.sketch import trend_test
+
+    scores = {"a": 1, "b": 2}
+    # all successes -> variance 0 -> NULL
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5
+    r = trend_test(_dose(spark, rows), "g", "s", scores).collect()[0]
+    assert r["z2"] is None and r["significant"] is False
+
+    # unscored groups and NULLs excluded
+    rows = [("a", 1), ("zzz", 1), ("b", 0), (None, 1), ("a", None)]
+    r = trend_test(_dose(spark, rows), "g", "s", scores).collect()[0]
+    assert r["n_total"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        trend_test(_dose(spark, rows), "g", "s", {})
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g
+# ---------------------------------------------------------------------------
+
+
+def test_effect_size_matches_python_model(spark):
+    import math
+    import random
+
+    from pybabe_spark.operators.sketch import effect_size
+
+    rng = random.Random(29)
+    rows = [("control", round(rng.uniform(0, 50), 2)) for _ in range(80)] + [
+        ("treatment", round(rng.uniform(10, 70), 2)) for _ in range(70)
+    ]
+    r = effect_size(_arms(spark, rows), "arm", "v", "control",
+                    "treatment").collect()[0]
+
+    a = [int(round(v * 100)) for g, v in rows if g == "control"]
+    b = [int(round(v * 100)) for g, v in rows if g == "treatment"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    ssa = sum(x * x for x in a) - sum(a) ** 2 / na
+    ssb = sum(x * x for x in b) - sum(b) ** 2 / nb
+    sp = math.sqrt((ssa + ssb) / (na + nb - 2))
+    d_exp = (mb - ma) / sp
+    g_exp = d_exp * (1 - 3 / (4 * (na + nb) - 9))
+    assert abs(r["cohens_d"] - d_exp) < 1e-5
+    assert abs(r["hedges_g"] - g_exp) < 1e-5
+    assert abs(r["diff"] - (mb - ma) / 100) < 1e-6
+
+
+def test_effect_size_scale_invariant_and_degenerate(spark):
+    from pybabe_spark.operators.sketch import effect_size
+
+    # same shape at 10x the scale -> identical d (standardized)
+    base = [("control", float(i % 5)) for i in range(40)] + [
+        ("treatment", 2.0 + i % 5) for i in range(40)
+    ]
+    big = [(g, v * 10) for g, v in base]
+    d1 = effect_size(_arms(spark, base), "arm", "v", "control",
+                     "treatment").collect()[0]["cohens_d"]
+    d2 = effect_size(_arms(spark, big), "arm", "v", "control",
+                     "treatment").collect()[0]["cohens_d"]
+    assert abs(d1 - d2) < 1e-6
+
+    # n=1 arm -> NULL d
+    rows = [("control", 1.0), ("treatment", 2.0), ("treatment", 3.0)]
+    r = effect_size(_arms(spark, rows), "arm", "v", "control",
+                    "treatment").collect()[0]
+    assert r["cohens_d"] is None and r["diff"] is not None
+
+    # zero pooled variance -> NULL
+    rows = [("control", 1.0)] * 3 + [("treatment", 2.0)] * 3
+    r = effect_size(_arms(spark, rows), "arm", "v", "control",
+                    "treatment").collect()[0]
+    assert r["cohens_d"] is None
