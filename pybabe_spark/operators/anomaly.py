@@ -443,3 +443,128 @@ def cusum_alarms_sql(
            arg_min(d, t) FILTER (d IS NOT NULL) AS alarm_dir
     FROM alarmed GROUP BY k
     """
+
+
+_SEASONS = ("hour_of_day", "day_of_week", "hour_of_week")
+
+
+def _season_bucket(ts_col: str, season: str) -> "F.Column":
+    # Sunday-based day index (Spark dayofweek is 1..7 Sun-first;
+    # DuckDB dayofweek is 0..6 Sun-first — the -1 aligns them)
+    ts = F.col(ts_col)
+    if season == "hour_of_day":
+        return F.hour(ts).cast("int")
+    if season == "day_of_week":
+        return (F.dayofweek(ts) - 1).cast("int")
+    return ((F.dayofweek(ts) - 1) * 24 + F.hour(ts)).cast("int")
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    season: str = "hour_of_week",
+) -> DataFrame:
+    """Seasonality-aware outliers — the flag :func:`zscore_anomalies`
+    gets WRONG on periodic series: Monday 9am traffic is not an
+    anomaly just because the weekly mean says so, and a quiet Sunday
+    spike hides inside a global std. The baseline here is the
+    (key, season-bucket) cell — ``hour_of_day`` (0-23),
+    ``day_of_week`` (0-6, Sunday-first on both engines), or
+    ``hour_of_week`` (0-167) — so each row is judged against its own
+    recurring slot.
+
+    Same exactness discipline as zscore_anomalies: per-cell decimal
+    sums → one fixed-shape double comparison
+    ``(n·x − S)² > t²·(nQ − S²)``; zero-variance or n<2 cells flag
+    nothing; NULL values are ignored and never flagged. Output:
+    flagged rows ``(key, ts, bucket, value, mean, std)``.
+
+    Scale shape: one hash agg to the (key, bucket) grain (≤ 168 cells
+    per key) + one equi-join back — no window, no global pass.
+    """
+    if season not in _SEASONS:
+        raise ValueError(
+            f"seasonal_zscore: season {season!r} not in {_SEASONS}"
+        )
+    v = F.col(value_col)
+    vd = v.cast("decimal(18,6)")
+    vq = (vd * vd).cast("decimal(38,12)")
+    b = _season_bucket(ts_col, season)
+    tagged = df.withColumn("__b", b)
+    stats = (
+        tagged.filter(v.isNotNull())
+        .groupBy(key_col, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(vd).cast("double").alias("__s"),
+            F.sum(vq).cast("double").alias("__q"),
+        )
+    )
+    j = tagged.join(stats, [key_col, "__b"])
+    n = F.col("__n").cast("double")
+    s = F.col("__s")
+    q = F.col("__q")
+    x = v.cast("double")
+    lhs = (n * x - s) * (n * x - s)
+    rhs = (float(threshold) * float(threshold)) * (n * q - s * s)
+    var_pos = (n * q - s * s) > 0.0
+    cond = v.isNotNull() & var_pos & (lhs > rhs) & (F.col("__n") >= 2)
+    return j.filter(cond).select(
+        key_col,
+        ts_col,
+        F.col("__b").alias("bucket"),
+        v.alias(value_col),
+        _round6(s / n).alias("mean"),
+        _round6(F.sqrt((n * q - s * s)) / n).alias("std"),
+    )
+
+
+def seasonal_zscore_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    season: str = "hour_of_week",
+) -> str:
+    """DuckDB oracle of :func:`seasonal_zscore` — same Sunday-aligned
+    bucket arithmetic, decimal sums, and scalar comparison."""
+    t2 = repr(float(threshold) * float(threshold))
+    vd = f"CAST({value_col} AS DECIMAL(18,6))"
+    vq = f"CAST({vd} * {vd} AS DECIMAL(38,12))"
+    ts = f"CAST({ts_col} AS TIMESTAMP)"
+    if season == "hour_of_day":
+        b = f"CAST(hour({ts}) AS INT)"
+    elif season == "day_of_week":
+        b = f"CAST(dayofweek({ts}) AS INT)"
+    else:
+        b = f"CAST(dayofweek({ts}) * 24 + hour({ts}) AS INT)"
+    return f"""
+    WITH tagged AS (SELECT *, {b} AS __b FROM {table}),
+    stats AS (
+        SELECT {key_col}, __b,
+               COUNT(*) AS __n,
+               CAST(SUM({vd}) AS DOUBLE) AS __s,
+               CAST(SUM({vq}) AS DOUBLE) AS __q
+        FROM tagged WHERE {value_col} IS NOT NULL
+        GROUP BY {key_col}, __b
+    ),
+    j AS (
+        SELECT t.*, s.__n, s.__s, s.__q
+        FROM tagged t JOIN stats s USING ({key_col}, __b)
+    )
+    SELECT {key_col}, {ts_col}, __b AS bucket, {value_col},
+           ROUND(__s / CAST(__n AS DOUBLE), 6) AS mean,
+           ROUND(sqrt(CAST(__n AS DOUBLE) * __q - __s * __s)
+                 / CAST(__n AS DOUBLE), 6) AS std
+    FROM j
+    WHERE {value_col} IS NOT NULL
+      AND (CAST(__n AS DOUBLE) * __q - __s * __s) > 0.0
+      AND __n >= 2
+      AND (CAST(__n AS DOUBLE) * {value_col} - __s)
+          * (CAST(__n AS DOUBLE) * {value_col} - __s)
+          > {t2} * (CAST(__n AS DOUBLE) * __q - __s * __s)
+    """

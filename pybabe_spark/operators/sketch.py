@@ -3710,3 +3710,65 @@ def effect_size_sql(
            END AS hedges_g
     FROM agg
     """
+
+
+def cliffs_delta(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size — the non-parametric sibling
+    of :func:`effect_size` (which assumes means matter): δ = P(t > c)
+    − P(t < c) = 2·AUC − 1 ∈ [−1, 1], with |δ| ≈ 0.15 small / 0.33
+    medium / 0.47 large. It is EXACTLY derivable from
+    :func:`mann_whitney_u`'s doubled statistic — δ = u2/(n₁n₂) − 1 —
+    so this operator reuses that machinery verbatim (de-globalized
+    value-level sweep, exact integers end to end) and the floored
+    integral ``delta_ppm`` is bit-identical across engines.
+
+    Output: ``(n_control, n_treatment, delta_ppm, delta)``;
+    delta is NULL when either arm is empty.
+    """
+    mwu = mann_whitney_u(df, variant_col, value_col, control, treatment)
+    ppm = F.expr(
+        "CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000"
+        " div (CAST(n_control AS DECIMAL(38,0)) * n_treatment)"
+        " - 1000000 AS BIGINT)"
+    )
+    ok = (F.col("n_control") > 0) & (F.col("n_treatment") > 0)
+    return mwu.select(
+        "n_control",
+        "n_treatment",
+        F.when(ok, ppm).alias("delta_ppm"),
+        F.when(ok, ppm.cast("double") / 1e6).alias("delta"),
+    )
+
+
+def cliffs_delta_sql(
+    select: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> str:
+    """DuckDB oracle of :func:`cliffs_delta` — nests
+    :func:`mann_whitney_u_sql` verbatim (the u2 definition cannot
+    drift), same floored integral ppm."""
+    inner = mann_whitney_u_sql(
+        select, variant_col, value_col, control, treatment
+    )
+    ppm = (
+        "CAST(CAST(u2 AS HUGEINT) * 1000000"
+        " // (CAST(n_control AS HUGEINT) * n_treatment)"
+        " - 1000000 AS BIGINT)"
+    )
+    return f"""
+    SELECT n_control, n_treatment,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+           THEN {ppm} END AS delta_ppm,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+           THEN CAST({ppm} AS DOUBLE) / 1e6 END AS delta
+    FROM ({inner})
+    """

@@ -728,3 +728,82 @@ def js_divergence_sql(a_select: str, b_select: str, col: str) -> str:
                 AS DECIMAL(18,6)) AS DOUBLE) END AS js_normalized
     FROM agg
     """
+
+
+def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema + null-rate drift between two snapshots of "the same"
+    table (yesterday's load vs today's, prod vs backfill) — the
+    pipeline guard :func:`table_diff` (row-level) and
+    :func:`population_stability` (value-level) bracket but don't
+    cover: ONE row per column in either schema with
+
+    - ``status`` — ``added`` / ``removed`` / ``type_changed`` /
+      ``same`` (names from B's perspective: ``added`` = new in B)
+    - ``type_a`` / ``type_b`` — Spark ``simpleString`` types
+    - ``null_ppm_a`` / ``null_ppm_b`` — exact integral null rates
+      (NULL where the column or side is absent/empty)
+
+    The schema half reads DataFrame METADATA on the driver (schemas
+    are driver objects by nature — no data moves); the null rates are
+    ONE map-side-combinable aggregation per side (every column counted
+    in a single pass) unpivoted via ``stack``. A silent upstream type
+    widening or a column starting to arrive empty shows up here before
+    it corrupts a join downstream.
+    """
+    fa = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    fb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    cols = sorted(set(fa) | set(fb))
+    spark = a.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                c,
+                (
+                    "added"
+                    if c not in fa
+                    else "removed"
+                    if c not in fb
+                    else "type_changed"
+                    if fa[c] != fb[c]
+                    else "same"
+                ),
+                fa.get(c),
+                fb.get(c),
+            )
+            for c in cols
+        ],
+        "column string, status string, type_a string, type_b string",
+    )
+
+    def _null_ppm(df, own: dict, alias: str) -> DataFrame:
+        names = sorted(own)
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{i}")
+            for i, c in enumerate(names)
+        ]
+        one = df.agg(*aggs)
+        pairs = ", ".join(
+            f"'{c}', __nl_{i}" for i, c in enumerate(names)
+        )
+        return one.select(
+            F.expr(
+                f"stack({len(names)}, {pairs}) as (column, __nulls)"
+            ),
+            F.col("__n"),
+        ).select(
+            "column",
+            F.when(
+                F.col("__n") > 0,
+                F.expr("CAST(__nulls * 1000000 div __n AS BIGINT)"),
+            ).alias(alias),
+        )
+
+    out = (
+        meta.join(_null_ppm(a, fa, "null_ppm_a"), "column", "left")
+        .join(_null_ppm(b, fb, "null_ppm_b"), "column", "left")
+        .select(
+            "column", "status", "type_a", "type_b",
+            "null_ppm_a", "null_ppm_b",
+        )
+    )
+    return out

@@ -702,6 +702,12 @@ class Babe:
 
         return self._wrap(zipf_fit(self.df, top_n, text_col))
 
+    def schema_drift(self, other: "Babe | DataFrame") -> "Babe":
+        from pybabe_spark.operators.validate import schema_drift
+
+        o = other.df if isinstance(other, Babe) else other
+        return self._wrap(schema_drift(self.df, o))
+
     def js_divergence(self, other: "Babe | DataFrame", col) -> "Babe":
         from pybabe_spark.operators.validate import js_divergence
 
@@ -962,6 +968,24 @@ class Babe:
         return self._wrap(
             effect_size(self.df, variant_col, value_col, control,
                         treatment)
+        )
+
+    def cliffs_delta(self, variant_col, value_col, control,
+                     treatment) -> "Babe":
+        from pybabe_spark.operators.sketch import cliffs_delta
+
+        return self._wrap(
+            cliffs_delta(self.df, variant_col, value_col, control,
+                         treatment)
+        )
+
+    def seasonal_zscore(self, key_col, value_col, ts_col,
+                        threshold=3.0, season="hour_of_week") -> "Babe":
+        from pybabe_spark.operators.anomaly import seasonal_zscore
+
+        return self._wrap(
+            seasonal_zscore(self.df, key_col, value_col, ts_col,
+                            threshold, season)
         )
 
     def brown_forsythe(self, group_col, value_col) -> "Babe":

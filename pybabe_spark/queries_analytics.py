@@ -1532,18 +1532,22 @@ def _triangle_sql():
     )
 
 
-_SUPPLIER_EDGES_SQL = """
+def _supplier_edges_sql(mod: int = 7) -> str:
+    return f"""
         SELECT id_a, id_b FROM (
           SELECT a.s AS id_a, b.s AS id_b FROM
             (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) a
             JOIN
             (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem) b
             ON a.o = b.o AND a.s < b.s
-        ) WHERE (id_a + id_b) % 7 = 0
+        ) WHERE (id_a + id_b) % {int(mod)} = 0
     """
 
 
-def _supplier_edges(spark, sf_dir):
+_SUPPLIER_EDGES_SQL = _supplier_edges_sql(7)
+
+
+def _supplier_edges(spark, sf_dir, mod: int = 7):
     li = read_table(spark, sf_dir, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
@@ -1555,14 +1559,16 @@ def _supplier_edges(spark, sf_dir):
             (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
         )
         .select(F.col("a.s").alias("id_a"), F.col("b.s").alias("id_b"))
-        .filter((F.col("id_a") + F.col("id_b")) % 7 == 0)
+        .filter((F.col("id_a") + F.col("id_b")) % mod == 0)
     )
 
 
 def _adamic_adar_sql():
     from pybabe_spark.operators.graph import adamic_adar_sql
 
-    return adamic_adar_sql(_SUPPLIER_EDGES_SQL, max_degree=256, top_n=100)
+    return adamic_adar_sql(
+        _supplier_edges_sql(63), max_degree=256, top_n=100
+    )
 
 
 @register("adamic_adar_suppliers", _adamic_adar_sql())
@@ -1573,10 +1579,17 @@ def q_adamic_adar(spark, sf_dir):
     1/ln(degree), weights as once-rounded DECIMAL(18,12) literals
     decimal-summed per pair, wedges generated only at ≤256-degree
     centers (the capped-candidate contract the oracle mirrors), one
-    anti-join against the edge set, TakeOrderedAndProject finish."""
+    anti-join against the edge set, TakeOrderedAndProject finish.
+    The 1/63 edge sample keeps the key bench-sized for the same
+    reason the triangle key samples: the synthetic baskets make the
+    FULL co-occurrence projection near-complete, where wedge volume
+    is Θ(n·d̄²) by definition — real co-occurrence graphs are sparse
+    and the capped-center bound is the interesting part (the
+    adamic_adar STRESS family measures exponent 0.25 on a
+    degree-flat graph)."""
     from pybabe_spark.operators.graph import adamic_adar
 
-    edges = _supplier_edges(spark, sf_dir)
+    edges = _supplier_edges(spark, sf_dir, mod=63)
     return adamic_adar(edges, max_degree=256, top_n=100)
 
 
@@ -2000,6 +2013,81 @@ def q_cohens_kappa(spark, sf_dir):
         .alias("pred"),
     )
     return cohens_kappa(docs, "gold", "pred")
+
+
+_SDRIFT_B_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderstatus END AS o_orderstatus,
+           CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+           o_orderdate,
+           CAST(o_custkey % 5 AS BIGINT) AS o_priority_rank
+    FROM orders
+"""
+
+#: (column, status, type_a, type_b, in_a, in_b) — the metadata half of
+#: the schema_drift key, written down once and shared by the oracle
+_SDRIFT_META = [
+    ("o_custkey", "same", "bigint", "bigint", True, True),
+    # parquet TIMESTAMP without the UTC flag infers as TIMESTAMP_NTZ
+    ("o_orderdate", "same", "timestamp_ntz", "timestamp_ntz", True, True),
+    ("o_orderkey", "same", "bigint", "bigint", True, True),
+    ("o_orderpriority", "removed", "string", None, True, False),
+    ("o_orderstatus", "same", "string", "string", True, True),
+    ("o_priority_rank", "added", None, "bigint", False, True),
+    ("o_totalprice", "type_changed", "double", "string", True, True),
+]
+
+
+def _schema_drift_sql():
+    def q(v):
+        return "NULL" if v is None else f"'{v}'"
+
+    arms = []
+    for col, status, ta, tb, in_a, in_b in _SDRIFT_META:
+        pa = (
+            f"(SELECT CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+            f" * 1000000 // COUNT(*) AS BIGINT) FROM orders)"
+            if in_a
+            else "NULL"
+        )
+        pb = (
+            f"(SELECT CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+            f" * 1000000 // COUNT(*) AS BIGINT) FROM ({_SDRIFT_B_SQL}))"
+            if in_b
+            else "NULL"
+        )
+        arms.append(
+            f"SELECT '{col}' AS \"column\", '{status}' AS status,"
+            f" {q(ta)} AS type_a, {q(tb)} AS type_b,"
+            f" CAST({pa} AS BIGINT) AS null_ppm_a,"
+            f" CAST({pb} AS BIGINT) AS null_ppm_b"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register("schema_drift_orders", _schema_drift_sql())
+def q_schema_drift(spark, sf_dir):
+    """Schema + null-rate drift between two snapshots
+    (operators/validate.py::schema_drift): orders vs a mutated
+    projection (one column removed, one added, one type-widened, one
+    nulled on a fifth of rows). Schema half from driver metadata; null
+    rates from ONE per-side aggregation unpivoted via stack — the
+    upstream-change guard table_diff's row hashes can't see."""
+    from pybabe_spark.operators.validate import schema_drift
+
+    a = read_table(spark, sf_dir, "orders")
+    b = a.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderdate",
+        (F.col("o_custkey") % 5).cast("long").alias("o_priority_rank"),
+    )
+    return schema_drift(a, b)
 
 
 def _mcnemar_sql():
@@ -3508,6 +3596,63 @@ def q_effect_size(spark, sf_dir):
         "value",
     )
     return effect_size(frame, "arm", "value", "control", "treatment")
+
+
+def _cliffs_sql():
+    from pybabe_spark.operators.sketch import cliffs_delta_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm, value
+        FROM events WHERE event_type = 'purchase'
+    """
+    return cliffs_delta_sql(frame, "arm", "value", "control", "treatment")
+
+
+@register("cliffs_delta_events", _cliffs_sql())
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size on the mean_test frame
+    (operators/sketch.py::cliffs_delta): δ = 2·AUC − 1 derived
+    EXACTLY from mann_whitney_u's doubled statistic — the oracle
+    nests mann_whitney_u_sql verbatim; floored integral ppm,
+    bit-identical across engines."""
+    from pybabe_spark.operators.sketch import cliffs_delta
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    frame = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return cliffs_delta(frame, "arm", "value", "control", "treatment")
+
+
+def _seasonal_z_sql():
+    from pybabe_spark.operators.anomaly import seasonal_zscore_sql
+
+    return seasonal_zscore_sql(
+        "events", "user_id", "value", "ts", threshold=2.5,
+        season="hour_of_day",
+    )
+
+
+@register("seasonal_zscore_events", _seasonal_z_sql())
+def q_seasonal_zscore(spark, sf_dir):
+    """Seasonality-aware outliers (operators/anomaly.py::
+    seasonal_zscore): each event judged against its own (user,
+    hour-of-day) recurring slot instead of the global per-user
+    baseline zscore_anomalies uses — one hash agg to the ≤24-cell
+    per-key grain + one equi-join back, the zscore decimal/fixed-shape
+    decision unchanged."""
+    from pybabe_spark.operators.anomaly import seasonal_zscore
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_zscore(
+        ev, "user_id", "value", "ts", threshold=2.5, season="hour_of_day"
+    )
 
 
 def _overlap_sql():

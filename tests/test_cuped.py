@@ -1248,3 +1248,44 @@ def test_effect_size_scale_invariant_and_degenerate(spark):
     r = effect_size(_arms(spark, rows), "arm", "v", "control",
                     "treatment").collect()[0]
     assert r["cohens_d"] is None
+
+
+def test_cliffs_delta_matches_brute_force(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import cliffs_delta
+
+    rng = random.Random(55)
+    rows = [("control", float(rng.randint(0, 20))) for _ in range(40)] + [
+        ("treatment", float(rng.randint(5, 25))) for _ in range(35)
+    ]
+    r = cliffs_delta(_arms(spark, rows), "arm", "v", "control",
+                     "treatment").collect()[0]
+    a = [v for g, v in rows if g == "control"]
+    b = [v for g, v in rows if g == "treatment"]
+    gt = sum(1 for x in b for y in a if x > y)
+    lt = sum(1 for x in b for y in a if x < y)
+    delta = (gt - lt) / (len(a) * len(b))
+    assert abs(r["delta"] - delta) < 2e-6  # floored ppm
+    assert r["n_control"] == 40 and r["n_treatment"] == 35
+
+
+def test_cliffs_delta_extremes(spark):
+    from pybabe_spark.operators.sketch import cliffs_delta
+
+    sep = [("control", float(i)) for i in range(10)] + [
+        ("treatment", 100.0 + i) for i in range(10)
+    ]
+    r = cliffs_delta(_arms(spark, sep), "arm", "v", "control",
+                     "treatment").collect()[0]
+    assert r["delta_ppm"] == 1_000_000
+
+    same = [("control", 5.0)] * 6 + [("treatment", 5.0)] * 6
+    r = cliffs_delta(_arms(spark, same), "arm", "v", "control",
+                     "treatment").collect()[0]
+    assert r["delta_ppm"] == 0
+
+    one_arm = [("control", 1.0)]
+    r = cliffs_delta(_arms(spark, one_arm), "arm", "v", "control",
+                     "treatment").collect()[0]
+    assert r["delta"] is None

@@ -355,3 +355,47 @@ def test_jsd_nulls_and_empty(spark):
 
     r = js_divergence(empty, empty, "w").collect()[0]
     assert r["n_a"] == 0 and r["vocab_size"] == 0 and r["js"] is None
+
+
+# -- schema_drift (operators/validate.py) ---------------------------------------
+
+
+def test_schema_drift_hand_checked(spark):
+    from pybabe_spark.operators.validate import schema_drift
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.5), (2, None, 2.5)], "id bigint, name string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "1.5", "tag"), (None, "2.5", "tag2")],
+        "id bigint, v string, extra string",
+    )
+    got = {r["column"]: r for r in schema_drift(a, b).collect()}
+    assert set(got) == {"id", "name", "v", "extra"}
+    assert got["name"]["status"] == "removed"
+    assert got["name"]["type_b"] is None
+    assert got["extra"]["status"] == "added"
+    assert got["v"]["status"] == "type_changed"
+    assert got["v"]["type_a"] == "double" and got["v"]["type_b"] == "string"
+    assert got["id"]["status"] == "same"
+    # null rates: name 1/2 in a; id 1/2 in b; absent sides NULL
+    assert got["name"]["null_ppm_a"] == 500_000
+    assert got["name"]["null_ppm_b"] is None
+    assert got["id"]["null_ppm_a"] == 0
+    assert got["id"]["null_ppm_b"] == 500_000
+    assert got["extra"]["null_ppm_a"] is None
+
+
+def test_schema_drift_identical_and_empty(spark):
+    from pybabe_spark.operators.validate import schema_drift
+
+    a = spark.createDataFrame([(1, "x")], "id bigint, name string")
+    got = schema_drift(a, a).collect()
+    assert all(r["status"] == "same" for r in got)
+    assert all(r["null_ppm_a"] == r["null_ppm_b"] == 0 for r in got)
+
+    empty = a.filter("1=0")
+    got = {r["column"]: r for r in schema_drift(a, empty).collect()}
+    # empty side: schema still compares, rates are NULL (0 rows)
+    assert got["id"]["status"] == "same"
+    assert got["id"]["null_ppm_b"] is None
