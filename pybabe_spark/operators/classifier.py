@@ -497,3 +497,186 @@ def classification_report_sql(
              AS f1_ppm
     FROM base
     """
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score + skill — the single-number calibration certificate
+    next to :func:`calibration_bins`'s per-bin curve: ONE row
+    ``(n, n_pos, brier_ppm, base_rate_ppm, skill_ppm)`` where
+
+        BS  = mean (score − label)²            (0 best, 1 worst)
+        BSS = 1 − BS / (p̄(1−p̄))               (vs always-predict-p̄)
+
+    All-integer arithmetic end to end: scores lift to exact micro-units
+    (the calibration_bins rule), each residual ``(m − label·10⁶)²`` is
+    an exact integer, and every output is a floored integral ppm —
+    ``skill_ppm`` via ``10⁶ − (Σ·n) div (r·(n−r)·10⁶)`` with the
+    squared micro scale folded in exactly. NULL rows drop; labels are 0/1 via
+    ``label != 0``. Skill is NULL when the base rate is degenerate
+    (r = 0 or r = n). One map-side-combinable aggregation.
+    """
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    pos = (F.col(label_col) != 0).cast("long")
+    res = micro - pos * 1_000_000
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = df.filter(ok).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(pos), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum(d(res) * res), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(__ss div (CAST(n AS DECIMAL(38,0)) * 1000000)"
+                   " AS BIGINT)"),
+        ).alias("brier_ppm"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)"),
+        ).alias("base_rate_ppm"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n")),
+            # `div` (not `/`): Spark decimal `/` rounds HALF_UP while
+            # the oracle's `//` floors — the quotient here is always
+            # ≥ 0, where truncation and floor agree
+            F.expr(
+                "1000000 - CAST((__ss * n) div"
+                " (CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)"
+                " * 1000000) AS BIGINT)"
+            ),
+        ).alias("skill_ppm"),
+    )
+
+
+def brier_score_sql(select: str, score_col: str, label_col: str) -> str:
+    """DuckDB oracle of :func:`brier_score` — same micro residuals,
+    same floored integral ppm."""
+    m = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    pos = f"(CASE WHEN {label_col} != 0 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               COALESCE(CAST(SUM({pos}) AS BIGINT), 0) AS n_pos,
+               COALESCE(SUM(CAST({m} - {pos} * 1000000 AS HUGEINT)
+                            * ({m} - {pos} * 1000000)), 0) AS ss
+        FROM ({select})
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+    )
+    SELECT n, n_pos,
+           CASE WHEN n > 0 THEN
+             CAST(ss // (n::HUGEINT * 1000000) AS BIGINT)
+           END AS brier_ppm,
+           CASE WHEN n > 0 THEN
+             CAST((n_pos * 1000000) // n AS BIGINT)
+           END AS base_rate_ppm,
+           CASE WHEN n_pos > 0 AND n_pos < n THEN
+             CAST(1000000 - (ss * n)
+                  // (n_pos::HUGEINT * (n - n_pos) * 1000000)
+                  AS BIGINT)
+           END AS skill_ppm
+    FROM agg
+    """
+
+
+def disparate_impact(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    min_n: int = 20,
+) -> DataFrame:
+    """Disparate-impact fairness report for a binary decision column —
+    the selection-rate parity check a training-data FILTER needs as
+    much as a model does (a length filter "keeps" CJK documents at a
+    fraction of the English rate; this table is where that shows up).
+    One row per group with ≥ ``min_n`` decided rows:
+
+    - ``n`` / ``n_pos`` / ``pos_rate_ppm`` — exact selection rate
+    - ``di_ppm`` — the group's rate as a floored-ppm RATIO of the
+      highest-rate qualifying group (the reference group convention)
+    - ``below_four_fifths`` — the EEOC 80% rule-of-thumb flag
+
+    All integer arithmetic (rates and the ratio are floored ppm of
+    exact counts); NULL group or prediction rows drop; groups under
+    ``min_n`` are excluded from BOTH the report and the reference
+    (small-cell rates are noise, and letting one tiny group set the
+    reference would flag everyone). Scale shape: one hash agg to the
+    group grain + a 1-row max attach.
+    """
+    if min_n < 1:
+        raise ValueError(f"disparate_impact: min_n {min_n} must be >= 1")
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = F.col(group_col).isNotNull() & F.col(pred_col).isNotNull()
+    pos = (F.col(pred_col) != 0).cast("long")
+    groups = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum(pos), F.lit(0)).cast("bigint").alias("n_pos"),
+        )
+        .filter(F.col("n") >= min_n)
+        .withColumn(
+            "pos_rate_ppm",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)"),
+        )
+    )
+    ref = groups.agg(F.max("pos_rate_ppm").alias("__ref"))
+    out = attach_scalars(groups, ref).select(
+        "group",
+        "n",
+        "n_pos",
+        "pos_rate_ppm",
+        F.when(
+            F.col("__ref") > 0,
+            F.expr("CAST(pos_rate_ppm * 1000000 div __ref AS BIGINT)"),
+        ).alias("di_ppm"),
+        F.when(
+            F.col("__ref") > 0,
+            F.expr("pos_rate_ppm * 1000000 div __ref") < 800_000,
+        ).alias("below_four_fifths"),
+    )
+    return out
+
+
+def disparate_impact_sql(
+    select: str, group_col: str, pred_col: str, min_n: int = 20
+) -> str:
+    """DuckDB oracle of :func:`disparate_impact` — same exact counts,
+    min_n gate, reference max, and floored ppm ratio."""
+    pos = f"(CASE WHEN {pred_col} != 0 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH groups AS (
+        SELECT {group_col} AS "group",
+               CAST(COUNT(*) AS BIGINT) AS n,
+               COALESCE(CAST(SUM({pos}) AS BIGINT), 0) AS n_pos
+        FROM ({select})
+        WHERE {group_col} IS NOT NULL AND {pred_col} IS NOT NULL
+        GROUP BY {group_col}
+        HAVING COUNT(*) >= {int(min_n)}
+    ),
+    rated AS (
+        SELECT *, CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_ppm
+        FROM groups
+    ),
+    ref AS (SELECT MAX(pos_rate_ppm) AS ref FROM rated)
+    SELECT "group", n, n_pos, pos_rate_ppm,
+           CASE WHEN ref > 0 THEN
+             CAST((pos_rate_ppm * 1000000) // ref AS BIGINT)
+           END AS di_ppm,
+           CASE WHEN ref > 0 THEN
+             (pos_rate_ppm * 1000000) // ref < 800000
+           END AS below_four_fifths
+    FROM rated CROSS JOIN ref
+    """

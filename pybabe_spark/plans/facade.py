@@ -702,6 +702,18 @@ class Babe:
 
         return self._wrap(zipf_fit(self.df, top_n, text_col))
 
+    def brier_score(self, score_col, label_col) -> "Babe":
+        from pybabe_spark.operators.classifier import brier_score
+
+        return self._wrap(brier_score(self.df, score_col, label_col))
+
+    def disparate_impact(self, group_col, pred_col, min_n=20) -> "Babe":
+        from pybabe_spark.operators.classifier import disparate_impact
+
+        return self._wrap(
+            disparate_impact(self.df, group_col, pred_col, min_n)
+        )
+
     def schema_drift(self, other: "Babe | DataFrame") -> "Babe":
         from pybabe_spark.operators.validate import schema_drift
 

@@ -1346,6 +1346,73 @@ def q_calibration_bins(spark, sf_dir):
     return calibration_bins(frame, "score", "label", 10)
 
 
+_BRIER_FRAME_SQL = """
+        SELECT CAST(CAST(LEAST(1000000,
+                   len(string_split(text, ' ')) * 5000)
+               AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6)) AS score,
+               CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    """
+
+
+def _brier_sql():
+    from pybabe_spark.operators.classifier import brier_score_sql
+
+    return brier_score_sql(_BRIER_FRAME_SQL, "score", "label")
+
+
+@register("brier_score_docs", _brier_sql())
+def q_brier_score(spark, sf_dir):
+    """Brier score + skill (operators/classifier.py::brier_score) on
+    the calibration_bins_docs frame: the single-number calibration
+    certificate — exact micro-unit residuals, floored integral ppm,
+    skill vs the always-predict-base-rate reference. ONE map-side-
+    combinable aggregation."""
+    from pybabe_spark.operators.classifier import brier_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.array_contains(F.split("text", " "), "spark")
+        .cast("int")
+        .alias("label"),
+    )
+    return brier_score(frame, "score", "label")
+
+
+def _di_sql():
+    from pybabe_spark.operators.classifier import disparate_impact_sql
+
+    frame = """
+        SELECT lang,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS kept
+        FROM documents
+    """
+    return disparate_impact_sql(frame, "lang", "kept", min_n=20)
+
+
+@register("disparate_impact_docs", _di_sql())
+def q_disparate_impact(spark, sf_dir):
+    """Disparate-impact report of a length filter across languages
+    (operators/classifier.py::disparate_impact): per-language keep
+    rate as a floored-ppm ratio of the highest-rate language + the
+    EEOC four-fifths flag — the selection-parity readout a
+    training-data filter needs (length thresholds systematically
+    disadvantage languages with shorter texts). One group hash agg +
+    1-row max attach, all integer."""
+    from pybabe_spark.operators.classifier import disparate_impact
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") >= 300).cast("int").alias("kept"),
+    )
+    return disparate_impact(docs, "lang", "kept", min_n=20)
+
+
 def _boiler_sql():
     from pybabe_spark.operators.decontam import strip_boilerplate_lines_sql
 

@@ -118,3 +118,89 @@ def test_calibration_validation(spark):
     df = spark.createDataFrame([(0.5, 1)], "score double, label int")
     with pytest.raises(ValueError):
         calibration_bins(df, "score", "label", 1)
+
+
+# ---------------------------------------------------------------------------
+# brier_score / disparate_impact (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def test_brier_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.classifier import brier_score
+
+    rng = random.Random(31)
+    rows = [
+        (round(rng.random(), 6), 1 if rng.random() < 0.4 else 0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_score(df, "score", "label").collect()[0]
+
+    micros = [(int(round(s * 1e6)), y) for s, y in rows]
+    n = len(micros)
+    npos = sum(y for _, y in micros)
+    ss = sum((m - y * 1_000_000) ** 2 for m, y in micros)
+    assert r["n"] == n and r["n_pos"] == npos
+    assert r["brier_ppm"] == ss // (n * 1_000_000)
+    assert r["base_rate_ppm"] == npos * 1_000_000 // n
+    assert r["skill_ppm"] == 1_000_000 - (ss * n) // (
+        npos * (n - npos) * 1_000_000
+    )
+
+
+def test_brier_perfect_and_degenerate(spark):
+    from pybabe_spark.operators.classifier import brier_score
+
+    perfect = [(1.0, 1)] * 5 + [(0.0, 0)] * 5
+    df = spark.createDataFrame(perfect, "score double, label int")
+    r = brier_score(df, "score", "label").collect()[0]
+    assert r["brier_ppm"] == 0 and r["skill_ppm"] == 1_000_000
+
+    # base-rate predictor scores skill 0 (within floor rounding)
+    base = [(0.5, 1)] * 5 + [(0.5, 0)] * 5
+    df = spark.createDataFrame(base, "score double, label int")
+    r = brier_score(df, "score", "label").collect()[0]
+    assert r["brier_ppm"] == 250_000 and r["skill_ppm"] == 0
+
+    # one-class labels: skill undefined
+    one = [(0.7, 1)] * 4
+    df = spark.createDataFrame(one, "score double, label int")
+    r = brier_score(df, "score", "label").collect()[0]
+    assert r["skill_ppm"] is None and r["brier_ppm"] == 90_000
+
+
+def test_disparate_impact_hand_checked(spark):
+    from pybabe_spark.operators.classifier import disparate_impact
+
+    rows = (
+        [("en", 1)] * 80 + [("en", 0)] * 20      # 80% kept
+        + [("zh", 1)] * 30 + [("zh", 0)] * 70    # 30% kept
+        + [("fr", 1)] * 64 + [("fr", 0)] * 36    # 64% kept
+        + [("tiny", 1)] * 5                      # under min_n: excluded
+    )
+    df = spark.createDataFrame(rows, "lang string, kept int")
+    got = {r["group"]: r for r in
+           disparate_impact(df, "lang", "kept", min_n=20).collect()}
+    assert set(got) == {"en", "zh", "fr"}
+    assert got["en"]["di_ppm"] == 1_000_000
+    assert got["zh"]["di_ppm"] == 375_000  # 0.30/0.80
+    assert got["zh"]["below_four_fifths"] is True
+    assert got["fr"]["di_ppm"] == 800_000  # exactly at the rule: not below
+    assert got["fr"]["below_four_fifths"] is False
+
+
+def test_disparate_impact_degenerate(spark):
+    from pybabe_spark.operators.classifier import disparate_impact
+
+    # all-zero rates: ratio undefined -> NULL di
+    rows = [("a", 0)] * 25 + [("b", 0)] * 25
+    df = spark.createDataFrame(rows, "g string, p int")
+    got = disparate_impact(df, "g", "p", min_n=20).collect()
+    assert all(r["di_ppm"] is None for r in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        disparate_impact(df, "g", "p", min_n=0)
