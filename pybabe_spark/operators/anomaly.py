@@ -489,13 +489,31 @@ def seasonal_zscore(
         raise ValueError(
             f"seasonal_zscore: season {season!r} not in {_SEASONS}"
         )
+    stats = seasonal_baseline(df, key_col, value_col, ts_col, season)
+    return flag_against_baseline(
+        df, stats, key_col, value_col, ts_col, threshold, season
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    season: str = "hour_of_week",
+) -> DataFrame:
+    """The (key, bucket) statistics table :func:`seasonal_zscore`
+    judges against — ``(key, __b, __n, __s, __q)`` from one hash agg.
+    Exposed so a STORED baseline (built from history, written to
+    parquet) can score live data — the streaming twin
+    ``streaming/ops.py::stream_anomalies_against`` reads exactly this
+    table."""
     v = F.col(value_col)
     vd = v.cast("decimal(18,6)")
     vq = (vd * vd).cast("decimal(38,12)")
-    b = _season_bucket(ts_col, season)
-    tagged = df.withColumn("__b", b)
-    stats = (
-        tagged.filter(v.isNotNull())
+    return (
+        df.withColumn("__b", _season_bucket(ts_col, season))
+        .filter(v.isNotNull())
         .groupBy(key_col, "__b")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -503,6 +521,23 @@ def seasonal_zscore(
             F.sum(vq).cast("double").alias("__q"),
         )
     )
+
+
+def flag_against_baseline(
+    df: DataFrame,
+    stats: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    threshold: float = 3.0,
+    season: str = "hour_of_week",
+) -> DataFrame:
+    """Score rows against a :func:`seasonal_baseline` table (freshly
+    computed or read back from storage): same join + fixed-shape
+    decision as the batch operator, factored so batch and streaming
+    twins cannot drift."""
+    v = F.col(value_col)
+    tagged = df.withColumn("__b", _season_bucket(ts_col, season))
     j = tagged.join(stats, [key_col, "__b"])
     n = F.col("__n").cast("double")
     s = F.col("__s")

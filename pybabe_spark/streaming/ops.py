@@ -867,3 +867,67 @@ def stream_apply_cdc(
         stream_df, _batch, checkpoint,
         output_mode="update", available_now=available_now,
     )
+
+
+def build_seasonal_baseline(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    season: str = "hour_of_day",
+) -> None:
+    """Materialize a historical :func:`~pybabe_spark.operators.anomaly.
+    seasonal_baseline` table to parquet — the stored-model side of
+    :func:`stream_anomalies_against` (the ann/bm25 stored-index
+    pattern applied to anomaly detection: train on history once, score
+    live data forever)."""
+    from pybabe_spark.operators.anomaly import seasonal_baseline
+
+    seasonal_baseline(df, key_col, value_col, ts_col, season).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def stream_anomalies_against(
+    stream_df: DataFrame,
+    baseline_path: str,
+    flagged_path: str,
+    checkpoint: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+    season: str = "hour_of_day",
+    available_now: bool = True,
+):
+    """Streaming seasonality-aware anomaly gate: every micro-batch is
+    scored against the STORED (key, season-bucket) baseline — built
+    from history by :func:`build_seasonal_baseline` — and flagged rows
+    append to ``flagged_path`` with their slot mean/std attached. The
+    monitoring topology every metrics pipeline runs: the baseline is a
+    small broadcastable table, the stream never maintains unbounded
+    state, and retraining is just rewriting the parquet.
+
+    The scorer is LITERALLY the batch operator's
+    ``flag_against_baseline`` (one equi-join + the fixed-shape
+    decision), so batch and stream cannot drift — the test pins
+    stream output == batch seasonal_zscore when the baseline is built
+    from the same history. foreachBatch appends are at-least-once on
+    replay, like every foreachBatch sink here.
+    """
+    from pybabe_spark.operators.anomaly import flag_against_baseline
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stats = F.broadcast(spark.read.parquet(baseline_path))
+        flagged = flag_against_baseline(
+            batch_df, stats, key_col, value_col, ts_col, threshold,
+            season,
+        )
+        flagged.write.mode("append").parquet(flagged_path)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

@@ -697,3 +697,46 @@ def F_ts(col):
     from pyspark.sql import functions as F
 
     return F.to_timestamp(F.from_unixtime(F.col(col) + 1_700_000_000))
+
+
+def test_stream_anomalies_against_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Baseline trained on history + the same events streamed through:
+    the flagged set equals the batch seasonal_zscore exactly (the
+    scorer is the shared flag_against_baseline)."""
+    from pybabe_spark.operators.anomaly import seasonal_zscore
+    from pybabe_spark.streaming.ops import (
+        build_seasonal_baseline,
+        stream_anomalies_against,
+    )
+
+    batch = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    expected = {
+        (r["user_id"], r["ts"], r["value"], r["bucket"])
+        for r in seasonal_zscore(
+            batch, "user_id", "value", "ts", 2.0, "hour_of_day"
+        ).collect()
+    }
+    assert expected, "fixture must flag at least one row"
+
+    bl = str(tmp_path / "baseline")
+    out = str(tmp_path / "flagged")
+    ck = str(tmp_path / "ck")
+    build_seasonal_baseline(batch, bl, "user_id", "value", "ts",
+                            "hour_of_day")
+    stream = stream_events(spark, events_stream_dir).select(
+        "user_id", "ts", "value"
+    )
+    q = stream_anomalies_against(
+        stream, bl, out, ck, "user_id", "value", "ts",
+        threshold=2.0, season="hour_of_day",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ts"], r["value"], r["bucket"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
