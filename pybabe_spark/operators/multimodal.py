@@ -252,3 +252,78 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
 
     return df.mapInPandas(_run, schema=schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    window_s: int,
+    overlap_s: int,
+    id_col: str,
+    blob_col: str = "media",
+    meta_col: str = "media_meta",
+    bytes_per_second: int = 100,
+) -> DataFrame:
+    """Audio chunking (long recording → overlapping fixed-duration
+    windows): the speech-pipeline primitive (Whisper-style 30 s
+    windows with a few seconds of overlap so no utterance is cut at
+    every boundary), 1→N through the same Arrow ``mapInPandas``
+    plumbing as :func:`sample_frames`. Output:
+    ``(id, chunk_index, start_ms, end_ms, chunk binary)``.
+
+    The fake kernel treats the blob as PCM at ``bytes_per_second``
+    (duration = len/bps; chunk *i* covers bytes
+    ``[i·step·bps, i·step·bps + window·bps)`` while its start lies
+    inside the blob) — exactly recomputable in SQL, so the whole
+    explosion is oracle-checkable. A real kernel seeks by sample
+    offset via soundfile/ffmpeg and raises :func:`_unsupported` here.
+    Empty/NULL blobs emit no chunks.
+    """
+    if window_s <= 0 or overlap_s < 0 or overlap_s >= window_s:
+        raise ValueError(
+            "chunk_audio: need window_s > 0 and 0 <= overlap_s < window_s"
+        )
+    if bytes_per_second <= 0:
+        raise ValueError("chunk_audio: bytes_per_second must be positive")
+    step_s = window_s - overlap_s
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_ddl}, chunk_index int, start_ms bigint,"
+        " end_ms bigint, chunk binary"
+    )
+    bps = int(bytes_per_second)
+    bwin = window_s * bps
+    bstep = step_s * bps
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            real = pdf[meta_col].map(lambda m: m["codec"])
+            real = real[~real.isin(["fake"])]
+            if len(real):
+                raise _unsupported(real.iloc[0], "soundfile/ffmpeg")
+            ids, idxs, starts, ends, chunks = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                tb = len(blob)
+                dur_ms = tb * 1000 // bps
+                i = 0
+                while i * bstep < tb:
+                    start_ms = i * step_s * 1000
+                    ids.append(rid)
+                    idxs.append(i)
+                    starts.append(start_ms)
+                    ends.append(min(start_ms + window_s * 1000, dur_ms))
+                    chunks.append(blob[i * bstep:i * bstep + bwin])
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_index": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk": chunks,
+                }
+            )
+
+    return df.mapInPandas(_run, schema=schema)

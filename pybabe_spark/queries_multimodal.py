@@ -133,3 +133,54 @@ def q_multimodal_neardup(spark, sf_dir):
         ).cast("bigint").alias("fp"),
     )
     return hamming_neardup_pairs(fp, "doc_id", "fp", bits=16, max_hamming=2)
+
+
+# Audio chunking is 1→N over byte windows: with the fake PCM kernel at
+# bytes_per_second=100, chunk i of a len-L blob exists while i·step·100
+# < L, spans ms [i·step·1000, min(i·step·1000 + window·1000, L·1000//100)]
+# and carries min(L − i·step·100, window·100) bytes — all exactly
+# recomputable in SQL.
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id, len,
+             unnest(range(0, (len + 999) // 1000)) AS i
+      FROM d WHERE len > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_index,
+           CAST(i * 10000 AS BIGINT) AS start_ms,
+           CAST(LEAST(i * 10000 + 30000, len * 1000 // 100) AS BIGINT)
+               AS end_ms,
+           CAST(LEAST(len - i * 1000, 3000) AS INT) AS chunk_bytes
+    FROM e WHERE i * 1000 < len
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """documents → fake PCM blobs → overlapping 30 s / 20 s-overlap
+    audio windows (operators/multimodal.py::chunk_audio, step 10 s at
+    100 bytes/s): the Whisper-style chunking primitive through the
+    Arrow mapInPandas plumbing, exploded 1→N with exact byte/ms
+    bookkeeping the oracle replays."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & F.col("text").isNotNull()
+    )
+    media = attach_fake_media(docs, "text")
+    from pybabe_spark.operators.multimodal import chunk_audio
+
+    chunks = chunk_audio(
+        media, window_s=30, overlap_s=20, id_col="doc_id",
+        bytes_per_second=100,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "start_ms",
+        "end_ms",
+        F.length("chunk").cast("int").alias("chunk_bytes"),
+    )

@@ -157,3 +157,51 @@ def test_multimodal_neardup_media_key_shape(spark, sf_dir):
     assert out.columns == ["id_a", "id_b", "hamming"]
     rows = out.collect()
     assert all(0 <= r["hamming"] <= 2 for r in rows)
+
+
+def test_chunk_audio_windows_and_overlap(spark):
+    from pybabe_spark.operators.multimodal import attach_fake_media, chunk_audio
+
+    # text of 250 chars -> blob 250 bytes -> 2.5 s at 100 B/s
+    df = spark.createDataFrame([(1, "x" * 250), (2, "y" * 99)],
+                               "id int, text string")
+    media = attach_fake_media(df, "text")
+    out = chunk_audio(media, window_s=1, overlap_s=0, id_col="id",
+                      bytes_per_second=100).collect()
+    got = {(r["id"], r["chunk_index"]): r for r in out}
+    # id 1: chunks at 0,1,2 s; last one short (50 bytes, ends 2500 ms)
+    assert [(k[1]) for k in sorted(got) if k[0] == 1] == [0, 1, 2]
+    assert got[(1, 0)]["start_ms"] == 0 and got[(1, 0)]["end_ms"] == 1000
+    assert len(got[(1, 2)]["chunk"]) == 50
+    assert got[(1, 2)]["end_ms"] == 2500
+    # id 2: 99 bytes -> single chunk of 99 bytes ending at 990 ms
+    assert [(k[1]) for k in sorted(got) if k[0] == 2] == [0]
+    assert got[(2, 0)]["end_ms"] == 990
+
+    # overlap: window 2 s / overlap 1 s -> step 1 s, chunks carry up to
+    # 200 bytes and consecutive chunks share 100 bytes
+    out = chunk_audio(media.filter("id = 1"), window_s=2, overlap_s=1,
+                      id_col="id", bytes_per_second=100).collect()
+    chunks = sorted((r["chunk_index"], bytes(r["chunk"])) for r in out)
+    assert len(chunks[0][1]) == 200
+    assert chunks[0][1][100:] == chunks[1][1][:100]
+
+
+def test_chunk_audio_validation_and_nulls(spark):
+    import pytest
+
+    from pybabe_spark.operators.multimodal import attach_fake_media, chunk_audio
+
+    df = spark.createDataFrame([(1, "abc"), (2, None)], "id int, text string")
+    media = attach_fake_media(df.filter("text IS NOT NULL"), "text")
+    with pytest.raises(ValueError):
+        chunk_audio(media, window_s=0, overlap_s=0, id_col="id")
+    with pytest.raises(ValueError):
+        chunk_audio(media, window_s=2, overlap_s=2, id_col="id")
+    with pytest.raises(ValueError):
+        chunk_audio(media, window_s=2, overlap_s=1, id_col="id",
+                    bytes_per_second=0)
+    # 3-byte blob at 100 B/s: one 30 ms chunk
+    out = chunk_audio(media, window_s=1, overlap_s=0, id_col="id",
+                      bytes_per_second=100).collect()
+    assert len(out) == 1 and out[0]["end_ms"] == 30
