@@ -3772,3 +3772,151 @@ def cliffs_delta_sql(
            THEN CAST({ppm} AS DOUBLE) / 1e6 END AS delta
     FROM ({inner})
     """
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    unit_col: str,
+    num_col: str,
+    den_col: str,
+    by: str | None = None,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric — the
+    number experimentation actually ships (revenue per session, CTR
+    per user, cost per conversion), where both numerator and
+    denominator are per-UNIT sums and units are the independence
+    grain:
+
+        R = Σx / Σy,
+        Var(R) ≈ (var_x − 2R·cov + R²·var_y) / (n·ȳ²)
+
+    (Fieller/delta method on unit means). Treating the ratio as a
+    plain mean UNDERSTATES the interval whenever the denominator
+    varies per unit — this operator is the honest error bar.
+
+    One row per ``by`` group: ``(n_units, ratio, ci_lo, ci_hi)``.
+    Exactness: per-unit x/y lift to bigint cents; the five moment sums
+    (Σx, Σy, Σx², Σy², Σxy) are exact DECIMAL(38,0) from ONE hash agg
+    over the unit grain; the finish is a single fixed-shape IEEE
+    expression (IEEE sqrt — correctly rounded) with one DECIMAL(18,6)
+    rounding per output, reproduced verbatim by the oracle. NULL
+    num/den treated as 0 for the unit (a unit with no numerator still
+    counts); units with NULL key excluded; CI NULL when n < 2 or
+    Σy = 0 or the variance is ≤ 0 (degenerate).
+
+    Scale shape: one agg to the unit grain, one to the group grain —
+    both map-side combinable; no window, no join.
+    """
+    g = [by] if by is not None else []
+    ok = F.col(unit_col).isNotNull()
+    x = (
+        F.coalesce(F.col(num_col), F.lit(0)).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    y = (
+        F.coalesce(F.col(den_col), F.lit(0)).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    units = (
+        df.filter(ok)
+        .groupBy(*g, F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(x).cast("bigint").alias("__x"),
+            F.sum(y).cast("bigint").alias("__y"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = units.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(d("__x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d("__y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d("__x") * F.col("__x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d("__y") * F.col("__y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d("__x") * F.col("__y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    n = F.col("n_units").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = sx / sy
+    # sample (co)variances of the per-unit values, n-1 denominator
+    vx = (n * sxx - sx * sx) / (n * (n - 1.0))
+    vy = (n * syy - sy * sy) / (n * (n - 1.0))
+    cxy = (n * sxy - sx * sy) / (n * (n - 1.0))
+    ybar = sy / n
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    ok_r = F.col("sy") != 0
+    # the divisions live INSIDE the when branch: ANSI mode evaluates
+    # conjunct expressions eagerly, so a bare `var_r > 0` condition
+    # would divide by zero on n=1 / sy=0 groups before the other
+    # conjuncts could veto it (DuckDB yields NULL there — same gate)
+    var_col = F.when(
+        ok_r & (F.col("n_units") >= 2),
+        (vx - 2.0 * r * cxy + r * r * vy) / (n * ybar * ybar),
+    )
+    half = F.lit(float(z)) * F.sqrt(var_col)
+    ok_ci = var_col > 0.0  # NULL var -> NULL -> filtered by when()
+    return agg.select(
+        *g,
+        F.col("n_units"),
+        F.when(ok_r, out(r)).alias("ratio"),
+        F.when(ok_ci, out(r - half)).alias("ci_lo"),
+        F.when(ok_ci, out(r + half)).alias("ci_hi"),
+    )
+
+
+def ratio_metric_ci_sql(
+    select: str,
+    unit_col: str,
+    num_col: str,
+    den_col: str,
+    by: str | None = None,
+    z: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`ratio_metric_ci` — same cents lift,
+    HUGEINT moments, and fixed-shape delta-method finish."""
+    g = f"{by}, " if by else ""
+    gb = f"GROUP BY {by}" if by else ""
+    x = f"CAST(CAST(COALESCE({num_col}, 0) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    y = f"CAST(CAST(COALESCE({den_col}, 0) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    nd = "CAST(n_units AS DOUBLE)"
+    sxd = "CAST(sx AS DOUBLE)"
+    syd = "CAST(sy AS DOUBLE)"
+    rr = f"({sxd} / {syd})"
+    vx = f"(({nd} * CAST(sxx AS DOUBLE) - {sxd} * {sxd}) / ({nd} * ({nd} - 1.0)))"
+    vy = f"(({nd} * CAST(syy AS DOUBLE) - {syd} * {syd}) / ({nd} * ({nd} - 1.0)))"
+    cxy = f"(({nd} * CAST(sxy AS DOUBLE) - {sxd} * {syd}) / ({nd} * ({nd} - 1.0)))"
+    ybar = f"({syd} / {nd})"
+    var_r = (
+        f"(({vx} - 2.0 * {rr} * {cxy} + {rr} * {rr} * {vy})"
+        f" / ({nd} * {ybar} * {ybar}))"
+    )
+    half = f"({float(z)!r} * sqrt({var_r}))"
+    fin = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH units AS (
+        SELECT {g}{unit_col} AS u,
+               CAST(SUM({x}) AS BIGINT) AS ux,
+               CAST(SUM({y}) AS BIGINT) AS uy
+        FROM ({select})
+        WHERE {unit_col} IS NOT NULL
+        GROUP BY {g}{unit_col}
+    ),
+    agg AS (
+        SELECT {g}CAST(COUNT(*) AS BIGINT) AS n_units,
+               SUM(CAST(ux AS HUGEINT)) AS sx,
+               SUM(CAST(uy AS HUGEINT)) AS sy,
+               SUM(CAST(ux AS HUGEINT) * ux) AS sxx,
+               SUM(CAST(uy AS HUGEINT) * uy) AS syy,
+               SUM(CAST(ux AS HUGEINT) * uy) AS sxy
+        FROM units {gb}
+    )
+    SELECT {g}n_units,
+           CASE WHEN sy != 0 THEN {fin(rr)} END AS ratio,
+           CASE WHEN sy != 0 AND n_units >= 2 AND {var_r} > 0.0
+           THEN {fin(f"{rr} - {half}")} END AS ci_lo,
+           CASE WHEN sy != 0 AND n_units >= 2 AND {var_r} > 0.0
+           THEN {fin(f"{rr} + {half}")} END AS ci_hi
+    FROM agg
+    """

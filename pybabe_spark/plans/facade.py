@@ -982,6 +982,14 @@ class Babe:
                         treatment)
         )
 
+    def ratio_metric_ci(self, unit_col, num_col, den_col, by=None,
+                        z=1.959964) -> "Babe":
+        from pybabe_spark.operators.sketch import ratio_metric_ci
+
+        return self._wrap(
+            ratio_metric_ci(self.df, unit_col, num_col, den_col, by, z)
+        )
+
     def cliffs_delta(self, variant_col, value_col, control,
                      treatment) -> "Babe":
         from pybabe_spark.operators.sketch import cliffs_delta

@@ -3598,6 +3598,46 @@ def q_effect_size(spark, sf_dir):
     return effect_size(frame, "arm", "value", "control", "treatment")
 
 
+def _ratio_ci_sql():
+    from pybabe_spark.operators.sketch import ratio_metric_ci_sql
+
+    frame = """
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               user_id,
+               CASE WHEN event_type = 'purchase' THEN value
+                    ELSE 0 END AS revenue,
+               1.0 AS events
+        FROM events
+    """
+    return ratio_metric_ci_sql(
+        frame, "user_id", "revenue", "events", by="arm"
+    )
+
+
+@register("ratio_metric_ci_events", _ratio_ci_sql())
+def q_ratio_metric_ci(spark, sf_dir):
+    """Delta-method CI for revenue-per-event by arm
+    (operators/sketch.py::ratio_metric_ci): per-user numerator/
+    denominator sums (the independence grain), five exact
+    DECIMAL(38,0) moments, one fixed-shape delta-method finish — the
+    honest error bar for the ratio metrics a per-event mean would
+    understate. Two stacked map-combinable aggs, no window."""
+    from pybabe_spark.operators.sketch import ratio_metric_ci
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0))
+        .alias("revenue"),
+        F.lit(1.0).alias("events"),
+    )
+    return ratio_metric_ci(ev, "user_id", "revenue", "events", by="arm")
+
+
 def _cliffs_sql():
     from pybabe_spark.operators.sketch import cliffs_delta_sql
 

@@ -1289,3 +1289,90 @@ def test_cliffs_delta_extremes(spark):
     r = cliffs_delta(_arms(spark, one_arm), "arm", "v", "control",
                      "treatment").collect()[0]
     assert r["delta"] is None
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_ci (delta method)
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_ci_matches_python_model(spark):
+    import math
+    import random
+
+    from pybabe_spark.operators.sketch import ratio_metric_ci
+
+    rng = random.Random(61)
+    rows = []
+    for u in range(80):
+        for _ in range(rng.randint(1, 6)):
+            rows.append((u, round(rng.uniform(0, 20), 2), 1.0))
+    df = spark.createDataFrame(rows, "u int, x double, y double")
+    r = ratio_metric_ci(df, "u", "x", "y").collect()[0]
+
+    per = {}
+    for u, x, y in rows:
+        cx, cy = per.get(u, (0, 0))
+        per[u] = (cx + int(round(x * 100)), cy + int(round(y * 100)))
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    n = len(per)
+    R = sum(xs) / sum(ys)
+    vx = (n * sum(v * v for v in xs) - sum(xs) ** 2) / (n * (n - 1))
+    vy = (n * sum(v * v for v in ys) - sum(ys) ** 2) / (n * (n - 1))
+    cxy = (n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * (n - 1)
+    )
+    ybar = sum(ys) / n
+    var_r = (vx - 2 * R * cxy + R * R * vy) / (n * ybar * ybar)
+    half = 1.959964 * math.sqrt(var_r)
+    assert r["n_units"] == n
+    assert abs(r["ratio"] - R) < 1e-6
+    assert abs(r["ci_lo"] - (R - half)) < 1e-5
+    assert abs(r["ci_hi"] - (R + half)) < 1e-5
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_ratio_ci_constant_denominator_reduces_to_mean_ci(spark):
+    """With y ≡ 1 per unit, the ratio is the plain mean of x and the
+    delta interval collapses to the classic mean CI."""
+    import math
+
+    from pybabe_spark.operators.sketch import ratio_metric_ci
+
+    vals = [float(i % 7) + 1 for i in range(50)]
+    rows = [(i, v, 1.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "u int, x double, y double")
+    r = ratio_metric_ci(df, "u", "x", "y").collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    var = sum((v - m) ** 2 for v in vals) / (n - 1)
+    half = 1.959964 * math.sqrt(var / n)
+    assert abs(r["ratio"] - m) < 1e-9
+    assert abs(r["ci_lo"] - (m - half)) < 1e-5
+    assert abs(r["ci_hi"] - (m + half)) < 1e-5
+
+
+def test_ratio_ci_degenerate_and_groups(spark):
+    from pybabe_spark.operators.sketch import ratio_metric_ci
+
+    # one unit: CI undefined
+    rows = [(1, 5.0, 2.0)]
+    df = spark.createDataFrame(rows, "u int, x double, y double")
+    r = ratio_metric_ci(df, "u", "x", "y").collect()[0]
+    assert r["ratio"] == 2.5 and r["ci_lo"] is None
+
+    # zero denominator total: ratio undefined
+    rows = [(1, 5.0, 0.0), (2, 3.0, 0.0)]
+    df = spark.createDataFrame(rows, "u int, x double, y double")
+    r = ratio_metric_ci(df, "u", "x", "y").collect()[0]
+    assert r["ratio"] is None
+
+    # grouped: per-group rows
+    rows = [("a", 1, 2.0, 1.0), ("a", 2, 4.0, 1.0),
+            ("b", 3, 10.0, 2.0), ("b", 4, 20.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, u int, x double, y double")
+    got = {r["g"]: r for r in
+           ratio_metric_ci(df, "u", "x", "y", by="g").collect()}
+    assert abs(got["a"]["ratio"] - 3.0) < 1e-9
+    assert abs(got["b"]["ratio"] - 7.5) < 1e-9
