@@ -85,6 +85,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     conv = frame.ab_test("arm", "converted", "control", "treatment")
     print("conversion z-test:", conv.df.collect()[0].asDict())
 
+    # the r10 magnitude readouts: significance says "real", these say
+    # "how big" — standardized (d/g), ordinal (Cliff's δ), and the
+    # honest error bar for a ratio metric
+    es = frame.effect_size("arm", "post", "control", "treatment")
+    r = es.df.collect()[0]
+    print("effect size:", {k: r[k] for k in ("cohens_d", "hedges_g")})
+
+    cd = frame.cliffs_delta("arm", "post", "control", "treatment")
+    print("cliffs delta:", cd.df.collect()[0]["delta"])
+
+    rpe = Babe.from_df(
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0))
+            .alias("revenue"),
+            F.lit(1.0).alias("events"),
+        )
+    ).ratio_metric_ci("user_id", "revenue", "events", by="arm")
+    print(
+        "revenue/event delta-method CI:",
+        sorted(
+            (r["arm"], r["ratio"], r["ci_lo"], r["ci_hi"])
+            for r in rpe.df.collect()
+        ),
+    )
+
     # quasi-experimental readout on the raw events: pre/post × arm
     did = Babe.from_df(
         ev.filter(F.col("event_type") == "purchase").select(
