@@ -292,3 +292,82 @@ def load_dsir_target(spark, path: str):
     counts = spark.read.parquet(posixpath.join(path, "counts"))
     total = spark.read.parquet(posixpath.join(path, "total")).limit(1)
     return (counts, total), int(prows[0]["buckets"])
+
+
+def feature_hash_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick dense encoder: each document becomes a fixed-width
+    ``array<bigint>`` of hashed-bigram counts — the vocabulary-free
+    numeric vector linear models / kNN / clustering consume, built
+    entirely JVM-side (no UDF): the :func:`doc_feature_profile` hash
+    agg (one md5 per bigram occurrence), then ``map_from_entries`` +
+    a ``transform(sequence(...))`` densification per doc. Documents
+    with no bigrams (empty/NULL/one-word text) encode as the zero
+    vector — they are kept via a left join back to the id universe, so
+    the output is exactly one row per input document.
+
+    Output: ``(id, features array<bigint>)``, ``size = dim``.
+
+    Scale shape: one explode+hash agg to the (doc, bucket) grain, one
+    collect_list per doc bounded by ``dim`` entries, one left join on
+    the doc id. At 100 TB this is the standard pre-embedding featurizer
+    — everything map-side combinable, the widest row is ``dim`` longs.
+    """
+    if not 2 <= dim <= 65536:
+        raise ValueError(f"feature_hash_encode: dim {dim} outside [2, 65536]")
+    prof = doc_feature_profile(df, id_col, text_col, dim)
+    vecs = prof.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("nf")))
+        ).alias("__m")
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(vecs, id_col, "left").select(
+        id_col,
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> coalesce(__m[i], CAST(0 AS BIGINT)))"
+        ).alias("features"),
+    )
+
+
+def feature_hash_encode_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle of :func:`feature_hash_encode` — identical md5
+    bucket arithmetic, map densified by ``list_transform(range(dim))``
+    (``map_extract`` yields a list; empty → 0)."""
+    return f"""
+    WITH __w AS (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+                 FROM {table}),
+    __bgx AS (
+      SELECT {id_col}, unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      FROM __w
+    ),
+    __bg AS (SELECT {id_col}, b.w1 AS w1, b.w2 AS w2 FROM __bgx),
+    f AS (SELECT {id_col}, {feature_sql(dim)} AS bucket FROM __bg),
+    prof AS (
+      SELECT {id_col}, bucket, CAST(COUNT(*) AS BIGINT) AS nf
+      FROM f GROUP BY {id_col}, bucket
+    ),
+    m AS (
+      SELECT {id_col},
+             map_from_entries(list(struct_pack(k := bucket, v := nf)))
+               AS mp
+      FROM prof GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           list_transform(range({int(dim)}),
+             i -> COALESCE(map_extract(mp, i)[1], CAST(0 AS BIGINT)))
+             AS features
+    FROM (SELECT DISTINCT {id_col} FROM {table}) t
+    LEFT JOIN m USING ({id_col})
+    """

@@ -697,6 +697,14 @@ class Babe:
         n = new.df if isinstance(new, Babe) else new
         return self._wrap(population_stability(self.df, n, col, bins=bins))
 
+    def feature_hash_encode(self, id_col="doc_id", text_col="text",
+                            dim=64) -> "Babe":
+        from pybabe_spark.operators.dsir import feature_hash_encode
+
+        return self._wrap(
+            feature_hash_encode(self.df, id_col, text_col, dim)
+        )
+
     def zipf_fit(self, top_n=1000, text_col="text") -> "Babe":
         from pybabe_spark.operators.tfidf import zipf_fit
 

@@ -1590,3 +1590,23 @@ def q_matryoshka_recall(spark, sf_dir):
     return ranking_metrics(
         results16, truth64, "query_id", "neighbor_id", "rank", k=10
     )
+
+
+def _fhash_sql():
+    from pybabe_spark.operators.dsir import feature_hash_encode_sql
+
+    return feature_hash_encode_sql(dim=64)
+
+
+@register("feature_hash_docs", _fhash_sql())
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick dense encoder (operators/dsir.py::
+    feature_hash_encode): every document as a fixed 64-wide
+    array<bigint> of hashed-bigram counts — the vocabulary-free
+    featurizer, built entirely JVM-side (md5 bucket hash agg →
+    map_from_entries → transform densification; zero UDFs). Empty
+    docs encode as the zero vector via the id-universe left join."""
+    from pybabe_spark.operators.dsir import feature_hash_encode
+
+    docs = read_table(spark, sf_dir, "documents")
+    return feature_hash_encode(docs, dim=64)

@@ -979,3 +979,56 @@ def test_zipf_fit_degenerate(spark):
     docs = spark.createDataFrame([(None,), ("",)], "text string")
     r = zipf_fit(docs).collect()[0]
     assert r["n_terms"] == 0 and r["total_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_encode (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_matches_python_model(spark):
+    """Vectors equal a Python replay of the md5 bucket arithmetic."""
+    import hashlib
+
+    from pybabe_spark.operators.dsir import feature_hash_encode
+
+    rows = [(1, "a b c a b"), (2, "x y"), (3, "solo"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: list(r["features"]) for r in
+           feature_hash_encode(df, dim=8).collect()}
+
+    def bucket(w1, w2, dim=8):
+        # full hash_bucket chain (operators/sampling.py): md5 60-bit
+        # prefix -> fold -> multiplicative mix -> [0, 1e6) -> % dim
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()
+        base = int(h[:15], 16)
+        folded = base % 1_000_003
+        return (folded * 2_654_435_761 + 123_456_789) % 1_000_000 % dim
+
+    exp = {i: [0] * 8 for i in (1, 2, 3, 4)}
+    for doc, text in rows:
+        if not text:
+            continue
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            exp[doc][bucket(a, b)] += 1
+    assert got == exp
+    # one-word and NULL docs are present as zero vectors
+    assert got[3] == [0] * 8 and got[4] == [0] * 8
+
+
+def test_feature_hash_shape_and_validation(spark):
+    from pybabe_spark.operators.dsir import feature_hash_encode
+
+    df = spark.createDataFrame([(i, "w1 w2 w3") for i in range(10)],
+                               "doc_id int, text string")
+    out = feature_hash_encode(df, dim=16)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(sum(r["features"]) == 2 for r in rows)  # 2 bigrams each
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        feature_hash_encode(df, dim=1)
