@@ -2866,3 +2866,75 @@ def rmst_sql(
     FROM stepped
     {f'GROUP BY {group_col}' if group_col else ''}
     """
+
+
+def km_quantiles(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    probs: "list[float]" = (0.75, 0.5, 0.25),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan–Meier quantile crossing times — "when has a quarter /
+    half / three quarters of the cohort converted (or churned)": for
+    each survival level ``q`` in ``probs``, the FIRST event time where
+    the curve drops to ``S(t) ≤ q``, per group. The classic median
+    survival time is ``q = 0.5``. NULL where the curve never reaches
+    ``q`` within observation — the case a naive median-of-durations
+    silently gets wrong under right-censoring (it treats censored
+    subjects as events), which is the whole reason to read this off
+    the KM curve. Output: one row per (group, q):
+    ``(group, q, t_cross, survival_at_cross)``.
+
+    Composes :func:`km_survival` verbatim (both engines — the oracle
+    nests km_survival_sql): the curve's survival is the once-rounded
+    6 dp double, so the ``S(t) ≤ q`` comparison is engine-identical;
+    the crossing pick is ``min_by(t)`` over curve rows at or below the
+    level, one hash agg per level over the distinct-duration-sized
+    curve. ``probs`` must lie in (0, 1).
+    """
+    ps = [float(p) for p in probs]
+    if not ps or any(not 0.0 < p < 1.0 for p in ps):
+        raise ValueError("km_quantiles: probs must be within (0, 1)")
+    g = [group_col] if group_col is not None else []
+    curve = km_survival(df, duration_col, event_col, group_col)
+    per_level = None
+    for p in ps:
+        hit = F.col("survival") <= F.lit(p)
+        lvl = curve.groupBy(*g).agg(
+            F.lit(p).alias("q"),
+            F.min(F.when(hit, F.col("t"))).alias("t_cross"),
+            F.min_by(
+                F.when(hit, F.col("survival")),
+                F.when(hit, F.col("t")),
+            ).alias("survival_at_cross"),
+        )
+        per_level = lvl if per_level is None else per_level.unionByName(lvl)
+    return per_level
+
+
+def km_quantiles_sql(
+    src: str,
+    duration_col: str,
+    event_col: str,
+    probs: "list[float]" = (0.75, 0.5, 0.25),
+    group_col: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`km_quantiles` — nests
+    :func:`km_survival_sql`, same level comparisons on the rounded
+    curve, same first-crossing pick."""
+    inner = km_survival_sql(src, duration_col, event_col, group_col)
+    g = f"{group_col}, " if group_col else ""
+    gb = f"GROUP BY {group_col}" if group_col else ""
+    arms = []
+    for p in probs:
+        pr = repr(float(p))
+        arms.append(f"""
+        SELECT {g}{pr} AS q,
+               MIN(CASE WHEN survival <= {pr} THEN t END) AS t_cross,
+               arg_min(CASE WHEN survival <= {pr} THEN survival END,
+                       CASE WHEN survival <= {pr} THEN t END)
+                 AS survival_at_cross
+        FROM curve {gb}""")
+    body = " UNION ALL ".join(arms)
+    return f"WITH curve AS ({inner}) {body}"

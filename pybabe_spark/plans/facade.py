@@ -802,6 +802,15 @@ class Babe:
             km_survival(self.df, duration_col, event_col, group_col)
         )
 
+    def km_quantiles(self, duration_col, event_col,
+                     probs=(0.75, 0.5, 0.25), group_col=None) -> "Babe":
+        from pybabe_spark.operators.timeseries import km_quantiles
+
+        return self._wrap(
+            km_quantiles(self.df, duration_col, event_col, probs,
+                         group_col)
+        )
+
     def rmst(self, duration_col, event_col, tau,
              group_col=None) -> "Babe":
         from pybabe_spark.operators.timeseries import rmst

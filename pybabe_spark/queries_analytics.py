@@ -2563,6 +2563,44 @@ def q_rmst(spark, sf_dir):
                 group_col="cohort")
 
 
+def _km_quant_sql() -> str:
+    from pybabe_spark.operators.timeseries import km_quantiles_sql
+
+    subjects = """(
+      SELECT arg_min(event_type, ts) AS cohort,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                  THEN epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END)) - epoch_us(MIN(ts))
+                  ELSE epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+             END AS duration,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  IS NOT NULL AS INT) AS event
+      FROM events GROUP BY user_id
+    )"""
+    return km_quantiles_sql(
+        subjects, "duration", "event", probs=(0.75, 0.5, 0.25),
+        group_col="cohort",
+    )
+
+
+@register("km_quantiles_events", _km_quant_sql())
+def q_km_quantiles(spark, sf_dir):
+    """KM quantile crossing times per cohort (operators/timeseries.py::
+    km_quantiles): when has 25/50/75% of the cohort purchased — the
+    censoring-honest median a naive duration median gets wrong, NULL
+    where the curve never reaches the level. Composes km_survival
+    verbatim; one min_by hash agg per level over the distinct-duration
+    curve."""
+    from pybabe_spark.operators.timeseries import km_quantiles
+
+    subjects = _km_subjects(spark, sf_dir)
+    return km_quantiles(
+        subjects, "duration", "event", probs=(0.75, 0.5, 0.25),
+        group_col="cohort",
+    )
+
+
 def _na_sql() -> str:
     from pybabe_spark.operators.timeseries import nelson_aalen_sql
 

@@ -453,3 +453,48 @@ def test_rmst_no_events_and_groups(spark):
 
     with pytest.raises(ValueError):
         rmst(df, "duration", "event", 0)
+
+
+def test_km_quantiles_textbook(spark):
+    from pybabe_spark.operators.timeseries import km_quantiles
+
+    # curve: S=0.8 at t=1, 0.533 at t=3, 0 at t=5
+    rows = [
+        ("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 4, 0), ("g", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    got = {r["q"]: r for r in km_quantiles(
+        df, "duration", "event", probs=(0.9, 0.6, 0.5, 0.1),
+        group_col="grp",
+    ).collect()}
+    assert got[0.9]["t_cross"] == 1      # S=0.8 <= 0.9 first at t=1
+    assert got[0.6]["t_cross"] == 3      # 0.533 <= 0.6
+    assert got[0.5]["t_cross"] == 5      # only extinction reaches 0.5
+    assert got[0.5]["survival_at_cross"] == 0.0
+    assert got[0.1]["t_cross"] == 5
+
+
+def test_km_quantiles_censoring_vs_naive_median(spark):
+    """Half the cohort censored early: the naive duration median is
+    tiny, the KM median is NULL (the curve never reaches 0.5) — the
+    censoring-honesty this operator exists for."""
+    from pybabe_spark.operators.timeseries import km_quantiles
+
+    rows = [("g", 1, 0)] * 6 + [("g", 10, 1)] * 2 + [("g", 20, 0)] * 2
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    got = {r["q"]: r for r in km_quantiles(
+        df, "duration", "event", probs=(0.5,), group_col="grp"
+    ).collect()}
+    # at t=10: risk 4, d=2 -> S = 0.5 exactly -> crossing AT t=10
+    assert got[0.5]["t_cross"] == 10
+    # tighten: with only 1 event of 4 the curve stays at 0.75 -> NULL
+    rows = [("g", 1, 0)] * 6 + [("g", 10, 1)] + [("g", 20, 0)] * 3
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    got = km_quantiles(df, "duration", "event", probs=(0.5,),
+                       group_col="grp").collect()
+    assert got[0]["t_cross"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        km_quantiles(df, "duration", "event", probs=(1.5,))
