@@ -2795,11 +2795,21 @@ def rmst(
     Composes the KM machinery: the curve's step integral is
     ``min(t₁,τ)·1 + Σᵢ S(tᵢ)·(min(tᵢ₊₁,τ) − min(tᵢ,τ))`` over the
     distinct event times (last step extends to τ). Each step's
-    ``S·Δt`` is ONE double product of the 6dp-rounded survival and
-    exact integer durations, rounded once to DECIMAL(38,6) and
-    decimal-summed (order-independent); the first segment is exact
-    integer arithmetic. Output ``(group, tau, n_steps, rmst)`` in the
-    duration column's own units; empty groups are absent, and a group
+    ``S·Δt`` is EXACT decimal arithmetic in both engines: the
+    6dp-rounded survival recast to DECIMAL(7,6) (exact — a double
+    that is the rounding of a 6dp value is never a conversion tie)
+    times the exact bigint Δt as DECIMAL(20,0), an exact
+    DECIMAL(28,6) product with NO double intermediate. With µs-scale
+    durations the product needs ≥18 significant digits — past
+    double's ~15.95 — so a double product lands Spark's BigDecimal
+    HALF_UP and DuckDB's double-space rounding on different 6dp grid
+    points; exact decimals are the only engine-portable form. The
+    steps are decimal-summed (order-independent); the first segment
+    is exact integer arithmetic. Output ``(group, tau, n_steps,
+    rmst DECIMAL(38,6))`` in the duration column's own units — the
+    result stays exact decimal because at µs durations the value
+    itself exceeds double precision (cast it yourself if a lossy
+    float is acceptable); empty groups are absent, and a group
     whose first event lies beyond τ reports rmst = τ.
 
     Scale shape: km_survival's plan (hash agg to the distinct-duration
@@ -2815,7 +2825,8 @@ def rmst(
     nxt = F.lead(F.col("t").cast("bigint"), 1).over(w_ord)
     nxt_cap = F.least(F.coalesce(nxt, F.lit(int(tau))), F.lit(int(tau)))
     step = (
-        F.col("survival") * (nxt_cap - t_cap).cast("double")
+        F.col("survival").cast("decimal(7,6)")
+        * (nxt_cap - t_cap).cast("decimal(20,0)")
     ).cast("decimal(38,6)")
     stepped = curve.select(*g, "t", "survival").withColumn("__s", step)
     return stepped.groupBy(*g).agg(
@@ -2828,7 +2839,7 @@ def rmst(
                 F.sum("__s"), F.lit(0).cast("decimal(38,6)")
             )
         )
-        .cast("double")
+        .cast("decimal(38,6)")
         .alias("rmst"),
     )
 
@@ -2842,7 +2853,8 @@ def rmst_sql(
 ) -> str:
     """DuckDB oracle of :func:`rmst` — nests :func:`km_survival_sql`
     verbatim (the curve definition cannot drift), same capped lead,
-    per-step rounding, and decimal sum."""
+    exact DECIMAL(7,6) × DECIMAL(20,0) step product (no double
+    intermediate — see :func:`rmst`), and decimal sum."""
     inner = km_survival_sql(src, duration_col, event_col, group_col)
     g = f"{group_col}, " if group_col else ""
     gp = f"PARTITION BY {group_col}" if group_col else ""
@@ -2851,10 +2863,10 @@ def rmst_sql(
     WITH curve AS ({inner}),
     stepped AS (
         SELECT {g}t, survival,
-               CAST(survival *
+               CAST(CAST(survival AS DECIMAL(7,6)) *
                  CAST(LEAST(COALESCE(LEAD(CAST(t AS BIGINT), 1) OVER
                         ({gp} ORDER BY t), {t}), {t})
-                      - LEAST(CAST(t AS BIGINT), {t}) AS DOUBLE)
+                      - LEAST(CAST(t AS BIGINT), {t}) AS DECIMAL(20,0))
                AS DECIMAL(38,6)) AS s
         FROM curve
     )
@@ -2862,7 +2874,7 @@ def rmst_sql(
            CAST(COUNT(*) AS BIGINT) AS n_steps,
            CAST(CAST(LEAST(MIN(CAST(t AS BIGINT)), {t}) AS DECIMAL(38,6))
                 + COALESCE(SUM(s), CAST(0 AS DECIMAL(38,6)))
-                AS DOUBLE) AS rmst
+                AS DECIMAL(38,6)) AS rmst
     FROM stepped
     {f'GROUP BY {group_col}' if group_col else ''}
     """

@@ -1251,7 +1251,7 @@ _ER_CLUSTERS_MEMO: "_weakref.WeakKeyDictionary" = (
 
 
 def _er_clusters(spark, sf_dir):
-    from pybabe_spark.operators.fuzzy import fuzzy_pairs
+    from pybabe_spark.operators.fuzzy import fuzzy_connectivity_pairs
     from pybabe_spark.operators.graph import dup_clusters
 
     try:
@@ -1265,7 +1265,12 @@ def _er_clusters(spark, sf_dir):
     if hit is not None:
         return hit
     cust = read_table(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    # star-reduced edge set: provably identical components to the full
+    # fuzzy_pairs graph (positional buckets are cliques — see
+    # fuzzy_connectivity_pairs), at ~1/5 the CC input here and a
+    # linear-vs-quadratic gap at scale; the oracle keeps the all-pairs
+    # definition, which is exactly the property being certified
+    pairs = fuzzy_connectivity_pairs(cust, "c_custkey", "c_name")
     clusters = dup_clusters(
         cust, pairs, id_col="c_custkey", src="id1", dst="id2"
     ).localCheckpoint(eager=False)  # lazy: construction stays job-free,
@@ -2544,23 +2549,42 @@ def _rmst_sql() -> str:
                   IS NOT NULL AS INT) AS event
       FROM events GROUP BY user_id
     )"""
-    return rmst_sql(subjects, "duration", "event", _RMST_TAU,
-                    group_col="cohort")
+    inner = rmst_sql(subjects, "duration", "event", _RMST_TAU,
+                     group_col="cohort")
+    # Finish to exact integral micro-units: at µs durations the rmst
+    # needs ~18 significant digits, past double precision, so a double
+    # finish is one-ulp engine-divergent by construction. BIGINT of
+    # rmst×1e6 is exact and portable through any canonicalizer.
+    return f"""
+    SELECT cohort, tau, n_steps,
+           CAST(CAST(rmst AS DECIMAL(24,6))
+                * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS rmst_micros
+    FROM ({inner})
+    """
 
 
 @register("rmst_events", _rmst_sql())
 def q_rmst(spark, sf_dir):
     """Restricted mean time-to-purchase within the first 3 days per
     cohort (operators/timeseries.py::rmst): the KM curve's step
-    integral ∫₀^τ S(t)dt — per-step S·Δt rounded once to
-    DECIMAL(38,6) then decimal-summed, first segment exact integer —
-    the effect-size scalar the log-rank p-value lacks. km_survival's
-    plan plus one lead() and one group agg."""
+    integral ∫₀^τ S(t)dt — per-step S·Δt as an EXACT DECIMAL(7,6) ×
+    DECIMAL(20,0) product (no double anywhere: the values exceed
+    double's 15.95 significant digits), decimal-summed, first segment
+    exact integer — the effect-size scalar the log-rank p-value
+    lacks. Emitted as exact BIGINT micro-units (rmst×1e6).
+    km_survival's plan plus one lead() and one group agg."""
     from pybabe_spark.operators.timeseries import rmst
 
     subjects = _km_subjects(spark, sf_dir)
-    return rmst(subjects, "duration", "event", _RMST_TAU,
-                group_col="cohort")
+    out = rmst(subjects, "duration", "event", _RMST_TAU,
+               group_col="cohort")
+    return out.select(
+        "cohort", "tau", "n_steps",
+        (
+            F.col("rmst").cast("decimal(24,6)")
+            * F.lit(1000000).cast("decimal(7,0)")
+        ).cast("bigint").alias("rmst_micros"),
+    )
 
 
 def _km_quant_sql() -> str:

@@ -1595,7 +1595,13 @@ def q_matryoshka_recall(spark, sf_dir):
 def _fhash_sql():
     from pybabe_spark.operators.dsir import feature_hash_encode_sql
 
-    return feature_hash_encode_sql(dim=64)
+    # The driver's canonicalizer pandas-sorts result cells and cannot
+    # hash list values — serialize the array<bigint> to a canonical
+    # comma string, exactly like quantize_embeddings_int8's `codes`.
+    return (
+        "SELECT doc_id, array_to_string(features, ',') AS features "
+        f"FROM ({feature_hash_encode_sql(dim=64)})"
+    )
 
 
 @register("feature_hash_docs", _fhash_sql())
@@ -1605,8 +1611,15 @@ def q_feature_hash(spark, sf_dir):
     array<bigint> of hashed-bigram counts — the vocabulary-free
     featurizer, built entirely JVM-side (md5 bucket hash agg →
     map_from_entries → transform densification; zero UDFs). Empty
-    docs encode as the zero vector via the id-universe left join."""
+    docs encode as the zero vector via the id-universe left join.
+    The vector is emitted as a canonical comma string so the
+    cross-engine hash compares arrays portably (quantize precedent)."""
     from pybabe_spark.operators.dsir import feature_hash_encode
 
     docs = read_table(spark, sf_dir, "documents")
-    return feature_hash_encode(docs, dim=64)
+    return feature_hash_encode(docs, dim=64).select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: x.cast("string"))
+        ).alias("features"),
+    )

@@ -634,17 +634,24 @@ def _pull_zip(spark, filename, fmt, *, separator=None, header=True,
 
 
 def _pull_excel(spark, filename):
-    """Driver-side excel shim (pybabe/format_xlsx.py:16-49).
+    """Driver-side excel shim (pybabe/format_xlsx.py:16-49; legacy
+    binary ``.xls`` per pybabe/format_xls.py:10-28).
 
     Excel files are inherently small single-machine artifacts; parse with
-    pandas on the driver then parallelize.
+    pandas on the driver then parallelize. pandas needs a per-format
+    engine dependency — ``openpyxl`` for ``.xlsx``, ``xlrd`` for
+    2003-era ``.xls`` — and raises ImportError from ``read_excel`` when
+    it is absent; surface the engine's clear NotImplementedError naming
+    the right package instead of a bare pandas traceback.
     """
+    eng = "xlrd" if str(filename).lower().endswith(".xls") else "openpyxl"
     try:
         import pandas as pd
         pdf = pd.read_excel(filename)
-    except ImportError as e:  # pragma: no cover - env without openpyxl
+    except ImportError as e:
         raise NotImplementedError(
-            "excel pull requires pandas+openpyxl on the driver"
+            f"excel pull of {os.path.basename(str(filename))} requires "
+            f"pandas+{eng} on the driver (not installed)"
         ) from e
     return spark.createDataFrame(pdf)
 

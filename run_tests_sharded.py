@@ -42,7 +42,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 #: duration correction for files whose cost the size proxy misses:
 #: oracle-parity is a small file expanding to ~236 parametrized Spark+
 #: DuckDB comparisons; streaming tests sit in availableNow waits.
-_WEIGHT = {"test_oracle_parity.py": 12, "test_streaming.py": 4}
+_WEIGHT = {
+    "test_oracle_parity.py": 12,
+    "test_oracle_parity_sf01.py": 16,
+    "test_streaming.py": 4,
+}
 
 
 def _cost(f: str) -> int:

@@ -424,15 +424,15 @@ def test_rmst_textbook(spark):
     df = spark.createDataFrame(rows, "grp string, duration int, event int")
     # tau = 4: 1*1 + 0.8*(3-1) + 0.533333*(4-3) = 3.133333
     r = rmst(df, "duration", "event", 4, group_col="grp").collect()[0]
-    assert r["rmst"] == _pt.approx(1 + 0.8 * 2 + 0.533333, abs=1e-5)
+    assert float(r["rmst"]) == _pt.approx(1 + 0.8 * 2 + 0.533333, abs=1e-5)
     # tau beyond the last event: the S=0 tail adds nothing
     r = rmst(df, "duration", "event", 100, group_col="grp").collect()[0]
-    assert r["rmst"] == _pt.approx(
+    assert float(r["rmst"]) == _pt.approx(
         1 + 0.8 * 2 + 0.533333 * 2 + 0.0 * 95, abs=1e-5
     )
     # tau before the first event: rmst = tau exactly
     r = rmst(df, "duration", "event", 1, group_col="grp").collect()[0]
-    assert r["rmst"] == _pt.approx(1.0)
+    assert float(r["rmst"]) == _pt.approx(1.0)
 
 
 def test_rmst_no_events_and_groups(spark):
@@ -445,8 +445,8 @@ def test_rmst_no_events_and_groups(spark):
     got = {r["grp"]: r for r in
            rmst(df, "duration", "event", 6, group_col="grp").collect()}
     # a: S=0.5 on [1,6) capped -> 1 + 0.5*5 = 3.5 ; b: 2 + 0*4 = 2
-    assert got["a"]["rmst"] == _pt.approx(3.5)
-    assert got["b"]["rmst"] == _pt.approx(2.0)
+    assert float(got["a"]["rmst"]) == _pt.approx(3.5)
+    assert float(got["b"]["rmst"]) == _pt.approx(2.0)
     assert got["a"]["n_steps"] == 2
 
     import pytest

@@ -146,3 +146,65 @@ def test_fellegi_sunter_hand_checked(spark):
         fellegi_sunter(df, {})
     with pytest.raises(ValueError, match="lower"):
         fellegi_sunter(df, fields, lower=5.0, upper=1.0)
+
+
+# -- fuzzy_connectivity_pairs (star-reduced CC edge set) ----------------------
+
+
+def test_connectivity_pairs_same_components_as_full(spark):
+    """The star-reduced edge set must (a) contain only TRUE distance-1
+    pairs, and (b) induce exactly the same connected components as the
+    full fuzzy_pairs graph — the property _er_clusters relies on."""
+    from pybabe_spark.operators.fuzzy import fuzzy_connectivity_pairs
+    from pybabe_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    strings = sorted(
+        {
+            "".join(rng.choice("ab0") for _ in range(rng.randint(1, 5)))
+            for _ in range(100)
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id int, s string"
+    )
+
+    full = fuzzy_pairs(df, "id", "s", max_dist=1)
+    red = fuzzy_connectivity_pairs(df, "id", "s")
+
+    # (a) soundness: every reduced edge is a true distance-1 pair
+    id2s = dict(enumerate(strings))
+    red_edges = {(r["id1"], r["id2"]) for r in red.collect()}
+    assert red_edges, "fixture produced no edges"
+    for a, b in red_edges:
+        assert _lev(id2s[a], id2s[b]) == 1
+
+    # (b) same components (reduced is a subset, so it can only
+    # under-connect — equality certifies nothing was lost)
+    full_edges = {(r["id1"], r["id2"]) for r in full.collect()}
+    assert red_edges <= full_edges
+    cc_full = {
+        r["id"]: r["component"]
+        for r in connected_components(full, "id1", "id2").collect()
+    }
+    cc_red = {
+        r["id"]: r["component"]
+        for r in connected_components(red, "id1", "id2").collect()
+    }
+    assert cc_full == cc_red
+
+
+def test_connectivity_pairs_duplicate_strings_attach(spark):
+    """Rows sharing a string must all attach to the string's edges
+    (same id-multiplication contract as fuzzy_pairs)."""
+    from pybabe_spark.operators.fuzzy import fuzzy_connectivity_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "ab")], "id int, s string"
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in fuzzy_connectivity_pairs(df, "id", "s").collect()
+    }
+    # "aa"~"ab" is the only string edge; both ids of "aa" carry it
+    assert got == {(1, 3), (2, 3)}
