@@ -286,6 +286,11 @@ LOWMEM_FAMILIES = [
     # stages — the claim under test is the same graceful-spill one
     "spearman_exact",
     "bootstrap_ci",
+    # r10 second-session heavyweights (r10 verdict ask #7): the same
+    # de-globalized rank machinery (KW) and the capped-center wedge
+    # join (AA) must spill, not OOM, when the unified region shrinks
+    "kruskal_wallis",
+    "adamic_adar",
 ]
 
 

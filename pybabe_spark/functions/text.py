@@ -375,6 +375,174 @@ def gopher_quality_flags(text: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Readability
+# ---------------------------------------------------------------------------
+
+#: syllable heuristic: one syllable per maximal vowel group (y counts as
+#: a vowel), floored at one per word — the standard cheap estimator the
+#: Flesch formulas were tuned against. Shared verbatim with the oracle.
+_SYLLABLE_RE = "[aeiouy]+"
+_SENTENCE_RE = "[.!?]+"
+
+
+def _floordiv_duck(num: str, den: str) -> str:
+    """Portable FLOOR division for possibly-negative integer ``num``
+    (DuckDB spelling): truncating div rounds toward zero, which differs
+    from floor on negatives — subtracting the positive pmod first makes
+    the numerator exactly divisible, so truncation IS floor. The Spark
+    twin is ``_readability_struct``'s ``_floordiv``."""
+    return (
+        f"((({num}) - (((({num}) % ({den})) + ({den})) % ({den})))"
+        f" // ({den}))"
+    )
+
+
+def readability(text: str) -> Column:
+    """Flesch readability per document, EXACT integer arithmetic:
+    struct ``(n_words, n_sentences, n_syllables, reading_ease_ppm,
+    fk_grade_ppm)``.
+
+    - words: whitespace split (``words``), so W ≥ 1 on any non-null
+      text (empty text splits to one empty word — scored, not crashed).
+    - sentences: maximal ``[.!?]+`` runs, floored at 1.
+    - syllables: maximal vowel groups (``[aeiouy]+``, lowercased),
+      floored at one per word.
+    - Flesch reading ease ``206.835 − 1.015·W/S − 84.6·Y/W`` and
+      Flesch–Kincaid grade ``0.39·W/S + 11.8·Y/W − 15.59`` are emitted
+      as FLOORED integral ppm (×1e6) over the common denominator S·W —
+      pure BIGINT arithmetic end to end (the house integral-ppm idiom:
+      no IEEE division, so any SQL engine replays the exact value; the
+      pmod-floor construction keeps negative grades floor-consistent
+      across engines, where plain integer division truncates).
+
+    All counts are ``regexp_count``/``size`` — whole-stage codegen, no
+    UDF, no shuffle; linear scan at any corpus size.
+    """
+    c = F.col(text)
+    w_cnt = F.size(words(text)).cast("bigint")
+    s_cnt = F.greatest(
+        F.regexp_count(c, F.lit(_SENTENCE_RE)).cast("bigint"), F.lit(1)
+    )
+    y_cnt = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(_SYLLABLE_RE)).cast("bigint"),
+        w_cnt,
+    )
+    return _readability_struct(w_cnt, s_cnt, y_cnt)
+
+
+def _readability_struct(w_cnt: Column, s_cnt: Column, y_cnt: Column) -> Column:
+    """Assemble the readability struct from the three counts (split out
+    so the counts stay Column-typed — no string substitution of
+    sub-expressions into one giant SQL text)."""
+
+    def _floordiv(num: Column, den: Column) -> Column:
+        # subtract the positive mod so the quotient is integral, then
+        # divide in DECIMAL(38,0) — exact at any magnitude (a double
+        # division would silently lose exactness past 2^53, i.e. on
+        # ~100k-word documents)
+        adj = (num - F.pmod(num, den)).cast("decimal(38,0)")
+        return (adj / den.cast("decimal(38,0)")).cast("bigint")
+
+    ease_num = (
+        F.lit(206835000) * s_cnt * w_cnt
+        - F.lit(1015000) * w_cnt * w_cnt
+        - F.lit(84600000) * y_cnt * s_cnt
+    )
+    grade_num = (
+        F.lit(390000) * w_cnt * w_cnt
+        + F.lit(11800000) * y_cnt * s_cnt
+        - F.lit(15590000) * s_cnt * w_cnt
+    )
+    den = s_cnt * w_cnt
+    return F.struct(
+        w_cnt.alias("n_words"),
+        s_cnt.alias("n_sentences"),
+        y_cnt.alias("n_syllables"),
+        _floordiv(ease_num, den).alias("reading_ease_ppm"),
+        _floordiv(grade_num, den).alias("fk_grade_ppm"),
+    )
+
+
+def readability_sql(
+    text_col: str = "text", table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle of :func:`readability` — identical regexes, the
+    same pmod-floor ppm arithmetic (``//`` after subtracting the
+    positive mod; DuckDB ``%`` truncates like Spark's, so the
+    construction is engine-identical)."""
+    w = f"CAST(len(string_split({text_col}, ' ')) AS BIGINT)"
+    s = (
+        "GREATEST(CAST(len(regexp_extract_all("
+        f"{text_col}, '{_SENTENCE_RE}')) AS BIGINT), 1)"
+    )
+    y = (
+        "GREATEST(CAST(len(regexp_extract_all("
+        f"lower({text_col}), '{_SYLLABLE_RE}')) AS BIGINT), {w})"
+    )
+    ease_num = (
+        "(206835000 * __S * __W - 1015000 * __W * __W"
+        " - 84600000 * __Y * __S)"
+    )
+    grade_num = (
+        "(390000 * __W * __W + 11800000 * __Y * __S"
+        " - 15590000 * __S * __W)"
+    )
+    den = "(__S * __W)"
+    return f"""
+    WITH cnts AS (
+      SELECT {id_col}, {w} AS __W, {s} AS __S, {y} AS __Y
+      FROM {table} WHERE {text_col} IS NOT NULL
+    )
+    SELECT {id_col},
+           __W AS n_words, __S AS n_sentences, __Y AS n_syllables,
+           {_floordiv_duck(ease_num, den)} AS reading_ease_ppm,
+           {_floordiv_duck(grade_num, den)} AS fk_grade_ppm
+    FROM cnts
+    """
+
+
+def compression_ratio(text: str, level: int = 6) -> Column:
+    """zlib bytes-in / bytes-out per document as a double — the classic
+    compressibility quality signal (Gopher / RefinedWeb): repetitive
+    boilerplate compresses far better than natural prose, so a HIGH
+    ratio flags template/spam text the n-gram rules can miss, and a
+    ratio near 1.0 flags random/binary junk.
+
+    Genuinely non-SQL-expressible (an actual DEFLATE pass), so this is
+    the documented Arrow-batched ``pandas_udf`` seam — one Python
+    invocation per Arrow batch, zlib at ``level`` (deterministic: zlib
+    output is fully specified by input+level+strategy, so the same text
+    scores identically on every executor and every run). NULL and
+    empty text score NULL (no bytes to compress — 0/overhead would
+    fabricate a misleading sub-1.0 ratio).
+
+    Scale shape: narrow map, zero shuffle; the per-batch cost is the
+    DEFLATE pass itself (~100 MB/s/core), which is why it runs over
+    Arrow batches and not per row.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+    if not 1 <= lvl <= 9:
+        raise ValueError(f"compression_ratio: level {lvl} outside [1, 9]")
+
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None or t == "":
+                return None
+            raw = t.encode("utf-8")
+            return len(raw) / len(zlib.compress(raw, lvl))
+
+        return s.map(one).astype("float64")
+
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio, "double")(F.col(text))
+
+
+# ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
 

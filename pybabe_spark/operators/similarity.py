@@ -1572,3 +1572,118 @@ def embedding_stats_sql(table: str, col: str = "embedding") -> str:
     FROM rows_in CROSS JOIN modal
     GROUP BY modal.n_dims, modal.modal_dim
     """
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid vs the global centroid:
+    ``(group, n_vecs, centroid_cosine)`` — the segment-level drift /
+    bias diagnostic over a vector column (a label whose centroid points
+    away from the corpus centroid is the cluster your sampling mix
+    under- or over-weights; tracked across snapshots it is embedding
+    drift without pairwise comparisons).
+
+    Cross-engine determinism, layer by layer (the numeric contract
+    every oracle-checked vector aggregate here follows):
+
+    - component sums are EXACT DECIMAL(12,9) sums (order-independent —
+      a plain double sum across rows varies with shuffle order);
+    - each centroid component is ``CAST(sum AS DOUBLE) / count`` — one
+      correctly-rounded conversion (sums stay far under 15.95
+      significant digits at any plausible group size) and one
+      correctly-rounded IEEE division, bit-identical in any engine;
+    - the cosine folds the 64 components IN POSITION ORDER
+      (``array_sort`` on pos + sequential ``aggregate``), and the final
+      DECIMAL(18,6) rounding absorbs the ±1e-15 tail the O(1)-magnitude
+      fold can carry (module-header convention).
+
+    Scale shape: one explode to the (group, pos) grain feeding TWO
+    map-side-combinable hash aggs (per-group and global), a broadcast
+    join on the dim-sized global table, one collect_list bounded by the
+    vector width per group. Nothing grows faster than corpus × dims.
+    """
+    xd = F.col("x").cast("double").cast("decimal(12,9)")
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    per = ex.groupBy("g", "pos").agg(
+        F.sum(xd).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = ex.groupBy("pos").agg(
+        F.sum(xd).alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    j = per.join(F.broadcast(glob), "pos").select(
+        "g", "pos", "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (F.col("gs").cast("double") / F.col("gn")).alias("gm"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("pos", "m", "gm")))
+
+    def _fold(a, f):
+        return F.aggregate(a, F.lit(0.0), lambda acc, t: acc + f(t))
+
+    agg = j.groupBy(F.col("g").alias(group_col)).agg(
+        F.max("n").alias("n_vecs"), arr.alias("__a")
+    )
+    dot = _fold(F.col("__a"), lambda t: t["m"] * t["gm"])
+    na = _fold(F.col("__a"), lambda t: t["m"] * t["m"])
+    nb = _fold(F.col("__a"), lambda t: t["gm"] * t["gm"])
+    return agg.select(
+        group_col,
+        "n_vecs",
+        F.when(
+            na * nb > 0,
+            (dot / F.sqrt(na * nb)).cast("decimal(18,6)").cast("double"),
+        ).alias("centroid_cosine"),
+    )
+
+
+def centroid_drift_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle of :func:`centroid_drift` — same decimal component
+    sums, the same single double conversion + division per component,
+    position-ordered lists, DECIMAL(18,6) finish."""
+    rng = f"range(1, {dims + 1})"
+    return f"""
+    WITH ex AS (
+      SELECT {group_col} AS g, pos,
+             CAST(CAST({vec_col}[pos] AS DOUBLE) AS DECIMAL(12,9)) AS xd
+      FROM {table}, (SELECT unnest({rng}) AS pos) t
+      WHERE {vec_col} IS NOT NULL
+    ),
+    per AS (SELECT g, pos, SUM(xd) AS s, COUNT(*) AS n
+            FROM ex GROUP BY g, pos),
+    gtot AS (SELECT pos, SUM(xd) AS gs, COUNT(*) AS gn
+             FROM ex GROUP BY pos),
+    v AS (
+      SELECT g, pos, n,
+             CAST(s AS DOUBLE) / n AS m,
+             CAST(gs AS DOUBLE) / gn AS gm
+      FROM per JOIN gtot USING (pos)
+    ),
+    agg AS (
+      SELECT g, MAX(n) AS n_vecs,
+             list(m ORDER BY pos) AS lm,
+             list(gm ORDER BY pos) AS lg
+      FROM v GROUP BY g
+    )
+    SELECT g AS {group_col}, n_vecs,
+           CASE WHEN list_sum(list_transform(lm, x -> x * x))
+                     * list_sum(list_transform(lg, x -> x * x)) > 0
+                THEN CAST(CAST(
+                  list_sum(list_transform({rng},
+                           i -> lm[i] * lg[i]))
+                  / sqrt(list_sum(list_transform(lm, x -> x * x))
+                       * list_sum(list_transform(lg, x -> x * x)))
+                  AS DECIMAL(18,6)) AS DOUBLE)
+           END AS centroid_cosine
+    FROM agg
+    """

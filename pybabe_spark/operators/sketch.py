@@ -3920,3 +3920,120 @@ def ratio_metric_ci_sql(
            THEN {fin(f"{rr} + {half}")} END AS ci_hi
     FROM agg
     """
+
+
+def _power_expr(relative_mde: float, z_alpha: float, z_power: float) -> str:
+    """Required-per-arm-n SQL over double columns ``kk`` (successes)
+    and ``nn`` (trials) — the standard two-proportion power formula
+    ``n = (z_a·√(2·p̄·(1−p̄)) + z_b·√(p₁q₁ + p₂q₂))² / (p₂−p₁)²`` with
+    ``p₂ = p₁·(1+MDE)``. ONE textual formula evaluated by both engines
+    (the :func:`_wilson_exprs` discipline): exact integer inputs, a
+    fixed-shape IEEE tree, constants embedded as identical decimal
+    literals — bit-identical everywhere, so even the final ``ceil``
+    cannot straddle."""
+    za = repr(float(z_alpha))
+    zb = repr(float(z_power))
+    m = repr(1.0 + float(relative_mde))
+    p1 = "(kk / nn)"
+    p2 = f"({p1} * {m})"
+    pbar = f"(({p1} + {p2}) / 2.0)"
+    num = (
+        f"({za} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {zb} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
+    )
+    return f"(({num} * {num}) / (({p2} - {p1}) * ({p2} - {p1})))"
+
+
+def required_sample_size(
+    df: DataFrame,
+    success_col: str,
+    by: str | None = None,
+    relative_mde: float = 0.10,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Per-group A/B sample-size requirement: ``(group?, n, successes,
+    p_ppm, n_required)`` — how many units PER ARM a two-proportion test
+    needs to detect a ``relative_mde`` lift over the group's observed
+    baseline rate at the given z-quantiles (defaults: two-sided
+    α = 0.05, power 0.8). The planning half of the experimentation
+    suite: :func:`ab_test` decides after the fact; this says whether
+    the experiment is even worth starting, and ``n_required ≫ n`` is
+    the "this segment can't support that MDE" warning.
+
+    ``z_alpha``/``z_power`` are passed as quantile VALUES (like
+    :func:`proportion_ci`'s ``z``) — no inverse-normal is computed, so
+    there is nothing engine-specific anywhere. Groups where the
+    formula is undefined (no successes, baseline 0, or the lifted rate
+    reaching 1) report NULL ``n_required``. Same scale shape as
+    proportion_ci: one conditional hash agg, then scalar codegen math.
+    """
+    if relative_mde <= 0:
+        raise ValueError(
+            f"required_sample_size: relative_mde {relative_mde} must be > 0"
+        )
+    expr = _power_expr(relative_mde, z_alpha, z_power)
+    m = 1.0 + float(relative_mde)
+    keys = [by] if by else []
+    base = df.filter(F.col(success_col).isNotNull()).select(
+        *keys, F.col(success_col).cast("int").alias("__s")
+    )
+    agg = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("__s"), F.lit(0)).cast("bigint").alias("successes"),
+    )
+    with_d = agg.withColumn(
+        "kk", F.col("successes").cast("double")
+    ).withColumn("nn", F.col("n").cast("double"))
+    guard = (
+        (F.col("n") > 0)
+        & (F.col("successes") > 0)
+        & (F.col("kk") / F.col("nn") * F.lit(m) < 1.0)
+    )
+    return with_d.select(
+        *keys,
+        "n",
+        "successes",
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(successes * 1000000 div n AS BIGINT)"),
+        ).alias("p_ppm"),
+        F.when(guard, F.ceil(F.expr(expr)).cast("bigint")).alias(
+            "n_required"
+        ),
+    )
+
+
+def required_sample_size_sql(
+    select: str,
+    success_col: str,
+    by: str | None = None,
+    relative_mde: float = 0.10,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> str:
+    """DuckDB oracle of :func:`required_sample_size` — the identical
+    textual power formula over the identical exact counts."""
+    expr = _power_expr(relative_mde, z_alpha, z_power)
+    m = repr(1.0 + float(relative_mde))
+    keys = f"{by}, " if by else ""
+    grp = f"GROUP BY {by}" if by else ""
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (
+        SELECT {keys}COUNT(*) AS n,
+               COALESCE(SUM(CAST({success_col} AS INT)), 0) AS successes
+        FROM rows_in WHERE {success_col} IS NOT NULL {grp}
+    ),
+    d AS (
+        SELECT *, CAST(successes AS DOUBLE) AS kk, CAST(n AS DOUBLE) AS nn
+        FROM agg
+    )
+    SELECT {keys}CAST(n AS BIGINT) AS n,
+           CAST(successes AS BIGINT) AS successes,
+           CASE WHEN n > 0 THEN
+             CAST(successes * 1000000 // n AS BIGINT) END AS p_ppm,
+           CASE WHEN n > 0 AND successes > 0 AND kk / nn * {m} < 1.0 THEN
+             CAST(ceil({expr}) AS BIGINT) END AS n_required
+    FROM d
+    """

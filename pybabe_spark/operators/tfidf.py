@@ -547,3 +547,115 @@ def zipf_fit_sql(
            THEN {fin(f"{cov} * {cov} / ({vx} * {vy})")} END AS r2
     FROM agg, tot
     """
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_groups: int = 64,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups: one row per group
+    pair ``(g1 < g2)`` with ``(g1, g2, v1, v2, intersection,
+    jaccard_ppm)`` over the groups' DISTINCT word sets — the
+    data-mix diagnostic for "how lexically redundant are these two
+    sources / languages / snapshots" (near-1 Jaccard between two
+    sources means sampling both buys little diversity). ``jaccard_ppm``
+    is exact floored integral ppm (house idiom, no IEEE division);
+    pairs with an empty intersection are emitted with 0.
+
+    Bounded-pair contract (same discipline as the ANN bounded-query
+    lint): the quadratic object is GROUPS², never the corpus — the
+    in-plan guard raises at action time when the group count exceeds
+    ``max_groups`` instead of silently planning a huge pair join.
+    The corpus-scale work is one distinct to the (group, word) grain;
+    the word self-join's bucket width is ≤ the group count per word,
+    so candidate volume is ≤ vocab × max_groups² — linear in vocab.
+    """
+    if max_groups < 2:
+        raise ValueError(f"vocab_overlap: max_groups {max_groups} < 2")
+    from pybabe_spark.functions.text import words
+
+    gw = (
+        df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(words(text_col)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = gw.groupBy("g").agg(F.count(F.lit(1)).alias("v"))
+    # in-plan bounded-groups guard: total group count rides a window
+    # over the tiny per-group size table (groups rows, not corpus)
+    msg = (
+        f"vocab_overlap: more than max_groups={max_groups} groups; "
+        "raise max_groups only if a quadratic group-pair join is "
+        "genuinely intended"
+    )
+    sizes = sizes.withColumn(
+        "__ng", F.count(F.lit(1)).over(Window.partitionBy())
+    ).filter(
+        F.when(
+            F.col("__ng") > max_groups,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__ng")
+    inter = (
+        gw.alias("a")
+        .join(gw.alias("b"), "w")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    pairs = (
+        sizes.select(F.col("g").alias("g1"), F.col("v").alias("v1"))
+        .join(
+            sizes.select(F.col("g").alias("g2"), F.col("v").alias("v2")),
+            F.col("g1") < F.col("g2"),
+        )
+        .join(inter, ["g1", "g2"], "left")
+        .withColumn("intersection", F.coalesce("intersection", F.lit(0)))
+    )
+    return pairs.select(
+        F.col("g1").alias(f"{group_col}_1"),
+        F.col("g2").alias(f"{group_col}_2"),
+        F.col("v1").cast("bigint"),
+        F.col("v2").cast("bigint"),
+        F.col("intersection").cast("bigint"),
+        F.expr(
+            "(intersection * 1000000) div (v1 + v2 - intersection)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def vocab_overlap_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle of :func:`vocab_overlap` — same split/distinct,
+    pair join, floored integral ppm."""
+    return f"""
+    WITH gw AS (
+      SELECT DISTINCT {group_col} AS g, w
+      FROM (SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS w
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {text_col} IS NOT NULL)
+      WHERE w <> ''
+    ),
+    sizes AS (SELECT g, COUNT(*) AS v FROM gw GROUP BY g),
+    inter AS (
+      SELECT a.g AS g1, b.g AS g2, COUNT(*) AS intersection
+      FROM gw a JOIN gw b ON a.w = b.w AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT s1.g AS {group_col}_1, s2.g AS {group_col}_2,
+           CAST(s1.v AS BIGINT) AS v1, CAST(s2.v AS BIGINT) AS v2,
+           CAST(COALESCE(i.intersection, 0) AS BIGINT) AS intersection,
+           (COALESCE(i.intersection, 0) * 1000000)
+             // (s1.v + s2.v - COALESCE(i.intersection, 0)) AS jaccard_ppm
+    FROM sizes s1
+    JOIN sizes s2 ON s1.g < s2.g
+    LEFT JOIN inter i ON i.g1 = s1.g AND i.g2 = s2.g
+    """

@@ -2950,3 +2950,354 @@ def km_quantiles_sql(
         FROM curve {gb}""")
     body = " UNION ALL ".join(arms)
     return f"WITH curve AS ({inner}) {body}"
+
+
+def stickiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    short_days: int = 7,
+    long_days: int = 28,
+) -> DataFrame:
+    """Daily active-user engagement: one row per observed UTC day —
+    ``(day, dau, wau, mau, stickiness_ppm)`` with ``wau``/``mau`` the
+    EXACT distinct actives over the trailing ``short_days``/``long_days``
+    windows ending that day, and ``stickiness_ppm = dau·10⁶ div wau``
+    (the DAU/WAU habit metric, exact integral ppm — the house idiom, no
+    IEEE division). Days with no activity emit no row; trailing windows
+    at the start of the observed range are partial by definition (a
+    7-day window over 3 days of history covers 3 days).
+
+    Plan — the one scalable shape for exact trailing distincts: collapse
+    the corpus to the DISTINCT (user, day) grain (the only corpus-scale
+    shuffle), then each (user, day) CONTRIBUTES itself to the
+    ``long_days`` trailing windows it falls in (an explode to ≤
+    ``long_days`` rows per user-day, then distinct per window).
+    Fanout is bounded by the window length — corpus-independent — and
+    every aggregation is a map-side-combinable hash agg. A windowed
+    ``COUNT(DISTINCT)`` over raw events, by contrast, either rescans
+    the corpus per day or holds per-day user sets in one task.
+    Output days are restricted to days with ≥1 activity (the join
+    back to the dau table), so the synthetic future days the explode
+    fabricates past the last observed day never surface.
+    """
+    if not 1 <= short_days <= long_days:
+        raise ValueError("stickiness: need 1 <= short_days <= long_days")
+    act = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("__d"),
+        )
+        .distinct()
+    )
+    dau = act.groupBy(F.col("__d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+
+    def _window_count(span: int, alias: str) -> DataFrame:
+        contrib = act.select(
+            "__k",
+            F.explode(
+                F.sequence(F.col("__d"), F.col("__d") + F.lit(span - 1))
+            ).alias("day"),
+        ).distinct()
+        return contrib.groupBy("day").agg(
+            F.count(F.lit(1)).cast("bigint").alias(alias)
+        )
+
+    wau = _window_count(int(short_days), "wau")
+    mau = _window_count(int(long_days), "mau")
+    out = dau.join(wau, "day").join(mau, "day")
+    return out.select(
+        F.col("day").cast("bigint"),
+        "dau", "wau", "mau",
+        F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+    )
+
+
+def stickiness_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    short_days: int = 7,
+    long_days: int = 28,
+) -> str:
+    """DuckDB oracle of :func:`stickiness` — identical day truncation
+    (integer µs div), contribute-forward explode, exact distincts,
+    floored integral ppm."""
+    s, ln = int(short_days), int(long_days)
+    return f"""
+    WITH act AS (
+      SELECT DISTINCT {key_col} AS k,
+             epoch_us({ts_col}) // 86400000000 AS d
+      FROM {table}
+      WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM act GROUP BY d),
+    wc AS (
+      SELECT DISTINCT k, d + off AS day
+      FROM act, (SELECT unnest(range(0, {s})) AS off) t
+    ),
+    wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+            FROM wc GROUP BY day),
+    mc AS (
+      SELECT DISTINCT k, d + off AS day
+      FROM act, (SELECT unnest(range(0, {ln})) AS off) t
+    ),
+    mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+            FROM mc GROUP BY day)
+    SELECT CAST(day AS BIGINT) AS day, dau, wau, mau,
+           (dau * 1000000) // wau AS stickiness_ppm
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key over a
+    bucketed series: ``(key, t, value, trend, seasonal, remainder)``
+    with ``value = trend + seasonal + remainder`` wherever trend is
+    defined — the moving-average decomposition every monitoring /
+    forecasting pipeline starts from (statsmodels
+    ``seasonal_decompose(model='additive')`` semantics), next to
+    :func:`~pybabe_spark.operators.anomaly.seasonal_zscore`'s
+    cell-baseline approach.
+
+    Definitions:
+
+    - ``value``: per-(key, bucket) mean of ``value_col``, buckets =
+      ``unix_micros div (bucket_seconds·10⁶)``.
+    - ``trend``: centered moving average over ``period`` buckets —
+      plain MA for odd periods; the textbook 2×MA half-weighted-ends
+      form for even periods (daily period 24 over hourly buckets is
+      the even case). NULL unless EVERY bucket of the window exists
+      (range frames + an exact count guard, so series gaps disable the
+      trend instead of silently averaging a shorter window).
+    - ``seasonal``: per (key, t mod period) mean of the detrended
+      series, centered across slots; defined only from buckets where
+      trend is defined.
+    - ``remainder``: ``value − trend − seasonal``.
+
+    Numeric contract — ZERO IEEE operations anywhere: values lift once
+    to DECIMAL(18,6); every cross-row sum is an exact decimal sum
+    (order-independent); every MEAN is a FLOORED division in exact
+    integer micro-units (the pmod-floor construction, so negative
+    detrended sums floor identically in engines whose integer division
+    truncates); every derived series is exact decimal subtraction.
+    A first cut used correctly-rounded double divisions re-rounded to
+    6 dp and hash-diverged at sf0.01: quotients of 6 dp sums by the
+    period land EXACTLY on 6 dp midpoints, where Spark's shortest-repr
+    HALF_UP and DuckDB's ×1e6 double rounding pick different sides —
+    floored micro-unit division has no midpoints to disagree on.
+    Floor-vs-round shifts a mean by at most 1e-6, far below any use of
+    a decomposition; determinism is worth strictly more here.
+
+    Scale shape: one bucket hash agg (the only corpus-scale shuffle),
+    key-partitioned range windows on the bucket grain, a slots-sized
+    seasonal agg broadcast back. Linear in buckets; state bounded by
+    period.
+    """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose: period {period} < 2")
+    if bucket_seconds <= 0:
+        raise ValueError("seasonal_decompose: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+
+    def _floormean_micro(sum6: "F.Column", cnt: "F.Column") -> "F.Column":
+        """Exact 6dp-floored mean: decimal(·,6) sum → bigint micros →
+        pmod-floor division by cnt → DECIMAL micro value."""
+        num = (sum6 * F.lit(1000000).cast("decimal(7,0)")).cast(
+            "decimal(38,0)"
+        )
+        adj = num - F.pmod(num, cnt.cast("decimal(38,0)"))
+        return (adj / cnt.cast("decimal(38,0)")).cast("decimal(20,0)")
+
+    def _micro_to_dec6(micro: "F.Column") -> "F.Column":
+        return (
+            micro.cast("decimal(26,6)")
+            / F.lit(1000000).cast("decimal(7,0)")
+        ).cast("decimal(18,6)")
+
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "k", "t",
+            _micro_to_dec6(
+                _floormean_micro(F.col("__s"), F.col("__c"))
+            ).alias("v"),
+        )
+    )
+    if p % 2 == 1:
+        h = (p - 1) // 2
+        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
+        trend = F.when(
+            F.count(F.lit(1)).over(wf) == p,
+            _micro_to_dec6(
+                _floormean_micro(F.sum("v").over(wf), F.lit(p))
+            ),
+        )
+    else:
+        h = p // 2
+        wlo = Window.partitionBy("k").orderBy("t").rangeBetween(-h + 1, h)
+        whi = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h - 1)
+        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
+        # 2xMA algebra: (v[-h] + 2*middle + v[h]) / 2p ==
+        # (sum[-h+1,h] + sum[-h,h-1]) / 2p — two exact decimal sums,
+        # no edge-row extraction needed
+        trend = F.when(
+            F.count(F.lit(1)).over(wf) == p + 1,
+            _micro_to_dec6(
+                _floormean_micro(
+                    F.sum("v").over(wlo) + F.sum("v").over(whi),
+                    F.lit(2 * p),
+                )
+            ),
+        )
+    tb = b.withColumn("trend", trend).withColumn(
+        "d6", (F.col("v") - F.col("trend")).cast("decimal(18,6)")
+    )
+    slot_means = (
+        tb.filter(F.col("d6").isNotNull())
+        .groupBy("k", F.pmod(F.col("t"), F.lit(p)).alias("__slot"))
+        .agg(
+            _micro_to_dec6(
+                _floormean_micro(F.sum("d6"), F.count(F.lit(1)))
+            ).alias("s6"),
+        )
+    )
+    key_adj = slot_means.groupBy("k").agg(
+        _micro_to_dec6(
+            _floormean_micro(F.sum("s6"), F.count(F.lit(1)))
+        ).alias("m6"),
+    )
+    seas = slot_means.join(key_adj, "k").select(
+        "k", "__slot",
+        (F.col("s6") - F.col("m6")).cast("decimal(18,6)").alias("seasonal"),
+    )
+    out = tb.withColumn(
+        "__slot", F.pmod(F.col("t"), F.lit(p))
+    ).join(F.broadcast(seas), ["k", "__slot"], "left")
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("t").cast("bigint"),
+        F.col("v").cast("double").alias("value"),
+        F.col("trend").cast("double").alias("trend"),
+        F.col("seasonal").cast("double").alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull() & F.col("seasonal").isNotNull(),
+            (F.col("v") - F.col("trend") - F.col("seasonal"))
+            .cast("decimal(18,6)")
+            .cast("double"),
+        ).alias("remainder"),
+    )
+
+
+def seasonal_decompose_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle of :func:`seasonal_decompose` — identical exact
+    decimal sums, the same pmod-floored micro-unit means, the same
+    completeness guards; no IEEE arithmetic on either side."""
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+
+    def fm(sum6: str, cnt: str) -> str:
+        num = f"CAST(({sum6}) * 1000000 AS HUGEINT)"
+        adj = f"({num} - ((({num} % ({cnt})) + ({cnt})) % ({cnt})))"
+        return (
+            f"CAST(CAST({adj} // ({cnt}) AS DECIMAL(26,6)) / 1000000"
+            f" AS DECIMAL(18,6))"
+        )
+
+    if p % 2 == 1:
+        h = (p - 1) // 2
+        trend = (
+            f"CASE WHEN COUNT(*) OVER w = {p} THEN "
+            f"{fm('SUM(v) OVER w', str(p))} END"
+        )
+        wins = (
+            f"WINDOW w AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+        )
+    else:
+        h = p // 2
+        trend = (
+            f"CASE WHEN COUNT(*) OVER w = {p + 1} THEN "
+            f"{fm('(SUM(v) OVER wlo) + (SUM(v) OVER whi)', str(2 * p))} END"
+        )
+        wins = (
+            f"WINDOW w AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING), "
+            f"wlo AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h - 1} PRECEDING AND {h} FOLLOWING), "
+            f"whi AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h - 1} FOLLOWING)"
+        )
+    return f"""
+    WITH b AS (
+      SELECT k, t, {fm('SUM(x)', 'COUNT(*)')} AS v
+      FROM (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               CAST({value_col} AS DECIMAL(18,6)) AS x
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+      ) GROUP BY k, t
+    ),
+    tb AS (
+      SELECT k, t, v, {trend} AS trend
+      FROM b {wins}
+    ),
+    td AS (
+      SELECT *, CAST(v - trend AS DECIMAL(18,6)) AS d6
+      FROM tb
+    ),
+    sm AS (
+      SELECT k, t % {p} AS slot, {fm('SUM(d6)', 'COUNT(*)')} AS s6
+      FROM td WHERE d6 IS NOT NULL GROUP BY k, t % {p}
+    ),
+    ka AS (
+      SELECT k, {fm('SUM(s6)', 'COUNT(*)')} AS m6
+      FROM sm GROUP BY k
+    ),
+    seas AS (
+      SELECT sm.k, sm.slot,
+             CAST(s6 - m6 AS DECIMAL(18,6)) AS seasonal
+      FROM sm JOIN ka ON sm.k = ka.k
+    )
+    SELECT td.k AS {key_col}, CAST(td.t AS BIGINT) AS t,
+           CAST(v AS DOUBLE) AS value,
+           CAST(trend AS DOUBLE) AS trend,
+           CAST(seasonal AS DOUBLE) AS seasonal,
+           CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL THEN
+             CAST(CAST(v - trend - seasonal AS DECIMAL(18,6)) AS DOUBLE)
+           END AS remainder
+    FROM td
+    LEFT JOIN seas ON td.k = seas.k AND td.t % {p} = seas.slot
+    """

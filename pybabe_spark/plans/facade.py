@@ -572,6 +572,53 @@ class Babe:
 
         return self._wrap(self.df.withColumn(out_field, word_entropy(field)))
 
+    def readability(self, field, out_field="readability") -> "Babe":
+        from pybabe_spark.functions.text import readability
+
+        return self._wrap(self.df.withColumn(out_field, readability(field)))
+
+    def compression_ratio(self, field, out_field="compression_ratio",
+                          level=6) -> "Babe":
+        from pybabe_spark.functions.text import compression_ratio
+
+        return self._wrap(
+            self.df.withColumn(out_field, compression_ratio(field, level))
+        )
+
+    def centroid_drift(self, group_col="label",
+                       vec_col="embedding") -> "Babe":
+        from pybabe_spark.operators.similarity import centroid_drift
+
+        return self._wrap(centroid_drift(self.df, group_col, vec_col))
+
+    def stickiness(self, key_col, ts_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import stickiness
+
+        return self._wrap(stickiness(self.df, key_col, ts_col, **kwargs))
+
+    def vocab_overlap(self, group_col="source", text_col="text",
+                      **kwargs) -> "Babe":
+        from pybabe_spark.operators.tfidf import vocab_overlap
+
+        return self._wrap(
+            vocab_overlap(self.df, group_col, text_col, **kwargs)
+        )
+
+    def required_sample_size(self, success_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import required_sample_size
+
+        return self._wrap(
+            required_sample_size(self.df, success_col, by, **kwargs)
+        )
+
+    def seasonal_decompose(self, key_col, ts_col, value_col,
+                           **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import seasonal_decompose
+
+        return self._wrap(
+            seasonal_decompose(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def running_totals(self, **kwargs) -> "Babe":
         from pybabe_spark.streaming.ops import running_totals
 

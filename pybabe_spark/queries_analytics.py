@@ -4513,3 +4513,76 @@ def q_volume_anomalies(spark, sf_dir):
         "n_events",
     )
     return mad_anomalies(daily, "event_type", "n_events", "day", 2.0)
+
+
+def _stickiness_sql() -> str:
+    from pybabe_spark.operators.timeseries import stickiness_sql
+
+    return stickiness_sql("events", "user_id", "ts")
+
+
+@register("stickiness_events", _stickiness_sql())
+def q_stickiness(spark, sf_dir):
+    """DAU/WAU/MAU engagement per day
+    (operators/timeseries.py::stickiness): exact trailing-window
+    distinct actives via the contribute-forward explode (fanout
+    bounded by the window length, never the corpus), stickiness as
+    floored integral ppm. One corpus-scale distinct to the (user, day)
+    grain; everything after is hash aggs on that grain."""
+    from pybabe_spark.operators.timeseries import stickiness
+
+    ev = read_table(spark, sf_dir, "events")
+    return stickiness(ev, "user_id", "ts")
+
+
+def _sample_size_sql() -> str:
+    from pybabe_spark.operators.sketch import required_sample_size_sql
+
+    frame = """
+      SELECT o_orderpriority,
+             CAST(o_orderstatus = 'F' AS INT) AS done
+      FROM orders
+    """
+    return required_sample_size_sql(frame, "done", by="o_orderpriority")
+
+
+@register("sample_size_orders", _sample_size_sql())
+def q_sample_size(spark, sf_dir):
+    """A/B sample-size planning per priority
+    (operators/sketch.py::required_sample_size): per-arm n needed to
+    detect a 10% relative lift on the observed finished-order rate at
+    α=0.05 / power 0.8 — the planning half proportion_ci's readout
+    feeds. Fixed-shape IEEE power formula shared textually with the
+    oracle over exact counts; one conditional hash agg."""
+    from pybabe_spark.operators.sketch import required_sample_size
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    return required_sample_size(orders, "done", by="o_orderpriority")
+
+
+def _seasonal_decompose_sql() -> str:
+    from pybabe_spark.operators.timeseries import seasonal_decompose_sql
+
+    return seasonal_decompose_sql(
+        "events", "event_type", "ts", "value", period=24,
+        bucket_seconds=3600,
+    )
+
+
+@register("seasonal_decompose_events", _seasonal_decompose_sql())
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive trend/seasonal/remainder split of the hourly
+    event-value series per type
+    (operators/timeseries.py::seasonal_decompose): 2xMA trend over the
+    even daily period with exact-decimal range-window sums and
+    completeness guards, centered slot-mean seasonality. One corpus
+    hash agg + key-partitioned windows on the bucket grain."""
+    from pybabe_spark.operators.timeseries import seasonal_decompose
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_decompose(
+        ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
+    )

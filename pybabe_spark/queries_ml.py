@@ -1623,3 +1623,24 @@ def q_feature_hash(spark, sf_dir):
             ",", F.transform(F.col("features"), lambda x: x.cast("string"))
         ).alias("features"),
     )
+
+
+def _centroid_drift_sql():
+    from pybabe_spark.operators.similarity import centroid_drift_sql
+
+    return centroid_drift_sql()
+
+
+@register("centroid_drift_embeddings", _centroid_drift_sql())
+def q_centroid_drift(spark, sf_dir):
+    """Per-label centroid vs global centroid cosine
+    (operators/similarity.py::centroid_drift): the segment-level
+    embedding drift / sampling-bias diagnostic — exact decimal
+    component sums (shuffle-order-proof), one correctly-rounded
+    double conversion + division per component, position-ordered
+    cosine fold, DECIMAL(18,6) finish. Two hash aggs + a broadcast
+    join on the 64-row global table; no pairwise work anywhere."""
+    from pybabe_spark.operators.similarity import centroid_drift
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, "label", "embedding")

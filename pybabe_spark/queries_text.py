@@ -1572,3 +1572,51 @@ def q_rbo_overlap(spark, sf_dir):
         "lang", "doc_id", F.row_number().over(wb).alias("rank")
     ).filter(F.col("rank") <= 10)
     return rbo_overlap(ra, rb, "lang", "doc_id", "rank", k=10)
+
+
+def _readability_sql():
+    from pybabe_spark.functions.text import readability_sql
+
+    return readability_sql()
+
+
+@register("readability_docs", _readability_sql())
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch–Kincaid grade per document
+    (functions/text.py::readability): vowel-group syllable heuristic,
+    sentence runs floored at 1, both scores as FLOORED integral ppm —
+    pure BIGINT arithmetic over three regexp counts, so the oracle
+    replays every value exactly (no IEEE division anywhere). Narrow
+    map, zero shuffle, linear at any corpus size."""
+    from pybabe_spark.functions.text import readability
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = readability("text")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["reading_ease_ppm"].alias("reading_ease_ppm"),
+        r["fk_grade_ppm"].alias("fk_grade_ppm"),
+    )
+
+
+def _vocab_overlap_sql():
+    from pybabe_spark.operators.tfidf import vocab_overlap_sql
+
+    return vocab_overlap_sql()
+
+
+@register("vocab_overlap_docs", _vocab_overlap_sql())
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard
+    (operators/tfidf.py::vocab_overlap): the lexical-redundancy
+    data-mix diagnostic — one corpus-scale distinct to the
+    (source, word) grain, a word-bucketed pair join bounded by
+    groups-per-word, exact floored-ppm Jaccard; the quadratic object
+    is groups², guarded in-plan at max_groups."""
+    from pybabe_spark.operators.tfidf import vocab_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_overlap(docs, "source", "text")

@@ -208,3 +208,49 @@ def test_connectivity_pairs_duplicate_strings_attach(spark):
     }
     # "aa"~"ab" is the only string edge; both ids of "aa" carry it
     assert got == {(1, 3), (2, 3)}
+
+
+# -- vocab_overlap (operators/tfidf.py) ---------------------------------------
+
+
+def test_vocab_overlap_hand_checked(spark):
+    from pybabe_spark.operators.tfidf import vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c"), ("s1", "c d"),          # V1 = {a,b,c,d}
+            ("s2", "c d e"),                          # V2 = {c,d,e}
+            ("s3", "zz"),                             # V3 = {zz}, disjoint
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["source_1"], r["source_2"]): r
+        for r in vocab_overlap(df, "source", "text").collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r = got[("s1", "s2")]
+    # |V1|=4, |V2|=3, inter={c,d}=2, union=5 -> 400000 ppm
+    assert (r["v1"], r["v2"], r["intersection"]) == (4, 3, 2)
+    assert r["jaccard_ppm"] == 400000
+    # disjoint pair emitted with zeros, not dropped
+    assert got[("s1", "s3")]["intersection"] == 0
+    assert got[("s1", "s3")]["jaccard_ppm"] == 0
+
+
+def test_vocab_overlap_group_guard(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from pybabe_spark.operators.tfidf import vocab_overlap
+
+    df = spark.createDataFrame(
+        [(f"s{i}", "w") for i in range(5)], "source string, text string"
+    )
+    out = vocab_overlap(df, "source", "text", max_groups=3)  # lazy: no job
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="max_groups"):
+        out.collect()
+    with pytest.raises(ValueError):
+        vocab_overlap(df, "source", "text", max_groups=1)

@@ -35,7 +35,8 @@ _DELICATE = re.compile(
     r"rmst|km_|nelson|logrank|spearman|kruskal|mann_whitney|ks_test"
     r"|cliffs|anova|brown_forsythe|durbin|ljung|bootstrap|wilson"
     r"|proportion_ci|delta_method|kappa|brier|mcnemar|chi2|zipf"
-    r"|js_divergence|llr|quantile|percentile"
+    r"|js_divergence|llr|quantile|percentile|sample_size|centroid_drift"
+    r"|seasonal_decompose"
 )
 
 all_queries()

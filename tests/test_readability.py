@@ -1,0 +1,146 @@
+"""Flesch readability (functions/text.py::readability): the struct's
+ppm scores against an independent Python model of the same definition,
+including floor semantics on negative grades — the case truncating
+integer division silently gets wrong."""
+
+import re
+
+from pybabe_spark.functions.text import readability
+
+
+def _model(text: str):
+    w = len(text.split(" "))
+    s = max(len(re.findall(r"[.!?]+", text)), 1)
+    y = max(len(re.findall(r"[aeiouy]+", text.lower())), w)
+    den = s * w
+    ease = (206835000 * s * w - 1015000 * w * w - 84600000 * y * s) // den
+    grade = (390000 * w * w + 11800000 * y * s - 15590000 * s * w) // den
+    return w, s, y, ease, grade
+
+
+FIXTURES = [
+    "The cat sat.",                      # classic: ease 119.19, grade -2.62
+    "banana mango papaya",               # positive grade, non-divisible den
+    "xyz qqq",                           # vowel-free: syllables floor to W
+    "One sentence. Two sentences! Three?",
+    "a",                                 # single word, no sentence marks
+    "",                                  # empty text: one empty word
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+]
+
+
+def test_readability_matches_python_model(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(FIXTURES)],
+                               "id int, text string")
+    rows = {
+        r["id"]: r
+        for r in df.select("id", readability("text").alias("r")).select(
+            "id", "r.*"
+        ).collect()
+    }
+    for i, t in enumerate(FIXTURES):
+        w, s, y, ease, grade = _model(t)
+        got = rows[i]
+        assert (got["n_words"], got["n_sentences"], got["n_syllables"]) == (
+            w, s, y
+        ), t
+        assert got["reading_ease_ppm"] == ease, t
+        assert got["fk_grade_ppm"] == grade, t
+
+
+def test_readability_hand_checked_values(spark):
+    # "The cat sat.": W=3 S=1 Y=3 -> ease = 206.835 - 3.045 - 84.6 =
+    # 119.19 exactly; grade = 1.17 + 11.8 - 15.59 = -2.62 exactly.
+    df = spark.createDataFrame([("The cat sat.",)], "text string")
+    r = df.select(readability("text").alias("r")).select("r.*").collect()[0]
+    assert r["reading_ease_ppm"] == 119190000
+    assert r["fk_grade_ppm"] == -2620000
+
+
+def test_readability_negative_floor_not_truncation(spark):
+    # W=7, S=2, Y=8: grade numerator = 390000*49 + 11800000*16
+    # - 15590000*14 = -10350000, den = 14 -> -739285.714...:
+    # floor = -739286, truncation = -739285. Pin the floor.
+    t = "go. to! ada is on up at"
+    w, s, y, ease, grade = _model(t)
+    assert (w, s, y) == (7, 2, 8), "fixture drifted"
+    num = 390000 * w * w + 11800000 * y * s - 15590000 * s * w
+    assert num < 0 and num % (s * w) != 0, "fixture lost non-divisibility"
+    df = spark.createDataFrame([(t,)], "text string")
+    r = df.select(readability("text").alias("r")).select("r.*").collect()[0]
+    assert r["fk_grade_ppm"] == grade == -739286  # floor, not trunc
+
+
+def test_compression_ratio_exact_zlib(spark):
+    """Pin exact zlib ratios (deterministic by spec: input+level fix the
+    output bytes) and NULL semantics for empty/NULL text."""
+    import zlib
+
+    from pybabe_spark.functions.text import compression_ratio
+
+    texts = ["the the the the the the the the", "a", "", None,
+             "incompressible-ish 8f3k2j 9x!q"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, text string")
+    got = {r["id"]: r["cr"] for r in
+           df.select("id", compression_ratio("text").alias("cr")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None, t
+        else:
+            raw = t.encode()
+            assert got[i] == len(raw) / len(zlib.compress(raw, 6)), t
+    # repetitive text compresses better than the short unique one
+    assert got[0] > got[4]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compression_ratio("text", level=0)
+
+
+def test_facade_readability_and_compression(spark):
+    from pybabe_spark.plans.facade import Babe
+
+    df = spark.createDataFrame([("go go go go.",)], "text string")
+    out = Babe(df).readability("text").compression_ratio("text").df
+    row = out.collect()[0]
+    assert row["readability"]["n_words"] == 4
+    assert row["compression_ratio"] > 0
+
+
+def test_required_sample_size_textbook(spark):
+    """Baseline 10% with a 10% relative MDE at alpha=.05/power=.8 is the
+    classic ~14.7k-per-arm case; pin the exact Python-replayed value."""
+    import math
+
+    from pybabe_spark.operators.sketch import required_sample_size
+
+    rows = [("g", 1)] * 100 + [("g", 0)] * 900    # p1 = 0.1 exactly
+    df = spark.createDataFrame(rows, "g string, done int")
+    r = required_sample_size(df, "done", by="g").collect()[0]
+    assert (r["n"], r["successes"], r["p_ppm"]) == (1000, 100, 100000)
+
+    p1, m = 100 / 1000, 1.10
+    p2 = p1 * m
+    pbar = (p1 + p2) / 2.0
+    num = (1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar))
+           + 0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    expect = math.ceil((num * num) / ((p2 - p1) * (p2 - p1)))
+    assert r["n_required"] == expect
+    assert 14000 < r["n_required"] < 15500  # the textbook ballpark
+
+    # undefined regimes -> NULL, not a crash
+    z = spark.createDataFrame([("z", 0), ("z", 0)], "g string, done int")
+    assert required_sample_size(z, "done", by="g").collect()[0][
+        "n_required"] is None
+    sat = spark.createDataFrame([("s", 1)] * 99 + [("s", 0)],
+                                "g string, done int")
+    # p1=0.99 -> p2=1.089 >= 1 -> NULL
+    assert required_sample_size(sat, "done", by="g").collect()[0][
+        "n_required"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        required_sample_size(df, "done", relative_mde=0.0)

@@ -1167,3 +1167,126 @@ def test_dw_degenerate(spark):
     assert got[2]["dw"] is None          # zero variance
     assert got[3]["n"] == 2              # NULL excluded, diff spans gap
     assert got[3]["dw"] is not None
+
+
+# -- stickiness (DAU/WAU/MAU) -------------------------------------------------
+
+
+def test_stickiness_hand_checked(spark):
+    """u1 active days 0,1,8; u2 active days 0,8; u3 active day 8 only.
+    With short=7/long=28: day 8's WAU window [2..8] holds u1,u2,u3 via
+    day-8 activity only (day 1 is outside) -> wau=3; day 1's window
+    [-5..1] holds u1 (d0,d1) and u2 (d0) -> wau=2."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import stickiness
+
+    base = dt.datetime(2024, 1, 1)  # day D
+    rows = [
+        ("u1", base), ("u1", base + dt.timedelta(days=1)),
+        ("u1", base + dt.timedelta(days=8)),
+        ("u2", base), ("u2", base + dt.timedelta(days=8)),
+        ("u3", base + dt.timedelta(days=8)),
+        ("u1", base),  # same-day duplicate must not double-count
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["day"]: r for r in stickiness(df, "user_id", "ts").collect()}
+    d0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+
+    assert set(got) == {d0, d0 + 1, d0 + 8}  # only ACTIVE days surface
+    assert (got[d0]["dau"], got[d0]["wau"], got[d0]["mau"]) == (2, 2, 2)
+    assert (got[d0 + 1]["dau"], got[d0 + 1]["wau"]) == (1, 2)
+    assert (got[d0 + 8]["dau"], got[d0 + 8]["wau"]) == (3, 3)
+    assert got[d0 + 8]["mau"] == 3  # 28-day window reaches day 0, same users
+    # ppm is floored integer division: day1 = 1e6 // 2
+    assert got[d0 + 1]["stickiness_ppm"] == 500000
+    assert got[d0]["stickiness_ppm"] == 1000000
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stickiness(df, "user_id", "ts", short_days=9, long_days=7)
+
+
+# -- seasonal_decompose -------------------------------------------------------
+
+
+def test_seasonal_decompose_odd_period_textbook(spark):
+    """Period-3 series 10,20,30 repeating for 9 buckets: trend = 20
+    everywhere defined, seasonal = (-10, 0, +10), remainder = 0."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=i), float([10, 20, 30][i % 3]))
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["t"]: r for r in seasonal_decompose(
+        df, "k", "ts", "v", period=3, bucket_seconds=3600).collect()}
+    t0 = min(out)
+    assert len(out) == 9
+    assert out[t0]["trend"] is None          # edge: incomplete window
+    assert out[t0 + 1]["trend"] == 20.0
+    assert out[t0 + 4]["trend"] == 20.0
+    # slot seasonality: value pattern (10,20,30) - trend 20
+    seas = {t % 3 if False else (t - t0) % 3: out[t]["seasonal"]
+            for t in out}
+    assert sorted(seas.values()) == [-10.0, 0.0, 10.0]
+    for t in out:
+        r = out[t]
+        if r["trend"] is not None:
+            assert r["value"] == r["trend"] + r["seasonal"] + r["remainder"]
+
+
+def test_seasonal_decompose_even_period_2xma(spark):
+    """Even period uses the half-weighted-ends 2xMA: on a pure linear
+    ramp the centered 2xMA reproduces the ramp exactly, so seasonal = 0
+    and remainder = 0 wherever trend is defined."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(hours=i), 5.0 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["t"]: r for r in seasonal_decompose(
+        df, "k", "ts", "v", period=4, bucket_seconds=3600).collect()}
+    t0 = min(got)
+    # full [t-2, t+2] windows exist for t0+2 .. t0+9
+    defined = [t for t in got if got[t]["trend"] is not None]
+    assert sorted(defined) == [t0 + i for i in range(2, 10)]
+    for t in defined:
+        assert got[t]["trend"] == got[t]["value"]   # 2xMA of a ramp
+        assert got[t]["seasonal"] == 0.0
+        assert got[t]["remainder"] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "k", "ts", "v", period=1)
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "k", "ts", "v", bucket_seconds=0)
+
+
+def test_seasonal_decompose_gap_disables_trend(spark):
+    """A missing bucket must NULL the trend for every window that
+    needs it (completeness guard), not silently average fewer rows."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(hours=i), 1.0)
+            for i in range(7) if i != 3]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["t"]: r["trend"] for r in seasonal_decompose(
+        df, "k", "ts", "v", period=3, bucket_seconds=3600).collect()}
+    t0 = min(got)
+    # windows touching the missing t0+3 slot: t0+2, t0+3 (absent), t0+4
+    assert got[t0 + 1] == 1.0
+    assert got[t0 + 2] is None
+    assert got[t0 + 4] is None
+    assert got[t0 + 5] == 1.0
