@@ -680,3 +680,324 @@ def disparate_impact_sql(
            END AS below_four_fifths
     FROM rated CROSS JOIN ref
     """
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per group: ``(group?, n_pos, n_neg,
+    auc_ppm)`` — the threshold-free ranking certificate
+    (:func:`classification_report` grades ONE threshold;
+    :func:`calibration_bins` grades probability VALUES; this grades the
+    ORDERING). Computed through the rank-sum identity
+    ``AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀)`` with average ranks for
+    ties — the Mann–Whitney U view, so ties cost exactly half a
+    concordance, matching sklearn's trapezoidal ``roc_auc_score``.
+
+    Exactness: scores lift to integral micro-units (6 dp — their
+    resolution as probabilities, the :func:`calibration_bins`
+    convention), so the value grain is an integer key; doubled average
+    ranks ``2·R = Σ_v p_v·(2·cum_before_v + c_v + 1)`` stay integers;
+    the finish is one floored integral-ppm division in DECIMAL(38,0).
+    No IEEE arithmetic anywhere. Degenerate groups (no positives or no
+    negatives) report NULL auc_ppm.
+
+    Scale shape: ONE corpus-scale hash agg to the (group, distinct
+    micro-score) grain; the cumulative window runs on that grain,
+    which is BOUNDED by the 6 dp score resolution (≤ 1e6+1 rows per
+    group) — never corpus-sized, so even the keyless window is safe.
+    """
+    keys = [by] if by else []
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    g = (
+        df.filter(ok)
+        .select(
+            *keys,
+            micro.alias("__m"),
+            (F.col(label_col) != 0).cast("long").alias("__pos"),
+        )
+        .groupBy(*keys, "__m")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"),
+            F.sum("__pos").cast("decimal(38,0)").alias("__p"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("__c").over(w), F.lit(0).cast("decimal(38,0)"))
+    term = F.col("__p") * (
+        F.lit(2).cast("decimal(38,0)") * cb + F.col("__c") + F.lit(1)
+    )
+    agg = g.withColumn("__t", term).groupBy(*keys).agg(
+        F.sum("__t").cast("decimal(38,0)").alias("__s2"),
+        F.sum("__p").cast("decimal(38,0)").alias("__n1"),
+        F.sum("__c").cast("decimal(38,0)").alias("__n"),
+    )
+    n0 = F.col("__n") - F.col("__n1")
+    num = (
+        F.lit(1_000_000).cast("decimal(38,0)")
+        * (F.col("__s2") - F.col("__n1") * (F.col("__n1") + F.lit(1)))
+    )
+    den = F.lit(2).cast("decimal(38,0)") * F.col("__n1") * n0
+    return agg.select(
+        *keys,
+        F.col("__n1").cast("bigint").alias("n_pos"),
+        n0.cast("bigint").alias("n_neg"),
+        F.when(
+            (F.col("__n1") > 0) & (n0 > 0),
+            # pmod-floor: Spark decimal division ROUNDS to its result
+            # scale before a bigint cast could truncate — subtracting
+            # the mod first makes the quotient integral, so no rounding
+            # can fire and the result is the exact floor DuckDB's //
+            # computes
+            ((num - F.pmod(num, den)) / den).cast("bigint"),
+        ).alias("auc_ppm"),
+    )
+
+
+def roc_auc_sql(
+    select: str,
+    score_col: str,
+    label_col: str,
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`roc_auc` — same micro lift, value-grain
+    cumulative counts, HUGEINT rank-sum identity, floored ppm."""
+    keys = f"{by}, " if by else ""
+    grp = f"GROUP BY {by}" if by else ""
+    part = f"PARTITION BY {by}" if by else ""
+    return f"""
+    WITH rows_in AS ({select}),
+    g AS (
+      SELECT {keys}
+             CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS m,
+             CAST(COUNT(*) AS HUGEINT) AS c,
+             CAST(SUM(CASE WHEN {label_col} <> 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS p
+      FROM rows_in
+      WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+      GROUP BY {keys}m
+    ),
+    cum AS (
+      SELECT *, COALESCE(SUM(c) OVER ({part} ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cb
+      FROM g
+    ),
+    agg AS (
+      SELECT {keys}SUM(p * (2 * cb + c + 1)) AS s2,
+             SUM(p) AS n1, SUM(c) AS n
+      FROM cum {grp}
+    )
+    SELECT {keys}CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n - n1 AS BIGINT) AS n_neg,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             CAST((1000000 * (s2 - n1 * (n1 + 1)))
+                  // (2 * n1 * (n - n1)) AS BIGINT)
+           END AS auc_ppm
+    FROM agg
+    """
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    by: str | None = None,
+) -> DataFrame:
+    """Decile gains/lift table per group: rows ranked by score
+    DESCENDING into ``n_buckets`` equal-population buckets, then per
+    bucket ``(group?, bucket, n, n_pos, cum_n, cum_pos, capture_ppm,
+    lift_ppm)`` — "mail the top 2 deciles, capture 61% of responders
+    at 3.1× lift", the campaign-targeting readout AUC compresses away.
+    ``capture_ppm`` = cumulative share of ALL positives found so far;
+    ``lift_ppm`` = cumulative precision over the base rate. Both
+    floored integral ppm; NULL when the group has no positives.
+
+    Ranking is made deterministic WITHOUT a global sort (the
+    de-globalized rank machinery): scores lift to 6 dp micro-units;
+    per distinct (group, micro) the cumulative count of STRICTLY
+    HIGHER scores comes from a window over the bounded distinct-score
+    grain; within a tied score, rows order by ``id_col`` via a window
+    PARTITIONED BY the (group, score) cell — so no partition exceeds
+    the largest tie class and no engine-dependent tie order exists.
+    ``rank = higher + row_number_within_tie``; ``bucket = ((rank−1) ·
+    n_buckets) div n + 1`` (ntile's exact arithmetic).
+
+    Scale shape: one hash agg to the distinct-score grain, one
+    cell-partitioned row_number, one tiny per-group totals join, one
+    ≤ n_buckets-row cumulative. Corpus-scale work is linear.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"gains_table: n_buckets {n_buckets} must be >= 2")
+    keys = [by] if by else []
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = (
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    base = df.filter(ok).select(
+        *keys,
+        micro.alias("__m"),
+        (F.col(label_col) != 0).cast("long").alias("__pos"),
+        F.col(id_col).alias("__id"),
+    )
+    grain = base.groupBy(*keys, "__m").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from pyspark.sql import Window
+
+    w_hi = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__m").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grain = grain.withColumn(
+        "__higher", F.coalesce(F.sum("__c").over(w_hi), F.lit(0))
+    )
+    totals = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__pos").alias("__tp"),
+    )
+    w_tie = Window.partitionBy(*keys, "__m").orderBy("__id")
+    ranked = (
+        base.join(grain, [*keys, "__m"])
+        .join(F.broadcast(totals), keys) if keys else
+        base.join(grain, ["__m"]).crossJoin(F.broadcast(totals))
+    )
+    ranked = ranked.withColumn(
+        "__rank", F.col("__higher") + F.row_number().over(w_tie)
+    ).withColumn(
+        "bucket",
+        F.expr(f"((__rank - 1) * {int(n_buckets)}) div __n + 1"),
+    )
+    per = ranked.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.first("__n").alias("__n"),
+        F.first("__tp").alias("__tp"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per = per.withColumn(
+        "cum_n", F.sum("n").over(w_cum).cast("bigint")
+    ).withColumn("cum_pos", F.sum("n_pos").over(w_cum).cast("bigint"))
+    return per.select(
+        *keys,
+        F.col("bucket").cast("int"),
+        "n", "n_pos", "cum_n", "cum_pos",
+        F.when(
+            F.col("__tp") > 0,
+            F.expr("CAST(cum_pos * 1000000 div __tp AS BIGINT)"),
+        ).alias("capture_ppm"),
+        F.when(
+            F.col("__tp") > 0,
+            # DECIMAL(38,0) + pmod-floor: the cum_pos·n·1e6 product
+            # overflows BIGINT past ~3e6 rows, and Spark decimal
+            # division would HALF_UP-round where DuckDB // floors
+            F.expr(
+                "CAST(("
+                " CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000"
+                " - pmod(CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000,"
+                "        CAST(cum_n AS DECIMAL(38,0)) * __tp)"
+                ") / (CAST(cum_n AS DECIMAL(38,0)) * __tp) AS BIGINT)"
+            ),
+        ).alias("lift_ppm"),
+    )
+
+
+def gains_table_sql(
+    select: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`gains_table` — identical micro lift,
+    higher-count window, tie order by id, ntile arithmetic, floored
+    ppm cumulatives."""
+    k = int(n_buckets)
+    keys = f"{by}, " if by else ""
+    part = f"PARTITION BY {by}" if by else ""
+    comma_part = f"PARTITION BY {by}," if by else "PARTITION BY"
+    grp = f"GROUP BY {by}" if by else ""
+    join_keys = f"USING ({by}, m)" if by else "USING (m)"
+    tot_join = f"USING ({by})" if by else "ON TRUE"
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+      SELECT {keys}
+             CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS m,
+             CASE WHEN {label_col} <> 0 THEN 1 ELSE 0 END AS pos,
+             {id_col} AS id
+      FROM rows_in
+      WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        AND {id_col} IS NOT NULL
+    ),
+    grain AS (
+      SELECT {keys}m, COUNT(*) AS c FROM base GROUP BY {keys}m
+    ),
+    cum AS (
+      SELECT *, COALESCE(SUM(c) OVER ({part} ORDER BY m DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS higher
+      FROM grain
+    ),
+    totals AS (
+      SELECT {keys}COUNT(*) AS tot_n, SUM(pos) AS tot_p
+      FROM base {grp}
+    ),
+    ranked AS (
+      SELECT base.*, cum.higher, totals.tot_n, totals.tot_p,
+             cum.higher + ROW_NUMBER() OVER
+               ({comma_part} m ORDER BY id) AS rnk
+      FROM base JOIN cum {join_keys} JOIN totals {tot_join}
+    ),
+    per AS (
+      SELECT {keys}((rnk - 1) * {k}) // tot_n + 1 AS bucket,
+             COUNT(*) AS n, SUM(pos) AS n_pos,
+             ANY_VALUE(tot_n) AS tot_n, ANY_VALUE(tot_p) AS tot_p
+      FROM ranked GROUP BY {keys}bucket
+    ),
+    cumb AS (
+      SELECT *,
+             SUM(n) OVER ({part} ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n_pos) OVER ({part} ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM per
+    )
+    SELECT {keys}CAST(bucket AS INT) AS bucket,
+           CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CASE WHEN tot_p > 0 THEN
+             CAST(cum_pos * 1000000 // tot_p AS BIGINT) END AS capture_ppm,
+           CASE WHEN tot_p > 0 THEN
+             CAST((CAST(cum_pos AS HUGEINT) * tot_n * 1000000)
+                  // (CAST(cum_n AS HUGEINT) * tot_p) AS BIGINT)
+           END AS lift_ppm
+    FROM cumb
+    """

@@ -619,6 +619,18 @@ class Babe:
             seasonal_decompose(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def roc_auc(self, score_col, label_col, by=None) -> "Babe":
+        from pybabe_spark.operators.classifier import roc_auc
+
+        return self._wrap(roc_auc(self.df, score_col, label_col, by))
+
+    def gains_table(self, score_col, label_col, id_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.classifier import gains_table
+
+        return self._wrap(
+            gains_table(self.df, score_col, label_col, id_col, **kwargs)
+        )
+
     def running_totals(self, **kwargs) -> "Babe":
         from pybabe_spark.streaming.ops import running_totals
 

@@ -1620,3 +1620,73 @@ def q_vocab_overlap(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return vocab_overlap(docs, "source", "text")
+
+
+def _auc_sql():
+    from pybabe_spark.operators.classifier import roc_auc_sql
+
+    return roc_auc_sql(_BRIER_FRAME_SQL, "score", "label")
+
+
+@register("roc_auc_docs", _auc_sql())
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (operators/classifier.py::roc_auc)
+    on the brier/calibration frame: rank-sum identity over the bounded
+    distinct-micro-score grain — ONE corpus hash agg, integer doubled
+    ranks, floored-ppm finish, zero IEEE. The ordering certificate
+    next to classification_report's threshold view and brier's
+    calibration view."""
+    from pybabe_spark.operators.classifier import roc_auc
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN array_contains(split(text, ' '), 'spark')"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return roc_auc(frame, "score", "label")
+
+
+def _gains_sql():
+    from pybabe_spark.operators.classifier import gains_table_sql
+
+    frame = """
+        SELECT doc_id,
+               CAST(CAST(LEAST(1000000,
+                   len(string_split(text, ' ')) * 5000)
+               AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6)) AS score,
+               CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    """
+    return gains_table_sql(frame, "score", "label", "doc_id", n_buckets=10)
+
+
+@register("gains_table_docs", _gains_sql())
+def q_gains_table(spark, sf_dir):
+    """Decile gains/lift table (operators/classifier.py::gains_table):
+    equal-population buckets WITHOUT a global sort — de-globalized
+    ranks (bounded distinct-score window + tie cells partitioned by
+    (score), ordered by doc_id), ntile arithmetic, floored-ppm
+    capture and lift. The campaign-targeting readout AUC compresses
+    away."""
+    from pybabe_spark.operators.classifier import gains_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN array_contains(split(text, ' '), 'spark')"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return gains_table(frame, "score", "label", "doc_id", n_buckets=10)

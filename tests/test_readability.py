@@ -144,3 +144,84 @@ def test_required_sample_size_textbook(spark):
 
     with pytest.raises(ValueError):
         required_sample_size(df, "done", relative_mde=0.0)
+
+
+def test_roc_auc_matches_rank_model(spark):
+    """Tie-corrected rank-sum AUC against a pure-Python model of the
+    same definition (== sklearn's trapezoidal roc_auc_score)."""
+    import random
+
+    from pybabe_spark.operators.classifier import roc_auc
+
+    rng = random.Random(11)
+    rows = [(round(rng.choice([0.1, 0.3, 0.3, 0.5, 0.7, 0.9]), 6),
+             rng.randint(0, 1)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = roc_auc(df, "score", "label").collect()[0]
+
+    scores = sorted(set(s for s, _ in rows))
+    # average ranks per value (1-based), doubled to stay integral
+    from collections import Counter
+    cnt = Counter(s for s, _ in rows)
+    pos = Counter(s for s, l in rows if l)
+    cum, s2 = 0, 0
+    for s in scores:
+        s2 += pos[s] * (2 * cum + cnt[s] + 1)
+        cum += cnt[s]
+    n1 = sum(l for _, l in rows)
+    n0 = len(rows) - n1
+    expect = (1_000_000 * (s2 - n1 * (n1 + 1))) // (2 * n1 * n0)
+    assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+    assert r["auc_ppm"] == expect
+
+    # perfect separation -> 1e6; random labels on one value -> 500000
+    perf = spark.createDataFrame(
+        [(0.9, 1)] * 5 + [(0.1, 0)] * 5, "score double, label int")
+    assert roc_auc(perf, "score", "label").collect()[0]["auc_ppm"] == 1000000
+    allties = spark.createDataFrame(
+        [(0.5, 1)] * 4 + [(0.5, 0)] * 6, "score double, label int")
+    assert roc_auc(allties, "score", "label").collect()[0][
+        "auc_ppm"] == 500000
+    # degenerate: single class -> NULL
+    onec = spark.createDataFrame([(0.5, 1)] * 3, "score double, label int")
+    assert roc_auc(onec, "score", "label").collect()[0]["auc_ppm"] is None
+
+
+def test_gains_table_hand_checked(spark):
+    """10 rows, 2 buckets of 5: top-5 scores hold 3 of 4 positives ->
+    capture 750000 ppm, lift = (3/5)/(4/10) = 1.5x."""
+    from pybabe_spark.operators.classifier import gains_table
+
+    rows = [
+        (1, 0.9, 1), (2, 0.8, 1), (3, 0.7, 0), (4, 0.6, 1), (5, 0.5, 0),
+        (6, 0.4, 0), (7, 0.3, 1), (8, 0.2, 0), (9, 0.1, 0), (10, 0.05, 0),
+    ]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    got = {r["bucket"]: r for r in
+           gains_table(df, "score", "label", "id", n_buckets=2).collect()}
+    b1, b2 = got[1], got[2]
+    assert (b1["n"], b1["n_pos"], b1["cum_pos"]) == (5, 3, 3)
+    assert b1["capture_ppm"] == 750000
+    assert b1["lift_ppm"] == 1500000
+    assert (b2["cum_n"], b2["cum_pos"]) == (10, 4)
+    assert b2["capture_ppm"] == 1000000
+    assert b2["lift_ppm"] == 1000000  # full population = base rate
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        gains_table(df, "score", "label", "id", n_buckets=1)
+
+
+def test_gains_table_tie_order_by_id(spark):
+    """All-equal scores: bucket assignment must follow id order (the
+    deterministic tiebreak), not engine partition luck."""
+    from pybabe_spark.operators.classifier import gains_table
+
+    rows = [(i, 0.5, 1 if i <= 2 else 0) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    got = {r["bucket"]: r for r in
+           gains_table(df, "score", "label", "id", n_buckets=3).collect()}
+    # ids 1,2 (both positive) land in bucket 1
+    assert (got[1]["n"], got[1]["n_pos"]) == (2, 2)
+    assert (got[2]["n_pos"], got[3]["n_pos"]) == (0, 0)
