@@ -3301,3 +3301,132 @@ def seasonal_decompose_sql(
     FROM td
     LEFT JOIN seas ON td.k = seas.k AND td.t % {p} = seas.slot
     """
+
+
+def snaive_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    horizon: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Seasonal-naive forecast per key: for each of the ``horizon``
+    buckets after the key's LAST observed bucket, predict the value of
+    the same seasonal slot one (or more) whole periods back —
+    ``ŷ(T+h) = y(T + h − period·⌈h/period⌉)``. The standard
+    no-parameter baseline every real forecast must beat (M-competition
+    "snaive"), and the capacity-planning readout monitoring teams
+    actually page on. Output: ``(key, t, t_source, forecast)`` —
+    ``forecast`` NULL where the referenced historical bucket has no
+    data (gaps propagate honestly rather than inventing values).
+
+    Exactness: bucket values are the same pmod-floored micro-unit
+    means as :func:`seasonal_decompose`; the forecast itself is a PURE
+    LOOKUP — zero arithmetic beyond integer bucket indexing, so there
+    is nothing for engines to round.
+
+    Scale shape: one corpus-scale bucket hash agg; the forecast grid is
+    keys × horizon rows (explode of a ``sequence``), equi-joined back
+    to the bucket table on (key, source bucket). Linear, no windows.
+    """
+    if period < 1:
+        raise ValueError(f"snaive_forecast: period {period} < 1")
+    if horizon < 1:
+        raise ValueError(f"snaive_forecast: horizon {horizon} < 1")
+    if bucket_seconds <= 0:
+        raise ValueError("snaive_forecast: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    p, hz = int(period), int(horizon)
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "k", "t",
+            F.expr(
+                "CAST((CAST(__s * 1000000 AS DECIMAL(38,0))"
+                " - pmod(CAST(__s * 1000000 AS DECIMAL(38,0)),"
+                "        CAST(__c AS DECIMAL(38,0))))"
+                " / CAST(__c AS DECIMAL(38,0)) AS DECIMAL(26,6))"
+                " / 1000000"
+            ).cast("decimal(18,6)").alias("v"),
+        )
+    )
+    last = b.groupBy("k").agg(F.max("t").alias("__T"))
+    grid = last.select(
+        "k", "__T",
+        F.explode(
+            F.sequence(F.col("__T") + 1, F.col("__T") + hz)
+        ).alias("t"),
+    ).withColumn(
+        "t_source",
+        # h = t - T; whole periods back: ceil(h/p) = (h + p - 1) div p
+        F.expr(f"t - {p} * ((t - __T + {p} - 1) div {p})"),
+    )
+    src = b.select(F.col("k"), F.col("t").alias("t_source"),
+                   F.col("v").alias("forecast"))
+    return (
+        grid.join(src, ["k", "t_source"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").cast("bigint"),
+            F.col("t_source").cast("bigint"),
+            F.col("forecast").cast("double"),
+        )
+    )
+
+
+def snaive_forecast_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    horizon: int = 24,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle of :func:`snaive_forecast` — identical bucket
+    means (pmod-floored micros), grid explode, lookup join."""
+    bus = int(bucket_seconds) * 1_000_000
+    p, hz = int(period), int(horizon)
+    num = "CAST(SUM(x) * 1000000 AS HUGEINT)"
+    cnt = "CAST(COUNT(*) AS HUGEINT)"
+    adj = f"({num} - ((({num} % {cnt}) + {cnt}) % {cnt}))"
+    v = (
+        f"CAST(CAST({adj} // {cnt} AS DECIMAL(26,6)) / 1000000"
+        f" AS DECIMAL(18,6))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT k, t, {v} AS v
+      FROM (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               CAST({value_col} AS DECIMAL(18,6)) AS x
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+      ) GROUP BY k, t
+    ),
+    last AS (SELECT k, MAX(t) AS t_max FROM b GROUP BY k),
+    grid AS (
+      SELECT k, t_max + h AS t,
+             (t_max + h) - {p} * ((h + {p} - 1) // {p}) AS t_source
+      FROM last, (SELECT unnest(range(1, {hz + 1})) AS h) hs
+    )
+    SELECT grid.k AS {key_col}, CAST(grid.t AS BIGINT) AS t,
+           CAST(grid.t_source AS BIGINT) AS t_source,
+           CAST(b.v AS DOUBLE) AS forecast
+    FROM grid LEFT JOIN b ON grid.k = b.k AND grid.t_source = b.t
+    """

@@ -619,6 +619,14 @@ class Babe:
             seasonal_decompose(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def snaive_forecast(self, key_col, ts_col, value_col,
+                        **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import snaive_forecast
+
+        return self._wrap(
+            snaive_forecast(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def roc_auc(self, score_col, label_col, by=None) -> "Babe":
         from pybabe_spark.operators.classifier import roc_auc
 

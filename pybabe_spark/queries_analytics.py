@@ -4586,3 +4586,28 @@ def q_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(
         ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
     )
+
+
+def _snaive_sql() -> str:
+    from pybabe_spark.operators.timeseries import snaive_forecast_sql
+
+    return snaive_forecast_sql(
+        "events", "event_type", "ts", "value", period=24, horizon=24,
+        bucket_seconds=3600,
+    )
+
+
+@register("snaive_forecast_events", _snaive_sql())
+def q_snaive_forecast(spark, sf_dir):
+    """Next-day hourly seasonal-naive forecast per event type
+    (operators/timeseries.py::snaive_forecast): the M-competition
+    no-parameter baseline — pure lookup of the same slot one period
+    back over exact bucket means, zero arithmetic to round. One
+    corpus hash agg + a keys×horizon grid join."""
+    from pybabe_spark.operators.timeseries import snaive_forecast
+
+    ev = read_table(spark, sf_dir, "events")
+    return snaive_forecast(
+        ev, "event_type", "ts", "value", period=24, horizon=24,
+        bucket_seconds=3600,
+    )

@@ -1290,3 +1290,39 @@ def test_seasonal_decompose_gap_disables_trend(spark):
     assert got[t0 + 2] is None
     assert got[t0 + 4] is None
     assert got[t0 + 5] == 1.0
+
+
+def test_snaive_forecast_lookup(spark):
+    """Period-3 pattern 10,20,30 over 6 buckets: the next-3 forecast
+    replays the last full period; a gap in history propagates NULL."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import snaive_forecast
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=i), float([10, 20, 30][i % 3]))
+        for i in range(6) if i != 4          # drop bucket T-1 (value 20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["t"]: r for r in snaive_forecast(
+        df, "k", "ts", "v", period=3, horizon=4,
+        bucket_seconds=3600).collect()}
+    t0 = int(base.timestamp() * 1_000_000) // 3_600_000_000
+    T = t0 + 5
+    assert set(got) == {T + 1, T + 2, T + 3, T + 4}
+    # slot of T+1 is (T+1-3): bucket t0+3 -> 10
+    assert got[T + 1]["forecast"] == 10.0
+    assert got[T + 1]["t_source"] == T - 2
+    assert got[T + 2]["forecast"] is None    # source bucket was dropped
+    assert got[T + 3]["forecast"] == 30.0    # source = T itself
+    # h=4 reaches TWO periods back only when one period back is the
+    # future? no: ceil(4/3)=2 -> source = T+4-6 = T-2 -> bucket t0+3=10
+    assert got[T + 4]["forecast"] == 10.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        snaive_forecast(df, "k", "ts", "v", period=0)
+    with pytest.raises(ValueError):
+        snaive_forecast(df, "k", "ts", "v", horizon=0)
