@@ -3430,3 +3430,160 @@ def snaive_forecast_sql(
            CAST(b.v AS DOUBLE) AS forecast
     FROM grid LEFT JOIN b ON grid.k = b.k AND grid.t_source = b.t
     """
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Seasonal-naive backtest per key: hold out each key's LAST
+    ``period`` buckets, forecast them from the history before the
+    holdout (same-slot-one-period-back, i.e. exactly what
+    :func:`snaive_forecast` would have predicted standing at the
+    cutover), and score — ``(key, n_holdout, n_scored, mae_micros,
+    smape_ppm)``. ``n_scored`` counts holdout buckets whose source
+    bucket exists (gaps score nothing); ``mae_micros`` is the floored
+    mean absolute error in exact micro-units; ``smape_ppm`` is the
+    aggregate-form symmetric MAPE ``Σ|y−ŷ| / Σ(|y|+|ŷ|)`` in floored
+    ppm (the ratio-of-sums form — per-row sMAPE averages explode on
+    near-zero buckets; NULL when the denominator is 0). This is the
+    ACCURACY CERTIFICATE for the snaive baseline: a model that can't
+    beat this table's numbers has learned nothing beyond seasonality.
+
+    Exactness: bucket means are pmod-floored micro-units
+    (:func:`seasonal_decompose` contract); errors are integer
+    subtraction + ABS; both finishes are pmod-floored integral
+    divisions — zero IEEE.
+
+    Scale shape: one corpus-scale bucket hash agg, a per-key max join,
+    one self-equi-join on (key, source bucket), one per-key agg.
+    """
+    if period < 1:
+        raise ValueError(f"forecast_backtest: period {period} < 1")
+    if bucket_seconds <= 0:
+        raise ValueError("forecast_backtest: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "k", "t",
+            F.expr(
+                "CAST((CAST(__s * 1000000 AS DECIMAL(38,0))"
+                " - pmod(CAST(__s * 1000000 AS DECIMAL(38,0)),"
+                "        CAST(__c AS DECIMAL(38,0))))"
+                " / CAST(__c AS DECIMAL(38,0)) AS DECIMAL(20,0))"
+            ).alias("vm"),  # exact micro-units, integral
+        )
+    )
+    last = b.groupBy("k").agg(F.max("t").alias("__T"))
+    holdout = (
+        b.join(last, "k")
+        .filter(F.col("t") > F.col("__T") - p)
+        .select("k", "t", F.col("vm").alias("__y"))
+    )
+    src = b.select("k", (F.col("t") + p).alias("t"),
+                   F.col("vm").alias("__f"))
+    scored = holdout.join(src, ["k", "t"], "left")
+    err = F.abs(F.col("__y") - F.col("__f"))
+    agg = scored.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
+        F.count("__f").cast("bigint").alias("n_scored"),
+        F.sum(err).cast("decimal(38,0)").alias("__ae"),
+        F.sum(
+            F.when(
+                F.col("__f").isNotNull(),
+                F.abs(F.col("__y")) + F.abs(F.col("__f")),
+            )
+        ).cast("decimal(38,0)").alias("__den"),
+    )
+    mae = F.expr(
+        "CAST((__ae - pmod(__ae, CAST(n_scored AS DECIMAL(38,0))))"
+        " / CAST(n_scored AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    smape = F.expr(
+        "CAST((__ae * 1000000 - pmod(__ae * 1000000, __den))"
+        " / __den AS BIGINT)"
+    )
+    return agg.select(
+        key_col,
+        "n_holdout",
+        "n_scored",
+        F.when(F.col("n_scored") > 0, mae).alias("mae_micros"),
+        F.when(F.col("__den") > 0, smape).alias("smape_ppm"),
+    )
+
+
+def forecast_backtest_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle of :func:`forecast_backtest` — identical micro
+    bucket means, one-period-back lookup join, pmod-floored finishes."""
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+    num = "CAST(SUM(x) * 1000000 AS HUGEINT)"
+    cnt = "CAST(COUNT(*) AS HUGEINT)"
+    vm = (
+        f"({num} - ((({num} % {cnt}) + {cnt}) % {cnt})) // {cnt}"
+    )
+    return f"""
+    WITH b AS (
+      SELECT k, t, {vm} AS vm
+      FROM (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               CAST({value_col} AS DECIMAL(18,6)) AS x
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+      ) GROUP BY k, t
+    ),
+    last AS (SELECT k, MAX(t) AS t_max FROM b GROUP BY k),
+    holdout AS (
+      SELECT b.k, b.t, b.vm AS y
+      FROM b JOIN last ON b.k = last.k
+      WHERE b.t > last.t_max - {p}
+    ),
+    scored AS (
+      SELECT h.k, h.t, h.y, s.vm AS f
+      FROM holdout h
+      LEFT JOIN b s ON h.k = s.k AND h.t = s.t + {p}
+    ),
+    agg AS (
+      SELECT k, COUNT(*) AS n_holdout, COUNT(f) AS n_scored,
+             COALESCE(SUM(ABS(y - f)), 0) AS ae,
+             COALESCE(SUM(CASE WHEN f IS NOT NULL
+                          THEN ABS(y) + ABS(f) END), 0) AS den
+      FROM scored GROUP BY k
+    )
+    SELECT k AS {key_col},
+           CAST(n_holdout AS BIGINT) AS n_holdout,
+           CAST(n_scored AS BIGINT) AS n_scored,
+           CASE WHEN n_scored > 0 THEN CAST(
+             (ae - (((ae % n_scored) + n_scored) % n_scored)) // n_scored
+             AS BIGINT) END AS mae_micros,
+           CASE WHEN den > 0 THEN CAST(
+             (ae * 1000000 - (((ae * 1000000 % den) + den) % den)) // den
+             AS BIGINT) END AS smape_ppm
+    FROM agg
+    """

@@ -627,6 +627,14 @@ class Babe:
             snaive_forecast(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def forecast_backtest(self, key_col, ts_col, value_col,
+                          **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import forecast_backtest
+
+        return self._wrap(
+            forecast_backtest(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def roc_auc(self, score_col, label_col, by=None) -> "Babe":
         from pybabe_spark.operators.classifier import roc_auc
 

@@ -4611,3 +4611,28 @@ def q_snaive_forecast(spark, sf_dir):
         ev, "event_type", "ts", "value", period=24, horizon=24,
         bucket_seconds=3600,
     )
+
+
+def _backtest_sql() -> str:
+    from pybabe_spark.operators.timeseries import forecast_backtest_sql
+
+    return forecast_backtest_sql(
+        "events", "event_type", "ts", "value", period=24,
+        bucket_seconds=3600,
+    )
+
+
+@register("forecast_backtest_events", _backtest_sql())
+def q_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive backtest per event type
+    (operators/timeseries.py::forecast_backtest): last day held out,
+    forecast one period back, exact micro-unit MAE + aggregate-form
+    sMAPE (floored ppm) — the accuracy bar any real forecaster must
+    beat. One bucket hash agg + a lookup self-join + one per-key agg,
+    zero IEEE."""
+    from pybabe_spark.operators.timeseries import forecast_backtest
+
+    ev = read_table(spark, sf_dir, "events")
+    return forecast_backtest(
+        ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
+    )

@@ -1326,3 +1326,36 @@ def test_snaive_forecast_lookup(spark):
         snaive_forecast(df, "k", "ts", "v", period=0)
     with pytest.raises(ValueError):
         snaive_forecast(df, "k", "ts", "v", horizon=0)
+
+
+def test_forecast_backtest_hand_checked(spark):
+    """Two days of hourly-ish data, period 2: holdout = last 2 buckets;
+    forecasts are the values 2 buckets earlier; MAE/sMAPE exact."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import forecast_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 16.0, 26.0]  # forecast(16)=10, forecast(26)=20
+    rows = [("k", base + dt.timedelta(hours=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = forecast_backtest(df, "k", "ts", "v", period=2,
+                          bucket_seconds=3600).collect()[0]
+    assert (r["n_holdout"], r["n_scored"]) == (2, 2)
+    # errors: |16-10|=6, |26-20|=6 -> mae 6.0 -> 6_000_000 micros
+    assert r["mae_micros"] == 6_000_000
+    # sMAPE = (6+6)/( (16+10)+(26+20) ) = 12/72 -> 166666 ppm floored
+    assert r["smape_ppm"] == 166666
+
+    # unscoreable holdout (no history before it) -> NULLs, not crash
+    short = spark.createDataFrame(rows[:2], "k string, ts timestamp, v double")
+    r2 = forecast_backtest(short, "k", "ts", "v", period=2,
+                           bucket_seconds=3600).collect()[0]
+    assert (r2["n_holdout"], r2["n_scored"]) == (2, 0)
+    assert r2["mae_micros"] is None and r2["smape_ppm"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        forecast_backtest(df, "k", "ts", "v", period=0)
