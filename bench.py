@@ -919,6 +919,75 @@ def stress(
                 ),
                 top_n=100,
             ).count(),
+            # r11 families ----------------------------------------------
+            # narrow map, zero shuffle: cost must track rows exactly
+            "readability": lambda: docs.select(
+                __import__(
+                    "pybabe_spark.functions.text", fromlist=["readability"]
+                ).readability("text").alias("r")
+            ).count(),
+            # replica words are suffixed → vocab grows ×factor while the
+            # 10 sources stay flat: cost must track VOCAB (the distinct
+            # (source, word) grain), pairs stay 45
+            "vocab_overlap": lambda: __import__(
+                "pybabe_spark.operators.tfidf", fromlist=["vocab_overlap"]
+            ).vocab_overlap(docs, "source", "text").count(),
+            # one corpus hash agg to the bounded micro-score grain; the
+            # cumulative window is resolution-bounded, not corpus-bound
+            "roc_auc": lambda: __import__(
+                "pybabe_spark.operators.classifier", fromlist=["roc_auc"]
+            ).roc_auc(
+                docs.select(
+                    (
+                        F.least(
+                            F.size(F.split("text", " ")) * 5000,
+                            F.lit(1_000_000),
+                        ).cast("decimal(18,6)") / 1_000_000
+                    ).alias("score"),
+                    (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+                ),
+                "score", "label",
+            ).count(),
+            # de-globalized ranks: tie cells are per-(score) partitions;
+            # work ∝ rows through the grain join + row_number
+            "gains_table": lambda: __import__(
+                "pybabe_spark.operators.classifier",
+                fromlist=["gains_table"],
+            ).gains_table(
+                docs.select(
+                    "doc_id",
+                    (
+                        F.least(
+                            F.size(F.split("text", " ")) * 5000,
+                            F.lit(1_000_000),
+                        ).cast("decimal(18,6)") / 1_000_000
+                    ).alias("score"),
+                    (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+                ),
+                "score", "label", "doc_id",
+            ).count(),
+            # exploded (label, pos) grain ∝ corpus × dims feeding two
+            # hash aggs; the cosine stage is labels × dims — flat
+            "centroid_drift": lambda: __import__(
+                "pybabe_spark.operators.similarity",
+                fromlist=["centroid_drift"],
+            ).centroid_drift(emb, "label", "embedding").count(),
+            # bucket table grows ∝ corpus (t = doc_id div 10): the
+            # range windows and slot aggs must track buckets linearly
+            "seasonal_decompose": lambda: __import__(
+                "pybabe_spark.operators.timeseries",
+                fromlist=["seasonal_decompose"],
+            ).seasonal_decompose(
+                docs.select(
+                    F.col("source").alias("k"),
+                    F.timestamp_micros(
+                        (F.col("doc_id").cast("bigint") / 10).cast("bigint")
+                        * 3_600_000_000
+                    ).alias("ts"),
+                    F.col("n_chars").cast("double").alias("v"),
+                ),
+                "k", "ts", "v", period=24,
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -1049,6 +1118,17 @@ if __name__ == "__main__":
             else [1, 3, 10]
         )
         stress(factors)
+    elif len(sys.argv) > 2 and sys.argv[1] == "--stress-only":
+        # targeted exponents for a named family subset (e.g. families
+        # added this round) — merges into STRESS.json, never clobbers
+        # the standing full-sweep evidence
+        fams = sys.argv[2].split(",")
+        factors = (
+            [int(x) for x in sys.argv[3].split(",")]
+            if len(sys.argv) > 3
+            else [1, 3, 10]
+        )
+        stress(factors, only=fams)
     elif len(sys.argv) > 1 and sys.argv[1] == "--stress-lowmem":
         factors = (
             [int(x) for x in sys.argv[2].split(",")]

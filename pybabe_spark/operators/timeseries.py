@@ -3453,6 +3453,10 @@ def forecast_backtest(
     near-zero buckets; NULL when the denominator is 0). This is the
     ACCURACY CERTIFICATE for the snaive baseline: a model that can't
     beat this table's numbers has learned nothing beyond seasonality.
+    Complementary to :func:`seasonal_backtest` (the in-sample MASE
+    comparability ratio asking "is seasonality real at this row
+    lag?"): this one holds out REAL future buckets and prices the
+    forecast in the value's own units.
 
     Exactness: bucket means are pmod-floored micro-units
     (:func:`seasonal_decompose` contract); errors are integer
