@@ -13,9 +13,10 @@ the local gate must run at the scale the driver uses.
 
 This file re-runs exactly those families at sf0.01 with its own
 module-scoped DuckDB connection (the session `duck`/`sf_dir` fixtures
-stay at the fast default for the other ~280 keys). ~27 keys, each a
-few seconds — cheap insurance that rmst-class drift reproduces
-locally before the driver sees it.
+stay at the fast default for the rest of the registry). ~38 keys
+(every round-11 addition included), each a few seconds — cheap
+insurance that rmst-class drift reproduces locally before the driver
+sees it.
 """
 
 import os
@@ -36,7 +37,8 @@ _DELICATE = re.compile(
     r"|cliffs|anova|brown_forsythe|durbin|ljung|bootstrap|wilson"
     r"|proportion_ci|delta_method|kappa|brier|mcnemar|chi2|zipf"
     r"|js_divergence|llr|quantile|percentile|sample_size|centroid_drift"
-    r"|seasonal_decompose"
+    r"|seasonal_decompose|snaive_forecast|forecast_backtest|stickiness"
+    r"|roc_auc|gains_table|vocab_overlap|readability|feature_hash"
 )
 
 all_queries()
