@@ -2983,7 +2983,16 @@ def stickiness(
     """
     if not 1 <= short_days <= long_days:
         raise ValueError("stickiness: need 1 <= short_days <= long_days")
-    act = (
+    act = activity_grain(df, key_col, ts_col)
+    return _stickiness_from_grain(act, short_days, long_days)
+
+
+def activity_grain(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """DISTINCT (key, UTC day) activity grain — the only corpus-scale
+    object engagement metrics need (shared by :func:`stickiness` and
+    the streaming-maintained store in
+    :func:`~pybabe_spark.streaming.ops.stream_activity_grain`)."""
+    return (
         df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(
             F.col(key_col).alias("__k"),
@@ -2991,6 +3000,14 @@ def stickiness(
         )
         .distinct()
     )
+
+
+def _stickiness_from_grain(
+    act: DataFrame, short_days: int, long_days: int
+) -> DataFrame:
+    """Engagement table from a (\_\_k, \_\_d) activity grain —
+    the shared core of :func:`stickiness` (see its docstring for the
+    contribute-forward shape)."""
     dau = act.groupBy(F.col("__d").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
@@ -3014,6 +3031,25 @@ def stickiness(
         "dau", "wau", "mau",
         F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
     )
+
+
+def stickiness_from_store(
+    spark,
+    store_path: str,
+    short_days: int = 7,
+    long_days: int = 28,
+) -> DataFrame:
+    """Engagement table over a STREAMING-MAINTAINED activity store
+    (:func:`~pybabe_spark.streaming.ops.stream_activity_grain`):
+    identical output to running :func:`stickiness` over the full raw
+    history, but reading only the user×day grain the stream keeps —
+    the raw events are never re-scanned."""
+    if not 1 <= short_days <= long_days:
+        raise ValueError(
+            "stickiness_from_store: need 1 <= short_days <= long_days"
+        )
+    act = spark.read.parquet(store_path).select("__k", "__d").distinct()
+    return _stickiness_from_grain(act, short_days, long_days)
 
 
 def stickiness_sql(

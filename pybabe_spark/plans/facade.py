@@ -596,6 +596,14 @@ class Babe:
 
         return self._wrap(stickiness(self.df, key_col, ts_col, **kwargs))
 
+    def stream_activity_grain(self, key_col, ts_col, store_path,
+                              checkpoint, **kwargs):
+        from pybabe_spark.streaming.ops import stream_activity_grain
+
+        return stream_activity_grain(
+            self.df, key_col, ts_col, store_path, checkpoint, **kwargs
+        )
+
     def vocab_overlap(self, group_col="source", text_col="text",
                       **kwargs) -> "Babe":
         from pybabe_spark.operators.tfidf import vocab_overlap

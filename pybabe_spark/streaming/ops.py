@@ -931,3 +931,55 @@ def stream_anomalies_against(
         stream_df, _batch, checkpoint,
         output_mode="update", available_now=available_now,
     )
+
+
+def stream_activity_grain(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming-maintained (key, UTC day) activity store — the state
+    engagement metrics (DAU/WAU/MAU, streaks, retention) need, kept
+    EXACT without unbounded streaming aggregation: every micro-batch
+    reduces to its distinct (key, day) pairs, anti-joins the pairs
+    already stored, and appends only the new ones. State is the
+    user×day grain on disk (bounded by actives × horizon, never the
+    event volume), and the raw stream is never re-scanned; read the
+    engagement table any time via
+    :func:`~pybabe_spark.operators.timeseries.stickiness_from_store`,
+    which is proven output-identical to running the batch operator
+    over the full history (the stream ≡ batch twin test).
+
+    foreachBatch deliberately (stream_rollup's contract): the
+    dedup-append is scoped by the micro-batch boundary, batches are
+    sequential so read-anti-join-append is race-free, and a REPLAYED
+    batch is harmless here — its pairs are already stored, the
+    anti-join drops them, so this sink is naturally idempotent (an
+    exactly-once property the additive rollup sink cannot have).
+
+    Reference lineage: the kontagent log-ingest pipeline
+    (pybabe/examples, SURVEY §2.1) folded raw logs into per-day user
+    activity; this is that fold as an incremental stream.
+    """
+    from pybabe_spark.operators.timeseries import activity_grain
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        act = activity_grain(batch_df, key_col, ts_col)
+        jvm = spark.sparkContext._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hp.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(hp):
+            stored = spark.read.parquet(store_path).select("__k", "__d")
+            act = act.join(stored, ["__k", "__d"], "left_anti")
+        act.write.mode("append").parquet(store_path)
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )

@@ -728,3 +728,118 @@ def test_ks_dnum_matches_model(spark, data):
         cb = sum(1 for y in ys if y <= t)
         best = max(best, abs(ca * len(ys) - cb * len(xs)))
     assert (r["n_a"], r["n_b"], r["d_num"]) == (len(xs), len(ys), best)
+
+
+# -- round 11: readability / roc_auc / stickiness vs python models ------------
+
+
+_texts = st.lists(
+    st.text(
+        alphabet="ab e.!xyz ",
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_readability_matches_model_random(spark, texts):
+    import re as _re
+
+    from pybabe_spark.functions.text import readability
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r["id"]: r
+        for r in df.select("id", readability("text").alias("r"))
+        .select("id", "r.*").collect()
+    }
+    for i, t in enumerate(texts):
+        w = len(t.split(" "))
+        s = max(len(_re.findall(r"[.!?]+", t)), 1)
+        y = max(len(_re.findall(r"[aeiouy]+", t.lower())), w)
+        den = s * w
+        ease = (206835000 * s * w - 1015000 * w * w
+                - 84600000 * y * s) // den
+        grade = (390000 * w * w + 11800000 * y * s
+                 - 15590000 * s * w) // den
+        r = got[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            w, s, y), t
+        assert (r["reading_ease_ppm"], r["fk_grade_ppm"]) == (ease, grade), t
+
+
+_scored = st.lists(
+    st.tuples(
+        st.sampled_from([0.1, 0.25, 0.25, 0.5, 0.75, 0.9]),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(data=_scored)
+@settings(**SETTINGS)
+def test_roc_auc_matches_rank_model_random(spark, data):
+    from collections import Counter
+
+    from pybabe_spark.operators.classifier import roc_auc
+
+    df = spark.createDataFrame(data, "score double, label int")
+    r = roc_auc(df, "score", "label").collect()[0]
+    n1 = sum(l for _, l in data)
+    n0 = len(data) - n1
+    assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+    if n1 == 0 or n0 == 0:
+        assert r["auc_ppm"] is None
+        return
+    cnt = Counter(s for s, _ in data)
+    pos = Counter(s for s, l in data if l)
+    cum, s2 = 0, 0
+    for s in sorted(cnt):
+        s2 += pos[s] * (2 * cum + cnt[s] + 1)
+        cum += cnt[s]
+    assert r["auc_ppm"] == (1_000_000 * (s2 - n1 * (n1 + 1))) // (
+        2 * n1 * n0)
+
+
+_activity = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2", "u3"]),
+        st.integers(min_value=0, max_value=12),  # day offsets
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=_activity)
+@settings(**SETTINGS)
+def test_stickiness_matches_set_model_random(spark, data):
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import stickiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in data]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    d0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    days = {d0 + d for _, d in data}
+    active = {(u, d0 + d) for u, d in data}
+
+    got = {r["day"]: r for r in
+           stickiness(df, "user_id", "ts", 7, 28).collect()}
+    assert set(got) == days
+    for day in days:
+        dau = len({u for u, d in active if d == day})
+        wau = len({u for u, d in active if day - 6 <= d <= day})
+        mau = len({u for u, d in active if day - 27 <= d <= day})
+        r = got[day]
+        assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau), day
+        assert r["stickiness_ppm"] == dau * 1_000_000 // wau

@@ -740,3 +740,60 @@ def test_stream_anomalies_against_matches_batch(
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_stream_activity_grain_stickiness_matches_batch(spark, tmp_path):
+    """Micro-batched event files folded through stream_activity_grain,
+    then stickiness_from_store == batch stickiness over the union —
+    EXACT equality (the dedup-append store loses nothing), including
+    when batches repeat (user, day) pairs across files."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        stickiness,
+        stickiness_from_store,
+    )
+    from pybabe_spark.streaming.ops import stream_activity_grain
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (f"u{(i + b) % 4}", base + dt.timedelta(days=(i % 5) + b))
+            for i in range(20)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "user_id string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "act")
+    q = stream_activity_grain(
+        stream, "user_id", "ts", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["day"]: tuple(r)
+        for r in stickiness_from_store(spark, store).collect()
+    }
+    want = {
+        r["day"]: tuple(r)
+        for r in stickiness(
+            spark.createDataFrame(all_rows, "user_id string, ts timestamp"),
+            "user_id", "ts",
+        ).collect()
+    }
+    assert got == want and len(want) >= 5
+
+    # idempotence: the stored grain holds each (user, day) exactly once
+    grain = spark.read.parquet(store)
+    assert grain.count() == grain.select("__k", "__d").distinct().count()
