@@ -4037,3 +4037,247 @@ def required_sample_size_sql(
              CAST(ceil({expr}) AS BIGINT) END AS n_required
     FROM d
     """
+
+
+def g_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    crit: float = 15.507313,
+) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between two
+    categorical columns — :func:`chi2_independence`'s likelihood-based
+    sibling: ``G = 2·Σ O·ln(O/E)``, asymptotically the same χ²(dof)
+    distribution but additive across table partitions and better
+    behaved when some O ≫ E (the regime where Pearson's (O−E)²/E
+    overweights). One row: ``(n, dof, g, significant)`` with ``g`` a
+    DECIMAL(18,6)-rounded double and ``significant = g > crit``
+    (caller supplies the χ² critical value for their dof/alpha,
+    exactly like chi2_independence).
+
+    Determinism (the :func:`~pybabe_spark.operators.collocations
+    .llr_collocations` discipline): only OBSERVED cells contribute
+    (O·ln(O/E) → 0 as O → 0, so zero cells add exactly nothing —
+    unlike Pearson, no grid materialization is needed); each term is
+    ``2·O·ln((O·n)/(r·c))`` over exact integer counts whose double
+    products stay under 2^53 for n ≲ 10⁸, rounded ONCE to
+    DECIMAL(38,12); the sum is decimal (order-independent); the
+    significance compare happens on the rounded value. NULL in either
+    column drops the pair; empty input ⟹ (0, 0, 0.0, false).
+
+    Scale shape: ONE map-side-combinable hash agg to the cell table;
+    totals are aggs over that ≤ R·C-row table joined back — identical
+    plan to chi2_independence minus the zero-cell grid.
+    """
+    crit6 = int(round(float(crit) * 1_000_000))
+    ok = F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    r = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    c = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__ra"),
+        F.countDistinct("__b").alias("__cb"),
+    )
+    g = (
+        cells.join(F.broadcast(r), "__a")
+        .join(F.broadcast(c), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.lit(2.0)
+        * F.col("__o").cast("double")
+        * F.log(
+            (F.col("__o").cast("double") * F.col("__n").cast("double"))
+            / (F.col("__r").cast("double") * F.col("__c").cast("double"))
+        )
+    ).cast("decimal(38,12)")
+    out = g.withColumn("__t", term).agg(
+        F.max("__n").alias("__n"),
+        F.max((F.col("__ra") - 1) * (F.col("__cb") - 1)).alias("__dof"),
+        F.sum("__t").alias("__g"),
+    )
+    g6 = F.col("__g").cast("decimal(18,6)")
+    return out.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("__dof"), F.lit(0)).cast("bigint").alias("dof"),
+        F.coalesce(g6.cast("double"), F.lit(0.0)).alias("g"),
+        F.coalesce(
+            g6 > F.lit(crit6).cast("decimal(18,6)") / 1_000_000,
+            F.lit(False),
+        ).alias("significant"),
+    )
+
+
+def g_test_sql(
+    select: str,
+    a_col: str,
+    b_col: str,
+    crit: float = 15.507313,
+) -> str:
+    """DuckDB oracle of :func:`g_test` — identical observed-cell terms,
+    per-term DECIMAL(38,12) rounding, decimal sum, rounded compare."""
+    crit6 = int(round(float(crit) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, COUNT(*) AS o
+        FROM rows_in
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY {a_col}, {b_col}
+    ),
+    r AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+    c AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+    tt AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ra,
+                  COUNT(DISTINCT b) AS cb
+           FROM cells),
+    terms AS (
+        SELECT tt.n, tt.ra, tt.cb,
+               CAST(2.0 * CAST(cells.o AS DOUBLE) *
+                    ln((CAST(cells.o AS DOUBLE) * CAST(tt.n AS DOUBLE))
+                       / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)))
+                    AS DECIMAL(38,12)) AS t
+        FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN tt
+    ),
+    agg AS (
+        SELECT MAX(n) AS n, MAX((ra - 1) * (cb - 1)) AS dof,
+               SUM(t) AS g
+        FROM terms
+    )
+    SELECT COALESCE(CAST(n AS BIGINT), 0) AS n,
+           COALESCE(CAST(dof AS BIGINT), 0) AS dof,
+           COALESCE(CAST(CAST(g AS DECIMAL(18,6)) AS DOUBLE), 0.0) AS g,
+           COALESCE(CAST(g AS DECIMAL(18,6))
+                    > CAST({crit6} AS DECIMAL(18,6)) / 1000000,
+                    FALSE) AS significant
+    FROM agg
+    """
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item over ≥2 categories, the multi-rater
+    generalization of :func:`cohens_kappa` (which compares exactly two
+    named raters): the inter-annotator-agreement certificate for
+    label-quality audits where every document got n judgments. Input
+    is LONG format: one row per (item, assigned category) rating —
+    rater identity is irrelevant to the statistic. One output row:
+    ``(n_items, n_raters, n_categories, kappa_ppm)``.
+
+    The statistic is a RATIO OF INTEGERS end to end: with
+    ``S = Σ_ij n_ij²``, ``c_j = Σ_i n_ij``, ``N`` items, ``n`` raters,
+
+        P̄  = (S − N·n) / (N·n·(n−1))          (mean pairwise agreement)
+        P̄e = Σ_j c_j² / (N·n)²                 (chance agreement)
+        κ  = (P̄ − P̄e) / (1 − P̄e)
+           = (A·D − C·B) / (B·(D − C)),  A=S−Nn, B=Nn(n−1),
+                                          C=Σc_j², D=(Nn)²
+
+    emitted as pmod-FLOORED integral ppm in DECIMAL(38,0) (κ can be
+    negative — worse than chance — so truncation won't do). No IEEE
+    anywhere. Fleiss requires a CONSTANT rating count per item: an
+    in-plan guard raises at action time when items disagree (the
+    max==min check rides the tiny per-item count table). Degenerate
+    denominators (n=1 rater, or P̄e=1 — every rating one category)
+    report NULL kappa_ppm. NULL item/category rows drop.
+
+    Scale shape: one hash agg to the (item, category) cell grain —
+    the only corpus-scale shuffle — then aggs over cells; everything
+    else is scalar arithmetic on one row.
+    """
+    ok = F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(category_col).alias("__j")
+        )
+        .agg(F.count(F.lit(1)).alias("__nij"))
+    )
+    per_item = cells.groupBy("__i").agg(F.sum("__nij").alias("__ni"))
+    msg = (
+        "fleiss_kappa: rating counts differ across items — Fleiss "
+        "requires a constant number of raters per item (filter or "
+        "impute upstream)"
+    )
+    guarded = per_item.withColumn(
+        "__chk",
+        F.when(
+            F.max("__ni").over(Window.partitionBy())
+            != F.min("__ni").over(Window.partitionBy()),
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True)),
+    ).filter(F.col("__chk"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = cells.agg(
+        F.countDistinct("__i").alias("__items"),
+        F.sum(d(F.col("__nij")) * F.col("__nij")).alias("__S"),
+    )
+    cols = cells.groupBy("__j").agg(F.sum("__nij").alias("__cj"))
+    cstat = cols.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(d(F.col("__cj")) * F.col("__cj")).alias("__C"),
+    )
+    nrow = guarded.agg(F.max("__ni").alias("__n"))
+    one = stats.crossJoin(cstat).crossJoin(nrow)
+    N, n = d(F.col("__items")), d(F.col("__n"))
+    A = F.col("__S") - N * n
+    B = N * n * (n - F.lit(1))
+    D = (N * n) * (N * n)
+    C = F.col("__C")
+    num = (A * D - C * B) * F.lit(1_000_000)
+    den = B * (D - C)
+    kappa = ((num - F.pmod(num, den)) / den).cast("bigint")
+    return one.select(
+        F.col("__items").cast("bigint").alias("n_items"),
+        F.col("__n").cast("bigint").alias("n_raters"),
+        F.col("__k").cast("bigint").alias("n_categories"),
+        F.when((F.col("__n") > 1) & (D > C), kappa).alias("kappa_ppm"),
+    )
+
+
+def fleiss_kappa_sql(
+    select: str,
+    item_col: str,
+    category_col: str,
+) -> str:
+    """DuckDB oracle of :func:`fleiss_kappa` — identical integer
+    rational, HUGEINT arithmetic, pmod-floored ppm."""
+    return f"""
+    WITH rows_in AS ({select}),
+    cells AS (
+        SELECT {item_col} AS i, {category_col} AS j,
+               COUNT(*)::HUGEINT AS nij
+        FROM rows_in
+        WHERE {item_col} IS NOT NULL AND {category_col} IS NOT NULL
+        GROUP BY {item_col}, {category_col}
+    ),
+    per_item AS (SELECT i, SUM(nij) AS ni FROM cells GROUP BY i),
+    nrow AS (SELECT MAX(ni) AS n_rt FROM per_item
+             WHERE (SELECT MAX(ni) FROM per_item)
+                   = (SELECT MIN(ni) FROM per_item)),
+    stats AS (SELECT COUNT(DISTINCT i)::HUGEINT AS n_it,
+                     SUM(nij * nij) AS S FROM cells),
+    cstat AS (SELECT COUNT(*)::HUGEINT AS k, SUM(cj * cj) AS C
+              FROM (SELECT j, SUM(nij) AS cj FROM cells GROUP BY j)),
+    one AS (SELECT * FROM stats CROSS JOIN cstat CROSS JOIN nrow)
+    SELECT CAST(n_it AS BIGINT) AS n_items,
+           CAST(n_rt AS BIGINT) AS n_raters,
+           CAST(k AS BIGINT) AS n_categories,
+           CASE WHEN n_rt > 1 AND (n_it*n_rt)*(n_it*n_rt) > C THEN CAST(
+             ((S - n_it*n_rt) * ((n_it*n_rt)*(n_it*n_rt)) - C * (n_it*n_rt*(n_rt-1))) * 1000000
+             // ((n_it*n_rt*(n_rt-1)) * ((n_it*n_rt)*(n_it*n_rt) - C))
+             - CASE WHEN (((S - n_it*n_rt) * ((n_it*n_rt)*(n_it*n_rt)) - C * (n_it*n_rt*(n_rt-1)))
+                          * 1000000)
+                         % ((n_it*n_rt*(n_rt-1)) * ((n_it*n_rt)*(n_it*n_rt) - C)) < 0
+                    THEN 1 ELSE 0 END
+             AS BIGINT) END AS kappa_ppm
+    FROM one
+    """

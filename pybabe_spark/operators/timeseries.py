@@ -3006,27 +3006,38 @@ def _stickiness_from_grain(
     act: DataFrame, short_days: int, long_days: int
 ) -> DataFrame:
     """Engagement table from a (\_\_k, \_\_d) activity grain —
-    the shared core of :func:`stickiness` (see its docstring for the
-    contribute-forward shape)."""
-    dau = act.groupBy(F.col("__d").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
+    the shared core of :func:`stickiness`.
+
+    ONE contribute-forward explode covers all three windows: each
+    (user, day) contributes (user, target day, offset) for the
+    ``long_days`` trailing windows it falls in; per (user, target day)
+    the MIN offset decides which windows that user counts toward
+    (0 → DAU, ≤ short−1 → WAU, anything → MAU), so one hash agg to
+    the (user, day) grain plus one conditional day agg replaces three
+    separate explode+distinct+count pipelines (a plan-audit shave:
+    10 exchanges → 4, and a single ``long_days`` fanout instead of
+    1 + short + long)."""
+    contrib = act.select(
+        "__k",
+        F.explode(
+            F.sequence(F.col("__d"), F.col("__d") + F.lit(int(long_days) - 1))
+        ).alias("day"),
+        F.col("__d"),
+    ).select("__k", "day", (F.col("day") - F.col("__d")).alias("__off"))
+    per = contrib.groupBy("__k", "day").agg(
+        F.min("__off").alias("__mo")
     )
-
-    def _window_count(span: int, alias: str) -> DataFrame:
-        contrib = act.select(
-            "__k",
-            F.explode(
-                F.sequence(F.col("__d"), F.col("__d") + F.lit(span - 1))
-            ).alias("day"),
-        ).distinct()
-        return contrib.groupBy("day").agg(
-            F.count(F.lit(1)).cast("bigint").alias(alias)
-        )
-
-    wau = _window_count(int(short_days), "wau")
-    mau = _window_count(int(long_days), "mau")
-    out = dau.join(wau, "day").join(mau, "day")
-    return out.select(
+    out = per.groupBy("day").agg(
+        F.sum((F.col("__mo") == 0).cast("long")).cast("bigint").alias("dau"),
+        F.sum((F.col("__mo") <= int(short_days) - 1).cast("long"))
+        .cast("bigint")
+        .alias("wau"),
+        F.count(F.lit(1)).cast("bigint").alias("mau"),
+    )
+    # days with no direct activity exist only as window tails — the
+    # engagement table reports OBSERVED days (dau >= 1), matching the
+    # original three-pipeline form's inner join on the dau table
+    return out.filter(F.col("dau") > 0).select(
         F.col("day").cast("bigint"),
         "dau", "wau", "mau",
         F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),

@@ -643,6 +643,16 @@ class Babe:
             forecast_backtest(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def g_test(self, a_col, b_col, crit=15.507313) -> "Babe":
+        from pybabe_spark.operators.sketch import g_test
+
+        return self._wrap(g_test(self.df, a_col, b_col, crit))
+
+    def fleiss_kappa(self, item_col, category_col) -> "Babe":
+        from pybabe_spark.operators.sketch import fleiss_kappa
+
+        return self._wrap(fleiss_kappa(self.df, item_col, category_col))
+
     def roc_auc(self, score_col, label_col, by=None) -> "Babe":
         from pybabe_spark.operators.classifier import roc_auc
 

@@ -4636,3 +4636,25 @@ def q_forecast_backtest(spark, sf_dir):
     return forecast_backtest(
         ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
     )
+
+
+def _g_test_sql() -> str:
+    from pybabe_spark.operators.sketch import g_test_sql
+
+    return g_test_sql(
+        "SELECT o_orderpriority, o_orderstatus FROM orders",
+        "o_orderpriority", "o_orderstatus",
+    )
+
+
+@register("g_test_orders", _g_test_sql())
+def q_g_test(spark, sf_dir):
+    """G-test of independence (operators/sketch.py::g_test) between
+    order priority and status — chi2's likelihood-ratio sibling on the
+    SAME cell-table plan (observed cells only: O·ln(O/E) vanishes at
+    O=0, so no zero-cell grid); per-term DECIMAL(38,12) rounding +
+    decimal sum, significance compared on the rounded value."""
+    from pybabe_spark.operators.sketch import g_test
+
+    orders = read_table(spark, sf_dir, "orders")
+    return g_test(orders, "o_orderpriority", "o_orderstatus")

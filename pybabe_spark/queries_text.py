@@ -1690,3 +1690,30 @@ def q_gains_table(spark, sf_dir):
         ).alias("label"),
     )
     return gains_table(frame, "score", "label", "doc_id", n_buckets=10)
+
+
+def _fleiss_sql():
+    from pybabe_spark.operators.sketch import fleiss_kappa_sql
+
+    return fleiss_kappa_sql(
+        "SELECT doc_id % 50 AS item, lang AS cat FROM documents",
+        "item", "cat",
+    )
+
+
+@register("fleiss_kappa_docs", _fleiss_sql())
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (operators/sketch.py::fleiss_kappa) treating each
+    doc-id bucket as an item rated by its member docs' languages — the
+    multi-rater agreement certificate next to cohens_kappa's two-rater
+    form. Pure integer rational (S, c_j², N, n) to a pmod-floored ppm;
+    one hash agg to the (item, category) grain. The doc-id modulus
+    divides every test SF's corpus size, so the constant-raters guard
+    holds by construction."""
+    from pybabe_spark.operators.sketch import fleiss_kappa
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        (F.col("doc_id") % 50).alias("item"), F.col("lang").alias("cat")
+    )
+    return fleiss_kappa(frame, "item", "cat")

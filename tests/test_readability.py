@@ -225,3 +225,78 @@ def test_gains_table_tie_order_by_id(spark):
     # ids 1,2 (both positive) land in bucket 1
     assert (got[1]["n"], got[1]["n_pos"]) == (2, 2)
     assert (got[2]["n_pos"], got[3]["n_pos"]) == (0, 0)
+
+
+def test_g_test_matches_python_model(spark):
+    """2x2 hand table vs a pure-python O*ln(O/E) model with the same
+    per-term 12dp rounding; plus an exactly-independent table -> g=0."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pybabe_spark.operators.sketch import g_test
+
+    rows = ([("x", "p")] * 30 + [("x", "q")] * 10
+            + [("y", "p")] * 15 + [("y", "q")] * 45)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test(df, "a", "b", crit=3.841459).collect()[0]
+    assert (r["n"], r["dof"]) == (100, 1)
+
+    cells = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 15, ("y", "q"): 45}
+    ra = {"x": 40, "y": 60}
+    cb = {"p": 45, "q": 55}
+    total = Decimal(0)
+    for (a, b), o in cells.items():
+        t = 2.0 * o * math.log((o * 100) / (ra[a] * cb[b]))
+        total += Decimal(repr(t)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    expect = float(total.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+    assert r["g"] == expect
+    assert r["significant"] is True and r["g"] > 20  # strong dependence
+
+    # exact independence: O == E in every cell -> every term ln(1) = 0
+    ind = ([("x", "p")] * 20 + [("x", "q")] * 20
+           + [("y", "p")] * 10 + [("y", "q")] * 10)
+    r0 = g_test(spark.createDataFrame(ind, "a string, b string"),
+                "a", "b").collect()[0]
+    assert r0["g"] == 0.0 and r0["significant"] is False
+
+
+def test_fleiss_kappa_textbook_and_guards(spark):
+    """Hand-checked 4 items x 3 raters x 2 categories, exact rational
+    replayed in python; perfect agreement -> 1e6; constant-raters
+    guard raises on ragged items."""
+    from pybabe_spark.operators.sketch import fleiss_kappa
+
+    # items: a,b unanimous 'x'; c unanimous 'y'; d split 2x/1y
+    rows = ([("a", "x")] * 3 + [("b", "x")] * 3 + [("c", "y")] * 3
+            + [("d", "x")] * 2 + [("d", "y")])
+    df = spark.createDataFrame(rows, "item string, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_raters"], r["n_categories"]) == (4, 3, 2)
+    # exact rational: S = 9*3 + 4 + 1 = 32; N=4 n=3
+    # A = 32-12 = 20, B = 12*2 = 24, C = 8^2+4^2 = 80, D = 144
+    # kappa = (20*144 - 80*24)/(24*(144-80)) = 960/1536 = 0.625
+    assert r["kappa_ppm"] == 625000
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 3, "item string, cat string")
+    assert fleiss_kappa(perfect, "item", "cat").collect()[0][
+        "kappa_ppm"] == 1000000
+
+    # negative kappa (agreement worse than chance) floors, not truncs:
+    # 2 items, 2 raters, each item split -> kappa = -1 exactly here
+    neg = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "item string, cat string")
+    assert fleiss_kappa(neg, "item", "cat").collect()[0][
+        "kappa_ppm"] == -1000000
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    ragged = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "x")] * 2, "item string, cat string")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="constant number of raters"):
+        fleiss_kappa(ragged, "item", "cat").collect()
