@@ -3051,39 +3051,13 @@ def anova_f_sql(select: str, group_col: str, value_col: str) -> str:
     """
 
 
-def kruskal_wallis(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    chi2_crit: float | None = None,
-) -> DataFrame:
-    """Kruskal–Wallis H test — the k-group generalization of
-    :func:`mann_whitney_u` (rank-based, robust to skew) and the
-    non-parametric sibling of :func:`anova_f`: ONE output row with the
-    group count, total n, H, tie-corrected H, and (when ``chi2_crit``
-    for χ²(k−1) is supplied) ``significant``.
-
-    Exact integral ranks: doubled midranks ``r2(v) = 2·cum_<(v) +
-    n_v + 1`` stay integers under ties (the spearman trick), so each
-    group's doubled rank sum ``R2_g`` is an exact DECIMAL(38,0), and
-
-        H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)
-
-    (the 1/4 from un-doubling folds into 12/4 = 3). The per-group
-    division is the one order-dependent float, so each term rounds
-    once to DECIMAL(38,6) and the terms sum as decimals (the
-    ``anova_f`` discipline). Tie correction divides by
-    ``1 − Σ_v(n_v³−n_v)/(N³−N)`` — both sums exact integers — applied
-    as one fixed-shape IEEE expression rounded once. H is NULL when
-    k < 2; tie-corrected H is NULL when every value is identical.
-
-    Scale shape: one (value, group) hash agg collapses duplicates, a
-    value-level cumulative count runs DE-GLOBALIZED (1024 equal-width
-    cells, window partitioned by cell, offsets from the limit()-proved
-    ≤1024-row bucket-prefix self-join — the mann_whitney machinery),
-    one join back by value, one group-grain agg, one 1-row finish. No
-    global window anywhere.
-    """
+def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
+    """Shared rank machinery of :func:`kruskal_wallis` and
+    :func:`dunn_test`: exact doubled-midrank group sums over the
+    de-globalized 1024-cell cumulative (see kruskal_wallis's docstring
+    for the full shape). Returns ``(per_g, vtot)`` — per_g has
+    ``(__g, __ng, __rs2)`` with __rs2 the exact DECIMAL(38,0) doubled
+    rank sum; vtot is the (value, count) grain for tie corrections."""
     buckets = 1024
     ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -3139,6 +3113,46 @@ def kruskal_wallis(
             .alias("__rs2"),
         )
     )
+    return per_g, vtot
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (rank-based, robust to skew) and the
+    non-parametric sibling of :func:`anova_f`: ONE output row with the
+    group count, total n, H, tie-corrected H, and (when ``chi2_crit``
+    for χ²(k−1) is supplied) ``significant``.
+
+    Exact integral ranks: doubled midranks ``r2(v) = 2·cum_<(v) +
+    n_v + 1`` stay integers under ties (the spearman trick), so each
+    group's doubled rank sum ``R2_g`` is an exact DECIMAL(38,0), and
+
+        H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)
+
+    (the 1/4 from un-doubling folds into 12/4 = 3). The per-group
+    division is the one order-dependent float, so each term rounds
+    once to DECIMAL(38,6) and the terms sum as decimals (the
+    ``anova_f`` discipline). Tie correction divides by
+    ``1 − Σ_v(n_v³−n_v)/(N³−N)`` — both sums exact integers — applied
+    as one fixed-shape IEEE expression rounded once. H is NULL when
+    k < 2; tie-corrected H is NULL when every value is identical.
+
+    Scale shape: one (value, group) hash agg collapses duplicates, a
+    value-level cumulative count runs DE-GLOBALIZED (1024 equal-width
+    cells, window partitioned by cell, offsets from the limit()-proved
+    ≤1024-row bucket-prefix self-join — the mann_whitney machinery),
+    one join back by value, one group-grain agg, one 1-row finish. No
+    global window anywhere.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    per_g, vtot = _kw_rank_sums(df, group_col, value_col)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     term = (
         F.col("__rs2").cast("double")
         * F.col("__rs2").cast("double")
@@ -4280,4 +4294,176 @@ def fleiss_kappa_sql(
                     THEN 1 ELSE 0 END
              AS BIGINT) END AS kappa_ppm
     FROM one
+    """
+
+
+def dunn_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise test after :func:`kruskal_wallis` —
+    WHICH groups differ once KW says "some group differs": for every
+    group pair (g1 < g2),
+
+        z = (R̄₁ − R̄₂) / sqrt( (N(N+1)/12 − T) · (1/n₁ + 1/n₂) ),
+        T = Σ_v (n_v³ − n_v) / (12(N−1))        (tie correction)
+
+    with mean ranks from the SAME exact doubled-midrank machinery KW
+    uses (:func:`_kw_rank_sums` — shared code, the statistics cannot
+    drift apart). One row per pair: ``(g1, g2, n1, n2, z,
+    significant)`` where ``significant = |z| > z_crit`` — supply a
+    Bonferroni/Šidák-adjusted quantile for the pair count (e.g.
+    2.394 for 3 pairs at family α = 0.05), exactly as
+    :func:`proportion_ci` takes its z.
+
+    Determinism: inputs to the fixed-shape IEEE expression are the
+    exact DECIMAL(38,0) doubled rank sums and integer counts; z rounds
+    once to DECIMAL(18,6) and the significance compares |rounded| —
+    the house fixed-shape discipline. Degenerate pairs (all values
+    tied corpus-wide ⟹ zero variance) report NULL z.
+
+    Scale shape: KW's plan (hash aggs + de-globalized 1024-cell
+    cumulative) plus a groups² pair join on the TINY per-group table —
+    bounded by the in-plan ``max_groups`` guard (the
+    :func:`~pybabe_spark.operators.tfidf.vocab_overlap` contract).
+    """
+    if max_groups < 2:
+        raise ValueError(f"dunn_test: max_groups {max_groups} < 2")
+    from pybabe_spark.operators._util import attach_scalars
+
+    per_g, vtot = _kw_rank_sums(df, group_col, value_col)
+    msg = (
+        f"dunn_test: more than max_groups={max_groups} groups — a "
+        "groups² post-hoc table at that size is rarely intended; raise "
+        "max_groups to confirm"
+    )
+    per_g = per_g.withColumn(
+        "__gc", F.count(F.lit(1)).over(Window.partitionBy())
+    ).filter(
+        F.when(
+            F.col("__gc") > max_groups,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__gc")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = per_g.agg(F.sum("__ng").cast("decimal(38,0)").alias("__n"))
+    ties = vtot.agg(
+        F.coalesce(
+            F.sum(d(F.col("__nv")) * F.col("__nv") * F.col("__nv")
+                  - F.col("__nv")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("__tt"),
+    )
+    pairs = (
+        per_g.select(
+            F.col("__g").alias("g1"),
+            F.col("__ng").alias("__n1"),
+            F.col("__rs2").alias("__r1"),
+        )
+        .join(
+            per_g.select(
+                F.col("__g").alias("g2"),
+                F.col("__ng").alias("__n2"),
+                F.col("__rs2").alias("__r2s"),
+            ),
+            F.col("g1") < F.col("g2"),
+        )
+    )
+    one = attach_scalars(attach_scalars(pairs, tot), ties)
+    nd = F.col("__n").cast("double")
+    # mean ranks from doubled sums: R̄ = rs2 / (2 n_g)
+    m1 = F.col("__r1").cast("double") / (2.0 * F.col("__n1").cast("double"))
+    m2 = F.col("__r2s").cast("double") / (2.0 * F.col("__n2").cast("double"))
+    sigma2 = nd * (nd + 1.0) / 12.0 - F.col("__tt").cast("double") / (
+        12.0 * (nd - 1.0)
+    )
+    se = F.sqrt(
+        sigma2
+        * (
+            1.0 / F.col("__n1").cast("double")
+            + 1.0 / F.col("__n2").cast("double")
+        )
+    )
+    z6 = ((m1 - m2) / se).cast("decimal(18,6)")
+    return one.select(
+        F.col("g1").alias(f"{group_col}_1"),
+        F.col("g2").alias(f"{group_col}_2"),
+        F.col("__n1").cast("bigint").alias("n1"),
+        F.col("__n2").cast("bigint").alias("n2"),
+        F.when(sigma2 > 0.0, z6.cast("double")).alias("z"),
+        F.coalesce(
+            F.when(sigma2 > 0.0, F.abs(z6.cast("double")) > float(z_crit)),
+            F.lit(False),
+        ).alias("significant"),
+    )
+
+
+def dunn_test_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`dunn_test` — the identical exact
+    doubled-midrank sums (global cumulative is fine on the oracle
+    side), fixed-shape z, DECIMAL(18,6) rounding, |rounded| compare."""
+    zc = repr(float(z_crit))
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {group_col} AS g,
+               CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ),
+    cnt AS (SELECT v, g, COUNT(*) AS c FROM base GROUP BY v, g),
+    vtot AS (SELECT v, SUM(c) AS nv FROM cnt GROUP BY v),
+    rk AS (
+        SELECT v, nv,
+               2 * (SUM(nv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nv) + nv + 1 AS r2
+        FROM vtot
+    ),
+    per_g AS (
+        SELECT g, SUM(c) AS ng,
+               SUM(CAST(c AS HUGEINT) * rk.r2) AS rs2
+        FROM cnt JOIN rk USING (v) GROUP BY g
+    ),
+    tot AS (SELECT SUM(ng)::HUGEINT AS n FROM per_g),
+    ties AS (SELECT COALESCE(SUM(CAST(nv AS HUGEINT) * nv * nv - nv), 0)
+                    AS tt FROM vtot),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+               a.rs2 AS r1, b.rs2 AS r2s
+        FROM per_g a JOIN per_g b ON a.g < b.g
+    ),
+    calc AS (
+        SELECT g1, g2, n1, n2,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(tt AS DOUBLE) AS ttd,
+               CAST(r1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
+               CAST(r2s AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS m2
+        FROM pairs CROSS JOIN tot CROSS JOIN ties
+    )
+    SELECT g1 AS {group_col}_1, g2 AS {group_col}_2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CASE WHEN nd * (nd + 1.0) / 12.0 - ttd / (12.0 * (nd - 1.0))
+                     > 0.0 THEN
+             CAST(CAST((m1 - m2) / sqrt(
+               (nd * (nd + 1.0) / 12.0 - ttd / (12.0 * (nd - 1.0)))
+               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS z,
+           COALESCE(
+             CASE WHEN nd * (nd + 1.0) / 12.0 - ttd / (12.0 * (nd - 1.0))
+                       > 0.0 THEN
+               ABS(CAST(CAST((m1 - m2) / sqrt(
+                 (nd * (nd + 1.0) / 12.0 - ttd / (12.0 * (nd - 1.0)))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+               AS DECIMAL(18,6)) AS DOUBLE)) > {zc} END,
+             FALSE) AS significant
+    FROM calc
     """

@@ -653,6 +653,11 @@ class Babe:
 
         return self._wrap(fleiss_kappa(self.df, item_col, category_col))
 
+    def dunn_test(self, group_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import dunn_test
+
+        return self._wrap(dunn_test(self.df, group_col, value_col, **kwargs))
+
     def roc_auc(self, score_col, label_col, by=None) -> "Babe":
         from pybabe_spark.operators.classifier import roc_auc
 

@@ -4658,3 +4658,25 @@ def q_g_test(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return g_test(orders, "o_orderpriority", "o_orderstatus")
+
+
+def _dunn_sql() -> str:
+    from pybabe_spark.operators.sketch import dunn_test_sql
+
+    return dunn_test_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag", "l_extendedprice", z_crit=2.394,
+    )
+
+
+@register("dunn_test_lineitem", _dunn_sql())
+def q_dunn_test(spark, sf_dir):
+    """Dunn's post-hoc pairwise rank test after Kruskal–Wallis
+    (operators/sketch.py::dunn_test) over return-flag price groups,
+    Bonferroni z for 3 pairs: the SAME exact doubled-midrank machinery
+    as kruskal_wallis (shared _kw_rank_sums), one groups² pair join on
+    the tiny per-group table behind an in-plan guard."""
+    from pybabe_spark.operators.sketch import dunn_test
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return dunn_test(li, "l_returnflag", "l_extendedprice", z_crit=2.394)

@@ -300,3 +300,56 @@ def test_fleiss_kappa_textbook_and_guards(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
                        match="constant number of raters"):
         fleiss_kappa(ragged, "item", "cat").collect()
+
+
+def test_dunn_test_matches_python_model(spark):
+    """Three skew groups vs a pure-python Dunn model (midranks with
+    ties, tie-corrected variance); z rounds to 6dp before comparing."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pybabe_spark.operators.sketch import dunn_test
+
+    rows = ([("a", 1.0)] * 5 + [("a", 2.0)] * 3
+            + [("b", 2.0)] * 4 + [("b", 3.0)] * 4
+            + [("c", 3.0)] * 2 + [("c", 9.0)] * 6)
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g_1"], r["g_2"]): r
+           for r in dunn_test(df, "g", "v", z_crit=2.394).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # python model
+    from collections import Counter
+    vals = [v for _, v in rows]
+    cnt = Counter(vals)
+    cum, mid = 0, {}
+    for v in sorted(cnt):
+        mid[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    n = len(rows)
+    tt = sum(c ** 3 - c for c in cnt.values())
+    sigma2 = n * (n + 1) / 12.0 - tt / (12.0 * (n - 1))
+    import itertools
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g1, g2 in itertools.combinations(sorted(groups), 2):
+        m1 = sum(mid[v] for v in groups[g1]) / len(groups[g1])
+        m2 = sum(mid[v] for v in groups[g2]) / len(groups[g2])
+        se = (sigma2 * (1 / len(groups[g1]) + 1 / len(groups[g2]))) ** 0.5
+        z = float(Decimal(repr((m1 - m2) / se)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP))
+        r = got[(g1, g2)]
+        assert (r["n1"], r["n2"]) == (len(groups[g1]), len(groups[g2]))
+        assert r["z"] == z, (g1, g2)
+        assert r["significant"] == (abs(z) > 2.394)
+
+    # all-tied corpus: zero variance -> NULL z, not a crash
+    flat = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double")
+    r0 = dunn_test(flat, "g", "v").collect()[0]
+    assert r0["z"] is None and r0["significant"] is False
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dunn_test(df, "g", "v", max_groups=1)
