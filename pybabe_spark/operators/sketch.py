@@ -4467,3 +4467,146 @@ def dunn_test_sql(
              FALSE) AS significant
     FROM calc
     """
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-group success rates — the canonical fix for "this seller is
+    100% positive on 2 reviews" leaderboards: each group's rate is
+    pulled toward the corpus prior with strength inversely
+    proportional to its evidence,
+
+        α+β = m(1−m)/v − 1,  α = m·(α+β),
+        shrunk_g = (k_g + α) / (n_g + α + β),
+
+    where m, v are the mean and sample variance of the per-group raw
+    rates. One row per group: ``(group, n, successes, p_ppm,
+    shrunk_rate, prior_strength)`` — ``prior_strength`` is α+β (the
+    prior's pseudo-count weight); when no valid beta prior exists
+    (fewer than 2 groups, zero rate variance, or over-dispersion
+    v ≥ m(1−m) driving α+β ≤ 0) the prior columns are NULL and
+    ``shrunk_rate`` degrades to the raw rate — shrinkage never
+    invents a prior the data can't support.
+
+    Determinism: raw rates round ONCE to DECIMAL(18,12); the corpus
+    moments are exact decimal sums of those (shuffle-order-proof);
+    m, v, α, β and each group's shrunk rate are one fixed-shape IEEE
+    expression over exact inputs, rounded once to DECIMAL(18,6) (the
+    house discipline). ``p_ppm`` stays the exact floored integral.
+    NULL success values drop (unknown ≠ failure, proportion_ci's
+    rule).
+
+    Scale shape: one conditional hash agg to the group grain, one
+    4-sum agg over that (tiny) table broadcast back, scalar math per
+    group. Nothing larger than the group table shuffles twice.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = F.col(success_col).isNotNull() & F.col(group_col).isNotNull()
+    per = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(F.col(success_col).cast("int")), F.lit(0)
+            ).cast("bigint").alias("successes"),
+        )
+        .withColumn(
+            "__p",
+            (F.col("successes").cast("double") / F.col("n").cast("double"))
+            .cast("decimal(18,12)"),
+        )
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__p").cast("decimal(38,12)").alias("__sp"),
+        F.sum(F.col("__p") * F.col("__p"))
+        .cast("decimal(38,12)")
+        .alias("__sq"),
+    )
+    one = attach_scalars(per, mom)
+    kd = F.col("__k").cast("double")
+    m = F.col("__sp").cast("double") / kd
+    # sample variance of the group rates (k-1 denominator)
+    v = (
+        F.col("__sq").cast("double") - kd * m * m
+    ) / (kd - 1.0)
+    strength = m * (1.0 - m) / v - 1.0
+    alpha = m * strength
+    beta = (1.0 - m) * strength
+    valid = (F.col("__k") >= 2) & (v > 0.0) & (strength > 0.0)
+    shrunk = (F.col("successes").cast("double") + alpha) / (
+        F.col("n").cast("double") + alpha + beta
+    )
+    out6 = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return one.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "successes",
+        F.expr("CAST(successes * 1000000 div n AS BIGINT)").alias("p_ppm"),
+        F.when(valid, out6(shrunk))
+        .otherwise(out6(F.col("__p").cast("double")))
+        .alias("shrunk_rate"),
+        F.when(valid, out6(strength)).alias("prior_strength"),
+    )
+
+
+def eb_shrink_rates_sql(
+    select: str,
+    group_col: str,
+    success_col: str,
+) -> str:
+    """DuckDB oracle of :func:`eb_shrink_rates` — identical 12dp rate
+    rounding, exact decimal moments, fixed-shape prior and shrinkage,
+    6dp finishes."""
+    return f"""
+    WITH rows_in AS ({select}),
+    per AS (
+        SELECT {group_col} AS g, COUNT(*) AS n,
+               COALESCE(SUM(CAST({success_col} AS INT)), 0) AS successes
+        FROM rows_in
+        WHERE {success_col} IS NOT NULL AND {group_col} IS NOT NULL
+        GROUP BY {group_col}
+    ),
+    pr AS (
+        SELECT *, CAST(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS DECIMAL(18,12)) AS p
+        FROM per
+    ),
+    mom AS (
+        SELECT COUNT(*) AS k,
+               SUM(p) AS sp,
+               SUM(p * p) AS sq
+        FROM pr
+    ),
+    calc AS (
+        SELECT pr.*, mom.k,
+               CAST(mom.sp AS DOUBLE) / CAST(mom.k AS DOUBLE) AS m,
+               (CAST(mom.sq AS DOUBLE)
+                - CAST(mom.k AS DOUBLE)
+                  * (CAST(mom.sp AS DOUBLE) / CAST(mom.k AS DOUBLE))
+                  * (CAST(mom.sp AS DOUBLE) / CAST(mom.k AS DOUBLE)))
+               / (CAST(mom.k AS DOUBLE) - 1.0) AS v
+        FROM pr CROSS JOIN mom
+    ),
+    strg AS (
+        SELECT *, m * (1.0 - m) / v - 1.0 AS s FROM calc
+    )
+    SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+           CAST(successes AS BIGINT) AS successes,
+           CAST(successes * 1000000 // n AS BIGINT) AS p_ppm,
+           CAST(CAST(
+             CASE WHEN k >= 2 AND v > 0.0 AND s > 0.0 THEN
+               (CAST(successes AS DOUBLE) + m * s)
+               / (CAST(n AS DOUBLE) + m * s + (1.0 - m) * s)
+             ELSE CAST(p AS DOUBLE) END
+           AS DECIMAL(18,6)) AS DOUBLE) AS shrunk_rate,
+           CASE WHEN k >= 2 AND v > 0.0 AND s > 0.0 THEN
+             CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) END AS prior_strength
+    FROM strg
+    """

@@ -658,6 +658,11 @@ class Babe:
 
         return self._wrap(dunn_test(self.df, group_col, value_col, **kwargs))
 
+    def eb_shrink_rates(self, group_col, success_col) -> "Babe":
+        from pybabe_spark.operators.sketch import eb_shrink_rates
+
+        return self._wrap(eb_shrink_rates(self.df, group_col, success_col))
+
     def roc_auc(self, score_col, label_col, by=None) -> "Babe":
         from pybabe_spark.operators.classifier import roc_auc
 

@@ -38,7 +38,7 @@ _DELICATE = re.compile(
     r"|proportion_ci|delta_method|kappa|brier|mcnemar|chi2|zipf"
     r"|js_divergence|llr|quantile|percentile|sample_size|centroid_drift"
     r"|seasonal_decompose|snaive_forecast|forecast_backtest|stickiness"
-    r"|g_test|fleiss|dunn"
+    r"|g_test|fleiss|dunn|eb_shrink"
     r"|roc_auc|gains_table|vocab_overlap|readability|feature_hash"
 )
 

@@ -353,3 +353,52 @@ def test_dunn_test_matches_python_model(spark):
 
     with pytest.raises(ValueError):
         dunn_test(df, "g", "v", max_groups=1)
+
+
+def test_eb_shrinkage_behaviour_and_model(spark):
+    """Shrinkage sanity: a 2/2 group ends between its raw 1.0 and the
+    corpus mean; high-evidence groups barely move; exact replay of the
+    moment-matched prior in python; degenerate (zero-variance) corpus
+    returns raw rates with NULL prior."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pybabe_spark.operators.sketch import eb_shrink_rates
+
+    rows = (
+        [("tiny", 1)] * 2                 # 2/2 raw 1.0, thin evidence
+        + [("big", 1)] * 60 + [("big", 0)] * 40     # 0.6 on n=100
+        + [("mid", 1)] * 5 + [("mid", 0)] * 15      # 0.25 on n=20
+        + [("low", 0)] * 10                          # 0.0 on n=10
+    )
+    df = spark.createDataFrame(rows, "g string, done int")
+    got = {r["g"]: r for r in eb_shrink_rates(df, "g", "done").collect()}
+
+    # python model with the operator's exact rounding chain
+    def d12(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-12"),
+                                         rounding=ROUND_HALF_UP)
+    ps = {"tiny": d12(2 / 2), "big": d12(60 / 100),
+          "mid": d12(5 / 20), "low": d12(0 / 10)}
+    k = len(ps)
+    sp, sq = sum(ps.values()), sum(p * p for p in ps.values())
+    m = float(sp) / k
+    v = (float(sq) - k * m * m) / (k - 1)
+    s = m * (1 - m) / v - 1.0
+    assert s > 0
+    counts = {"tiny": (2, 2), "big": (100, 60),
+              "mid": (20, 5), "low": (10, 0)}
+    for g, (n, kk) in counts.items():
+        shrunk = (kk + m * s) / (n + m * s + (1 - m) * s)
+        expect = float(Decimal(repr(shrunk)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP))
+        assert got[g]["shrunk_rate"] == expect, g
+    # direction: thin evidence moves a lot, heavy evidence barely
+    assert got["tiny"]["shrunk_rate"] < 1.0
+    assert abs(got["big"]["shrunk_rate"] - 0.6) < abs(
+        got["tiny"]["shrunk_rate"] - 1.0)
+
+    flat = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, done int")
+    r0 = {r["g"]: r for r in eb_shrink_rates(flat, "g", "done").collect()}
+    assert r0["a"]["shrunk_rate"] == 0.5  # raw, zero-variance corpus
+    assert r0["a"]["prior_strength"] is None
