@@ -91,11 +91,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     r = sb.rmst("duration", "event", tau=259_200_000_000,
                 group_col="cohort")
     print("3-day RMST per cohort (hours):", {
-        row["cohort"]: round(row["rmst"] / 3.6e9, 2)
+        row["cohort"]: round(float(row["rmst"]) / 3.6e9, 2)  # rmst is exact DECIMAL
         for row in r.df.collect()
     })
     lr = sb.logrank_test("duration", "event", "cohort", "view", "click")
     print("log-rank view vs click:", lr.df.collect()[0].asDict())
+
+    # -- 5. round-11 inference: post-hoc, likelihood, agreement, EB --------
+    li = Babe.from_df(read_table(spark, sf_dir, "lineitem"))
+    dunn = li.dunn_test("l_returnflag", "l_extendedprice", z_crit=2.394)
+    print("dunn pairs:", [(r[0], r[1], r["z"], r["significant"])
+                          for r in dunn.df.collect()])
+    orders = Babe.from_df(read_table(spark, sf_dir, "orders"))
+    g = orders.g_test("o_orderpriority", "o_orderstatus")
+    print("g-test priority x status:", g.df.collect()[0].asDict())
+    docs = read_table(spark, sf_dir, "documents")
+    fk = Babe.from_df(docs.select(
+        (F.col("doc_id") % 50).alias("item"), F.col("lang").alias("cat"))
+    ).fleiss_kappa("item", "cat")
+    print("fleiss kappa (lang agreement per doc bucket):",
+          fk.df.collect()[0].asDict())
+    eb = Babe.from_df(read_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 20).alias("bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"))
+    ).eb_shrink_rates("bucket", "done")
+    row = eb.df.orderBy(F.col("n").asc()).limit(1).collect()[0]
+    print(f"EB shrink, thinnest bucket: raw {row['p_ppm'] / 1e4:.1f}% "
+          f"-> shrunk {row['shrunk_rate'] * 100:.1f}% "
+          f"(prior weight {row['prior_strength']})")
 
 
 if __name__ == "__main__":
