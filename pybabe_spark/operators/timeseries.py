@@ -3101,6 +3101,77 @@ def stickiness_sql(
     """
 
 
+def _sd_floormean_micro(sum6, cnt):
+    """Exact 6dp-floored mean: decimal(.,6) sum -> bigint micros ->
+    pmod-floor division by cnt -> DECIMAL micro value (shared by the
+    seasonal-decomposition family)."""
+    num = (sum6 * F.lit(1000000).cast("decimal(7,0)")).cast("decimal(38,0)")
+    adj = num - F.pmod(num, cnt.cast("decimal(38,0)"))
+    return (adj / cnt.cast("decimal(38,0)")).cast("decimal(20,0)")
+
+
+def _sd_micro_to_dec6(micro):
+    return (
+        micro.cast("decimal(26,6)") / F.lit(1000000).cast("decimal(7,0)")
+    ).cast("decimal(18,6)")
+
+
+def _sd_bucket_trend(df, key_col, ts_col, value_col, period, bucket_seconds):
+    """(k, t, v, trend) bucket-mean series with the completeness-guarded
+    centered-MA trend (even periods via the 2xMA two-window algebra) --
+    the shared first half of seasonal_decompose / seasonal_decompose_mult
+    (see seasonal_decompose's docstring for the full numeric contract)."""
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            F.col(value_col).cast("decimal(18,6)").alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "k", "t",
+            _sd_micro_to_dec6(
+                _sd_floormean_micro(F.col("__s"), F.col("__c"))
+            ).alias("v"),
+        )
+    )
+    if p % 2 == 1:
+        h = (p - 1) // 2
+        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
+        trend = F.when(
+            F.count(F.lit(1)).over(wf) == p,
+            _sd_micro_to_dec6(
+                _sd_floormean_micro(F.sum("v").over(wf), F.lit(p))
+            ),
+        )
+    else:
+        h = p // 2
+        wlo = Window.partitionBy("k").orderBy("t").rangeBetween(-h + 1, h)
+        whi = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h - 1)
+        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
+        # 2xMA algebra: (v[-h] + 2*middle + v[h]) / 2p ==
+        # (sum[-h+1,h] + sum[-h,h-1]) / 2p -- two exact decimal sums,
+        # no edge-row extraction needed
+        trend = F.when(
+            F.count(F.lit(1)).over(wf) == p + 1,
+            _sd_micro_to_dec6(
+                _sd_floormean_micro(
+                    F.sum("v").over(wlo) + F.sum("v").over(whi),
+                    F.lit(2 * p),
+                )
+            ),
+        )
+    return b.withColumn("trend", trend)
+
+
 def seasonal_decompose(
     df: DataFrame,
     key_col: str,
@@ -3159,82 +3230,23 @@ def seasonal_decompose(
     bus = int(bucket_seconds) * 1_000_000
     p = int(period)
 
-    def _floormean_micro(sum6: "F.Column", cnt: "F.Column") -> "F.Column":
-        """Exact 6dp-floored mean: decimal(·,6) sum → bigint micros →
-        pmod-floor division by cnt → DECIMAL micro value."""
-        num = (sum6 * F.lit(1000000).cast("decimal(7,0)")).cast(
-            "decimal(38,0)"
-        )
-        adj = num - F.pmod(num, cnt.cast("decimal(38,0)"))
-        return (adj / cnt.cast("decimal(38,0)")).cast("decimal(20,0)")
-
-    def _micro_to_dec6(micro: "F.Column") -> "F.Column":
-        return (
-            micro.cast("decimal(26,6)")
-            / F.lit(1000000).cast("decimal(7,0)")
-        ).cast("decimal(18,6)")
-
-    b = (
-        df.filter(
-            F.col(key_col).isNotNull()
-            & F.col(ts_col).isNotNull()
-            & F.col(value_col).isNotNull()
-        )
-        .select(
-            F.col(key_col).alias("k"),
-            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
-            F.col(value_col).cast("decimal(18,6)").alias("__x"),
-        )
-        .groupBy("k", "t")
-        .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c"))
-        .select(
-            "k", "t",
-            _micro_to_dec6(
-                _floormean_micro(F.col("__s"), F.col("__c"))
-            ).alias("v"),
-        )
-    )
-    if p % 2 == 1:
-        h = (p - 1) // 2
-        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
-        trend = F.when(
-            F.count(F.lit(1)).over(wf) == p,
-            _micro_to_dec6(
-                _floormean_micro(F.sum("v").over(wf), F.lit(p))
-            ),
-        )
-    else:
-        h = p // 2
-        wlo = Window.partitionBy("k").orderBy("t").rangeBetween(-h + 1, h)
-        whi = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h - 1)
-        wf = Window.partitionBy("k").orderBy("t").rangeBetween(-h, h)
-        # 2xMA algebra: (v[-h] + 2*middle + v[h]) / 2p ==
-        # (sum[-h+1,h] + sum[-h,h-1]) / 2p — two exact decimal sums,
-        # no edge-row extraction needed
-        trend = F.when(
-            F.count(F.lit(1)).over(wf) == p + 1,
-            _micro_to_dec6(
-                _floormean_micro(
-                    F.sum("v").over(wlo) + F.sum("v").over(whi),
-                    F.lit(2 * p),
-                )
-            ),
-        )
-    tb = b.withColumn("trend", trend).withColumn(
+    tb = _sd_bucket_trend(
+        df, key_col, ts_col, value_col, period, bucket_seconds
+    ).withColumn(
         "d6", (F.col("v") - F.col("trend")).cast("decimal(18,6)")
     )
     slot_means = (
         tb.filter(F.col("d6").isNotNull())
         .groupBy("k", F.pmod(F.col("t"), F.lit(p)).alias("__slot"))
         .agg(
-            _micro_to_dec6(
-                _floormean_micro(F.sum("d6"), F.count(F.lit(1)))
+            _sd_micro_to_dec6(
+                _sd_floormean_micro(F.sum("d6"), F.count(F.lit(1)))
             ).alias("s6"),
         )
     )
     key_adj = slot_means.groupBy("k").agg(
-        _micro_to_dec6(
-            _floormean_micro(F.sum("s6"), F.count(F.lit(1)))
+        _sd_micro_to_dec6(
+            _sd_floormean_micro(F.sum("s6"), F.count(F.lit(1)))
         ).alias("m6"),
     )
     seas = slot_means.join(key_adj, "k").select(
@@ -3637,4 +3649,243 @@ def forecast_backtest_sql(
              (ae * 1000000 - (((ae * 1000000 % den) + den) % den)) // den
              AS BIGINT) END AS smape_ppm
     FROM agg
+    """
+
+
+def seasonal_decompose_mult(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """MULTIPLICATIVE seasonal decomposition per key —
+    :func:`seasonal_decompose`'s sibling for series whose seasonal
+    swing scales with the level (traffic that doubles doubles its
+    daily amplitude too): ``value ≈ trend · seasonal · remainder``
+    with seasonal an INDEX around 1 (ppm). One row per (key, bucket):
+    ``(key, t, value, trend, seasonal_ppm, remainder_ppm)``.
+
+    Same bucket means and completeness-guarded centered-MA trend as
+    the additive form (shared :func:`_sd_bucket_trend` — the trend
+    definitions cannot drift apart); then everything is EXACT integer
+    ratio arithmetic, the natural home for a multiplicative model:
+
+    - detrended ratio ``r_ppm = v_micro·10⁶ div trend_micro`` (only
+      where trend > 0 — ratios against a non-positive trend are
+      meaningless and yield NULL downstream),
+    - per-slot seasonal index = floored mean of r_ppm, normalized to
+      mean 10⁶ across the key's slots (``s·10⁶ div mean``),
+    - ``remainder_ppm = v_micro·10¹² div (trend_micro·seasonal_ppm)``.
+
+    Zero IEEE operations anywhere — floored integer divisions only,
+    so both engines replay bit-for-bit (each floor understates by
+    < 1 ppm; reconstruction error from flooring is ≤ 2 ppm of the
+    value, far under any use of a decomposition).
+
+    Scale shape: identical to the additive form — one corpus bucket
+    agg, key-partitioned range windows, slots-sized seasonal agg.
+    """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose_mult: period {period} < 2")
+    if bucket_seconds <= 0:
+        raise ValueError(
+            "seasonal_decompose_mult: bucket_seconds must be > 0"
+        )
+    p = int(period)
+    # domain contract: a multiplicative model is undefined for negative
+    # values — raise at action time instead of emitting floored-ratio
+    # nonsense (the in-plan lazy-guard idiom; zero rows pass through,
+    # they just produce zero ratios)
+    msg = (
+        f"seasonal_decompose_mult: negative {value_col} — the "
+        "multiplicative model needs a non-negative series; use "
+        "seasonal_decompose (additive) or shift the series"
+    )
+    guarded = df.filter(
+        F.when(
+            F.col(value_col) < 0,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    tb = _sd_bucket_trend(
+        guarded, key_col, ts_col, value_col, period, bucket_seconds
+    )
+    # detrended ratio in exact floored ppm: pmod-floor BEFORE dividing
+    # (a decimal division would HALF_UP-round at its result scale first,
+    # landing next to DuckDB's // on a different integer)
+    tb = tb.withColumn(
+        "__r",
+        F.when(
+            F.col("trend").isNotNull() & (F.col("trend") > 0),
+            F.expr(
+                "CAST(("
+                " CAST(CAST(v AS DECIMAL(26,6)) * 1000000 AS DECIMAL(38,0))"
+                "   * 1000000"
+                " - pmod(CAST(CAST(v AS DECIMAL(26,6)) * 1000000"
+                "             AS DECIMAL(38,0)) * 1000000,"
+                "        CAST(CAST(trend AS DECIMAL(26,6)) * 1000000"
+                "             AS DECIMAL(38,0)))"
+                ") / CAST(CAST(trend AS DECIMAL(26,6)) * 1000000"
+                "         AS DECIMAL(38,0)) AS DECIMAL(20,0))"
+            ),
+        ),
+    )
+    slot = (
+        tb.filter(F.col("__r").isNotNull())
+        .groupBy("k", F.pmod(F.col("t"), F.lit(p)).alias("__slot"))
+        .agg(
+            F.expr(
+                "CAST((CAST(SUM(__r) AS DECIMAL(38,0))"
+                " - pmod(CAST(SUM(__r) AS DECIMAL(38,0)),"
+                "        CAST(COUNT(*) AS DECIMAL(38,0))))"
+                " / CAST(COUNT(*) AS DECIMAL(38,0)) AS DECIMAL(20,0))"
+            ).alias("__sp"),
+        )
+    )
+    norm = slot.groupBy("k").agg(
+        F.expr(
+            "CAST((CAST(SUM(__sp) AS DECIMAL(38,0))"
+            " - pmod(CAST(SUM(__sp) AS DECIMAL(38,0)),"
+            "        CAST(COUNT(*) AS DECIMAL(38,0))))"
+            " / CAST(COUNT(*) AS DECIMAL(38,0)) AS DECIMAL(20,0))"
+        ).alias("__m"),
+    )
+    seas = slot.join(norm, "k").select(
+        "k", "__slot",
+        F.expr(
+            "CAST((CAST(__sp AS DECIMAL(38,0)) * 1000000"
+            " - pmod(CAST(__sp AS DECIMAL(38,0)) * 1000000,"
+            "        CAST(__m AS DECIMAL(38,0))))"
+            " / CAST(__m AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("seasonal_ppm"),
+    )
+    out = tb.withColumn(
+        "__slot", F.pmod(F.col("t"), F.lit(p))
+    ).join(F.broadcast(seas), ["k", "__slot"], "left")
+    rem = F.expr(
+        "CAST((CAST(CAST(v AS DECIMAL(26,6)) * 1000000 AS DECIMAL(38,0))"
+        " * 1000000000000"
+        " - pmod(CAST(CAST(v AS DECIMAL(26,6)) * 1000000 AS DECIMAL(38,0))"
+        "        * 1000000000000,"
+        "        CAST(CAST(trend AS DECIMAL(26,6)) * 1000000"
+        "             AS DECIMAL(38,0)) * seasonal_ppm))"
+        " / (CAST(CAST(trend AS DECIMAL(26,6)) * 1000000 AS DECIMAL(38,0))"
+        "    * seasonal_ppm) AS BIGINT)"
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("t").cast("bigint"),
+        F.col("v").cast("double").alias("value"),
+        F.col("trend").cast("double").alias("trend"),
+        F.col("seasonal_ppm").cast("bigint"),
+        F.when(
+            F.col("trend").isNotNull()
+            & (F.col("trend") > 0)
+            & F.col("seasonal_ppm").isNotNull()
+            & (F.col("seasonal_ppm") > 0),
+            rem,
+        ).alias("remainder_ppm"),
+    )
+
+
+def seasonal_decompose_mult_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle of :func:`seasonal_decompose_mult` — the additive
+    oracle's bucket/trend CTEs plus the identical floored integer
+    ratio chain (HUGEINT, manual floor corrections where numerators
+    can't go negative are omitted: every numerator here is ≥ 0)."""
+    bus = int(bucket_seconds) * 1_000_000
+    p = int(period)
+    num = "CAST(SUM(x) * 1000000 AS HUGEINT)"
+    cnt = "CAST(COUNT(*) AS HUGEINT)"
+    vm = f"({num} - ((({num} % {cnt}) + {cnt}) % {cnt})) // {cnt}"
+    if p % 2 == 1:
+        h = (p - 1) // 2
+        trend = f"""
+           CASE WHEN COUNT(*) OVER w = {p} THEN
+             CAST(CAST((CAST(SUM(v) OVER w * 1000000 AS HUGEINT)
+               - (((CAST(SUM(v) OVER w * 1000000 AS HUGEINT) % {p})
+                   + {p}) % {p})) // {p} AS DECIMAL(26,6)) / 1000000
+               AS DECIMAL(18,6)) END
+        """
+        wins = (
+            f"WINDOW w AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+        )
+    else:
+        h = p // 2
+        s2 = "(SUM(v) OVER wlo) + (SUM(v) OVER whi)"
+        trend = f"""
+           CASE WHEN COUNT(*) OVER w = {p + 1} THEN
+             CAST(CAST((CAST(({s2}) * 1000000 AS HUGEINT)
+               - (((CAST(({s2}) * 1000000 AS HUGEINT) % {2 * p})
+                   + {2 * p}) % {2 * p})) // {2 * p} AS DECIMAL(26,6))
+               / 1000000 AS DECIMAL(18,6)) END
+        """
+        wins = (
+            f"WINDOW w AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING), "
+            f"wlo AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h - 1} PRECEDING AND {h} FOLLOWING), "
+            f"whi AS (PARTITION BY k ORDER BY t"
+            f" RANGE BETWEEN {h} PRECEDING AND {h - 1} FOLLOWING)"
+        )
+    return f"""
+    WITH b AS (
+      SELECT k, t,
+             CAST(CAST({vm} AS DECIMAL(26,6)) / 1000000 AS DECIMAL(18,6))
+               AS v
+      FROM (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               CAST({value_col} AS DECIMAL(18,6)) AS x
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+      ) GROUP BY k, t
+    ),
+    tb AS (
+      SELECT k, t, v, {trend} AS trend
+      FROM b {wins}
+    ),
+    tr AS (
+      SELECT *,
+             CASE WHEN trend IS NOT NULL AND trend > 0 THEN
+               (CAST(CAST(v * 1000000 AS HUGEINT) AS HUGEINT) * 1000000)
+               // CAST(trend * 1000000 AS HUGEINT)
+             END AS r
+      FROM tb
+    ),
+    slot AS (
+      SELECT k, t % {p} AS slot,
+             SUM(r) // COUNT(*) AS sp
+      FROM tr WHERE r IS NOT NULL GROUP BY k, t % {p}
+    ),
+    norm AS (SELECT k, SUM(sp) // COUNT(*) AS m FROM slot GROUP BY k),
+    seas AS (
+      SELECT slot.k, slot.slot,
+             CAST((sp * 1000000) // m AS BIGINT) AS seasonal_ppm
+      FROM slot JOIN norm ON slot.k = norm.k
+    )
+    SELECT tr.k AS {key_col}, CAST(tr.t AS BIGINT) AS t,
+           CAST(v AS DOUBLE) AS value,
+           CAST(trend AS DOUBLE) AS trend,
+           CAST(seasonal_ppm AS BIGINT) AS seasonal_ppm,
+           CASE WHEN trend IS NOT NULL AND trend > 0
+                     AND seasonal_ppm IS NOT NULL AND seasonal_ppm > 0
+             THEN CAST(
+               (CAST(CAST(v * 1000000 AS HUGEINT) AS HUGEINT)
+                * 1000000000000)
+               // (CAST(trend * 1000000 AS HUGEINT) * seasonal_ppm)
+             AS BIGINT) END AS remainder_ppm
+    FROM tr
+    LEFT JOIN seas ON tr.k = seas.k AND tr.t % {p} = seas.slot
     """

@@ -627,6 +627,16 @@ class Babe:
             seasonal_decompose(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def seasonal_decompose_mult(self, key_col, ts_col, value_col,
+                                **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import seasonal_decompose_mult
+
+        return self._wrap(
+            seasonal_decompose_mult(
+                self.df, key_col, ts_col, value_col, **kwargs
+            )
+        )
+
     def snaive_forecast(self, key_col, ts_col, value_col,
                         **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import snaive_forecast

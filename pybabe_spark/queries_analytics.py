@@ -4709,3 +4709,28 @@ def q_eb_shrinkage(spark, sf_dir):
         (F.col("o_orderstatus") == "F").cast("int").alias("done"),
     )
     return eb_shrink_rates(orders, "bucket", "done")
+
+
+def _sd_mult_sql() -> str:
+    from pybabe_spark.operators.timeseries import seasonal_decompose_mult_sql
+
+    return seasonal_decompose_mult_sql(
+        "events", "event_type", "ts", "value", period=24,
+        bucket_seconds=3600,
+    )
+
+
+@register("seasonal_decompose_mult_events", _sd_mult_sql())
+def q_seasonal_decompose_mult(spark, sf_dir):
+    """Multiplicative trend × seasonal-index × remainder split of the
+    hourly event-value series
+    (operators/timeseries.py::seasonal_decompose_mult): the additive
+    form's shared bucket/trend machinery, then exact floored integer
+    RATIO arithmetic — detrended ppm ratios, slot indices normalized
+    to mean 1e6, ratio remainders — zero IEEE anywhere."""
+    from pybabe_spark.operators.timeseries import seasonal_decompose_mult
+
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_decompose_mult(
+        ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
+    )

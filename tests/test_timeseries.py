@@ -1359,3 +1359,45 @@ def test_forecast_backtest_hand_checked(spark):
 
     with pytest.raises(ValueError):
         forecast_backtest(df, "k", "ts", "v", period=0)
+
+
+def test_seasonal_decompose_mult_pattern_and_guard(spark):
+    """Multiplicative fixture: period-3 pattern value = level * (0.5,
+    1.0, 1.5) on a FLAT level — trend = level, seasonal indices
+    normalized around 1e6, remainder ~1e6; negatives raise."""
+    import datetime as dt
+
+    from pybabe_spark.operators.timeseries import seasonal_decompose_mult
+
+    base = dt.datetime(2024, 1, 1)
+    pat = [60.0, 120.0, 180.0]  # level 120 x (0.5, 1.0, 1.5)
+    rows = [("k", base + dt.timedelta(hours=i), pat[i % 3])
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["t"]: r for r in seasonal_decompose_mult(
+        df, "k", "ts", "v", period=3, bucket_seconds=3600).collect()}
+    t0 = min(got)
+    assert got[t0]["trend"] is None           # edge window incomplete
+    mid = got[t0 + 4]
+    assert mid["trend"] == 120.0
+    # seasonal indices: 0.5e6 / 1.0e6 / 1.5e6 (already mean-1e6)
+    seas = sorted({r["seasonal_ppm"] for r in got.values()
+                   if r["seasonal_ppm"] is not None})
+    assert seas == [500000, 1000000, 1500000]
+    # perfect multiplicative fit -> remainder 1e6 (floored, so 999999
+    # or 1000000 depending on the floor chain)
+    rems = {r["remainder_ppm"] for r in got.values()
+            if r["remainder_ppm"] is not None}
+    assert rems <= {999999, 1000000}, rems
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    neg = spark.createDataFrame(
+        [("k", base, -1.0)], "k string, ts timestamp, v double")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="non-negative"):
+        seasonal_decompose_mult(neg, "k", "ts", "v", period=2).collect()
+    with pytest.raises(ValueError):
+        seasonal_decompose_mult(df, "k", "ts", "v", period=1)
