@@ -33,10 +33,35 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _calibrate(spark, sf_dir: str) -> float:
+    """Host-contention sentinel: time a FIXED probe — lineitem count +
+    a tiny single-column hash agg — whose plan never changes across
+    rounds. Its wall time measures the machine, not the engine: on an
+    idle host it sits near a stable floor; a contended host inflates it
+    by the same factor it inflates every query. Emitted per chunk in
+    BENCH_DETAIL (``calib_chunks``) and summarized on the stdout line
+    (``calib_sec``), so a contaminated run (r11: driver recorded 245 s
+    on a tree that runs at 151 s) is readable off the artifact itself
+    — compare calib_sec across rounds before comparing query times.
+    Min-of-3 after the warm pass: the sentinel reports the floor the
+    host can reach, which is exactly what contention raises."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.count()
+        li.groupBy("l_returnflag").count().count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
     """Warm + min-of-N time the given registry queries (all when None)
     in THIS process's SparkSession. One call = one JVM's worth of
-    code-cache/GC history — the forked runner keeps that bounded."""
+    code-cache/GC history — the forked runner keeps that bounded.
+    The returned dict carries one reserved key, ``_calib`` — the host
+    sentinel (:func:`_calibrate`) timed in this same JVM."""
     from pybabe_spark.session import get_spark
     from pybabe_spark.queries import all_queries
 
@@ -66,6 +91,7 @@ def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
     # code changes. Min-of-N (default 3) reports the plan's actual cost; the warm
     # pass above already covered JIT + file-index setup.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings["_calib"] = _calibrate(spark, sf_dir)
     for qi, (name, fn) in enumerate(qs.items()):
         if qi % 20 == 0:
             # shed accumulated session state between query groups: RDD
@@ -97,7 +123,15 @@ def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
 
 #: queries whose first timed run computes a session-memoized stage that
 #: every later run (and sibling key) reuses
-_FIRST_RUN_KEYS = {"entity_resolution_customers"}
+_FIRST_RUN_KEYS = {"entity_resolution_customers", "kruskal_wallis_lineitem"}
+
+#: (owner, reuser) pairs that share an in-process memoized stage: the
+#: reuser is pulled adjacent to its owner so both land in the same
+#: chunk/JVM — split across chunks the sharing never happens
+_MEMO_PAIRS = [
+    ("entity_resolution_customers", "golden_record_customers"),
+    ("kruskal_wallis_lineitem", "dunn_test_lineitem"),
+]
 
 
 def _run_chunk(out_path: str, names_csv: str) -> None:
@@ -114,15 +148,12 @@ def main() -> None:
 
     all_names = list(all_queries())
     # keys that share an in-process memoized stage must land in the SAME
-    # chunk/JVM or the sharing never happens: pull golden_record next to
-    # entity_resolution (they reuse one blocking+CC stage per session)
-    if ("entity_resolution_customers" in all_names
-            and "golden_record_customers" in all_names):
-        all_names.remove("golden_record_customers")
-        all_names.insert(
-            all_names.index("entity_resolution_customers") + 1,
-            "golden_record_customers",
-        )
+    # chunk/JVM or the sharing never happens: pull each memo-reusing key
+    # next to its memo-owning sibling (ER blocking+CC stage, KW rank core)
+    for owner, reuser in _MEMO_PAIRS:
+        if owner in all_names and reuser in all_names:
+            all_names.remove(reuser)
+            all_names.insert(all_names.index(owner) + 1, reuser)
 
     # JVM isolation (r5 bench-integrity finding): the ~120-query suite in
     # ONE shared JVM drifted +13% on unchanged queries across rounds —
@@ -138,8 +169,23 @@ def main() -> None:
         import subprocess
         import tempfile
 
-        for lo in range(0, len(all_names), chunk_size):
-            chunk = all_names[lo:lo + chunk_size]
+        chunks = [
+            all_names[lo:lo + chunk_size]
+            for lo in range(0, len(all_names), chunk_size)
+        ]
+        # a memo pair straddling a chunk boundary still loses the
+        # sharing — snap the reuser into the owner's chunk
+        for owner, reuser in _MEMO_PAIRS:
+            for ch in chunks:
+                if owner in ch and reuser not in ch:
+                    for other in chunks:
+                        if reuser in other:
+                            other.remove(reuser)
+                            ch.insert(ch.index(owner) + 1, reuser)
+                            break
+        for lo, chunk in enumerate(chunks):
+            if not chunk:
+                continue
             with tempfile.NamedTemporaryFile(
                 suffix=".json", delete=False
             ) as tf:
@@ -156,12 +202,28 @@ def main() -> None:
                     check=True,
                 )
                 with open(out_path) as f:
-                    timings.update(json.load(f))
+                    part = json.load(f)
+                # keep every chunk's sentinel distinct across merges
+                if "_calib" in part:
+                    part[f"_calib_{lo}"] = part.pop("_calib")
+                timings.update(part)
             finally:
                 if os.path.exists(out_path):
                     os.unlink(out_path)
     else:
         timings = _time_queries(None, sf_dir)
+    # peel the reserved per-chunk host sentinels out of the query map:
+    # in fork mode every chunk's partial carried "_calib" and update()
+    # kept only the last, so chunk runners rename theirs (below) before
+    # merging — collect all "_calib*" keys here either way
+    calib_chunks = sorted(
+        round(timings.pop(k), 4)
+        for k in [k for k in timings if k.startswith("_calib")]
+    )
+    calib_sec = (
+        round(calib_chunks[len(calib_chunks) // 2], 4)
+        if calib_chunks else None
+    )
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -180,6 +242,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host-contention sentinel: median / per-chunk fixed-probe
+        # times (see _calibrate). Idle-host floor ≈ the committed
+        # BENCH_DETAIL's values; a round whose calib_sec is 1.5× that
+        # floor ran on a contended host and its query times inflate by
+        # roughly the same factor — read this before reading "queries".
+        "calib_sec": calib_sec,
+        "calib_chunks": calib_chunks,
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -2205,8 +2205,8 @@ def category_diversity_sql(
     """
 
 
-def _avg_rank2(
-    df: DataFrame,
+def _pair_rank2(
+    pdf: DataFrame,
     keys: "list[str]",
     col: str,
     out: str,
@@ -2214,29 +2214,27 @@ def _avg_rank2(
 ) -> DataFrame:
     """Append ``out`` = TWICE the average tie-rank of ``col`` within
     its group (2·rank keeps half-ranks integral — ties average to
-    .5s). Ranks come from cumulative DISTINCT-value counts computed
-    with the weighted_quantiles cell machinery: global-range cells,
-    per-(group, cell) partitioned cumsum, offsets from the tiny
-    cell-totals table — no per-group funnel. One extra shuffle joins
-    the distinct-value rank table back to the rows by (group, value).
-    """
+    .5s) to a pre-aggregated grain ``pdf`` carrying a bigint
+    multiplicity column ``__c``. Ranks are computed IN PLACE on the
+    grain with RANGE frames — ``2·cum_<(v) + n_v + 1`` where cum_< is
+    the (group, cell)-partitioned range-cumulative up to ``v − 1``
+    plus the cell offset and n_v is the peers-only range sum — so
+    there is NO distinct-value rank table and NO value-keyed shuffle
+    join back (the r12 de-join rewrite, shared shape with
+    :func:`_kw_rank_sums`). Cells come from the global value range
+    (1024 equal-width buckets), offsets from the tiny per-(group,
+    cell) totals — no per-group funnel."""
     from pybabe_spark.operators._util import attach_scalars
 
-    base = df.groupBy(
-        *keys, F.col(col).alias("__v")
-    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
-    rng = base.agg(
-        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-    )
-    j = attach_scalars(base, rng).withColumn(
+    rng = pdf.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    j = attach_scalars(pdf, rng).withColumn(
         "__b",
         F.expr(
-            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            f"CAST((CAST({col} AS DECIMAL(38,0)) - __lo) * {buckets}"
             " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
         ),
     ).drop("__lo", "__hi")
     btot = j.groupBy(*keys, "__b").agg(F.sum("__c").alias("__bt"))
-    zero = F.lit(0).cast("decimal(38,0)")
     if keys:
         wb = Window.partitionBy(*keys).orderBy(F.col("__b").asc())
         offs = btot.select(
@@ -2246,7 +2244,7 @@ def _avg_rank2(
                 F.sum("__bt").over(
                     wb.rowsBetween(Window.unboundedPreceding, -1)
                 ),
-                zero,
+                F.lit(0),
             ).alias("__off"),
         )
         offr = offs.withColumnRenamed("__b", "__b2")
@@ -2264,29 +2262,18 @@ def _avg_rank2(
         offs = (
             a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
             .groupBy(F.col("a.__b").alias("__b"))
-            .agg(F.coalesce(F.sum("b.__bt"), zero).alias("__off"))
+            .agg(F.coalesce(F.sum("b.__bt"), F.lit(0)).alias("__off"))
         )
-        cum_in = j.join(offs, ["__b"])
-    w = Window.partitionBy(*keys, "__b").orderBy(F.col("__v").asc())
-    ranks = cum_in.withColumn(
-        "__cum",
-        F.col("__off")
-        + F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).select(
-        # fresh aliases: the rank table shares lineage with df, so the
-        # join-back must reference renamed attributes (self-join rule)
-        *[F.col(k).alias(f"__rk_{k}") for k in keys],
-        F.col("__v").alias("__rv"),
-        # before = inclusive-cum - own count; r2 = 2*before + c + 1
-        (2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + 1)
-        .cast("bigint")
-        .alias(out),
+        cum_in = j.join(F.broadcast(offs), ["__b"])
+    w = Window.partitionBy(*keys, "__b").orderBy(F.col(col).asc())
+    cum_lt = F.coalesce(
+        F.sum("__c").over(w.rangeBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
     )
-    cond = [F.col(col) == F.col("__rv")]
-    for k in keys:
-        cond.append(F.col(k).eqNullSafe(F.col(f"__rk_{k}")))
-    joined = df.join(ranks, reduce(lambda a, b: a & b, cond))
-    return joined.select(*df.columns, out)
+    n_v = F.sum("__c").over(w.rangeBetween(0, 0))
+    return cum_in.withColumn(
+        out, (2 * (F.col("__off") + cum_lt) + n_v + 1).cast("bigint")
+    ).drop("__b", "__off")
 
 
 def spearman_corr(
@@ -2308,11 +2295,15 @@ def spearman_corr(
     excluded; groups with zero rank variance on either side yield NULL
     rho.
 
-    Scale shape: ranks come from cumulative DISTINCT-value counts via
-    the weighted_quantiles cell machinery (no per-group funnel: the
-    cumsum windows are (group, cell)-partitioned, offsets ride the
-    tiny cell-totals table), joined back by (group, value); then ONE
-    map-combinable moment aggregation. No global window, no all-pairs.
+    Scale shape (r12 de-join rewrite): one hash agg collapses rows to
+    the (group, x, y, multiplicity) pair grain, then ranks for x and
+    for y are computed IN PLACE on that grain with two RANGE-framed
+    (group, cell)-partitioned windows (:func:`_pair_rank2` — global
+    1024-cell value range, offsets from the tiny cell-totals table,
+    no per-group funnel). The old per-column distinct-value rank
+    tables and their two (group, value)-keyed shuffle joins back to
+    the row grain are gone; then ONE map-combinable weighted moment
+    aggregation. No global window, no all-pairs.
     """
     keys = [by] if by else []
     cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -2320,8 +2311,21 @@ def spearman_corr(
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(*keys, cx.alias("__x"), cy.alias("__y"))
-    ranked = _avg_rank2(
-        _avg_rank2(base, keys, "__x", "__rx", buckets),
+    from pybabe_spark.operators._util import lazy_persist
+
+    # the pair grain feeds both rank passes' branch fans (range stats,
+    # cell totals, offsets, window main path — ×2 columns); unpinned,
+    # every branch re-runs the scan + pair shuffle (plan audit: 16
+    # parquet scans in one spearman plan)
+    pair = lazy_persist(
+        base.groupBy(*keys, "__x", "__y").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+    )
+    # the first pass's output is the second pass's fan root — pin it
+    # too, or the y-pass branches re-run the x-pass window each
+    ranked = _pair_rank2(
+        lazy_persist(_pair_rank2(pair, keys, "__x", "__rx", buckets)),
         keys,
         "__y",
         "__ry",
@@ -2329,12 +2333,12 @@ def spearman_corr(
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = ranked.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d("__rx")).alias("__sx"),
-        F.sum(d("__ry")).alias("__sy"),
-        F.sum(d("__rx") * F.col("__rx")).alias("__sxx"),
-        F.sum(d("__ry") * F.col("__ry")).alias("__syy"),
-        F.sum(d("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(d("__rx") * F.col("__c")).alias("__sx"),
+        F.sum(d("__ry") * F.col("__c")).alias("__sy"),
+        F.sum(d("__rx") * F.col("__rx") * F.col("__c")).alias("__sxx"),
+        F.sum(d("__ry") * F.col("__ry") * F.col("__c")).alias("__syy"),
+        F.sum(d("__rx") * F.col("__ry") * F.col("__c")).alias("__sxy"),
     )
     cov = d("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     vx = d("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
@@ -3057,28 +3061,42 @@ def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
     de-globalized 1024-cell cumulative (see kruskal_wallis's docstring
     for the full shape). Returns ``(per_g, vtot)`` — per_g has
     ``(__g, __ng, __rs2)`` with __rs2 the exact DECIMAL(38,0) doubled
-    rank sum; vtot is the (value, count) grain for tie corrections."""
+    rank sum; vtot is the (value, count) grain for tie corrections.
+
+    r12 shape: the doubled midrank ``r2(v) = 2·cum_<(v) + n_v + 1`` is
+    computed DIRECTLY on the (value, group) count grain with RANGE
+    frames — ``cum_<(v)`` is the per-cell range-cumulative up to
+    ``__v − 1`` (excludes ALL peers, both groups' rows at v) plus the
+    cell offset, and ``n_v`` is the peers-only range sum — so the old
+    distinct-value rank table and its (value)-keyed shuffle join back
+    to the counts (the plan's only corpus²-grain-ish shuffle pair) are
+    gone: one hash agg, one bucket-partitioned window, one group agg.
+    """
     buckets = 1024
     ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
-    cnt = (
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    # the (value, group) grain feeds SEVEN downstream branches (vtot,
+    # range stats, cell totals, offsets, the window main path, and the
+    # consumers' tie/total aggs); without a pin each branch re-runs the
+    # scan + first shuffle — plan audit showed 7 parquet scans
+    cnt = lazy_persist(
         df.filter(ok)
         .groupBy(x.alias("__v"), F.col(group_col).alias("__g"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     vtot = cnt.groupBy("__v").agg(F.sum("__c").alias("__nv"))
 
-    from pybabe_spark.operators._util import attach_scalars
-
-    stats = vtot.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
-    j = attach_scalars(vtot, stats).withColumn(
+    stats = cnt.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    j = attach_scalars(cnt, stats).withColumn(
         "__b",
         F.expr(
             f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
             " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
         ),
     )
-    btot = j.groupBy("__b").agg(F.sum("__nv").alias("__bnv"))
+    btot = j.groupBy("__b").agg(F.sum("__c").alias("__bnv"))
     bounded = btot.limit(buckets)  # __b < buckets by construction —
     # the limit is the linter's boundedness proof, it cannot truncate
     a, b = bounded.alias("a"), bounded.alias("b")
@@ -3087,24 +3105,24 @@ def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
         .groupBy(F.col("a.__b").alias("__b"))
         .agg(F.coalesce(F.sum("b.__bnv"), F.lit(0)).alias("__off"))
     )
-    w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    wv = Window.partitionBy("__b").orderBy(F.col("__v").asc())
+    # strictly-below count: RANGE to __v−1 skips every row tied at __v
+    # (the (v, g1)/(v, g2) peer rows), exactly cum_<(v) within the cell
+    cum_lt = F.coalesce(
+        F.sum("__c").over(
+            wv.rangeBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
     )
-    ranked = (
-        j.join(F.broadcast(offs), ["__b"])
-        .withColumn("__cum", F.col("__off") + F.sum("__nv").over(w))
-        .select(
-            "__v",
-            "__nv",
-            # doubled midrank: 2·(count strictly below) + n_v + 1
-            (
-                2 * (F.col("__cum") - F.col("__nv")) + F.col("__nv") + 1
-            ).alias("__r2"),
-        )
-    )
+    # peers-only RANGE sum = n_v, no distinct-value table needed
+    n_v = F.sum("__c").over(wv.rangeBetween(0, 0))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_g = (
-        cnt.join(ranked, ["__v"])
+        j.join(F.broadcast(offs), ["__b"])
+        .withColumn(
+            "__r2",
+            2 * (F.col("__off") + cum_lt) + n_v + 1,
+        )
         .groupBy("__g")
         .agg(
             F.sum("__c").alias("__ng"),
@@ -3116,11 +3134,32 @@ def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
     return per_g, vtot
 
 
+def _kw_tie_sum(vtot: DataFrame) -> DataFrame:
+    """One-row exact tie mass ``__ties = Σ_v (n_v³ − n_v)`` from the
+    value-count grain — the only thing both :func:`kruskal_wallis` and
+    :func:`dunn_test` ever read from ``vtot``, factored out so a
+    precomputed ``rank_sums`` core can carry a 1-row table instead of
+    the full distinct-value grain."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return vtot.agg(
+        F.coalesce(
+            F.sum(
+                d(F.col("__nv")) * F.col("__nv") * F.col("__nv")
+                - F.col("__nv")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__ties"),
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,
     value_col: str,
     chi2_crit: float | None = None,
+    rank_sums: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Kruskal–Wallis H test — the k-group generalization of
     :func:`mann_whitney_u` (rank-based, robust to skew) and the
@@ -3148,11 +3187,21 @@ def kruskal_wallis(
     ≤1024-row bucket-prefix self-join — the mann_whitney machinery),
     one join back by value, one group-grain agg, one 1-row finish. No
     global window anywhere.
+
+    ``rank_sums``: pass a precomputed ``(per_g, ties)`` pair — per_g
+    from :func:`_kw_rank_sums`, ties from :func:`_kw_tie_sum` — to
+    share the rank stage with :func:`dunn_test` on the same grain
+    (the post-hoc test ALWAYS follows KW on identical inputs —
+    recomputing the ranks would double the pipeline's dominant stage
+    for no information).
     """
     from pybabe_spark.operators._util import attach_scalars
 
-    per_g, vtot = _kw_rank_sums(df, group_col, value_col)
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    if rank_sums is not None:
+        per_g, ties1 = rank_sums
+    else:
+        per_g, vtot = _kw_rank_sums(df, group_col, value_col)
+        ties1 = _kw_tie_sum(vtot)
     term = (
         F.col("__rs2").cast("double")
         * F.col("__rs2").cast("double")
@@ -3163,14 +3212,7 @@ def kruskal_wallis(
         F.sum("__ng").cast("bigint").alias("n"),
         F.sum(term).cast("decimal(38,6)").alias("t"),
     )
-    vagg = vtot.agg(
-        F.coalesce(
-            F.sum(d(F.col("__nv")) * F.col("__nv") * F.col("__nv") - F.col("__nv")),
-            F.lit(0),
-        )
-        .cast("decimal(38,0)")
-        .alias("ties"),
-    )
+    vagg = ties1.select(F.col("__ties").alias("ties"))
     one = attach_scalars(gagg, vagg)
     nd = F.col("n").cast("double")
     td = F.col("t").cast("double")
@@ -4303,6 +4345,7 @@ def dunn_test(
     value_col: str,
     z_crit: float = 1.959964,
     max_groups: int = 64,
+    rank_sums: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Dunn's post-hoc pairwise test after :func:`kruskal_wallis` —
     WHICH groups differ once KW says "some group differs": for every
@@ -4329,12 +4372,19 @@ def dunn_test(
     cumulative) plus a groups² pair join on the TINY per-group table —
     bounded by the in-plan ``max_groups`` guard (the
     :func:`~pybabe_spark.operators.tfidf.vocab_overlap` contract).
+    ``rank_sums`` accepts KW's precomputed ``(per_g, ties)`` pair
+    (:func:`_kw_rank_sums` + :func:`_kw_tie_sum`) so the
+    test-then-post-hoc pipeline ranks the corpus once, not twice.
     """
     if max_groups < 2:
         raise ValueError(f"dunn_test: max_groups {max_groups} < 2")
     from pybabe_spark.operators._util import attach_scalars
 
-    per_g, vtot = _kw_rank_sums(df, group_col, value_col)
+    if rank_sums is not None:
+        per_g, ties1 = rank_sums
+    else:
+        per_g, vtot = _kw_rank_sums(df, group_col, value_col)
+        ties1 = _kw_tie_sum(vtot)
     msg = (
         f"dunn_test: more than max_groups={max_groups} groups — a "
         "groups² post-hoc table at that size is rarely intended; raise "
@@ -4348,15 +4398,8 @@ def dunn_test(
             F.raise_error(F.lit(msg)).cast("boolean"),
         ).otherwise(F.lit(True))
     ).drop("__gc")
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     tot = per_g.agg(F.sum("__ng").cast("decimal(38,0)").alias("__n"))
-    ties = vtot.agg(
-        F.coalesce(
-            F.sum(d(F.col("__nv")) * F.col("__nv") * F.col("__nv")
-                  - F.col("__nv")),
-            F.lit(0),
-        ).cast("decimal(38,0)").alias("__tt"),
-    )
+    ties = ties1.select(F.col("__ties").alias("__tt"))
     pairs = (
         per_g.select(
             F.col("__g").alias("g1"),
