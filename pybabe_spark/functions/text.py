@@ -410,8 +410,10 @@ def readability(text: str) -> Column:
     - Flesch reading ease ``206.835 − 1.015·W/S − 84.6·Y/W`` and
       Flesch–Kincaid grade ``0.39·W/S + 11.8·Y/W − 15.59`` are emitted
       as FLOORED integral ppm (×1e6) over the common denominator S·W —
-      pure BIGINT arithmetic end to end (the house integral-ppm idiom:
-      no IEEE division, so any SQL engine replays the exact value; the
+      exact integer arithmetic end to end, with the quadratic count
+      products formed in DECIMAL(38,0) so even pathological documents
+      can't overflow int64 (the house integral-ppm idiom: no IEEE
+      division, so any SQL engine replays the exact value; the
       pmod-floor construction keeps negative grades floor-consistent
       across engines, where plain integer division truncates).
 
@@ -443,17 +445,26 @@ def _readability_struct(w_cnt: Column, s_cnt: Column, y_cnt: Column) -> Column:
         adj = (num - F.pmod(num, den)).cast("decimal(38,0)")
         return (adj / den.cast("decimal(38,0)")).cast("bigint")
 
+    # numerators are formed in DECIMAL(38,0), not BIGINT: the ppm
+    # constants are ~2e8 and the count products quadratic, so a very
+    # large single document (~2e5+ words of short sentences) would
+    # overflow int64 mid-product and abort the job under ANSI before
+    # _floordiv's decimal exactness ever applied (the DuckDB twin
+    # widens to HUGEINT for the same reason)
+    wd = w_cnt.cast("decimal(38,0)")
+    sd = s_cnt.cast("decimal(38,0)")
+    yd = y_cnt.cast("decimal(38,0)")
     ease_num = (
-        F.lit(206835000) * s_cnt * w_cnt
-        - F.lit(1015000) * w_cnt * w_cnt
-        - F.lit(84600000) * y_cnt * s_cnt
+        F.lit(206835000) * sd * wd
+        - F.lit(1015000) * wd * wd
+        - F.lit(84600000) * yd * sd
     )
     grade_num = (
-        F.lit(390000) * w_cnt * w_cnt
-        + F.lit(11800000) * y_cnt * s_cnt
-        - F.lit(15590000) * s_cnt * w_cnt
+        F.lit(390000) * wd * wd
+        + F.lit(11800000) * yd * sd
+        - F.lit(15590000) * sd * wd
     )
-    den = s_cnt * w_cnt
+    den = sd * wd
     return F.struct(
         w_cnt.alias("n_words"),
         s_cnt.alias("n_sentences"),
@@ -479,15 +490,24 @@ def readability_sql(
         "GREATEST(CAST(len(regexp_extract_all("
         f"lower({text_col}), '{_SYLLABLE_RE}')) AS BIGINT), {w})"
     )
+    # HUGEINT inside the numerators (count columns stay BIGINT in the
+    # output): the ppm constants are ~2e8 and the count products
+    # quadratic, so int64 would overflow on very large single
+    # documents (the Spark twin widens to DECIMAL(38,0))
+    hw, hs, hy = (
+        "CAST(__W AS HUGEINT)",
+        "CAST(__S AS HUGEINT)",
+        "CAST(__Y AS HUGEINT)",
+    )
     ease_num = (
-        "(206835000 * __S * __W - 1015000 * __W * __W"
-        " - 84600000 * __Y * __S)"
+        f"(206835000 * {hs} * {hw} - 1015000 * {hw} * {hw}"
+        f" - 84600000 * {hy} * {hs})"
     )
     grade_num = (
-        "(390000 * __W * __W + 11800000 * __Y * __S"
-        " - 15590000 * __S * __W)"
+        f"(390000 * {hw} * {hw} + 11800000 * {hy} * {hs}"
+        f" - 15590000 * {hs} * {hw})"
     )
-    den = "(__S * __W)"
+    den = f"({hs} * {hw})"
     return f"""
     WITH cnts AS (
       SELECT {id_col}, {w} AS __W, {s} AS __S, {y} AS __Y
@@ -495,8 +515,10 @@ def readability_sql(
     )
     SELECT {id_col},
            __W AS n_words, __S AS n_sentences, __Y AS n_syllables,
-           {_floordiv_duck(ease_num, den)} AS reading_ease_ppm,
-           {_floordiv_duck(grade_num, den)} AS fk_grade_ppm
+           CAST({_floordiv_duck(ease_num, den)} AS BIGINT)
+             AS reading_ease_ppm,
+           CAST({_floordiv_duck(grade_num, den)} AS BIGINT)
+             AS fk_grade_ppm
     FROM cnts
     """
 

@@ -835,6 +835,9 @@ def gains_table(
     grain; within a tied score, rows order by ``id_col`` via a window
     PARTITIONED BY the (group, score) cell — so no partition exceeds
     the largest tie class and no engine-dependent tie order exists.
+    That determinism REQUIRES ``id_col`` to be unique within each
+    (group, score) tie cell; an in-plan guard raises on duplicate ids
+    rather than silently emitting engine-dependent buckets.
     ``rank = higher + row_number_within_tie``; ``bucket = ((rank−1) ·
     n_buckets) div n + 1`` (ntile's exact arithmetic).
 
@@ -882,6 +885,24 @@ def gains_table(
         .join(F.broadcast(totals), keys) if keys else
         base.join(grain, ["__m"]).crossJoin(F.broadcast(totals))
     )
+    # duplicate ids inside a tie cell leave row_number() ORDER BY __id
+    # engine/shuffle-dependent — fail loudly instead of emitting
+    # nondeterministic buckets (the vocab_overlap guard idiom); the
+    # guard window shares w_tie's partitioning, no extra shuffle
+    dup_msg = (
+        "gains_table: id_col has duplicate values within a "
+        "(group, score) tie cell — tie order and bucket assignment "
+        "would be nondeterministic; deduplicate or pass a unique id"
+    )
+    w_dup = Window.partitionBy(*keys, "__m", "__id")
+    ranked = ranked.withColumn(
+        "__idc", F.count(F.lit(1)).over(w_dup)
+    ).filter(
+        F.when(
+            F.col("__idc") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__idc")
     ranked = ranked.withColumn(
         "__rank", F.col("__higher") + F.row_number().over(w_tie)
     ).withColumn(

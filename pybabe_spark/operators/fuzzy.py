@@ -218,9 +218,13 @@ def fuzzy_connectivity_pairs(
     :func:`fuzzy_pairs` (equal-string row pairs excluded; ids multiply
     only the final edge list, never the candidate join).
     """
+    from pybabe_spark.operators._util import lazy_persist
     from pybabe_spark.operators.similarity import _spread
 
-    s = (
+    # three branches consume the distinct-string set (positional keys,
+    # deletion keys, the insdel probe side) — pin it or each re-runs
+    # the scan + distinct shuffle
+    s = lazy_persist(
         _guarded(df, s_col, max_len)
         .select(F.col(s_col).alias("s"))
         .filter(F.col("s").isNotNull())

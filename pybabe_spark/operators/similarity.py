@@ -1589,12 +1589,18 @@ def centroid_drift(
     Cross-engine determinism, layer by layer (the numeric contract
     every oracle-checked vector aggregate here follows):
 
-    - component sums are EXACT DECIMAL(12,9) sums (order-independent —
-      a plain double sum across rows varies with shuffle order);
+    - component sums are EXACT DECIMAL(20,9) sums (order-independent —
+      a plain double sum across rows varies with shuffle order). The
+      component-range contract: |component| < 10^11 (20−9 integer
+      digits); embeddings are unit-ish in practice, and the headroom
+      means a merely large-magnitude vector (|x| in the thousands —
+      which the old DECIMAL(12,9) cast aborted on under ANSI, or
+      silently nulled out of the sum non-ANSI) degrades nothing;
     - each centroid component is ``CAST(sum AS DOUBLE) / count`` — one
-      correctly-rounded conversion (sums stay far under 15.95
-      significant digits at any plausible group size) and one
-      correctly-rounded IEEE division, bit-identical in any engine;
+      correctly-rounded conversion (exact while sums hold under 15.95
+      significant digits, true for unit-scale components at any
+      plausible group size) and one correctly-rounded IEEE division,
+      bit-identical in any engine;
     - the cosine folds the 64 components IN POSITION ORDER
       (``array_sort`` on pos + sequential ``aggregate``), and the final
       DECIMAL(18,6) rounding absorbs the ±1e-15 tail the O(1)-magnitude
@@ -1605,7 +1611,7 @@ def centroid_drift(
     join on the dim-sized global table, one collect_list bounded by the
     vector width per group. Nothing grows faster than corpus × dims.
     """
-    xd = F.col("x").cast("double").cast("decimal(12,9)")
+    xd = F.col("x").cast("double").cast("decimal(20,9)")
     ex = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(group_col).alias("g"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
@@ -1648,14 +1654,14 @@ def centroid_drift_sql(
     vec_col: str = "embedding",
     dims: int = 64,
 ) -> str:
-    """DuckDB oracle of :func:`centroid_drift` — same decimal component
-    sums, the same single double conversion + division per component,
-    position-ordered lists, DECIMAL(18,6) finish."""
+    """DuckDB oracle of :func:`centroid_drift` — same DECIMAL(20,9)
+    component sums, the same single double conversion + division per
+    component, position-ordered lists, DECIMAL(18,6) finish."""
     rng = f"range(1, {dims + 1})"
     return f"""
     WITH ex AS (
       SELECT {group_col} AS g, pos,
-             CAST(CAST({vec_col}[pos] AS DOUBLE) AS DECIMAL(12,9)) AS xd
+             CAST(CAST({vec_col}[pos] AS DOUBLE) AS DECIMAL(20,9)) AS xd
       FROM {table}, (SELECT unnest({rng}) AS pos) t
       WHERE {vec_col} IS NOT NULL
     ),

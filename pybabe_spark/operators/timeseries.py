@@ -3801,7 +3801,10 @@ def seasonal_decompose_mult_sql(
     """DuckDB oracle of :func:`seasonal_decompose_mult` — the additive
     oracle's bucket/trend CTEs plus the identical floored integer
     ratio chain (HUGEINT, manual floor corrections where numerators
-    can't go negative are omitted: every numerator here is ≥ 0)."""
+    can't go negative are omitted: every numerator here is ≥ 0 — a
+    precondition the in-query ``error()`` guard enforces exactly like
+    the Spark side's ``raise_error``, so on negative data BOTH engines
+    abort instead of the oracle silently emitting truncated ratios)."""
     bus = int(bucket_seconds) * 1_000_000
     p = int(period)
     num = "CAST(SUM(x) * 1000000 AS HUGEINT)"
@@ -3846,7 +3849,11 @@ def seasonal_decompose_mult_sql(
       FROM (
         SELECT {key_col} AS k,
                epoch_us({ts_col}) // {bus} AS t,
-               CAST({value_col} AS DECIMAL(18,6)) AS x
+               CASE WHEN {value_col} < 0 THEN
+                 error('seasonal_decompose_mult: negative {value_col}'
+                       ' - the multiplicative model needs a'
+                       ' non-negative series')
+               ELSE CAST({value_col} AS DECIMAL(18,6)) END AS x
         FROM {table}
         WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
           AND {value_col} IS NOT NULL

@@ -71,6 +71,27 @@ def test_readability_negative_floor_not_truncation(spark):
     assert r["fk_grade_ppm"] == grade == -739286  # floor, not trunc
 
 
+def test_readability_huge_document_no_int64_overflow(spark):
+    # 3e5 one-syllable one-word sentences: the ease numerator's
+    # 206835000·S·W term is ~1.9e19 > int64 max — the DECIMAL(38,0)
+    # numerator path must stay exact where BIGINT products would
+    # abort under ANSI (r12 advice fix). Python ints model it exactly.
+    n = 300_000
+    t = "a. " * n
+    w = n + 1  # trailing split yields one empty word
+    s = n
+    y = max(n, w)
+    ease_num = 206835000 * s * w - 1015000 * w * w - 84600000 * y * s
+    grade_num = 390000 * w * w + 11800000 * y * s - 15590000 * s * w
+    den = s * w
+    assert abs(ease_num) > 2**63, "fixture no longer exercises overflow"
+    df = spark.createDataFrame([(t,)], "text string")
+    r = df.select(readability("text").alias("r")).select("r.*").collect()[0]
+    assert r["n_words"] == w and r["n_sentences"] == s
+    assert r["reading_ease_ppm"] == ease_num // den
+    assert r["fk_grade_ppm"] == grade_num // den
+
+
 def test_compression_ratio_exact_zlib(spark):
     """Pin exact zlib ratios (deterministic by spec: input+level fix the
     output bytes) and NULL semantics for empty/NULL text."""
@@ -225,6 +246,30 @@ def test_gains_table_tie_order_by_id(spark):
     # ids 1,2 (both positive) land in bucket 1
     assert (got[1]["n"], got[1]["n_pos"]) == (2, 2)
     assert (got[2]["n_pos"], got[3]["n_pos"]) == (0, 0)
+
+
+def test_gains_table_duplicate_id_in_tie_cell_raises(spark):
+    """Duplicate ids inside a (score) tie cell would make the
+    ORDER BY id tiebreak engine-dependent — the in-plan guard must
+    fail loudly (r12 advice fix), and ids duplicated across DIFFERENT
+    scores must stay legal (the tiebreak never compares them)."""
+    import pytest
+    from pybabe_spark.operators.classifier import gains_table
+
+    dup = spark.createDataFrame(
+        [(1, 0.5, 1), (1, 0.5, 0), (2, 0.5, 0), (3, 0.1, 0)],
+        "id int, score double, label int",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        gains_table(dup, "score", "label", "id", n_buckets=2).collect()
+
+    across = spark.createDataFrame(
+        [(1, 0.9, 1), (1, 0.5, 0), (2, 0.5, 0), (3, 0.1, 0)],
+        "id int, score double, label int",
+    )
+    rows = gains_table(across, "score", "label", "id",
+                       n_buckets=2).collect()
+    assert sum(r["n"] for r in rows) == 4
 
 
 def test_g_test_matches_python_model(spark):

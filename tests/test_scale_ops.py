@@ -3143,3 +3143,30 @@ def test_adamic_adar_max_degree_cap(spark):
     # with the cap lifted the hub generates all (i<j) pairs
     out = adamic_adar(_edges_df(spark, edges), max_degree=50).collect()
     assert len(out) == 14  # C(6,2)=15 minus the (1,2) edge
+
+
+def test_centroid_drift_large_magnitude_components(spark):
+    """|component| in the thousands must neither abort (ANSI decimal
+    overflow at the old DECIMAL(12,9)) nor silently null out of the
+    component sums (r12 advice fix): a group identical to the corpus
+    scores cosine 1, an orthogonal one 0, regardless of magnitude."""
+    from pybabe_spark.operators.similarity import centroid_drift
+
+    df = spark.createDataFrame(
+        [
+            ("a", [5000.0, 0.0]),
+            ("a", [3000.0, 0.0]),
+            ("b", [0.0, 4000.0]),
+        ],
+        "label string, embedding array<double>",
+    )
+    got = {r["label"]: r for r in
+           centroid_drift(df, "label", "embedding").collect()}
+    # global centroid = (8000/3, 4000/3); a's centroid = (4000, 0):
+    # cos = gx*4000 / (4000 * sqrt(gx^2+gy^2))
+    import math
+    gx, gy = 8000.0 / 3.0, 4000.0 / 3.0
+    exp_a = gx / math.hypot(gx, gy)
+    assert abs(got["a"]["centroid_cosine"] - exp_a) < 1e-6
+    exp_b = gy / math.hypot(gx, gy)
+    assert abs(got["b"]["centroid_cosine"] - exp_b) < 1e-6

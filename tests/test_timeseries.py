@@ -1401,3 +1401,18 @@ def test_seasonal_decompose_mult_pattern_and_guard(spark):
         seasonal_decompose_mult(neg, "k", "ts", "v", period=2).collect()
     with pytest.raises(ValueError):
         seasonal_decompose_mult(df, "k", "ts", "v", period=1)
+
+    # twin-definition symmetry (r12 advice fix): on negative data the
+    # ORACLE must abort too, not silently emit truncated ratios
+    import duckdb
+    from pybabe_spark.operators.timeseries import (
+        seasonal_decompose_mult_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE tneg AS SELECT 'k' AS k,"
+            " TIMESTAMP '2024-01-01 00:00:00' AS ts, -1.0 AS v")
+    with pytest.raises(Exception, match="non-negative"):
+        con.sql(
+            seasonal_decompose_mult_sql("tneg", "k", "ts", "v", period=2)
+        ).fetchall()
