@@ -360,6 +360,15 @@ LOWMEM_FAMILIES = [
     # join (AA) must spill, not OOM, when the unified region shrinks
     "kruskal_wallis",
     "adamic_adar",
+    # r11 ops with new aggregation shapes (r11 verdict ask #5): rank
+    # pair join, observed-cell G finish, multiplicative ratio windows,
+    # beta-binomial moment broadcast — all must spill, not OOM
+    "dunn_test",
+    "g_test",
+    "roc_auc",
+    "gains_table",
+    "seasonal_decompose_mult",
+    "eb_shrinkage",
 ]
 
 
@@ -1056,6 +1065,52 @@ def stress(
                     F.col("n_chars").cast("double").alias("v"),
                 ),
                 "k", "ts", "v", period=24,
+            ).count(),
+            # r12 families (r11 verdict ask #5): the round's new
+            # aggregation shapes under the same scaling contract ------
+            # shares the KW rank core's plan; the pair join is k² on
+            # the tiny per-group table — cost must track rows
+            "dunn_test": lambda: __import__(
+                "pybabe_spark.operators.sketch", fromlist=["dunn_test"]
+            ).dunn_test(
+                docs.select(
+                    F.col("lang").alias("g"),
+                    (F.col("doc_id") % 97).cast("double").alias("v"),
+                ),
+                "g", "v",
+            ).count(),
+            # observed-cell table bounded (langs × sources flat) → one
+            # corpus hash agg dominates, finish is cell-sized
+            "g_test": lambda: __import__(
+                "pybabe_spark.operators.sketch", fromlist=["g_test"]
+            ).g_test(docs, "lang", "source").count(),
+            # bucket grain bounded (5000 hours × sources) while rows
+            # grow → the bucket agg ∝ rows, windows/slots flat
+            "seasonal_decompose_mult": lambda: __import__(
+                "pybabe_spark.operators.timeseries",
+                fromlist=["seasonal_decompose_mult"],
+            ).seasonal_decompose_mult(
+                docs.select(
+                    F.col("source").alias("k"),
+                    F.timestamp_micros(
+                        (F.col("doc_id") % 5000).cast("bigint")
+                        * 3_600_000_000
+                    ).alias("ts"),
+                    (F.col("doc_id") % 50 + 1).cast("double").alias("v"),
+                ),
+                "k", "ts", "v", period=24,
+            ).count(),
+            # bounded bucket domain (200) → group table flat, one
+            # map-combinable corpus agg + a broadcast moments row
+            "eb_shrinkage": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["eb_shrink_rates"],
+            ).eb_shrink_rates(
+                docs.select(
+                    (F.col("doc_id") % 200).alias("bucket"),
+                    (F.col("doc_id") % 3 == 0).cast("int").alias("done"),
+                ),
+                "bucket", "done",
             ).count(),
         }
 
