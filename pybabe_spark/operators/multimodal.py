@@ -97,6 +97,52 @@ def _image_decoder():
     return {"decode": decode, "resize": resize}
 
 
+#: codecs the wave-backed audio kernel accepts (PCM WAV; soundfile /
+#: ffmpeg would extend this set through the same seam)
+_AUDIO_CODECS = {"wav"}
+
+
+def _audio_decoder():
+    """Build the real audio kernel: PCM WAV through the stdlib ``wave``
+    module (always importable, a genuine RIFF/PCM decoder — the same
+    seam a soundfile/ffmpeg kernel for compressed codecs would fill).
+    Same contract as :func:`_image_decoder`: resolved on the driver,
+    shipped to executors inside the mapInPandas closure. ``info`` →
+    (framerate, n_frames, bytes_per_frame); ``slice_ms`` → raw PCM
+    bytes between millisecond offsets, frame-aligned via real sample
+    positions (never mid-sample, which byte arithmetic on a container
+    with headers would happily do)."""
+    try:
+        import wave  # noqa: F401
+    except ImportError:  # pragma: no cover - wave is stdlib
+        return None
+
+    def info(blob: bytes):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            return (
+                w.getframerate(),
+                w.getnframes(),
+                w.getsampwidth() * w.getnchannels(),
+            )
+
+    def slice_ms(blob: bytes, start_ms: int, end_ms: int) -> bytes:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            fr = w.getframerate()
+            n = w.getnframes()
+            lo = min(int(start_ms * fr // 1000), n)
+            hi = min(int(end_ms * fr // 1000), n)
+            w.setpos(lo)
+            return w.readframes(max(0, hi - lo))
+
+    return {"info": info, "slice_ms": slice_ms}
+
+
 def _unsupported(codec: str, need: str) -> NotImplementedError:
     return NotImplementedError(
         f"media codec {codec!r} needs {need}, which is not importable in "
@@ -274,8 +320,12 @@ def chunk_audio(
     (duration = len/bps; chunk *i* covers bytes
     ``[i·step·bps, i·step·bps + window·bps)`` while its start lies
     inside the blob) — exactly recomputable in SQL, so the whole
-    explosion is oracle-checkable. A real kernel seeks by sample
-    offset via soundfile/ffmpeg and raises :func:`_unsupported` here.
+    explosion is oracle-checkable. Codec ``wav`` decodes FOR REAL
+    through the stdlib ``wave`` kernel (:func:`_audio_decoder`):
+    duration comes from the container's frame count and chunk bytes
+    are frame-aligned PCM slices at true sample offsets — the same
+    windows as the fake kernel, real geometry. Other codecs raise
+    :func:`_unsupported` (soundfile/ffmpeg slot into the same seam).
     Empty/NULL blobs emit no chunks.
     """
     if window_s <= 0 or overlap_s < 0 or overlap_s >= window_s:
@@ -293,18 +343,39 @@ def chunk_audio(
     bps = int(bytes_per_second)
     bwin = window_s * bps
     bstep = step_s * bps
+    kernel = _audio_decoder()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             real = pdf[meta_col].map(lambda m: m["codec"])
             real = real[~real.isin(["fake"])]
+            if kernel is not None:
+                real = real[~real.isin(sorted(_AUDIO_CODECS))]
             if len(real):
                 raise _unsupported(real.iloc[0], "soundfile/ffmpeg")
             ids, idxs, starts, ends, chunks = [], [], [], [], []
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+            for rid, blob, meta in zip(
+                pdf[id_col], pdf[blob_col], pdf[meta_col]
+            ):
                 if blob is None:
                     continue
                 blob = bytes(blob)
+                if meta["codec"] in _AUDIO_CODECS:
+                    fr, n_frames, _bpf = kernel["info"](blob)
+                    dur_ms = n_frames * 1000 // fr
+                    i = 0
+                    while i * step_s * 1000 < dur_ms:
+                        start_ms = i * step_s * 1000
+                        end_ms = min(start_ms + window_s * 1000, dur_ms)
+                        ids.append(rid)
+                        idxs.append(i)
+                        starts.append(start_ms)
+                        ends.append(end_ms)
+                        chunks.append(
+                            kernel["slice_ms"](blob, start_ms, end_ms)
+                        )
+                        i += 1
+                    continue
                 tb = len(blob)
                 dur_ms = tb * 1000 // bps
                 i = 0

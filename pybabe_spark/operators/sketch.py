@@ -16,6 +16,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sdiv(num, den):
+    """``num / den`` with a NULL (never an ANSI DIVIDE_BY_ZERO) on a
+    zero denominator: divisions that are guarded by an outer
+    ``F.when`` still detonate when whole-stage codegen's common-
+    subexpression elimination hoists the SHARED division above the
+    guard (observed: partial_corr's r_xy feeding two output columns).
+    Guarding at the division site is sharing-proof; the degenerate
+    rows were NULL by the outer guard anyway, so values are
+    unchanged."""
+    return num / F.when(den != 0.0, den)
+
+
 def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     """Approximate frequent items: every value occurring in more than
     ``support`` fraction of rows (one-pass Karp–Papadimitriou–Shenker via
@@ -3055,6 +3067,204 @@ def anova_f_sql(select: str, group_col: str, value_col: str) -> str:
     """
 
 
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_crit: float | None = None,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Tukey–Kramer HSD post-hoc pairwise test after :func:`anova_f` —
+    WHICH group means differ once ANOVA says "some mean differs" (the
+    parametric sibling of :func:`dunn_test`, which answers the same
+    question for :func:`kruskal_wallis`): one row per group pair
+    (g1 < g2) with
+
+        q = |m₁ − m₂| / sqrt( MSW/2 · (1/n₁ + 1/n₂) ),
+        MSW = SS_within / (N − k)
+
+    — the Tukey–Kramer unequal-n form. Output: ``(g1, g2, n1, n2,
+    mean_diff, q_stat, significant?)``; supply ``q_crit`` from the
+    studentized-range distribution for (k, N−k) at the family α
+    (e.g. 3.31 for k=3 arms at α=0.05, large df), exactly as
+    :func:`dunn_test` takes its z.
+
+    Determinism: group moments are exact DECIMAL(38,0) cents from one
+    hash agg; SS_within uses :func:`anova_f`'s per-group-rounded
+    ``s²/n`` term sum (associative decimal addition), and the finish
+    is one fixed-shape IEEE expression rounded once to DECIMAL(18,6),
+    with ``significant`` compared on the rounded value. Degenerate
+    inputs (N ≤ k or zero within-group variance) report NULL q.
+    mean_diff is in VALUE units (cents / 100).
+
+    Scale shape: anova_f's plan (one map-combinable hash agg + 1-row
+    totals) plus a groups² pair join on the TINY per-group table,
+    bounded by the in-plan ``max_groups`` guard (the
+    :func:`~pybabe_spark.operators.tfidf.vocab_overlap` contract).
+    """
+    if max_groups < 2:
+        raise ValueError(f"tukey_hsd: max_groups {max_groups} < 2")
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(d(x)).cast("decimal(38,0)").alias("__s"),
+            F.sum(d(x) * x).cast("decimal(38,0)").alias("__q"),
+        )
+    )
+    msg = (
+        f"tukey_hsd: more than max_groups={max_groups} groups — a "
+        "groups² post-hoc table at that size is rarely intended; raise "
+        "max_groups to confirm"
+    )
+    per_g = per_g.withColumn(
+        "__gc", F.count(F.lit(1)).over(Window.partitionBy())
+    ).filter(
+        F.when(
+            F.col("__gc") > max_groups,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__gc")
+    term = (
+        F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+    ).cast("decimal(38,6)")
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").cast("bigint").alias("__nt"),
+        F.sum(d(F.col("__q"))).cast("decimal(38,0)").alias("__qt"),
+        F.sum(term).cast("decimal(38,6)").alias("__t"),
+    )
+    pairs = (
+        per_g.select(
+            F.col("__g").alias("g1"),
+            F.col("__n").alias("__n1"),
+            F.col("__s").alias("__s1"),
+        )
+        .join(
+            per_g.select(
+                F.col("__g").alias("g2"),
+                F.col("__n").alias("__n2"),
+                F.col("__s").alias("__s2"),
+            ),
+            F.col("g1") < F.col("g2"),
+        )
+    )
+    one = attach_scalars(pairs, tot)
+    kd = F.col("__k").cast("double")
+    nd = F.col("__nt").cast("double")
+    ssw = F.col("__qt").cast("double") - F.col("__t").cast("double")
+    msw = _sdiv(ssw, nd - kd)
+    # means in value units: cents sums / (100 n)
+    m1 = F.col("__s1").cast("double") / (100.0 * F.col("__n1").cast("double"))
+    m2 = F.col("__s2").cast("double") / (100.0 * F.col("__n2").cast("double"))
+    se = F.sqrt(
+        msw / 2.0
+        * (
+            1.0 / F.col("__n1").cast("double")
+            + 1.0 / F.col("__n2").cast("double")
+        )
+    ) / 100.0
+    diff6 = (m1 - m2).cast("decimal(18,6)")
+    q6 = _sdiv(F.abs(m1 - m2), se).cast("decimal(18,6)")
+    okq = (F.col("__nt") > F.col("__k")) & (ssw > 0.0)
+    cols = [
+        F.col("g1").alias(f"{group_col}_1"),
+        F.col("g2").alias(f"{group_col}_2"),
+        F.col("__n1").cast("bigint").alias("n1"),
+        F.col("__n2").cast("bigint").alias("n2"),
+        diff6.cast("double").alias("mean_diff"),
+        F.when(okq, q6.cast("double")).alias("q_stat"),
+    ]
+    if q_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(okq, q6.cast("double") > float(q_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return one.select(*cols)
+
+
+def tukey_hsd_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    q_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`tukey_hsd` — same cents lift, HUGEINT
+    moments, per-group-rounded s²/n term, fixed-shape Tukey–Kramer
+    finish rounded once to DECIMAL(18,6)."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    msw = (
+        "((CAST(qt AS DOUBLE) - CAST(t AS DOUBLE))"
+        " / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))"
+    )
+    m1 = "(CAST(s1 AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE)))"
+    m2 = "(CAST(s2 AS DOUBLE) / (100.0 * CAST(n2 AS DOUBLE)))"
+    se = (
+        f"(sqrt({msw} / 2.0 * (1.0 / CAST(n1 AS DOUBLE)"
+        " + 1.0 / CAST(n2 AS DOUBLE))) / 100.0)"
+    )
+    okq = (
+        "nt > k AND (CAST(qt AS DOUBLE) - CAST(t AS DOUBLE)) > 0.0"
+    )
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okq} THEN
+             CAST(CAST(abs({m1} - {m2}) / {se} AS DECIMAL(18,6)) AS DOUBLE)
+               > {float(q_crit)} END, FALSE) AS significant"""
+        if q_crit is not None
+        else ""
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    per_g AS (
+        SELECT {group_col} AS g,
+               COUNT(*) AS n_g,
+               SUM(CAST({x} AS HUGEINT)) AS s_g,
+               SUM(CAST({x} AS HUGEINT) * {x}) AS q_g
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY {group_col}
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS nt,
+               SUM(q_g) AS qt,
+               SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS t
+        FROM per_g
+    )
+    SELECT a.g AS {group_col}_1, b.g AS {group_col}_2,
+           CAST(a.n_g AS BIGINT) AS n1, CAST(b.n_g AS BIGINT) AS n2,
+           CAST(CAST((CAST(a.s_g AS DOUBLE)
+                      / (100.0 * CAST(a.n_g AS DOUBLE)))
+                     - (CAST(b.s_g AS DOUBLE)
+                        / (100.0 * CAST(b.n_g AS DOUBLE)))
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_diff,
+           CASE WHEN {okq.replace('n1', 'a.n_g')} THEN
+             CAST(CAST(
+               abs((CAST(a.s_g AS DOUBLE) / (100.0 * CAST(a.n_g AS DOUBLE)))
+                   - (CAST(b.s_g AS DOUBLE)
+                      / (100.0 * CAST(b.n_g AS DOUBLE))))
+               / (sqrt({msw} / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
+                       + 1.0 / CAST(b.n_g AS DOUBLE))) / 100.0)
+             AS DECIMAL(18,6)) AS DOUBLE) END AS q_stat
+           {sig.replace('n1', 'a.n_g').replace('n2', 'b.n_g')
+               .replace('s1', 'a.s_g').replace('s2', 'b.s_g')}
+    FROM per_g a JOIN per_g b ON a.g < b.g
+    CROSS JOIN tot
+    """
+
+
 def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
     """Shared rank machinery of :func:`kruskal_wallis` and
     :func:`dunn_test`: exact doubled-midrank group sums over the
@@ -4509,6 +4719,818 @@ def dunn_test_sql(
                AS DECIMAL(18,6)) AS DOUBLE)) > {zc} END,
              FALSE) AS significant
     FROM calc
+    """
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str | None = None,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation per group — ``(group?, n,
+    concordant, discordant, tau_b)`` — the concordance twin of
+    :func:`spearman_corr` (τ weights each discordant PAIR equally
+    where ρ weights by rank distance; τ is the one reviewers ask for
+    on ordinal scales).
+
+    BOUNDED-DOMAIN contract: exact τ-b needs pairwise order counts,
+    which is O(n log n) at best on unbounded reals — this
+    implementation instead collapses rows to the distinct (x, y) CELL
+    grid (exact for discrete/ordinal columns, the τ use case) and
+    counts concordance on the cells² join, guarded in-plan by
+    ``max_cells`` per group (the :func:`dunn_test` / vocab_overlap
+    idiom: raise loudly rather than detonate a quadratic join). The
+    corpus-side work stays ONE map-combinable hash agg.
+
+    Exact arithmetic: cents-lifted values; cell counts, concordant/
+    discordant weighted pair sums C and D, and the doubled tie-
+    corrected pair masses ``A = n(n−1) − Σ_x t_x(t_x−1)`` /
+    ``B = n(n−1) − Σ_y t_y(t_y−1)`` are all DECIMAL(38,0);
+
+        τ_b = 2·(C − D) / sqrt(A·B)
+
+    is the single fixed-shape IEEE finish, rounded once to
+    DECIMAL(18,6). NULL when A or B is zero (a constant margin).
+    """
+    if max_cells < 1:
+        raise ValueError(f"kendall_tau_b: max_cells {max_cells} < 1")
+    keys = [by] if by else []
+    ok = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    lift = lambda c: (  # noqa: E731
+        F.col(c).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = (
+        df.filter(ok)
+        .groupBy(*keys, lift(x_col).alias("__x"), lift(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    msg = (
+        f"kendall_tau_b: more than max_cells={max_cells} distinct "
+        "(x, y) cells in a group — the exact cells² concordance join "
+        "is only intended for discrete/ordinal columns; bucket the "
+        "values or raise max_cells to confirm"
+    )
+    cells = cells.withColumn(
+        "__cc", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    ).filter(
+        F.when(
+            F.col("__cc") > max_cells,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__cc")
+    from pybabe_spark.operators._util import lazy_persist
+
+    # the cell grid feeds four branches (pair join both sides, margin
+    # ties ×2, totals) — pin it, each branch otherwise re-runs the
+    # corpus hash agg
+    cells = lazy_persist(cells)
+    ca = cells.select(
+        *[F.col(k).alias(f"__ka_{k}") for k in keys],
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    cb = cells.select(
+        *[F.col(k).alias(f"__kb_{k}") for k in keys],
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    cond = F.col("__xa") < F.col("__xb")
+    for k in keys:
+        cond = cond & F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}"))
+    prod = d(F.col("__ca")) * F.col("__cb")
+    cd = (
+        ca.join(cb, cond)
+        .groupBy(*[F.col(f"__ka_{k}").alias(k) for k in keys])
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__ya") < F.col("__yb"), prod)),
+                F.lit(0),
+            ).cast("decimal(38,0)").alias("__con"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ya") > F.col("__yb"), prod)),
+                F.lit(0),
+            ).cast("decimal(38,0)").alias("__dis"),
+        )
+    )
+    tx = (
+        cells.groupBy(*keys, "__x")
+        .agg(F.sum("__c").alias("__t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(d(F.col("__t")) * (F.col("__t") - 1))
+            .cast("decimal(38,0)")
+            .alias("__tx"),
+        )
+    )
+    ty = (
+        cells.groupBy(*keys, "__y")
+        .agg(F.sum("__c").alias("__t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(d(F.col("__t")) * (F.col("__t") - 1))
+            .cast("decimal(38,0)")
+            .alias("__ty"),
+        )
+    )
+    tot = cells.groupBy(*keys).agg(
+        F.sum("__c").cast("bigint").alias("n")
+    )
+    if keys:
+        j = (
+            tot.join(cd, keys, "left")
+            .join(tx, keys)
+            .join(ty, keys)
+        )
+    else:
+        from pybabe_spark.operators._util import attach_scalars
+
+        j = attach_scalars(
+            attach_scalars(attach_scalars(tot, cd), tx), ty
+        )
+    zero = F.lit(0).cast("decimal(38,0)")
+    con = F.coalesce(F.col("__con"), zero)
+    dis = F.coalesce(F.col("__dis"), zero)
+    nn = d(F.col("n")) * (F.col("n") - 1)
+    aa = (nn - F.col("__tx")).cast("decimal(38,0)")
+    bb = (nn - F.col("__ty")).cast("decimal(38,0)")
+    tau = _sdiv(
+        2.0 * (con - dis).cast("double"),
+        F.sqrt((aa * bb).cast("double")),
+    )
+    return j.select(
+        *keys,
+        "n",
+        con.cast("bigint").alias("concordant"),
+        dis.cast("bigint").alias("discordant"),
+        F.when(
+            (aa > 0) & (bb > 0),
+            tau.cast("decimal(18,6)").cast("double"),
+        ).alias("tau_b"),
+    )
+
+
+def kendall_tau_b_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: str | None = None,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`kendall_tau_b` — the same cell grid,
+    cells² concordance counts, doubled tie masses, fixed-shape τ-b
+    finish."""
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    on_k = f"AND a.{by} IS NOT DISTINCT FROM b.{by} " if by else ""
+    ksel = f"a.{by} AS {by}, " if by else ""
+    jk = f"USING ({by})" if by else "ON TRUE"
+    lift = lambda c: (  # noqa: E731
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT {keys}{lift(x_col)} AS x, {lift(y_col)} AS y,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM {table}
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL AND ({where})
+        GROUP BY {keys}x, y
+    ),
+    cd AS (
+        SELECT {ksel}
+               COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+                 AS con,
+               COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+                 AS dis
+        FROM cells a JOIN cells b
+          ON a.x < b.x {on_k}
+        {"GROUP BY a." + by if by else ""}
+    ),
+    tx AS (
+        SELECT {keys}SUM(t * (t - 1)) AS txm FROM (
+            SELECT {keys}x, SUM(c) AS t FROM cells GROUP BY {keys}x
+        ) {gby}
+    ),
+    ty AS (
+        SELECT {keys}SUM(t * (t - 1)) AS tym FROM (
+            SELECT {keys}y, SUM(c) AS t FROM cells GROUP BY {keys}y
+        ) {gby}
+    ),
+    tot AS (
+        SELECT {keys}CAST(SUM(c) AS BIGINT) AS n FROM cells {gby}
+    )
+    SELECT {"tot." + by + " AS " + by + ", " if by else ""}n,
+           CAST(COALESCE(con, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(dis, 0) AS BIGINT) AS discordant,
+           CASE WHEN (CAST(n AS HUGEINT) * (n - 1) - txm) > 0
+                 AND (CAST(n AS HUGEINT) * (n - 1) - tym) > 0 THEN
+             CAST(CAST(
+               2.0 * CAST(COALESCE(con, 0) - COALESCE(dis, 0) AS DOUBLE)
+               / sqrt(CAST((CAST(n AS HUGEINT) * (n - 1) - txm)
+                           * (CAST(n AS HUGEINT) * (n - 1) - tym)
+                      AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) END AS tau_b
+    FROM tot
+    LEFT JOIN cd {jk}
+    JOIN tx {jk}
+    JOIN ty {jk}
+    """
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """2×2 odds ratio + relative risk with Woolf log-interval CI — the
+    effect-size readout :func:`chi2_test`'s p-value hides: ONE row
+    ``(n_exposed_pos, n_exposed_neg, n_unexposed_pos, n_unexposed_neg,
+    odds_ratio, or_ci_low, or_ci_high, relative_risk)`` from boolean
+    exposure/outcome columns (nonzero/true = yes),
+
+        OR = (a·d)/(b·c),  CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)),
+        RR = (a/(a+b)) / (c/(c+d)).
+
+    Exact bigint cell counts from one conditional aggregation pass;
+    the finish is one fixed-shape IEEE expression per output (ln/exp
+    ulp noise is absorbed by the DECIMAL(18,6) rounding — the
+    module-wide log-space convention, see zipf/llr). All four ratios
+    are NULL when any cell is zero (the classical undefined case —
+    apply a Haldane correction upstream if you want one; silently
+    adding 0.5 here would diverge from every textbook table).
+
+    Scale shape: one map-side-combinable aggregation, no shuffle
+    beyond the 1-row reduce.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    ok = e.isNotNull() & o.isNotNull()
+    cell = lambda p: F.sum(  # noqa: E731
+        F.when(p, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    agg = df.filter(ok).agg(
+        cell(e & o).alias("n_exposed_pos"),
+        cell(e & ~o).alias("n_exposed_neg"),
+        cell(~e & o).alias("n_unexposed_pos"),
+        cell(~e & ~o).alias("n_unexposed_neg"),
+    )
+    a = F.col("n_exposed_pos").cast("double")
+    b = F.col("n_exposed_neg").cast("double")
+    c = F.col("n_unexposed_pos").cast("double")
+    dd = F.col("n_unexposed_neg").cast("double")
+    orx = _sdiv(a * dd, b * c)
+    se = F.sqrt(
+        _sdiv(F.lit(1.0), a) + _sdiv(F.lit(1.0), b)
+        + _sdiv(F.lit(1.0), c) + _sdiv(F.lit(1.0), dd)
+    )
+    rr = _sdiv(_sdiv(a, a + b), _sdiv(c, c + dd))
+    pos = (
+        (F.col("n_exposed_pos") > 0)
+        & (F.col("n_exposed_neg") > 0)
+        & (F.col("n_unexposed_pos") > 0)
+        & (F.col("n_unexposed_neg") > 0)
+    )
+    out = lambda x: x.cast("decimal(18,6)").cast("double")  # noqa: E731
+    zf = float(z)
+    return agg.select(
+        "n_exposed_pos", "n_exposed_neg",
+        "n_unexposed_pos", "n_unexposed_neg",
+        F.when(pos, out(orx)).alias("odds_ratio"),
+        F.when(pos, out(F.exp(F.log(orx) - zf * se))).alias("or_ci_low"),
+        F.when(pos, out(F.exp(F.log(orx) + zf * se))).alias("or_ci_high"),
+        F.when(pos, out(rr)).alias("relative_risk"),
+    )
+
+
+def odds_ratio_sql(
+    select: str,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`odds_ratio` — same exact cells, same
+    fixed-shape OR/CI/RR expressions, DECIMAL(18,6) rounding."""
+    zf = float(z)
+    a, b = "CAST(a AS DOUBLE)", "CAST(b AS DOUBLE)"
+    c, d = "CAST(c AS DOUBLE)", "CAST(d AS DOUBLE)"
+    orx = f"(({a} * {d}) / ({b} * {c}))"
+    se = f"sqrt(1.0 / {a} + 1.0 / {b} + 1.0 / {c} + 1.0 / {d})"
+    rr = f"(({a} / ({a} + {b})) / ({c} / ({c} + {d})))"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH rows_in AS ({select}),
+    cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+        FROM (SELECT CAST({exposure_col} AS BOOLEAN) AS e,
+                     CAST({outcome_col} AS BOOLEAN) AS o
+              FROM rows_in) t
+        WHERE e IS NOT NULL AND o IS NOT NULL
+    )
+    SELECT a AS n_exposed_pos, b AS n_exposed_neg,
+           c AS n_unexposed_pos, d AS n_unexposed_neg,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN {r6(orx)} END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN {r6(f"exp(ln({orx}) - {zf} * {se})")} END AS or_ci_low,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN {r6(f"exp(ln({orx}) + {zf} * {se})")} END
+             AS or_ci_high,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN {r6(rr)} END AS relative_risk
+    FROM cells
+    """
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """First-order partial correlation — the x↔y association with the
+    confounder z held constant:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    — ``(group?, n, r_xy, r_xz, r_yz, r_xy_given_z)``, the "is the
+    quantity↔price correlation real or just both riding discount"
+    question :func:`corr_matrix` can't answer by itself.
+
+    Determinism: values lift to bigint cents; all ten moment sums run
+    exact DECIMAL(38,0) in ONE map-combinable hash agg. Each pairwise
+    r is the single fixed-shape IEEE expression ``cov / (√vx·√vy)``
+    over exact-decimal-cast doubles (the :func:`corr_matrix` shape),
+    the partial formula composes those three doubles in one more
+    fixed shape, and each OUTPUT rounds once to DECIMAL(18,6) — the
+    oracle reproduces the tree verbatim, so doubles match bit-for-bit.
+    Rows with any NULL among x/y/z are excluded (listwise deletion,
+    the textbook convention). NULL where any variance is zero; the
+    partial is additionally NULL when either |r·z| = 1 (z explains a
+    variable completely — the denominator vanishes).
+
+    Scale shape: one hash agg, one 1-row (or group-grain) finish — no
+    window, no join, no second scan.
+    """
+    keys = [by] if by else []
+    ok = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    lift = lambda c: (  # noqa: E731
+        F.col(c).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(ok).select(
+        *keys,
+        lift(x_col).alias("__x"),
+        lift(y_col).alias("__y"),
+        lift(z_col).alias("__z"),
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(d(F.col(a)) * (F.col(b) if b else F.lit(1)))
+            .cast("decimal(38,0)")
+            .alias(nm)
+            for a, b, nm in [
+                ("__x", None, "__sx"), ("__y", None, "__sy"),
+                ("__z", None, "__sz"), ("__x", "__x", "__sxx"),
+                ("__y", "__y", "__syy"), ("__z", "__z", "__szz"),
+                ("__x", "__y", "__sxy"), ("__x", "__z", "__sxz"),
+                ("__y", "__z", "__syz"),
+            ]
+        ],
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+
+    def _r(sab, sa, sb, saa, sbb):
+        cov = (nd * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        va = (nd * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        vb = (nd * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return _sdiv(cov, F.sqrt(va) * F.sqrt(vb)), va, vb
+
+    rxy, vx, vy = _r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    rxz, _, vz = _r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    ryz, _, _ = _r("__syz", "__sy", "__sz", "__syy", "__szz")
+    denom = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    partial = _sdiv(rxy - rxz * ryz, F.sqrt(denom))
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    all_var = (vx > 0) & (vy > 0) & (vz > 0)
+    return agg.select(
+        *keys,
+        "n",
+        F.when((vx > 0) & (vy > 0), out(rxy)).alias("r_xy"),
+        F.when((vx > 0) & (vz > 0), out(rxz)).alias("r_xz"),
+        F.when((vy > 0) & (vz > 0), out(ryz)).alias("r_yz"),
+        F.when(all_var & (denom > 0.0), out(partial)).alias(
+            "r_xy_given_z"
+        ),
+    )
+
+
+def partial_corr_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    by: str | None = None,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`partial_corr` — same cents lift,
+    HUGEINT moments, the identical fixed-shape r and partial
+    expressions, DECIMAL(18,6) rounding."""
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    lift = lambda c: (  # noqa: E731
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+
+    def _r(sab, sa, sb, saa, sbb):
+        cov = f"CAST(n1 * {sab} - {sa} * {sb} AS DOUBLE)"
+        va = f"CAST(n1 * {saa} - {sa} * {sa} AS DOUBLE)"
+        vb = f"CAST(n1 * {sbb} - {sb} * {sb} AS DOUBLE)"
+        return f"({cov} / (sqrt({va}) * sqrt({vb})))", va, vb
+
+    rxy, vx, vy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz, _, vz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz, _, _ = _r("syz", "sy", "sz", "syy", "szz")
+    denom = f"((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz}))"
+    partial = f"(({rxy} - {rxz} * {ryz}) / sqrt({denom}))"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH m AS (
+        SELECT {keys}CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS HUGEINT) AS n1,
+               SUM(CAST({lift(x_col)} AS HUGEINT)) AS sx,
+               SUM(CAST({lift(y_col)} AS HUGEINT)) AS sy,
+               SUM(CAST({lift(z_col)} AS HUGEINT)) AS sz,
+               SUM(CAST({lift(x_col)} AS HUGEINT) * {lift(x_col)}) AS sxx,
+               SUM(CAST({lift(y_col)} AS HUGEINT) * {lift(y_col)}) AS syy,
+               SUM(CAST({lift(z_col)} AS HUGEINT) * {lift(z_col)}) AS szz,
+               SUM(CAST({lift(x_col)} AS HUGEINT) * {lift(y_col)}) AS sxy,
+               SUM(CAST({lift(x_col)} AS HUGEINT) * {lift(z_col)}) AS sxz,
+               SUM(CAST({lift(y_col)} AS HUGEINT) * {lift(z_col)}) AS syz
+        FROM {table}
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+          AND {z_col} IS NOT NULL AND ({where})
+        {gby}
+    )
+    SELECT {keys}n,
+           CASE WHEN {vx} > 0 AND {vy} > 0
+             THEN {r6(rxy)} END AS r_xy,
+           CASE WHEN {vx} > 0 AND {vz} > 0
+             THEN {r6(rxz)} END AS r_xz,
+           CASE WHEN {vy} > 0 AND {vz} > 0
+             THEN {r6(ryz)} END AS r_yz,
+           CASE WHEN {vx} > 0 AND {vy} > 0 AND {vz} > 0
+                 AND {denom} > 0.0
+             THEN {r6(partial)} END AS r_xy_given_z
+    FROM m
+    """
+
+
+def herfindahl_index(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group —
+    ``(group?, n_entities, hhi_ppm, hhi_norm_ppm)`` — the market-
+    concentration readout: HHI = Σ_e share_e² over the entities'
+    value shares, 10⁶ = monopoly, 10⁶/n = perfectly even. The
+    normalized form ``(HHI − 1/n) / (1 − 1/n)`` rescales to [0, 10⁶]
+    independent of entity count (NULL when n = 1, where concentration
+    is undefined).
+
+    EXACT integral arithmetic end to end: values lift to bigint
+    cents, per-entity sums s_e and the group total S are exact
+    DECIMAL(38,0), and both indices are single floored integer
+    divisions of non-negative exact products —
+
+        hhi_ppm      = (10⁶ · Σs²) div S²,
+        hhi_norm_ppm = (10⁶ · (n·Σs² − S²)) div ((n−1) · S²)
+
+    (n·Σs² ≥ S² by Cauchy–Schwarz, so truncating div IS floor; no
+    IEEE anywhere, any engine replays the value bit-for-bit).
+    Magnitude contract: a group's total must stay under ~10^16 cents
+    (10¹⁴ in value units) so 10⁶·Σs² fits DECIMAL(38,0); beyond that
+    ANSI raises rather than silently rounding. Rows with NULL entity
+    or value are excluded; groups whose total S = 0 report NULL
+    indices (shares are undefined).
+
+    Scale shape: two map-side-combinable hash aggs (entity grain,
+    then group grain) — no window, no join, no second scan.
+    """
+    keys = [by] if by else []
+    ok = F.col(entity_col).isNotNull() & F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_e = (
+        df.filter(ok)
+        .groupBy(*keys, F.col(entity_col).alias("__e"))
+        .agg(F.sum(d(x)).cast("decimal(38,0)").alias("__s"))
+    )
+    agg = per_e.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum(d(F.col("__s"))).cast("decimal(38,0)").alias("__tot"),
+        F.sum(d(F.col("__s")) * F.col("__s"))
+        .cast("decimal(38,0)")
+        .alias("__sq"),
+    )
+    hhi = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq)"
+        " div (__tot * __tot) AS BIGINT)"
+    )
+    norm = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * (CAST(n_entities AS DECIMAL(38,0)) * __sq - __tot * __tot))"
+        " div ((CAST(n_entities AS DECIMAL(38,0)) - 1)"
+        " * __tot * __tot) AS BIGINT)"
+    )
+    return agg.select(
+        *keys,
+        "n_entities",
+        F.when(F.col("__tot") != 0, hhi).alias("hhi_ppm"),
+        F.when(
+            (F.col("__tot") != 0) & (F.col("n_entities") > 1), norm
+        ).alias("hhi_norm_ppm"),
+    )
+
+
+def herfindahl_index_sql(
+    table: str,
+    entity_col: str,
+    value_col: str,
+    by: str | None = None,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`herfindahl_index` — same cents lift,
+    HUGEINT sums, identical floored integer divisions."""
+    keys = f"{by}, " if by else ""
+    gby1 = f"GROUP BY {keys}{entity_col}"
+    gby2 = f"GROUP BY {by}" if by else ""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH per_e AS (
+        SELECT {keys}{entity_col} AS e,
+               SUM(CAST({x} AS HUGEINT)) AS s
+        FROM {table}
+        WHERE {entity_col} IS NOT NULL AND {value_col} IS NOT NULL
+          AND ({where})
+        {gby1}
+    ),
+    agg AS (
+        SELECT {keys}CAST(COUNT(*) AS BIGINT) AS n_entities,
+               SUM(s) AS tot, SUM(s * s) AS sq
+        FROM per_e {gby2}
+    )
+    SELECT {keys}n_entities,
+           CASE WHEN tot <> 0 THEN
+             CAST((1000000 * sq) // (tot * tot) AS BIGINT)
+           END AS hhi_ppm,
+           CASE WHEN tot <> 0 AND n_entities > 1 THEN
+             CAST((1000000 * (n_entities * sq - tot * tot))
+                  // ((n_entities - 1) * tot * tot) AS BIGINT)
+           END AS hhi_norm_ppm
+    FROM agg
+    """
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Friedman test — the repeated-measures / randomized-block sibling
+    of :func:`kruskal_wallis`: ranks are computed WITHIN each block
+    (subject) across the k treatments, so between-block level
+    differences cancel and only the treatment ordering speaks. ONE
+    output row: ``(k, n_blocks, chi2, chi2_tie_corrected,
+    significant?)`` with χ² vs the χ²(k−1) critical value compared on
+    the rounded tie-corrected statistic (the :func:`kruskal_wallis`
+    convention).
+
+    Contract: ONE observation per (block, treatment) — an in-plan
+    guard raises on duplicates (aggregate first; the
+    :func:`~pybabe_spark.operators.classifier.gains_table` idiom) —
+    and only COMPLETE blocks (all k treatments present) enter, the
+    standard Friedman design.
+
+    Exact arithmetic: values lift to bigint cents; within-block
+    doubled midranks ``r2 = 2·cnt_< + cnt_= + 1`` are integers under
+    ties, per-treatment doubled rank sums R2_j and their squares are
+    exact DECIMAL(38,0), and with B complete blocks
+
+        χ² = 3·Σ_j R2_j² / (B·k·(k+1)) − 3·B·(k+1)
+
+    (the 12/4 fold from un-doubling, exactly kruskal_wallis's trick).
+    The tie correction divides by ``C = 1 − Σ_{block,v}(t³−t) /
+    (B·(k³−k))`` — both sums exact integers — in the same fixed-shape
+    IEEE finish, rounded once to DECIMAL(18,6). χ² is NULL when k < 2
+    or B = 0; the corrected form is NULL when C ≤ 0 (every block
+    fully tied).
+
+    Scale shape: one hash agg to the (block, treatment) grain, one
+    block-partitioned window whose partitions are ≤ k rows BY
+    CONSTRUCTION (the duplicate guard makes block size ≤ the
+    treatment-domain cardinality — no skew possible), one treatment
+    agg, a (block, value) tie agg, one 1-row finish. No global
+    window, no join on the corpus grain.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = (
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    obs = df.filter(ok).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        x.alias("__v"),
+    )
+    dup_msg = (
+        "friedman_test: duplicate (block, treatment) observation — "
+        "the design needs exactly one value per cell; aggregate first"
+    )
+    w_cell = Window.partitionBy("__b", "__t")
+    obs = obs.withColumn(
+        "__dc", F.count(F.lit(1)).over(w_cell)
+    ).filter(
+        F.when(
+            F.col("__dc") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__dc")
+    kt = obs.agg(F.count_distinct("__t").alias("__k"))
+    wb = Window.partitionBy("__b")
+    complete = attach_scalars(
+        obs.withColumn("__bn", F.count(F.lit(1)).over(wb)), kt
+    ).filter(F.col("__bn") == F.col("__k"))
+    wv = Window.partitionBy("__b").orderBy(F.col("__v").asc())
+    cnt_lt = F.coalesce(
+        F.count(F.lit(1)).over(
+            wv.rangeBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cnt_eq = F.count(F.lit(1)).over(wv.rangeBetween(0, 0))
+    ranked = complete.withColumn("__r2", 2 * cnt_lt + cnt_eq + 1)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__bt"),
+        F.sum(d(F.col("__r2"))).cast("decimal(38,0)").alias("__rs2"),
+    )
+    tagg = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("__bt").cast("bigint").alias("n_blocks"),
+        F.coalesce(
+            F.sum(d(F.col("__rs2")) * F.col("__rs2")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("__sq"),
+    )
+    ties = (
+        ranked.groupBy("__b", "__v")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    d(F.col("__tc")) * F.col("__tc") * F.col("__tc")
+                    - F.col("__tc")
+                ),
+                F.lit(0),
+            ).cast("decimal(38,0)").alias("__tt"),
+        )
+    )
+    one = attach_scalars(tagg, ties)
+    kd = F.col("k").cast("double")
+    bd = F.col("n_blocks").cast("double")
+    sq = F.col("__sq").cast("double")
+    tt = F.col("__tt").cast("double")
+    chi2 = (
+        _sdiv(3.0 * sq, bd * kd * (kd + 1.0))
+        - 3.0 * bd * (kd + 1.0)
+    )
+    c_corr = 1.0 - _sdiv(tt, bd * (kd * kd * kd - kd))
+    corrected = _sdiv(chi2, c_corr)
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okb = (F.col("k") >= 2) & (F.col("n_blocks") > 0)
+    cols = [
+        F.col("k").cast("bigint").alias("k"),
+        F.coalesce(F.col("n_blocks"), F.lit(0)).alias("n_blocks"),
+        F.when(okb, out(chi2)).alias("chi2"),
+        F.when(okb & (c_corr > 0.0), out(corrected)).alias(
+            "chi2_tie_corrected"
+        ),
+    ]
+    if chi2_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(
+                    okb & (c_corr > 0.0),
+                    out(corrected) > F.lit(float(chi2_crit)),
+                ),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return one.select(*cols)
+
+
+def friedman_test_sql(
+    select: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`friedman_test` — same cents lift,
+    complete-block filter, within-block doubled midranks via
+    ``2·RANK + COUNT(peers) − 1``, exact HUGEINT sums, identical
+    fixed-shape finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    chi2 = (
+        "(3.0 * CAST(sq AS DOUBLE)"
+        " / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)"
+        " * (CAST(k AS DOUBLE) + 1.0))"
+        " - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+    )
+    c_corr = (
+        "(1.0 - CAST(tt AS DOUBLE) / (CAST(b AS DOUBLE)"
+        " * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)"
+        " - CAST(k AS DOUBLE))))"
+    )
+    okb = "k >= 2 AND b > 0"
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okb} AND {c_corr} > 0.0 THEN
+             CAST(CAST({chi2} / {c_corr} AS DECIMAL(18,6)) AS DOUBLE)
+               > {float(chi2_crit)} END, FALSE) AS significant"""
+        if chi2_crit is not None
+        else ""
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    obs AS (
+        SELECT {block_col} AS b, {treatment_col} AS t, {x} AS v
+        FROM rows_in
+        WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+    ),
+    kt AS (SELECT COUNT(DISTINCT t) AS k FROM obs),
+    complete AS (
+        SELECT obs.* FROM obs
+        JOIN (SELECT b FROM obs GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kt)) cb USING (b)
+    ),
+    ranked AS (
+        SELECT b, t,
+               2 * RANK() OVER (PARTITION BY b ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2,
+               v
+        FROM complete
+    ),
+    per_t AS (
+        SELECT t, COUNT(*) AS bt, SUM(CAST(r2 AS HUGEINT)) AS rs2
+        FROM ranked GROUP BY t
+    ),
+    tagg AS (
+        SELECT COUNT(*) AS k,
+               CAST(COALESCE(MAX(bt), 0) AS BIGINT) AS b,
+               COALESCE(SUM(rs2 * rs2), 0) AS sq
+        FROM per_t
+    ),
+    ties AS (
+        SELECT COALESCE(SUM(tc * tc * tc - tc), 0) AS tt
+        FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS tc
+              FROM ranked GROUP BY b, v)
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           b AS n_blocks,
+           CASE WHEN {okb} THEN
+             CAST(CAST({chi2} AS DECIMAL(18,6)) AS DOUBLE) END AS chi2,
+           CASE WHEN {okb} AND {c_corr} > 0.0 THEN
+             CAST(CAST({chi2} / {c_corr} AS DECIMAL(18,6)) AS DOUBLE)
+           END AS chi2_tie_corrected
+           {sig}
+    FROM tagg CROSS JOIN ties
     """
 
 

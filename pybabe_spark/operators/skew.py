@@ -280,3 +280,141 @@ def gini_sql(table: str, key_col: str, value_col: str) -> str:
            END AS gini
     FROM agg
     """
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key Lorenz curve over non-negative values — the WHOLE
+    concentration curve :func:`gini` compresses to one number: rows
+    rank ascending by value into ``n_buckets`` equal-population
+    buckets, and each bucket reports the cumulative population and
+    value shares — "the bottom 50% of orders carry 18% of revenue".
+    Output: ``(key, bucket, n, cum_n, cum_pop_share_ppm,
+    cum_value_share_ppm)``.
+
+    Exact arithmetic: bigint cents, DECIMAL(38,0) cumulative sums,
+    both shares floored integral ppm (numerators non-negative, so
+    truncating div IS floor — engine-identical). Bucket assignment is
+    ntile's exact arithmetic ``((rank−1)·k) div n + 1`` on ascending
+    row_numbers; tie order within equal values cannot change either
+    share (rows swapped across a boundary carry identical values —
+    the :func:`gini` permutation-invariance argument). Negative
+    values raise in-plan; keys with zero total report NULL value
+    shares.
+
+    Scale shape: one key-partitioned rank window + one hash agg + a
+    ≤ n_buckets-per-key cumulative window — two key shuffles, no
+    corpus joins (gains_table's shape, value-ranked instead of
+    score-ranked).
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"lorenz_curve: n_buckets {n_buckets} must be >= 2"
+        )
+    k = int(n_buckets)
+    nn = df.filter(F.col(value_col).isNotNull())
+    cents_raw = (
+        F.col(value_col).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    guard = F.when(
+        cents_raw < 0,
+        F.raise_error(
+            F.lit(
+                f"lorenz_curve: negative {value_col} — undefined; "
+                "clamp upstream"
+            )
+        ).cast("bigint"),
+    ).otherwise(cents_raw)
+    wk = Window.partitionBy(key_col)
+    w = wk.orderBy(F.col("__c").asc())
+    ranked = (
+        nn.select(F.col(key_col), guard.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(((__rn - 1) * {k}) div __n + 1 AS INT)"),
+        )
+    )
+    per = ranked.groupBy(key_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.first("__n").cast("bigint").alias("__nt"),
+    )
+    wc = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn(
+        "cum_n", F.sum("n").over(wc).cast("bigint")
+    ).withColumn(
+        "__cs", F.sum("__s").over(wc).cast("decimal(38,0)")
+    )
+    tot = cum.withColumn(
+        "__tot",
+        F.sum("__s").over(wk).cast("decimal(38,0)"),
+    )
+    return tot.select(
+        key_col,
+        "bucket",
+        "n",
+        "cum_n",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_n) div __nt"
+            " AS BIGINT)"
+        ).alias("cum_pop_share_ppm"),
+        F.when(
+            F.col("__tot") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * __cs) div __tot"
+                " AS BIGINT)"
+            ),
+        ).alias("cum_value_share_ppm"),
+    )
+
+
+def lorenz_curve_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`lorenz_curve` — same cents, ntile
+    arithmetic, HUGEINT cumulatives, floored integral ppm shares."""
+    k = int(n_buckets)
+    c = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH ranked AS (
+      SELECT {key_col} AS kc, {c} AS c,
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY {c} ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY {key_col}) AS nt
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    per AS (
+      SELECT kc, CAST(((rn - 1) * {k}) // nt + 1 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s,
+             CAST(MAX(nt) AS BIGINT) AS ntot
+      FROM ranked GROUP BY kc, bucket
+    ),
+    cum AS (
+      SELECT kc, bucket, n, ntot,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             SUM(s) OVER w AS cs,
+             SUM(s) OVER (PARTITION BY kc) AS tot
+      FROM per
+      WINDOW w AS (PARTITION BY kc ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT kc AS {key_col}, bucket, n, cum_n,
+           CAST((1000000 * CAST(cum_n AS HUGEINT)) // ntot AS BIGINT)
+             AS cum_pop_share_ppm,
+           CASE WHEN tot > 0 THEN
+             CAST((1000000 * cs) // tot AS BIGINT)
+           END AS cum_value_share_ppm
+    FROM cum
+    """

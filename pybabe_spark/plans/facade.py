@@ -668,6 +668,53 @@ class Babe:
 
         return self._wrap(dunn_test(self.df, group_col, value_col, **kwargs))
 
+    def tukey_hsd(self, group_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import tukey_hsd
+
+        return self._wrap(tukey_hsd(self.df, group_col, value_col, **kwargs))
+
+    def friedman_test(self, block_col, treatment_col, value_col,
+                      **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import friedman_test
+
+        return self._wrap(
+            friedman_test(self.df, block_col, treatment_col, value_col,
+                          **kwargs)
+        )
+
+    def herfindahl_index(self, entity_col, value_col, by=None) -> "Babe":
+        from pybabe_spark.operators.sketch import herfindahl_index
+
+        return self._wrap(
+            herfindahl_index(self.df, entity_col, value_col, by)
+        )
+
+    def kendall_tau_b(self, x_col, y_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import kendall_tau_b
+
+        return self._wrap(
+            kendall_tau_b(self.df, x_col, y_col, by, **kwargs)
+        )
+
+    def partial_corr(self, x_col, y_col, z_col, by=None) -> "Babe":
+        from pybabe_spark.operators.sketch import partial_corr
+
+        return self._wrap(partial_corr(self.df, x_col, y_col, z_col, by))
+
+    def odds_ratio(self, exposure_col, outcome_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import odds_ratio
+
+        return self._wrap(
+            odds_ratio(self.df, exposure_col, outcome_col, **kwargs)
+        )
+
+    def lorenz_curve(self, key_col, value_col, n_buckets=10) -> "Babe":
+        from pybabe_spark.operators.skew import lorenz_curve
+
+        return self._wrap(
+            lorenz_curve(self.df, key_col, value_col, n_buckets)
+        )
+
     def eb_shrink_rates(self, group_col, success_col) -> "Babe":
         from pybabe_spark.operators.sketch import eb_shrink_rates
 

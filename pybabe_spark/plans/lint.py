@@ -98,28 +98,34 @@ def _build_side_max_rows(side) -> float:
     return float("inf")
 
 
-def _provably_single_row_bnljs(df: DataFrame) -> int:
-    """Number of PHYSICAL BroadcastNestedLoopJoin nodes whose BUILD side
-    is provably ≤1 row (``maxRows`` from the build subtree's logical
-    link — e.g. a grouping-key-free aggregate, a ``LIMIT 1``). Such a
-    join is linear in the probe side — the attach-a-global-scalar idiom
-    (operators/_util.py::attach_scalars) — so it is not a scale smell,
-    with or without a join condition (Catalyst folds downstream filters
-    into the BNLJ condition, so requiring condition-less-ness would
-    un-discount the idiom whenever a filter sits above it).
+def _bnlj_counts(df: DataFrame):
+    """``(total, benign)`` PHYSICAL BroadcastNestedLoopJoin nodes from
+    ONE tree walk — benign = build side provably ≤1 row (``maxRows``
+    from the build subtree's logical link — e.g. a grouping-key-free
+    aggregate, a ``LIMIT 1``). Such a join is linear in the probe side
+    — the attach-a-global-scalar idiom (operators/_util.py::
+    attach_scalars) — so it is not a scale smell, with or without a
+    join condition (Catalyst folds downstream filters into the BNLJ
+    condition, so requiring condition-less-ness would un-discount the
+    idiom whenever a filter sits above it).
 
-    Each discount is anchored to an actual BNLJ node in the executed
-    plan, so a benign join elsewhere can never mask a genuine quadratic
-    nested loop in the same plan (the previous logical-vs-physical
-    cross-count could, if Catalyst planned a condition-less 1-row-side
-    join as something other than a BNLJ). Errors (and sessions without
-    the classic JVM plan handle — Spark Connect) count 0: lint degrades
-    toward flagging MORE, never less."""
+    Total comes from the SAME walk as the discount (not the plan
+    STRING): an ``InMemoryRelation`` prints its whole cached plan
+    inside every ``InMemoryTableScan`` reference, so a string count
+    sees each cached-subtree BNLJ once per reference (observed: the
+    r12 persist-pinned spearman showed 8 string hits for 2 real
+    nodes). The walk instead descends into each cached plan once via
+    ``relation().cachedPlan()``, so cache-hidden joins are still
+    counted AND still eligible for the 1-row discount. Errors (and
+    sessions without the classic JVM plan handle — Spark Connect)
+    return ``None``: the caller falls back to the string count with
+    zero discount — degrading toward flagging MORE, never less."""
     try:
         plan = df._jdf.queryExecution().executedPlan()
     except Exception:
-        return 0
-    benign = 0
+        return None
+    total = benign = 0
+    seen_caches = set()
     stack = [plan]
     while stack:
         node = stack.pop()
@@ -132,7 +138,19 @@ def _provably_single_row_bnljs(df: DataFrame) -> int:
             stack.append(node.initialPlan())
         except Exception:
             pass
+        try:
+            # descend into the cached plan ONCE per relation: real
+            # compute on a cache miss, and where r12's pinned rank
+            # grains hide their upstream joins
+            rel = node.relation()
+            rid = rel.toString()
+            if rid not in seen_caches:
+                seen_caches.add(rid)
+                stack.append(rel.cachedPlan())
+        except Exception:
+            pass
         if "BroadcastNestedLoopJoin" in name:
+            total += 1
             try:
                 build_right = "BuildRight" in node.buildSide().toString()
                 side = node.right() if build_right else node.left()
@@ -146,7 +164,7 @@ def _provably_single_row_bnljs(df: DataFrame) -> int:
                 stack.append(it.next())
         except Exception:
             continue
-    return benign
+    return total, benign
 
 
 def plan_lint(df: DataFrame) -> list[Finding]:
@@ -171,7 +189,11 @@ def plan_lint(df: DataFrame) -> list[Finding]:
                 "a bucketed/candidate form instead",
             )
         )
-    bnlj = phys.count("BroadcastNestedLoopJoin") - _provably_single_row_bnljs(df)
+    counts = _bnlj_counts(df)
+    if counts is None:  # no classic plan handle: string count, no discount
+        bnlj = phys.count("BroadcastNestedLoopJoin")
+    else:
+        bnlj = counts[0] - counts[1]
     for _ in range(max(bnlj, 0)):
         findings.append(
             (

@@ -1447,6 +1447,32 @@ def q_spearman(spark, sf_dir):
     )
 
 
+def _partial_corr_sql():
+    from pybabe_spark.operators.sketch import partial_corr_sql
+
+    return partial_corr_sql(
+        "lineitem", "l_quantity", "l_extendedprice", "l_discount",
+        by="l_returnflag",
+    )
+
+
+@register("partial_corr_lineitem", _partial_corr_sql())
+def q_partial_corr(spark, sf_dir):
+    """Per-flag partial correlation of quantity vs price holding
+    discount constant (operators/sketch.py::partial_corr): is the
+    quantity↔price association real once the shared discount driver
+    is partialled out — the confounder question corr_matrix_lineitem
+    leaves open. Ten exact DECIMAL(38,0) moments in one hash agg,
+    fixed-shape r tree reproduced verbatim by the oracle."""
+    from pybabe_spark.operators.sketch import partial_corr
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return partial_corr(
+        li, "l_quantity", "l_extendedprice", "l_discount",
+        by="l_returnflag",
+    )
+
+
 def _corr_sql():
     from pybabe_spark.operators.sketch import corr_matrix_sql
 
@@ -3543,6 +3569,34 @@ def q_anova(spark, sf_dir):
     return anova_f(orders, "o_orderpriority", "o_totalprice")
 
 
+def _tukey_sql():
+    from pybabe_spark.operators.sketch import tukey_hsd_sql
+
+    return tukey_hsd_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+        q_crit=3.858,
+    )
+
+
+@register("tukey_hsd_orders", _tukey_sql())
+def q_tukey_hsd(spark, sf_dir):
+    """Tukey–Kramer HSD post-hoc after anova_orders_price
+    (operators/sketch.py::tukey_hsd): WHICH priority pairs differ in
+    mean order value, q vs the studentized-range critical value for
+    k=5 arms at family α=0.05 (3.858, large df) — the parametric twin
+    of dunn_test_lineitem. Exact decimal group moments, anova_f's
+    per-term-rounded within moment, one 10-pair join on the guarded
+    tiny per-group table."""
+    from pybabe_spark.operators.sketch import tukey_hsd
+
+    orders = read_table(spark, sf_dir, "orders")
+    return tukey_hsd(
+        orders, "o_orderpriority", "o_totalprice", q_crit=3.858
+    )
+
+
 def _brown_forsythe_sql():
     from pybabe_spark.operators.sketch import brown_forsythe_sql
 
@@ -4733,6 +4787,143 @@ def q_dunn_test(spark, sf_dir):
     return dunn_test(
         li, "l_returnflag", "l_extendedprice", z_crit=2.394,
         rank_sums=_kw_core(spark, sf_dir),
+    )
+
+
+def _lorenz_sql() -> str:
+    from pybabe_spark.operators.skew import lorenz_curve_sql
+
+    return lorenz_curve_sql(
+        "orders", "o_orderpriority", "o_totalprice", n_buckets=10
+    )
+
+
+@register("lorenz_curve_orders", _lorenz_sql())
+def q_lorenz_curve(spark, sf_dir):
+    """Per-priority revenue Lorenz curve
+    (operators/skew.py::lorenz_curve): decile-by-decile cumulative
+    population vs revenue shares — the whole concentration curve
+    gini_orders_priority compresses to one number, in exact floored
+    integral ppm (ntile arithmetic on ascending cents ranks, decimal
+    cumulatives, zero IEEE)."""
+    from pybabe_spark.operators.skew import lorenz_curve
+
+    orders = read_table(spark, sf_dir, "orders")
+    return lorenz_curve(
+        orders, "o_orderpriority", "o_totalprice", n_buckets=10
+    )
+
+
+def _kendall_sql() -> str:
+    from pybabe_spark.operators.sketch import kendall_tau_b_sql
+
+    return kendall_tau_b_sql(
+        "lineitem", "l_quantity", "l_discount", by="l_returnflag"
+    )
+
+
+@register("kendall_tau_lineitem", _kendall_sql())
+def q_kendall_tau(spark, sf_dir):
+    """Per-flag Kendall τ-b of quantity vs discount
+    (operators/sketch.py::kendall_tau_b): exact pairwise concordance
+    on the bounded 50×11 (quantity, discount) cell grid — the
+    ordinal-scale twin of spearman_lineitem, with the guarded cells²
+    join confined to ≤550 cells per flag while the corpus-side work
+    is one hash agg."""
+    from pybabe_spark.operators.sketch import kendall_tau_b
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        li, "l_quantity", "l_discount", by="l_returnflag"
+    )
+
+
+def _odds_ratio_sql() -> str:
+    from pybabe_spark.operators.sketch import odds_ratio_sql
+
+    return odds_ratio_sql(
+        """SELECT o_orderpriority = '1-URGENT' AS urgent,
+                  o_orderstatus = 'F' AS finished
+           FROM orders""",
+        "urgent", "finished",
+    )
+
+
+@register("odds_ratio_orders", _odds_ratio_sql())
+def q_odds_ratio(spark, sf_dir):
+    """Odds ratio + relative risk with Woolf CI for finished-status
+    given urgent priority (operators/sketch.py::odds_ratio) — the
+    2×2 effect size chi2_orders_priority_status's p-value hides.
+    Exact bigint cells from one pass, fixed-shape log-interval
+    finish rounded once to 6 dp."""
+    from pybabe_spark.operators.sketch import odds_ratio
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_orderstatus") == "F").alias("finished"),
+    )
+    return odds_ratio(orders, "urgent", "finished")
+
+
+def _herfindahl_sql() -> str:
+    from pybabe_spark.operators.sketch import herfindahl_index_sql
+
+    return herfindahl_index_sql(
+        "orders", "o_custkey", "o_totalprice", by="o_orderpriority"
+    )
+
+
+@register("herfindahl_orders", _herfindahl_sql())
+def q_herfindahl(spark, sf_dir):
+    """Customer-concentration HHI per order priority
+    (operators/sketch.py::herfindahl_index): how concentrated is each
+    priority's revenue across customers — Σ share² in exact floored
+    ppm plus the entity-count-independent normalized form. Pure
+    integral arithmetic (cents sums, two floored divisions), zero
+    IEEE; two map-combinable hash aggs."""
+    from pybabe_spark.operators.sketch import herfindahl_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    return herfindahl_index(
+        orders, "o_custkey", "o_totalprice", by="o_orderpriority"
+    )
+
+
+def _friedman_sql() -> str:
+    from pybabe_spark.operators.sketch import friedman_test_sql
+
+    return friedman_test_sql(
+        """SELECT user_id, event_type,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events
+           WHERE value IS NOT NULL
+           GROUP BY user_id, event_type""",
+        "user_id", "event_type", "v", chi2_crit=9.487729,
+    )
+
+
+@register("friedman_events", _friedman_sql())
+def q_friedman(spark, sf_dir):
+    """Friedman randomized-block test (operators/sketch.py::
+    friedman_test): does per-user total value differ across the five
+    event types once between-user level differences are ranked away —
+    the repeated-measures question kruskal_wallis (which pools users)
+    cannot ask. Blocks = users with all 5 types present; exact
+    decimal cell sums feed within-block doubled midranks (block
+    partitions ≤ 5 rows by construction), χ²(4) at α=0.05."""
+    from pybabe_spark.operators.sketch import friedman_test
+
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .alias("v")
+        )
+    )
+    return friedman_test(
+        cells, "user_id", "event_type", "v", chi2_crit=9.487729
     )
 
 

@@ -205,3 +205,86 @@ def test_chunk_audio_validation_and_nulls(spark):
     out = chunk_audio(media, window_s=1, overlap_s=0, id_col="id",
                       bytes_per_second=100).collect()
     assert len(out) == 1 and out[0]["end_ms"] == 30
+
+
+def _make_wav(seconds: float, framerate: int = 8000) -> bytes:
+    """Real RIFF/PCM wav via the stdlib wave module: 16-bit mono ramp."""
+    import io
+    import struct
+    import wave
+
+    n = int(seconds * framerate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(
+            b"".join(struct.pack("<h", (i * 17) % 30000 - 15000)
+                     for i in range(n))
+        )
+    return buf.getvalue()
+
+
+def test_chunk_audio_real_wav_kernel(spark):
+    """A REAL 1-second PCM wav decodes through the stdlib wave kernel
+    (r11 verdict ask #7): duration from the container's frame count
+    (not byte arithmetic over the 44-byte header), chunks are
+    frame-aligned PCM slices at true sample offsets, and the output is
+    schema-identical to the fake kernel's."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.multimodal import (
+        attach_fake_media, chunk_audio,
+    )
+
+    one = _make_wav(1.0)
+    three = _make_wav(3.0)
+    df = spark.createDataFrame(
+        [(1, one), (3, three)], "id int, media binary"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("wav").alias("codec"),
+        ),
+    )
+    out = chunk_audio(df, window_s=2, overlap_s=1, id_col="id")
+    rows = {(r["id"], r["chunk_index"]): r for r in out.collect()}
+    # 1 s file -> one window [0, 1000); 3 s -> starts at 0/1000/2000 ms
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0]
+    assert sorted(k[1] for k in rows if k[0] == 3) == [0, 1, 2]
+    assert (rows[(1, 0)]["start_ms"], rows[(1, 0)]["end_ms"]) == (0, 1000)
+    assert rows[(3, 1)]["end_ms"] == 3000  # clipped to real duration
+    # chunk bytes are the true PCM samples: 8000 fr/s * 2 B, and the
+    # second window's first sample is sample index 8000 of the ramp
+    assert len(bytes(rows[(1, 0)]["chunk"])) == 16000
+    c1 = bytes(rows[(3, 1)]["chunk"])
+    assert len(c1) == 32000
+    assert c1[:2] == struct.pack("<h", (8000 * 17) % 30000 - 15000)
+    # overlap: windows [1000,3000) and [2000,3000) share the last second
+    c2 = bytes(rows[(3, 2)]["chunk"])
+    assert c1[16000:] == c2
+    # schema identical to the fake kernel's output
+    fake = chunk_audio(
+        attach_fake_media(
+            spark.createDataFrame([(9, "zz")], "id int, text string"),
+            "text",
+        ),
+        window_s=2, overlap_s=1, id_col="id",
+    )
+    assert out.schema == fake.schema
+    # a genuinely-absent codec still raises the documented seam error
+    import pytest
+
+    mp3 = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("mp3").alias("codec"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
+        chunk_audio(mp3, window_s=2, overlap_s=1, id_col="id").collect()

@@ -1,0 +1,263 @@
+"""Hand-model tests for the r12 statistics batch: tukey_hsd,
+friedman_test, herfindahl_index, partial_corr, odds_ratio,
+kendall_tau_b, lorenz_curve. Each is checked against an independent
+Python computation (textbook formulas over exact ints / numpy), plus
+its guard rails."""
+
+import math
+
+import pytest
+
+
+def test_tukey_hsd_matches_hand_model(spark):
+    from pybabe_spark.operators.sketch import tukey_hsd
+
+    data = (
+        [("a", 10.0), ("a", 12.0), ("a", 11.0)]
+        + [("b", 20.0), ("b", 22.0), ("b", 21.0)]
+        + [("c", 10.5), ("c", 11.5)]
+    )
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {
+        (r["g_1"], r["g_2"]): r
+        for r in tukey_hsd(df, "g", "v", q_crit=4.0).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # hand model on cents ints
+    import collections
+
+    vals = collections.defaultdict(list)
+    for g, v in data:
+        vals[g].append(int(round(v * 100)))
+    n = sum(len(v) for v in vals.values())
+    k = len(vals)
+    ssw_terms = {
+        g: sum(x * x for x in v) for g, v in vals.items()
+    }
+    # per-group rounded s^2/n term (6 dp) then decimal sum
+    from decimal import Decimal, ROUND_HALF_UP
+
+    t = sum(
+        Decimal(repr(sum(v) ** 2 / len(v))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+        for v in vals.values()
+    )
+    msw = (float(sum(ssw_terms.values())) - float(t)) / (n - k)
+    for (g1, g2), r in got.items():
+        n1, n2 = len(vals[g1]), len(vals[g2])
+        m1 = sum(vals[g1]) / (100.0 * n1)
+        m2 = sum(vals[g2]) / (100.0 * n2)
+        se = math.sqrt(msw / 2.0 * (1.0 / n1 + 1.0 / n2)) / 100.0
+        assert abs(r["mean_diff"] - (m1 - m2)) < 1e-6
+        assert abs(r["q_stat"] - abs(m1 - m2) / se) < 1e-5
+        assert r["significant"] == (
+            round(abs(m1 - m2) / se, 6) > 4.0
+        ), (g1, g2)
+    # a vs b separated by ~10 units: significant; a vs c is not
+    assert got[("a", "b")]["significant"] is True
+    assert got[("a", "c")]["significant"] is False
+
+    with pytest.raises(ValueError):
+        tukey_hsd(df, "g", "v", max_groups=1)
+
+
+def test_friedman_textbook_no_ties(spark):
+    """Classic 4-block 3-treatment layout with clean within-block
+    ranks (1,2,3 everywhere in the same order): χ² = 12·Σ(R−R̄)²/...
+    reduces to the maximum 2·B·(k−1)/... — compute longhand."""
+    from pybabe_spark.operators.sketch import friedman_test
+
+    # every block ranks t1 < t2 < t3 -> R = (4, 8, 12)
+    rows = []
+    for b in range(4):
+        rows += [(b, "t1", 1.0 + b), (b, "t2", 10.0 + b),
+                 (b, "t3", 20.0 + b)]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    out = friedman_test(df, "b", "t", "v", chi2_crit=5.991465).collect()[0]
+    assert (out["k"], out["n_blocks"]) == (3, 4)
+    # R_j = 4, 8, 12 ; chi2 = 12/(4*3*4) * (16+64+144) - 3*4*4 = 8.0
+    assert out["chi2"] == 8.0
+    assert out["chi2_tie_corrected"] == 8.0  # no ties
+    assert out["significant"] is True
+
+    # incomplete blocks are dropped: add a block with only 2 cells
+    extra = rows + [(9, "t1", 5.0), (9, "t2", 6.0)]
+    df2 = spark.createDataFrame(extra, "b int, t string, v double")
+    out2 = friedman_test(df2, "b", "t", "v").collect()[0]
+    assert out2["n_blocks"] == 4  # block 9 incomplete -> excluded
+
+    # duplicate (block, treatment) cell must raise, not mis-rank
+    dup = rows + [(0, "t1", 99.0)]
+    df3 = spark.createDataFrame(dup, "b int, t string, v double")
+    with pytest.raises(Exception, match="duplicate"):
+        friedman_test(df3, "b", "t", "v").collect()
+
+
+def test_friedman_all_tied_null_corrected(spark):
+    from pybabe_spark.operators.sketch import friedman_test
+
+    rows = [(b, t, 5.0) for b in range(3) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    out = friedman_test(df, "b", "t", "v").collect()[0]
+    assert out["chi2_tie_corrected"] is None  # C = 0, every block tied
+
+
+def test_herfindahl_hand_values(spark):
+    from pybabe_spark.operators.sketch import herfindahl_index
+
+    df = spark.createDataFrame(
+        [("m", "e1", 100.0)]  # monopoly group
+        + [("d", "e1", 50.0), ("d", "e2", 50.0)]  # duopoly, even
+        + [("s", "e1", 80.0), ("s", "e2", 20.0)],  # skewed
+        "g string, e string, v double",
+    )
+    got = {r["g"]: r for r in
+           herfindahl_index(df, "e", "v", by="g").collect()}
+    assert got["m"]["hhi_ppm"] == 1_000_000
+    assert got["m"]["hhi_norm_ppm"] is None  # n = 1
+    assert got["d"]["hhi_ppm"] == 500_000
+    assert got["d"]["hhi_norm_ppm"] == 0
+    # 0.8^2 + 0.2^2 = 0.68 ; normalized = (0.68 - 0.5) / 0.5 = 0.36
+    assert got["s"]["hhi_ppm"] == 680_000
+    assert got["s"]["hhi_norm_ppm"] == 360_000
+
+
+def test_partial_corr_kills_confounded_association(spark):
+    """x and y both driven by z with no direct link: raw r_xy is
+    strongly positive, partial r_xy·z collapses toward 0. Model the
+    exact values with numpy on the cent-lifted ints."""
+    import numpy as np
+
+    from pybabe_spark.operators.sketch import partial_corr
+
+    rows = []
+    for i in range(40):
+        z = float(i)
+        nx = (i * 7919) % 101  # two INDEPENDENT deterministic noises,
+        ny = (i * 104729) % 97  # cent-exact so the 2-dp lift is lossless
+        rows.append((z + nx * 0.01, 2.0 * z + ny * 0.01, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = partial_corr(df, "x", "y", "z").collect()[0]
+    xs = np.array([int(round(x * 100)) for x, _, _ in rows], dtype=float)
+    ys = np.array([int(round(y * 100)) for _, y, _ in rows], dtype=float)
+    zs = np.array([int(round(z * 100)) for _, _, z in rows], dtype=float)
+
+    def r(a, b):
+        n = len(a)
+        cov = n * (a * b).sum() - a.sum() * b.sum()
+        va = n * (a * a).sum() - a.sum() ** 2
+        vb = n * (b * b).sum() - b.sum() ** 2
+        return cov / (math.sqrt(va) * math.sqrt(vb))
+
+    rxy, rxz, ryz = r(xs, ys), r(xs, zs), r(ys, zs)
+    expect = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz**2) * (1 - ryz**2)
+    )
+    assert abs(out["r_xy"] - rxy) < 1e-5
+    assert out["r_xy"] > 0.99  # confounded raw correlation
+    assert abs(out["r_xy_given_z"] - expect) < 1e-4
+    assert abs(out["r_xy_given_z"]) < 0.9  # partialling z removes most
+
+    const = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 3.0, 5.0)], "x double, y double, z double"
+    )
+    row = partial_corr(const, "x", "y", "z").collect()[0]
+    assert row["r_xy_given_z"] is None  # zero z variance
+
+
+def test_odds_ratio_hand_2x2(spark):
+    from pybabe_spark.operators.sketch import odds_ratio
+
+    # a=30 b=10 c=20 d=40 -> OR = (30*40)/(10*20) = 6 ; RR = 0.75/(1/3)
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 10
+        + [(False, True)] * 20 + [(False, False)] * 40
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = odds_ratio(df, "e", "o").collect()[0]
+    assert (r["n_exposed_pos"], r["n_exposed_neg"]) == (30, 10)
+    assert (r["n_unexposed_pos"], r["n_unexposed_neg"]) == (20, 40)
+    assert r["odds_ratio"] == 6.0
+    assert abs(r["relative_risk"] - 2.25) < 1e-9
+    se = math.sqrt(1 / 30 + 1 / 10 + 1 / 20 + 1 / 40)
+    lo = math.exp(math.log(6.0) - 1.959964 * se)
+    hi = math.exp(math.log(6.0) + 1.959964 * se)
+    assert abs(r["or_ci_low"] - lo) < 1e-5
+    assert abs(r["or_ci_high"] - hi) < 1e-5
+    assert r["or_ci_low"] < 6.0 < r["or_ci_high"]
+
+    zero = spark.createDataFrame(
+        [(True, True), (False, False)], "e boolean, o boolean"
+    )
+    rz = odds_ratio(zero, "e", "o").collect()[0]
+    assert rz["odds_ratio"] is None  # zero cell -> undefined
+
+
+def test_kendall_tau_b_vs_quadratic_reference(spark):
+    from pybabe_spark.operators.sketch import kendall_tau_b
+
+    pts = [(i % 7, (i * 3) % 5) for i in range(30)]
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    out = kendall_tau_b(df, "x", "y").collect()[0]
+    con = dis = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                con += 1
+            elif dx * dy < 0:
+                dis += 1
+    n = len(pts)
+    tx = {}
+    ty = {}
+    for x, y in pts:
+        tx[x] = tx.get(x, 0) + 1
+        ty[y] = ty.get(y, 0) + 1
+    a = n * (n - 1) - sum(t * (t - 1) for t in tx.values())
+    b = n * (n - 1) - sum(t * (t - 1) for t in ty.values())
+    expect = 2.0 * (con - dis) / math.sqrt(float(a) * float(b))
+    assert (out["concordant"], out["discordant"]) == (con, dis)
+    assert abs(out["tau_b"] - expect) < 1e-6
+
+    # perfect monotone, no ties -> exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(10)],
+        "x double, y double",
+    )
+    assert kendall_tau_b(mono, "x", "y").collect()[0]["tau_b"] == 1.0
+    # constant margin -> NULL
+    flat = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x double, y double"
+    )
+    assert kendall_tau_b(flat, "x", "y").collect()[0]["tau_b"] is None
+    # guard trips on a domain wider than max_cells
+    wide = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(50)], "x double, y double"
+    )
+    with pytest.raises(Exception, match="max_cells"):
+        kendall_tau_b(wide, "x", "y", max_cells=10).collect()
+
+
+def test_lorenz_curve_hand_deciles(spark):
+    from pybabe_spark.operators.skew import lorenz_curve
+
+    # one key, values 1..10 in 2 buckets: bottom half = 15/55 of total
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(1, 11)], "g string, v double"
+    )
+    got = {r["bucket"]: r for r in
+           lorenz_curve(df, "g", "v", n_buckets=2).collect()}
+    assert got[1]["cum_n"] == 5 and got[2]["cum_n"] == 10
+    assert got[1]["cum_pop_share_ppm"] == 500_000
+    assert got[1]["cum_value_share_ppm"] == (15 * 1_000_000) // 55
+    assert got[2]["cum_value_share_ppm"] == 1_000_000
+
+    with pytest.raises(ValueError):
+        lorenz_curve(df, "g", "v", n_buckets=1)
+    neg = spark.createDataFrame([("k", -1.0)], "g string, v double")
+    with pytest.raises(Exception, match="negative"):
+        lorenz_curve(neg, "g", "v").collect()
