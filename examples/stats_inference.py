@@ -120,6 +120,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
           f"-> shrunk {row['shrunk_rate'] * 100:.1f}% "
           f"(prior weight {row['prior_strength']})")
 
+    # -- 6. round-12 inference: parametric post-hoc, blocks, ordinal,
+    #       confounders, 2x2 effect size, concentration ------------------
+    tk = orders.tukey_hsd("o_orderpriority", "o_totalprice", q_crit=3.858)
+    print("tukey pairs:", [(r[0], r[1], r["q_stat"], r["significant"])
+                           for r in tk.df.collect()])
+    fr = Babe.from_df(
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    ).friedman_test("user_id", "event_type", "v", chi2_crit=9.487729)
+    print("friedman across event types:", fr.df.collect()[0].asDict())
+    kt = li.kendall_tau_b("l_quantity", "l_discount", by="l_returnflag")
+    print("kendall tau-b qty vs discount:",
+          [(r["l_returnflag"], r["tau_b"]) for r in kt.df.collect()])
+    pc = li.partial_corr("l_quantity", "l_extendedprice", "l_discount")
+    print("partial corr qty~price | discount:",
+          pc.df.collect()[0].asDict())
+    orr = Babe.from_df(orders.df.select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_orderstatus") == "F").alias("finished"),
+    )).odds_ratio("urgent", "finished")
+    print("odds ratio urgent->finished:", orr.df.collect()[0].asDict())
+    hhi = orders.herfindahl_index(
+        "o_custkey", "o_totalprice", by="o_orderpriority")
+    lz = orders.lorenz_curve("o_orderpriority", "o_totalprice")
+    top = lz.df.filter(F.col("bucket") == 9).orderBy(
+        "o_orderpriority").collect()
+    print("HHI by priority:",
+          [(r["o_orderpriority"], r["hhi_ppm"]) for r in
+           hhi.df.orderBy("o_orderpriority").collect()])
+    print("lorenz: top decile's revenue share by priority:",
+          [(r["o_orderpriority"], 1_000_000 - r["cum_value_share_ppm"])
+           for r in top])
+
 
 if __name__ == "__main__":
     main(*(sys.argv[1:] or []))
