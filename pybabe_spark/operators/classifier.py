@@ -499,6 +499,106 @@ def classification_report_sql(
     """
 
 
+def mcc(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier — the
+    single balanced number precision/recall/F1 each miss (F1 ignores
+    true negatives entirely; MCC is the full-confusion-matrix
+    correlation, robust to class imbalance): ONE row
+    ``(tp, fp, fn, tn, mcc)`` with
+
+        MCC = (tp·tn − fp·fn)
+              / (√(tp+fp) · √(tp+fn) · √(tn+fp) · √(tn+fn))
+
+    Exact bigint cells from one conditional pass; the numerator is an
+    exact DECIMAL(38,0) product difference cast to double ONCE, and
+    the denominator multiplies four separate square roots instead of
+    rooting the 4-way product — (tp+fp)(tp+fn)(tn+fp)(tn+fn) ~ n⁴
+    would overflow DECIMAL(38,0) past ~10⁹ rows, while each factor
+    stays a bigint at any scale (the fixed shape the oracle mirrors
+    exactly). Rounded once to DECIMAL(18,6). NULL when any margin is
+    zero (a constant truth or prediction carries no correlation).
+    Labels/predictions are truthy-cast (nonzero/true = positive).
+
+    Scale shape: one map-side-combinable aggregation, 1-row finish.
+    """
+    y = F.col(label_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    ok = y.isNotNull() & p.isNotNull()
+    cell = lambda c: F.sum(  # noqa: E731
+        F.when(c, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    agg = df.filter(ok).agg(
+        cell(y & p).alias("tp"),
+        cell(~y & p).alias("fp"),
+        cell(y & ~p).alias("fn"),
+        cell(~y & ~p).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("tp") * F.col("tn") - d("fp") * F.col("fn")).cast("double")
+    root = lambda a, b: F.sqrt(  # noqa: E731
+        (F.col(a) + F.col(b)).cast("double")
+    )
+    den = (
+        root("tp", "fp") * root("tp", "fn")
+        * root("tn", "fp") * root("tn", "fn")
+    )
+    okm = (
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tn") + F.col("fp") > 0)
+        & (F.col("tn") + F.col("fn") > 0)
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.when(okm, _sdiv(num, den).cast("decimal(18,6)").cast("double"))
+        .alias("mcc"),
+    )
+
+
+def mcc_sql(select: str, label_col: str, pred_col: str) -> str:
+    """DuckDB oracle of :func:`mcc` — same exact cells, HUGEINT
+    numerator, the identical four-root denominator shape."""
+    num = (
+        "CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn"
+        " AS DOUBLE)"
+    )
+    den = (
+        "(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))"
+        " * sqrt(CAST(tn + fp AS DOUBLE))"
+        " * sqrt(CAST(tn + fn AS DOUBLE)))"
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+            AS tp,
+          CAST(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT)
+            AS fp,
+          CAST(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+            AS fn,
+          CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+        FROM (SELECT CAST({label_col} AS BOOLEAN) AS y,
+                     CAST({pred_col} AS BOOLEAN) AS p
+              FROM rows_in) t
+        WHERE y IS NOT NULL AND p IS NOT NULL
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0 THEN
+             CAST(CAST({num} / {den} AS DECIMAL(18,6)) AS DOUBLE)
+           END AS mcc
+    FROM cells
+    """
+
+
 def brier_score(
     df: DataFrame,
     score_col: str,

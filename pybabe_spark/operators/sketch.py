@@ -5311,6 +5311,71 @@ def herfindahl_index_sql(
     """
 
 
+def _block_grid(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_expr,
+    op_name: str,
+) -> DataFrame:
+    """Shared randomized-block plumbing of :func:`friedman_test`,
+    :func:`page_trend_test` and :func:`cochran_q`: observations at
+    ``(block, treatment, value_expr)``, the duplicate-(block,
+    treatment) in-plan guard, and the complete-blocks filter (all k
+    observed treatments present). Block partitions are ≤ k rows BY
+    CONSTRUCTION — the duplicate guard doubles as the skew proof."""
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = F.col(block_col).isNotNull() & F.col(treatment_col).isNotNull()
+    obs = df.filter(ok).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        value_expr.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    dup_msg = (
+        f"{op_name}: duplicate (block, treatment) observation — "
+        "the design needs exactly one value per cell; aggregate first"
+    )
+    w_cell = Window.partitionBy("__b", "__t")
+    obs = obs.withColumn(
+        "__dc", F.count(F.lit(1)).over(w_cell)
+    ).filter(
+        F.when(
+            F.col("__dc") > 1,
+            F.raise_error(F.lit(dup_msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__dc")
+    kt = obs.agg(F.count_distinct("__t").alias("__k"))
+    wb = Window.partitionBy("__b")
+    return attach_scalars(
+        obs.withColumn("__bn", F.count(F.lit(1)).over(wb)), kt
+    ).filter(F.col("__bn") == F.col("__k"))
+
+
+def _block_midranks(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    op_name: str,
+) -> DataFrame:
+    """:func:`_block_grid` plus within-block doubled midranks
+    ``__r2 = 2·cnt_< + cnt_= + 1`` (integers under ties) on the
+    cents-lifted value — the rank grain :func:`friedman_test` and
+    :func:`page_trend_test` aggregate."""
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    complete = _block_grid(df, block_col, treatment_col, x, op_name)
+    wv = Window.partitionBy("__b").orderBy(F.col("__v").asc())
+    cnt_lt = F.coalesce(
+        F.count(F.lit(1)).over(
+            wv.rangeBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cnt_eq = F.count(F.lit(1)).over(wv.rangeBetween(0, 0))
+    return complete.withColumn("__r2", 2 * cnt_lt + cnt_eq + 1)
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -5356,44 +5421,9 @@ def friedman_test(
     """
     from pybabe_spark.operators._util import attach_scalars
 
-    ok = (
-        F.col(block_col).isNotNull()
-        & F.col(treatment_col).isNotNull()
-        & F.col(value_col).isNotNull()
+    ranked = _block_midranks(
+        df, block_col, treatment_col, value_col, "friedman_test"
     )
-    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
-    obs = df.filter(ok).select(
-        F.col(block_col).alias("__b"),
-        F.col(treatment_col).alias("__t"),
-        x.alias("__v"),
-    )
-    dup_msg = (
-        "friedman_test: duplicate (block, treatment) observation — "
-        "the design needs exactly one value per cell; aggregate first"
-    )
-    w_cell = Window.partitionBy("__b", "__t")
-    obs = obs.withColumn(
-        "__dc", F.count(F.lit(1)).over(w_cell)
-    ).filter(
-        F.when(
-            F.col("__dc") > 1,
-            F.raise_error(F.lit(dup_msg)).cast("boolean"),
-        ).otherwise(F.lit(True))
-    ).drop("__dc")
-    kt = obs.agg(F.count_distinct("__t").alias("__k"))
-    wb = Window.partitionBy("__b")
-    complete = attach_scalars(
-        obs.withColumn("__bn", F.count(F.lit(1)).over(wb)), kt
-    ).filter(F.col("__bn") == F.col("__k"))
-    wv = Window.partitionBy("__b").orderBy(F.col("__v").asc())
-    cnt_lt = F.coalesce(
-        F.count(F.lit(1)).over(
-            wv.rangeBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    cnt_eq = F.count(F.lit(1)).over(wv.rangeBetween(0, 0))
-    ranked = complete.withColumn("__r2", 2 * cnt_lt + cnt_eq + 1)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_t = ranked.groupBy("__t").agg(
         F.count(F.lit(1)).alias("__bt"),
@@ -5531,6 +5561,328 @@ def friedman_test_sql(
            END AS chi2_tie_corrected
            {sig}
     FROM tagg CROSS JOIN ties
+    """
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scores: "dict",
+    z_crit: float | None = 1.644854,
+) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative refinement of
+    :func:`friedman_test` (exactly as :func:`trend_test` refines chi²
+    for ordered groups): with treatments pre-ordered by the caller's
+    ``scores`` map (treatment → rank weight, a permutation of 1..k),
+
+        L = Σ_j w_j · R_j,   z = (L − B·k·(k+1)²/4)
+                                  / sqrt(B·(k³−k)² / (144·(k−1)))
+
+    ONE output row ``(k, n_blocks, l_stat, z, significant?)``.
+    One-sided: ``significant`` prices an INCREASING trend along the
+    weights (reverse the weights for the decreasing question).
+
+    Rides :func:`_block_midranks` verbatim — the same duplicate-cell
+    guard, complete-blocks filter, and exact within-block doubled
+    midranks as Friedman, so the omnibus test and its ordered
+    refinement cannot drift apart. L2 = Σ w_j·R2_j is an exact
+    DECIMAL(38,0) (L = L2/2, halves at worst under ties); μ and σ use
+    the classical untied variance (the standard Page formulation —
+    midranks keep L exact, ties only make the z slightly
+    conservative, which the docstring states rather than hides).
+    Rows whose treatment is not in ``scores`` are excluded BEFORE the
+    complete-block filter. z is NULL when k < 2 or B = 0.
+
+    Scale shape: Friedman's (one hash agg to the cell grain, ≤k-row
+    block windows, a k-row treatment agg, 1-row finish).
+    """
+    if not scores:
+        raise ValueError("page_trend_test: scores must be non-empty")
+    k_expected = len(scores)
+    if sorted(int(v) for v in scores.values()) != list(
+        range(1, k_expected + 1)
+    ):
+        raise ValueError(
+            "page_trend_test: scores must be a permutation of 1..k "
+            f"(got {sorted(scores.values())})"
+        )
+    scored = df.filter(F.col(treatment_col).isin(list(scores)))
+    ranked = _block_midranks(
+        scored, block_col, treatment_col, value_col, "page_trend_test"
+    )
+    w = F.lit(None).cast("long")
+    for val, sc in scores.items():
+        w = F.when(F.col("__t") == val, F.lit(int(sc))).otherwise(w)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__bt"),
+        F.sum(d(F.col("__r2"))).cast("decimal(38,0)").alias("__rs2"),
+    ).withColumn("__w", w)
+    one = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.max("__bt"), F.lit(0)).cast("bigint").alias(
+            "n_blocks"
+        ),
+        F.coalesce(
+            F.sum(d(F.col("__w")) * F.col("__rs2")), F.lit(0)
+        ).cast("decimal(38,0)").alias("__l2"),
+    )
+    kd = F.col("k").cast("double")
+    bd = F.col("n_blocks").cast("double")
+    ld = F.col("__l2").cast("double") / 2.0
+    mu = bd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    kcube = kd * kd * kd - kd
+    sigma = F.sqrt(
+        _sdiv(bd * kcube * kcube, 144.0 * (kd - 1.0))
+    )
+    z6 = _sdiv(ld - mu, sigma).cast("decimal(18,6)")
+    okb = (F.col("k") >= 2) & (F.col("n_blocks") > 0)
+    cols = [
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks"),
+        F.when(okb, ld.cast("decimal(18,6)").cast("double")).alias(
+            "l_stat"
+        ),
+        F.when(okb, z6.cast("double")).alias("z"),
+    ]
+    if z_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(okb, z6.cast("double") > float(z_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return one.select(*cols)
+
+
+def page_trend_test_sql(
+    select: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scores: "dict",
+    z_crit: float | None = 1.644854,
+) -> str:
+    """DuckDB oracle of :func:`page_trend_test` — same cents lift,
+    complete-block filter, ``2·RANK + COUNT(peers) − 1`` midranks,
+    CASE-literal weights, identical fixed-shape finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    in_list = ", ".join(
+        "'" + str(s).replace("'", "''") + "'"
+        if isinstance(s, str) else str(s)
+        for s in scores
+    )
+    wcase = "CASE " + " ".join(
+        "WHEN t = "
+        + ("'" + str(v).replace("'", "''") + "'"
+           if isinstance(v, str) else str(v))
+        + f" THEN {int(sc)}"
+        for v, sc in scores.items()
+    ) + " END"
+    ld = "(CAST(l2 AS DOUBLE) / 2.0)"
+    kd, bd = "CAST(k AS DOUBLE)", "CAST(b AS DOUBLE)"
+    mu = f"({bd} * {kd} * ({kd} + 1.0) * ({kd} + 1.0) / 4.0)"
+    kcube = f"({kd} * {kd} * {kd} - {kd})"
+    sigma = f"sqrt({bd} * {kcube} * {kcube} / (144.0 * ({kd} - 1.0)))"
+    z6 = f"CAST(({ld} - {mu}) / {sigma} AS DECIMAL(18,6))"
+    okb = "k >= 2 AND b > 0"
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okb} THEN
+             CAST({z6} AS DOUBLE) > {float(z_crit)} END, FALSE)
+             AS significant"""
+        if z_crit is not None
+        else ""
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    obs AS (
+        SELECT {block_col} AS b, {treatment_col} AS t, {x} AS v
+        FROM rows_in
+        WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+          AND {treatment_col} IN ({in_list})
+    ),
+    kt AS (SELECT COUNT(DISTINCT t) AS k FROM obs),
+    complete AS (
+        SELECT obs.* FROM obs
+        JOIN (SELECT b FROM obs GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kt)) cb USING (b)
+    ),
+    ranked AS (
+        SELECT b, t,
+               2 * RANK() OVER (PARTITION BY b ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2
+        FROM complete
+    ),
+    per_t AS (
+        SELECT t, COUNT(*) AS bt, SUM(CAST(r2 AS HUGEINT)) AS rs2
+        FROM ranked GROUP BY t
+    ),
+    agg AS (
+        SELECT COUNT(*) AS k,
+               CAST(COALESCE(MAX(bt), 0) AS BIGINT) AS b,
+               COALESCE(SUM(({wcase}) * rs2), 0) AS l2
+        FROM per_t
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           b AS n_blocks,
+           CASE WHEN {okb} THEN
+             CAST(CAST({ld} AS DECIMAL(18,6)) AS DOUBLE) END AS l_stat,
+           CASE WHEN {okb} THEN
+             CAST({z6} AS DOUBLE) END AS z
+           {sig}
+    FROM agg
+    """
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Cochran's Q — :func:`mcnemar`'s k-treatment generalization:
+    do k binary treatments (did the user convert under each variant,
+    did each model get the example right) succeed at the same rate
+    across matched blocks? ONE output row ``(k, n_blocks, q,
+    significant?)`` with
+
+        Q = (k−1) · (k·ΣC_j² − T²) / (k·T − ΣR_i²)
+
+    over column successes C_j, block successes R_i, T = ΣC_j — Q is
+    asymptotically χ²(k−1); supply ``chi2_crit`` for the verdict,
+    compared on the rounded value (the house convention).
+
+    Exact arithmetic: every term is an exact DECIMAL(38,0) integer
+    from two hash aggs over the :func:`_block_grid` plumbing (the
+    same duplicate-cell guard and complete-blocks filter as Friedman
+    — the designs are the same, only the outcome type differs); the
+    single division is one fixed-shape IEEE expression rounded once
+    to DECIMAL(18,6). Q is NULL when k < 2, B = 0, or the denominator
+    is zero (every block all-success or all-failure — no information).
+    ``success_col`` is truthy-cast (nonzero/true = success).
+
+    Scale shape: one cell-grain pass, a treatment-grain agg and a
+    block-grain agg (both map-combinable), 1-row finish.
+    """
+    s = (F.col(success_col).cast("boolean")).cast("long")
+    grid = _block_grid(df, block_col, treatment_col, s, "cochran_q")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = grid.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__bt"),
+        F.sum("__v").alias("__c"),
+    )
+    tagg = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.max("__bt"), F.lit(0)).cast("bigint").alias(
+            "n_blocks"
+        ),
+        F.coalesce(F.sum(d(F.col("__c"))), F.lit(0))
+        .cast("decimal(38,0)").alias("__tt"),
+        F.coalesce(F.sum(d(F.col("__c")) * F.col("__c")), F.lit(0))
+        .cast("decimal(38,0)").alias("__c2"),
+    )
+    ragg = (
+        grid.groupBy("__b")
+        .agg(F.sum("__v").alias("__r"))
+        .agg(
+            F.coalesce(F.sum(d(F.col("__r")) * F.col("__r")), F.lit(0))
+            .cast("decimal(38,0)").alias("__r2"),
+        )
+    )
+    from pybabe_spark.operators._util import attach_scalars
+
+    one = attach_scalars(tagg, ragg)
+    kd = F.col("k").cast("double")
+    num = (kd - 1.0) * (
+        kd * F.col("__c2").cast("double")
+        - F.col("__tt").cast("double") * F.col("__tt").cast("double")
+    )
+    den = kd * F.col("__tt").cast("double") - F.col("__r2").cast("double")
+    q6 = _sdiv(num, den).cast("decimal(18,6)")
+    okb = (F.col("k") >= 2) & (F.col("n_blocks") > 0) & (den > 0.0)
+    cols = [
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_blocks"),
+        F.when(okb, q6.cast("double")).alias("q"),
+    ]
+    if chi2_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(okb, q6.cast("double") > float(chi2_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return one.select(*cols)
+
+
+def cochran_q_sql(
+    select: str,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`cochran_q` — same complete-block
+    plumbing, HUGEINT C/R moments, identical fixed-shape Q."""
+    kd = "CAST(k AS DOUBLE)"
+    num = (
+        f"(({kd} - 1.0) * ({kd} * CAST(c2 AS DOUBLE)"
+        " - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)))"
+    )
+    den = f"({kd} * CAST(tt AS DOUBLE) - CAST(r2 AS DOUBLE))"
+    okb = f"k >= 2 AND b > 0 AND {den} > 0.0"
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okb} THEN
+             CAST(CAST({num} / {den} AS DECIMAL(18,6)) AS DOUBLE)
+               > {float(chi2_crit)} END, FALSE) AS significant"""
+        if chi2_crit is not None
+        else ""
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    obs AS (
+        SELECT {block_col} AS b, {treatment_col} AS t,
+               CAST(CAST({success_col} AS BOOLEAN) AS BIGINT) AS v
+        FROM rows_in
+        WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+          AND {success_col} IS NOT NULL
+    ),
+    kt AS (SELECT COUNT(DISTINCT t) AS k FROM obs),
+    complete AS (
+        SELECT obs.* FROM obs
+        JOIN (SELECT b FROM obs GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kt)) cb USING (b)
+    ),
+    per_t AS (
+        SELECT t, COUNT(*) AS bt, SUM(CAST(v AS HUGEINT)) AS c
+        FROM complete GROUP BY t
+    ),
+    tagg AS (
+        SELECT COUNT(*) AS k,
+               CAST(COALESCE(MAX(bt), 0) AS BIGINT) AS b,
+               COALESCE(SUM(c), 0) AS tt,
+               COALESCE(SUM(c * c), 0) AS c2
+        FROM per_t
+    ),
+    ragg AS (
+        SELECT COALESCE(SUM(r * r), 0) AS r2 FROM (
+            SELECT CAST(SUM(v) AS HUGEINT) AS r
+            FROM complete GROUP BY b
+        )
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           b AS n_blocks,
+           CASE WHEN {okb} THEN
+             CAST(CAST({num} / {den} AS DECIMAL(18,6)) AS DOUBLE)
+           END AS q
+           {sig}
+    FROM tagg CROSS JOIN ragg
     """
 
 

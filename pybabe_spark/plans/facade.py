@@ -682,6 +682,29 @@ class Babe:
                           **kwargs)
         )
 
+    def page_trend_test(self, block_col, treatment_col, value_col,
+                        scores, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import page_trend_test
+
+        return self._wrap(
+            page_trend_test(self.df, block_col, treatment_col,
+                            value_col, scores, **kwargs)
+        )
+
+    def cochran_q(self, block_col, treatment_col, success_col,
+                  **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import cochran_q
+
+        return self._wrap(
+            cochran_q(self.df, block_col, treatment_col, success_col,
+                      **kwargs)
+        )
+
+    def mcc(self, label_col, pred_col) -> "Babe":
+        from pybabe_spark.operators.classifier import mcc
+
+        return self._wrap(mcc(self.df, label_col, pred_col))
+
     def herfindahl_index(self, entity_col, value_col, by=None) -> "Babe":
         from pybabe_spark.operators.sketch import herfindahl_index
 

@@ -4927,6 +4927,95 @@ def q_friedman(spark, sf_dir):
     )
 
 
+#: funnel-position weights for Page's ordered-trend question over the
+#: five event types (view first, error last) — integer literals shared
+#: with the oracle, the _TREND_SCORES idiom
+_PAGE_SCORES = {
+    "view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5,
+}
+
+
+def _page_trend_sql() -> str:
+    from pybabe_spark.operators.sketch import page_trend_test_sql
+
+    return page_trend_test_sql(
+        """SELECT user_id, event_type,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events
+           WHERE value IS NOT NULL
+           GROUP BY user_id, event_type""",
+        "user_id", "event_type", "v", _PAGE_SCORES,
+    )
+
+
+@register("page_trend_events", _page_trend_sql())
+def q_page_trend(spark, sf_dir):
+    """Page's L ordered-trend test (operators/sketch.py::
+    page_trend_test): does per-user total value INCREASE along the
+    funnel ordering of event types — the ordered refinement
+    friedman_events (which only asks "any difference") cannot price,
+    exactly as trend_test_orders refines chi2. Shares Friedman's
+    _block_midranks verbatim; L from exact decimal doubled-rank sums,
+    one-sided z at alpha=0.05."""
+    from pybabe_spark.operators.sketch import page_trend_test
+
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    return page_trend_test(
+        cells, "user_id", "event_type", "v", _PAGE_SCORES
+    )
+
+
+def _cochran_q_sql() -> str:
+    from pybabe_spark.operators.sketch import cochran_q_sql
+
+    return cochran_q_sql(
+        """SELECT u.user_id, t.event_type,
+                  COALESCE(c.cnt, 0) >= 2 AS hit
+           FROM (SELECT DISTINCT user_id FROM events) u
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+           LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS cnt
+                      FROM events GROUP BY user_id, event_type) c
+             ON u.user_id = c.user_id AND t.event_type = c.event_type""",
+        "user_id", "event_type", "hit", chi2_crit=9.487729,
+    )
+
+
+@register("cochran_q_events", _cochran_q_sql())
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q (operators/sketch.py::cochran_q) over the full
+    user × event-type grid: do the five event types differ in their
+    "user did it at least twice" rates across matched users —
+    mcnemar's k-treatment generalization, χ²(4) at alpha=0.05. The
+    grid is users × 5 via a broadcast cross join on the tiny distinct
+    type list, so every block is complete by construction; exact
+    integer C/R moments, one fixed-shape division."""
+    from pybabe_spark.operators.sketch import cochran_q
+
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            (F.coalesce(F.col("cnt"), F.lit(0)) >= 2).alias("hit"),
+        )
+    )
+    return cochran_q(
+        grid, "user_id", "event_type", "hit", chi2_crit=9.487729
+    )
+
+
 def _eb_shrink_sql() -> str:
     from pybabe_spark.operators.sketch import eb_shrink_rates_sql
 

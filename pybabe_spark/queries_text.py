@@ -1652,6 +1652,38 @@ def q_roc_auc(spark, sf_dir):
     return roc_auc(frame, "score", "label")
 
 
+def _mcc_sql():
+    from pybabe_spark.operators.classifier import mcc_sql
+
+    return mcc_sql(
+        """SELECT list_contains(string_split(text, ' '), 'spark')
+                  AS label,
+                  len(string_split(text, ' ')) >= 100 AS pred
+           FROM documents""",
+        "label", "pred",
+    )
+
+
+@register("mcc_docs", _mcc_sql())
+def q_mcc(spark, sf_dir):
+    """Matthews correlation for the length-predicts-'spark' classifier
+    (operators/classifier.py::mcc) on the brier/roc frame at the 0.5
+    threshold — the balanced single number classification_report's
+    per-class ppm view and roc_auc's threshold-free view both leave
+    out. Exact cells, four-root fixed-shape denominator (n⁴-overflow
+    safe), one pass."""
+    from pybabe_spark.operators.classifier import mcc
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "array_contains(split(text, ' '), 'spark')"
+        ).alias("label"),
+        F.expr("size(split(text, ' ')) >= 100").alias("pred"),
+    )
+    return mcc(frame, "label", "pred")
+
+
 def _gains_sql():
     from pybabe_spark.operators.classifier import gains_table_sql
 

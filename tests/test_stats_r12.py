@@ -261,3 +261,97 @@ def test_lorenz_curve_hand_deciles(spark):
     neg = spark.createDataFrame([("k", -1.0)], "g string, v double")
     with pytest.raises(Exception, match="negative"):
         lorenz_curve(neg, "g", "v").collect()
+
+
+def test_page_trend_perfect_increase(spark):
+    """Every block ranks t1<t2<t3 in weight order: R_j = B·j, so
+    L = B·Σj·j = 14B, mu = 12B, sigma = sqrt(2B) -> z = 2B/sqrt(2B)."""
+    from pybabe_spark.operators.sketch import page_trend_test
+
+    rows = []
+    for b in range(4):
+        rows += [(b, "t1", 1.0 + b), (b, "t2", 10.0 + b),
+                 (b, "t3", 20.0 + b)]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    scores = {"t1": 1, "t2": 2, "t3": 3}
+    out = page_trend_test(df, "b", "t", "v", scores).collect()[0]
+    assert (out["k"], out["n_blocks"]) == (3, 4)
+    assert out["l_stat"] == 56.0  # 14 * 4
+    expect_z = (56.0 - 48.0) / math.sqrt(8.0)
+    assert abs(out["z"] - expect_z) < 1e-6
+    assert out["significant"] is True
+
+    # reversed ordering flips the sign and the one-sided verdict
+    rev = page_trend_test(
+        df, "b", "t", "v", {"t1": 3, "t2": 2, "t3": 1}
+    ).collect()[0]
+    assert abs(rev["z"] + expect_z) < 1e-6
+    assert rev["significant"] is False
+
+    # unscored treatments are excluded BEFORE the complete filter
+    extra = rows + [(b, "t9", 99.0) for b in range(4)]
+    df2 = spark.createDataFrame(extra, "b int, t string, v double")
+    out2 = page_trend_test(df2, "b", "t", "v", scores).collect()[0]
+    assert (out2["k"], out2["n_blocks"]) == (3, 4)
+    assert out2["l_stat"] == 56.0
+
+    with pytest.raises(ValueError, match="permutation"):
+        page_trend_test(df, "b", "t", "v", {"t1": 1, "t2": 2, "t3": 4})
+    with pytest.raises(ValueError, match="non-empty"):
+        page_trend_test(df, "b", "t", "v", {})
+
+
+def test_cochran_q_hand_matrix(spark):
+    """4 blocks x 3 treatments 0/1 matrix: C=(4,2,1) T=7 SumC2=21
+    R=(2,1,3,1) SumR2=15 -> Q = 2*(3*21-49)/(3*7-15) = 14/3."""
+    from pybabe_spark.operators.sketch import cochran_q
+
+    mat = [(0, 1, 1, 0), (1, 1, 0, 0), (2, 1, 1, 1), (3, 1, 0, 0)]
+    rows = []
+    for b, *vals in mat:
+        for j, v in enumerate(vals):
+            rows.append((b, f"t{j}", v))
+    df = spark.createDataFrame(rows, "b int, t string, s int")
+    out = cochran_q(df, "b", "t", "s", chi2_crit=5.991465).collect()[0]
+    assert (out["k"], out["n_blocks"]) == (3, 4)
+    assert abs(out["q"] - round(2 * 14 / 6, 6)) < 1e-9
+    assert out["significant"] is False
+
+    # all-uniform blocks (every R_i = 0 or k) carry no information
+    flat = spark.createDataFrame(
+        [(b, t, 1) for b in range(3) for t in ("x", "y")],
+        "b int, t string, s int",
+    )
+    assert cochran_q(flat, "b", "t", "s").collect()[0]["q"] is None
+    # duplicate cell raises
+    dup = rows + [(0, "t0", 0)]
+    with pytest.raises(Exception, match="duplicate"):
+        cochran_q(
+            spark.createDataFrame(dup, "b int, t string, s int"),
+            "b", "t", "s",
+        ).collect()
+
+
+def test_mcc_hand_confusion(spark):
+    from pybabe_spark.operators.classifier import mcc
+
+    rows = (
+        [(True, True)] * 4 + [(False, True)] * 1
+        + [(True, False)] * 2 + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "y boolean, p boolean")
+    out = mcc(df, "y", "p").collect()[0]
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (4, 1, 2, 3)
+    expect = 10.0 / (
+        math.sqrt(5.0) * math.sqrt(6.0) * math.sqrt(4.0) * math.sqrt(5.0)
+    )
+    assert abs(out["mcc"] - expect) < 1e-6
+
+    perfect = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "y boolean, p boolean"
+    )
+    assert mcc(perfect, "y", "p").collect()[0]["mcc"] == 1.0
+    constant = spark.createDataFrame(
+        [(True, True), (False, True)], "y boolean, p boolean"
+    )
+    assert mcc(constant, "y", "p").collect()[0]["mcc"] is None
