@@ -1230,3 +1230,243 @@ def adamic_adar_sql(
     ORDER BY aa DESC, x, y
     LIMIT {int(top_n)}
     """
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int = 256,
+    top_n: int = 100,
+) -> DataFrame:
+    """Jaccard link prediction over an undirected graph — the
+    ``top_n`` NON-edges ranked by ``J(x,y) = |N(x)∩N(y)| /
+    |N(x)∪N(y)|``: :func:`adamic_adar`'s unweighted sibling (AA
+    discounts promiscuous shared neighbors; Jaccard normalizes by how
+    social the PAIR is — a score of 1 means the two nodes' circles
+    coincide). Output ``(id_a, id_b, common_neighbors, jaccard_ppm)``
+    ranked by the exact integral ppm score with the (id_a, id_b)
+    tiebreak.
+
+    Contract (mirrored verbatim by the oracle): wedge CENTERS with
+    degree > ``max_degree`` are excluded, exactly the
+    :func:`adamic_adar` capped-candidate rule — at a hub the wedge
+    fan-out is d² while its evidential weight is weakest. The
+    intersection count is therefore over capped centers; the union
+    denominator uses the FULL degrees: ``jaccard_ppm = cn·10⁶ div
+    (deg x + deg y − cn)`` — one exact integer division, no IEEE
+    anywhere, so the ranking is engine-identical by construction.
+
+    Scale shape: one degree agg, wedges generated only at capped
+    centers (Σ_{deg≤cap} deg² ≤ cap·m), one pair hash agg, degree
+    lookups via two joins on the tiny degree table, an anti-join
+    against the edge set, TakeOrderedAndProject for top_n.
+    """
+    if max_degree < 2:
+        raise ValueError("jaccard_link_prediction: max_degree must be >= 2")
+    if top_n < 1:
+        raise ValueError("jaccard_link_prediction: top_n must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()  # feeds degrees, wedges, and the anti-join probe
+    )
+    sym = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("__d"))
+    centers = sym.join(
+        deg.filter(F.col("__d") <= max_degree).select("z"), "z"
+    )
+    a, b = centers.alias("a"), centers.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    dx = deg.select(F.col("z").alias("x"), F.col("__d").alias("__dx"))
+    dy = deg.select(F.col("z").alias("y"), F.col("__d").alias("__dy"))
+    non_edges = (
+        pairs.join(
+            e,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+        .join(dx, "x")
+        .join(dy, "y")
+    )
+    return (
+        non_edges.select(
+            F.col("x").alias("id_a"),
+            F.col("y").alias("id_b"),
+            "common_neighbors",
+            F.expr(
+                "CAST((common_neighbors * 1000000)"
+                " div (__dx + __dy - common_neighbors) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.col("jaccard_ppm").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+def jaccard_link_prediction_sql(
+    edges_cte: str, max_degree: int = 256, top_n: int = 100
+) -> str:
+    """DuckDB oracle of :func:`jaccard_link_prediction` — same
+    canonical edges, capped centers, full-degree union, exact floored
+    integral ppm ranking."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM raw
+        WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b
+    ),
+    sym AS (
+        SELECT u AS z, v AS n FROM e
+        UNION ALL SELECT v AS z, u AS n FROM e
+    ),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY z),
+    centers AS (
+        SELECT sym.z, sym.n FROM sym
+        JOIN deg USING (z) WHERE deg.d <= {int(max_degree)}
+    ),
+    pairs AS (
+        SELECT a.n AS x, b.n AS y, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM centers a JOIN centers b ON a.z = b.z AND a.n < b.n
+        GROUP BY a.n, b.n
+    )
+    SELECT x AS id_a, y AS id_b, cn AS common_neighbors,
+           CAST((cn * 1000000) // (dx.d + dy.d - cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs p
+    JOIN deg dx ON dx.z = p.x
+    JOIN deg dy ON dy.z = p.y
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.x AND e.v = p.y)
+    ORDER BY jaccard_ppm DESC, x, y
+    LIMIT {int(top_n)}
+    """
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity coefficient — ONE row ``(n_edges, r)``:
+    the Pearson correlation of the degrees at the two ends of every
+    edge (Newman's r). Positive = hubs link to hubs (social
+    networks), negative = hubs link to leaves (infrastructure / star
+    topologies) — the single number that says which regime a graph's
+    skew lives in, and therefore which join/salting strategy its
+    traversals need.
+
+    Computed over the SYMMETRIZED edge list (each undirected edge
+    contributes both (du, dv) and (dv, du) — the standard convention,
+    which makes the two marginals identical): degree moments
+    ``Σd₁, Σd₁², Σd₁d₂`` are exact DECIMAL(38,0) sums, and
+
+        r = (M·Σd₁d₂ − (Σd₁)²) / (M·Σd₁² − (Σd₁)²)
+
+    (M = 2·|E|) is ONE fixed-shape IEEE expression rounded once to
+    DECIMAL(18,6). NULL when the degree variance is zero (a regular
+    graph has no assortativity to measure). Self-loops and duplicate
+    edges are dropped.
+
+    Scale shape: one degree agg + two joins of the edge list against
+    the tiny degree table + one map-combinable moment agg. No
+    windows, no quadratic object anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()  # feeds the degree agg and both end joins
+    )
+    sym = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("__d"))
+    du = deg.select(F.col("z").alias("z"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("z").alias("n"), F.col("__d").alias("__dv"))
+    ends = sym.join(du, "z").join(dv, "n")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+        F.coalesce(F.sum(d(F.col("__du"))), F.lit(0))
+        .cast("decimal(38,0)").alias("__s1"),
+        F.coalesce(F.sum(d(F.col("__du")) * F.col("__du")), F.lit(0))
+        .cast("decimal(38,0)").alias("__s2"),
+        F.coalesce(F.sum(d(F.col("__du")) * F.col("__dv")), F.lit(0))
+        .cast("decimal(38,0)").alias("__sp"),
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    num = (
+        d(F.col("__m")) * F.col("__sp") - F.col("__s1") * F.col("__s1")
+    ).cast("double")
+    den = (
+        d(F.col("__m")) * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    ).cast("double")
+    return agg.select(
+        (F.col("__m") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            den > 0.0,
+            _sdiv(num, den).cast("decimal(18,6)").cast("double"),
+        ).alias("r"),
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """DuckDB oracle of :func:`assortativity` — same symmetrized
+    ends, HUGEINT moments, identical fixed-shape finish."""
+    return f"""
+    WITH raw AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM raw
+        WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b
+    ),
+    sym AS (
+        SELECT u AS z, v AS n FROM e
+        UNION ALL SELECT v AS z, u AS n FROM e
+    ),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY z),
+    ends AS (
+        SELECT du.d AS d1, dv.d AS d2
+        FROM sym JOIN deg du ON du.z = sym.z
+        JOIN deg dv ON dv.z = sym.n
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               COALESCE(SUM(CAST(d1 AS HUGEINT)), 0) AS s1,
+               COALESCE(SUM(CAST(d1 AS HUGEINT) * d1), 0) AS s2,
+               COALESCE(SUM(CAST(d1 AS HUGEINT) * d2), 0) AS sp
+        FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(CAST(m AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                     > 0.0 THEN
+             CAST(CAST(
+               CAST(CAST(m AS HUGEINT) * sp - s1 * s1 AS DOUBLE)
+               / CAST(CAST(m AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) END AS r
+    FROM m
+    """

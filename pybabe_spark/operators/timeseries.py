@@ -3896,3 +3896,137 @@ def seasonal_decompose_mult_sql(
     FROM tr
     LEFT JOIN seas ON tr.k = seas.k AND tr.t % {p} = seas.slot
     """
+
+
+def bollinger_bands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    k: float = 2.0,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Bollinger bands per key over the bucketed series — one row per
+    (key, bucket): ``(key, t, value, mean, upper, lower)`` where mean
+    is the trailing ``window``-bucket rolling mean and the bands sit
+    ``k`` population standard deviations either side — the classic
+    "is this value stretched relative to its own recent volatility"
+    envelope (ewma/mad flag LEVEL anomalies; Bollinger prices
+    VOLATILITY-relative stretch).
+
+    Determinism, layer by layer: the series is the per-bucket SUM in
+    exact bigint CENTS (order-independent — a bucket MEAN would add a
+    second division); buckets are unique per key so the RANGE window
+    frame ``[t−window+1, t]`` on the bucket INDEX is unambiguous
+    under any shuffle (a ROWS frame over raw events would be
+    tie-order-dependent). Rolling Σx (bigint-range) and Σx²
+    (DECIMAL(38,0) per-term — a cents square passes int64 at ~10¹⁰
+    cents per bucket) are exact; mean = ``Σx / (100·n)``, one IEEE
+    division of the exact sum, sd = ``sqrt(n·Σx² − (Σx)²) / (100·n)``
+    with the variance numerator exact before its single double cast,
+    and each band is one fixed-shape expression rounded once to
+    DECIMAL(18,6). Bands are NULL until the window is FULL (n =
+    window buckets PRESENT in the range — gaps reset the guard, not
+    the math) — partial-window bands are the classic chart-library
+    bug this contract excludes.
+
+    Scale shape: one corpus bucket agg (map-combinable), one
+    key-partitioned range window over the bucket grain (≤ one row per
+    key-hour — bounded, never event-volume), zero joins.
+    """
+    if window < 2:
+        raise ValueError(f"bollinger_bands: window {window} must be >= 2")
+    if bucket_seconds <= 0:
+        raise ValueError("bollinger_bands: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    w = int(window)
+    kf = float(k)
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    wf = (
+        Window.partitionBy("k").orderBy("t").rangeBetween(-(w - 1), 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = F.count(F.lit(1)).over(wf)
+    s = F.sum(dec(F.col("__v"))).over(wf)
+    q = F.sum(dec(F.col("__v")) * F.col("__v")).over(wf)
+    nd = n.cast("double")
+    mean = s.cast("double") / (100.0 * nd)
+    var_num = (dec(n) * q - s * s).cast("double")
+    sd = F.sqrt(var_num) / (100.0 * nd)
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    full = n == w
+    return b.select(
+        F.col("k").alias(key_col),
+        F.col("t").cast("bigint").alias("t"),
+        (F.col("__v").cast("double") / 100.0).alias("value"),
+        F.when(full, out(mean)).alias("mean"),
+        F.when(full, out(mean + kf * sd)).alias("upper"),
+        F.when(full, out(mean - kf * sd)).alias("lower"),
+    )
+
+
+def bollinger_bands_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    k: float = 2.0,
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle of :func:`bollinger_bands` — same exact bucket
+    sums, RANGE frame on the bucket index, exact variance numerator,
+    fixed-shape bands."""
+    bus = int(bucket_seconds) * 1_000_000
+    w = int(window)
+    kf = float(k)
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(s AS DOUBLE) / (100.0 * {nd}))"
+    var_num = "CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)"
+    sd = f"(sqrt({var_num}) / (100.0 * {nd}))"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY k, t
+    ),
+    roll AS (
+        SELECT k, t, v,
+               COUNT(*) OVER wf AS n,
+               SUM(CAST(v AS HUGEINT)) OVER wf AS s,
+               SUM(CAST(v AS HUGEINT) * v) OVER wf AS q
+        FROM b
+        WINDOW wf AS (PARTITION BY k ORDER BY t
+                      RANGE BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT k AS {key_col}, CAST(t AS BIGINT) AS t,
+           CAST(v AS DOUBLE) / 100.0 AS value,
+           CASE WHEN n = {w} THEN {r6(mean)} END AS mean,
+           CASE WHEN n = {w} THEN {r6(f"({mean} + {kf} * {sd})")} END
+             AS upper,
+           CASE WHEN n = {w} THEN {r6(f"({mean} - {kf} * {sd})")} END
+             AS lower
+    FROM roll
+    """

@@ -359,6 +359,27 @@ class Babe:
             adamic_adar(self.df, src, dst, max_degree, top_n)
         )
 
+    def jaccard_link_prediction(self, src="id_a", dst="id_b",
+                                max_degree=256, top_n=100) -> "Babe":
+        from pybabe_spark.operators.graph import jaccard_link_prediction
+
+        return self._wrap(
+            jaccard_link_prediction(self.df, src, dst, max_degree, top_n)
+        )
+
+    def assortativity(self, src="id_a", dst="id_b") -> "Babe":
+        from pybabe_spark.operators.graph import assortativity
+
+        return self._wrap(assortativity(self.df, src, dst))
+
+    def bollinger_bands(self, key_col, ts_col, value_col,
+                        **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import bollinger_bands
+
+        return self._wrap(
+            bollinger_bands(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def pagerank(self, iters=3, damping=0.85, **kwargs) -> "Babe":
         """Treats the wrapped frame as a (src, dst) edge list."""
         from pybabe_spark.operators.graph import pagerank

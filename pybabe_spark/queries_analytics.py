@@ -1624,6 +1624,50 @@ def q_adamic_adar(spark, sf_dir):
     return adamic_adar(edges, max_degree=256, top_n=100)
 
 
+def _jaccard_links_sql():
+    from pybabe_spark.operators.graph import jaccard_link_prediction_sql
+
+    return jaccard_link_prediction_sql(
+        _supplier_edges_sql(63), max_degree=256, top_n=100
+    )
+
+
+@register("jaccard_links_suppliers", _jaccard_links_sql())
+def q_jaccard_links(spark, sf_dir):
+    """Jaccard link prediction on the sampled supplier co-occurrence
+    graph (operators/graph.py::jaccard_link_prediction): the 100
+    highest-scoring NON-edges by neighborhood Jaccard —
+    adamic_adar_suppliers' unweighted sibling, with the intersection
+    over ≤256-degree wedge centers (the capped-candidate contract)
+    and the union over FULL degrees; the score is one exact floored
+    integer division, so the ranking is engine-identical by
+    construction."""
+    from pybabe_spark.operators.graph import jaccard_link_prediction
+
+    edges = _supplier_edges(spark, sf_dir, mod=63)
+    return jaccard_link_prediction(edges, max_degree=256, top_n=100)
+
+
+def _assortativity_sql():
+    from pybabe_spark.operators.graph import assortativity_sql
+
+    return assortativity_sql(_SUPPLIER_EDGES_SQL)
+
+
+@register("assortativity_suppliers", _assortativity_sql())
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the supplier co-occurrence graph
+    (operators/graph.py::assortativity): do well-connected suppliers
+    co-serve orders with other well-connected suppliers (r > 0) or
+    with the periphery (r < 0) — the one-number skew-regime readout
+    that decides whether a traversal needs hub salting. Exact
+    DECIMAL(38,0) degree moments over symmetrized ends, one
+    fixed-shape Pearson finish."""
+    from pybabe_spark.operators.graph import assortativity
+
+    return assortativity(_supplier_edges(spark, sf_dir, mod=7))
+
+
 @register("triangle_count_suppliers", _triangle_sql())
 def q_triangle_count(spark, sf_dir):
     """Triangle census of a deterministic 1/7 edge sample of the
@@ -2290,6 +2334,30 @@ def q_attribution_linear(spark, sf_dir):
     truncation, identical on both engines), value proportionally in
     DECIMAL(38,0)/HUGEINT — overflow-proof at any corpus size."""
     return _attr_query(spark, sf_dir, "linear")
+
+
+def _bollinger_sql() -> str:
+    from pybabe_spark.operators.timeseries import bollinger_bands_sql
+
+    return bollinger_bands_sql(
+        "events", "event_type", "ts", "value", window=24, k=2.0
+    )
+
+
+@register("bollinger_events", _bollinger_sql())
+def q_bollinger(spark, sf_dir):
+    """Bollinger bands per event type over hourly value sums
+    (operators/timeseries.py::bollinger_bands): the trailing-24h
+    volatility envelope — ewma_events flags level anomalies, this
+    prices how stretched the current hour is relative to its own
+    recent spread. Exact cents bucket sums, RANGE frame on the
+    bucket index, exact variance numerator, full-window-only bands."""
+    from pybabe_spark.operators.timeseries import bollinger_bands
+
+    ev = read_table(spark, sf_dir, "events")
+    return bollinger_bands(
+        ev, "event_type", "ts", "value", window=24, k=2.0
+    )
 
 
 def _ewma_sql() -> str:

@@ -355,3 +355,73 @@ def test_mcc_hand_confusion(spark):
         [(True, True), (False, True)], "y boolean, p boolean"
     )
     assert mcc(constant, "y", "p").collect()[0]["mcc"] is None
+
+
+def test_jaccard_link_prediction_hand_graph(spark):
+    from pybabe_spark.operators.graph import jaccard_link_prediction
+
+    # square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4. Non-edge
+    # (1,4): N(1)={2,3}, N(4)={2,3} -> cn=2, J = 2/(2+2-2) = 1.
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    out = jaccard_link_prediction(df, top_n=10).collect()
+    rows = {(r["id_a"], r["id_b"]): r for r in out}
+    assert rows[(1, 4)]["common_neighbors"] == 2
+    assert rows[(1, 4)]["jaccard_ppm"] == 1_000_000
+    # every returned pair is a non-edge
+    assert not (set(rows) & set(edges))
+    # capping out the shared neighbors (deg 2 and 3 have degree 3)
+    # removes the pair entirely
+    capped = jaccard_link_prediction(df, max_degree=2, top_n=10).collect()
+    assert (1, 4) not in {(r["id_a"], r["id_b"]) for r in capped}
+    with pytest.raises(ValueError):
+        jaccard_link_prediction(df, max_degree=1)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from pybabe_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a int, id_b int"
+    )
+    out = assortativity(star).collect()[0]
+    assert out["n_edges"] == 3
+    assert out["r"] == -1.0
+    # a clique is degree-regular: zero variance -> NULL
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a int, id_b int"
+    )
+    assert assortativity(clique).collect()[0]["r"] is None
+
+
+def test_bollinger_bands_hand_window(spark):
+    from datetime import datetime
+
+    from pybabe_spark.operators.timeseries import bollinger_bands
+
+    rows = [
+        ("k", datetime(2024, 1, 1, h), float(h + 1)) for h in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {r["t"]: r for r in
+           bollinger_bands(df, "g", "ts", "v", window=3).collect()}
+    ts = sorted(got)
+    assert got[ts[0]]["mean"] is None and got[ts[1]]["mean"] is None
+    # window [1,2,3]: mean 2, population var 2/3
+    m, var = 2.0, 2.0 / 3.0
+    sd = math.sqrt(9 * var * 10000) / 300.0  # engine shape, cents
+    assert got[ts[2]]["mean"] == 2.0
+    assert abs(got[ts[2]]["upper"] - round(m + 2 * sd, 6)) < 1e-9
+    assert abs(got[ts[2]]["lower"] - round(m - 2 * sd, 6)) < 1e-9
+    assert got[ts[4]]["mean"] == 4.0
+
+    # a gap resets the full-window guard
+    gap = [r for r in rows if r[1].hour != 3]
+    got2 = {r["t"]: r for r in bollinger_bands(
+        spark.createDataFrame(gap, "g string, ts timestamp, v double"),
+        "g", "ts", "v", window=3).collect()}
+    ts2 = sorted(got2)
+    assert got2[ts2[2]]["mean"] is not None  # hours 0,1,2 complete
+    assert got2[ts2[3]]["mean"] is None  # hour 4: frame has only {2,4}
+    with pytest.raises(ValueError):
+        bollinger_bands(df, "g", "ts", "v", window=1)
