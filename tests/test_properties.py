@@ -843,3 +843,107 @@ def test_stickiness_matches_set_model_random(spark, data):
         r = got[day]
         assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau), day
         assert r["stickiness_ppm"] == dau * 1_000_000 // wau
+
+
+@given(data=rows, mult=st.sampled_from([2, 3, 7]))
+@settings(**SETTINGS)
+def test_spearman_invariant_under_positive_scaling(spark, data, mult):
+    """ρ depends only on ranks: scaling x by a positive integer
+    preserves order AND tie structure (integer cents stay exact), so
+    rho must be bit-identical."""
+    from pybabe_spark.operators.sketch import spearman_corr
+
+    df = spark.createDataFrame(
+        [(k, float(v), float((v * 31) % 17)) for k, v in data],
+        "g string, x double, y double",
+    )
+    base = {r["g"]: r["rho"] for r in
+            spearman_corr(df, "x", "y", by="g").collect()}
+    scaled = {r["g"]: r["rho"] for r in spearman_corr(
+        df.withColumn("x", F.col("x") * mult), "x", "y", by="g"
+    ).collect()}
+    assert base == scaled
+
+
+@given(data=rows, shift=st.integers(min_value=-50, max_value=50))
+@settings(**SETTINGS)
+def test_kruskal_invariant_under_constant_shift(spark, data, shift):
+    """H is rank-based: adding a constant to every value changes no
+    rank, so H and its tie correction are bit-identical."""
+    from pybabe_spark.operators.sketch import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], "g string, v double"
+    )
+    a = kruskal_wallis(df, "g", "v").collect()[0]
+    b = kruskal_wallis(
+        df.withColumn("v", F.col("v") + shift), "g", "v"
+    ).collect()[0]
+    assert a == b
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_friedman_invariant_under_per_block_shift(spark, data):
+    """The whole point of blocking: adding a DIFFERENT constant to
+    each block changes no within-block rank, so χ² is bit-identical.
+    Blocks are synthesized so every block has one value per
+    treatment (complete by construction)."""
+    from pybabe_spark.operators.sketch import friedman_test
+
+    treatments = ["t1", "t2", "t3"]
+    rows_in = []
+    for b in range(max(2, len(data) // 3)):
+        for j, t in enumerate(treatments):
+            v = data[(b * 3 + j) % len(data)][1]
+            rows_in.append((b, t, float(v)))
+    df = spark.createDataFrame(rows_in, "b int, t string, v double")
+    a = friedman_test(df, "b", "t", "v").collect()[0]
+    shifted = df.withColumn("v", F.col("v") + F.col("b") * 1000)
+    b_ = friedman_test(shifted, "b", "t", "v").collect()[0]
+    assert a == b_
+
+
+@given(data=rows, mult=st.sampled_from([2, 5]))
+@settings(**SETTINGS)
+def test_kendall_invariant_under_monotone_int_scaling(spark, data, mult):
+    """τ-b counts concordances: any strictly increasing transform of
+    either margin that preserves the tie structure (positive integer
+    scaling of integral values) leaves C, D, and τ unchanged."""
+    from pybabe_spark.operators.sketch import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(float(v), float((v * 13) % 23)) for _, v in data],
+        "x double, y double",
+    )
+    a = kendall_tau_b(df, "x", "y").collect()[0]
+    b = kendall_tau_b(
+        df.withColumn("y", F.col("y") * mult), "x", "y"
+    ).collect()[0]
+    assert a == b
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_lorenz_shares_monotone_and_complete(spark, data):
+    """Lorenz invariants: cumulative shares are non-decreasing in the
+    bucket index, the last bucket closes at exactly 10⁶ of both
+    population and value (when total > 0), and cum_n ends at n."""
+    from pybabe_spark.operators.skew import lorenz_curve
+
+    df = spark.createDataFrame(
+        [(k, float(abs(v))) for k, v in data], "g string, v double"
+    )
+    rows_out = lorenz_curve(df, "g", "v", n_buckets=4).collect()
+    by_key = {}
+    for r in rows_out:
+        by_key.setdefault(r["g"], []).append(r)
+    for g, rs in by_key.items():
+        rs.sort(key=lambda r: r["bucket"])
+        pops = [r["cum_pop_share_ppm"] for r in rs]
+        assert pops == sorted(pops)
+        vals = [r["cum_value_share_ppm"] for r in rs]
+        if all(v is not None for v in vals):
+            assert vals == sorted(vals)
+            assert vals[-1] == 1_000_000
+        assert pops[-1] == 1_000_000
