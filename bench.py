@@ -369,6 +369,10 @@ LOWMEM_FAMILIES = [
     "gains_table",
     "seasonal_decompose_mult",
     "eb_shrinkage",
+    # r12 ops with new aggregation shapes: the guarded cells²
+    # concordance join and the ≤k-row block-rank windows
+    "kendall_tau",
+    "friedman",
 ]
 
 
@@ -1111,6 +1115,66 @@ def stress(
                     (F.col("doc_id") % 3 == 0).cast("int").alias("done"),
                 ),
                 "bucket", "done",
+            ).count(),
+            # r12 second-session families --------------------------------
+            # bounded 50×11 cell grid (mod carve) → the guarded cells²
+            # concordance join is FLAT; corpus work is the one hash agg
+            "kendall_tau": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["kendall_tau_b"],
+            ).kendall_tau_b(
+                docs.select(
+                    (F.col("doc_id") % 50).cast("double").alias("x"),
+                    ((F.col("doc_id") * 3) % 11).cast("double").alias("y"),
+                ),
+                "x", "y",
+            ).count(),
+            # blocks ∝ corpus (doc_id div 5), k = 5 treatments: cell
+            # grain and ≤5-row block windows must track rows linearly
+            # (page_trend_test and cochran_q ride the identical
+            # _block_grid/_block_midranks plumbing)
+            "friedman": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["friedman_test"],
+            ).friedman_test(
+                docs.select(
+                    (F.col("doc_id") / 5).cast("bigint").alias("b"),
+                    (F.col("doc_id") % 5).alias("t"),
+                    F.col("n_chars").cast("double").alias("v"),
+                ),
+                "b", "t", "v",
+            ).count(),
+            # buckets ∝ corpus (t = doc_id div 10), 24-bucket trailing
+            # RANGE windows on the bucket grain — both linear
+            "bollinger": lambda: __import__(
+                "pybabe_spark.operators.timeseries",
+                fromlist=["bollinger_bands"],
+            ).bollinger_bands(
+                docs.select(
+                    F.col("source").alias("k"),
+                    F.timestamp_micros(
+                        (F.col("doc_id").cast("bigint") / 10).cast("bigint")
+                        * 3_600_000_000
+                    ).alias("ts"),
+                    F.col("n_chars").cast("double").alias("v"),
+                ),
+                "k", "ts", "v", window=24,
+            ).count(),
+            # degree moments over the doc-chain edges (degree ≤ 4 flat):
+            # one degree agg + two tiny-table joins, linear in edges
+            "assortativity": lambda: __import__(
+                "pybabe_spark.operators.graph",
+                fromlist=["assortativity"],
+            ).assortativity(
+                docs.select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"),
+                ).unionAll(
+                    docs.select(
+                        F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 2).alias("id_b"),
+                    )
+                ),
             ).count(),
         }
 

@@ -28,25 +28,36 @@ SF1_DIR = os.environ.get("PYBABE_SF1_DIR", "/root/testdata/sf0.1")
 #: the bench top-12 by BENCH_DETAIL wall time (r11→r12): every family
 #: with a data-volume-growing intermediate grain is represented —
 #: Poisson resample sums (bootstrap), iterative CC label tables
-#: (label_propagation, entity_resolution), agreement-pattern joins
-#: (fellegi_sunter), hashed-ngram importance weights (dsir), exact
-#: rank grains (spearman, kruskal, dunn), gradient-descent scoring
+#: (label_propagation), agreement-pattern joins (fellegi_sunter),
+#: hashed-ngram importance weights (dsir), exact rank grains
+#: (spearman, kruskal, dunn), gradient-descent scoring
 #: (quality_classifier), co-occurrence wedges (item_neighbors),
-#: per-token backoff joins (lm_perplexity), delete-blocking candidate
-#: sets (fuzzy_pairs), lag-grain moment sums (acf).
+#: per-token backoff joins (lm_perplexity), lag-grain moment sums
+#: (acf).
+#:
+#: Two bench-heavy keys are EXCLUDED here with cause, not silently:
+#: `entity_resolution_customers` and `fuzzy_pairs_customer_names`
+#: carry deliberately-quadratic ORACLE definitions (all-pairs
+#: levenshtein over every customer pair, plus a recursive-CTE
+#: reachability for ER) — that is the quarantined oracle-side cost
+#: the engine's delete-blocking exists to avoid, and at sf0.1 it is
+#: 225M levenshtein pairs multiplied by DuckDB CTE inlining (a probe
+#: run made no progress in 30+ minutes). Their sf0.01 driver rows and
+#: the full local parity suite remain the evidence for those two; the
+#: next-heaviest tractable keys take their slots.
 TOP12 = [
     "bootstrap_ci_orders",
     "label_propagation_trade",
     "fellegi_sunter_customers",
     "dsir_sample_docs",
     "spearman_lineitem",
-    "entity_resolution_customers",
     "quality_classifier_docs",
     "item_neighbors_parts",
     "lm_perplexity_docs",
-    "fuzzy_pairs_customer_names",
     "dunn_test_lineitem",
     "kruskal_wallis_lineitem",
+    "acf_user_values",
+    "quality_classifier_eval",
 ]
 
 all_queries()
