@@ -499,6 +499,238 @@ def classification_report_sql(
     """
 
 
+def ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected + maximum calibration error — the single numbers
+    :func:`calibration_bins`' reliability curve rolls up to: ONE row
+    ``(n, n_bins, ece_ppm, mce_ppm)`` where
+
+        ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b|,
+        MCE = max_b |pos_rate_b − mean_score_b|
+
+    over the same ``bins`` equal-width probability buckets.
+
+    PURE integer arithmetic, sharper than summing the bins' rounded
+    gaps: with micro-unit score sums ``sm_b`` and positives
+    ``p_b``, each bin's weighted absolute gap is EXACTLY
+    ``|p_b·10⁶ − sm_b|`` (the n_b factors cancel), so
+    ``ece_ppm = (Σ_b |p_b·10⁶ − sm_b|) div N`` is a single floored
+    division of exact integers — no per-bin rounding enters the sum
+    at all. MCE takes each bin's floored ppm gap and maxes (exact
+    comparisons of exact integers). NULL score/label rows drop;
+    N = 0 yields an empty frame upstream of any division.
+
+    Scale shape: one map-side-combinable hash agg to ≤ ``bins`` rows,
+    one ≤ bins-row reduction. No window, no join.
+    """
+    if bins < 2:
+        raise ValueError(f"ece: bins {bins} must be >= 2")
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    per_b = (
+        df.filter(ok)
+        .select(
+            F.expr(
+                f"least(CAST({bins - 1} AS BIGINT),"
+                f" (CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000"
+                f" AS BIGINT) * {bins}) div 1000000)"
+            ).alias("__b"),
+            micro.alias("__m"),
+            (F.col(label_col) != 0).cast("long").alias("__pos"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__pos").alias("__p"),
+            F.sum(F.col("__m").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("__sm"),
+        )
+    )
+    gap = F.abs(
+        F.col("__p").cast("decimal(38,0)") * 1_000_000 - F.col("__sm")
+    ).cast("decimal(38,0)")
+    per_b = per_b.withColumn("__gap", gap)
+    agg = per_b.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.col("__gap")).cast("decimal(38,0)").alias("__g"),
+        F.max(
+            F.expr("CAST(__gap div __n AS BIGINT)")
+        ).alias("mce_ppm"),
+    )
+    return agg.select(
+        "n",
+        "n_bins",
+        F.expr("CAST(__g div n AS BIGINT)").alias("ece_ppm"),
+        F.col("mce_ppm").cast("bigint").alias("mce_ppm"),
+    )
+
+
+def ece_sql(
+    select: str, score_col: str, label_col: str, bins: int = 10
+) -> str:
+    """DuckDB oracle of :func:`ece` — same micro lift, bin edges,
+    exact integer gap sum and floored divisions."""
+    m = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    per_b AS (
+        SELECT LEAST(CAST({int(bins) - 1} AS BIGINT),
+                     ({m} * {int(bins)}) // 1000000) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN {label_col} <> 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS p,
+               SUM(CAST({m} AS HUGEINT)) AS sm
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        GROUP BY b
+    )
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(abs(p * 1000000 - sm)) // SUM(n_b) AS BIGINT)
+             AS ece_ppm,
+           CAST(MAX(abs(p * 1000000 - sm) // n_b) AS BIGINT) AS mce_ppm
+    FROM per_b
+    """
+
+
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Average precision (area under the precision–recall curve, the
+    step-interpolated sklearn ``average_precision_score`` form) —
+    ``(group?, n_pos, n_neg, average_precision)``: the ranking
+    certificate that, unlike :func:`roc_auc`, does not reward true
+    negatives — THE metric for rare-positive retrieval (near-dup
+    candidates, policy hits) where AUC saturates.
+
+        AP = Σ_t (R(t) − R(t₋))·P(t)
+           = Σ_v (tp_v / n_pos) · (cumtp_v / cumn_v)
+
+    over distinct scores v descending (a whole tie class enters at
+    one threshold — the tie-safe definition; trapezoids would
+    overstate ties).
+
+    Determinism: scores lift to integral micro-units and the
+    cumulative runs on the distinct-score grain (bounded by the 6 dp
+    resolution, the :func:`roc_auc` shape). Each threshold's
+    ``tp_v·cumtp_v / cumn_v`` is ONE IEEE division of exact integers
+    rounded to DECIMAL(38,12); the terms sum as decimals
+    (order-independent — the anova_f per-term discipline) and the
+    final ``/ n_pos`` rounds once to DECIMAL(18,6). NULL when a group
+    has no positives.
+
+    Scale shape: one corpus hash agg to the (group, micro-score)
+    grain + one bounded-grain cumulative window + one group agg.
+    """
+    keys = [by] if by else []
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    g = (
+        df.filter(ok)
+        .select(
+            *keys,
+            micro.alias("__m"),
+            (F.col(label_col) != 0).cast("long").alias("__pos"),
+        )
+        .groupBy(*keys, "__m")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"),
+            F.sum("__pos").cast("decimal(38,0)").alias("__p"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__m").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumtp = F.sum("__p").over(w)
+    cumn = F.sum("__c").over(w)
+    term = (
+        (F.col("__p") * cumtp).cast("double") / cumn.cast("double")
+    ).cast("decimal(38,12)")
+    agg = g.withColumn("__t", term).groupBy(*keys).agg(
+        F.sum("__t").cast("decimal(38,12)").alias("__s"),
+        F.sum(F.col("__p")).cast("decimal(38,0)").alias("__n1"),
+        F.sum(F.col("__c")).cast("decimal(38,0)").alias("__n"),
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    ap = _sdiv(
+        F.col("__s").cast("double"), F.col("__n1").cast("double")
+    )
+    return agg.select(
+        *keys,
+        F.col("__n1").cast("bigint").alias("n_pos"),
+        (F.col("__n") - F.col("__n1")).cast("bigint").alias("n_neg"),
+        F.when(
+            F.col("__n1") > 0,
+            ap.cast("decimal(18,6)").cast("double"),
+        ).alias("average_precision"),
+    )
+
+
+def pr_auc_sql(
+    select: str, score_col: str, label_col: str, by: str | None = None
+) -> str:
+    """DuckDB oracle of :func:`pr_auc` — same micro grain, descending
+    cumulative, DECIMAL(38,12) per-term rounding, 6 dp finish."""
+    keys = f"{by}, " if by else ""
+    part = f"PARTITION BY {by} " if by else ""
+    gby = f"GROUP BY {keys.rstrip(', ')}" if by else ""
+    m = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    g AS (
+        SELECT {keys}{m} AS v,
+               CAST(COUNT(*) AS HUGEINT) AS c,
+               CAST(SUM(CASE WHEN {label_col} <> 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS p
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        GROUP BY {keys}v
+    ),
+    cum AS (
+        SELECT {keys}p,
+               SUM(p) OVER w AS cumtp,
+               SUM(c) OVER w AS cumn
+        FROM g
+        WINDOW w AS ({part}ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    agg AS (
+        SELECT {keys}
+               SUM(CAST(CAST(p * cumtp AS DOUBLE) / CAST(cumn AS DOUBLE)
+                        AS DECIMAL(38,12))) AS s
+        FROM cum {gby}
+    ),
+    tot AS (
+        SELECT {keys}CAST(SUM(c) AS HUGEINT) AS n, SUM(p) AS n1
+        FROM g {gby}
+    )
+    SELECT {keys}CAST(tot.n1 AS BIGINT) AS n_pos,
+           CAST(tot.n - tot.n1 AS BIGINT) AS n_neg,
+           CASE WHEN tot.n1 > 0 THEN
+             CAST(CAST(CAST(agg.s AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS average_precision
+    FROM tot {"JOIN agg USING (" + by + ")" if by else "CROSS JOIN agg"}
+    """
+
+
 def mcc(
     df: DataFrame,
     label_col: str,

@@ -726,6 +726,16 @@ class Babe:
 
         return self._wrap(mcc(self.df, label_col, pred_col))
 
+    def ece(self, score_col, label_col, bins=10) -> "Babe":
+        from pybabe_spark.operators.classifier import ece
+
+        return self._wrap(ece(self.df, score_col, label_col, bins))
+
+    def pr_auc(self, score_col, label_col, by=None) -> "Babe":
+        from pybabe_spark.operators.classifier import pr_auc
+
+        return self._wrap(pr_auc(self.df, score_col, label_col, by))
+
     def herfindahl_index(self, entity_col, value_col, by=None) -> "Babe":
         from pybabe_spark.operators.sketch import herfindahl_index
 

@@ -1652,6 +1652,65 @@ def q_roc_auc(spark, sf_dir):
     return roc_auc(frame, "score", "label")
 
 
+def _ece_sql():
+    from pybabe_spark.operators.classifier import ece_sql
+
+    return ece_sql(_BRIER_FRAME_SQL, "score", "label")
+
+
+@register("ece_docs", _ece_sql())
+def q_ece(spark, sf_dir):
+    """Expected + maximum calibration error
+    (operators/classifier.py::ece) on the brier/calibration frame —
+    the single-number rollup of calibration_bins' reliability curve,
+    computed SHARPER than summing the bins' rounded gaps: each bin's
+    weighted absolute gap is the exact integer |p_b·1e6 − sm_b|, so
+    ECE is one floored division with no per-bin rounding in the sum."""
+    from pybabe_spark.operators.classifier import ece
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN array_contains(split(text, ' '), 'spark')"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return ece(frame, "score", "label")
+
+
+def _pr_auc_sql():
+    from pybabe_spark.operators.classifier import pr_auc_sql
+
+    return pr_auc_sql(_BRIER_FRAME_SQL, "score", "label")
+
+
+@register("pr_auc_docs", _pr_auc_sql())
+def q_pr_auc(spark, sf_dir):
+    """Average precision (operators/classifier.py::pr_auc) on the
+    brier/roc frame — the rare-positive ranking certificate roc_auc
+    saturates on (AP never rewards true negatives). Tie-safe
+    step-interpolated form on the bounded distinct-micro-score grain;
+    DECIMAL(38,12) per-term rounding, 6 dp finish."""
+    from pybabe_spark.operators.classifier import pr_auc
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN array_contains(split(text, ' '), 'spark')"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return pr_auc(frame, "score", "label")
+
+
 def _mcc_sql():
     from pybabe_spark.operators.classifier import mcc_sql
 

@@ -425,3 +425,78 @@ def test_bollinger_bands_hand_window(spark):
     assert got2[ts2[3]]["mean"] is None  # hour 4: frame has only {2,4}
     with pytest.raises(ValueError):
         bollinger_bands(df, "g", "ts", "v", window=1)
+
+
+def test_ece_hand_bins(spark):
+    """Two bins with known gaps: scores 0.2 (4 rows, 1 pos) and 0.8
+    (4 rows, 4 pos): gaps |1-4·0.2·1e6/1e6|... computed exactly."""
+    from pybabe_spark.operators.classifier import ece
+
+    rows = ([(0.2, 1)] + [(0.2, 0)] * 3) + [(0.8, 1)] * 4
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = ece(df, "score", "label", bins=10).collect()[0]
+    assert (out["n"], out["n_bins"]) == (8, 2)
+    # bin(0.2): p=1, sm=4*200000 -> |1e6 - 8e5| = 2e5
+    # bin(0.8): p=4, sm=4*800000 -> |4e6 - 3.2e6| = 8e5
+    assert out["ece_ppm"] == (200_000 + 800_000) // 8
+    # per-bin ppm gaps: 2e5/4 = 50000 ; 8e5/4 = 200000
+    assert out["mce_ppm"] == 200_000
+
+    # perfectly calibrated constant-score coin: gap = 0 exactly
+    cal = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0)] * 5, "score double, label int"
+    )
+    r = ece(cal, "score", "label").collect()[0]
+    assert r["ece_ppm"] == 0 and r["mce_ppm"] == 0
+    with pytest.raises(ValueError):
+        ece(df, "score", "label", bins=1)
+
+
+def test_pr_auc_matches_sklearn_style_model(spark):
+    """Tie-safe AP against a pure-python replay of the same
+    definition, plus the classic anchors: perfect ranking -> 1,
+    all-ties -> base rate."""
+    from pybabe_spark.operators.classifier import pr_auc
+
+    data = [(0.9, 1), (0.8, 0), (0.8, 1), (0.6, 0), (0.5, 1), (0.2, 0)]
+    df = spark.createDataFrame(data, "score double, label int")
+    out = pr_auc(df, "score", "label").collect()[0]
+    # python replay on the distinct-score grain, descending
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for s, y in data:
+        m = int(round(s * 1_000_000))
+        cells[m][0] += 1
+        cells[m][1] += y
+    cumn = cumtp = 0
+    n_pos = sum(y for _, y in data)
+    from decimal import Decimal, ROUND_HALF_UP
+
+    terms = Decimal(0)
+    for m in sorted(cells, reverse=True):
+        c, p = cells[m]
+        cumn += c
+        cumtp += p
+        terms += Decimal(repr(p * cumtp / cumn)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+    expect = round(float(terms) / n_pos, 6)
+    assert (out["n_pos"], out["n_neg"]) == (3, 3)
+    assert abs(out["average_precision"] - expect) < 1e-9
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1)] * 3 + [(0.1, 0)] * 3, "score double, label int"
+    )
+    assert pr_auc(perfect, "score", "label").collect()[0][
+        "average_precision"] == 1.0
+    ties = spark.createDataFrame(
+        [(0.5, 1)] * 2 + [(0.5, 0)] * 6, "score double, label int"
+    )
+    assert pr_auc(ties, "score", "label").collect()[0][
+        "average_precision"] == 0.25
+    onec = spark.createDataFrame(
+        [(0.5, 0)] * 3, "score double, label int"
+    )
+    assert pr_auc(onec, "score", "label").collect()[0][
+        "average_precision"] is None
