@@ -79,6 +79,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         "label"
     ).show(truncate=False)
 
+    # -- 4. r12 eval surface: balanced number, ranking-for-rare,
+    #       calibration rollup --------------------------------------------
+    scored = Babe.from_df(
+        docs.select(
+            F.expr(
+                "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+                " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+            ).alias("score"),
+            F.expr(
+                "array_contains(split(text, ' '), 'spark')"
+            ).cast("int").alias("label"),
+        )
+    )
+    print("MCC at the 0.25 threshold (balanced, imbalance-robust):")
+    scored.df.selectExpr(
+        "label", "score >= 0.25 AS pred"
+    ).transform(lambda d: Babe.from_df(d).mcc("label", "pred").df).show()
+    print("average precision (rare-positive ranking) + calibration:")
+    scored.pr_auc("score", "label").df.show()
+    scored.ece("score", "label").df.show()
+
     spark.stop()
 
 
