@@ -40,6 +40,11 @@ _DELICATE = re.compile(
     r"|seasonal_decompose|snaive_forecast|forecast_backtest|stickiness"
     r"|g_test|fleiss|dunn|eb_shrink"
     r"|roc_auc|gains_table|vocab_overlap|readability|feature_hash"
+    # r12 additions: every new op whose finish rounds (decimal casts,
+    # integral ppm, rank machinery, per-term-rounded sums)
+    r"|tukey|friedman|kendall|partial_corr|odds_ratio|page_trend"
+    r"|cochran|mcc_|pr_auc|ece_|bollinger|lorenz|herfindahl"
+    r"|assortativity|jaccard_links"
 )
 
 all_queries()
