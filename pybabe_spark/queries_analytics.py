@@ -3747,17 +3747,19 @@ def _kw_core(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     per_g, vtot = _kw_rank_sums(li, "l_returnflag", "l_extendedprice")
     ties = _kw_tie_sum(vtot)
-    # Two sequential collects on one session: the first materializes
-    # the lazy-persisted (value, group) grain inside _kw_rank_sums, so
-    # the tie sum's collect reads the cache (~0 marginal). A combined
-    # crossJoin/union single-action variant was A/B'd and lost — the
-    # join shape blocked exchange reuse and cost more than the second
-    # action saves. The collects are bounded: per_g has one row per
-    # return flag (3), ties exactly one; the core is rebuilt as
-    # driver-local DataFrames with the exact decimal schema preserved,
-    # so memo hits cost zero cluster work.
-    pg_rows = per_g.collect()
+    # Two sequential collects on one session, TIES FIRST: the cheap
+    # tie chain (scan → cnt → vtot → 1-row agg) materializes the
+    # lazy-persisted (value, group) grain, so the heavier rank-
+    # machinery collect reads the cache instead of paying the cache
+    # write inside its own job (A/B'd: ties-first beat per_g-first;
+    # a combined crossJoin/union single-action variant lost outright —
+    # the join shape blocked exchange reuse). The collects are
+    # bounded: per_g has one row per return flag (3), ties exactly
+    # one; the core is rebuilt as driver-local DataFrames with the
+    # exact decimal schema preserved, so memo hits cost zero cluster
+    # work.
     ties_rows = ties.collect()
+    pg_rows = per_g.collect()
     pg_local = spark.createDataFrame(pg_rows, schema=per_g.schema)
     ties_local = spark.createDataFrame(ties_rows, schema=ties.schema)
     core = (pg_local, ties_local)
