@@ -1258,9 +1258,12 @@ def jaccard_link_prediction(
     anywhere, so the ranking is engine-identical by construction.
 
     Scale shape: one degree agg, wedges generated only at capped
-    centers (Σ_{deg≤cap} deg² ≤ cap·m), one pair hash agg, degree
-    lookups via two joins on the tiny degree table, an anti-join
-    against the edge set, TakeOrderedAndProject for top_n.
+    centers (Σ_{deg≤cap} deg² ≤ cap·m), one pair hash agg with the
+    endpoint degrees RIDING THE WEDGE ROWS (attached once at the
+    2m-row centers grain — constant within each pair group, so the
+    agg just takes max; attaching post-agg would cost two more
+    shuffles of the candidate table), an anti-join against the edge
+    set, TakeOrderedAndProject for top_n.
     """
     if max_degree < 2:
         raise ValueError("jaccard_link_prediction: max_degree must be >= 2")
@@ -1277,12 +1280,13 @@ def jaccard_link_prediction(
         .persist()  # feeds degrees, wedges, and the anti-join probe
     )
     sym = e.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
-        e.select(F.col("v").alias("z"), F.col("u").alias("n"))
-    )
+        e.select(F.col("v").alias("z"), F.col("u").alias("u_back"))
+    ).toDF("z", "n")
     deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("__d"))
+    nd = deg.select(F.col("z").alias("n"), F.col("__d").alias("__dn"))
     centers = sym.join(
         deg.filter(F.col("__d") <= max_degree).select("z"), "z"
-    )
+    ).join(nd, "n")
     a, b = centers.alias("a"), centers.alias("b")
     pairs = (
         a.join(
@@ -1290,18 +1294,16 @@ def jaccard_link_prediction(
             (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
         )
         .groupBy(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
-    )
-    dx = deg.select(F.col("z").alias("x"), F.col("__d").alias("__dx"))
-    dy = deg.select(F.col("z").alias("y"), F.col("__d").alias("__dy"))
-    non_edges = (
-        pairs.join(
-            e,
-            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-            "left_anti",
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.max("a.__dn").alias("__dx"),
+            F.max("b.__dn").alias("__dy"),
         )
-        .join(dx, "x")
-        .join(dy, "y")
+    )
+    non_edges = pairs.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
     )
     return (
         non_edges.select(
