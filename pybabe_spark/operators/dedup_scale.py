@@ -184,6 +184,73 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_candidate_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Banding-quality certificate: the decile histogram of the EXACT
+    shingle-set Jaccard over :func:`minhash_lsh_pairs`' candidate
+    pairs — ``(jaccard_decile, n_pairs)``. A healthy (bands, rows)
+    choice piles candidates into the top deciles; mass in the bottom
+    deciles is wasted verify work (too many bands / too few rows per
+    band), an EMPTY top is missed recall risk (the opposite). This is
+    the evidence for tuning the banding BEFORE a 100 TB run — on the
+    corpus itself, not on the theoretical S-curve.
+
+    Exactness: candidate generation is the shared banded machinery;
+    each pair's Jaccard is ``(|A∩B|·10⁶) div |A∪B|`` over distinct
+    shingle sets — integer sizes, one floored division, no IEEE — and
+    ``decile = min(n_buckets−1, j_ppm·n_buckets div 10⁶)`` is exact
+    ntile arithmetic. Empty-shingle unions cannot occur (the shingle
+    fallback emits at least one element per doc).
+
+    Scale shape: the banded candidate join (corpus × bands, never
+    all-pairs) + two id-keyed joins back to the text + one hash agg
+    to ≤ n_buckets rows.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"lsh_candidate_calibration: n_buckets {n_buckets} must be >= 2"
+        )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    ta = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    sa = shingle_array(words("__ta"), shingle_n)
+    sb = shingle_array(words("__tb"), shingle_n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
+    union = F.size(F.array_union(sa, sb)).cast("bigint")
+    scored = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            (inter * 1_000_000).alias("__num"), union.alias("__u")
+        )
+        # non-negative numerator: integral div IS floor, both engines
+        .select(F.expr("__num div __u").alias("__j"))
+    )
+    k = int(n_buckets)
+    return (
+        scored.select(
+            F.expr(
+                f"CAST(least({k - 1}, (__j * {k}) div 1000000) AS INT)"
+            ).alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature: per-bit weighted vote over token hashes.
 

@@ -128,6 +128,16 @@ class Babe:
             near_dedup_keep(self.df, id_col, text_col, threshold, **kwargs)
         )
 
+    def lsh_candidate_calibration(self, id_col, text_col,
+                                  **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import (
+            lsh_candidate_calibration,
+        )
+
+        return self._wrap(
+            lsh_candidate_calibration(self.df, id_col, text_col, **kwargs)
+        )
+
     def simhash_neardup(self, id_col, text_col, bits=48,
                         max_hamming=3) -> "Babe":
         from pybabe_spark.operators.dedup_scale import simhash_neardup_pairs

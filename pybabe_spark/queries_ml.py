@@ -208,6 +208,50 @@ def q_minhash_lsh_shingle3(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3)
 
 
+def _lsh_calibration_sql() -> str:
+    pairs = _minhash_sql(16, 4, "WHERE doc_id < 300")
+    return f"""
+    WITH cand AS ({pairs}),
+    scored AS (
+      SELECT (CAST(len(list_intersect(
+                list_distinct(string_split(da.text, ' ')),
+                list_distinct(string_split(db.text, ' ')))) AS BIGINT)
+              * 1000000)
+             // CAST(len(list_distinct(list_concat(
+                list_distinct(string_split(da.text, ' ')),
+                list_distinct(string_split(db.text, ' '))))) AS BIGINT)
+               AS j
+      FROM cand
+      JOIN documents da ON da.doc_id = cand.id_a
+      JOIN documents db ON db.doc_id = cand.id_b
+    )
+    SELECT CAST(LEAST(9, (j * 10) // 1000000) AS INT) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY jaccard_decile
+    """
+
+
+@register("lsh_calibration_docs", _lsh_calibration_sql())
+def q_lsh_calibration(spark, sf_dir):
+    """Banding-quality certificate for the MinHash LSH config
+    (operators/dedup_scale.py::lsh_candidate_calibration): the decile
+    histogram of EXACT shingle Jaccard over the (16 hashes, 4 bands)
+    candidate pairs — bottom-decile mass is wasted verify work, an
+    empty top is missed recall; the evidence for tuning (bands, rows)
+    on the corpus itself before a 100 TB run. Exact integer ppm
+    Jaccard, ntile decile arithmetic, ≤10-row output."""
+    from pybabe_spark.operators.dedup_scale import (
+        lsh_candidate_calibration,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return lsh_candidate_calibration(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=1
+    )
+
+
 @register(
     "quantize_embeddings_int8",
     """

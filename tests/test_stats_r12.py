@@ -500,3 +500,26 @@ def test_pr_auc_matches_sklearn_style_model(spark):
     )
     assert pr_auc(onec, "score", "label").collect()[0][
         "average_precision"] is None
+
+
+def test_lsh_calibration_separates_dup_from_noise(spark):
+    """A corpus with exact-duplicate pairs and unrelated docs: the
+    duplicates land in the top decile with Jaccard 1e6, and every
+    histogram row is a real candidate count (sums to the pair
+    total)."""
+    from pybabe_spark.operators.dedup_scale import (
+        lsh_candidate_calibration, minhash_lsh_pairs,
+    )
+
+    rows = []
+    for i in range(8):
+        text = f"alpha beta gamma delta epsilon zeta{i} eta{i} theta{i}"
+        rows += [(2 * i, text), (2 * i + 1, text)]  # exact dup pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = {r["jaccard_decile"]: r["n_pairs"] for r in
+            lsh_candidate_calibration(df, "doc_id", "text").collect()}
+    n_pairs = minhash_lsh_pairs(df, "doc_id", "text").count()
+    assert sum(hist.values()) == n_pairs
+    assert hist.get(9, 0) >= 8  # every exact-dup pair scores 1e6
+    with pytest.raises(ValueError):
+        lsh_candidate_calibration(df, "doc_id", "text", n_buckets=1)
