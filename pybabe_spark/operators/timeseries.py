@@ -3940,8 +3940,6 @@ def bollinger_bands(
     if bucket_seconds <= 0:
         raise ValueError("bollinger_bands: bucket_seconds must be > 0")
     bus = int(bucket_seconds) * 1_000_000
-    w = int(window)
-    kf = float(k)
     b = (
         df.filter(
             F.col(key_col).isNotNull()
@@ -3958,6 +3956,20 @@ def bollinger_bands(
         .groupBy("k", "t")
         .agg(F.sum("__x").alias("__v"))
     )
+    return _bollinger_from_buckets(b, key_col, window, k)
+
+
+def _bollinger_from_buckets(
+    b: DataFrame, key_col: str, window: int, k: float
+) -> DataFrame:
+    """Band math of :func:`bollinger_bands` over a prepared
+    ``(k, t, __v cents-sum)`` bucket frame — split out so the
+    streaming-maintained store (`streaming/ops.stream_bucket_sums` →
+    :func:`bollinger_from_store`) computes the IDENTICAL bands from
+    incrementally-folded partials (bigint cents are associative, so
+    partial sums reaggregate to the exact batch sums)."""
+    w = int(window)
+    kf = float(k)
     wf = (
         Window.partitionBy("k").orderBy("t").rangeBetween(-(w - 1), 0)
     )
@@ -3979,6 +3991,24 @@ def bollinger_bands(
         F.when(full, out(mean + kf * sd)).alias("upper"),
         F.when(full, out(mean - kf * sd)).alias("lower"),
     )
+
+
+def bollinger_from_store(
+    spark,
+    store_path: str,
+    key_col: str = "k",
+    window: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands over a streaming-maintained bucket-sum store
+    (`streaming/ops.stream_bucket_sums`): partial cents sums
+    reaggregate exactly (bigint addition is associative), then the
+    SAME band math as :func:`bollinger_bands` — proven
+    output-identical to the batch operator over the full history (the
+    stickiness_from_store twin discipline)."""
+    partials = spark.read.parquet(store_path)
+    b = partials.groupBy("k", "t").agg(F.sum("__s").alias("__v"))
+    return _bollinger_from_buckets(b, key_col, window, k)
 
 
 def bollinger_bands_sql(

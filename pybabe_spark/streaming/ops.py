@@ -933,6 +933,64 @@ def stream_anomalies_against(
     )
 
 
+def stream_bucket_sums(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    bucket_seconds: int = 3600,
+    available_now: bool = True,
+):
+    """Streaming-maintained exact (key, time-bucket) cents-sum store —
+    the series state every bucket-grain analytic (Bollinger bands,
+    seasonal decomposition, EWMA baselines) needs, kept EXACT without
+    unbounded streaming aggregation: every micro-batch reduces to its
+    per-(key, bucket) partial cents sums and writes them under its own
+    ``__batch=<id>`` partition with DYNAMIC partition overwrite — so a
+    REPLAYED batch overwrites exactly itself and the sink is
+    idempotent (the property a read-add-write additive rollup cannot
+    have; the activity-grain store gets it from anti-join, this one
+    from partition ownership). State is the batch × key × bucket
+    partial grain, never the event volume; read any time via
+    :func:`~pybabe_spark.operators.timeseries.bollinger_from_store`,
+    whose bands are proven output-identical to the batch operator
+    over the full history (bigint cents partials reaggregate exactly).
+    """
+    bus = int(bucket_seconds) * 1_000_000
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.filter(
+                F.col(key_col).isNotNull()
+                & F.col(ts_col).isNotNull()
+                & F.col(value_col).isNotNull()
+            )
+            .select(
+                F.col(key_col).alias("k"),
+                F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+                (F.col(value_col).cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .alias("__x"),
+            )
+            .groupBy("k", "t")
+            .agg(F.sum("__x").alias("__s"))
+            .withColumn("__batch", F.lit(int(batch_id)))
+        )
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(store_path)
+        )
+
+    return run_foreach_batch(
+        stream_df, _batch, checkpoint,
+        output_mode="update", available_now=available_now,
+    )
+
+
 def stream_activity_grain(
     stream_df: DataFrame,
     key_col: str,

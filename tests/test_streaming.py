@@ -797,3 +797,88 @@ def test_stream_activity_grain_stickiness_matches_batch(spark, tmp_path):
     # idempotence: the stored grain holds each (user, day) exactly once
     grain = spark.read.parquet(store)
     assert grain.count() == grain.select("__k", "__d").distinct().count()
+
+
+def test_stream_bucket_sums_bollinger_matches_batch(spark, tmp_path):
+    """Micro-batched event files folded through stream_bucket_sums,
+    then bollinger_from_store == batch bollinger_bands over the union
+    — EXACT equality (bigint cents partials reaggregate exactly), and
+    a REPLAYED batch partition leaves the store unchanged (dynamic
+    partition overwrite idempotence)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.timeseries import (
+        bollinger_bands,
+        bollinger_from_store,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                f"k{i % 2}",
+                base + dt.timedelta(hours=(i % 7) + 2 * b),
+                float((i * 13 + b * 7) % 50) + 0.25,
+            )
+            for i in range(30)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in bollinger_from_store(
+            spark, store, key_col="g", window=3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bollinger_bands(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", window=3,
+        ).collect()
+    )
+    assert got == want and len(want) >= 10
+
+    # replay idempotence: rewriting batch 0's partition with the same
+    # partials leaves the aggregated store identical
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store)
+        .groupBy("k", "t").agg(F.sum("__s").alias("s")).collect()
+    )
+    b0 = spark.read.parquet(store).filter(F.col("__batch") == 0)
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(store)
+    )
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store)
+        .groupBy("k", "t").agg(F.sum("__s").alias("s")).collect()
+    )
+    assert before == after
