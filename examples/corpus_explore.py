@@ -34,6 +34,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     for r in docs.pmi_collocations(k=5, min_count=3).df.collect():
         print(f"  {r['w1']} {r['w2']}  pmi={r['pmi']:.3f}  n={r['c12']}")
 
+    # 1b. is the near-dup banding tuned for THIS corpus? (r12)
+    print("-- LSH candidate-Jaccard deciles (16 hashes, 4 bands) --")
+    for r in docs.lsh_candidate_calibration("doc_id", "text").df.orderBy(
+        "jaccard_decile"
+    ).collect():
+        print(f"  decile {r['jaccard_decile']}: {r['n_pairs']} pairs")
+
     # 2. retrieval spot-check through the persisted inverted index
     from pybabe_spark.operators.tfidf import bm25_search_stored
 
