@@ -3067,6 +3067,129 @@ def anova_f_sql(select: str, group_col: str, value_col: str) -> str:
     """
 
 
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    g_crit: float | None = None,
+) -> DataFrame:
+    """Grubbs' single-outlier test per group — ``(group?, n,
+    suspect_value, g_stat, significant?)`` with
+
+        G = max|x − x̄| / s      (two-sided, sample s)
+
+    — "is the most extreme point statistically an outlier", the
+    principled alternative to eyeballing :func:`mad_anomalies`' flags
+    when you need ONE defensible yes/no per group. Supply ``g_crit``
+    from the Grubbs table for (n, α); ``significant`` compares the
+    rounded G (house convention).
+
+    ONE map-combinable aggregation: ``max|x − x̄| = max(max − x̄,
+    x̄ − min)`` — no second pass, no window, because the extreme
+    deviation is always AT an extreme order statistic. Moments are
+    exact DECIMAL(38,0) cents; the finish (mean, sample sd, G) is a
+    single fixed-shape IEEE expression rounded once to DECIMAL(18,6).
+    ``suspect_value`` is the extreme on the larger-deviation side
+    (ties toward the max — fixed, engine-identical tiebreak). NULL
+    G when n < 3 or zero variance.
+    """
+    keys = [by] if by else []
+    ok = F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        df.filter(ok)
+        .select(*keys, x.alias("__x"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d(F.col("__x"))).cast("decimal(38,0)").alias("__s"),
+            F.sum(d(F.col("__x")) * F.col("__x"))
+            .cast("decimal(38,0)")
+            .alias("__q"),
+            F.max("__x").alias("__mx"),
+            F.min("__x").alias("__mn"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var_num = (d(F.col("n")) * F.col("__q") - F.col("__s") * F.col("__s"))
+    sd = F.sqrt(_sdiv(var_num.cast("double"), nd * (nd - 1.0)))
+    dev_hi = F.col("__mx").cast("double") - mean
+    dev_lo = mean - F.col("__mn").cast("double")
+    g6 = _sdiv(F.greatest(dev_hi, dev_lo), sd).cast("decimal(18,6)")
+    okg = (F.col("n") >= 3) & (var_num > 0)
+    suspect = F.when(
+        dev_hi >= dev_lo, F.col("__mx")
+    ).otherwise(F.col("__mn"))
+    cols = [
+        *keys,
+        "n",
+        (suspect.cast("double") / 100.0).alias("suspect_value"),
+        F.when(okg, g6.cast("double")).alias("g_stat"),
+    ]
+    if g_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(okg, g6.cast("double") > float(g_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return agg.select(*cols)
+
+
+def grubbs_test_sql(
+    table: str,
+    value_col: str,
+    by: str | None = None,
+    g_crit: float | None = None,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB oracle of :func:`grubbs_test` — same cents moments,
+    max-side deviation identity, fixed-shape G, 6 dp rounding."""
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"(CAST(s AS DOUBLE) / {nd})"
+    sd = (
+        f"sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)"
+        f" / ({nd} * ({nd} - 1.0)))"
+    )
+    g = (
+        f"(GREATEST(CAST(mx AS DOUBLE) - {mean},"
+        f" {mean} - CAST(mn AS DOUBLE)) / {sd})"
+    )
+    okg = "n >= 3 AND CAST(n AS HUGEINT) * q - s * s > 0"
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okg} THEN
+             CAST(CAST({g} AS DECIMAL(18,6)) AS DOUBLE) > {float(g_crit)}
+           END, FALSE) AS significant"""
+        if g_crit is not None
+        else ""
+    )
+    return f"""
+    WITH m AS (
+        SELECT {keys}CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST({x} AS HUGEINT)) AS s,
+               SUM(CAST({x} AS HUGEINT) * {x}) AS q,
+               MAX({x}) AS mx, MIN({x}) AS mn
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND ({where})
+        {gby}
+    )
+    SELECT {keys}n,
+           CAST(CASE WHEN CAST(mx AS DOUBLE) - {mean}
+                          >= {mean} - CAST(mn AS DOUBLE)
+                THEN mx ELSE mn END AS DOUBLE) / 100.0 AS suspect_value,
+           CASE WHEN {okg} THEN
+             CAST(CAST({g} AS DECIMAL(18,6)) AS DOUBLE) END AS g_stat
+           {sig}
+    FROM m
+    """
+
+
 def tukey_hsd(
     df: DataFrame,
     group_col: str,

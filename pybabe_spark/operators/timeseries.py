@@ -3898,6 +3898,193 @@ def seasonal_decompose_mult_sql(
     """
 
 
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    z_crit: float | None = 1.959964,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key over the bucketed series —
+    ``(key, n, n_above, n_below, runs, z, significant?)``: is the
+    above/below-mean pattern RANDOM, or does it cluster (trend /
+    regime persistence, z < 0: fewer runs than chance) or alternate
+    (over-correction, z > 0)? The model-free randomness check next to
+    :func:`acf`'s correlation view and durbin_watson's lag-1 readout:
+
+        z = (R − μ) / σ,   μ = 2·n₁·n₀/n + 1,
+        σ² = 2·n₁·n₀·(2·n₁·n₀ − n) / (n²·(n − 1))
+
+    Determinism: the series is exact cents bucket SUMS on unique
+    bucket indices (the :func:`bollinger_bands` grain — a raw-event
+    ordering would be tie-ambiguous); the dichotomy is
+    above-the-key-mean via the EXACT integer comparison
+    ``v·n > Σv`` (no IEEE mean ever computed — the one subtle trick:
+    multiply through by n instead of dividing), with exactly-mean
+    buckets counted BELOW (fixed convention, stated not hidden);
+    run boundaries come from one lag over the bucket grain, and the
+    finish is a single fixed-shape IEEE expression rounded once to
+    DECIMAL(18,6). z is NULL when n < 2 or either side is empty.
+
+    Scale shape: one corpus bucket agg, one key-grain totals join
+    back (broadcast-sized), one key-partitioned lag window over the
+    bucket grain (≤ one row per key-hour), one key agg.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("runs_test: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    from pybabe_spark.operators._util import lazy_persist
+
+    b = lazy_persist(b)  # totals branch + lag branch
+    tot = b.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sv"),
+    )
+    j = b.join(tot, "k").withColumn(
+        # v > mean  <=>  v·n > Σv — exact integers, no IEEE mean
+        "__up",
+        (
+            F.col("__v").cast("decimal(38,0)") * F.col("__n")
+            > F.col("__sv")
+        ).cast("int"),
+    )
+    w = Window.partitionBy("k").orderBy("t")
+    marked = j.withColumn(
+        "__brk",
+        F.when(
+            F.lag("__up").over(w).isNull()
+            | (F.lag("__up").over(w) != F.col("__up")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    agg = marked.groupBy("k").agg(
+        F.max("__n").alias("n"),
+        F.sum("__up").cast("bigint").alias("n_above"),
+        (F.max("__n") - F.sum("__up")).cast("bigint").alias("n_below"),
+        F.sum("__brk").cast("bigint").alias("runs"),
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    n1 = F.col("n_above").cast("double")
+    n0 = F.col("n_below").cast("double")
+    nd = F.col("n").cast("double")
+    two = 2.0 * n1 * n0
+    mu = two / nd + 1.0
+    sigma = F.sqrt(
+        _sdiv(two * (two - nd), nd * nd * (nd - 1.0))
+    )
+    z6 = _sdiv(F.col("runs").cast("double") - mu, sigma).cast(
+        "decimal(18,6)"
+    )
+    okz = (F.col("n") >= 2) & (F.col("n_above") > 0) & (
+        F.col("n_below") > 0
+    )
+    cols = [
+        F.col("k").alias(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        "n_above", "n_below", "runs",
+        F.when(okz, z6.cast("double")).alias("z"),
+    ]
+    if z_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(okz, F.abs(z6.cast("double")) > float(z_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return agg.select(*cols)
+
+
+def runs_test_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    z_crit: float | None = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`runs_test` — same exact bucket sums,
+    integer mean comparison, LAG run boundaries, fixed-shape z."""
+    bus = int(bucket_seconds) * 1_000_000
+    n1, n0 = "CAST(n_above AS DOUBLE)", "CAST(n_below AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
+    two = f"(2.0 * {n1} * {n0})"
+    mu = f"({two} / {nd} + 1.0)"
+    sigma = (
+        f"sqrt({two} * ({two} - {nd}) / ({nd} * {nd} * ({nd} - 1.0)))"
+    )
+    z6 = f"CAST((CAST(runs AS DOUBLE) - {mu}) / {sigma} AS DECIMAL(18,6))"
+    okz = "n >= 2 AND n_above > 0 AND n_below > 0"
+    sig = (
+        f""",
+           COALESCE(CASE WHEN {okz} THEN
+             abs(CAST({z6} AS DOUBLE)) > {float(z_crit)} END, FALSE)
+             AS significant"""
+        if z_crit is not None
+        else ""
+    )
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY k, t
+    ),
+    tot AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(v AS HUGEINT)) AS sv
+        FROM b GROUP BY k
+    ),
+    marked AS (
+        SELECT b.k,
+               CASE WHEN CAST(v AS HUGEINT) * n > sv THEN 1 ELSE 0 END
+                 AS up,
+               CASE WHEN LAG(CASE WHEN CAST(v AS HUGEINT) * n > sv
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY b.k ORDER BY t) IS DISTINCT
+                         FROM CASE WHEN CAST(v AS HUGEINT) * n > sv
+                                   THEN 1 ELSE 0 END
+                    THEN 1 ELSE 0 END AS brk,
+               n
+        FROM b JOIN tot ON b.k = tot.k
+    ),
+    agg AS (
+        SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(up) AS BIGINT) AS n_above,
+               CAST(MAX(n) - SUM(up) AS BIGINT) AS n_below,
+               CAST(SUM(brk) AS BIGINT) AS runs
+        FROM marked GROUP BY k
+    )
+    SELECT k AS {key_col}, n, n_above, n_below, runs,
+           CASE WHEN {okz} THEN CAST({z6} AS DOUBLE) END AS z
+           {sig}
+    FROM agg
+    """
+
+
 def bollinger_bands(
     df: DataFrame,
     key_col: str,

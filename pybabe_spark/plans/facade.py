@@ -736,6 +736,18 @@ class Babe:
 
         return self._wrap(mcc(self.df, label_col, pred_col))
 
+    def grubbs_test(self, value_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import grubbs_test
+
+        return self._wrap(grubbs_test(self.df, value_col, by, **kwargs))
+
+    def runs_test(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import runs_test
+
+        return self._wrap(
+            runs_test(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def ece(self, score_col, label_col, bins=10) -> "Babe":
         from pybabe_spark.operators.classifier import ece
 

@@ -2336,6 +2336,51 @@ def q_attribution_linear(spark, sf_dir):
     return _attr_query(spark, sf_dir, "linear")
 
 
+def _grubbs_sql() -> str:
+    from pybabe_spark.operators.sketch import grubbs_test_sql
+
+    return grubbs_test_sql(
+        "orders", "o_totalprice", by="o_orderpriority", g_crit=4.5
+    )
+
+
+@register("grubbs_orders", _grubbs_sql())
+def q_grubbs(spark, sf_dir):
+    """Grubbs' single-outlier test on order value per priority
+    (operators/sketch.py::grubbs_test): is each priority's most
+    extreme order a statistical outlier (G vs ≈4.5, the two-sided
+    large-n critical) — the one-number defensible verdict next to
+    mad_anomalies' row flags. ONE aggregation: max|x−mean| =
+    max(max−mean, mean−min), exact decimal moments, fixed-shape G."""
+    from pybabe_spark.operators.sketch import grubbs_test
+
+    orders = read_table(spark, sf_dir, "orders")
+    return grubbs_test(
+        orders, "o_totalprice", by="o_orderpriority", g_crit=4.5
+    )
+
+
+def _runs_test_sql() -> str:
+    from pybabe_spark.operators.timeseries import runs_test_sql
+
+    return runs_test_sql("events", "event_type", "ts", "value")
+
+
+@register("runs_test_events", _runs_test_sql())
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event type over hourly value sums
+    (operators/timeseries.py::runs_test): does the above/below-mean
+    pattern cluster (regime persistence) or alternate — the
+    model-free randomness check beside acf_user_values and
+    durbin_watson_events. Exact integer mean-dichotomy (v·n > Σv, no
+    IEEE mean), lag-window run boundaries on the bucket grain,
+    fixed-shape z."""
+    from pybabe_spark.operators.timeseries import runs_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return runs_test(ev, "event_type", "ts", "value")
+
+
 def _bollinger_sql() -> str:
     from pybabe_spark.operators.timeseries import bollinger_bands_sql
 

@@ -44,7 +44,7 @@ _DELICATE = re.compile(
     # integral ppm, rank machinery, per-term-rounded sums)
     r"|tukey|friedman|kendall|partial_corr|odds_ratio|page_trend"
     r"|cochran|mcc_|pr_auc|ece_|bollinger|lorenz|herfindahl"
-    r"|assortativity|jaccard_links"
+    r"|assortativity|jaccard_links|grubbs|runs_test|lsh_calibration"
 )
 
 all_queries()

@@ -523,3 +523,76 @@ def test_lsh_calibration_separates_dup_from_noise(spark):
     assert hist.get(9, 0) >= 8  # every exact-dup pair scores 1e6
     with pytest.raises(ValueError):
         lsh_candidate_calibration(df, "doc_id", "text", n_buckets=1)
+
+
+def test_grubbs_hand_model(spark):
+    from pybabe_spark.operators.sketch import grubbs_test
+
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 30.0]  # 30 is the outlier
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    out = grubbs_test(df, "v", by="g", g_crit=1.887).collect()[0]
+    cents = [int(round(v * 100)) for v in vals]
+    n = len(cents)
+    mean = sum(cents) / n
+    sd = math.sqrt(
+        (n * sum(c * c for c in cents) - sum(cents) ** 2) / (n * (n - 1))
+    )
+    g = max(max(cents) - mean, mean - min(cents)) / sd
+    assert out["n"] == 6
+    assert out["suspect_value"] == 30.0
+    assert abs(out["g_stat"] - round(g, 6)) < 1e-9
+    assert out["significant"] is True  # G ≈ 2.02 > 1.887 (n=6, α=.05)
+
+    # low-side outlier flips the suspect side
+    low = spark.createDataFrame(
+        [("g", v) for v in [10.0, 11.0, 10.5, -20.0]],
+        "g string, v double",
+    )
+    assert grubbs_test(low, "v", by="g").collect()[0][
+        "suspect_value"] == -20.0
+    # constant series: NULL G
+    const = spark.createDataFrame(
+        [("g", 5.0)] * 4, "g string, v double"
+    )
+    assert grubbs_test(const, "v", by="g").collect()[0]["g_stat"] is None
+
+
+def test_runs_test_patterns(spark):
+    from datetime import datetime
+
+    from pybabe_spark.operators.timeseries import runs_test
+
+    base = datetime(2024, 1, 1)
+
+    def series(vals, key="k"):
+        return [
+            (key, base.replace(hour=h % 24, day=1 + h // 24), float(v))
+            for h, v in enumerate(vals)
+        ]
+
+    # perfect alternation around the mean: maximum runs, z > 0
+    alt = spark.createDataFrame(
+        series([1, 9] * 6), "g string, ts timestamp, v double"
+    )
+    r = runs_test(alt, "g", "ts", "v").collect()[0]
+    assert (r["n"], r["n_above"], r["n_below"]) == (12, 6, 6)
+    assert r["runs"] == 12
+    # hand z: mu = 2*36/12+1 = 7 ; sigma2 = 72*(72-12)/(144*11)
+    mu = 7.0
+    sigma = math.sqrt(72 * 60 / (144.0 * 11))
+    assert abs(r["z"] - round((12 - mu) / sigma, 6)) < 1e-9
+    assert r["significant"] is True
+
+    # two blocks (all lows then all highs): exactly 2 runs, z < 0
+    blocks = spark.createDataFrame(
+        series([1] * 6 + [9] * 6), "g string, ts timestamp, v double"
+    )
+    rb = runs_test(blocks, "g", "ts", "v").collect()[0]
+    assert rb["runs"] == 2 and rb["z"] < 0
+    # constant series: one side empty -> NULL z
+    const = spark.createDataFrame(
+        series([5] * 8), "g string, ts timestamp, v double"
+    )
+    rc = runs_test(const, "g", "ts", "v").collect()[0]
+    assert rc["z"] is None and rc["significant"] is False
