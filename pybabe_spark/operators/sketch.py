@@ -3388,39 +3388,43 @@ def tukey_hsd_sql(
     """
 
 
-def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
-    """Shared rank machinery of :func:`kruskal_wallis` and
-    :func:`dunn_test`: exact doubled-midrank group sums over the
-    de-globalized 1024-cell cumulative (see kruskal_wallis's docstring
-    for the full shape). Returns ``(per_g, vtot)`` — per_g has
-    ``(__g, __ng, __rs2)`` with __rs2 the exact DECIMAL(38,0) doubled
-    rank sum; vtot is the (value, count) grain for tie corrections.
+def _kw_enriched(
+    df: DataFrame, group_col: str, value_col: str, persist: bool = True
+):
+    """The shared (value, group)-grain rank stage behind
+    :func:`_kw_rank_sums` and :func:`_kw_core_rolled`: returns
+    ``(cnt, enriched)`` where cnt is the (``__v``, ``__g``, ``__c``)
+    count grain and enriched adds the exact doubled midrank
+    ``__r2 = 2·cum_<(v) + n_v + 1`` and the per-value total ``__nv``
+    (peers-only RANGE sum) via the de-globalized 1024-cell cumulative
+    — see :func:`kruskal_wallis` for the full shape.
 
-    r12 shape: the doubled midrank ``r2(v) = 2·cum_<(v) + n_v + 1`` is
-    computed DIRECTLY on the (value, group) count grain with RANGE
-    frames — ``cum_<(v)`` is the per-cell range-cumulative up to
-    ``__v − 1`` (excludes ALL peers, both groups' rows at v) plus the
-    cell offset, and ``n_v`` is the peers-only range sum — so the old
-    distinct-value rank table and its (value)-keyed shuffle join back
-    to the counts (the plan's only corpus²-grain-ish shuffle pair) are
-    gone: one hash agg, one bucket-partitioned window, one group agg.
+    ``persist``: pin the count grain (default). The multi-action
+    consumers (:func:`_kw_rank_sums`'s per_g + vtot pair feeding
+    separate KW/Dunn finishes) need the pin or every downstream action
+    re-runs the scan + first shuffle. The single-action rolled core
+    passes False: within ONE plan, ReuseExchange dedups the grain's
+    exchange across branches, and A/B runs showed the InMemoryRelation
+    pin consistently ~0.8 s SLOWER there (cache-write cost + the
+    relation blocking AQE exchange reuse, so six branch jobs raced to
+    build the same cache).
     """
     buckets = 1024
     ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
     from pybabe_spark.operators._util import attach_scalars, lazy_persist
 
-    # the (value, group) grain feeds SEVEN downstream branches (vtot,
-    # range stats, cell totals, offsets, the window main path, and the
-    # consumers' tie/total aggs); without a pin each branch re-runs the
-    # scan + first shuffle — plan audit showed 7 parquet scans
-    cnt = lazy_persist(
+    cnt = (
         df.filter(ok)
         .groupBy(x.alias("__v"), F.col(group_col).alias("__g"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    vtot = cnt.groupBy("__v").agg(F.sum("__c").alias("__nv"))
-
+    # the grain feeds several downstream branches (vtot, range stats,
+    # cell totals, offsets, the window main path, and the consumers'
+    # tie/total aggs); in the multi-action shape each branch would
+    # re-run the scan + first shuffle without the pin
+    if persist:
+        cnt = lazy_persist(cnt)
     stats = cnt.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     j = attach_scalars(cnt, stats).withColumn(
         "__b",
@@ -3449,22 +3453,78 @@ def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
     )
     # peers-only RANGE sum = n_v, no distinct-value table needed
     n_v = F.sum("__c").over(wv.rangeBetween(0, 0))
+    enriched = j.join(F.broadcast(offs), ["__b"]).select(
+        "__v",
+        "__g",
+        "__c",
+        (2 * (F.col("__off") + cum_lt) + n_v + 1).alias("__r2"),
+        n_v.alias("__nv"),
+    )
+    return cnt, enriched
+
+
+def _kw_rank_sums(df: DataFrame, group_col: str, value_col: str):
+    """Shared rank machinery of :func:`kruskal_wallis` and
+    :func:`dunn_test`: exact doubled-midrank group sums over the
+    de-globalized 1024-cell cumulative (see kruskal_wallis's docstring
+    for the full shape). Returns ``(per_g, vtot)`` — per_g has
+    ``(__g, __ng, __rs2)`` with __rs2 the exact DECIMAL(38,0) doubled
+    rank sum; vtot is the (value, count) grain for tie corrections.
+
+    r12 shape: the doubled midrank ``r2(v) = 2·cum_<(v) + n_v + 1`` is
+    computed DIRECTLY on the (value, group) count grain with RANGE
+    frames — ``cum_<(v)`` is the per-cell range-cumulative up to
+    ``__v − 1`` (excludes ALL peers, both groups' rows at v) plus the
+    cell offset, and ``n_v`` is the peers-only range sum — so the old
+    distinct-value rank table and its (value)-keyed shuffle join back
+    to the counts (the plan's only corpus²-grain-ish shuffle pair) are
+    gone: one hash agg, one bucket-partitioned window, one group agg.
+    """
+    cnt, enriched = _kw_enriched(df, group_col, value_col)
+    vtot = cnt.groupBy("__v").agg(F.sum("__c").alias("__nv"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_g = (
-        j.join(F.broadcast(offs), ["__b"])
-        .withColumn(
-            "__r2",
-            2 * (F.col("__off") + cum_lt) + n_v + 1,
-        )
-        .groupBy("__g")
-        .agg(
-            F.sum("__c").alias("__ng"),
-            F.sum(d(F.col("__c")) * F.col("__r2"))
-            .cast("decimal(38,0)")
-            .alias("__rs2"),
-        )
+    per_g = enriched.groupBy("__g").agg(
+        F.sum("__c").alias("__ng"),
+        F.sum(d(F.col("__c")) * F.col("__r2"))
+        .cast("decimal(38,0)")
+        .alias("__rs2"),
     )
     return per_g, vtot
+
+
+def _kw_core_rolled(df: DataFrame, group_col: str, value_col: str):
+    """Per-group rank sums AND the exact global tie mass in ONE
+    aggregate — the single-action core behind the KW/Dunn session memo
+    (r12 paid three driver actions: the lazy_persist build, the tie
+    collect, the per-group collect; this folds them into one job).
+
+    ``rollup(__g)`` over the enriched (value, group) grain returns one
+    row per group carrying (``__ng``, ``__rs2``) plus the grand-total
+    row (``__g`` NULL — impossible for a real group, NULL groups are
+    filtered at the grain) whose ``__ties`` column is the exact tie
+    mass: since ``Σ_g c_vg = n_v``, the per-row integer term
+    ``c·(n_v² − 1)`` sums over all rows to exactly
+    ``Σ_v (n_v³ − n_v)`` — no separate value-grain aggregate needed.
+    All terms are DECIMAL(38,0)-exact (n_v³ ≤ N³; N ≤ 10¹² keeps the
+    sum within 38 digits).
+    """
+    _, enriched = _kw_enriched(df, group_col, value_col, persist=False)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return enriched.rollup("__g").agg(
+        F.sum("__c").alias("__ng"),
+        F.sum(d(F.col("__c")) * F.col("__r2"))
+        .cast("decimal(38,0)")
+        .alias("__rs2"),
+        F.coalesce(
+            F.sum(
+                d(F.col("__c"))
+                * (d(F.col("__nv")) * F.col("__nv") - F.lit(1))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__ties"),
+    )
 
 
 def _kw_tie_sum(vtot: DataFrame) -> DataFrame:
