@@ -123,7 +123,11 @@ def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
 
 #: queries whose first timed run computes a session-memoized stage that
 #: every later run (and sibling key) reuses
-_FIRST_RUN_KEYS = {"entity_resolution_customers", "kruskal_wallis_lineitem"}
+_FIRST_RUN_KEYS = {
+    "entity_resolution_customers",
+    "kruskal_wallis_lineitem",
+    "jaccard_links_suppliers",
+}
 
 #: (owner, reuser) pairs that share an in-process memoized stage: the
 #: reuser is pulled adjacent to its owner so both land in the same
@@ -131,6 +135,7 @@ _FIRST_RUN_KEYS = {"entity_resolution_customers", "kruskal_wallis_lineitem"}
 _MEMO_PAIRS = [
     ("entity_resolution_customers", "golden_record_customers"),
     ("kruskal_wallis_lineitem", "dunn_test_lineitem"),
+    ("jaccard_links_suppliers", "adamic_adar_suppliers"),
 ]
 
 

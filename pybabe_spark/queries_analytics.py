@@ -1595,6 +1595,53 @@ def _supplier_edges(spark, sf_dir, mod: int = 7):
     )
 
 
+#: session → {(sf_dir, mod): localCheckpoint-pinned canonical edge
+#: table} for the sampled supplier co-occurrence graph —
+#: jaccard_links_suppliers and adamic_adar_suppliers are sibling link
+#: predictors over the IDENTICAL mod-63 edge set, and the lineitem
+#: order-basket self-join that builds it is the dominant shared stage
+#: (~3 s at sf0.1 vs sub-second wedge work on the ~19k edges that come
+#: out). The _er_clusters idiom: weak session keys, lazy checkpoint —
+#: construction stays job-free, the first consumer's action pins the
+#: blocks, every later consumer reads them for free.
+_SUPPLIER_EDGE_MEMO: "_weakref.WeakKeyDictionary" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _supplier_canonical_edges(spark, sf_dir, mod: int = 63):
+    """Canonical (id_a < id_b, distinct) supplier co-occurrence edges,
+    pinned per session+dataset+sample. Canonicalization here matches
+    the operators' own (least/greatest + distinct) rule, which is
+    idempotent — the operators re-apply it to the pinned table at
+    ~19k-row cost, so semantics are bit-identical to the unshared
+    path."""
+    try:
+        per_session = _SUPPLIER_EDGE_MEMO.get(spark)
+        if per_session is None:
+            per_session = {}
+            _SUPPLIER_EDGE_MEMO[spark] = per_session
+    except TypeError:  # non-weakref-able session double in tests
+        per_session = {}
+    key = (sf_dir, mod)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
+    raw = _supplier_edges(spark, sf_dir, mod=mod)
+    e = (
+        raw.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_session[key] = e
+    return e
+
+
 def _adamic_adar_sql():
     from pybabe_spark.operators.graph import adamic_adar_sql
 
@@ -1618,10 +1665,13 @@ def q_adamic_adar(spark, sf_dir):
     is Θ(n·d̄²) by definition — real co-occurrence graphs are sparse
     and the capped-center bound is the interesting part (the
     adamic_adar STRESS family measures exponent 0.25 on a
-    degree-flat graph)."""
+    degree-flat graph). The mod-63 edge table is shared with
+    jaccard_links_suppliers through :func:`_supplier_canonical_edges`
+    (computed once per session+dataset — the sibling predictors run on
+    the identical graph)."""
     from pybabe_spark.operators.graph import adamic_adar
 
-    edges = _supplier_edges(spark, sf_dir, mod=63)
+    edges = _supplier_canonical_edges(spark, sf_dir, mod=63)
     return adamic_adar(edges, max_degree=256, top_n=100)
 
 
@@ -1642,10 +1692,12 @@ def q_jaccard_links(spark, sf_dir):
     over ≤256-degree wedge centers (the capped-candidate contract)
     and the union over FULL degrees; the score is one exact floored
     integer division, so the ranking is engine-identical by
-    construction."""
+    construction. The mod-63 edge table is shared with
+    adamic_adar_suppliers through :func:`_supplier_canonical_edges`
+    (the lineitem basket self-join is the dominant shared stage)."""
     from pybabe_spark.operators.graph import jaccard_link_prediction
 
-    edges = _supplier_edges(spark, sf_dir, mod=63)
+    edges = _supplier_canonical_edges(spark, sf_dir, mod=63)
     return jaccard_link_prediction(edges, max_degree=256, top_n=100)
 
 
