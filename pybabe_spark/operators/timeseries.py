@@ -873,11 +873,23 @@ def acf(
     """
     if lags < 1 or lags > 32:
         raise ValueError("acf: lags must be 1..32")
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col), F.col(ts_col), x.alias("__x")
     )
+    return _acf_core(base, key_col, ts_col, lags)
+
+
+def _acf_core(
+    base: DataFrame, key_col: str, ts_col: str, lags: int
+) -> DataFrame:
+    """The exact integral acf machinery of :func:`acf` over a prepared
+    ``(key, order, __x bigint-cents)`` frame — split out (the
+    ``_bollinger_from_buckets`` discipline) so the streaming-
+    maintained bucket-sum store (`streaming/ops.stream_bucket_sums` →
+    :func:`acf_from_store`) computes the IDENTICAL correlogram from
+    incrementally-folded partials."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     lag_cols = [F.lag("__x", h).over(w).alias(f"__l{h}") for h in range(1, lags + 1)]
     rows = base.select(key_col, "__x", *lag_cols)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -999,6 +1011,105 @@ def acf_sql(
            CAST(acf_ppm AS DOUBLE) / 1e6 AS acf
     FROM ({union})
     """
+
+
+def acf_bucketed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    lags: int = 3,
+) -> DataFrame:
+    """Autocorrelation of the per-key BUCKET-SUM series: events roll up
+    to exact (key, time-bucket) cents sums — the identical transform
+    `streaming/ops.stream_bucket_sums` applies per micro-batch — and
+    the correlogram runs over the bucket series ordered by bucket
+    index (:func:`_acf_core`, the same exact integral identities as
+    :func:`acf`). The burst-persistence question at the traffic grain
+    ("does a hot hour predict the next hot hour") rather than the
+    per-event grain. Output ``(key_col, n, lag, acf_ppm, acf)``.
+
+    Twin contract: :func:`acf_from_store` over a store maintained by
+    ``stream_bucket_sums`` on the same events is output-identical
+    (bigint cents partials reaggregate exactly; proven in
+    test_streaming.py alongside the bollinger twin).
+    """
+    if lags < 1 or lags > 32:
+        raise ValueError("acf_bucketed: lags must be 1..32")
+    if bucket_seconds <= 0:
+        raise ValueError("acf_bucketed: bucket_seconds must be positive")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__x"))
+    )
+    return _acf_core(
+        b.select(F.col("k").alias(key_col), "t", "__x"), key_col, "t", lags
+    )
+
+
+def acf_from_store(
+    spark,
+    store_path: str,
+    key_col: str = "k",
+    lags: int = 3,
+) -> DataFrame:
+    """Correlogram over a streaming-maintained bucket-sum store
+    (`streaming/ops.stream_bucket_sums`): partial cents sums
+    reaggregate exactly (bigint addition is associative), then the
+    SAME machinery as :func:`acf_bucketed` — proven output-identical
+    to the batch operator over the full history (the
+    bollinger_from_store twin discipline)."""
+    partials = spark.read.parquet(store_path)
+    b = partials.groupBy("k", "t").agg(F.sum("__s").alias("__x"))
+    return _acf_core(
+        b.select(F.col("k").alias(key_col), "t", "__x"), key_col, "t", lags
+    )
+
+
+def acf_bucketed_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    lags: int = 3,
+) -> str:
+    """DuckDB oracle of :func:`acf_bucketed` — the bucket-sum rollup
+    as a subquery feeding :func:`acf_sql`'s integral machinery. The
+    bucket sum arrives in cents, so the inner lift multiplies by 1
+    (cents/100 re-lifted by acf_sql's ×100) via a DECIMAL(18,2)
+    dollars view of the exact cents sum."""
+    bus = int(bucket_seconds) * 1_000_000
+    inner = f"""(
+        SELECT {key_col}, t AS __t,
+               CAST(CAST(v_cents AS DECIMAL(38,2)) / 100
+                    AS DECIMAL(18,2)) AS __val
+        FROM (
+            SELECT {key_col},
+                   epoch_us({ts_col}) // {bus} AS t,
+                   SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS v_cents
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND {value_col} IS NOT NULL
+            GROUP BY {key_col}, t
+        )
+    )"""
+    return acf_sql(inner, key_col, "__t", "__val", lags=lags)
 
 
 def ohlc_bars(

@@ -3337,6 +3337,33 @@ def q_acf(spark, sf_dir):
     return acf(ev, "user_id", "ts", "value", lags=3)
 
 
+def _acf_bucketed_sql():
+    from pybabe_spark.operators.timeseries import acf_bucketed_sql
+
+    return acf_bucketed_sql(
+        "events", "user_id", "ts", "value", bucket_seconds=3600, lags=3
+    )
+
+
+@register("acf_bucketed_events", _acf_bucketed_sql())
+def q_acf_bucketed(spark, sf_dir):
+    """Per-user autocorrelation of HOURLY cents-sum buckets at lags
+    1-3 (operators/timeseries.py::acf_bucketed): events roll up to the
+    exact (user, hour) cents grain — the identical transform
+    streaming/ops.stream_bucket_sums folds per micro-batch, so
+    acf_from_store over a streaming-maintained store is proven
+    output-identical (the bollinger_from_store twin discipline) — then
+    acf's integral machinery runs on the bucket series. Answers burst
+    persistence at the traffic grain; one map-combinable hash agg +
+    acf's two key shuffles."""
+    from pybabe_spark.operators.timeseries import acf_bucketed
+
+    ev = read_table(spark, sf_dir, "events")
+    return acf_bucketed(
+        ev, "user_id", "ts", "value", bucket_seconds=3600, lags=3
+    )
+
+
 def _ljung_box_sql():
     from pybabe_spark.operators.timeseries import ljung_box_sql
 

@@ -882,3 +882,68 @@ def test_stream_bucket_sums_bollinger_matches_batch(spark, tmp_path):
         .groupBy("k", "t").agg(F.sum("__s").alias("s")).collect()
     )
     assert before == after
+
+
+def test_stream_bucket_sums_acf_matches_batch(spark, tmp_path):
+    """The second store-twin family (r12 verdict task #7): micro-batched
+    event files folded through stream_bucket_sums, then acf_from_store
+    == batch acf_bucketed over the union — EXACT equality on the
+    integral ppm correlogram (bigint cents partials reaggregate
+    exactly; both paths share _acf_core, so the property under test is
+    the store's partial-sum fold reproducing the batch bucket grain)."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        acf_bucketed,
+        acf_from_store,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                f"k{i % 2}",
+                base + dt.timedelta(hours=(i % 9) + b, minutes=i % 41),
+                float((i * 31 + b * 11) % 70) + 0.5,
+            )
+            for i in range(40)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in acf_from_store(spark, store, key_col="g", lags=2)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in acf_bucketed(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", bucket_seconds=3600, lags=2,
+        ).collect()
+    )
+    assert got == want
+    # two keys x two lags, with enough buckets for defined acf
+    assert len(want) == 4
+    assert any(r[3] is not None for r in want)
