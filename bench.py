@@ -427,6 +427,11 @@ LOWMEM_FAMILIES = [
     # concordance join and the ≤k-row block-rank windows
     "kendall_tau",
     "friedman",
+    # r13 (r12 verdict ask #5): the r12 heavy shapes not yet squeezed —
+    # bucket RANGE windows, degree-moment joins, degree-riding wedge agg
+    "bollinger",
+    "assortativity",
+    "jaccard_links",
 ]
 
 
@@ -1230,6 +1235,24 @@ def stress(
                     )
                 ),
             ).count(),
+            # r13: same chain+skip edges as adamic_adar (degree ≤ 4
+            # flat) through the degree-riding wedge agg — wedge volume
+            # ∝ nodes, the capped-center linear regime
+            "jaccard_links": lambda: __import__(
+                "pybabe_spark.operators.graph",
+                fromlist=["jaccard_link_prediction"],
+            ).jaccard_link_prediction(
+                docs.select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"),
+                ).unionAll(
+                    docs.select(
+                        F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 2).alias("id_b"),
+                    )
+                ),
+                top_n=100,
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index
@@ -1314,13 +1337,26 @@ def stress(
             full = json.load(open(path))
         except (OSError, ValueError):
             full = {}
+        # targeted lowmem runs (new families) MERGE into the standing
+        # section — clobbering would silently drop the other families'
+        # oom=false evidence (the same rule the non-lowmem targeted
+        # path has always had)
+        prev_lm = full.get("lowmem", {})
+        ran = list(only or LOWMEM_FAMILIES)
+        fam_union = list(
+            dict.fromkeys(list(prev_lm.get("families", [])) + ran)
+        )
+        merged_t = dict(prev_lm.get("timings_sec", {}))
+        merged_t.update(out["timings_sec"])
+        merged_b = dict(prev_lm.get("stage_bytes", {}))
+        merged_b.update(out["stage_bytes"])
         full["lowmem"] = {
             "driver_memory": conf["spark.driver.memory"],
             "memory_fraction": conf["spark.memory.fraction"],
             "factors": factors,
-            "families": list((only or LOWMEM_FAMILIES)),
-            "timings_sec": out["timings_sec"],
-            "stage_bytes": out["stage_bytes"],
+            "families": fam_union,
+            "timings_sec": merged_t,
+            "stage_bytes": merged_b,
             "oom": False,  # reaching this line means every family ran
         }
         with open(path, "w") as f:
@@ -1377,7 +1413,13 @@ if __name__ == "__main__":
             if len(sys.argv) > 2
             else [10]
         )
-        stress(factors, lowmem=True, only=LOWMEM_FAMILIES)
+        # optional 3rd arg: comma-separated family subset (a targeted
+        # squeeze of newly-added families; merges into the section)
+        fams = (
+            sys.argv[3].split(",") if len(sys.argv) > 3
+            else LOWMEM_FAMILIES
+        )
+        stress(factors, lowmem=True, only=fams)
     elif len(sys.argv) > 3 and sys.argv[1] == "--chunk":
         _run_chunk(sys.argv[2], sys.argv[3])
     else:
