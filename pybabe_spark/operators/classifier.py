@@ -1354,3 +1354,149 @@ def gains_table_sql(
            END AS lift_ppm
     FROM cumb
     """
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    chi2_crit: float | None = None,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit over the same fixed-width score
+    bins as :func:`calibration_bins`: the inferential companion to the
+    reliability curve — is the observed/expected gap LARGER than
+    chance, ``HL = Σ_g n_g(O_g − E_g)² / (E_g(n_g − E_g))`` vs
+    χ²(bins−2)? ONE output row ``(bins_occupied, n, hl_chi2_ppm,
+    hl_chi2[, significant])``.
+
+    Exactness: scores lift to exact micro-units before binning (the
+    calibration_bins contract), so with ``O_m = 10⁶·O_g`` and
+    ``E_m = Σ micro-scores``, each bin's term is the PURE INTEGER
+    ratio ``n_g·(O_m − E_m)² / (E_m·(10⁶·n_g − E_m))`` — emitted as
+    exact integral ppm per bin and summed as integers: no IEEE
+    anywhere, the whole statistic is engine-identical by construction.
+    Magnitude contract: ``n_g·(O_m−E_m)²·10⁶`` within DECIMAL(38,0) —
+    holds through ~10⁶ rows per bin; beyond that raise ``bins``.
+    HL is NULL when any occupied bin has E_m = 0 or E_m = 10⁶·n_g
+    (degenerate expected rate — the classical applicability bound).
+
+    Scale shape: ONE map-side-combinable hash agg to ≤ ``bins`` rows
+    plus a ≤ ``bins``-row finish.
+    """
+    if bins < 3:
+        raise ValueError(f"hosmer_lemeshow: bins {bins} must be >= 3")
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    binned = df.filter(ok).select(
+        F.expr(
+            f"least(CAST({bins - 1} AS BIGINT),"
+            f" (CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000"
+            f" AS BIGINT) * {bins}) div 1000000)"
+        ).alias("__b"),
+        micro.alias("__m"),
+        (F.col(label_col) != 0).cast("long").alias("__pos"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__pos").cast("bigint").alias("__o"),
+        F.sum(d(F.col("__m"))).cast("decimal(38,0)").alias("__em"),
+    )
+    om = d(F.col("__o") * 1_000_000)
+    nm = d(F.col("__n") * 1_000_000)
+    diff = d(om - F.col("__em"))
+    den = d(F.col("__em") * (nm - F.col("__em")))
+    term = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __n * __diff * __diff)"
+        " div __den"
+    )
+    per = (
+        per.withColumn("__diff", diff)
+        .withColumn("__den", den)
+        .withColumn(
+            "__term",
+            F.when(F.col("__den") != 0, term).cast("decimal(38,0)"),
+        )
+    )
+    one = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bins_occupied"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__den") == 0, 1).otherwise(0)).alias(
+            "__bad"
+        ),
+        F.coalesce(F.sum("__term"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__hl"),
+    )
+    ppm = F.when(F.col("__bad") == 0, F.col("__hl")).cast("bigint")
+    cols = [
+        F.col("bins_occupied"),
+        F.col("n"),
+        ppm.alias("hl_chi2_ppm"),
+        (ppm.cast("double") / 1e6).alias("hl_chi2"),
+    ]
+    if chi2_crit is not None:
+        crit_ppm = int(round(float(chi2_crit) * 1e6))
+        cols.append(
+            F.when(ppm.isNotNull(), ppm > F.lit(crit_ppm))
+            .otherwise(F.lit(False))
+            .alias("significant")
+        )
+    return one.select(*cols)
+
+
+def hosmer_lemeshow_sql(
+    select: str,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    chi2_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`hosmer_lemeshow` — same micro lift and
+    integer bin edges, same all-integer per-bin term and ppm sum."""
+    m = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    sig = ""
+    if chi2_crit is not None:
+        crit_ppm = int(round(float(chi2_crit) * 1e6))
+        sig = (
+            ", COALESCE(CASE WHEN bad = 0 THEN hl > "
+            f"{crit_ppm} END, FALSE) AS significant"
+        )
+    return f"""
+    WITH rows_in AS ({select}),
+    binned AS (
+        SELECT LEAST({bins - 1}, ({m} * {bins}) // 1000000) AS b,
+               {m} AS mval,
+               CASE WHEN {label_col} <> 0 THEN 1 ELSE 0 END AS pos
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+    ),
+    per AS (
+        SELECT b, COUNT(*)::HUGEINT AS n,
+               SUM(pos)::HUGEINT AS o,
+               SUM(CAST(mval AS HUGEINT)) AS em
+        FROM binned GROUP BY b
+    ),
+    terms AS (
+        SELECT n, (o * 1000000 - em) AS diff,
+               em * (n * 1000000 - em) AS den
+        FROM per
+    ),
+    one AS (
+        SELECT COUNT(*)::BIGINT AS bins_occupied,
+               CAST(SUM(n) AS BIGINT) AS n,
+               SUM(CASE WHEN den = 0 THEN 1 ELSE 0 END) AS bad,
+               COALESCE(SUM(CASE WHEN den <> 0 THEN
+                 (1000000::HUGEINT * n * diff * diff) // den END), 0)
+                 AS hl
+        FROM terms
+    )
+    SELECT bins_occupied, n,
+           CAST(CASE WHEN bad = 0 THEN hl END AS BIGINT) AS hl_chi2_ppm,
+           CAST(CAST(CASE WHEN bad = 0 THEN hl END AS BIGINT)
+                AS DOUBLE) / 1e6 AS hl_chi2{sig}
+    FROM one
+    """

@@ -208,3 +208,230 @@ def ols_sql(
            END AS r2
     FROM t
     """
+
+
+def chow_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    regime_col: str,
+    f_crit: float | None = None,
+) -> DataFrame:
+    """Chow structural-break test: did the linear relation
+    ``y = a + b·x`` CHANGE between two regimes (before/after a launch,
+    two cohorts)? Fits pooled and per-regime OLS from the same exact
+    cents moments as :func:`ols` and prices
+
+        F = ((RSS_p − RSS₁ − RSS₂) / 2) / ((RSS₁ + RSS₂) / (n − 4))
+
+    against F(2, n−4). ``regime_col`` is a boolean column (NULL rows
+    excluded). ONE output row ``(n_total, n_a, n_b, rss_pooled,
+    rss_a, rss_b, f[, significant])``.
+
+    Determinism: the six sufficient statistics accumulate per regime
+    in DECIMAL(38,0) inside ONE conditional aggregation (the pooled
+    moments are their sums — no second pass); each RSS is the single
+    IEEE expression ``(deny·denx − num²)/(n·denx·10⁴)`` over exact
+    decimals (the 10⁴ undoes the cents lift — RSS reports in y's
+    natural squared units), rounded once to DECIMAL(18,6) (the r²
+    convention — num² can exceed 38 digits), and F is one fixed-shape
+    expression over the three rounded terms, rounded once. F is NULL
+    when either regime has n < 3, any denx = 0, or RSS₁ + RSS₂ = 0.
+
+    Scale shape: ONE map-side-combinable aggregation to a single row —
+    the 100 TB plan is the partial-agg plan.
+    """
+    ok = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(regime_col).isNotNull()
+    )
+    cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cy = (F.col(y_col).cast("decimal(18,2)") * 100).cast("bigint")
+    r = F.col(regime_col).cast("boolean")
+    nn = df.filter(ok).select(
+        r.alias("__r"), cx.alias("__x"), cy.alias("__y")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def moments(tag: str, pred):
+        w = lambda c: F.when(pred, c)  # noqa: E731
+        return [
+            F.coalesce(F.sum(w(F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias(f"n{tag}"),
+            F.coalesce(F.sum(w(d(F.col("__x")))), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"sx{tag}"),
+            F.coalesce(F.sum(w(d(F.col("__y")))), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"sy{tag}"),
+            F.coalesce(
+                F.sum(w(d(F.col("__x")) * F.col("__y"))), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxy{tag}"),
+            F.coalesce(
+                F.sum(w(d(F.col("__x")) * F.col("__x"))), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxx{tag}"),
+            F.coalesce(
+                F.sum(w(d(F.col("__y")) * F.col("__y"))), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .alias(f"syy{tag}"),
+        ]
+
+    one = nn.agg(
+        *moments("a", F.col("__r")),
+        *moments("b", ~F.col("__r")),
+        *moments("p", F.lit(True)),
+    )
+
+    def rss(tag: str):
+        n = F.col(f"n{tag}").cast("decimal(38,0)")
+        num = d(
+            n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(f"sy{tag}")
+        )
+        denx = d(
+            n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(f"sx{tag}")
+        )
+        deny = d(
+            n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}")
+        )
+        nd = n.cast("double")
+        val = (
+            deny.cast("double")
+            - (num.cast("double") * num.cast("double"))
+            / denx.cast("double")
+        ) / (nd * 10000.0)
+        return F.when(
+            (F.col(f"n{tag}") >= 3) & (denx != 0),
+            val.cast("decimal(18,6)"),
+        )
+
+    one = (
+        one.withColumn("__ra", rss("a"))
+        .withColumn("__rb", rss("b"))
+        .withColumn("__rp", rss("p"))
+    )
+    nt = F.col("np").cast("double")
+    rsum = F.col("__ra").cast("double") + F.col("__rb").cast("double")
+    fstat = (
+        (F.col("__rp").cast("double") - rsum)
+        / 2.0
+        / (rsum / (nt - 4.0))
+    )
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    f_ok = (
+        F.col("__ra").isNotNull()
+        & F.col("__rb").isNotNull()
+        & F.col("__rp").isNotNull()
+        & (rsum > 0.0)
+    )
+    fcol = F.when(f_ok, out(fstat))
+    cols = [
+        F.col("np").alias("n_total"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("__rp").cast("double").alias("rss_pooled"),
+        F.col("__ra").cast("double").alias("rss_a"),
+        F.col("__rb").cast("double").alias("rss_b"),
+        fcol.alias("f"),
+    ]
+    if f_crit is not None:
+        cols.append(
+            F.when(f_ok, fcol > float(f_crit))
+            .otherwise(F.lit(False))
+            .alias("significant")
+        )
+    return one.select(*cols)
+
+
+def chow_test_sql(
+    select: str,
+    x_col: str,
+    y_col: str,
+    regime_col: str,
+    f_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`chow_test` — same HUGEINT conditional
+    moments, same once-rounded RSS terms and fixed-shape F."""
+    cx = f"CAST(CAST({x_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cy = f"CAST(CAST({y_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+    def mom(tag: str, pred: str) -> str:
+        return (
+            f"COALESCE(SUM(CASE WHEN {pred} THEN 1 END), 0)::HUGEINT"
+            f" AS n{tag},"
+            f" COALESCE(SUM(CASE WHEN {pred} THEN CAST(x AS HUGEINT)"
+            f" END), 0) AS sx{tag},"
+            f" COALESCE(SUM(CASE WHEN {pred} THEN CAST(y AS HUGEINT)"
+            f" END), 0) AS sy{tag},"
+            f" COALESCE(SUM(CASE WHEN {pred} THEN CAST(x AS HUGEINT)"
+            f" * y END), 0) AS sxy{tag},"
+            f" COALESCE(SUM(CASE WHEN {pred} THEN CAST(x AS HUGEINT)"
+            f" * x END), 0) AS sxx{tag},"
+            f" COALESCE(SUM(CASE WHEN {pred} THEN CAST(y AS HUGEINT)"
+            f" * y END), 0) AS syy{tag}"
+        )
+
+    def rss(tag: str) -> str:
+        n = f"n{tag}"
+        num = f"({n} * sxy{tag} - sx{tag} * sy{tag})"
+        denx = f"({n} * sxx{tag} - sx{tag} * sx{tag})"
+        deny = f"({n} * syy{tag} - sy{tag} * sy{tag})"
+        nd = f"CAST({n} AS DOUBLE)"
+        val = (
+            f"(CAST({deny} AS DOUBLE)"
+            f" - (CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE))"
+            f" / CAST({denx} AS DOUBLE)) / ({nd} * 10000.0)"
+        )
+        return (
+            f"CASE WHEN {n} >= 3 AND {denx} <> 0"
+            f" THEN CAST({val} AS DECIMAL(18,6)) END"
+        )
+
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    fstat = (
+        "(CAST(rp AS DOUBLE) - (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)))"
+        " / 2.0 / ((CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE))"
+        " / (CAST(np AS DOUBLE) - 4.0))"
+    )
+    f_ok = (
+        "ra IS NOT NULL AND rb IS NOT NULL AND rp IS NOT NULL"
+        " AND (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)) > 0.0"
+    )
+    fcol = f"CASE WHEN {f_ok} THEN {r6(fstat)} END"
+    sig = ""
+    if f_crit is not None:
+        sig = (
+            f", CASE WHEN {f_ok} THEN ({fcol}) > {float(f_crit)}"
+            " ELSE FALSE END AS significant"
+        )
+    return f"""
+    WITH rows_in AS ({select}),
+    pts AS (
+        SELECT CAST({regime_col} AS BOOLEAN) AS r, {cx} AS x, {cy} AS y
+        FROM rows_in
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+          AND {regime_col} IS NOT NULL
+    ),
+    m AS (
+        SELECT {mom('a', 'r')}, {mom('b', 'NOT r')},
+               {mom('p', 'TRUE')}
+        FROM pts
+    ),
+    one AS (
+        SELECT np, na, nb, {rss('a')} AS ra, {rss('b')} AS rb,
+               {rss('p')} AS rp
+        FROM m
+    )
+    SELECT CAST(np AS BIGINT) AS n_total, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(rp AS DOUBLE) AS rss_pooled,
+           CAST(ra AS DOUBLE) AS rss_a, CAST(rb AS DOUBLE) AS rss_b,
+           {fcol} AS f{sig}
+    FROM one
+    """

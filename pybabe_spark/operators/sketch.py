@@ -6210,3 +6210,285 @@ def eb_shrink_rates_sql(
              CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) END AS prior_strength
     FROM strg
     """
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    k-item battery over subjects: ``α = k/(k−1) · (1 − Σᵢvarᵢ /
+    var_total)`` where item i's score for a subject is the subject's
+    exact cents sum on that item (absent (subject, item) pairs score
+    0 — the sparse-battery convention, and the zero contributes
+    nothing to the sums so the sparse grain computes it for free).
+    ONE output row ``(n_subjects, k_items, alpha_ppm, alpha)``.
+
+    Exactness: with N subjects and population variances, α reduces to
+    the pure integer identity
+
+        α = k·(A − B) / ((k−1)·A),  A = N·Q_T − S_T²,
+                                    B = N·ΣQᵢ − ΣSᵢ²
+
+    (S/Q per-item and total score sums/sum-of-squares in
+    DECIMAL(38,0)), emitted as exact sign-split integral ppm — the
+    `ols` discipline, shared magnitude contract (Σ within 38 digits
+    through ~10⁷ subjects of 10⁶.00-scale totals). α is NULL when
+    k < 2 or A = 0 (no total-score variance).
+
+    Scale shape: one map-combinable (subject, item) hash agg collapses
+    the corpus; from that grain, one subject-grain agg → 1-row total
+    moments and one item-grain agg → 1-row item moments (k rows
+    interim), combined by maxRows-proven scalar attach. No window, no
+    join bigger than 1×1.
+    """
+    ok = (
+        F.col(subject_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # the grain feeds the subject-moment and item-moment branches
+    grain = lazy_persist(
+        df.filter(ok)
+        .groupBy(
+            F.col(subject_col).alias("__s"), F.col(item_col).alias("__i")
+        )
+        .agg(F.sum(x).alias("__x"))
+    )
+    subj = (
+        grain.groupBy("__s")
+        .agg(F.sum(d(F.col("__x"))).alias("__t"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__N"),
+            F.sum(F.col("__t")).cast("decimal(38,0)").alias("__st"),
+            F.sum(F.col("__t") * F.col("__t"))
+            .cast("decimal(38,0)")
+            .alias("__qt"),
+        )
+    )
+    item = (
+        grain.groupBy("__i")
+        .agg(
+            F.sum(d(F.col("__x"))).alias("__si"),
+            F.sum(d(F.col("__x")) * F.col("__x")).alias("__qi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__k"),
+            F.sum(F.col("__si") * F.col("__si"))
+            .cast("decimal(38,0)")
+            .alias("__ssi"),
+            F.sum(F.col("__qi")).cast("decimal(38,0)").alias("__sqi"),
+        )
+    )
+    one = attach_scalars(subj, item)
+    a_ = d(F.col("__N") * F.col("__qt") - F.col("__st") * F.col("__st"))
+    b_ = d(F.col("__N") * F.col("__sqi") - F.col("__ssi"))
+    one = one.withColumn("__A", a_).withColumn(
+        "__num", d(F.col("__k") * (F.col("__A") - b_))
+    ).withColumn("__den", d((F.col("__k") - 1) * F.col("__A")))
+    mag = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * abs(__num)) div abs(__den)"
+    )
+    sign = F.when(
+        (F.col("__num") < 0) != (F.col("__den") < 0), F.lit(-1)
+    ).otherwise(F.lit(1))
+    ppm = F.when(
+        (F.col("__k") >= 2) & (F.col("__A") != 0), (sign * mag)
+    ).cast("bigint")
+    return one.select(
+        F.col("__N").cast("bigint").alias("n_subjects"),
+        F.col("__k").cast("bigint").alias("k_items"),
+        ppm.alias("alpha_ppm"),
+        (ppm.cast("double") / 1e6).alias("alpha"),
+    )
+
+
+def cronbach_alpha_sql(
+    select: str, subject_col: str, item_col: str, value_col: str
+) -> str:
+    """DuckDB oracle of :func:`cronbach_alpha` — same (subject, item)
+    cents grain, same HUGEINT integer identity, same sign-split ppm."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    grain AS (
+        SELECT {subject_col} AS s, {item_col} AS i, SUM({x}) AS x
+        FROM rows_in
+        WHERE {subject_col} IS NOT NULL AND {item_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY s, i
+    ),
+    subj AS (
+        SELECT COUNT(*)::HUGEINT AS N,
+               SUM(t)::HUGEINT AS st, SUM(t * t)::HUGEINT AS qt
+        FROM (SELECT s, SUM(CAST(x AS HUGEINT)) AS t
+              FROM grain GROUP BY s)
+    ),
+    item AS (
+        SELECT COUNT(*)::HUGEINT AS k,
+               SUM(si * si)::HUGEINT AS ssi, SUM(qi)::HUGEINT AS sqi
+        FROM (SELECT i, SUM(CAST(x AS HUGEINT)) AS si,
+                     SUM(CAST(x AS HUGEINT) * x) AS qi
+              FROM grain GROUP BY i)
+    ),
+    one AS (
+        SELECT N, k, (N * qt - st * st) AS A,
+               k * ((N * qt - st * st) - (N * sqi - ssi)) AS num,
+               (k - 1) * (N * qt - st * st) AS den
+        FROM subj, item
+    )
+    SELECT CAST(N AS BIGINT) AS n_subjects,
+           CAST(k AS BIGINT) AS k_items,
+           CASE WHEN k >= 2 AND A <> 0 THEN
+             CAST((CASE WHEN (num < 0) <> (den < 0) THEN -1 ELSE 1 END)
+                  * ((1000000::HUGEINT * abs(num)) // abs(den))
+                  AS BIGINT) END AS alpha_ppm,
+           CAST(CASE WHEN k >= 2 AND A <> 0 THEN
+             CAST((CASE WHEN (num < 0) <> (den < 0) THEN -1 ELSE 1 END)
+                  * ((1000000::HUGEINT * abs(num)) // abs(den))
+                  AS BIGINT) END AS DOUBLE) / 1e6 AS alpha
+    FROM one
+    """
+
+
+def overdispersion(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    z_crit: float | None = None,
+) -> DataFrame:
+    """Index-of-dispersion test per group: are per-entity event counts
+    Poisson-like (D ≈ 1) or bursty/clumped (D > 1)? ``D = s²/x̄`` over
+    the observed (group, entity) counts, with the normal score
+    ``z = (D − 1)·√((n−1)/2)`` — the decision between a Poisson
+    arrival model and a negative-binomial one, which changes every
+    downstream anomaly threshold. Output per group:
+    ``(group, n_entities, total_events, dispersion_ppm, dispersion,
+    z[, overdispersed])``.
+
+    Exactness: counts are integers, so with the sample variance
+    ``D = (n·Q − S²) / ((n−1)·S)`` is a pure integer ratio —
+    emitted as exact integral ppm (sign-split; D ≥ 0 here but the
+    shared convention keeps the form). z is ONE fixed-shape IEEE
+    expression rounded once to DECIMAL(18,6); NULL when n < 2 or
+    S = 0. Entities with zero events are not observed and thus not in
+    the frame — the OBSERVED-entities contract, stated and mirrored by
+    the oracle.
+
+    Scale shape: one map-combinable (group, entity) count agg, one
+    group-grain moment agg, fixed-shape finish. Two shuffles total.
+    """
+    ok = F.col(group_col).isNotNull() & F.col(entity_col).isNotNull()
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cnt = (
+        df.filter(ok)
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(entity_col).alias("__e")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = cnt.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("__c"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(d(F.col("__c")) * F.col("__c"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+    num = d(F.col("n") * F.col("__q") - F.col("__s") * F.col("__s"))
+    den = d((F.col("n") - 1) * F.col("__s"))
+    agg = agg.withColumn("__num", num).withColumn("__den", den)
+    mag = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * abs(__num)) div abs(__den)"
+    )
+    sign = F.when(
+        (F.col("__num") < 0) != (F.col("__den") < 0), F.lit(-1)
+    ).otherwise(F.lit(1))
+    ppm = F.when(
+        (F.col("n") >= 2) & (F.col("__den") != 0), sign * mag
+    ).cast("bigint")
+    disp = ppm.cast("double") / 1e6
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    z = F.when(
+        ppm.isNotNull(),
+        out(
+            (disp - 1.0)
+            * F.sqrt((F.col("n") - 1).cast("double") / 2.0)
+        ),
+    )
+    cols = [
+        F.col("__g").alias(group_col),
+        F.col("n").alias("n_entities"),
+        F.col("__s").cast("bigint").alias("total_events"),
+        ppm.alias("dispersion_ppm"),
+        disp.alias("dispersion"),
+        z.alias("z"),
+    ]
+    if z_crit is not None:
+        cols.append(
+            F.when(z.isNotNull(), z > float(z_crit))
+            .otherwise(F.lit(False))
+            .alias("overdispersed")
+        )
+    return agg.select(*cols)
+
+
+def overdispersion_sql(
+    select: str,
+    group_col: str,
+    entity_col: str,
+    z_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`overdispersion` — same observed count
+    grain, same exact ppm ratio, same once-rounded z."""
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    ppm = (
+        "CASE WHEN n >= 2 AND den <> 0 THEN"
+        " CAST((CASE WHEN (num < 0) <> (den < 0) THEN -1 ELSE 1 END)"
+        " * ((1000000::HUGEINT * abs(num)) // abs(den)) AS BIGINT) END"
+    )
+    z = (
+        f"CASE WHEN ({ppm}) IS NOT NULL THEN "
+        + r6(
+            f"(CAST(({ppm}) AS DOUBLE) / 1e6 - 1.0)"
+            " * sqrt(CAST(n - 1 AS DOUBLE) / 2.0)"
+        )
+        + " END"
+    )
+    sig = ""
+    if z_crit is not None:
+        sig = (
+            f", COALESCE(({z}) > {float(z_crit)}, FALSE)"
+            " AS overdispersed"
+        )
+    return f"""
+    WITH rows_in AS ({select}),
+    cnt AS (
+        SELECT {group_col} AS g, {entity_col} AS e, COUNT(*) AS c
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {entity_col} IS NOT NULL
+        GROUP BY g, e
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(c AS HUGEINT)) AS s,
+               SUM(CAST(c AS HUGEINT) * c) AS q,
+               CAST(COUNT(*) AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c)
+                 - SUM(CAST(c AS HUGEINT)) * SUM(CAST(c AS HUGEINT))
+                 AS num,
+               (CAST(COUNT(*) AS HUGEINT) - 1)
+                 * SUM(CAST(c AS HUGEINT)) AS den
+        FROM cnt GROUP BY g
+    )
+    SELECT g AS {group_col}, n AS n_entities,
+           CAST(s AS BIGINT) AS total_events,
+           {ppm} AS dispersion_ppm,
+           CAST(({ppm}) AS DOUBLE) / 1e6 AS dispersion,
+           {z} AS z{sig}
+    FROM agg
+    """

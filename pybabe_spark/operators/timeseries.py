@@ -4358,3 +4358,225 @@ def bollinger_bands_sql(
              AS lower
     FROM roll
     """
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    z_crit: float | None = None,
+    max_periods: int = 2048,
+) -> DataFrame:
+    """Mann–Kendall trend test per key over the PERIOD-SUM series: the
+    non-parametric "is this series monotonically drifting" question —
+    ``S = Σ_{i<j} sign(x_j − x_i)`` over the per-period exact cents
+    sums ordered by period, the tie-corrected variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)] / 18
+
+    (t_v = periods sharing value v), and the continuity-corrected
+    normal score ``z = (S∓1)/√Var`` (0 when S = 0). The
+    distribution-free sibling of :func:`theilsen_slope` (which prices
+    the slope MK only signs) and the monotone complement of
+    `page_trend`'s replicated-block design. Output per key:
+    ``(key, n_periods, s, var_s, z[, trend])`` — ``trend`` ∈
+    increasing/decreasing/no_trend when ``z_crit`` is given.
+
+    Exactness: period sums are bigint cents, S and 18·Var(S) are exact
+    integers (one conditional sign sum; one tie agg), and z is ONE
+    fixed-shape IEEE expression rounded once to DECIMAL(18,6).
+    ``var_s`` is emitted as 18·Var's exact integer divided once.
+
+    Scale shape: one map-combinable (key, period) hash agg collapses
+    the corpus; the pair join runs on the PERIOD grain only, bounded
+    by ``max_periods`` per key (in-plan raise-guard, the kendall_tau_b
+    idiom) — n(n−1)/2 ≤ 2M pairs per key at the default, independent
+    of corpus size. One tie agg on the same grain, one key-grain
+    finish.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("mann_kendall: bucket_seconds must be positive")
+    if max_periods < 2:
+        raise ValueError("mann_kendall: max_periods must be >= 2")
+    bus = int(bucket_seconds) * 1_000_000
+    ok = (
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    grain = (
+        df.filter(ok)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("__t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("__k", "__t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    msg = (
+        f"mann_kendall: more than max_periods={max_periods} periods in "
+        "a key — the exact pair join is bounded by the period grain; "
+        "widen bucket_seconds or raise max_periods to confirm"
+    )
+    grain = (
+        grain.withColumn(
+            "__cc", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+        )
+        .filter(
+            F.when(
+                F.col("__cc") > max_periods,
+                F.raise_error(F.lit(msg)).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("__cc")
+    )
+    from pybabe_spark.operators._util import lazy_persist
+
+    # the period grain feeds three branches (pair join both sides, tie
+    # agg) — pin it, each branch otherwise re-runs the corpus hash agg
+    grain = lazy_persist(grain)
+    a = grain.select(
+        F.col("__k").alias("__ka"),
+        F.col("__t").alias("__ta"),
+        F.col("__v").alias("__va"),
+    )
+    b = grain.select(
+        F.col("__k").alias("__kb"),
+        F.col("__t").alias("__tb"),
+        F.col("__v").alias("__vb"),
+    )
+    s_tab = (
+        a.join(
+            b,
+            (F.col("__ka") == F.col("__kb"))
+            & (F.col("__ta") < F.col("__tb")),
+        )
+        .groupBy(F.col("__ka").alias("__k"))
+        .agg(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), F.lit(1))
+                .when(F.col("__vb") < F.col("__va"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        grain.groupBy("__k", "__v")
+        .agg(F.count(F.lit(1)).alias("__tv"))
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nv"),
+            F.sum(F.col("__tv")).cast("bigint").alias("__n"),
+            F.sum(
+                F.col("__tv")
+                * (F.col("__tv") - 1)
+                * (2 * F.col("__tv") + 5)
+            )
+            .cast("bigint")
+            .alias("__tiesum"),
+        )
+    )
+    one = ties.join(s_tab, ties["__k"] == s_tab["__k"]).select(
+        ties["__k"], "__n", "__tiesum", "s"
+    )
+    n = F.col("__n")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tiesum")
+    ).cast("bigint")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    zraw = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    z = F.when((n >= 2) & (var18 > 0), out(zraw))
+    cols = [
+        F.col("__k").alias(key_col),
+        n.alias("n_periods"),
+        F.col("s"),
+        F.when(n >= 2, out(var18.cast("double") / 18.0)).alias("var_s"),
+        z.alias("z"),
+    ]
+    if z_crit is not None:
+        zc = float(z_crit)
+        cols.append(
+            F.when(z > zc, F.lit("increasing"))
+            .when(z < -zc, F.lit("decreasing"))
+            .when(z.isNotNull(), F.lit("no_trend"))
+            .alias("trend")
+        )
+    return one.select(*cols)
+
+
+def mann_kendall_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    z_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`mann_kendall` — same period cents sums,
+    same exact S / 18·Var integers, same once-rounded z."""
+    bus = int(bucket_seconds) * 1_000_000
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    sd = "sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    zraw = (
+        f"CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / {sd}"
+        f" WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / {sd}"
+        " ELSE 0.0 END"
+    )
+    z = f"CASE WHEN n >= 2 AND var18 > 0 THEN {r6(zraw)} END"
+    trend = ""
+    if z_crit is not None:
+        zc = float(z_crit)
+        trend = (
+            f", CASE WHEN ({z}) > {zc} THEN 'increasing'"
+            f" WHEN ({z}) < -{zc} THEN 'decreasing'"
+            f" WHEN ({z}) IS NOT NULL THEN 'no_trend' END AS trend"
+        )
+    return f"""
+    WITH grain AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY k, t
+    ),
+    s_tab AS (
+        SELECT a.k, SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+        FROM grain a JOIN grain b ON a.k = b.k AND a.t < b.t
+        GROUP BY a.k
+    ),
+    ties AS (
+        SELECT k, CAST(SUM(tv) AS BIGINT) AS n,
+               CAST(SUM(tv * (tv - 1) * (2 * tv + 5)) AS BIGINT)
+                 AS tiesum
+        FROM (SELECT k, v, COUNT(*) AS tv FROM grain GROUP BY k, v)
+        GROUP BY k
+    ),
+    one AS (
+        SELECT t.k, t.n,
+               CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tiesum
+                    AS BIGINT) AS var18,
+               CAST(s.s AS BIGINT) AS s
+        FROM ties t JOIN s_tab s ON t.k = s.k
+    )
+    SELECT k AS {key_col}, n AS n_periods, s,
+           CASE WHEN n >= 2
+                THEN {r6("CAST(var18 AS DOUBLE) / 18.0")} END AS var_s,
+           {z} AS z{trend}
+    FROM one
+    """

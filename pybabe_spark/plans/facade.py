@@ -1473,6 +1473,57 @@ class Babe:
             durbin_watson(self.df, key_col, ts_col, value_col)
         )
 
+    def mann_kendall(self, key_col, ts_col, value_col,
+                     bucket_seconds=86400, z_crit=None,
+                     max_periods=2048) -> "Babe":
+        from pybabe_spark.operators.timeseries import mann_kendall
+
+        return self._wrap(
+            mann_kendall(self.df, key_col, ts_col, value_col,
+                         bucket_seconds, z_crit, max_periods)
+        )
+
+    def acf_bucketed(self, key_col, ts_col, value_col,
+                     bucket_seconds=3600, lags=3) -> "Babe":
+        from pybabe_spark.operators.timeseries import acf_bucketed
+
+        return self._wrap(
+            acf_bucketed(self.df, key_col, ts_col, value_col,
+                         bucket_seconds, lags)
+        )
+
+    def cronbach_alpha(self, subject_col, item_col, value_col) -> "Babe":
+        from pybabe_spark.operators.sketch import cronbach_alpha
+
+        return self._wrap(
+            cronbach_alpha(self.df, subject_col, item_col, value_col)
+        )
+
+    def overdispersion(self, group_col, entity_col,
+                       z_crit=None) -> "Babe":
+        from pybabe_spark.operators.sketch import overdispersion
+
+        return self._wrap(
+            overdispersion(self.df, group_col, entity_col, z_crit)
+        )
+
+    def chow_test(self, x_col, y_col, regime_col,
+                  f_crit=None) -> "Babe":
+        from pybabe_spark.operators.regression import chow_test
+
+        return self._wrap(
+            chow_test(self.df, x_col, y_col, regime_col, f_crit)
+        )
+
+    def hosmer_lemeshow(self, score_col, label_col, bins=10,
+                        chi2_crit=None) -> "Babe":
+        from pybabe_spark.operators.classifier import hosmer_lemeshow
+
+        return self._wrap(
+            hosmer_lemeshow(self.df, score_col, label_col, bins,
+                            chi2_crit)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

@@ -5277,3 +5277,122 @@ def q_seasonal_decompose_mult(spark, sf_dir):
     return seasonal_decompose_mult(
         ev, "event_type", "ts", "value", period=24, bucket_seconds=3600
     )
+
+
+def _mann_kendall_sql():
+    from pybabe_spark.operators.timeseries import mann_kendall_sql
+
+    return mann_kendall_sql(
+        "events", "event_type", "ts", "value",
+        bucket_seconds=86400, z_crit=1.959964,
+    )
+
+
+@register("mann_kendall_daily_events", _mann_kendall_sql())
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend test per event type over the DAILY
+    cents-sum series (operators/timeseries.py::mann_kendall): exact
+    S = Σ sign(xⱼ−xᵢ) and tie-corrected 18·Var(S) as pure integers
+    over the bounded period grain (max_periods raise-guard — the pair
+    join never touches corpus-sized data), continuity-corrected z
+    rounded once vs ±1.96. The distribution-free sibling of
+    theilsen_slope_events: MK signs the drift Theil–Sen prices."""
+    from pybabe_spark.operators.timeseries import mann_kendall
+
+    ev = read_table(spark, sf_dir, "events")
+    return mann_kendall(
+        ev, "event_type", "ts", "value",
+        bucket_seconds=86400, z_crit=1.959964,
+    )
+
+
+def _cronbach_sql():
+    from pybabe_spark.operators.sketch import cronbach_alpha_sql
+
+    return cronbach_alpha_sql(
+        "SELECT user_id, event_type, value FROM events",
+        "user_id", "event_type", "value",
+    )
+
+
+@register("cronbach_alpha_events", _cronbach_sql())
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over the users × event-type battery
+    (operators/sketch.py::cronbach_alpha): do the five per-type spend
+    scores move together as one 'engagement' scale? The whole
+    statistic is one exact integer identity — k(A−B)/((k−1)A) from
+    DECIMAL(38,0) subject/item moments — emitted as sign-split
+    integral ppm; one (subject,item) hash agg plus two tiny-grain
+    finishes, no window, no join."""
+    from pybabe_spark.operators.sketch import cronbach_alpha
+
+    ev = read_table(spark, sf_dir, "events")
+    return cronbach_alpha(ev, "user_id", "event_type", "value")
+
+
+def _overdispersion_sql():
+    from pybabe_spark.operators.sketch import overdispersion_sql
+
+    return overdispersion_sql(
+        "SELECT event_type, user_id FROM events",
+        "event_type", "user_id", z_crit=1.959964,
+    )
+
+
+@register("overdispersion_events", _overdispersion_sql())
+def q_overdispersion(spark, sf_dir):
+    """Index-of-dispersion test per event type
+    (operators/sketch.py::overdispersion): are per-user event counts
+    Poisson (D≈1) or bursty (D>1) — the arrival-model decision that
+    sets every downstream anomaly threshold. D = (nQ−S²)/((n−1)S) as
+    an exact integral ppm over the observed (type,user) count grain,
+    z = (D−1)√((n−1)/2) rounded once vs 1.96. Two map-combinable
+    shuffles total."""
+    from pybabe_spark.operators.sketch import overdispersion
+
+    ev = read_table(spark, sf_dir, "events")
+    return overdispersion(ev, "event_type", "user_id", z_crit=1.959964)
+
+
+#: epoch-day of 2024-01-16 — the mid-January regime cutoff the chow
+#: key splits on (events span January 2024; the literal is shared
+#: verbatim with the oracle)
+_CHOW_CUTOFF_DAY = 19738
+
+
+def _chow_sql():
+    from pybabe_spark.operators.regression import chow_test_sql
+
+    frame = f"""
+        SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+               value AS y,
+               (epoch_us(ts) // 86400000000) < {_CHOW_CUTOFF_DAY}
+                 AS regime
+        FROM events WHERE event_type = 'purchase'
+    """
+    return chow_test_sql(frame, "x", "y", "regime", f_crit=2.9957)
+
+
+@register("chow_break_events", _chow_sql())
+def q_chow_break(spark, sf_dir):
+    """Chow structural-break test on purchase value vs day
+    (operators/regression.py::chow_test): did the value-over-time
+    line CHANGE mid-January? Pooled and per-regime OLS from ONE
+    conditional DECIMAL(38,0) moment aggregation (the ols machinery,
+    never a second pass), each RSS one once-rounded IEEE expression,
+    F(2, n−4) vs the 2.9957 literal. The regime cutoff day is a
+    shared literal — both engines split identically."""
+    from pybabe_spark.operators.regression import chow_test
+
+    ev = read_table(spark, sf_dir, "events")
+    frame = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("unix_micros(ts) div 86400000000")
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+        (
+            F.expr("unix_micros(ts) div 86400000000")
+            < F.lit(_CHOW_CUTOFF_DAY)
+        ).alias("regime"),
+    )
+    return chow_test(frame, "x", "y", "regime", f_crit=2.9957)

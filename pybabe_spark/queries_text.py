@@ -1808,3 +1808,45 @@ def q_fleiss_kappa(spark, sf_dir):
         (F.col("doc_id") % 50).alias("item"), F.col("lang").alias("cat")
     )
     return fleiss_kappa(frame, "item", "cat")
+
+
+def _hl_sql():
+    from pybabe_spark.operators.classifier import hosmer_lemeshow_sql
+
+    frame = """
+        SELECT CAST(CAST(LEAST(1000000,
+                   len(string_split(text, ' ')) * 5000)
+               AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6)) AS score,
+               CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    """
+    return hosmer_lemeshow_sql(
+        frame, "score", "label", bins=10, chi2_crit=15.50731
+    )
+
+
+@register("hosmer_lemeshow_docs", _hl_sql())
+def q_hosmer_lemeshow(spark, sf_dir):
+    """Hosmer–Lemeshow goodness-of-fit over calibration_bins_docs'
+    exact score deciles (operators/classifier.py::hosmer_lemeshow):
+    is the length-based 'mentions spark' score's observed/expected
+    gap larger than χ²(8) chance? The whole statistic is integer —
+    per-bin n·(O_m−E_m)²·10⁶ div (E_m·(10⁶n−E_m)) summed as
+    DECIMAL(38,0) — so both engines agree bit-for-bit; one hash agg
+    to ≤10 rows plus a tiny finish."""
+    from pybabe_spark.operators.classifier import hosmer_lemeshow
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CAST(array_contains(split(text, ' '), 'spark') AS INT)"
+        ).alias("label"),
+    )
+    return hosmer_lemeshow(
+        frame, "score", "label", bins=10, chi2_crit=15.50731
+    )

@@ -1,0 +1,311 @@
+"""Round-13 statistics operators: Mann–Kendall trend, Cronbach's
+alpha, overdispersion index, Chow break test, Hosmer–Lemeshow —
+each checked against an independent Python model on hand-built
+frames plus its documented edge contracts."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts_series(spark, rows):
+    """rows: (key, day_offset, value) → (k, ts, v) frame."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, base + dt.timedelta(days=d), float(v)) for k, d, v in rows],
+        "k string, ts timestamp, v double",
+    )
+
+
+def _mk_python(vals):
+    """Reference Mann–Kendall on one series of per-period sums."""
+    n = len(vals)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    from collections import Counter
+
+    ties = Counter(vals)
+    tiesum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tiesum
+    if var18 <= 0:
+        return s, var18, None
+    sd = math.sqrt(var18 / 18.0)
+    z = (s - 1) / sd if s > 0 else (s + 1) / sd if s < 0 else 0.0
+    return s, var18, z
+
+
+def test_mann_kendall_matches_python_model(spark):
+    from pybabe_spark.operators.timeseries import mann_kendall
+
+    up = [(i, 1.0 + i * 0.5 + (i % 3) * 0.01) for i in range(12)]
+    flat = [(i, 5.0) for i in range(8)]
+    noisy = [(i, [3, 1, 4, 1, 5, 9, 2, 6][i]) for i in range(8)]
+    rows = (
+        [("up", d, v) for d, v in up]
+        + [("flat", d, v) for d, v in flat]
+        + [("noisy", d, v) for d, v in noisy]
+    )
+    out = {
+        r["k"]: r
+        for r in mann_kendall(
+            _ts_series(spark, rows), "k", "ts", "v", 86400, z_crit=1.96
+        ).collect()
+    }
+    for key, series in [
+        ("up", [v for _, v in up]),
+        ("flat", [v for _, v in flat]),
+        ("noisy", [float(v) for _, v in noisy]),
+    ]:
+        s, var18, z = _mk_python(
+            [round(v * 100) for v in series]  # cents, matching the lift
+        )
+        r = out[key]
+        assert r["s"] == s
+        if z is None:
+            assert r["z"] is None
+        else:
+            assert r["var_s"] == pytest.approx(var18 / 18.0, abs=1e-6)
+            assert r["z"] == pytest.approx(z, abs=2e-6)
+    assert out["up"]["trend"] == "increasing"
+    assert out["flat"]["z"] is None  # all tied: var18 = 0
+    assert out["noisy"]["trend"] == "no_trend"
+
+
+def test_mann_kendall_decreasing_and_guard(spark):
+    from pybabe_spark.operators.timeseries import mann_kendall
+
+    down = [("d", i, 100.0 - 3 * i) for i in range(10)]
+    r = mann_kendall(
+        _ts_series(spark, down), "k", "ts", "v", 86400, z_crit=1.96
+    ).collect()[0]
+    assert r["trend"] == "decreasing" and r["s"] == -45
+    # period guard trips in-plan
+    with pytest.raises(Exception, match="max_periods"):
+        mann_kendall(
+            _ts_series(spark, down), "k", "ts", "v", 86400,
+            max_periods=5,
+        ).collect()
+    with pytest.raises(ValueError):
+        mann_kendall(_ts_series(spark, down), "k", "ts", "v", 0)
+
+
+def test_mann_kendall_buckets_aggregate_first(spark):
+    """Two same-day events sum into ONE period before the pair walk."""
+    from pybabe_spark.operators.timeseries import mann_kendall
+
+    rows = [("a", 0, 1.0), ("a", 0, 2.0), ("a", 1, 4.0), ("a", 2, 5.0)]
+    r = mann_kendall(
+        _ts_series(spark, rows), "k", "ts", "v", 86400
+    ).collect()[0]
+    assert r["n_periods"] == 3  # day0 = 3.0, day1 = 4.0, day2 = 5.0
+    assert r["s"] == 3
+
+
+def _cronbach_python(matrix):
+    """Reference alpha over a dense subjects × items matrix."""
+    import numpy as np
+
+    m = np.asarray(matrix, dtype=float)
+    k = m.shape[1]
+    item_vars = m.var(axis=0)  # population variances
+    total_var = m.sum(axis=1).var()
+    return k / (k - 1) * (1 - item_vars.sum() / total_var)
+
+
+def test_cronbach_alpha_matches_python_model(spark):
+    from pybabe_spark.operators.sketch import cronbach_alpha
+
+    matrix = [
+        [2.0, 3.0, 4.0],
+        [4.0, 5.0, 6.0],
+        [1.0, 2.0, 2.0],
+        [5.0, 6.0, 7.0],
+        [3.0, 3.0, 5.0],
+    ]
+    rows = [
+        (f"s{si}", f"i{ii}", matrix[si][ii])
+        for si in range(5)
+        for ii in range(3)
+    ]
+    df = spark.createDataFrame(rows, "subj string, item string, v double")
+    r = cronbach_alpha(df, "subj", "item", "v").collect()[0]
+    want = _cronbach_python(matrix)
+    assert r["n_subjects"] == 5 and r["k_items"] == 3
+    assert r["alpha"] == pytest.approx(want, abs=2e-6)
+
+
+def test_cronbach_alpha_sparse_zero_fill_and_edges(spark):
+    """An absent (subject, item) pair scores 0 — identical to a dense
+    matrix carrying an explicit 0; k<2 and zero-variance are NULL."""
+    from pybabe_spark.operators.sketch import cronbach_alpha
+
+    dense = [
+        ("s1", "a", 2.0), ("s1", "b", 0.0),
+        ("s2", "a", 4.0), ("s2", "b", 1.0),
+        ("s3", "a", 3.0), ("s3", "b", 5.0),
+    ]
+    sparse = [r for r in dense if r[2] != 0.0]
+    schema = "subj string, item string, v double"
+    got_d = cronbach_alpha(
+        spark.createDataFrame(dense, schema), "subj", "item", "v"
+    ).collect()[0]
+    got_s = cronbach_alpha(
+        spark.createDataFrame(sparse, schema), "subj", "item", "v"
+    ).collect()[0]
+    assert got_d["alpha_ppm"] == got_s["alpha_ppm"]
+    one_item = cronbach_alpha(
+        spark.createDataFrame(dense, schema).filter("item = 'a'"),
+        "subj", "item", "v",
+    ).collect()[0]
+    assert one_item["alpha_ppm"] is None  # k < 2
+    const = cronbach_alpha(
+        spark.createDataFrame(
+            [("s1", "a", 1.0), ("s1", "b", 2.0),
+             ("s2", "a", 1.0), ("s2", "b", 2.0)], schema
+        ),
+        "subj", "item", "v",
+    ).collect()[0]
+    assert const["alpha_ppm"] is None  # A = 0, no total variance
+
+
+def test_overdispersion_poisson_vs_bursty(spark):
+    from pybabe_spark.operators.sketch import overdispersion
+
+    rows = []
+    # "even": every user exactly 3 events -> D = 0 (underdispersed)
+    for u in range(20):
+        rows += [("even", f"u{u}")] * 3
+    # "bursty": one user 40 events, 19 users 1 event
+    rows += [("bursty", "hog")] * 40
+    for u in range(19):
+        rows += [("bursty", f"u{u}")]
+    df = spark.createDataFrame(rows, "g string, e string")
+    out = {
+        r["g"]: r
+        for r in overdispersion(df, "g", "e", z_crit=1.96).collect()
+    }
+    assert out["even"]["dispersion_ppm"] == 0
+    assert out["even"]["overdispersed"] is False
+    # bursty: n=20, S=59, Q=1619 -> D=(20*1619-59^2)/((19)*59)
+    num, den = 20 * 1619 - 59 * 59, 19 * 59
+    assert out["bursty"]["dispersion_ppm"] == num * 10**6 // den
+    d_val = num / den
+    z = (round(num * 10**6 / den - 0.5) / 1e6 - 1.0) * math.sqrt(19 / 2)
+    assert out["bursty"]["z"] == pytest.approx(
+        (out["bursty"]["dispersion"] - 1.0) * math.sqrt(19 / 2), abs=2e-6
+    )
+    assert d_val > 1 and out["bursty"]["overdispersed"] is True
+    # single-entity group: n < 2 -> NULLs, decision False
+    one = overdispersion(
+        spark.createDataFrame([("solo", "u")], "g string, e string"),
+        "g", "e", z_crit=1.96,
+    ).collect()[0]
+    assert one["dispersion_ppm"] is None
+    assert one["overdispersed"] is False
+
+
+def test_chow_test_matches_numpy_model(spark):
+    import numpy as np
+
+    from pybabe_spark.operators.regression import chow_test
+
+    rng = [
+        # regime A: y = 2x + 1; regime B: y = -x + 40 (clear break)
+        *[(float(x), 2.0 * x + 1.0 + (x % 3) * 0.25, True)
+          for x in range(12)],
+        *[(float(x), -1.0 * x + 40.0 + (x % 2) * 0.5, False)
+          for x in range(12, 24)],
+    ]
+    df = spark.createDataFrame(rng, "x double, y double, r boolean")
+    got = chow_test(df, "x", "y", "r", f_crit=3.4928).collect()[0]
+
+    def rss(pairs):
+        xs = np.array([p[0] for p in pairs])
+        ys = np.array([p[1] for p in pairs])
+        A = np.vstack([xs, np.ones(len(xs))]).T
+        res = ys - A @ np.linalg.lstsq(A, ys, rcond=None)[0]
+        return float(res @ res)
+
+    a = [(x, y) for x, y, r in rng if r]
+    b = [(x, y) for x, y, r in rng if not r]
+    p = [(x, y) for x, y, _ in rng]
+    assert got["rss_a"] == pytest.approx(rss(a), rel=1e-4)
+    assert got["rss_b"] == pytest.approx(rss(b), rel=1e-4)
+    assert got["rss_pooled"] == pytest.approx(rss(p), rel=1e-6)
+    n = len(rng)
+    f_want = ((rss(p) - rss(a) - rss(b)) / 2) / (
+        (rss(a) + rss(b)) / (n - 4)
+    )
+    assert got["f"] == pytest.approx(f_want, rel=1e-4)
+    assert got["significant"] is True
+    assert (got["n_total"], got["n_a"], got["n_b"]) == (24, 12, 12)
+
+
+def test_chow_test_stable_relation_and_edges(spark):
+    from pybabe_spark.operators.regression import chow_test
+
+    same = [
+        (float(x), 3.0 * x + 2.0, x < 10) for x in range(20)
+    ]
+    df = spark.createDataFrame(same, "x double, y double, r boolean")
+    got = chow_test(df, "x", "y", "r", f_crit=3.4928).collect()[0]
+    # perfect shared line: every RSS is 0 -> F undefined, not "sig"
+    assert got["f"] is None and got["significant"] is False
+    # a regime with n < 3 -> NULL F
+    tiny = chow_test(
+        spark.createDataFrame(
+            [(1.0, 1.0, True), (2.0, 2.0, True), (3.0, 3.0, True),
+             (4.0, 9.0, False)],
+            "x double, y double, r boolean",
+        ),
+        "x", "y", "r",
+    ).collect()[0]
+    assert tiny["f"] is None
+
+
+def test_hosmer_lemeshow_integer_identity(spark):
+    from pybabe_spark.operators.classifier import hosmer_lemeshow
+
+    rows = [
+        (0.05, 0), (0.08, 0), (0.15, 0), (0.18, 1),
+        (0.35, 0), (0.38, 1), (0.55, 1), (0.58, 0),
+        (0.75, 1), (0.78, 1), (0.95, 1), (0.98, 1),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = hosmer_lemeshow(df, "score", "label", bins=5).collect()[0]
+    # python mirror of the documented integer identity
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0, 0])
+    for s, l in rows:
+        m = round(s * 10**6)
+        b = min(4, m * 5 // 10**6)
+        per[b][0] += 1
+        per[b][1] += l
+        per[b][2] += m
+    hl = 0
+    for n, o, em in per.values():
+        om = o * 10**6
+        hl += (10**6 * n * (om - em) ** 2) // (em * (n * 10**6 - em))
+    assert got["bins_occupied"] == len(per)
+    assert got["hl_chi2_ppm"] == hl
+    assert got["n"] == 12
+
+
+def test_hosmer_lemeshow_degenerate_bin_nulls(spark):
+    from pybabe_spark.operators.classifier import hosmer_lemeshow
+
+    # a bin whose every score is exactly 0 -> E_m = 0 -> HL NULL
+    rows = [(0.0, 0), (0.0, 1), (0.6, 1), (0.7, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = hosmer_lemeshow(
+        df, "score", "label", bins=5, chi2_crit=1.0
+    ).collect()[0]
+    assert got["hl_chi2_ppm"] is None
+    assert got["significant"] is False
+    with pytest.raises(ValueError):
+        hosmer_lemeshow(df, "score", "label", bins=2)
