@@ -6492,3 +6492,214 @@ def overdispersion_sql(
            {z} AS z{sig}
     FROM agg
     """
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 distance (earth-mover): the
+    INTEGRAL of the ECDF gap the KS test only takes the sup of —
+    ``W₁ = ∫|F_A(v) − F_B(v)| dv`` — so it prices HOW MUCH probability
+    mass moved, in value units, not just whether the shapes differ
+    (the drift magnitude a retrain trigger actually wants). ONE output
+    row ``(n_a, n_b, w1_num, w1)`` with
+
+        w1_num = Σ_gaps |cumA(v)·n_b − cumB(v)·n_a| · Δv   (exact int)
+        w1     = w1_num / (n_a·n_b·100)                    (value units)
+
+    summed over consecutive distinct cents values; the single final
+    division is the only IEEE step, emitted once (DECIMAL(18,6)-
+    rounded) — both engines agree by construction. NULL when either
+    arm is empty; 0 when the samples coincide.
+
+    Scale shape (the ks_test machinery plus one lag): one
+    (value → per-arm counts) hash agg collapses duplicates; running
+    sums de-globalize over 1024 equal-width cells (1-row min/max
+    attach, ``limit``-proved prefix self-join for cell offsets,
+    cell-partitioned windows). Within-cell gap terms use a
+    cell-partitioned lag; the ≤1023 BOUNDARY gaps (last value of one
+    occupied cell → first of the next) are reconstructed entirely from
+    the bounded cell table — the offsets ARE the boundary cumulatives
+    — via a prefix max_by join over ≤1024 rows. No global window, no
+    unbounded join.
+    """
+    buckets = 1024
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    is_a = (F.col(group_col) == group_a) & F.col(value_col).isNotNull()
+    is_b = (F.col(group_col) == group_b) & F.col(value_col).isNotNull()
+    base = (
+        df.filter(is_a | is_b)
+        .select(
+            x.alias("__v"),
+            is_a.cast("long").alias("__ca"),
+            is_b.cast("long").alias("__cb"),
+        )
+        .groupBy("__v")
+        .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
+    )
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    # the distinct-value grain feeds the range attach, cell totals,
+    # the within-cell walk and the totals agg
+    base = lazy_persist(base)
+    rng = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    )
+    btot = j.groupBy("__b").agg(
+        F.sum("__ca").alias("__bca"),
+        F.sum("__cb").alias("__bcb"),
+        F.min("__v").alias("__minv"),
+        F.max("__v").alias("__maxv"),
+    )
+    bounded = btot.limit(buckets)  # __b < buckets by construction —
+    # the linter's boundedness proof, it cannot truncate
+    a, b = bounded.alias("a"), bounded.alias("b")
+    offs = (
+        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(
+            F.coalesce(F.sum("b.__bca"), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("b.__bcb"), F.lit(0)).alias("__offb"),
+            # the previous OCCUPIED cell's last value: boundary gap
+            # partner (NULL for the first occupied cell — no gap)
+            F.max_by("b.__maxv", "b.__b").alias("__prevmax"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = base.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("__nb"),
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lw = Window.partitionBy("__b").orderBy(F.col("__v").asc())
+    rows = (
+        j.join(F.broadcast(offs), ["__b"])
+        .select(
+            "__v",
+            (F.col("__offa") + F.sum("__ca").over(w) - F.col("__ca"))
+            .alias("__cpa"),  # cumulative A at the PREVIOUS value
+            (F.col("__offb") + F.sum("__cb").over(w) - F.col("__cb"))
+            .alias("__cpb"),
+            F.lag("__v").over(lw).alias("__pv"),
+        )
+    )
+    within = attach_scalars(rows.filter(F.col("__pv").isNotNull()), tot)
+    within_term = F.sum(
+        F.abs(
+            d(F.col("__cpa")) * F.col("__nb")
+            - d(F.col("__cpb")) * F.col("__na")
+        )
+        * (F.col("__v") - F.col("__pv"))
+    ).cast("decimal(38,0)")
+    wsum = within.agg(
+        F.coalesce(within_term, F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__w")
+    )
+    # boundary gaps: cum before cell k IS (offa, offb); gap runs from
+    # the previous occupied cell's max value to this cell's min
+    bnd = attach_scalars(
+        j.groupBy("__b")
+        .agg(F.min("__v").alias("__minv"))
+        .join(F.broadcast(offs), ["__b"])
+        .filter(F.col("__prevmax").isNotNull()),
+        tot,
+    )
+    bnd_term = F.sum(
+        F.abs(
+            d(F.col("__offa")) * F.col("__nb")
+            - d(F.col("__offb")) * F.col("__na")
+        )
+        * (F.col("__minv") - F.col("__prevmax"))
+    ).cast("decimal(38,0)")
+    bsum = bnd.agg(
+        F.coalesce(bnd_term, F.lit(0)).cast("decimal(38,0)").alias("__bw")
+    )
+    one = attach_scalars(attach_scalars(tot, wsum), bsum)
+    num = d(F.col("__w") + F.col("__bw"))
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    w1 = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        out(
+            num.cast("double")
+            / (
+                F.col("__na").cast("double")
+                * F.col("__nb").cast("double")
+                * 100.0
+            )
+        ),
+    )
+    return one.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0), num
+        ).alias("w1_num"),
+        w1.alias("w1"),
+    )
+
+
+def wasserstein_1d_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB oracle of :func:`wasserstein_1d` — the naive exact form:
+    one global walk over distinct cents values, |cumA·n_b − cumB·n_a|
+    times the gap to the NEXT value, HUGEINT throughout, one final
+    once-rounded division."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {x} AS v,
+               SUM(CASE WHEN {group_col} = '{group_a}' THEN 1
+                        ELSE 0 END) AS ca,
+               SUM(CASE WHEN {group_col} = '{group_b}' THEN 1
+                        ELSE 0 END) AS cb
+        FROM rows_in
+        WHERE {value_col} IS NOT NULL
+          AND {group_col} IN ('{group_a}', '{group_b}')
+        GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb,
+               LEAD(v) OVER (ORDER BY v) AS nv
+        FROM base
+    ),
+    tot AS (
+        SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na,
+               CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb
+        FROM base
+    ),
+    s AS (
+        SELECT COALESCE(SUM(
+                 abs(CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na)
+                 * (nv - v)), 0) AS num
+        FROM cum, tot WHERE nv IS NOT NULL
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(num AS DECIMAL(38,0)) END AS w1_num,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(CAST(CAST(num AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 100.0)
+                  AS DECIMAL(18,6)) AS DOUBLE) END AS w1
+    FROM tot, s
+    """

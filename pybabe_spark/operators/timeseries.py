@@ -4580,3 +4580,146 @@ def mann_kendall_sql(
            {z} AS z{trend}
     FROM one
     """
+
+
+#: Euler–Mascheroni constant — the Gumbel method-of-moments location
+#: shift, a shared literal (both engines substitute the same digits)
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_maxima(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    return_period: int = 100,
+) -> DataFrame:
+    """Gumbel extreme-value fit over per-period block maxima: the
+    capacity-planning question — "what peak should we provision for
+    once per ``return_period`` periods?" Per key: period maxima of the
+    exact cents values, method-of-moments Gumbel parameters
+
+        β = s·√6/π,   μ = x̄ − γ·β      (γ = Euler–Mascheroni)
+
+    and the return level ``μ − β·ln(−ln(1 − 1/T))``. Output
+    ``(key, n_blocks, mean_max, sd_max, mu, beta, return_level)``.
+
+    Determinism: block maxima are exact bigint cents (a max agg);
+    mean/SD come from exact DECIMAL(38,0) moments (sample variance,
+    n−1); each output is ONE fixed-shape IEEE expression over those
+    exact integers rounded once to DECIMAL(18,6) — the anova_f
+    discipline. All fit columns are NULL when n_blocks < 2 or the
+    maxima are constant (s = 0); ``mean_max`` reports for n ≥ 1.
+
+    Scale shape: one map-combinable (key, period) max agg collapses
+    the corpus, one key-grain moment agg, fixed-shape finish — two
+    shuffles, no window, no join.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("gumbel_maxima: bucket_seconds must be positive")
+    if return_period < 2:
+        raise ValueError("gumbel_maxima: return_period must be >= 2")
+    bus = int(bucket_seconds) * 1_000_000
+    ok = (
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    blocks = (
+        df.filter(ok)
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("__t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("__k", "__t")
+        .agg(F.max("__x").alias("__m"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = blocks.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("__m"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(d(F.col("__m")) * F.col("__m"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / (100.0 * nd)
+    var_num = d(
+        F.col("n") * F.col("__q") - F.col("__s") * F.col("__s")
+    ).cast("double")
+    # sample variance over cents, /1e4 back to value units
+    sd = F.sqrt(var_num / (nd * (nd - 1.0))) / 100.0
+    import math as _math
+
+    beta = sd * _math.sqrt(6.0) / _math.pi
+    mu = mean - _EULER_GAMMA * beta
+    t = float(int(return_period))
+    lvl = mu - beta * _math.log(-_math.log(1.0 - 1.0 / t))
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    fit_ok = (F.col("n") >= 2) & (var_num > 0)
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n").alias("n_blocks"),
+        F.when(F.col("n") >= 1, out(mean)).alias("mean_max"),
+        F.when(fit_ok, out(sd)).alias("sd_max"),
+        F.when(fit_ok, out(mu)).alias("mu"),
+        F.when(fit_ok, out(beta)).alias("beta"),
+        F.when(fit_ok, out(lvl)).alias("return_level"),
+    )
+
+
+def gumbel_maxima_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    return_period: int = 100,
+) -> str:
+    """DuckDB oracle of :func:`gumbel_maxima` — same block-max cents,
+    same HUGEINT moments, same fixed-shape once-rounded fits."""
+    import math as _math
+
+    bus = int(bucket_seconds) * 1_000_000
+    t = float(int(return_period))
+    lnln = _math.log(-_math.log(1.0 - 1.0 / t))
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    mean = "(CAST(s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))"
+    var_num = "CAST(n::HUGEINT * q - s * s AS DOUBLE)"
+    sd = (
+        f"(sqrt({var_num} / (CAST(n AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) - 1.0))) / 100.0)"
+    )
+    beta = f"({sd} * sqrt(6.0) / pi())"
+    mu = f"({mean} - {_EULER_GAMMA!r} * {beta})"
+    lvl = f"({mu} - {beta} * {lnln!r})"
+    fit_ok = f"n >= 2 AND {var_num} > 0"
+    return f"""
+    WITH blocks AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               MAX(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS m
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY k, t
+    ),
+    agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(m AS HUGEINT)) AS s,
+               SUM(CAST(m AS HUGEINT) * m) AS q
+        FROM blocks GROUP BY k
+    )
+    SELECT k AS {key_col}, n AS n_blocks,
+           CASE WHEN n >= 1 THEN {r6(mean)} END AS mean_max,
+           CASE WHEN {fit_ok} THEN {r6(sd)} END AS sd_max,
+           CASE WHEN {fit_ok} THEN {r6(mu)} END AS mu,
+           CASE WHEN {fit_ok} THEN {r6(beta)} END AS beta,
+           CASE WHEN {fit_ok} THEN {r6(lvl)} END AS return_level
+    FROM agg
+    """

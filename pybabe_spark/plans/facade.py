@@ -1524,6 +1524,25 @@ class Babe:
                             chi2_crit)
         )
 
+    def wasserstein_1d(self, group_col, value_col, group_a,
+                       group_b) -> "Babe":
+        from pybabe_spark.operators.sketch import wasserstein_1d
+
+        return self._wrap(
+            wasserstein_1d(self.df, group_col, value_col, group_a,
+                           group_b)
+        )
+
+    def gumbel_maxima(self, key_col, ts_col, value_col,
+                      bucket_seconds=86400,
+                      return_period=100) -> "Babe":
+        from pybabe_spark.operators.timeseries import gumbel_maxima
+
+        return self._wrap(
+            gumbel_maxima(self.df, key_col, ts_col, value_col,
+                          bucket_seconds, return_period)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

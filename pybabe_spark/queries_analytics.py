@@ -5396,3 +5396,56 @@ def q_chow_break(spark, sf_dir):
         ).alias("regime"),
     )
     return chow_test(frame, "x", "y", "regime", f_crit=2.9957)
+
+
+def _wasserstein_sql():
+    from pybabe_spark.operators.sketch import wasserstein_1d_sql
+
+    return wasserstein_1d_sql(
+        "SELECT event_type, value FROM events",
+        "event_type", "value", "click", "purchase",
+    )
+
+
+@register("wasserstein_events", _wasserstein_sql())
+def q_wasserstein(spark, sf_dir):
+    """Wasserstein-1 distance between click and purchase value
+    distributions (operators/sketch.py::wasserstein_1d): the INTEGRAL
+    of the ECDF gap ks_test_events only takes the sup of — how much
+    probability mass moved, in dollars (the drift magnitude a retrain
+    trigger wants). The numerator Σ|cumA·n_b − cumB·n_a|·Δv stays an
+    exact integer over the de-globalized 1024-cell cumulative; the
+    ≤1023 cell-boundary gaps are reconstructed from the bounded cell
+    table (the offsets ARE the boundary cumulatives). One division at
+    the end, rounded once."""
+    from pybabe_spark.operators.sketch import wasserstein_1d
+
+    ev = read_table(spark, sf_dir, "events")
+    return wasserstein_1d(ev, "event_type", "value", "click", "purchase")
+
+
+def _gumbel_sql():
+    from pybabe_spark.operators.timeseries import gumbel_maxima_sql
+
+    return gumbel_maxima_sql(
+        "events", "event_type", "ts", "value",
+        bucket_seconds=86400, return_period=100,
+    )
+
+
+@register("gumbel_maxima_events", _gumbel_sql())
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel extreme-value fit on daily value maxima per event type
+    (operators/timeseries.py::gumbel_maxima): method-of-moments
+    β = s√6/π, μ = x̄ − γβ and the 100-day return level — the
+    capacity-planning twin of volume_anomalies_events (what peak to
+    provision for, not which peaks happened). Exact bigint block
+    maxima and DECIMAL(38,0) moments; every fit column one fixed-shape
+    IEEE expression rounded once. Two map-combinable shuffles."""
+    from pybabe_spark.operators.timeseries import gumbel_maxima
+
+    ev = read_table(spark, sf_dir, "events")
+    return gumbel_maxima(
+        ev, "event_type", "ts", "value",
+        bucket_seconds=86400, return_period=100,
+    )

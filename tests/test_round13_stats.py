@@ -309,3 +309,109 @@ def test_hosmer_lemeshow_degenerate_bin_nulls(spark):
     assert got["significant"] is False
     with pytest.raises(ValueError):
         hosmer_lemeshow(df, "score", "label", bins=2)
+
+
+def _w1_python(xs, ys):
+    """Naive exact ECDF-integral Wasserstein-1 on cents ints."""
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    num = 0
+    cuma = cumb = 0
+    for v, nv in zip(vals, vals[1:] + [None]):
+        cuma += sum(1 for x in xs if x == v)
+        cumb += sum(1 for y in ys if y == v)
+        if nv is not None:
+            num += abs(cuma * nb - cumb * na) * (nv - v)
+    return num, num / (na * nb * 100.0)
+
+
+def test_wasserstein_matches_python_integral(spark):
+    from pybabe_spark.operators.sketch import wasserstein_1d
+
+    # pseudo-random but deterministic; wide range so values scatter
+    # across many non-adjacent cells -> boundary terms exercised
+    xs = [((i * 7919) % 100000) for i in range(150)]
+    ys = [((i * 104729 + 13) % 100000) for i in range(90)]
+    rows = [("a", x / 100.0) for x in xs] + [("b", y / 100.0) for y in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    num, w1 = _w1_python(xs, ys)
+    assert got["n_a"] == 150 and got["n_b"] == 90
+    assert int(got["w1_num"]) == num
+    assert got["w1"] == pytest.approx(w1, abs=2e-6)
+
+
+def test_wasserstein_shift_and_identity(spark):
+    from pybabe_spark.operators.sketch import wasserstein_1d
+
+    base = [1.0, 2.0, 5.0, 9.0]
+    rows = [("a", v) for v in base] + [("b", v + 3.0) for v in base]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    # equal-n shift by c: W1 = c exactly
+    assert got["w1"] == pytest.approx(3.0, abs=1e-6)
+    same = [("a", v) for v in base] + [("b", v) for v in base]
+    ident = wasserstein_1d(
+        spark.createDataFrame(same, "g string, v double"), "g", "v",
+        "a", "b",
+    ).collect()[0]
+    assert int(ident["w1_num"]) == 0 and ident["w1"] == 0.0
+    # empty arm -> NULLs
+    empty = wasserstein_1d(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        "g", "v", "a", "b",
+    ).collect()[0]
+    assert empty["w1_num"] is None and empty["w1"] is None
+
+
+def test_gumbel_maxima_matches_python_model(spark):
+    import numpy as np
+
+    from pybabe_spark.operators.timeseries import gumbel_maxima
+
+    rows = []
+    maxima = []
+    for d in range(14):
+        vals = [float((d * 31 + j * 7) % 50) + 1.25 for j in range(5)]
+        maxima.append(max(vals))
+        rows += [("k", d, v) for v in vals]
+    got = gumbel_maxima(
+        _ts_series(spark, rows), "k", "ts", "v", 86400, 100
+    ).collect()[0]
+    m = np.array(maxima)
+    mean, sd = m.mean(), m.std(ddof=1)
+    beta = sd * math.sqrt(6.0) / math.pi
+    gamma = 0.5772156649015329
+    mu = mean - gamma * beta
+    lvl = mu - beta * math.log(-math.log(1.0 - 1.0 / 100.0))
+    assert got["n_blocks"] == 14
+    assert got["mean_max"] == pytest.approx(mean, abs=2e-6)
+    assert got["sd_max"] == pytest.approx(sd, abs=2e-6)
+    assert got["mu"] == pytest.approx(mu, abs=2e-6)
+    assert got["beta"] == pytest.approx(beta, abs=2e-6)
+    assert got["return_level"] == pytest.approx(lvl, abs=2e-6)
+    # higher return period -> higher level
+    lvl1000 = gumbel_maxima(
+        _ts_series(spark, rows), "k", "ts", "v", 86400, 1000
+    ).collect()[0]["return_level"]
+    assert lvl1000 > got["return_level"]
+
+
+def test_gumbel_maxima_edges(spark):
+    from pybabe_spark.operators.timeseries import gumbel_maxima
+
+    one = gumbel_maxima(
+        _ts_series(spark, [("k", 0, 5.0)]), "k", "ts", "v", 86400
+    ).collect()[0]
+    assert one["mean_max"] == pytest.approx(5.0)
+    assert one["mu"] is None  # n_blocks < 2
+    const = gumbel_maxima(
+        _ts_series(spark, [("k", 0, 5.0), ("k", 1, 5.0)]),
+        "k", "ts", "v", 86400,
+    ).collect()[0]
+    assert const["mu"] is None  # zero variance
+    with pytest.raises(ValueError):
+        gumbel_maxima(
+            _ts_series(spark, [("k", 0, 5.0)]), "k", "ts", "v", 86400,
+            return_period=1,
+        )
