@@ -6703,3 +6703,202 @@ def wasserstein_1d_sql(
                   AS DECIMAL(18,6)) AS DOUBLE) END AS w1
     FROM tot, s
     """
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha: float,
+    by: str | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Split-conformal prediction threshold — the finite-sample-valid
+    cutoff for nonconformity scores: the ``k``-th smallest calibration
+    score with ``k = ⌈(n+1)(1−α)⌉``, which guarantees ≥ 1−α coverage
+    on exchangeable future points (the (n+1) correction is exactly
+    what separates this from a plain quantile). One row per group:
+    ``(group?, n, k, threshold)``; ``threshold`` is NULL when
+    ``k > n`` (too little calibration data for this α — the honest
+    "infinite threshold" case).
+
+    Exact arithmetic: scores lift to bigint cents; ``k`` is the pure
+    integer ``⌈(n+1)·cov_ppm / 10⁶⌉`` (cov_ppm = 10⁶ − α·10⁶, a
+    shared literal), and the pick is the smallest value whose
+    cumulative COUNT reaches k — an integer order statistic,
+    bit-identical across engines by construction.
+
+    Scale shape (the weighted_quantiles target-cell machinery with
+    count weights and an absolute-rank finish): one (group, value)
+    hash agg; 1024 equal-width global-range cells; per-group offsets
+    and totals on the bounded cell-totals table; the target cell
+    resolved on that tiny table; the final cumulative walks ONLY the
+    target cell's ≤1/buckets slice. No per-group funnel.
+    """
+    a_ppm = int(round(float(alpha) * 1_000_000))
+    if a_ppm <= 0 or a_ppm >= 1_000_000:
+        raise ValueError("conformal_threshold: alpha must be in (0, 1)")
+    if buckets < 1:
+        raise ValueError("conformal_threshold: buckets must be >= 1")
+    cov_ppm = 1_000_000 - a_ppm
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    keys = [by] if by else []
+    cv = (F.col(score_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = lazy_persist(
+        df.filter(F.col(score_col).isNotNull())
+        .select(*keys, cv.alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    rng = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    j = attach_scalars(base, rng).withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
+            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+        ),
+    ).drop("__lo", "__hi")
+    btot = j.groupBy(*keys, "__b").agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__bt")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    if keys:
+        wb = Window.partitionBy(*keys).orderBy(F.col("__b").asc())
+        offs = btot.select(
+            *keys,
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                zero,
+            ).alias("__off"),
+            "__bt",
+            F.sum("__bt")
+            .over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__tot"),
+        )
+    else:
+        bounded = btot.limit(buckets)  # __b < buckets by construction
+        a, b = bounded.alias("a"), bounded.alias("b")
+        offs = attach_scalars(
+            a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+            .groupBy(
+                F.col("a.__b").alias("__b"), F.col("a.__bt").alias("__bt")
+            )
+            .agg(F.coalesce(F.sum("b.__bt"), zero).alias("__off"))
+            .select("__b", "__off", "__bt"),
+            bounded.agg(F.sum("__bt").alias("__tot")),
+        )
+    # k = ceil((n+1)·cov_ppm/1e6), resolved on the tiny cell table
+    k_expr = F.expr(
+        f"CAST(((__tot + 1) * {cov_ppm} + 999999) div 1000000"
+        " AS DECIMAL(38,0))"
+    )
+    targets = (
+        offs.withColumn("__k", k_expr)
+        .groupBy(*keys)
+        .agg(
+            F.max("__tot").cast("decimal(38,0)").alias("__tot"),
+            F.max("__k").alias("__k"),
+            F.min(
+                F.when(
+                    F.col("__off") + F.col("__bt") >= F.col("__k"),
+                    F.col("__b"),
+                )
+            ).alias("__tb"),
+            F.min(
+                F.when(
+                    F.col("__off") + F.col("__bt") >= F.col("__k"),
+                    F.col("__off"),
+                )
+            ).alias("__toff"),
+        )
+    )
+    tsel = [*keys, "__tot", "__k", "__tb", "__toff"]
+    tr = targets.select(
+        *[F.col(k).alias("__gk") for k in keys], *tsel[len(keys):]
+    ) if keys else targets.select(*tsel)
+    cond = F.col("__b") == F.col("__tb")
+    if keys:
+        cond = F.col(by).eqNullSafe(F.col("__gk")) & cond
+    cand = j.join(F.broadcast(tr), cond)
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    cum = cand.withColumn(
+        "__cum",
+        F.col("__toff")
+        + F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    picked = cum.groupBy(*keys, "__k").agg(
+        F.min(
+            F.when(F.col("__cum") >= F.col("__k"), F.col("__v"))
+        ).alias("__q")
+    )
+    # k > n ⟹ NO cell reaches the rank, the dig matches nothing and
+    # picked has no row for the group — the group must still report
+    # (n, k, NULL): left-join picked back onto the always-present
+    # target table (one row per group, the operator's own output grain)
+    if keys:
+        pk = picked.select(
+            *[F.col(k).alias(f"__pk_{k}") for k in keys], "__q"
+        )
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & F.col(k).eqNullSafe(F.col(f"__pk_{k}"))
+        full = targets.join(F.broadcast(pk), jc, "left")
+    else:
+        full = targets.join(
+            F.broadcast(picked.select("__q")), F.lit(True), "left"
+        )
+    return full.select(
+        *keys,
+        F.col("__tot").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k"),
+        F.when(
+            F.col("__k") <= F.col("__tot"),
+            F.col("__q").cast("double") / 100,
+        ).alias("threshold"),
+    )
+
+
+def conformal_threshold_sql(
+    select: str,
+    score_col: str,
+    alpha: float,
+    by: str | None = None,
+) -> str:
+    """DuckDB oracle of :func:`conformal_threshold` — the naive exact
+    form: per-group ordered walk, same integer k, same cents pick."""
+    a_ppm = int(round(float(alpha) * 1_000_000))
+    cov_ppm = 1_000_000 - a_ppm
+    g = f"{by} AS g," if by else "'' AS g,"
+    gsel = f"g AS {by}," if by else ""
+    return f"""
+    WITH rows_in AS ({select}),
+    pts AS (
+        SELECT {g}
+               CAST(CAST({score_col} AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS v
+        FROM rows_in WHERE {score_col} IS NOT NULL
+    ),
+    cum AS (
+        SELECT g, v,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM pts
+    ),
+    k AS (
+        SELECT g, n,
+               ((n + 1) * {cov_ppm} + 999999) // 1000000 AS k
+        FROM cum GROUP BY g, n
+    )
+    SELECT {gsel} CAST(k.n AS BIGINT) AS n, CAST(k.k AS BIGINT) AS k,
+           CASE WHEN k.k <= k.n THEN
+             (SELECT CAST(MIN(c2.v) AS DOUBLE) / 100 FROM cum c2
+              WHERE c2.g = k.g AND c2.rn = k.k) END AS threshold
+    FROM k
+    """

@@ -1543,6 +1543,27 @@ class Babe:
                           bucket_seconds, return_period)
         )
 
+    def conformal_threshold(self, score_col, alpha, by=None,
+                            buckets=1024) -> "Babe":
+        from pybabe_spark.operators.sketch import conformal_threshold
+
+        return self._wrap(
+            conformal_threshold(self.df, score_col, alpha, by, buckets)
+        )
+
+    def embedding_covariance(self, vec_col="embedding", dim=64,
+                             top=8) -> "Babe":
+        from pybabe_spark.operators.pca import embedding_covariance
+
+        return self._wrap(
+            embedding_covariance(self.df, vec_col, dim, top)
+        )
+
+    def pca_fit(self, vec_col="embedding", dim=64, top_k=8) -> "Babe":
+        from pybabe_spark.operators.pca import pca_fit
+
+        return self._wrap(pca_fit(self.df, vec_col, dim, top_k))
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

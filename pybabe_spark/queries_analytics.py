@@ -5449,3 +5449,27 @@ def q_gumbel_maxima(spark, sf_dir):
         ev, "event_type", "ts", "value",
         bucket_seconds=86400, return_period=100,
     )
+
+
+def _conformal_sql():
+    from pybabe_spark.operators.sketch import conformal_threshold_sql
+
+    return conformal_threshold_sql(
+        "SELECT event_type, value FROM events",
+        "value", 0.1, by="event_type",
+    )
+
+
+@register("conformal_threshold_events", _conformal_sql())
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction threshold per event type
+    (operators/sketch.py::conformal_threshold): the k-th smallest
+    value with k = ⌈(n+1)·0.9⌉ — the finite-sample-valid 90%-coverage
+    cutoff (the (n+1) correction is what a plain quantile lacks).
+    Exact integer rank over bigint cents via the weighted_quantiles
+    target-cell machinery: the rank resolves on the bounded cell
+    table and the final walk touches only the target cell's slice."""
+    from pybabe_spark.operators.sketch import conformal_threshold
+
+    ev = read_table(spark, sf_dir, "events")
+    return conformal_threshold(ev, "value", 0.1, by="event_type")

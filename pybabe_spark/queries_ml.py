@@ -1688,3 +1688,40 @@ def q_centroid_drift(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return centroid_drift(emb, "label", "embedding")
+
+
+def _cov_sql():
+    from pybabe_spark.operators.pca import embedding_covariance_sql
+
+    return embedding_covariance_sql("embeddings", "embedding", top=6)
+
+
+@register("covariance_embeddings", _cov_sql())
+def q_embedding_covariance(spark, sf_dir):
+    """Top-left 6×6 corner of the exact embedding covariance matrix
+    (operators/pca.py::embedding_covariance): per-Arrow-batch int64
+    Gram partials (half-up micro-unit lift shared verbatim with the
+    oracle) reduced by one (i,j) DECIMAL(38,0) hash agg — the
+    SQL-oracle-able certificate of the PCA moment machinery; the
+    eigen step itself lives in pca_embeddings (rows-only check, the
+    documented non-SQL-expressible seam)."""
+    from pybabe_spark.operators.pca import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64, top=6)
+
+
+@register("pca_embeddings", None)
+def q_pca(spark, sf_dir):
+    """PCA spectrum of the embedding corpus (operators/pca.py::
+    pca_fit): top-8 eigenvalues + explained-variance ppm from
+    numpy.eigh on the EXACT covariance matrix the distributed moment
+    pass assembles (only the 64×64 matrix reaches the driver). No
+    DuckDB oracle — eigendecomposition is genuinely non-SQL-
+    expressible; the moment machinery beneath it is hash-certified by
+    covariance_embeddings, and the spectrum is unit-tested against
+    numpy on dense fixtures."""
+    from pybabe_spark.operators.pca import pca_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_fit(emb, "embedding", dim=64, top_k=8)

@@ -415,3 +415,89 @@ def test_gumbel_maxima_edges(spark):
             _ts_series(spark, [("k", 0, 5.0)]), "k", "ts", "v", 86400,
             return_period=1,
         )
+
+
+def test_conformal_threshold_rank_rule(spark):
+    from pybabe_spark.operators.sketch import conformal_threshold
+
+    vals = [float(v) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = conformal_threshold(df, "v", 0.2).collect()[0]
+    # n=10: k = ceil(11*0.8) = ceil(8.8) = 9 -> 9th smallest = 9.0
+    assert (got["n"], got["k"]) == (10, 9)
+    assert got["threshold"] == pytest.approx(9.0)
+    # alpha small enough that k = n+1 > n -> NULL (infinite threshold)
+    tiny = conformal_threshold(
+        spark.createDataFrame([(1.0,), (2.0,)], "v double"), "v", 0.05
+    ).collect()[0]
+    assert tiny["k"] == 3 and tiny["n"] == 2
+    assert tiny["threshold"] is None
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "v", 0.0)
+
+
+def test_conformal_threshold_grouped_and_ties(spark):
+    from pybabe_spark.operators.sketch import conformal_threshold
+
+    rows = [("a", float(v)) for v in range(1, 21)] + [
+        ("b", 5.0)
+    ] * 7 + [("b", 9.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in conformal_threshold(df, "v", 0.1, by="g").collect()
+    }
+    # a: n=20, k = ceil(21*0.9) = 19 -> value 19
+    assert (out["a"]["k"], out["a"]["threshold"]) == (19, 19.0)
+    # b: n=10, k = ceil(11*0.9) = 10 -> 10th smallest = 9.0 (ties)
+    assert (out["b"]["k"], out["b"]["threshold"]) == (10, 9.0)
+
+
+def test_pca_fit_matches_numpy(spark):
+    import numpy as np
+
+    from pybabe_spark.operators.pca import embedding_covariance, pca_fit
+
+    rng = [
+        [float((i * 13 + j * 7) % 10) / 10.0 + (j == 0) * (i % 5)
+         for j in range(4)]
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pca_fit(df, "embedding", dim=4, top_k=4).collect()
+    # numpy model on the same micro-quantized values
+    x = np.floor(np.array(rng, dtype=np.float32).astype(np.float64)
+                 * 1e6 + 0.5) / 1e6
+    cov = np.cov(x, rowvar=False, ddof=1)
+    want = np.linalg.eigvalsh(cov)[::-1]
+    for r, w in zip(got, want):
+        assert r["eigenvalue"] == pytest.approx(w, abs=1e-5)
+    assert got[0]["explained_ppm"] > got[1]["explained_ppm"]
+    assert got[-1]["cum_explained_ppm"] <= 1_000_000
+    # covariance certificate agrees with numpy on the corner
+    corner = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", 4, 3).collect()
+    }
+    for (i, j), v in corner.items():
+        assert v == pytest.approx(cov[i][j], abs=2e-6)
+
+
+def test_pca_fit_edges(spark):
+    from pybabe_spark.operators.pca import pca_fit
+
+    one = pca_fit(
+        spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        ),
+        "embedding", dim=2, top_k=2,
+    )
+    assert one.count() == 0  # n < 2: empty frame, stable schema
+    assert one.columns == [
+        "component", "eigenvalue", "explained_ppm", "cum_explained_ppm"
+    ]
+    with pytest.raises(ValueError):
+        pca_fit(one, "embedding", dim=2, top_k=3)
