@@ -6506,15 +6506,17 @@ def wasserstein_1d(
     ``W₁ = ∫|F_A(v) − F_B(v)| dv`` — so it prices HOW MUCH probability
     mass moved, in value units, not just whether the shapes differ
     (the drift magnitude a retrain trigger actually wants). ONE output
-    row ``(n_a, n_b, w1_num, w1)`` with
+    row ``(n_a, n_b, w1_ppm, w1)`` with
 
-        w1_num = Σ_gaps |cumA(v)·n_b − cumB(v)·n_a| · Δv   (exact int)
-        w1     = w1_num / (n_a·n_b·100)                    (value units)
+        num    = Σ_gaps |cumA(v)·n_b − cumB(v)·n_a| · Δv   (exact int)
+        w1_ppm = num·10⁴ div (n_a·n_b)     (exact integral ppm of the
+                                            value-unit distance)
+        w1     = w1_ppm / 10⁶
 
-    summed over consecutive distinct cents values; the single final
-    division is the only IEEE step, emitted once (DECIMAL(18,6)-
-    rounded) — both engines agree by construction. NULL when either
-    arm is empty; 0 when the samples coincide.
+    summed over consecutive distinct cents values — no IEEE anywhere
+    (w1 is bounded by the VALUE RANGE, not the corpus, so the ppm
+    integer always fits bigint). NULL when either arm is empty; 0
+    when the samples coincide.
 
     Scale shape (the ks_test machinery plus one lag): one
     (value → per-arm counts) hash agg collapses duplicates; running
@@ -6627,26 +6629,22 @@ def wasserstein_1d(
         F.coalesce(bnd_term, F.lit(0)).cast("decimal(38,0)").alias("__bw")
     )
     one = attach_scalars(attach_scalars(tot, wsum), bsum)
-    num = d(F.col("__w") + F.col("__bw"))
-    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
-    w1 = F.when(
-        (F.col("__na") > 0) & (F.col("__nb") > 0),
-        out(
-            num.cast("double")
-            / (
-                F.col("__na").cast("double")
-                * F.col("__nb").cast("double")
-                * 100.0
-            )
-        ),
+    one = one.withColumn(
+        "__num", d(F.col("__w") + F.col("__bw"))
+    ).withColumn(
+        "__den", d(F.col("__na")).cast("decimal(38,0)") * F.col("__nb")
     )
+    ppm = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.expr(
+            "(CAST(10000 AS DECIMAL(38,0)) * __num) div __den"
+        ),
+    ).cast("bigint")
     return one.select(
         F.col("__na").alias("n_a"),
         F.col("__nb").alias("n_b"),
-        F.when(
-            (F.col("__na") > 0) & (F.col("__nb") > 0), num
-        ).alias("w1_num"),
-        w1.alias("w1"),
+        ppm.alias("w1_ppm"),
+        (ppm.cast("double") / 1e6).alias("w1"),
     )
 
 
@@ -6695,12 +6693,13 @@ def wasserstein_1d_sql(
         FROM cum, tot WHERE nv IS NOT NULL
     )
     SELECT na AS n_a, nb AS n_b,
-           CASE WHEN na > 0 AND nb > 0
-                THEN CAST(num AS DECIMAL(38,0)) END AS w1_num,
            CASE WHEN na > 0 AND nb > 0 THEN
-             CAST(CAST(CAST(num AS DOUBLE)
-                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 100.0)
-                  AS DECIMAL(18,6)) AS DOUBLE) END AS w1
+             CAST((10000::HUGEINT * num)
+                  // (na::HUGEINT * nb) AS BIGINT) END AS w1_ppm,
+           CAST(CASE WHEN na > 0 AND nb > 0 THEN
+             CAST((10000::HUGEINT * num)
+                  // (na::HUGEINT * nb) AS BIGINT) END AS DOUBLE)
+             / 1e6 AS w1
     FROM tot, s
     """
 

@@ -45,6 +45,10 @@ _DELICATE = re.compile(
     r"|tukey|friedman|kendall|partial_corr|odds_ratio|page_trend"
     r"|cochran|mcc_|pr_auc|ece_|bollinger|lorenz|herfindahl"
     r"|assortativity|jaccard_links|grubbs|runs_test|lsh_calibration"
+    # r13 additions: trend z-scores, Gumbel fits, structural-break F,
+    # reliability/dispersion ppm, EMD, conformal ranks, covariance ppm
+    r"|mann_kendall|gumbel|chow_break|cronbach|overdispersion"
+    r"|wasserstein|hosmer|conformal|covariance_|acf_bucketed"
 )
 
 all_queries()

@@ -337,7 +337,7 @@ def test_wasserstein_matches_python_integral(spark):
     got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
     num, w1 = _w1_python(xs, ys)
     assert got["n_a"] == 150 and got["n_b"] == 90
-    assert int(got["w1_num"]) == num
+    assert got["w1_ppm"] == 10**4 * num // (150 * 90)
     assert got["w1"] == pytest.approx(w1, abs=2e-6)
 
 
@@ -355,13 +355,13 @@ def test_wasserstein_shift_and_identity(spark):
         spark.createDataFrame(same, "g string, v double"), "g", "v",
         "a", "b",
     ).collect()[0]
-    assert int(ident["w1_num"]) == 0 and ident["w1"] == 0.0
+    assert ident["w1_ppm"] == 0 and ident["w1"] == 0.0
     # empty arm -> NULLs
     empty = wasserstein_1d(
         spark.createDataFrame([("a", 1.0)], "g string, v double"),
         "g", "v", "a", "b",
     ).collect()[0]
-    assert empty["w1_num"] is None and empty["w1"] is None
+    assert empty["w1_ppm"] is None and empty["w1"] is None
 
 
 def test_gumbel_maxima_matches_python_model(spark):
