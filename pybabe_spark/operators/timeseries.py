@@ -4061,6 +4061,16 @@ def runs_test(
         .groupBy("k", "t")
         .agg(F.sum("__x").alias("__v"))
     )
+    return _runs_test_from_buckets(b, key_col, z_crit)
+
+
+def _runs_test_from_buckets(b, key_col: str, z_crit):
+    """Run-count machinery of :func:`runs_test` over a prepared
+    ``(k, t, __v cents-sum)`` bucket frame — split out (the
+    `_bollinger_from_buckets` discipline) so the streaming-maintained
+    bucket-sum store (`streaming/ops.stream_bucket_sums` →
+    :func:`runs_test_from_store`) computes the IDENTICAL verdicts from
+    incrementally-folded partials."""
     from pybabe_spark.operators._util import lazy_persist
 
     b = lazy_persist(b)  # totals branch + lag branch
@@ -4194,6 +4204,26 @@ def runs_test_sql(
            {sig}
     FROM agg
     """
+
+
+
+def runs_test_from_store(
+    spark,
+    store_path: str,
+    key_col: str = "k",
+    z_crit: float | None = 1.959964,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test over a streaming-maintained bucket-sum
+    store (`streaming/ops.stream_bucket_sums`): partial cents sums
+    reaggregate exactly (bigint addition is associative), then the
+    SAME machinery as :func:`runs_test` — the third store-twin family
+    (bollinger, acf, runs), proven output-identical to the batch
+    operator over the full history."""
+    partials = spark.read.parquet(store_path)
+    b = partials.groupBy("k", "t").agg(F.sum("__s").alias("__v"))
+    if key_col != "k":
+        b = b.select(F.col("k").alias("k"), "t", "__v")
+    return _runs_test_from_buckets(b, key_col, z_crit)
 
 
 def bollinger_bands(

@@ -947,3 +947,65 @@ def test_stream_bucket_sums_acf_matches_batch(spark, tmp_path):
     # two keys x two lags, with enough buckets for defined acf
     assert len(want) == 4
     assert any(r[3] is not None for r in want)
+
+
+def test_stream_bucket_sums_runs_test_matches_batch(spark, tmp_path):
+    """Third store-twin family: runs_test_from_store == batch
+    runs_test over the union of micro-batched files — EXACT equality
+    on counts, runs, z and the significance verdict (the store's
+    partial-sum fold reproduces the batch bucket grain; both paths
+    share _runs_test_from_buckets)."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        runs_test,
+        runs_test_from_store,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                f"k{i % 2}",
+                base + dt.timedelta(hours=(i % 11) + b * 2, minutes=i % 17),
+                float((i * 37 + b * 5) % 90) + 0.75,
+            )
+            for i in range(36)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in runs_test_from_store(spark, store, key_col="g")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in runs_test(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == want and len(want) == 2
+    assert all(r[1] >= 2 for r in want)  # both keys have >= 2 buckets
