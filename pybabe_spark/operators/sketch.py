@@ -6901,3 +6901,212 @@ def conformal_threshold_sql(
               WHERE c2.g = k.g AND c2.rn = k.k) END AS threshold
     FROM k
     """
+
+
+def gesd_outliers(
+    df: DataFrame,
+    value_col: str,
+    max_outliers: int = 3,
+    lambdas: "list[float] | None" = None,
+) -> DataFrame:
+    """Generalized ESD (iterative Grubbs) — the multi-outlier
+    extension :func:`grubbs_test` stops short of: up to
+    ``max_outliers`` rounds of "remove the most extreme point, re-test
+    the rest", emitting ``(round, suspect_value, n_remaining, r_stat
+    [, lambda, is_outlier])`` per round with
+
+        R_i = max|x − x̄_i| / s_i      (over the set after i−1 removals)
+
+    When ``lambdas`` (the Rosner critical values λ_i for your (n, α),
+    computed offline — the g_crit convention) is supplied, the GESD
+    decision applies: the outlier count is the LARGEST i with
+    R_i > λ_i, so ``is_outlier`` marks rounds 1..i* (a later
+    significant round certifies every earlier removal — masking is
+    exactly what this handles and single-Grubbs misses).
+
+    Determinism: k rounds unroll as k PLAN LAYERS over the (value,
+    count) grain — no driver loop, nothing collected. Each layer's
+    moments are exact DECIMAL(38,0) (adjusted by the removed value's
+    exact contribution), the suspect is ``max(struct(score, v))`` with
+    the deviation score the exact integer ``|v·n − S|`` (score ties →
+    larger value, grubbs' fixed tiebreak), and R_i is one fixed-shape
+    IEEE expression rounded once to DECIMAL(18,6). A round emits only
+    while n_remaining ≥ 3 with positive variance (the classical
+    applicability bound); later rounds vanish with it.
+
+    Scale shape: one corpus hash agg to the value grain (pinned — k
+    layers read it), then per round one grain-sized scan + two 1-row
+    maxRows-proven scalar attaches. Work is k × grain, never k ×
+    corpus; k is a literal ≤ 10.
+    """
+    if max_outliers < 1 or max_outliers > 10:
+        raise ValueError("gesd_outliers: max_outliers must be 1..10")
+    if lambdas is not None and len(lambdas) != max_outliers:
+        raise ValueError(
+            "gesd_outliers: lambdas must have max_outliers entries"
+        )
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    grain = lazy_persist(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(x.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    rounds = []
+    cur = grain
+    for i in range(1, max_outliers + 1):
+        tot = cur.agg(
+            F.sum("__c").cast("decimal(38,0)").alias("__n"),
+            F.coalesce(F.sum(F.col("__c") * F.col("__v")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+            F.coalesce(
+                F.sum(F.col("__c") * d(F.col("__v")) * F.col("__v")),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("__q"),
+        )
+        withn = attach_scalars(cur, tot)
+        score = F.abs(
+            d(F.col("__v")) * F.col("__n") - F.col("__s")
+        ).cast("decimal(38,0)")
+        mx = withn.agg(
+            F.max(
+                F.struct(score.alias("__sc"), F.col("__v").alias("__mv"))
+            ).alias("__m")
+        ).select(
+            F.col("__m.__sc").alias("__sc"), F.col("__m.__mv").alias("__mv")
+        )
+        one = attach_scalars(tot, mx)
+        nd = F.col("__n").cast("double")
+        var_num = d(
+            F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+        ).cast("double")
+        # s_i(cents) = sqrt(var_num/(n(n-1))); R = (score/n) / s_i
+        r = (
+            F.col("__sc").cast("double")
+            / (nd * F.sqrt(var_num / (nd * (nd - 1.0))))
+        ).cast("decimal(18,6)")
+        ok_r = (F.col("__n") >= 3) & (var_num > 0)
+        row = one.filter(ok_r).select(
+            F.lit(i).cast("int").alias("round"),
+            (F.col("__mv").cast("double") / 100).alias("suspect_value"),
+            F.col("__n").cast("bigint").alias("n_remaining"),
+            r.cast("double").alias("r_stat"),
+        )
+        rounds.append(row)
+        # remove ONE instance of the suspect value for the next layer
+        nxt = attach_scalars(cur, mx).select(
+            "__v",
+            F.when(
+                F.col("__v") == F.col("__mv"), F.col("__c") - 1
+            )
+            .otherwise(F.col("__c"))
+            .cast("decimal(38,0)")
+            .alias("__c"),
+        ).filter(F.col("__c") > 0)
+        cur = nxt
+    out = rounds[0]
+    for r_ in rounds[1:]:
+        out = out.unionByName(r_)
+    if lambdas is None:
+        return out
+    lam = F.create_map(
+        *[
+            c
+            for i, v in enumerate(lambdas, start=1)
+            for c in (F.lit(i), F.lit(float(v)))
+        ]
+    )
+    withlam = out.withColumn("lambda_crit", lam[F.col("round")])
+    # the GESD rule: outliers = rounds 1..i* where i* is the LARGEST
+    # significant round — a window max over ≤ max_outliers rows
+    wall = Window.partitionBy(F.lit(1))
+    istar = F.max(
+        F.when(F.col("r_stat") > F.col("lambda_crit"), F.col("round"))
+    ).over(wall)
+    return withlam.withColumn(
+        "is_outlier", F.coalesce(F.col("round") <= istar, F.lit(False))
+    )
+
+
+def gesd_outliers_sql(
+    select: str,
+    value_col: str,
+    max_outliers: int = 3,
+    lambdas: "list[float] | None" = None,
+) -> str:
+    """DuckDB oracle of :func:`gesd_outliers` — the same k unrolled
+    layers over the (value, count) grain, same exact integer scores
+    and max(struct) tiebreak, same once-rounded R."""
+    if lambdas is not None and len(lambdas) != max_outliers:
+        raise ValueError("gesd_outliers_sql: lambdas length mismatch")
+    parts = [
+        f"""g1 AS (
+        SELECT CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS v,
+               COUNT(*)::HUGEINT AS c
+        FROM rows_in WHERE {value_col} IS NOT NULL GROUP BY v
+    )"""
+    ]
+    rows = []
+    for i in range(1, max_outliers + 1):
+        parts.append(
+            f"""t{i} AS (
+        SELECT SUM(c) AS n, COALESCE(SUM(c * v), 0) AS s,
+               COALESCE(SUM(c * v::HUGEINT * v), 0) AS q
+        FROM g{i}
+    ), m{i} AS (
+        SELECT g{i}.v AS mv, abs(g{i}.v::HUGEINT * t{i}.n - t{i}.s)
+                 AS sc
+        FROM g{i}, t{i}
+        ORDER BY sc DESC, g{i}.v DESC LIMIT 1
+    ), g{i + 1} AS (
+        SELECT g{i}.v,
+               CASE WHEN g{i}.v = m{i}.mv THEN g{i}.c - 1
+                    ELSE g{i}.c END AS c
+        FROM g{i}, m{i}
+        WHERE (CASE WHEN g{i}.v = m{i}.mv THEN g{i}.c - 1
+                    ELSE g{i}.c END) > 0
+    )"""
+        )
+        r_expr = (
+            f"CAST(m{i}.sc AS DOUBLE) / (CAST(t{i}.n AS DOUBLE)"
+            f" * sqrt(CAST(t{i}.n * t{i}.q - t{i}.s * t{i}.s AS DOUBLE)"
+            f" / (CAST(t{i}.n AS DOUBLE)"
+            f" * (CAST(t{i}.n AS DOUBLE) - 1.0))))"
+        )
+        rows.append(
+            f"""SELECT {i} AS round,
+               CAST(m{i}.mv AS DOUBLE) / 100 AS suspect_value,
+               CAST(t{i}.n AS BIGINT) AS n_remaining,
+               CAST(CAST({r_expr} AS DECIMAL(18,6)) AS DOUBLE)
+                 AS r_stat
+        FROM t{i}, m{i}
+        WHERE t{i}.n >= 3
+          AND (t{i}.n * t{i}.q - t{i}.s * t{i}.s) > 0"""
+        )
+    body = " UNION ALL ".join(rows)
+    base = f"WITH rows_in AS ({select}),\n    " + ",\n    ".join(parts)
+    if lambdas is None:
+        return f"{base}\n    {'SELECT * FROM (' + body + ')'} ORDER BY round"
+    lam_cases = " ".join(
+        f"WHEN {i} THEN {float(v)!r}"
+        for i, v in enumerate(lambdas, start=1)
+    )
+    return f"""{base},
+    r AS ({body}),
+    lamed AS (
+        SELECT r.*, CASE round {lam_cases} END AS lambda_crit FROM r
+    ),
+    star AS (
+        SELECT MAX(CASE WHEN r_stat > lambda_crit THEN round END) AS istar
+        FROM lamed
+    )
+    SELECT lamed.*,
+           COALESCE(lamed.round <= star.istar, FALSE) AS is_outlier
+    FROM lamed, star ORDER BY round
+    """

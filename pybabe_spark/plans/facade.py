@@ -1564,6 +1564,14 @@ class Babe:
 
         return self._wrap(pca_fit(self.df, vec_col, dim, top_k))
 
+    def gesd_outliers(self, value_col, max_outliers=3,
+                      lambdas=None) -> "Babe":
+        from pybabe_spark.operators.sketch import gesd_outliers
+
+        return self._wrap(
+            gesd_outliers(self.df, value_col, max_outliers, lambdas)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

@@ -5473,3 +5473,29 @@ def q_conformal(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return conformal_threshold(ev, "value", 0.1, by="event_type")
+
+
+def _gesd_sql():
+    from pybabe_spark.operators.sketch import gesd_outliers_sql
+
+    return gesd_outliers_sql(
+        "SELECT o_totalprice FROM orders", "o_totalprice",
+        max_outliers=3,
+    )
+
+
+@register("gesd_outliers_orders", _gesd_sql())
+def q_gesd(spark, sf_dir):
+    """Generalized ESD multi-outlier rounds on order totals
+    (operators/sketch.py::gesd_outliers): three remove-and-retest
+    layers unrolled IN-PLAN over the (value, count) grain — grubbs'
+    masking-proof extension, nothing collected. Exact DECIMAL(38,0)
+    moments adjusted per removal, max(struct) suspect with the fixed
+    larger-value tiebreak, once-rounded R per round. λ critical values
+    are n-dependent, so the registry key certifies the statistics;
+    decisions come from the lambdas parameter (tested with Rosner
+    literals in test_round13_stats)."""
+    from pybabe_spark.operators.sketch import gesd_outliers
+
+    orders = read_table(spark, sf_dir, "orders")
+    return gesd_outliers(orders, "o_totalprice", max_outliers=3)

@@ -501,3 +501,76 @@ def test_pca_fit_edges(spark):
     ]
     with pytest.raises(ValueError):
         pca_fit(one, "embedding", dim=2, top_k=3)
+
+
+def test_gesd_outliers_matches_python_model(spark):
+    from pybabe_spark.operators.sketch import gesd_outliers
+
+    base = [10.0, 10.5, 9.8, 10.2, 9.9, 10.1, 10.4, 9.7, 10.3, 10.0]
+    data = base + [25.0, -8.0, 18.0]  # three planted outliers
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    got = {
+        r["round"]: r
+        for r in gesd_outliers(df, "v", max_outliers=4).collect()
+    }
+
+    def py_round(vals):
+        import statistics
+
+        n = len(vals)
+        mean = sum(vals) / n
+        s = statistics.stdev(vals)
+        suspect = max(vals, key=lambda v: (abs(v - mean), v))
+        return suspect, abs(suspect - mean) / s
+
+    vals = [round(v * 100) for v in data]
+    for i in range(1, 5):
+        suspect, r_want = py_round(vals)
+        r = got[i]
+        assert r["suspect_value"] == pytest.approx(suspect / 100)
+        assert r["r_stat"] == pytest.approx(r_want, abs=2e-6)
+        assert r["n_remaining"] == len(vals)
+        vals.remove(suspect)
+    # rounds 1..3 pull the planted extremes, in deviation order
+    # (mean ~10.8: |-8| deviates most, then 25, then 18)
+    assert got[1]["suspect_value"] == -8.0
+    assert got[2]["suspect_value"] == 25.0
+    assert got[3]["suspect_value"] == 18.0
+
+
+def test_gesd_masking_and_decision(spark):
+    """Two far outliers mask each other for single-Grubbs-style R1 but
+    the GESD largest-significant-round rule flags BOTH."""
+    from pybabe_spark.operators.sketch import gesd_outliers
+
+    data = [10.0 + 0.1 * i for i in range(20)] + [50.0, 50.0]
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    lams = [2.73, 2.68, 2.62]  # Rosner-ish lambdas for n=22, a=0.05
+    rows = {
+        r["round"]: r
+        for r in gesd_outliers(df, "v", 3, lambdas=lams).collect()
+    }
+    assert rows[1]["is_outlier"] is True
+    assert rows[2]["is_outlier"] is True
+    assert rows[3]["is_outlier"] is False
+    assert rows[2]["lambda_crit"] == pytest.approx(2.68)
+    # validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        gesd_outliers(df, "v", 0)
+    with _pt.raises(ValueError):
+        gesd_outliers(df, "v", 2, lambdas=[1.0])
+
+
+def test_gesd_stops_when_inapplicable(spark):
+    from pybabe_spark.operators.sketch import gesd_outliers
+
+    tiny = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (9.0,)], "v double"
+    )
+    rows = gesd_outliers(tiny, "v", max_outliers=3).collect()
+    # n=4 -> rounds at n=4 and n=3 emit; the n=2 round vanishes
+    assert [r["round"] for r in sorted(rows, key=lambda r: r["round"])] == [1, 2]
+    const = spark.createDataFrame([(5.0,)] * 6, "v double")
+    assert gesd_outliers(const, "v", 2).count() == 0  # zero variance
