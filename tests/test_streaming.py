@@ -1009,3 +1009,65 @@ def test_stream_bucket_sums_runs_test_matches_batch(spark, tmp_path):
     )
     assert got == want and len(want) == 2
     assert all(r[1] >= 2 for r in want)  # both keys have >= 2 buckets
+
+
+def test_stream_bucket_sums_mann_kendall_matches_batch(spark, tmp_path):
+    """Fourth store-twin family: mann_kendall_from_store == batch
+    mann_kendall over the union — the store's (key, bucket) grain IS
+    the operator's period grain, so S / Var / z / trend labels are
+    exactly equal."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        mann_kendall,
+        mann_kendall_from_store,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                "up" if i % 2 == 0 else "noisy",
+                base + dt.timedelta(hours=(i % 13) + b * 3),
+                float(i + b * 5) if i % 2 == 0
+                else float((i * 29) % 40) + 0.5,
+            )
+            for i in range(30)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in mann_kendall_from_store(
+            spark, store, key_col="g", z_crit=1.96
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mann_kendall(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", bucket_seconds=3600, z_crit=1.96,
+        ).collect()
+    )
+    assert got == want and len(want) == 2
