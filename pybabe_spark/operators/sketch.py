@@ -7110,3 +7110,173 @@ def gesd_outliers_sql(
            COALESCE(lamed.round <= star.istar, FALSE) AS is_outlier
     FROM lamed, star ORDER BY round
     """
+
+
+def nemenyi_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    q_crit: float | None = None,
+    max_treatments: int = 64,
+) -> DataFrame:
+    """Nemenyi post-hoc after :func:`friedman_test` — WHICH treatment
+    pairs differ once the omnibus test fires: every pair's mean-rank
+    gap vs the critical difference
+
+        CD = q_α · √(k(k+1) / (6B))
+
+    (q_α the studentized-range-over-√2 literal for k arms, the
+    :func:`tukey_hsd` convention). One row per unordered pair:
+    ``(treatment_a, treatment_b, mean_rank_a, mean_rank_b, mean_diff,
+    cd[, significant])``.
+
+    Exact arithmetic: the within-block doubled midranks and the
+    per-treatment doubled rank sums R2_j are the SAME exact integers
+    :func:`friedman_test` aggregates (shared `_block_midranks`
+    machinery — test and post-hoc always run on the identical grain);
+    mean ranks are ``R2_j/(2B)`` and the gap ``|R2_i − R2_j|/(2B)``,
+    each ONE IEEE division rounded once to DECIMAL(18,6); CD is one
+    fixed-shape expression rounded once, and ``significant`` compares
+    the two ROUNDED doubles. All NULL when k < 2 or B = 0.
+
+    Scale shape: friedman's grain work (hash agg + ≤k-row block
+    windows) plus a pair join confined to the ≤``max_treatments``-row
+    per-treatment table (in-plan raise-guard, the tukey_hsd idiom) —
+    the pair table is k²/2 rows of output, never data.
+    """
+    if max_treatments < 2:
+        raise ValueError(
+            f"nemenyi_test: max_treatments {max_treatments} < 2"
+        )
+    from pybabe_spark.operators._util import attach_scalars
+
+    ranked = _block_midranks(
+        df, block_col, treatment_col, value_col, "nemenyi_test"
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__bt"),
+        F.sum(d(F.col("__r2"))).cast("decimal(38,0)").alias("__rs2"),
+    )
+    msg = (
+        f"nemenyi_test: more than max_treatments={max_treatments} "
+        "treatments — a k² post-hoc table at that size is rarely "
+        "intended; raise max_treatments to confirm"
+    )
+    per_t = per_t.withColumn(
+        "__tc", F.count(F.lit(1)).over(Window.partitionBy())
+    ).filter(
+        F.when(
+            F.col("__tc") > max_treatments,
+            F.raise_error(F.lit(msg)).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).drop("__tc")
+    kb = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        F.coalesce(F.max("__bt"), F.lit(0)).cast("bigint").alias("__B"),
+    )
+    a_, b_ = per_t.alias("a"), per_t.alias("b")
+    pairs = attach_scalars(
+        a_.join(b_, F.col("a.__t") < F.col("b.__t")), kb
+    )
+    bd = F.col("__B").cast("double")
+    kd = F.col("__k").cast("double")
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okp = (F.col("__k") >= 2) & (F.col("__B") > 0)
+    mean_a = F.col("a.__rs2").cast("double") / (2.0 * bd)
+    mean_b = F.col("b.__rs2").cast("double") / (2.0 * bd)
+    diff = F.abs(
+        d(F.col("a.__rs2")) - F.col("b.__rs2")
+    ).cast("double") / (2.0 * bd)
+    cols = [
+        F.col("a.__t").alias("treatment_a"),
+        F.col("b.__t").alias("treatment_b"),
+        F.when(okp, out(mean_a)).alias("mean_rank_a"),
+        F.when(okp, out(mean_b)).alias("mean_rank_b"),
+        F.when(okp, out(diff)).alias("mean_diff"),
+    ]
+    if q_crit is not None:
+        cd = F.lit(float(q_crit)) * F.sqrt(
+            kd * (kd + 1.0) / (6.0 * bd)
+        )
+        cdr = F.when(okp, out(cd))
+        cols.append(cdr.alias("cd"))
+        cols.append(
+            F.coalesce(
+                F.when(okp, out(diff) > cdr), F.lit(False)
+            ).alias("significant")
+        )
+    return pairs.select(*cols)
+
+
+def nemenyi_test_sql(
+    select: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    q_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`nemenyi_test` — friedman_test_sql's
+    ranked/per_t CTEs verbatim, pair join on the tiny treatment
+    table, same once-rounded gaps and CD."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    okp = "k >= 2 AND B > 0"
+    mean_a = "CAST(a_rs2 AS DOUBLE) / (2.0 * CAST(B AS DOUBLE))"
+    mean_b = "CAST(b_rs2 AS DOUBLE) / (2.0 * CAST(B AS DOUBLE))"
+    diff = "CAST(abs(a_rs2 - b_rs2) AS DOUBLE) / (2.0 * CAST(B AS DOUBLE))"
+    sig = ""
+    cd_col = ""
+    if q_crit is not None:
+        cd = (
+            f"{float(q_crit)!r} * sqrt(CAST(k AS DOUBLE)"
+            " * (CAST(k AS DOUBLE) + 1.0) / (6.0 * CAST(B AS DOUBLE)))"
+        )
+        cd_col = (
+            f",\n           CASE WHEN {okp} THEN {r6(cd)} END AS cd"
+        )
+        sig = (
+            f",\n           COALESCE(CASE WHEN {okp} THEN"
+            f" ({r6(diff)}) > ({r6(cd)}) END, FALSE) AS significant"
+        )
+    return f"""
+    WITH rows_in AS ({select}),
+    obs AS (
+        SELECT {block_col} AS b, {treatment_col} AS t, {x} AS v
+        FROM rows_in
+        WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+    ),
+    kt AS (SELECT COUNT(DISTINCT t) AS k FROM obs),
+    complete AS (
+        SELECT obs.* FROM obs
+        JOIN (SELECT b FROM obs GROUP BY b
+              HAVING COUNT(*) = (SELECT k FROM kt)) cb USING (b)
+    ),
+    ranked AS (
+        SELECT b, t,
+               2 * RANK() OVER (PARTITION BY b ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2
+        FROM complete
+    ),
+    per_t AS (
+        SELECT t, COUNT(*) AS bt, SUM(CAST(r2 AS HUGEINT)) AS rs2
+        FROM ranked GROUP BY t
+    ),
+    kb AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               CAST(COALESCE(MAX(bt), 0) AS BIGINT) AS B
+        FROM per_t
+    ),
+    pairs AS (
+        SELECT a.t AS treatment_a, b.t AS treatment_b,
+               a.rs2 AS a_rs2, b.rs2 AS b_rs2, kb.k, kb.B
+        FROM per_t a JOIN per_t b ON a.t < b.t CROSS JOIN kb
+    )
+    SELECT treatment_a, treatment_b,
+           CASE WHEN {okp} THEN {r6(mean_a)} END AS mean_rank_a,
+           CASE WHEN {okp} THEN {r6(mean_b)} END AS mean_rank_b,
+           CASE WHEN {okp} THEN {r6(diff)} END AS mean_diff{cd_col}{sig}
+    FROM pairs
+    """

@@ -1572,6 +1572,15 @@ class Babe:
             gesd_outliers(self.df, value_col, max_outliers, lambdas)
         )
 
+    def nemenyi_test(self, block_col, treatment_col, value_col,
+                     q_crit=None, max_treatments=64) -> "Babe":
+        from pybabe_spark.operators.sketch import nemenyi_test
+
+        return self._wrap(
+            nemenyi_test(self.df, block_col, treatment_col, value_col,
+                         q_crit, max_treatments)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

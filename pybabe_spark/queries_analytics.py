@@ -5499,3 +5499,42 @@ def q_gesd(spark, sf_dir):
 
     orders = read_table(spark, sf_dir, "orders")
     return gesd_outliers(orders, "o_totalprice", max_outliers=3)
+
+
+def _nemenyi_sql():
+    from pybabe_spark.operators.sketch import nemenyi_test_sql
+
+    return nemenyi_test_sql(
+        """SELECT user_id, event_type,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events
+           WHERE value IS NOT NULL
+           GROUP BY user_id, event_type""",
+        "user_id", "event_type", "v", q_crit=2.728,
+    )
+
+
+@register("nemenyi_events", _nemenyi_sql())
+def q_nemenyi(spark, sf_dir):
+    """Nemenyi post-hoc after friedman_events (operators/sketch.py::
+    nemenyi_test): WHICH event-type pairs differ in within-user rank
+    once the omnibus Friedman fires — each pair's mean-rank gap vs
+    CD = q·√(k(k+1)/6B) with the k=5, α=0.05 studentized-range/√2
+    literal 2.728. Shares friedman's exact block-midrank machinery
+    (the test-then-post-hoc discipline of kruskal/dunn); the pair
+    join is confined to the ≤max_treatments-row per-treatment table
+    behind an in-plan raise-guard."""
+    from pybabe_spark.operators.sketch import nemenyi_test
+
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .alias("v")
+        )
+    )
+    return nemenyi_test(
+        cells, "user_id", "event_type", "v", q_crit=2.728
+    )

@@ -574,3 +574,69 @@ def test_gesd_stops_when_inapplicable(spark):
     assert [r["round"] for r in sorted(rows, key=lambda r: r["round"])] == [1, 2]
     const = spark.createDataFrame([(5.0,)] * 6, "v double")
     assert gesd_outliers(const, "v", 2).count() == 0  # zero variance
+
+
+def test_nemenyi_matches_python_model(spark):
+    """Nemenyi mean-rank gaps and CD against a direct python replay on
+    a small complete-block design."""
+    import itertools
+
+    from pybabe_spark.operators.sketch import nemenyi_test
+
+    blocks = {
+        f"b{i}": {"t1": 1.0 + i, "t2": 3.0 + i, "t3": 2.0 + i * 1.5}
+        for i in range(8)
+    }
+    rows = [
+        (b, t, v) for b, tv in blocks.items() for t, v in tv.items()
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    got = {
+        (r["treatment_a"], r["treatment_b"]): r
+        for r in nemenyi_test(df, "b", "t", "v", q_crit=2.344).collect()
+    }
+    # python mean ranks
+    import statistics
+
+    ranks = {t: [] for t in ["t1", "t2", "t3"]}
+    for tv in blocks.values():
+        for t, v in tv.items():
+            # midrank: below-count + (tied+1)/2
+            below = sum(1 for w in tv.values() if w < v)
+            tied = sum(1 for w in tv.values() if w == v)
+            ranks[t].append(below + (tied + 1) / 2)
+    mr = {t: statistics.mean(v) for t, v in ranks.items()}
+    k, B = 3, 8
+    cd = 2.344 * math.sqrt(k * (k + 1) / (6 * B))
+    for (ta, tb), r in got.items():
+        assert r["mean_rank_a"] == pytest.approx(mr[ta], abs=1e-6)
+        assert r["mean_rank_b"] == pytest.approx(mr[tb], abs=1e-6)
+        assert r["mean_diff"] == pytest.approx(
+            abs(mr[ta] - mr[tb]), abs=1e-6
+        )
+        assert r["cd"] == pytest.approx(cd, abs=2e-6)
+        assert r["significant"] == (
+            round(abs(mr[ta] - mr[tb]), 6) > round(cd, 6)
+        )
+    assert len(got) == 3  # all unordered pairs
+
+
+def test_nemenyi_guard_and_incomplete_blocks(spark):
+    from pybabe_spark.operators.sketch import nemenyi_test
+
+    rows = [("b1", "t1", 1.0), ("b1", "t2", 2.0),
+            ("b2", "t1", 2.0), ("b2", "t2", 1.0),
+            ("b3", "t1", 5.0)]  # b3 incomplete -> excluded
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    got = nemenyi_test(df, "b", "t", "v", q_crit=2.0).collect()
+    assert len(got) == 1
+    assert got[0]["mean_rank_a"] == pytest.approx(1.5)  # perfect split
+    with pytest.raises(ValueError):
+        nemenyi_test(df, "b", "t", "v", max_treatments=1)
+    three = spark.createDataFrame(
+        [("b1", t, float(i)) for i, t in enumerate(["t1", "t2", "t3"])]
+        + [("b2", t, float(3 - i)) for i, t in enumerate(["t1", "t2", "t3"])],
+        "b string, t string, v double",
+    )
+    with pytest.raises(Exception, match="max_treatments"):
+        nemenyi_test(three, "b", "t", "v", max_treatments=2).collect()
