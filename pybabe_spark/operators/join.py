@@ -141,8 +141,10 @@ def asof_join(
     tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
-    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
-    (``forward``) the left row's ``left_ts``, per ``on`` key. Left outer:
+    nearest ``right_ts`` at-or-before (``backward``), at-or-after
+    (``forward``), or closest either side (``nearest`` — absolute-gap
+    winner, ties → the backward row, pandas' rule) of the left row's
+    ``left_ts``, per ``on`` key. Left outer:
     unmatched left rows keep NULL right columns. ``tolerance`` (an
     interval string like ``'5 minutes'``, matching pandas
     ``merge_asof(tolerance=...)``) voids matches farther than that from
@@ -161,7 +163,7 @@ def asof_join(
     are taken from the SAME matched row even when payload values are
     NULL.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: bad direction {direction!r}")
 
     payload_cols = [c for c in right.columns if c not in (on,)]
@@ -202,28 +204,61 @@ def asof_join(
     # Ordering: right rows must be visible to left rows at the same
     # timestamp iff allow_exact_matches — the tag column is the tiebreak.
     tie = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
-    if direction == "backward":
-        w = Window.partitionBy(on).orderBy(F.col("__asof_ts").asc(), tie)
-    else:
-        w = Window.partitionBy(on).orderBy(F.col("__asof_ts").desc(), tie)
-    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = Window.partitionBy(on).orderBy(
+        F.col("__asof_ts").asc(), tie
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy(on).orderBy(
+        F.col("__asof_ts").desc(), tie
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    matched = both.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-    # a NULL left timestamp matches nothing (pandas NaT semantics); under
-    # the forward window's desc order such rows sort last and would
-    # otherwise pick up the final payload
-    matched = matched.withColumn(
-        "__m", F.when(F.col("__asof_ts").isNotNull(), F.col("__m"))
-    )
-    if tolerance is not None:
+    def _side(w):
+        m = F.last("__payload", ignorenulls=True).over(w)
+        # a NULL left timestamp matches nothing (pandas NaT semantics);
+        # under the forward window's desc order such rows sort last and
+        # would otherwise pick up the final payload
+        return F.when(F.col("__asof_ts").isNotNull(), m)
+
+    def _within(mcol, side):
+        if tolerance is None:
+            return mcol
         tol = F.expr(f"INTERVAL {tolerance}")
-        mts = F.col("__m")[right_ts].cast("timestamp")
-        within = (
+        mts = mcol[right_ts].cast("timestamp")
+        cond = (
             mts >= F.col("__asof_ts") - tol
-            if direction == "backward"
+            if side == "backward"
             else mts <= F.col("__asof_ts") + tol
         )
-        matched = matched.withColumn("__m", F.when(within, F.col("__m")))
+        return F.when(cond, mcol)
+
+    if direction in ("backward", "forward"):
+        w = wb if direction == "backward" else wf
+        matched = both.withColumn("__m", _side(w))
+        matched = matched.withColumn(
+            "__m", _within(F.col("__m"), direction)
+        )
+    else:
+        # nearest: both running candidates in one plan (same key
+        # shuffle, two sorts), tolerance voids each side independently
+        # (pandas: filter by tolerance, then take the closer), then the
+        # per-row pick — smaller absolute gap, ties → backward (the
+        # pandas nearest tiebreak)
+        matched = (
+            both.withColumn("__mb", _within(_side(wb), "backward"))
+            .withColumn("__mf", _within(_side(wf), "forward"))
+        )
+        gapb = F.col("__asof_ts").cast("double") - F.col("__mb")[
+            right_ts
+        ].cast("timestamp").cast("double")
+        gapf = F.col("__mf")[right_ts].cast("timestamp").cast(
+            "double"
+        ) - F.col("__asof_ts").cast("double")
+        matched = matched.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gapb <= gapf, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
     out = matched.filter(F.col("__is_left") == 1)
     for c in payload_cols:
         out = out.withColumn(out_name[c], F.col("__m")[c])

@@ -5538,3 +5538,75 @@ def q_nemenyi(spark, sf_dir):
     return nemenyi_test(
         cells, "user_id", "event_type", "v", q_crit=2.728
     )
+
+
+@register(
+    "asof_nearest_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, value AS click_value
+               FROM events WHERE event_type = 'click'),
+         cand AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  (SELECT max(c1.click_ts) FROM c c1
+                   WHERE c1.user_id = p.user_id
+                     AND c1.click_ts <= p.ts) AS bts,
+                  (SELECT min(c2.click_ts) FROM c c2
+                   WHERE c2.user_id = p.user_id
+                     AND c2.click_ts >= p.ts) AS fts
+           FROM p
+         ),
+         pick AS (
+           SELECT event_id, user_id, ts,
+                  CASE
+                    WHEN bts IS NULL THEN fts
+                    WHEN fts IS NULL THEN bts
+                    WHEN (epoch_us(ts) - epoch_us(bts))
+                         <= (epoch_us(fts) - epoch_us(ts)) THEN bts
+                    ELSE fts
+                  END AS click_ts
+           FROM cand
+         )
+    SELECT k.event_id, k.user_id, k.ts, k.click_ts,
+           (SELECT max(c3.click_value) FROM c c3
+            WHERE c3.user_id = k.user_id
+              AND c3.click_ts = k.click_ts) AS click_value
+    FROM pick k
+    """,
+)
+def q_asof_nearest_click(spark, sf_dir):
+    """Nearest-either-side as-of enrichment: each purchase gets the
+    user's CLOSEST click in time (operators/join.py::asof_join,
+    direction='nearest' — pandas merge_asof parity incl. the
+    ties-go-backward rule). One key shuffle carries both running
+    candidates; the oracle replays the pick with correlated min/max
+    subqueries. The matched click_value is re-fetched by (user,
+    picked ts) in BOTH engines — max() over the matched timestamp's
+    rows, a deterministic tiebreak when a user has two clicks on the
+    same microsecond."""
+    from pybabe_spark.operators import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id",
+        left_ts="ts", right_ts="click_ts", direction="nearest",
+    )
+    # deterministic payload at duplicate matched timestamps: re-fetch
+    # click_value as max() per (user, picked ts), mirroring the oracle
+    per_ts = clicks.groupBy("user_id", "click_ts").agg(
+        F.max("click_value").alias("click_value")
+    )
+    return (
+        joined.drop("click_value")
+        .join(per_ts, ["user_id", "click_ts"], "left")
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    )

@@ -3170,3 +3170,65 @@ def test_centroid_drift_large_magnitude_components(spark):
     assert abs(got["a"]["centroid_cosine"] - exp_a) < 1e-6
     exp_b = gy / math.hypot(gx, gy)
     assert abs(got["b"]["centroid_cosine"] - exp_b) < 1e-6
+
+
+def test_asof_join_nearest_direction(spark):
+    """direction='nearest' picks the closer side per row, ties go
+    backward (pandas merge_asof rule), tolerance voids each side
+    independently before the pick."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pybabe_spark.operators.join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            ("k", t0 + dt.timedelta(minutes=10)),   # closer to 8 than 15
+            ("k", t0 + dt.timedelta(minutes=40)),   # equidistant 30/50
+            ("k", t0 + dt.timedelta(minutes=100)),  # only backward exists
+            ("k", t0 + dt.timedelta(minutes=1)),    # only forward (8)
+        ],
+        "k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", t0 + dt.timedelta(minutes=8), "a"),
+            ("k", t0 + dt.timedelta(minutes=15), "b"),
+            ("k", t0 + dt.timedelta(minutes=30), "c"),
+            ("k", t0 + dt.timedelta(minutes=50), "d"),
+        ],
+        "k string, ts timestamp, tag string",
+    )
+    mins = lambda ts: int((ts - t0).total_seconds() // 60)  # noqa: E731
+    out = {
+        mins(r["ts"]): r["tag"]
+        for r in asof_join(
+            left, right, "k", direction="nearest"
+        ).collect()
+    }
+    assert out[10] == "a"       # gap 2 vs 5
+    assert out[40] == "c"       # tie 10/10 -> backward
+    assert out[100] == "d"      # no forward candidate
+    assert out[1] == "a"        # no backward candidate
+    # pandas cross-check on the same frames
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="nearest"
+    )
+    want = {
+        mins(ts): tag for ts, tag in zip(merged["ts"], merged["tag"])
+    }
+    assert out == want
+    # tolerance voids the far side: at minute 40 both are 10 min away;
+    # '5 minutes' voids both
+    tol = {
+        mins(r["ts"]): r["tag"]
+        for r in asof_join(
+            left, right, "k", direction="nearest",
+            tolerance="5 minutes",
+        ).collect()
+    }
+    assert tol[40] is None and tol[10] == "a"
