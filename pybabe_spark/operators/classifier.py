@@ -1500,3 +1500,127 @@ def hosmer_lemeshow_sql(
                 AS DOUBLE) / 1e6 AS hl_chi2{sig}
     FROM one
     """
+
+
+def pairwise_winrate(
+    df: DataFrame,
+    item_a_col: str,
+    item_b_col: str,
+    outcome_col: str,
+    z_crit: float | None = None,
+) -> DataFrame:
+    """Pairwise win-rate matrix with sign-test verdicts — the
+    arena-style eval readout (which model/variant beats which, and is
+    the edge real): input rows are comparisons ``(item_a, item_b,
+    outcome)`` with outcome > 0 an A-win, < 0 a B-win, 0 a tie;
+    output one row per ORDERED observed pair: ``(item_a, item_b, n,
+    wins, losses, ties, win_rate_ppm, z[, significant])``.
+
+    ``win_rate_ppm`` is the exact integral ppm of wins/(wins+losses)
+    (ties excluded, the sign-test convention; NULL when no decisive
+    comparisons). z is the continuity-corrected sign-test normal score
+    ``(|w − d/2| − 1/2)/(√d/2)`` signed toward the winner, one
+    fixed-shape IEEE expression rounded once — NULL when d = 0.
+
+    Determinism: counts are integers; the single IEEE step rounds
+    once (house convention). Pairs are kept AS GIVEN (A vs B and
+    B vs A are different experiment orientations — mirror upstream if
+    you want them folded).
+
+    Scale shape: ONE map-side-combinable hash agg to the pair grain —
+    the 100 TB plan is the partial-agg plan.
+    """
+    ok = (
+        F.col(item_a_col).isNotNull()
+        & F.col(item_b_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    )
+    o = F.col(outcome_col)
+    agg = (
+        df.filter(ok)
+        .groupBy(
+            F.col(item_a_col).alias("item_a"),
+            F.col(item_b_col).alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((o > 0).cast("long")).cast("bigint").alias("wins"),
+            F.sum((o < 0).cast("long")).cast("bigint").alias("losses"),
+            F.sum((o == 0).cast("long")).cast("bigint").alias("ties"),
+        )
+    )
+    w = F.col("wins")
+    l_ = F.col("losses")
+    dd = (w + l_).cast("double")
+    ppm = F.when(
+        w + l_ > 0,
+        F.expr("CAST(wins * 1000000 div (wins + losses) AS BIGINT)"),
+    )
+    sign = F.when(w >= l_, F.lit(1.0)).otherwise(F.lit(-1.0))
+    zraw = (
+        sign
+        * (F.abs((w - l_).cast("double")) / 2.0 - 0.5)
+        / (F.sqrt(dd) / 2.0)
+    )
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    z = F.when(w + l_ > 0, out(zraw))
+    cols = [
+        "item_a", "item_b", "n", "wins", "losses", "ties",
+        ppm.alias("win_rate_ppm"),
+        z.alias("z"),
+    ]
+    if z_crit is not None:
+        cols.append(
+            F.coalesce(
+                F.when(w + l_ > 0, F.abs(z) > float(z_crit)),
+                F.lit(False),
+            ).alias("significant")
+        )
+    return agg.select(*cols)
+
+
+def pairwise_winrate_sql(
+    select: str,
+    item_a_col: str,
+    item_b_col: str,
+    outcome_col: str,
+    z_crit: float | None = None,
+) -> str:
+    """DuckDB oracle of :func:`pairwise_winrate` — same pair counts,
+    same exact ppm and once-rounded continuity-corrected z."""
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    zraw = (
+        "(CASE WHEN wins >= losses THEN 1.0 ELSE -1.0 END"
+        " * (abs(CAST(wins - losses AS DOUBLE)) / 2.0 - 0.5)"
+        " / (sqrt(CAST(wins + losses AS DOUBLE)) / 2.0))"
+    )
+    z = f"CASE WHEN wins + losses > 0 THEN {r6(zraw)} END"
+    sig = ""
+    if z_crit is not None:
+        sig = (
+            f", COALESCE(abs({z}) > {float(z_crit)}, FALSE)"
+            " AS significant"
+        )
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (
+        SELECT {item_a_col} AS item_a, {item_b_col} AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN {outcome_col} > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS wins,
+               CAST(SUM(CASE WHEN {outcome_col} < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS losses,
+               CAST(SUM(CASE WHEN {outcome_col} = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties
+        FROM rows_in
+        WHERE {item_a_col} IS NOT NULL AND {item_b_col} IS NOT NULL
+          AND {outcome_col} IS NOT NULL
+        GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, n, wins, losses, ties,
+           CASE WHEN wins + losses > 0 THEN
+             CAST(wins * 1000000 // (wins + losses) AS BIGINT)
+           END AS win_rate_ppm,
+           {z} AS z{sig}
+    FROM agg
+    """

@@ -1581,6 +1581,15 @@ class Babe:
                          q_crit, max_treatments)
         )
 
+    def pairwise_winrate(self, item_a_col, item_b_col, outcome_col,
+                         z_crit=None) -> "Babe":
+        from pybabe_spark.operators.classifier import pairwise_winrate
+
+        return self._wrap(
+            pairwise_winrate(self.df, item_a_col, item_b_col,
+                             outcome_col, z_crit)
+        )
+
     def ljung_box(self, key_col, ts_col, value_col, lags=3,
                   chi2_crit=None) -> "Babe":
         from pybabe_spark.operators.timeseries import ljung_box

@@ -1725,3 +1725,69 @@ def q_pca(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_fit(emb, "embedding", dim=64, top_k=8)
+
+
+def _winrate_sql():
+    from pybabe_spark.operators.classifier import pairwise_winrate_sql
+
+    frame = """
+        SELECT 'click' AS item_a, 'purchase' AS item_b,
+               (COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                - COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END), 0))
+                 AS outcome
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+    """
+    return pairwise_winrate_sql(
+        frame, "item_a", "item_b", "outcome", z_crit=1.959964
+    )
+
+
+@register("pairwise_winrate_events", _winrate_sql())
+def q_pairwise_winrate(spark, sf_dir):
+    """Arena-style pairwise win-rate with a sign-test verdict
+    (operators/classifier.py::pairwise_winrate): per user, does click
+    spend beat purchase spend — wins/losses/ties, exact integral
+    win_rate_ppm over decisive comparisons, continuity-corrected
+    sign-test z rounded once vs 1.96. The comparison outcome is an
+    exact decimal difference so the sign is engine-identical. One
+    user-grain conditional agg + one pair-grain agg."""
+    from pybabe_spark.operators.classifier import pairwise_winrate
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "click",
+                            F.col("value").cast("decimal(18,2)"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value").cast("decimal(18,2)"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("outcome")
+        )
+        .select(
+            F.lit("click").alias("item_a"),
+            F.lit("purchase").alias("item_b"),
+            "outcome",
+        )
+    )
+    return pairwise_winrate(
+        per_user, "item_a", "item_b", "outcome", z_crit=1.959964
+    )

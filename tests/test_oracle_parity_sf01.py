@@ -48,7 +48,7 @@ _DELICATE = re.compile(
     # r13 additions: trend z-scores, Gumbel fits, structural-break F,
     # reliability/dispersion ppm, EMD, conformal ranks, covariance ppm
     r"|mann_kendall|gumbel|chow_break|cronbach|overdispersion"
-    r"|wasserstein|hosmer|conformal|covariance_|acf_bucketed|gesd|nemenyi"
+    r"|wasserstein|hosmer|conformal|covariance_|acf_bucketed|gesd|nemenyi|winrate"
 )
 
 all_queries()

@@ -640,3 +640,41 @@ def test_nemenyi_guard_and_incomplete_blocks(spark):
     )
     with pytest.raises(Exception, match="max_treatments"):
         nemenyi_test(three, "b", "t", "v", max_treatments=2).collect()
+
+
+def test_pairwise_winrate_counts_and_sign_test(spark):
+    from pybabe_spark.operators.classifier import pairwise_winrate
+
+    rows = (
+        [("m1", "m2", 1.0)] * 14
+        + [("m1", "m2", -1.0)] * 4
+        + [("m1", "m2", 0.0)] * 2
+        + [("m2", "m3", -1.0)] * 3
+        + [("m2", "m3", 1.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string, o double")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in pairwise_winrate(df, "a", "b", "o", z_crit=1.96)
+        .collect()
+    }
+    r12 = out[("m1", "m2")]
+    assert (r12["n"], r12["wins"], r12["losses"], r12["ties"]) == (
+        20, 14, 4, 2
+    )
+    assert r12["win_rate_ppm"] == 14 * 10**6 // 18
+    # continuity-corrected sign test: (|14-4|/2 - 0.5)/(sqrt(18)/2)
+    z_want = (10 / 2 - 0.5) / (math.sqrt(18) / 2)
+    assert r12["z"] == pytest.approx(z_want, abs=2e-6)
+    assert r12["significant"] is True
+    r23 = out[("m2", "m3")]
+    assert r23["win_rate_ppm"] == 500000
+    assert r23["significant"] is False
+    # all-ties pair: no decisive comparisons -> NULLs, False
+    allt = pairwise_winrate(
+        spark.createDataFrame([("x", "y", 0.0)] * 5,
+                              "a string, b string, o double"),
+        "a", "b", "o", z_crit=1.96,
+    ).collect()[0]
+    assert allt["win_rate_ppm"] is None and allt["z"] is None
+    assert allt["significant"] is False
