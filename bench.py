@@ -128,6 +128,7 @@ _FIRST_RUN_KEYS = {
     "kruskal_wallis_lineitem",
     "jaccard_links_suppliers",
     "dup_clusters_docs",
+    "item_neighbors_parts",
 }
 
 #: (owner, reuser) pairs that share an in-process memoized stage: the
@@ -140,6 +141,9 @@ _MEMO_PAIRS = [
     # 3-gram minhash candidate stage shared three ways (r13)
     ("dup_clusters_docs", "near_dedup_best_docs"),
     ("dup_clusters_docs", "minhash_lsh_shingle3"),
+    # support-2 basket pair core shared three ways (r13)
+    ("item_neighbors_parts", "association_rules_lineitem"),
+    ("item_neighbors_parts", "frequent_pairs_lineitem"),
 ]
 
 

@@ -118,11 +118,58 @@ def pmi_collocations_sql(k: int = 20, min_count: int = 5) -> str:
     """
 
 
+def basket_pair_core(
+    df,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+):
+    """The shared market-basket pair stage of :func:`frequent_pairs`,
+    :func:`association_rules` and
+    :func:`~pybabe_spark.operators.recommend.item_neighbors`: returns
+    ``(pairs, items, baskets)`` — the support-pruned undirected pair
+    counts ``(item_a, item_b, n_pairs)`` with ``item_a < item_b``,
+    the ``(i, __ni)`` item-count table, and the 1-row
+    ``(__nbaskets)`` total. All three consumers run on the identical
+    core when given the same (basket, item, min_support), so a
+    session memo can compute it once (the `_kw_core` discipline);
+    each consumer's enrichment/finish stays its own.
+
+    Plan: distinct (basket, item) projection (lazy-persisted — it
+    feeds the pair join twice, the item counts and the basket total),
+    within-basket bounded-fanout pair self-join, one pair hash agg
+    with the support filter applied immediately."""
+    from pyspark.sql import functions as F
+
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+        .persist()
+    )
+    x, y = bi.alias("x"), bi.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .groupBy(F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
+    )
+    items = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("__ni"))
+    baskets = bi.agg(
+        F.countDistinct("b").cast("bigint").alias("__nbaskets")
+    )
+    return pairs, items, baskets
+
+
 def frequent_pairs(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    core=None,
 ) -> DataFrame:
     """Market-basket pair mining: items co-occurring in at least
     ``min_support`` baskets — ``(item_a, item_b, n_pairs, lift_ppm)``
@@ -144,30 +191,11 @@ def frequent_pairs(
         raise ValueError("frequent_pairs: min_support must be >= 1")
     from pybabe_spark.operators._util import attach_scalars
 
-    bi = (
-        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
-        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
-        .distinct()
-        # lazy persist: bi feeds the pair join (twice), both item
-        # count sides, and the basket total — 5 source re-scans without
-        # it; persist() keeps plan construction job-free
-        .persist()
-    )
-    x, y = bi.alias("x"), bi.alias("y")
-    pairs = (
-        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(
-            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .filter(F.col("n_pairs") >= min_support)
-    )
-    items = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("__ni"))
+    if core is None:
+        core = basket_pair_core(df, basket_col, item_col, min_support)
+    pairs, items, baskets = core
     na = items.select(F.col("i").alias("item_a"), F.col("__ni").alias("__na"))
     nb = items.select(F.col("i").alias("item_b"), F.col("__ni").alias("__nb"))
-    baskets = bi.agg(
-        F.countDistinct("b").cast("bigint").alias("__nbaskets")
-    )
     out = attach_scalars(
         pairs.join(na, "item_a").join(nb, "item_b"),
         baskets,
@@ -217,6 +245,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     min_confidence_ppm: int = 0,
+    core=None,
 ) -> DataFrame:
     """Directed association rules from market baskets: both
     orientations of every frequent pair as ``antecedent → consequent``
@@ -240,45 +269,29 @@ def association_rules(
     """
     if min_support < 1:
         raise ValueError("association_rules: min_support must be >= 1")
-    bi = (
-        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
-        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
-        .distinct()
-        .persist()  # same lazy-persist rationale as frequent_pairs
-    )
-    x, y = bi.alias("x"), bi.alias("y")
-    pairs = (
-        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(
-            F.col("x.i").alias("__ia"), F.col("y.i").alias("__ib")
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .filter(F.col("n_pairs") >= min_support)
-    )
+    if core is None:
+        core = basket_pair_core(df, basket_col, item_col, min_support)
+    pairs, items, baskets = core
     directed = pairs.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("__ia").alias("antecedent"),
-                    F.col("__ib").alias("consequent"),
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
                 ),
                 F.struct(
-                    F.col("__ib").alias("antecedent"),
-                    F.col("__ia").alias("consequent"),
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
                 ),
             )
         ).alias("__r"),
         "n_pairs",
     ).select("__r.antecedent", "__r.consequent", "n_pairs")
-    items = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("__ni"))
     na = items.select(
         F.col("i").alias("antecedent"), F.col("__ni").alias("__na")
     )
     nc = items.select(
         F.col("i").alias("consequent"), F.col("__ni").alias("__nc")
-    )
-    baskets = bi.agg(
-        F.countDistinct("b").cast("bigint").alias("__nbaskets")
     )
     out = attach_scalars(
         directed.join(na, "antecedent").join(nc, "consequent"),

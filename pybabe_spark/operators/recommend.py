@@ -33,6 +33,7 @@ def item_neighbors(
     item_col: str,
     k: int = 10,
     min_support: int = 2,
+    core=None,
 ) -> DataFrame:
     """Top-``k`` most-cosine-similar neighbors per item:
     ``(item, neighbor, n_item, n_neighbor, n_both, cosine2_ppm,
@@ -45,24 +46,15 @@ def item_neighbors(
         raise ValueError("item_neighbors: k must be >= 1")
     if min_support < 1:
         raise ValueError("item_neighbors: min_support must be >= 1")
-    bi = (
-        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
-        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
-        .distinct()
-        # feeds the pair join twice and the item counts — one
-        # materialization, plan construction stays job-free
-        .persist()
-    )
-    x, y = bi.alias("x"), bi.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.i") < F.col("y.i")),
-        )
-        .groupBy(F.col("x.i").alias("ia"), F.col("y.i").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= min_support)
+    from pybabe_spark.operators.collocations import basket_pair_core
+
+    if core is None:
+        core = basket_pair_core(df, basket_col, item_col, min_support)
+    raw_pairs, items, _baskets = core
+    pairs = raw_pairs.select(
+        F.col("item_a").alias("ia"),
+        F.col("item_b").alias("ib"),
+        F.col("n_pairs").alias("n_both"),
     )
     # symmetrize AFTER the support floor: each kept pair becomes one
     # candidate row per direction
@@ -74,10 +66,9 @@ def item_neighbors(
             "n_both",
         )
     )
-    items = bi.groupBy("i").agg(F.count(F.lit(1)).alias("__n"))
-    ni = items.select(F.col("i").alias("item"), F.col("__n").alias("n_item"))
+    ni = items.select(F.col("i").alias("item"), F.col("__ni").alias("n_item"))
     nn = items.select(
-        F.col("i").alias("neighbor"), F.col("__n").alias("n_neighbor")
+        F.col("i").alias("neighbor"), F.col("__ni").alias("n_neighbor")
     )
     scored = (
         sym.join(ni, "item")

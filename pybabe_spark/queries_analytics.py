@@ -1642,6 +1642,43 @@ def _supplier_canonical_edges(spark, sf_dir, mod: int = 63):
     return e
 
 
+#: session → {sf_dir: (pairs, items, baskets) localCheckpoint-pinned
+#: basket-pair core at (l_orderkey, l_partkey, min_support=2)} —
+#: frequent_pairs_lineitem, association_rules_lineitem and
+#: item_neighbors_parts all aggregate the IDENTICAL support-pruned
+#: within-order pair table; the _er_clusters idiom computes it once
+#: per session+dataset.
+_BASKET_CORE_MEMO: "_weakref.WeakKeyDictionary" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _basket_core(spark, sf_dir):
+    from pybabe_spark.operators.collocations import basket_pair_core
+
+    try:
+        per_session = _BASKET_CORE_MEMO.get(spark)
+        if per_session is None:
+            per_session = {}
+            _BASKET_CORE_MEMO[spark] = per_session
+    except TypeError:  # non-weakref-able session double in tests
+        per_session = {}
+    hit = per_session.get(sf_dir)
+    if hit is not None:
+        return hit
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs, items, baskets = basket_pair_core(
+        li, "l_orderkey", "l_partkey", 2
+    )
+    core = (
+        pairs.localCheckpoint(eager=False),
+        items.localCheckpoint(eager=False),
+        baskets.localCheckpoint(eager=False),
+    )
+    per_session[sf_dir] = core
+    return core
+
+
 def _adamic_adar_sql():
     from pybabe_spark.operators.graph import adamic_adar_sql
 
@@ -1964,7 +2001,10 @@ def q_frequent_pairs(spark, sf_dir):
     from pybabe_spark.operators.collocations import frequent_pairs
 
     li = read_table(spark, sf_dir, "lineitem")
-    return frequent_pairs(li, "l_orderkey", "l_partkey", 2)
+    return frequent_pairs(
+        li, "l_orderkey", "l_partkey", 2,
+        core=_basket_core(spark, sf_dir),
+    )
 
 
 @register(
@@ -3406,7 +3446,10 @@ def q_item_neighbors(spark, sf_dir):
     from pybabe_spark.operators.recommend import item_neighbors
 
     li = read_table(spark, sf_dir, "lineitem")
-    return item_neighbors(li, "l_orderkey", "l_partkey", k=5, min_support=2)
+    return item_neighbors(
+        li, "l_orderkey", "l_partkey", k=5, min_support=2,
+        core=_basket_core(spark, sf_dir),
+    )
 
 
 @register(
@@ -4206,7 +4249,10 @@ def q_association_rules(spark, sf_dir):
     from pybabe_spark.operators.collocations import association_rules
 
     li = read_table(spark, sf_dir, "lineitem")
-    return association_rules(li, "l_orderkey", "l_partkey", 2, 100_000)
+    return association_rules(
+        li, "l_orderkey", "l_partkey", 2, 100_000,
+        core=_basket_core(spark, sf_dir),
+    )
 
 
 def _rfm_sql():
