@@ -190,6 +190,11 @@ def _gate_and_write_detail(
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
         return True
+    # refused runs still leave FULL per-key evidence under a name that
+    # cannot be mistaken for the round-close record — a hot-host round
+    # otherwise loses every new key's first timing entirely
+    with open(detail_path + ".rejected", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     return False
 
 

@@ -58,6 +58,10 @@ def test_contaminated_run_tags_and_refuses(tmp_path):
     kept = json.loads(path.read_text())
     assert kept["calib_sec"] == 0.20
     assert "contaminated" not in kept
+    # full evidence still lands in the clearly-named sidecar
+    side = json.loads((tmp_path / "BENCH_DETAIL.json.rejected")
+                      .read_text())
+    assert side["calib_sec"] == 0.30 and side["contaminated"] is True
 
 
 def test_force_overrides_refusal(tmp_path):
