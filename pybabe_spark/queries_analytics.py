@@ -1673,7 +1673,11 @@ def _basket_core(spark, sf_dir):
     core = (
         pairs.localCheckpoint(eager=False),
         items.localCheckpoint(eager=False),
-        baskets.localCheckpoint(eager=False),
+        # NOT checkpointed: a checkpoint would erase the grouping-key-
+        # free-aggregate shape plan_lint proves maxRows=1 from (the
+        # attach_scalars broadcast exemption); the agg itself is a
+        # cheap pass over the persisted (b, i) projection
+        baskets,
     )
     per_session[sf_dir] = core
     return core
