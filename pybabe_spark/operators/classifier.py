@@ -1624,3 +1624,143 @@ def pairwise_winrate_sql(
            {z} AS z{sig}
     FROM agg
     """
+
+
+def equalized_odds(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    min_n: int = 20,
+    gap_ppm: int = 100_000,
+) -> DataFrame:
+    """Equalized-odds fairness report for a binary decision —
+    :func:`disparate_impact` checks selection RATES; this checks
+    selection ERRORS: does the filter catch true positives (TPR) and
+    spare true negatives (FPR) at the same rate in every group? A
+    length filter can keep 40% of every language (passing the
+    four-fifths test) while keeping the GOOD documents of one
+    language and the junk of another — only the (TPR, FPR) pair sees
+    that. One row per group with ≥ ``min_n`` positive AND ≥ ``min_n``
+    negative labeled rows:
+
+    ``(group, n_pos, n_neg, tpr_ppm, fpr_ppm, tpr_gap_ppm,
+    fpr_gap_ppm, violated)``
+
+    - ``tpr_gap_ppm`` — best (max) qualifying TPR minus this group's
+    - ``fpr_gap_ppm`` — this group's FPR minus the best (min)
+      qualifying FPR
+    - ``violated`` — either gap exceeds ``gap_ppm`` (default 10 pts)
+
+    All integer arithmetic on exact counts (floored ppm); NULL
+    group/label/pred rows drop; under-supported groups are excluded
+    from the report AND the reference extremes (the
+    :func:`disparate_impact` small-cell convention). Scale shape: one
+    hash agg to the group grain + a 1-row extremes attach.
+    """
+    if min_n < 1:
+        raise ValueError(f"equalized_odds: min_n {min_n} must be >= 1")
+    from pybabe_spark.operators._util import attach_scalars
+
+    ok = (
+        F.col(group_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+    )
+    pos = F.col(label_col) != 0
+    hit = F.col(pred_col) != 0
+    groups = (
+        df.filter(ok)
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.coalesce(F.sum(pos.cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.coalesce(F.sum((~pos).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_neg"),
+            F.coalesce(F.sum((pos & hit).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("__tp"),
+            F.coalesce(F.sum(((~pos) & hit).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("__fp"),
+        )
+        .filter((F.col("n_pos") >= min_n) & (F.col("n_neg") >= min_n))
+        .withColumn(
+            "tpr_ppm",
+            F.expr("CAST(__tp * 1000000 div n_pos AS BIGINT)"),
+        )
+        .withColumn(
+            "fpr_ppm",
+            F.expr("CAST(__fp * 1000000 div n_neg AS BIGINT)"),
+        )
+    )
+    ref = groups.agg(
+        F.max("tpr_ppm").alias("__best_tpr"),
+        F.min("fpr_ppm").alias("__best_fpr"),
+    )
+    out = attach_scalars(groups, ref).select(
+        "group",
+        "n_pos",
+        "n_neg",
+        "tpr_ppm",
+        "fpr_ppm",
+        (F.col("__best_tpr") - F.col("tpr_ppm")).alias("tpr_gap_ppm"),
+        (F.col("fpr_ppm") - F.col("__best_fpr")).alias("fpr_gap_ppm"),
+        (
+            (F.col("__best_tpr") - F.col("tpr_ppm") > int(gap_ppm))
+            | (F.col("fpr_ppm") - F.col("__best_fpr") > int(gap_ppm))
+        ).alias("violated"),
+    )
+    return out
+
+
+def equalized_odds_sql(
+    select: str,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    min_n: int = 20,
+    gap_ppm: int = 100_000,
+) -> str:
+    """DuckDB oracle of :func:`equalized_odds` — same exact counts,
+    support gate, floored ppm rates, extremes reference."""
+    pos = f"({label_col} != 0)"
+    hit = f"({pred_col} != 0)"
+    return f"""
+    WITH groups AS (
+        SELECT {group_col} AS "group",
+               COALESCE(SUM(CASE WHEN {pos} THEN 1 ELSE 0 END), 0)
+                 ::BIGINT AS n_pos,
+               COALESCE(SUM(CASE WHEN NOT {pos} THEN 1 ELSE 0 END), 0)
+                 ::BIGINT AS n_neg,
+               COALESCE(SUM(CASE WHEN {pos} AND {hit} THEN 1
+                            ELSE 0 END), 0)::BIGINT AS tp,
+               COALESCE(SUM(CASE WHEN (NOT {pos}) AND {hit} THEN 1
+                            ELSE 0 END), 0)::BIGINT AS fp
+        FROM ({select})
+        WHERE {group_col} IS NOT NULL AND {label_col} IS NOT NULL
+          AND {pred_col} IS NOT NULL
+        GROUP BY {group_col}
+        HAVING SUM(CASE WHEN {pos} THEN 1 ELSE 0 END) >= {int(min_n)}
+           AND SUM(CASE WHEN NOT {pos} THEN 1 ELSE 0 END)
+               >= {int(min_n)}
+    ),
+    rated AS (
+        SELECT "group", n_pos, n_neg,
+               CAST(tp * 1000000 // n_pos AS BIGINT) AS tpr_ppm,
+               CAST(fp * 1000000 // n_neg AS BIGINT) AS fpr_ppm
+        FROM groups
+    ),
+    ref AS (
+        SELECT MAX(tpr_ppm) AS best_tpr, MIN(fpr_ppm) AS best_fpr
+        FROM rated
+    )
+    SELECT rated."group" AS "group", n_pos, n_neg, tpr_ppm, fpr_ppm,
+           (ref.best_tpr - tpr_ppm) AS tpr_gap_ppm,
+           (fpr_ppm - ref.best_fpr) AS fpr_gap_ppm,
+           ((ref.best_tpr - tpr_ppm > {int(gap_ppm)})
+            OR (fpr_ppm - ref.best_fpr > {int(gap_ppm)})) AS violated
+    FROM rated CROSS JOIN ref
+    """

@@ -1088,3 +1088,207 @@ def source_overlap_sql(
     JOIN sizes sa ON source_a = sa.g
     JOIN sizes sb ON source_b = sb.g
     """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a ``w``-window over the
+    word ``k``-gram hash sequence and keep each window's RIGHTMOST
+    minimal hash. The selection guarantee MinHash doesn't give: any
+    shared run of ``w + k − 1`` words between two documents shares at
+    least one selected fingerprint — the right primitive for
+    PLAGIARISM-STYLE local overlap, where :func:`minhash_signatures`
+    (global Jaccard) goes blind. One row per document:
+
+    ``(id, n_grams, n_fingerprints, density_ppm, fingerprint_min)``
+
+    — selected count, exact floored-ppm selection density (the
+    theoretical expectation is 2/(w+1)), and the smallest selected
+    hash (a ready 1-permutation MinHash over the winnowed set).
+    Join selected sets on fingerprint value downstream for overlap
+    candidates (bucketed, never all-pairs — the LSH discipline).
+
+    Determinism: gram hashes are the house md5→bigint lift (exact,
+    engine-identical); "rightmost minimal per window" evaluates as
+    two fixed window passes — the window MIN, then the max position
+    attaining it — and a position is emitted once (DISTINCT over
+    selected positions). Ties across positions resolve by POSITION
+    (rightmost), never by engine sort order. Documents shorter than
+    ``k`` words contribute their normalized whole text as one gram;
+    density for them is 1.
+
+    Scale shape: one narrow gram-explode map (rows ≈ corpus words —
+    linear, no shuffle), ONE repartition by document for the two
+    ROWS-frame windows, one per-doc hash agg. No joins, no driver
+    collect; fingerprint cardinality per doc is words/w·2 — bounded
+    fan-in for the final agg.
+    """
+    if k < 1:
+        raise ValueError("winnow_fingerprints: k must be >= 1")
+    if w < 2:
+        raise ValueError("winnow_fingerprints: w must be >= 2")
+    from pyspark.sql import Window
+
+    ws = f"split(__norm, ' ', -1)"
+    gram_join = ", ' ', ".join(
+        f"element_at({ws}, i + {j})" for j in range(k)
+    )
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.lower(
+                F.trim(F.regexp_replace(F.col(text_col), " +", " "))
+            ).alias("__norm"),
+        )
+        .select(
+            "__id",
+            F.expr(
+                f"CASE WHEN size({ws}) >= {k} THEN"
+                f" transform(sequence(1, size({ws}) - {k} + 1),"
+                f" i -> concat({gram_join}))"
+                f" ELSE array(__norm) END"
+            ).alias("__gs"),
+        )
+        .select(
+            "__id",
+            F.posexplode(F.col("__gs")).alias("__p", "__g"),
+        )
+        .select(
+            "__id",
+            "__p",
+            F.expr(
+                "cast(conv(substr(md5(__g), 1, 15), 16, 10) as bigint)"
+            ).alias("__h"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    cnt_w = Window.partitionBy("__id")
+    marked = (
+        grams.withColumn("__wmin", F.min("__h").over(fwd))
+        .withColumn(
+            "__wpick",
+            F.max(
+                F.when(F.col("__h") == F.col("__wmin"), F.col("__p"))
+            ).over(fwd),
+        )
+        .withColumn("__cnt", F.count(F.lit(1)).over(cnt_w))
+    )
+    # only FULL windows select (starts 0..L−w): the truncated tail
+    # windows would over-pick; a doc with fewer than w grams winnows
+    # as its single (whole-sequence) window from position 0
+    full = marked.filter(
+        (F.col("__p") <= F.col("__cnt") - w)
+        | ((F.col("__cnt") < w) & (F.col("__p") == 0))
+    )
+    picked = (
+        full.select("__id", F.col("__wpick").alias("__p"))
+        .distinct()
+        .join(
+            grams.select("__id", "__p", "__h"), ["__id", "__p"]
+        )
+    )
+    tot = grams.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    sel = picked.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.min("__h").alias("fingerprint_min"),
+    )
+    return (
+        tot.join(sel, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_fingerprints",
+            F.expr(
+                "CAST(n_fingerprints * 1000000 div n_grams AS BIGINT)"
+            ).alias("density_ppm"),
+            "fingerprint_min",
+        )
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> str:
+    """DuckDB oracle of :func:`winnow_fingerprints` — same md5 gram
+    lift, same two-window rightmost-min selection, same exact ppm."""
+    gram_join = ", ' ', ".join(f"ws[i + {j}]" for j in range(k))
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id,
+               lower(trim(regexp_replace({text_col}, ' +', ' ', 'g')))
+                 AS norm
+        FROM {table}
+        WHERE {text_col} IS NOT NULL
+    ),
+    split_t AS (
+        SELECT id, norm, string_split(norm, ' ') AS ws FROM base
+    ),
+    glists AS (
+        SELECT id,
+               CASE WHEN len(ws) >= {k}
+               THEN list_transform(range(1, len(ws) - {k} + 2),
+                    i -> concat({gram_join}))
+               ELSE [norm] END AS gl
+        FROM split_t
+    ),
+    grams AS (
+        SELECT id, i - 1 AS p, gl[i] AS g
+        FROM glists, UNNEST(range(1, len(gl) + 1)) AS t(i)
+    ),
+    hashed AS (
+        SELECT id, p,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM grams
+    ),
+    picked_pos AS (
+        SELECT DISTINCT id, wpick AS p
+        FROM (
+            SELECT id, p, cnt,
+                   MAX(CASE WHEN h = wmin THEN p END)
+                     OVER (PARTITION BY id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW
+                           AND {w - 1} FOLLOWING) AS wpick
+            FROM (
+                SELECT id, p, h,
+                       MIN(h) OVER (PARTITION BY id ORDER BY p
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {w - 1} FOLLOWING) AS wmin,
+                       COUNT(*) OVER (PARTITION BY id) AS cnt
+                FROM hashed
+            )
+        )
+        WHERE p <= cnt - {w} OR (cnt < {w} AND p = 0)
+    ),
+    picked AS (
+        SELECT h2.id, h2.p, h2.h
+        FROM picked_pos pp JOIN hashed h2
+          ON h2.id = pp.id AND h2.p = pp.p
+    ),
+    tot AS (SELECT id, COUNT(*)::BIGINT AS n_grams
+            FROM hashed GROUP BY id),
+    sel AS (SELECT id, COUNT(*)::BIGINT AS n_fingerprints,
+                   MIN(h) AS fingerprint_min
+            FROM picked GROUP BY id)
+    SELECT tot.id AS {id_col}, n_grams, n_fingerprints,
+           CAST(n_fingerprints * 1000000 // n_grams AS BIGINT)
+             AS density_ppm,
+           fingerprint_min
+    FROM tot JOIN sel ON sel.id = tot.id
+    """

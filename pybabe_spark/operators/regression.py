@@ -435,3 +435,236 @@ def chow_test_sql(
            {fcol} AS f{sig}
     FROM one
     """
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    crit: float = 3.841459,
+) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the :func:`ols` fit —
+    does the residual VARIANCE move with x? The check that decides
+    whether that fit's standard errors (and every CI built on them)
+    can be trusted, and a first-class data-quality signal of its own
+    (fan-shaped price-vs-quantity residuals = segment-dependent
+    pricing noise). ONE output row:
+    ``(n, slope, intercept, lm, significant)`` — the LM statistic
+    ``n·R²`` of the auxiliary regression of squared residuals on x,
+    against a χ²(1) critical.
+
+    Determinism: pass 1 is :func:`ols`'s exact DECIMAL(38,0) cents
+    moments; slope/intercept reach pass 2 as the fixed-shape IEEE
+    ratios of those exact decimals (deterministic — same numerator,
+    same denominator, same division, both engines). Pass 2 computes
+    each row's squared residual in units of 10⁴·y (R² — hence LM —
+    is invariant to the rescale; it keeps the term inside
+    DECIMAL(18,6)'s 12 integer digits), rounds it ONCE to
+    DECIMAL(18,6) — after which every aux moment (Σz, Σz², Σxz, with
+    x in exact cents) is pure associative decimal arithmetic,
+    order-independent and engine-identical; products round to
+    DECIMAL(38,6) (both engines half-up, non-negative). The LM finish
+    is the ols-r² IEEE-ratio convention rounded once. NULL rows drop
+    (pairwise). LM is NULL when x or z is constant (den = 0) or
+    n < 3.
+
+    Scale shape: two map-side-combinable corpus aggregations with a
+    1-row broadcast attach between — no window, no join, no second
+    source scan (the pass-1 grain is re-read from the same pushed-
+    down column pair).
+    """
+    from pybabe_spark.operators._util import attach_scalars
+    from pybabe_spark.operators.sketch import _sdiv
+
+    ok = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cy = (F.col(y_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.filter(ok).select(cx.alias("__x"), cy.alias("__y"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.coalesce(F.sum(d(F.col("__x"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__sx"),
+        F.coalesce(F.sum(d(F.col("__y"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__sy"),
+        F.coalesce(F.sum(d(F.col("__x")) * F.col("__y")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+        F.coalesce(F.sum(d(F.col("__x")) * F.col("__x")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+    )
+    num = d(F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    denx = d(
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    inum = d(F.col("__sy") * denx - num * F.col("__sx"))
+    iden = d(F.col("__n") * denx)
+    m1 = (
+        m1.withColumn("__num", num)
+        .withColumn("__denx", denx)
+        .withColumn(
+            "__slope", _sdiv(num.cast("double"), denx.cast("double"))
+        )
+        .withColumn(
+            "__icpt", _sdiv(inum.cast("double"), iden.cast("double"))
+        )
+    )
+    j = attach_scalars(base, m1)
+    # squared residual in units of 10^4 y (cents/1e6), rounded ONCE
+    # per row — the aux R^2 is invariant to a linear rescale of z, so
+    # LM is unchanged, and the scaling keeps the one-round term inside
+    # DECIMAL(18,6) even at petabyte residual magnitudes (a raw
+    # dollars^2 term overflows the 12 integer digits); everything
+    # after is associative decimal arithmetic
+    e = (
+        F.col("__y").cast("double")
+        - F.col("__slope") * F.col("__x").cast("double")
+        - F.col("__icpt")
+    ) / 1000000.0
+    zr = (e * e).cast("decimal(18,6)")
+    xd = F.col("__x").cast("decimal(18,0)")
+    m2 = j.agg(
+        F.max("__n").alias("__n"),
+        F.max("__sx").alias("__sx"),
+        F.max("__sxx").alias("__sxx"),
+        F.max("__denx").alias("__denx"),
+        F.max("__slope").alias("__slope"),
+        F.max("__icpt").alias("__icpt"),
+        F.coalesce(F.sum(zr), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("__sz"),
+        # zr² keeps its native scale 12: a cast to scale 6 flushes
+        # small squared residuals to zero and the aux moment matrix
+        # loses Cauchy–Schwarz (observed: negative LM in tests).
+        # Envelope: Σzr² fits DECIMAL(38,12) through 10¹² rows of
+        # z ≤ 10⁷ — the point of the 10⁴·y residual rescale
+        F.coalesce(
+            F.sum(zr * zr), F.lit(0)
+        )
+        .cast("decimal(38,12)")
+        .alias("__szz"),
+        F.coalesce(
+            F.sum((xd * zr).cast("decimal(38,6)")), F.lit(0)
+        )
+        .cast("decimal(38,6)")
+        .alias("__sxz"),
+    )
+    nd = F.col("__n").cast("double")
+    anum = (
+        nd * F.col("__sxz").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sz").cast("double")
+    )
+    adown = (
+        F.col("__denx").cast("double")
+        * (
+            nd * F.col("__szz").cast("double")
+            - F.col("__sz").cast("double")
+            * F.col("__sz").cast("double")
+        )
+    )
+    lm6 = (nd * _sdiv(anum * anum, adown)).cast("decimal(18,6)")
+    okl = (F.col("__n") >= 3) & (adown != 0.0)
+    lm = F.when(okl, lm6.cast("double"))
+    out6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return m2.select(
+        F.col("__n").cast("bigint").alias("n"),
+        out6(F.col("__slope")).alias("slope"),
+        out6(F.col("__icpt")).alias("intercept"),
+        lm.alias("lm"),
+        F.coalesce(
+            F.when(okl, lm6.cast("double") > float(crit)), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def breusch_pagan_sql(
+    select: str,
+    x_col: str,
+    y_col: str,
+    crit: float = 3.841459,
+) -> str:
+    """DuckDB oracle of :func:`breusch_pagan` — same exact pass-1
+    moments, same fixed-shape slope/intercept ratios, same one-round
+    residual-square and associative decimal aux moments."""
+    cx = f"CAST(CAST({x_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cy = f"CAST(CAST({y_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    lm6 = (
+        "CAST(CAST(n AS DOUBLE) * ((anum * anum) /"
+        " (CASE WHEN adown != 0.0 THEN adown END))"
+        " AS DECIMAL(18,6))"
+    )
+    okl = "n >= 3 AND adown != 0.0"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {cx} AS x, {cy} AS y
+        FROM rows_in
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ),
+    m1 AS (
+        SELECT COUNT(*)::HUGEINT AS n,
+               COALESCE(SUM(CAST(x AS HUGEINT)), 0)::HUGEINT AS sx,
+               COALESCE(SUM(CAST(y AS HUGEINT)), 0)::HUGEINT AS sy,
+               COALESCE(SUM(CAST(x AS HUGEINT) * y), 0)::HUGEINT
+                 AS sxy,
+               COALESCE(SUM(CAST(x AS HUGEINT) * x), 0)::HUGEINT
+                 AS sxx
+        FROM base
+    ),
+    m1b AS (
+        SELECT n, sx, sxx,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS denx,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+                    THEN CAST(n * sxx - sx * sx AS DOUBLE) END)
+                 AS slope,
+               CAST(sy * (n * sxx - sx * sx)
+                    - (n * sxy - sx * sy) * sx AS DOUBLE)
+                 / (CASE WHEN
+                      CAST(n * (n * sxx - sx * sx) AS DOUBLE) != 0.0
+                    THEN CAST(n * (n * sxx - sx * sx) AS DOUBLE) END)
+                 AS icpt
+        FROM m1
+    ),
+    m2 AS (
+        SELECT MAX(m1b.n) AS n, MAX(m1b.sx) AS sx,
+               MAX(m1b.denx) AS denx,
+               MAX(m1b.slope) AS slope, MAX(m1b.icpt) AS icpt,
+               COALESCE(SUM(zr), 0) AS sz,
+               COALESCE(SUM(CAST(zr * zr AS DECIMAL(38,12))), 0)
+                 AS szz,
+               COALESCE(SUM(CAST(CAST(base.x AS DECIMAL(18,0)) * zr
+                            AS DECIMAL(38,6))), 0) AS sxz
+        FROM base CROSS JOIN m1b,
+        LATERAL (SELECT CAST(
+            (((CAST(base.y AS DOUBLE)
+               - m1b.slope * CAST(base.x AS DOUBLE) - m1b.icpt)
+              / 1000000.0)
+             * ((CAST(base.y AS DOUBLE)
+               - m1b.slope * CAST(base.x AS DOUBLE) - m1b.icpt)
+              / 1000000.0)) AS DECIMAL(18,6)) AS zr) z
+    ),
+    fin AS (
+        SELECT n, slope, icpt,
+               CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS anum,
+               CAST(denx AS DOUBLE)
+                 * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                    - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                 AS adown
+        FROM m2
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {r6('slope')} AS slope,
+           {r6('icpt')} AS intercept,
+           CASE WHEN {okl} THEN CAST({lm6} AS DOUBLE) END AS lm,
+           COALESCE(CASE WHEN {okl}
+                    THEN CAST({lm6} AS DOUBLE) > {float(crit)} END,
+                    FALSE) AS significant
+    FROM fin
+    """

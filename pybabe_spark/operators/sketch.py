@@ -7280,3 +7280,872 @@ def nemenyi_test_sql(
            CASE WHEN {okp} THEN {r6(diff)} END AS mean_diff{cd_col}{sig}
     FROM pairs
     """
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — rank-free k-sample location test on counts
+# ---------------------------------------------------------------------------
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit: float = 9.487729,
+) -> DataFrame:
+    """Mood's median test — do the groups share a common median? The
+    coarsest, most outlier-proof k-sample location test (only
+    above/below the GRAND median enters), the right sanity check
+    before trusting :func:`kruskal_wallis`' rank machinery on wild
+    distributions. ONE output row: ``(n, median, dof, chi2_ppm,
+    significant)`` — the Pearson chi-square of the (group ×
+    above/below) 2-column table, ``dof = G − 1``.
+
+    Determinism: values lift to bigint cents; the grand median is the
+    LOWER median (the smallest value whose cumulative count reaches
+    ⌈n/2⌉ — a pure integer reach test ``2·cum ≥ n``, no IEEE, no
+    interpolation, always an observed value); exactly-median rows
+    count BELOW (the :func:`runs_test` convention, stated not hidden).
+    The chi-square is :func:`chi2_independence`'s exact
+    floored-integral-ppm sum — no IEEE anywhere but the (unused)
+    median/100 display division. NULL group or value rows drop.
+
+    Scale shape: one map-combinable (cents → count) hash agg; the
+    cumulative reach test runs over that VALUE GRAIN (domain-bounded:
+    ≤10⁷ rows for 5-digit prices — de-globalize via the
+    :func:`weighted_quantiles` cell split if a domain ever isn't),
+    then the flag feeds one (group, side) cell agg. Two corpus-scale
+    shuffles total; everything after is ≤ grid-sized.
+    """
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = lazy_persist(
+        # feeds the value-grain agg AND the flagged cell agg — one
+        # materialization instead of two source scans (lazy, job-free)
+        df.filter(ok).select(
+            F.col(group_col).alias("__g"), cents.alias("__v")
+        )
+    )
+    grain = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    tot = grain.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = attach_scalars(grain, tot).withColumn(
+        "__cum", F.sum("__c").over(w).cast("decimal(38,0)")
+    )
+    med = cum.filter(
+        F.col("__cum") * 2 >= F.col("__n")
+    ).agg(F.min("__v").alias("__med"))
+    flagged = attach_scalars(base, med).select(
+        "__g", (F.col("__v") > F.col("__med")).alias("__above"), "__med"
+    )
+    contrib = _chi2_contrib(flagged, "__g", "__above")
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    out = contrib.agg(
+        F.max("__n").alias("__n"),
+        F.max(F.col("__ra") - 1).alias("__dof"),
+        F.sum("__ppm").alias("__chi2"),
+    )
+    med1 = med.select(
+        (F.col("__med").cast("double") / 100).alias("median")
+    )
+    return attach_scalars(out, med1).select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+        "median",
+        F.coalesce(F.col("__dof"), F.lit(0)).cast("bigint").alias("dof"),
+        F.coalesce(F.col("__chi2"), F.lit(0)).cast("bigint").alias(
+            "chi2_ppm"
+        ),
+        F.coalesce(F.col("__chi2") > crit_ppm, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def mood_median_test_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    crit: float = 9.487729,
+) -> str:
+    """DuckDB oracle of :func:`mood_median_test` — same cents lift,
+    lower-median integer reach test, equal-counts-below convention,
+    and exact HUGEINT cell ppm."""
+    crit_ppm = int(round(float(crit) * 1_000_000))
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {group_col} AS g,
+               CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS v
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ),
+    grain AS (SELECT v, COUNT(*)::HUGEINT AS c FROM base GROUP BY v),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM grain
+    ),
+    med AS (SELECT MIN(v) AS med FROM cum WHERE cum * 2 >= n),
+    flagged AS (
+        SELECT base.g AS a, (base.v > med.med) AS b
+        FROM base CROSS JOIN med
+    ),
+    cells AS (
+        SELECT a, b, COUNT(*)::HUGEINT AS nab
+        FROM flagged GROUP BY a, b
+    ),
+    r AS (SELECT a, SUM(nab) AS r FROM cells GROUP BY a),
+    c AS (SELECT b, SUM(nab) AS c FROM cells GROUP BY b),
+    tt AS (SELECT SUM(nab) AS n, COUNT(DISTINCT a) AS ra FROM cells),
+    grid AS (
+        SELECT r.a, c.b,
+               COALESCE(cells.nab, 0::HUGEINT) AS nab, r.r, c.c
+        FROM r CROSS JOIN c
+        LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b
+    ),
+    contrib AS (
+        SELECT tt.n, tt.ra,
+               ((tt.n * grid.nab - grid.r * grid.c)
+                * (tt.n * grid.nab - grid.r * grid.c) * 1000000)
+               // (tt.n * grid.r * grid.c) AS ppm
+        FROM grid CROSS JOIN tt
+    )
+    SELECT COALESCE(CAST(MAX(n) AS BIGINT), 0) AS n,
+           CAST(MAX(med.med) AS DOUBLE) / 100 AS median,
+           COALESCE(CAST(MAX(ra - 1) AS BIGINT), 0) AS dof,
+           COALESCE(CAST(SUM(ppm) AS BIGINT), 0) AS chi2_ppm,
+           COALESCE(SUM(ppm) > {crit_ppm}, FALSE) AS significant
+    FROM contrib CROSS JOIN med
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test — is a proportion MONOTONE in an ordered
+# factor (dose, priority tier, bucket index)?
+# ---------------------------------------------------------------------------
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Cochran–Armitage test for a linear TREND in proportions across
+    an ordered factor — what :func:`chi2_independence` cannot see (it
+    spends its dof on any pattern; this test spends ONE on the ordered
+    alternative, the power move for dose-response / tiered-priority
+    questions). Input is row-grain: an integer ``score_col`` (the
+    group's rank: 1, 2, 3…) and a 0/1 ``success_col``. ONE output
+    row: ``(n, n_success, z, trend, significant)`` with
+
+        T = N·Σsy − R·Σs,
+        z = T / √( R·(N−R)·(N·Σs² − (Σs)²) / N )
+
+    (the no-continuity-correction form, documented). ``trend`` is
+    ``increasing`` / ``decreasing`` / ``flat`` by T's exact integer
+    sign — never from the rounded z.
+
+    Determinism: scores and successes are integers, so N, R, Σs, Σs²,
+    Σsy accumulate as exact DECIMAL(38,0) and T is exact; z is ONE
+    fixed-shape IEEE expression rounded once to DECIMAL(18,6), and
+    ``significant`` compares the rounded z (house convention). NULL
+    score/success rows drop; z is NULL when every row is the same
+    score, all-success, or all-failure (den = 0). Magnitude contract:
+    |T| ≤ s_max·N², exact through N ≈ 10⁹ at 2-digit scores
+    (DECIMAL(38,0)); bucket the scores before the test beyond that.
+
+    Scale shape: ONE map-side-combinable keyless aggregation — five
+    counters, no group table, no window, no join. The 100 TB plan is
+    the partial-agg plan.
+    """
+    ok = F.col(score_col).isNotNull() & F.col(success_col).isNotNull()
+    s = F.col(score_col).cast("decimal(38,0)")
+    y = (F.col(success_col) != 0).cast("int").cast("decimal(38,0)")
+    agg = df.filter(ok).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.coalesce(F.sum(y), F.lit(0)).cast("decimal(38,0)").alias("__r"),
+        F.coalesce(F.sum(s), F.lit(0)).cast("decimal(38,0)").alias("__s"),
+        F.coalesce(F.sum(s * s), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__s2"),
+        F.coalesce(F.sum(s * y), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__sy"),
+    )
+    t = (F.col("__n") * F.col("__sy") - F.col("__r") * F.col("__s")).cast(
+        "decimal(38,0)"
+    )
+    dens = (
+        F.col("__r")
+        * (F.col("__n") - F.col("__r"))
+        * (F.col("__n") * F.col("__s2") - F.col("__s") * F.col("__s"))
+    ).cast("decimal(38,0)")
+    terms = agg.withColumn("__t", t).withColumn("__dens", dens)
+    z = F.when(
+        (F.col("__dens") > 0) & (F.col("__n") > 0),
+        (
+            F.col("__t").cast("double")
+            / F.sqrt(
+                F.col("__dens").cast("double")
+                / F.col("__n").cast("double")
+            )
+        )
+        .cast("decimal(18,6)")
+        .cast("double"),
+    )
+    return terms.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__r").cast("bigint").alias("n_success"),
+        z.alias("z"),
+        F.when(F.col("__t") > 0, F.lit("increasing"))
+        .when(F.col("__t") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+        F.coalesce(
+            F.abs(z) > float(z_crit), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def cochran_armitage_trend_sql(
+    select: str,
+    score_col: str,
+    success_col: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`cochran_armitage_trend` — same five
+    HUGEINT counters, exact-sign trend, once-rounded z."""
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    z = r6(
+        "CAST(t AS DOUBLE)"
+        " / sqrt(CAST(dens AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    zc = f"CASE WHEN dens > 0 AND n > 0 THEN {z} END"
+    return f"""
+    WITH rows_in AS ({select}),
+    agg AS (
+        SELECT COUNT(*)::HUGEINT AS n,
+               COALESCE(SUM(CASE WHEN {success_col} != 0 THEN 1
+                            ELSE 0 END), 0)::HUGEINT AS r,
+               COALESCE(SUM({score_col}), 0)::HUGEINT AS s,
+               COALESCE(SUM(CAST({score_col} AS HUGEINT)
+                            * {score_col}), 0)::HUGEINT AS s2,
+               COALESCE(SUM(CASE WHEN {success_col} != 0
+                            THEN {score_col} ELSE 0 END), 0)::HUGEINT
+                 AS sy
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {success_col} IS NOT NULL
+    ),
+    terms AS (
+        SELECT n, r, n * sy - r * s AS t,
+               r * (n - r) * (n * s2 - s * s) AS dens
+        FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_success,
+           {zc} AS z,
+           CASE WHEN t > 0 THEN 'increasing'
+                WHEN t < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend,
+           COALESCE(abs({zc}) > {float(z_crit)}, FALSE) AS significant
+    FROM terms
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test — homogeneity of variances across groups
+# ---------------------------------------------------------------------------
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    crit: float = 9.487729,
+) -> DataFrame:
+    """Bartlett's test of equal variances across groups — the
+    pre-flight check :func:`anova_f` assumes and
+    :func:`brown_forsythe` robustifies (Bartlett is the most POWERFUL
+    of the three under normality, and the most fragile off it — run
+    them as a pair and read the disagreement). ONE output row:
+    ``(k, n, chi2, significant)`` with
+
+        χ² = [ (N−k)·ln s_p² − Σ (nᵢ−1)·ln sᵢ² ] / C,
+        C  = 1 + ( Σ 1/(nᵢ−1) − 1/(N−k) ) / (3(k−1))
+
+    Determinism: values lift to bigint cents and per-group moments
+    (n, S, Q) are exact DECIMAL(38,0), so every sᵢ² is an exact
+    rational; the three group-grain summands — (nᵢ−1)·ln sᵢ², the
+    pooled numerator (nᵢ·Qᵢ−Sᵢ²)/nᵢ, and 1/(nᵢ−1) — each round
+    per-term to DECIMAL(18,6)/(28,6)/(18,12) BEFORE their sums
+    (decimal sums are associative: order-independent,
+    engine-identical); the finish is one fixed-shape IEEE expression
+    rounded once. χ² is NULL unless every group has nᵢ ≥ 2 and
+    positive variance and k ≥ 2 (Bartlett's own applicability gate —
+    reported, not silently skipped). NULL group/value rows drop.
+
+    Scale shape: one map-combinable group hash agg, one k-row agg.
+    Two shuffles, the second over ≤ k rows.
+    """
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        df.filter(ok)
+        .select(F.col(group_col).alias("__g"), cents.alias("__x"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(d(F.col("__x"))).cast("decimal(38,0)").alias("__s"),
+            F.sum(d(F.col("__x")) * F.col("__x"))
+            .cast("decimal(38,0)")
+            .alias("__q"),
+        )
+    )
+    ssq = d(F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+    nd = F.col("__n").cast("double")
+    # ANSI rule (SCALE.md): guard at the DIVISION SITE — an F.when
+    # wrapped around the whole term can be hoisted past by CSE
+    nden = nd * (nd - 1.0)
+    var_i = ssq.cast("double") / F.when(nden != 0.0, nden)
+    ln_term = (
+        ((nd - 1.0) * F.log(var_i)).cast("decimal(18,6)")
+    )
+    pool_term = (ssq.cast("double") / nd).cast("decimal(28,6)")
+    inv_term = (
+        1.0 / F.when(nd != 1.0, nd - 1.0)
+    ).cast("decimal(18,12)")
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("__n")).cast("decimal(38,0)").alias("__nn"),
+        F.min((F.col("__n") >= 2) & (ssq > 0)).alias("__ok"),
+        F.sum(ln_term).cast("decimal(28,6)").alias("__lnsum"),
+        F.sum(pool_term).cast("decimal(38,6)").alias("__pool"),
+        F.sum(inv_term).cast("decimal(28,12)").alias("__inv"),
+    )
+    nn = F.col("__nn").cast("double")
+    kk = F.col("k").cast("double")
+    nmk = nn - kk
+    # same division-site guards: nmk = 0 (all-singleton) and k = 1
+    # are gated by __ok/k>=2 below, but ANSI evaluates both branches
+    sp2 = F.col("__pool").cast("double") / F.when(nmk != 0.0, nmk)
+    c_corr = 1.0 + (
+        (F.col("__inv").cast("double") - 1.0 / F.when(nmk != 0.0, nmk))
+        / F.when(kk != 1.0, 3.0 * (kk - 1.0))
+    )
+    chi2 = F.when(
+        F.col("__ok") & (F.col("k") >= 2),
+        (
+            (nmk * F.log(sp2) - F.col("__lnsum").cast("double")) / c_corr
+        )
+        .cast("decimal(18,6)")
+        .cast("double"),
+    )
+    return agg.select(
+        "k",
+        F.col("__nn").cast("bigint").alias("n"),
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > float(crit), F.lit(False)).alias("significant"),
+    )
+
+
+def bartlett_test_sql(
+    select: str,
+    group_col: str,
+    value_col: str,
+    crit: float = 9.487729,
+) -> str:
+    """DuckDB oracle of :func:`bartlett_test` — same cents moments,
+    per-term-rounded decimal summands, once-rounded finish."""
+    x = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    chi2 = (
+        "CAST(CAST((((nn - kk) * ln(pool / (nn - kk)) - lnsum)"
+        " / (1.0 + ((inv - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0)))))"
+        " AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    cc = f"CASE WHEN ok AND k >= 2 THEN {chi2} END"
+    return f"""
+    WITH rows_in AS ({select}),
+    g AS (
+        SELECT {group_col} AS g,
+               COUNT(*)::HUGEINT AS n,
+               SUM(CAST({x} AS HUGEINT))::HUGEINT AS s,
+               SUM(CAST({x} AS HUGEINT) * {x})::HUGEINT AS q
+        FROM rows_in
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY {group_col}
+    ),
+    terms AS (
+        SELECT n, (n * q - s * s) AS ssq,
+               CAST(CAST((CAST(n AS DOUBLE) - 1.0)
+                    * ln(CAST(n * q - s * s AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))
+                    AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS ln_term,
+               CAST(CAST(CAST(n * q - s * s AS DOUBLE)
+                    / CAST(n AS DOUBLE)
+                    AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS pool_term,
+               CAST(CAST(1.0 / (CAST(n AS DOUBLE) - 1.0)
+                    AS DECIMAL(18,12)) AS DECIMAL(28,12)) AS inv_term
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(*) AS DOUBLE) AS kk,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(n) AS DOUBLE) AS nn,
+               MIN(n >= 2 AND ssq > 0) AS ok,
+               CAST(SUM(ln_term) AS DOUBLE) AS lnsum,
+               CAST(SUM(pool_term) AS DOUBLE) AS pool,
+               CAST(SUM(inv_term) AS DOUBLE) AS inv
+        FROM terms
+    )
+    SELECT k, n_total AS n, {cc} AS chi2,
+           COALESCE(({cc}) > {float(crit)}, FALSE) AS significant
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Jarque–Bera normality test — skewness/kurtosis moments per group
+# ---------------------------------------------------------------------------
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    crit: float = 5.991465,
+) -> DataFrame:
+    """Jarque–Bera normality test per group — ``(group?, n, skewness,
+    kurtosis_excess, jb, significant)`` with
+
+        JB = n/6 · ( S² + K²/4 ),  S = m₃/m₂^1.5,  K = m₄/m₂² − 3
+
+    — "is this column even approximately normal", the gate every
+    z-score-based decision in this module (:func:`grubbs_test`,
+    :func:`mean_test`, the CI family) silently assumes. Moment-based:
+    no sorting, no ranks, no quantiles.
+
+    Determinism (the two-pass standardized design): pass 1 computes
+    exact DECIMAL(38,0) cents moments (n, Σx, Σx²) per group, from
+    which μ and the POPULATION σ come as fixed-shape IEEE doubles;
+    pass 2 standardizes each row ``t = (x − μ)/σ`` and rounds ``t³``
+    and ``t⁴`` per-term to DECIMAL(18,6) BEFORE summation (decimal
+    sums are associative → order-independent, engine-identical;
+    t is O(1–10), so the terms always fit). Skew/kurtosis/JB are
+    fixed-shape finishes rounded once. This shape — unlike raw
+    Σx³/Σx⁴ decimals — neither overflows DECIMAL(38) at petabyte row
+    counts nor loses catastrophic cancellation digits at 6-digit
+    means. NULL value rows drop; degenerate groups (n < 2 or σ = 0)
+    report NULL statistics and ``significant = false``.
+
+    Scale shape: one map-combinable group agg, one broadcast-sized
+    moments join back, one map-combinable standardized agg. Two
+    corpus-scale shuffles (and the second collapses map-side).
+    """
+    keys = [by] if by else []
+    ok = F.col(value_col).isNotNull()
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(ok).select(*keys, cents.alias("__x"))
+    mom = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(d(F.col("__x"))).cast("decimal(38,0)").alias("__s"),
+        F.sum(d(F.col("__x")) * F.col("__x"))
+        .cast("decimal(38,0)")
+        .alias("__q"),
+    )
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nd
+    m2 = (
+        d(F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+        .cast("double")
+        / (nd * nd)
+    )
+    sigma = F.sqrt(m2)
+    mom = mom.select(
+        *keys, "__n", mu.alias("__mu"), sigma.alias("__sig")
+    )
+    joined = (
+        base.join(F.broadcast(mom), keys)
+        if keys
+        else base.crossJoin(F.broadcast(mom))
+    )
+    # division-site guard (SCALE.md ANSI rule): σ = 0 groups yield
+    # NULL t-terms, and the σ>0 gate below nulls the statistics
+    t = (F.col("__x").cast("double") - F.col("__mu")) / F.when(
+        F.col("__sig") != 0.0, F.col("__sig")
+    )
+    tt = t * t
+    t3 = ((tt * t)).cast("decimal(18,6)")
+    t4 = (((tt * t) * t)).cast("decimal(18,6)")
+    agg = joined.groupBy(*keys).agg(
+        F.max("__n").alias("__n"),
+        F.max("__sig").alias("__sig"),
+        F.sum(t3).cast("decimal(38,6)").alias("__s3"),
+        F.sum(t4).cast("decimal(38,6)").alias("__s4"),
+    )
+    nd2 = F.col("__n").cast("double")
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okg = (F.col("__n") >= 2) & (F.col("__sig") > 0.0)
+    skew = F.when(okg, out(F.col("__s3").cast("double") / nd2))
+    kurt = F.when(
+        okg, out(F.col("__s4").cast("double") / nd2 - 3.0)
+    )
+    jb = F.when(
+        okg,
+        out(
+            nd2
+            / 6.0
+            * (
+                (F.col("__s3").cast("double") / nd2)
+                * (F.col("__s3").cast("double") / nd2)
+                + (F.col("__s4").cast("double") / nd2 - 3.0)
+                * (F.col("__s4").cast("double") / nd2 - 3.0)
+                / 4.0
+            )
+        ),
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis_excess"),
+        jb.alias("jb"),
+        F.coalesce(jb > float(crit), F.lit(False)).alias("significant"),
+    )
+
+
+def jarque_bera_sql(
+    select: str,
+    value_col: str,
+    by: str | None = None,
+    crit: float = 5.991465,
+) -> str:
+    """DuckDB oracle of :func:`jarque_bera` — same two-pass
+    standardized moments, same per-term DECIMAL(18,6) rounding of
+    t³/t⁴, same fixed-shape finishes."""
+    keys = f"{by}, " if by else ""
+    gby = f"GROUP BY {by}" if by else ""
+    join_on = f"ON base.{by} = mom.{by}" if by else "ON TRUE"
+    bkey = f"base.{by} AS {by}, " if by else ""
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    skew_raw = "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    kurt_raw = "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - 3.0"
+    jb_raw = (
+        f"CAST(n AS DOUBLE) / 6.0 * (({skew_raw}) * ({skew_raw})"
+        f" + ({kurt_raw}) * ({kurt_raw}) / 4.0)"
+    )
+    okg = "n >= 2 AND sig > 0.0"
+    jb = f"CASE WHEN {okg} THEN {r6(jb_raw)} END"
+    return f"""
+    WITH rows_in AS ({select}),
+    base AS (
+        SELECT {keys}CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS x
+        FROM rows_in
+        WHERE {value_col} IS NOT NULL
+    ),
+    mom AS (
+        SELECT {keys}COUNT(*)::HUGEINT AS n,
+               SUM(CAST(x AS HUGEINT))::HUGEINT AS s,
+               SUM(CAST(x AS HUGEINT) * x)::HUGEINT AS q
+        FROM base {gby}
+    ),
+    mom2 AS (
+        SELECT {keys}n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(n * q - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sig
+        FROM mom
+    ),
+    std AS (
+        SELECT {bkey}mom.n AS n, mom.sig AS sig,
+               (CAST(base.x AS DOUBLE) - mom.mu)
+                 / (CASE WHEN mom.sig != 0.0 THEN mom.sig END) AS t
+        FROM base JOIN mom2 mom {join_on}
+    ),
+    agg AS (
+        SELECT {keys}MAX(n) AS n, MAX(sig) AS sig,
+               SUM(CAST(CAST((t * t) * t AS DECIMAL(18,6))
+                   AS DECIMAL(38,6))) AS s3,
+               SUM(CAST(CAST(((t * t) * t) * t AS DECIMAL(18,6))
+                   AS DECIMAL(38,6))) AS s4
+        FROM std {gby}
+    )
+    SELECT {keys}CAST(n AS BIGINT) AS n,
+           CASE WHEN {okg} THEN {r6(skew_raw)} END AS skewness,
+           CASE WHEN {okg} THEN {r6(kurt_raw)} END AS kurtosis_excess,
+           {jb} AS jb,
+           COALESCE(({jb}) > {float(crit)}, FALSE) AS significant
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere–Terpstra — ordered-alternative k-sample trend test
+# ---------------------------------------------------------------------------
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_score_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for a MONOTONE trend in a numeric
+    outcome across ordered groups — the k-sample power upgrade over
+    :func:`kruskal_wallis` when the alternative is ordered (doses,
+    tiers, years), and the numeric-outcome sibling of
+    :func:`cochran_armitage_trend` (which wants a 0/1 outcome). ONE
+    output row: ``(n, k_groups, jt2, z, trend, significant)``.
+
+    ``jt2 = 2·JT = Σ_{g<h} Σ_v c_h(v)·(2·C_g(<v) + c_g(v))`` — the
+    doubled Mann-Whitney count summed over ordered group pairs,
+    doubled so midrank ties stay INTEGER (the :func:`mann_whitney_u`
+    convention). z uses the tie-corrected variance (Hollander &
+    Wolfe):
+
+        Var = A/72 + T₃·U₃/(36·n(n−1)(n−2)) + T₂·U₂/(8·n(n−1)),
+        A = n(n−1)(2n+5) − Σt(t−1)(2t+5) − Σu(u−1)(2u+5)
+
+    with t over pooled value-tie blocks and u over group sizes; every
+    named sum is EXACT DECIMAL(38,0) (contract: n ≲ 4·10¹² before A
+    overflows), the variance assembly and z are ONE fixed-shape IEEE
+    expression rounded once, and ``trend`` comes from the exact
+    integer sign of ``jt2 − (n² − Σu²)/2`` — never the rounded z.
+    NULL group/value rows drop; z is NULL when Var ≤ 0 (all values
+    tied, or a single group).
+
+    Scale shape: one map-combinable (group, value-cents) hash agg —
+    the only corpus-scale shuffle. Everything downstream lives on
+    that grain: the dense value × group grid (contract: DISCRETE or
+    bucketed values — grid rows = distinct-values × k), a per-group
+    cumulative window (k partitions over the grid), one value-keyed
+    grain join with ≤k fanout, and ≤k-row side aggregates.
+    """
+    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+
+    ok = (
+        F.col(group_score_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cnts = lazy_persist(
+        df.filter(ok)
+        .select(
+            F.col(group_score_col).cast("bigint").alias("__g"),
+            cents.alias("__v"),
+        )
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    groups = cnts.groupBy("__g").agg(
+        F.sum(d(F.col("__c"))).cast("decimal(38,0)").alias("__u")
+    )
+    vals = cnts.select("__v").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(groups.select("__g")))
+        .join(cnts, ["__g", "__v"], "left")
+        .select(
+            "__g",
+            "__v",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid2 = grid.withColumn(
+        "__cum2",
+        (
+            F.lit(2) * F.coalesce(F.sum("__c").over(wcum), F.lit(0))
+            + F.col("__c")
+        ).cast("decimal(38,0)"),
+    )
+    h = cnts.select(
+        F.col("__g").alias("__gh"),
+        F.col("__v").alias("__v"),
+        F.col("__c").alias("__ch"),
+    )
+    jt = (
+        h.join(grid2, "__v")
+        .filter(F.col("__g") < F.col("__gh"))
+        .agg(
+            F.coalesce(
+                F.sum(d(F.col("__ch")) * F.col("__cum2")), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("__jt2")
+        )
+    )
+    usums = groups.agg(
+        F.sum("__u").cast("decimal(38,0)").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum(F.col("__u") * F.col("__u"))
+        .cast("decimal(38,0)")
+        .alias("__u2"),
+        F.sum(F.col("__u") * (F.col("__u") - 1))
+        .cast("decimal(38,0)")
+        .alias("__ut2"),
+        F.sum(
+            F.col("__u") * (F.col("__u") - 1) * (F.col("__u") - 2)
+        )
+        .cast("decimal(38,0)")
+        .alias("__ut3"),
+        F.sum(
+            F.col("__u")
+            * (F.col("__u") - 1)
+            * (2 * F.col("__u") + 5)
+        )
+        .cast("decimal(38,0)")
+        .alias("__ua"),
+    )
+    ties = cnts.groupBy("__v").agg(
+        F.sum(d(F.col("__c"))).cast("decimal(38,0)").alias("__t")
+    )
+    tsums = ties.agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1))
+        .cast("decimal(38,0)")
+        .alias("__tt2"),
+        F.sum(
+            F.col("__t") * (F.col("__t") - 1) * (F.col("__t") - 2)
+        )
+        .cast("decimal(38,0)")
+        .alias("__tt3"),
+        F.sum(
+            F.col("__t")
+            * (F.col("__t") - 1)
+            * (2 * F.col("__t") + 5)
+        )
+        .cast("decimal(38,0)")
+        .alias("__ta"),
+    )
+    one = attach_scalars(attach_scalars(jt, usums), tsums)
+    nn = F.col("__n")
+    nd = nn.cast("double")
+    a_exact = d(
+        nn * (nn - 1) * (2 * nn + 5) - F.col("__ta") - F.col("__ua")
+    )
+    var_dbl = (
+        a_exact.cast("double") / 72.0
+        + (F.col("__tt3").cast("double") * F.col("__ut3").cast("double"))
+        / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + (F.col("__tt2").cast("double") * F.col("__ut2").cast("double"))
+        / (8.0 * nd * (nd - 1.0))
+    )
+    mu2 = d((nn * nn - F.col("__u2")) / 2)
+    diff = d(F.col("__jt2") - mu2)
+    z = F.when(
+        var_dbl > 0.0,
+        (
+            diff.cast("double")
+            / (2.0 * F.sqrt(F.when(var_dbl > 0.0, var_dbl)))
+        )
+        .cast("decimal(18,6)")
+        .cast("double"),
+    )
+    return one.select(
+        nn.cast("bigint").alias("n"),
+        "k_groups",
+        F.col("__jt2").cast("bigint").alias("jt2"),
+        z.alias("z"),
+        F.when(diff > 0, F.lit("increasing"))
+        .when(diff < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+        F.coalesce(F.abs(z) > float(z_crit), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def jonckheere_terpstra_sql(
+    select: str,
+    group_score_col: str,
+    value_col: str,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`jonckheere_terpstra` — same doubled
+    integer JT over the dense grid, same exact tie sums, same
+    fixed-shape variance assembly and once-rounded z."""
+    cexp = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    var = (
+        "(CAST(a_ex AS DOUBLE) / 72.0"
+        " + (CAST(tt3 AS DOUBLE) * CAST(ut3 AS DOUBLE))"
+        " / (36.0 * nd * (nd - 1.0) * (nd - 2.0))"
+        " + (CAST(tt2 AS DOUBLE) * CAST(ut2 AS DOUBLE))"
+        " / (8.0 * nd * (nd - 1.0)))"
+    )
+    z = (
+        f"CASE WHEN {var} > 0.0 THEN"
+        f" CAST(CAST(CAST(jt2 - mu2 AS DOUBLE)"
+        f" / (2.0 * sqrt({var})) AS DECIMAL(18,6)) AS DOUBLE) END"
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    cnts AS (
+        SELECT CAST({group_score_col} AS BIGINT) AS g, {cexp} AS v,
+               COUNT(*)::HUGEINT AS c
+        FROM rows_in
+        WHERE {group_score_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    grp AS (SELECT g, SUM(c) AS u FROM cnts GROUP BY g),
+    grid AS (
+        SELECT grp.g, vals.v, COALESCE(cnts.c, 0::HUGEINT) AS c
+        FROM (SELECT DISTINCT v FROM cnts) vals
+        CROSS JOIN grp
+        LEFT JOIN cnts ON cnts.g = grp.g AND cnts.v = vals.v
+    ),
+    grid2 AS (
+        SELECT g, v,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0::HUGEINT) + c AS cum2
+        FROM grid
+    ),
+    jt AS (
+        SELECT COALESCE(SUM(h.c * g2.cum2), 0::HUGEINT) AS jt2
+        FROM cnts h JOIN grid2 g2 ON g2.v = h.v AND g2.g < h.g
+    ),
+    us AS (
+        SELECT SUM(u) AS n, CAST(COUNT(*) AS BIGINT) AS k_groups,
+               SUM(u * u) AS u2,
+               SUM(u * (u - 1)) AS ut2,
+               SUM(u * (u - 1) * (u - 2)) AS ut3,
+               SUM(u * (u - 1) * (2 * u + 5)) AS ua
+        FROM grp
+    ),
+    tie AS (SELECT v, SUM(c) AS t FROM cnts GROUP BY v),
+    ts AS (
+        SELECT SUM(t * (t - 1)) AS tt2,
+               SUM(t * (t - 1) * (t - 2)) AS tt3,
+               SUM(t * (t - 1) * (2 * t + 5)) AS ta
+        FROM tie
+    ),
+    one AS (
+        SELECT jt.jt2, us.n, us.k_groups, us.u2, us.ut2, us.ut3,
+               ts.tt2, ts.tt3,
+               us.n * (us.n - 1) * (2 * us.n + 5) - ts.ta - us.ua
+                 AS a_ex,
+               CAST(us.n AS DOUBLE) AS nd,
+               -- `//`: n² − Σu² = 2·Σ_{{i<j}}uᵢuⱼ is always even, so
+               -- floor division IS exact (DuckDB `/` would go DOUBLE
+               -- and lose the exact trend sign past 2^53)
+               (us.n * us.n - us.u2) // 2 AS mu2
+        FROM jt CROSS JOIN us CROSS JOIN ts
+    )
+    SELECT CAST(n AS BIGINT) AS n, k_groups,
+           CAST(jt2 AS BIGINT) AS jt2,
+           {z} AS z,
+           CASE WHEN jt2 - mu2 > 0 THEN 'increasing'
+                WHEN jt2 - mu2 < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend,
+           COALESCE(abs({z}) > {float(z_crit)}, FALSE) AS significant
+    FROM one
+    """

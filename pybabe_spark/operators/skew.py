@@ -418,3 +418,146 @@ def lorenz_curve_sql(
            END AS cum_value_share_ppm
     FROM cum
     """
+
+
+def theil_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-T inequality index per group WITH the between/within
+    decomposition — the property :func:`gini` famously lacks (Gini
+    does not decompose additively): total inequality =
+    Σ share·T_within + Σ between. One row per group:
+
+    ``(key, n, share_ppm, theil_within, between_term)``
+
+    - ``theil_within`` — the group's own Theil-T,
+      ``T_g = [Σ x·ln x]_g / S_g − ln(S_g/n_g)`` (0 = perfectly even)
+    - ``share_ppm`` — the group's exact floored-ppm share of the
+      grand total S
+    - ``between_term`` — ``(S_g/S)·ln((S_g/S)/(n_g/n))``, the group's
+      contribution to between-group inequality; the corpus total is
+      ``Σ_g (S_g/S)·T_g + Σ_g between_term`` (consumer-side sum of a
+      ≤k-row frame).
+
+    Concentration diagnostics at two grains at once: is revenue
+    unequal WITHIN each priority tier, or BETWEEN tiers?
+
+    Determinism: values lift to bigint cents; ``Σ x ln x`` follows the
+    :func:`~pybabe_spark.operators.sketch.categorical_diversity`
+    entropy discipline — one (group, value) count grain, per-term
+    ``(c·x)·ln(x)`` rounded to DECIMAL(18,6) BEFORE the sum
+    (associative, engine-identical), everything else exact decimals
+    with fixed-shape once-rounded finishes. Zero/NULL values are
+    EXCLUDED (ln 0 — the standard Theil-T domain, stated); negative
+    values raise in-plan. Zero-total groups are absent (no rows
+    survive the x > 0 filter).
+
+    Scale shape: one map-combinable (group, cents) grain agg, one
+    group agg over the grain, one 1-row grand-total attach. Two
+    corpus-scale shuffles.
+    """
+    from pybabe_spark.operators._util import attach_scalars
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    cents_raw = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    guard = F.when(
+        cents_raw < 0,
+        F.raise_error(
+            F.lit(
+                f"theil_index: negative {value_col} — undefined;"
+                " clamp upstream"
+            )
+        ).cast("bigint"),
+    ).otherwise(cents_raw)
+    grain = (
+        nn.select(F.col(key_col).alias("__k"), guard.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .groupBy("__k", "__c")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xlnx = (
+        (
+            d(F.col("__m") * F.col("__c")).cast("double")
+            * F.log(F.col("__c").cast("double"))
+        )
+        # (28,6): the count-weighted term can pass 1e12 at corpus
+        # scale — 22 integer digits keeps the per-term round exact
+        .cast("decimal(28,6)")
+    )
+    g = grain.groupBy("__k").agg(
+        F.sum(d(F.col("__m"))).cast("decimal(38,0)").alias("__n"),
+        F.sum(d(F.col("__m") * F.col("__c")))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.sum(xlnx).cast("decimal(38,6)").alias("__xl"),
+    )
+    tots = g.agg(
+        F.sum("__n").cast("decimal(38,0)").alias("__nt"),
+        F.sum("__s").cast("decimal(38,0)").alias("__st"),
+    )
+    j = attach_scalars(g, tots)
+    out = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    sd = F.col("__s").cast("double")
+    nd = F.col("__n").cast("double")
+    std = F.col("__st").cast("double")
+    ntd = F.col("__nt").cast("double")
+    theil_w = out(
+        F.col("__xl").cast("double") / sd - F.log(sd / nd)
+    )
+    between = out(
+        (sd / std) * F.log((sd / std) / (nd / ntd))
+    )
+    share = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __s) div __st"
+        " AS BIGINT)"
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("bigint").alias("n"),
+        share.alias("share_ppm"),
+        theil_w.alias("theil_within"),
+        between.alias("between_term"),
+    )
+
+
+def theil_index_sql(table: str, key_col: str, value_col: str) -> str:
+    """DuckDB oracle of :func:`theil_index` — same cents grain,
+    per-term-rounded x·ln x, fixed-shape decomposition."""
+    c = f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    tw = r6(
+        "CAST(xl AS DOUBLE) / CAST(s AS DOUBLE)"
+        " - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    bt = r6(
+        "(CAST(s AS DOUBLE) / CAST(st AS DOUBLE))"
+        " * ln((CAST(s AS DOUBLE) / CAST(st AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)))"
+    )
+    return f"""
+    WITH grain AS (
+        SELECT {key_col} AS k, {c} AS c, COUNT(*)::HUGEINT AS m
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND {c} > 0
+        GROUP BY {key_col}, {c}
+    ),
+    g AS (
+        SELECT k, SUM(m) AS n, SUM(m * c) AS s,
+               SUM(CAST(CAST(CAST(m * c AS DOUBLE)
+                   * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,6))
+                   AS DECIMAL(38,6))) AS xl
+        FROM grain GROUP BY k
+    ),
+    tots AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM g)
+    SELECT g.k AS {key_col},
+           CAST(g.n AS BIGINT) AS n,
+           CAST((1000000 * g.s) // tots.st AS BIGINT) AS share_ppm,
+           {tw} AS theil_within,
+           {bt} AS between_term
+    FROM g CROSS JOIN tots
+    """

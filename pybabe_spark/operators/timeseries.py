@@ -4792,3 +4792,414 @@ def gumbel_maxima_sql(
            CASE WHEN {fit_ok} THEN {r6(lvl)} END AS return_level
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test — nonparametric single-changepoint detection
+# ---------------------------------------------------------------------------
+
+def pettitt_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Pettitt test per key over the bucketed series — WHERE does the
+    level shift, not just whether (:func:`chow_test` needs a
+    hypothesized break date; Pettitt FINDS it, rank-based, no
+    normality assumed). One row per key:
+    ``(key, n, k_stat, change_epoch, p_value, significant)`` —
+    ``k_stat = max_t |U_t|`` with ``U_t = Σ_{i≤t} Σ_{j>t}
+    sgn(x_j − x_i)``, the epoch-second start of the LAST bucket
+    before the most probable change (FIRST argmax on ties — fixed,
+    engine-identical tiebreak), and the approximate significance
+    ``p = 2·exp(−6K²/(T³+T²))``.
+
+    Determinism: the series is exact cents bucket SUMS on unique
+    bucket indices (the :func:`runs_test` grain); sign counts are
+    exact integers via the cumulative identity ``U_t = Σ_{s≤t} W_s``,
+    ``W_s = #{j: x_j > x_s} − #{j: x_j < x_s}`` (the T²-pair object
+    collapses to one within-key sign join); p is ONE fixed-shape IEEE
+    expression rounded to DECIMAL(18,6), compared against
+    ``alpha_ppm`` AT that rounding (house convention). Keys with
+    n < 2 report NULL p and false.
+
+    Scale shape: one corpus bucket agg, then a WITHIN-KEY sign
+    self-join on the bucket grain — T² pairs per key where T is
+    bounded by span/bucket_seconds (31 for a month of days), the
+    documented contract — one key-partitioned cumsum window and one
+    key agg. Corpus-scale work is the first agg only.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("pettitt_test: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    return _pettitt_from_buckets(b, key_col, bucket_seconds, alpha_ppm)
+
+
+def _pettitt_from_buckets(
+    b, key_col: str, bucket_seconds: int, alpha_ppm: int
+):
+    """Pettitt machinery over a prepared ``(k, t, __v)`` bucket frame
+    (the `_runs_test_from_buckets` split, so the streaming bucket-sum
+    store can feed the identical verdicts)."""
+    from pybabe_spark.operators._util import lazy_persist
+
+    b = lazy_persist(b)  # both sides of the sign join
+    o = b.select(
+        F.col("k"), F.col("t").alias("__tj"), F.col("__v").alias("__vj")
+    )
+    w_rows = (
+        b.join(o, "k")
+        .filter(F.col("__tj") != F.col("t"))
+        .groupBy("k", "t")
+        .agg(
+            F.sum(
+                F.signum((F.col("__vj") - F.col("__v")).cast("double"))
+                .cast("bigint")
+            ).alias("__w")
+        )
+    )
+    wc = Window.partitionBy("k").orderBy("t")
+    u = w_rows.withColumn("__u", F.sum("__w").over(wc))
+    tot = b.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        u.join(tot, "k")
+        # drop t = T: U_T = 0 by construction, and the changepoint
+        # domain is 1..T-1
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(
+                    F.abs(F.col("__u")).desc(), F.col("t").asc()
+                )
+            ),
+        )
+    )
+    top = ranked.filter(F.col("__rn") == 1).select(
+        "k",
+        "n",
+        F.abs(F.col("__u")).cast("bigint").alias("k_stat"),
+        (F.col("t") * int(bucket_seconds)).cast("bigint").alias(
+            "change_epoch"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_stat").cast("double")
+    from pybabe_spark.operators.sketch import _sdiv
+
+    p6 = F.least(
+        F.lit(1.0),
+        2.0
+        * F.exp(_sdiv(-6.0 * kd * kd, nd * nd * nd + nd * nd)),
+    ).cast("decimal(18,6)")
+    okp = F.col("n") >= 2
+    p = F.when(okp, p6.cast("double"))
+    return top.select(
+        F.col("k").alias(key_col),
+        "n",
+        "k_stat",
+        "change_epoch",
+        p.alias("p_value"),
+        F.coalesce(
+            F.when(okp, p6 < F.lit(alpha_ppm).cast("double") / 1e6),
+            F.lit(False),
+        ).alias("significant"),
+    )
+
+
+def pettitt_test_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    alpha_ppm: int = 50_000,
+) -> str:
+    """DuckDB oracle of :func:`pettitt_test` — same bucket grain, sign
+    join, first-argmax tiebreak, once-rounded p."""
+    bus = int(bucket_seconds) * 1_000_000
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT b.k, b.t,
+               SUM(CAST(sign(CAST(o.v - b.v AS DOUBLE)) AS BIGINT))
+                 AS w
+        FROM b JOIN b o ON o.k = b.k AND o.t != b.t
+        GROUP BY b.k, b.t
+    ),
+    u AS (
+        SELECT k, t,
+               SUM(w) OVER (PARTITION BY k ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS u
+        FROM w
+    ),
+    tot AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY k),
+    ranked AS (
+        SELECT u.k, tot.n, abs(u.u) AS k_stat,
+               u.t * {int(bucket_seconds)} AS change_epoch,
+               ROW_NUMBER() OVER (PARTITION BY u.k
+                                  ORDER BY abs(u.u) DESC, u.t ASC)
+                 AS rn
+        FROM u JOIN tot ON tot.k = u.k
+    ),
+    top AS (
+        SELECT k, n, CAST(k_stat AS BIGINT) AS k_stat,
+               CAST(change_epoch AS BIGINT) AS change_epoch,
+               CAST(LEAST(1.0, 2.0 * exp(
+                   (-6.0 * CAST(k_stat AS DOUBLE)
+                    * CAST(k_stat AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE)
+                      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 AS DECIMAL(18,6)) AS p6
+        FROM ranked WHERE rn = 1
+    )
+    SELECT k AS {key_col}, n, k_stat, change_epoch,
+           CASE WHEN n >= 2 THEN CAST(p6 AS DOUBLE) END AS p_value,
+           COALESCE(CASE WHEN n >= 2
+                    THEN p6 < {alpha_ppm} / 1e6 END, FALSE)
+             AS significant
+    FROM top
+    """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing — exact dyadic recursion
+# ---------------------------------------------------------------------------
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    horizon: int = 3,
+    max_buckets: int = 45,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per key over
+    the bucketed series — the trend-aware upgrade of
+    :func:`ewma_smooth` and the model behind "what does next week
+    look like if the current LEVEL and SLOPE persist" (vs
+    :func:`snaive_forecast`'s pure seasonality). One row per key:
+    ``(key, n, level, trend, forecast_1 … forecast_h)`` — the final
+    smoothed level/slope in value units and the h-step-ahead
+    forecasts ``level + h·trend``.
+
+    α = β = ½ BY DESIGN (the :func:`ewma_smooth` rationale made
+    recursive): with dyadic smoothing weights the entire recursion
+
+        l_t = (y_t + l_{t−1} + b_{t−1})/2,
+        b_t = (l_t − l_{t−1} + b_{t−1})/2
+
+    stays EXACT INTEGER when tracked as numerators over 4^t —
+    ``Λ_t = 2·4^{t−1}·y_t + 2Λ_{t−1} + 2Β_{t−1}`` (always even) and
+    ``Β_t = Λ_t/2 − 2Λ_{t−1} + 2Β_{t−1}`` in DECIMAL(38,0), folded
+    sequentially over the sorted bucket array; no float ever enters
+    the accumulation, so Spark's fold and DuckDB's recursive CTE are
+    digit-identical. Init l₁ = y₁, b₁ = 0 (documented). The
+    level/trend/forecast outputs are fixed-shape IEEE divisions of
+    exact decimals, rounded once to DECIMAL(18,6). Series are the
+    exact cents bucket sums on OBSERVED buckets in order (gaps do not
+    decay — the :func:`ewma_smooth` missing-term convention).
+
+    Scale shape: one corpus bucket agg, one per-key sorted
+    ``collect_list`` over ≤ ``max_buckets`` bucket rows (in-plan
+    raise guard — 4^t must stay inside DECIMAL(38): 45 buckets leaves
+    11 digits for cents sums), one fold per key. Corpus-scale work is
+    the first agg; the fold is O(T) per key.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("holt_linear: bucket_seconds must be > 0")
+    if not 1 <= horizon <= 12:
+        raise ValueError("holt_linear: horizon must be in [1, 12]")
+    if not 2 <= max_buckets <= 45:
+        raise ValueError("holt_linear: max_buckets must be in [2, 45]")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    return _holt_from_buckets(b, key_col, horizon, max_buckets)
+
+
+def _holt_from_buckets(b, key_col: str, horizon: int, max_buckets: int):
+    """Holt fold over a prepared ``(k, t, __v)`` bucket frame (the
+    `_runs_test_from_buckets` split)."""
+    arr = b.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("__v")))
+        ).alias("__a"),
+    )
+    guarded = arr.withColumn(
+        "__a",
+        F.when(
+            F.col("n") > max_buckets,
+            F.raise_error(
+                F.lit(
+                    f"holt_linear: > {max_buckets} buckets — 4^t"
+                    " leaves DECIMAL(38); widen bucket_seconds"
+                )
+            ).cast("array<struct<t:bigint,__v:bigint>>"),
+        ).otherwise(F.col("__a")),
+    )
+    # the state tracks Λ' = Λ/2 (always integral), so the recursion is
+    # DIVISION-FREE — Spark's decimal divide would re-scale to (38,6)
+    # and shave the integer envelope; this form never divides:
+    #   Λ'_t = 4^{t−1}·y_t + 2Λ'_{t−1} + Β_{t−1}
+    #   Β_t  = Λ'_t − 4Λ'_{t−1} + 2Β_{t−1}
+    d38 = "decimal(38,0)"
+    init = F.struct(
+        F.lit(0).cast(d38).alias("lamh"),
+        F.lit(0).cast(d38).alias("bet"),
+        F.lit(0).cast(d38).alias("p"),
+    )
+
+    def step(acc, e):
+        y = e["__v"].cast(d38)
+        first = acc["p"] == 0
+        lamh = (
+            acc["p"] * y
+            + F.lit(2).cast(d38) * acc["lamh"]
+            + acc["bet"]
+        ).cast(d38)
+        bet = (
+            lamh
+            - F.lit(4).cast(d38) * acc["lamh"]
+            + F.lit(2).cast(d38) * acc["bet"]
+        ).cast(d38)
+        return F.struct(
+            F.when(first, (F.lit(2).cast(d38) * y).cast(d38))
+            .otherwise(lamh)
+            .alias("lamh"),
+            F.when(first, F.lit(0).cast(d38)).otherwise(bet).alias(
+                "bet"
+            ),
+            F.when(first, F.lit(4).cast(d38))
+            .otherwise((acc["p"] * 4).cast(d38))
+            .alias("p"),
+        )
+
+    folded = guarded.withColumn(
+        "__s", F.aggregate(F.col("__a"), init, step)
+    )
+    out6 = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    lam = (F.col("__s.lamh") * 2).cast("decimal(38,0)").cast("double")
+    bet = F.col("__s.bet").cast("double")
+    p = F.col("__s.p").cast("double")
+    from pybabe_spark.operators.sketch import _sdiv
+
+    cols = [
+        F.col("k").alias(key_col),
+        "n",
+        out6(_sdiv(lam, p) / 100.0).alias("level"),
+        out6(_sdiv(bet, p) / 100.0).alias("trend"),
+    ]
+    for h in range(1, horizon + 1):
+        fh = (
+            F.col("__s.lamh") * 2 + F.lit(h).cast(d38) * F.col("__s.bet")
+        ).cast("decimal(38,0)").cast("double")
+        cols.append(out6(_sdiv(fh, p) / 100.0).alias(f"forecast_{h}"))
+    return folded.select(*cols)
+
+
+def holt_linear_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    horizon: int = 3,
+) -> str:
+    """DuckDB oracle of :func:`holt_linear` — the identical dyadic
+    integer recursion as a recursive CTE over HUGEINT numerators,
+    same once-rounded finishes."""
+    bus = int(bucket_seconds) * 1_000_000
+    fcasts = ",\n           ".join(
+        f"CAST(CAST(CAST(2 * lamh + {h} * bet AS DOUBLE)"
+        f" / CAST(p AS DOUBLE)"
+        f" / 100.0 AS DECIMAL(18,6)) AS DOUBLE) AS forecast_{h}"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+    WITH RECURSIVE b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT k, v,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn,
+               COUNT(*) OVER (PARTITION BY k) AS n
+        FROM b
+    ),
+    r AS (
+        -- division-free half-numerator recursion (see holt_linear):
+        -- lamh = Λ/2, bet = Β, p = 4^t — all exact HUGEINT
+        SELECT k, n, rn AS t,
+               2::HUGEINT * v AS lamh,
+               0::HUGEINT AS bet,
+               4::HUGEINT AS p
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.k, o.n, o.rn,
+               r.p * o.v + 2 * r.lamh + r.bet,
+               (r.p * o.v + 2 * r.lamh + r.bet)
+                 - 4 * r.lamh + 2 * r.bet,
+               r.p * 4
+        FROM r JOIN o ON o.k = r.k AND o.rn = r.t + 1
+    ),
+    fin AS (SELECT * FROM r WHERE t = n)
+    SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+           CAST(CAST(CAST(2 * lamh AS DOUBLE) / CAST(p AS DOUBLE)
+                / 100.0
+                AS DECIMAL(18,6)) AS DOUBLE) AS level,
+           CAST(CAST(CAST(bet AS DOUBLE) / CAST(p AS DOUBLE) / 100.0
+                AS DECIMAL(18,6)) AS DOUBLE) AS trend,
+           {fcasts}
+    FROM fin
+    """

@@ -5660,3 +5660,263 @@ def q_asof_nearest_click(spark, sf_dir):
         .join(per_ts, ["user_id", "click_ts"], "left")
         .select("event_id", "user_id", "ts", "click_ts", "click_value")
     )
+
+
+def _mood_sql() -> str:
+    from pybabe_spark.operators.sketch import mood_median_test_sql
+
+    return mood_median_test_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+        crit=9.487729,
+    )
+
+
+@register("mood_median_orders", _mood_sql())
+def q_mood_median(spark, sf_dir):
+    """Mood's median test of order value across priorities
+    (operators/sketch.py::mood_median_test): do the five priority
+    tiers share a common median order value? The outlier-proof
+    k-sample location check next to kruskal_wallis' rank view —
+    exact lower-median via an integer reach test over the cents
+    value grain, exactly-median rows counted below, then
+    chi2_independence's exact floored-ppm cell sum (dof = 4, crit
+    9.488 at α=0.05). Two corpus shuffles."""
+    from pybabe_spark.operators.sketch import mood_median_test
+
+    orders = read_table(spark, sf_dir, "orders")
+    return mood_median_test(
+        orders, "o_orderpriority", "o_totalprice", crit=9.487729
+    )
+
+
+def _cochran_armitage_sql() -> str:
+    from pybabe_spark.operators.sketch import cochran_armitage_trend_sql
+
+    return cochran_armitage_trend_sql(
+        """SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                     AS tier,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                     AS finished
+           FROM orders""",
+        "tier",
+        "finished",
+        z_crit=1.959964,
+    )
+
+
+@register("cochran_armitage_orders", _cochran_armitage_sql())
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage trend test: does the share of FINISHED orders
+    trend across the ordered priority tiers 1-URGENT → 5-LOW
+    (operators/sketch.py::cochran_armitage_trend)? One dof spent on
+    the ordered alternative chi2 can't see. Five exact decimal
+    counters in ONE map-combinable keyless agg; T's sign names the
+    direction exactly, z rounds once."""
+    from pybabe_spark.operators.sketch import cochran_armitage_trend
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1)
+        .cast("int")
+        .alias("tier"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("finished"),
+    )
+    return cochran_armitage_trend(
+        orders, "tier", "finished", z_crit=1.959964
+    )
+
+
+def _bartlett_sql() -> str:
+    from pybabe_spark.operators.sketch import bartlett_test_sql
+
+    return bartlett_test_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+        crit=9.487729,
+    )
+
+
+@register("bartlett_orders", _bartlett_sql())
+def q_bartlett(spark, sf_dir):
+    """Bartlett's equal-variance test of order value across priorities
+    (operators/sketch.py::bartlett_test) — the pre-flight check
+    anova_orders_price assumes and brown_forsythe_orders
+    robustifies; read the three together. Exact cents moments per
+    group, per-term-rounded decimal summands (associative), one
+    fixed-shape finish (dof = 4, crit 9.488). One group agg + one
+    k-row agg."""
+    from pybabe_spark.operators.sketch import bartlett_test
+
+    orders = read_table(spark, sf_dir, "orders")
+    return bartlett_test(
+        orders, "o_orderpriority", "o_totalprice", crit=9.487729
+    )
+
+
+def _jarque_bera_sql() -> str:
+    from pybabe_spark.operators.sketch import jarque_bera_sql
+
+    return jarque_bera_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_totalprice",
+        by="o_orderpriority",
+        crit=5.991465,
+    )
+
+
+@register("jarque_bera_orders", _jarque_bera_sql())
+def q_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test of order value per priority
+    (operators/sketch.py::jarque_bera): skewness + excess kurtosis
+    from two-pass STANDARDIZED moments (exact cents moments → per-row
+    t = (x−μ)/σ → per-term-rounded t³/t⁴ decimal sums — the shape
+    that neither overflows DECIMAL(38) at petabyte rows nor cancels
+    catastrophically at 6-digit means), JB vs the χ²(2) critical.
+    The is-it-even-normal gate for every z-based verdict in the
+    module. Two map-combinable shuffles + a broadcast moments join."""
+    from pybabe_spark.operators.sketch import jarque_bera
+
+    orders = read_table(spark, sf_dir, "orders")
+    return jarque_bera(
+        orders, "o_totalprice", by="o_orderpriority", crit=5.991465
+    )
+
+
+def _theil_sql() -> str:
+    from pybabe_spark.operators.skew import theil_index_sql
+
+    return theil_index_sql("orders", "o_orderpriority", "o_totalprice")
+
+
+@register("theil_orders_priority", _theil_sql())
+def q_theil_index(spark, sf_dir):
+    """Theil-T inequality of order value per priority WITH the
+    between/within decomposition gini can't give
+    (operators/skew.py::theil_index): per-tier inequality, exact ppm
+    revenue share, and each tier's between-group contribution —
+    total corpus inequality is the k-row consumer-side sum. Entropy
+    discipline: per-term-rounded (c·x)·ln x over the (group, cents)
+    grain, exact decimals elsewhere. Two map-combinable shuffles."""
+    from pybabe_spark.operators.skew import theil_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    return theil_index(orders, "o_orderpriority", "o_totalprice")
+
+
+def _jonckheere_sql() -> str:
+    from pybabe_spark.operators.sketch import jonckheere_terpstra_sql
+
+    return jonckheere_terpstra_sql(
+        """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                     AS ship_year,
+                  l_quantity
+           FROM lineitem""",
+        "ship_year",
+        "l_quantity",
+        z_crit=1.959964,
+    )
+
+
+@register("jonckheere_lineitem", _jonckheere_sql())
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere–Terpstra ordered trend of line-item quantity across
+    ship YEARS (operators/sketch.py::jonckheere_terpstra): does
+    quantity drift monotonically over the 1995–2001 span — one dof on
+    the ordered alternative, doubled-integer JT over the dense
+    (50 quantities × 7 years) grid, exact Hollander–Wolfe tie sums,
+    once-rounded z. One corpus (year, quantity) hash agg; everything
+    else is grid-sized."""
+    from pybabe_spark.operators.sketch import jonckheere_terpstra
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        "l_quantity",
+    )
+    return jonckheere_terpstra(
+        li, "ship_year", "l_quantity", z_crit=1.959964
+    )
+
+
+def _pettitt_sql() -> str:
+    from pybabe_spark.operators.timeseries import pettitt_test_sql
+
+    return pettitt_test_sql(
+        "events", "event_type", "ts", "value",
+        bucket_seconds=86400, alpha_ppm=50_000,
+    )
+
+
+@register("pettitt_events", _pettitt_sql())
+def q_pettitt(spark, sf_dir):
+    """Pettitt changepoint per event type over daily value sums
+    (operators/timeseries.py::pettitt_test): WHERE does each series'
+    level shift — rank-based, no assumed break date (chow_break needs
+    one; this finds it). Exact integer U_t via the cumulative sign
+    identity over the bounded daily-bucket grain (T ≤ 31 ⇒ T² pairs
+    per key), first-argmax tiebreak, once-rounded p vs α=0.05. One
+    corpus bucket agg; the rest is grain-sized."""
+    from pybabe_spark.operators.timeseries import pettitt_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return pettitt_test(
+        ev, "event_type", "ts", "value",
+        bucket_seconds=86400, alpha_ppm=50_000,
+    )
+
+
+def _holt_sql() -> str:
+    from pybabe_spark.operators.timeseries import holt_linear_sql
+
+    return holt_linear_sql(
+        "events", "event_type", "ts", "value",
+        bucket_seconds=86400, horizon=3,
+    )
+
+
+@register("holt_linear_events", _holt_sql())
+def q_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoothing per event type over daily value
+    sums (operators/timeseries.py::holt_linear): final level + slope
+    and 1–3-day-ahead forecasts. α=β=½ BY DESIGN — the whole
+    recursion runs as exact DECIMAL(38,0) dyadic numerators over 4^t
+    (the ewma_smooth no-float-accumulation rationale made recursive),
+    folded over the sorted bucket array in Spark and replayed
+    digit-identically by a recursive HUGEINT CTE in DuckDB. One
+    corpus bucket agg + an O(T)-per-key fold."""
+    from pybabe_spark.operators.timeseries import holt_linear
+
+    ev = read_table(spark, sf_dir, "events")
+    return holt_linear(
+        ev, "event_type", "ts", "value",
+        bucket_seconds=86400, horizon=3,
+    )
+
+
+def _breusch_pagan_sql() -> str:
+    from pybabe_spark.operators.regression import breusch_pagan_sql
+
+    return breusch_pagan_sql(
+        "SELECT l_quantity, l_extendedprice FROM lineitem",
+        "l_quantity",
+        "l_extendedprice",
+        crit=3.841459,
+    )
+
+
+@register("breusch_pagan_lineitem", _breusch_pagan_sql())
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch–Pagan heteroscedasticity test on the price~quantity
+    fit (operators/regression.py::breusch_pagan): does residual
+    variance fan out with quantity — the does-the-OLS-SE-lie check
+    next to ols_lineitem_price_qty and durbin_watson's
+    autocorrelation view. Exact pass-1 moments, one-round squared
+    residuals, associative decimal aux moments, LM = n·R² vs χ²(1).
+    Two map-combinable corpus aggs + a 1-row attach."""
+    from pybabe_spark.operators.regression import breusch_pagan
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return breusch_pagan(
+        li, "l_quantity", "l_extendedprice", crit=3.841459
+    )

@@ -1850,3 +1850,60 @@ def q_hosmer_lemeshow(spark, sf_dir):
     return hosmer_lemeshow(
         frame, "score", "label", bins=10, chi2_crit=15.50731
     )
+
+
+def _eq_odds_sql():
+    from pybabe_spark.operators.classifier import equalized_odds_sql
+
+    frame = """
+        SELECT lang,
+               CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END
+                 AS label,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS kept
+        FROM documents
+    """
+    return equalized_odds_sql(
+        frame, "lang", "label", "kept", min_n=20, gap_ppm=100_000
+    )
+
+
+@register("equalized_odds_docs", _eq_odds_sql())
+def q_equalized_odds(spark, sf_dir):
+    """Equalized-odds report of the length filter across languages
+    (operators/classifier.py::equalized_odds): disparate_impact_docs
+    certifies equal keep RATES; this certifies equal keep ERRORS —
+    per-language TPR/FPR of the n_chars≥300 filter against the
+    contains-'spark' relevance label, gaps vs the best qualifying
+    language, 10-point violation flag. One group hash agg + a 1-row
+    extremes attach, all integer."""
+    from pybabe_spark.operators.classifier import equalized_odds
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("text").contains("spark").cast("int").alias("label"),
+        (F.col("n_chars") >= 300).cast("int").alias("kept"),
+    )
+    return equalized_odds(
+        docs, "lang", "label", "kept", min_n=20, gap_ppm=100_000
+    )
+
+
+def _winnow_sql():
+    from pybabe_spark.operators.dedup_scale import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents", "doc_id", "text", k=4, w=5)
+
+
+@register("winnow_fingerprints_docs", _winnow_sql())
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection per document
+    (operators/dedup_scale.py::winnow_fingerprints): rightmost-min of
+    each 5-window over word 4-gram md5 hashes — the LOCAL-overlap
+    guarantee (any shared 8-word run shares a fingerprint) that
+    global-Jaccard MinHash can't give; selected density ≈ 2/(w+1).
+    One narrow gram explode, one doc-partitioned double window, one
+    per-doc agg — linear, no joins, no all-pairs."""
+    from pybabe_spark.operators.dedup_scale import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)

@@ -49,6 +49,13 @@ _DELICATE = re.compile(
     # reliability/dispersion ppm, EMD, conformal ranks, covariance ppm
     r"|mann_kendall|gumbel|chow_break|cronbach|overdispersion"
     r"|wasserstein|hosmer|conformal|covariance_|acf_bucketed|gesd|nemenyi|winrate"
+    # r13 batch 2: median-split chi2, trend z, log-variance chi2
+    r"|mood_median|bartlett"
+    # r13 batch 3: standardized-moment JB, entropy-style Theil,
+    # doubled-rank JT, sign-U Pettitt, dyadic Holt, residual-square
+    # LM, ppm-rate equalized odds, winnowed density ppm
+    r"|jarque_bera|theil_|jonckheere|pettitt|holt_linear"
+    r"|breusch_pagan|equalized_odds|winnow_"
 )
 
 all_queries()

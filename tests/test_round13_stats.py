@@ -678,3 +678,434 @@ def test_pairwise_winrate_counts_and_sign_test(spark):
     ).collect()[0]
     assert allt["win_rate_ppm"] is None and allt["z"] is None
     assert allt["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# Mood's median / Cochran–Armitage / Bartlett (round-13 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_mood_median_matches_scipy_shape(spark):
+    """Two clearly shifted groups: chi2 matches the hand-computed
+    2x2 median-split table; the median is the lower order statistic."""
+    from pybabe_spark.operators.sketch import mood_median_test
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [11.0, 12.0, 13.0, 14.0, 15.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v double"
+    )
+    row = mood_median_test(df, "g", "v", crit=3.841459).collect()[0]
+    # n=10 → lower median = 5th smallest = 5.0; equal counts BELOW
+    assert row["n"] == 10
+    assert row["median"] == 5.0
+    assert row["dof"] == 1
+    # table: a → above 0 / not-above 5 ; b → above 5 / not-above 0
+    # chi2 = sum over 4 cells of (n*nab - r*c)^2 / (n*r*c) = 10
+    assert row["chi2_ppm"] == 10_000_000
+    assert row["significant"]
+
+
+def test_mood_median_identical_groups_flat(spark):
+    from pybabe_spark.operators.sketch import mood_median_test
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", v) for v in vals],
+        "g string, v double",
+    )
+    row = mood_median_test(df, "g", "v").collect()[0]
+    assert row["chi2_ppm"] == 0
+    assert not row["significant"]
+    assert row["median"] == 2.0  # lower median of 8 values
+
+
+def test_cochran_armitage_matches_python_model(spark):
+    """Monotone dose-response: z matches the closed form computed in
+    Python on the same exact counts."""
+    import math
+
+    from pybabe_spark.operators.sketch import cochran_armitage_trend
+
+    # tiers 1..4 with success counts 1/10, 3/10, 6/10, 9/10
+    rows = []
+    for tier, succ in [(1, 1), (2, 3), (3, 6), (4, 9)]:
+        rows += [(tier, 1)] * succ + [(tier, 0)] * (10 - succ)
+    df = spark.createDataFrame(rows, "s int, y int")
+    row = cochran_armitage_trend(df, "s", "y", z_crit=1.96).collect()[0]
+    n, r = 40, 19
+    ss = sum(s for s, _ in rows)
+    s2 = sum(s * s for s, _ in rows)
+    sy = sum(s for s, y in rows if y)
+    t = n * sy - r * ss
+    dens = r * (n - r) * (n * s2 - ss * ss)
+    z = t / math.sqrt(dens / n)
+    assert row["n"] == n and row["n_success"] == r
+    assert row["trend"] == "increasing"
+    assert abs(row["z"] - z) < 1e-6
+    assert row["significant"]
+
+
+def test_cochran_armitage_flat_and_degenerate(spark):
+    from pybabe_spark.operators.sketch import cochran_armitage_trend
+
+    flat = spark.createDataFrame(
+        [(s, y) for s in (1, 2, 3) for y in (0, 1)], "s int, y int"
+    )
+    row = cochran_armitage_trend(flat, "s", "y").collect()[0]
+    assert row["trend"] == "flat" and not row["significant"]
+    # all-success → dens = 0 → NULL z
+    allpos = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
+    row = cochran_armitage_trend(allpos, "s", "y").collect()[0]
+    assert row["z"] is None and not row["significant"]
+
+
+def test_bartlett_matches_scipy_formula(spark):
+    """Unequal variances across 3 groups: chi2 matches the textbook
+    formula computed in Python (within the per-term 1e-6 rounding)."""
+    import math
+
+    from pybabe_spark.operators.sketch import bartlett_test
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "c": [5.0, 5.1, 5.2, 5.3, 5.4],
+    }
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs],
+        "g string, v double",
+    )
+    row = bartlett_test(df, "g", "v", crit=5.991465).collect()[0]
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    # reference value computed over CENTS (the operator's lift)
+    svars = {
+        g: [v * 100 for v in vs] for g, vs in groups.items()
+    }
+    def var(vs):
+        m = sum(vs) / len(vs)
+        return sum((v - m) ** 2 for v in vs) / (len(vs) - 1)
+    sp2 = sum((len(v) - 1) * var(v) for v in svars.values()) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(var(v)) for v in svars.values()
+    )
+    c = 1 + (
+        sum(1 / (len(v) - 1) for v in svars.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["chi2"] - num / c) < 1e-3
+    assert row["significant"]
+
+
+def test_bartlett_gate_small_group_nulls(spark):
+    from pybabe_spark.operators.sketch import bartlett_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 7.0)], "g string, v double"
+    )
+    row = bartlett_test(df, "g", "v").collect()[0]
+    assert row["chi2"] is None and not row["significant"]
+    zerovar = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    row = bartlett_test(zerovar, "g", "v").collect()[0]
+    assert row["chi2"] is None and not row["significant"]
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 3: JB, Theil, Jonckheere, Pettitt, Holt, BP,
+# equalized odds, winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_matches_python_model(spark):
+    from pybabe_spark.operators.sketch import jarque_bera
+
+    skewed = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 4.0, 20.0]
+    flat = [5.0] * 6
+    df = spark.createDataFrame(
+        [("s", v) for v in skewed] + [("c", v) for v in flat],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r
+        for r in jarque_bera(df, "v", by="g", crit=5.991465).collect()
+    }
+    # python reference on cents
+    xs = [v * 100 for v in skewed]
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    sig = m2 ** 0.5
+    ts = [(x - mu) / sig for x in xs]
+    skew = sum(t ** 3 for t in ts) / n
+    kurt = sum(t ** 4 for t in ts) / n - 3
+    jb = n / 6 * (skew ** 2 + kurt ** 2 / 4)
+    r = rows["s"]
+    assert abs(r["skewness"] - skew) < 1e-4
+    assert abs(r["kurtosis_excess"] - kurt) < 1e-4
+    assert abs(r["jb"] - jb) < 1e-3
+    # constant group: sigma = 0 -> NULLs, not significant
+    c = rows["c"]
+    assert c["jb"] is None and not c["significant"]
+
+
+def test_theil_index_decomposition(spark):
+    import math
+
+    from pybabe_spark.operators.skew import theil_index
+
+    groups = {"a": [1.0, 1.0, 1.0], "b": [2.0, 4.0, 10.0]}
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs],
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in theil_index(df, "g", "v").collect()}
+    # perfectly even group -> zero within-inequality
+    assert abs(rows["a"]["theil_within"]) < 1e-9
+    # python reference (cents)
+    xs = [v * 100 for v in groups["b"]]
+    s, n = sum(xs), len(xs)
+    tb = sum(x / s * math.log(x * n / s) for x in xs)
+    assert abs(rows["b"]["theil_within"] - tb) < 1e-5
+    # decomposition reassembles the global Theil
+    allx = [v * 100 for vs in groups.values() for v in vs]
+    st, nt = sum(allx), len(allx)
+    t_total = sum(x / st * math.log(x * nt / st) for x in allx)
+    t_recomposed = sum(
+        (r["share_ppm"] / 1e6) * r["theil_within"] + r["between_term"]
+        for r in rows.values()
+    )
+    assert abs(t_recomposed - t_total) < 1e-3
+    # shares are exact ppm of the grand total
+    assert rows["a"]["share_ppm"] == (300 * 1_000_000) // (300 + 1600)
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    import math
+    from itertools import combinations
+
+    from pybabe_spark.operators.sketch import jonckheere_terpstra
+
+    data = {1: [1, 2, 2, 3], 2: [2, 3, 3, 4], 3: [3, 4, 5, 5]}
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, vs in data.items() for v in vs],
+        "g int, v double",
+    )
+    row = jonckheere_terpstra(df, "g", "v", z_crit=1.96).collect()[0]
+    # brute force doubled JT
+    jt2 = 0
+    for ga, gb in combinations(sorted(data), 2):
+        for x in data[ga]:
+            for y in data[gb]:
+                jt2 += 2 if y > x else (1 if y == x else 0)
+    assert row["jt2"] == jt2
+    # tie-corrected variance, python floats
+    from collections import Counter
+
+    pooled = Counter(v for vs in data.values() for v in vs)
+    us = [len(v) for v in data.values()]
+    n = sum(us)
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(t * (t - 1) * (2 * t + 5) for t in pooled.values())
+        - sum(u * (u - 1) * (2 * u + 5) for u in us)
+    )
+    t3 = sum(t * (t - 1) * (t - 2) for t in pooled.values())
+    u3 = sum(u * (u - 1) * (u - 2) for u in us)
+    t2 = sum(t * (t - 1) for t in pooled.values())
+    u2s = sum(u * (u - 1) for u in us)
+    var = (
+        a / 72
+        + t3 * u3 / (36 * n * (n - 1) * (n - 2))
+        + t2 * u2s / (8 * n * (n - 1))
+    )
+    mu2 = (n * n - sum(u * u for u in us)) / 2
+    z = (jt2 - mu2) / (2 * math.sqrt(var))
+    assert abs(row["z"] - z) < 1e-5
+    assert row["trend"] == "increasing"
+    assert row["n"] == n and row["k_groups"] == 3
+
+
+def test_pettitt_finds_step_change(spark):
+    from pybabe_spark.operators.timeseries import pettitt_test
+
+    # 10 quiet days then 10 loud days, single key
+    rows = [("k", d, 1.0 if d < 10 else 100.0) for d in range(20)]
+    df = _ts_series(spark, [(k, d, v) for k, d, v in rows])
+    out = pettitt_test(
+        df, "k", "ts", "v", bucket_seconds=86400, alpha_ppm=50_000
+    ).collect()[0]
+    # brute force U_t
+    vals = [1.0] * 10 + [100.0] * 10
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    umax, argmax = 0, None
+    for t in range(1, 20):
+        u = sum(
+            sgn(vals[j] - vals[i])
+            for i in range(t)
+            for j in range(t, 20)
+        )
+        if abs(u) > umax:
+            umax, argmax = abs(u), t
+    assert out["k_stat"] == umax == 100
+    # change bucket is day index argmax-1 (last bucket before change)
+    base_epoch = int(
+        __import__("datetime")
+        .datetime(2024, 1, 1)
+        .replace(tzinfo=__import__("datetime").timezone.utc)
+        .timestamp()
+    )
+    assert (out["change_epoch"] - base_epoch) // 86400 == argmax - 1
+    assert out["significant"] and out["p_value"] < 0.01
+
+
+def test_holt_linear_matches_float_recursion(spark):
+    from pybabe_spark.operators.timeseries import holt_linear
+
+    vals = [10.0, 12.0, 11.0, 15.0, 18.0, 17.0, 21.0]
+    df = _ts_series(spark, [("k", d, v) for d, v in enumerate(vals)])
+    out = holt_linear(
+        df, "k", "ts", "v", bucket_seconds=86400, horizon=3
+    ).collect()[0]
+    level, trend = vals[0], 0.0
+    for y in vals[1:]:
+        nl = (y + level + trend) / 2
+        trend = (nl - level + trend) / 2
+        level = nl
+    assert abs(out["level"] - level) < 1e-6
+    assert abs(out["trend"] - trend) < 1e-6
+    for h in (1, 2, 3):
+        assert abs(out[f"forecast_{h}"] - (level + h * trend)) < 1e-6
+    assert out["n"] == len(vals)
+
+
+def test_holt_linear_bucket_guard(spark):
+    import pytest as _pytest
+
+    from pybabe_spark.operators.timeseries import holt_linear
+
+    df = _ts_series(
+        spark, [("k", d, 1.0) for d in range(50)]
+    )
+    with _pytest.raises(Exception, match="holt_linear"):
+        holt_linear(
+            df, "k", "ts", "v", bucket_seconds=86400, max_buckets=45
+        ).collect()
+
+
+def test_breusch_pagan_detects_fanning(spark):
+    import random
+
+    from pybabe_spark.operators.regression import breusch_pagan
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        x = rng.uniform(1, 50)
+        # variance grows with x -> heteroscedastic
+        y = 3.0 * x + 10 + rng.gauss(0, 0.5 * x)
+        rows.append((round(x, 2), round(y, 2)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = breusch_pagan(df, "x", "y", crit=3.841459).collect()[0]
+    assert out["n"] == 400
+    assert abs(out["slope"] - 3.0) < 0.3
+    assert out["lm"] is not None and out["lm"] > 3.841459
+    assert out["significant"]
+    # homoscedastic twin: flat noise
+    rows2 = [
+        (round(rng.uniform(1, 50), 2), 0.0) for _ in range(300)
+    ]
+    rows2 = [(x, round(3 * x + 10 + rng.gauss(0, 2.0), 2)) for x, _ in rows2]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    out2 = breusch_pagan(df2, "x", "y").collect()[0]
+    assert out2["lm"] is not None and out2["lm"] < out["lm"]
+
+
+def test_equalized_odds_exact_ppm(spark):
+    from pybabe_spark.operators.classifier import equalized_odds
+
+    rows = []
+    # group a: TPR 30/40, FPR 10/60 ; group b: TPR 10/40, FPR 30/60
+    for g, tp, npos, fp, nneg in [
+        ("a", 30, 40, 10, 60),
+        ("b", 10, 40, 30, 60),
+        ("tiny", 1, 2, 1, 2),  # under min_n -> excluded
+    ]:
+        rows += [(g, 1, 1)] * tp + [(g, 1, 0)] * (npos - tp)
+        rows += [(g, 0, 1)] * fp + [(g, 0, 0)] * (nneg - fp)
+    df = spark.createDataFrame(rows, "g string, label int, pred int")
+    out = {
+        r["group"]: r
+        for r in equalized_odds(
+            df, "g", "label", "pred", min_n=20, gap_ppm=100_000
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"]["tpr_ppm"] == 750_000
+    assert out["a"]["fpr_ppm"] == 166_666
+    assert out["b"]["tpr_ppm"] == 250_000
+    assert out["b"]["fpr_ppm"] == 500_000
+    assert out["a"]["tpr_gap_ppm"] == 0
+    assert out["b"]["tpr_gap_ppm"] == 500_000
+    assert out["a"]["fpr_gap_ppm"] == 0
+    assert out["b"]["fpr_gap_ppm"] == 333_334
+    assert not out["a"]["violated"] and out["b"]["violated"]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    from pybabe_spark.operators.dedup_scale import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    d1 = "one two three " + shared + " four five six"
+    d2 = "seven eight nine ten " + shared + " eleven"
+    d3 = "totally different words with no overlap at all here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    # k=4, w=5: any shared run of w+k-1 = 8 words shares a fingerprint
+    out = winnow_fingerprints(df, "doc_id", "text", k=4, w=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert 1 <= r["n_fingerprints"] <= r["n_grams"]
+        assert r["density_ppm"] <= 1_000_000
+    # the guarantee needs the selected SETS; recompute them here
+    from pyspark.sql import functions as F  # noqa: F401
+    import hashlib
+
+    def fps(text, k=4, w=5):
+        ws = text.lower().split(" ")
+        grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        sel = set()
+        for s in range(0, len(hs) - w + 1):
+            window = hs[s:s + w]
+            m = min(window)
+            sel.add(s + max(i for i, h in enumerate(window) if h == m))
+        return {hs[p] for p in sel}
+
+    f1, f2, f3 = fps(d1), fps(d2), fps(d3)
+    assert f1 & f2, "shared 8-word run must share a fingerprint"
+    assert not (f1 & f3)
+    assert rows[1]["n_fingerprints"] == len(fps(d1))
+    assert rows[2]["n_fingerprints"] == len(fps(d2))
+
+
+def test_winnow_short_doc_density_one(spark):
+    from pybabe_spark.operators.dedup_scale import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "only two")], "doc_id long, text string"
+    )
+    r = winnow_fingerprints(df, "doc_id", "text", k=4, w=5).collect()[0]
+    assert r["n_grams"] == 1 and r["n_fingerprints"] == 1
+    assert r["density_ppm"] == 1_000_000
