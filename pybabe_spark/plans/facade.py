@@ -741,6 +741,87 @@ class Babe:
 
         return self._wrap(grubbs_test(self.df, value_col, by, **kwargs))
 
+    def mood_median_test(self, group_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import mood_median_test
+
+        return self._wrap(
+            mood_median_test(self.df, group_col, value_col, **kwargs)
+        )
+
+    def cochran_armitage_trend(
+        self, score_col, success_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.sketch import cochran_armitage_trend
+
+        return self._wrap(
+            cochran_armitage_trend(self.df, score_col, success_col, **kwargs)
+        )
+
+    def bartlett_test(self, group_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import bartlett_test
+
+        return self._wrap(
+            bartlett_test(self.df, group_col, value_col, **kwargs)
+        )
+
+    def jarque_bera(self, value_col, by=None, **kwargs) -> "Babe":
+        from pybabe_spark.operators.sketch import jarque_bera
+
+        return self._wrap(jarque_bera(self.df, value_col, by, **kwargs))
+
+    def jonckheere_terpstra(
+        self, group_score_col, value_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.sketch import jonckheere_terpstra
+
+        return self._wrap(
+            jonckheere_terpstra(
+                self.df, group_score_col, value_col, **kwargs
+            )
+        )
+
+    def theil_index(self, key_col, value_col) -> "Babe":
+        from pybabe_spark.operators.skew import theil_index
+
+        return self._wrap(theil_index(self.df, key_col, value_col))
+
+    def breusch_pagan(self, x_col, y_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.regression import breusch_pagan
+
+        return self._wrap(breusch_pagan(self.df, x_col, y_col, **kwargs))
+
+    def pettitt_test(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import pettitt_test
+
+        return self._wrap(
+            pettitt_test(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
+    def holt_linear(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import holt_linear
+
+        return self._wrap(
+            holt_linear(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
+    def equalized_odds(
+        self, group_col, label_col, pred_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.classifier import equalized_odds
+
+        return self._wrap(
+            equalized_odds(
+                self.df, group_col, label_col, pred_col, **kwargs
+            )
+        )
+
+    def winnow_fingerprints(self, id_col, text_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.dedup_scale import winnow_fingerprints
+
+        return self._wrap(
+            winnow_fingerprints(self.df, id_col, text_col, **kwargs)
+        )
+
     def runs_test(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import runs_test
 
