@@ -3408,6 +3408,12 @@ def _kw_enriched(
     pin consistently ~0.8 s SLOWER there (cache-write cost + the
     relation blocking AQE exchange reuse, so six branch jobs raced to
     build the same cache).
+
+    (r13 A/B, rejected: skipping the grain agg and running the RANGE
+    windows over raw __c = 1 rows is ~0.4 s SLOWER at sf0.1 — the
+    grain's exchange is the shared materialization point ReuseExchange
+    dedups across the stats/cell-total/window branches; without it
+    each branch re-scans the source.)
     """
     buckets = 1024
     ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -3498,19 +3504,21 @@ def _kw_core_rolled(df: DataFrame, group_col: str, value_col: str):
     (r12 paid three driver actions: the lazy_persist build, the tie
     collect, the per-group collect; this folds them into one job).
 
-    ``rollup(__g)`` over the enriched (value, group) grain returns one
-    row per group carrying (``__ng``, ``__rs2``) plus the grand-total
-    row (``__g`` NULL — impossible for a real group, NULL groups are
-    filtered at the grain) whose ``__ties`` column is the exact tie
-    mass: since ``Σ_g c_vg = n_v``, the per-row integer term
-    ``c·(n_v² − 1)`` sums over all rows to exactly
-    ``Σ_v (n_v³ − n_v)`` — no separate value-grain aggregate needed.
-    All terms are DECIMAL(38,0)-exact (n_v³ ≤ N³; N ≤ 10¹² keeps the
-    sum within 38 digits).
+    ``groupBy(__g)`` over the enriched (value, group) grain returns
+    one row per group carrying (``__ng``, ``__rs2``) and a per-group
+    tie PARTIAL in ``__ties``: since ``Σ_g c_vg = n_v``, the per-row
+    integer term ``c·(n_v² − 1)`` sums over ALL rows to exactly
+    ``Σ_v (n_v³ − n_v)`` — the caller adds the ≤k exact decimal group
+    partials driver-side, so no separate value-grain aggregate is
+    needed. (r13: this was ``rollup(__g)`` — the rollup's Expand
+    doubled the ~600k-row agg input to deliver one grand-total row
+    the driver can sum itself; ~0.4 s back at sf0.1.) All terms are
+    DECIMAL(38,0)-exact (n_v³ ≤ N³; N ≤ 10¹² keeps the sum within 38
+    digits).
     """
     _, enriched = _kw_enriched(df, group_col, value_col, persist=False)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    return enriched.rollup("__g").agg(
+    return enriched.groupBy("__g").agg(
         F.sum("__c").alias("__ng"),
         F.sum(d(F.col("__c")) * F.col("__r2"))
         .cast("decimal(38,0)")

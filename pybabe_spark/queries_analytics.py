@@ -1636,8 +1636,20 @@ def _supplier_canonical_edges(spark, sf_dir, mod: int = 63):
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # lazy_persist, NOT localCheckpoint: the checkpoint is a barrier —
+    # the owner pays a full extra materialization pass before its own
+    # wedge work can start (measured: owner 2.4 → 4.2-5.2 s at sf0.1),
+    # which is MORE than the build it was sharing. A cache fills
+    # DURING the owner's action (no extra job), and reusers read the
+    # blocks for free — owner stays at inline cost, reuser drops to
+    # wedge-only. coalesce(1) first: a ~7k-row table cached as 64
+    # blocks makes every consumer stage launch 64 tasks (AQE coalesces
+    # shuffle READS, not cached sources) — one block keeps the wedge
+    # stages 1-task until their own shuffles.
+    from pybabe_spark.operators._util import lazy_persist
+
+    e = lazy_persist(e.coalesce(1))
     per_session[key] = e
     return e
 
@@ -3919,12 +3931,13 @@ def _kw_core(spark, sf_dir):
     if hit is not None:
         return hit
     li = read_table(spark, sf_dir, "lineitem")
-    # ONE driver action: rollup(__g) carries the per-group rank sums
-    # on the group rows AND the exact tie mass on the grand-total row
-    # (r12 paid three jobs here — tie collect, per-group collect, and
-    # the lazy_persist build the first of them triggered; the fold was
-    # the r12 verdict's #1 bench ask). The collect is bounded: one row
-    # per return flag (3) + one total row. The core is rebuilt as
+    # ONE driver action: groupBy(__g) carries the per-group rank sums
+    # AND a per-group tie partial; the driver sums the ≤k partials for
+    # the exact global tie mass (r12 paid three jobs here — tie
+    # collect, per-group collect, and the lazy_persist build the first
+    # of them triggered; r13 also dropped the rollup Expand that
+    # doubled the agg input for the grand-total row). The collect is
+    # bounded: one row per return flag (3). The core is rebuilt as
     # driver-local DataFrames with the exact decimal schema preserved,
     # so memo hits cost zero cluster work.
     rolled = _kw_core_rolled(li, "l_returnflag", "l_extendedprice")
@@ -3934,18 +3947,14 @@ def _kw_core(spark, sf_dir):
         [fields["__g"], fields["__ng"], fields["__rs2"]]
     )
     ties_schema = T.StructType([fields["__ties"]])
-    pg_rows = [
-        (r["__g"], r["__ng"], r["__rs2"])
-        for r in rows
-        if r["__g"] is not None
+    pg_rows = [(r["__g"], r["__ng"], r["__rs2"]) for r in rows]
+    # empty grain yields zero group rows; the non-memo path's global
+    # agg still returns its 1-row zero — keep the paths identical
+    ties_rows = [
+        (
+            sum((r["__ties"] for r in rows), _decimal.Decimal(0)),
+        )
     ]
-    total = [r for r in rows if r["__g"] is None]
-    # rollup on an EMPTY grain yields zero rows (no grand total); the
-    # non-memo path's global agg still returns its 1-row zero — keep
-    # the two paths output-identical
-    ties_rows = (
-        [(total[0]["__ties"],)] if total else [(_decimal.Decimal(0),)]
-    )
     pg_local = spark.createDataFrame(pg_rows, schema=pg_schema)
     ties_local = spark.createDataFrame(ties_rows, schema=ties_schema)
     core = (pg_local, ties_local)
