@@ -1266,6 +1266,66 @@ def stress(
                 ),
                 top_n=100,
             ).count(),
+            # r13 batch-2 families ---------------------------------------
+            # gram explode ∝ corpus words (the only corpus-heavy map of
+            # the batch), doc-partitioned double window, per-doc agg —
+            # must track words linearly like tokenize
+            "winnow": lambda: __import__(
+                "pybabe_spark.operators.dedup_scale",
+                fromlist=["winnow_fingerprints"],
+            ).winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+            .count(),
+            # two map-combinable corpus aggs + a broadcast moments join;
+            # groups flat (lang) → everything ∝ rows
+            "jarque_bera": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["jarque_bera"],
+            ).jarque_bera(
+                docs.select(
+                    "lang", F.col("n_chars").cast("double").alias("v")
+                ),
+                "v", by="lang",
+            ).count(),
+            # cents grain bounded (n_chars domain flat) → the median
+            # reach window is FLAT; corpus work is the two hash aggs
+            "mood_median": lambda: __import__(
+                "pybabe_spark.operators.sketch",
+                fromlist=["mood_median_test"],
+            ).mood_median_test(
+                docs.select(
+                    "lang", F.col("n_chars").cast("double").alias("v")
+                ),
+                "lang", "v",
+            ).count(),
+            # two keyless corpus aggs with a 1-row attach between;
+            # residual-square map is narrow codegen
+            "breusch_pagan": lambda: __import__(
+                "pybabe_spark.operators.regression",
+                fromlist=["breusch_pagan"],
+            ).breusch_pagan(
+                docs.select(
+                    (F.col("doc_id") % 97).cast("double").alias("x"),
+                    F.col("n_chars").cast("double").alias("y"),
+                ),
+                "x", "y",
+            ).count(),
+            # bucket grain bounded (200 hourly buckets via doc_id mod
+            # carve) → the T² sign join is FLAT; corpus work is the
+            # bucket agg
+            "pettitt": lambda: __import__(
+                "pybabe_spark.operators.timeseries",
+                fromlist=["pettitt_test"],
+            ).pettitt_test(
+                docs.select(
+                    F.col("source").alias("k"),
+                    F.timestamp_micros(
+                        (F.col("doc_id") % 200).cast("bigint")
+                        * 3_600_000_000
+                    ).alias("ts"),
+                    F.col("n_chars").cast("double").alias("v"),
+                ),
+                "k", "ts", "v", bucket_seconds=3600,
+            ).count(),
         }
 
     # Warm pass: run every family once untimed so JIT/codegen/file-index

@@ -5203,3 +5203,355 @@ def holt_linear_sql(
            {fcasts}
     FROM fin
     """
+
+
+def pettitt_from_store(
+    spark,
+    store_path: str,
+    key_col: str = "k",
+    bucket_seconds: int = 3600,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Pettitt changepoint over a streaming-maintained bucket-sum
+    store (`streaming/ops.stream_bucket_sums`): partial cents sums
+    reaggregate exactly (bigint addition is associative), then the
+    SAME machinery as :func:`pettitt_test` — the fifth store-twin
+    family (bollinger, acf, runs, mann_kendall, pettitt), proven
+    output-identical to the batch operator over the full history.
+    ``bucket_seconds`` must match the stream's bucketing (it scales
+    the reported ``change_epoch``)."""
+    partials = spark.read.parquet(store_path)
+    b = partials.groupBy("k", "t").agg(F.sum("__s").alias("__v"))
+    return _pettitt_from_buckets(b, key_col, bucket_seconds, alpha_ppm)
+
+
+def holt_from_store(
+    spark,
+    store_path: str,
+    key_col: str = "k",
+    horizon: int = 3,
+    max_buckets: int = 45,
+) -> DataFrame:
+    """Holt linear smoothing over the bucket-sum store — the sixth
+    store-twin family: the store's (key, bucket) grain IS the
+    operator's series grain, so the exact dyadic fold reproduces the
+    batch ``level``/``trend``/forecasts digit-for-digit."""
+    partials = spark.read.parquet(store_path)
+    b = partials.groupBy("k", "t").agg(F.sum("__s").alias("__v"))
+    return _holt_from_buckets(b, key_col, horizon, max_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — worst peak-to-trough fall of the cumulative series
+# ---------------------------------------------------------------------------
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Maximum drawdown per key of the CUMULATIVE value curve — the
+    worst peak-to-trough fall, the risk number a running-total view
+    (:func:`~pybabe_spark.operators.window`-style) never surfaces:
+    two series can end at the same total with one having cratered
+    mid-month. One row per key:
+
+    ``(key, n, final, peak, max_drawdown, trough_epoch)``
+
+    — the curve's final level, its running peak, the deepest
+    ``peak − curve`` gap, and the epoch-second start of the FIRST
+    bucket attaining it (min-t tiebreak, stated).
+
+    Determinism: the curve is the running sum of exact cents bucket
+    SUMS (the :func:`runs_test` grain), the running peak a cumulative
+    max — all integers; the outputs divide by 100 once (exact 2-dp
+    doubles). A value column that is already a level (not a delta)
+    should be pre-differenced upstream — the cumulative-of-deltas
+    contract is stated, not guessed.
+
+    Scale shape: one corpus bucket agg, one key-partitioned ordered
+    window (two running aggregates in one pass), one key agg with a
+    max_by tiebreak. Bucket grain bounded by span/bucket_seconds.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("max_drawdown: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur = b.withColumn("__c", F.sum("__v").over(w)).withColumn(
+        "__p", F.max("__c").over(w)
+    )
+    dd = cur.withColumn("__dd", F.col("__p") - F.col("__c"))
+    # deterministic argmax: max of (dd, −t) picks the deepest gap and
+    # the FIRST bucket attaining it on ties
+    best = F.max(
+        F.struct(F.col("__dd"), (-F.col("t")).alias("__negt"))
+    )
+    agg = dd.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("__c").alias("__peakc"),
+        F.max_by("__c", "t").alias("__finalc"),
+        best.alias("__best"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n",
+        (F.col("__finalc").cast("double") / 100).alias("final"),
+        (F.col("__peakc").cast("double") / 100).alias("peak"),
+        (F.col("__best.__dd").cast("double") / 100).alias(
+            "max_drawdown"
+        ),
+        (-F.col("__best.__negt") * int(bucket_seconds))
+        .cast("bigint")
+        .alias("trough_epoch"),
+    )
+
+
+def max_drawdown_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+) -> str:
+    """DuckDB oracle of :func:`max_drawdown` — same bucket grain,
+    running sums/peaks, (dd, −t) argmax tiebreak."""
+    bus = int(bucket_seconds) * 1_000_000
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cur AS (
+        SELECT k, t,
+               SUM(v) OVER (PARTITION BY k ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM b
+    ),
+    dd AS (
+        SELECT k, t, c,
+               MAX(c) OVER (PARTITION BY k ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) - c AS dd
+        FROM cur
+    ),
+    agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(c) AS peakc,
+               MAX_BY(c, t) AS finalc,
+               MAX(struct_pack(dd := dd, negt := -t)) AS best
+        FROM dd GROUP BY k
+    )
+    SELECT k AS {key_col}, n,
+           CAST(finalc AS DOUBLE) / 100 AS final,
+           CAST(peakc AS DOUBLE) / 100 AS peak,
+           CAST(best.dd AS DOUBLE) / 100 AS max_drawdown,
+           CAST(-best.negt * {int(bucket_seconds)} AS BIGINT)
+             AS trough_epoch
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dickey–Fuller stationarity test — unit root vs mean reversion
+# ---------------------------------------------------------------------------
+
+def dickey_fuller(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    tau_crit: float = -2.86,
+) -> DataFrame:
+    """Dickey–Fuller unit-root test per key over the bucketed series
+    (constant, no-trend variant, lag 0 — documented): does the series
+    MEAN-REVERT (τ well below 0 ⇒ stationary) or wander (unit root)?
+    The decision that says whether :func:`mann_kendall`'s "trend" is a
+    drifting random walk or a real level shift, and whether z-score
+    anomaly gates on the LEVEL are even meaningful. One row per key:
+    ``(key, n, beta, tau, stationary)`` from the regression
+    ``Δx_t = α + β·x_{t−1} + ε``:
+
+        τ = β̂ / SE(β̂),  stationary ⟺ τ < tau_crit  (−2.86 ≈ 5%)
+
+    Determinism: the series is exact cents bucket sums; the lag pairs
+    come from one ordered window; all five regression moments
+    accumulate as exact DECIMAL(38,0); β̂, RSS (via the centered
+    identity) and τ are ONE fixed-shape IEEE expression each, rounded
+    once to DECIMAL(18,6); ``stationary`` compares the rounded τ.
+    NULL τ when n < 4 or a degenerate denominator (constant series).
+
+    Scale shape: one corpus bucket agg, one key-partitioned lag
+    window over the bounded bucket grain, one map-combinable key agg.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("dickey_fuller: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    wl = Window.partitionBy("k").orderBy("t")
+    pairs = (
+        b.withColumn("__z", F.lag("__v").over(wl))
+        .filter(F.col("__z").isNotNull())
+        .select(
+            "k",
+            F.col("__z"),
+            (F.col("__v") - F.col("__z")).alias("__y"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(d(F.col("__z"))).cast("decimal(38,0)").alias("__sz"),
+        F.sum(d(F.col("__y"))).cast("decimal(38,0)").alias("__sy"),
+        F.sum(d(F.col("__z")) * F.col("__y"))
+        .cast("decimal(38,0)")
+        .alias("__szy"),
+        F.sum(d(F.col("__z")) * F.col("__z"))
+        .cast("decimal(38,0)")
+        .alias("__szz"),
+        F.sum(d(F.col("__y")) * F.col("__y"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    nd = F.col("__n").cast("double")
+    szz_c = (
+        d(F.col("__n") * F.col("__szz") - F.col("__sz") * F.col("__sz"))
+    ).cast("double")
+    syy_c = (
+        d(F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    ).cast("double")
+    szy_c = (
+        d(F.col("__n") * F.col("__szy") - F.col("__sz") * F.col("__sy"))
+    ).cast("double")
+    beta = _sdiv(szy_c, szz_c)
+    # centered identities: szz_c = n·Σ(z−z̄)² and
+    # rss_c = syy_c − szy_c²/szz_c = n·RSS, so
+    # SE²(β) = (RSS/(n−2))/Σ(z−z̄)² = rss_c/((n−2)·szz_c)
+    # (numerically cross-checked against a direct OLS fit)
+    rss_c = syy_c - _sdiv(szy_c * szy_c, szz_c)
+    tau = _sdiv(
+        beta,
+        F.sqrt(_sdiv(rss_c, (nd - 2.0) * szz_c)),
+    )
+    out6 = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okt = (F.col("__n") >= 3) & (szz_c != 0.0) & (rss_c > 0.0)
+    tau6 = F.when(okt, out6(tau))
+    return agg.select(
+        F.col("k").alias(key_col),
+        (F.col("__n").cast("bigint") + 1).alias("n"),
+        F.when(szz_c != 0.0, out6(beta)).alias("beta"),
+        tau6.alias("tau"),
+        F.coalesce(tau6 < float(tau_crit), F.lit(False)).alias(
+            "stationary"
+        ),
+    )
+
+
+def dickey_fuller_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    tau_crit: float = -2.86,
+) -> str:
+    """DuckDB oracle of :func:`dickey_fuller` — same bucket grain, lag
+    pairs, exact moments, fixed-shape β/τ, once-rounded decisions."""
+    bus = int(bucket_seconds) * 1_000_000
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    szz = "CAST(n * szz - sz * sz AS DOUBLE)"
+    syy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    szy = "CAST(n * szy - sz * sy AS DOUBLE)"
+    beta = f"(({szy}) / (CASE WHEN ({szz}) != 0.0 THEN ({szz}) END))"
+    rss = (
+        f"(({syy}) - (({szy}) * ({szy}))"
+        f" / (CASE WHEN ({szz}) != 0.0 THEN ({szz}) END))"
+    )
+    se = (
+        f"sqrt(({rss})"
+        f" / (CASE WHEN (CAST(n AS DOUBLE) - 2.0) * ({szz}) != 0.0"
+        f" THEN (CAST(n AS DOUBLE) - 2.0) * ({szz}) END))"
+    )
+    tau = f"(({beta}) / (CASE WHEN {se} != 0.0 THEN {se} END))"
+    okt = f"n >= 3 AND ({szz}) != 0.0 AND ({rss}) > 0.0"
+    tau6 = f"CASE WHEN {okt} THEN {r6(tau)} END"
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT k, z, v - z AS y
+        FROM (
+            SELECT k, v,
+                   LAG(v) OVER (PARTITION BY k ORDER BY t) AS z
+            FROM b
+        )
+        WHERE z IS NOT NULL
+    ),
+    agg AS (
+        SELECT k, COUNT(*)::HUGEINT AS n,
+               SUM(CAST(z AS HUGEINT))::HUGEINT AS sz,
+               SUM(CAST(y AS HUGEINT))::HUGEINT AS sy,
+               SUM(CAST(z AS HUGEINT) * y)::HUGEINT AS szy,
+               SUM(CAST(z AS HUGEINT) * z)::HUGEINT AS szz,
+               SUM(CAST(y AS HUGEINT) * y)::HUGEINT AS syy
+        FROM pairs GROUP BY k
+    )
+    SELECT k AS {key_col},
+           CAST(n AS BIGINT) + 1 AS n,
+           CASE WHEN ({szz}) != 0.0 THEN {r6(beta)} END AS beta,
+           {tau6} AS tau,
+           COALESCE(({tau6}) < {float(tau_crit)}, FALSE) AS stationary
+    FROM agg
+    """

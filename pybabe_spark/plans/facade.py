@@ -790,6 +790,20 @@ class Babe:
 
         return self._wrap(breusch_pagan(self.df, x_col, y_col, **kwargs))
 
+    def max_drawdown(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import max_drawdown
+
+        return self._wrap(
+            max_drawdown(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
+    def dickey_fuller(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
+        from pybabe_spark.operators.timeseries import dickey_fuller
+
+        return self._wrap(
+            dickey_fuller(self.df, key_col, ts_col, value_col, **kwargs)
+        )
+
     def pettitt_test(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import pettitt_test
 

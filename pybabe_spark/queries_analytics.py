@@ -5929,3 +5929,54 @@ def q_breusch_pagan(spark, sf_dir):
     return breusch_pagan(
         li, "l_quantity", "l_extendedprice", crit=3.841459
     )
+
+
+def _max_drawdown_sql() -> str:
+    from pybabe_spark.operators.timeseries import max_drawdown_sql
+
+    return max_drawdown_sql(
+        "events", "event_type", "ts", "value", bucket_seconds=86400
+    )
+
+
+@register("max_drawdown_events", _max_drawdown_sql())
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per event type of the cumulative daily value
+    curve (operators/timeseries.py::max_drawdown): the worst
+    peak-to-trough fall — the mid-month-crater risk readout a running
+    total hides. Exact integer curve/peak/gap over the daily bucket
+    grain, deterministic (dd, −t) argmax, one window pass + one key
+    agg."""
+    from pybabe_spark.operators.timeseries import max_drawdown
+
+    ev = read_table(spark, sf_dir, "events")
+    return max_drawdown(
+        ev, "event_type", "ts", "value", bucket_seconds=86400
+    )
+
+
+def _dickey_fuller_sql() -> str:
+    from pybabe_spark.operators.timeseries import dickey_fuller_sql
+
+    return dickey_fuller_sql(
+        "events", "event_type", "ts", "value",
+        bucket_seconds=86400, tau_crit=-2.86,
+    )
+
+
+@register("dickey_fuller_events", _dickey_fuller_sql())
+def q_dickey_fuller(spark, sf_dir):
+    """Dickey–Fuller unit-root test per event type over daily value
+    sums (operators/timeseries.py::dickey_fuller, constant/no-trend,
+    lag 0): mean-reverting or random walk — the check that says
+    whether mann_kendall's trend is drift and whether level z-gates
+    mean anything. Exact decimal lag-pair moments, fixed-shape β/τ
+    (cross-checked vs direct OLS), τ vs −2.86. One bucket agg + one
+    lag window + one map-combinable key agg."""
+    from pybabe_spark.operators.timeseries import dickey_fuller
+
+    ev = read_table(spark, sf_dir, "events")
+    return dickey_fuller(
+        ev, "event_type", "ts", "value",
+        bucket_seconds=86400, tau_crit=-2.86,
+    )

@@ -56,6 +56,8 @@ _DELICATE = re.compile(
     # LM, ppm-rate equalized odds, winnowed density ppm
     r"|jarque_bera|theil_|jonckheere|pettitt|holt_linear"
     r"|breusch_pagan|equalized_odds|winnow_"
+    # r13 batch 4: cumulative-curve drawdown epochs, DF tau
+    r"|max_drawdown|dickey_fuller"
 )
 
 all_queries()

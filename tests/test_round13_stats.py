@@ -1109,3 +1109,71 @@ def test_winnow_short_doc_density_one(spark):
     r = winnow_fingerprints(df, "doc_id", "text", k=4, w=5).collect()[0]
     assert r["n_grams"] == 1 and r["n_fingerprints"] == 1
     assert r["density_ppm"] == 1_000_000
+
+
+def test_max_drawdown_hand_case(spark):
+    from pybabe_spark.operators.timeseries import max_drawdown
+
+    # daily deltas: +10 +5 -12 -3 +20 → curve 10 15 3 0 20, peak 15
+    # until the climb, MDD = 15 − 0 = 15 at day 3
+    vals = [10.0, 5.0, -12.0, -3.0, 20.0]
+    df = _ts_series(spark, [("k", d, v) for d, v in enumerate(vals)])
+    r = max_drawdown(df, "k", "ts", "v", bucket_seconds=86400).collect()[0]
+    assert r["n"] == 5
+    assert r["final"] == 20.0 and r["peak"] == 20.0
+    assert r["max_drawdown"] == 15.0
+    import datetime as dt
+
+    base = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert (r["trough_epoch"] - base) // 86400 == 3
+    # monotone climb → zero drawdown
+    up = _ts_series(spark, [("k", d, 1.0) for d in range(4)])
+    r2 = max_drawdown(up, "k", "ts", "v").collect()[0]
+    assert r2["max_drawdown"] == 0.0
+
+
+def test_dickey_fuller_stationary_vs_walk(spark):
+    import math
+    import random
+
+    from pybabe_spark.operators.timeseries import dickey_fuller
+
+    rng = random.Random(5)
+    # strongly mean-reverting AR(1) vs a pure random walk
+    ar = [100.0]
+    for _ in range(29):
+        ar.append(round(50 + 0.3 * ar[-1] + rng.gauss(0, 2), 2))
+    walk = [100.0]
+    for _ in range(29):
+        walk.append(round(walk[-1] + rng.gauss(0, 5), 2))
+    rows = [("ar", d, v) for d, v in enumerate(ar)] + [
+        ("walk", d, v) for d, v in enumerate(walk)
+    ]
+    out = {
+        r["k"]: r
+        for r in dickey_fuller(
+            _ts_series(spark, rows), "k", "ts", "v", 86400, -2.86
+        ).collect()
+    }
+    assert out["ar"]["stationary"] and out["ar"]["tau"] < -2.86
+    assert not out["walk"]["stationary"]
+    # closed-form cross-check on the AR series (cents, like the op)
+    x = [v * 100 for v in ar]
+    z = x[:-1]
+    y = [b - a for a, b in zip(x[:-1], x[1:])]
+    n = len(z)
+    sz, sy = sum(z), sum(y)
+    szz_c = n * sum(a * a for a in z) - sz * sz
+    syy_c = n * sum(a * a for a in y) - sy * sy
+    szy_c = n * sum(a * b for a, b in zip(z, y)) - sz * sy
+    beta = szy_c / szz_c
+    rss_c = syy_c - szy_c ** 2 / szz_c
+    tau = beta / math.sqrt(rss_c / ((n - 2) * szz_c))
+    assert abs(out["ar"]["tau"] - tau) < 1e-4
+    assert abs(out["ar"]["beta"] - beta) < 1e-6
+    # constant series → NULL tau, not stationary
+    flat = _ts_series(spark, [("c", d, 7.0) for d in range(6)])
+    rc = dickey_fuller(flat, "k", "ts", "v").collect()[0]
+    assert rc["tau"] is None and not rc["stationary"]

@@ -1071,3 +1071,125 @@ def test_stream_bucket_sums_mann_kendall_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) == 2
+
+
+def test_stream_bucket_sums_pettitt_matches_batch(spark, tmp_path):
+    """Fifth store-twin family: pettitt_from_store == batch
+    pettitt_test over the union of micro-batched files — exact
+    equality on K, the change bucket, p and the verdict (both paths
+    share _pettitt_from_buckets; the step in the data makes the
+    changepoint real, not degenerate)."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        pettitt_from_store,
+        pettitt_test,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                f"k{i % 2}",
+                base + dt.timedelta(hours=(i % 12) + b * 4, minutes=i % 13),
+                # level shift in the later hours -> a real changepoint
+                (5.0 if ((i % 12) + b * 4) < 8 else 80.0) + (i % 3),
+            )
+            for i in range(36)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in pettitt_from_store(
+            spark, store, key_col="g", bucket_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pettitt_test(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == want and len(want) == 2
+    assert all(r[2] > 0 for r in want)  # K > 0: a real shift
+
+
+def test_stream_bucket_sums_holt_matches_batch(spark, tmp_path):
+    """Sixth store-twin family: holt_from_store == batch holt_linear
+    over the union — the exact dyadic fold gives DIGIT-identical
+    level/trend/forecasts from the store's reaggregated partials."""
+    import datetime as dt
+    import os
+
+    from pybabe_spark.operators.timeseries import (
+        holt_from_store,
+        holt_linear,
+    )
+    from pybabe_spark.streaming.ops import stream_bucket_sums
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = []
+    for b in range(3):
+        rows = [
+            (
+                f"k{i % 2}",
+                base + dt.timedelta(hours=(i % 10) + b * 3, minutes=i % 7),
+                float((i * 13 + b * 11) % 50) + 0.25,
+            )
+            for i in range(30)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sums")
+    q = stream_bucket_sums(
+        stream, "g", "ts", "v", store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in holt_from_store(spark, store, key_col="g").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in holt_linear(
+            spark.createDataFrame(
+                all_rows, "g string, ts timestamp, v double"
+            ),
+            "g", "ts", "v", bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == want and len(want) == 2
