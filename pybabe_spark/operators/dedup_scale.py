@@ -1174,14 +1174,22 @@ def winnow_fingerprints(
         .rowsBetween(Window.currentRow, w - 1)
     )
     cnt_w = Window.partitionBy("__id")
+    # rightmost-min per window as ONE window MIN over an encoded
+    # ordinal: ord = h31·2³¹ + (2³¹−1−p) — min ord ⟺ min 31-bit
+    # folded hash, ties to the LARGEST position. (A per-frame-row
+    # `h == wmin` comparison is wrong — each frame row evaluates its
+    # OWN wmin, caught by the shared-run test; and the fold to 31
+    # bits keeps the ordinal inside BIGINT. Selection order is the
+    # folded hash BY CONTRACT — mirrored by the oracle and the test
+    # model; the reported fingerprint stays the full 60-bit hash.)
+    shift = 2_147_483_648
     marked = (
-        grams.withColumn("__wmin", F.min("__h").over(fwd))
-        .withColumn(
-            "__wpick",
-            F.max(
-                F.when(F.col("__h") == F.col("__wmin"), F.col("__p"))
-            ).over(fwd),
+        grams.withColumn(
+            "__ord",
+            (F.col("__h") % F.lit(2_147_483_647)) * shift
+            + (F.lit(shift - 1) - F.col("__p")),
         )
+        .withColumn("__pickord", F.min("__ord").over(fwd))
         .withColumn("__cnt", F.count(F.lit(1)).over(cnt_w))
     )
     # only FULL windows select (starts 0..L−w): the truncated tail
@@ -1192,7 +1200,12 @@ def winnow_fingerprints(
         | ((F.col("__cnt") < w) & (F.col("__p") == 0))
     )
     picked = (
-        full.select("__id", F.col("__wpick").alias("__p"))
+        full.select(
+            "__id",
+            (
+                F.lit(shift - 1) - (F.col("__pickord") % shift)
+            ).alias("__p"),
+        )
         .distinct()
         .join(
             grams.select("__id", "__p", "__h"), ["__id", "__p"]
@@ -1258,21 +1271,16 @@ def winnow_fingerprints_sql(
         FROM grams
     ),
     picked_pos AS (
-        SELECT DISTINCT id, wpick AS p
+        SELECT DISTINCT id, 2147483647 - (pickord % 2147483648) AS p
         FROM (
-            SELECT id, p, cnt,
-                   MAX(CASE WHEN h = wmin THEN p END)
+            SELECT id, p,
+                   MIN((h % 2147483647) * 2147483648
+                       + (2147483647 - p))
                      OVER (PARTITION BY id ORDER BY p
                            ROWS BETWEEN CURRENT ROW
-                           AND {w - 1} FOLLOWING) AS wpick
-            FROM (
-                SELECT id, p, h,
-                       MIN(h) OVER (PARTITION BY id ORDER BY p
-                                    ROWS BETWEEN CURRENT ROW
-                                    AND {w - 1} FOLLOWING) AS wmin,
-                       COUNT(*) OVER (PARTITION BY id) AS cnt
-                FROM hashed
-            )
+                           AND {w - 1} FOLLOWING) AS pickord,
+                   COUNT(*) OVER (PARTITION BY id) AS cnt
+            FROM hashed
         )
         WHERE p <= cnt - {w} OR (cnt < {w} AND p = 0)
     ),

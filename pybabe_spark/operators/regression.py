@@ -442,6 +442,7 @@ def breusch_pagan(
     x_col: str,
     y_col: str,
     crit: float = 3.841459,
+    resid_unit: float = 10_000.0,
 ) -> DataFrame:
     """Breusch–Pagan heteroscedasticity test on the :func:`ols` fit —
     does the residual VARIANCE move with x? The check that decides
@@ -457,10 +458,13 @@ def breusch_pagan(
     moments; slope/intercept reach pass 2 as the fixed-shape IEEE
     ratios of those exact decimals (deterministic — same numerator,
     same denominator, same division, both engines). Pass 2 computes
-    each row's squared residual in units of 10⁴·y (R² — hence LM —
-    is invariant to the rescale; it keeps the term inside
-    DECIMAL(18,6)'s 12 integer digits), rounds it ONCE to
-    DECIMAL(18,6) — after which every aux moment (Σz, Σz², Σxz, with
+    each row's squared residual in units of ``resid_unit``·y (R² —
+    hence LM — is invariant to the rescale): pick it near the typical
+    residual so the one-round DECIMAL(18,6) term neither overflows
+    its 12 integer digits (big-money fits, the 10⁴ default) nor
+    quantizes to zero (cents-scale residuals want 1.0 — the gate a
+    zero-variance z then reports is honest NULL, not noise); the term
+    rounds ONCE to DECIMAL(18,6) — after which every aux moment (Σz, Σz², Σxz, with
     x in exact cents) is pure associative decimal arithmetic,
     order-independent and engine-identical; products round to
     DECIMAL(38,6) (both engines half-up, non-negative). The LM finish
@@ -523,7 +527,7 @@ def breusch_pagan(
         F.col("__y").cast("double")
         - F.col("__slope") * F.col("__x").cast("double")
         - F.col("__icpt")
-    ) / 1000000.0
+    ) / (100.0 * float(resid_unit))
     zr = (e * e).cast("decimal(18,6)")
     xd = F.col("__x").cast("decimal(18,0)")
     m2 = j.agg(
@@ -585,6 +589,7 @@ def breusch_pagan_sql(
     x_col: str,
     y_col: str,
     crit: float = 3.841459,
+    resid_unit: float = 10_000.0,
 ) -> str:
     """DuckDB oracle of :func:`breusch_pagan` — same exact pass-1
     moments, same fixed-shape slope/intercept ratios, same one-round
@@ -644,10 +649,10 @@ def breusch_pagan_sql(
         LATERAL (SELECT CAST(
             (((CAST(base.y AS DOUBLE)
                - m1b.slope * CAST(base.x AS DOUBLE) - m1b.icpt)
-              / 1000000.0)
+              / {100.0 * float(resid_unit)})
              * ((CAST(base.y AS DOUBLE)
                - m1b.slope * CAST(base.x AS DOUBLE) - m1b.icpt)
-              / 1000000.0)) AS DECIMAL(18,6)) AS zr) z
+              / {100.0 * float(resid_unit)})) AS DECIMAL(18,6)) AS zr) z
     ),
     fin AS (
         SELECT n, slope, icpt,

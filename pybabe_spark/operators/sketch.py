@@ -8157,3 +8157,179 @@ def jonckheere_terpstra_sql(
            COALESCE(abs({z}) > {float(z_crit)}, FALSE) AS significant
     FROM one
     """
+
+
+# ---------------------------------------------------------------------------
+# Price indices — Laspeyres / Paasche / Fisher between two periods
+# ---------------------------------------------------------------------------
+
+def price_index(
+    df: DataFrame,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    period_col: str,
+    base_period,
+    curr_period,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between two periods
+    over transaction rows — "did PRICES move, or did the MIX move?"
+    Revenue-per-unit comparisons conflate the two; the index pair
+    separates them (L weights by base-period quantities, P by
+    current, Fisher is their geometric mean). ONE output row:
+    ``(n_items, laspeyres, paasche, fisher)`` over the MATCHED sample
+    (items transacting in BOTH periods — the standard matched-model
+    contract, stated; entering/exiting items need a hedonic story no
+    index formula gives for free).
+
+    Per-item period prices are unit values ``p = Σ price / Σ qty``
+    (the transaction-data convention). Determinism: price lifts to
+    exact cents and qty to exact micro-units per (item, period); each
+    of the four basket terms (p₁q₀, p₀q₀, p₁q₁, p₀q₁ — exact-rational
+    per item) rounds ONCE to DECIMAL(28,6) before its associative
+    decimal sum; the three indices are fixed-shape IEEE ratios
+    rounded once to DECIMAL(18,6). Items with zero qty in either
+    period drop (their unit value is undefined).
+
+    Scale shape: one map-combinable (item, period) hash agg — the
+    only corpus-scale shuffle — then one item-grain agg. The 100 TB
+    plan is the partial-agg plan.
+    """
+    from pybabe_spark.operators.sketch import _sdiv  # self, for clarity
+
+    ok = (
+        F.col(item_col).isNotNull()
+        & F.col(price_col).isNotNull()
+        & F.col(qty_col).isNotNull()
+        & F.col(period_col).isin(base_period, curr_period)
+    )
+    cents = (F.col(price_col).cast("decimal(18,2)") * 100).cast("bigint")
+    micro = (F.col(qty_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    is_base = F.col(period_col) == base_period
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        df.filter(ok)
+        .select(
+            F.col(item_col).alias("__i"),
+            is_base.alias("__b"),
+            cents.alias("__p"),
+            micro.alias("__q"),
+        )
+        .groupBy("__i")
+        .agg(
+            F.sum(F.when(F.col("__b"), d(F.col("__p")))).alias("__p0"),
+            F.sum(F.when(F.col("__b"), d(F.col("__q")))).alias("__q0"),
+            F.sum(F.when(~F.col("__b"), d(F.col("__p")))).alias("__p1"),
+            F.sum(F.when(~F.col("__b"), d(F.col("__q")))).alias("__q1"),
+        )
+        .filter(
+            (F.col("__q0") > 0) & (F.col("__q1") > 0)
+        )
+    )
+    # exact-rational basket terms, one round each to DECIMAL(28,6):
+    # p1*q0 = (P1/Q1)*Q0 etc — micro/cents scales cancel in the RATIO,
+    # so the terms stay in (cents·micro/micro) = cents units
+    term = lambda pnum, qden, qw: (  # noqa: E731
+        (
+            F.col(pnum).cast("double")
+            / F.col(qden).cast("double")
+            * F.col(qw).cast("double")
+        ).cast("decimal(28,6)")
+    )
+    terms = g.select(
+        term("__p1", "__q1", "__q0").alias("__l_num"),
+        term("__p0", "__q0", "__q0").alias("__l_den"),
+        term("__p1", "__q1", "__q1").alias("__p_num"),
+        term("__p0", "__q0", "__q1").alias("__p_den"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__l_num").cast("decimal(38,6)").alias("__ln"),
+        F.sum("__l_den").cast("decimal(38,6)").alias("__ld"),
+        F.sum("__p_num").cast("decimal(38,6)").alias("__pn"),
+        F.sum("__p_den").cast("decimal(38,6)").alias("__pd"),
+    )
+    out6 = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    lasp = _sdiv(
+        F.col("__ln").cast("double"), F.col("__ld").cast("double")
+    )
+    paas = _sdiv(
+        F.col("__pn").cast("double"), F.col("__pd").cast("double")
+    )
+    return agg.select(
+        "n_items",
+        F.when(F.col("n_items") > 0, out6(lasp)).alias("laspeyres"),
+        F.when(F.col("n_items") > 0, out6(paas)).alias("paasche"),
+        F.when(
+            F.col("n_items") > 0, out6(F.sqrt(lasp * paas))
+        ).alias("fisher"),
+    )
+
+
+def price_index_sql(
+    table: str,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    period_col: str,
+    base_period_sql: str,
+    curr_period_sql: str,
+) -> str:
+    """DuckDB oracle of :func:`price_index` — same matched sample,
+    unit values, per-term-rounded basket sums, fixed-shape ratios.
+    Period literals are passed as SQL snippets (quote strings)."""
+    cents = f"CAST(CAST({price_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    micro = f"CAST(CAST({qty_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    t = lambda p, qd, qw: (  # noqa: E731
+        f"CAST(CAST({p} AS DOUBLE) / CAST({qd} AS DOUBLE)"
+        f" * CAST({qw} AS DOUBLE) AS DECIMAL(28,6))"
+    )
+    gu = lambda e: f"(CASE WHEN {e} != 0.0 THEN {e} END)"  # noqa: E731
+    lasp = f"(CAST(ln_ AS DOUBLE) / {gu('CAST(ld_ AS DOUBLE)')})"
+    paas = f"(CAST(pn_ AS DOUBLE) / {gu('CAST(pd_ AS DOUBLE)')})"
+    return f"""
+    WITH g AS (
+        SELECT {item_col} AS i,
+               SUM(CASE WHEN {period_col} = {base_period_sql}
+                   THEN CAST({cents} AS HUGEINT) END) AS p0,
+               SUM(CASE WHEN {period_col} = {base_period_sql}
+                   THEN CAST({micro} AS HUGEINT) END) AS q0,
+               SUM(CASE WHEN {period_col} = {curr_period_sql}
+                   THEN CAST({cents} AS HUGEINT) END) AS p1,
+               SUM(CASE WHEN {period_col} = {curr_period_sql}
+                   THEN CAST({micro} AS HUGEINT) END) AS q1
+        FROM {table}
+        WHERE {item_col} IS NOT NULL AND {price_col} IS NOT NULL
+          AND {qty_col} IS NOT NULL
+          AND {period_col} IN ({base_period_sql}, {curr_period_sql})
+        GROUP BY {item_col}
+        HAVING SUM(CASE WHEN {period_col} = {base_period_sql}
+                   THEN CAST({micro} AS HUGEINT) END) > 0
+           AND SUM(CASE WHEN {period_col} = {curr_period_sql}
+                   THEN CAST({micro} AS HUGEINT) END) > 0
+    ),
+    terms AS (
+        SELECT {t('p1', 'q1', 'q0')} AS l_num,
+               {t('p0', 'q0', 'q0')} AS l_den,
+               {t('p1', 'q1', 'q1')} AS p_num,
+               {t('p0', 'q0', 'q1')} AS p_den
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(CAST(l_num AS DECIMAL(38,6))) AS ln_,
+               SUM(CAST(l_den AS DECIMAL(38,6))) AS ld_,
+               SUM(CAST(p_num AS DECIMAL(38,6))) AS pn_,
+               SUM(CAST(p_den AS DECIMAL(38,6))) AS pd_
+        FROM terms
+    )
+    SELECT n_items,
+           CASE WHEN n_items > 0 THEN {r6(lasp)} END AS laspeyres,
+           CASE WHEN n_items > 0 THEN {r6(paas)} END AS paasche,
+           CASE WHEN n_items > 0
+                THEN {r6(f'sqrt(({lasp}) * ({paas}))')} END AS fisher
+    FROM agg
+    """

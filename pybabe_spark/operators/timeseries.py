@@ -5555,3 +5555,215 @@ def dickey_fuller_sql(
            COALESCE(({tau6}) < {float(tau_crit)}, FALSE) AS stationary
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag 1) — does x's past improve y's forecast?
+# ---------------------------------------------------------------------------
+
+def granger_causality(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    bucket_seconds: int = 86400,
+    f_crit: float = 4.21,
+) -> DataFrame:
+    """Granger causality test per key at lag 1: does yesterday's
+    ``x`` improve today's ``y`` forecast beyond yesterday's ``y``
+    alone? The directional upgrade of :func:`ccf`'s symmetric
+    correlation — "click volume LEADS purchase revenue" is an
+    actionable claim; "they correlate" is not. One row per key:
+    ``(key, n, f_stat, b_x, causal)`` comparing
+
+        restricted:    y_t = a + b·y_{t−1}
+        unrestricted:  y_t = a + b·y_{t−1} + c·x_{t−1}
+
+        F = (RSS_r − RSS_u)·(n−3) / RSS_u   vs   f_crit (F(1, n−3))
+
+    Determinism: both series are exact cents bucket sums on the
+    shared (key, bucket) grain (a bucket missing either series drops
+    — the complete-pairs contract, stated); one lag window yields the
+    regressor pair; the five centered second-moment identities
+    accumulate as exact DECIMAL(38,0) (n-scaled — the scale cancels
+    in F); the two-regressor solve, both RSS and F are fixed-shape
+    IEEE expressions rounded once to DECIMAL(18,6); ``causal``
+    compares the rounded F. NULL F when n < 5 or a degenerate
+    moment matrix (D ≤ 0 or RSS_u ≤ 0); ``b_x`` is the unrestricted
+    x-coefficient (sign = direction of the lead).
+
+    Scale shape: one corpus bucket agg (two conditional sums), one
+    key-partitioned lag window over the bounded bucket grain, one
+    map-combinable key agg. The 100 TB work is the first agg.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("granger_causality: bucket_seconds must be > 0")
+    bus = int(bucket_seconds) * 1_000_000
+    cents = lambda c: (  # noqa: E731
+        (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            cents(x_col).alias("__x"),
+            cents(y_col).alias("__y"),
+        )
+        .groupBy("k", "t")
+        .agg(
+            F.sum("__x").alias("__xs"), F.sum("__y").alias("__ys")
+        )
+    )
+    wl = Window.partitionBy("k").orderBy("t")
+    p = (
+        b.withColumn("__u", F.lag("__ys").over(wl))
+        .withColumn("__v", F.lag("__xs").over(wl))
+        .filter(F.col("__u").isNotNull())
+        .select("k", F.col("__ys").alias("__w"), "__u", "__v")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = p.groupBy("k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        *[
+            F.sum(d(F.col(a))).cast("decimal(38,0)").alias(f"__s{a[2]}")
+            for a in ("__u", "__v", "__w")
+        ],
+        *[
+            F.sum(d(F.col(a)) * F.col(bcol))
+            .cast("decimal(38,0)")
+            .alias(f"__s{a[2]}{bcol[2]}")
+            for a, bcol in [
+                ("__u", "__u"),
+                ("__v", "__v"),
+                ("__w", "__w"),
+                ("__u", "__v"),
+                ("__u", "__w"),
+                ("__v", "__w"),
+            ]
+        ],
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    nn = F.col("__n")
+    cmom = lambda sab, sa, sb: (  # noqa: E731
+        d(nn * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+    )
+    suu = cmom("__suu", "__su", "__su")
+    svv = cmom("__svv", "__sv", "__sv")
+    sww = cmom("__sww", "__sw", "__sw")
+    suv = cmom("__suv", "__su", "__sv")
+    suw = cmom("__suw", "__su", "__sw")
+    svw = cmom("__svw", "__sv", "__sw")
+    det = suu * svv - suv * suv
+    b_u = _sdiv(svv * suw - suv * svw, det)
+    b_v = _sdiv(suu * svw - suv * suw, det)
+    rss_u = sww - (b_u * suw + b_v * svw)
+    rss_r = sww - _sdiv(suw * suw, suu)
+    nd = nn.cast("double")
+    f_raw = _sdiv((rss_r - rss_u) * (nd - 3.0), rss_u)
+    out6 = lambda e: e.cast("decimal(18,6)").cast("double")  # noqa: E731
+    okf = (
+        (nn >= 4)
+        & (det > 0.0)
+        & (rss_u > 0.0)
+        & (suu != 0.0)
+    )
+    f6 = F.when(okf, out6(f_raw))
+    return agg.select(
+        F.col("k").alias(key_col),
+        (nn.cast("bigint") + 1).alias("n"),
+        f6.alias("f_stat"),
+        F.when(okf, out6(b_v)).alias("b_x"),
+        F.coalesce(f6 > float(f_crit), F.lit(False)).alias("causal"),
+    )
+
+
+def granger_causality_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    bucket_seconds: int = 86400,
+    f_crit: float = 4.21,
+) -> str:
+    """DuckDB oracle of :func:`granger_causality` — same shared
+    bucket grain, lag pairs, exact n-scaled moments, fixed-shape
+    two-regressor solve and F."""
+    bus = int(bucket_seconds) * 1_000_000
+    cents = lambda c: (  # noqa: E731
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    r6 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    cm = lambda sab, sa, sb: (  # noqa: E731
+        f"CAST(n * {sab} - {sa} * {sb} AS DOUBLE)"
+    )
+    suu, svv, sww = cm("suu", "su", "su"), cm("svv", "sv", "sv"), cm(
+        "sww", "sw", "sw"
+    )
+    suv, suw, svw = cm("suv", "su", "sv"), cm("suw", "su", "sw"), cm(
+        "svw", "sv", "sw"
+    )
+    det = f"(({suu}) * ({svv}) - ({suv}) * ({suv}))"
+    g = lambda e: f"(CASE WHEN {e} != 0.0 THEN {e} END)"  # noqa: E731
+    b_u = f"((({svv}) * ({suw}) - ({suv}) * ({svw})) / {g(det)})"
+    b_v = f"((({suu}) * ({svw}) - ({suv}) * ({suw})) / {g(det)})"
+    rss_u = f"(({sww}) - (({b_u}) * ({suw}) + ({b_v}) * ({svw})))"
+    rss_r = f"(({sww}) - (({suw}) * ({suw})) / {g(suu)})"
+    f_raw = (
+        f"(((({rss_r}) - ({rss_u})) * (CAST(n AS DOUBLE) - 3.0))"
+        f" / {g(rss_u)})"
+    )
+    okf = (
+        f"n >= 4 AND ({det}) > 0.0 AND ({rss_u}) > 0.0"
+        f" AND ({suu}) != 0.0"
+    )
+    f6 = f"CASE WHEN {okf} THEN {r6(f_raw)} END"
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM({cents(x_col)}) AS xs,
+               SUM({cents(y_col)}) AS ys
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT k, ys AS w, u, v
+        FROM (
+            SELECT k, ys,
+                   LAG(ys) OVER (PARTITION BY k ORDER BY t) AS u,
+                   LAG(xs) OVER (PARTITION BY k ORDER BY t) AS v
+            FROM b
+        )
+        WHERE u IS NOT NULL
+    ),
+    agg AS (
+        SELECT k, COUNT(*)::HUGEINT AS n,
+               SUM(CAST(u AS HUGEINT))::HUGEINT AS su,
+               SUM(CAST(v AS HUGEINT))::HUGEINT AS sv,
+               SUM(CAST(w AS HUGEINT))::HUGEINT AS sw,
+               SUM(CAST(u AS HUGEINT) * u)::HUGEINT AS suu,
+               SUM(CAST(v AS HUGEINT) * v)::HUGEINT AS svv,
+               SUM(CAST(w AS HUGEINT) * w)::HUGEINT AS sww,
+               SUM(CAST(u AS HUGEINT) * v)::HUGEINT AS suv,
+               SUM(CAST(u AS HUGEINT) * w)::HUGEINT AS suw,
+               SUM(CAST(v AS HUGEINT) * w)::HUGEINT AS svw
+        FROM p GROUP BY k
+    )
+    SELECT k AS {key_col},
+           CAST(n AS BIGINT) + 1 AS n,
+           {f6} AS f_stat,
+           CASE WHEN {okf} THEN {r6(b_v)} END AS b_x,
+           COALESCE(({f6}) > {float(f_crit)}, FALSE) AS causal
+    FROM agg
+    """

@@ -790,6 +790,30 @@ class Babe:
 
         return self._wrap(breusch_pagan(self.df, x_col, y_col, **kwargs))
 
+    def granger_causality(
+        self, key_col, ts_col, x_col, y_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.timeseries import granger_causality
+
+        return self._wrap(
+            granger_causality(
+                self.df, key_col, ts_col, x_col, y_col, **kwargs
+            )
+        )
+
+    def price_index(
+        self, item_col, price_col, qty_col, period_col,
+        base_period, curr_period,
+    ) -> "Babe":
+        from pybabe_spark.operators.sketch import price_index
+
+        return self._wrap(
+            price_index(
+                self.df, item_col, price_col, qty_col, period_col,
+                base_period, curr_period,
+            )
+        )
+
     def max_drawdown(self, key_col, ts_col, value_col, **kwargs) -> "Babe":
         from pybabe_spark.operators.timeseries import max_drawdown
 

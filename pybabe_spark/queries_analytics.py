@@ -5980,3 +5980,109 @@ def q_dickey_fuller(spark, sf_dir):
         ev, "event_type", "ts", "value",
         bucket_seconds=86400, tau_crit=-2.86,
     )
+
+
+_GRANGER_FRAME_SQL = """
+    SELECT 'events' AS series, ts,
+           CASE WHEN event_type = 'click' THEN value ELSE 0 END
+             AS click_value,
+           CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+             AS purchase_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def _granger_sql() -> str:
+    from pybabe_spark.operators.timeseries import granger_causality_sql
+
+    return granger_causality_sql(
+        f"({_GRANGER_FRAME_SQL})",
+        "series",
+        "ts",
+        "click_value",
+        "purchase_value",
+        bucket_seconds=86400,
+        f_crit=4.21,
+    )
+
+
+@register("granger_click_purchase", _granger_sql())
+def q_granger(spark, sf_dir):
+    """Granger causality at lag 1: does yesterday's CLICK value lead
+    today's PURCHASE revenue beyond purchase's own yesterday
+    (operators/timeseries.py::granger_causality)? The directional
+    upgrade of ccf_activity_purchases' symmetric view — restricted
+    vs unrestricted lag regression, exact n-scaled decimal moments,
+    fixed-shape two-regressor solve, F(1, n−3) vs 4.21. One bucket
+    agg + one lag window + one key agg."""
+    from pybabe_spark.operators.timeseries import granger_causality
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    frame = ev.select(
+        F.lit("events").alias("series"),
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("click_value"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("purchase_value"),
+    )
+    return granger_causality(
+        frame,
+        "series",
+        "ts",
+        "click_value",
+        "purchase_value",
+        bucket_seconds=86400,
+        f_crit=4.21,
+    )
+
+
+def _price_index_sql() -> str:
+    from pybabe_spark.operators.sketch import price_index_sql
+
+    return price_index_sql(
+        """(SELECT l_partkey,
+                   l_extendedprice,
+                   l_quantity,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                     AS ship_year
+            FROM lineitem)""",
+        "l_partkey",
+        "l_extendedprice",
+        "l_quantity",
+        "ship_year",
+        "1995",
+        "1996",
+    )
+
+
+@register("price_index_lineitem", _price_index_sql())
+def q_price_index(spark, sf_dir):
+    """Laspeyres/Paasche/Fisher price indices 1995 → 1996 over the
+    matched part sample (operators/sketch.py::price_index): did unit
+    prices move, or did the product mix — the decomposition a raw
+    revenue-per-unit comparison conflates. Exact cents/micro unit
+    values, per-term-rounded DECIMAL(28,6) basket sums, fixed-shape
+    ratios. One (part, year) hash agg + one part-grain agg."""
+    from pybabe_spark.operators.sketch import price_index
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_quantity",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    )
+    return price_index(
+        li,
+        "l_partkey",
+        "l_extendedprice",
+        "l_quantity",
+        "ship_year",
+        1995,
+        1996,
+    )

@@ -58,6 +58,8 @@ _DELICATE = re.compile(
     r"|breusch_pagan|equalized_odds|winnow_"
     # r13 batch 4: cumulative-curve drawdown epochs, DF tau
     r"|max_drawdown|dickey_fuller"
+    # r13 batch 5: two-regressor F, per-term basket indices
+    r"|granger|price_index"
 )
 
 all_queries()

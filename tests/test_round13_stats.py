@@ -1012,7 +1012,9 @@ def test_breusch_pagan_detects_fanning(spark):
         y = 3.0 * x + 10 + rng.gauss(0, 0.5 * x)
         rows.append((round(x, 2), round(y, 2)))
     df = spark.createDataFrame(rows, "x double, y double")
-    out = breusch_pagan(df, "x", "y", crit=3.841459).collect()[0]
+    out = breusch_pagan(
+        df, "x", "y", crit=3.841459, resid_unit=1.0
+    ).collect()[0]
     assert out["n"] == 400
     assert abs(out["slope"] - 3.0) < 0.3
     assert out["lm"] is not None and out["lm"] > 3.841459
@@ -1023,7 +1025,7 @@ def test_breusch_pagan_detects_fanning(spark):
     ]
     rows2 = [(x, round(3 * x + 10 + rng.gauss(0, 2.0), 2)) for x, _ in rows2]
     df2 = spark.createDataFrame(rows2, "x double, y double")
-    out2 = breusch_pagan(df2, "x", "y").collect()[0]
+    out2 = breusch_pagan(df2, "x", "y", resid_unit=1.0).collect()[0]
     assert out2["lm"] is not None and out2["lm"] < out["lm"]
 
 
@@ -1086,9 +1088,12 @@ def test_winnow_shared_run_guarantee(spark):
             int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
             for g in grams
         ]
+        # the operator's SELECTION order is the 31-bit folded hash
+        # (documented contract); the fingerprint stays the full hash
+        f31 = [h % 2147483647 for h in hs]
         sel = set()
         for s in range(0, len(hs) - w + 1):
-            window = hs[s:s + w]
+            window = f31[s:s + w]
             m = min(window)
             sel.add(s + max(i for i, h in enumerate(window) if h == m))
         return {hs[p] for p in sel}
@@ -1177,3 +1182,115 @@ def test_dickey_fuller_stationary_vs_walk(spark):
     flat = _ts_series(spark, [("c", d, 7.0) for d in range(6)])
     rc = dickey_fuller(flat, "k", "ts", "v").collect()[0]
     assert rc["tau"] is None and not rc["stationary"]
+
+
+def test_granger_causality_detects_lead(spark):
+    import random
+
+    from pybabe_spark.operators.timeseries import granger_causality
+
+    rng = random.Random(11)
+    # x leads y by one day strongly; z series is independent noise
+    x = [round(50 + rng.gauss(0, 10), 2) for _ in range(30)]
+    y = [0.0] * 30
+    for t in range(1, 30):
+        y[t] = round(5 + 0.8 * x[t - 1] + rng.gauss(0, 1), 2)
+    rows = []
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    for t in range(30):
+        rows.append(("led", base + dt.timedelta(days=t), x[t], y[t]))
+        rows.append(
+            (
+                "noise",
+                base + dt.timedelta(days=t),
+                round(rng.gauss(50, 10), 2),
+                round(rng.gauss(50, 10), 2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, x double, y double"
+    )
+    out = {
+        r["k"]: r
+        for r in granger_causality(
+            df, "k", "ts", "x", "y", bucket_seconds=86400, f_crit=4.21
+        ).collect()
+    }
+    assert out["led"]["causal"] and out["led"]["f_stat"] > 4.21
+    assert out["led"]["b_x"] > 0.5
+    assert not out["noise"]["causal"]
+
+
+def test_granger_matches_python_two_regressor_ols(spark):
+    import math
+
+    from pybabe_spark.operators.timeseries import granger_causality
+
+    vals = [(10, 20), (12, 25), (9, 22), (15, 30), (14, 28),
+            (11, 26), (16, 33), (13, 29)]
+    rows = [
+        ("k", d, float(a), float(b)) for d, (a, b) in enumerate(vals)
+    ]
+    df = _ts_series_xy(spark, rows)
+    r = granger_causality(
+        df, "k", "ts", "x", "y", bucket_seconds=86400
+    ).collect()[0]
+    # python reference on cents
+    xs = [a * 100 for a, _ in vals]
+    ys = [b * 100 for _, b in vals]
+    u = ys[:-1]          # y lag
+    v = xs[:-1]          # x lag
+    w = ys[1:]           # y current
+    n = len(w)
+    m = lambda a: sum(a) / n  # noqa: E731
+    c = lambda a, b: sum(
+        (p - m(a)) * (q - m(b)) for p, q in zip(a, b)
+    )  # noqa: E731
+    suu, svv, sww = c(u, u), c(v, v), c(w, w)
+    suv, suw, svw = c(u, v), c(u, w), c(v, w)
+    det = suu * svv - suv * suv
+    b_u = (svv * suw - suv * svw) / det
+    b_v = (suu * svw - suv * suw) / det
+    rss_u = sww - (b_u * suw + b_v * svw)
+    rss_r = sww - suw * suw / suu
+    f = (rss_r - rss_u) * (n - 3) / rss_u
+    assert r["n"] == n + 1
+    assert abs(r["f_stat"] - f) < 1e-3
+    assert abs(r["b_x"] - b_v) < 1e-6
+
+
+def _ts_series_xy(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(days=d), x, y)
+            for k, d, x, y in rows
+        ],
+        "k string, ts timestamp, x double, y double",
+    )
+
+
+def test_price_index_hand_basket(spark):
+    from pybabe_spark.operators.sketch import price_index
+
+    # item A: price 10->12 (L weight q0=5), item B: 20->18 (q0=2)
+    # unit values exact; item C only in base period -> dropped
+    rows = [
+        ("A", 1, 10.0, 1.0), ("A", 1, 40.0, 4.0),   # p0=10, q0=5
+        ("A", 2, 36.0, 3.0),                        # p1=12
+        ("B", 1, 40.0, 2.0),                        # p0=20, q0=2
+        ("B", 2, 18.0, 1.0),                        # p1=18
+        ("C", 1, 5.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "i string, per int, p double, q double")
+    r = price_index(df, "i", "p", "q", "per", 1, 2).collect()[0]
+    assert r["n_items"] == 2
+    lasp = (12 * 5 + 18 * 2) / (10 * 5 + 20 * 2)
+    paas = (12 * 3 + 18 * 1) / (10 * 3 + 20 * 1)
+    assert abs(r["laspeyres"] - lasp) < 1e-6
+    assert abs(r["paasche"] - paas) < 1e-6
+    assert abs(r["fisher"] - (lasp * paas) ** 0.5) < 1e-6
