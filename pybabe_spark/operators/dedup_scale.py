@@ -1104,7 +1104,10 @@ def winnow_fingerprints(
     shared run of ``w + k − 1`` words between two documents shares at
     least one selected fingerprint — the right primitive for
     PLAGIARISM-STYLE local overlap, where :func:`minhash_signatures`
-    (global Jaccard) goes blind. One row per document:
+    (global Jaccard) goes blind. Selection ORDER is the 31-bit folded
+    hash (``h mod 2³¹−1`` — it packs the rightmost-min pick into one
+    BIGINT window ordinal); the reported fingerprint is the full
+    60-bit hash. One row per document:
 
     ``(id, n_grams, n_fingerprints, density_ppm, fingerprint_min)``
 
