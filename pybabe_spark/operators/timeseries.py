@@ -5767,3 +5767,160 @@ def granger_causality_sql(
            COALESCE(({f6}) > {float(f_crit)}, FALSE) AS causal
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Turning-points test — local-extrema randomness check
+# ---------------------------------------------------------------------------
+
+def turning_points_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Kendall's turning-points test per key over the bucketed series
+    — counts local peaks/troughs against the i.i.d. expectation
+    ``E[T] = 2(n−2)/3``, ``Var = (16n−29)/90``. Too FEW turns =
+    trend/persistence, too many = alternation/over-correction — the
+    third randomness lens next to :func:`runs_test` (level runs) and
+    :func:`acf` (linear correlation); turning points see monotone
+    nonlinear structure both can miss. One row per key:
+    ``(key, n, turning_points, z, significant)``.
+
+    Determinism: exact cents bucket sums on unique bucket indices; a
+    bucket is a turning point iff its value is strictly greater than
+    both neighbors or strictly less than both (ties break NEITHER way
+    — a plateau contributes no turn, the documented convention); the
+    count is an exact integer from one lag/lead window, z is one
+    fixed-shape IEEE expression rounded once, ``significant``
+    compares the rounded z. NULL z when n < 4.
+
+    Scale shape: one corpus bucket agg, one key-partitioned
+    lag/lead window over the bounded bucket grain, one map-combinable
+    key agg.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            "turning_points_test: bucket_seconds must be > 0"
+        )
+    bus = int(bucket_seconds) * 1_000_000
+    b = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.expr(f"unix_micros({ts_col}) div {bus}").alias("t"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("__x"),
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("__x").alias("__v"))
+    )
+    w = Window.partitionBy("k").orderBy("t")
+    m = (
+        b.withColumn("__pr", F.lag("__v").over(w))
+        .withColumn("__nx", F.lead("__v").over(w))
+        .withColumn(
+            "__turn",
+            F.when(
+                F.col("__pr").isNotNull()
+                & F.col("__nx").isNotNull()
+                & (
+                    (
+                        (F.col("__v") > F.col("__pr"))
+                        & (F.col("__v") > F.col("__nx"))
+                    )
+                    | (
+                        (F.col("__v") < F.col("__pr"))
+                        & (F.col("__v") < F.col("__nx"))
+                    )
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    agg = m.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__turn").cast("bigint").alias("turning_points"),
+    )
+    from pybabe_spark.operators.sketch import _sdiv
+
+    nd = F.col("n").cast("double")
+    mu = 2.0 * (nd - 2.0) / 3.0
+    z6 = _sdiv(
+        F.col("turning_points").cast("double") - mu,
+        F.sqrt((16.0 * nd - 29.0) / 90.0),
+    ).cast("decimal(18,6)")
+    okz = F.col("n") >= 4
+    z = F.when(okz, z6.cast("double"))
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n",
+        "turning_points",
+        z.alias("z"),
+        F.coalesce(
+            F.when(okz, F.abs(z6.cast("double")) > float(z_crit)),
+            F.lit(False),
+        ).alias("significant"),
+    )
+
+
+def turning_points_test_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    z_crit: float = 1.959964,
+) -> str:
+    """DuckDB oracle of :func:`turning_points_test` — same bucket
+    grain, strict-extremum convention, once-rounded z."""
+    bus = int(bucket_seconds) * 1_000_000
+    z6 = (
+        "CAST((CAST(tp AS DOUBLE)"
+        " - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)"
+        " / (CASE WHEN sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"
+        " != 0.0 THEN sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)"
+        " END) AS DECIMAL(18,6))"
+    )
+    zz = f"CASE WHEN n >= 4 THEN CAST({z6} AS DOUBLE) END"
+    return f"""
+    WITH b AS (
+        SELECT {key_col} AS k,
+               epoch_us({ts_col}) // {bus} AS t,
+               SUM(CAST(CAST({value_col} AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS v
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT k,
+               CASE WHEN pr IS NOT NULL AND nx IS NOT NULL
+                     AND ((v > pr AND v > nx) OR (v < pr AND v < nx))
+                    THEN 1 ELSE 0 END AS turn
+        FROM (
+            SELECT k, v,
+                   LAG(v) OVER (PARTITION BY k ORDER BY t) AS pr,
+                   LEAD(v) OVER (PARTITION BY k ORDER BY t) AS nx
+            FROM b
+        )
+    ),
+    agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(turn) AS BIGINT) AS tp
+        FROM m GROUP BY k
+    )
+    SELECT k AS {key_col}, n, tp AS turning_points,
+           {zz} AS z,
+           COALESCE(abs({zz}) > {float(z_crit)}, FALSE) AS significant
+    FROM agg
+    """

@@ -790,6 +790,17 @@ class Babe:
 
         return self._wrap(breusch_pagan(self.df, x_col, y_col, **kwargs))
 
+    def turning_points_test(
+        self, key_col, ts_col, value_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.timeseries import turning_points_test
+
+        return self._wrap(
+            turning_points_test(
+                self.df, key_col, ts_col, value_col, **kwargs
+            )
+        )
+
     def granger_causality(
         self, key_col, ts_col, x_col, y_col, **kwargs
     ) -> "Babe":

@@ -6086,3 +6086,28 @@ def q_price_index(spark, sf_dir):
         1995,
         1996,
     )
+
+
+def _turning_points_sql() -> str:
+    from pybabe_spark.operators.timeseries import turning_points_test_sql
+
+    return turning_points_test_sql(
+        "events", "event_type", "ts", "value", bucket_seconds=86400
+    )
+
+
+@register("turning_points_events", _turning_points_sql())
+def q_turning_points(spark, sf_dir):
+    """Kendall turning-points randomness test per event type over
+    daily value sums (operators/timeseries.py::turning_points_test):
+    local peaks+troughs vs the i.i.d. 2(n−2)/3 expectation — the
+    nonlinear third lens next to runs_test (level runs) and acf
+    (linear). Exact integer turn count via one lag/lead window on
+    the bucket grain, strict-extremum plateau convention, one
+    fixed-shape z."""
+    from pybabe_spark.operators.timeseries import turning_points_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return turning_points_test(
+        ev, "event_type", "ts", "value", bucket_seconds=86400
+    )

@@ -1294,3 +1294,31 @@ def test_price_index_hand_basket(spark):
     assert abs(r["laspeyres"] - lasp) < 1e-6
     assert abs(r["paasche"] - paas) < 1e-6
     assert abs(r["fisher"] - (lasp * paas) ** 0.5) < 1e-6
+
+
+def test_turning_points_extremes_and_plateau(spark):
+    from pybabe_spark.operators.timeseries import turning_points_test
+
+    # perfect alternation: every interior bucket is a turn
+    alt = [("alt", d, 10.0 if d % 2 == 0 else 1.0) for d in range(10)]
+    # monotone: zero turns; plateau in the middle contributes none
+    mono = [("mono", d, float(d)) for d in range(10)]
+    plat = [("plat", d, [1, 2, 2, 2, 3, 4][d]) for d in range(6)]
+    df = _ts_series(spark, alt + mono + [(k, d, float(v)) for k, d, v in plat])
+    out = {
+        r["k"]: r
+        for r in turning_points_test(
+            df, "k", "ts", "v", 86400, 1.96
+        ).collect()
+    }
+    assert out["alt"]["turning_points"] == 8
+    assert out["alt"]["significant"] and out["alt"]["z"] > 1.96
+    assert out["mono"]["turning_points"] == 0
+    assert out["mono"]["significant"] and out["mono"]["z"] < -1.96
+    assert out["plat"]["turning_points"] == 0
+    # python expectation check for the alternating key
+    import math
+
+    n = 10
+    z = (8 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert abs(out["alt"]["z"] - z) < 1e-6
