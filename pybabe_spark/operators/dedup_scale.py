@@ -1138,10 +1138,10 @@ def winnow_fingerprints(
         raise ValueError("winnow_fingerprints: w must be >= 2")
     from pyspark.sql import Window
 
-    ws = f"split(__norm, ' ', -1)"
-    gram_join = ", ' ', ".join(
-        f"element_at({ws}, i + {j})" for j in range(k)
-    )
+    # materialize the split ONCE per row: referencing
+    # split(__norm, ...) inside the transform lambda re-evaluates the
+    # split per element_at — O(words²) per doc (measured 19 s on 500
+    # docs in the stress family); a column reference evaluates once
     grams = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -1150,12 +1150,13 @@ def winnow_fingerprints(
                 F.trim(F.regexp_replace(F.col(text_col), " +", " "))
             ).alias("__norm"),
         )
+        .withColumn("__ws", F.split(F.col("__norm"), " ", -1))
         .select(
             "__id",
             F.expr(
-                f"CASE WHEN size({ws}) >= {k} THEN"
-                f" transform(sequence(1, size({ws}) - {k} + 1),"
-                f" i -> concat({gram_join}))"
+                f"CASE WHEN size(__ws) >= {k} THEN"
+                f" transform(sequence(1, size(__ws) - {k} + 1),"
+                f" i -> concat_ws(' ', slice(__ws, i, {k})))"
                 f" ELSE array(__norm) END"
             ).alias("__gs"),
         )
@@ -1171,6 +1172,13 @@ def winnow_fingerprints(
             ).alias("__h"),
         )
     )
+    from pybabe_spark.operators._util import lazy_persist
+
+    # three consumers (the pick window, the join-back, the per-doc
+    # totals) — without the pin the gram explode + md5 runs three
+    # times (measured: the join-back recompute alone was ~40% of the
+    # stress family's wall)
+    grams = lazy_persist(grams)
     fwd = (
         Window.partitionBy("__id")
         .orderBy("__p")
