@@ -1764,3 +1764,156 @@ def equalized_odds_sql(
             OR (fpr_ppm - ref.best_fpr > {int(gap_ppm)})) AS violated
     FROM rated CROSS JOIN ref
     """
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Youden-J optimal operating point — the threshold that maximizes
+    ``J = TPR − FPR`` over every distinct score cut:
+    :func:`roc_auc` certifies the ORDERING, :func:`classification_report`
+    grades ONE chosen threshold; this finds the threshold worth
+    choosing (equal-cost regime; re-weight upstream for asymmetric
+    costs). ONE output row:
+
+    ``(n_pos, n_neg, threshold, tpr_ppm, fpr_ppm, j_ppm)``
+
+    where ``threshold`` is the smallest score whose ≥-cut attains the
+    maximal J (decide positive when ``score ≥ threshold``; J-ties
+    resolve to the HIGHEST threshold — the conservative cut, stated).
+
+    Exactness: scores lift to integral micro-units (the
+    :func:`roc_auc` convention); TP/FP at each cut are suffix sums of
+    exact integer counts over the distinct-micro-score grain;
+    ``tpr/fpr/j_ppm`` are floored integral-ppm divisions and the
+    argmax is a deterministic max of ``(j, threshold)`` structs — no
+    IEEE anywhere. NULL row values when either class is empty.
+
+    Scale shape: one corpus hash agg to the distinct-micro-score
+    grain, one cumulative window on that grain (bounded ≤ 1e6+1 rows
+    by the 6 dp resolution — never corpus-sized), one 1-row argmax
+    agg.
+    """
+    micro = (F.col(score_col).cast("decimal(18,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    pos = (F.col(label_col) != 0).cast("long")
+    ok = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    grain = (
+        df.filter(ok)
+        .select(micro.alias("__s"), pos.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("bigint").alias("__p"),
+            F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("__n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grain.withColumn(
+        "__tp", F.sum("__p").over(w).cast("bigint")
+    ).withColumn("__fp", F.sum("__n").over(w).cast("bigint"))
+    from pybabe_spark.operators._util import attach_scalars
+
+    tot = grain.agg(
+        F.coalesce(F.sum("__p"), F.lit(0)).cast("bigint").alias("__ptot"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("__ntot"),
+    )
+    j = attach_scalars(cum, tot).withColumn(
+        "__tpr",
+        F.expr(
+            "CAST(CASE WHEN __ptot > 0 THEN __tp * 1000000 div __ptot"
+            " END AS BIGINT)"
+        ),
+    ).withColumn(
+        "__fpr",
+        F.expr(
+            "CAST(CASE WHEN __ntot > 0 THEN __fp * 1000000 div __ntot"
+            " END AS BIGINT)"
+        ),
+    ).withColumn("__j", F.col("__tpr") - F.col("__fpr"))
+    best = j.agg(
+        F.max("__ptot").alias("n_pos"),
+        F.max("__ntot").alias("n_neg"),
+        F.max(
+            F.struct(
+                F.col("__j"), F.col("__s"), F.col("__tpr"), F.col("__fpr")
+            )
+        ).alias("__b"),
+    )
+    okb = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return best.select(
+        F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).alias("n_neg"),
+        F.when(
+            okb, F.col("__b.__s").cast("double") / 1e6
+        ).alias("threshold"),
+        F.when(okb, F.col("__b.__tpr")).alias("tpr_ppm"),
+        F.when(okb, F.col("__b.__fpr")).alias("fpr_ppm"),
+        F.when(okb, F.col("__b.__j")).alias("j_ppm"),
+    )
+
+
+def youden_threshold_sql(
+    select: str,
+    score_col: str,
+    label_col: str,
+) -> str:
+    """DuckDB oracle of :func:`youden_threshold` — same micro grain,
+    suffix sums, floored ppm, (j, threshold) argmax."""
+    micro = f"CAST(CAST({score_col} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    return f"""
+    WITH rows_in AS ({select}),
+    grain AS (
+        SELECT {micro} AS s,
+               SUM(CASE WHEN {label_col} != 0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS p,
+               SUM(CASE WHEN {label_col} != 0 THEN 0 ELSE 1 END)
+                 ::BIGINT AS n
+        FROM rows_in
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT s,
+               SUM(p) OVER (ORDER BY s DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS tp,
+               SUM(n) OVER (ORDER BY s DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS fp
+        FROM grain
+    ),
+    tot AS (
+        SELECT COALESCE(SUM(p), 0)::BIGINT AS ptot,
+               COALESCE(SUM(n), 0)::BIGINT AS ntot
+        FROM grain
+    ),
+    j AS (
+        SELECT s,
+               CAST(tp * 1000000 // ptot AS BIGINT) AS tpr,
+               CAST(fp * 1000000 // ntot AS BIGINT) AS fpr,
+               CAST(tp * 1000000 // ptot AS BIGINT)
+                 - CAST(fp * 1000000 // ntot AS BIGINT) AS jj
+        FROM cum CROSS JOIN tot
+        WHERE ptot > 0 AND ntot > 0
+    )
+    SELECT tot.ptot AS n_pos, tot.ntot AS n_neg,
+           CASE WHEN tot.ptot > 0 AND tot.ntot > 0
+                THEN CAST(best.s AS DOUBLE) / 1e6 END AS threshold,
+           CASE WHEN tot.ptot > 0 AND tot.ntot > 0
+                THEN best.tpr END AS tpr_ppm,
+           CASE WHEN tot.ptot > 0 AND tot.ntot > 0
+                THEN best.fpr END AS fpr_ppm,
+           CASE WHEN tot.ptot > 0 AND tot.ntot > 0
+                THEN best.jj END AS j_ppm
+    FROM tot LEFT JOIN (
+        SELECT MAX(struct_pack(jj := jj, s := s, tpr := tpr,
+                               fpr := fpr)) AS best
+        FROM j
+    ) b ON TRUE
+    """

@@ -853,6 +853,13 @@ class Babe:
             holt_linear(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def youden_threshold(self, score_col, label_col) -> "Babe":
+        from pybabe_spark.operators.classifier import youden_threshold
+
+        return self._wrap(
+            youden_threshold(self.df, score_col, label_col)
+        )
+
     def equalized_odds(
         self, group_col, label_col, pred_col, **kwargs
     ) -> "Babe":

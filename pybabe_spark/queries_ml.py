@@ -1822,3 +1822,35 @@ def q_pairwise_winrate(spark, sf_dir):
     return pairwise_winrate(
         per_user, "item_a", "item_b", "outcome", z_crit=1.959964
     )
+
+
+def _youden_sql():
+    from pybabe_spark.operators.classifier import youden_threshold_sql
+    from pybabe_spark.queries_text import _BRIER_FRAME_SQL
+
+    return youden_threshold_sql(_BRIER_FRAME_SQL, "score", "label")
+
+
+@register("youden_threshold_docs", _youden_sql())
+def q_youden_threshold(spark, sf_dir):
+    """Youden-J optimal operating point on the brier/AUC score frame
+    (operators/classifier.py::youden_threshold): the score cut
+    maximizing TPR − FPR — roc_auc_docs certifies the ordering,
+    classification_report grades one threshold, this finds the one
+    worth grading. All-integer suffix sums over the bounded
+    micro-score grain, floored ppm rates, deterministic (J,
+    threshold) argmax. One corpus agg + one bounded-grain window."""
+    from pybabe_spark.operators.classifier import youden_threshold
+
+    docs = read_table(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.expr(
+            "CAST(CAST(LEAST(1000000, size(split(text, ' ')) * 5000)"
+            " AS DECIMAL(18,6)) / 1000000 AS DECIMAL(18,6))"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN array_contains(split(text, ' '), 'spark')"
+            " THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    return youden_threshold(frame, "score", "label")

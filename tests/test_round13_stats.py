@@ -1322,3 +1322,40 @@ def test_turning_points_extremes_and_plateau(spark):
     n = 10
     z = (8 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
     assert abs(out["alt"]["z"] - z) < 1e-6
+
+
+def test_youden_threshold_picks_separating_cut(spark):
+    from pybabe_spark.operators.classifier import youden_threshold
+
+    # positives score high, negatives low, one noisy crossover
+    rows = (
+        [(0.9, 1)] * 8 + [(0.7, 1)] * 2
+        + [(0.3, 0)] * 7 + [(0.8, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = youden_threshold(df, "score", "label").collect()[0]
+    assert r["n_pos"] == 10 and r["n_neg"] == 10
+    # brute force over cuts
+    import itertools
+
+    best = None
+    for t in sorted({s for s, _ in rows}):
+        tp = sum(1 for s, y in rows if y and s >= t)
+        fp = sum(1 for s, y in rows if not y and s >= t)
+        j = (tp * 1_000_000) // 10 - (fp * 1_000_000) // 10
+        cand = (j, t)
+        best = cand if best is None or cand > best else best
+    assert r["j_ppm"] == best[0]
+    assert abs(r["threshold"] - best[1]) < 1e-9
+    assert r["tpr_ppm"] - r["fpr_ppm"] == r["j_ppm"]
+
+
+def test_youden_degenerate_one_class(spark):
+    from pybabe_spark.operators.classifier import youden_threshold
+
+    df = spark.createDataFrame(
+        [(0.4, 1), (0.9, 1)], "score double, label int"
+    )
+    r = youden_threshold(df, "score", "label").collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 0
+    assert r["threshold"] is None and r["j_ppm"] is None
