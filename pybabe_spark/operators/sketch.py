@@ -8333,3 +8333,209 @@ def price_index_sql(
                 THEN {r6(f'sqrt(({lasp}) * ({paas}))')} END AS fisher
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Mantel–Haenszel — stratified 2×2 association
+# ---------------------------------------------------------------------------
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+    crit: float = 3.841459,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of exposure↔outcome association
+    ACROSS strata — the confounder-adjusted view
+    :func:`chi2_independence` (which pools, and can Simpson-flip) and
+    :func:`odds_ratio` (one table) cannot give: does the association
+    hold WITHIN each stratum, combined with stratum-size weights?
+    ONE output row:
+
+    ``(n, k_strata, cmh, or_mh, significant)``
+
+        CMH = (Σ_k (a_k − E_k))² / Σ_k V_k     [χ²(1), no continuity
+                                                correction — stated]
+        E_k = r1·c1/n,   V_k = r1·r0·c1·c0 / (n²(n−1))
+        OR_MH = Σ(a_k·d_k/n_k) / Σ(b_k·c_k/n_k)
+
+    Determinism: the 2×2×K cell counts are exact integers from ONE
+    conditional hash agg; the four per-stratum rational terms
+    (a−E, V, ad/n, bc/n) each round ONCE to DECIMAL(18,6)/(28,6)
+    before their associative decimal sums; CMH and OR_MH are
+    fixed-shape IEEE ratios rounded once, and ``significant``
+    compares the rounded CMH. Strata with n < 2 contribute nothing
+    (V undefined — excluded, stated). NULL CMH when ΣV = 0; NULL
+    OR_MH when its denominator is 0.
+
+    Scale shape: one map-side-combinable stratum hash agg (four
+    conditional counters), one ≤K-row agg. The 100 TB plan is the
+    partial-agg plan.
+    """
+    ok = (
+        F.col(stratum_col).isNotNull()
+        & F.col(exposure_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    )
+    e = F.col(exposure_col) != 0
+    y = F.col(outcome_col) != 0
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(cond.cast("long")), F.lit(0)
+    ).cast("bigint")
+    g = (
+        df.filter(ok)
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            cnt(e & y).alias("__a"),
+            cnt(e & ~y).alias("__b"),
+            cnt(~e & y).alias("__c"),
+            cnt(~e & ~y).alias("__d"),
+        )
+        .withColumn(
+            "__n",
+            F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"),
+        )
+        .filter(F.col("__n") >= 2)
+    )
+    nd = F.col("__n").cast("double")
+    a = F.col("__a").cast("double")
+    r1 = (F.col("__a") + F.col("__b")).cast("double")
+    r0 = (F.col("__c") + F.col("__d")).cast("double")
+    c1 = (F.col("__a") + F.col("__c")).cast("double")
+    c0 = (F.col("__b") + F.col("__d")).cast("double")
+    ae_term = ((a - r1 * c1 / nd)).cast("decimal(18,6)")
+    v_term = (
+        (r1 * r0 * c1 * c0) / (nd * nd * (nd - 1.0))
+    ).cast("decimal(28,6)")
+    adn = (
+        (F.col("__a").cast("double") * F.col("__d").cast("double")) / nd
+    ).cast("decimal(28,6)")
+    bcn = (
+        (F.col("__b").cast("double") * F.col("__c").cast("double")) / nd
+    ).cast("decimal(28,6)")
+    agg = g.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_strata"),
+        F.coalesce(F.sum(ae_term), F.lit(0))
+        .cast("decimal(28,6)")
+        .alias("__ae"),
+        F.coalesce(F.sum(v_term), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("__v"),
+        F.coalesce(F.sum(adn), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("__adn"),
+        F.coalesce(F.sum(bcn), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("__bcn"),
+    )
+    out6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    aed = F.col("__ae").cast("double")
+    cmh6 = F.when(
+        F.col("__v") > 0,
+        out6(aed * aed / F.when(F.col("__v") > 0, F.col("__v").cast("double"))),
+    )
+    ormh = F.when(
+        F.col("__bcn") > 0,
+        out6(
+            F.col("__adn").cast("double")
+            / F.when(
+                F.col("__bcn") > 0, F.col("__bcn").cast("double")
+            )
+        ),
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "k_strata",
+        cmh6.alias("cmh"),
+        ormh.alias("or_mh"),
+        F.coalesce(cmh6 > float(crit), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def cmh_test_sql(
+    select: str,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+    crit: float = 3.841459,
+) -> str:
+    """DuckDB oracle of :func:`cmh_test` — same exact cells, per-term
+    rounded rational sums, fixed-shape CMH / OR_MH."""
+    e = f"({exposure_col} != 0)"
+    y = f"({outcome_col} != 0)"
+    r6 = lambda x: f"CAST(CAST({x} AS DECIMAL(18,6)) AS DOUBLE)"  # noqa: E731
+    cmh = (
+        "CASE WHEN v > 0 THEN "
+        + r6(
+            "CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE)"
+            " / (CASE WHEN v > 0 THEN CAST(v AS DOUBLE) END)"
+        )
+        + " END"
+    )
+    ormh = (
+        "CASE WHEN bcn > 0 THEN "
+        + r6(
+            "CAST(adn AS DOUBLE)"
+            " / (CASE WHEN bcn > 0 THEN CAST(bcn AS DOUBLE) END)"
+        )
+        + " END"
+    )
+    return f"""
+    WITH rows_in AS ({select}),
+    g AS (
+        SELECT {stratum_col} AS s,
+               SUM(CASE WHEN {e} AND {y} THEN 1 ELSE 0 END)::BIGINT
+                 AS a,
+               SUM(CASE WHEN {e} AND NOT {y} THEN 1 ELSE 0 END)
+                 ::BIGINT AS b,
+               SUM(CASE WHEN NOT {e} AND {y} THEN 1 ELSE 0 END)
+                 ::BIGINT AS c,
+               SUM(CASE WHEN NOT {e} AND NOT {y} THEN 1 ELSE 0 END)
+                 ::BIGINT AS d
+        FROM rows_in
+        WHERE {stratum_col} IS NOT NULL
+          AND {exposure_col} IS NOT NULL
+          AND {outcome_col} IS NOT NULL
+        GROUP BY {stratum_col}
+        HAVING SUM(1) >= 2
+    ),
+    terms AS (
+        SELECT a + b + c + d AS n,
+               CAST(CAST(CAST(a AS DOUBLE)
+                    - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE))
+                      / CAST(a + b + c + d AS DOUBLE)
+                    AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS ae_t,
+               CAST(CAST((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                    / (CAST(a + b + c + d AS DOUBLE)
+                       * CAST(a + b + c + d AS DOUBLE)
+                       * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                    AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS v_t,
+               CAST(CAST((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                    / CAST(a + b + c + d AS DOUBLE)
+                    AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS adn_t,
+               CAST(CAST((CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                    / CAST(a + b + c + d AS DOUBLE)
+                    AS DECIMAL(28,6)) AS DECIMAL(38,6)) AS bcn_t
+        FROM g
+        WHERE a + b + c + d >= 2
+    ),
+    agg AS (
+        SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_strata,
+               COALESCE(SUM(ae_t), 0) AS ae,
+               COALESCE(SUM(v_t), 0) AS v,
+               COALESCE(SUM(adn_t), 0) AS adn,
+               COALESCE(SUM(bcn_t), 0) AS bcn
+        FROM terms
+    )
+    SELECT n, k_strata,
+           {cmh} AS cmh,
+           {ormh} AS or_mh,
+           COALESCE(({cmh}) > {float(crit)}, FALSE) AS significant
+    FROM agg
+    """

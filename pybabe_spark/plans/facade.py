@@ -853,6 +853,17 @@ class Babe:
             holt_linear(self.df, key_col, ts_col, value_col, **kwargs)
         )
 
+    def cmh_test(
+        self, stratum_col, exposure_col, outcome_col, **kwargs
+    ) -> "Babe":
+        from pybabe_spark.operators.sketch import cmh_test
+
+        return self._wrap(
+            cmh_test(
+                self.df, stratum_col, exposure_col, outcome_col, **kwargs
+            )
+        )
+
     def youden_threshold(self, score_col, label_col) -> "Babe":
         from pybabe_spark.operators.classifier import youden_threshold
 

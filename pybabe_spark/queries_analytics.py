@@ -6111,3 +6111,40 @@ def q_turning_points(spark, sf_dir):
     return turning_points_test(
         ev, "event_type", "ts", "value", bucket_seconds=86400
     )
+
+
+def _cmh_sql() -> str:
+    from pybabe_spark.operators.sketch import cmh_test_sql
+
+    return cmh_test_sql(
+        """SELECT event_type,
+                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                    AS cohort_a,
+                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS high_value
+           FROM events""",
+        "event_type",
+        "cohort_a",
+        "high_value",
+        crit=3.841459,
+    )
+
+
+@register("cmh_events", _cmh_sql())
+def q_cmh(spark, sf_dir):
+    """Cochran–Mantel–Haenszel stratified association: is the
+    high-value rate tied to the user cohort CONSISTENTLY across event
+    types (operators/sketch.py::cmh_test)? The confounder-adjusted
+    view pooled chi2 can Simpson-flip and single-table odds_ratio
+    can't stratify — exact 2×2×K cells from one conditional agg,
+    per-term-rounded rational sums, fixed-shape CMH vs χ²(1) and the
+    Mantel–Haenszel common odds ratio."""
+    from pybabe_spark.operators.sketch import cmh_test
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).cast("int").alias("cohort_a"),
+        (F.col("value") > 50).cast("int").alias("high_value"),
+    )
+    return cmh_test(
+        ev, "event_type", "cohort_a", "high_value", crit=3.841459
+    )

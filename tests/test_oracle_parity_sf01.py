@@ -59,7 +59,7 @@ _DELICATE = re.compile(
     # r13 batch 4: cumulative-curve drawdown epochs, DF tau
     r"|max_drawdown|dickey_fuller"
     # r13 batch 5: two-regressor F, per-term basket indices
-    r"|granger|price_index|turning_points|youden"
+    r"|granger|price_index|turning_points|youden|cmh_"
 )
 
 all_queries()

@@ -1359,3 +1359,51 @@ def test_youden_degenerate_one_class(spark):
     r = youden_threshold(df, "score", "label").collect()[0]
     assert r["n_pos"] == 2 and r["n_neg"] == 0
     assert r["threshold"] is None and r["j_ppm"] is None
+
+
+def test_cmh_matches_python_model(spark):
+    import random
+
+    from pybabe_spark.operators.sketch import cmh_test
+
+    rng = random.Random(13)
+    rows = []
+    # consistent association within each of 3 strata
+    for s, base in [("s1", 0.3), ("s2", 0.5), ("s3", 0.7)]:
+        for _ in range(200):
+            e = rng.random() < 0.5
+            p = base + (0.25 if e else 0.0)
+            y = rng.random() < p
+            rows.append((s, int(e), int(y)))
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = cmh_test(df, "s", "e", "y", crit=3.841459).collect()[0]
+    # python reference (same per-stratum rationals, full precision)
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for s, e, y in rows:
+        cells[s][(1 - e) * 2 + (1 - y)] += 1
+    ae = v = adn = bcn = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        ae += a - (a + b) * (a + c) / n
+        v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        adn += a * d / n
+        bcn += b * c / n
+    assert r["n"] == 600 and r["k_strata"] == 3
+    assert abs(r["cmh"] - ae * ae / v) < 1e-3
+    assert abs(r["or_mh"] - adn / bcn) < 1e-3
+    assert r["significant"]
+
+
+def test_cmh_no_association_and_small_stratum(spark):
+    from pybabe_spark.operators.sketch import cmh_test
+
+    rows = [("s", e, y) for e in (0, 1) for y in (0, 1) for _ in range(25)]
+    # a 1-row stratum must be excluded (V undefined at n < 2)
+    rows.append(("tiny", 1, 1))
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = cmh_test(df, "s", "e", "y").collect()[0]
+    assert r["k_strata"] == 1 and r["n"] == 100
+    assert r["cmh"] is not None and r["cmh"] < 0.001
+    assert not r["significant"]
