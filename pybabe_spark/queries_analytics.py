@@ -5547,13 +5547,17 @@ def _gesd_sql():
 def q_gesd(spark, sf_dir):
     """Generalized ESD multi-outlier rounds on order totals
     (operators/sketch.py::gesd_outliers): three remove-and-retest
-    layers unrolled IN-PLAN over the (value, count) grain — grubbs'
-    masking-proof extension, nothing collected. Exact DECIMAL(38,0)
-    moments adjusted per removal, max(struct) suspect with the fixed
-    larger-value tiebreak, once-rounded R per round. λ critical values
-    are n-dependent, so the registry key certifies the statistics;
-    decisions come from the lambdas parameter (tested with Rosner
-    literals in test_round13_stats)."""
+    rounds over the (value, count) grain — grubbs' masking-proof
+    extension. Every suspect is provably an extreme of the remaining
+    set, so the rounds run driver-side on one 1-row moment collect +
+    one ≤2k-row extremes collect (r13 optimization: the k unrolled
+    plan layers were ~190 Exchanges / 76 local jobs). Exact integer
+    moments adjusted per removal, (score, v) max with the fixed
+    larger-value tiebreak, once-rounded R per round — bit-identical
+    to the unrolled oracle. λ critical values are n-dependent, so the
+    registry key certifies the statistics; decisions come from the
+    lambdas parameter (tested with Rosner literals in
+    test_round13_stats)."""
     from pybabe_spark.operators.sketch import gesd_outliers
 
     orders = read_table(spark, sf_dir, "orders")

@@ -563,6 +563,26 @@ def test_gesd_masking_and_decision(spark):
         gesd_outliers(df, "v", 2, lambdas=[1.0])
 
 
+def test_gesd_repeated_extreme_multiplicity(spark):
+    """r13 bounded-extremes rewrite: when one extreme value carries
+    multiplicity > k every round removes another INSTANCE of it — the
+    candidate count-decrement path (and n_remaining bookkeeping) the
+    single-instance tests never hit."""
+    from pybabe_spark.operators.sketch import gesd_outliers
+
+    data = [10.0, 10.2, 9.9, 10.1, 9.8] + [99.0] * 4
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    rows = sorted(
+        gesd_outliers(df, "v", max_outliers=3).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert all(r["suspect_value"] == 99.0 for r in rows)
+    assert [r["n_remaining"] for r in rows] == [9, 8, 7]
+    # R shrinks as the mass at 99 shrinks the deviation share
+    assert rows[0]["r_stat"] > 0
+
+
 def test_gesd_stops_when_inapplicable(spark):
     from pybabe_spark.operators.sketch import gesd_outliers
 
