@@ -7306,6 +7306,7 @@ def mood_median_test(
     group_col: str,
     value_col: str,
     crit: float = 9.487729,
+    max_groups: int = 4096,
 ) -> DataFrame:
     """Mood's median test — do the groups share a common median? The
     coarsest, most outlier-proof k-sample location test (only
@@ -7324,12 +7325,22 @@ def mood_median_test(
     floored-integral-ppm sum — no IEEE anywhere but the (unused)
     median/100 display division. NULL group or value rows drop.
 
-    Scale shape: one map-combinable (cents → count) hash agg; the
-    cumulative reach test runs over that VALUE GRAIN (domain-bounded:
-    ≤10⁷ rows for 5-digit prices — de-globalize via the
-    :func:`weighted_quantiles` cell split if a domain ever isn't),
-    then the flag feeds one (group, side) cell agg. Two corpus-scale
-    shuffles total; everything after is ≤ grid-sized.
+    Scale shape (r13 optimization-round rewrite): one map-combinable
+    (cents → count) hash agg; the cumulative reach test runs over that
+    VALUE GRAIN (domain-bounded: ≤10⁷ rows for 5-digit prices —
+    de-globalize via the :func:`weighted_quantiles` cell split if a
+    domain ever isn't) and the grand median collects as ONE bounded
+    1-row scalar; the flag feeds one (group, side) cell agg whose
+    ≤2·``max_groups`` rows collect behind a ``limit`` boundedness
+    proof, and the exact chi-square ppm grid finishes driver-side in
+    Python integers — bit-identical to the in-plan decimal form it
+    replaces (that form attached three 1-row broadcasts and ran the
+    R×C grid joins in-plan: ~116 Exchange nodes / 47 local jobs per
+    action). Two corpus-scale shuffles total, two bounded collects.
+
+    ``max_groups``: raise-guard on the collected cell table (the
+    nemenyi/tukey idiom) — a k-sample median test over more than 4096
+    groups is rarely intended.
     """
     from pybabe_spark.operators._util import attach_scalars, lazy_persist
 
@@ -7348,32 +7359,52 @@ def mood_median_test(
     cum = attach_scalars(grain, tot).withColumn(
         "__cum", F.sum("__c").over(w).cast("decimal(38,0)")
     )
-    med = cum.filter(
+    med_row = cum.filter(
         F.col("__cum") * 2 >= F.col("__n")
-    ).agg(F.min("__v").alias("__med"))
-    flagged = attach_scalars(base, med).select(
-        "__g", (F.col("__v") > F.col("__med")).alias("__above"), "__med"
-    )
-    contrib = _chi2_contrib(flagged, "__g", "__above")
+    ).agg(F.min("__v").alias("__med")).collect()[0]
+    med = med_row["__med"]
     crit_ppm = int(round(float(crit) * 1_000_000))
-    out = contrib.agg(
-        F.max("__n").alias("__n"),
-        F.max(F.col("__ra") - 1).alias("__dof"),
-        F.sum("__ppm").alias("__chi2"),
+    spark = df.sparkSession
+    schema = (
+        "n bigint, median double, dof bigint, chi2_ppm bigint, "
+        "significant boolean"
     )
-    med1 = med.select(
-        (F.col("__med").cast("double") / 100).alias("median")
+    if med is None:  # empty input: the degenerate all-zero row
+        return spark.createDataFrame(
+            [(0, None, 0, 0, False)], schema
+        )
+    cells_rows = (
+        base.groupBy(
+            "__g", (F.col("__v") > F.lit(int(med))).alias("__above")
+        )
+        .agg(F.count(F.lit(1)).alias("__nab"))
+        .limit(2 * max_groups + 1)  # the collect's boundedness proof
+        .collect()
     )
-    return attach_scalars(out, med1).select(
-        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
-        "median",
-        F.coalesce(F.col("__dof"), F.lit(0)).cast("bigint").alias("dof"),
-        F.coalesce(F.col("__chi2"), F.lit(0)).cast("bigint").alias(
-            "chi2_ppm"
-        ),
-        F.coalesce(F.col("__chi2") > crit_ppm, F.lit(False)).alias(
-            "significant"
-        ),
+    if len(cells_rows) > 2 * max_groups:
+        raise ValueError(
+            f"mood_median_test: more than max_groups={max_groups} "
+            "groups — a k-sample median test at that size is rarely "
+            "intended; raise max_groups to confirm"
+        )
+    # exact integer chi-square over the FULL R x C grid (zero cells
+    # included) — the _chi2_contrib arithmetic, driver-side
+    nab = {(r["__g"], r["__above"]): int(r["__nab"]) for r in cells_rows}
+    r_tot: dict = {}
+    c_tot: dict = {}
+    for (a, b), v in nab.items():
+        r_tot[a] = r_tot.get(a, 0) + v
+        c_tot[b] = c_tot.get(b, 0) + v
+    n = sum(r_tot.values())
+    chi2 = 0
+    for a, r_ in r_tot.items():
+        for b, c_ in c_tot.items():
+            num = n * nab.get((a, b), 0) - r_ * c_
+            chi2 += num * num * 1_000_000 // (n * r_ * c_)
+    dof = max(len(r_tot) - 1, 0)
+    return spark.createDataFrame(
+        [(n, float(med) / 100.0, dof, chi2, bool(chi2 > crit_ppm))],
+        schema,
     )
 
 

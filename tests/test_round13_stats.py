@@ -740,6 +740,27 @@ def test_mood_median_identical_groups_flat(spark):
     assert row["median"] == 2.0  # lower median of 8 values
 
 
+def test_mood_median_guard_and_empty(spark):
+    """r13 bounded-collect rewrite: the max_groups raise-guard fires
+    past the limit proof; an empty input yields the degenerate
+    all-zero row with NULL median (the old in-plan behavior)."""
+    import pytest
+
+    from pybabe_spark.operators.sketch import mood_median_test
+
+    df = spark.createDataFrame(
+        [(f"g{i}", float(i)) for i in range(6)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        mood_median_test(df, "g", "v", max_groups=2).collect()
+    empty = df.filter("v < 0")
+    row = mood_median_test(empty, "g", "v").collect()[0]
+    assert (row["n"], row["median"], row["dof"], row["chi2_ppm"]) == (
+        0, None, 0, 0,
+    )
+    assert row["significant"] is False
+
+
 def test_cochran_armitage_matches_python_model(spark):
     """Monotone dose-response: z matches the closed form computed in
     Python on the same exact counts."""
