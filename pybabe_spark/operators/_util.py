@@ -37,6 +37,63 @@ def attach_scalars(df, scalars):
     return df.crossJoin(F.broadcast(scalars))
 
 
+def _sql_lit(v, typ: str) -> str:
+    """One exactly-round-tripping SQL literal of declared type."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    t = typ.lower()
+    if t == "double":
+        import math
+
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        # repr is the shortest round-tripping decimal; Spark's double
+        # parse is correctly rounded, so the bits survive exactly
+        return f"{float(v)!r}D"
+    if t == "boolean":
+        return "true" if v else "false"
+    if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
+        return f"CAST({int(v)} AS {typ})"
+    if t == "string":
+        esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    raise ValueError(f"local_rows_df: unsupported type {typ!r}")
+
+
+def local_rows_df(spark, rows, schema: str):
+    """A SMALL driver-side row list as a true ``LocalRelation``
+    (VALUES literal → LocalTableScan — driver-only, zero scan tasks).
+
+    ``spark.createDataFrame(list)`` parallelizes local data into an
+    ``ExistingRDD`` of ``defaultParallelism`` pickled slices, so every
+    downstream action on a handful of rows schedules a 32-task wave of
+    empty Python tasklets (~0.45 s of local-scheduler floor per
+    action; ``coalesce(1)`` is WORSE — the one task walks all 32
+    parent python partitions serially, ~4.7 s measured). The VALUES
+    form costs ~0.19 s per action and survives any cluster size.
+
+    ``schema`` is a flat DDL string (``"a int, b double, ..."``);
+    doubles are rendered with ``repr`` (shortest round-trip — Spark's
+    parse is correctly rounded, so bits survive exactly)."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    names = [n for n, _t in fields]
+    types = [t for _n, t in fields]
+    if not rows:
+        cols = ", ".join(
+            f"CAST(NULL AS {t}) AS {n}" for n, t in zip(names, types)
+        )
+        return spark.sql(f"SELECT {cols} WHERE 1=0")
+    tuples = ", ".join(
+        "(" + ", ".join(_sql_lit(v, t) for v, t in zip(r, types)) + ")"
+        for r in rows
+    )
+    cols = ", ".join(names)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({cols})")
+
+
 #: DataFrames persisted by operators through lazy_persist — a release
 #: path for long sessions. Entries are plan handles (tiny driver
 #: objects); the cached BLOCKS only materialize when an action runs.

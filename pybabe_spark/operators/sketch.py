@@ -6526,16 +6526,20 @@ def wasserstein_1d(
     integer always fits bigint). NULL when either arm is empty; 0
     when the samples coincide.
 
-    Scale shape (the ks_test machinery plus one lag): one
-    (value → per-arm counts) hash agg collapses duplicates; running
-    sums de-globalize over 1024 equal-width cells (1-row min/max
-    attach, ``limit``-proved prefix self-join for cell offsets,
-    cell-partitioned windows). Within-cell gap terms use a
-    cell-partitioned lag; the ≤1023 BOUNDARY gaps (last value of one
-    occupied cell → first of the next) are reconstructed entirely from
-    the bounded cell table — the offsets ARE the boundary cumulatives
-    — via a prefix max_by join over ≤1024 rows. No global window, no
-    unbounded join.
+    Scale shape (r13 optimization-round rewrite; the ks_test machinery
+    plus one lag): one (value → per-arm counts) hash agg collapses
+    duplicates; ONE bounded 1-row collect takes (min, max, n_a, n_b);
+    the ≤1024-row cell-total table collects (bounded by construction)
+    and the prefix offsets + every BOUNDARY gap term (last value of
+    one occupied cell → first of the next — the offsets ARE the
+    boundary cumulatives) are exact Python integers driver-side; the
+    within-cell gap terms keep the cell-partitioned cumulative/lag
+    windows in-plan over the grain, joined to the broadcast local
+    offset table, and reduce in one agg collect. The previous shape
+    ran the offsets as a limit-proved prefix self-join and attached
+    five 1-row aggregates in-plan (~86 Exchange nodes / 31 local jobs
+    per action); this is 3 jobs — and fewer exchanges at any scale.
+    No global window, no unbounded join, no unbounded collect.
     """
     buckets = 1024
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -6551,109 +6555,97 @@ def wasserstein_1d(
         .groupBy("__v")
         .agg(F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb"))
     )
-    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+    from pybabe_spark.operators._util import lazy_persist, local_rows_df
 
-    # the distinct-value grain feeds the range attach, cell totals,
-    # the within-cell walk and the totals agg
+    # the distinct-value grain feeds the head collect, cell totals and
+    # the within-cell walk
     base = lazy_persist(base)
-    rng = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
-    j = attach_scalars(base, rng).withColumn(
+    spark = df.sparkSession
+    out_schema = "n_a bigint, n_b bigint, w1_ppm bigint, w1 double"
+    head = base.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("__nb"),
+    ).collect()[0]
+    na, nb = int(head["__na"]), int(head["__nb"])
+    if head["__lo"] is None:  # empty input: the old 1-row NULL shape
+        return local_rows_df(spark, [(0, 0, None, None)], out_schema)
+    lo, hi = int(head["__lo"]), int(head["__hi"])
+    j = base.withColumn(
         "__b",
         F.expr(
-            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
-            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - {lo}) * {buckets}"
+            f" div (CAST({hi} AS DECIMAL(38,0)) - {lo} + 1) AS BIGINT)"
         ),
     )
-    btot = j.groupBy("__b").agg(
-        F.sum("__ca").alias("__bca"),
-        F.sum("__cb").alias("__bcb"),
-        F.min("__v").alias("__minv"),
-        F.max("__v").alias("__maxv"),
-    )
-    bounded = btot.limit(buckets)  # __b < buckets by construction —
-    # the linter's boundedness proof, it cannot truncate
-    a, b = bounded.alias("a"), bounded.alias("b")
-    offs = (
-        a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
-        .groupBy(F.col("a.__b").alias("__b"))
+    btot = (
+        j.groupBy("__b")
         .agg(
-            F.coalesce(F.sum("b.__bca"), F.lit(0)).alias("__offa"),
-            F.coalesce(F.sum("b.__bcb"), F.lit(0)).alias("__offb"),
-            # the previous OCCUPIED cell's last value: boundary gap
-            # partner (NULL for the first occupied cell — no gap)
-            F.max_by("b.__maxv", "b.__b").alias("__prevmax"),
+            F.sum("__ca").alias("__bca"),
+            F.sum("__cb").alias("__bcb"),
+            F.min("__v").alias("__minv"),
+            F.max("__v").alias("__maxv"),
+        )
+        .limit(buckets)  # __b < buckets by construction — the
+        # collect's boundedness proof, it cannot truncate
+        .collect()
+    )
+    cells = sorted(
+        (int(r["__b"]), int(r["__bca"]), int(r["__bcb"]),
+         int(r["__minv"]), int(r["__maxv"]))
+        for r in btot
+    )
+    # prefix offsets + boundary gap terms: exact Python integers over
+    # the ≤1024 occupied cells
+    offs_rows = []
+    bnum = 0
+    offa = offb = 0
+    prevmax = None
+    for b_, bca, bcb, minv, maxv in cells:
+        offs_rows.append((b_, offa, offb))
+        if prevmax is not None:
+            bnum += abs(offa * nb - offb * na) * (minv - prevmax)
+        offa += bca
+        offb += bcb
+        prevmax = maxv
+    offs = F.broadcast(
+        local_rows_df(
+            spark, offs_rows, "__b bigint, __offa bigint, __offb bigint"
         )
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    tot = base.agg(
-        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("__na"),
-        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("__nb"),
-    )
     w = Window.partitionBy("__b").orderBy(F.col("__v").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     lw = Window.partitionBy("__b").orderBy(F.col("__v").asc())
-    rows = (
-        j.join(F.broadcast(offs), ["__b"])
-        .select(
-            "__v",
-            (F.col("__offa") + F.sum("__ca").over(w) - F.col("__ca"))
-            .alias("__cpa"),  # cumulative A at the PREVIOUS value
-            (F.col("__offb") + F.sum("__cb").over(w) - F.col("__cb"))
-            .alias("__cpb"),
-            F.lag("__v").over(lw).alias("__pv"),
-        )
+    rows = j.join(offs, ["__b"]).select(
+        "__v",
+        (F.col("__offa") + F.sum("__ca").over(w) - F.col("__ca"))
+        .alias("__cpa"),  # cumulative A at the PREVIOUS value
+        (F.col("__offb") + F.sum("__cb").over(w) - F.col("__cb"))
+        .alias("__cpb"),
+        F.lag("__v").over(lw).alias("__pv"),
     )
-    within = attach_scalars(rows.filter(F.col("__pv").isNotNull()), tot)
     within_term = F.sum(
         F.abs(
-            d(F.col("__cpa")) * F.col("__nb")
-            - d(F.col("__cpb")) * F.col("__na")
+            d(F.col("__cpa")) * F.lit(nb) - d(F.col("__cpb")) * F.lit(na)
         )
         * (F.col("__v") - F.col("__pv"))
     ).cast("decimal(38,0)")
-    wsum = within.agg(
-        F.coalesce(within_term, F.lit(0))
-        .cast("decimal(38,0)")
-        .alias("__w")
-    )
-    # boundary gaps: cum before cell k IS (offa, offb); gap runs from
-    # the previous occupied cell's max value to this cell's min
-    bnd = attach_scalars(
-        j.groupBy("__b")
-        .agg(F.min("__v").alias("__minv"))
-        .join(F.broadcast(offs), ["__b"])
-        .filter(F.col("__prevmax").isNotNull()),
-        tot,
-    )
-    bnd_term = F.sum(
-        F.abs(
-            d(F.col("__offa")) * F.col("__nb")
-            - d(F.col("__offb")) * F.col("__na")
+    wrow = (
+        rows.filter(F.col("__pv").isNotNull())
+        .agg(
+            F.coalesce(within_term, F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__w")
         )
-        * (F.col("__minv") - F.col("__prevmax"))
-    ).cast("decimal(38,0)")
-    bsum = bnd.agg(
-        F.coalesce(bnd_term, F.lit(0)).cast("decimal(38,0)").alias("__bw")
+        .collect()[0]
     )
-    one = attach_scalars(attach_scalars(tot, wsum), bsum)
-    one = one.withColumn(
-        "__num", d(F.col("__w") + F.col("__bw"))
-    ).withColumn(
-        "__den", d(F.col("__na")).cast("decimal(38,0)") * F.col("__nb")
-    )
-    ppm = F.when(
-        (F.col("__na") > 0) & (F.col("__nb") > 0),
-        F.expr(
-            "(CAST(10000 AS DECIMAL(38,0)) * __num) div __den"
-        ),
-    ).cast("bigint")
-    return one.select(
-        F.col("__na").alias("n_a"),
-        F.col("__nb").alias("n_b"),
-        ppm.alias("w1_ppm"),
-        (ppm.cast("double") / 1e6).alias("w1"),
-    )
+    num = int(wrow["__w"]) + bnum
+    ppm = (10000 * num) // (na * nb) if na > 0 and nb > 0 else None
+    w1 = float(ppm) / 1e6 if ppm is not None else None
+    return local_rows_df(spark, [(na, nb, ppm, w1)], out_schema)
 
 
 def wasserstein_1d_sql(
@@ -6966,7 +6958,7 @@ def gesd_outliers(
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    from pybabe_spark.operators._util import lazy_persist
+    from pybabe_spark.operators._util import lazy_persist, local_rows_df
 
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -7027,7 +7019,7 @@ def gesd_outliers(
         "r_stat double"
     )
     if lambdas is None:
-        return spark.createDataFrame(rows, base_schema)
+        return local_rows_df(spark, rows, base_schema)
     lam = [float(v) for v in lambdas]
     istar = max(
         (i for (i, _sv, _n, r6) in rows if r6 > lam[i - 1]), default=None
@@ -7043,8 +7035,8 @@ def gesd_outliers(
         )
         for (i, sv, n_rem, r6) in rows
     ]
-    return spark.createDataFrame(
-        full, base_schema + ", lambda_crit double, is_outlier boolean"
+    return local_rows_df(
+        spark, full, base_schema + ", lambda_crit double, is_outlier boolean"
     )
 
 
@@ -7342,7 +7334,11 @@ def mood_median_test(
     nemenyi/tukey idiom) — a k-sample median test over more than 4096
     groups is rarely intended.
     """
-    from pybabe_spark.operators._util import attach_scalars, lazy_persist
+    from pybabe_spark.operators._util import (
+        attach_scalars,
+        lazy_persist,
+        local_rows_df,
+    )
 
     ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -7370,9 +7366,7 @@ def mood_median_test(
         "significant boolean"
     )
     if med is None:  # empty input: the degenerate all-zero row
-        return spark.createDataFrame(
-            [(0, None, 0, 0, False)], schema
-        )
+        return local_rows_df(spark, [(0, None, 0, 0, False)], schema)
     cells_rows = (
         base.groupBy(
             "__g", (F.col("__v") > F.lit(int(med))).alias("__above")
@@ -7402,7 +7396,8 @@ def mood_median_test(
             num = n * nab.get((a, b), 0) - r_ * c_
             chi2 += num * num * 1_000_000 // (n * r_ * c_)
     dof = max(len(r_tot) - 1, 0)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n, float(med) / 100.0, dof, chi2, bool(chi2 > crit_ppm))],
         schema,
     )
