@@ -2475,44 +2475,49 @@ def bootstrap_mean_ci(
         raise ValueError(f"bootstrap_mean_ci: alpha {alpha} not in (0,1)")
     keys = [by] if by else []
     xd = F.col(value_col).cast("decimal(18,6)")
+    # r13 optimization: the per-(row, b) weight derivation — md5 →
+    # 60-bit slice → 9-level inverse-CDF CASE — used to be inlined
+    # per resample in BOTH the weighted and the weight sum (2·B copies
+    # of the chain, a ~450 KB physical plan whose analysis alone cost
+    # ~2.5 s per construction at B = 40). One ``transform(sequence)``
+    # lambda now derives the identical weight array once per row; the
+    # 2·B aggregate columns are tiny element_at references. Same md5
+    # inputs, same thresholds, same decimal types — bit-equal output.
+    cases = "CAST(CASE " + " ".join(
+        f"WHEN u60 < {t}L THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_2_60)
+    ) + " ELSE 9 END AS DECIMAL(18,0))"
+    ws = F.expr(
+        f"transform(transform(sequence(0, {n_resamples - 1}), b -> "
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(b AS STRING), "
+        f"':', __k)), 1, 15), 16, 10) AS BIGINT)), u60 -> {cases})"
+    )
     base = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         xd.alias("__x"),
         F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("__k"),
-    )
+    ).withColumn("__ws", ws)
     sums = [
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__x").cast("decimal(38,6)").alias("__sx"),
     ]
+    # one parsed expression per aggregate column (a chained-Column
+    # build costs ~8 py4j round trips each — measurable at 2·B columns)
     for b in range(n_resamples):
-        u60 = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:{b}:"), F.col("__k"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        w = _poisson_weight(u60).cast("decimal(18,0)")
-        sums.append(F.sum(w * F.col("__x")).cast("decimal(38,6)").alias(f"__wx{b}"))
-        sums.append(F.sum(w).cast("decimal(38,0)").alias(f"__w{b}"))
-    agg = base.groupBy(*keys).agg(*sums)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.when(
-                    F.col(f"__w{b}") > 0,
-                    (
-                        F.col(f"__wx{b}").cast("double")
-                        / F.col(f"__w{b}").cast("double")
-                    )
-                    .cast("decimal(18,6)")
-                    .cast("double"),
-                )
-                for b in range(n_resamples)
-            ]
+        w = f"element_at(__ws, {b + 1})"
+        sums.append(
+            F.expr(f"CAST(SUM({w} * __x) AS DECIMAL(38,6)) AS __wx{b}")
         )
+        sums.append(F.expr(f"CAST(SUM({w}) AS DECIMAL(38,0)) AS __w{b}"))
+    agg = base.groupBy(*keys).agg(*sums)
+    means = F.expr(
+        "array_sort(array("
+        + ", ".join(
+            f"CASE WHEN __w{b} > 0 THEN CAST(CAST(CAST(__wx{b} AS DOUBLE)"
+            f" / CAST(__w{b} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) END"
+            for b in range(n_resamples)
+        )
+        + "))"
     )
     lo_i = int(alpha / 2 * n_resamples) + 1
     import math as _math
