@@ -60,6 +60,9 @@ def _sql_lit(v, typ: str) -> str:
     if t == "string":
         esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
+    if t.startswith("decimal"):
+        # exact: v must already be a Decimal/str/int on the target grid
+        return f"CAST('{v}' AS {typ})"
     raise ValueError(f"local_rows_df: unsupported type {typ!r}")
 
 
@@ -78,7 +81,18 @@ def local_rows_df(spark, rows, schema: str):
     ``schema`` is a flat DDL string (``"a int, b double, ..."``);
     doubles are rendered with ``repr`` (shortest round-trip — Spark's
     parse is correctly rounded, so bits survive exactly)."""
-    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    # split on top-level commas only — "w decimal(18,6)" is one field
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+    parts.append("".join(cur))
+    fields = [f.strip().split(" ", 1) for f in parts]
     names = [n for n, _t in fields]
     types = [t for _n, t in fields]
     if not rows:

@@ -116,7 +116,7 @@ def train_quality_classifier(
     labels = docs.select(
         F.col(id_col), F.col(label_col).cast("int").cast("double").alias("__y")
     ).filter(F.col("__y").isNotNull())
-    n_docs = labels.agg(F.count("*").alias("__n"))
+    n = int(labels.agg(F.count("*").alias("__n")).collect()[0]["__n"])
 
     # The loop runs ENTIRELY in exact integer micro-units (1e-6): wm is
     # the weight ×1e6 as bigint, residuals/gradients likewise. The one
@@ -127,15 +127,34 @@ def train_quality_classifier(
     # rational grid that hits decimal half-points for ~1/n of buckets,
     # where Spark's shortest-string double→decimal rounding and the
     # oracle's binary rounding disagree (observed, not theoretical).
-    wm = (
-        profile.select("bucket")
+    #
+    # r13 optimization: the weight table is ≤``buckets`` rows of
+    # integers, so each round's gradient COLLECTS (bounded by the
+    # bucket domain — the limit is the proof) and the half-away-from-
+    # zero integer update runs driver-side; the next round re-enters
+    # the plan as a broadcast VALUES literal. The old shape embedded
+    # round i's full pipeline inside round i+1's broadcast build —
+    # nested single-threaded broadcast jobs whose analysis and
+    # execution dominated training wall time. Per round: one flat job,
+    # two corpus-grain shuffles, nothing nested.
+    from pybabe_spark.operators._util import local_rows_df
+
+    spark = docs.sparkSession
+    wm_d = {
+        int(r["bucket"]): 0
+        for r in profile.select("bucket")
         .distinct()
-        .withColumn("wm", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
-    )
+        .limit(buckets + 1)  # bucket ∈ [0, buckets) by construction
+        .collect()
+    }
     for _ in range(iters):
+        wm = F.broadcast(
+            local_rows_df(
+                spark, sorted(wm_d.items()), "bucket bigint, wm bigint"
+            )
+        )
         s_micro = (
-            profile.join(F.broadcast(wm), "bucket")
+            profile.join(wm, "bucket")
             .groupBy(id_col)
             .agg(F.sum(F.col("nf") * F.col("wm")).alias("__sm"))
         )
@@ -161,36 +180,32 @@ def train_quality_classifier(
                 .alias("__rm"),
             )
         )
-        grad = (
+        grad_rows = (
             profile.join(resid, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("nf") * F.col("__rm")).alias("__gm"))
+            .limit(buckets + 1)  # same bucket-domain boundedness proof
+            .collect()
         )
-        wm = (
-            attach_scalars(wm.join(grad, "bucket", "left"), n_docs)
-            .select(
-                "bucket",
-                "wm",
-                (F.coalesce(F.col("__gm"), F.lit(0)) * F.lit(num)).alias("__p"),
-                (F.col("__n") * F.lit(den)).alias("__q"),
+        q = 2 * n * den
+        for r in grad_rows:
+            p = int(r["__gm"]) * num
+            step = (
+                (2 * p + n * den) // q
+                if p >= 0
+                else -((2 * (-p) + n * den) // q)
             )
-            .select(
-                "bucket",
-                (
-                    F.col("wm")
-                    - F.when(
-                        F.col("__p") >= 0,
-                        F.expr("(2 * __p + __q) div (2 * __q)"),
-                    ).otherwise(-F.expr("(2 * (-__p) + __q) div (2 * __q)"))
-                ).alias("wm"),
-            )
-            .localCheckpoint(eager=True)  # the round's one materialization
-        )
-    return wm.select(
-        "bucket",
-        (F.col("wm").cast("double") / F.lit(1_000_000.0))
-        .cast(_DEC)
-        .alias("w"),
+            wm_d[int(r["bucket"])] -= step
+    from decimal import ROUND_HALF_UP, Decimal
+
+    six = Decimal("0.000001")
+    return local_rows_df(
+        spark,
+        [
+            (b, Decimal(v / 1_000_000.0).quantize(six, ROUND_HALF_UP))
+            for b, v in sorted(wm_d.items())
+        ],
+        "bucket bigint, w decimal(18,6)",
     )
 
 

@@ -81,7 +81,22 @@ def doc_feature_profile(
     (bucket models, scoring) works on this aggregated form, and
     consumers sharing the profile share one physical exchange
     (ReuseExchange) instead of re-exploding the corpus.
+
+    An under-partitioned input (a single small file) would run the
+    whole explode+hash pass in ONE task while the rest of the machine
+    idles — spread the scan first (the infra.profile idiom; a no-op on
+    well-partitioned input, and at cluster scale inputs arrive in many
+    splits anyway).
     """
+    from pybabe_spark.plans.introspect import (
+        default_parallelism,
+        num_partitions,
+    )
+
+    par = default_parallelism(df.sparkSession)
+    have = num_partitions(df)
+    if have is not None and have < min(8, par):
+        df = df.repartition(min(8, par))
     return (
         hashed_ngram_features(df, id_col, text_col, buckets)
         .groupBy(id_col, "bucket")
