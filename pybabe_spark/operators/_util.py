@@ -81,18 +81,40 @@ def local_rows_df(spark, rows, schema: str):
     ``schema`` is a flat DDL string (``"a int, b double, ..."``);
     doubles are rendered with ``repr`` (shortest round-trip — Spark's
     parse is correctly rounded, so bits survive exactly)."""
-    # split on top-level commas only — "w decimal(18,6)" is one field
-    parts, depth, cur = [], 0, []
+    # split on top-level commas only — "w decimal(18,6)" is one field;
+    # commas inside a backtick-quoted name don't split either
+    parts, depth, cur, in_bt = [], 0, [], False
     for ch in schema:
-        if ch == "," and depth == 0:
+        if ch == "`":
+            in_bt = not in_bt
+            cur.append(ch)
+        elif ch == "," and depth == 0 and not in_bt:
             parts.append("".join(cur))
             cur = []
         else:
-            depth += ch == "("
-            depth -= ch == ")"
+            if not in_bt:
+                depth += ch == "("
+                depth -= ch == ")"
             cur.append(ch)
     parts.append("".join(cur))
-    fields = [f.strip().split(" ", 1) for f in parts]
+
+    def _split_field(f: str):
+        f = f.strip()
+        if f.startswith("`"):
+            # backtick-quoted name (may contain spaces/commas —
+            # transpose columns are data values; `` escapes a backtick)
+            i = 1
+            while i < len(f):
+                if f[i] == "`":
+                    if i + 1 < len(f) and f[i + 1] == "`":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            return [f[: i + 1], f[i + 1:].strip()]
+        return f.split(" ", 1)
+
+    fields = [_split_field(f) for f in parts]
     names = [n for n, _t in fields]
     types = [t for _n, t in fields]
     if not rows:

@@ -277,7 +277,14 @@ def profile(
         (c, row[f"__nn_{c}"], row[f"__nd_{c}"], row[f"__mn_{c}"], row[f"__mx_{c}"])
         for c in cols
     ]
-    return df.sparkSession.createDataFrame(
+    from pybabe_spark.operators._util import local_rows_df
+
+    # VALUES-literal LocalRelation: the per-column result is a handful
+    # of driver rows; createDataFrame would hand every consumer action
+    # a defaultParallelism-slice ExistingRDD (~0.45 s of empty python
+    # tasklets per action at local[32] — r13 measurement)
+    return local_rows_df(
+        df.sparkSession,
         out,
         "column string, n_nonnull bigint, n_distinct bigint, "
         "min_num double, max_num double",

@@ -274,8 +274,10 @@ def pca_fit(
         "component int, eigenvalue double, explained_ppm bigint,"
         " cum_explained_ppm bigint"
     )
+    from pybabe_spark.operators._util import local_rows_df
+
     if cov is None:
-        return spark.createDataFrame([], schema)
+        return local_rows_df(spark, [], schema)
     vals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(vals.sum())
     rows = []
@@ -285,4 +287,6 @@ def pca_fit(
         ppm = int(ev * 1e6 // total) if total > 0 else None
         cum = (cum + ppm) if ppm is not None else None
         rows.append((c, round(ev, 6), ppm, cum))
-    return spark.createDataFrame(rows, schema)
+    # VALUES-literal LocalRelation — consumer actions skip the
+    # ExistingRDD tasklet wave (see _util.local_rows_df)
+    return local_rows_df(spark, rows, schema)

@@ -149,10 +149,16 @@ def transpose(df: DataFrame, row_limit: int = 10_000) -> DataFrame:
     out = out.astype(object).where(out.notna(), None)
     # explicit all-string schema: inference would fail (Arrow off) or
     # produce an unusable void column (Arrow on) for an input row whose
-    # cells are all NULL
-    from pyspark.sql.types import StringType, StructField, StructType
+    # cells are all NULL. VALUES-literal LocalRelation — consumer
+    # actions skip the ExistingRDD tasklet wave (_util.local_rows_df);
+    # the row-limit guard above keeps the literal tiny.
+    from pybabe_spark.operators._util import local_rows_df
 
-    schema = StructType(
-        [StructField(str(c), StringType(), True) for c in out.columns]
+    schema = ", ".join(
+        "`{}` string".format(str(c).replace("`", "``")) for c in out.columns
     )
-    return df.sparkSession.createDataFrame(out, schema=schema)
+    rows = [
+        tuple(None if v is None else str(v) for v in r)
+        for r in out.itertuples(index=False, name=None)
+    ]
+    return local_rows_df(df.sparkSession, rows, schema)

@@ -46,6 +46,14 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     items_row = df.stat.freqItems([col], support).collect()[0]
     items = items_row[f"{col}_freqItems"]
     spark = df.sparkSession
+    typ = df.schema[col].dataType.simpleString()
+    if typ in ("string", "int", "bigint", "smallint", "tinyint",
+               "double", "boolean") or typ.startswith("decimal"):
+        # VALUES-literal LocalRelation for the flat types — consumer
+        # actions skip the ExistingRDD tasklet wave (_util.local_rows_df)
+        from pybabe_spark.operators._util import local_rows_df
+
+        return local_rows_df(spark, [(i,) for i in items], f"{col} {typ}")
     return spark.createDataFrame(
         [(i,) for i in items], df.select(col).schema
     )
@@ -2265,8 +2273,19 @@ def _pair_rank2(
         conds = [F.col("__b") == F.col("__b2")] + [
             F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys
         ]
+        # offs is bounded by (groups × buckets) rows — a per-(group,
+        # cell) total, never data-sized. Unhinted, Catalyst cannot
+        # estimate a window's output and planned a SortMergeJoin here
+        # (2 Exchanges + 2 Sorts per rank pass, ×2 passes in spearman —
+        # the r13 plan audit's dominant shape); the hint makes it the
+        # BroadcastHashJoin the size bound justifies for the bounded
+        # group domains the grouped-stats operators target (flags,
+        # languages, statuses — ≤10⁴ groups ⟹ ≤10⁷ offset rows of two
+        # bigints). A genuinely unbounded by-domain would need the
+        # shuffle join back — remove the hint at that call site, not
+        # here.
         cum_in = j.join(
-            offr, reduce(lambda a, b: a & b, conds)
+            F.broadcast(offr), reduce(lambda a, b: a & b, conds)
         ).drop("__b2", *[f"__k_{k}" for k in keys])
     else:
         bounded = btot.limit(buckets)
@@ -3538,6 +3557,94 @@ def _kw_core_rolled(df: DataFrame, group_col: str, value_col: str):
         .cast("decimal(38,0)")
         .alias("__ties"),
     )
+
+
+def _kw_core_rows(df: DataFrame, group_col: str, value_col: str):
+    """:func:`_kw_core_rolled` ``.collect()``, restructured as THREE
+    bounded driver actions instead of one action over a plan whose
+    branch fan schedules 13 local jobs / 32 stages (measured at sf0.1:
+    the rolled collect costs ~3.3-5 s of which nearly all is the
+    local-scheduler floor of those jobs, not compute).
+
+    The de-globalized cumulative needs three in-plan attaches — the
+    1-row global (lo, hi) range, and the ≤``buckets``-row cell-total
+    prefix offsets — and every attach is a broadcast-build job plus
+    duplicated grain subtrees in the plan. All three attach inputs are
+    BOUNDED by construction (1 row; ≤1024 cells), so they collect
+    driver-side and re-enter the plan as exact integer literals /
+    a VALUES-literal LocalRelation (``local_rows_df``): action 1 fills
+    the lazy-persisted (value, group) count grain and returns (lo,
+    hi); action 2 reads the pinned grain for the ≤1024 cell totals
+    (the Python prefix sum over sorted cells is the same exact integer
+    arithmetic as the in-plan bucket-prefix self-join); action 3 runs
+    the identical RANGE-frame midrank windows + per-group aggregate
+    and returns the ≤k group rows. Arithmetic is unchanged term for
+    term — same cents lift, same cell formula, same ``2·cum_<(v) +
+    n_v + 1`` integral midranks, same DECIMAL(38,0) sums — so the
+    rows are value-identical to the rolled core's.
+    """
+    buckets = 1024
+    from pybabe_spark.operators._util import lazy_persist, local_rows_df
+
+    ok = F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    x = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    cnt = lazy_persist(
+        df.filter(ok)
+        .groupBy(x.alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rng = cnt.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    ).collect()[0]
+    lo, hi = rng["__lo"], rng["__hi"]
+    if lo is None:
+        return []
+    b_expr = F.expr(
+        f"CAST((CAST(__v AS DECIMAL(38,0)) - CAST({lo} AS BIGINT))"
+        f" * {buckets} div (CAST({hi} AS BIGINT)"
+        f" - CAST({lo} AS BIGINT) + 1) AS BIGINT)"
+    )
+    cells = cnt.groupBy(b_expr.alias("__b")).agg(
+        F.sum("__c").alias("__bnv")
+    ).collect()  # ≤ buckets rows: __b < buckets by construction
+    cells.sort(key=lambda r: r["__b"])
+    offs_rows, acc = [], 0
+    for r in cells:
+        offs_rows.append((r["__b"], acc))
+        acc += r["__bnv"]
+    offs = local_rows_df(
+        df.sparkSession, offs_rows, "__b bigint, __off bigint"
+    )
+    j = cnt.withColumn("__b", b_expr).join(F.broadcast(offs), ["__b"])
+    wv = Window.partitionBy("__b").orderBy(F.col("__v").asc())
+    cum_lt = F.coalesce(
+        F.sum("__c").over(wv.rangeBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    n_v = F.sum("__c").over(wv.rangeBetween(0, 0))
+    enriched = j.select(
+        "__v",
+        "__g",
+        "__c",
+        (2 * (F.col("__off") + cum_lt) + n_v + 1).alias("__r2"),
+        n_v.alias("__nv"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return enriched.groupBy("__g").agg(
+        F.sum("__c").alias("__ng"),
+        F.sum(d(F.col("__c")) * F.col("__r2"))
+        .cast("decimal(38,0)")
+        .alias("__rs2"),
+        F.coalesce(
+            F.sum(
+                d(F.col("__c"))
+                * (d(F.col("__nv")) * F.col("__nv") - F.lit(1))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__ties"),
+    ).collect()
 
 
 def _kw_tie_sum(vtot: DataFrame) -> DataFrame:

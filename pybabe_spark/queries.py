@@ -527,9 +527,11 @@ def q_primary_key_detect(spark, sf_dir):
     pass — the oracle re-derives the same answer with exact SQL."""
     from pybabe_spark.operators.infra import primary_key_detect
 
+    from pybabe_spark.operators._util import local_rows_df
+
     orders = read_table(spark, sf_dir, "orders")
     pk = primary_key_detect(orders)
-    return spark.createDataFrame([(pk,)], "pk string")
+    return local_rows_df(spark, [(pk,)], "pk string")
 
 
 # ---------------------------------------------------------------------------

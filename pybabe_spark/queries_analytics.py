@@ -3916,9 +3916,8 @@ _KW_CORE_MEMO: "_weakref.WeakKeyDictionary" = (
 
 
 def _kw_core(spark, sf_dir):
-    from pyspark.sql import types as T
-
-    from pybabe_spark.operators.sketch import _kw_core_rolled
+    from pybabe_spark.operators._util import local_rows_df
+    from pybabe_spark.operators.sketch import _kw_core_rows
 
     try:
         per_session = _KW_CORE_MEMO.get(spark)
@@ -3931,22 +3930,19 @@ def _kw_core(spark, sf_dir):
     if hit is not None:
         return hit
     li = read_table(spark, sf_dir, "lineitem")
-    # ONE driver action: groupBy(__g) carries the per-group rank sums
-    # AND a per-group tie partial; the driver sums the ≤k partials for
-    # the exact global tie mass (r12 paid three jobs here — tie
-    # collect, per-group collect, and the lazy_persist build the first
-    # of them triggered; r13 also dropped the rollup Expand that
-    # doubled the agg input for the grand-total row). The collect is
-    # bounded: one row per return flag (3). The core is rebuilt as
-    # driver-local DataFrames with the exact decimal schema preserved,
-    # so memo hits cost zero cluster work.
-    rolled = _kw_core_rolled(li, "l_returnflag", "l_extendedprice")
-    rows = rolled.collect()
-    fields = {f.name: f for f in rolled.schema.fields}
-    pg_schema = T.StructType(
-        [fields["__g"], fields["__ng"], fields["__rs2"]]
-    )
-    ties_schema = T.StructType([fields["__ties"]])
+    # THREE bounded driver actions (1-row range, ≤1024-cell totals, ≤k
+    # group rows — sketch.py::_kw_core_rows): the r13 optimization pass
+    # measured the old single-action rolled core at 13 local jobs / 32
+    # stages (~3.3-5 s of scheduler floor at sf0.1) because every
+    # in-plan attach of its bounded side tables was a broadcast-build
+    # job over a duplicated grain subtree; collecting those bounded
+    # tables and re-entering them as literals cuts the build to 3 jobs
+    # with identical integer arithmetic. The core is rebuilt as
+    # VALUES-literal LocalRelations (exact decimal schema, repr-exact
+    # values), so memo hits cost zero cluster work and every consumer
+    # action skips the ExistingRDD 32-tasklet wave createDataFrame
+    # would schedule.
+    rows = _kw_core_rows(li, "l_returnflag", "l_extendedprice")
     pg_rows = [(r["__g"], r["__ng"], r["__rs2"]) for r in rows]
     # empty grain yields zero group rows; the non-memo path's global
     # agg still returns its 1-row zero — keep the paths identical
@@ -3955,8 +3951,10 @@ def _kw_core(spark, sf_dir):
             sum((r["__ties"] for r in rows), _decimal.Decimal(0)),
         )
     ]
-    pg_local = spark.createDataFrame(pg_rows, schema=pg_schema)
-    ties_local = spark.createDataFrame(ties_rows, schema=ties_schema)
+    pg_local = local_rows_df(
+        spark, pg_rows, "__g string, __ng bigint, __rs2 decimal(38,0)"
+    )
+    ties_local = local_rows_df(spark, ties_rows, "__ties decimal(38,0)")
     core = (pg_local, ties_local)
     per_session[sf_dir] = core
     return core
