@@ -232,12 +232,15 @@ def fuzzy_connectivity_pairs(
     )
     pk = s.select("s", F.explode(positional_deletion_keys("s")).alias("k"))
     # star per bucket: min string → member (one shuffle on the bucket
-    # key; singleton buckets emit nothing)
+    # key; singleton buckets emit nothing). No _spread here (r13): the
+    # window's own hash exchange on k supplies the parallelism — a
+    # round-robin repartition immediately before it was a second full
+    # exchange of the key table that the window then re-shuffled.
     from pyspark.sql import Window
 
     wb = Window.partitionBy("k")
     subst = (
-        _spread(pk, quadratic=True)
+        pk
         .withColumn("m", F.min("s").over(wb))
         .filter(F.col("s") != F.col("m"))
         .select(F.col("m").alias("s1"), F.col("s").alias("s2"))
@@ -246,8 +249,13 @@ def fuzzy_connectivity_pairs(
     dk = s.select(
         "s", F.explode(deletion_keys("s", 1)).alias("k")
     ).filter(F.length("k") < F.length("s"))
+    # no _spread (r13): the probe side is a cheap explode over the
+    # pinned distinct-string cache and the branch ends in a distinct
+    # shuffle — the repartition bought no parallel work, only an
+    # extra exchange (confirm-free branch; the levenshtein-confirm
+    # paths in fuzzy_string_pairs keep theirs)
     insdel = (
-        _spread(dk, quadratic=True)
+        dk
         .alias("a")
         .join(s.alias("b"), F.col("a.k") == F.col("b.s"))
         .select(
