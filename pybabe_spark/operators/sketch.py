@@ -1088,18 +1088,41 @@ def weighted_quantiles(
         .groupBy(*keys, "__v")
         .agg(F.sum(F.col("__w").cast("decimal(38,0)")).alias("__w"))
     )
-    rng = base.agg(
+    # r13: the 1-row global range collects driver-side and re-enters
+    # as exact bigint literals — removes the BroadcastNestedLoopJoin
+    # attach and the duplicated grain subtree under the range branch
+    # (one bounded action; the cache fill it triggers was paid by the
+    # first action anyway). A FULL bounded-collect of the target/pick
+    # tables was A/B-tested and rejected: the in-plan broadcast builds
+    # execute concurrently under AQE, so serializing them into
+    # driver actions was a wash at best (1.32 → 1.50 s measured).
+    rng_row = base.agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-    )
+    ).collect()[0]
+    lo, hi = rng_row["__lo"], rng_row["__hi"]
+    if lo is None:
+        # empty input: no group reaches the dig — empty output, same
+        # as the attach path's (its NULL-cell join matches nothing)
+        from pybabe_spark.operators._util import local_rows_df
+
+        esc = (by or "").replace("`", "``")
+        by_typ = df.schema[by].dataType.simpleString() if by else None
+        return local_rows_df(
+            df.sparkSession,
+            [],
+            (f"`{esc}` {by_typ}, " if by else "")
+            + "prob double, value double",
+        )
     # equal-width cell of the GLOBAL range, in [0, buckets-1];
     # decimal math — (v - lo) * buckets can overflow bigint cents
-    j = attach_scalars(base, rng).withColumn(
+    j = base.withColumn(
         "__b",
         F.expr(
-            f"CAST((CAST(__v AS DECIMAL(38,0)) - __lo) * {buckets}"
-            " div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - CAST({lo} AS BIGINT))"
+            f" * {buckets} div (CAST({hi} AS BIGINT)"
+            f" - CAST({lo} AS BIGINT) + 1) AS BIGINT)"
         ),
-    ).drop("__lo", "__hi")
+    )
     btot = j.groupBy(*keys, "__b").agg(
         F.sum("__w").cast("decimal(38,0)").alias("__bt")
     )
@@ -6816,6 +6839,150 @@ def wasserstein_1d_sql(
     """
 
 
+def _conformal_collected_finish(base, keys, by, by_typ, cov_ppm, buckets):
+    """Bounded-collect execution of :func:`conformal_threshold` — the
+    weighted_quantiles bounded-collect discipline applied to the count-
+    weighted rank dig: three bounded driver actions, exact literal
+    re-entry, identical integer arithmetic."""
+    from pybabe_spark.operators._util import attach_scalars, local_rows_df
+
+    spark = base.sparkSession
+    zero = F.lit(0).cast("decimal(38,0)")
+    esc = (by or "").replace("`", "``")
+    out_schema = (
+        (f"`{esc}` {by_typ}, " if by else "")
+        + "n bigint, k bigint, threshold double"
+    )
+    rng = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    ).collect()[0]
+    lo, hi = rng["__lo"], rng["__hi"]
+    if lo is None:
+        if by:
+            return local_rows_df(spark, [], out_schema)
+        # unkeyed empty input: targets still aggregates the empty offs
+        # table to one all-NULL row in the in-plan shape — reproduce it
+        return local_rows_df(spark, [(None, None, None)], out_schema)
+    j = base.withColumn(
+        "__b",
+        F.expr(
+            f"CAST((CAST(__v AS DECIMAL(38,0)) - CAST({lo} AS BIGINT))"
+            f" * {buckets} div (CAST({hi} AS BIGINT)"
+            f" - CAST({lo} AS BIGINT) + 1) AS BIGINT)"
+        ),
+    )
+    btot = j.groupBy(*keys, "__b").agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__bt")
+    )
+    if keys:
+        wb = Window.partitionBy(*keys).orderBy(F.col("__b").asc())
+        offs = btot.select(
+            *keys,
+            "__b",
+            F.coalesce(
+                F.sum("__bt").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                zero,
+            ).alias("__off"),
+            "__bt",
+            F.sum("__bt")
+            .over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__tot"),
+        )
+    else:
+        bounded = btot.limit(buckets)  # __b < buckets by construction
+        a, b = bounded.alias("a"), bounded.alias("b")
+        offs = attach_scalars(
+            a.join(b, F.col("b.__b") < F.col("a.__b"), "left")
+            .groupBy(
+                F.col("a.__b").alias("__b"), F.col("a.__bt").alias("__bt")
+            )
+            .agg(F.coalesce(F.sum("b.__bt"), zero).alias("__off"))
+            .select("__b", "__off", "__bt"),
+            bounded.agg(F.sum("__bt").alias("__tot")),
+        )
+    k_expr = F.expr(
+        f"CAST(((__tot + 1) * {cov_ppm} + 999999) div 1000000"
+        " AS DECIMAL(38,0))"
+    )
+    targets = (
+        offs.withColumn("__k", k_expr)
+        .groupBy(*keys)
+        .agg(
+            F.max("__tot").cast("decimal(38,0)").alias("__tot"),
+            F.max("__k").alias("__k"),
+            F.min(
+                F.when(
+                    F.col("__off") + F.col("__bt") >= F.col("__k"),
+                    F.col("__b"),
+                )
+            ).alias("__tb"),
+            F.min(
+                F.when(
+                    F.col("__off") + F.col("__bt") >= F.col("__k"),
+                    F.col("__off"),
+                )
+            ).alias("__toff"),
+        )
+        .collect()
+    )  # one row per group — the output grain
+    t_rows = [
+        ((r[by],) if by else ())
+        + (r["__tot"], r["__k"], r["__tb"], r["__toff"])
+        for r in targets
+        if r["__tb"] is not None  # k > n: nothing to dig; the group
+        # still reports (n, k, NULL) from the targets row below
+    ]
+    tr = local_rows_df(
+        spark,
+        t_rows,
+        (("__gk " + by_typ + ", ") if by else "")
+        + "__tot decimal(38,0), __k decimal(38,0), __tb bigint,"
+        " __toff decimal(38,0)",
+    )
+    cond = F.col("__b") == F.col("__tb")
+    if by:
+        cond = F.col(by).eqNullSafe(F.col("__gk")) & cond
+    cand = j.join(F.broadcast(tr), cond)
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    cum = cand.withColumn(
+        "__cum",
+        F.col("__toff")
+        + F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    picked = cum.groupBy(*keys, "__k").agg(
+        F.min(
+            F.when(F.col("__cum") >= F.col("__k"), F.col("__v"))
+        ).alias("__q")
+    ).collect()  # ≤ one row per group
+    qs = {
+        (r[by] if by else None): r["__q"] for r in picked
+    }
+    rows = []
+    for r in targets:
+        g = r[by] if by else None
+        tot, k = r["__tot"], r["__k"]
+        q = qs.get(g)
+        rows.append(
+            ((g,) if by else ())
+            + (
+                None if tot is None else int(tot),
+                None if k is None else int(k),
+                # same IEEE division the in-plan finish ran
+                (q / 100)
+                if (k is not None and tot is not None
+                    and k <= tot and q is not None)
+                else None,
+            )
+        )
+    return local_rows_df(spark, rows, out_schema)
+
+
 def conformal_threshold(
     df: DataFrame,
     score_col: str,
@@ -6861,6 +7028,18 @@ def conformal_threshold(
         .groupBy(*keys, "__v")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
     )
+    # r13 bounded-collect finish — the weighted_quantiles surgery
+    # (_conformal_collected_finish): range, per-group targets and
+    # per-group picks are all output-bounded, so they collect and
+    # re-enter as exact literals (14 in-plan jobs → 3 actions).
+    by_typ = df.schema[by].dataType.simpleString() if by else None
+    literal_ok = by is None or by_typ in (
+        "string", "int", "bigint", "smallint", "tinyint", "boolean"
+    ) or (by_typ or "").startswith("decimal")
+    if literal_ok:
+        return _conformal_collected_finish(
+            base, keys, by, by_typ, cov_ppm, buckets
+        )
     rng = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     j = attach_scalars(base, rng).withColumn(
         "__b",
