@@ -63,6 +63,11 @@ def _sql_lit(v, typ: str) -> str:
     if t.startswith("decimal"):
         # exact: v must already be a Decimal/str/int on the target grid
         return f"CAST('{v}' AS {typ})"
+    if t.startswith("array<") and t.endswith(">"):
+        inner = typ[6:-1]
+        if len(v) == 0:
+            return f"CAST(ARRAY() AS {typ})"
+        return "ARRAY(" + ", ".join(_sql_lit(x, inner) for x in v) + ")"
     raise ValueError(f"local_rows_df: unsupported type {typ!r}")
 
 
@@ -128,6 +133,18 @@ def local_rows_df(spark, rows, schema: str):
     )
     cols = ", ".join(names)
     return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({cols})")
+
+
+def local_or_create_df(spark, rows, schema: str):
+    """:func:`local_rows_df` with a ``createDataFrame`` fallback for
+    value/type combinations the VALUES renderer does not support —
+    callers with a schema that is USUALLY flat/exact (ids, vectors,
+    decimal tables) get the LocalRelation fast path without losing
+    generality."""
+    try:
+        return local_rows_df(spark, rows, schema)
+    except (ValueError, TypeError):
+        return spark.createDataFrame(rows, schema)
 
 
 #: DataFrames persisted by operators through lazy_persist — a release

@@ -56,12 +56,19 @@ def train_naive_bayes(
     text_col: str = "text",
 ) -> NaiveBayesModel:
     """Count-train add-one multinomial NB. NULL labels are excluded."""
+    from pybabe_spark.operators._util import lazy_persist
+
     toks = docs.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"),
         F.explode(_word_array(text_col)).alias("w"),
     )
-    tok_counts = toks.groupBy("label", "w").agg(
-        F.count(F.lit(1)).alias("c")
+    # the (label, word) count grain feeds three branches (totals,
+    # vocab, token_logp) and several of them materialize as separate
+    # AQE broadcast-build jobs — unpinned, every build re-ran the text
+    # explode + count shuffle (20 local jobs measured for the
+    # train+predict pipeline at sf0.1)
+    tok_counts = lazy_persist(
+        toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
     )
     totals = tok_counts.groupBy("label").agg(
         F.sum("c").alias("t")
@@ -110,9 +117,16 @@ def nb_predict(
     """Per-document argmax class: ``(id, label, score, n_tokens)``.
     ``score`` is the exact DECIMAL(28,6) log-posterior (as double);
     ties break to the smallest label."""
-    toks = docs.select(
-        F.col(id_col), F.explode(_word_array(text_col)).alias("w")
-    ).groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
+    from pybabe_spark.operators._util import lazy_persist
+
+    # (id, word) grain feeds the seen-scores join AND the token totals
+    # — pin it so the second branch reads the grain instead of
+    # re-running the explode + count shuffle
+    toks = lazy_persist(
+        docs.select(
+            F.col(id_col), F.explode(_word_array(text_col)).alias("w")
+        ).groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
+    )
     seen = (
         toks.join(model.token_logp, "w")
         .groupBy(id_col, "label")

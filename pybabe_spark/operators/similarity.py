@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pybabe_spark.operators._util import local_or_create_df
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -497,7 +499,8 @@ def ann_lsh_stored(
         F.col("bucket").alias("__bucket"),
     )
     q = F.broadcast(
-        spark.createDataFrame(
+        local_or_create_df(
+            spark,
             [(qid, vec, b) for qid, vec, b in pairs],
             f"query_id {_id_type(queries, id_col)}, "
             "__qvec array<double>, __bucket int",
@@ -613,7 +616,8 @@ def ann_ivf(
         cell_of(F.col(vec_col)).alias("__cell"),
     )
     q = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_or_create_df(
+            corpus.sparkSession,
             pairs,
             f"query_id {_id_type(queries, id_col)}, "
             "__qvec array<double>, __cell int",
@@ -836,8 +840,10 @@ def ann_ivf_stored(
         F.col("cell").alias("__cell"),
     )
     q = F.broadcast(
-        queries.sparkSession.createDataFrame(
-            probe_pairs, f"query_id {_id_type(queries, id_col)}, __cell int"
+        local_or_create_df(
+            queries.sparkSession,
+            probe_pairs,
+            f"query_id {_id_type(queries, id_col)}, __cell int",
         ).join(
             queries.select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -923,7 +929,8 @@ def semantic_dedup(
         seed_rows = scorable.orderBy("__id").limit(k_clusters).collect()
         seed_vecs = [list(r["__vn"]) for r in seed_rows]
     seeds = F.broadcast(
-        df.sparkSession.createDataFrame(
+        local_or_create_df(
+            df.sparkSession,
             [(i, v) for i, v in enumerate(seed_vecs)],
             "__cell int, __cv array<double>",
         )
@@ -1250,7 +1257,8 @@ def ann_pq(
     qrows = _collect_query_rows(queries, id_col, vec_col)
     tables = _adc_query_tables(qrows, C, id_col, vec_col)
     q = F.broadcast(
-        queries.sparkSession.createDataFrame(
+        local_or_create_df(
+            queries.sparkSession,
             [(r[id_col], tbl) for r, tbl in zip(qrows, tables)],
             f"query_id {_id_type(queries, id_col)}, "
             "__tbl array<array<decimal(18,6)>>",
@@ -1344,7 +1352,8 @@ def ann_ivfpq(
     # folding the table into the pair rows would replicate it ×nprobe
     id_t = _id_type(queries, id_col)
     q_cells = F.broadcast(
-        queries.sparkSession.createDataFrame(
+        local_or_create_df(
+            queries.sparkSession,
             [
                 (r[id_col], int(cell))
                 for r, cells in zip(qrows, order)
@@ -1354,7 +1363,8 @@ def ann_ivfpq(
         )
     )
     q_tbl = F.broadcast(
-        queries.sparkSession.createDataFrame(
+        local_or_create_df(
+            queries.sparkSession,
             [(r[id_col], tbl) for r, tbl in zip(qrows, tables)],
             f"query_id {id_t}, __tbl array<array<decimal(18,6)>>",
         )

@@ -40,20 +40,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce with parallelism-first (the Spark default, restored in
-        # the r13 optimization round): with parallelismFirst=false every
-        # sub-64MB shuffle collapsed to ONE partition, serializing every
-        # mid-size compute stage (a 594k-row/15MB rank grain ran its
-        # window, cache fill and aggregates single-task on a 32-core
-        # box — measured 2-3× slower per stage). parallelism-first still
-        # collapses genuinely tiny shuffles (minPartitionSize 1MB floor
-        # keeps a 100KB shuffle at one task — no empty-tasklet waves),
-        # but lets a 15MB shuffle fan to ~15 tasks. At 100 TB every
-        # shuffle is far above the advisory size, so both settings plan
-        # identically there; this only changes the small-shuffle regime.
+        # Respect the size target when coalescing instead of pinning the
+        # partition count to core count ("parallelismFirst"): reduce-side
+        # partition counts then derive from DATA VOLUME — a tiny shuffle
+        # collapses to one task instead of a 32-task wave of empty
+        # tasklets, and at 100 TB every shuffle is far above the advisory
+        # size so the setting only removes sub-64MB reduce tasks.
+        # r13 A/B (kept false, now env-overridable): parallelism-first
+        # (the Spark default) was trialled — it parallelizes mid-size
+        # compute stages (kruskal core 3.5→2.2 s steady,
+        # quantiles_orders_by_status 1.61→0.93 s) but REGRESSES every
+        # many-stage plan by multiplying task-scheduling overhead
+        # (jonckheere 0.88→6.0 s, near_dedup_against 1.09→2.98 s,
+        # nemenyi 0.97→2.20 s in matched 7-key chunks). The suite wants
+        # size-based coalescing plus TARGETED repartitions where a
+        # narrow input feeds a genuinely expensive stage — which is
+        # exactly what operators do via similarity._spread.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
