@@ -56,19 +56,23 @@ def train_naive_bayes(
     text_col: str = "text",
 ) -> NaiveBayesModel:
     """Count-train add-one multinomial NB. NULL labels are excluded."""
-    from pybabe_spark.operators._util import lazy_persist
-
     toks = docs.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"),
         F.explode(_word_array(text_col)).alias("w"),
     )
-    # the (label, word) count grain feeds three branches (totals,
-    # vocab, token_logp) and several of them materialize as separate
-    # AQE broadcast-build jobs — unpinned, every build re-ran the text
-    # explode + count shuffle (20 local jobs measured for the
-    # train+predict pipeline at sf0.1)
-    tok_counts = lazy_persist(
-        toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    # The (label, word) count grain feeds three branches (totals,
+    # vocab, token_logp). r13 pinned it (and the predict grain) with
+    # lazy_persist to stop AQE broadcast-build jobs re-running the
+    # explode+count — but the pins REGRESSED the bench 1.07→6.17 s
+    # driver-measured (r13 verdict #1): the cache-fill's full task
+    # waves over the word grains cost more than the recomputation they
+    # saved, and got WORSE with more cores (8-core ran 2× faster than
+    # 32-core). r14 A/B: unpinned 1.9→1.0 s at matched calib. The
+    # recomputed subtrees are map-combinable aggregations AQE builds
+    # concurrently — the wq lesson (don't serialize concurrent
+    # builds) applied to caching.
+    tok_counts = toks.groupBy("label", "w").agg(
+        F.count(F.lit(1)).alias("c")
     )
     totals = tok_counts.groupBy("label").agg(
         F.sum("c").alias("t")
@@ -117,16 +121,12 @@ def nb_predict(
     """Per-document argmax class: ``(id, label, score, n_tokens)``.
     ``score`` is the exact DECIMAL(28,6) log-posterior (as double);
     ties break to the smallest label."""
-    from pybabe_spark.operators._util import lazy_persist
-
-    # (id, word) grain feeds the seen-scores join AND the token totals
-    # — pin it so the second branch reads the grain instead of
-    # re-running the explode + count shuffle
-    toks = lazy_persist(
-        docs.select(
-            F.col(id_col), F.explode(_word_array(text_col)).alias("w")
-        ).groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
-    )
+    # (id, word) grain feeds the seen-scores join AND the token totals.
+    # Deliberately UNPINNED (see train_naive_bayes): the r13
+    # lazy_persist here was the round's one measured regression.
+    toks = docs.select(
+        F.col(id_col), F.explode(_word_array(text_col)).alias("w")
+    ).groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
     seen = (
         toks.join(model.token_logp, "w")
         .groupBy(id_col, "label")
