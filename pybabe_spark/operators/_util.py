@@ -140,10 +140,15 @@ def local_or_create_df(spark, rows, schema: str):
     value/type combinations the VALUES renderer does not support —
     callers with a schema that is USUALLY flat/exact (ids, vectors,
     decimal tables) get the LocalRelation fast path without losing
-    generality."""
+    generality. Besides renderer rejections (ValueError/TypeError),
+    parser rejections of awkward-but-legal identifiers (empty or
+    otherwise unparseable names raise ParseException from the VALUES
+    alias) also fall back."""
+    from pyspark.errors import PySparkException
+
     try:
         return local_rows_df(spark, rows, schema)
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, PySparkException):
         return spark.createDataFrame(rows, schema)
 
 

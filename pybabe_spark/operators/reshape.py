@@ -151,14 +151,29 @@ def transpose(df: DataFrame, row_limit: int = 10_000) -> DataFrame:
     # produce an unusable void column (Arrow on) for an input row whose
     # cells are all NULL. VALUES-literal LocalRelation — consumer
     # actions skip the ExistingRDD tasklet wave (_util.local_rows_df);
-    # the row-limit guard above keeps the literal tiny.
+    # the row-limit guard above keeps the literal tiny. Column names are
+    # DATA VALUES here: an empty-string key cell makes an empty backtick
+    # identifier the VALUES-alias parser rejects (and duplicate key
+    # values make duplicate names) — those fall back to createDataFrame
+    # with an explicit StructType, which accepts both.
     from pybabe_spark.operators._util import local_rows_df
 
-    schema = ", ".join(
-        "`{}` string".format(str(c).replace("`", "``")) for c in out.columns
-    )
     rows = [
         tuple(None if v is None else str(v) for v in r)
         for r in out.itertuples(index=False, name=None)
     ]
-    return local_rows_df(df.sparkSession, rows, schema)
+    names = [str(c) for c in out.columns]
+    if all(names) and len(set(names)) == len(names):
+        schema = ", ".join(
+            "`{}` string".format(c.replace("`", "``")) for c in names
+        )
+        from pyspark.errors import PySparkException
+
+        try:
+            return local_rows_df(df.sparkSession, rows, schema)
+        except (ValueError, TypeError, PySparkException):
+            pass
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    st = StructType([StructField(c, StringType()) for c in names])
+    return df.sparkSession.createDataFrame(rows, st)

@@ -50,10 +50,22 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     if typ in ("string", "int", "bigint", "smallint", "tinyint",
                "double", "boolean") or typ.startswith("decimal"):
         # VALUES-literal LocalRelation for the flat types — consumer
-        # actions skip the ExistingRDD tasklet wave (_util.local_rows_df)
+        # actions skip the ExistingRDD tasklet wave (_util.local_rows_df).
+        # The name is backtick-quoted (`` escapes a literal backtick) so
+        # legal-but-awkward column names — spaces, hyphens, backticks —
+        # survive the DDL split and the VALUES alias; anything the
+        # renderer still rejects falls through to createDataFrame.
         from pybabe_spark.operators._util import local_rows_df
 
-        return local_rows_df(spark, [(i,) for i in items], f"{col} {typ}")
+        from pyspark.errors import PySparkException
+
+        qcol = "`" + col.replace("`", "``") + "`"
+        try:
+            return local_rows_df(
+                spark, [(i,) for i in items], f"{qcol} {typ}"
+            )
+        except (ValueError, TypeError, PySparkException):
+            pass  # e.g. an empty/unparseable identifier: ParseException
     return spark.createDataFrame(
         [(i,) for i in items], df.select(col).schema
     )
@@ -1064,6 +1076,11 @@ def weighted_quantiles(
     GLOBAL range: a group concentrated in a narrow value slice
     degrades toward the old per-group funnel for THAT group only,
     and is never worse; raise ``buckets`` to tighten.
+
+    EAGER (r13): construction runs one bounded driver action (the
+    1-row global range collect) — calling this triggers cluster jobs
+    and surfaces data errors immediately, not at the caller's first
+    action.
     """
     if not probs:
         raise ValueError("weighted_quantiles: empty probs")
@@ -2254,6 +2271,7 @@ def _pair_rank2(
     col: str,
     out: str,
     buckets: int = 1024,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Append ``out`` = TWICE the average tie-rank of ``col`` within
     its group (2·rank keeps half-ranks integral — ties average to
@@ -2304,11 +2322,12 @@ def _pair_rank2(
         # BroadcastHashJoin the size bound justifies for the bounded
         # group domains the grouped-stats operators target (flags,
         # languages, statuses — ≤10⁴ groups ⟹ ≤10⁷ offset rows of two
-        # bigints). A genuinely unbounded by-domain would need the
-        # shuffle join back — remove the hint at that call site, not
-        # here.
+        # bigints). A genuinely unbounded by-domain needs the shuffle
+        # join back — callers pass ``broadcast_offsets=False`` and the
+        # planner keeps its own (sort-merge) choice.
+        offj = F.broadcast(offr) if broadcast_offsets else offr
         cum_in = j.join(
-            F.broadcast(offr), reduce(lambda a, b: a & b, conds)
+            offj, reduce(lambda a, b: a & b, conds)
         ).drop("__b2", *[f"__k_{k}" for k in keys])
     else:
         bounded = btot.limit(buckets)
@@ -2336,6 +2355,7 @@ def spearman_corr(
     y_col: str,
     by: str | None = None,
     buckets: int = 1024,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Spearman rank correlation per group — ``(group?, n, rho)`` —
     the monotone-association measure Pearson (``corr_matrix``)
@@ -2358,6 +2378,11 @@ def spearman_corr(
     tables and their two (group, value)-keyed shuffle joins back to
     the row grain are gone; then ONE map-combinable weighted moment
     aggregation. No global window, no all-pairs.
+
+    ``broadcast_offsets`` (default True) broadcast-hints the bounded
+    (group × 1024-cell) offsets table into the rank joins; pass False
+    for a genuinely unbounded ``by`` domain (≥ ~10⁵ groups) so the
+    planner keeps a shuffle join instead of building a giant broadcast.
     """
     keys = [by] if by else []
     cx = (F.col(x_col).cast("decimal(18,2)") * 100).cast("bigint")
@@ -2379,11 +2404,16 @@ def spearman_corr(
     # the first pass's output is the second pass's fan root — pin it
     # too, or the y-pass branches re-run the x-pass window each
     ranked = _pair_rank2(
-        lazy_persist(_pair_rank2(pair, keys, "__x", "__rx", buckets)),
+        lazy_persist(
+            _pair_rank2(
+                pair, keys, "__x", "__rx", buckets, broadcast_offsets
+            )
+        ),
         keys,
         "__y",
         "__ry",
         buckets,
+        broadcast_offsets,
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = ranked.groupBy(*keys).agg(
@@ -3730,6 +3760,11 @@ def kruskal_wallis(
     (the post-hoc test ALWAYS follows KW on identical inputs —
     recomputing the ranks would double the pipeline's dominant stage
     for no information).
+
+    EAGER (r13): construction runs the bounded-collect rank core
+    (three driver actions: range, cell totals, group rows) — calling
+    this triggers cluster jobs and surfaces data errors immediately,
+    not at the caller's first action.
     """
     from pybabe_spark.operators._util import attach_scalars
 
@@ -4911,6 +4946,11 @@ def dunn_test(
     ``rank_sums`` accepts KW's precomputed ``(per_g, ties)`` pair
     (:func:`_kw_rank_sums` + :func:`_kw_tie_sum`) so the
     test-then-post-hoc pipeline ranks the corpus once, not twice.
+
+    EAGER (r13) unless ``rank_sums`` is supplied: the shared KW rank
+    core runs its bounded driver actions at construction time —
+    calling this triggers cluster jobs and surfaces data errors
+    immediately, not at the caller's first action.
     """
     if max_groups < 2:
         raise ValueError(f"dunn_test: max_groups {max_groups} < 2")
@@ -6973,8 +7013,11 @@ def _conformal_collected_finish(base, keys, by, by_typ, cov_ppm, buckets):
             + (
                 None if tot is None else int(tot),
                 None if k is None else int(k),
-                # same IEEE division the in-plan finish ran
-                (q / 100)
+                # same IEEE steps the in-plan finish ran: the bigint
+                # cents round to DOUBLE first, THEN divide (q/100 on
+                # Python ints is correctly-rounded rational division —
+                # 1 ulp off the double-then-divide path for |q| > 2^53)
+                (float(q) / 100.0)
                 if (k is not None and tot is not None
                     and k <= tot and q is not None)
                 else None,
@@ -7011,6 +7054,12 @@ def conformal_threshold(
     and totals on the bounded cell-totals table; the target cell
     resolved on that tiny table; the final cumulative walks ONLY the
     target cell's ≤1/buckets slice. No per-group funnel.
+
+    EAGER (r13): construction runs three bounded driver actions
+    (range → per-group targets → per-group picks) and returns a
+    VALUES-literal result — calling this triggers cluster jobs and
+    surfaces data errors immediately, not at the caller's first
+    action.
     """
     a_ppm = int(round(float(alpha) * 1_000_000))
     if a_ppm <= 0 or a_ppm >= 1_000_000:
