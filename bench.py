@@ -112,11 +112,20 @@ def _time_queries(names: list[str] | None, sf_dir: str) -> dict[str, float]:
                 first = dt
             best = dt if best is None else min(best, dt)
         # memo-owning keys: later runs hit the session memo, so min-of-N
-        # would hide the stage's real cost — report the FIRST timed run
-        # (still JVM-warmed by the sf0.001 pass). The memo-REUSING twin
+        # would hide the shared stage's real cost. r13 charged the owner
+        # its FIRST timed run, which made PERF read the (shared) memo
+        # fill as a per-owner regression whenever siblings' wins landed
+        # elsewhere (r13 verdict task #7). r14 accounting: the owner
+        # reports its steady state (min-of-N, like every other key) and
+        # the fill cost is its OWN additive line, "_memo_fill_<owner>"
+        # (first − best, floored at 0) — same suite total, the two
+        # components separately visible. The memo-REUSING twin
         # (golden_record) keeps min: reuse IS its steady state.
-        honest = first if name in _FIRST_RUN_KEYS else best
-        timings[name] = round(honest, 4)
+        timings[name] = round(best, 4)
+        if name in _FIRST_RUN_KEYS:
+            timings[f"_memo_fill_{name}"] = round(
+                max(first - best, 0.0), 4
+            )
     spark.stop()
     return timings
 
