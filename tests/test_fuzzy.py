@@ -240,17 +240,43 @@ def test_vocab_overlap_hand_checked(spark):
 
 def test_vocab_overlap_group_guard(spark):
     import pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import SparkRuntimeException
 
     from pybabe_spark.operators.tfidf import vocab_overlap
 
     df = spark.createDataFrame(
         [(f"s{i}", "w") for i in range(5)], "source string, text string"
     )
-    out = vocab_overlap(df, "source", "text", max_groups=3)  # lazy: no job
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
-                       match="max_groups"):
-        out.collect()
+    # r14: the bitmask path is EAGER — the bounded group-domain collect
+    # runs at construction, so the guard fires as a ValueError here,
+    # not at the caller's first action
+    with pytest.raises(ValueError, match="max_groups"):
+        vocab_overlap(df, "source", "text", max_groups=3)
     with pytest.raises(ValueError):
         vocab_overlap(df, "source", "text", max_groups=1)
+
+
+def test_vocab_overlap_bitmask_matches_join_path(spark):
+    """The r14 bitmask fast path must be value-identical to the join
+    fallback (exercised via a non-flat group type: array<string>
+    groups skip the bitmask path)."""
+    from pybabe_spark.operators.tfidf import vocab_overlap
+
+    rows = [
+        ("s1", "a b c"), ("s1", "c d"),
+        ("s2", "c d e"), ("s3", "zz"),
+        ("s2", ""), ("s4", None),  # empty text / NULL text edge rows
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    fast = {
+        tuple(r) for r in vocab_overlap(df, "source", "text").collect()
+    }
+    # same data, group wrapped in a 1-element array -> join path
+    arr = df.select(
+        F.array("source").alias("source"), "text"
+    )
+    slow = {
+        (r["source_1"][0], r["source_2"][0]) + tuple(r)[2:]
+        for r in vocab_overlap(arr, "source", "text").collect()
+    }
+    assert fast == slow
+    assert fast  # non-empty: the comparison is real
