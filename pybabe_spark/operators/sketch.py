@@ -8269,6 +8269,97 @@ def jarque_bera_sql(
 # Jonckheere–Terpstra — ordered-alternative k-sample trend test
 # ---------------------------------------------------------------------------
 
+#: bounded-collect caps for the jonckheere driver-side finish: the
+#: (group, value) grain collects when it fits these (limit-proved
+#: action); a bigger grain keeps the in-plan path, whose cache the
+#: probe collect already filled
+_JT_MAX_CELLS = 16384
+_JT_MAX_GROUPS = 256
+
+
+def _jt_finish_local(spark, rows, z_crit: float) -> "DataFrame":
+    """Driver-side finish of :func:`jonckheere_terpstra` over the
+    collected ≤ ``_JT_MAX_CELLS`` (group, value, count) grain: every
+    named sum is an exact Python integer (same formulas, same order);
+    the variance assembly and z replicate the in-plan fixed-shape IEEE
+    expression operation-for-operation (left-associated, one
+    DECIMAL(18,6) HALF_UP rounding — the gesd/mood_median house
+    pattern)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pybabe_spark.operators._util import local_rows_df
+
+    out_schema = (
+        "n bigint, k_groups bigint, jt2 bigint, z double, "
+        "trend string, significant boolean"
+    )
+    if not rows:
+        # in-plan shape on empty input: coalesced jt2=0, NULL moments
+        return local_rows_df(
+            spark, [(None, 0, 0, None, "flat", False)], out_schema
+        )
+    by_g: dict = {}
+    tie: dict = {}
+    for r in rows:
+        g, v, c = r["__g"], r["__v"], int(r["__c"])
+        by_g.setdefault(g, {})[v] = c
+        tie[v] = tie.get(v, 0) + c
+    u = {g: sum(vs.values()) for g, vs in by_g.items()}
+    n = sum(u.values())
+    k_groups = len(u)
+    u2 = sum(x * x for x in u.values())
+    ut2 = sum(x * (x - 1) for x in u.values())
+    ut3 = sum(x * (x - 1) * (x - 2) for x in u.values())
+    ua = sum(x * (x - 1) * (2 * x + 5) for x in u.values())
+    tt2 = sum(t * (t - 1) for t in tie.values())
+    tt3 = sum(t * (t - 1) * (t - 2) for t in tie.values())
+    ta = sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+    # jt2 = Σ_{g<h} Σ_{v ∈ values(h)} c_h(v)·(2·C_g(<v) + c_g(v)):
+    # per ordered pair, one merged walk over the two sorted value lists
+    sv = {g: sorted(vs) for g, vs in by_g.items()}
+    gl = sorted(by_g)  # ascending ⟹ gl[gi] < gl[hi] iff gi < hi
+    jt2 = 0
+    for gi in range(len(gl)):
+        for hi in range(gi + 1, len(gl)):
+            g, h = gl[gi], gl[hi]
+            gvals, gc = sv[g], by_g[g]
+            cum = 0  # Σ c_g(v') for v' < current h value
+            p = 0
+            for v in sv[h]:
+                while p < len(gvals) and gvals[p] < v:
+                    cum += gc[gvals[p]]
+                    p += 1
+                jt2 += by_g[h][v] * (2 * cum + gc.get(v, 0))
+    # variance: float conversions and association order mirror the
+    # in-plan expression exactly
+    nd = float(n)
+    a_exact = n * (n - 1) * (2 * n + 5) - ta - ua
+    var_dbl = (
+        float(a_exact) / 72.0
+        + (float(tt3) * float(ut3))
+        / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + (float(tt2) * float(ut2)) / (8.0 * nd * (nd - 1.0))
+    )
+    mu2 = (n * n - u2) // 2  # always even: 2·Σ_{g<h} u_g·u_h
+    diff = jt2 - mu2
+    if var_dbl > 0.0:
+        zraw = float(diff) / (2.0 * math.sqrt(var_dbl))
+        z = float(
+            Decimal(zraw).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+    else:
+        z = None
+    trend = (
+        "increasing" if diff > 0
+        else ("decreasing" if diff < 0 else "flat")
+    )
+    sig = False if z is None else bool(abs(z) > float(z_crit))
+    return local_rows_df(
+        spark, [(n, k_groups, jt2, z, trend, sig)], out_schema
+    )
+
+
 def jonckheere_terpstra(
     df: DataFrame,
     group_score_col: str,
@@ -8301,10 +8392,18 @@ def jonckheere_terpstra(
 
     Scale shape: one map-combinable (group, value-cents) hash agg —
     the only corpus-scale shuffle. Everything downstream lives on
-    that grain: the dense value × group grid (contract: DISCRETE or
-    bucketed values — grid rows = distinct-values × k), a per-group
-    cumulative window (k partitions over the grid), one value-keyed
-    grain join with ≤k fanout, and ≤k-row side aggregates.
+    that grain: when it fits ``_JT_MAX_CELLS``/``_JT_MAX_GROUPS`` it
+    collects (limit-proved bounded action) and the statistic finishes
+    driver-side as exact integers + the one fixed-shape IEEE step
+    (r14); otherwise the in-plan assembly runs — the dense value ×
+    group grid (contract: DISCRETE or bucketed values — grid rows =
+    distinct-values × k), a per-group cumulative window (k partitions
+    over the grid), one value-keyed grain join with ≤k fanout, and
+    ≤k-row side aggregates.
+
+    EAGER (r14): construction runs the bounded grain probe — calling
+    this triggers cluster jobs and surfaces data errors immediately,
+    not at the caller's first action.
     """
     from pybabe_spark.operators._util import attach_scalars, lazy_persist
 
@@ -8322,6 +8421,19 @@ def jonckheere_terpstra(
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    # r14: the whole statistic is a function of the (group, value,
+    # count) grain — when that grain is small (the contract already
+    # says DISCRETE/bucketed values), ONE limit-proved bounded collect
+    # replaces the 18-local-job in-plan assembly (grid + window + grain
+    # join + five side aggregates) with exact driver arithmetic and a
+    # VALUES-literal 1-row result. A bigger grain — or a pathological
+    # one (NULL group/value from a failed cast) — keeps the in-plan
+    # path below, whose cache the probe collect has already filled.
+    probe = cnts.limit(_JT_MAX_CELLS + 1).collect()
+    if len(probe) <= _JT_MAX_CELLS and all(
+        r["__g"] is not None and r["__v"] is not None for r in probe
+    ) and len({r["__g"] for r in probe}) <= _JT_MAX_GROUPS:
+        return _jt_finish_local(df.sparkSession, probe, z_crit)
     groups = cnts.groupBy("__g").agg(
         F.sum(d(F.col("__c"))).cast("decimal(38,0)").alias("__u")
     )
