@@ -188,22 +188,31 @@ def funnel(
     against the (user, t_{i-1}) frontier — both sides keyed by user, so
     the chain reuses one partitioning — plus a min() aggregation;
     per-step cost is linear in that step's events, steps are bounded.
-    The final assembly is a union of 1-row aggregates; conversion is
-    users_i / users_0 as one IEEE division (NULL when step 0 is empty),
-    identical in the SQL mirror.
+    The final assembly (r14) collects each step's 1-row user count —
+    one bounded action per step, which the frontier chain forces to be
+    sequential anyway — and emits the steps as a VALUES literal;
+    conversion is users_i / users_0 as one IEEE division (NULL when
+    step 0 is empty), identical in the SQL mirror. The previous union
+    of 1-row aggregates + broadcast attach scheduled ~16 local jobs of
+    AQE broadcast builds for 3 numbers.
+
+    EAGER (r14): construction runs one bounded count per step —
+    calling this triggers cluster jobs and surfaces data errors
+    immediately, not at the caller's first action.
     """
     if not steps:
         raise ValueError("funnel: steps must be non-empty")
-    from pybabe_spark.operators._util import attach_scalars
+    from pybabe_spark.operators._util import local_rows_df
 
-    # lazy persists (no construction job): the event projection is
-    # filtered once per step, and each frontier feeds BOTH the next
-    # step's join and its own count row — without the caches the source
-    # lineage re-derives per consumer (measured 7× on 3 steps)
+    # lazy persists (no construction job until the step counts below):
+    # the event projection is filtered once per step, and each frontier
+    # feeds BOTH the next step's join and its own count — without the
+    # caches the source lineage re-derives per consumer (measured 7×
+    # on 3 steps)
     events = events.select(user_col, type_col, ts_col).persist()
     frontier = None
     prev_t = None
-    rows = []
+    counts = []
     for i, s in enumerate(steps):
         f = events.filter(F.col(type_col) == s)
         if frontier is not None:
@@ -218,24 +227,25 @@ def funnel(
         frontier = f.groupBy(user_col).agg(
             F.min(ts_col).alias(prev_t)
         ).persist()
-        rows.append(
-            frontier.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(i).alias("step"),
-                F.lit(s).alias("event_type"),
-                "users",
-            )
+        # bounded action: a 1-row count of the persisted frontier (the
+        # fill is work the next step's join needed anyway)
+        counts.append(frontier.count())
+    u0 = counts[0]
+    rows = [
+        (
+            i,
+            s,
+            c,
+            # same IEEE division the in-plan finish ran (bigint/bigint
+            # promotes to double: round each side, then divide)
+            (float(c) / float(u0)) if u0 > 0 else None,
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    u0 = rows[0].select(F.col("users").alias("__u0"))
-    return attach_scalars(out, u0).select(
-        "step",
-        "event_type",
-        "users",
-        F.when(F.col("__u0") > 0, F.col("users") / F.col("__u0")).alias(
-            "conversion"
-        ),
+        for i, (s, c) in enumerate(zip(steps, counts))
+    ]
+    return local_rows_df(
+        events.sparkSession,
+        rows,
+        "step int, event_type string, users bigint, conversion double",
     )
 
 
