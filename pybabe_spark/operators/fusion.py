@@ -85,6 +85,14 @@ def rank_fuse(
     ``weights`` (one positive INTEGER per list, default all-1) scale
     each list's contribution — the standard weighted-RRF bias toward a
     trusted retriever, kept integral so the fused score stays exact.
+
+    EAGER (r14) when every input's bound is provable and small: each
+    list collects (the bound IS the proof) and the fusion — integer
+    ranks, integer contributions, the final (score desc, id asc) cut —
+    runs driver-side, returning a VALUES literal; the in-plan window +
+    union + hash-agg shape (a tail of tiny AQE stages per action) is
+    kept for Spark Connect inputs or NULL/NaN ids/scores, where plan
+    bounds or Python sort order cannot be trusted.
     """
     if not rankings:
         raise ValueError("rank_fuse: need at least one ranking")
@@ -101,6 +109,7 @@ def rank_fuse(
         )
     sides = []
     side_col = gen_col([id_col, score_col], "__rrf_side")
+    bounds = []
     for i, r in enumerate(rankings):
         known, bound = _max_rows(r)
         if known and bound is None:
@@ -108,6 +117,7 @@ def rank_fuse(
                 f"rank_fuse: ranking {i} has no row bound in its plan; "
                 "pass top-k cuts (orderBy(...).limit(k)), not corpora"
             )
+        bounds.append(bound if known else None)
         sides.append(
             r.select(
                 F.lit(i).alias(side_col),
@@ -116,6 +126,18 @@ def rank_fuse(
                 F.col(score_col).cast("double").alias(score_col),
             )
         )
+    if all(b is not None and b <= 100_000 for b in bounds):
+        fused_local = _rank_fuse_local(
+            rankings[0].sparkSession,
+            [sides[i] for i in range(len(sides))],
+            list(weights),
+            k,
+            rrf_k,
+            id_col,
+            score_col,
+        )
+        if fused_local is not None:
+            return fused_local
     allr = sides[0]
     for s in sides[1:]:
         allr = allr.unionByName(s)
@@ -137,6 +159,52 @@ def rank_fuse(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def _rank_fuse_local(
+    spark,
+    sides: "Sequence[DataFrame]",
+    weights: "list[int]",
+    k: int,
+    rrf_k: int,
+    id_col: str,
+    score_col: str,
+):
+    """Driver-side RRF over bounded, collected lists (see
+    :func:`rank_fuse`): integer ranks from the same (score desc, id
+    asc) order, the same ``RRF_SCALE // (rrf_k + rank)`` integer
+    contributions, the same final cut. Returns ``None`` when a NULL or
+    NaN id/score makes Python sort order diverge from Spark's NULL/NaN
+    ordering — the caller keeps the in-plan shape for those."""
+    import math
+
+    from pybabe_spark.operators._util import local_rows_df
+
+    contrib: dict[int, int] = {}
+    nlists: dict[int, int] = {}
+    for i, s in enumerate(sides):
+        rows = [
+            (r[id_col], r[score_col])
+            for r in s.select(id_col, score_col).collect()
+        ]
+        if any(
+            v is None or x is None or math.isnan(x) for v, x in rows
+        ):
+            return None
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        w = weights[i]
+        for rank, (v, _x) in enumerate(rows, start=1):
+            contrib[v] = contrib.get(v, 0) + w * (
+                RRF_SCALE // (rrf_k + rank)
+            )
+            nlists[v] = nlists.get(v, 0) + 1
+    top = sorted(contrib, key=lambda v: (-contrib[v], v))[:k]
+    esc = id_col.replace("`", "``")
+    return local_rows_df(
+        spark,
+        [(v, contrib[v], nlists[v]) for v in top],
+        f"`{esc}` bigint, rrf_score bigint, n_lists bigint",
+    )
 
 
 def rrf_contrib_sql(rank_expr: str, rrf_k: int = 60) -> str:
