@@ -566,60 +566,16 @@ def vocab_overlap(
 
     Bounded-pair contract (same discipline as the ANN bounded-query
     lint): the quadratic object is GROUPS², never the corpus — the
-    guard raises when the group count exceeds ``max_groups`` instead
-    of silently planning a huge pair join.
-
-    Scale shape (r14 bitmask rewrite): the bounded group domain
-    (≤ ``max_groups`` rows, limit-proved collect) maps each group to a
-    bit index, so the corpus-scale work is ONE hash agg to the word
-    grain — ``bit_or(1 << g_idx)`` per word (idempotent, so no
-    pre-distinct; map-side partial aggregation applies) — followed by
-    an in-stage set-bit pair explode (≤ groups-per-word² per word,
-    the same candidate volume the old word self-join shuffled) into a
-    ≤ groups² count table. The old shape (distinct to the (group,
-    word) grain + word-keyed self-join + two pair joins) is kept as
-    the fallback for > 64 actual groups or non-flat group types.
-
-    EAGER (r14) on the bitmask path: construction runs two bounded
-    driver actions (the ≤ max_groups+1 group-domain collect and the
-    ≤ groups² pair-count collect) and returns a VALUES-literal
-    result — calling this triggers cluster jobs and surfaces data
-    errors (including the max_groups guard, now a ValueError)
-    immediately, not at the caller's first action.
+    in-plan guard raises at action time when the group count exceeds
+    ``max_groups`` instead of silently planning a huge pair join.
+    The corpus-scale work is one distinct to the (group, word) grain;
+    the word self-join's bucket width is ≤ the group count per word,
+    so candidate volume is ≤ vocab × max_groups² — linear in vocab.
     """
     if max_groups < 2:
         raise ValueError(f"vocab_overlap: max_groups {max_groups} < 2")
     from pybabe_spark.functions.text import words
 
-    msg = (
-        f"vocab_overlap: more than max_groups={max_groups} groups; "
-        "raise max_groups only if a quadratic group-pair join is "
-        "genuinely intended"
-    )
-    gtyp = df.schema[group_col].dataType.simpleString()
-    flat = gtyp in ("string", "int", "bigint", "smallint", "tinyint")
-    if flat:
-        # bounded group-domain collect: the limit is the proof this
-        # action never returns more than max_groups+1 rows
-        dom = [
-            r[0]
-            for r in df.filter(
-                F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
-            )
-            .select(group_col)
-            .distinct()
-            .limit(max_groups + 1)
-            .collect()
-        ]
-        if len(dom) > max_groups:
-            raise ValueError(msg)
-        # Python sort == Spark ordering here: UTF-8 byte order equals
-        # code-point order for strings; integrals are integrals
-        groups = sorted(dom)
-    if flat and len(groups) <= 64:
-        return _vocab_overlap_bitmask(
-            df, group_col, text_col, groups, gtyp, words
-        )
     gw = (
         df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
@@ -632,6 +588,11 @@ def vocab_overlap(
     sizes = gw.groupBy("g").agg(F.count(F.lit(1)).alias("v"))
     # in-plan bounded-groups guard: total group count rides a window
     # over the tiny per-group size table (groups rows, not corpus)
+    msg = (
+        f"vocab_overlap: more than max_groups={max_groups} groups; "
+        "raise max_groups only if a quadratic group-pair join is "
+        "genuinely intended"
+    )
     sizes = sizes.withColumn(
         "__ng", F.count(F.lit(1)).over(Window.partitionBy())
     ).filter(
@@ -666,100 +627,6 @@ def vocab_overlap(
             "(intersection * 1000000) div (v1 + v2 - intersection)"
         ).alias("jaccard_ppm"),
     )
-
-
-def _vocab_overlap_bitmask(
-    df: DataFrame,
-    group_col: str,
-    text_col: str,
-    groups: list,
-    gtyp: str,
-    words,
-) -> DataFrame:
-    """Bitmask fast path of :func:`vocab_overlap` for a ≤64-group flat
-    domain (see its docstring): per-word group bitmasks via one
-    ``bit_or`` hash agg, an in-stage set-bit pair explode into the
-    bounded (i ≤ j) count grid, exact integer finish driver-side.
-    Value-identical to the join path: the (i, i) diagonal counts words
-    whose mask has bit i — exactly |distinct words of group i| — and
-    (i, j) counts words with both bits — exactly the pair
-    intersection."""
-    from pybabe_spark.operators._util import local_rows_df
-
-    spark = df.sparkSession
-    k = len(groups)
-    out_schema = (
-        "`{0}_1` {1}, `{0}_2` {1}, v1 bigint, v2 bigint, "
-        "intersection bigint, jaccard_ppm bigint".format(
-            group_col.replace("`", "``"), gtyp
-        )
-    )
-    if k < 2:
-        return local_rows_df(spark, [], out_schema)
-    gidx = F.create_map(
-        *[
-            x
-            for g, i in zip(groups, range(k))
-            for x in (F.lit(g).cast(gtyp), F.lit(i))
-        ]
-    )
-    wm = (
-        df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
-        .select(
-            gidx[F.col(group_col)].alias("__gi"),
-            F.explode(words(text_col)).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(CAST(1 AS BIGINT), __gi))"
-            ).alias("__m")
-        )
-    )
-    # set-bit indices of the word's mask, then the ordered (i <= j)
-    # pairs INCLUDING the diagonal — (i, i) rows carry the per-group
-    # vocabulary sizes, (i, j) rows the intersections; the explode is
-    # in-stage (no join) and its fanout is groups-per-word², the same
-    # candidate volume the join path shipped through the exchange
-    bits = (
-        "filter(transform(sequence(0, {km1}), i -> "
-        "IF((shiftright(__m, i) & 1) = 1, i, NULL)), x -> x IS NOT NULL)"
-    ).format(km1=k - 1)
-    prs = (
-        "flatten(transform({b}, (i, ii) -> "
-        "transform(slice({b}, ii + 1, {k}), j -> "
-        "named_struct('a', i, 'b', j))))"
-    ).format(b=bits, k=k)
-    pc = (
-        wm.select(F.explode(F.expr(prs)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        # boundedness proof for the collect: the (a, b) grid is at
-        # most k·(k+1)/2 cells by construction
-        .limit(k * (k + 1) // 2)
-    )
-    cells = {(r["a"], r["b"]): r["c"] for r in pc.collect()}
-    v = {i: cells.get((i, i), 0) for i in range(k)}
-    rows = []
-    for i in range(k):
-        if v[i] == 0:  # no non-empty word ever seen for this group:
-            continue  # the join path has no such group in `sizes`
-        for j in range(i + 1, k):
-            if v[j] == 0:
-                continue
-            inter = cells.get((i, j), 0)
-            rows.append(
-                (
-                    groups[i],
-                    groups[j],
-                    v[i],
-                    v[j],
-                    inter,
-                    (inter * 1_000_000) // (v[i] + v[j] - inter),
-                )
-            )
-    return local_rows_df(spark, rows, out_schema)
 
 
 def vocab_overlap_sql(

@@ -1612,11 +1612,10 @@ def _vocab_overlap_sql():
 def q_vocab_overlap(spark, sf_dir):
     """Pairwise source-vocabulary Jaccard
     (operators/tfidf.py::vocab_overlap): the lexical-redundancy
-    data-mix diagnostic — the bounded (≤64) source domain maps to bit
-    indices, one corpus-scale bit_or hash agg to the word grain, an
-    in-stage set-bit pair explode to the ≤groups² count grid, exact
-    floored-ppm Jaccard; the quadratic object is groups², guarded at
-    max_groups."""
+    data-mix diagnostic — one corpus-scale distinct to the
+    (source, word) grain, a word-bucketed pair join bounded by
+    groups-per-word, exact floored-ppm Jaccard; the quadratic object
+    is groups², guarded in-plan at max_groups."""
     from pybabe_spark.operators.tfidf import vocab_overlap
 
     docs = read_table(spark, sf_dir, "documents")

@@ -240,25 +240,26 @@ def test_vocab_overlap_hand_checked(spark):
 
 def test_vocab_overlap_group_guard(spark):
     import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
 
     from pybabe_spark.operators.tfidf import vocab_overlap
 
     df = spark.createDataFrame(
         [(f"s{i}", "w") for i in range(5)], "source string, text string"
     )
-    # r14: the bitmask path is EAGER — the bounded group-domain collect
-    # runs at construction, so the guard fires as a ValueError here,
-    # not at the caller's first action
-    with pytest.raises(ValueError, match="max_groups"):
-        vocab_overlap(df, "source", "text", max_groups=3)
+    out = vocab_overlap(df, "source", "text", max_groups=3)  # lazy: no job
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="max_groups"):
+        out.collect()
     with pytest.raises(ValueError):
         vocab_overlap(df, "source", "text", max_groups=1)
 
 
-def test_vocab_overlap_bitmask_matches_join_path(spark):
-    """The r14 bitmask fast path must be value-identical to the join
-    fallback (exercised via a non-flat group type: array<string>
-    groups skip the bitmask path)."""
+def test_vocab_overlap_edge_rows_and_nonflat_groups(spark):
+    """r14 group-set rewrite: empty-text/NULL-text rows contribute
+    nothing, and a non-flat (array) group type rides the same path
+    with identical values."""
     from pybabe_spark.operators.tfidf import vocab_overlap
 
     rows = [
@@ -267,16 +268,15 @@ def test_vocab_overlap_bitmask_matches_join_path(spark):
         ("s2", ""), ("s4", None),  # empty text / NULL text edge rows
     ]
     df = spark.createDataFrame(rows, "source string, text string")
-    fast = {
+    flat = {
         tuple(r) for r in vocab_overlap(df, "source", "text").collect()
     }
-    # same data, group wrapped in a 1-element array -> join path
-    arr = df.select(
-        F.array("source").alias("source"), "text"
-    )
-    slow = {
+    assert ("s1", "s2", 4, 3, 2, 400000) in flat
+    assert ("s1", "s3", 4, 1, 0, 0) in flat  # disjoint pair kept, 0 ppm
+    assert not any(r[0] == "s4" or r[1] == "s4" for r in flat)
+    arr = df.select(F.array("source").alias("source"), "text")
+    wrapped = {
         (r["source_1"][0], r["source_2"][0]) + tuple(r)[2:]
         for r in vocab_overlap(arr, "source", "text").collect()
     }
-    assert fast == slow
-    assert fast  # non-empty: the comparison is real
+    assert wrapped == flat
