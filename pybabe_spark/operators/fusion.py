@@ -177,16 +177,27 @@ def _rank_fuse_local(
     NaN id/score makes Python sort order diverge from Spark's NULL/NaN
     ordering — the caller keeps the in-plan shape for those."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from pybabe_spark.operators._util import local_rows_df
 
-    contrib: dict[int, int] = {}
-    nlists: dict[int, int] = {}
-    for i, s in enumerate(sides):
-        rows = [
+    # the input lists are independent pipelines (e.g. a BM25 pass and a
+    # dense cosine pass): collect them CONCURRENTLY so their stages
+    # overlap exactly as the old single-action plan's independent
+    # subtrees did (guide §2.6 — actions are only sequential when the
+    # driver calls them sequentially)
+    def _grab(s):
+        return [
             (r[id_col], r[score_col])
             for r in s.select(id_col, score_col).collect()
         ]
+
+    with ThreadPoolExecutor(max_workers=min(4, len(sides))) as pool:
+        collected = list(pool.map(_grab, sides))
+
+    contrib: dict[int, int] = {}
+    nlists: dict[int, int] = {}
+    for i, rows in enumerate(collected):
         if any(
             v is None or x is None or math.isnan(x) for v, x in rows
         ):
