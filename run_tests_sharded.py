@@ -99,6 +99,10 @@ def main() -> int:
         )
         env["SPARK_GRAFT_CPUS"] = str(per_worker)
         env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+        # the sharded run is the FULL suite: deep-marked tests (slow
+        # equivalence/stress cases skipped in the budgeted
+        # single-process run) are included here
+        env.setdefault("PYBABE_DEEP_TESTS", "1")
         # keep per-worker JVMs inside the box's memory budget
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "6g")
         cwd = tempfile.mkdtemp(prefix=f"pytest_shard{i}_")

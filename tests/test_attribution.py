@@ -193,6 +193,7 @@ def _python_model(rows, model, lookback_days=7):
     return credits, values
 
 
+@pytest.mark.deep
 def test_attribution_matches_bruteforce_model(spark):
     import random
     from datetime import datetime, timedelta

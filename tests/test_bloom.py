@@ -13,6 +13,7 @@ from pybabe_spark.operators.bloom import (
 from pybabe_spark.operators.merge import dedup_against
 
 
+@pytest.mark.deep
 def test_no_false_negatives(spark):
     seen = spark.range(2000).selectExpr("concat('key_', id) as k")
     bf = build_bloom(seen, "k", m_bits=1 << 15, k=5)

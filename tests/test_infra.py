@@ -152,6 +152,7 @@ def test_pull_sql_dump(spark, tmp_path):
     assert ("1", "a") in rows and ("2", "b's") in rows
 
 
+@pytest.mark.deep
 def test_pull_local_sources_honor_common_options(spark, tmp_path):
     """fields=/ingest_id= must behave identically across the driver-local
     source branches (string/zip/sql) instead of being silently dropped.
@@ -487,6 +488,7 @@ def test_fetch_url_default_opener_file_scheme(tmp_path):
         os.unlink(out)
 
 
+@pytest.mark.deep
 def test_push_ftp_and_http_urls_roundtrip(spark, tmp_path, monkeypatch):
     """push('ftp://.../file.csv') and push('http(s)://.../file.csv')
     stage ONE driver-local file then ship it via the injectable
@@ -532,6 +534,7 @@ def test_push_ftp_and_http_urls_roundtrip(spark, tmp_path, monkeypatch):
         assert z.namelist() == ["out.csv"]
 
 
+@pytest.mark.deep
 def test_push_zip_write_roundtrip(spark, tmp_path):
     """push('x.csv.zip') writes a single-member archive the zip pull
     shim reads back (reference pybabe/compress_zip.py:7-23 both
@@ -952,6 +955,7 @@ def test_upsert_key_named_count(spark):
     assert got == [(1, "b")]
 
 
+@pytest.mark.deep
 def test_memoize_fingerprint_stable_across_processes(spark, tmp_path):
     """The cross-session cache contract: a brand-new JVM/driver process
     (fresh expr-id counter, fresh jvmId UUIDs) computes the SAME

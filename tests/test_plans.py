@@ -329,6 +329,7 @@ def test_plan_lint_detects_scale_smells(spark):
     assert assert_scales(small_cross, allow={"broadcast-nested-loop"}) is small_cross
 
 
+@pytest.mark.deep
 def test_plan_lint_passes_headline_queries(spark, sf_dir):
     """The flagship and the scale-path ANN/dedup queries must lint
     clean; the known reference-parity global window and the quarantined

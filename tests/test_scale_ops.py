@@ -927,6 +927,7 @@ def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert got == probe(full) and got
 
 
+@pytest.mark.deep
 def test_ivf_append_equals_rebuild_with_same_centroids(spark, sf_dir, tmp_path):
     """append_ivf_index assigns the batch with the STORED centroids, so
     append == a full build whose centroid fit sees the same sample.
@@ -1551,6 +1552,7 @@ def test_ivf_centroids_skip_zero_norm(spark):
     assert all(out[i]["cell"] is not None for i in (1, 2, 3))
 
 
+@pytest.mark.deep
 def test_minhash_index_params_survive_append(spark, tmp_path):
     """mode='append' must not accumulate params rows — the probe would
     pick one arbitrarily and silently mix coefficient families."""
@@ -1879,6 +1881,7 @@ def test_bm25_stored_matches_inmemory_and_prunes(spark, tmp_path):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+@pytest.mark.deep
 def test_bm25_append_matches_rebuild(spark, tmp_path):
     """build(half1) + append(half2) probes bit-identically to a fresh
     build over the union — df and totals stay exact across appends."""
@@ -1938,6 +1941,7 @@ def test_bm25_empty_corpus_build_then_append(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.deep
 def test_kmeans_separates_obvious_clusters(spark):
     """Two well-separated blobs: Lloyd lands one centroid per blob,
     assignment matches blob membership, inertia is non-increasing

@@ -129,6 +129,7 @@ def test_upsert_valid_from_tie_different_attr_raises(spark):
         up.collect()
 
 
+@pytest.mark.deep
 def test_upsert_randomized_equals_rebuild(spark):
     """Randomized contract sweep (ADVICE r6 follow-up): for unique
     per-key timestamps, EVERY split of a changelog into (base, updates)

@@ -43,6 +43,7 @@ def test_stream_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == expected and len(got) > 0
 
 
+@pytest.mark.deep
 def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream_dir):
     from pybabe_spark.streaming.ops import sessionize
 
@@ -190,6 +191,7 @@ def test_parquet_and_foreach_batch_sinks(spark, sf_dir, events_stream_dir, tmp_p
     ).count()
 
 
+@pytest.mark.deep
 def test_watermark_drops_late_data(spark, tmp_path):
     """Two micro-batches: batch 1 advances the watermark; a row in batch 2
     older than the watermark is DROPPED from the append-mode aggregate
@@ -257,6 +259,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert batch_counts["2024-01-01 10:00:00"] == 4  # batch sees the late row
 
 
+@pytest.mark.deep
 def test_stream_near_dedup_against_index(spark, tmp_path):
     """Two micro-batches dedup against the stored MinHash index AND
     against earlier batches (update_index): a doc duplicating the seed
@@ -363,6 +366,7 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c"}
 
 
+@pytest.mark.deep
 def test_stream_rollup_matches_batch_build(spark, tmp_path):
     """Three micro-batches folded through stream_rollup equal a single
     batch rollup_build over the union — the mergeable-partials
@@ -456,6 +460,7 @@ def test_stream_quarantine_splits_clean_and_bad(spark, tmp_path):
     assert bad == {(2, 50.0, "range:v"), (None, 5.0, "not_null:k")}
 
 
+@pytest.mark.deep
 def test_stream_apply_cdc_matches_batch_fold(spark, tmp_path):
     """Three CDC micro-batches folded through stream_apply_cdc equal
     one batch apply_cdc over the whole feed (the operator's
@@ -505,6 +510,7 @@ def test_stream_apply_cdc_matches_batch_fold(spark, tmp_path):
     assert got == want == [(1, "a2"), (2, "b2"), (3, "c2")]
 
 
+@pytest.mark.deep
 def test_stream_dedup_against_matches_batch(spark, tmp_path):
     """Streaming twin of the batch dedup_against_seen composition:
     micro-batches drop keys already in the STORED seen table, earlier
@@ -554,6 +560,7 @@ def test_stream_dedup_against_matches_batch(spark, tmp_path):
     assert seen_now == {"k1", "k2", "k3", "k4"}
 
 
+@pytest.mark.deep
 def test_stream_dedup_against_bootstrap_and_next_run(spark, tmp_path):
     """No pre-existing seen table: the first run bootstraps it; a
     SECOND run (new checkpoint, same table) drops everything the first
@@ -591,6 +598,7 @@ def test_stream_dedup_against_bootstrap_and_next_run(spark, tmp_path):
     ) == ["c"]
 
 
+@pytest.mark.deep
 def test_stream_dedup_against_within_watermark(spark, tmp_path):
     """The watermarked variant: dropDuplicatesWithinWatermark runs
     before the sink (bounded in-flight state) and the stored-table
@@ -742,6 +750,7 @@ def test_stream_anomalies_against_matches_batch(
     assert got == expected
 
 
+@pytest.mark.deep
 def test_stream_activity_grain_stickiness_matches_batch(spark, tmp_path):
     """Micro-batched event files folded through stream_activity_grain,
     then stickiness_from_store == batch stickiness over the union —
@@ -799,6 +808,7 @@ def test_stream_activity_grain_stickiness_matches_batch(spark, tmp_path):
     assert grain.count() == grain.select("__k", "__d").distinct().count()
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_bollinger_matches_batch(spark, tmp_path):
     """Micro-batched event files folded through stream_bucket_sums,
     then bollinger_from_store == batch bollinger_bands over the union
@@ -884,6 +894,7 @@ def test_stream_bucket_sums_bollinger_matches_batch(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_acf_matches_batch(spark, tmp_path):
     """The second store-twin family (r12 verdict task #7): micro-batched
     event files folded through stream_bucket_sums, then acf_from_store
@@ -949,6 +960,7 @@ def test_stream_bucket_sums_acf_matches_batch(spark, tmp_path):
     assert any(r[3] is not None for r in want)
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_runs_test_matches_batch(spark, tmp_path):
     """Third store-twin family: runs_test_from_store == batch
     runs_test over the union of micro-batched files — EXACT equality
@@ -1011,6 +1023,7 @@ def test_stream_bucket_sums_runs_test_matches_batch(spark, tmp_path):
     assert all(r[1] >= 2 for r in want)  # both keys have >= 2 buckets
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_mann_kendall_matches_batch(spark, tmp_path):
     """Fourth store-twin family: mann_kendall_from_store == batch
     mann_kendall over the union — the store's (key, bucket) grain IS
@@ -1073,6 +1086,7 @@ def test_stream_bucket_sums_mann_kendall_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 2
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_pettitt_matches_batch(spark, tmp_path):
     """Fifth store-twin family: pettitt_from_store == batch
     pettitt_test over the union of micro-batched files — exact
@@ -1137,6 +1151,7 @@ def test_stream_bucket_sums_pettitt_matches_batch(spark, tmp_path):
     assert all(r[2] > 0 for r in want)  # K > 0: a real shift
 
 
+@pytest.mark.deep
 def test_stream_bucket_sums_holt_matches_batch(spark, tmp_path):
     """Sixth store-twin family: holt_from_store == batch holt_linear
     over the union — the exact dyadic fold gives DIGIT-identical
