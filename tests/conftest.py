@@ -24,6 +24,10 @@ def pytest_configure(config):
 _DEEP_NODEIDS: "list[str]" = [
     "test_oracle_parity[lm_trigram_perplexity_docs]",
     "test_oracle_parity[gopher_quality_rules]",
+    "test_oracle_parity[lsh_calibration_docs]",
+    "test_oracle_parity_sf01[lsh_calibration_docs]",
+    "test_oracle_parity_sf01[spearman_lineitem]",
+    "test_oracle_parity_sf01[bootstrap_ci_orders]",
 ]
 
 

@@ -56,6 +56,7 @@ def test_delete_then_reinsert_order(spark):
     assert _rows(apply_cdc(base, feed, "k", "ts")) == [(1, "a2")]
 
 
+@pytest.mark.deep
 def test_idempotent_and_composable(spark):
     base = _base(spark, [(1, "a"), (2, "b")])
     f1 = _feed(spark, [(1, 10, "a1", "U"), (3, 10, "c", "I")])
@@ -122,6 +123,7 @@ def test_facade_hook(spark):
     assert _rows(out.df) == [(1, "a1")]
 
 
+@pytest.mark.deep
 def test_randomized_against_python_model(spark):
     """Random feeds vs a dict last-wins model — insert/update/delete,
     multiple keys, unique (key, ts)."""

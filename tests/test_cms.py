@@ -491,6 +491,7 @@ def test_cramers_v_hand_checked(spark):
 # -- mutual_information (operators/sketch.py) -----------------------------------
 
 
+@pytest.mark.deep
 def test_mutual_information_hand_checked(spark):
     import math
 

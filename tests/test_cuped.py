@@ -1,5 +1,7 @@
 """CUPED adjustment (operators/cuped.py)."""
 
+import pytest
+
 from pybabe_spark.operators.cuped import cuped_adjust
 
 
@@ -115,6 +117,7 @@ def test_mean_test_degenerate_arms(spark):
     assert r["mean_control"] == 5.0 and r["mean_treatment"] == 9.0
 
 
+@pytest.mark.deep
 def test_mean_test_cuped_composition_flips_decision(spark):
     """The reason cuped exists: a treatment effect invisible under raw
     noise becomes significant after the covariate is regressed out."""
@@ -163,6 +166,7 @@ def _chi2_model(pairs):
     return (n, (len(r) - 1) * (len(c) - 1), ppm)
 
 
+@pytest.mark.deep
 def test_chi2_hand_checked_2x2(spark):
     from pybabe_spark.operators.sketch import chi2_independence
 

@@ -455,6 +455,7 @@ def test_rmst_no_events_and_groups(spark):
         rmst(df, "duration", "event", 0)
 
 
+@pytest.mark.deep
 def test_km_quantiles_textbook(spark):
     from pybabe_spark.operators.timeseries import km_quantiles
 

@@ -151,6 +151,7 @@ def test_fellegi_sunter_hand_checked(spark):
 # -- fuzzy_connectivity_pairs (star-reduced CC edge set) ----------------------
 
 
+@pytest.mark.deep
 def test_connectivity_pairs_same_components_as_full(spark):
     """The star-reduced edge set must (a) contain only TRUE distance-1
     pairs, and (b) induce exactly the same connected components as the

@@ -474,6 +474,7 @@ def test_facade_text_hygiene_chain(spark):
     assert all(abs(r["entropy"] - 2.0) < 1e-6 for r in ent.df.collect())
 
 
+@pytest.mark.deep
 def test_facade_llm_pipeline_surface(spark, sf_dir):
     """The fluent API covers the LLM-pipeline family end-to-end:
     text stats → minhash pairs → clusters, ANN top-k, packing."""
@@ -608,6 +609,7 @@ def test_transpose_all_null_row(spark):
     assert (row["r1"], row["r2"]) == (None, "5")
 
 
+@pytest.mark.deep
 def test_normalize_text_golden(spark):
     """Casing, punctuation, and whitespace runs collapse to the
     canonical form; flags compose independently."""
@@ -626,6 +628,7 @@ def test_normalize_text_golden(spark):
     assert no_lower == "Hello WORLD its 42"
 
 
+@pytest.mark.deep
 def test_facade_round7_surface(spark):
     """The round-7 additions exposed through the fluent facade:
     anomalies (MAD), smoothing (EWMA), attribution, cube, FK check,

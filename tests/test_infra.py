@@ -65,6 +65,7 @@ def test_primary_key_detect(spark, sf_dir):
     assert primary_key_detect(no_pk) is None
 
 
+@pytest.mark.deep
 def test_typedetect_mixed(spark):
     df = spark.createDataFrame(
         [("1", "1.5", "2020-01-02", "abc"), ("2", "2,25", "2021-03-04", "def")],
@@ -77,6 +78,7 @@ def test_typedetect_mixed(spark):
     assert dt["s"] == "string"
 
 
+@pytest.mark.deep
 def test_typedetect_datetime_keeps_time_of_day(spark):
     """ISO datetimes must detect as timestamp, not date (Spark's
     string->date cast truncates '2020-01-02 10:30:00' silently; the
@@ -95,6 +97,7 @@ def test_typedetect_datetime_keeps_time_of_day(spark):
     assert str(out.collect()[0]["dt"]) == "2020-01-02 10:30:00"
 
 
+@pytest.mark.deep
 def test_parse_time_policies(spark):
     df = spark.createDataFrame(
         [("2020/01/02",), ("garbage",), (None,)], "t string"

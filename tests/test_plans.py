@@ -3,6 +3,8 @@ scale — broadcasts where intended, filter pushdown and column pruning
 reaching the parquet scan, codegen on the hot path. Failing these means
 a silent perf regression even if results stay correct."""
 
+import pytest
+
 from pybabe_spark.queries import REGISTRY, all_queries
 
 all_queries()

@@ -154,6 +154,7 @@ def test_hash_sample_string_key_and_type_guard(spark):
 @given(data=st.lists(st.tuples(st.integers(0, 9), vals), min_size=1,
                      max_size=30))
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_upsert_idempotent_and_complete(spark, data):
     """upsert(upsert(b, u), u) == upsert(b, u); result keys = base ∪
     update keys; update rows always win."""
@@ -177,6 +178,7 @@ def test_upsert_idempotent_and_complete(spark, data):
     st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
     min_size=1, max_size=25))
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_connected_components_matches_union_find(spark, edges):
     """Distributed min-label propagation == classic union-find on any
     random small graph (self-loops excluded by construction)."""
@@ -211,6 +213,7 @@ token_rows = st.lists(
 
 @given(tokens=token_rows, budget=st.sampled_from([64, 256, 777]))
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_pack_tokens_matches_sequential_model(spark, tokens, budget):
     """Distributed next-fit == the obvious sequential model, for any
     token mix and budget (oversized docs included)."""
@@ -297,6 +300,7 @@ words5 = st.lists(
     threshold=st.sampled_from([0.4, 0.6, 0.8]),
 )
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_near_dedup_against_matches_python_model(
     spark, new_docs, seen_docs, threshold
 ):
@@ -414,6 +418,7 @@ docs_st = st.lists(
 
 @given(texts=docs_st)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_perplexity_property_matches_python(spark, texts):
     import math
     from collections import Counter
@@ -715,6 +720,7 @@ _ks_rows = st.lists(
 
 @given(data=_ks_rows)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_ks_dnum_matches_model(spark, data):
     from pybabe_spark.operators.sketch import ks_test
 
@@ -746,6 +752,7 @@ _texts = st.lists(
 
 @given(texts=_texts)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_readability_matches_model_random(spark, texts):
     import re as _re
 
@@ -786,6 +793,7 @@ _scored = st.lists(
 
 @given(data=_scored)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_roc_auc_matches_rank_model_random(spark, data):
     from collections import Counter
 
@@ -821,6 +829,7 @@ _activity = st.lists(
 
 @given(data=_activity)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_stickiness_matches_set_model_random(spark, data):
     import datetime as dt
 
@@ -847,6 +856,7 @@ def test_stickiness_matches_set_model_random(spark, data):
 
 @given(data=rows, mult=st.sampled_from([2, 3, 7]))
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_spearman_invariant_under_positive_scaling(spark, data, mult):
     """ρ depends only on ranks: scaling x by a positive integer
     preserves order AND tie structure (integer cents stay exact), so
@@ -867,6 +877,7 @@ def test_spearman_invariant_under_positive_scaling(spark, data, mult):
 
 @given(data=rows, shift=st.integers(min_value=-50, max_value=50))
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_kruskal_invariant_under_constant_shift(spark, data, shift):
     """H is rank-based: adding a constant to every value changes no
     rank, so H and its tie correction are bit-identical."""
@@ -884,6 +895,7 @@ def test_kruskal_invariant_under_constant_shift(spark, data, shift):
 
 @given(data=rows)
 @settings(**SETTINGS)
+@pytest.mark.deep
 def test_friedman_invariant_under_per_block_shift(spark, data):
     """The whole point of blocking: adding a DIFFERENT constant to
     each block changes no within-block rank, so χ² is bit-identical.

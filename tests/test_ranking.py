@@ -38,6 +38,7 @@ def test_hand_checked_mixed(spark):
     assert row["ndcg_ppm"] == (g[0] + g[2]) * 1_000_000 // (g[0] + g[1])
 
 
+@pytest.mark.deep
 def test_unanswered_query_scores_zero(spark):
     """A query in truth with NO results must drag the means down."""
     results = [("q1", "a", 1)]

@@ -38,6 +38,7 @@ def _mk_python(vals):
     return s, var18, z
 
 
+@pytest.mark.deep
 def test_mann_kendall_matches_python_model(spark):
     from pybabe_spark.operators.timeseries import mann_kendall
 
@@ -453,6 +454,7 @@ def test_conformal_threshold_grouped_and_ties(spark):
     assert (out["b"]["k"], out["b"]["threshold"]) == (10, 9.0)
 
 
+@pytest.mark.deep
 def test_pca_fit_matches_numpy(spark):
     import numpy as np
 

@@ -207,6 +207,7 @@ def test_range_join_bucketized_matches_naive(spark, sf_dir):
     assert got == naive and len(got) > 0
 
 
+@pytest.mark.deep
 def test_ann_ivf_recall(spark, sf_dir):
     """IVF with nprobe=4/16 cells must recover most of the exact top-10."""
     from pybabe_spark.operators.similarity import ann_brute_force, ann_ivf
@@ -777,6 +778,7 @@ def test_heavy_hitters_sketch_superset_of_exact(spark, sf_dir):
     assert exact <= sketch, (len(exact), len(sketch))
 
 
+@pytest.mark.deep
 def test_write_zorder_narrows_both_columns(spark, sf_dir, tmp_path):
     """Z-ordered layout must keep BOTH clustered columns' per-file spans
     narrow (a 1-D sort leaves the second column spanning ~everything in
@@ -1100,6 +1102,7 @@ def test_connected_components_raises_without_fixpoint(spark):
         connected_components(chain, max_iters=1, deep_fallback=False)
 
 
+@pytest.mark.deep
 def test_connected_components_deep_chain_fallback(spark):
     """A 1000-node chain (diameter 999) would need ~999 min-label
     rounds; the large-star/small-star fallback converges in O(log² n)
@@ -1688,6 +1691,7 @@ def test_bm25_facade_and_plan(spark):
     assert b.df.collect()[0]["id"] == 2
 
 
+@pytest.mark.deep
 def test_temperature_resample_alpha_behavior(spark):
     """alpha=1 keeps natural proportions; alpha→0 flattens toward
     uniform; exact path returns exactly the allocation per group."""
@@ -1912,6 +1916,7 @@ def test_bm25_append_matches_rebuild(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.deep
 def test_bm25_empty_corpus_build_then_append(spark, tmp_path):
     """An index built from ZERO documents must still append cleanly:
     SUM over no rows is NULL and the JSON writer drops null fields, so

@@ -24,6 +24,7 @@ def events_stream_dir(sf_dir):
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.deep
 def test_stream_matches_batch(spark, sf_dir, events_stream_dir):
     batch = read_table(spark, sf_dir, "events")
     expected = {
@@ -77,6 +78,7 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream_dir):
         assert per_user_got.get(u, 0) >= n - 1
 
 
+@pytest.mark.deep
 def test_running_totals_stream_matches_batch(spark, sf_dir, events_stream_dir):
     """The stateful running counter's final per-key emission equals the
     batch groupBy totals (update-mode memory sink keeps the latest row
@@ -101,6 +103,7 @@ def test_running_totals_stream_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == expected and len(got) > 0
 
 
+@pytest.mark.deep
 def test_stream_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     from pybabe_spark.streaming.ops import dedup_within_watermark
 
@@ -117,6 +120,7 @@ def test_stream_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     assert got == expected
 
 
+@pytest.mark.deep
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
     from pyspark.sql import functions as F
 
@@ -419,6 +423,7 @@ def test_stream_rollup_matches_batch_build(spark, tmp_path):
     assert rows_of(str(tmp_path / "rollup")) == rows_of(full)
 
 
+@pytest.mark.deep
 def test_stream_quarantine_splits_clean_and_bad(spark, tmp_path):
     import os
 

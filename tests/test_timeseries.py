@@ -109,6 +109,7 @@ def test_gap_fill_materializes_and_forward_fills(spark):
     assert len(out) == 5
 
 
+@pytest.mark.deep
 def test_gap_fill_zero_and_null_fill(spark):
     df = spark.createDataFrame(
         [
