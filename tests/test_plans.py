@@ -382,11 +382,13 @@ def test_plan_lint_passes_headline_queries(spark, sf_dir):
         # BM25: linear aggs + broadcast idf + TakeOrdered — must stay
         # clean (the 1-row scalar attach is maxRows-proven)
         "bm25_search_docs": set(),
-        # hybrid RRF: fusion itself is clean (per-list rank windows are
-        # partitioned, the fuse is a k·lists-row agg); the finding is
-        # the dense input's brute-force scorer (the ann_cosine_topk
-        # contract — bounded query set broadcast against the corpus)
-        "hybrid_search_docs": {"broadcast-nested-loop"},
+        # hybrid RRF (r14): both input lists are provably bounded, so
+        # the fusion collects them and the declared query's plan is a
+        # VALUES-literal LocalTableScan — nothing left to lint (the
+        # dense side's bounded-query brute-force BNL now runs inside
+        # the operator's own collect, covered by ann_cosine_topk /
+        # hard_negatives below)
+        "hybrid_search_docs": set(),
         # hard negatives: the same bounded-query brute-force contract
         "hard_negatives_embeddings": {"broadcast-nested-loop"},
         # inverted shingle equi-join (jaccard_pairs shape) — clean

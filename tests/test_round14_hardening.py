@@ -62,6 +62,28 @@ def test_transpose_duplicate_key_values(spark):
     assert tuple(vals) == ("a", "1", "2")
 
 
+def test_rank_fuse_nan_score_falls_back_in_plan(spark):
+    """r14 driver-side fusion: a NaN score makes Python sort order
+    untrustworthy, so the operator must fall back to the in-plan
+    window shape — and still fuse (Spark sorts NaN largest-desc-first
+    deterministically)."""
+    from pyspark.sql import functions as F
+
+    from pybabe_spark.operators.fusion import rank_fuse
+
+    a = (
+        spark.createDataFrame(
+            [(1, 2.0), (2, float("nan")), (3, 1.0)], "id long, score double"
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(10)
+    )
+    out = rank_fuse([a], k=3).collect()
+    assert len(out) == 3
+    # exact integer scores still present; all three ids surfaced
+    assert {r["id"] for r in out} == {1, 2, 3}
+
+
 def test_spearman_broadcast_offsets_gate(spark):
     """broadcast_offsets=False must produce identical values (the hint
     only changes the join strategy) and the plan must not carry the
