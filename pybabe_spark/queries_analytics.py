@@ -763,8 +763,9 @@ def _funnel_sql():
 def q_funnel(spark, sf_dir):
     """view → click → purchase conversion funnel with a 1-day window
     (operators/group.py::funnel): first-touch frontier join chain, one
-    user-keyed equi-join + min() per step, union of 1-row totals —
-    classic product analytics as three linear steps."""
+    user-keyed equi-join + min() per step, per-step bounded counts
+    re-entering as a VALUES literal (r14) — classic product analytics
+    as three linear steps."""
     from pybabe_spark.operators.group import funnel
 
     ev = read_table(spark, sf_dir, "events")
@@ -5835,10 +5836,11 @@ def q_jonckheere(spark, sf_dir):
     """Jonckheere–Terpstra ordered trend of line-item quantity across
     ship YEARS (operators/sketch.py::jonckheere_terpstra): does
     quantity drift monotonically over the 1995–2001 span — one dof on
-    the ordered alternative, doubled-integer JT over the dense
-    (50 quantities × 7 years) grid, exact Hollander–Wolfe tie sums,
-    once-rounded z. One corpus (year, quantity) hash agg; everything
-    else is grid-sized."""
+    the ordered alternative, doubled-integer JT over the
+    (50 quantities × 7 years) grain, exact Hollander–Wolfe tie sums,
+    once-rounded z. One corpus (year, quantity) hash agg; the grain is
+    limit-proved small, collects, and the statistic finishes
+    driver-side as exact integers (r14)."""
     from pybabe_spark.operators.sketch import jonckheere_terpstra
 
     li = read_table(spark, sf_dir, "lineitem").select(
