@@ -62,6 +62,40 @@ def test_transpose_duplicate_key_values(spark):
     assert tuple(vals) == ("a", "1", "2")
 
 
+def test_jonckheere_empty_and_single_group(spark):
+    """r14 bounded-collect finish: empty input reproduces the in-plan
+    1-row NULL shape; a single group yields jt2=0 / flat trend."""
+    from pybabe_spark.operators.sketch import jonckheere_terpstra
+
+    empty = spark.createDataFrame([], "g bigint, v double")
+    row = jonckheere_terpstra(empty, "g", "v").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n"], r["k_groups"], r["jt2"]) == (None, 0, 0)
+    assert r["z"] is None and r["trend"] == "flat" and r["significant"] is False
+
+    one = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (1, 3.0)], "g bigint, v double"
+    )
+    r = jonckheere_terpstra(one, "g", "v").collect()[0]
+    assert (r["n"], r["k_groups"], r["jt2"]) == (3, 1, 0)
+    assert r["trend"] == "flat" and r["significant"] is False
+
+
+def test_funnel_empty_first_step(spark):
+    """r14 VALUES finish: an empty step-0 yields users=0 rows with
+    NULL conversions (the u0 > 0 guard), like the old in-plan shape."""
+    from pybabe_spark.operators.group import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "click", 10), (1, "purchase", 20)],
+        "user_id int, event_type string, ts int",
+    )
+    rows = {r["step"]: r for r in funnel(ev, ["view", "click"]).collect()}
+    assert rows[0]["users"] == 0 and rows[0]["conversion"] is None
+    assert rows[1]["users"] == 0 and rows[1]["conversion"] is None
+
+
 def test_rank_fuse_nan_score_falls_back_in_plan(spark):
     """r14 driver-side fusion: a NaN score makes Python sort order
     untrustworthy, so the operator must fall back to the in-plan
